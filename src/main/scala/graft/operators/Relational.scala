@@ -1,0 +1,263 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{Det, Q, Tables => T}
+import Det._
+
+/** SURVEY.md §3.1–§3.3: scans / sources, projection / filter, joins.
+  *
+  * Spark-first notes (100 TB stance):
+  *  - Every scan declares its schema and lets Catalyst push predicates and
+  *    prune columns into the parquet reader — `scan_pruned`'s plan must show
+  *    PushedFilters + a 3-column ReadSchema.
+  *  - Join strategy is Catalyst's choice by default; the bhj/smj/shj keys pin
+  *    a strategy via hints only to keep all three physical paths exercised
+  *    and benchmarked. Dimension tables (part, customer, nation, region,
+  *    supplier) are broadcast-size at any SF that keeps them dimension-like.
+  *  - The theta/interval/as-of joins bound their join input (filtered small
+  *    side, time-window condition) so work scales ~linearly with fact size
+  *    rather than quadratically.
+  */
+object Relational {
+
+  val all: Seq[Q] = Seq(
+
+    Q("scan_parquet", Some(
+      "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, " +
+        "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, " +
+        "CAST(l_shipdate AS DATE) AS ship_date FROM lineitem " +
+        "ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, " +
+        "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, ship_date"),
+      (s, d) =>
+        T.lineitem(s, d)
+          .withColumn("ship_date", to_date(col("l_shipdate")))
+          .drop("l_shipdate")
+          .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+            "ship_date")),
+
+    Q("scan_pruned", Some(
+      "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' " +
+        "ORDER BY l_orderkey, l_linenumber, l_extendedprice"),
+      (s, d) =>
+        T.lineitem(s, d)
+          .where("l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'")
+          .select("l_orderkey", "l_linenumber", "l_extendedprice")
+          .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")),
+
+    Q("scan_schema", Some(
+      "SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec, " +
+        "CAST(o_orderdate AS DATE) AS order_date FROM orders ORDER BY o_orderkey"),
+      (s, d) =>
+        T.orders(s, d)
+          .select(
+            col("o_orderkey"),
+            col("o_totalprice").cast("decimal(12,2)").as("price_dec"),
+            to_date(col("o_orderdate")).as("order_date"))
+          .orderBy("o_orderkey")),
+
+    Q("scan_json_props", Some(
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k " +
+        "FROM events ORDER BY event_id"),
+      (s, d) =>
+        T.events(s, d)
+          .select(
+            col("event_id"),
+            get_json_object(col("props"), "$.k").cast("int").as("k"))
+          .orderBy("event_id")),
+
+    Q("project_arith", Some(
+      "SELECT l_orderkey, l_linenumber, " +
+        "CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS DECIMAL(38,6)) AS net_charge, " +
+        "l_returnflag || '|' || l_linestatus AS rf_ls FROM lineitem " +
+        "ORDER BY l_orderkey, l_linenumber, net_charge, rf_ls"),
+      (s, d) =>
+        T.lineitem(s, d)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            d6(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+              .as("net_charge"),
+            concat(col("l_returnflag"), lit("|"), col("l_linestatus")).as("rf_ls"))
+          .orderBy("l_orderkey", "l_linenumber", "net_charge", "rf_ls")),
+
+    Q("filter_compound", Some(
+      "SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders " +
+        "WHERE (o_orderstatus IN ('F','P') AND o_totalprice BETWEEN 50000 AND 150000) " +
+        "OR (o_orderpriority LIKE '1-%' AND NOT o_orderstatus = 'O') " +
+        "ORDER BY o_orderkey"),
+      (s, d) =>
+        T.orders(s, d)
+          .where(
+            "(o_orderstatus IN ('F','P') AND o_totalprice BETWEEN 50000 AND 150000) " +
+              "OR (o_orderpriority LIKE '1-%' AND NOT o_orderstatus = 'O')")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+          .orderBy("o_orderkey")),
+
+    // Three-valued logic: NULLIF plants NULLs, NOT IN must drop them (UNKNOWN).
+    Q("filter_null3vl", Some(
+      "SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS st FROM orders " +
+        "WHERE NULLIF(o_orderstatus, 'P') NOT IN ('F') ORDER BY o_orderkey"),
+      (s, d) =>
+        T.orders(s, d)
+          .withColumn("st", expr("NULLIF(o_orderstatus, 'P')"))
+          .where(!col("st").isin("F"))
+          .select("o_orderkey", "st")
+          .orderBy("o_orderkey")),
+
+    Q("join_bhj", Some(
+      "SELECT l_orderkey, l_linenumber, p_name, p_brand FROM lineitem " +
+        "JOIN part ON l_partkey = p_partkey " +
+        "ORDER BY l_orderkey, l_linenumber, p_name, p_brand"),
+      (s, d) =>
+        T.lineitem(s, d)
+          .join(broadcast(T.part(s, d)), col("l_partkey") === col("p_partkey"))
+          .select("l_orderkey", "l_linenumber", "p_name", "p_brand")
+          .orderBy("l_orderkey", "l_linenumber", "p_name", "p_brand")),
+
+    Q("join_smj", Some(
+      "SELECT l_orderkey, l_linenumber, o_orderstatus, CAST(o_orderdate AS DATE) AS order_date " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "ORDER BY l_orderkey, l_linenumber, o_orderstatus, order_date"),
+      (s, d) =>
+        T.lineitem(s, d)
+          .join(T.orders(s, d).hint("MERGE"), col("l_orderkey") === col("o_orderkey"))
+          .select(
+            col("l_orderkey"), col("l_linenumber"), col("o_orderstatus"),
+            to_date(col("o_orderdate")).as("order_date"))
+          .orderBy("l_orderkey", "l_linenumber", "o_orderstatus", "order_date")),
+
+    Q("join_shj", Some(
+      "SELECT l_orderkey, l_linenumber, s_name FROM lineitem " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "ORDER BY l_orderkey, l_linenumber, s_name"),
+      (s, d) =>
+        T.lineitem(s, d)
+          .join(T.supplier(s, d).hint("SHUFFLE_HASH"), col("l_suppkey") === col("s_suppkey"))
+          .select("l_orderkey", "l_linenumber", "s_name")
+          .orderBy("l_orderkey", "l_linenumber", "s_name")),
+
+    Q("join_left", Some(
+      "SELECT o_orderkey, c_name FROM orders " +
+        "LEFT JOIN (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') b " +
+        "ON o_custkey = c_custkey ORDER BY o_orderkey"),
+      (s, d) =>
+        T.orders(s, d)
+          .join(
+            T.customer(s, d).where(col("c_mktsegment") === "BUILDING"),
+            col("o_custkey") === col("c_custkey"), "left")
+          .select("o_orderkey", "c_name")
+          .orderBy("o_orderkey")),
+
+    Q("join_right", Some(
+      "SELECT c_custkey, o_orderkey FROM (SELECT * FROM orders WHERE o_totalprice > 400000) o " +
+        "RIGHT JOIN customer ON o_custkey = c_custkey " +
+        "ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST"),
+      (s, d) =>
+        T.orders(s, d).where(col("o_totalprice") > 400000)
+          .join(T.customer(s, d), col("o_custkey") === col("c_custkey"), "right")
+          .select("c_custkey", "o_orderkey")
+          .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)),
+
+    Q("join_full", Some(
+      "SELECT c_custkey, s_suppkey FROM customer " +
+        "FULL JOIN supplier ON c_nationkey = s_nationkey " +
+        "ORDER BY c_custkey NULLS FIRST, s_suppkey NULLS FIRST"),
+      (s, d) =>
+        T.customer(s, d)
+          .join(T.supplier(s, d), col("c_nationkey") === col("s_nationkey"), "full")
+          .select("c_custkey", "s_suppkey")
+          .orderBy(col("c_custkey").asc_nulls_first, col("s_suppkey").asc_nulls_first)),
+
+    Q("join_semi", Some(
+      "SELECT o_orderkey FROM orders WHERE EXISTS (SELECT 1 FROM lineitem " +
+        "WHERE l_orderkey = o_orderkey AND l_quantity >= 49) ORDER BY o_orderkey"),
+      (s, d) => {
+        val li = T.lineitem(s, d)
+        T.orders(s, d)
+          .join(li, col("o_orderkey") === li("l_orderkey") && li("l_quantity") >= 49, "left_semi")
+          .select("o_orderkey")
+          .orderBy("o_orderkey")
+      }),
+
+    Q("join_anti", Some(
+      "SELECT c_custkey FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders " +
+        "WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT') ORDER BY c_custkey"),
+      (s, d) => {
+        val o = T.orders(s, d)
+        T.customer(s, d)
+          .join(o, col("c_custkey") === o("o_custkey") && o("o_orderpriority") === "1-URGENT",
+            "left_anti")
+          .select("c_custkey")
+          .orderBy("c_custkey")
+      }),
+
+    Q("join_cross", Some(
+      "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name"),
+      (s, d) =>
+        T.region(s, d).crossJoin(T.nation(s, d))
+          .select("r_name", "n_name")
+          .orderBy("r_name", "n_name")),
+
+    // Pure non-equi condition → BroadcastNestedLoopJoin; the probe side is
+    // pinned to 50 rows so output stays O(fact), not O(fact²).
+    Q("join_theta", Some(
+      "SELECT a.p_partkey AS pk_small, b.p_partkey AS pk_large FROM " +
+        "(SELECT * FROM part WHERE p_partkey <= 50) a JOIN part b " +
+        "ON a.p_size < b.p_size AND a.p_partkey <> b.p_partkey " +
+        "ORDER BY pk_small, pk_large"),
+      (s, d) => {
+        val a = T.part(s, d).where(col("p_partkey") <= 50).as("a")
+        val b = T.part(s, d).as("b")
+        broadcast(a).join(b,
+            col("a.p_size") < col("b.p_size") && col("a.p_partkey") =!= col("b.p_partkey"))
+          .select(col("a.p_partkey").as("pk_small"), col("b.p_partkey").as("pk_large"))
+          .orderBy("pk_small", "pk_large")
+      }),
+
+    // Interval self-join: clicks within 5 minutes after a purchase, same user.
+    Q("join_interval", Some(
+      "SELECT p.event_id AS purchase_id, c.event_id AS click_id FROM " +
+        "(SELECT * FROM events WHERE event_type = 'purchase') p JOIN " +
+        "(SELECT * FROM events WHERE event_type = 'click') c " +
+        "ON p.user_id = c.user_id AND c.ts > p.ts AND c.ts <= p.ts + INTERVAL 5 MINUTE " +
+        "ORDER BY purchase_id, click_id"),
+      (s, d) => {
+        val e = T.events(s, d)
+        val p = e.where(col("event_type") === "purchase").as("p")
+        val c = e.where(col("event_type") === "click").as("c")
+        p.join(c,
+            col("p.user_id") === col("c.user_id") &&
+              col("c.ts") > col("p.ts") &&
+              col("c.ts") <= col("p.ts") + expr("INTERVAL 5 MINUTE"))
+          .select(col("p.event_id").as("purchase_id"), col("c.event_id").as("click_id"))
+          .orderBy("purchase_id", "click_id")
+      }),
+
+    // As-of join: for each purchase, the latest click of the same user at or
+    // before it (ties on ts broken by click id). Reference analogue: aligning
+    // scene timestamps to the nearest prior observation (SURVEY §3.3).
+    Q("join_asof", Some(
+      "SELECT purchase_id, click_id FROM (" +
+        "SELECT p.event_id AS purchase_id, c.event_id AS click_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC) AS rn " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p JOIN " +
+        "(SELECT * FROM events WHERE event_type = 'click') c " +
+        "ON p.user_id = c.user_id AND c.ts <= p.ts) x WHERE rn = 1 " +
+        "ORDER BY purchase_id"),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = T.events(s, d)
+        val p = e.where(col("event_type") === "purchase").as("p")
+        val c = e.where(col("event_type") === "click").as("c")
+        val w = Window.partitionBy(col("p.event_id"))
+          .orderBy(col("c.ts").desc, col("c.event_id").desc)
+        p.join(c, col("p.user_id") === col("c.user_id") && col("c.ts") <= col("p.ts"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("p.event_id").as("purchase_id"), col("c.event_id").as("click_id"))
+          .orderBy("purchase_id")
+      }))
+}
