@@ -8,7 +8,14 @@ object SparkEntry {
   /** Every graded operator, one Q per SURVEY.md §3 inventory row. */
   def registry: Seq[Q] =
     operators.Relational.all ++
-      operators.Aggregates.all
+      operators.Aggregates.all ++
+      operators.Windows.all ++
+      operators.SortSet.all ++
+      operators.EO.all ++
+      operators.Llm.all ++
+      functions.Scalars.all ++
+      functions.Udfs.all ++
+      streaming.StreamTwins.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,225 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.{Det, Q, Tables => T}
+import Det._
+
+/** SURVEY.md §3.8: scalar-function coverage, written in the ANSI subset
+  * Spark and DuckDB share (per-function dialect notes inline). Everything
+  * here is a codegen'd built-in — no UDFs on any of these paths.
+  */
+object Scalars {
+
+  val all: Seq[Q] = Seq(
+
+    Q("fn_string", Some(
+      "SELECT p_partkey, UPPER(p_name) AS up_name, LOWER(p_type) AS lo_type, " +
+        "SUBSTR(p_name, 1, 8) AS name8, TRIM(p_brand) AS brand_t, " +
+        "LPAD(p_brand, 12, '*') AS brand_pad, REPLACE(p_type, ' ', '_') AS type_u, " +
+        "CAST(LENGTH(p_name) AS INT) AS name_len, " +
+        "CONCAT_WS('-', p_brand, p_type) AS brand_type, " +
+        "SPLIT_PART(p_type, ' ', 2) AS type_word2 " +
+        "FROM part ORDER BY p_partkey"),
+      (s, d) =>
+        T.part(s, d)
+          .select(
+            col("p_partkey"),
+            upper(col("p_name")).as("up_name"),
+            lower(col("p_type")).as("lo_type"),
+            substring(col("p_name"), 1, 8).as("name8"),
+            trim(col("p_brand")).as("brand_t"),
+            lpad(col("p_brand"), 12, "*").as("brand_pad"),
+            regexp_replace(col("p_type"), " ", "_").as("type_u"),
+            length(col("p_name")).as("name_len"),
+            concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+            // 1-based like DuckDB split_part, which yields '' past the end
+            coalesce(try_element_at(split(col("p_type"), " "), lit(2)), lit(""))
+              .as("type_word2"))
+          .orderBy("p_partkey")),
+
+    // POSIX-simple patterns only; DuckDB regexp_replace needs the 'g' flag
+    // to match Spark's replace-all semantics.
+    Q("fn_regex", Some(
+      "SELECT p_partkey, REGEXP_EXTRACT(p_type, '(\\w+)$', 1) AS last_word, " +
+        "REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS consonants " +
+        "FROM part ORDER BY p_partkey"),
+      (s, d) =>
+        T.part(s, d)
+          .select(
+            col("p_partkey"),
+            regexp_extract(col("p_type"), "(\\w+)$", 1).as("last_word"),
+            regexp_replace(col("p_name"), "[aeiou]", "").as("consonants"))
+          .orderBy("p_partkey")),
+
+    // dayofweek is deliberately absent (numbering differs across engines);
+    // datediff(end, start) maps to DuckDB date_diff('day', start, end).
+    Q("fn_datetime", Some(
+      "SELECT o_orderkey, CAST(YEAR(o_orderdate) AS INT) AS y, " +
+        "CAST(QUARTER(o_orderdate) AS INT) AS q, CAST(MONTH(o_orderdate) AS INT) AS m, " +
+        "CAST(DAY(o_orderdate) AS INT) AS dom, " +
+        "CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start, " +
+        "CAST(o_orderdate + INTERVAL 5 DAY AS DATE) AS plus5, " +
+        "CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since, " +
+        "CAST(EPOCH(o_orderdate) AS BIGINT) AS epoch_s " +
+        "FROM orders ORDER BY o_orderkey"),
+      (s, d) =>
+        T.orders(s, d)
+          .select(
+            col("o_orderkey"),
+            year(col("o_orderdate")).as("y"),
+            quarter(col("o_orderdate")).as("q"),
+            month(col("o_orderdate")).as("m"),
+            dayofmonth(col("o_orderdate")).as("dom"),
+            date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+            to_date(col("o_orderdate") + expr("INTERVAL 5 DAY")).as("plus5"),
+            datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since"),
+            unix_timestamp(col("o_orderdate")).as("epoch_s"))
+          .orderBy("o_orderkey")),
+
+    // round at scale >= 1 only (scale-0 ties ARE double-representable —
+    // Det scaladoc); sqrt is IEEE-exact; ln/log10 differ by <= 1 ulp
+    // between libm implementations, absorbed by 6dp rounding.
+    Q("fn_math", Some(
+      "SELECT l_orderkey, l_linenumber, " +
+        "CAST(ROUND(l_extendedprice, 2) AS DECIMAL(38,6)) AS price_r2, " +
+        "CAST(ROUND(ABS(l_extendedprice - 50000), 6) AS DECIMAL(38,6)) AS abs_diff, " +
+        "CAST(CEIL(l_extendedprice / 1000) AS BIGINT) AS ceil_k, " +
+        "CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS floor_k, " +
+        "CAST(ROUND(POWER(l_quantity, 2), 6) AS DECIMAL(38,6)) AS qty_sq, " +
+        "CAST(ROUND(SQRT(l_extendedprice), 6) AS DECIMAL(38,6)) AS price_sqrt, " +
+        "CAST(ROUND(LN(l_extendedprice), 6) AS DECIMAL(38,6)) AS price_ln, " +
+        "CAST(ROUND(LOG10(l_extendedprice), 6) AS DECIMAL(38,6)) AS price_log10, " +
+        "l_orderkey % 7 AS key_mod, " +
+        "CAST(SIGN(l_discount - 0.05) AS INT) AS disc_sign " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber, price_r2, qty_sq, disc_sign"),
+      (s, d) =>
+        T.lineitem(s, d)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            round(col("l_extendedprice"), 2).cast(Dec38_6).as("price_r2"),
+            d6(abs(col("l_extendedprice") - 50000)).as("abs_diff"),
+            ceil(col("l_extendedprice") / 1000).as("ceil_k"),
+            floor(col("l_extendedprice") / 1000).as("floor_k"),
+            d6(pow(col("l_quantity"), 2)).as("qty_sq"),
+            d6(sqrt(col("l_extendedprice"))).as("price_sqrt"),
+            d6(log(col("l_extendedprice"))).as("price_ln"),
+            d6(log10(col("l_extendedprice"))).as("price_log10"),
+            (col("l_orderkey") % 7).as("key_mod"),
+            signum(col("l_discount") - 0.05).cast("int").as("disc_sign"))
+          .orderBy("l_orderkey", "l_linenumber", "price_r2", "qty_sq", "disc_sign")),
+
+    Q("fn_cond", Some(
+      "SELECT o_orderkey, " +
+        "CASE WHEN o_totalprice > 300000 THEN 'high' WHEN o_totalprice > 100000 THEN 'mid' " +
+        "ELSE 'low' END AS bucket, " +
+        "COALESCE(NULLIF(o_orderstatus, 'P'), 'X') AS st_or_x, " +
+        "CAST(ROUND(GREATEST(o_totalprice, 100000), 6) AS DECIMAL(38,6)) AS hi, " +
+        "CAST(ROUND(LEAST(o_totalprice, 100000), 6) AS DECIMAL(38,6)) AS lo " +
+        "FROM orders ORDER BY o_orderkey"),
+      (s, d) =>
+        T.orders(s, d)
+          .select(
+            col("o_orderkey"),
+            when(col("o_totalprice") > 300000, "high")
+              .when(col("o_totalprice") > 100000, "mid")
+              .otherwise("low").as("bucket"),
+            coalesce(expr("NULLIF(o_orderstatus, 'P')"), lit("X")).as("st_or_x"),
+            d6(greatest(col("o_totalprice"), lit(100000))).as("hi"),
+            d6(least(col("o_totalprice"), lit(100000))).as("lo"))
+          .orderBy("o_orderkey")),
+
+    Q("fn_cast", Some(
+      "SELECT o_orderkey, CAST(o_orderkey AS VARCHAR) AS key_str, " +
+        "CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec, " +
+        "CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str, " +
+        "CAST(SUBSTR(CAST(o_orderkey AS VARCHAR), 1, 1) AS INT) AS first_digit " +
+        "FROM orders ORDER BY o_orderkey"),
+      (s, d) =>
+        T.orders(s, d)
+          .select(
+            col("o_orderkey"),
+            col("o_orderkey").cast("string").as("key_str"),
+            col("o_totalprice").cast("decimal(12,2)").as("price_dec"),
+            to_date(col("o_orderdate")).cast("string").as("date_str"),
+            substring(col("o_orderkey").cast("string"), 1, 1).cast("int").as("first_digit"))
+          .orderBy("o_orderkey")),
+
+    // Higher-order array functions over the 64-dim float embeddings; float
+    // elements are cast to double before arithmetic on both engines, and
+    // the element-sum stays double (64 unit-scale terms: fold-order error
+    // ~1e-15 against a 1e-6 rounding grid).
+    Q("fn_array", Some(
+      "SELECT vec_id, CAST(LEN(embedding) AS INT) AS n, " +
+        "CAST(ROUND(CAST(embedding[3] AS DOUBLE), 6) AS DECIMAL(38,6)) AS e3, " +
+        "CAST(LEN(LIST_FILTER(embedding, x -> x > 0)) AS INT) AS n_pos, " +
+        "CAST(ROUND(LIST_AGGREGATE(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 6) AS DECIMAL(38,6)) AS el_sum, " +
+        "CAST(ROUND(CAST(LIST_SORT(embedding, 'DESC')[1] AS DOUBLE), 6) AS DECIMAL(38,6)) AS top1, " +
+        "CAST(ROUND(CAST(LIST_SORT(embedding, 'DESC')[2] AS DOUBLE), 6) AS DECIMAL(38,6)) AS top2, " +
+        "CAST(ROUND(CAST(LIST_SORT(embedding, 'DESC')[3] AS DOUBLE), 6) AS DECIMAL(38,6)) AS top3 " +
+        "FROM embeddings ORDER BY vec_id"),
+      (s, d) =>
+        T.embeddings(s, d)
+          .select(
+            col("vec_id"),
+            size(col("embedding")).as("n"),
+            d6(element_at(col("embedding"), 3).cast("double")).as("e3"),
+            size(filter(col("embedding"), x => x > 0f)).as("n_pos"),
+            d6(aggregate(
+              transform(col("embedding"), x => x.cast("double")),
+              lit(0d), (acc, x) => acc + x)).as("el_sum"),
+            d6(element_at(sort_array(col("embedding"), asc = false), 1).cast("double")).as("top1"),
+            d6(element_at(sort_array(col("embedding"), asc = false), 2).cast("double")).as("top2"),
+            d6(element_at(sort_array(col("embedding"), asc = false), 3).cast("double")).as("top3"))
+          .orderBy("vec_id")),
+
+    Q("fn_explode", Some(
+      "SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM " +
+        "(SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents) " +
+        "GROUP BY tok ORDER BY tok"),
+      (s, d) =>
+        T.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .groupBy("tok")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("tok")),
+
+    // MAP columns have no portable DuckDB comparison surface (SURVEY §3.8 ✘);
+    // rows-only check here, content equivalence covered by fn_explode.
+    Q("fn_map", None,
+      (s, d) =>
+        T.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+          .groupBy("doc_id")
+          .agg(map_from_entries(
+            array_sort(collect_list(struct(col("tok"), col("cnt"))))).as("tok_counts"))
+          .select(
+            col("doc_id"),
+            size(col("tok_counts")).as("n_distinct"),
+            element_at(col("tok_counts"), "the").as("the_cnt"))
+          .orderBy("doc_id")),
+
+    Q("fn_json", Some(
+      "SELECT event_type, " +
+        "CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k, " +
+        "CAST(ROUND(AVG(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER)), 6) AS DECIMAL(38,6)) AS avg_k " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+      (s, d) =>
+        T.events(s, d)
+          .select(
+            col("event_type"),
+            get_json_object(col("props"), "$.k").cast("int").as("k"))
+          .groupBy("event_type")
+          .agg(
+            sum(col("k")).cast("bigint").as("sum_k"),
+            d6(avg(col("k"))).as("avg_k"))
+          .orderBy("event_type")),
+
+    Q("fn_hash", Some(
+      "SELECT doc_id, MD5(text) AS text_md5 FROM documents ORDER BY doc_id"),
+      (s, d) =>
+        T.documents(s, d)
+          .select(col("doc_id"), md5(col("text")).as("text_md5"))
+          .orderBy("doc_id")))
+}

@@ -1,0 +1,252 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Det, Q, Tables => T}
+import Det._
+
+/** SURVEY.md §3.10: LLM-training-data pipeline operators over `documents`
+  * and `embeddings` (BASELINE.json north star).
+  *
+  * Scale design:
+  *  - Exact near-dup (`llm_dedup_near`) encodes each doc's distinct-token
+  *    set as a 64-bit mask over a dense token dictionary (the corpus
+  *    vocabulary is tiny), so a candidate pair costs two bit ops instead of
+  *    a token self-join; pairs are blocked by language. At open-vocabulary
+  *    100 TB scale the dictionary no longer fits one word — the scale path
+  *    is `llm_minhash` (LSH banding: candidates only within equal band
+  *    buckets, linear in corpus + bucket collisions).
+  *  - Cosine top-k broadcasts the single query vector; the per-row dot
+  *    product is a codegen'd higher-order-function fold with exact decimal
+  *    accumulation. The IVF-style scale path for many queries is the
+  *    centroid assignment of `llm_knn_centroid` reused as a router (probe
+  *    only the nearest cells).
+  */
+object Llm {
+
+  /** (doc_id, lang, 64-bit distinct-token-set mask) via a dense_rank token
+    * dictionary — deterministic, broadcast-joined back to the corpus. */
+  private def docMasks(s: SparkSession, d: String): DataFrame = {
+    val toks = T.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val dict = toks.select("tok").distinct()
+      .withColumn("tok_id", (dense_rank().over(Window.orderBy("tok")) - 1).cast("int"))
+    toks.join(broadcast(dict), "tok")
+      .groupBy("doc_id", "lang")
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), tok_id)")).as("mask"))
+  }
+
+  private val docMasksSql: String =
+    "WITH toks AS (SELECT doc_id, lang, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS tok FROM documents), " +
+      "dict AS (SELECT tok, CAST(DENSE_RANK() OVER (ORDER BY tok) - 1 AS INT) AS tok_id " +
+      "FROM (SELECT DISTINCT tok FROM toks)), " +
+      "masks AS (SELECT doc_id, lang, SUM(CAST(1 AS BIGINT) << tok_id) AS mask " +
+      "FROM toks JOIN dict USING (tok) GROUP BY doc_id, lang) "
+
+  /** Per-(vec, position) exploded doubles — the relational layout for
+    * vector math that has to survive arbitrary dimension counts. */
+  private def vecPos(s: SparkSession, d: String): DataFrame =
+    T.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .withColumn("x", col("xf").cast("double")).drop("xf")
+
+  private val vecPosSql: String =
+    "SELECT vec_id, label, UNNEST(RANGE(0, LEN(embedding))) AS pos, " +
+      "CAST(UNNEST(embedding) AS DOUBLE) AS x FROM embeddings"
+
+  val all: Seq[Q] = Seq(
+
+    Q("llm_dedup_exact", Some(
+      "SELECT MD5(text) AS content_hash, CAST(COUNT(*) AS BIGINT) AS dup_count, " +
+        "MIN(doc_id) AS canonical_id FROM documents " +
+        "GROUP BY content_hash ORDER BY content_hash"),
+      (s, d) =>
+        T.documents(s, d)
+          .groupBy(md5(col("text")).as("content_hash"))
+          .agg(count(lit(1)).as("dup_count"), min(col("doc_id")).as("canonical_id"))
+          .orderBy("content_hash")),
+
+    // Exact token-set Jaccard >= 0.5 pairs, blocked by lang; O(1) per pair
+    // via the 64-bit mask (see object scaladoc for the open-vocab path).
+    Q("llm_dedup_near", Some(
+      docMasksSql +
+        "SELECT a.doc_id AS d1, b.doc_id AS d2, " +
+        "CAST(ROUND(CAST(BIT_COUNT(a.mask & b.mask) AS DOUBLE) / " +
+        "CAST(BIT_COUNT(a.mask | b.mask) AS DOUBLE), 6) AS DECIMAL(38,6)) AS jaccard " +
+        "FROM masks a JOIN masks b ON a.lang = b.lang AND a.doc_id < b.doc_id " +
+        "WHERE CAST(BIT_COUNT(a.mask & b.mask) AS DOUBLE) / " +
+        "CAST(BIT_COUNT(a.mask | b.mask) AS DOUBLE) >= 0.5 " +
+        "ORDER BY d1, d2"),
+      (s, d) => {
+        val m = docMasks(s, d)
+        val a = m.select(col("doc_id").as("d1"), col("lang").as("lang_a"), col("mask").as("mask_a"))
+        val b = m.select(col("doc_id").as("d2"), col("lang").as("lang_b"), col("mask").as("mask_b"))
+        val inter = bit_count(col("mask_a").bitwiseAND(col("mask_b"))).cast("double")
+        val union = bit_count(col("mask_a").bitwiseOR(col("mask_b"))).cast("double")
+        a.join(b, col("lang_a") === col("lang_b") && col("d1") < col("d2"))
+          .where(inter / union >= 0.5)
+          .select(col("d1"), col("d2"), d6(inter / union).as("jaccard"))
+          .orderBy("d1", "d2")
+      }),
+
+    // MinHash-LSH candidate generation (4 bands x 4 hashes, crc32-seeded).
+    // Approximate-by-construction: no oracle (SURVEY §3.10 ✘); recall vs
+    // exact Jaccard is property-tested in LlmSpec.
+    Q("llm_minhash", None,
+      (s, d) => {
+        val toks = T.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(array_distinct(split(col("text"), " "))).as("tok"))
+        val seeds = (0 until 16).map(i => lit(i))
+        val bandSig = toks
+          .select(col("doc_id"), col("lang"), col("tok"),
+            posexplode(array(seeds: _*)).as(Seq("seed", "sv")))
+          .withColumn("h", crc32(concat(col("sv").cast("string"), lit("|"), col("tok"))))
+          .groupBy(col("doc_id"), col("lang"), col("seed"))
+          .agg(min(col("h")).as("minhash"))
+          .withColumn("band", (col("seed") / 4).cast("int"))
+          .groupBy("doc_id", "lang", "band")
+          .agg(array_join(array_sort(collect_list(
+            concat_ws(":", col("seed").cast("string"), col("minhash").cast("string")))), ",")
+            .as("band_sig"))
+        val cand = bandSig.as("x").join(bandSig.as("y"),
+            col("x.lang") === col("y.lang") && col("x.band") === col("y.band") &&
+              col("x.band_sig") === col("y.band_sig") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
+        cand.orderBy("d1", "d2")
+      }),
+
+    // Brute-force cosine top-10 vs the query vector (vec_id=0); exact
+    // decimal fold keeps the dot product order-free on both engines.
+    Q("llm_cosine_topk", Some(
+      "WITH ux AS (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x, " +
+        "UNNEST(RANGE(1, LEN(embedding) + 1)) AS i FROM embeddings), " +
+        "q AS (SELECT i, x FROM ux WHERE vec_id = 0), " +
+        "dots AS (SELECT u.vec_id, SUM(CAST(u.x * q.x AS DECIMAL(28,14))) AS dot, " +
+        "SUM(CAST(u.x * u.x AS DECIMAL(28,14))) AS na FROM ux u JOIN q ON u.i = q.i " +
+        "WHERE u.vec_id <> 0 GROUP BY u.vec_id), " +
+        "nb AS (SELECT SUM(CAST(x * x AS DECIMAL(28,14))) AS v FROM q) " +
+        "SELECT vec_id, CAST(ROUND(CAST(dot AS DOUBLE) / " +
+        "(SQRT(CAST(na AS DOUBLE)) * SQRT(CAST((SELECT v FROM nb) AS DOUBLE))), 6) AS DECIMAL(38,6)) AS cos_sim " +
+        "FROM dots ORDER BY CAST(dot AS DOUBLE) / " +
+        "(SQRT(CAST(na AS DOUBLE)) * SQRT(CAST((SELECT v FROM nb) AS DOUBLE))) DESC, vec_id LIMIT 10"),
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+        def decFold(arr: Column): Column =
+          aggregate(arr, lit(0d).cast(Det.Dec28_14),
+            (acc, x) => (acc + x).cast(Det.Dec28_14))
+        val prod = zip_with(col("embedding"), col("qe"),
+          (x, y) => (x.cast("double") * y.cast("double")).cast(Det.Dec28_14))
+        val self = transform(col("embedding"),
+          x => (x.cast("double") * x.cast("double")).cast(Det.Dec28_14))
+        val qself = transform(col("qe"),
+          x => (x.cast("double") * x.cast("double")).cast(Det.Dec28_14))
+        val cos = decFold(prod).cast("double") /
+          (sqrt(decFold(self).cast("double")) * sqrt(decFold(qself).cast("double")))
+        e.where(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .withColumn("cos_raw", cos)
+          .orderBy(col("cos_raw").desc, col("vec_id"))
+          .limit(10)
+          .select(col("vec_id"), d6(col("cos_raw")).as("cos_sim"))
+      }),
+
+    // Per-label mean vector -> nearest-centroid assignment -> confusion
+    // counts. Fully relational (posexplode layout) so dimensionality and
+    // label count scale without widening any single row.
+    Q("llm_knn_centroid", Some(
+      "WITH ux AS (" + vecPosSql + "), " +
+        "cent AS (SELECT label AS clabel, pos, ROUND(AVG(x), 6) AS c FROM ux GROUP BY clabel, pos), " +
+        "dist AS (SELECT u.vec_id, u.label, c.clabel, " +
+        "SUM(CAST((u.x - c.c) * (u.x - c.c) AS DECIMAL(28,14))) AS d2 " +
+        "FROM ux u JOIN cent c ON u.pos = c.pos GROUP BY u.vec_id, u.label, c.clabel), " +
+        "best AS (SELECT vec_id, label, clabel, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn FROM dist) " +
+        "SELECT label, clabel AS assigned, CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM best WHERE rn = 1 GROUP BY label, assigned ORDER BY label, assigned"),
+      (s, d) => {
+        val ux = vecPos(s, d)
+        val cent = ux.groupBy(col("label").as("clabel"), col("pos"))
+          .agg(round(avg(col("x")), 6).as("c"))
+        val dist = ux.join(broadcast(cent), "pos")
+          .groupBy(col("vec_id"), col("label"), col("clabel"))
+          .agg(sum(((col("x") - col("c")) * (col("x") - col("c"))).cast(Det.Dec28_14)).as("d2"))
+        val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("clabel"))
+        dist.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .groupBy(col("label"), col("clabel").as("assigned"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("label", "assigned")
+      }),
+
+    Q("llm_text_stats", Some(
+      "SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_tokens, " +
+        "CAST(ROUND(AVG(CAST(LENGTH(tok) AS DOUBLE)), 6) AS DECIMAL(38,6)) AS avg_tok_len, " +
+        "CAST(ROUND(CAST(COUNT(DISTINCT tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS DECIMAL(38,6)) AS distinct_ratio " +
+        "FROM (SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents) " +
+        "GROUP BY lang ORDER BY lang"),
+      (s, d) =>
+        T.documents(s, d)
+          .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("lang")
+          .agg(
+            countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_tokens"),
+            d6(avg(length(col("tok")).cast("double"))).as("avg_tok_len"),
+            d6(countDistinct(col("tok")).cast("double") / count(lit(1)).cast("double"))
+              .as("distinct_ratio"))
+          .orderBy("lang")),
+
+    // tf-idf: tf per (lang, term), df per term over docs, idf = ln((N+1)/(df+1));
+    // top-5 terms per lang ranked on the raw score, ties broken by term.
+    Q("llm_tfidf_top", Some(
+      "WITH toks AS (SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents), " +
+        "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents), " +
+        "tf AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY lang, tok), " +
+        "df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY tok), " +
+        "scored AS (SELECT lang, tok, tf, " +
+        "CAST(tf AS DOUBLE) * LN(((SELECT nd FROM n) + 1) / (CAST(df AS DOUBLE) + 1)) AS score FROM tf JOIN df USING (tok)), " +
+        "ranked AS (SELECT lang, tok, score, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, tok) AS rn FROM scored) " +
+        "SELECT lang, tok, CAST(ROUND(score, 6) AS DECIMAL(38,6)) AS tfidf, CAST(rn AS INT) AS rn " +
+        "FROM ranked WHERE rn <= 5 ORDER BY lang, rn"),
+      (s, d) => {
+        val toks = T.documents(s, d)
+          .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+        val nDocs = T.documents(s, d).count().toDouble
+        val tf = toks.groupBy("lang", "tok").agg(count(lit(1)).as("tf"))
+        val df = toks.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+        val scored = tf.join(broadcast(df), "tok")
+          .withColumn("score",
+            col("tf").cast("double") * log((lit(nDocs) + 1) / (col("df").cast("double") + 1)))
+        val w = Window.partitionBy("lang").orderBy(col("score").desc, col("tok"))
+        scored.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 5)
+          .select(col("lang"), col("tok"), d6(col("score")).as("tfidf"), col("rn"))
+          .orderBy("lang", "rn")
+      }),
+
+    // Word bigrams per lang (token zipped with its successor).
+    Q("llm_ngram", Some(
+      "SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM (" +
+        "SELECT lang, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram " +
+        "FROM (SELECT lang, STRING_SPLIT(text, ' ') AS toks FROM documents) WHERE LEN(toks) >= 2) " +
+        "GROUP BY lang, bigram ORDER BY lang, bigram"),
+      (s, d) =>
+        T.documents(s, d)
+          .select(col("lang"), split(col("text"), " ").as("toks"))
+          .where(size(col("toks")) >= 2)
+          .select(col("lang"),
+            explode(transform(
+              sequence(lit(1), size(col("toks")) - 1),
+              i => concat(element_at(col("toks"), i), lit(" "), element_at(col("toks"), i + 1))))
+              .as("bigram"))
+          .groupBy("lang", "bigram")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("lang", "bigram")))
+}

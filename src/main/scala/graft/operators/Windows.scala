@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Det, Q, Tables => T}
+import Det._
+
+/** SURVEY.md §3.5: window functions.
+  *
+  * All windows partition by o_custkey / c_custkey — at 100 TB this is the
+  * natural shuffle key (bounded partition sizes: orders-per-customer), never
+  * an unpartitioned global window. Frame sums use decimal-cast elements so
+  * the engine's incremental frame evaluation order can't perturb the result
+  * (Det scaladoc); moving averages divide an exact decimal frame-sum by the
+  * frame count rather than trusting a sliding double accumulator.
+  * Reference analogue: per-pixel rolling temporal composites (xarray.rolling).
+  */
+object Windows {
+
+  private val byCust = Window.partitionBy("o_custkey")
+  private val custDateKey =
+    byCust.orderBy(col("o_orderdate"), col("o_orderkey"))
+
+  val all: Seq[Q] = Seq(
+
+    Q("win_rownum", Some(
+      "SELECT o_custkey, o_orderkey, CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey) AS INT) AS rn FROM orders " +
+        "ORDER BY o_custkey, rn"),
+      (s, d) =>
+        T.orders(s, d)
+          .withColumn("rn", row_number().over(custDateKey))
+          .select("o_custkey", "o_orderkey", "rn")
+          .orderBy("o_custkey", "rn")),
+
+    Q("win_rank", Some(
+      "SELECT o_custkey, o_orderkey, " +
+        "CAST(RANK() OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)) AS INT) AS rk, " +
+        "CAST(DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)) AS INT) AS drk " +
+        "FROM orders ORDER BY o_custkey, rk, o_orderkey"),
+      (s, d) => {
+        val w = byCust.orderBy(to_date(col("o_orderdate")))
+        T.orders(s, d)
+          .withColumn("rk", rank().over(w))
+          .withColumn("drk", dense_rank().over(w))
+          .select("o_custkey", "o_orderkey", "rk", "drk")
+          .orderBy("o_custkey", "rk", "o_orderkey")
+      }),
+
+    Q("win_ntile", Some(
+      "SELECT c_custkey, CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS quartile " +
+        "FROM customer ORDER BY c_custkey"),
+      (s, d) =>
+        T.customer(s, d)
+          .withColumn("quartile",
+            ntile(4).over(Window.orderBy(col("c_acctbal"), col("c_custkey"))))
+          .select("c_custkey", "quartile")
+          .orderBy("c_custkey")),
+
+    Q("win_lag_lead", Some(
+      "SELECT o_custkey, o_orderkey, " +
+        "CAST(ROUND(o_totalprice - LAG(o_totalprice) OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey), 6) AS DECIMAL(38,6)) AS delta_prev, " +
+        "CAST(ROUND(LEAD(o_totalprice) OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey) - o_totalprice, 6) AS DECIMAL(38,6)) AS delta_next " +
+        "FROM orders ORDER BY o_custkey, o_orderkey, delta_prev NULLS FIRST, delta_next NULLS FIRST"),
+      (s, d) =>
+        T.orders(s, d)
+          .withColumn("delta_prev",
+            d6(col("o_totalprice") - lag("o_totalprice", 1).over(custDateKey)))
+          .withColumn("delta_next",
+            d6(lead("o_totalprice", 1).over(custDateKey) - col("o_totalprice")))
+          .select("o_custkey", "o_orderkey", "delta_prev", "delta_next")
+          .orderBy(col("o_custkey"), col("o_orderkey"),
+            col("delta_prev").asc_nulls_first, col("delta_next").asc_nulls_first)),
+
+    Q("win_runsum", Some(
+      "SELECT o_custkey, o_orderkey, SUM(CAST(o_totalprice AS DECIMAL(28,10))) OVER (" +
+        "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_rev " +
+        "FROM orders ORDER BY o_custkey, o_orderkey, run_rev"),
+      (s, d) =>
+        T.orders(s, d)
+          .withColumn("run_rev",
+            sum(col("o_totalprice").cast(Dec28_10))
+              .over(custDateKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select("o_custkey", "o_orderkey", "run_rev")
+          .orderBy("o_custkey", "o_orderkey", "run_rev")),
+
+    Q("win_movavg", Some(
+      "SELECT o_custkey, o_orderkey, " +
+        "CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) OVER w AS DOUBLE) " +
+        "/ CAST(COUNT(*) OVER w AS DOUBLE), 6) AS DECIMAL(38,6)) AS mov3 " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) ORDER BY o_custkey, o_orderkey, mov3"),
+      (s, d) => {
+        val w = custDateKey.rowsBetween(-2, Window.currentRow)
+        T.orders(s, d)
+          .withColumn("mov3",
+            d6(sum(col("o_totalprice").cast(Dec28_10)).over(w).cast("double")
+              / count(lit(1)).over(w).cast("double")))
+          .select("o_custkey", "o_orderkey", "mov3")
+          .orderBy("o_custkey", "o_orderkey", "mov3")
+      }),
+
+    Q("win_rangeframe", Some(
+      "SELECT o_custkey, o_orderkey, " +
+        "CAST(COUNT(*) OVER w AS BIGINT) AS n_near, " +
+        "SUM(CAST(o_totalprice AS DECIMAL(28,10))) OVER w AS sum_near " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice " +
+        "RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) " +
+        "ORDER BY o_custkey, o_orderkey, n_near, sum_near"),
+      (s, d) => {
+        val w = byCust.orderBy(col("o_totalprice")).rangeBetween(-1000, 1000)
+        T.orders(s, d)
+          .withColumn("n_near", count(lit(1)).over(w))
+          .withColumn("sum_near", sum(col("o_totalprice").cast(Dec28_10)).over(w))
+          .select("o_custkey", "o_orderkey", "n_near", "sum_near")
+          .orderBy("o_custkey", "o_orderkey", "n_near", "sum_near")
+      }),
+
+    Q("win_firstlast", Some(
+      "SELECT o_custkey, o_orderkey, " +
+        "CAST(ROUND(FIRST_VALUE(o_totalprice) OVER w, 6) AS DECIMAL(38,6)) AS first_price, " +
+        "CAST(ROUND(LAST_VALUE(o_totalprice) OVER w, 6) AS DECIMAL(38,6)) AS last_price " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "ORDER BY o_custkey, o_orderkey, first_price, last_price"),
+      (s, d) => {
+        val w = custDateKey.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        T.orders(s, d)
+          .withColumn("first_price", d6(first("o_totalprice").over(w)))
+          .withColumn("last_price", d6(last("o_totalprice").over(w)))
+          .select("o_custkey", "o_orderkey", "first_price", "last_price")
+          .orderBy("o_custkey", "o_orderkey", "first_price", "last_price")
+      }),
+
+    Q("win_pctrank", Some(
+      "SELECT o_custkey, o_orderkey, " +
+        "CAST(ROUND(PERCENT_RANK() OVER w, 6) AS DECIMAL(38,6)) AS pct_rk, " +
+        "CAST(ROUND(CUME_DIST() OVER w, 6) AS DECIMAL(38,6)) AS cume " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) " +
+        "ORDER BY o_custkey, o_orderkey, pct_rk, cume"),
+      (s, d) => {
+        val w = byCust.orderBy(col("o_totalprice"), col("o_orderkey"))
+        T.orders(s, d)
+          .withColumn("pct_rk", d6(percent_rank().over(w)))
+          .withColumn("cume", d6(cume_dist().over(w)))
+          .select("o_custkey", "o_orderkey", "pct_rk", "cume")
+          .orderBy("o_custkey", "o_orderkey", "pct_rk", "cume")
+      }))
+}

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Det, Q, Tables => T}
+import Det._
+
+/** SURVEY.md §3.11: streaming semantics, graded through deterministic batch
+  * twins over the static `events` table (the driver collects a DataFrame
+  * once). The same expressions run under `readStream`/`writeStream` with
+  * watermarks in [[StreamingDemo]] — watermark late-drop is per-trigger
+  * approximate there, while these twins define the exact semantics.
+  *
+  * All window arithmetic is done in whole-second integer space
+  * (`unix_timestamp` floor — engine-identical for the ns-origin `ts`,
+  * Tables.events scaladoc), so bucket boundaries can't drift between
+  * engines. At scale, tumbling/sliding aggregation is one shuffle on
+  * (key, bucket); sessionization is one shuffle on user + an ordered
+  * within-partition scan — both AQE-friendly.
+  */
+object StreamTwins {
+
+  val all: Seq[Q] = Seq(
+
+    Q("stream_tumble", Some(
+      "SELECT event_type, (CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600) * 3600 AS win_start, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, SUM(CAST(value AS DECIMAL(28,10))) AS sum_val " +
+        "FROM events GROUP BY event_type, win_start ORDER BY event_type, win_start"),
+      (s, d) =>
+        T.events(s, d)
+          .groupBy(
+            col("event_type"),
+            (floor(epochS(col("ts")) / 3600) * 3600).as("win_start"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_val"))
+          .orderBy("event_type", "win_start")),
+
+    // 1h window sliding 15min: each event belongs to exactly 4 windows.
+    Q("stream_slide", Some(
+      "SELECT event_type, ((CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 900) - k) * 900 AS win_start, " +
+        "CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM events CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS k) offs " +
+        "GROUP BY event_type, win_start ORDER BY event_type, win_start"),
+      (s, d) =>
+        T.events(s, d)
+          .crossJoin(broadcast(s.range(0, 4).select(col("id").as("k"))))
+          .groupBy(
+            col("event_type"),
+            ((floor(epochS(col("ts")) / 900) - col("k")) * 900).as("win_start"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("event_type", "win_start")),
+
+    // 30-min-gap sessionization: lag -> new-session flag -> running session id.
+    Q("stream_session", Some(
+      "WITH te AS (SELECT user_id, event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS te FROM events), " +
+        "flagged AS (SELECT user_id, event_id, te, " +
+        "CASE WHEN te - LAG(te) OVER (PARTITION BY user_id ORDER BY te, event_id) > 1800 " +
+        "OR LAG(te) OVER (PARTITION BY user_id ORDER BY te, event_id) IS NULL THEN 1 ELSE 0 END AS new_s " +
+        "FROM te), " +
+        "sess AS (SELECT user_id, te, CAST(SUM(new_s) OVER (PARTITION BY user_id " +
+        "ORDER BY te, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_id FROM flagged) " +
+        "SELECT user_id, session_id, MIN(te) AS s_start, MAX(te) AS s_end, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM sess GROUP BY user_id, session_id " +
+        "ORDER BY user_id, session_id"),
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id").orderBy(col("te"), col("event_id"))
+        T.events(s, d)
+          .select(col("user_id"), col("event_id"), epochS(col("ts")).as("te"))
+          .withColumn("new_s",
+            when(col("te") - lag("te", 1).over(byUser) > 1800
+              || lag("te", 1).over(byUser).isNull, 1).otherwise(0))
+          .withColumn("session_id",
+            sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
+          .groupBy("user_id", "session_id")
+          .agg(min(col("te")).as("s_start"), max(col("te")).as("s_end"),
+            count(lit(1)).as("n"))
+          .orderBy("user_id", "session_id")
+      }),
+
+    // Exactly-once by event_id (streaming twin: dropDuplicates + watermark).
+    Q("stream_dedup", Some(
+      "SELECT event_id, user_id FROM (SELECT DISTINCT ON (event_id) event_id, user_id " +
+        "FROM events) ORDER BY event_id"),
+      (s, d) =>
+        T.events(s, d)
+          .dropDuplicates("event_id")
+          .select("event_id", "user_id")
+          .orderBy("event_id")),
+
+    // Watermark semantics, batch-exact: drop events >1h behind max(ts),
+    // then tumble. Integer-second cutoff avoids sub-second edge drift.
+    Q("stream_late", Some(
+      "WITH te AS (SELECT event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS te FROM events), " +
+        "mx AS (SELECT MAX(te) AS m FROM te) " +
+        "SELECT event_type, (te // 3600) * 3600 AS win_start, CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM te WHERE te >= (SELECT m FROM mx) - 3600 " +
+        "GROUP BY event_type, win_start ORDER BY event_type, win_start"),
+      (s, d) => {
+        val te = T.events(s, d).select(col("event_type"), epochS(col("ts")).as("te"))
+        val mx = te.agg(max(col("te")).as("m"))
+        te.crossJoin(broadcast(mx))
+          .where(col("te") >= col("m") - 3600)
+          .groupBy(
+            col("event_type"),
+            (floor(col("te") / 3600) * 3600).as("win_start"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("event_type", "win_start")
+      }),
+
+    // Stateful per-user running total (flatMapGroupsWithState twin is the
+    // streaming demo; the batch twin is an exact decimal running sum).
+    Q("stream_runtotal", Some(
+      "SELECT event_id, user_id, SUM(CAST(value AS DECIMAL(28,10))) OVER (" +
+        "PARTITION BY user_id ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT), event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_total " +
+        "FROM events ORDER BY event_id"),
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(epochS(col("ts")), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        T.events(s, d)
+          .withColumn("run_total", sum(col("value").cast(Dec28_10)).over(w))
+          .select("event_id", "user_id", "run_total")
+          .orderBy("event_id")
+      }))
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.Tables
+
+/** Non-graded Structured Streaming demonstration (SURVEY §3.11): the graded
+  * batch twins' expressions running under readStream/writeStream.
+  *
+  * Reads the static events parquet as a file-stream source (no Kafka jar in
+  * this environment — SURVEY §0.3), applies: watermarked 1h tumbling
+  * aggregation, dropDuplicates on event_id, and a flatMapGroupsWithState
+  * per-user running total, each into a memory sink, processing all
+  * available data then stopping.
+  *
+  * Run: sbt "runMain graft.streaming.StreamingDemo /root/testdata/sf0.001"
+  */
+object StreamingDemo {
+
+  case class Ev(event_id: Long, user_id: Long, value: Double, tsec: Long)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-streaming-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // file-stream source over the same parquet, same declared schema
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema(Tables.eventsSchema)
+      .parquet(s"$sfDir")
+      .where(input_file_name().contains("events"))
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+
+    // 1) watermark + tumbling window (streaming shape of stream_tumble/late)
+    val tumble = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_val"))
+    val q1 = tumble.writeStream.format("memory").queryName("demo_tumble")
+      .outputMode(OutputMode.Update()).trigger(Trigger.AvailableNow()).start()
+
+    // 2) exactly-once by event_id within the watermark
+    val dedup = stream.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+    val q2 = dedup.select("event_id", "user_id").writeStream.format("memory")
+      .queryName("demo_dedup").outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+
+    // 3) custom state: per-user running total via flatMapGroupsWithState
+    val updateState = (user: Long, rows: Iterator[Ev], state: GroupState[Double]) => {
+      var total = state.getOption.getOrElse(0.0)
+      val out = rows.toSeq.sortBy(e => (e.tsec, e.event_id)).map { e =>
+        total += e.value
+        (e.event_id, user, total)
+      }
+      state.update(total)
+      out.iterator
+    }
+    val running = stream
+      .select(col("event_id"), col("user_id"), col("value"),
+        unix_timestamp(col("ts")).as("tsec"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(updateState)
+      .toDF("event_id", "user_id", "run_total")
+    val q3 = running.writeStream.format("memory").queryName("demo_runtotal")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+
+    Seq(q1, q2, q3).foreach(_.awaitTermination(120000))
+    println(s"demo_tumble rows:   ${spark.table("demo_tumble").count()}")
+    println(s"demo_dedup rows:    ${spark.table("demo_dedup").count()}")
+    println(s"demo_runtotal rows: ${spark.table("demo_runtotal").count()}")
+    spark.stop()
+  }
+}
