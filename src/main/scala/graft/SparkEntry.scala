@@ -13,6 +13,8 @@ object SparkEntry {
       operators.SortSet.all ++
       operators.EO.all ++
       operators.Llm.all ++
+      operators.LlmExtras.all ++
+      operators.Multimodal.all ++
       functions.Scalars.all ++
       functions.Udfs.all ++
       streaming.StreamTwins.all

@@ -1,0 +1,261 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Det, Q, Tables => T}
+import Det._
+
+/** Training-data pipeline operators beyond SURVEY §3.10's core set (the
+  * BASELINE.json north star lists dedup, similarity search, multimodal
+  * columns, and text analysis as first-class): SimHash, n-gram Jaccard,
+  * embedding-cosine near-dup, LSH-bucketed ANN, language-ID, quality
+  * scoring, token counting, and document fingerprinting.
+  */
+object LlmExtras {
+
+  /** Deterministic stopword list for the lang-id / quality heuristics —
+    * high-frequency function words of the corpus vocabulary. */
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+  private val StopwordsSqlList = Stopwords.map(w => s"'$w'").mkString("(", ",", ")")
+
+  private def tokens(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+
+  private def decFold(arr: Column): Column =
+    aggregate(arr, lit(0d).cast(Dec28_14), (acc, x) => (acc + x).cast(Dec28_14))
+
+  private def cosParts(ea: Column, eb: Column): (Column, Column, Column) = (
+    decFold(zip_with(ea, eb,
+      (x, y) => (x.cast("double") * y.cast("double")).cast(Dec28_14))).cast("double"),
+    decFold(transform(ea,
+      x => (x.cast("double") * x.cast("double")).cast(Dec28_14))).cast("double"),
+    decFold(transform(eb,
+      x => (x.cast("double") * x.cast("double")).cast(Dec28_14))).cast("double"))
+
+  val all: Seq[Q] = Seq(
+
+    // SimHash-32: crc32(token) per distinct token; each bit position
+    // accumulates +w/-w by token frequency, signs form the signature.
+    // A sketch (like llm_minhash) with no portable oracle: the two engines
+    // share no common string hash. Property-tested: near-dup pairs from
+    // llm_dedup_near have small Hamming distance, random pairs do not.
+    Q("llm_simhash", None,
+      (s, d) => {
+        val th = tokens(s, d)
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("w"))
+          .withColumn("h", crc32(col("tok")))
+        val bits = th
+          .crossJoin(broadcast(s.range(0, 32).select(col("id").cast("int").as("b"))))
+          .groupBy(col("doc_id"), col("b"))
+          .agg(sum(when(expr("(h >> b) & 1") === 1, col("w")).otherwise(-col("w"))).as("acc"))
+        bits
+          .groupBy("doc_id")
+          .agg(sum(when(col("acc") > 0,
+            expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("simhash"))
+          .orderBy("doc_id")
+      }),
+
+    // Exact bigram-set Jaccard on candidate pairs from the cheap token-set
+    // mask pass (token Jaccard >= 0.3, same lang) — the standard dedup
+    // funnel: cheap candidate generation, exact verification on survivors.
+    Q("llm_ngram_jaccard", Some(
+      "WITH toks AS (SELECT doc_id, lang, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS tok FROM documents), " +
+        "dict AS (SELECT tok, CAST(DENSE_RANK() OVER (ORDER BY tok) - 1 AS INT) AS tok_id " +
+        "FROM (SELECT DISTINCT tok FROM toks)), " +
+        "masks AS (SELECT doc_id, lang, SUM(CAST(1 AS BIGINT) << tok_id) AS mask " +
+        "FROM toks JOIN dict USING (tok) GROUP BY doc_id, lang), " +
+        "cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM masks a " +
+        "JOIN masks b ON a.lang = b.lang AND a.doc_id < b.doc_id " +
+        "WHERE CAST(BIT_COUNT(a.mask & b.mask) AS DOUBLE) / CAST(BIT_COUNT(a.mask | b.mask) AS DOUBLE) >= 0.3), " +
+        "bigr AS (SELECT DISTINCT doc_id, bigram FROM (" +
+        "SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bigram " +
+        "FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents) WHERE LEN(tk) >= 2)), " +
+        "sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM bigr GROUP BY doc_id), " +
+        "inter AS (SELECT c.d1, c.d2, CAST(COUNT(*) AS BIGINT) AS i FROM cand c " +
+        "JOIN bigr x ON x.doc_id = c.d1 JOIN bigr y ON y.doc_id = c.d2 AND y.bigram = x.bigram " +
+        "GROUP BY c.d1, c.d2) " +
+        "SELECT d1, d2, CAST(ROUND(CAST(i AS DOUBLE) / CAST(s1.n + s2.n - i AS DOUBLE), 6) AS DECIMAL(38,6)) AS ngram_jaccard " +
+        "FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id " +
+        "ORDER BY d1, d2"),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = T.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(array_distinct(split(col("text"), " "))).as("tok"))
+        val dict = toks.select("tok").distinct()
+          .withColumn("tok_id", (dense_rank().over(Window.orderBy("tok")) - 1).cast("int"))
+        val masks = toks.join(broadcast(dict), "tok")
+          .groupBy("doc_id", "lang")
+          .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), tok_id)")).as("mask"))
+        val a = masks.select(col("doc_id").as("d1"), col("lang").as("la"), col("mask").as("ma"))
+        val b = masks.select(col("doc_id").as("d2"), col("lang").as("lb"), col("mask").as("mb"))
+        val tokJac = bit_count(col("ma").bitwiseAND(col("mb"))).cast("double") /
+          bit_count(col("ma").bitwiseOR(col("mb"))).cast("double")
+        val cand = a.join(b, col("la") === col("lb") && col("d1") < col("d2"))
+          .where(tokJac >= 0.3)
+          .select("d1", "d2")
+        val bigr = T.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("tk"))
+          .where(size(col("tk")) >= 2)
+          .select(col("doc_id"),
+            explode(array_distinct(transform(
+              sequence(lit(1), size(col("tk")) - 1),
+              i => concat(element_at(col("tk"), i), lit(" "), element_at(col("tk"), i + 1)))))
+              .as("bigram"))
+          .distinct()
+        val sizes = bigr.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = cand
+          .join(bigr.select(col("doc_id").as("d1"), col("bigram")), "d1")
+          .join(bigr.select(col("doc_id").as("d2"), col("bigram")), Seq("d2", "bigram"))
+          .groupBy("d1", "d2")
+          .agg(count(lit(1)).as("i"))
+        inter
+          .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+          .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+          .select(col("d1"), col("d2"),
+            d6(col("i").cast("double") / (col("n1") + col("n2") - col("i")).cast("double"))
+              .as("ngram_jaccard"))
+          .orderBy("d1", "d2")
+      }),
+
+    // Embedding-cosine near-duplicates: all pairs with cosine >= 0.95,
+    // blocked by label (the cluster id is the IVF cell — same-cell pairs).
+    Q("llm_embed_neardup", Some(
+      "WITH ux AS (SELECT vec_id, label, CAST(UNNEST(embedding) AS DOUBLE) AS x, " +
+        "UNNEST(RANGE(1, LEN(embedding) + 1)) AS i FROM embeddings), " +
+        "norms AS (SELECT vec_id, SUM(CAST(x * x AS DECIMAL(28,14))) AS n2 FROM ux GROUP BY vec_id), " +
+        "dots AS (SELECT a.vec_id AS v1, b.vec_id AS v2, " +
+        "SUM(CAST(a.x * b.x AS DECIMAL(28,14))) AS dot FROM ux a " +
+        "JOIN ux b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id " +
+        "GROUP BY v1, v2) " +
+        "SELECT v1, v2, CAST(ROUND(CAST(dot AS DOUBLE) / (SQRT(CAST(na.n2 AS DOUBLE)) * " +
+        "SQRT(CAST(nb.n2 AS DOUBLE))), 6) AS DECIMAL(38,6)) AS cos_sim " +
+        "FROM dots JOIN norms na ON v1 = na.vec_id JOIN norms nb ON v2 = nb.vec_id " +
+        "WHERE CAST(dot AS DOUBLE) / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))) >= 0.95 " +
+        "ORDER BY v1, v2"),
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        val a = e.select(col("vec_id").as("v1"), col("label").as("la"), col("embedding").as("ea"))
+        val b = e.select(col("vec_id").as("v2"), col("label").as("lb"), col("embedding").as("eb"))
+        val (dot, na, nb) = cosParts(col("ea"), col("eb"))
+        val cos = dot / (sqrt(na) * sqrt(nb))
+        a.join(b, col("la") === col("lb") && col("v1") < col("v2"))
+          .withColumn("cos_raw", cos)
+          .where(col("cos_raw") >= 0.95)
+          .select(col("v1"), col("v2"), d6(col("cos_raw")).as("cos_sim"))
+          .orderBy("v1", "v2")
+      }),
+
+    // ANN via sign-LSH: 8 deterministic pseudo-hyperplanes (elementwise
+    // +-1 signs from crc32(plane:pos)), vectors bucketed by the 8-bit sign
+    // signature, top-3 cosine searched within the query's bucket only.
+    // Approximate by construction -> no oracle; recall vs the brute-force
+    // llm_cosine_topk is property-tested in LlmExtrasSpec.
+    Q("llm_ann_lsh", None,
+      (s, d) => {
+        val ux = T.embeddings(s, d)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+          .withColumn("x", col("xf").cast("double"))
+        val planes = s.range(0, 8).select(col("id").cast("int").as("plane"))
+        val sgn = when(pmod(crc32(concat_ws(":", col("plane"), col("pos"))), lit(2)) === 0, 1d)
+          .otherwise(-1d)
+        val sigs = ux.crossJoin(broadcast(planes))
+          .withColumn("contrib", (col("x") * sgn).cast(Dec28_14))
+          .groupBy("vec_id", "plane")
+          .agg(sum(col("contrib")).as("proj"))
+          .groupBy("vec_id")
+          .agg(sum(when(col("proj") > 0,
+            expr("shiftleft(CAST(1 AS BIGINT), plane)")).otherwise(0L)).as("bucket"))
+        val e = T.embeddings(s, d).join(sigs, "vec_id")
+        val q = e.where(col("vec_id") === 0)
+          .select(col("bucket").as("qbucket"), col("embedding").as("qe"))
+        val (dot, na, nb) = cosParts(col("embedding"), col("qe"))
+        e.where(col("vec_id") =!= 0)
+          .join(broadcast(q), col("bucket") === col("qbucket"))
+          .withColumn("cos_raw", dot / (sqrt(na) * sqrt(nb)))
+          .orderBy(col("cos_raw").desc, col("vec_id"))
+          .limit(3)
+          .select(col("vec_id"), col("bucket"), d6(col("cos_raw")).as("cos_sim"))
+      }),
+
+    // Language-ID heuristic: stopword-ratio thresholding (the n-gram
+    // frequency detector family, reduced to this corpus's vocabulary);
+    // the declared lang column is ground truth for the confusion counts.
+    Q("llm_langid", Some(
+      "WITH t AS (SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents), " +
+        "scored AS (SELECT doc_id, lang, " +
+        "CAST(SUM(CASE WHEN tok IN " + StopwordsSqlList + " THEN 1 ELSE 0 END) AS DOUBLE) " +
+        "/ CAST(COUNT(*) AS DOUBLE) AS stop_ratio FROM t GROUP BY doc_id, lang) " +
+        "SELECT lang, CASE WHEN stop_ratio >= 0.2 THEN 'en_like' ELSE 'other' END AS pred, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM scored GROUP BY lang, pred ORDER BY lang, pred"),
+      (s, d) =>
+        tokens(s, d)
+          .groupBy("doc_id", "lang")
+          .agg((sum(when(col("tok").isin(Stopwords: _*), 1).otherwise(0)).cast("double")
+            / count(lit(1)).cast("double")).as("stop_ratio"))
+          .groupBy(col("lang"),
+            when(col("stop_ratio") >= 0.2, "en_like").otherwise("other").as("pred"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang", "pred")),
+
+    // Quality scoring: length, mean token length, stopword ratio, distinct
+    // ratio -> composite keep/drop flag (the C4/Gopher-style rule family).
+    Q("llm_quality", Some(
+      "WITH t AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents), " +
+        "m AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok, " +
+        "CAST(ROUND(AVG(CAST(LENGTH(tok) AS DOUBLE)), 6) AS DECIMAL(38,6)) AS avg_len, " +
+        "CAST(ROUND(CAST(SUM(CASE WHEN tok IN " + StopwordsSqlList + " THEN 1 ELSE 0 END) AS DOUBLE) " +
+        "/ CAST(COUNT(*) AS DOUBLE), 6) AS DECIMAL(38,6)) AS stop_ratio, " +
+        "CAST(ROUND(CAST(COUNT(DISTINCT tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS DECIMAL(38,6)) AS uniq_ratio " +
+        "FROM t GROUP BY doc_id) " +
+        "SELECT doc_id, n_tok, avg_len, stop_ratio, uniq_ratio, " +
+        "CASE WHEN n_tok >= 20 AND uniq_ratio >= 0.1 AND stop_ratio <= 0.6 THEN 1 ELSE 0 END AS keep " +
+        "FROM m ORDER BY doc_id"),
+      (s, d) =>
+        tokens(s, d)
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_tok"),
+            d6(avg(length(col("tok")).cast("double"))).as("avg_len"),
+            d6(sum(when(col("tok").isin(Stopwords: _*), 1).otherwise(0)).cast("double")
+              / count(lit(1)).cast("double")).as("stop_ratio"),
+            d6(countDistinct(col("tok")).cast("double") / count(lit(1)).cast("double"))
+              .as("uniq_ratio"))
+          .withColumn("keep",
+            when(col("n_tok") >= 20 && col("uniq_ratio") >= 0.1 && col("stop_ratio") <= 0.6, 1)
+              .otherwise(0))
+          .orderBy("doc_id")),
+
+    // Token counting: whitespace tokens, a BPE-ish subword budget estimate
+    // (ceil(chars/4) — the "~4 chars per token" rule), and a regex
+    // word-piece count.
+    Q("llm_tokcount", Some(
+      "SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS ws_tokens, " +
+        "CAST(LENGTH(text) AS BIGINT) AS n_chars, " +
+        "CAST(CEIL(CAST(LENGTH(text) AS DOUBLE) / 4) AS BIGINT) AS bpe_est, " +
+        "CAST(LENGTH(REGEXP_REPLACE(text, '[a-z]+', 'x', 'g')) AS BIGINT) AS n_pieces " +
+        "FROM documents ORDER BY doc_id"),
+      (s, d) =>
+        T.documents(s, d)
+          .select(
+            col("doc_id"),
+            size(split(col("text"), " ")).cast("bigint").as("ws_tokens"),
+            length(col("text")).cast("bigint").as("n_chars"),
+            ceil(length(col("text")).cast("double") / 4).as("bpe_est"),
+            length(regexp_replace(col("text"), "[a-z]+", "x")).cast("bigint").as("n_pieces"))
+          .orderBy("doc_id")),
+
+    // Content-defined fingerprint: md5 over the sorted distinct token set —
+    // order-insensitive (catches shuffled near-dups that exact dedup misses).
+    Q("llm_fingerprint", Some(
+      "SELECT doc_id, MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ' ')) AS fp " +
+        "FROM documents ORDER BY doc_id"),
+      (s, d) =>
+        T.documents(s, d)
+          .select(col("doc_id"),
+            md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")).as("fp"))
+          .orderBy("doc_id")))
+}

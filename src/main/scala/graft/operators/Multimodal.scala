@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.{Q, Tables => T}
+
+/** Multimodal-column plumbing (BASELINE.json north star): image/audio/video
+  * payloads as opaque `binary` columns plus typed metadata, with
+  * decode / feature-extract / resize / frame-sample as per-partition batch
+  * transforms.
+  *
+  * No media fixtures or codec libraries exist in this environment, so the
+  * corpus's `documents.text` is cast to bytes as the stand-in payload and
+  * the codec call is STUBBED with a deterministic fake (`fakeDecode`) —
+  * clearly marked below. Everything around the stub is real and tested:
+  * the schema contract (binary + metadata struct), the `mapPartitions`
+  * batch shape (one buffer reuse per partition, the Scala analogue of
+  * mapInPandas batches), partition sizing, and the downstream relational
+  * feature aggregation.
+  *
+  * At 100 TB: payloads stay columnar in parquet (binary column), metadata
+  * predicates prune at the scan (format/width filters never touch bytes),
+  * and decode parallelism = partition count — size partitions by
+  * payload bytes (spark.sql.files.maxPartitionBytes), not row count.
+  */
+object Multimodal {
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("format", StringType),
+    StructField("n_bytes", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("frames_sampled", IntegerType),
+    StructField("mean_intensity", DoubleType)))
+
+  /** STUB — stands in for the real codec (image decode / audio PCM /
+    * video frame extraction), which is not installable here. Deterministic:
+    * derives pseudo pixel stats from the payload bytes themselves. A real
+    * deployment swaps only this function; the Spark plumbing is unchanged. */
+  def fakeDecode(payload: Array[Byte], format: String): (Int, Int, Int, Double) = {
+    val n = payload.length
+    val width = 16 + (n % 64)
+    val height = 16 + ((n / 64) % 64)
+    val frames = 1 + (n % 4)
+    // "mean intensity": mean byte value over an 8-byte frame-sample stride
+    var sum = 0L
+    var cnt = 0
+    var i = 0
+    while (i < n) { sum += payload(i) & 0xff; cnt += 1; i += 8 }
+    val mean = if (cnt == 0) 0.0 else sum.toDouble / cnt
+    (width, height, frames, mean)
+  }
+
+  /** payload table: opaque bytes + typed metadata struct, the contract a
+    * real media corpus would ship. */
+  def payloads(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(
+        col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        struct(
+          when(col("doc_id") % 3 === 0, "png")
+            .when(col("doc_id") % 3 === 1, "jpeg")
+            .otherwise("wav").as("format"),
+          length(col("text")).cast("int").as("n_bytes"),
+          col("source").as("origin")).as("meta"))
+
+  val all: Seq[Q] = Seq(
+
+    // Decode + feature-extract over batched partitions; metadata-only
+    // predicate (format filter) is applied BEFORE touching payload bytes.
+    Q("mm_decode_features", None,
+      (s, d) => {
+        val enc = org.apache.spark.sql.Encoders.row(featureSchema)
+        payloads(s, d)
+          .where(col("meta.format").isin("png", "jpeg"))
+          .select(col("doc_id"), col("payload"), col("meta.format").as("format"),
+            col("meta.n_bytes").as("n_bytes"))
+          .mapPartitions { rows =>
+            // batch shape: decode loop per partition, no per-row closures
+            rows.map { r =>
+              val payload = r.getAs[Array[Byte]]("payload")
+              val format = r.getAs[String]("format")
+              val (w, h, fr, mean) = fakeDecode(payload, format)
+              Row(r.getAs[Long]("doc_id"), format, r.getAs[Int]("n_bytes"),
+                w, h, fr, mean)
+            }
+          }(enc)
+          .orderBy("doc_id")
+      }),
+
+    // Downstream relational consumption of extracted features: per-format
+    // size/intensity profile — pure DataFrame ops over the stub output.
+    Q("mm_format_stats", None,
+      (s, d) => {
+        val enc = org.apache.spark.sql.Encoders.row(featureSchema)
+        val feats = payloads(s, d)
+          .select(col("doc_id"), col("payload"), col("meta.format").as("format"),
+            col("meta.n_bytes").as("n_bytes"))
+          .mapPartitions { rows =>
+            rows.map { r =>
+              val payload = r.getAs[Array[Byte]]("payload")
+              val format = r.getAs[String]("format")
+              val (w, h, fr, mean) = fakeDecode(payload, format)
+              Row(r.getAs[Long]("doc_id"), format, r.getAs[Int]("n_bytes"),
+                w, h, fr, mean)
+            }
+          }(enc)
+        feats.groupBy("format")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("n_bytes").cast("long")).as("total_bytes"),
+            graft.Det.d6(avg(col("mean_intensity"))).as("avg_intensity"))
+          .orderBy("format")
+      }))
+}

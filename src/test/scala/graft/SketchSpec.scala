@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Accuracy/recall tests for the approximate keys (SURVEY §6.2): HLL vs
+  * exact, MinHash-LSH and SimHash vs the exact Jaccard pass, ANN-LSH vs
+  * the brute-force top-k, and determinism (two runs, identical rows). */
+class SketchSpec extends SparkSpec {
+
+  test("agg_hll within 5% of exact distinct counts") {
+    val approx = SparkEntry.queries("agg_hll")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n).toDouble / n <= 0.05,
+        s"$k: approx=${approx(k)} exact=$n")
+    }
+  }
+
+  test("llm_minhash candidates recall most exact near-dup pairs") {
+    val exact = SparkEntry.queries("llm_dedup_near")(spark, sfDir)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = SparkEntry.queries("llm_minhash")(spark, sfDir)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 4x4 banding targets high similarity; require >=60% recall of j>=0.5 pairs
+    val recall = if (exact.isEmpty) 1.0
+      else exact.count(cand.contains).toDouble / exact.size
+    assert(recall >= 0.6, s"recall=$recall over ${exact.size} exact pairs")
+  }
+
+  test("llm_simhash: near-dup pairs closer in hamming space than random pairs") {
+    val sig = SparkEntry.queries("llm_simhash")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val near = SparkEntry.queries("llm_dedup_near")(spark, sfDir)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val nearMean = near.map { case (a, b) => ham(sig(a), sig(b)) }.sum.toDouble / near.length
+    val ids = sig.keys.toArray.sorted
+    val randomPairs = ids.take(50).flatMap(a => ids.takeRight(50).map(b => (a, b)))
+      .filter { case (a, b) => a < b }
+    val randMean = randomPairs.map { case (a, b) => ham(sig(a), sig(b)) }
+      .sum.toDouble / randomPairs.length
+    assert(nearMean < randMean,
+      s"near-dup mean hamming $nearMean !< random mean $randMean")
+  }
+
+  test("llm_ann_lsh returns same-bucket vectors ranked by cosine") {
+    val rows = SparkEntry.queries("llm_ann_lsh")(spark, sfDir).collect()
+    assert(rows.length <= 3 && rows.nonEmpty)
+    val sims = rows.map(_.getDecimal(2).doubleValue())
+    assert(sims.sameElements(sims.sorted.reverse), "not ranked desc")
+  }
+
+  test("queries are deterministic across runs") {
+    for (key <- Seq("llm_minhash", "llm_simhash", "eo_geomedian", "mm_decode_features")) {
+      val a = SparkEntry.queries(key)(spark, sfDir).collect().toSeq
+      val b = SparkEntry.queries(key)(spark, sfDir).collect().toSeq
+      assert(a == b, s"$key not deterministic")
+    }
+  }
+}
