@@ -58,45 +58,33 @@ object LlmExtras {
           .orderBy("doc_id")
       }),
 
-    // Exact bigram-set Jaccard on candidate pairs from the cheap token-set
-    // mask pass (token Jaccard >= 0.3, same lang) — the standard dedup
-    // funnel: cheap candidate generation, exact verification on survivors.
+    // Exact bigram-set Jaccard >= 0.5 pairs. Blocking: same lang AND
+    // same-or-adjacent 50-char length bucket (near-dups have near-equal
+    // length; each doc emits two block keys so boundary pairs still meet).
+    // Per-pair work is O(words) via multiword bigram bitmasks (vocab -> 15
+    // 64-bit words), not O(bigrams) -- the bigram dictionary is dense-ranked
+    // exactly like the token dictionary of llm_dedup_near.
     Q("llm_ngram_jaccard", Some(
-      "WITH toks AS (SELECT doc_id, lang, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS tok FROM documents), " +
-        "dict AS (SELECT tok, CAST(DENSE_RANK() OVER (ORDER BY tok) - 1 AS INT) AS tok_id " +
-        "FROM (SELECT DISTINCT tok FROM toks)), " +
-        "masks AS (SELECT doc_id, lang, SUM(CAST(1 AS BIGINT) << tok_id) AS mask " +
-        "FROM toks JOIN dict USING (tok) GROUP BY doc_id, lang), " +
-        "cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM masks a " +
-        "JOIN masks b ON a.lang = b.lang AND a.doc_id < b.doc_id " +
-        "WHERE CAST(BIT_COUNT(a.mask & b.mask) AS DOUBLE) / CAST(BIT_COUNT(a.mask | b.mask) AS DOUBLE) >= 0.3), " +
-        "bigr AS (SELECT DISTINCT doc_id, bigram FROM (" +
+      "WITH bigr AS (SELECT DISTINCT doc_id, bigram FROM (" +
         "SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bigram " +
         "FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents) WHERE LEN(tk) >= 2)), " +
+        "dict AS (SELECT bigram, CAST(DENSE_RANK() OVER (ORDER BY bigram) - 1 AS INT) AS bid " +
+        "FROM (SELECT DISTINCT bigram FROM bigr)), " +
+        "masks AS (SELECT doc_id, bid // 63 AS w, SUM(CAST(1 AS BIGINT) << (bid % 63)) AS m " +
+        "FROM bigr JOIN dict USING (bigram) GROUP BY doc_id, w), " +
         "sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM bigr GROUP BY doc_id), " +
-        "inter AS (SELECT c.d1, c.d2, CAST(COUNT(*) AS BIGINT) AS i FROM cand c " +
-        "JOIN bigr x ON x.doc_id = c.d1 JOIN bigr y ON y.doc_id = c.d2 AND y.bigram = x.bigram " +
+        "blocks AS (SELECT doc_id, lang, UNNEST([n_chars // 50, n_chars // 50 + 1]) AS blk FROM documents), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM blocks a " +
+        "JOIN blocks b ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id), " +
+        "inter AS (SELECT c.d1, c.d2, SUM(BIT_COUNT(x.m & y.m)) AS i FROM cand c " +
+        "JOIN masks x ON x.doc_id = c.d1 JOIN masks y ON y.doc_id = c.d2 AND y.w = x.w " +
         "GROUP BY c.d1, c.d2) " +
         "SELECT d1, d2, CAST(ROUND(CAST(i AS DOUBLE) / CAST(s1.n + s2.n - i AS DOUBLE), 6) AS DECIMAL(38,6)) AS ngram_jaccard " +
         "FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id " +
+        "WHERE CAST(i AS DOUBLE) / CAST(s1.n + s2.n - i AS DOUBLE) >= 0.5 " +
         "ORDER BY d1, d2"),
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val toks = T.documents(s, d)
-          .select(col("doc_id"), col("lang"),
-            explode(array_distinct(split(col("text"), " "))).as("tok"))
-        val dict = toks.select("tok").distinct()
-          .withColumn("tok_id", (dense_rank().over(Window.orderBy("tok")) - 1).cast("int"))
-        val masks = toks.join(broadcast(dict), "tok")
-          .groupBy("doc_id", "lang")
-          .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), tok_id)")).as("mask"))
-        val a = masks.select(col("doc_id").as("d1"), col("lang").as("la"), col("mask").as("ma"))
-        val b = masks.select(col("doc_id").as("d2"), col("lang").as("lb"), col("mask").as("mb"))
-        val tokJac = bit_count(col("ma").bitwiseAND(col("mb"))).cast("double") /
-          bit_count(col("ma").bitwiseOR(col("mb"))).cast("double")
-        val cand = a.join(b, col("la") === col("lb") && col("d1") < col("d2"))
-          .where(tokJac >= 0.3)
-          .select("d1", "d2")
         val bigr = T.documents(s, d)
           .select(col("doc_id"), split(col("text"), " ").as("tk"))
           .where(size(col("tk")) >= 2)
@@ -106,46 +94,77 @@ object LlmExtras {
               i => concat(element_at(col("tk"), i), lit(" "), element_at(col("tk"), i + 1)))))
               .as("bigram"))
           .distinct()
+        val dict = bigr.select("bigram").distinct()
+          .withColumn("bid", (dense_rank().over(Window.orderBy("bigram")) - 1).cast("int"))
+        val masks = bigr.join(broadcast(dict), "bigram")
+          .groupBy(col("doc_id"), floor(col("bid") / 63).cast("int").as("w"))
+          .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), bid % 63)")).as("m"))
         val sizes = bigr.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val blocks = T.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(array(floor(col("n_chars") / 50), floor(col("n_chars") / 50) + 1)).as("blk"))
+        val cand = blocks.select(col("doc_id").as("d1"), col("lang"), col("blk"))
+          .join(blocks.select(col("doc_id").as("d2"), col("lang"), col("blk")),
+            Seq("lang", "blk"))
+          .where(col("d1") < col("d2"))
+          .select("d1", "d2").distinct()
         val inter = cand
-          .join(bigr.select(col("doc_id").as("d1"), col("bigram")), "d1")
-          .join(bigr.select(col("doc_id").as("d2"), col("bigram")), Seq("d2", "bigram"))
+          .join(masks.select(col("doc_id").as("d1"), col("w"), col("m").as("ma")), "d1")
+          .join(masks.select(col("doc_id").as("d2"), col("w"), col("m").as("mb")),
+            Seq("d2", "w"))
           .groupBy("d1", "d2")
-          .agg(count(lit(1)).as("i"))
+          .agg(sum(bit_count(col("ma").bitwiseAND(col("mb")))).as("i"))
+        val jac = col("i").cast("double") / (col("n1") + col("n2") - col("i")).cast("double")
         inter
           .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
           .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
-          .select(col("d1"), col("d2"),
-            d6(col("i").cast("double") / (col("n1") + col("n2") - col("i")).cast("double"))
-              .as("ngram_jaccard"))
+          .where(jac >= 0.5)
+          .select(col("d1"), col("d2"), d6(jac).as("ngram_jaccard"))
           .orderBy("d1", "d2")
       }),
 
-    // Embedding-cosine near-duplicates: all pairs with cosine >= 0.95,
-    // blocked by label (the cluster id is the IVF cell — same-cell pairs).
+    // Embedding-cosine high-similarity pairs (cosine >= 0.3 -- this
+    // synthetic corpus's within-cluster cosines top out at ~0.47; a real
+    // near-dup corpus would run the same plan at ~0.95), blocked by label
+    // (the cluster id is the IVF cell). Dot products and norms are
+    // accumulated as scaled 64-bit integers: pl = FLOOR(x*y*1e14 + 0.5) is
+    // a pure IEEE double computation, identical bit-for-bit in Spark and
+    // DuckDB, and the long sum is exact, order-free, and whole-stage
+    // codegen'd (an interpreted decimal fold here cost 60s at sf0.1).
     Q("llm_embed_neardup", Some(
       "WITH ux AS (SELECT vec_id, label, CAST(UNNEST(embedding) AS DOUBLE) AS x, " +
         "UNNEST(RANGE(1, LEN(embedding) + 1)) AS i FROM embeddings), " +
-        "norms AS (SELECT vec_id, SUM(CAST(x * x AS DECIMAL(28,14))) AS n2 FROM ux GROUP BY vec_id), " +
+        "norms AS (SELECT vec_id, CAST(SUM(CAST(FLOOR(x * x * 1e14 + 0.5) AS BIGINT)) AS BIGINT) AS nl " +
+        "FROM ux GROUP BY vec_id), " +
         "dots AS (SELECT a.vec_id AS v1, b.vec_id AS v2, " +
-        "SUM(CAST(a.x * b.x AS DECIMAL(28,14))) AS dot FROM ux a " +
+        "CAST(SUM(CAST(FLOOR(a.x * b.x * 1e14 + 0.5) AS BIGINT)) AS BIGINT) AS dotl FROM ux a " +
         "JOIN ux b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id " +
-        "GROUP BY v1, v2) " +
-        "SELECT v1, v2, CAST(ROUND(CAST(dot AS DOUBLE) / (SQRT(CAST(na.n2 AS DOUBLE)) * " +
-        "SQRT(CAST(nb.n2 AS DOUBLE))), 6) AS DECIMAL(38,6)) AS cos_sim " +
-        "FROM dots JOIN norms na ON v1 = na.vec_id JOIN norms nb ON v2 = nb.vec_id " +
-        "WHERE CAST(dot AS DOUBLE) / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))) >= 0.95 " +
-        "ORDER BY v1, v2"),
+        "GROUP BY v1, v2), " +
+        "cos AS (SELECT v1, v2, (CAST(dotl AS DOUBLE) / 1e14) / " +
+        "(SQRT(CAST(na.nl AS DOUBLE) / 1e14) * SQRT(CAST(nb.nl AS DOUBLE) / 1e14)) AS c " +
+        "FROM dots JOIN norms na ON v1 = na.vec_id JOIN norms nb ON v2 = nb.vec_id) " +
+        "SELECT v1, v2, CAST(ROUND(c, 6) AS DECIMAL(38,6)) AS cos_sim FROM cos " +
+        "WHERE c >= 0.3 ORDER BY v1, v2"),
       (s, d) => {
-        val e = T.embeddings(s, d)
-        val a = e.select(col("vec_id").as("v1"), col("label").as("la"), col("embedding").as("ea"))
-        val b = e.select(col("vec_id").as("v2"), col("label").as("lb"), col("embedding").as("eb"))
-        val (dot, na, nb) = cosParts(col("ea"), col("eb"))
-        val cos = dot / (sqrt(na) * sqrt(nb))
-        a.join(b, col("la") === col("lb") && col("v1") < col("v2"))
-          .withColumn("cos_raw", cos)
-          .where(col("cos_raw") >= 0.95)
-          .select(col("v1"), col("v2"), d6(col("cos_raw")).as("cos_sim"))
+        val ux = T.embeddings(s, d)
+          .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("i", "xf")))
+          .withColumn("x", col("xf").cast("double")).drop("xf")
+        val norms = ux.groupBy("vec_id")
+          .agg(sum(floor(col("x") * col("x") * lit(1e14) + lit(0.5))).as("nl"))
+        val a = ux.select(col("vec_id").as("v1"), col("label"), col("i"), col("x").as("xa"))
+        val b = ux.select(col("vec_id").as("v2"), col("label"), col("i"), col("x").as("xb"))
+        val dots = a.join(b, Seq("label", "i"))
+          .where(col("v1") < col("v2"))
+          .groupBy("v1", "v2")
+          .agg(sum(floor(col("xa") * col("xb") * lit(1e14) + lit(0.5))).as("dotl"))
+        val cos = (col("dotl").cast("double") / lit(1e14)) /
+          (sqrt(col("nla").cast("double") / lit(1e14)) * sqrt(col("nlb").cast("double") / lit(1e14)))
+        dots
+          .join(norms.select(col("vec_id").as("v1"), col("nl").as("nla")), "v1")
+          .join(norms.select(col("vec_id").as("v2"), col("nl").as("nlb")), "v2")
+          .withColumn("c", cos)
+          .where(col("c") >= 0.3)
+          .select(col("v1"), col("v2"), d6(col("c")).as("cos_sim"))
           .orderBy("v1", "v2")
       }),
 
