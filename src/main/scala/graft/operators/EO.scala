@@ -141,6 +141,38 @@ object EO {
             dsum(col("value")).as("sum_val"))
           .orderBy("n_name")),
 
+    // End-to-end product generation in ONE Catalyst plan — the reference's
+    // per-product worker shape (SURVEY §1): QA-mask -> band math ->
+    // temporal composite -> per-zone summary. No intermediate
+    // materialization; the optimizer fuses mask+bandmath into the scan.
+    Q("eo_product_pipeline", Some(
+      "WITH masked AS (SELECT l_returnflag, YEAR(l_shipdate) AS y, " +
+        "(l_extendedprice - l_extendedprice * l_discount) / " +
+        "(l_extendedprice + l_extendedprice * l_discount) AS nd " +
+        "FROM lineitem WHERE ((l_orderkey % 256) & 3) = 0), " +
+        "composite AS (SELECT l_returnflag, y, MEDIAN(nd) AS med_nd, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_obs FROM masked GROUP BY l_returnflag, y) " +
+        "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_years, " +
+        "CAST(SUM(n_obs) AS BIGINT) AS n_obs, " +
+        "CAST(ROUND(AVG(med_nd), 6) AS DECIMAL(38,6)) AS mean_yearly_median " +
+        "FROM composite GROUP BY l_returnflag ORDER BY l_returnflag"),
+      (s, d) => {
+        val a = col("l_extendedprice")
+        val b = col("l_extendedprice") * col("l_discount")
+        T.lineitem(s, d)
+          .where(((col("l_orderkey") % 256).bitwiseAND(3)) === 0)
+          .select(col("l_returnflag"), year(col("l_shipdate")).as("y"),
+            ((a - b) / (a + b)).as("nd"))
+          .groupBy("l_returnflag", "y")
+          .agg(median(col("nd")).as("med_nd"), count(lit(1)).as("n_obs"))
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n_years"),
+            sum(col("n_obs")).as("n_obs"),
+            d6(avg(col("med_nd"))).as("mean_yearly_median"))
+          .orderBy("l_returnflag")
+      }),
+
     // Geomedian composite per label (Roberts et al. 2017) — iterative
     // Weiszfeld, not SQL-expressible; property-tested in GeomedianSpec.
     Q("eo_geomedian", None,

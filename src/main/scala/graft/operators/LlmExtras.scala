@@ -23,17 +23,6 @@ object LlmExtras {
     T.documents(s, d)
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
 
-  private def decFold(arr: Column): Column =
-    aggregate(arr, lit(0d).cast(Dec28_14), (acc, x) => (acc + x).cast(Dec28_14))
-
-  private def cosParts(ea: Column, eb: Column): (Column, Column, Column) = (
-    decFold(zip_with(ea, eb,
-      (x, y) => (x.cast("double") * y.cast("double")).cast(Dec28_14))).cast("double"),
-    decFold(transform(ea,
-      x => (x.cast("double") * x.cast("double")).cast(Dec28_14))).cast("double"),
-    decFold(transform(eb,
-      x => (x.cast("double") * x.cast("double")).cast(Dec28_14))).cast("double"))
-
   val all: Seq[Q] = Seq(
 
     // SimHash-32: crc32(token) per distinct token; each bit position
@@ -188,13 +177,18 @@ object LlmExtras {
           .groupBy("vec_id")
           .agg(sum(when(col("proj") > 0,
             expr("shiftleft(CAST(1 AS BIGINT), plane)")).otherwise(0L)).as("bucket"))
+        graft.functions.VectorExprs.register(s)
+        import graft.functions.VectorExprs.dot
         val e = T.embeddings(s, d).join(sigs, "vec_id")
         val q = e.where(col("vec_id") === 0)
           .select(col("bucket").as("qbucket"), col("embedding").as("qe"))
-        val (dot, na, nb) = cosParts(col("embedding"), col("qe"))
+        val (dotc, na, nb) = (
+          dot(col("embedding"), col("qe")),
+          dot(col("embedding"), col("embedding")),
+          dot(col("qe"), col("qe")))
         e.where(col("vec_id") =!= 0)
           .join(broadcast(q), col("bucket") === col("qbucket"))
-          .withColumn("cos_raw", dot / (sqrt(na) * sqrt(nb)))
+          .withColumn("cos_raw", dotc / (sqrt(na) * sqrt(nb)))
           .orderBy(col("cos_raw").desc, col("vec_id"))
           .limit(3)
           .select(col("vec_id"), col("bucket"), d6(col("cos_raw")).as("cos_sim"))

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GeomedianAgg, GeomedianDistributed, VectorExprs}
+import graft.sources.ProductSink
+
+/** Engine-surface tests: the distributed geomedian path, the native
+  * codegen'd vector expression, and the product sink contract. */
+class EngineSpec extends SparkSpec {
+
+  test("distributed geomedian matches the Aggregator within tolerance") {
+    val df = Tables.embeddings(spark, sfDir)
+    val dist = GeomedianDistributed.geomedian(df, "label", "embedding")
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val gm = udaf(new GeomedianAgg())
+    val agg = df.groupBy("label")
+      .agg(gm(col("embedding")).as("gmed"))
+      .collect().map(r => r.getInt(0).toString -> r.getSeq[Double](1)).toMap
+    assert(dist.keySet == agg.keySet)
+    dist.foreach { case (g, v) =>
+      v.zip(agg(g)).foreach { case (a, b) =>
+        // different iteration counts (15 vs 20) and start order: loose bound
+        assert(math.abs(a - b) < 1e-3, s"label $g: $a vs $b")
+      }
+    }
+  }
+
+  test("graft_dot equals the higher-order-function fold") {
+    VectorExprs.register(spark)
+    val e = Tables.embeddings(spark, sfDir).limit(50)
+    val rows = e.select(
+        VectorExprs.dot(col("embedding"), col("embedding")).as("native"),
+        aggregate(
+          zip_with(col("embedding"), col("embedding"),
+            (x, y) => x.cast("double") * y.cast("double")),
+          lit(0d), (acc, x) => acc + x).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9)
+    }
+  }
+
+  test("graft_dot is registered by GraftExtensions for SQL use") {
+    VectorExprs.register(spark)
+    Tables.embeddings(spark, sfDir).limit(5).createOrReplaceTempView("emb_t")
+    val n = spark.sql("SELECT graft_dot(embedding, embedding) AS d FROM emb_t")
+      .where(col("d") > 0).count()
+    assert(n == 5)
+  }
+
+  test("graft_dot rejects non-float-array inputs") {
+    VectorExprs.register(spark)
+    Tables.documents(spark, sfDir).limit(1).createOrReplaceTempView("doc_t")
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_dot(text, text) FROM doc_t").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("graft_dot") ||
+      err.getMessage.toLowerCase.contains("datatype"))
+  }
+
+  test("product sink round-trips with partition pruning") {
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val product = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), (col("user_id") % 5).as("tile"))
+      .agg(count(lit(1)).as("n"))
+    val m = ProductSink.write(product, "event_counts", out, Seq("event_type"))
+    assert(m.rows == product.count())
+    assert(new java.io.File(s"$out/event_counts/manifest.json").exists())
+
+    val back = ProductSink.read(spark, out, "event_counts")
+      .where(col("event_type") === "click")
+    // partition filter must prune at the file source, not post-scan
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"),
+      s"no partition pruning in plan:\n$plan")
+    assert(back.count() > 0)
+  }
+
+  test("csv and json round-trip through spark.read (non-graded source formats)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    val src = Tables.nation(spark, sfDir)
+    src.write.mode("overwrite").option("header", "true").csv(s"$tmp/nation_csv")
+    src.write.mode("overwrite").json(s"$tmp/nation_json")
+    val csv = spark.read.option("header", "true").schema(Tables.nationSchema)
+      .csv(s"$tmp/nation_csv")
+    val json = spark.read.schema(Tables.nationSchema).json(s"$tmp/nation_json")
+    assert(csv.count() == 25 && json.count() == 25)
+    assert(csv.orderBy("n_nationkey").collect().toSeq ==
+      src.orderBy("n_nationkey").collect().toSeq)
+  }
+}
