@@ -15,6 +15,7 @@ object SparkEntry {
       operators.Llm.all ++
       operators.LlmExtras.all ++
       operators.Multimodal.all ++
+      operators.SqlSurface.all ++
       functions.Scalars.all ++
       functions.Udfs.all ++
       streaming.StreamTwins.all

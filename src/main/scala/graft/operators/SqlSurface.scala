@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.{Q, Tables => T}
+
+/** The `spark.sql` entry point over registered views — the reference's ad
+  * hoc SQL/notebook surface. These keys exercise Catalyst features only the
+  * SQL path reaches naturally: correlated EXISTS/IN decorrelation (rewritten
+  * to semi joins), scalar subqueries, and CTE reuse. Oracle SQL is the
+  * *same* portable statement, so these double as dialect-compat proof.
+  */
+object SqlSurface {
+
+  /** Register the corpus tables as temp views (the session-catalog analogue
+    * of the ODC index). Idempotent per session+dir. */
+  def registerViews(s: SparkSession, d: String): Unit =
+    Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "documents", "embeddings")
+      .foreach(t => T.load(s, d, t).createOrReplaceTempView(t))
+  // events is excluded: its ns->us conversion lives in Tables.events, so
+  // SQL-surface queries over raw `events` views would bypass it.
+
+  private def mk(name: String, statement: String): Q =
+    Q(name, Some(statement), (s, d) => {
+      registerViews(s, d)
+      s.sql(statement)
+    })
+
+  val all: Seq[Q] = Seq(
+
+    // Correlated EXISTS — Catalyst decorrelates to a left-semi join.
+    mk("sql_exists_subq",
+      "SELECT o_orderkey FROM orders o WHERE EXISTS (" +
+        "SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey " +
+        "AND l.l_discount > 0.09) ORDER BY o_orderkey"),
+
+    // IN subquery with its own aggregation.
+    mk("sql_in_subq",
+      "SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey IN (" +
+        "SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15) " +
+        "ORDER BY c_custkey"),
+
+    // Scalar subquery in a predicate (single-row aggregate broadcast).
+    mk("sql_scalar_subq",
+      "SELECT o_orderkey, CAST(ROUND(o_totalprice, 6) AS DECIMAL(38,6)) AS price " +
+        "FROM orders WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders) " +
+        "ORDER BY o_orderkey"),
+
+    // CTE referenced twice — plan-level reuse of the aggregated subtree.
+    mk("sql_cte_reuse",
+      "WITH seg AS (SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM customer GROUP BY c_mktsegment) " +
+        "SELECT a.seg AS seg1, b.seg AS seg2, a.n + b.n AS combined " +
+        "FROM seg a JOIN seg b ON a.n < b.n " +
+        "ORDER BY seg1, seg2"))
+}

@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The ODC-index analogue (SURVEY §2.1 row 1, §8.4 mapping): dataset
+  * documents — one JSON per ingested scene with product, tile, acquisition
+  * time, payload path, free-form properties — parsed into a typed catalog
+  * DataFrame that spatial/temporal queries prune BEFORE any payload I/O.
+  *
+  * The reference resolves `dc.load(product, time=(a,b), extent)` through a
+  * PostgreSQL index; here the same query is a filter on this catalog (at
+  * scale: a parquet table partitioned by product/time, so catalog queries
+  * are themselves partition-pruned scans), followed by a join to the data.
+  */
+object SceneCatalog {
+
+  val documentSchema: StructType = StructType(Seq(
+    StructField("product", StringType),
+    StructField("tile_x", IntegerType),
+    StructField("tile_y", IntegerType),
+    StructField("time", TimestampType),
+    StructField("path", StringType),
+    StructField("props", MapType(StringType, StringType))))
+
+  /** Parse raw dataset-document JSON strings into the catalog. Documents
+    * that fail to parse surface as all-null rows -> filtered, counted by
+    * the caller if ingest QA wants them. */
+  def parse(docs: Dataset[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.toDF("doc")
+      .select(from_json(col("doc"), documentSchema).as("d"))
+      .select(col("d.*"))
+      .where(col("product").isNotNull)
+  }
+
+  /** The dc.load-shaped index query: product + time range + tile bounding
+    * box -> matching scenes, pruned in the catalog scan. */
+  def query(
+      catalog: DataFrame,
+      product: String,
+      timeFrom: String,
+      timeTo: String,
+      bbox: (Int, Int, Int, Int)): DataFrame = {
+    val (x0, y0, x1, y1) = bbox
+    catalog
+      .where(col("product") === product)
+      .where(col("time") >= lit(timeFrom).cast("timestamp") &&
+        col("time") < lit(timeTo).cast("timestamp"))
+      .where(col("tile_x").between(x0, x1) && col("tile_y").between(y0, y1))
+  }
+
+  /** Group scenes into solar-day observation groups (the reference's
+    * `group_by="solar_day"` load semantics): one row per (tile, day). */
+  def groupBySolarDay(scenes: DataFrame): DataFrame =
+    scenes
+      .groupBy(col("tile_x"), col("tile_y"), to_date(col("time")).as("day"))
+      .agg(
+        count(lit(1)).as("n_scenes"),
+        sort_array(collect_list(col("path"))).as("paths"))
+
+  /** Demo catalog synthesized from the corpus (no scene fixtures exist):
+    * events become "scenes" — deterministic, used by SceneCatalogSpec. */
+  def demoDocs(spark: SparkSession, d: String): Dataset[String] = {
+    import spark.implicits._
+    graft.Tables.events(spark, d)
+      .select(concat(
+        lit("""{"product": "ndvi_"""), col("event_type"),
+        lit("""", "tile_x": """), (col("user_id") % 8).cast("string"),
+        lit(""", "tile_y": """), (col("user_id") % 5).cast("string"),
+        lit(""", "time": """"), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+        lit("""", "path": "s3://scenes/"""), col("event_id").cast("string"),
+        lit(""".tif", "props": {"k": """"), get_json_object(col("props"), "$.k"),
+        lit(""""}}""")).as("doc"))
+      .as[String]
+  }
+}

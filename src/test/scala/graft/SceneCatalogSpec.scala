@@ -1,0 +1,50 @@
+package graft
+
+import graft.sources.SceneCatalog
+
+/** The ODC-index analogue: JSON dataset documents -> typed catalog ->
+  * pruned dc.load-shaped queries -> solar-day grouping. */
+class SceneCatalogSpec extends SparkSpec {
+
+  private lazy val catalog =
+    SceneCatalog.parse(SceneCatalog.demoDocs(spark, sfDir)).cache()
+
+  test("parses dataset documents into the typed catalog") {
+    assert(catalog.count() == 1000)
+    assert(catalog.schema("time").dataType.typeName == "timestamp")
+    assert(catalog.schema("props").dataType.typeName.startsWith("map"))
+  }
+
+  test("malformed documents become null rows and are dropped") {
+    import spark.implicits._
+    val mixed = spark.createDataset(Seq(
+      """{"product": "p1", "tile_x": 1, "tile_y": 2, "time": "2024-01-01 00:00:00", "path": "a", "props": {}}""",
+      """not json at all"""))
+    assert(SceneCatalog.parse(mixed).count() == 1)
+  }
+
+  test("dc.load-shaped query prunes by product, time and bbox") {
+    val scenes = SceneCatalog.query(catalog,
+      "ndvi_click", "2024-01-05", "2024-01-20", (0, 0, 3, 3))
+    val rows = scenes.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("product") == "ndvi_click"))
+    assert(rows.forall(r => r.getAs[Int]("tile_x") <= 3 && r.getAs[Int]("tile_y") <= 3))
+    // predicate must reach the filter, catalog-side, not post-collect
+    val plan = scenes.queryExecution.optimizedPlan.toString
+    assert(plan.contains("ndvi_click"))
+  }
+
+  test("solar-day grouping yields one row per (tile, day) with sorted paths") {
+    val grouped = SceneCatalog.groupBySolarDay(
+      SceneCatalog.query(catalog, "ndvi_view", "2024-01-01", "2024-02-01", (0, 0, 7, 4)))
+    val rows = grouped.collect()
+    assert(rows.nonEmpty)
+    val keys = rows.map(r => (r.getInt(0), r.getInt(1), r.getDate(2).toString))
+    assert(keys.distinct.length == keys.length)
+    rows.foreach { r =>
+      val paths = r.getSeq[String](4)
+      assert(paths == paths.sorted)
+    }
+  }
+}
