@@ -132,6 +132,37 @@ object Aggregates {
           .select("r_name", "n_name", "gid", "n_cust")
           .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first, col("gid"))),
 
+    // Pivot: linestatus becomes columns (reference analogue: per-band
+    // columns out of a long (pixel, band, value) layout). Pivot values are
+    // declared, not discovered — no extra distinct pass, stable schema.
+    Q("agg_pivot", Some(
+      "SELECT l_returnflag, " +
+        "SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END AS DECIMAL(28,10))) AS F, " +
+        "SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END AS DECIMAL(28,10))) AS O " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+      (s, d) =>
+        T.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(sum(col("l_quantity").cast(Dec28_10)))
+          .na.fill(0.0)
+          .orderBy("l_returnflag")),
+
+    // Unpivot/melt: wide -> long (the inverse raster layout move).
+    Q("agg_unpivot", Some(
+      "SELECT o_orderkey, metric, CAST(ROUND(v, 6) AS DECIMAL(38,6)) AS v FROM (" +
+        "SELECT o_orderkey, 'price' AS metric, o_totalprice AS v FROM orders " +
+        "UNION ALL SELECT o_orderkey, 'key100' AS metric, CAST(o_custkey * 100 AS DOUBLE) AS v FROM orders) u " +
+        "ORDER BY o_orderkey, metric"),
+      (s, d) =>
+        T.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            (col("o_custkey") * 100).cast("double").as("key100"))
+          .unpivot(Array(col("o_orderkey")), Array(col("price"), col("key100")),
+            "metric", "v")
+          .select(col("o_orderkey"), col("metric"), d6(col("v")).as("v"))
+          .orderBy("o_orderkey", "metric")),
+
     Q("agg_filtered", Some(
       "SELECT l_returnflag, " +
         "SUM(CAST(CASE WHEN l_discount > 0.05 THEN l_quantity ELSE 0 END AS DECIMAL(28,10))) AS qty_highdisc, " +

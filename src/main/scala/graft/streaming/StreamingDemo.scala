@@ -75,10 +75,19 @@ object StreamingDemo {
     val q3 = running.writeStream.format("memory").queryName("demo_runtotal")
       .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
 
-    Seq(q1, q2, q3).foreach(_.awaitTermination(120000))
+    // 4) session windows (30-min gap), the streaming shape of stream_session
+    val sess = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val q4 = sess.writeStream.format("memory").queryName("demo_session")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+
+    Seq(q1, q2, q3, q4).foreach(_.awaitTermination(120000))
     println(s"demo_tumble rows:   ${spark.table("demo_tumble").count()}")
     println(s"demo_dedup rows:    ${spark.table("demo_dedup").count()}")
     println(s"demo_runtotal rows: ${spark.table("demo_runtotal").count()}")
+    println(s"demo_session rows:  ${spark.table("demo_session").count()}")
     spark.stop()
   }
 }

@@ -77,6 +77,32 @@ class EngineSpec extends SparkSpec {
     assert(back.count() > 0)
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    // warehouse dir is a static conf, set in SparkSpec's builder
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.orders(spark, sfDir).write.mode("overwrite")
+        .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("orders_bkt")
+      Tables.lineitem(spark, sfDir).write.mode("overwrite")
+        .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("lineitem_bkt")
+      val joined = spark.table("lineitem_bkt")
+        .join(spark.table("orders_bkt"),
+          org.apache.spark.sql.functions.col("l_orderkey") ===
+            org.apache.spark.sql.functions.col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // co-bucketed layout: sort-merge join with ZERO shuffle exchanges
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == 6000)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("csv and json round-trip through spark.read (non-graded source formats)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_fmt").toString
     val src = Tables.nation(spark, sfDir)
