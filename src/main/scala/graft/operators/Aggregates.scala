@@ -210,6 +210,19 @@ object Aggregates {
             d6(percentile(col("l_quantity"), lit(0.75))).as("q75"))
           .orderBy("l_returnflag")),
 
+    // approx_percentile — the bounded-memory sketch the exact
+    // median/percentile keys fall back to when a single group outgrows its
+    // sort buffer (SCALING.md). Approximate -> no oracle; accuracy vs the
+    // exact percentile is asserted in SketchSpec.
+    Q("agg_approx_pct", None,
+      (s, d) =>
+        T.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50_approx"),
+            expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("p95_approx"))
+          .orderBy("l_returnflag")),
+
     Q("agg_listagg", Some(
       "SELECT n_name, STRING_AGG(c_name, ',' ORDER BY c_name) AS names " +
         "FROM customer JOIN nation ON c_nationkey = n_nationkey " +

@@ -18,11 +18,11 @@ import Det._
   *    100 TB scale the dictionary no longer fits one word — the scale path
   *    is `llm_minhash` (LSH banding: candidates only within equal band
   *    buckets, linear in corpus + bucket collisions).
-  *  - Cosine top-k broadcasts the single query vector; the per-row dot
-  *    product is a codegen'd higher-order-function fold with exact decimal
-  *    accumulation. The IVF-style scale path for many queries is the
-  *    centroid assignment of `llm_knn_centroid` reused as a router (probe
-  *    only the nearest cells).
+  *  - Cosine top-k broadcasts the query positions; dot products accumulate
+  *    as scaled 64-bit integers (FLOOR(x*y*1e14+0.5) long sums — exact,
+  *    order-free, whole-stage codegen'd). The IVF-style scale path for many
+  *    queries is the centroid assignment of `llm_knn_centroid` reused as a
+  *    router (probe only the nearest cells).
   */
 object Llm {
 
@@ -130,50 +130,54 @@ object Llm {
         pairs.orderBy("d1", "d2")
       }),
 
-    // Brute-force cosine top-10 vs the query vector (vec_id=0); exact
-    // decimal fold keeps the dot product order-free on both engines.
+    // Brute-force cosine top-10 vs the query vector (vec_id=0).
+    // Scaled-integer accumulation (FLOOR(x*y*1e14+0.5) -> long sums): the
+    // per-term double math is bit-identical in both engines and the long
+    // sum is exact, order-free, and codegen'd (same pattern as
+    // llm_embed_neardup; the interpreted decimal fold cost seconds).
     Q("llm_cosine_topk", Some(
       "WITH ux AS (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x, " +
         "UNNEST(RANGE(1, LEN(embedding) + 1)) AS i FROM embeddings), " +
         "q AS (SELECT i, x FROM ux WHERE vec_id = 0), " +
-        "dots AS (SELECT u.vec_id, SUM(CAST(u.x * q.x AS DECIMAL(28,14))) AS dot, " +
-        "SUM(CAST(u.x * u.x AS DECIMAL(28,14))) AS na FROM ux u JOIN q ON u.i = q.i " +
-        "WHERE u.vec_id <> 0 GROUP BY u.vec_id), " +
-        "nb AS (SELECT SUM(CAST(x * x AS DECIMAL(28,14))) AS v FROM q) " +
-        "SELECT vec_id, CAST(ROUND(CAST(dot AS DOUBLE) / " +
-        "(SQRT(CAST(na AS DOUBLE)) * SQRT(CAST((SELECT v FROM nb) AS DOUBLE))), 6) AS DECIMAL(38,6)) AS cos_sim " +
-        "FROM dots ORDER BY CAST(dot AS DOUBLE) / " +
-        "(SQRT(CAST(na AS DOUBLE)) * SQRT(CAST((SELECT v FROM nb) AS DOUBLE))) DESC, vec_id LIMIT 10"),
+        "dots AS (SELECT u.vec_id, " +
+        "CAST(SUM(CAST(FLOOR(u.x * q.x * 1e14 + 0.5) AS BIGINT)) AS BIGINT) AS dotl, " +
+        "CAST(SUM(CAST(FLOOR(u.x * u.x * 1e14 + 0.5) AS BIGINT)) AS BIGINT) AS nal " +
+        "FROM ux u JOIN q ON u.i = q.i WHERE u.vec_id <> 0 GROUP BY u.vec_id), " +
+        "nb AS (SELECT CAST(SUM(CAST(FLOOR(x * x * 1e14 + 0.5) AS BIGINT)) AS BIGINT) AS v FROM q), " +
+        "cos AS (SELECT vec_id, (CAST(dotl AS DOUBLE) / 1e14) / " +
+        "(SQRT(CAST(nal AS DOUBLE) / 1e14) * SQRT(CAST((SELECT v FROM nb) AS DOUBLE) / 1e14)) AS c " +
+        "FROM dots) " +
+        "SELECT vec_id, CAST(ROUND(c, 6) AS DECIMAL(38,6)) AS cos_sim FROM cos " +
+        "ORDER BY c DESC, vec_id LIMIT 10"),
       (s, d) => {
-        val e = T.embeddings(s, d)
-        val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
-        def decFold(arr: Column): Column =
-          aggregate(arr, lit(0d).cast(Det.Dec28_14),
-            (acc, x) => (acc + x).cast(Det.Dec28_14))
-        val prod = zip_with(col("embedding"), col("qe"),
-          (x, y) => (x.cast("double") * y.cast("double")).cast(Det.Dec28_14))
-        val self = transform(col("embedding"),
-          x => (x.cast("double") * x.cast("double")).cast(Det.Dec28_14))
-        val qself = transform(col("qe"),
-          x => (x.cast("double") * x.cast("double")).cast(Det.Dec28_14))
-        val cos = decFold(prod).cast("double") /
-          (sqrt(decFold(self).cast("double")) * sqrt(decFold(qself).cast("double")))
-        e.where(col("vec_id") =!= 0)
-          .crossJoin(broadcast(q))
-          .withColumn("cos_raw", cos)
-          .orderBy(col("cos_raw").desc, col("vec_id"))
+        val ux = T.embeddings(s, d)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xf")))
+          .withColumn("x", col("xf").cast("double")).drop("xf")
+        val q = ux.where(col("vec_id") === 0).select(col("i"), col("x").as("qx"))
+        val dots = ux.where(col("vec_id") =!= 0)
+          .join(broadcast(q), "i")
+          .groupBy("vec_id")
+          .agg(
+            sum(floor(col("x") * col("qx") * lit(1e14) + lit(0.5))).as("dotl"),
+            sum(floor(col("x") * col("x") * lit(1e14) + lit(0.5))).as("nal"))
+        val nb = q.agg(sum(floor(col("qx") * col("qx") * lit(1e14) + lit(0.5))).as("v"))
+        val cos = (col("dotl").cast("double") / lit(1e14)) /
+          (sqrt(col("nal").cast("double") / lit(1e14)) * sqrt(col("v").cast("double") / lit(1e14)))
+        dots.crossJoin(broadcast(nb))
+          .withColumn("c", cos)
+          .orderBy(col("c").desc, col("vec_id"))
           .limit(10)
-          .select(col("vec_id"), d6(col("cos_raw")).as("cos_sim"))
+          .select(col("vec_id"), d6(col("c")).as("cos_sim"))
       }),
 
     // Per-label mean vector -> nearest-centroid assignment -> confusion
-    // counts. Fully relational (posexplode layout) so dimensionality and
-    // label count scale without widening any single row.
+    // counts. Fully relational (posexplode layout); distances accumulate as
+    // scaled integers (exact, order-free, codegen'd).
     Q("llm_knn_centroid", Some(
       "WITH ux AS (" + vecPosSql + "), " +
         "cent AS (SELECT label AS clabel, pos, ROUND(AVG(x), 6) AS c FROM ux GROUP BY clabel, pos), " +
         "dist AS (SELECT u.vec_id, u.label, c.clabel, " +
-        "SUM(CAST((u.x - c.c) * (u.x - c.c) AS DECIMAL(28,14))) AS d2 " +
+        "CAST(SUM(CAST(FLOOR((u.x - c.c) * (u.x - c.c) * 1e14 + 0.5) AS BIGINT)) AS BIGINT) AS d2 " +
         "FROM ux u JOIN cent c ON u.pos = c.pos GROUP BY u.vec_id, u.label, c.clabel), " +
         "best AS (SELECT vec_id, label, clabel, " +
         "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn FROM dist) " +
@@ -185,7 +189,8 @@ object Llm {
           .agg(round(avg(col("x")), 6).as("c"))
         val dist = ux.join(broadcast(cent), "pos")
           .groupBy(col("vec_id"), col("label"), col("clabel"))
-          .agg(sum(((col("x") - col("c")) * (col("x") - col("c"))).cast(Det.Dec28_14)).as("d2"))
+          .agg(sum(floor((col("x") - col("c")) * (col("x") - col("c")) * lit(1e14)
+            + lit(0.5))).as("d2"))
         val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("clabel"))
         dist.withColumn("rn", row_number().over(w))
           .where(col("rn") === 1)

@@ -108,11 +108,15 @@ class EngineSpec extends SparkSpec {
     val src = Tables.nation(spark, sfDir)
     src.write.mode("overwrite").option("header", "true").csv(s"$tmp/nation_csv")
     src.write.mode("overwrite").json(s"$tmp/nation_json")
+    src.write.mode("overwrite").orc(s"$tmp/nation_orc")
     val csv = spark.read.option("header", "true").schema(Tables.nationSchema)
       .csv(s"$tmp/nation_csv")
     val json = spark.read.schema(Tables.nationSchema).json(s"$tmp/nation_json")
-    assert(csv.count() == 25 && json.count() == 25)
+    val orc = spark.read.schema(Tables.nationSchema).orc(s"$tmp/nation_orc")
+    assert(csv.count() == 25 && json.count() == 25 && orc.count() == 25)
     assert(csv.orderBy("n_nationkey").collect().toSeq ==
+      src.orderBy("n_nationkey").collect().toSeq)
+    assert(orc.orderBy("n_nationkey").collect().toSeq ==
       src.orderBy("n_nationkey").collect().toSeq)
   }
 }

@@ -53,6 +53,39 @@ class SketchSpec extends SparkSpec {
     assert(sims.sameElements(sims.sorted.reverse), "not ranked desc")
   }
 
+  test("agg_approx_pct within 2% of exact percentiles") {
+    val approx = SparkEntry.queries("agg_approx_pct")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        org.apache.spark.sql.functions.percentile(
+          org.apache.spark.sql.functions.col("l_extendedprice"),
+          org.apache.spark.sql.functions.lit(0.5)).as("p50"),
+        org.apache.spark.sql.functions.percentile(
+          org.apache.spark.sql.functions.col("l_extendedprice"),
+          org.apache.spark.sql.functions.lit(0.95)).as("p95"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (p50, p95)) =>
+      assert(math.abs(approx(k)._1 - p50) / p50 <= 0.02)
+      assert(math.abs(approx(k)._2 - p95) / p95 <= 0.02)
+    }
+  }
+
+  test("salted join preserves join semantics while spreading hot keys") {
+    import org.apache.spark.sql.functions._
+    val facts = Tables.lineitem(spark, sfDir)
+    val dim = Tables.supplier(spark, sfDir)
+    val plain = facts.join(dim, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = graft.operators.Skew
+      .saltedEquiJoin(facts, dim, "l_suppkey", "s_suppkey", "l_orderkey", 8)
+      .groupBy("s_name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
   test("queries are deterministic across runs") {
     for (key <- Seq("llm_minhash", "llm_simhash", "eo_geomedian", "mm_decode_features")) {
       val a = SparkEntry.queries(key)(spark, sfDir).collect().toSeq
