@@ -141,6 +141,53 @@ object EO {
             dsum(col("value")).as("sum_val"))
           .orderBy("n_name")),
 
+    // Max-NDVI mosaic: per pixel-group, keep the observation with the
+    // highest index value (the reference's max-NDVI composite product) —
+    // argmax via window, ties broken by event_id.
+    Q("eo_composite_maxndvi", Some(
+      "SELECT user_id, event_id, CAST(ROUND(value, 6) AS DECIMAL(38,6)) AS best_val FROM (" +
+        "SELECT user_id, event_id, value, ROW_NUMBER() OVER (" +
+        "PARTITION BY user_id ORDER BY value DESC, event_id) AS rn FROM events) x " +
+        "WHERE rn = 1 ORDER BY user_id"),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+        T.events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("event_id"), d6(col("value")).as("best_val"))
+          .orderBy("user_id")
+      }),
+
+    // Water-permanency statistics (WOfS summary product): per pixel-group,
+    // the share of observations classified wet, over all clear obs.
+    Q("eo_water_permanency", Some(
+      "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_obs, " +
+        "CAST(SUM(CASE WHEN value > 250 THEN 1 ELSE 0 END) AS BIGINT) AS n_wet, " +
+        "CAST(ROUND(CAST(SUM(CASE WHEN value > 250 THEN 1 ELSE 0 END) AS DOUBLE) " +
+        "/ CAST(COUNT(*) AS DOUBLE), 6) AS DECIMAL(38,6)) AS pct_wet " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
+      (s, d) =>
+        T.events(s, d)
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_obs"),
+            sum(when(col("value") > 250, 1).otherwise(0)).cast("bigint").as("n_wet"),
+            d6(sum(when(col("value") > 250, 1).otherwise(0)).cast("double")
+              / count(lit(1)).cast("double")).as("pct_wet"))
+          .orderBy("user_id")),
+
+    // Two-endmember linear unmixing (fractional-cover product family):
+    // closed-form fraction clamp((x - e0) / (e1 - e0), 0, 1).
+    Q("eo_unmix", Some(
+      "SELECT event_id, CAST(ROUND(LEAST(GREATEST((value - 50.0) / (400.0 - 50.0), 0.0), 1.0), 6) " +
+        "AS DECIMAL(38,6)) AS veg_fraction FROM events ORDER BY event_id"),
+      (s, d) =>
+        T.events(s, d)
+          .select(col("event_id"),
+            d6(least(greatest((col("value") - 50.0) / (400.0 - 50.0), lit(0.0)), lit(1.0)))
+              .as("veg_fraction"))
+          .orderBy("event_id")),
+
     // End-to-end product generation in ONE Catalyst plan — the reference's
     // per-product worker shape (SURVEY §1): QA-mask -> band math ->
     // temporal composite -> per-zone summary. No intermediate

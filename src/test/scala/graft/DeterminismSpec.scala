@@ -15,4 +15,20 @@ class DeterminismSpec extends SparkSpec {
     }
     assert(flaky.isEmpty, s"nondeterministic keys: $flaky")
   }
+
+  test("aggregate keys are invariant to the shuffle partition count") {
+    // Merge-order-free design (Det scaladoc): results must not move when
+    // partial-aggregation topology changes. 4 -> 17 partitions.
+    val keys = Seq("agg_group", "agg_global", "agg_stats", "win_runsum",
+      "llm_cosine_topk", "eo_zonal_stats", "udaf_weighted")
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val base = keys.map(k => k -> SparkEntry.queries(k)(spark, sfDir).collect().toSeq).toMap
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "17")
+      keys.foreach { k =>
+        val alt = SparkEntry.queries(k)(spark, sfDir).collect().toSeq
+        assert(alt == base(k), s"$k changed under different partitioning")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
 }
