@@ -236,6 +236,29 @@ object Relational {
           .orderBy("purchase_id", "click_id")
       }),
 
+    // Native as-of join (graft.plans.AsOfJoinExec): same semantics as
+    // join_asof but left-outer and executed by the custom sorted-merge
+    // operator — O(n+m) per partition instead of the window formulation's
+    // O(n x priors). Graded against the equivalent portable SQL.
+    Q("join_asof_native", Some(
+      "SELECT purchase_id, click_id FROM (" +
+        "SELECT p.event_id AS purchase_id, c.event_id AS click_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC NULLS LAST, c.event_id DESC) AS rn " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p LEFT JOIN " +
+        "(SELECT * FROM events WHERE event_type = 'click') c " +
+        "ON p.user_id = c.user_id AND c.ts <= p.ts) x WHERE rn = 1 " +
+        "ORDER BY purchase_id, click_id NULLS FIRST"),
+      (s, d) => {
+        val e = T.events(s, d)
+        val p = e.where(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+        val c = e.where(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+        graft.plans.AsOf.join(p, c, "p_user", "c_user", "p_ts", "c_ts", "c_id")
+          .select(col("p_id").as("purchase_id"), col("c_id").as("click_id"))
+          .orderBy(col("purchase_id"), col("click_id").asc_nulls_first)
+      }),
+
     // As-of join: for each purchase, the latest click of the same user at or
     // before it (ties on ts broken by click id). Reference analogue: aligning
     // scene timestamps to the nearest prior observation (SURVEY §3.3).

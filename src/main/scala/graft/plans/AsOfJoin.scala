@@ -1,0 +1,152 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.{DataFrame, GraftInternal, SparkSession}
+
+/** Native AS-OF JOIN — the whole-operator custom tier of the contract
+  * (LogicalPlan + Strategy + SparkPlan, registered via extraStrategies /
+  * SparkSessionExtensions).
+  *
+  * Semantics: left-outer as-of — for every left row, the single right row
+  * with the same key and the greatest right time <= left time (ties on
+  * time broken by the largest `rightTieBreak`), or nulls when no prior
+  * right row exists.
+  *
+  * Why a custom operator (SURVEY §5.3 bar): the compositional form
+  * (inequality join + row_number + filter rn=1) materializes EVERY
+  * (left, prior-right) pair before discarding all but one — O(n × priors)
+  * rows through the window. This operator is the classic sorted-merge:
+  * both sides hash-partitioned on key and sorted by (key, time), each
+  * partition consumed ONCE with a one-row lookback — O(n + m), no
+  * intermediate blowup, no window state. At 100 TB the compositional form
+  * is quadratic-ish in events-per-entity; this is linear.
+  *
+  * Correctness gate: the `join_asof_native` key runs this operator against
+  * the same DuckDB oracle as the compositional `join_asof`.
+  */
+final case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTieBreak: Expression) extends BinaryNode {
+  // left-outer: right side nullable
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+final case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTieBreak: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKey :: Nil) :: ClusteredDistribution(rightKey :: Nil) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, org.apache.spark.sql.catalyst.expressions.Ascending),
+      SortOrder(leftTime, org.apache.spark.sql.catalyst.expressions.Ascending)),
+    Seq(SortOrder(rightKey, org.apache.spark.sql.catalyst.expressions.Ascending),
+      SortOrder(rightTime, org.apache.spark.sql.catalyst.expressions.Ascending),
+      SortOrder(rightTieBreak, org.apache.spark.sql.catalyst.expressions.Ascending)))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKeyB = BindReferences.bindReference(leftKey, left.output)
+    val lTimeB = BindReferences.bindReference(leftTime, left.output)
+    val rKeyB = BindReferences.bindReference(rightKey, right.output)
+    val rTimeB = BindReferences.bindReference(rightTime, right.output)
+    val nRight = right.output.size
+    val schema = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val nullRight = new GenericInternalRow(nRight)
+      val joined = new JoinedRow
+      val project = UnsafeProjection.create(schema.map(_.dataType).toArray)
+      // streaming merge with one-row lookback; right rows must be copied
+      // (unsafe row buffers are reused by the upstream iterator)
+      var rHead: InternalRow = if (rIter.hasNext) rIter.next().copy() else null
+      var candidate: InternalRow = null
+      var candidateKey: Long = 0L
+
+      def rKeyOf(r: InternalRow): Long = rKeyB.eval(r).asInstanceOf[Number].longValue()
+      def rTimeOf(r: InternalRow): Long = rTimeB.eval(r).asInstanceOf[Number].longValue()
+
+      lIter.map { lRow =>
+        val lk = lKeyB.eval(lRow).asInstanceOf[Number].longValue()
+        val lt = lTimeB.eval(lRow).asInstanceOf[Number].longValue()
+        // advance the right cursor through all rows usable for (lk, lt)
+        while (rHead != null &&
+          (rKeyOf(rHead) < lk || (rKeyOf(rHead) == lk && rTimeOf(rHead) <= lt))) {
+          if (rKeyOf(rHead) == lk) { candidate = rHead; candidateKey = lk }
+          rHead = if (rIter.hasNext) rIter.next().copy() else null
+        }
+        val matched = candidate != null && candidateKey == lk &&
+          rTimeOf(candidate) <= lt
+        project(joined(lRow, if (matched) candidate else nullRight))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
+    case _ => Nil
+  }
+}
+
+object AsOf {
+
+  /** Register the strategy (idempotent) and build the as-of joined frame.
+    * Key/time columns are resolved by name against each side; key and time
+    * must be integral/timestamp-backed (evaluated as long). */
+  def join(
+      leftDf: DataFrame,
+      rightDf: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightTieBreak: String): DataFrame = {
+    val spark: SparkSession = leftDf.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+    val lPlan = leftDf.queryExecution.analyzed
+    val rPlan = rightDf.queryExecution.analyzed
+    def attr(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found"))
+    GraftInternal.ofRows(spark, AsOfJoinPlan(
+      lPlan, rPlan,
+      attr(lPlan, leftKey), attr(rPlan, rightKey),
+      attr(lPlan, leftTime), attr(rPlan, rightTime),
+      attr(rPlan, rightTieBreak)))
+  }
+}
