@@ -216,6 +216,25 @@ object Scalars {
             d6(avg(col("k"))).as("avg_k"))
           .orderBy("event_type")),
 
+    // from_json with a declared schema (the job-spec parsing path, typed —
+    // vs scan_json_props' get_json_object string extraction).
+    Q("fn_from_json", Some(
+      "SELECT event_id, CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS k, " +
+        "CASE WHEN CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) >= 50 " +
+        "THEN 'high' ELSE 'low' END AS k_bucket " +
+        "FROM events ORDER BY event_id"),
+      (s, d) =>
+        T.events(s, d)
+          .withColumn("j", from_json(col("props"),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("k",
+                org.apache.spark.sql.types.IntegerType)))))
+          .select(
+            col("event_id"),
+            col("j.k").as("k"),
+            when(col("j.k") >= 50, "high").otherwise("low").as("k_bucket"))
+          .orderBy("event_id")),
+
     Q("fn_hash", Some(
       "SELECT doc_id, MD5(text) AS text_md5 FROM documents ORDER BY doc_id"),
       (s, d) =>
