@@ -261,6 +261,86 @@ object LlmExtras {
             length(regexp_replace(col("text"), "[a-z]+", "x")).cast("bigint").as("n_pieces"))
           .orderBy("doc_id")),
 
+    // PII-style redaction pass (the scrubbing step of a training-data
+    // pipeline): mask digit runs and long tokens, count replacements.
+    Q("llm_redact", Some(
+      "SELECT doc_id, REGEXP_REPLACE(REGEXP_REPLACE(text, '[0-9]+', '<NUM>', 'g'), " +
+        "'[a-z]{12,}', '<LONG>', 'g') AS redacted, " +
+        "CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits " +
+        "FROM documents ORDER BY doc_id"),
+      (s, d) =>
+        T.documents(s, d)
+          .select(
+            col("doc_id"),
+            regexp_replace(regexp_replace(col("text"), "[0-9]+", "<NUM>"),
+              "[a-z]{12,}", "<LONG>").as("redacted"),
+            (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+              .cast("bigint").as("n_digits"))
+          .orderBy("doc_id")),
+
+    // Gopher-style repetition filter: share of the document taken by its
+    // single most frequent bigram; high ratio = boilerplate/repetitive.
+    Q("llm_repetition", Some(
+      "WITH bg AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bigram " +
+        "FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents) WHERE LEN(tk) >= 2), " +
+        "cnt AS (SELECT doc_id, bigram, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY doc_id, bigram), " +
+        "tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n, MAX(c) AS top FROM cnt " +
+        "GROUP BY doc_id) " + // n = distinct bigrams; top = max count of one bigram
+        "SELECT t.doc_id, t.top AS top_bigram_count, s.nb AS n_bigrams, " +
+        "CAST(ROUND(CAST(t.top AS DOUBLE) / CAST(s.nb AS DOUBLE), 6) AS DECIMAL(38,6)) AS rep_ratio, " +
+        "CASE WHEN CAST(t.top AS DOUBLE) / CAST(s.nb AS DOUBLE) > 0.2 THEN 1 ELSE 0 END AS flag_repetitive " +
+        "FROM tot t JOIN (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nb FROM bg GROUP BY doc_id) s " +
+        "ON t.doc_id = s.doc_id ORDER BY t.doc_id"),
+      (s, d) => {
+        val bg = T.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("tk"))
+          .where(size(col("tk")) >= 2)
+          .select(col("doc_id"),
+            explode(transform(
+              sequence(lit(1), size(col("tk")) - 1),
+              i => concat(element_at(col("tk"), i), lit(" "), element_at(col("tk"), i + 1))))
+              .as("bigram"))
+        val cnt = bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+        val tot = cnt.groupBy("doc_id").agg(max(col("c")).as("top"))
+        val nb = bg.groupBy("doc_id").agg(count(lit(1)).as("nb"))
+        val ratio = col("top").cast("double") / col("nb").cast("double")
+        tot.join(nb, "doc_id")
+          .select(
+            col("doc_id"), col("top").as("top_bigram_count"), col("nb").as("n_bigrams"),
+            d6(ratio).as("rep_ratio"),
+            when(ratio > 0.2, 1).otherwise(0).as("flag_repetitive"))
+          .orderBy("doc_id")
+      }),
+
+    // Cross-document chunk dedup: 10-token chunks (udtf_sentences shape)
+    // repeated across documents, with the canonical (smallest) location —
+    // paragraph-level dedup of the training-data funnel.
+    Q("llm_chunk_dedup", Some(
+      "WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents), " +
+        "chunks AS (SELECT doc_id, ARRAY_TO_STRING(LIST_SLICE(toks, i * 10 + 1, i * 10 + 10), ' ') AS chunk " +
+        "FROM t, (SELECT UNNEST(RANGE(0, 1000)) AS i) idx WHERE i * 10 < LEN(toks)) " +
+        "SELECT MD5(chunk) AS chunk_hash, CAST(COUNT(*) AS BIGINT) AS occurrences, " +
+        "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, MIN(doc_id) AS canonical_doc " +
+        "FROM chunks GROUP BY chunk_hash HAVING COUNT(*) > 1 " +
+        "ORDER BY chunk_hash"),
+      (s, d) => {
+        import s.implicits._
+        T.documents(s, d)
+          .select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .flatMap { case (id, text) =>
+            text.split(' ').grouped(10).map(c => (id, c.mkString(" ")))
+          }
+          .toDF("doc_id", "chunk")
+          .groupBy(md5(col("chunk")).as("chunk_hash"))
+          .agg(
+            count(lit(1)).as("occurrences"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            min(col("doc_id")).as("canonical_doc"))
+          .where(col("occurrences") > 1)
+          .orderBy("chunk_hash")
+      }),
+
     // Content-defined fingerprint: md5 over the sorted distinct token set —
     // order-insensitive (catches shuffled near-dups that exact dedup misses).
     Q("llm_fingerprint", Some(
