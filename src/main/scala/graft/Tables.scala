@@ -116,6 +116,12 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  /** NOTE: sets `spark.sql.legacy.parquet.nanosAsLong` on the session
+    * (required to read the INT64(NANOS) column; sticky session-wide — any
+    * later ns-timestamp parquet read in the same session also sees longs).
+    * This corpus has exactly one ns column, so the trade is intentional:
+    * the loader stays self-sufficient for whichever session the driver
+    * constructs. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events")

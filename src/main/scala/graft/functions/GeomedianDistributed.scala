@@ -72,6 +72,7 @@ object GeomedianDistributed {
         .reduceGroups((a, b) => (a._1, zipAdd(a._2, b._2), a._3 + b._3))
         .map { case (g, (_, num, den)) => (g, num, den) }
         .collect()
+      bEst.destroy()
       est = updated.map { case (g, num, den) =>
         // den == 0 => every point coincides with the estimate; keep it
         g -> (if (den == 0.0) est(g) else num.map(_ / den).toArray)

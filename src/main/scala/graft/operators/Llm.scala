@@ -34,16 +34,24 @@ object Llm {
         explode(array_distinct(split(col("text"), " "))).as("tok"))
     val dict = toks.select("tok").distinct()
       .withColumn("tok_id", (dense_rank().over(Window.orderBy("tok")) - 1).cast("int"))
+    // Fail LOUDLY (both engines, lazily) if the vocabulary outgrows one
+    // 63-bit word — a silent Spark shift-wrap would corrupt Jaccards and
+    // diverge from DuckDB's range-checked shift. The open-vocab paths are
+    // llm_ngram_jaccard's multiword masks and llm_minhash.
     toks.join(broadcast(dict), "tok")
       .groupBy("doc_id", "lang")
-      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), tok_id)")).as("mask"))
+      .agg(sum(expr(
+        "CASE WHEN tok_id > 62 THEN raise_error('llm_dedup_near: vocabulary " +
+          "exceeds 63 tokens; use multiword masks or llm_minhash') " +
+          "ELSE shiftleft(CAST(1 AS BIGINT), tok_id) END")).as("mask"))
   }
 
   private val docMasksSql: String =
     "WITH toks AS (SELECT doc_id, lang, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS tok FROM documents), " +
       "dict AS (SELECT tok, CAST(DENSE_RANK() OVER (ORDER BY tok) - 1 AS INT) AS tok_id " +
       "FROM (SELECT DISTINCT tok FROM toks)), " +
-      "masks AS (SELECT doc_id, lang, SUM(CAST(1 AS BIGINT) << tok_id) AS mask " +
+      "masks AS (SELECT doc_id, lang, SUM(CASE WHEN tok_id > 62 THEN ERROR('vocabulary exceeds 63 tokens') " +
+      "ELSE CAST(1 AS BIGINT) << tok_id END) AS mask " +
       "FROM toks JOIN dict USING (tok) GROUP BY doc_id, lang) "
 
   /** Per-(vec, position) exploded doubles — the relational layout for
@@ -233,12 +241,15 @@ object Llm {
       (s, d) => {
         val toks = T.documents(s, d)
           .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
-        val nDocs = T.documents(s, d).count().toDouble
+        // N as a lazy broadcast scalar — no driver-side count() at plan
+        // construction (SCALING.md principle 3)
+        val nDocs = T.documents(s, d).agg(count(lit(1)).cast("double").as("nd"))
         val tf = toks.groupBy("lang", "tok").agg(count(lit(1)).as("tf"))
         val df = toks.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
         val scored = tf.join(broadcast(df), "tok")
+          .crossJoin(broadcast(nDocs))
           .withColumn("score",
-            col("tf").cast("double") * log((lit(nDocs) + 1) / (col("df").cast("double") + 1)))
+            col("tf").cast("double") * log((col("nd") + 1) / (col("df").cast("double") + 1)))
         val w = Window.partitionBy("lang").orderBy(col("score").desc, col("tok"))
         scored.withColumn("rn", row_number().over(w))
           .where(col("rn") <= 5)
@@ -253,14 +264,7 @@ object Llm {
         "FROM (SELECT lang, STRING_SPLIT(text, ' ') AS toks FROM documents) WHERE LEN(toks) >= 2) " +
         "GROUP BY lang, bigram ORDER BY lang, bigram"),
       (s, d) =>
-        T.documents(s, d)
-          .select(col("lang"), split(col("text"), " ").as("toks"))
-          .where(size(col("toks")) >= 2)
-          .select(col("lang"),
-            explode(transform(
-              sequence(lit(1), size(col("toks")) - 1),
-              i => concat(element_at(col("toks"), i), lit(" "), element_at(col("toks"), i + 1))))
-              .as("bigram"))
+        TextOps.bigrams(T.documents(s, d), "lang")
           .groupBy("lang", "bigram")
           .agg(count(lit(1)).as("cnt"))
           .orderBy("lang", "bigram")))

@@ -74,15 +74,7 @@ object LlmExtras {
         "ORDER BY d1, d2"),
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val bigr = T.documents(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("tk"))
-          .where(size(col("tk")) >= 2)
-          .select(col("doc_id"),
-            explode(array_distinct(transform(
-              sequence(lit(1), size(col("tk")) - 1),
-              i => concat(element_at(col("tk"), i), lit(" "), element_at(col("tk"), i + 1)))))
-              .as("bigram"))
-          .distinct()
+        val bigr = TextOps.bigrams(T.documents(s, d), "doc_id").distinct()
         val dict = bigr.select("bigram").distinct()
           .withColumn("bid", (dense_rank().over(Window.orderBy("bigram")) - 1).cast("int"))
         val masks = bigr.join(broadcast(dict), "bigram")
@@ -292,14 +284,7 @@ object LlmExtras {
         "FROM tot t JOIN (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nb FROM bg GROUP BY doc_id) s " +
         "ON t.doc_id = s.doc_id ORDER BY t.doc_id"),
       (s, d) => {
-        val bg = T.documents(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("tk"))
-          .where(size(col("tk")) >= 2)
-          .select(col("doc_id"),
-            explode(transform(
-              sequence(lit(1), size(col("tk")) - 1),
-              i => concat(element_at(col("tk"), i), lit(" "), element_at(col("tk"), i + 1))))
-              .as("bigram"))
+        val bg = TextOps.bigrams(T.documents(s, d), "doc_id")
         val cnt = bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
         val tot = cnt.groupBy("doc_id").agg(max(col("c")).as("top"))
         val nb = bg.groupBy("doc_id").agg(count(lit(1)).as("nb"))

@@ -68,52 +68,42 @@ object Multimodal {
           length(col("text")).cast("int").as("n_bytes"),
           col("source").as("origin")).as("meta"))
 
+  /** payload -> feature rows via the stubbed codec, batched per
+    * partition; optionally pre-filtered on metadata only. */
+  private def features(s: SparkSession, d: String,
+      formats: Option[Seq[String]]): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(featureSchema)
+    val base = formats.fold(payloads(s, d))(f =>
+      payloads(s, d).where(col("meta.format").isin(f: _*)))
+    base
+      .select(col("doc_id"), col("payload"), col("meta.format").as("format"),
+        col("meta.n_bytes").as("n_bytes"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val format = r.getAs[String]("format")
+          val (w, h, fr, mean) = fakeDecode(payload, format)
+          Row(r.getAs[Long]("doc_id"), format, r.getAs[Int]("n_bytes"),
+            w, h, fr, mean)
+        }
+      }(enc)
+  }
+
   val all: Seq[Q] = Seq(
 
     // Decode + feature-extract over batched partitions; metadata-only
     // predicate (format filter) is applied BEFORE touching payload bytes.
     Q("mm_decode_features", None,
-      (s, d) => {
-        val enc = org.apache.spark.sql.Encoders.row(featureSchema)
-        payloads(s, d)
-          .where(col("meta.format").isin("png", "jpeg"))
-          .select(col("doc_id"), col("payload"), col("meta.format").as("format"),
-            col("meta.n_bytes").as("n_bytes"))
-          .mapPartitions { rows =>
-            // batch shape: decode loop per partition, no per-row closures
-            rows.map { r =>
-              val payload = r.getAs[Array[Byte]]("payload")
-              val format = r.getAs[String]("format")
-              val (w, h, fr, mean) = fakeDecode(payload, format)
-              Row(r.getAs[Long]("doc_id"), format, r.getAs[Int]("n_bytes"),
-                w, h, fr, mean)
-            }
-          }(enc)
-          .orderBy("doc_id")
-      }),
+      (s, d) => features(s, d, Some(Seq("png", "jpeg"))).orderBy("doc_id")),
 
     // Downstream relational consumption of extracted features: per-format
-    // size/intensity profile — pure DataFrame ops over the stub output.
+    // size/intensity profile.
     Q("mm_format_stats", None,
-      (s, d) => {
-        val enc = org.apache.spark.sql.Encoders.row(featureSchema)
-        val feats = payloads(s, d)
-          .select(col("doc_id"), col("payload"), col("meta.format").as("format"),
-            col("meta.n_bytes").as("n_bytes"))
-          .mapPartitions { rows =>
-            rows.map { r =>
-              val payload = r.getAs[Array[Byte]]("payload")
-              val format = r.getAs[String]("format")
-              val (w, h, fr, mean) = fakeDecode(payload, format)
-              Row(r.getAs[Long]("doc_id"), format, r.getAs[Int]("n_bytes"),
-                w, h, fr, mean)
-            }
-          }(enc)
-        feats.groupBy("format")
+      (s, d) =>
+        features(s, d, None).groupBy("format")
           .agg(
             count(lit(1)).as("n"),
             sum(col("n_bytes").cast("long")).as("total_bytes"),
             graft.Det.d6(avg(col("mean_intensity"))).as("avg_intensity"))
-          .orderBy("format")
-      }))
+          .orderBy("format")))
 }

@@ -90,19 +90,39 @@ final case class AsOfJoinExec(
 
       def rKeyOf(r: InternalRow): Long = rKeyB.eval(r).asInstanceOf[Number].longValue()
       def rTimeOf(r: InternalRow): Long = rTimeB.eval(r).asInstanceOf[Number].longValue()
+      // SQL comparison semantics: a null key/time can never satisfy the
+      // as-of predicate — null right rows are skipped, null left rows
+      // null-extend without consuming the cursor.
+      def rNull(r: InternalRow): Boolean =
+        rKeyB.eval(r) == null || rTimeB.eval(r) == null
+      def nextRight(): InternalRow = {
+        var n: InternalRow = null
+        while (n == null && rIter.hasNext) {
+          val c = rIter.next()
+          if (!rNull(c)) n = c.copy()
+        }
+        n
+      }
+      if (rHead != null && rNull(rHead)) rHead = nextRight()
 
       lIter.map { lRow =>
-        val lk = lKeyB.eval(lRow).asInstanceOf[Number].longValue()
-        val lt = lTimeB.eval(lRow).asInstanceOf[Number].longValue()
+        val lkRaw = lKeyB.eval(lRow)
+        val ltRaw = lTimeB.eval(lRow)
+        if (lkRaw == null || ltRaw == null) {
+          project(joined(lRow, nullRight))
+        } else {
+        val lk = lkRaw.asInstanceOf[Number].longValue()
+        val lt = ltRaw.asInstanceOf[Number].longValue()
         // advance the right cursor through all rows usable for (lk, lt)
         while (rHead != null &&
           (rKeyOf(rHead) < lk || (rKeyOf(rHead) == lk && rTimeOf(rHead) <= lt))) {
           if (rKeyOf(rHead) == lk) { candidate = rHead; candidateKey = lk }
-          rHead = if (rIter.hasNext) rIter.next().copy() else null
+          rHead = nextRight()
         }
         val matched = candidate != null && candidateKey == lk &&
           rTimeOf(candidate) <= lt
         project(joined(lRow, if (matched) candidate else nullRight))
+        }
       }
     }
   }

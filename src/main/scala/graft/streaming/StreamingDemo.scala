@@ -37,8 +37,7 @@ object StreamingDemo {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = spark.readStream
       .schema(Tables.eventsSchema)
-      .parquet(s"$sfDir")
-      .where(input_file_name().contains("events"))
+      .parquet(s"$sfDir/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
 
     // 1) watermark + tumbling window (streaming shape of stream_tumble/late)
