@@ -132,6 +132,30 @@ final case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer rule for the custom node: Catalyst cannot push predicates
+  * through a LogicalPlan it does not know, so a Filter sitting on an
+  * AsOfJoinPlan would otherwise run after the join. Conjuncts that
+  * reference only left-side output move below the join (sound for
+  * left-outer as-of: dropping a left row before or after joining is
+  * equivalent, and right rows are untouched). Right-side conjuncts must
+  * NOT be pushed — they would turn filtered-out matches into nulls. */
+object AsOfPushDown extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, a: AsOfJoinPlan) =>
+      val (leftOnly, rest) = splitConjunctivePredicates(cond)
+        .partition(_.references.subsetOf(a.left.outputSet))
+      if (leftOnly.isEmpty) f
+      else {
+        val pushed = a.copy(left = Filter(leftOnly.reduce(And), a.left))
+        rest.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb) =>
@@ -157,6 +181,10 @@ object AsOf {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+    if (!spark.experimental.extraOptimizations.contains(AsOfPushDown)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsOfPushDown
     }
     val lPlan = leftDf.queryExecution.analyzed
     val rPlan = rightDf.queryExecution.analyzed

@@ -40,6 +40,32 @@ class AsOfJoinSpec extends SparkSpec {
     assert(rows.exists(_.isNullAt(3)), "expected at least one unmatched purchase")
   }
 
+  test("left-side predicates push below the as-of join (AsOfPushDown rule)") {
+    val df = AsOf.join(purchases, clicks, "p_user", "c_user", "p_ts", "c_ts", "c_id")
+      .where(col("p_id") % 2 === 0)
+    val optimized = df.queryExecution.optimizedPlan
+    val asOf = optimized.collectFirst { case a: graft.plans.AsOfJoinPlan => a }.get
+    // the filter must sit inside the join's left child, not above the join
+    assert(asOf.left.toString.contains("p_id"),
+      s"left-side filter not pushed:\n$optimized")
+    val expect = AsOf.join(
+      purchases.where(col("p_id") % 2 === 0), clicks,
+      "p_user", "c_user", "p_ts", "c_ts", "c_id").collect().toSeq
+    assert(df.collect().toSeq == expect)
+  }
+
+  test("null left keys null-extend instead of failing") {
+    import spark.implicits._
+    val l = Seq((Some(1L), 10L, 100L), (None, 11L, 101L))
+      .toDF("lk", "lt", "l_payload")
+    val r = Seq((1L, 9L, 7L)).toDF("rk", "rt", "rid")
+    val out = AsOf.join(l, r, "lk", "rk", "lt", "rt", "rid")
+      .orderBy(col("l_payload")).collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(5) == 7L)   // matched row
+    assert(out(1).isNullAt(3))        // null-key row survives, null-extended
+  }
+
   test("tie on right time resolves to the largest tiebreak id") {
     import spark.implicits._
     val l = Seq((1L, 10L, 100L)).toDF("lk", "lt", "l_payload")
