@@ -235,6 +235,18 @@ object Scalars {
             when(col("j.k") >= 50, "high").otherwise("low").as("k_bucket"))
           .orderBy("event_id")),
 
+    // Edit distance (dedup/fuzzy-match primitive; same DP definition in
+    // both engines). Bounded operands: 30-char prefixes.
+    Q("fn_editdist", Some(
+      "SELECT doc_id, CAST(LEVENSHTEIN(SUBSTR(text, 1, 30), 'the fast key order sort table') AS INT) AS dist " +
+        "FROM documents ORDER BY doc_id"),
+      (s, d) =>
+        T.documents(s, d)
+          .select(col("doc_id"),
+            levenshtein(substring(col("text"), 1, 30),
+              lit("the fast key order sort table")).as("dist"))
+          .orderBy("doc_id")),
+
     Q("fn_hash", Some(
       "SELECT doc_id, MD5(text) AS text_md5 FROM documents ORDER BY doc_id"),
       (s, d) =>

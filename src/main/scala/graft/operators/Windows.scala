@@ -136,6 +136,20 @@ object Windows {
           .orderBy("o_custkey", "o_orderkey", "first_price", "last_price")
       }),
 
+    Q("win_nthvalue", Some(
+      "SELECT o_custkey, o_orderkey, " +
+        "CAST(ROUND(NTH_VALUE(o_totalprice, 2) OVER w, 6) AS DECIMAL(38,6)) AS second_price " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "ORDER BY o_custkey, o_orderkey, second_price NULLS FIRST"),
+      (s, d) => {
+        val w = custDateKey.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        T.orders(s, d)
+          .withColumn("second_price", d6(nth_value(col("o_totalprice"), 2).over(w)))
+          .select("o_custkey", "o_orderkey", "second_price")
+          .orderBy(col("o_custkey"), col("o_orderkey"), col("second_price").asc_nulls_first)
+      }),
+
     Q("win_pctrank", Some(
       "SELECT o_custkey, o_orderkey, " +
         "CAST(ROUND(PERCENT_RANK() OVER w, 6) AS DECIMAL(38,6)) AS pct_rk, " +
