@@ -33,11 +33,16 @@ object StreamingDemo {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    // file-stream source over the same parquet, same declared schema
+    // file-stream source needs a directory: stage the events file into a
+    // landing dir (the realistic arrival pattern), same declared schema
+    val landing = java.nio.file.Files.createTempDirectory("graft_landing")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      landing.resolve("events.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = spark.readStream
       .schema(Tables.eventsSchema)
-      .parquet(s"$sfDir/events.parquet")
+      .parquet(landing.toString)
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
 
     // 1) watermark + tumbling window (streaming shape of stream_tumble/late)
