@@ -101,7 +101,8 @@ object Llm {
           .orderBy("d1", "d2")
       }),
 
-    // MinHash-LSH candidate generation (4 bands x 4 hashes). The per-seed
+    // MinHash-LSH candidate generation (4 bands x 4 hashes; Broder 1997,
+    // "On the resemblance and containment of documents"). The per-seed
     // hash depends only on (seed, token), so the signature pass joins a
     // broadcast (token -> 16 hashes) dictionary and reduces with 16
     // columnar partial MINs — one small shuffle, no token x seed explode

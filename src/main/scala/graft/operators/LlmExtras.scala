@@ -25,7 +25,8 @@ object LlmExtras {
 
   val all: Seq[Q] = Seq(
 
-    // SimHash-32: crc32(token) per distinct token; each bit position
+    // SimHash-32 (Charikar 2002, "Similarity estimation techniques from
+    // rounding algorithms"): crc32(token) per distinct token; each bit position
     // accumulates +w/-w by token frequency, signs form the signature.
     // A sketch (like llm_minhash) with no portable oracle: the two engines
     // share no common string hash. Property-tested: near-dup pairs from
@@ -324,6 +325,55 @@ object LlmExtras {
             min(col("doc_id")).as("canonical_doc"))
           .where(col("occurrences") > 1)
           .orderBy("chunk_hash")
+      }),
+
+    // The full training-data dedup funnel as ONE plan (the llm-side
+    // flagship, mirroring eo_product_pipeline): quality gate -> exact-dup
+    // canonicalization -> near-dup canonicalization (keep smallest doc_id
+    // of each Jaccard>=0.5 pair) -> survivor stats per lang.
+    Q("llm_dedup_pipeline", Some(
+      "WITH toks AS (SELECT doc_id, lang, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS tok FROM documents), " +
+        "alltoks AS (SELECT doc_id, COUNT(*) AS n_tok FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents) GROUP BY doc_id), " +
+        "quality AS (SELECT doc_id FROM alltoks WHERE n_tok >= 20), " +
+        "exact_canon AS (SELECT MIN(doc_id) AS doc_id FROM documents JOIN quality USING (doc_id) GROUP BY MD5(text)), " +
+        "dict AS (SELECT tok, CAST(DENSE_RANK() OVER (ORDER BY tok) - 1 AS INT) AS tok_id FROM (SELECT DISTINCT tok FROM toks)), " +
+        "masks AS (SELECT t.doc_id, lang, SUM(CAST(1 AS BIGINT) << tok_id) AS mask FROM toks t " +
+        "JOIN exact_canon e ON t.doc_id = e.doc_id JOIN dict USING (tok) GROUP BY t.doc_id, lang), " +
+        "losers AS (SELECT DISTINCT b.doc_id FROM masks a JOIN masks b ON a.lang = b.lang AND a.doc_id < b.doc_id " +
+        "WHERE CAST(BIT_COUNT(a.mask & b.mask) AS DOUBLE) / CAST(BIT_COUNT(a.mask | b.mask) AS DOUBLE) >= 0.5), " +
+        "survivors AS (SELECT doc_id, lang FROM masks WHERE doc_id NOT IN (SELECT doc_id FROM losers)) " +
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_survivors, MIN(doc_id) AS first_doc " +
+        "FROM survivors GROUP BY lang ORDER BY lang"),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = T.documents(s, d)
+        val quality = docs
+          .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+          .where(col("n_tok") >= 20)
+          .select("doc_id")
+        val exactCanon = docs.join(quality, "doc_id")
+          .groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id")
+        val toks = docs
+          .select(col("doc_id"), col("lang"),
+            explode(array_distinct(split(col("text"), " "))).as("tok"))
+        val dict = toks.select("tok").distinct()
+          .withColumn("tok_id", (dense_rank().over(Window.orderBy("tok")) - 1).cast("int"))
+        val masks = toks.join(exactCanon, "doc_id").join(broadcast(dict), "tok")
+          .groupBy("doc_id", "lang")
+          .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), tok_id)")).as("mask"))
+        val a = masks.select(col("doc_id").as("d1"), col("lang").as("la"), col("mask").as("ma"))
+        val b = masks.select(col("doc_id").as("d2"), col("lang").as("lb"), col("mask").as("mb"))
+        val jac = bit_count(col("ma").bitwiseAND(col("mb"))).cast("double") /
+          bit_count(col("ma").bitwiseOR(col("mb"))).cast("double")
+        val losers = a.join(b, col("la") === col("lb") && col("d1") < col("d2"))
+          .where(jac >= 0.5)
+          .select(col("d2").as("doc_id")).distinct()
+        masks.join(losers, Seq("doc_id"), "left_anti")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_survivors"), min(col("doc_id")).as("first_doc"))
+          .orderBy("lang")
       }),
 
     // Content-defined fingerprint: md5 over the sorted distinct token set —
