@@ -187,6 +187,42 @@ object LlmExtras {
           .select(col("vec_id"), col("bucket"), d6(col("cos_raw")).as("cos_sim"))
       }),
 
+    // IVF-style ANN: the label clusters are the inverted-file cells; the
+    // query probes only its 2 nearest cells (by centroid distance), then
+    // ranks candidates by exact cosine (FloatVecDot, codegen'd). The
+    // other scale path is llm_ann_lsh; brute force is llm_cosine_topk.
+    // Probe-bounded recall -> no oracle; ranking shape property-tested.
+    Q("llm_ann_ivf", None,
+      (s, d) => {
+        graft.functions.VectorExprs.register(s)
+        import graft.functions.VectorExprs.dot
+        val ux = T.embeddings(s, d)
+          .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+          .withColumn("x", col("xf").cast("double"))
+        val cent = ux.groupBy(col("label").as("clabel"), col("pos"))
+          .agg(round(avg(col("x")), 6).as("c"))
+        // query-to-centroid distances -> 2 nearest cells
+        val qpos = ux.where(col("vec_id") === 0).select(col("pos"), col("x").as("qx"))
+        val probes = cent.join(broadcast(qpos), "pos")
+          .groupBy("clabel")
+          .agg(sum((col("c") - col("qx")) * (col("c") - col("qx"))).as("d2"))
+          .orderBy(col("d2"), col("clabel"))
+          .limit(2)
+          .select(col("clabel").as("label"))
+        val q = T.embeddings(s, d).where(col("vec_id") === 0)
+          .select(col("embedding").as("qe"))
+        val cos = dot(col("embedding"), col("qe")) /
+          (sqrt(dot(col("embedding"), col("embedding"))) * sqrt(dot(col("qe"), col("qe"))))
+        T.embeddings(s, d)
+          .join(broadcast(probes), "label")
+          .where(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .withColumn("cos_raw", cos)
+          .orderBy(col("cos_raw").desc, col("vec_id"))
+          .limit(3)
+          .select(col("vec_id"), col("label"), d6(col("cos_raw")).as("cos_sim"))
+      }),
+
     // Language-ID heuristic: stopword-ratio thresholding (the n-gram
     // frequency detector family, reduced to this corpus's vocabulary);
     // the declared lang column is ground truth for the confusion counts.

@@ -46,6 +46,14 @@ class SketchSpec extends SparkSpec {
       s"near-dup mean hamming $nearMean !< random mean $randMean")
   }
 
+  test("llm_ann_ivf probes nearest cells and ranks by cosine") {
+    val rows = SparkEntry.queries("llm_ann_ivf")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 3)
+    val sims = rows.map(_.getDecimal(2).doubleValue())
+    assert(sims.sameElements(sims.sorted.reverse), "not ranked desc")
+    assert(rows.map(_.getInt(1)).distinct.length <= 2, "probed more than 2 cells")
+  }
+
   test("llm_ann_lsh returns same-bucket vectors ranked by cosine") {
     val rows = SparkEntry.queries("llm_ann_lsh")(spark, sfDir).collect()
     assert(rows.length <= 3 && rows.nonEmpty)
