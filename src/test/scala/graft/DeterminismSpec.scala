@@ -20,7 +20,8 @@ class DeterminismSpec extends SparkSpec {
     // Merge-order-free design (Det scaladoc): results must not move when
     // partial-aggregation topology changes. 4 -> 17 partitions.
     val keys = Seq("agg_group", "agg_global", "agg_stats", "win_runsum",
-      "llm_cosine_topk", "eo_zonal_stats", "udaf_weighted")
+      "llm_cosine_topk", "eo_zonal_stats", "udaf_weighted",
+      "join_asof_native", "eo_product_pipeline", "llm_dedup_pipeline")
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     val base = keys.map(k => k -> SparkEntry.queries(k)(spark, sfDir).collect().toSeq).toMap
     try {
