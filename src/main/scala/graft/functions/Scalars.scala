@@ -235,6 +235,24 @@ object Scalars {
             when(col("j.k") >= 50, "high").otherwise("low").as("k_bucket"))
           .orderBy("event_id")),
 
+    // Bitwise battery (QA-flag manipulation beyond eo_bitmask's read path);
+    // Spark's ^ operator is DuckDB's XOR() function, same semantics.
+    Q("fn_bitops", Some(
+      "SELECT o_orderkey, o_orderkey & 255 AS band, o_orderkey | 15 AS bor, " +
+        "XOR(o_orderkey, 85) AS bxor, o_orderkey << 2 AS shl, o_orderkey >> 3 AS shr, " +
+        "~o_orderkey AS bnot FROM orders ORDER BY o_orderkey"),
+      (s, d) =>
+        T.orders(s, d)
+          .select(
+            col("o_orderkey"),
+            col("o_orderkey").bitwiseAND(255).as("band"),
+            col("o_orderkey").bitwiseOR(15).as("bor"),
+            col("o_orderkey").bitwiseXOR(85).as("bxor"),
+            expr("shiftleft(o_orderkey, 2)").as("shl"),
+            expr("shiftright(o_orderkey, 3)").as("shr"),
+            expr("~o_orderkey").as("bnot"))
+          .orderBy("o_orderkey")),
+
     // Edit distance (dedup/fuzzy-match primitive; same DP definition in
     // both engines). Bounded operands: 30-char prefixes.
     Q("fn_editdist", Some(

@@ -132,6 +132,24 @@ object Aggregates {
           .select("r_name", "n_name", "gid", "n_cust")
           .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first, col("gid"))),
 
+    // max_by/min_by (DuckDB arg_max/arg_min): the ordering value embeds the
+    // unique orderkey so ties cannot make the argmax engine-dependent.
+    Q("agg_minmax_by", Some(
+      "SELECT o_custkey, " +
+        "ARG_MAX(o_orderkey, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000 + o_orderkey) AS biggest_order, " +
+        "ARG_MIN(o_orderkey, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000 + o_orderkey) AS smallest_order " +
+        "FROM orders GROUP BY o_custkey ORDER BY o_custkey"),
+      (s, d) => {
+        val rankVal = floor(col("o_totalprice") * 100 + 0.5).cast("long") * 10000000L +
+          col("o_orderkey")
+        T.orders(s, d)
+          .groupBy("o_custkey")
+          .agg(
+            max_by(col("o_orderkey"), rankVal).as("biggest_order"),
+            min_by(col("o_orderkey"), rankVal).as("smallest_order"))
+          .orderBy("o_custkey")
+      }),
+
     // Pivot: linestatus becomes columns (reference analogue: per-band
     // columns out of a long (pixel, band, value) layout). Pivot values are
     // declared, not discovered — no extra distinct pass, stable schema.
