@@ -2,56 +2,107 @@ package graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Determinism helpers for the DuckDB-oracle hash match (SURVEY.md §8.2).
   *
-  * The governing numeric facts, relied on throughout:
+  * REVISED after round 1: the original strategy projected DECIMAL columns
+  * (round→cast, decimal-element sums). The driver's CORRECTNESS_r01.json
+  * falsified it — all 41 hash-failing keys carried a DECIMAL column derived
+  * from doubles, zero non-decimal keys failed, and the "a float64 can never
+  * sit on a decimal rounding tie" assumption broke empirically:
+  * AVG(l_discount) at sf0.01 = 0.0499185000000047, i.e. frac(x·1e6) =
+  * 0.50000000469 — a knife-edge 6dp tie that different engine builds may
+  * round apart. VERDICT.md (round 1) prescribes the replacement used here.
   *
-  *  - A float64 can never sit exactly on a decimal rounding tie at scale
-  *    s >= 1 (a tie needs value = odd/(2*10^s), whose denominator carries a
-  *    factor 5^s — not representable in binary). So `round(x, s)` and
-  *    `cast(x as decimal(p, s))` produce identical results in Spark
-  *    (HALF_UP) and DuckDB (HALF_EVEN) for every double, despite the
-  *    different tie-break modes. Never round to scale 0 (x.5 IS exact).
+  * The surviving, provable rules:
   *
-  *  - SUMs of doubles are order-dependent; a 60k-row sum can differ between
-  *    engines by ~1e-5 absolute, which rounding cannot hide. Therefore every
-  *    graded double SUM casts each element to DECIMAL(28,10) first — the
-  *    per-element cast is deterministic (above), and decimal addition is
-  *    exact and associative, so partial/final aggregation order is free.
-  *    Spark types sum(decimal(28,10)) as DECIMAL(38,10); DuckDB agrees.
+  *  1. Canonical numeric output = scaled BIGINT, never DECIMAL and never a
+  *     derived DOUBLE. `FLOOR(x*1e6 + 0.5)` is a pure IEEE-double op
+  *     sequence: given bit-identical `x` it is bit-identical in every
+  *     engine, and the resulting integers hash identically everywhere.
+  *     (For negative x this is round-half-toward-+∞ — one shared definition
+  *     on both sides, still deterministic.)
   *
-  *  - AVG/stats of doubles stay double-valued: their cross-engine error is
-  *    ~1e-12 relative, so rounding at 6 (avg) or 4 (variance-family) decimal
-  *    places is collision-safe.
+  *  2. A per-row scalar computed from parquet values with +,-,*,/ , abs,
+  *     floor/ceil, greatest/least, sqrt (all IEEE-exact or correctly
+  *     rounded) is bit-identical across engines, so rule 1 applies to it
+  *     directly. ln/log10/pow may differ by 1 ulp between libm builds —
+  *     accepted residual risk of ~1e-9 per value against the 1e-6 grid.
+  *
+  *  3. An engine-internal double AGGREGATION (SUM/AVG/STDDEV over doubles)
+  *     is order-dependent and must never reach an output. Canonicalize each
+  *     element to the integer grid FIRST (`s2`/`s6`), sum the longs
+  *     (exact, order-free, codegen'd), and derive ratios/means/variances
+  *     from those exact integers with a FIXED double op sequence — each op
+  *     has identical integer inputs on both engines, so the double result
+  *     is bit-identical by induction.
+  *
+  *  4. Percentile interpolation over INTEGER inputs with p ∈ {.25,.5,.75}
+  *     is exact in double space (both engines' lerp formulas agree on
+  *     exact values), so percentiles run over scaled longs and re-scale
+  *     the result by 100 into an integer output.
+  *
+  * DuckDB twins (see each helper): SUM(BIGINT) is HUGEINT there — always
+  * CAST the outer sum back to BIGINT; FLOOR returns DOUBLE there — the
+  * value is integral, so CAST AS BIGINT is exact.
   */
 object Det {
 
-  /** Element type for exact decimal sums over money-scale doubles. */
-  val Dec28_10: DecimalType = DecimalType(28, 10)
+  /** Canonical 6-dp scaled-long projection of a deterministic double.
+    * Oracle twin: CAST(FLOOR((x) * 1e6 + 0.5) AS BIGINT). */
+  def s6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)).cast("long")
 
-  /** Element type for exact decimal sums over unit-scale doubles (vector
-    * dot products, squared distances). */
-  val Dec28_14: DecimalType = DecimalType(28, 14)
+  /** 4-dp variant. Oracle: CAST(FLOOR((x) * 1e4 + 0.5) AS BIGINT). */
+  def s4(c: Column): Column = floor(c * lit(1e4) + lit(0.5)).cast("long")
 
-  val Dec38_6: DecimalType = DecimalType(38, 6)
-  val Dec38_4: DecimalType = DecimalType(38, 4)
+  /** Integer cents of a 2-dp money double (exact: representation error of
+    * a 2-dp value is ≪ 0.5 cent). Oracle: CAST(FLOOR((x) * 100 + 0.5) AS BIGINT). */
+  def s2(c: Column): Column = floor(c * lit(100) + lit(0.5)).cast("long")
 
-  /** Exact, order-insensitive sum of a double column.
-    * Oracle twin: SUM(CAST(x AS DECIMAL(28,10))). */
-  def dsum(c: Column): Column = sum(c.cast(Dec28_10))
+  /** Nearest-integer units (scale 0: FLOOR(x+0.5) is the same op on both
+    * engines, so even exact .5 ties break identically).
+    * Oracle: CAST(FLOOR((x) + 0.5) AS BIGINT). */
+  def s0(c: Column): Column = floor(c + lit(0.5)).cast("long")
 
-  /** Canonical 6-dp projection of a computed double.
-    * Oracle twin: CAST(ROUND(x, 6) AS DECIMAL(38,6)). */
-  def d6(c: Column): Column = round(c, 6).cast(Dec38_6)
+  /** Exact, order-free integer-cent sum of a 2-dp money double.
+    * Oracle twin: CAST(SUM(CAST(FLOOR((x) * 100 + 0.5) AS BIGINT)) AS BIGINT). */
+  def centSum(c: Column): Column = sum(s2(c))
 
-  /** 4-dp projection for variance-family stats, where engine-internal
-    * merge order costs more ulps. Oracle: CAST(ROUND(x,4) AS DECIMAL(38,4)). */
-  def d4(c: Column): Column = round(c, 4).cast(Dec38_4)
+  /** 6-dp scaled mean of a 2-dp money double, derived exactly:
+    * FLOOR(centSum * 1e4 / n + 0.5). The sum and count are exact integers;
+    * the multiply and divide are one IEEE op each.
+    * Oracle twin: [[Det.sqlAvg6]]. */
+  def avg6(c: Column): Column =
+    floor(sum(s2(c)).cast("double") * lit(1e4) / count(lit(1)) + lit(0.5)).cast("long")
+
+  /** Exact, order-free sum over the 6-dp grid of an arbitrary-precision
+    * double (canonicalize per element, then sum longs).
+    * Oracle twin: [[Det.sqlSum6]]. */
+  def sum6(c: Column): Column = sum(s6(c))
+
+  /** 6-dp-grid mean of an arbitrary-precision double: exact grid-sum and
+    * count, one cast, one divide. Oracle twin: [[Det.sqlMean6]]. */
+  def mean6(c: Column): Column =
+    floor(sum(s6(c)).cast("double") / count(lit(1)) + lit(0.5)).cast("long")
 
   /** Whole seconds since epoch for the ns-precision `events.ts` (both
     * engines already agree at µs; second floor is engine-identical).
     * Oracle twin: CAST(FLOOR(EPOCH(ts)) AS BIGINT). */
   def epochS(c: Column): Column = unix_timestamp(c)
+
+  // ---- oracle-SQL twins (string builders keep both sides textually in
+  // ---- lock-step; every helper above has exactly one SQL form)
+
+  def sqlS6(x: String): String = s"CAST(FLOOR(($x) * 1e6 + 0.5) AS BIGINT)"
+  def sqlS4(x: String): String = s"CAST(FLOOR(($x) * 1e4 + 0.5) AS BIGINT)"
+  def sqlS2(x: String): String = s"CAST(FLOOR(($x) * 100 + 0.5) AS BIGINT)"
+  def sqlS0(x: String): String = s"CAST(FLOOR(($x) + 0.5) AS BIGINT)"
+  def sqlCentSum(x: String): String =
+    s"CAST(SUM(${sqlS2(x)}) AS BIGINT)"
+  def sqlSum6(x: String): String =
+    s"CAST(SUM(${sqlS6(x)}) AS BIGINT)"
+  def sqlMean6(x: String): String =
+    s"CAST(FLOOR(CAST(SUM(${sqlS6(x)}) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)"
+  def sqlAvg6(x: String): String =
+    s"CAST(FLOOR(CAST(SUM(${sqlS2(x)}) AS DOUBLE) * 1e4 / COUNT(*) + 0.5) AS BIGINT)"
 }

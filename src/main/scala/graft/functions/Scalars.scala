@@ -77,19 +77,20 @@ object Scalars {
             unix_timestamp(col("o_orderdate")).as("epoch_s"))
           .orderBy("o_orderkey")),
 
-    // round at scale >= 1 only (scale-0 ties ARE double-representable —
-    // Det scaladoc); sqrt is IEEE-exact; ln/log10 differ by <= 1 ulp
-    // between libm implementations, absorbed by 6dp rounding.
+    // Scaled-long projections throughout (Det rule 1): abs/sqrt/ceil/floor
+    // are IEEE-exact or correctly rounded; ln/log10/pow may differ by <= 1
+    // ulp between libm implementations — residual ~1e-9 flip risk per value
+    // against the 1e-6 grid (Det scaladoc rule 2), accepted.
     Q("fn_math", Some(
       "SELECT l_orderkey, l_linenumber, " +
-        "CAST(ROUND(l_extendedprice, 2) AS DECIMAL(38,6)) AS price_r2, " +
-        "CAST(ROUND(ABS(l_extendedprice - 50000), 6) AS DECIMAL(38,6)) AS abs_diff, " +
+        sqlS2("l_extendedprice") + " AS price_r2, " +
+        sqlS6("ABS(l_extendedprice - 50000)") + " AS abs_diff, " +
         "CAST(CEIL(l_extendedprice / 1000) AS BIGINT) AS ceil_k, " +
         "CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS floor_k, " +
-        "CAST(ROUND(POWER(l_quantity, 2), 6) AS DECIMAL(38,6)) AS qty_sq, " +
-        "CAST(ROUND(SQRT(l_extendedprice), 6) AS DECIMAL(38,6)) AS price_sqrt, " +
-        "CAST(ROUND(LN(l_extendedprice), 6) AS DECIMAL(38,6)) AS price_ln, " +
-        "CAST(ROUND(LOG10(l_extendedprice), 6) AS DECIMAL(38,6)) AS price_log10, " +
+        sqlS6("POWER(l_quantity, 2)") + " AS qty_sq, " +
+        sqlS6("SQRT(l_extendedprice)") + " AS price_sqrt, " +
+        sqlS6("LN(l_extendedprice)") + " AS price_ln, " +
+        sqlS6("LOG10(l_extendedprice)") + " AS price_log10, " +
         "l_orderkey % 7 AS key_mod, " +
         "CAST(SIGN(l_discount - 0.05) AS INT) AS disc_sign " +
         "FROM lineitem ORDER BY l_orderkey, l_linenumber, price_r2, qty_sq, disc_sign"),
@@ -97,14 +98,14 @@ object Scalars {
         T.lineitem(s, d)
           .select(
             col("l_orderkey"), col("l_linenumber"),
-            round(col("l_extendedprice"), 2).cast(Dec38_6).as("price_r2"),
-            d6(abs(col("l_extendedprice") - 50000)).as("abs_diff"),
+            s2(col("l_extendedprice")).as("price_r2"),
+            s6(abs(col("l_extendedprice") - 50000)).as("abs_diff"),
             ceil(col("l_extendedprice") / 1000).as("ceil_k"),
             floor(col("l_extendedprice") / 1000).as("floor_k"),
-            d6(pow(col("l_quantity"), 2)).as("qty_sq"),
-            d6(sqrt(col("l_extendedprice"))).as("price_sqrt"),
-            d6(log(col("l_extendedprice"))).as("price_ln"),
-            d6(log10(col("l_extendedprice"))).as("price_log10"),
+            s6(pow(col("l_quantity"), 2)).as("qty_sq"),
+            s6(sqrt(col("l_extendedprice"))).as("price_sqrt"),
+            s6(log(col("l_extendedprice"))).as("price_ln"),
+            s6(log10(col("l_extendedprice"))).as("price_log10"),
             (col("l_orderkey") % 7).as("key_mod"),
             signum(col("l_discount") - 0.05).cast("int").as("disc_sign"))
           .orderBy("l_orderkey", "l_linenumber", "price_r2", "qty_sq", "disc_sign")),
@@ -114,8 +115,8 @@ object Scalars {
         "CASE WHEN o_totalprice > 300000 THEN 'high' WHEN o_totalprice > 100000 THEN 'mid' " +
         "ELSE 'low' END AS bucket, " +
         "COALESCE(NULLIF(o_orderstatus, 'P'), 'X') AS st_or_x, " +
-        "CAST(ROUND(GREATEST(o_totalprice, 100000), 6) AS DECIMAL(38,6)) AS hi, " +
-        "CAST(ROUND(LEAST(o_totalprice, 100000), 6) AS DECIMAL(38,6)) AS lo " +
+        sqlS6("GREATEST(o_totalprice, 100000)") + " AS hi, " +
+        sqlS6("LEAST(o_totalprice, 100000)") + " AS lo " +
         "FROM orders ORDER BY o_orderkey"),
       (s, d) =>
         T.orders(s, d)
@@ -125,13 +126,13 @@ object Scalars {
               .when(col("o_totalprice") > 100000, "mid")
               .otherwise("low").as("bucket"),
             coalesce(expr("NULLIF(o_orderstatus, 'P')"), lit("X")).as("st_or_x"),
-            d6(greatest(col("o_totalprice"), lit(100000))).as("hi"),
-            d6(least(col("o_totalprice"), lit(100000))).as("lo"))
+            s6(greatest(col("o_totalprice"), lit(100000))).as("hi"),
+            s6(least(col("o_totalprice"), lit(100000))).as("lo"))
           .orderBy("o_orderkey")),
 
     Q("fn_cast", Some(
       "SELECT o_orderkey, CAST(o_orderkey AS VARCHAR) AS key_str, " +
-        "CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec, " +
+        "CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS INTEGER) AS price_cents_i, " +
         "CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str, " +
         "CAST(SUBSTR(CAST(o_orderkey AS VARCHAR), 1, 1) AS INT) AS first_digit " +
         "FROM orders ORDER BY o_orderkey"),
@@ -140,7 +141,7 @@ object Scalars {
           .select(
             col("o_orderkey"),
             col("o_orderkey").cast("string").as("key_str"),
-            col("o_totalprice").cast("decimal(12,2)").as("price_dec"),
+            s2(col("o_totalprice")).cast("int").as("price_cents_i"),
             to_date(col("o_orderdate")).cast("string").as("date_str"),
             substring(col("o_orderkey").cast("string"), 1, 1).cast("int").as("first_digit"))
           .orderBy("o_orderkey")),
@@ -151,26 +152,27 @@ object Scalars {
     // ~1e-15 against a 1e-6 rounding grid).
     Q("fn_array", Some(
       "SELECT vec_id, CAST(LEN(embedding) AS INT) AS n, " +
-        "CAST(ROUND(CAST(embedding[3] AS DOUBLE), 6) AS DECIMAL(38,6)) AS e3, " +
+        sqlS6("CAST(embedding[3] AS DOUBLE)") + " AS e3, " +
         "CAST(LEN(LIST_FILTER(embedding, x -> x > 0)) AS INT) AS n_pos, " +
-        "CAST(ROUND(LIST_AGGREGATE(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 6) AS DECIMAL(38,6)) AS el_sum, " +
-        "CAST(ROUND(CAST(LIST_SORT(embedding, 'DESC')[1] AS DOUBLE), 6) AS DECIMAL(38,6)) AS top1, " +
-        "CAST(ROUND(CAST(LIST_SORT(embedding, 'DESC')[2] AS DOUBLE), 6) AS DECIMAL(38,6)) AS top2, " +
-        "CAST(ROUND(CAST(LIST_SORT(embedding, 'DESC')[3] AS DOUBLE), 6) AS DECIMAL(38,6)) AS top3 " +
+        sqlS6("LIST_AGGREGATE(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)), 'sum')") + " AS el_sum, " +
+        sqlS6("CAST(LIST_SORT(embedding, 'DESC')[1] AS DOUBLE)") + " AS top1, " +
+        sqlS6("CAST(LIST_SORT(embedding, 'DESC')[2] AS DOUBLE)") + " AS top2, " +
+        sqlS6("CAST(LIST_SORT(embedding, 'DESC')[3] AS DOUBLE)") + " AS top3 " +
         "FROM embeddings ORDER BY vec_id"),
       (s, d) =>
         T.embeddings(s, d)
           .select(
             col("vec_id"),
             size(col("embedding")).as("n"),
-            d6(element_at(col("embedding"), 3).cast("double")).as("e3"),
+            s6(element_at(col("embedding"), 3).cast("double")).as("e3"),
             size(filter(col("embedding"), x => x > 0f)).as("n_pos"),
-            d6(aggregate(
+            // sequential left fold on both engines: same op order, same bits
+            s6(aggregate(
               transform(col("embedding"), x => x.cast("double")),
               lit(0d), (acc, x) => acc + x)).as("el_sum"),
-            d6(element_at(sort_array(col("embedding"), asc = false), 1).cast("double")).as("top1"),
-            d6(element_at(sort_array(col("embedding"), asc = false), 2).cast("double")).as("top2"),
-            d6(element_at(sort_array(col("embedding"), asc = false), 3).cast("double")).as("top3"))
+            s6(element_at(sort_array(col("embedding"), asc = false), 1).cast("double")).as("top1"),
+            s6(element_at(sort_array(col("embedding"), asc = false), 2).cast("double")).as("top2"),
+            s6(element_at(sort_array(col("embedding"), asc = false), 3).cast("double")).as("top3"))
           .orderBy("vec_id")),
 
     Q("fn_explode", Some(
@@ -200,10 +202,14 @@ object Scalars {
             element_at(col("tok_counts"), "the").as("the_cnt"))
           .orderBy("doc_id")),
 
+    // avg over ints derived exactly: SUM/COUNT of non-null k are exact
+    // integers, then one IEEE divide (Det rule 3; AVG ignores NULLs, so the
+    // divisor is COUNT(k), not COUNT(*)).
     Q("fn_json", Some(
       "SELECT event_type, " +
         "CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k, " +
-        "CAST(ROUND(AVG(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER)), 6) AS DECIMAL(38,6)) AS avg_k " +
+        "CAST(FLOOR(CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER)) AS DOUBLE) * 1e6 " +
+        "/ COUNT(JSON_EXTRACT_STRING(props, '$.k')) + 0.5) AS BIGINT) AS avg_k " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
       (s, d) =>
         T.events(s, d)
@@ -213,7 +219,8 @@ object Scalars {
           .groupBy("event_type")
           .agg(
             sum(col("k")).cast("bigint").as("sum_k"),
-            d6(avg(col("k"))).as("avg_k"))
+            floor(sum(col("k")).cast("double") * lit(1e6)
+              / count(col("k")) + lit(0.5)).cast("long").as("avg_k"))
           .orderBy("event_type")),
 
     // from_json with a declared schema (the job-spec parsing path, typed —

@@ -15,24 +15,22 @@ import Det._
   */
 object Udfs {
 
-  /** Weighted mean with exact decimal accumulators: each (x, w) is rounded
-    * to DECIMAL scale 10 exactly like CAST(x AS DECIMAL(28,10)) (HALF_UP;
-    * tie-free for doubles — Det scaladoc), so partial-merge order cannot
-    * perturb the sums; the final division happens once, in double space,
-    * identically to the oracle's CAST(sum AS DOUBLE)/CAST(sum AS DOUBLE). */
-  class WeightedMeanAgg extends Aggregator[(Double, Double), (JBigDecimal, JBigDecimal), Double] {
-    private def dec10(x: Double): JBigDecimal =
-      new JBigDecimal(x, MathContext.UNLIMITED).setScale(10, RoundingMode.HALF_UP)
-    override def zero: (JBigDecimal, JBigDecimal) =
-      (JBigDecimal.ZERO.setScale(10), JBigDecimal.ZERO.setScale(10))
-    override def reduce(b: (JBigDecimal, JBigDecimal), a: (Double, Double)): (JBigDecimal, JBigDecimal) =
-      (b._1.add(dec10(a._1 * a._2)), b._2.add(dec10(a._2)))
-    override def merge(b1: (JBigDecimal, JBigDecimal), b2: (JBigDecimal, JBigDecimal)): (JBigDecimal, JBigDecimal) =
-      (b1._1.add(b2._1), b1._2.add(b2._2))
-    override def finish(r: (JBigDecimal, JBigDecimal)): Double =
-      r._1.doubleValue() / r._2.doubleValue()
-    override def bufferEncoder: Encoder[(JBigDecimal, JBigDecimal)] =
-      Encoders.tuple(Encoders.DECIMAL, Encoders.DECIMAL)
+  /** Weighted mean with exact scaled-long accumulators (Det rule 3): each
+    * (x, w) contributes FLOOR(x*w*100 + 0.5) and FLOOR(w*100 + 0.5) — pure
+    * IEEE double ops, bit-identical to the oracle's twin expressions — and
+    * the long sums are exact and merge-order-free. The final division
+    * happens once, in double space, identically on both sides. */
+  class WeightedMeanAgg extends Aggregator[(Double, Double), (Long, Long), Double] {
+    private def s2(x: Double): Long = math.floor(x * 100 + 0.5).toLong
+    override def zero: (Long, Long) = (0L, 0L)
+    override def reduce(b: (Long, Long), a: (Double, Double)): (Long, Long) =
+      (b._1 + s2(a._1 * a._2), b._2 + s2(a._2))
+    override def merge(b1: (Long, Long), b2: (Long, Long)): (Long, Long) =
+      (b1._1 + b2._1, b1._2 + b2._2)
+    override def finish(r: (Long, Long)): Double =
+      r._1.toDouble / r._2.toDouble
+    override def bufferEncoder: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
@@ -42,14 +40,14 @@ object Udfs {
     // identical IEEE ops, so results match bit-for-bit before rounding.
     Q("udf_scalar", Some(
       "SELECT l_orderkey, l_linenumber, " +
-        "CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(38,6)) AS discounted " +
+        sqlS6("l_extendedprice * (1 - l_discount)") + " AS discounted " +
         "FROM lineitem ORDER BY l_orderkey, l_linenumber, discounted"),
       (s, d) => {
         val discounted = udf((price: Double, disc: Double) => price * (1 - disc))
         T.lineitem(s, d)
           .select(
             col("l_orderkey"), col("l_linenumber"),
-            d6(discounted(col("l_extendedprice"), col("l_discount"))).as("discounted"))
+            s6(discounted(col("l_extendedprice"), col("l_discount"))).as("discounted"))
           .orderBy("l_orderkey", "l_linenumber", "discounted")
       }),
 

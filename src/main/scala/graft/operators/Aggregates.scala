@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Det, Q, Tables => T}
@@ -8,41 +8,45 @@ import Det._
 
 /** SURVEY.md §3.4: aggregations.
   *
-  * All double SUMs go through Det.dsum (exact decimal accumulation —
-  * order-insensitive, so Spark's partial/final split and AQE coalescing are
-  * free to reorder at any scale); AVG / variance-family stay double and are
-  * rounded (Det scaladoc). Reference analogues: per-pixel temporal
-  * reductions and WOfS-style clear-observation ratios (SURVEY §3.4).
+  * All graded numeric outputs are scaled BIGINTs (Det scaladoc): money
+  * sums are exact integer-cent sums (order-free — Spark's partial/final
+  * split and AQE coalescing are free to reorder at any scale), means and
+  * variance-family stats are derived from exact integer moments with a
+  * fixed double op sequence, and percentiles run over scaled longs.
+  * Reference analogues: per-pixel temporal reductions and WOfS-style
+  * clear-observation ratios (SURVEY §3.4).
   */
 object Aggregates {
 
   /** Flagship TPC-H-Q1-style pricing summary — also SparkEntry.entry.
     * Hash-aggregate with map-side partial aggregation; one shuffle on the
     * two low-cardinality group keys. */
-  def aggGroup(s: SparkSession, d: String): DataFrame =
+  def aggGroup(s: SparkSession, d: String): DataFrame = {
+    val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val charge = disc * (lit(1) + col("l_tax"))
     T.lineitem(s, d)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        dsum(col("l_quantity")).as("sum_qty"),
-        dsum(col("l_extendedprice")).as("sum_base"),
-        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc"),
-        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
-          .as("sum_charge"),
-        d6(avg(col("l_quantity"))).as("avg_qty"),
-        d6(avg(col("l_extendedprice"))).as("avg_price"),
-        d6(avg(col("l_discount"))).as("avg_disc"),
+        centSum(col("l_quantity")).as("sum_qty"),
+        centSum(col("l_extendedprice")).as("sum_base"),
+        sum(s4(disc)).as("sum_disc"),
+        sum(s6(charge)).as("sum_charge"),
+        avg6(col("l_quantity")).as("avg_qty"),
+        avg6(col("l_extendedprice")).as("avg_price"),
+        avg6(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
+  }
 
   val aggGroupOracle: String =
     "SELECT l_returnflag, l_linestatus, " +
-      "SUM(CAST(l_quantity AS DECIMAL(28,10))) AS sum_qty, " +
-      "SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS sum_base, " +
-      "SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS sum_disc, " +
-      "SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,10))) AS sum_charge, " +
-      "CAST(ROUND(AVG(l_quantity), 6) AS DECIMAL(38,6)) AS avg_qty, " +
-      "CAST(ROUND(AVG(l_extendedprice), 6) AS DECIMAL(38,6)) AS avg_price, " +
-      "CAST(ROUND(AVG(l_discount), 6) AS DECIMAL(38,6)) AS avg_disc, " +
+      sqlCentSum("l_quantity") + " AS sum_qty, " +
+      sqlCentSum("l_extendedprice") + " AS sum_base, " +
+      "CAST(SUM(" + sqlS4("l_extendedprice * (1 - l_discount)") + ") AS BIGINT) AS sum_disc, " +
+      "CAST(SUM(" + sqlS6("l_extendedprice * (1 - l_discount) * (1 + l_tax)") + ") AS BIGINT) AS sum_charge, " +
+      sqlAvg6("l_quantity") + " AS avg_qty, " +
+      sqlAvg6("l_extendedprice") + " AS avg_price, " +
+      sqlAvg6("l_discount") + " AS avg_disc, " +
       "CAST(COUNT(*) AS BIGINT) AS count_order " +
       "FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
 
@@ -52,17 +56,17 @@ object Aggregates {
 
     Q("agg_global", Some(
       "SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
-        "SUM(CAST(l_quantity AS DECIMAL(28,10))) AS sum_qty, " +
-        "CAST(ROUND(AVG(l_extendedprice), 6) AS DECIMAL(38,6)) AS avg_price, " +
-        "CAST(ROUND(MIN(l_extendedprice), 6) AS DECIMAL(38,6)) AS min_price, " +
-        "CAST(ROUND(MAX(l_extendedprice), 6) AS DECIMAL(38,6)) AS max_price FROM lineitem"),
+        sqlCentSum("l_quantity") + " AS sum_qty, " +
+        sqlAvg6("l_extendedprice") + " AS avg_price, " +
+        sqlS2("MIN(l_extendedprice)") + " AS min_price, " +
+        sqlS2("MAX(l_extendedprice)") + " AS max_price FROM lineitem"),
       (s, d) =>
         T.lineitem(s, d).agg(
           count(lit(1)).as("n"),
-          dsum(col("l_quantity")).as("sum_qty"),
-          d6(avg(col("l_extendedprice"))).as("avg_price"),
-          d6(min(col("l_extendedprice"))).as("min_price"),
-          d6(max(col("l_extendedprice"))).as("max_price"))),
+          centSum(col("l_quantity")).as("sum_qty"),
+          avg6(col("l_extendedprice")).as("avg_price"),
+          s2(min(col("l_extendedprice"))).as("min_price"),
+          s2(max(col("l_extendedprice"))).as("max_price"))),
 
     Q("agg_distinct", Some(
       "SELECT c_mktsegment, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust, " +
@@ -86,7 +90,7 @@ object Aggregates {
 
     Q("agg_rollup", Some(
       "SELECT r_name, n_name, CAST(GROUPING(r_name, n_name) AS INTEGER) AS gid, " +
-        "CAST(COUNT(*) AS BIGINT) AS n_cust, SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS sum_bal " +
+        "CAST(COUNT(*) AS BIGINT) AS n_cust, " + sqlCentSum("c_acctbal") + " AS sum_bal " +
         "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
         "JOIN region ON n_regionkey = r_regionkey " +
         "GROUP BY ROLLUP (r_name, n_name) " +
@@ -98,7 +102,7 @@ object Aggregates {
         custNationRegion(s, d).createOrReplaceTempView("crn_rollup")
         s.sql(
           "SELECT r_name, n_name, CAST(GROUPING_ID() AS INT) AS gid, " +
-            "COUNT(*) AS n_cust, SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS sum_bal " +
+            "COUNT(*) AS n_cust, SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS sum_bal " +
             "FROM crn_rollup GROUP BY ROLLUP(r_name, n_name) " +
             "ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST")
       }),
@@ -155,20 +159,20 @@ object Aggregates {
     // declared, not discovered — no extra distinct pass, stable schema.
     Q("agg_pivot", Some(
       "SELECT l_returnflag, " +
-        "SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END AS DECIMAL(28,10))) AS F, " +
-        "SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END AS DECIMAL(28,10))) AS O " +
+        "CAST(SUM(CASE WHEN l_linestatus = 'F' THEN " + sqlS2("l_quantity") + " ELSE 0 END) AS BIGINT) AS F, " +
+        "CAST(SUM(CASE WHEN l_linestatus = 'O' THEN " + sqlS2("l_quantity") + " ELSE 0 END) AS BIGINT) AS O " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
       (s, d) =>
         T.lineitem(s, d)
           .groupBy("l_returnflag")
           .pivot("l_linestatus", Seq("F", "O"))
-          .agg(sum(col("l_quantity").cast(Dec28_10)))
-          .na.fill(0.0)
+          .agg(sum(s2(col("l_quantity"))))
+          .na.fill(0L)
           .orderBy("l_returnflag")),
 
     // Unpivot/melt: wide -> long (the inverse raster layout move).
     Q("agg_unpivot", Some(
-      "SELECT o_orderkey, metric, CAST(ROUND(v, 6) AS DECIMAL(38,6)) AS v FROM (" +
+      "SELECT o_orderkey, metric, " + sqlS6("v") + " AS v FROM (" +
         "SELECT o_orderkey, 'price' AS metric, o_totalprice AS v FROM orders " +
         "UNION ALL SELECT o_orderkey, 'key100' AS metric, CAST(o_custkey * 100 AS DOUBLE) AS v FROM orders) u " +
         "ORDER BY o_orderkey, metric"),
@@ -178,55 +182,73 @@ object Aggregates {
             (col("o_custkey") * 100).cast("double").as("key100"))
           .unpivot(Array(col("o_orderkey")), Array(col("price"), col("key100")),
             "metric", "v")
-          .select(col("o_orderkey"), col("metric"), d6(col("v")).as("v"))
+          .select(col("o_orderkey"), col("metric"), s6(col("v")).as("v"))
           .orderBy("o_orderkey", "metric")),
 
     Q("agg_filtered", Some(
       "SELECT l_returnflag, " +
-        "SUM(CAST(CASE WHEN l_discount > 0.05 THEN l_quantity ELSE 0 END AS DECIMAL(28,10))) AS qty_highdisc, " +
+        "CAST(SUM(CASE WHEN l_discount > 0.05 THEN " + sqlS2("l_quantity") + " ELSE 0 END) AS BIGINT) AS qty_highdisc, " +
         "CAST(SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk, " +
         "CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
       (s, d) =>
         T.lineitem(s, d)
           .groupBy("l_returnflag")
           .agg(
-            sum(when(col("l_discount") > 0.05, col("l_quantity")).otherwise(lit(0))
-              .cast(Dec28_10)).as("qty_highdisc"),
+            sum(when(col("l_discount") > 0.05, s2(col("l_quantity"))).otherwise(lit(0L)))
+              .as("qty_highdisc"),
             sum(when(col("l_quantity") >= 25, 1).otherwise(0)).cast("bigint").as("n_bulk"),
             count(lit(1)).as("n"))
           .orderBy("l_returnflag")),
 
-    Q("agg_stats", Some(
-      "SELECT l_returnflag, " +
-        "CAST(ROUND(STDDEV_SAMP(l_quantity), 4) AS DECIMAL(38,4)) AS sd_qty, " +
-        "CAST(ROUND(VAR_SAMP(l_quantity), 4) AS DECIMAL(38,4)) AS var_qty, " +
-        "CAST(ROUND(CORR(l_extendedprice, l_quantity), 4) AS DECIMAL(38,4)) AS corr_pq, " +
-        "CAST(ROUND(COVAR_SAMP(l_extendedprice, l_quantity), 4) AS DECIMAL(38,4)) AS cov_pq " +
-        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
-      (s, d) =>
-        T.lineitem(s, d)
+    // Variance family from exact integer moments (n, Σx, Σx², Σxy over
+    // nearest-integer units): the sums are order-free longs, and every
+    // derived double op below has identical integer inputs on both engines,
+    // so sd/var/corr/cov are bit-identical before the s4 projection.
+    Q("agg_stats", Some(statsOracle),
+      (s, d) => {
+        val qi = s0(col("l_quantity"))
+        val pi = s0(col("l_extendedprice"))
+        val m = T.lineitem(s, d)
           .groupBy("l_returnflag")
           .agg(
-            d4(stddev_samp(col("l_quantity"))).as("sd_qty"),
-            d4(var_samp(col("l_quantity"))).as("var_qty"),
-            d4(corr(col("l_extendedprice"), col("l_quantity"))).as("corr_pq"),
-            d4(covar_samp(col("l_extendedprice"), col("l_quantity"))).as("cov_pq"))
-          .orderBy("l_returnflag")),
+            count(lit(1)).as("n"),
+            sum(qi).as("sq"), sum(qi * qi).as("sqq"),
+            sum(pi).as("sp"), sum(pi * pi).as("spp"),
+            sum(pi * qi).as("spq"))
+        val nD = col("n").cast("double")
+        val sqD = col("sq").cast("double"); val sqqD = col("sqq").cast("double")
+        val spD = col("sp").cast("double"); val sppD = col("spp").cast("double")
+        val spqD = col("spq").cast("double")
+        val varQ = (nD * sqqD - sqD * sqD) / (nD * (nD - lit(1.0)))
+        val covPQ = (nD * spqD - spD * sqD) / (nD * (nD - lit(1.0)))
+        val corrPQ = (nD * spqD - spD * sqD) /
+          (sqrt(nD * sqqD - sqD * sqD) * sqrt(nD * sppD - spD * spD))
+        m.select(
+            col("l_returnflag"),
+            s4(sqrt(varQ)).as("sd_qty"),
+            s4(varQ).as("var_qty"),
+            s4(corrPQ).as("corr_pq"),
+            s4(covPQ).as("cov_pq"))
+          .orderBy("l_returnflag")
+      }),
 
+    // Exact percentiles over scaled-long cents: interpolation at p ∈
+    // {.25,.5,.75} over integers is exact in double space (Det rule 4), so
+    // the ×100 re-scale is an exact integer on both engines.
     Q("agg_median_pct", Some(
       "SELECT l_returnflag, " +
-        "CAST(ROUND(MEDIAN(l_quantity), 6) AS DECIMAL(38,6)) AS med_qty, " +
-        "CAST(ROUND(QUANTILE_CONT(l_quantity, 0.25), 6) AS DECIMAL(38,6)) AS q25, " +
-        "CAST(ROUND(QUANTILE_CONT(l_quantity, 0.75), 6) AS DECIMAL(38,6)) AS q75 " +
+        "CAST(FLOOR(QUANTILE_CONT(" + sqlS2("l_quantity") + ", 0.5) * 100 + 0.5) AS BIGINT) AS med_qty, " +
+        "CAST(FLOOR(QUANTILE_CONT(" + sqlS2("l_quantity") + ", 0.25) * 100 + 0.5) AS BIGINT) AS q25, " +
+        "CAST(FLOOR(QUANTILE_CONT(" + sqlS2("l_quantity") + ", 0.75) * 100 + 0.5) AS BIGINT) AS q75 " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
-      (s, d) =>
+      (s, d) => {
+        def pct(p: Double): Column =
+          floor(percentile(s2(col("l_quantity")), lit(p)) * 100 + 0.5).cast("long")
         T.lineitem(s, d)
           .groupBy("l_returnflag")
-          .agg(
-            d6(median(col("l_quantity"))).as("med_qty"),
-            d6(percentile(col("l_quantity"), lit(0.25))).as("q25"),
-            d6(percentile(col("l_quantity"), lit(0.75))).as("q75"))
-          .orderBy("l_returnflag")),
+          .agg(pct(0.5).as("med_qty"), pct(0.25).as("q25"), pct(0.75).as("q75"))
+          .orderBy("l_returnflag")
+      }),
 
     // approx_percentile — the bounded-memory sketch the exact
     // median/percentile keys fall back to when a single group outgrows its
@@ -266,6 +288,31 @@ object Aggregates {
           .select("o_custkey", "o_orderkey", "rn")
           .orderBy("o_custkey", "rn")
       }))
+
+  /** agg_stats oracle: the same exact-integer-moment formulas, textually
+    * op-for-op aligned with the Spark side (Det rule 3). */
+  private lazy val statsOracle: String = {
+    val nD = "CAST(n AS DOUBLE)"
+    val sqD = "CAST(sq AS DOUBLE)"; val sqqD = "CAST(sqq AS DOUBLE)"
+    val spD = "CAST(sp AS DOUBLE)"; val sppD = "CAST(spp AS DOUBLE)"
+    val spqD = "CAST(spq AS DOUBLE)"
+    val varQ = s"($nD * $sqqD - $sqD * $sqD) / ($nD * ($nD - 1.0))"
+    val covPQ = s"($nD * $spqD - $spD * $sqD) / ($nD * ($nD - 1.0))"
+    val corrPQ = s"($nD * $spqD - $spD * $sqD) / " +
+      s"(SQRT($nD * $sqqD - $sqD * $sqD) * SQRT($nD * $sppD - $spD * $spD))"
+    "WITH b AS (SELECT l_returnflag, " + sqlS0("l_quantity") + " AS qi, " +
+      sqlS0("l_extendedprice") + " AS pi FROM lineitem), " +
+      "m AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, " +
+      "CAST(SUM(qi) AS BIGINT) AS sq, CAST(SUM(qi * qi) AS BIGINT) AS sqq, " +
+      "CAST(SUM(pi) AS BIGINT) AS sp, CAST(SUM(pi * pi) AS BIGINT) AS spp, " +
+      "CAST(SUM(pi * qi) AS BIGINT) AS spq FROM b GROUP BY l_returnflag) " +
+      "SELECT l_returnflag, " +
+      sqlS4(s"SQRT($varQ)") + " AS sd_qty, " +
+      sqlS4(varQ) + " AS var_qty, " +
+      sqlS4(corrPQ) + " AS corr_pq, " +
+      sqlS4(covPQ) + " AS cov_pq " +
+      "FROM m ORDER BY l_returnflag"
+  }
 
   private def custNationRegion(s: SparkSession, d: String): DataFrame =
     T.customer(s, d)

@@ -12,6 +12,10 @@ import Det._
   * bit ops, regrid -> integer bucketing, composites/anomaly/zonal ->
   * grouped/windowed reductions, WOfS decision tree -> chained CASE,
   * geomedian -> typed Aggregator (functions.Geomedian).
+  *
+  * All double-valued outputs are scaled BIGINTs; means/sums over the
+  * arbitrary-precision `events.value` go through the 6-dp element grid
+  * first (Det rule 3), so aggregation order is free on both engines.
   */
 object EO {
 
@@ -21,8 +25,8 @@ object EO {
     Q("eo_bandmath", Some(
       "SELECT l_orderkey, l_linenumber, " +
         "CASE WHEN (l_extendedprice + l_extendedprice * l_discount) = 0 THEN NULL " +
-        "ELSE CAST(ROUND((l_extendedprice - l_extendedprice * l_discount) / " +
-        "(l_extendedprice + l_extendedprice * l_discount), 6) AS DECIMAL(38,6)) END AS nd " +
+        "ELSE " + sqlS6("(l_extendedprice - l_extendedprice * l_discount) / " +
+          "(l_extendedprice + l_extendedprice * l_discount)") + " END AS nd " +
         "FROM lineitem ORDER BY l_orderkey, l_linenumber, nd"),
       (s, d) => {
         val a = col("l_extendedprice")
@@ -30,7 +34,7 @@ object EO {
         T.lineitem(s, d)
           .select(
             col("l_orderkey"), col("l_linenumber"),
-            when(a + b === 0, lit(null)).otherwise(d6((a - b) / (a + b))).as("nd"))
+            when(a + b === 0, lit(null)).otherwise(s6((a - b) / (a + b))).as("nd"))
           .orderBy("l_orderkey", "l_linenumber", "nd")
       }),
 
@@ -51,12 +55,12 @@ object EO {
           .orderBy("l_returnflag")),
 
     // Resample onto a coarse output grid (dc.load(resolution=...) analogue):
-    // integer cell ids, per-cell mean + count.
+    // integer cell ids, per-cell grid-mean + grid-sum + count.
     Q("eo_regrid", Some(
       "SELECT CAST(FLOOR(value / 50) AS BIGINT) AS gx, user_id % 10 AS gy, " +
         "CAST(COUNT(*) AS BIGINT) AS n, " +
-        "CAST(ROUND(AVG(value), 6) AS DECIMAL(38,6)) AS mean_val, " +
-        "SUM(CAST(value AS DECIMAL(28,10))) AS sum_val " +
+        sqlMean6("value") + " AS mean_val, " +
+        sqlSum6("value") + " AS sum_val " +
         "FROM events GROUP BY gx, gy ORDER BY gx, gy"),
       (s, d) =>
         T.events(s, d)
@@ -65,36 +69,45 @@ object EO {
             (col("user_id") % 10).as("gy"))
           .agg(
             count(lit(1)).as("n"),
-            d6(avg(col("value"))).as("mean_val"),
-            dsum(col("value")).as("sum_val"))
+            mean6(col("value")).as("mean_val"),
+            sum6(col("value")).as("sum_val"))
           .orderBy("gx", "gy")),
 
-    // Per-pixel temporal median mosaic analogue: exact median per user.
+    // Per-pixel temporal median mosaic analogue: exact median per user over
+    // the 6-dp grid; ×2 makes the even-count midpoint an exact integer.
     Q("eo_composite_median", Some(
       "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, " +
-        "CAST(ROUND(MEDIAN(value), 6) AS DECIMAL(38,6)) AS med_val " +
+        "CAST(FLOOR(QUANTILE_CONT(" + sqlS6("value") + ", 0.5) * 2 + 0.5) AS BIGINT) AS med2 " +
         "FROM events GROUP BY user_id ORDER BY user_id"),
       (s, d) =>
         T.events(s, d)
           .groupBy("user_id")
-          .agg(count(lit(1)).as("n"), d6(median(col("value"))).as("med_val"))
+          .agg(
+            count(lit(1)).as("n"),
+            floor(percentile(s6(col("value")), lit(0.5)) * 2 + 0.5).cast("long").as("med2"))
           .orderBy("user_id")),
 
     // NDVI-anomaly analogue: observation minus (event_type x month)
-    // climatology. One shuffle: the climatology is a window mean, not a
-    // separate aggregate + join.
+    // climatology. One shuffle: the climatology is a window grid-sum/count,
+    // not a separate aggregate + join; the anomaly is derived with a fixed
+    // double op sequence over exact integers (output: 4-dp scaled).
     Q("eo_anomaly", Some(
-      "SELECT event_id, event_type, CAST(ROUND(value - clim, 4) AS DECIMAL(38,4)) AS anomaly " +
-        "FROM (SELECT event_id, event_type, value, " +
-        "AVG(value) OVER (PARTITION BY event_type, MONTH(ts)) AS clim FROM events) x " +
+      "SELECT event_id, event_type, " +
+        "CAST(FLOOR((CAST(v6 AS DOUBLE) - CAST(sumw AS DOUBLE) / cntw) / 100 + 0.5) AS BIGINT) AS anomaly " +
+        "FROM (SELECT event_id, event_type, " + sqlS6("value") + " AS v6, " +
+        "SUM(" + sqlS6("value") + ") OVER (PARTITION BY event_type, MONTH(ts)) AS sumw, " +
+        "COUNT(*) OVER (PARTITION BY event_type, MONTH(ts)) AS cntw FROM events) x " +
         "ORDER BY event_id"),
       (s, d) => {
         val w = Window.partitionBy(col("event_type"), month(col("ts")))
         T.events(s, d)
-          .withColumn("clim", avg(col("value")).over(w))
+          .withColumn("v6", s6(col("value")))
+          .withColumn("sumw", sum(col("v6")).over(w))
+          .withColumn("cntw", count(lit(1)).over(w))
           .select(
             col("event_id"), col("event_type"),
-            d4(col("value") - col("clim")).as("anomaly"))
+            floor((col("v6").cast("double") - col("sumw").cast("double") / col("cntw"))
+              / lit(100) + lit(0.5)).cast("long").as("anomaly"))
           .orderBy("event_id")
       }),
 
@@ -122,10 +135,10 @@ object EO {
     // dimension join, stats per zone.
     Q("eo_zonal_stats", Some(
       "SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n, " +
-        "CAST(ROUND(MIN(value), 6) AS DECIMAL(38,6)) AS min_val, " +
-        "CAST(ROUND(MAX(value), 6) AS DECIMAL(38,6)) AS max_val, " +
-        "CAST(ROUND(AVG(value), 6) AS DECIMAL(38,6)) AS mean_val, " +
-        "SUM(CAST(value AS DECIMAL(28,10))) AS sum_val " +
+        sqlS6("MIN(value)") + " AS min_val, " +
+        sqlS6("MAX(value)") + " AS max_val, " +
+        sqlMean6("value") + " AS mean_val, " +
+        sqlSum6("value") + " AS sum_val " +
         "FROM events JOIN nation ON CAST(user_id % 25 AS INT) = n_nationkey " +
         "GROUP BY n_name ORDER BY n_name"),
       (s, d) =>
@@ -135,17 +148,17 @@ object EO {
           .groupBy("n_name")
           .agg(
             count(lit(1)).as("n"),
-            d6(min(col("value"))).as("min_val"),
-            d6(max(col("value"))).as("max_val"),
-            d6(avg(col("value"))).as("mean_val"),
-            dsum(col("value")).as("sum_val"))
+            s6(min(col("value"))).as("min_val"),
+            s6(max(col("value"))).as("max_val"),
+            mean6(col("value")).as("mean_val"),
+            sum6(col("value")).as("sum_val"))
           .orderBy("n_name")),
 
     // Max-NDVI mosaic: per pixel-group, keep the observation with the
     // highest index value (the reference's max-NDVI composite product) —
     // argmax via window, ties broken by event_id.
     Q("eo_composite_maxndvi", Some(
-      "SELECT user_id, event_id, CAST(ROUND(value, 6) AS DECIMAL(38,6)) AS best_val FROM (" +
+      "SELECT user_id, event_id, " + sqlS6("value") + " AS best_val FROM (" +
         "SELECT user_id, event_id, value, ROW_NUMBER() OVER (" +
         "PARTITION BY user_id ORDER BY value DESC, event_id) AS rn FROM events) x " +
         "WHERE rn = 1 ORDER BY user_id"),
@@ -154,7 +167,7 @@ object EO {
         T.events(s, d)
           .withColumn("rn", row_number().over(w))
           .where(col("rn") === 1)
-          .select(col("user_id"), col("event_id"), d6(col("value")).as("best_val"))
+          .select(col("user_id"), col("event_id"), s6(col("value")).as("best_val"))
           .orderBy("user_id")
       }),
 
@@ -163,8 +176,8 @@ object EO {
     Q("eo_water_permanency", Some(
       "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_obs, " +
         "CAST(SUM(CASE WHEN value > 250 THEN 1 ELSE 0 END) AS BIGINT) AS n_wet, " +
-        "CAST(ROUND(CAST(SUM(CASE WHEN value > 250 THEN 1 ELSE 0 END) AS DOUBLE) " +
-        "/ CAST(COUNT(*) AS DOUBLE), 6) AS DECIMAL(38,6)) AS pct_wet " +
+        sqlS6("CAST(SUM(CASE WHEN value > 250 THEN 1 ELSE 0 END) AS DOUBLE) " +
+          "/ CAST(COUNT(*) AS DOUBLE)") + " AS pct_wet " +
         "FROM events GROUP BY user_id ORDER BY user_id"),
       (s, d) =>
         T.events(s, d)
@@ -172,19 +185,20 @@ object EO {
           .agg(
             count(lit(1)).as("n_obs"),
             sum(when(col("value") > 250, 1).otherwise(0)).cast("bigint").as("n_wet"),
-            d6(sum(when(col("value") > 250, 1).otherwise(0)).cast("double")
+            s6(sum(when(col("value") > 250, 1).otherwise(0)).cast("double")
               / count(lit(1)).cast("double")).as("pct_wet"))
           .orderBy("user_id")),
 
     // Two-endmember linear unmixing (fractional-cover product family):
     // closed-form fraction clamp((x - e0) / (e1 - e0), 0, 1).
     Q("eo_unmix", Some(
-      "SELECT event_id, CAST(ROUND(LEAST(GREATEST((value - 50.0) / (400.0 - 50.0), 0.0), 1.0), 6) " +
-        "AS DECIMAL(38,6)) AS veg_fraction FROM events ORDER BY event_id"),
+      "SELECT event_id, " +
+        sqlS6("LEAST(GREATEST((value - 50.0) / (400.0 - 50.0), 0.0), 1.0)") +
+        " AS veg_fraction FROM events ORDER BY event_id"),
       (s, d) =>
         T.events(s, d)
           .select(col("event_id"),
-            d6(least(greatest((col("value") - 50.0) / (400.0 - 50.0), lit(0.0)), lit(1.0)))
+            s6(least(greatest((col("value") - 50.0) / (400.0 - 50.0), lit(0.0)), lit(1.0)))
               .as("veg_fraction"))
           .orderBy("event_id")),
 
@@ -192,16 +206,18 @@ object EO {
     // per-product worker shape (SURVEY §1): QA-mask -> band math ->
     // temporal composite -> per-zone summary. No intermediate
     // materialization; the optimizer fuses mask+bandmath into the scan.
+    // Yearly medians live on the half-integer 6-dp grid, so their sum (and
+    // hence AVG) is exact in double space in any order (Det rule 3).
     Q("eo_product_pipeline", Some(
       "WITH masked AS (SELECT l_returnflag, YEAR(l_shipdate) AS y, " +
-        "(l_extendedprice - l_extendedprice * l_discount) / " +
-        "(l_extendedprice + l_extendedprice * l_discount) AS nd " +
+        sqlS6("(l_extendedprice - l_extendedprice * l_discount) / " +
+          "(l_extendedprice + l_extendedprice * l_discount)") + " AS nd6 " +
         "FROM lineitem WHERE ((l_orderkey % 256) & 3) = 0), " +
-        "composite AS (SELECT l_returnflag, y, MEDIAN(nd) AS med_nd, " +
+        "composite AS (SELECT l_returnflag, y, QUANTILE_CONT(nd6, 0.5) AS med_nd, " +
         "CAST(COUNT(*) AS BIGINT) AS n_obs FROM masked GROUP BY l_returnflag, y) " +
         "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_years, " +
         "CAST(SUM(n_obs) AS BIGINT) AS n_obs, " +
-        "CAST(ROUND(AVG(med_nd), 6) AS DECIMAL(38,6)) AS mean_yearly_median " +
+        "CAST(FLOOR(AVG(med_nd) * 100 + 0.5) AS BIGINT) AS mean_yearly_median " +
         "FROM composite GROUP BY l_returnflag ORDER BY l_returnflag"),
       (s, d) => {
         val a = col("l_extendedprice")
@@ -209,14 +225,14 @@ object EO {
         T.lineitem(s, d)
           .where(((col("l_orderkey") % 256).bitwiseAND(3)) === 0)
           .select(col("l_returnflag"), year(col("l_shipdate")).as("y"),
-            ((a - b) / (a + b)).as("nd"))
+            s6((a - b) / (a + b)).as("nd6"))
           .groupBy("l_returnflag", "y")
-          .agg(median(col("nd")).as("med_nd"), count(lit(1)).as("n_obs"))
+          .agg(percentile(col("nd6"), lit(0.5)).as("med_nd"), count(lit(1)).as("n_obs"))
           .groupBy("l_returnflag")
           .agg(
             count(lit(1)).as("n_years"),
             sum(col("n_obs")).as("n_obs"),
-            d6(avg(col("med_nd"))).as("mean_yearly_median"))
+            floor(avg(col("med_nd")) * 100 + 0.5).cast("long").as("mean_yearly_median"))
           .orderBy("l_returnflag")
       }),
 
@@ -230,10 +246,10 @@ object EO {
           .agg(count(lit(1)).as("n"), gm(col("embedding")).as("gmed"))
           .select(
             col("label"), col("n"),
-            d6(element_at(col("gmed"), 1)).as("g1"),
-            d6(element_at(col("gmed"), 2)).as("g2"),
-            d6(element_at(col("gmed"), 3)).as("g3"),
-            d6(element_at(col("gmed"), 4)).as("g4"))
+            s6(element_at(col("gmed"), 1)).as("g1"),
+            s6(element_at(col("gmed"), 2)).as("g2"),
+            s6(element_at(col("gmed"), 3)).as("g3"),
+            s6(element_at(col("gmed"), 4)).as("g4"))
           .orderBy("label")
       }))
 }

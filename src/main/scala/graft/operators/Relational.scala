@@ -49,13 +49,13 @@ object Relational {
           .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")),
 
     Q("scan_schema", Some(
-      "SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec, " +
+      "SELECT o_orderkey, " + sqlS2("o_totalprice") + " AS price_cents, " +
         "CAST(o_orderdate AS DATE) AS order_date FROM orders ORDER BY o_orderkey"),
       (s, d) =>
         T.orders(s, d)
           .select(
             col("o_orderkey"),
-            col("o_totalprice").cast("decimal(12,2)").as("price_dec"),
+            s2(col("o_totalprice")).as("price_cents"),
             to_date(col("o_orderdate")).as("order_date"))
           .orderBy("o_orderkey")),
 
@@ -71,14 +71,14 @@ object Relational {
 
     Q("project_arith", Some(
       "SELECT l_orderkey, l_linenumber, " +
-        "CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS DECIMAL(38,6)) AS net_charge, " +
+        sqlS6("l_extendedprice * (1 - l_discount) * (1 + l_tax)") + " AS net_charge, " +
         "l_returnflag || '|' || l_linestatus AS rf_ls FROM lineitem " +
         "ORDER BY l_orderkey, l_linenumber, net_charge, rf_ls"),
       (s, d) =>
         T.lineitem(s, d)
           .select(
             col("l_orderkey"), col("l_linenumber"),
-            d6(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+            s6(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
               .as("net_charge"),
             concat(col("l_returnflag"), lit("|"), col("l_linestatus")).as("rf_ls"))
           .orderBy("l_orderkey", "l_linenumber", "net_charge", "rf_ls")),

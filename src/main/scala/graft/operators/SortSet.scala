@@ -28,13 +28,13 @@ object SortSet {
           .orderBy(col("st").asc_nulls_first, col("o_totalprice").desc, col("o_orderkey"))),
 
     Q("limit_topk", Some(
-      "SELECT o_orderkey, CAST(ROUND(o_totalprice, 6) AS DECIMAL(38,6)) AS top_price " +
+      "SELECT o_orderkey, " + sqlS2("o_totalprice") + " AS top_price " +
         "FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
       (s, d) =>
         T.orders(s, d)
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))
           .limit(10)
-          .select(col("o_orderkey"), d6(col("o_totalprice")).as("top_price"))),
+          .select(col("o_orderkey"), s2(col("o_totalprice")).as("top_price"))),
 
     Q("set_union_all", Some(
       "SELECT o_custkey FROM orders WHERE o_totalprice > 300000 " +

@@ -41,10 +41,15 @@ object SqlSurface {
         "SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15) " +
         "ORDER BY c_custkey"),
 
-    // Scalar subquery in a predicate (single-row aggregate broadcast).
+    // Scalar subqueries in a predicate (single-row aggregate broadcast).
+    // The 1.5×-average threshold is evaluated in exact integer space
+    // (2·cents·n > 3·Σcents) so an order-dependent double AVG can never
+    // flip a knife-edge row between engines (Det rule 3).
     mk("sql_scalar_subq",
-      "SELECT o_orderkey, CAST(ROUND(o_totalprice, 6) AS DECIMAL(38,6)) AS price " +
-        "FROM orders WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders) " +
+      "SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents " +
+        "FROM orders " +
+        "WHERE 2 * CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) * (SELECT COUNT(*) FROM orders) " +
+        "> 3 * (SELECT SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) FROM orders) " +
         "ORDER BY o_orderkey"),
 
     // CTE referenced twice — plan-level reuse of the aggregated subtree.

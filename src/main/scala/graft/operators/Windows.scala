@@ -10,10 +10,12 @@ import Det._
   *
   * All windows partition by o_custkey / c_custkey — at 100 TB this is the
   * natural shuffle key (bounded partition sizes: orders-per-customer), never
-  * an unpartitioned global window. Frame sums use decimal-cast elements so
-  * the engine's incremental frame evaluation order can't perturb the result
-  * (Det scaladoc); moving averages divide an exact decimal frame-sum by the
-  * frame count rather than trusting a sliding double accumulator.
+  * an unpartitioned global window. Frame sums accumulate integer cents
+  * (Det.s2 elements) so the engine's incremental frame evaluation order
+  * can't perturb the result; moving averages divide an exact integer
+  * frame-sum by the frame count rather than trusting a sliding double
+  * accumulator. Value-copy outputs (lag/lead/first/nth) project scaled
+  * longs of the copied value (Det scaladoc rule 1).
   * Reference analogue: per-pixel rolling temporal composites (xarray.rolling).
   */
 object Windows {
@@ -60,46 +62,46 @@ object Windows {
 
     Q("win_lag_lead", Some(
       "SELECT o_custkey, o_orderkey, " +
-        "CAST(ROUND(o_totalprice - LAG(o_totalprice) OVER (PARTITION BY o_custkey " +
-        "ORDER BY o_orderdate, o_orderkey), 6) AS DECIMAL(38,6)) AS delta_prev, " +
-        "CAST(ROUND(LEAD(o_totalprice) OVER (PARTITION BY o_custkey " +
-        "ORDER BY o_orderdate, o_orderkey) - o_totalprice, 6) AS DECIMAL(38,6)) AS delta_next " +
+        sqlS6("o_totalprice - LAG(o_totalprice) OVER (PARTITION BY o_custkey " +
+          "ORDER BY o_orderdate, o_orderkey)") + " AS delta_prev, " +
+        sqlS6("LEAD(o_totalprice) OVER (PARTITION BY o_custkey " +
+          "ORDER BY o_orderdate, o_orderkey) - o_totalprice") + " AS delta_next " +
         "FROM orders ORDER BY o_custkey, o_orderkey, delta_prev NULLS FIRST, delta_next NULLS FIRST"),
       (s, d) =>
         T.orders(s, d)
           .withColumn("delta_prev",
-            d6(col("o_totalprice") - lag("o_totalprice", 1).over(custDateKey)))
+            s6(col("o_totalprice") - lag("o_totalprice", 1).over(custDateKey)))
           .withColumn("delta_next",
-            d6(lead("o_totalprice", 1).over(custDateKey) - col("o_totalprice")))
+            s6(lead("o_totalprice", 1).over(custDateKey) - col("o_totalprice")))
           .select("o_custkey", "o_orderkey", "delta_prev", "delta_next")
           .orderBy(col("o_custkey"), col("o_orderkey"),
             col("delta_prev").asc_nulls_first, col("delta_next").asc_nulls_first)),
 
     Q("win_runsum", Some(
-      "SELECT o_custkey, o_orderkey, SUM(CAST(o_totalprice AS DECIMAL(28,10))) OVER (" +
+      "SELECT o_custkey, o_orderkey, CAST(SUM(" + sqlS2("o_totalprice") + ") OVER (" +
         "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_rev " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_rev " +
         "FROM orders ORDER BY o_custkey, o_orderkey, run_rev"),
       (s, d) =>
         T.orders(s, d)
           .withColumn("run_rev",
-            sum(col("o_totalprice").cast(Dec28_10))
+            sum(s2(col("o_totalprice")))
               .over(custDateKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .select("o_custkey", "o_orderkey", "run_rev")
           .orderBy("o_custkey", "o_orderkey", "run_rev")),
 
     Q("win_movavg", Some(
       "SELECT o_custkey, o_orderkey, " +
-        "CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) OVER w AS DOUBLE) " +
-        "/ CAST(COUNT(*) OVER w AS DOUBLE), 6) AS DECIMAL(38,6)) AS mov3 " +
+        "CAST(FLOOR(CAST(SUM(" + sqlS2("o_totalprice") + ") OVER w AS DOUBLE) " +
+        "* 1e4 / (COUNT(*) OVER w) + 0.5) AS BIGINT) AS mov3 " +
         "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
         "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) ORDER BY o_custkey, o_orderkey, mov3"),
       (s, d) => {
         val w = custDateKey.rowsBetween(-2, Window.currentRow)
         T.orders(s, d)
           .withColumn("mov3",
-            d6(sum(col("o_totalprice").cast(Dec28_10)).over(w).cast("double")
-              / count(lit(1)).over(w).cast("double")))
+            floor(sum(s2(col("o_totalprice"))).over(w).cast("double")
+              * lit(1e4) / count(lit(1)).over(w) + lit(0.5)).cast("long"))
           .select("o_custkey", "o_orderkey", "mov3")
           .orderBy("o_custkey", "o_orderkey", "mov3")
       }),
@@ -107,7 +109,7 @@ object Windows {
     Q("win_rangeframe", Some(
       "SELECT o_custkey, o_orderkey, " +
         "CAST(COUNT(*) OVER w AS BIGINT) AS n_near, " +
-        "SUM(CAST(o_totalprice AS DECIMAL(28,10))) OVER w AS sum_near " +
+        "CAST(SUM(" + sqlS2("o_totalprice") + ") OVER w AS BIGINT) AS sum_near " +
         "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice " +
         "RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) " +
         "ORDER BY o_custkey, o_orderkey, n_near, sum_near"),
@@ -115,52 +117,54 @@ object Windows {
         val w = byCust.orderBy(col("o_totalprice")).rangeBetween(-1000, 1000)
         T.orders(s, d)
           .withColumn("n_near", count(lit(1)).over(w))
-          .withColumn("sum_near", sum(col("o_totalprice").cast(Dec28_10)).over(w))
+          .withColumn("sum_near", sum(s2(col("o_totalprice"))).over(w))
           .select("o_custkey", "o_orderkey", "n_near", "sum_near")
           .orderBy("o_custkey", "o_orderkey", "n_near", "sum_near")
       }),
 
     Q("win_firstlast", Some(
       "SELECT o_custkey, o_orderkey, " +
-        "CAST(ROUND(FIRST_VALUE(o_totalprice) OVER w, 6) AS DECIMAL(38,6)) AS first_price, " +
-        "CAST(ROUND(LAST_VALUE(o_totalprice) OVER w, 6) AS DECIMAL(38,6)) AS last_price " +
+        sqlS2("(FIRST_VALUE(o_totalprice) OVER w)") + " AS first_price, " +
+        sqlS2("(LAST_VALUE(o_totalprice) OVER w)") + " AS last_price " +
         "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
         "ORDER BY o_custkey, o_orderkey, first_price, last_price"),
       (s, d) => {
         val w = custDateKey.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         T.orders(s, d)
-          .withColumn("first_price", d6(first("o_totalprice").over(w)))
-          .withColumn("last_price", d6(last("o_totalprice").over(w)))
+          .withColumn("first_price", s2(first("o_totalprice").over(w)))
+          .withColumn("last_price", s2(last("o_totalprice").over(w)))
           .select("o_custkey", "o_orderkey", "first_price", "last_price")
           .orderBy("o_custkey", "o_orderkey", "first_price", "last_price")
       }),
 
     Q("win_nthvalue", Some(
       "SELECT o_custkey, o_orderkey, " +
-        "CAST(ROUND(NTH_VALUE(o_totalprice, 2) OVER w, 6) AS DECIMAL(38,6)) AS second_price " +
+        sqlS2("(NTH_VALUE(o_totalprice, 2) OVER w)") + " AS second_price " +
         "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
         "ORDER BY o_custkey, o_orderkey, second_price NULLS FIRST"),
       (s, d) => {
         val w = custDateKey.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         T.orders(s, d)
-          .withColumn("second_price", d6(nth_value(col("o_totalprice"), 2).over(w)))
+          .withColumn("second_price", s2(nth_value(col("o_totalprice"), 2).over(w)))
           .select("o_custkey", "o_orderkey", "second_price")
           .orderBy(col("o_custkey"), col("o_orderkey"), col("second_price").asc_nulls_first)
       }),
 
+    // percent_rank/cume_dist are single ratios of window-local integers —
+    // one IEEE divide, engine-identical (Det rule 3), then s6-projected.
     Q("win_pctrank", Some(
       "SELECT o_custkey, o_orderkey, " +
-        "CAST(ROUND(PERCENT_RANK() OVER w, 6) AS DECIMAL(38,6)) AS pct_rk, " +
-        "CAST(ROUND(CUME_DIST() OVER w, 6) AS DECIMAL(38,6)) AS cume " +
+        sqlS6("(PERCENT_RANK() OVER w)") + " AS pct_rk, " +
+        sqlS6("(CUME_DIST() OVER w)") + " AS cume " +
         "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) " +
         "ORDER BY o_custkey, o_orderkey, pct_rk, cume"),
       (s, d) => {
         val w = byCust.orderBy(col("o_totalprice"), col("o_orderkey"))
         T.orders(s, d)
-          .withColumn("pct_rk", d6(percent_rank().over(w)))
-          .withColumn("cume", d6(cume_dist().over(w)))
+          .withColumn("pct_rk", s6(percent_rank().over(w)))
+          .withColumn("cume", s6(cume_dist().over(w)))
           .select("o_custkey", "o_orderkey", "pct_rk", "cume")
           .orderBy("o_custkey", "o_orderkey", "pct_rk", "cume")
       }))

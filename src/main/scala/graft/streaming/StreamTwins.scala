@@ -25,14 +25,14 @@ object StreamTwins {
 
     Q("stream_tumble", Some(
       "SELECT event_type, (CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600) * 3600 AS win_start, " +
-        "CAST(COUNT(*) AS BIGINT) AS n, SUM(CAST(value AS DECIMAL(28,10))) AS sum_val " +
+        "CAST(COUNT(*) AS BIGINT) AS n, " + sqlSum6("value") + " AS sum_val " +
         "FROM events GROUP BY event_type, win_start ORDER BY event_type, win_start"),
       (s, d) =>
         T.events(s, d)
           .groupBy(
             col("event_type"),
             (floor(epochS(col("ts")) / 3600) * 3600).as("win_start"))
-          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_val"))
+          .agg(count(lit(1)).as("n"), sum6(col("value")).as("sum_val"))
           .orderBy("event_type", "win_start")),
 
     // 1h window sliding 15min: each event belongs to exactly 4 windows.
@@ -78,13 +78,17 @@ object StreamTwins {
       }),
 
     // Exactly-once by event_id (streaming twin: dropDuplicates + watermark).
+    // The survivor pick is CANONICAL (min user_id), not arbitrary: plain
+    // dropDuplicates / DISTINCT ON keeps whichever row arrives first, which
+    // is only deterministic while event_id happens to be unique — min_by
+    // stays exact even against a fixture with true duplicates.
     Q("stream_dedup", Some(
-      "SELECT event_id, user_id FROM (SELECT DISTINCT ON (event_id) event_id, user_id " +
-        "FROM events) ORDER BY event_id"),
+      "SELECT event_id, MIN(user_id) AS user_id FROM events " +
+        "GROUP BY event_id ORDER BY event_id"),
       (s, d) =>
         T.events(s, d)
-          .dropDuplicates("event_id")
-          .select("event_id", "user_id")
+          .groupBy("event_id")
+          .agg(min(col("user_id")).as("user_id"))
           .orderBy("event_id")),
 
     // Watermark semantics, batch-exact: drop events >1h behind max(ts),
@@ -108,18 +112,18 @@ object StreamTwins {
       }),
 
     // Stateful per-user running total (flatMapGroupsWithState twin is the
-    // streaming demo; the batch twin is an exact decimal running sum).
+    // streaming demo; the batch twin is an exact grid-long running sum).
     Q("stream_runtotal", Some(
-      "SELECT event_id, user_id, SUM(CAST(value AS DECIMAL(28,10))) OVER (" +
+      "SELECT event_id, user_id, CAST(SUM(" + sqlS6("value") + ") OVER (" +
         "PARTITION BY user_id ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT), event_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_total " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_total " +
         "FROM events ORDER BY event_id"),
       (s, d) => {
         val w = Window.partitionBy("user_id")
           .orderBy(epochS(col("ts")), col("event_id"))
           .rowsBetween(Window.unboundedPreceding, 0)
         T.events(s, d)
-          .withColumn("run_total", sum(col("value").cast(Dec28_10)).over(w))
+          .withColumn("run_total", sum(s6(col("value"))).over(w))
           .select("event_id", "user_id", "run_total")
           .orderBy("event_id")
       }))
