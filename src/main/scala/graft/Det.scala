@@ -103,10 +103,6 @@ object Det {
     s"CAST(SUM(${sqlS6(x)}) AS BIGINT)"
   def sqlMean6(x: String): String =
     s"CAST(FLOOR(CAST(SUM(${sqlS6(x)}) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)"
-  val Dec28_14 = org.apache.spark.sql.types.DecimalType(28, 14)  // SCRATCH PROBE
-
-  def d6(c: Column): Column = round(c, 6).cast("decimal(38,6)")  // SCRATCH PROBE
-
   def sqlAvg6(x: String): String =
     s"CAST(FLOOR(CAST(SUM(${sqlS2(x)}) AS DOUBLE) * 1e4 / COUNT(*) + 0.5) AS BIGINT)"
 }

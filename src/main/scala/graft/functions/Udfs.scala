@@ -52,16 +52,21 @@ object Udfs {
       }),
 
     // Typed Aggregator: quantity-weighted mean price per return flag.
+    // Oracle twin of the aggregator's own arithmetic: per-row cent
+    // canonicalization (FLOOR(x*w*100+0.5), FLOOR(w*100+0.5)), exact long
+    // sums, ONE double division, then the s6 projection — identical IEEE op
+    // sequence on both sides.
     Q("udaf_weighted", Some(
-      "SELECT l_returnflag, CAST(ROUND(" +
-        "CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,10))) AS DOUBLE) / " +
-        "CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE), 6) AS DECIMAL(38,6)) AS wmean_price " +
+      "SELECT l_returnflag, CAST(FLOOR((" +
+        "CAST(SUM(CAST(FLOOR(l_extendedprice * l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / " +
+        "CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE)" +
+        ") * 1e6 + 0.5) AS BIGINT) AS wmean_price " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
       (s, d) => {
         val wmean = udaf(new WeightedMeanAgg())
         T.lineitem(s, d)
           .groupBy("l_returnflag")
-          .agg(d6(wmean(col("l_extendedprice"), col("l_quantity"))).as("wmean_price"))
+          .agg(s6(wmean(col("l_extendedprice"), col("l_quantity"))).as("wmean_price"))
           .orderBy("l_returnflag")
       }),
 

@@ -26,14 +26,15 @@ import Det._
   */
 object Llm {
 
-  /** (doc_id, lang, 64-bit distinct-token-set mask) via a dense_rank token
-    * dictionary — deterministic, broadcast-joined back to the corpus. */
+  /** (doc_id, lang, 64-bit distinct-token-set mask) via a dense token
+    * dictionary (zipWithIndex ids — partition-parallel, no single-partition
+    * window sort; see [[TextOps.denseIds]]: the Jaccard output is invariant
+    * to the id permutation) broadcast-joined back to the corpus. */
   private def docMasks(s: SparkSession, d: String): DataFrame = {
     val toks = T.documents(s, d)
       .select(col("doc_id"), col("lang"),
         explode(array_distinct(split(col("text"), " "))).as("tok"))
-    val dict = toks.select("tok").distinct()
-      .withColumn("tok_id", (dense_rank().over(Window.orderBy("tok")) - 1).cast("int"))
+    val dict = TextOps.denseIds(toks.select("tok").distinct(), "tok_id")
     // Fail LOUDLY (both engines, lazily) if the vocabulary outgrows one
     // 63-bit word — a silent Spark shift-wrap would corrupt Jaccards and
     // diverge from DuckDB's range-checked shift. The open-vocab paths are
@@ -83,8 +84,8 @@ object Llm {
     Q("llm_dedup_near", Some(
       docMasksSql +
         "SELECT a.doc_id AS d1, b.doc_id AS d2, " +
-        "CAST(ROUND(CAST(BIT_COUNT(a.mask & b.mask) AS DOUBLE) / " +
-        "CAST(BIT_COUNT(a.mask | b.mask) AS DOUBLE), 6) AS DECIMAL(38,6)) AS jaccard " +
+        sqlS6("CAST(BIT_COUNT(a.mask & b.mask) AS DOUBLE) / " +
+          "CAST(BIT_COUNT(a.mask | b.mask) AS DOUBLE)") + " AS jaccard " +
         "FROM masks a JOIN masks b ON a.lang = b.lang AND a.doc_id < b.doc_id " +
         "WHERE CAST(BIT_COUNT(a.mask & b.mask) AS DOUBLE) / " +
         "CAST(BIT_COUNT(a.mask | b.mask) AS DOUBLE) >= 0.5 " +
@@ -97,7 +98,7 @@ object Llm {
         val union = bit_count(col("mask_a").bitwiseOR(col("mask_b"))).cast("double")
         a.join(b, col("lang_a") === col("lang_b") && col("d1") < col("d2"))
           .where(inter / union >= 0.5)
-          .select(col("d1"), col("d2"), d6(inter / union).as("jaccard"))
+          .select(col("d1"), col("d2"), s6(inter / union).as("jaccard"))
           .orderBy("d1", "d2")
       }),
 
@@ -156,7 +157,7 @@ object Llm {
         "cos AS (SELECT vec_id, (CAST(dotl AS DOUBLE) / 1e14) / " +
         "(SQRT(CAST(nal AS DOUBLE) / 1e14) * SQRT(CAST((SELECT v FROM nb) AS DOUBLE) / 1e14)) AS c " +
         "FROM dots) " +
-        "SELECT vec_id, CAST(ROUND(c, 6) AS DECIMAL(38,6)) AS cos_sim FROM cos " +
+        "SELECT vec_id, " + sqlS6("c") + " AS cos_sim FROM cos " +
         "ORDER BY c DESC, vec_id LIMIT 10"),
       (s, d) => {
         val ux = T.embeddings(s, d)
@@ -176,7 +177,7 @@ object Llm {
           .withColumn("c", cos)
           .orderBy(col("c").desc, col("vec_id"))
           .limit(10)
-          .select(col("vec_id"), d6(col("c")).as("cos_sim"))
+          .select(col("vec_id"), s6(col("c")).as("cos_sim"))
       }),
 
     // Per-label mean vector -> nearest-centroid assignment -> confusion
@@ -184,7 +185,8 @@ object Llm {
     // scaled integers (exact, order-free, codegen'd).
     Q("llm_knn_centroid", Some(
       "WITH ux AS (" + vecPosSql + "), " +
-        "cent AS (SELECT label AS clabel, pos, ROUND(AVG(x), 6) AS c FROM ux GROUP BY clabel, pos), " +
+        "cent AS (SELECT label AS clabel, pos, " +
+        "CAST(" + sqlMean6("x") + " AS DOUBLE) / 1e6 AS c FROM ux GROUP BY clabel, pos), " +
         "dist AS (SELECT u.vec_id, u.label, c.clabel, " +
         "CAST(SUM(CAST(FLOOR((u.x - c.c) * (u.x - c.c) * 1e14 + 0.5) AS BIGINT)) AS BIGINT) AS d2 " +
         "FROM ux u JOIN cent c ON u.pos = c.pos GROUP BY u.vec_id, u.label, c.clabel), " +
@@ -195,7 +197,7 @@ object Llm {
       (s, d) => {
         val ux = vecPos(s, d)
         val cent = ux.groupBy(col("label").as("clabel"), col("pos"))
-          .agg(round(avg(col("x")), 6).as("c"))
+          .agg((mean6(col("x")).cast("double") / lit(1e6)).as("c"))
         val dist = ux.join(broadcast(cent), "pos")
           .groupBy(col("vec_id"), col("label"), col("clabel"))
           .agg(sum(floor((col("x") - col("c")) * (col("x") - col("c")) * lit(1e14)
@@ -211,8 +213,8 @@ object Llm {
     Q("llm_text_stats", Some(
       "SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
         "CAST(COUNT(*) AS BIGINT) AS n_tokens, " +
-        "CAST(ROUND(AVG(CAST(LENGTH(tok) AS DOUBLE)), 6) AS DECIMAL(38,6)) AS avg_tok_len, " +
-        "CAST(ROUND(CAST(COUNT(DISTINCT tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS DECIMAL(38,6)) AS distinct_ratio " +
+        sqlMean6("CAST(LENGTH(tok) AS DOUBLE)") + " AS avg_tok_len, " +
+        sqlS6("CAST(COUNT(DISTINCT tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)") + " AS distinct_ratio " +
         "FROM (SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents) " +
         "GROUP BY lang ORDER BY lang"),
       (s, d) =>
@@ -222,8 +224,8 @@ object Llm {
           .agg(
             countDistinct(col("doc_id")).as("n_docs"),
             count(lit(1)).as("n_tokens"),
-            d6(avg(length(col("tok")).cast("double"))).as("avg_tok_len"),
-            d6(countDistinct(col("tok")).cast("double") / count(lit(1)).cast("double"))
+            mean6(length(col("tok")).cast("double")).as("avg_tok_len"),
+            s6(countDistinct(col("tok")).cast("double") / count(lit(1)).cast("double"))
               .as("distinct_ratio"))
           .orderBy("lang")),
 
@@ -237,7 +239,7 @@ object Llm {
         "scored AS (SELECT lang, tok, tf, " +
         "CAST(tf AS DOUBLE) * LN(((SELECT nd FROM n) + 1) / (CAST(df AS DOUBLE) + 1)) AS score FROM tf JOIN df USING (tok)), " +
         "ranked AS (SELECT lang, tok, score, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, tok) AS rn FROM scored) " +
-        "SELECT lang, tok, CAST(ROUND(score, 6) AS DECIMAL(38,6)) AS tfidf, CAST(rn AS INT) AS rn " +
+        "SELECT lang, tok, " + sqlS6("score") + " AS tfidf, CAST(rn AS INT) AS rn " +
         "FROM ranked WHERE rn <= 5 ORDER BY lang, rn"),
       (s, d) => {
         val toks = T.documents(s, d)
@@ -254,7 +256,7 @@ object Llm {
         val w = Window.partitionBy("lang").orderBy(col("score").desc, col("tok"))
         scored.withColumn("rn", row_number().over(w))
           .where(col("rn") <= 5)
-          .select(col("lang"), col("tok"), d6(col("score")).as("tfidf"), col("rn"))
+          .select(col("lang"), col("tok"), s6(col("score")).as("tfidf"), col("rn"))
           .orderBy("lang", "rn")
       }),
 

@@ -69,15 +69,15 @@ object LlmExtras {
         "inter AS (SELECT c.d1, c.d2, SUM(BIT_COUNT(x.m & y.m)) AS i FROM cand c " +
         "JOIN masks x ON x.doc_id = c.d1 JOIN masks y ON y.doc_id = c.d2 AND y.w = x.w " +
         "GROUP BY c.d1, c.d2) " +
-        "SELECT d1, d2, CAST(ROUND(CAST(i AS DOUBLE) / CAST(s1.n + s2.n - i AS DOUBLE), 6) AS DECIMAL(38,6)) AS ngram_jaccard " +
+        "SELECT d1, d2, " + sqlS6("CAST(i AS DOUBLE) / CAST(s1.n + s2.n - i AS DOUBLE)") + " AS ngram_jaccard " +
         "FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id " +
         "WHERE CAST(i AS DOUBLE) / CAST(s1.n + s2.n - i AS DOUBLE) >= 0.5 " +
         "ORDER BY d1, d2"),
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val bigr = TextOps.bigrams(T.documents(s, d), "doc_id").distinct()
-        val dict = bigr.select("bigram").distinct()
-          .withColumn("bid", (dense_rank().over(Window.orderBy("bigram")) - 1).cast("int"))
+        // zipWithIndex ids, not the oracle's dense_rank: the Jaccard is
+        // invariant to the slot permutation (TextOps.denseIds scaladoc).
+        val dict = TextOps.denseIds(bigr.select("bigram").distinct(), "bid")
         val masks = bigr.join(broadcast(dict), "bigram")
           .groupBy(col("doc_id"), floor(col("bid") / 63).cast("int").as("w"))
           .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), bid % 63)")).as("m"))
@@ -101,7 +101,7 @@ object LlmExtras {
           .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
           .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
           .where(jac >= 0.5)
-          .select(col("d1"), col("d2"), d6(jac).as("ngram_jaccard"))
+          .select(col("d1"), col("d2"), s6(jac).as("ngram_jaccard"))
           .orderBy("d1", "d2")
       }),
 
@@ -125,7 +125,7 @@ object LlmExtras {
         "cos AS (SELECT v1, v2, (CAST(dotl AS DOUBLE) / 1e14) / " +
         "(SQRT(CAST(na.nl AS DOUBLE) / 1e14) * SQRT(CAST(nb.nl AS DOUBLE) / 1e14)) AS c " +
         "FROM dots JOIN norms na ON v1 = na.vec_id JOIN norms nb ON v2 = nb.vec_id) " +
-        "SELECT v1, v2, CAST(ROUND(c, 6) AS DECIMAL(38,6)) AS cos_sim FROM cos " +
+        "SELECT v1, v2, " + sqlS6("c") + " AS cos_sim FROM cos " +
         "WHERE c >= 0.3 ORDER BY v1, v2"),
       (s, d) => {
         val ux = T.embeddings(s, d)
@@ -146,7 +146,7 @@ object LlmExtras {
           .join(norms.select(col("vec_id").as("v2"), col("nl").as("nlb")), "v2")
           .withColumn("c", cos)
           .where(col("c") >= 0.3)
-          .select(col("v1"), col("v2"), d6(col("c")).as("cos_sim"))
+          .select(col("v1"), col("v2"), s6(col("c")).as("cos_sim"))
           .orderBy("v1", "v2")
       }),
 
@@ -163,8 +163,10 @@ object LlmExtras {
         val planes = s.range(0, 8).select(col("id").cast("int").as("plane"))
         val sgn = when(pmod(crc32(concat_ws(":", col("plane"), col("pos"))), lit(2)) === 0, 1d)
           .otherwise(-1d)
+        // Scaled-long projection fold (exact, order-free, codegen'd) — the
+        // interpreted decimal fold this replaces was the key's whole cost.
         val sigs = ux.crossJoin(broadcast(planes))
-          .withColumn("contrib", (col("x") * sgn).cast(Dec28_14))
+          .withColumn("contrib", floor(col("x") * sgn * lit(1e14) + lit(0.5)))
           .groupBy("vec_id", "plane")
           .agg(sum(col("contrib")).as("proj"))
           .groupBy("vec_id")
@@ -184,7 +186,7 @@ object LlmExtras {
           .withColumn("cos_raw", dotc / (sqrt(na) * sqrt(nb)))
           .orderBy(col("cos_raw").desc, col("vec_id"))
           .limit(3)
-          .select(col("vec_id"), col("bucket"), d6(col("cos_raw")).as("cos_sim"))
+          .select(col("vec_id"), col("bucket"), s6(col("cos_raw")).as("cos_sim"))
       }),
 
     // IVF-style ANN: the label clusters are the inverted-file cells; the
@@ -200,12 +202,13 @@ object LlmExtras {
           .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "xf")))
           .withColumn("x", col("xf").cast("double"))
         val cent = ux.groupBy(col("label").as("clabel"), col("pos"))
-          .agg(round(avg(col("x")), 6).as("c"))
+          .agg((graft.Det.mean6(col("x")).cast("double") / lit(1e6)).as("c"))
         // query-to-centroid distances -> 2 nearest cells
         val qpos = ux.where(col("vec_id") === 0).select(col("pos"), col("x").as("qx"))
         val probes = cent.join(broadcast(qpos), "pos")
           .groupBy("clabel")
-          .agg(sum((col("c") - col("qx")) * (col("c") - col("qx"))).as("d2"))
+          .agg(sum(floor((col("c") - col("qx")) * (col("c") - col("qx")) * lit(1e14)
+            + lit(0.5)).cast("long")).as("d2"))
           .orderBy(col("d2"), col("clabel"))
           .limit(2)
           .select(col("clabel").as("label"))
@@ -220,7 +223,7 @@ object LlmExtras {
           .withColumn("cos_raw", cos)
           .orderBy(col("cos_raw").desc, col("vec_id"))
           .limit(3)
-          .select(col("vec_id"), col("label"), d6(col("cos_raw")).as("cos_sim"))
+          .select(col("vec_id"), col("label"), s6(col("cos_raw")).as("cos_sim"))
       }),
 
     // Language-ID heuristic: stopword-ratio thresholding (the n-gram
@@ -248,26 +251,27 @@ object LlmExtras {
     Q("llm_quality", Some(
       "WITH t AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents), " +
         "m AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok, " +
-        "CAST(ROUND(AVG(CAST(LENGTH(tok) AS DOUBLE)), 6) AS DECIMAL(38,6)) AS avg_len, " +
-        "CAST(ROUND(CAST(SUM(CASE WHEN tok IN " + StopwordsSqlList + " THEN 1 ELSE 0 END) AS DOUBLE) " +
-        "/ CAST(COUNT(*) AS DOUBLE), 6) AS DECIMAL(38,6)) AS stop_ratio, " +
-        "CAST(ROUND(CAST(COUNT(DISTINCT tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS DECIMAL(38,6)) AS uniq_ratio " +
+        sqlMean6("CAST(LENGTH(tok) AS DOUBLE)") + " AS avg_len, " +
+        sqlS6("CAST(SUM(CASE WHEN tok IN " + StopwordsSqlList + " THEN 1 ELSE 0 END) AS DOUBLE) " +
+          "/ CAST(COUNT(*) AS DOUBLE)") + " AS stop_ratio, " +
+        sqlS6("CAST(COUNT(DISTINCT tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)") + " AS uniq_ratio " +
         "FROM t GROUP BY doc_id) " +
         "SELECT doc_id, n_tok, avg_len, stop_ratio, uniq_ratio, " +
-        "CASE WHEN n_tok >= 20 AND uniq_ratio >= 0.1 AND stop_ratio <= 0.6 THEN 1 ELSE 0 END AS keep " +
+        // thresholds live on the same 1e6-scaled grid as the columns
+        "CASE WHEN n_tok >= 20 AND uniq_ratio >= 100000 AND stop_ratio <= 600000 THEN 1 ELSE 0 END AS keep " +
         "FROM m ORDER BY doc_id"),
       (s, d) =>
         tokens(s, d)
           .groupBy("doc_id")
           .agg(
             count(lit(1)).as("n_tok"),
-            d6(avg(length(col("tok")).cast("double"))).as("avg_len"),
-            d6(sum(when(col("tok").isin(Stopwords: _*), 1).otherwise(0)).cast("double")
+            mean6(length(col("tok")).cast("double")).as("avg_len"),
+            s6(sum(when(col("tok").isin(Stopwords: _*), 1).otherwise(0)).cast("double")
               / count(lit(1)).cast("double")).as("stop_ratio"),
-            d6(countDistinct(col("tok")).cast("double") / count(lit(1)).cast("double"))
+            s6(countDistinct(col("tok")).cast("double") / count(lit(1)).cast("double"))
               .as("uniq_ratio"))
           .withColumn("keep",
-            when(col("n_tok") >= 20 && col("uniq_ratio") >= 0.1 && col("stop_ratio") <= 0.6, 1)
+            when(col("n_tok") >= 20 && col("uniq_ratio") >= 100000L && col("stop_ratio") <= 600000L, 1)
               .otherwise(0))
           .orderBy("doc_id")),
 
@@ -316,7 +320,7 @@ object LlmExtras {
         "tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n, MAX(c) AS top FROM cnt " +
         "GROUP BY doc_id) " + // n = distinct bigrams; top = max count of one bigram
         "SELECT t.doc_id, t.top AS top_bigram_count, s.nb AS n_bigrams, " +
-        "CAST(ROUND(CAST(t.top AS DOUBLE) / CAST(s.nb AS DOUBLE), 6) AS DECIMAL(38,6)) AS rep_ratio, " +
+        sqlS6("CAST(t.top AS DOUBLE) / CAST(s.nb AS DOUBLE)") + " AS rep_ratio, " +
         "CASE WHEN CAST(t.top AS DOUBLE) / CAST(s.nb AS DOUBLE) > 0.2 THEN 1 ELSE 0 END AS flag_repetitive " +
         "FROM tot t JOIN (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nb FROM bg GROUP BY doc_id) s " +
         "ON t.doc_id = s.doc_id ORDER BY t.doc_id"),
@@ -329,7 +333,7 @@ object LlmExtras {
         tot.join(nb, "doc_id")
           .select(
             col("doc_id"), col("top").as("top_bigram_count"), col("nb").as("n_bigrams"),
-            d6(ratio).as("rep_ratio"),
+            s6(ratio).as("rep_ratio"),
             when(ratio > 0.2, 1).otherwise(0).as("flag_repetitive"))
           .orderBy("doc_id")
       }),
@@ -366,22 +370,31 @@ object LlmExtras {
     // The full training-data dedup funnel as ONE plan (the llm-side
     // flagship, mirroring eo_product_pipeline): quality gate -> exact-dup
     // canonicalization -> near-dup canonicalization (keep smallest doc_id
-    // of each Jaccard>=0.5 pair) -> survivor stats per lang.
+    // of each Jaccard>=0.5 pair) -> survivor stats per lang. The near-dup
+    // stage uses MULTIWORD token masks (w = tok_id/63, the llm_ngram_jaccard
+    // layout): open-vocabulary safe — no silent shiftleft wrap at vocab>63
+    // (every token owns a unique (word, bit) slot), and the dictionary is
+    // zipWithIndex-assigned (TextOps.denseIds), not a single-partition
+    // window sort; |A∩B| is invariant to the id permutation.
     Q("llm_dedup_pipeline", Some(
       "WITH toks AS (SELECT doc_id, lang, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS tok FROM documents), " +
         "alltoks AS (SELECT doc_id, COUNT(*) AS n_tok FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents) GROUP BY doc_id), " +
         "quality AS (SELECT doc_id FROM alltoks WHERE n_tok >= 20), " +
         "exact_canon AS (SELECT MIN(doc_id) AS doc_id FROM documents JOIN quality USING (doc_id) GROUP BY MD5(text)), " +
         "dict AS (SELECT tok, CAST(DENSE_RANK() OVER (ORDER BY tok) - 1 AS INT) AS tok_id FROM (SELECT DISTINCT tok FROM toks)), " +
-        "masks AS (SELECT t.doc_id, lang, SUM(CAST(1 AS BIGINT) << tok_id) AS mask FROM toks t " +
-        "JOIN exact_canon e ON t.doc_id = e.doc_id JOIN dict USING (tok) GROUP BY t.doc_id, lang), " +
-        "losers AS (SELECT DISTINCT b.doc_id FROM masks a JOIN masks b ON a.lang = b.lang AND a.doc_id < b.doc_id " +
-        "WHERE CAST(BIT_COUNT(a.mask & b.mask) AS DOUBLE) / CAST(BIT_COUNT(a.mask | b.mask) AS DOUBLE) >= 0.5), " +
-        "survivors AS (SELECT doc_id, lang FROM masks WHERE doc_id NOT IN (SELECT doc_id FROM losers)) " +
+        "masks AS (SELECT t.doc_id, lang, tok_id // 63 AS w, SUM(CAST(1 AS BIGINT) << (tok_id % 63)) AS m FROM toks t " +
+        "JOIN exact_canon e ON t.doc_id = e.doc_id JOIN dict USING (tok) GROUP BY t.doc_id, lang, w), " +
+        "sizes AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM toks t " +
+        "JOIN exact_canon e ON t.doc_id = e.doc_id GROUP BY t.doc_id), " +
+        "inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, SUM(BIT_COUNT(a.m & b.m)) AS i " +
+        "FROM masks a JOIN masks b ON a.lang = b.lang AND a.w = b.w AND a.doc_id < b.doc_id GROUP BY d1, d2), " +
+        "losers AS (SELECT DISTINCT i.d2 AS doc_id FROM inter i " +
+        "JOIN sizes s1 ON i.d1 = s1.doc_id JOIN sizes s2 ON i.d2 = s2.doc_id " +
+        "WHERE CAST(i AS DOUBLE) / CAST(s1.n + s2.n - i AS DOUBLE) >= 0.5), " +
+        "survivors AS (SELECT DISTINCT doc_id, lang FROM masks WHERE doc_id NOT IN (SELECT doc_id FROM losers)) " +
         "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_survivors, MIN(doc_id) AS first_doc " +
         "FROM survivors GROUP BY lang ORDER BY lang"),
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val docs = T.documents(s, d)
         val quality = docs
           .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
@@ -394,19 +407,27 @@ object LlmExtras {
         val toks = docs
           .select(col("doc_id"), col("lang"),
             explode(array_distinct(split(col("text"), " "))).as("tok"))
-        val dict = toks.select("tok").distinct()
-          .withColumn("tok_id", (dense_rank().over(Window.orderBy("tok")) - 1).cast("int"))
+        val dict = TextOps.denseIds(toks.select("tok").distinct(), "tok_id")
         val masks = toks.join(exactCanon, "doc_id").join(broadcast(dict), "tok")
-          .groupBy("doc_id", "lang")
-          .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), tok_id)")).as("mask"))
-        val a = masks.select(col("doc_id").as("d1"), col("lang").as("la"), col("mask").as("ma"))
-        val b = masks.select(col("doc_id").as("d2"), col("lang").as("lb"), col("mask").as("mb"))
-        val jac = bit_count(col("ma").bitwiseAND(col("mb"))).cast("double") /
-          bit_count(col("ma").bitwiseOR(col("mb"))).cast("double")
-        val losers = a.join(b, col("la") === col("lb") && col("d1") < col("d2"))
+          .groupBy(col("doc_id"), col("lang"),
+            floor(col("tok_id") / 63).cast("int").as("w"))
+          .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), tok_id % 63)")).as("m"))
+        val sizes = toks.join(exactCanon, "doc_id")
+          .groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val a = masks.select(col("doc_id").as("d1"), col("lang"), col("w"), col("m").as("ma"))
+        val b = masks.select(col("doc_id").as("d2"), col("lang"), col("w"), col("m").as("mb"))
+        val inter = a.join(b, Seq("lang", "w"))
+          .where(col("d1") < col("d2"))
+          .groupBy("d1", "d2")
+          .agg(sum(bit_count(col("ma").bitwiseAND(col("mb")))).as("i"))
+        val jac = col("i").cast("double") / (col("n1") + col("n2") - col("i")).cast("double")
+        val losers = inter
+          .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+          .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
           .where(jac >= 0.5)
           .select(col("d2").as("doc_id")).distinct()
-        masks.join(losers, Seq("doc_id"), "left_anti")
+        masks.select("doc_id", "lang").distinct()
+          .join(losers, Seq("doc_id"), "left_anti")
           .groupBy("lang")
           .agg(count(lit(1)).as("n_survivors"), min(col("doc_id")).as("first_doc"))
           .orderBy("lang")

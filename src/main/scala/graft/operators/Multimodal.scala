@@ -104,6 +104,8 @@ object Multimodal {
           .agg(
             count(lit(1)).as("n"),
             sum(col("n_bytes").cast("long")).as("total_bytes"),
-            graft.Det.d6(avg(col("mean_intensity"))).as("avg_intensity"))
+            // per-element 6-dp canonicalization before the sum (Det rule 3:
+            // an engine double AVG is merge-order-dependent)
+            graft.Det.mean6(col("mean_intensity")).as("avg_intensity"))
           .orderBy("format")))
 }

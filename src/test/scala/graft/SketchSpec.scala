@@ -49,7 +49,7 @@ class SketchSpec extends SparkSpec {
   test("llm_ann_ivf probes nearest cells and ranks by cosine") {
     val rows = SparkEntry.queries("llm_ann_ivf")(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 3)
-    val sims = rows.map(_.getDecimal(2).doubleValue())
+    val sims = rows.map(_.getLong(2))
     assert(sims.sameElements(sims.sorted.reverse), "not ranked desc")
     assert(rows.map(_.getInt(1)).distinct.length <= 2, "probed more than 2 cells")
   }
@@ -57,8 +57,33 @@ class SketchSpec extends SparkSpec {
   test("llm_ann_lsh returns same-bucket vectors ranked by cosine") {
     val rows = SparkEntry.queries("llm_ann_lsh")(spark, sfDir).collect()
     assert(rows.length <= 3 && rows.nonEmpty)
-    val sims = rows.map(_.getDecimal(2).doubleValue())
+    val sims = rows.map(_.getLong(2))
     assert(sims.sameElements(sims.sorted.reverse), "not ranked desc")
+  }
+
+  test("llm_dedup_pipeline is exact beyond a 63-token vocabulary (multiword masks)") {
+    // 70-token vocabulary: a single 64-bit mask would silently wrap
+    // shiftleft mod 64 and corrupt the Jaccards; the multiword (w, bit)
+    // layout must stay exact. Regression for VERDICT r01 "What's wrong" #3.
+    import spark.implicits._
+    val vocab = (0 until 70).map(i => f"tok$i%02d")
+    def doc(id: Long, toks: Seq[String], lang: String) = {
+      val text = toks.mkString(" ")
+      (id, text, lang, "synth", text.length.toLong)
+    }
+    val base = vocab.take(40)
+    val nearDup = vocab.slice(5, 45) // |∩base|=35, |∪|=45 → j=0.78: loser
+    val far = vocab.slice(40, 70) ++ vocab.take(5) // vs base: 5/70 → j=0.07
+    val dir = java.nio.file.Files.createTempDirectory("graft-vocab70").toString
+    Seq(doc(1, base, "en"), doc(2, nearDup, "en"), doc(3, far, "en"),
+      // distinct text (exact dedup is lang-blind) in another lang: never
+      // near-dup-paired with the en docs despite 30 shared tokens
+      doc(4, vocab.slice(10, 50), "de"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("llm_dedup_pipeline")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(("en", 2L, 1L), ("de", 1L, 4L)), out.mkString(", "))
   }
 
   test("agg_approx_pct within 2% of exact percentiles") {
