@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warm-up: JIT/codegen/class-loading and the parquet reader
+    // pipeline otherwise land on whichever query happens to run first
+    // (~2.5 s of one-time cost mis-attributed to a 125-row cross join)
+    spark.range(1000).selectExpr("sum(id)").count()
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

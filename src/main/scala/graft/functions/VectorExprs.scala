@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 
 /** Native Catalyst expression for the vector hot path (SURVEY §5.3): a
@@ -67,22 +67,90 @@ case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpres
     copy(left = newLeft, right = newRight)
 }
 
+/** Scaled-long dot product: per element accumulate
+  * `FLOOR(a[i]*b[i]*1e14 + 0.5)` as a 64-bit integer — the exact twin of
+  * the oracle's `SUM(CAST(FLOOR(a.x * b.x * 1e14 + 0.5) AS BIGINT))` over
+  * an unnested layout (Det rule 3: each element canonicalizes via pure IEEE
+  * ops, the integer sum is exact and order-free, so the posexplode + shuffle
+  * + hash-agg a long-sum plan needs collapses into one per-row codegen'd
+  * loop). VERDICT r01 item 6. */
+case class FloatVecScaledDotL(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_sdotl expects (array<float>, array<float>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += math.floor(a.getFloat(i).toDouble * b.getFloat(i).toDouble * 1e14 + 0.5).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (long) java.lang.Math.floor(
+         |    (double) $a.getFloat($i) * (double) $b.getFloat($i) * 1e14 + 0.5);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
 
   val DotName = "graft_dot"
+  val SDotLName = "graft_sdotl"
 
   private val dotBuilder: Seq[Expression] => Expression =
     children => FloatVecDot(children(0), children(1))
 
+  private val sdotlBuilder: Seq[Expression] => Expression =
+    children => FloatVecScaledDotL(children(0), children(1))
+
   /** Imperative registration — used by query builders so the expression is
     * available regardless of how the session was constructed. Idempotent. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(DotName, dotBuilder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(SDotLName, sdotlBuilder, "built-in")
+  }
 
   /** Column-level helper: `dot(a, b)` after [[register]]. */
   def dot(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function(DotName, a, b)
+
+  /** Column-level helper: `sdotl(a, b)` after [[register]]. */
+  def sdotl(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function(SDotLName, a, b)
 }
 
 /** Config-level registration: `--conf
@@ -94,5 +162,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(VectorExprs.DotName),
       new ExpressionInfo(classOf[FloatVecDot].getName, VectorExprs.DotName),
       children => FloatVecDot(children(0), children(1))))
+    e.injectFunction((
+      FunctionIdentifier(VectorExprs.SDotLName),
+      new ExpressionInfo(classOf[FloatVecScaledDotL].getName, VectorExprs.SDotLName),
+      children => FloatVecScaledDotL(children(0), children(1))))
   }
 }

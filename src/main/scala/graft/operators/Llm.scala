@@ -39,12 +39,15 @@ object Llm {
     // 63-bit word — a silent Spark shift-wrap would corrupt Jaccards and
     // diverge from DuckDB's range-checked shift. The open-vocab paths are
     // llm_ngram_jaccard's multiword masks and llm_minhash.
+    // persisted: both sides of the pair self-join consume it (see
+    // llm_dedup_pipeline's masks comment)
     toks.join(broadcast(dict), "tok")
       .groupBy("doc_id", "lang")
       .agg(sum(expr(
         "CASE WHEN tok_id > 62 THEN raise_error('llm_dedup_near: vocabulary " +
           "exceeds 63 tokens; use multiword masks or llm_minhash') " +
           "ELSE shiftleft(CAST(1 AS BIGINT), tok_id) END")).as("mask"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   private val docMasksSql: String =
@@ -103,11 +106,14 @@ object Llm {
       }),
 
     // MinHash-LSH candidate generation (4 bands x 4 hashes; Broder 1997,
-    // "On the resemblance and containment of documents"). The per-seed
-    // hash depends only on (seed, token), so the signature pass joins a
-    // broadcast (token -> 16 hashes) dictionary and reduces with 16
-    // columnar partial MINs — one small shuffle, no token x seed explode
-    // (the explode formulation cost 4.5s at sf0.1; this is sub-second).
+    // "On the resemblance and containment of documents"). The 16 per-seed
+    // hashes are computed INLINE on the exploded tokens (16 codegen'd
+    // crc32 columns — no token dictionary, no distinct, no join), reduced
+    // with 16 columnar partial MINs, and the 4 bands explode into rows of
+    // ONE self-join keyed (lang, band, sig) — bucketed, never all-pairs.
+    // (History: token×seed explode cost 4.5 s at sf0.1; a broadcast-dict
+    // join + 4 separate band self-joins cost 3.0 s; this shape is the
+    // minimum-shuffle form: one partial-agg shuffle + one join + distinct.)
     // Approximate-by-construction: no oracle (SURVEY §3.10 ✘); recall vs
     // exact Jaccard is property-tested in SketchSpec.
     Q("llm_minhash", None,
@@ -116,28 +122,26 @@ object Llm {
         val toks = T.documents(s, d)
           .select(col("doc_id"), col("lang"),
             explode(array_distinct(split(col("text"), " "))).as("tok"))
-        val dict = toks.select("tok").distinct()
-          .withColumn("hs", array((0 until nSeeds).map(i =>
-            crc32(concat(lit(i.toString), lit("|"), col("tok")))): _*))
-        val minCols = (0 until nSeeds).map(i =>
-          min(element_at(col("hs"), i + 1)).as(s"h$i"))
-        val sigs = toks.join(broadcast(dict), "tok")
+        val hashCols = (0 until nSeeds).map(i =>
+          crc32(concat(lit(i.toString), lit("|"), col("tok"))).as(s"c$i"))
+        val minCols = (0 until nSeeds).map(i => min(col(s"c$i")).as(s"h$i"))
+        val sigs = toks.select(Seq(col("doc_id"), col("lang")) ++ hashCols: _*)
           .groupBy("doc_id", "lang")
           .agg(minCols.head, minCols.tail: _*)
-        val bandCols = (0 until 4).map(bnd => concat_ws(",",
-          (bnd * 4 until bnd * 4 + 4).map(i => col(s"h$i")): _*).as(s"band$bnd"))
-        val bandSig = sigs.select(Seq(col("doc_id"), col("lang")) ++ bandCols: _*)
-        val pairs = (0 until 4).map { bnd =>
-          bandSig.select(col("doc_id").as("d1"), col("lang"), col(s"band$bnd").as("sig"),
-              lit(bnd).as("band"))
-            .join(
-              bandSig.select(col("doc_id").as("d2"), col("lang"), col(s"band$bnd").as("sig"),
-                lit(bnd).as("band")),
-              Seq("lang", "sig", "band"))
-            .where(col("d1") < col("d2"))
-            .select("d1", "d2")
-        }.reduce(_ unionByName _).distinct()
-        pairs.orderBy("d1", "d2")
+        val bandStructs = (0 until 4).map(bnd => struct(lit(bnd).as("band"),
+          concat_ws(",", (bnd * 4 until bnd * 4 + 4).map(i => col(s"h$i")): _*).as("sig")))
+        // persisted: the signature subtree (corpus explode + 16 crc32s +
+        // 16-way MIN agg) feeds both sides of the band self-join
+        val bandRows = sigs
+          .select(col("doc_id"), col("lang"), explode(array(bandStructs: _*)).as("b"))
+          .select(col("doc_id"), col("lang"), col("b.band").as("band"), col("b.sig").as("sig"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        bandRows.select(col("doc_id").as("d1"), col("lang"), col("band"), col("sig"))
+          .join(bandRows.select(col("doc_id").as("d2"), col("lang"), col("band"), col("sig")),
+            Seq("lang", "band", "sig"))
+          .where(col("d1") < col("d2"))
+          .select("d1", "d2").distinct()
+          .orderBy("d1", "d2")
       }),
 
     // Brute-force cosine top-10 vs the query vector (vec_id=0).
@@ -247,6 +251,11 @@ object Llm {
         // N as a lazy broadcast scalar — no driver-side count() at plan
         // construction (SCALING.md principle 3)
         val nDocs = T.documents(s, d).agg(count(lit(1)).cast("double").as("nd"))
+        // tf and df each map-side partial-aggregate the exploded stream
+        // before their single shuffle (a shared (doc,lang,tok) pre-agg was
+        // tried and measured WORSE: column pruning makes the two subtrees
+        // non-identical so ReusedExchange never fires, and it just adds an
+        // exchange per branch)
         val tf = toks.groupBy("lang", "tok").agg(count(lit(1)).as("tf"))
         val df = toks.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
         val scored = tf.join(broadcast(df), "tok")

@@ -62,7 +62,7 @@ object LlmExtras {
         "FROM (SELECT DISTINCT bigram FROM bigr)), " +
         "masks AS (SELECT doc_id, bid // 63 AS w, SUM(CAST(1 AS BIGINT) << (bid % 63)) AS m " +
         "FROM bigr JOIN dict USING (bigram) GROUP BY doc_id, w), " +
-        "sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM bigr GROUP BY doc_id), " +
+        "sizes AS (SELECT doc_id, CAST(SUM(BIT_COUNT(m)) AS BIGINT) AS n FROM masks GROUP BY doc_id), " +
         "blocks AS (SELECT doc_id, lang, UNNEST([n_chars // 50, n_chars // 50 + 1]) AS blk FROM documents), " +
         "cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM blocks a " +
         "JOIN blocks b ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id), " +
@@ -78,10 +78,14 @@ object LlmExtras {
         // zipWithIndex ids, not the oracle's dense_rank: the Jaccard is
         // invariant to the slot permutation (TextOps.denseIds scaladoc).
         val dict = TextOps.denseIds(bigr.select("bigram").distinct(), "bid")
+        // persisted: consumed by both self-join sides and both size joins
+        // (see llm_dedup_pipeline's masks comment)
         val masks = bigr.join(broadcast(dict), "bigram")
           .groupBy(col("doc_id"), floor(col("bid") / 63).cast("int").as("w"))
           .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), bid % 63)")).as("m"))
-        val sizes = bigr.groupBy("doc_id").agg(count(lit(1)).as("n"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // distinct-bigram count per doc = popcount of its mask words
+        val sizes = masks.groupBy("doc_id").agg(sum(bit_count(col("m"))).as("n"))
         val blocks = T.documents(s, d)
           .select(col("doc_id"), col("lang"),
             explode(array(floor(col("n_chars") / 50), floor(col("n_chars") / 50) + 1)).as("blk"))
@@ -128,22 +132,26 @@ object LlmExtras {
         "SELECT v1, v2, " + sqlS6("c") + " AS cos_sim FROM cos " +
         "WHERE c >= 0.3 ORDER BY v1, v2"),
       (s, d) => {
-        val ux = T.embeddings(s, d)
-          .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("i", "xf")))
-          .withColumn("x", col("xf").cast("double")).drop("xf")
-        val norms = ux.groupBy("vec_id")
-          .agg(sum(floor(col("x") * col("x") * lit(1e14) + lit(0.5))).as("nl"))
-        val a = ux.select(col("vec_id").as("v1"), col("label"), col("i"), col("x").as("xa"))
-        val b = ux.select(col("vec_id").as("v2"), col("label"), col("i"), col("x").as("xb"))
-        val dots = a.join(b, Seq("label", "i"))
-          .where(col("v1") < col("v2"))
-          .groupBy("v1", "v2")
-          .agg(sum(floor(col("xa") * col("xb") * lit(1e14) + lit(0.5))).as("dotl"))
-        val cos = (col("dotl").cast("double") / lit(1e14)) /
+        // FloatVecScaledDotL collapses the oracle's unnest + equi-join +
+        // long-sum agg into one per-pair codegen'd loop: the per-element
+        // FLOOR canonicalization is identical and the integer sum is
+        // order-free, so the value matches the unnested plan bit-for-bit.
+        // Pairs come from a label-blocked self-join of whole rows (the IVF
+        // cell analogue) — dim× fewer shuffled rows than the posexplode
+        // layout, and no wide hash-agg.
+        graft.functions.VectorExprs.register(s)
+        import graft.functions.VectorExprs.sdotl
+        val withNorm = T.embeddings(s, d)
+          .select(col("vec_id"), col("label"), col("embedding"),
+            sdotl(col("embedding"), col("embedding")).as("nl"))
+        val a = withNorm.select(col("vec_id").as("v1"), col("label"),
+          col("embedding").as("ea"), col("nl").as("nla"))
+        val b = withNorm.select(col("vec_id").as("v2"), col("label"),
+          col("embedding").as("eb"), col("nl").as("nlb"))
+        val cos = (sdotl(col("ea"), col("eb")).cast("double") / lit(1e14)) /
           (sqrt(col("nla").cast("double") / lit(1e14)) * sqrt(col("nlb").cast("double") / lit(1e14)))
-        dots
-          .join(norms.select(col("vec_id").as("v1"), col("nl").as("nla")), "v1")
-          .join(norms.select(col("vec_id").as("v2"), col("nl").as("nlb")), "v2")
+        a.join(b, Seq("label"))
+          .where(col("v1") < col("v2"))
           .withColumn("c", cos)
           .where(col("c") >= 0.3)
           .select(col("v1"), col("v2"), s6(col("c")).as("cos_sim"))
@@ -384,8 +392,7 @@ object LlmExtras {
         "dict AS (SELECT tok, CAST(DENSE_RANK() OVER (ORDER BY tok) - 1 AS INT) AS tok_id FROM (SELECT DISTINCT tok FROM toks)), " +
         "masks AS (SELECT t.doc_id, lang, tok_id // 63 AS w, SUM(CAST(1 AS BIGINT) << (tok_id % 63)) AS m FROM toks t " +
         "JOIN exact_canon e ON t.doc_id = e.doc_id JOIN dict USING (tok) GROUP BY t.doc_id, lang, w), " +
-        "sizes AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM toks t " +
-        "JOIN exact_canon e ON t.doc_id = e.doc_id GROUP BY t.doc_id), " +
+        "sizes AS (SELECT doc_id, CAST(SUM(BIT_COUNT(m)) AS BIGINT) AS n FROM masks GROUP BY doc_id), " +
         "inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, SUM(BIT_COUNT(a.m & b.m)) AS i " +
         "FROM masks a JOIN masks b ON a.lang = b.lang AND a.w = b.w AND a.doc_id < b.doc_id GROUP BY d1, d2), " +
         "losers AS (SELECT DISTINCT i.d2 AS doc_id FROM inter i " +
@@ -408,12 +415,21 @@ object LlmExtras {
           .select(col("doc_id"), col("lang"),
             explode(array_distinct(split(col("text"), " "))).as("tok"))
         val dict = TextOps.denseIds(toks.select("tok").distinct(), "tok_id")
+        // The signature table is consumed 5× downstream (both self-join
+        // sides, both size joins, survivors): persist it, or every
+        // reference re-executes the whole corpus explode + dict join
+        // (measured: the un-persisted plan duplicates this subtree 5×).
+        // At archive scale this is the standard materialize-signatures
+        // step of a dedup pipeline — masks are ~vocab/63 longs per doc,
+        // orders of magnitude smaller than the corpus.
         val masks = toks.join(exactCanon, "doc_id").join(broadcast(dict), "tok")
           .groupBy(col("doc_id"), col("lang"),
             floor(col("tok_id") / 63).cast("int").as("w"))
           .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), tok_id % 63)")).as("m"))
-        val sizes = toks.join(exactCanon, "doc_id")
-          .groupBy("doc_id").agg(count(lit(1)).as("n"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // per-doc distinct-token count = popcount of its mask words (slots
+        // are injective) — no second pass over the exploded corpus
+        val sizes = masks.groupBy("doc_id").agg(sum(bit_count(col("m"))).as("n"))
         val a = masks.select(col("doc_id").as("d1"), col("lang"), col("w"), col("m").as("ma"))
         val b = masks.select(col("doc_id").as("d2"), col("lang"), col("w"), col("m").as("mb"))
         val inter = a.join(b, Seq("lang", "w"))
