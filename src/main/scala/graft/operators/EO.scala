@@ -19,6 +19,41 @@ import Det._
   */
 object EO {
 
+  /** 2-D affine grid transform `(x,y) -> (a·x + b·y + c, d·x + e·y + f)` —
+    * the `dc.load(resolution=, crs=)` reprojection core, reduced to the
+    * affine part (a full CRS datum shift needs a geodesy library that is
+    * not in this sandbox). Pure column math: each output coordinate is a
+    * fixed per-row IEEE op sequence, so it is bit-identical across engines
+    * and stays inside WholeStageCodegen. Exactly invertible when
+    * `a·e − b·d ≠ 0` (see [[Affine.invert]]; round-trip property-tested in
+    * EngineSpec). */
+  final case class Affine(a: Double, b: Double, c: Double,
+                          d: Double, e: Double, f: Double) {
+    def det: Double = a * e - b * d
+    def apply(x: Double, y: Double): (Double, Double) =
+      (a * x + b * y + c, d * x + e * y + f)
+    def invert: Affine = {
+      val inv = 1.0 / det
+      // [xp - c, yp - f] times the inverse 2x2 matrix
+      Affine(e * inv, -b * inv, (b * f - c * e) * inv,
+        -d * inv, a * inv, (c * d - a * f) * inv)
+    }
+    /** Spark columns for the transformed coordinates. */
+    def cols(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column)
+        : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =
+      (lit(a) * x + lit(b) * y + lit(c), lit(d) * x + lit(e) * y + lit(f))
+    /** Oracle-SQL twins of [[cols]] — same literals, same op order. */
+    def sql(x: String, y: String): (String, String) =
+      (s"(($a) * ($x) + ($b) * ($y) + ($c))", s"(($d) * ($x) + ($e) * ($y) + ($f))")
+  }
+
+  /** 30°-rotation + anisotropic scale + offset used by eo_regrid_affine;
+    * the literals are the exact decimal renderings of the doubles, so the
+    * Spark `lit` and the SQL text parse to identical bits. */
+  val RegridAffine: Affine = Affine(
+    0.8660254037844387, -0.5, 12.5,
+    0.5, 0.8660254037844387, -40.0)
+
   val all: Seq[Q] = Seq(
 
     // NDVI-shaped normalized difference with div-0 guard (xr.where analogue).
@@ -72,6 +107,33 @@ object EO {
             mean6(col("value")).as("mean_val"),
             sum6(col("value")).as("sum_val"))
           .orderBy("gx", "gy")),
+
+    // True affine reprojection (rotation + scale + offset), inverse-mapped:
+    // each source pixel (x = value, y = user_id % 100) lands in the
+    // destination cell FLOOR(affine(x,y) / 25) — dc.load(resolution=, crs=)
+    // minus the datum shift (no geodesy jar in the sandbox). The transform
+    // is per-row column math (codegen'd, engine-bit-identical); the per-cell
+    // reduction uses the 6-dp element grid (Det rule 3).
+    Q("eo_regrid_affine", Some {
+      val (xs, ys) = RegridAffine.sql("value", "CAST(user_id % 100 AS DOUBLE)")
+      "SELECT CAST(FLOOR(" + xs + " / 25) AS BIGINT) AS gx, " +
+        "CAST(FLOOR(" + ys + " / 25) AS BIGINT) AS gy, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, " +
+        sqlMean6("value") + " AS mean_val " +
+        "FROM events GROUP BY gx, gy ORDER BY gx, gy"
+    },
+      (s, d) => {
+        val (xc, yc) = RegridAffine.cols(
+          col("value"), (col("user_id") % 100).cast("double"))
+        T.events(s, d)
+          .groupBy(
+            floor(xc / 25).cast("long").as("gx"),
+            floor(yc / 25).cast("long").as("gy"))
+          .agg(
+            count(lit(1)).as("n"),
+            mean6(col("value")).as("mean_val"))
+          .orderBy("gx", "gy")
+      }),
 
     // Per-pixel temporal median mosaic analogue: exact median per user over
     // the 6-dp grid; ×2 makes the even-count midpoint an exact integer.

@@ -3,14 +3,16 @@ package graft.sources
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Product output contract — the Spark-first analogue of the reference's
   * COG + metadata-YAML writes (SURVEY §2.1 sink row): the raster becomes
   * partitioned parquet (partition column ~ tile), the YAML sidecar becomes
-  * a JSON manifest with product name, schema, partition keys, row count
-  * and write time, so a catalog (the ODC-index analogue) can register the
-  * product and later prune partitions at the scan.
+  * an eo3-shaped JSON dataset document with product name, measurements
+  * (column name + dtype, the band list analogue), per-partition-key value
+  * extents (the geo bounding-box analogue), lineage (the input the product
+  * was derived from) and row count, so a catalog (the ODC-index analogue)
+  * can register the product and later prune partitions at the scan.
   *
   * At scale: partitionBy keeps each output tile one directory (partition
   * pruning on read); writers are per-partition tasks with no driver
@@ -24,6 +26,9 @@ object ProductSink {
       path: String,
       partitionKeys: Seq[String],
       schemaDdl: String,
+      measurements: Seq[(String, String)],
+      extents: Map[String, (String, String)],
+      lineage: Option[String],
       rows: Long,
       writtenAtEpochMs: Long)
 
@@ -33,21 +38,43 @@ object ProductSink {
       df: DataFrame,
       product: String,
       outDir: String,
-      partitionKeys: Seq[String]): Manifest = {
+      partitionKeys: Seq[String],
+      lineage: Option[String] = None): Manifest = {
     val path = s"$outDir/$product"
     val writer = df.write.mode(SaveMode.Overwrite)
     val parted =
       if (partitionKeys.nonEmpty) writer.partitionBy(partitionKeys: _*) else writer
     parted.parquet(path)
 
-    val rows = df.sparkSession.read.parquet(path).count()
-    val m = Manifest(product, path, partitionKeys,
-      df.schema.toDDL, rows, System.currentTimeMillis())
+    // measured AFTER commit, from the committed files — the manifest
+    // documents what a reader will actually see
+    val committed = df.sparkSession.read.parquet(path)
+    val rows = committed.count()
+    // one distributed pass for all partition-key extents (bbox analogue)
+    val extents: Map[String, (String, String)] =
+      if (partitionKeys.isEmpty) Map.empty
+      else {
+        val aggs = partitionKeys.flatMap(k => Seq(
+          min(col(k).cast("string")).as(s"min_$k"),
+          max(col(k).cast("string")).as(s"max_$k")))
+        val r = committed.agg(aggs.head, aggs.tail: _*).head()
+        partitionKeys.map(k => k ->
+          (String.valueOf(r.getAs[Any](s"min_$k")),
+            String.valueOf(r.getAs[Any](s"max_$k")))).toMap
+      }
+    val m = Manifest(product, path, partitionKeys, df.schema.toDDL,
+      df.schema.fields.map(f => f.name -> f.dataType.simpleString).toSeq,
+      extents, lineage, rows, System.currentTimeMillis())
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val json =
       s"""{"product": ${q(m.product)}, "path": ${q(m.path)}, """ +
         s""""partition_keys": [${m.partitionKeys.map(q).mkString(", ")}], """ +
-        s""""schema": ${q(m.schemaDdl)}, "rows": ${m.rows}, """ +
+        s""""schema": ${q(m.schemaDdl)}, """ +
+        s""""measurements": {${m.measurements.map { case (n, t) => s"${q(n)}: ${q(t)}" }.mkString(", ")}}, """ +
+        s""""extents": {${m.extents.toSeq.sortBy(_._1).map { case (k, (lo, hi)) =>
+          s"${q(k)}: {${q("min")}: ${q(lo)}, ${q("max")}: ${q(hi)}}" }.mkString(", ")}}, """ +
+        s""""lineage": ${m.lineage.map(q).getOrElse("null")}, """ +
+        s""""rows": ${m.rows}, """ +
         s""""written_at_epoch_ms": ${m.writtenAtEpochMs}}"""
     Files.writeString(Paths.get(path, "manifest.json"), json)
     m
@@ -56,6 +83,6 @@ object ProductSink {
   /** Catalog-side read of a product written by [[write]]: schema from the
     * manifest is asserted against the parquet footers, and filters on the
     * partition keys prune directories (verified in ProductSinkSpec). */
-  def read(spark: org.apache.spark.sql.SparkSession, outDir: String, product: String): DataFrame =
+  def read(spark: SparkSession, outDir: String, product: String): DataFrame =
     spark.read.parquet(s"$outDir/$product")
 }

@@ -66,7 +66,11 @@ class EngineSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"))
     val m = ProductSink.write(product, "event_counts", out, Seq("event_type"))
     assert(m.rows == product.count())
-    assert(new java.io.File(s"$out/event_counts/manifest.json").exists())
+    val manifest = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/event_counts/manifest.json"))
+    // eo3-style dataset doc: measurements + partition-key extents + lineage
+    assert(manifest.contains("\"measurements\"") && manifest.contains("\"n\": \"bigint\""))
+    assert(manifest.contains("\"extents\"") && manifest.contains("\"event_type\""))
 
     val back = ProductSink.read(spark, out, "event_counts")
       .where(col("event_type") === "click")
@@ -75,6 +79,26 @@ class EngineSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("event_type"),
       s"no partition pruning in plan:\n$plan")
     assert(back.count() > 0)
+
+    // MEASURED pruning: the filtered scan must read strictly fewer files
+    // than the full product (one event_type directory vs all of them)
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect() // execute THIS dataset's plan (count() builds another)
+      val top = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      top.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.getOrElse(sys.error(s"no FileSourceScanExec in plan:\n$top"))
+    }
+    val allFiles = filesRead(ProductSink.read(spark, out, "event_counts"))
+    val prunedFiles = filesRead(ProductSink.read(spark, out, "event_counts")
+      .where(col("event_type") === "click"))
+    assert(prunedFiles < allFiles,
+      s"pruning not measured: read $prunedFiles of $allFiles files")
   }
 
   test("bucketed tables join without a shuffle exchange") {
@@ -118,5 +142,34 @@ class EngineSpec extends SparkSpec {
       src.orderBy("n_nationkey").collect().toSeq)
     assert(orc.orderBy("n_nationkey").collect().toSeq ==
       src.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("affine regrid transform round-trips (invert . apply = identity)") {
+    import graft.operators.EO
+    val aff = EO.RegridAffine
+    val inv = aff.invert
+    assert(math.abs(aff.det) > 1e-9, "transform must be invertible")
+    val rng = new scala.util.Random(42)
+    (0 until 1000).foreach { _ =>
+      val (x, y) = (rng.nextDouble() * 500, rng.nextDouble() * 100)
+      val (xp, yp) = aff(x, y)
+      val (xr, yr) = inv(xp, yp)
+      assert(math.abs(xr - x) < 1e-9 && math.abs(yr - y) < 1e-9,
+        s"round-trip drifted: ($x,$y) -> ($xp,$yp) -> ($xr,$yr)")
+    }
+    // rotation preserves areas up to |det|: a 30° pure rotation has det 1
+    assert(math.abs(aff.det - 1.0) < 1e-12)
+    // and the graded query agrees with a direct per-row computation
+    val out = SparkEntry.queries("eo_regrid_affine")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val direct = Tables.events(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("value"),
+        (org.apache.spark.sql.functions.col("user_id") % 100).cast("double").as("y"))
+      .collect()
+      .map(r => aff(r.getDouble(0), r.getDouble(1)))
+      .map { case (xp, yp) => (math.floor(xp / 25).toLong, math.floor(yp / 25).toLong) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val queryCells = out.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(queryCells == direct, "per-cell counts diverge from the direct affine")
   }
 }
