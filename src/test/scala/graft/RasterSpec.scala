@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.raster.RasterGrid
+
+/** Tile-granular raster layer (SURVEY §8.5): synthesized grids, checked
+  * against straightforward Scala-side reference computations. */
+class RasterSpec extends SparkSpec {
+
+  private val H = 8; private val W = 8
+
+  private def grid(band: String)(f: (Int, Int, Int) => Float) =
+    RasterGrid.synthesize(spark, "test_prod", band,
+      nTilesX = 2, nTilesY = 2, h = H, w = W, times = Seq(0, 1, 2))(f)
+
+  test("band math computes NDVI pixel-wise across the tile grid") {
+    val red = grid("red")((x, y, t) => 1.0f + x + y + t)
+    val nir = grid("nir")((x, y, t) => 3.0f + 2 * x + y + t)
+    val ndvi = RasterGrid.bandMath2(red.unionByName(nir), "nir", "red", "ndvi") {
+      (n, r) => ((n - r) / (n + r)).cast("float")
+    }
+    assert(ndvi.count() == 2 * 2 * 3) // one row per tile per time
+    val row = ndvi.where(col("tile_x") === 1 && col("tile_y") === 0 &&
+      col("time") === 2).head()
+    val data = row.getAs[scala.collection.Seq[Float]]("data")
+    // global pixel of tile (1,0) local (px,py): x = 8+px, y = py
+    for (py <- 0 until H; px <- 0 until W) {
+      val x = W + px; val y = py
+      val r = 1.0f + x + y + 2; val n = 3.0f + 2 * x + y + 2
+      assert(math.abs(data(py * W + px) - (n - r) / (n + r)) < 1e-6)
+    }
+  }
+
+  test("temporal median composite matches per-pixel sorted middle") {
+    // values vary with time as t*t - 2t (non-monotone: 0, -1, 0) plus
+    // a pixel-dependent base, so median ordering is exercised
+    val g = grid("b1")((x, y, t) => x + y + (t * t - 2 * t).toFloat)
+    val comp = RasterGrid.temporalMedianComposite(g)
+    assert(comp.count() == 4) // one per tile, time collapsed
+    val data = comp.where(col("tile_x") === 0 && col("tile_y") === 1)
+      .head().getAs[scala.collection.Seq[Float]]("data")
+    for (py <- 0 until H; px <- 0 until W) {
+      val x = px; val y = H + py
+      val stack = Seq(0, 1, 2).map(t => x + y + (t * t - 2 * t).toFloat).sorted
+      assert(data(py * W + px) == stack(1)) // odd depth -> exact middle
+    }
+    // even time depth -> mean of the two middles
+    val g2 = RasterGrid.synthesize(spark, "p", "b", 1, 1, 2, 2, Seq(0, 1, 2, 3)) {
+      (x, y, t) => (t * 10 + x).toFloat
+    }
+    val d2 = RasterGrid.temporalMedianComposite(g2).head()
+      .getAs[scala.collection.Seq[Float]]("data")
+    assert(d2(0) == (10f + 20f) / 2)
+  }
+
+  test("QA mask turns flagged pixels into NaN and composites skip nothing silently") {
+    val v = grid("b1")((x, y, t) => 100.0f + t)
+    val qa = grid("qa")((x, y, t) => if ((x + y) % 2 == 0) 0f else 1f)
+    val masked = RasterGrid.maskWhere(v.unionByName(qa), "b1", "qa")(q => q === 0f)
+    val data = masked.where(col("tile_x") === 0 && col("tile_y") === 0 &&
+      col("time") === 0).head().getAs[scala.collection.Seq[Float]]("data")
+    for (py <- 0 until H; px <- 0 until W) {
+      val expectClear = (px + py) % 2 == 0
+      assert(data(py * W + px).isNaN != expectClear)
+    }
+  }
+
+  test("downsample block-means within the tile, no shuffle in the plan") {
+    val g = grid("b1")((x, y, t) => x.toFloat) // value = global x
+    val ds = RasterGrid.downsample(g, H, W, 2)
+    val plan = ds.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"downsample must be map-only:\n$plan")
+    val data = ds.where(col("tile_x") === 1 && col("tile_y") === 0 &&
+      col("time") === 0).head().getAs[scala.collection.Seq[Float]]("data")
+    for (oy <- 0 until H / 2; ox <- 0 until W / 2) {
+      val xs = Seq(W + ox * 2, W + ox * 2 + 1) // two columns of the block
+      assert(data(oy * (W / 2) + ox) == xs.sum.toFloat / 2)
+    }
+  }
+
+  test("zonal stats aggregate pixel values by an aligned zone raster") {
+    val v = grid("b1")((x, y, t) => 1.0f) // every pixel contributes 1
+    val zones = grid("zone")((x, y, t) => (if (x < 8) 0 else 1).toFloat)
+    val zs = RasterGrid.zonalStats(v, zones).collect()
+    assert(zs.length == 2)
+    // 3 times x 2 tile rows x (8x8) tile = 384 pixels per zone half
+    assert(zs.forall(_.getAs[Long]("n_pixels") == 3 * 2 * H * W))
+    assert(zs.forall(r => math.abs(r.getAs[Double]("mean_val") - 1.0) < 1e-9))
+  }
+}
