@@ -107,5 +107,63 @@ object Multimodal {
             // per-element 6-dp canonicalization before the sum (Det rule 3:
             // an engine double AVG is merge-order-dependent)
             graft.Det.mean6(col("mean_intensity")).as("avg_intensity"))
-          .orderBy("format")))
+          .orderBy("format")),
+
+    // Resize: payload -> smaller payload + updated metadata, batched per
+    // partition like decode (a real codec resamples pixels; the stub
+    // stride-samples bytes to a deterministic 32x32 thumbnail). The
+    // Spark-side contract — binary in, binary out, metadata struct
+    // rewritten, partition-batch shape — is the real part.
+    Q("mm_resize", None,
+      (s, d) => {
+        val outSchema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("payload", BinaryType),
+          StructField("meta", StructType(Seq(
+            StructField("format", StringType),
+            StructField("n_bytes", IntegerType),
+            StructField("width", IntegerType),
+            StructField("height", IntegerType))))))
+        val enc = org.apache.spark.sql.Encoders.row(outSchema)
+        val (tw, th) = (32, 32)
+        payloads(s, d)
+          .where(col("meta.format").isin("png", "jpeg")) // metadata-only prune
+          .mapPartitions { rows =>
+            rows.map { r =>
+              val p = r.getAs[Array[Byte]]("payload")
+              // STUB resample: stride-sample the source bytes onto the
+              // tw*th target grid (deterministic; a codec swap point)
+              val out = Array.tabulate(tw * th)(i =>
+                if (p.isEmpty) 0.toByte else p((i.toLong * p.length / (tw * th)).toInt))
+              val m = r.getStruct(r.fieldIndex("meta"))
+              Row(r.getAs[Long]("doc_id"), out,
+                Row(m.getAs[String]("format"), out.length, tw, th))
+            }
+          }(enc)
+          .orderBy("doc_id")
+      }),
+
+    // Frame sampling: every k-th fixed-size byte window of a "video"
+    // payload becomes its own row — pure column math (sequence +
+    // transform + binary substring + posexplode), NO udf/mapPartitions:
+    // offset arithmetic doesn't need a codec, so it stays codegen'd.
+    Q("mm_frame_sample", None,
+      (s, d) => {
+        val frameBytes = 64
+        val stride = 4 // sample every 4th frame
+        val nFrames = (length(col("payload")) / (frameBytes * stride)).cast("int")
+        payloads(s, d)
+          .where(col("meta.format") === "wav") // metadata-only prune
+          .where(nFrames > 0)
+          .select(col("doc_id"),
+            posexplode(transform(
+              sequence(lit(0), nFrames - 1),
+              i => col("payload").substr(i * frameBytes * stride + 1, lit(frameBytes))))
+              .as(Seq("frame_idx", "frame")))
+          .select(col("doc_id"), col("frame_idx"),
+            (col("frame_idx") * frameBytes * stride).cast("long").as("byte_offset"),
+            length(col("frame")).cast("int").as("frame_bytes"),
+            col("frame"))
+          .orderBy("doc_id", "frame_idx")
+      }))
 }

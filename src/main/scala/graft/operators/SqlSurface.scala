@@ -58,5 +58,15 @@ object SqlSurface {
         "FROM customer GROUP BY c_mktsegment) " +
         "SELECT a.seg AS seg1, b.seg AS seg2, a.n + b.n AS combined " +
         "FROM seg a JOIN seg b ON a.n < b.n " +
-        "ORDER BY seg1, seg2"))
+        "ORDER BY seg1, seg2"),
+
+    // Recursive CTE (Spark 4's WITH RECURSIVE — the iterative plan
+    // surface): a generated month ladder left-joined back to the data.
+    // Identical portable statement in DuckDB.
+    mk("sql_recursive_cte",
+      "WITH RECURSIVE months(m) AS (" +
+        "SELECT 1 UNION ALL SELECT m + 1 FROM months WHERE m < 12) " +
+        "SELECT m, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders " +
+        "FROM months LEFT JOIN orders ON MONTH(o_orderdate) = m " +
+        "GROUP BY m ORDER BY m"))
 }

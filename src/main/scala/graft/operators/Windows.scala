@@ -167,5 +167,39 @@ object Windows {
           .withColumn("cume", s6(cume_dist().over(w)))
           .select("o_custkey", "o_orderkey", "pct_rk", "cume")
           .orderBy("o_custkey", "o_orderkey", "pct_rk", "cume")
+      }),
+
+    // Gaps-and-islands sessionization in batch (the classic lag + step-sum
+    // rewrite): a new session starts after a >600 s silence; per-user
+    // session count and largest-session size. Time is whole epoch seconds
+    // (engine-identical, Det.epochS); (t, event_id) orders ties away.
+    Q("win_gaps_islands", Some(
+      "WITH d AS (SELECT user_id, event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t FROM events), " +
+        "flagged AS (SELECT user_id, event_id, t, " +
+        "CASE WHEN t - LAG(t) OVER w > 600 OR LAG(t) OVER w IS NULL THEN 1 ELSE 0 END AS new_s " +
+        "FROM d WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)), " +
+        "sess AS (SELECT user_id, event_id, " +
+        "SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM flagged), " +
+        "per AS (SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n_events " +
+        "FROM sess GROUP BY user_id, sid) " +
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions, " +
+        "MAX(n_events) AS max_session_events " +
+        "FROM per GROUP BY user_id ORDER BY user_id"),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T.events(s, d)
+          .select(col("user_id"), col("event_id"), epochS(col("ts")).as("t"))
+          .withColumn("new_s",
+            when(col("t") - lag(col("t"), 1).over(w) > 600 ||
+              lag(col("t"), 1).over(w).isNull, 1).otherwise(0))
+          .withColumn("sid", sum(col("new_s")).over(wRun))
+          .groupBy("user_id", "sid")
+          .agg(count(lit(1)).as("n_events"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_sessions"),
+            max(col("n_events")).as("max_session_events"))
+          .orderBy("user_id")
       }))
 }

@@ -29,6 +29,51 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum == 500)
   }
 
+  test("resize emits fixed-geometry thumbnails with rewritten metadata") {
+    val rows = SparkEntry.queries("mm_resize")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val payload = r.getAs[Array[Byte]]("payload")
+      val meta = r.getStruct(2)
+      assert(payload.length == 32 * 32)
+      assert(meta.getAs[Int]("width") == 32 && meta.getAs[Int]("height") == 32)
+      assert(meta.getAs[Int]("n_bytes") == payload.length)
+      assert(Set("png", "jpeg")(meta.getAs[String]("format"))) // wav pruned
+    }
+    // deterministic stub: first sampled byte is the payload's first byte
+    val src = Multimodal.payloads(spark, sfDir)
+      .where(org.apache.spark.sql.functions.col("doc_id") === rows.head.getLong(0))
+      .head().getAs[Array[Byte]]("payload")
+    assert(rows.head.getAs[Array[Byte]]("payload")(0) == src(0))
+  }
+
+  test("frame sampling slices every k-th fixed-size byte window, codegen only") {
+    val df = SparkEntry.queries("mm_frame_sample")(spark, sfDir)
+    // no UDF/mapPartitions in this one: offset math must stay declarative
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("MapPartitions") && !plan.contains("BatchEvalPython"),
+      s"frame sampling left codegen:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (_, frames) =>
+      // contiguous frame indices from 0, stride-4 offsets, 64-byte frames
+      assert(frames.map(_.getInt(1)).sorted.toSeq == frames.indices.toSeq)
+      frames.foreach { f =>
+        assert(f.getLong(2) == f.getInt(1).toLong * 64 * 4)
+        assert(f.getInt(3) == 64)
+      }
+    }
+    // slice content check against the source payload, on a doc with a
+    // second sampled frame (payload >= 512 bytes)
+    val d0 = byDoc.collectFirst { case (id, fs) if fs.length >= 2 => id }.get
+    val src = Multimodal.payloads(spark, sfDir)
+      .where(org.apache.spark.sql.functions.col("doc_id") === d0)
+      .head().getAs[Array[Byte]]("payload")
+    val f1 = rows.filter(r => r.getLong(0) == d0 && r.getInt(1) == 1).head
+    assert(f1.getAs[Array[Byte]]("frame").sameElements(src.slice(256, 256 + 64)))
+  }
+
   test("fn_map builds per-doc token count maps") {
     val rows = SparkEntry.queries("fn_map")(spark, sfDir).collect()
     assert(rows.length == 500)
