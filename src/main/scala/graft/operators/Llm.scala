@@ -31,9 +31,11 @@ object Llm {
     * window sort; see [[TextOps.denseIds]]: the Jaccard output is invariant
     * to the id permutation) broadcast-joined back to the corpus. */
   private def docMasks(s: SparkSession, d: String): DataFrame = {
+    // persisted: consumed by the dict's eager id job AND the mask build
     val toks = T.documents(s, d)
       .select(col("doc_id"), col("lang"),
         explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dict = TextOps.denseIds(toks.select("tok").distinct(), "tok_id")
     // Fail LOUDLY (both engines, lazily) if the vocabulary outgrows one
     // 63-bit word — a silent Spark shift-wrap would corrupt Jaccards and

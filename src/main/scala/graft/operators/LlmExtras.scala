@@ -74,7 +74,11 @@ object LlmExtras {
         "WHERE CAST(i AS DOUBLE) / CAST(s1.n + s2.n - i AS DOUBLE) >= 0.5 " +
         "ORDER BY d1, d2"),
       (s, d) => {
+        // persisted: the dict's eager id job materializes it into cache,
+        // and the mask build then reads the cache instead of re-running
+        // the corpus explode + distinct
         val bigr = TextOps.bigrams(T.documents(s, d), "doc_id").distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // zipWithIndex ids, not the oracle's dense_rank: the Jaccard is
         // invariant to the slot permutation (TextOps.denseIds scaladoc).
         val dict = TextOps.denseIds(bigr.select("bigram").distinct(), "bid")
@@ -411,9 +415,11 @@ object LlmExtras {
           .groupBy(md5(col("text")).as("h"))
           .agg(min(col("doc_id")).as("doc_id"))
           .select("doc_id")
+        // persisted: consumed by the dict's eager id job AND the mask build
         val toks = docs
           .select(col("doc_id"), col("lang"),
             explode(array_distinct(split(col("text"), " "))).as("tok"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val dict = TextOps.denseIds(toks.select("tok").distinct(), "tok_id")
         // The signature table is consumed 5× downstream (both self-join
         // sides, both size joins, survivors): persist it, or every
