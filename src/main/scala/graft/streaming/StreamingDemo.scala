@@ -87,11 +87,46 @@ object StreamingDemo {
     val q4 = sess.writeStream.format("memory").queryName("demo_session")
       .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
 
-    Seq(q1, q2, q3, q4).foreach(_.awaitTermination(120000))
+    // 5) stream-stream interval join with watermarks on BOTH sides (the
+    // streaming shape of join_interval): each purchase joined to the same
+    // user's clicks within the following 5 minutes. State on both sides is
+    // bounded by the watermark + the time-range condition — the canonical
+    // Structured Streaming join pattern.
+    val purchases = stream.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = stream.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") &&
+        col("c_ts") <= col("p_ts") + expr("INTERVAL 5 MINUTES"))
+    val q5 = joined.select("p_id", "c_id").writeStream.format("memory")
+      .queryName("demo_sjoin").outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+
+    Seq(q1, q2, q3, q4, q5).foreach(_.awaitTermination(120000))
     println(s"demo_tumble rows:   ${spark.table("demo_tumble").count()}")
     println(s"demo_dedup rows:    ${spark.table("demo_dedup").count()}")
     println(s"demo_runtotal rows: ${spark.table("demo_runtotal").count()}")
     println(s"demo_session rows:  ${spark.table("demo_session").count()}")
+    // self-check: the stream-stream join must equal its batch twin
+    val batchTwin = {
+      val ev = Tables.events(spark, sfDir)
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      val c = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("c_id"), col("ts").as("c_ts"))
+      p.join(c, col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") &&
+        col("c_ts") <= col("p_ts") + expr("INTERVAL 5 MINUTES")).count()
+    }
+    val streamed = spark.table("demo_sjoin").count()
+    println(s"demo_sjoin rows:    $streamed (batch twin: $batchTwin, " +
+      (if (streamed == batchTwin) "MATCH" else "MISMATCH") + ")")
     spark.stop()
   }
 }
