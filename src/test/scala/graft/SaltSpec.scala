@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Salt
+
+/** Skew-salting rewrites must be result-identical to the direct ops on a
+  * deliberately skewed dataset (90% of rows on one key). */
+class SaltSpec extends SparkSpec {
+
+  // lineitem with l_suppkey skewed: map most rows onto supplier 1
+  private def skewed = Tables.lineitem(spark, sfDir)
+    .withColumn("k", when(col("l_orderkey") % 10 < 9, 1L).otherwise(col("l_suppkey")))
+
+  test("salted aggregation equals direct aggregation on skewed keys") {
+    val direct = skewed.groupBy("k")
+      .agg(sum(col("l_quantity")).as("sq"), count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("mn"), max(col("l_extendedprice")).as("mx"))
+      .orderBy("k").collect()
+    val salted = Salt.saltedAgg(skewed, Seq("k"), col("l_orderkey"), saltN = 8,
+      Seq("sq" -> (col("l_quantity"), "sum"), "n" -> (lit(1), "count"),
+        "mn" -> (col("l_extendedprice"), "min"), "mx" -> (col("l_extendedprice"), "max")))
+      .orderBy("k").collect()
+    assert(salted.toSeq == direct.toSeq)
+    // the hot key really is spread: the partial level has >1 group for k=1
+    val partials = skewed.withColumn("__salt",
+        pmod(xxhash64(col("l_orderkey")), lit(8)))
+      .where(col("k") === 1).select("__salt").distinct().count()
+    assert(partials > 1, "salt did not spread the hot key")
+  }
+
+  test("salted join equals direct join and replicates the build side") {
+    val build = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey").as("k"), col("s_name"))
+    val direct = skewed.select("k", "l_orderkey", "l_linenumber")
+      .join(build, "k")
+      .orderBy("k", "l_orderkey", "l_linenumber").collect()
+    val salted = Salt.saltedJoin(
+      skewed.select("k", "l_orderkey", "l_linenumber"), build,
+      "k", col("l_orderkey"), saltN = 8)
+      .select("k", "l_orderkey", "l_linenumber", "s_name")
+      .orderBy("k", "l_orderkey", "l_linenumber").collect()
+    assert(salted.length == direct.length, "row multiplicity changed")
+    assert(salted.map(_.toSeq).toSeq == direct.map(_.toSeq).toSeq)
+  }
+}
