@@ -7,6 +7,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // local-experiment knob only. Default on — AQE is part of the scale
+      // design (SCALING.md "Knobs") AND measured faster here: interleaved
+      // A/B at sf0.1 local[32] gave 53.7/50.5 s on vs 66.3/58.8 s off
+      // (partition coalescing beats the re-planning latency).
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
