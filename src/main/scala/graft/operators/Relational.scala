@@ -259,6 +259,31 @@ object Relational {
           .orderBy(col("purchase_id"), col("click_id").asc_nulls_first)
       }),
 
+    // Tolerance-bounded as-of (pandas merge_asof tolerance=): the latest
+    // prior click only matches if it is at most 10 minutes old — older
+    // lookbacks null-extend. Same custom operator, tolerance in the time
+    // column's native unit (µs for timestamps).
+    Q("join_asof_tol", Some(
+      "SELECT purchase_id, click_id FROM (" +
+        "SELECT p.event_id AS purchase_id, c.event_id AS click_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC NULLS LAST, c.event_id DESC) AS rn " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p LEFT JOIN " +
+        "(SELECT * FROM events WHERE event_type = 'click') c " +
+        "ON p.user_id = c.user_id AND c.ts <= p.ts " +
+        "AND c.ts >= p.ts - INTERVAL 10 MINUTE) x WHERE rn = 1 " +
+        "ORDER BY purchase_id, click_id NULLS FIRST"),
+      (s, d) => {
+        val e = T.events(s, d)
+        val p = e.where(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+        val c = e.where(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+        graft.plans.AsOf.join(p, c, "p_user", "c_user", "p_ts", "c_ts", "c_id",
+            tolerance = Some(600L * 1000000L)) // 10 min in µs
+          .select(col("p_id").as("purchase_id"), col("c_id").as("click_id"))
+          .orderBy(col("purchase_id"), col("click_id").asc_nulls_first)
+      }),
+
     // As-of join: for each purchase, the latest click of the same user at or
     // before it (ties on ts broken by click id). Reference analogue: aligning
     // scene timestamps to the nearest prior observation (SURVEY §3.3).

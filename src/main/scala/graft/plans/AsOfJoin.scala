@@ -16,7 +16,10 @@ import org.apache.spark.sql.{DataFrame, GraftInternal, SparkSession}
   * Semantics: left-outer as-of — for every left row, the single right row
   * with the same key and the greatest right time <= left time (ties on
   * time broken by the largest `rightTieBreak`), or nulls when no prior
-  * right row exists.
+  * right row exists. An optional `tolerance` (same units as the time
+  * expressions) bounds the lookback: a latest-prior row older than
+  * `leftTime - tolerance` null-extends instead of matching — pandas
+  * merge_asof's tolerance semantics.
   *
   * Why a custom operator (SURVEY §5.3 bar): the compositional form
   * (inequality join + row_number + filter rn=1) materializes EVERY
@@ -37,7 +40,8 @@ final case class AsOfJoinPlan(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    rightTieBreak: Expression) extends BinaryNode {
+    rightTieBreak: Expression,
+    tolerance: Option[Long] = None) extends BinaryNode {
   // left-outer: right side nullable
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -53,7 +57,8 @@ final case class AsOfJoinExec(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    rightTieBreak: Expression) extends BinaryExecNode {
+    rightTieBreak: Expression,
+    tolerance: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -120,7 +125,8 @@ final case class AsOfJoinExec(
           rHead = nextRight()
         }
         val matched = candidate != null && candidateKey == lk &&
-          rTimeOf(candidate) <= lt
+          rTimeOf(candidate) <= lt &&
+          tolerance.forall(t => lt - rTimeOf(candidate) <= t)
         project(joined(lRow, if (matched) candidate else nullRight))
         }
       }
@@ -158,8 +164,8 @@ object AsOfPushDown extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, tol) :: Nil
     case _ => Nil
   }
 }
@@ -176,7 +182,8 @@ object AsOf {
       rightKey: String,
       leftTime: String,
       rightTime: String,
-      rightTieBreak: String): DataFrame = {
+      rightTieBreak: String,
+      tolerance: Option[Long] = None): DataFrame = {
     val spark: SparkSession = leftDf.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
@@ -195,6 +202,6 @@ object AsOf {
       lPlan, rPlan,
       attr(lPlan, leftKey), attr(rPlan, rightKey),
       attr(lPlan, leftTime), attr(rPlan, rightTime),
-      attr(rPlan, rightTieBreak)))
+      attr(rPlan, rightTieBreak), tolerance))
   }
 }

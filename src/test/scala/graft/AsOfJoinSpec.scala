@@ -75,4 +75,20 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.length == 1)
     assert(out(0).getLong(5) == 9L) // rid of the tied-latest row
   }
+
+  test("tolerance null-extends a latest-prior match that is too old") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, 0L), (1L, 200L, 1L)).toDF("lk", "lt", "l_payload")
+    val r = Seq((1L, 95L, 7L)).toDF("rk", "rt", "rid")
+    // within 10 ticks: lt=100 matches (age 5); lt=200 does not (age 105)
+    val out = AsOf.join(l, r, "lk", "rk", "lt", "rt", "rid",
+        tolerance = Some(10L))
+      .orderBy("l_payload").collect()
+    assert(out(0).getLong(5) == 7L)
+    assert(out(1).isNullAt(3), "stale match must null-extend under tolerance")
+    // and without tolerance the stale row matches
+    val unbounded = AsOf.join(l, r, "lk", "rk", "lt", "rt", "rid")
+      .orderBy("l_payload").collect()
+    assert(unbounded(1).getLong(5) == 7L)
+  }
 }
