@@ -80,9 +80,27 @@ object ProductSink {
     m
   }
 
-  /** Catalog-side read of a product written by [[write]]: schema from the
-    * manifest is asserted against the parquet footers, and filters on the
-    * partition keys prune directories (verified in ProductSinkSpec). */
-  def read(spark: SparkSession, outDir: String, product: String): DataFrame =
-    spark.read.parquet(s"$outDir/$product")
+  /** Catalog-side read of a product written by [[write]]: the column set
+    * recorded in manifest.json is asserted against what the parquet
+    * footers actually expose (a schema drift between sidecar and data is
+    * the classic silent-corruption mode of sidecar catalogs), and filters
+    * on the partition keys prune directories (measured in EngineSpec). */
+  def read(spark: SparkSession, outDir: String, product: String): DataFrame = {
+    val df = spark.read.parquet(s"$outDir/$product")
+    val manifestPath = Paths.get(s"$outDir/$product", "manifest.json")
+    if (Files.exists(manifestPath)) {
+      val manifest = Files.readString(manifestPath)
+      // measurement names are the JSON keys of the "measurements" object
+      val declared = "\"measurements\": \\{([^}]*)\\}".r
+        .findFirstMatchIn(manifest)
+        .map(_.group(1).split(",").map(_.split(":")(0).trim.stripPrefix("\"")
+          .stripSuffix("\"")).toSet)
+        .getOrElse(Set.empty)
+      val actual = df.schema.fieldNames.toSet
+      require(declared == actual,
+        s"product $product: manifest/footers schema drift — " +
+          s"manifest ${declared.toSeq.sorted}, footers ${actual.toSeq.sorted}")
+    }
+    df
+  }
 }

@@ -144,6 +144,42 @@ class EngineSpec extends SparkSpec {
       src.orderBy("n_nationkey").collect().toSeq)
   }
 
+  test("dynamic partition pruning fires on a partitioned fact joined to a filtered dim") {
+    val out = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    Tables.lineitem(spark, sfDir)
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(s"$out/li")
+    import spark.implicits._
+    Seq(("A", "accept"), ("N", "none"), ("R", "reject"))
+      .toDF("flag", "label").write.mode("overwrite").parquet(s"$out/dim")
+    // dim must be a real scan: a filtered LocalRelation constant-folds
+    // away the Filter node the PartitionPruning rule looks for
+    val dim = spark.read.parquet(s"$out/dim")
+    val fact = spark.read.parquet(s"$out/li")
+    val joined = fact.join(
+        broadcast(dim.where(col("label") === "accept")),
+        fact("l_returnflag") === dim("flag"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"dynamic partition pruning did not plan:\n$plan")
+    // and it actually prunes: only the A partition's files are read.
+    // AQE wraps executed subtrees in QueryStageExec leaves — recurse.
+    joined.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val factScan = scans(joined.queryExecution.executedPlan)
+      .find(_.toString.contains("/li")).get
+    val pruned = factScan.metrics("numFiles").value
+    val all = spark.read.parquet(s"$out/li").inputFiles.length
+    assert(pruned < all, s"DPP read $pruned of $all files — no runtime pruning")
+  }
+
   test("affine regrid transform round-trips (invert . apply = identity)") {
     import graft.operators.EO
     val aff = EO.RegridAffine
