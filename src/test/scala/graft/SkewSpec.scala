@@ -2,11 +2,11 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Salt
+import graft.operators.Skew
 
 /** Skew-salting rewrites must be result-identical to the direct ops on a
   * deliberately skewed dataset (90% of rows on one key). */
-class SaltSpec extends SparkSpec {
+class SkewSpec extends SparkSpec {
 
   // lineitem with l_suppkey skewed: map most rows onto supplier 1
   private def skewed = Tables.lineitem(spark, sfDir)
@@ -17,27 +17,28 @@ class SaltSpec extends SparkSpec {
       .agg(sum(col("l_quantity")).as("sq"), count(lit(1)).as("n"),
         min(col("l_extendedprice")).as("mn"), max(col("l_extendedprice")).as("mx"))
       .orderBy("k").collect()
-    val salted = Salt.saltedAgg(skewed, Seq("k"), col("l_orderkey"), saltN = 8,
+    val salted = Skew.saltedAgg(skewed, Seq("k"), col("l_orderkey"), saltN = 8,
       Seq("sq" -> (col("l_quantity"), "sum"), "n" -> (lit(1), "count"),
         "mn" -> (col("l_extendedprice"), "min"), "mx" -> (col("l_extendedprice"), "max")))
       .orderBy("k").collect()
     assert(salted.toSeq == direct.toSeq)
-    // the hot key really is spread: the partial level has >1 group for k=1
+    // the hot key really is spread: >1 salt bucket for k=1
     val partials = skewed.withColumn("__salt",
         pmod(xxhash64(col("l_orderkey")), lit(8)))
       .where(col("k") === 1).select("__salt").distinct().count()
     assert(partials > 1, "salt did not spread the hot key")
   }
 
-  test("salted join equals direct join and replicates the build side") {
+  test("salted join equals direct join and preserves multiplicity") {
     val build = Tables.supplier(spark, sfDir)
-      .select(col("s_suppkey").as("k"), col("s_name"))
+      .select(col("s_suppkey").as("dk"), col("s_name"))
     val direct = skewed.select("k", "l_orderkey", "l_linenumber")
-      .join(build, "k")
+      .join(build, col("k") === col("dk"))
+      .select("k", "l_orderkey", "l_linenumber", "s_name")
       .orderBy("k", "l_orderkey", "l_linenumber").collect()
-    val salted = Salt.saltedJoin(
+    val salted = Skew.saltedEquiJoin(
       skewed.select("k", "l_orderkey", "l_linenumber"), build,
-      "k", col("l_orderkey"), saltN = 8)
+      "k", "dk", "l_orderkey", salts = 8)
       .select("k", "l_orderkey", "l_linenumber", "s_name")
       .orderBy("k", "l_orderkey", "l_linenumber").collect()
     assert(salted.length == direct.length, "row multiplicity changed")
