@@ -21,7 +21,9 @@ class DeterminismSpec extends SparkSpec {
     // partial-aggregation topology changes. 4 -> 17 partitions.
     val keys = Seq("agg_group", "agg_global", "agg_stats", "win_runsum",
       "llm_cosine_topk", "eo_zonal_stats", "udaf_weighted",
-      "join_asof_native", "eo_product_pipeline", "llm_dedup_pipeline")
+      "join_asof_native", "eo_product_pipeline", "llm_dedup_pipeline",
+      "join_asof_tol", "win_gaps_islands", "eo_regrid_affine",
+      "llm_embed_neardup", "llm_knn_centroid")
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     val base = keys.map(k => k -> SparkEntry.queries(k)(spark, sfDir).collect().toSeq).toMap
     try {
