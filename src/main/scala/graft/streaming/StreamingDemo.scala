@@ -31,6 +31,12 @@ object StreamingDemo {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // scale-grade state backend: RocksDB keeps watermark/dedup/session
+    // state off-heap and spillable — at archive scale the HDFS-backed
+    // in-memory store OOMs on wide key spaces; this is the cluster conf
+    // (rocksdbjni ships with Spark 4), exercised here by all five queries
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     import spark.implicits._
 
     // file-stream source needs a directory: stage the events file into a
