@@ -277,5 +277,23 @@ object Scalars {
       (s, d) =>
         T.documents(s, d)
           .select(col("doc_id"), md5(col("text")).as("text_md5"))
+          .orderBy("doc_id")),
+
+    // Higher-order array lambdas — filter / transform / aggregate (fold)
+    // stay whole-stage-codegen'd; DuckDB's LIST_FILTER/LIST_TRANSFORM/
+    // LIST_REDUCE are the portable twins. Integer outputs only (Det).
+    Q("fn_lambda", Some(
+      "SELECT doc_id, " +
+        "CAST(LEN(LIST_FILTER(tk, t -> LENGTH(t) > 5)) AS BIGINT) AS n_long, " +
+        "CAST(LIST_REDUCE(LIST_TRANSFORM(tk, t -> LENGTH(t)), (a, b) -> a + b) AS BIGINT) AS total_len " +
+        "FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents) " +
+        "ORDER BY doc_id"),
+      (s, d) =>
+        T.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("tk"))
+          .select(
+            col("doc_id"),
+            size(filter(col("tk"), t => length(t) > 5)).cast("bigint").as("n_long"),
+            aggregate(col("tk"), lit(0L), (acc, t) => acc + length(t)).as("total_len"))
           .orderBy("doc_id")))
 }
