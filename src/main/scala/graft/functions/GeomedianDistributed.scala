@@ -29,6 +29,11 @@ object GeomedianDistributed {
 
   val Rounds = 15
   val Eps = 1e-7
+  /** Early-exit threshold: stop when no group's estimate moved more than
+    * this between rounds (each round is a full pass over the archive —
+    * converged groups make further passes pure cost). Deterministic for a
+    * given dataset; Rounds stays the hard cap. */
+  val ConvergeTol = 1e-9
 
   /** df must have columns (groupCol, vecCol: array<float|double>).
     * Returns (group string, gmed array<double>), one row per group. */
@@ -73,11 +78,20 @@ object GeomedianDistributed {
         .map { case (g, (_, num, den)) => (g, num, den) }
         .collect()
       bEst.destroy()
+      var maxMove = 0.0
       est = updated.map { case (g, num, den) =>
         // den == 0 => every point coincides with the estimate; keep it
-        g -> (if (den == 0.0) est(g) else num.map(_ / den).toArray)
+        val next = if (den == 0.0) est(g) else num.map(_ / den).toArray
+        val prev = est(g)
+        var i = 0
+        while (i < next.length) {
+          val m = math.abs(next(i) - prev(i)); if (m > maxMove) maxMove = m
+          i += 1
+        }
+        g -> next
       }.toMap
       round += 1
+      if (maxMove < ConvergeTol) round = Rounds // converged: skip remaining passes
     }
     vecs.unpersist()
 
