@@ -188,7 +188,15 @@ object Scalars {
 
     // MAP columns have no portable DuckDB comparison surface (SURVEY §3.8 ✘);
     // rows-only check here, content equivalence covered by fn_explode.
-    Q("fn_map", None,
+    // MapType construction + lookup; the PROJECTED output is scalar, so a
+    // DuckDB oracle applies (the map itself never crosses the engine
+    // boundary — element_at on a missing key and SUM(CASE…) both yield
+    // NULL, so the absent-'the' rows agree).
+    Q("fn_map", Some(
+      "WITH t AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents) " +
+        "SELECT doc_id, CAST(COUNT(DISTINCT tok) AS INT) AS n_distinct, " +
+        "CAST(SUM(CASE WHEN tok = 'the' THEN 1 END) AS BIGINT) AS the_cnt " +
+        "FROM t GROUP BY doc_id ORDER BY doc_id"),
       (s, d) =>
         T.documents(s, d)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
