@@ -75,11 +75,37 @@ final case class AsOfJoinExec(
       SortOrder(rightTime, org.apache.spark.sql.catalyst.expressions.Ascending),
       SortOrder(rightTieBreak, org.apache.spark.sql.catalyst.expressions.Ascending)))
 
+  /** Primitive accessor for a bound integral expression: the common case
+    * (a plain column reference of long/int/timestamp/date type) reads the
+    * unsafe row directly — no per-row boxing in the merge loop; anything
+    * else falls back to interpreted eval. Returns (isNull, getLong). */
+  private def longAccessor(e: Expression)
+      : (InternalRow => Boolean, InternalRow => Long) = e match {
+    case b: org.apache.spark.sql.catalyst.expressions.BoundReference =>
+      import org.apache.spark.sql.types._
+      b.dataType match {
+        case LongType | TimestampType | TimestampNTZType =>
+          (r => r.isNullAt(b.ordinal), r => r.getLong(b.ordinal))
+        case IntegerType | DateType =>
+          (r => r.isNullAt(b.ordinal), r => r.getInt(b.ordinal).toLong)
+        case ShortType =>
+          (r => r.isNullAt(b.ordinal), r => r.getShort(b.ordinal).toLong)
+        case _ =>
+          (r => e.eval(r) == null, r => e.eval(r).asInstanceOf[Number].longValue())
+      }
+    case _ =>
+      (r => e.eval(r) == null, r => e.eval(r).asInstanceOf[Number].longValue())
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lKeyB = BindReferences.bindReference(leftKey, left.output)
     val lTimeB = BindReferences.bindReference(leftTime, left.output)
     val rKeyB = BindReferences.bindReference(rightKey, right.output)
     val rTimeB = BindReferences.bindReference(rightTime, right.output)
+    val (lKeyNull, lKeyGet) = longAccessor(lKeyB)
+    val (lTimeNull, lTimeGet) = longAccessor(lTimeB)
+    val (rKeyNull, rKeyGet) = longAccessor(rKeyB)
+    val (rTimeNull, rTimeGet) = longAccessor(rTimeB)
     val nRight = right.output.size
     val schema = output
 
@@ -93,13 +119,12 @@ final case class AsOfJoinExec(
       var candidate: InternalRow = null
       var candidateKey: Long = 0L
 
-      def rKeyOf(r: InternalRow): Long = rKeyB.eval(r).asInstanceOf[Number].longValue()
-      def rTimeOf(r: InternalRow): Long = rTimeB.eval(r).asInstanceOf[Number].longValue()
+      def rKeyOf(r: InternalRow): Long = rKeyGet(r)
+      def rTimeOf(r: InternalRow): Long = rTimeGet(r)
       // SQL comparison semantics: a null key/time can never satisfy the
       // as-of predicate — null right rows are skipped, null left rows
       // null-extend without consuming the cursor.
-      def rNull(r: InternalRow): Boolean =
-        rKeyB.eval(r) == null || rTimeB.eval(r) == null
+      def rNull(r: InternalRow): Boolean = rKeyNull(r) || rTimeNull(r)
       def nextRight(): InternalRow = {
         var n: InternalRow = null
         while (n == null && rIter.hasNext) {
@@ -111,13 +136,11 @@ final case class AsOfJoinExec(
       if (rHead != null && rNull(rHead)) rHead = nextRight()
 
       lIter.map { lRow =>
-        val lkRaw = lKeyB.eval(lRow)
-        val ltRaw = lTimeB.eval(lRow)
-        if (lkRaw == null || ltRaw == null) {
+        if (lKeyNull(lRow) || lTimeNull(lRow)) {
           project(joined(lRow, nullRight))
         } else {
-        val lk = lkRaw.asInstanceOf[Number].longValue()
-        val lt = ltRaw.asInstanceOf[Number].longValue()
+        val lk = lKeyGet(lRow)
+        val lt = lTimeGet(lRow)
         // advance the right cursor through all rows usable for (lk, lt)
         while (rHead != null &&
           (rKeyOf(rHead) < lk || (rKeyOf(rHead) == lk && rTimeOf(rHead) <= lt))) {
