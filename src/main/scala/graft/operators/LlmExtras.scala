@@ -33,18 +33,22 @@ object LlmExtras {
     // llm_dedup_near have small Hamming distance, random pairs do not.
     Q("llm_simhash", None,
       (s, d) => {
+        // 32 columnar ± accumulators in ONE per-doc aggregation (the
+        // per-(doc,bit) row layout shuffled 32× the rows through an extra
+        // stage; same fold as llm_minhash's inline hashes), then the
+        // signature assembles from the 32 signs in a single projection.
         val th = tokens(s, d)
           .groupBy(col("doc_id"), col("tok"))
           .agg(count(lit(1)).as("w"))
           .withColumn("h", crc32(col("tok")))
-        val bits = th
-          .crossJoin(broadcast(s.range(0, 32).select(col("id").cast("int").as("b"))))
-          .groupBy(col("doc_id"), col("b"))
-          .agg(sum(when(expr("(h >> b) & 1") === 1, col("w")).otherwise(-col("w"))).as("acc"))
-        bits
-          .groupBy("doc_id")
-          .agg(sum(when(col("acc") > 0,
-            expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("simhash"))
+        val accCols = (0 until 32).map(b =>
+          sum(when(expr(s"(h >> $b) & 1") === 1, col("w")).otherwise(-col("w")))
+            .as(s"acc$b"))
+        val simhash = (0 until 32).map(b =>
+          when(col(s"acc$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+        th.groupBy("doc_id")
+          .agg(accCols.head, accCols.tail: _*)
+          .select(col("doc_id"), simhash.as("simhash"))
           .orderBy("doc_id")
       }),
 
