@@ -176,18 +176,20 @@ object LlmExtras {
         val ux = T.embeddings(s, d)
           .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
           .withColumn("x", col("xf").cast("double"))
-        val planes = s.range(0, 8).select(col("id").cast("int").as("plane"))
-        val sgn = when(pmod(crc32(concat_ws(":", col("plane"), col("pos"))), lit(2)) === 0, 1d)
-          .otherwise(-1d)
-        // Scaled-long projection fold (exact, order-free, codegen'd) — the
-        // interpreted decimal fold this replaces was the key's whole cost.
-        val sigs = ux.crossJoin(broadcast(planes))
-          .withColumn("contrib", floor(col("x") * sgn * lit(1e14) + lit(0.5)))
-          .groupBy("vec_id", "plane")
-          .agg(sum(col("contrib")).as("proj"))
-          .groupBy("vec_id")
-          .agg(sum(when(col("proj") > 0,
-            expr("shiftleft(CAST(1 AS BIGINT), plane)")).otherwise(0L)).as("bucket"))
+        // 8 columnar scaled-long projections in ONE per-vector aggregation
+        // (exact, order-free, codegen'd): the plane crossJoin layout
+        // shuffled 8x the rows through an extra stage. The deterministic
+        // pseudo-hyperplane sign for (plane, pos) is computed inline.
+        def sgn(plane: Int) =
+          when(pmod(crc32(concat_ws(":", lit(plane), col("pos"))), lit(2)) === 0, 1d)
+            .otherwise(-1d)
+        val projCols = (0 until 8).map(p =>
+          sum(floor(col("x") * sgn(p) * lit(1e14) + lit(0.5))).as(s"proj$p"))
+        val bucket = (0 until 8).map(p =>
+          when(col(s"proj$p") > 0, lit(1L << p)).otherwise(0L)).reduce(_ + _)
+        val sigs = ux.groupBy("vec_id")
+          .agg(projCols.head, projCols.tail: _*)
+          .select(col("vec_id"), bucket.as("bucket"))
         graft.functions.VectorExprs.register(s)
         import graft.functions.VectorExprs.dot
         val e = T.embeddings(s, d).join(sigs, "vec_id")
