@@ -154,10 +154,15 @@ object VectorExprs {
 }
 
 /** Config-level registration: `--conf
-  * spark.sql.extensions=graft.functions.GraftExtensions` makes graft_dot a
-  * session built-in (the SparkSessionExtensions surface of the contract). */
+  * spark.sql.extensions=graft.functions.GraftExtensions` gives a session
+  * the full custom tier — the vector expressions as built-ins AND the
+  * as-of join's planner strategy + pushdown rule (the
+  * SparkSessionExtensions surface of the contract; `AsOf.join` also
+  * registers imperatively for sessions built without the conf). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => graft.plans.AsOfPushDown)
     e.injectFunction((
       FunctionIdentifier(VectorExprs.DotName),
       new ExpressionInfo(classOf[FloatVecDot].getName, VectorExprs.DotName),
