@@ -53,6 +53,17 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("sketch signatures fold columnar — no plane/bit row explosion") {
+    // llm_simhash: 32 ± accumulators in ONE aggregation; llm_ann_lsh: 8
+    // plane projections likewise. A reintroduced crossJoin against a bit/
+    // plane range would re-multiply shuffled rows 8-32x.
+    Seq("llm_simhash", "llm_ann_lsh").foreach { k =>
+      val p = planOf(k)
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+        s"$k re-exploded its signature layout:\n$p")
+    }
+  }
+
   test("vector hot paths stay codegen (no BatchEval / interpreted fold)") {
     Seq("llm_cosine_topk", "llm_embed_neardup", "llm_ann_lsh").foreach { k =>
       val p = planOf(k)
