@@ -144,6 +144,43 @@ class EngineSpec extends SparkSpec {
       src.orderBy("n_nationkey").collect().toSeq)
   }
 
+  test("a session built with GraftExtensions carries the full custom tier") {
+    import org.apache.spark.sql.SparkSession
+    val orig = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // new SparkSession on the same context through the extensions class
+      // (spark.sql.extensions is a STATIC conf — on a cluster it rides
+      // spark-submit; on a shared test context withExtensions exercises
+      // the identical injection path)
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.functions.GraftExtensions())
+        .getOrCreate()
+      assert(s2 ne orig)
+      // vector built-in resolves in SQL without imperative registration
+      import s2.implicits._
+      val one = s2.sql(
+        "SELECT graft_dot(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT)))")
+        .head().getDouble(0)
+      assert(one == 1.0)
+      // the as-of logical plan strategy is available without AsOf.join's
+      // imperative extraStrategies path
+      val l = Seq((1L, 10L)).toDF("lk", "lt")
+      val r = Seq((1L, 9L, 7L)).toDF("rk", "rt", "rid")
+      def attr(df: org.apache.spark.sql.DataFrame, n: String) =
+        df.queryExecution.analyzed.output.find(_.name == n).get
+      val plan = graft.plans.AsOfJoinPlan(
+        l.queryExecution.analyzed, r.queryExecution.analyzed,
+        attr(l, "lk"), attr(r, "rk"), attr(l, "lt"), attr(r, "rt"), attr(r, "rid"))
+      val out = org.apache.spark.sql.GraftInternal.ofRows(s2, plan).collect()
+      assert(out.length == 1 && out(0).getLong(4) == 7L)
+    } finally {
+      SparkSession.setActiveSession(orig)
+      SparkSession.setDefaultSession(orig)
+    }
+  }
+
   test("dynamic partition pruning fires on a partitioned fact joined to a filtered dim") {
     val out = java.nio.file.Files.createTempDirectory("graft_dpp").toString
     Tables.lineitem(spark, sfDir)
