@@ -124,16 +124,79 @@ case class FloatVecScaledDotL(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Scaled-long squared distance over two double arrays: per element
+  * accumulate `FLOOR((a[i]-b[i])² * 1e14 + 0.5)` as a 64-bit integer — the
+  * exact twin of the oracle's unnested
+  * `SUM(CAST(FLOOR((u.x - c.c) * (u.x - c.c) * 1e14 + 0.5) AS BIGINT))`
+  * (Det rule 3: pure IEEE per-element ops, exact order-free integer sum),
+  * collapsing the posexplode + pos-join + dim×-row hash-agg the distance
+  * computation otherwise needs into one per-pair codegen'd loop. */
+case class DoubleVecScaledL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_sl2 expects (array<double>, array<double>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc += math.floor(d * d * 1e14 + 0.5).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $acc += (long) java.lang.Math.floor($d * $d * 1e14 + 0.5);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
 
   val DotName = "graft_dot"
   val SDotLName = "graft_sdotl"
+  val SL2Name = "graft_sl2"
 
   private val dotBuilder: Seq[Expression] => Expression =
     children => FloatVecDot(children(0), children(1))
 
   private val sdotlBuilder: Seq[Expression] => Expression =
     children => FloatVecScaledDotL(children(0), children(1))
+
+  private val sl2Builder: Seq[Expression] => Expression =
+    children => DoubleVecScaledL2(children(0), children(1))
 
   /** Imperative registration — used by query builders so the expression is
     * available regardless of how the session was constructed. Idempotent. */
@@ -142,6 +205,8 @@ object VectorExprs {
       .createOrReplaceTempFunction(DotName, dotBuilder, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(SDotLName, sdotlBuilder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(SL2Name, sl2Builder, "built-in")
   }
 
   /** Column-level helper: `dot(a, b)` after [[register]]. */
@@ -151,6 +216,10 @@ object VectorExprs {
   /** Column-level helper: `sdotl(a, b)` after [[register]]. */
   def sdotl(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function(SDotLName, a, b)
+
+  /** Column-level helper: `sl2(a, b)` after [[register]]. */
+  def sl2(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function(SL2Name, a, b)
 }
 
 /** Config-level registration: `--conf
@@ -171,5 +240,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(VectorExprs.SDotLName),
       new ExpressionInfo(classOf[FloatVecScaledDotL].getName, VectorExprs.SDotLName),
       children => FloatVecScaledDotL(children(0), children(1))))
+    e.injectFunction((
+      FunctionIdentifier(VectorExprs.SL2Name),
+      new ExpressionInfo(classOf[DoubleVecScaledL2].getName, VectorExprs.SL2Name),
+      children => DoubleVecScaledL2(children(0), children(1))))
   }
 }

@@ -201,13 +201,24 @@ object Llm {
         "SELECT label, clabel AS assigned, CAST(COUNT(*) AS BIGINT) AS n " +
         "FROM best WHERE rn = 1 GROUP BY label, assigned ORDER BY label, assigned"),
       (s, d) => {
+        // Centroids pack into one double array per label (pos-sorted), and
+        // DoubleVecScaledL2 computes each (vector, centroid) distance in
+        // one codegen'd loop — the posexplode layout shuffled dim× rows
+        // through the distance hash-agg; this broadcasts #labels rows and
+        // shuffles none. Per-element arithmetic is the oracle's exact twin.
+        graft.functions.VectorExprs.register(s)
+        import graft.functions.VectorExprs.sl2
         val ux = vecPos(s, d)
         val cent = ux.groupBy(col("label").as("clabel"), col("pos"))
           .agg((mean6(col("x")).cast("double") / lit(1e6)).as("c"))
-        val dist = ux.join(broadcast(cent), "pos")
-          .groupBy(col("vec_id"), col("label"), col("clabel"))
-          .agg(sum(floor((col("x") - col("c")) * (col("x") - col("c")) * lit(1e14)
-            + lit(0.5))).as("d2"))
+        val centArr = cent.groupBy("clabel")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+            e => e.getField("c")).as("cvec"))
+        val vecs = T.embeddings(s, d).select(col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast("double")).as("dvec"))
+        val dist = vecs.crossJoin(broadcast(centArr))
+          .select(col("vec_id"), col("label"), col("clabel"),
+            sl2(col("dvec"), col("cvec")).as("d2"))
         val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("clabel"))
         dist.withColumn("rn", row_number().over(w))
           .where(col("rn") === 1)
