@@ -215,18 +215,21 @@ object LlmExtras {
     Q("llm_ann_ivf", None,
       (s, d) => {
         graft.functions.VectorExprs.register(s)
-        import graft.functions.VectorExprs.dot
+        import graft.functions.VectorExprs.{dot, sl2}
         val ux = T.embeddings(s, d)
           .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "xf")))
           .withColumn("x", col("xf").cast("double"))
         val cent = ux.groupBy(col("label").as("clabel"), col("pos"))
           .agg((graft.Det.mean6(col("x")).cast("double") / lit(1e6)).as("c"))
-        // query-to-centroid distances -> 2 nearest cells
-        val qpos = ux.where(col("vec_id") === 0).select(col("pos"), col("x").as("qx"))
-        val probes = cent.join(broadcast(qpos), "pos")
-          .groupBy("clabel")
-          .agg(sum(floor((col("c") - col("qx")) * (col("c") - col("qx")) * lit(1e14)
-            + lit(0.5)).cast("long")).as("d2"))
+        // packed centroid arrays -> query-to-centroid distance is ONE
+        // codegen'd sl2 per cell (same shape as llm_knn_centroid)
+        val centArr = cent.groupBy("clabel")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+            e => e.getField("c")).as("cvec"))
+        val qArr = T.embeddings(s, d).where(col("vec_id") === 0)
+          .select(transform(col("embedding"), x => x.cast("double")).as("qvec"))
+        val probes = centArr.crossJoin(broadcast(qArr))
+          .select(col("clabel"), sl2(col("cvec"), col("qvec")).as("d2"))
           .orderBy(col("d2"), col("clabel"))
           .limit(2)
           .select(col("clabel").as("label"))
