@@ -166,20 +166,20 @@ object Llm {
         "SELECT vec_id, " + sqlS6("c") + " AS cos_sim FROM cos " +
         "ORDER BY c DESC, vec_id LIMIT 10"),
       (s, d) => {
-        val ux = T.embeddings(s, d)
-          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xf")))
-          .withColumn("x", col("xf").cast("double")).drop("xf")
-        val q = ux.where(col("vec_id") === 0).select(col("i"), col("x").as("qx"))
-        val dots = ux.where(col("vec_id") =!= 0)
-          .join(broadcast(q), "i")
-          .groupBy("vec_id")
-          .agg(
-            sum(floor(col("x") * col("qx") * lit(1e14) + lit(0.5))).as("dotl"),
-            sum(floor(col("x") * col("x") * lit(1e14) + lit(0.5))).as("nal"))
-        val nb = q.agg(sum(floor(col("qx") * col("qx") * lit(1e14) + lit(0.5))).as("v"))
-        val cos = (col("dotl").cast("double") / lit(1e14)) /
-          (sqrt(col("nal").cast("double") / lit(1e14)) * sqrt(col("v").cast("double") / lit(1e14)))
-        dots.crossJoin(broadcast(nb))
+        // FloatVecScaledDotL per row against the broadcast query — the
+        // posexplode + broadcast-pos-join + dim×-row hash-agg collapses to
+        // one codegen'd loop per vector; the per-element FLOOR terms are
+        // the oracle's exact twins, so the unchanged oracle still matches.
+        // TakeOrderedAndProject keeps the top-10 as per-partition heaps.
+        graft.functions.VectorExprs.register(s)
+        import graft.functions.VectorExprs.sdotl
+        val q = T.embeddings(s, d).where(col("vec_id") === 0)
+          .select(col("embedding").as("qe"))
+        val cos = (sdotl(col("embedding"), col("qe")).cast("double") / lit(1e14)) /
+          (sqrt(sdotl(col("embedding"), col("embedding")).cast("double") / lit(1e14)) *
+            sqrt(sdotl(col("qe"), col("qe")).cast("double") / lit(1e14)))
+        T.embeddings(s, d).where(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
           .withColumn("c", cos)
           .orderBy(col("c").desc, col("vec_id"))
           .limit(10)
