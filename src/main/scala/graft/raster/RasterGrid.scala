@@ -97,6 +97,40 @@ object RasterGrid {
         pixelMedian.as("data"))
   }
 
+  /** Per-pixel argmax composite (the max-NDVI mosaic): for each pixel,
+    * the DATA band's value at the time where the SCORE band peaks —
+    * e.g. surface reflectance at max NDVI. Ties resolve to the earliest
+    * time (the stack folds in time order). Same bounded-stack shape as
+    * the median composite: one shuffle of packed arrays, a higher-order
+    * fold per pixel, no UDF, no pixel explode. */
+  def temporalArgmaxComposite(
+      df: DataFrame, scoreBand: String, dataBand: String): DataFrame = {
+    val s = df.where(col("band") === scoreBand)
+      .select(col("product"), col("time"), col("tile_y"), col("tile_x"),
+        col("data").as("score"))
+    val v = df.where(col("band") === dataBand)
+      .select(col("product"), col("time"), col("tile_y"), col("tile_x"),
+        col("data").as("value"))
+    val pixelArgmax = transform(
+      sequence(lit(0), size(element_at(col("stack"), 1).getField("score")) - 1),
+      i => aggregate(
+        col("stack"),
+        struct(lit(Float.NegativeInfinity).as("best"), lit(Float.NaN).as("out")),
+        (acc, e) => {
+          val sc = element_at(e.getField("score"), i + 1)
+          when(sc > acc.getField("best"),
+            struct(sc.as("best"), element_at(e.getField("value"), i + 1).as("out")))
+            .otherwise(acc)
+        },
+        acc => acc.getField("out")))
+    s.join(v, Seq("product", "time", "tile_y", "tile_x"))
+      .groupBy("product", "tile_y", "tile_x")
+      .agg(sort_array(collect_list(
+        struct(col("time"), col("score"), col("value")))).as("stack"))
+      .select(col("product"), lit(dataBand).as("band"),
+        col("tile_y"), col("tile_x"), pixelArgmax.as("data"))
+  }
+
   /** QA masking: pixel-wise `when(maskOp(q), v).otherwise(NaN)` over a
     * data band and its QA band — the xr.where(mask, x, nan) analogue. */
   def maskWhere(

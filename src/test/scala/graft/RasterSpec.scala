@@ -54,6 +54,31 @@ class RasterSpec extends SparkSpec {
     assert(d2(0) == (10f + 20f) / 2)
   }
 
+  test("argmax composite picks the data value at peak score, earliest-time ties") {
+    // score peaks at t=1 for even global x, at t=2 for odd; data = t*100+x
+    val score = grid("ndvi")((x, y, t) =>
+      if (x % 2 == 0) (if (t == 1) 5f else t.toFloat)
+      else (if (t == 2) 5f else t.toFloat))
+    val data = grid("red")((x, y, t) => (t * 100 + x).toFloat)
+    val comp = RasterGrid.temporalArgmaxComposite(
+      score.unionByName(data), "ndvi", "red")
+    assert(comp.count() == 4)
+    val d = comp.where(col("tile_x") === 0 && col("tile_y") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("data")
+    for (py <- 0 until H; px <- 0 until W) {
+      val expectT = if (px % 2 == 0) 1 else 2
+      assert(d(py * W + px) == (expectT * 100 + px).toFloat,
+        s"pixel ($px,$py): got ${d(py * W + px)}")
+    }
+    // tie case: constant score -> earliest time wins
+    val flat = grid("ndvi")((_, _, _) => 1f)
+    val tied = RasterGrid.temporalArgmaxComposite(
+      flat.unionByName(data), "ndvi", "red")
+      .where(col("tile_x") === 0 && col("tile_y") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("data")
+    assert(tied(3) == 3f) // t=0, x=3
+  }
+
   test("QA mask turns flagged pixels into NaN and composites skip nothing silently") {
     val v = grid("b1")((x, y, t) => 100.0f + t)
     val qa = grid("qa")((x, y, t) => if ((x + y) % 2 == 0) 0f else 1f)
