@@ -416,11 +416,9 @@ object LlmExtras {
         "FROM survivors GROUP BY lang ORDER BY lang"),
       (s, d) => {
         val docs = T.documents(s, d)
-        val quality = docs
-          .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
-          .where(col("n_tok") >= 20)
-          .select("doc_id")
-        val exactCanon = docs.join(quality, "doc_id")
+        // the quality gate is a predicate on the doc itself — a filter
+        // fused into the scan, not the oracle's spelled-out self-join
+        val exactCanon = docs.where(size(split(col("text"), " ")) >= 20)
           .groupBy(md5(col("text")).as("h"))
           .agg(min(col("doc_id")).as("doc_id"))
           .select("doc_id")
