@@ -33,7 +33,7 @@ object TextOps {
     val spark = distinctVals.sparkSession
     val schema = StructType(distinctVals.schema.fields :+
       StructField(idCol, IntegerType, nullable = false))
-    val rdd = distinctVals.rdd.zipWithIndex.map {
+    val rdd = distinctVals.rdd.zipWithIndex().map {
       case (r, i) => Row.fromSeq(r.toSeq :+ i.toInt)
     }
     spark.createDataFrame(rdd, schema)
