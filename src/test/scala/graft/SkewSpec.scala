@@ -29,6 +29,28 @@ class SkewSpec extends SparkSpec {
     assert(partials > 1, "salt did not spread the hot key")
   }
 
+  test("salted aggregation is result-identical on arbitrary generated corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.listOfN(300, Gen.zip(
+      Gen.chooseNum(0L, 4L), Gen.chooseNum(-1000L, 1000L)))
+    // deterministic seeds — reproducible failures
+    (1 to 5).foreach { s =>
+      val rows = gen(Gen.Parameters.default, Seed(s.toLong)).get
+      import spark.implicits._
+      val df = rows.toDF("k", "v")
+      val direct = df.groupBy("k")
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"),
+          min(col("v")).as("mn"), max(col("v")).as("mx"))
+        .orderBy("k").collect().toSeq
+      val salted = Skew.saltedAgg(df, Seq("k"), col("v"), saltN = 1 + s,
+        Seq("sv" -> (col("v"), "sum"), "n" -> (lit(1), "count"),
+          "mn" -> (col("v"), "min"), "mx" -> (col("v"), "max")))
+        .orderBy("k").collect().toSeq
+      assert(salted == direct, s"seed $s diverged")
+    }
+  }
+
   test("salted join equals direct join and preserves multiplicity") {
     val build = Tables.supplier(spark, sfDir)
       .select(col("s_suppkey").as("dk"), col("s_name"))
