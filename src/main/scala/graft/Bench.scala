@@ -32,6 +32,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // SECOND, short, final summary line: a tail-truncated capture of the
+    // long per-key line above (BENCH_r03 lost its first 34 keys that way)
+    // still parses this headline.
+    val slowest5 = results.toSeq.sortBy(-_._2).take(5)
+      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_keys":${results.size},"slowest5":$slowest5,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

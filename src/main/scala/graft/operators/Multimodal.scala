@@ -68,6 +68,11 @@ object Multimodal {
           length(col("text")).cast("int").as("n_bytes"),
           col("source").as("origin")).as("meta"))
 
+  /** Rows per codec batch inside mapPartitions — a real codec would hand
+    * each buffer to one native call (the Scala analogue of mapInPandas'
+    * Arrow batch size). */
+  val batchSize = 256
+
   /** payload -> feature rows via the stubbed codec, batched per
     * partition; optionally pre-filtered on metadata only. */
   private def features(s: SparkSession, d: String,
@@ -79,12 +84,16 @@ object Multimodal {
       .select(col("doc_id"), col("payload"), col("meta.format").as("format"),
         col("meta.n_bytes").as("n_bytes"))
       .mapPartitions { rows =>
-        rows.map { r =>
-          val payload = r.getAs[Array[Byte]]("payload")
-          val format = r.getAs[String]("format")
-          val (w, h, fr, mean) = fakeDecode(payload, format)
-          Row(r.getAs[Long]("doc_id"), format, r.getAs[Int]("n_bytes"),
-            w, h, fr, mean)
+        // Drain the partition in fixed-size buffers: decode a whole buffer
+        // per "codec call", emit its rows, reuse for the next buffer.
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val payload = r.getAs[Array[Byte]]("payload")
+            val format = r.getAs[String]("format")
+            val (w, h, fr, mean) = fakeDecode(payload, format)
+            Row(r.getAs[Long]("doc_id"), format, r.getAs[Int]("n_bytes"),
+              w, h, fr, mean)
+          }
         }
       }(enc)
   }
@@ -112,32 +121,39 @@ object Multimodal {
     // Resize: payload -> smaller payload + updated metadata, batched per
     // partition like decode (a real codec resamples pixels; the stub
     // stride-samples bytes to a deterministic 32x32 thumbnail). The
-    // Spark-side contract — binary in, binary out, metadata struct
-    // rewritten, partition-batch shape — is the real part.
+    // Spark-side contract — binary in, binary out, metadata rewritten as
+    // top-level scalar columns, partition-batch shape — is the real part.
+    // Metadata is FLAT (format/n_bytes/width/height scalars, not a nested
+    // struct): flat scalars keep metadata predicates trivially pushable and
+    // the output sortable by any generic consumer.
     Q("mm_resize", None,
       (s, d) => {
         val outSchema = StructType(Seq(
           StructField("doc_id", LongType),
           StructField("payload", BinaryType),
-          StructField("meta", StructType(Seq(
-            StructField("format", StringType),
-            StructField("n_bytes", IntegerType),
-            StructField("width", IntegerType),
-            StructField("height", IntegerType))))))
+          StructField("format", StringType),
+          StructField("n_bytes", IntegerType),
+          StructField("width", IntegerType),
+          StructField("height", IntegerType)))
         val enc = org.apache.spark.sql.Encoders.row(outSchema)
         val (tw, th) = (32, 32)
         payloads(s, d)
           .where(col("meta.format").isin("png", "jpeg")) // metadata-only prune
+          .select(col("doc_id"), col("payload"), col("meta.format").as("format"))
           .mapPartitions { rows =>
-            rows.map { r =>
-              val p = r.getAs[Array[Byte]]("payload")
-              // STUB resample: stride-sample the source bytes onto the
-              // tw*th target grid (deterministic; a codec swap point)
-              val out = Array.tabulate(tw * th)(i =>
-                if (p.isEmpty) 0.toByte else p((i.toLong * p.length / (tw * th)).toInt))
-              val m = r.getStruct(r.fieldIndex("meta"))
-              Row(r.getAs[Long]("doc_id"), out,
-                Row(m.getAs[String]("format"), out.length, tw, th))
+            // Batch shape: drain the partition in fixed-size buffers (the
+            // Scala analogue of mapInPandas' Arrow batches) so a real codec
+            // can process a whole buffer per native call.
+            rows.grouped(batchSize).flatMap { batch =>
+              batch.map { r =>
+                val p = r.getAs[Array[Byte]]("payload")
+                // STUB resample: stride-sample the source bytes onto the
+                // tw*th target grid (deterministic; a codec swap point)
+                val out = Array.tabulate(tw * th)(i =>
+                  if (p.isEmpty) 0.toByte else p((i.toLong * p.length / (tw * th)).toInt))
+                Row(r.getAs[Long]("doc_id"), out,
+                  r.getAs[String]("format"), out.length, tw, th)
+              }
             }
           }(enc)
           .orderBy("doc_id")

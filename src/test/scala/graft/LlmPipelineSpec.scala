@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** The round-5 candidate-stage rewrites must be RESULT-IDENTICAL to the
+  * all-pairs plans they replaced:
+  *
+  *  - llm_dedup_pipeline's tiered witness search (lang-pivot pass +
+  *    prefix-filtered residue pass) is EXACT by construction — prefix
+  *    filtering is complete for Jaccard >= 0.5 (the smallest common token
+  *    of a qualifying pair lands in both prefixes) — so survivor sets must
+  *    equal an independent brute-force reference on ANY corpus, including
+  *    randomly generated ones with pairs straddling the 0.5 threshold.
+  *
+  *  - llm_ngram_jaccard's minhash-banded candidates are exact-verified but
+  *    probabilistically RECALLED: a qualifying pair (bigram j >= 0.5) is
+  *    missed with probability (1-j^4)^8. Qualifying bigram pairs are
+  *    near-identical text (j >= 0.89 across this corpus family -> miss
+  *    <= 4e-4), pinned here against brute force on the graded corpus AND
+  *    on generated corpora whose injected dups keep that margin.
+  */
+class LlmPipelineSpec extends SparkSpec {
+
+  private def brutePipeline(docs: Seq[(Long, String, String)]): Map[String, (Long, Long)] = {
+    val quality = docs.filter(_._3.split(" ").length >= 20)
+    val canon = quality.groupBy(_._3).map { case (_, ds) => ds.minBy(_._1) }.toSeq
+    val withSets = canon.map { case (id, lang, text) => (id, lang, text.split(" ").toSet) }
+    val losers = scala.collection.mutable.Set[Long]()
+    withSets.groupBy(_._2).foreach { case (_, ds) =>
+      val sorted = ds.sortBy(_._1).toIndexedSeq
+      for {
+        i <- sorted.indices; j <- (i + 1) until sorted.size
+        (i1, _, s1) = sorted(i); (i2, _, s2) = sorted(j)
+        if (s1 & s2).size.toDouble / (s1 | s2).size.toDouble >= 0.5
+      } losers += i2
+    }
+    withSets.filterNot(t => losers(t._1)).groupBy(_._2)
+      .map { case (l, ds) => l -> (ds.size.toLong, ds.map(_._1).min) }
+  }
+
+  private def bruteNgramPairs(docs: Seq[(Long, String, String)]): Set[(Long, Long, Long)] = {
+    def bigrams(text: String): Set[String] = {
+      val tk = text.split(" ")
+      if (tk.length < 2) Set.empty
+      else tk.sliding(2).map(_.mkString(" ")).toSet
+    }
+    val withSets = docs.map { case (id, lang, text) => (id, lang, bigrams(text)) }
+      .filter(_._3.nonEmpty)
+    val out = scala.collection.mutable.Set[(Long, Long, Long)]()
+    withSets.groupBy(_._2).foreach { case (_, ds) =>
+      val sorted = ds.sortBy(_._1).toIndexedSeq
+      for {
+        i <- sorted.indices; j <- (i + 1) until sorted.size
+        (i1, _, s1) = sorted(i); (i2, _, s2) = sorted(j)
+        jac = (s1 & s2).size.toDouble / (s1 | s2).size.toDouble
+        if jac >= 0.5
+      } out += ((i1, i2, math.floor(jac * 1e6 + 0.5).toLong))
+    }
+    out.toSet
+  }
+
+  private def loadDocs(dir: String): Seq[(Long, String, String)] =
+    Tables.documents(spark, dir).select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+
+  private def writeCorpus(docs: Seq[(Long, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_llm_gen").toString
+    val rows = docs.map { case (id, lang, text) =>
+      Row(id, text, lang, "gen", text.length.toLong)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), Tables.documentsSchema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  /** Random corpus over a 150-word vocabulary (multiword masks: 3 words)
+    * with injected exact dups, near-dups perturbed by `maxEdits` token
+    * replacements, and sub-quality shorts. */
+  private def genCorpus(seed: Int, maxEdits: Int): Seq[(Long, String, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = (0 until 150).map(i => s"w$i")
+    val langs = Seq("aa", "bb", "cc")
+    def randDoc(n: Int): Array[String] = Array.fill(n)(vocab(rnd.nextInt(vocab.size)))
+    val docs = scala.collection.mutable.ArrayBuffer[(Long, String, String)]()
+    var id = 0L
+    for (_ <- 0 until 60) {
+      val lang = langs(rnd.nextInt(langs.size))
+      val base = randDoc(25 + rnd.nextInt(20))
+      docs += ((id, lang, base.mkString(" "))); id += 1
+      rnd.nextInt(4) match {
+        case 0 => // exact dup
+          docs += ((id, lang, base.mkString(" "))); id += 1
+        case 1 => // near-dup: up to maxEdits token replacements
+          val edited = base.clone()
+          for (_ <- 0 until (1 + rnd.nextInt(math.max(1, maxEdits))))
+            edited(rnd.nextInt(edited.length)) = vocab(rnd.nextInt(vocab.size))
+          docs += ((id, lang, edited.mkString(" "))); id += 1
+        case 2 => // sub-quality short doc
+          docs += ((id, lang, randDoc(5 + rnd.nextInt(10)).mkString(" "))); id += 1
+        case _ => ()
+      }
+    }
+    docs.toSeq
+  }
+
+  private def runPipeline(dir: String): Map[String, (Long, Long)] =
+    SparkEntry.queries("llm_dedup_pipeline")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("dedup pipeline: tiered witness search equals brute force on the graded corpus") {
+    assert(runPipeline(sfDir) == brutePipeline(loadDocs(sfDir)))
+  }
+
+  test("dedup pipeline: generative equality across random corpora straddling the threshold") {
+    // heavy perturbation (up to 12 of ~35 tokens) puts generated pair
+    // Jaccards on BOTH sides of 0.5 — the case probabilistic LSH candidates
+    // would get wrong and the exact tiers must not
+    for (seed <- Seq(41, 42, 43)) {
+      val docs = genCorpus(seed, maxEdits = 12)
+      val dir = writeCorpus(docs)
+      assert(runPipeline(dir) == brutePipeline(docs), s"seed=$seed")
+    }
+  }
+
+  test("ngram jaccard: banded candidates + exact verify equal brute force on the graded corpus") {
+    val got = SparkEntry.queries("llm_ngram_jaccard")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == bruteNgramPairs(loadDocs(sfDir)))
+  }
+
+  test("ngram jaccard: generative equality with high-similarity injected dups") {
+    // single-token edits keep injected bigram pairs at j >= ~0.89, inside
+    // the banding design envelope (miss probability <= ~4e-4 per pair)
+    for (seed <- Seq(7, 8)) {
+      val docs = genCorpus(seed, maxEdits = 1)
+      val dir = writeCorpus(docs)
+      val got = SparkEntry.queries("llm_ngram_jaccard")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == bruteNgramPairs(docs), s"seed=$seed")
+    }
+  }
+}

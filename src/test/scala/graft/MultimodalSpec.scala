@@ -29,16 +29,19 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum == 500)
   }
 
-  test("resize emits fixed-geometry thumbnails with rewritten metadata") {
-    val rows = SparkEntry.queries("mm_resize")(spark, sfDir).collect()
+  test("resize emits fixed-geometry thumbnails with rewritten flat metadata") {
+    val df = SparkEntry.queries("mm_resize")(spark, sfDir)
+    // metadata is flat scalars (no nested struct): any generic consumer can
+    // sort/hash every column
+    assert(df.schema.fields.forall(_.dataType.typeName != "struct"))
+    val rows = df.collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val payload = r.getAs[Array[Byte]]("payload")
-      val meta = r.getStruct(2)
       assert(payload.length == 32 * 32)
-      assert(meta.getAs[Int]("width") == 32 && meta.getAs[Int]("height") == 32)
-      assert(meta.getAs[Int]("n_bytes") == payload.length)
-      assert(Set("png", "jpeg")(meta.getAs[String]("format"))) // wav pruned
+      assert(r.getAs[Int]("width") == 32 && r.getAs[Int]("height") == 32)
+      assert(r.getAs[Int]("n_bytes") == payload.length)
+      assert(Set("png", "jpeg")(r.getAs[String]("format"))) // wav pruned
     }
     // deterministic stub: first sampled byte is the payload's first byte
     val src = Multimodal.payloads(spark, sfDir)
