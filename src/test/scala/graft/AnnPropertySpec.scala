@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** The ANN determinism analogue (VERDICT r03 #8): within the scope the
+  * operator actually searches — llm_ann_lsh's query bucket, llm_ann_ivf's
+  * probed cells — the returned top-k must be EXACTLY the brute-force
+  * ranking of that scope. Approximation may only come from scope pruning
+  * (bucketing/probing), never from the in-scope search. Asserted against
+  * independent Scala mirrors of the operators' scaled-integer math, on the
+  * graded corpus AND generated clustered corpora. */
+class AnnPropertySpec extends SparkSpec {
+
+  private def crcEven(s: String): Boolean = {
+    val c = new java.util.zip.CRC32(); c.update(s.getBytes("UTF-8"))
+    c.getValue % 2 == 0
+  }
+
+  /** Mirror of llm_ann_lsh's sign-LSH bucket: 8 scaled-long projections
+    * against deterministic crc32 pseudo-hyperplanes, sign bits packed. */
+  private def bucketOf(v: Array[Float]): Long =
+    (0 until 8).map { p =>
+      var acc = 0L; var i = 0
+      while (i < v.length) {
+        val sgn = if (crcEven(s"$p:$i")) 1.0 else -1.0
+        acc += math.floor(v(i).toDouble * sgn * 1e14 + 0.5).toLong
+        i += 1
+      }
+      if (acc > 0) 1L << p else 0L
+    }.sum
+
+  private def dot(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  private def cos(a: Array[Float], q: Array[Float]): Double =
+    dot(a, q) / (math.sqrt(dot(a, a)) * math.sqrt(dot(q, q)))
+
+  private def s6(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+
+  private def loadVecs(dir: String): Seq[(Long, Int, Array[Float])] =
+    Tables.embeddings(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getInt(2),
+        r.getSeq[Float](1).toArray)).toSeq
+
+  private def genEmbeddings(seed: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    val dim = 12
+    val centers = Array.fill(5, dim)(rnd.nextGaussian().toFloat * 2f)
+    val rows = (0L until 120L).map { id =>
+      val lab = rnd.nextInt(5)
+      val v = Array.tabulate(dim)(i => centers(lab)(i) + rnd.nextGaussian().toFloat * 0.5f)
+      Row(id, v.toSeq, lab)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_gen").toString
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), Tables.embeddingsSchema)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private def lshExpected(vecs: Seq[(Long, Int, Array[Float])]): Seq[(Long, Long)] = {
+    val q = vecs.find(_._1 == 0L).get._3
+    val qb = bucketOf(q)
+    vecs.filter(v => v._1 != 0L && bucketOf(v._3) == qb)
+      .map(v => (v._1, cos(v._3, q)))
+      .sortBy { case (id, c) => (-c, id) }
+      .take(3).map { case (id, c) => (id, s6(c)) }
+  }
+
+  private def ivfExpected(vecs: Seq[(Long, Int, Array[Float])]): Seq[(Long, Long)] = {
+    val q = vecs.find(_._1 == 0L).get._3
+    val dim = q.length
+    // mirror of the operator's mean6-canonicalized centroids
+    val cents = vecs.groupBy(_._2).map { case (lab, vs) =>
+      lab -> Array.tabulate(dim) { i =>
+        val scaled = vs.map(v => math.floor(v._3(i).toDouble * 1e6 + 0.5).toLong)
+        math.floor(scaled.sum.toDouble / scaled.size + 0.5) / 1e6
+      }
+    }
+    val probes = cents.toSeq.map { case (lab, c) =>
+      var acc = 0L; var i = 0
+      while (i < dim) {
+        val d = c(i) - q(i).toDouble
+        acc += math.floor(d * d * 1e14 + 0.5).toLong; i += 1
+      }
+      (lab, acc)
+    }.sortBy { case (lab, d2) => (d2, lab) }.take(2).map(_._1).toSet
+    vecs.filter(v => v._1 != 0L && probes(v._2))
+      .map(v => (v._1, cos(v._3, q)))
+      .sortBy { case (id, c) => (-c, id) }
+      .take(3).map { case (id, c) => (id, s6(c)) }
+  }
+
+  private def runKey(key: String, dir: String): Seq[(Long, Long)] =
+    SparkEntry.queries(key)(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+
+  test("llm_ann_lsh top-k IS the exact ranking of the query's bucket (graded + generated)") {
+    for (dir <- Seq(sfDir, genEmbeddings(11), genEmbeddings(12)))
+      assert(runKey("llm_ann_lsh", dir) == lshExpected(loadVecs(dir)), s"dir=$dir")
+  }
+
+  test("llm_ann_ivf top-k IS the exact ranking of the probed cells (graded + generated)") {
+    for (dir <- Seq(sfDir, genEmbeddings(21), genEmbeddings(22)))
+      assert(runKey("llm_ann_ivf", dir) == ivfExpected(loadVecs(dir)), s"dir=$dir")
+  }
+}
