@@ -2,10 +2,12 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, BoundReference, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnknownPartitioning}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan}
 import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.{DataFrame, GraftInternal, SparkSession}
 
@@ -58,7 +60,7 @@ final case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     rightTieBreak: Expression,
-    tolerance: Option[Long] = None) extends BinaryExecNode {
+    tolerance: Option[Long] = None) extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -159,6 +161,123 @@ final case class AsOfJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
+
+  // ---- whole-stage codegen of the merge loop (SURVEY §8.4 candidate 3).
+  // The SortMergeJoin pattern: this node is the produce root of its stage —
+  // both sorted children arrive as plain row iterators (inputs[0]/[1]) and
+  // the generated Java drives the same one-pass lookback as doExecute,
+  // with key/time reads compiled to direct primitive row accessors and the
+  // output row built inline by the parent's consume. The interpreted
+  // doExecute path stays as the fallback for non-integral/non-column
+  // key/time expressions.
+
+  /** (ordinal, primitive getter) when the bound expression is a plain
+    * integral column — the codegen fast path; None falls back. */
+  private def integralBound(e: Expression, attrs: Seq[Attribute]): Option[(Int, String)] =
+    BindReferences.bindReference(e, attrs) match {
+      case b: BoundReference =>
+        import org.apache.spark.sql.types._
+        b.dataType match {
+          case LongType | TimestampType | TimestampNTZType => Some((b.ordinal, "getLong"))
+          case IntegerType | DateType => Some((b.ordinal, "getInt"))
+          case ShortType => Some((b.ordinal, "getShort"))
+          case _ => None
+        }
+      case _ => None
+    }
+
+  override def supportCodegen: Boolean =
+    integralBound(leftKey, left.output).isDefined &&
+      integralBound(leftTime, left.output).isDefined &&
+      integralBound(rightKey, right.output).isDefined &&
+      integralBound(rightTime, right.output).isDefined
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  // the matched right row is a buffer that later left rows may replace
+  override def needCopyResult: Boolean = true
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val leftInput = ctx.addMutableState("scala.collection.Iterator", "asofLeftInput",
+      v => s"$v = inputs[0];")
+    val rightInput = ctx.addMutableState("scala.collection.Iterator", "asofRightInput",
+      v => s"$v = inputs[1];")
+    val rHead = ctx.addMutableState("InternalRow", "asofRHead")
+    val cand = ctx.addMutableState("InternalRow", "asofCandidate")
+    val candKey = ctx.addMutableState("long", "asofCandKey")
+    val rInit = ctx.addMutableState("boolean", "asofRInit")
+
+    val (lkOrd, lkGet) = integralBound(leftKey, left.output).get
+    val (ltOrd, ltGet) = integralBound(leftTime, left.output).get
+    val (rkOrd, rkGet) = integralBound(rightKey, right.output).get
+    val (rtOrd, rtGet) = integralBound(rightTime, right.output).get
+
+    // skip right rows with null key/time (they can never satisfy the
+    // as-of predicate); copy survivors out of the reused sort buffer
+    val nextRight = ctx.addNewFunction("asofNextValidRight",
+      s"""
+         |private InternalRow asofNextValidRight() {
+         |  while ($rightInput.hasNext()) {
+         |    InternalRow r = (InternalRow) $rightInput.next();
+         |    if (!(r.isNullAt($rkOrd) || r.isNullAt($rtOrd))) return r.copy();
+         |  }
+         |  return null;
+         |}
+       """.stripMargin)
+
+    val leftRow = ctx.freshName("asofLeftRow")
+    val matched = ctx.freshName("asofMatched")
+    val lNull = ctx.freshName("asofLNull")
+    val lk = ctx.freshName("asofLk")
+    val lt = ctx.freshName("asofLt")
+    val rk = ctx.freshName("asofRk")
+    val ct = ctx.freshName("asofCt")
+
+    ctx.INPUT_ROW = leftRow
+    ctx.currentVars = null
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      val isNull = ctx.freshName("asofRIsNull")
+      val value = ctx.freshName("asofRValue")
+      val javaType = CodeGenerator.javaType(a.dataType)
+      val getVal = CodeGenerator.getValue(matched, a.dataType, i.toString)
+      val c = code"""
+        |boolean $isNull = ($matched == null) || $matched.isNullAt($i);
+        |$javaType $value = $isNull ? ${CodeGenerator.defaultValue(a.dataType)} : ($getVal);
+      """.stripMargin
+      ExprCode(c, JavaCode.isNullVariable(isNull), JavaCode.variable(value, a.dataType))
+    }
+    val tolCheck = tolerance.map(t => s" && $lt - $ct <= ${t}L").getOrElse("")
+
+    s"""
+       |while ($leftInput.hasNext()) {
+       |  InternalRow $leftRow = (InternalRow) $leftInput.next();
+       |  if (!$rInit) { $rHead = $nextRight(); $rInit = true; }
+       |  boolean $lNull = $leftRow.isNullAt($lkOrd) || $leftRow.isNullAt($ltOrd);
+       |  InternalRow $matched = null;
+       |  if (!$lNull) {
+       |    long $lk = (long) $leftRow.$lkGet($lkOrd);
+       |    long $lt = (long) $leftRow.$ltGet($ltOrd);
+       |    while ($rHead != null) {
+       |      long $rk = (long) $rHead.$rkGet($rkOrd);
+       |      if ($rk < $lk || ($rk == $lk && ((long) $rHead.$rtGet($rtOrd)) <= $lt)) {
+       |        if ($rk == $lk) { $cand = $rHead; $candKey = $lk; }
+       |        $rHead = $nextRight();
+       |      } else break;
+       |    }
+       |    if ($cand != null && $candKey == $lk) {
+       |      long $ct = (long) $cand.$rtGet($rtOrd);
+       |      if ($ct <= $lt$tolCheck) $matched = $cand;
+       |    }
+       |  }
+       |  ${consume(ctx, leftVars ++ rightVars)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
+  }
 }
 
 /** Optimizer rule for the custom node: Catalyst cannot push predicates
