@@ -32,7 +32,7 @@ object ProductSink {
       rows: Long,
       writtenAtEpochMs: Long)
 
-  /** Writes df as a partitioned-parquet "product" plus manifest.json.
+  /** Writes df as a partitioned-parquet "product" plus _manifest.json.
     * Returns the manifest. */
   def write(
       df: DataFrame,
@@ -76,18 +76,62 @@ object ProductSink {
         s""""lineage": ${m.lineage.map(q).getOrElse("null")}, """ +
         s""""rows": ${m.rows}, """ +
         s""""written_at_epoch_ms": ${m.writtenAtEpochMs}}"""
-    Files.writeString(Paths.get(path, "manifest.json"), json)
+    Files.writeString(Paths.get(path, "_manifest.json"), json)
     m
   }
 
+  /** [[write]] plus one eo3-shaped dataset document per written tile — the
+    * per-scene metadata-YAML sidecar analogue (the reference writes COG +
+    * YAML per dataset and indexes it; SURVEY §2.1 sink row). Documents are
+    * derived DISTRIBUTEDLY from the committed files (no driver loop), one
+    * JSON line per (tile_x, tile_y) in exactly the shape
+    * [[SceneCatalog.parse]] ingests: write side and catalog side of the
+    * loop meet in one schema. Each document's `path` points at that tile's
+    * partition directory, so a catalog consumer reads ONLY the tiles its
+    * index query selected — partition pruning driven by the catalog. */
+  def writeWithDatasets(
+      df: DataFrame,
+      product: String,
+      outDir: String,
+      tileXCol: String,
+      tileYCol: String,
+      timeCol: String,
+      lineage: Option[String] = None): Manifest = {
+    val m = write(df, product, outDir, Seq(tileXCol, tileYCol), lineage)
+    val committed = df.sparkSession.read.parquet(m.path)
+    committed
+      .groupBy(
+        col(tileXCol).cast("int").as("tile_x"),
+        col(tileYCol).cast("int").as("tile_y"))
+      .agg(
+        min(col(timeCol)).cast("timestamp").as("time"),
+        count(lit(1)).as("n"))
+      .select(to_json(struct(
+        lit(product).as("product"),
+        col("tile_x"), col("tile_y"), col("time"),
+        concat(lit(s"${m.path}/$tileXCol="), col("tile_x"),
+          lit(s"/$tileYCol="), col("tile_y")).as("path"),
+        map(lit("rows"), col("n").cast("string"),
+          lit("lineage"), lit(lineage.getOrElse("none"))).as("props"))).as("doc"))
+      .write.mode(SaveMode.Overwrite).text(s"${m.path}/_datasets")
+    m
+  }
+
+  /** The catalog side of [[writeWithDatasets]]: parse the product's
+    * dataset documents into a [[SceneCatalog]] frame — the register-into-
+    * the-index step of a product pipeline, ready for
+    * [[SceneCatalog.query]] pruning. */
+  def catalog(spark: SparkSession, outDir: String, product: String): DataFrame =
+    SceneCatalog.parse(spark.read.textFile(s"$outDir/$product/_datasets"))
+
   /** Catalog-side read of a product written by [[write]]: the column set
-    * recorded in manifest.json is asserted against what the parquet
+    * recorded in _manifest.json is asserted against what the parquet
     * footers actually expose (a schema drift between sidecar and data is
     * the classic silent-corruption mode of sidecar catalogs), and filters
     * on the partition keys prune directories (measured in EngineSpec). */
   def read(spark: SparkSession, outDir: String, product: String): DataFrame = {
     val df = spark.read.parquet(s"$outDir/$product")
-    val manifestPath = Paths.get(s"$outDir/$product", "manifest.json")
+    val manifestPath = Paths.get(s"$outDir/$product", "_manifest.json")
     if (Files.exists(manifestPath)) {
       val manifest = Files.readString(manifestPath)
       // measurement names are the JSON keys of the "measurements" object

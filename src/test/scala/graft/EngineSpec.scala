@@ -67,7 +67,7 @@ class EngineSpec extends SparkSpec {
     val m = ProductSink.write(product, "event_counts", out, Seq("event_type"))
     assert(m.rows == product.count())
     val manifest = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(s"$out/event_counts/manifest.json"))
+      java.nio.file.Paths.get(s"$out/event_counts/_manifest.json"))
     // eo3-style dataset doc: measurements + partition-key extents + lineage
     assert(manifest.contains("\"measurements\"") && manifest.contains("\"n\": \"bigint\""))
     assert(manifest.contains("\"extents\"") && manifest.contains("\"event_type\""))

@@ -47,4 +47,31 @@ class SceneCatalogSpec extends SparkSpec {
       assert(paths == paths.sorted)
     }
   }
+
+  test("product write emits dataset docs; catalog registers, queries and prunes the read-back") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.ProductSink
+    // a 4x3-tile composite "product" with one acquisition time per tile
+    val grid = graft.raster.RasterGrid.synthesize(
+      spark, "ndvi_comp", "ndvi", 4, 3, 4, 4, Seq(86400))((x, y, t) => x + y)
+    val out = java.nio.file.Files.createTempDirectory("graft_sink_docs").toString
+    val m = ProductSink.writeWithDatasets(grid, "ndvi_comp", out,
+      "tile_x", "tile_y", "time", lineage = Some("events:sf0.001"))
+    assert(m.rows == 12)
+    // register: one eo3-shaped document per tile, in SceneCatalog's schema
+    val cat = ProductSink.catalog(spark, out, "ndvi_comp")
+    assert(cat.count() == 12)
+    assert(cat.schema.fieldNames.toSeq == SceneCatalog.documentSchema.fieldNames.toSeq)
+    assert(cat.where(col("props")("lineage") === "events:sf0.001").count() == 12)
+    // dc.load-shaped index query prunes to the bbox
+    val hits = SceneCatalog.query(cat, "ndvi_comp",
+      "1970-01-01", "1970-01-03", bbox = (0, 0, 1, 1)).collect()
+    assert(hits.length == 4)
+    // the catalog's path column points at that tile's partition directory:
+    // reading it touches ONLY the selected tile's files
+    val one = hits.minBy(r => (r.getAs[Int]("tile_x"), r.getAs[Int]("tile_y")))
+    val tile = spark.read.parquet(one.getAs[String]("path"))
+    assert(tile.count() == 1)
+    assert(tile.select("band").head().getString(0) == "ndvi")
+  }
 }

@@ -46,6 +46,6 @@ class WorkerSpec extends SparkSpec {
     assert(dl3.contains("\"attempts\": 3") && dl3.contains("eo_bandmath"))
 
     // the good product committed data AND manifest
-    assert(new java.io.File(s"$out/eo_bandmath/manifest.json").exists())
+    assert(new java.io.File(s"$out/eo_bandmath/_manifest.json").exists())
   }
 }
