@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Crs
+
+/** Datum-true UTM <-> WGS84 reprojection (Crs scaladoc): round-trip
+  * accuracy across a zone, known-geometry anchors, and the codegen plan
+  * contract (pure column math, no UDF). */
+class CrsSpec extends SparkSpec {
+
+  test("forward-inverse round-trip is millimeter-level across zone 33N") {
+    import spark.implicits._
+    // a lat/lon grid across UTM zone 33 (12E..18E), 0..84N proper extent
+    val grid = (for {
+      lat <- BigDecimal(0.5) to BigDecimal(83.5) by BigDecimal(4.15)
+      lon <- BigDecimal(12.1) to BigDecimal(17.9) by BigDecimal(0.58)
+    } yield (lat.toDouble, lon.toDouble)).toDF("lat", "lon")
+    val rt = grid
+      .withColumn("utm", Crs.utmForward(col("lat"), col("lon"), 33))
+      .withColumn("back", Crs.utmInverse(col("utm.easting"), col("utm.northing"), 33, southern = false))
+      .select(
+        max(abs(col("back.lat") - col("lat"))).as("dlat"),
+        max(abs(col("back.lon") - col("lon"))).as("dlon"))
+      .head()
+    // 2e-8 degrees ~ 2 mm on the ground (series truncation order)
+    assert(rt.getDouble(0) < 2e-8 && rt.getDouble(1) < 2e-8, rt.toString)
+  }
+
+  test("southern hemisphere carries the 10000 km false northing and round-trips") {
+    import spark.implicits._
+    val grid = Seq((-33.8688, 151.2093), (-0.5, 153.1), (-79.9, 150.2))
+      .toDF("lat", "lon") // zone 56S
+    val rows = grid
+      .withColumn("utm", Crs.utmForward(col("lat"), col("lon"), 56))
+      .withColumn("back", Crs.utmInverse(col("utm.easting"), col("utm.northing"), 56, southern = true))
+      .collect()
+    rows.foreach { r =>
+      val n = r.getStruct(2).getDouble(1)
+      assert(n > 0 && n < 10000000, s"southern northing out of band: $n")
+      val back = r.getStruct(3)
+      assert(math.abs(back.getDouble(0) - r.getDouble(0)) < 2e-8)
+      assert(math.abs(back.getDouble(1) - r.getDouble(1)) < 2e-8)
+    }
+  }
+
+  test("known geometry anchors: central meridian, scale factor, equator") {
+    import spark.implicits._
+    val r = Seq((0.0, 15.0)).toDF("lat", "lon")
+      .select(Crs.utmForward(col("lat"), col("lon"), 33).as("utm"))
+      .head().getStruct(0)
+    // equator x central meridian of zone 33 -> exactly the false origin
+    assert(math.abs(r.getDouble(0) - 500000.0) < 1e-6)
+    assert(math.abs(r.getDouble(1)) < 1e-6)
+    // k0: one degree of longitude at the equator on the central meridian
+    // spans ~111.32 km * 0.9996 of easting
+    val e1 = Seq((0.0, 16.0)).toDF("lat", "lon")
+      .select(Crs.utmForward(col("lat"), col("lon"), 33).as("utm"))
+      .head().getStruct(0).getDouble(0)
+    val span = e1 - 500000.0
+    assert(span > 111000 && span < 111500, s"1-degree easting span $span")
+  }
+
+  test("the reprojection is pure codegen column math — no UDF, no mapPartitions") {
+    import spark.implicits._
+    val df = Seq((40.5, 14.2)).toDF("lat", "lon")
+      .withColumn("utm", Crs.utmForward(col("lat"), col("lon"), 33))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEval") && !plan.contains("MapPartitions") &&
+      !plan.contains("Invoke"), s"reprojection left codegen:\n$plan")
+  }
+}
