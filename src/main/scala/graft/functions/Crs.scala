@@ -76,6 +76,35 @@ object Crs {
     struct(easting.as("easting"), northing.as("northing"))
   }
 
+  /** Oracle-SQL twin of [[utmForward]]: the same series with the SAME
+    * Scala-computed constants interpolated into the text (each double's
+    * shortest decimal rendering parses back to the identical bits), as a
+    * CTE chain over `src`, which must expose `lat` and `lon` degree
+    * columns. The final CTE `crs_out` carries `easting`/`northing` plus
+    * all of src's columns. Trig built-ins may differ between engines by
+    * last-ulp (java.lang.Math vs libm) — consumers must land on a grid
+    * with slack (Det.s0 integer meters; ulp noise is ~1e-9 m). */
+  def sqlUtmForwardCtes(src: String, zone: Int): String = {
+    val lam0 = math.toRadians(zoneCentralMeridian(zone))
+    val m1 = 1 - E2 / 4 - 3 * E4 / 64 - 5 * E6 / 256
+    val m2 = 3 * E2 / 8 + 3 * E4 / 32 + 45 * E6 / 1024
+    val m3 = 15 * E4 / 256 + 45 * E6 / 1024
+    val m4 = 35 * E6 / 3072
+    val c58 = 58 * EP2
+    val c330 = 330 * EP2
+    s"crs_t AS (SELECT *, RADIANS(lat) AS phi FROM $src), " +
+      s"crs_u AS (SELECT *, SIN(phi) AS sp, COS(phi) AS cp, TAN(phi) AS tp FROM crs_t), " +
+      s"crs_v AS (SELECT *, ($A) / SQRT(1.0 - ($E2) * sp * sp) AS nn, tp * tp AS tt, " +
+      s"($EP2) * cp * cp AS cc, cp * (RADIANS(lon) - ($lam0)) AS a1, " +
+      s"($A) * (($m1) * phi - ($m2) * SIN(phi * 2) + ($m3) * SIN(phi * 4) - ($m4) * SIN(phi * 6)) AS mm FROM crs_u), " +
+      s"crs_w AS (SELECT *, a1 * a1 AS a2 FROM crs_v), " +
+      s"crs_x AS (SELECT *, ($K0) * nn * (a1 + (1.0 - tt + cc) * (a2 * a1) / 6 + " +
+      s"(5.0 - 18.0 * tt + tt * tt + 72.0 * cc - ($c58)) * ((a2 * a2) * a1) / 120) + ($FalseEasting) AS easting, " +
+      s"($K0) * (mm + nn * tp * (a2 / 2 + (5.0 - tt + 9.0 * cc + 4.0 * cc * cc) * (a2 * a2) / 24 + " +
+      s"(61.0 - 58.0 * tt + tt * tt + 600.0 * cc - ($c330)) * ((a2 * a2) * a2) / 720)) AS nraw FROM crs_w), " +
+      s"crs_out AS (SELECT *, CASE WHEN lat < 0 THEN nraw + ($FalseNorthingSouth) ELSE nraw END AS northing FROM crs_x)"
+  }
+
   /** UTM -> geographic inverse projection (Snyder eqs. 8-17..8-25).
     * Returns struct(lat, lon) in degrees. */
   def utmInverse(easting: Column, northing: Column, zone: Int, southern: Boolean): Column = {

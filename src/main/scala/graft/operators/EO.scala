@@ -298,6 +298,35 @@ object EO {
           .orderBy("l_returnflag")
       }),
 
+    // True-CRS reprojection of a geographic grid into UTM zone 33 — the
+    // datum-true Snyder transverse-Mercator series (functions.Crs), closing
+    // the dc.load(crs=) projection gap beyond eo_regrid_affine's affine
+    // tier. The oracle spells the SAME series with identical interpolated
+    // constants (Crs.sqlUtmForwardCtes). Outputs land on the integer-METER
+    // grid (Det s0): java.lang.Math and libm trig differ by last-ulps
+    // (~1e-9 m here), and the 0.5 m slack absorbs that while leaving the
+    // projection itself fully graded. Round-trip/anchor accuracy is pinned
+    // in CrsSpec; this key grades the forward projection end-to-end.
+    Q("eo_reproject", Some(
+      "WITH g AS (SELECT event_id, CAST(user_id % 160 AS DOUBLE) / 2 - 40 AS lat, " +
+        "12.0 + CAST(event_id % 24 AS DOUBLE) / 4 AS lon FROM events), " +
+        graft.functions.Crs.sqlUtmForwardCtes("g", 33) +
+        " SELECT event_id, lat, lon, " + sqlS0("easting") + " AS easting_m, " +
+        sqlS0("northing") + " AS northing_m FROM crs_out ORDER BY event_id"),
+      (s, d) => {
+        // lat/lon derive from integer columns through exact dyadic steps
+        // (halves/quarters), so the inputs are bit-identical across engines
+        val geo = T.events(s, d).select(col("event_id"),
+          ((col("user_id") % 160).cast("double") / 2 - 40).as("lat"),
+          (lit(12.0) + (col("event_id") % 24).cast("double") / 4).as("lon"))
+        geo
+          .withColumn("utm", graft.functions.Crs.utmForward(col("lat"), col("lon"), 33))
+          .select(col("event_id"), col("lat"), col("lon"),
+            s0(col("utm.easting")).as("easting_m"),
+            s0(col("utm.northing")).as("northing_m"))
+          .orderBy("event_id")
+      }),
+
     // Geomedian composite per label (Roberts et al. 2017) — iterative
     // Weiszfeld, not SQL-expressible; property-tested in GeomedianSpec.
     Q("eo_geomedian", None,
