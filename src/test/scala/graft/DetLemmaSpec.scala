@@ -1,0 +1,85 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import org.apache.spark.sql.functions._
+
+/** Generative proofs of the Det scaled-grid lemmas the whole t2 strategy
+  * rests on (Det.scala scaladoc; SURVEY §8.2). Each lemma is checked over
+  * ScalaCheck-generated data with fixed seeds (repeatable):
+  *
+  *  1. s6/s2 grid sums are EXACT and merge-order-free: any partitioning,
+  *     ordering or salt of the rows yields bit-identical long sums.
+  *  2. avg6/mean6 derive from the exact integer sum and count with one
+  *     IEEE multiply/divide — invariant to partition count.
+  *  3. centSum equals BigDecimal cent accounting exactly for 2-dp money.
+  *  4. The scaled-long vector dot (FloatVecScaledDotL) equals the
+  *     relational unnest+floor+sum formulation element for element.
+  */
+class DetLemmaSpec extends SparkSpec {
+
+  private def money(seed: Long, n: Int): List[Double] =
+    Gen.listOfN(n, Gen.chooseNum(0L, 9999999L))
+      .apply(Gen.Parameters.default, Seed(seed)).get
+      .map(c => c / 100.0) // exact 2-dp money doubles
+
+  private def doubles(seed: Long, n: Int): List[Double] =
+    Gen.listOfN(n, Gen.chooseNum(-1e6, 1e6))
+      .apply(Gen.Parameters.default, Seed(seed)).get
+
+  test("lemma 1: s6/s2 grid sums are exact and invariant to partitioning, order and salt") {
+    import spark.implicits._
+    for (seed <- 1L to 3L) {
+      val xs = doubles(seed, 2000)
+      val expected = xs.map(x => math.floor(x * 1e6 + 0.5).toLong).sum
+      for (parts <- Seq(1, 7, 32); shuffled <- Seq(xs, xs.reverse, scala.util.Random.javaRandomToRandom(new java.util.Random(seed)).shuffle(xs))) {
+        val got = spark.createDataset(shuffled).repartition(parts)
+          .agg(Det.sum6(col("value"))).head().getLong(0)
+        assert(got == expected, s"seed=$seed parts=$parts")
+      }
+    }
+  }
+
+  test("lemma 2: mean6/avg6 are partition-count invariant") {
+    import spark.implicits._
+    for (seed <- 4L to 6L) {
+      val xs = money(seed, 1500)
+      val byParts = Seq(1, 5, 32).map { p =>
+        val df = spark.createDataset(xs).repartition(p)
+        (df.agg(Det.mean6(col("value"))).head().getLong(0),
+          df.agg(Det.avg6(col("value"))).head().getLong(0))
+      }
+      assert(byParts.distinct.size == 1, s"seed=$seed -> $byParts")
+    }
+  }
+
+  test("lemma 3: centSum equals BigDecimal cent accounting exactly") {
+    import spark.implicits._
+    for (seed <- 7L to 9L) {
+      val xs = money(seed, 1500)
+      val expected = xs.map(x => BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+        .sum.*(BigDecimal(100)).toLongExact
+      val got = spark.createDataset(xs).repartition(11)
+        .agg(Det.centSum(col("value"))).head().getLong(0)
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
+  test("lemma 4: the codegen scaled dot equals the relational unnest formulation") {
+    import spark.implicits._
+    graft.functions.VectorExprs.register(spark)
+    import graft.functions.VectorExprs.sdotl
+    for (seed <- 10L to 12L) {
+      val a = doubles(seed, 64).map(x => (x / 1e6).toFloat)
+      val b = doubles(seed + 100, 64).map(x => (x / 1e6).toFloat)
+      val df = Seq((a, b)).toDF("a", "b")
+      val viaExpr = df.select(sdotl(col("a"), col("b"))).head().getLong(0)
+      val viaRelational = df
+        .select(posexplode(col("a")).as(Seq("i", "xa")), col("b"))
+        .select(floor(col("xa").cast("double") * element_at(col("b"), col("i") + 1).cast("double") * lit(1e14) + lit(0.5)).as("t"))
+        .agg(sum(col("t"))).head().getLong(0)
+      assert(viaExpr == viaRelational, s"seed=$seed")
+    }
+  }
+}
