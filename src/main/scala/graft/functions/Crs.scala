@@ -105,6 +105,37 @@ object Crs {
       s"crs_out AS (SELECT *, CASE WHEN lat < 0 THEN nraw + ($FalseNorthingSouth) ELSE nraw END AS northing FROM crs_x)"
   }
 
+  /** Oracle-SQL twin of [[utmInverse]] (same interpolated constants; see
+    * [[sqlUtmForwardCtes]] for the portability contract): a CTE chain over
+    * `src`, which must expose `easting`/`northing` meter columns. The
+    * final CTE `crsi_out` carries `lat`/`lon` degree columns. */
+  def sqlUtmInverseCtes(src: String, zone: Int, southern: Boolean): String = {
+    val lam0 = math.toRadians(zoneCentralMeridian(zone))
+    val e1 = (1 - math.sqrt(1 - E2)) / (1 + math.sqrt(1 - E2))
+    val muDiv = A * (1 - E2 / 4 - 3 * E4 / 64 - 5 * E6 / 256)
+    val f1 = 3 * e1 / 2 - 27 * math.pow(e1, 3) / 32
+    val f2 = 21 * e1 * e1 / 16 - 55 * math.pow(e1, 4) / 32
+    val f3 = 151 * math.pow(e1, 3) / 96
+    val f4 = 1097 * math.pow(e1, 4) / 512
+    val c9 = 9 * EP2
+    val c252 = 252 * EP2
+    val c8 = 8 * EP2
+    val aOneMinusE2 = A * (1 - E2)
+    val yExpr = if (southern) s"northing - ($FalseNorthingSouth)" else "northing"
+    s"crsi_t AS (SELECT *, easting - ($FalseEasting) AS xx, ($yExpr) / ($K0) / ($muDiv) AS mu FROM $src), " +
+      s"crsi_u AS (SELECT *, mu + ($f1) * SIN(mu * 2) + ($f2) * SIN(mu * 4) + ($f3) * SIN(mu * 6) + ($f4) * SIN(mu * 8) AS phi1 FROM crsi_t), " +
+      s"crsi_v AS (SELECT *, SIN(phi1) AS sp1, COS(phi1) AS cp1, TAN(phi1) AS tp1 FROM crsi_u), " +
+      s"crsi_w AS (SELECT *, ($EP2) * cp1 * cp1 AS cc1, tp1 * tp1 AS tt1, 1.0 - ($E2) * sp1 * sp1 AS om FROM crsi_v), " +
+      s"crsi_x AS (SELECT *, ($A) / SQRT(om) AS n1, ($aOneMinusE2) / POWER(om, 1.5) AS r1 FROM crsi_w), " +
+      s"crsi_y AS (SELECT *, xx / (n1 * ($K0)) AS d FROM crsi_x), " +
+      s"crsi_z AS (SELECT *, d * d AS d2 FROM crsi_y), " +
+      s"crsi_out AS (SELECT *, DEGREES(phi1 - (n1 * tp1 / r1) * (d2 / 2 " +
+      s"- (5.0 + 3.0 * tt1 + 10.0 * cc1 - 4.0 * cc1 * cc1 - ($c9)) * (d2 * d2) / 24 " +
+      s"+ (61.0 + 90.0 * tt1 + 298.0 * cc1 + 45.0 * tt1 * tt1 - ($c252) - 3.0 * cc1 * cc1) * ((d2 * d2) * d2) / 720)) AS lat, " +
+      s"DEGREES(($lam0) + (d - (1.0 + 2.0 * tt1 + cc1) * (d2 * d) / 6 " +
+      s"+ (5.0 - 2.0 * cc1 + 28.0 * tt1 - 3.0 * cc1 * cc1 + ($c8) + 24.0 * tt1 * tt1) * ((d2 * d2) * d) / 120) / cp1) AS lon FROM crsi_z)"
+  }
+
   /** UTM -> geographic inverse projection (Snyder eqs. 8-17..8-25).
     * Returns struct(lat, lon) in degrees. */
   def utmInverse(easting: Column, northing: Column, zone: Int, southern: Boolean): Column = {

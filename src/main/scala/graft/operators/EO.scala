@@ -327,6 +327,29 @@ object EO {
           .orderBy("event_id")
       }),
 
+    // The inverse direction of eo_reproject: UTM zone-33 meter grids back
+    // to geographic degrees (Snyder eqs. 8-17..8-25), graded against the
+    // same-constants SQL twin. Outputs on the 6-dp degree grid (s6,
+    // ~11 cm slack vs ~1e-12 deg trig-library noise).
+    Q("eo_reproject_inv", Some(
+      "WITH g AS (SELECT event_id, 100000.0 + CAST(event_id % 80 AS DOUBLE) * 10000 AS easting, " +
+        "CAST(user_id % 90 AS DOUBLE) * 100000 AS northing FROM events), " +
+        graft.functions.Crs.sqlUtmInverseCtes("g", 33, southern = false) +
+        " SELECT event_id, " + sqlS6("lat") + " AS lat6, " + sqlS6("lon") + " AS lon6 " +
+        "FROM crsi_out ORDER BY event_id"),
+      (s, d) => {
+        val utm = T.events(s, d).select(col("event_id"),
+          (lit(100000.0) + (col("event_id") % 80).cast("double") * 10000).as("easting"),
+          ((col("user_id") % 90).cast("double") * 100000).as("northing"))
+        utm
+          .withColumn("geo",
+            graft.functions.Crs.utmInverse(col("easting"), col("northing"), 33, southern = false))
+          .select(col("event_id"),
+            s6(col("geo.lat")).as("lat6"),
+            s6(col("geo.lon")).as("lon6"))
+          .orderBy("event_id")
+      }),
+
     // Geomedian composite per label (Roberts et al. 2017) — iterative
     // Weiszfeld, not SQL-expressible; property-tested in GeomedianSpec.
     Q("eo_geomedian", None,
