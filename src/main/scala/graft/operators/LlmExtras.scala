@@ -482,16 +482,18 @@ object LlmExtras {
           .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), tok_id % 63)")).as("m"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // per-doc distinct-token count = popcount of its mask words (slots
-        // are injective) — no second pass over the exploded corpus
+        // are injective) — no second pass over the exploded corpus;
+        // persisted: consumed by phase A and both losersB size joins
         val sizes = masks.groupBy("doc_id").agg(sum(bit_count(col("m"))).as("n"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val jac = col("i").cast("double") / (col("n1") + col("n2") - col("i")).cast("double")
         // ---- phase A: lang-pivot witness pass, O(n) pairs ----
         val pivots = masks.groupBy("lang").agg(min(col("doc_id")).as("pdoc"))
         val pmask = masks.join(broadcast(pivots), Seq("lang"))
           .where(col("doc_id") === col("pdoc"))
           .select(col("lang"), col("w"), col("m").as("pm"))
-        val psize = pivots.join(sizes, pivots("pdoc") === sizes("doc_id"))
-          .select(col("lang"), col("n").as("n1"))
+        // pivot sizes fold straight out of the (tiny) pivot mask rows
+        val psize = pmask.groupBy("lang").agg(sum(bit_count(col("pm"))).as("n1"))
         val interA = masks.join(broadcast(pmask), Seq("lang", "w"))
           .groupBy(col("doc_id"), col("lang"))
           .agg(sum(bit_count(col("m").bitwiseAND(col("pm")))).as("i"))
