@@ -21,23 +21,29 @@ object Bench {
     // (~2.5 s of one-time cost mis-attributed to a 125-row cross join)
     spark.range(1000).selectExpr("sum(id)").count()
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    val runStart = System.nanoTime()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      // (duration, start offset from run start) — the offset lets a reader
+      // separate box-contention tail inflation from real plan regressions:
+      // a trivial key that is slow ONLY when its offset is late is noise.
+      name -> (((t1 - t0) / 1e9, (t0 - runStart) / 1e9))
     }
     // ms precision: full-precision doubles made the r01 JSON line long
     // enough that the driver's capture truncated the per-key tail
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
+    val qs = results.map { case (k, (d, at)) => f""""$k":[$d%.3f,$at%.2f]""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries_at":$qs,"sf":"$sfDir"}""")
     // SECOND, short, final summary line: a tail-truncated capture of the
     // long per-key line above (BENCH_r03 lost its first 34 keys that way)
-    // still parses this headline.
-    val slowest5 = results.toSeq.sortBy(-_._2).take(5)
-      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_keys":${results.size},"slowest5":$slowest5,"sf":"$sfDir"}""")
+    // still parses this headline. Distinct metric name so a first-total-wins
+    // or summing parser cannot double-count (ADVICE r5).
+    val slowest5 = results.toSeq.sortBy(-_._2._1).take(5)
+      .map { case (k, (d, _)) => f""""$k":$d%.3f""" }.mkString("{", ",", "}")
+    println(f"""{"metric":"total_summary","value":$total%.3f,"unit":"sec","n_keys":${results.size},"slowest5":$slowest5,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

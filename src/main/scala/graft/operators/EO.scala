@@ -319,8 +319,11 @@ object EO {
         "CAST(FLOOR(CAST(suml AS DOUBLE) / n_px + 0.5) AS BIGINT) AS mean_ndvi6 " +
         "FROM s ORDER BY tile"),
       (s, d) => {
+        // integer division, not floor(double /): the oracle's `//` is exact
+        // integer division at ANY id magnitude, while IEEE double division
+        // loses exactness past 2^53 (ADVICE r5)
         val px = T.events(s, d).select(
-          floor(col("event_id") / 1024).cast("long").as("tile"),
+          expr("event_id div 1024").as("tile"),
           (col("event_id") % 1024).as("pos"),
           col("value").as("red"),
           length(col("props")).cast("double").as("nir"))

@@ -131,8 +131,17 @@ object ProductSink {
     * on the partition keys prune directories (measured in EngineSpec). */
   def read(spark: SparkSession, outDir: String, product: String): DataFrame = {
     val df = spark.read.parquet(s"$outDir/$product")
-    val manifestPath = Paths.get(s"$outDir/$product", "_manifest.json")
-    if (Files.exists(manifestPath)) {
+    // current name first, then the pre-r5 legacy name (manifest.json without
+    // the underscore) so products written by earlier rounds keep their
+    // drift guard; a product with NEITHER manifest fails loudly rather than
+    // silently skipping the check (ADVICE r5)
+    val manifestPath = Seq("_manifest.json", "manifest.json")
+      .map(n => Paths.get(s"$outDir/$product", n))
+      .find(Files.exists(_))
+      .getOrElse(throw new IllegalStateException(
+        s"product $product: no _manifest.json (or legacy manifest.json) — " +
+          "refusing to read an unmanifested product"))
+    locally {
       val manifest = Files.readString(manifestPath)
       // measurement names are the JSON keys of the "measurements" object
       val declared = "\"measurements\": \\{([^}]*)\\}".r

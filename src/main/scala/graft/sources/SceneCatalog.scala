@@ -71,7 +71,7 @@ object SceneCatalog {
         lit("""", "tile_x": """), (col("user_id") % 8).cast("string"),
         lit(""", "tile_y": """), (col("user_id") % 5).cast("string"),
         lit(""", "time": """"), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
-        lit("""", "path": "s3://scenes/"""), col("event_id").cast("string"),
+        lit("""", "path": "file:///scenes/"""), col("event_id").cast("string"),
         lit(""".tif", "props": {"k": """"), get_json_object(col("props"), "$.k"),
         lit(""""}}""")).as("doc"))
       .as[String]
