@@ -21,11 +21,24 @@ object Bench {
     // (~2.5 s of one-time cost mis-attributed to a 125-row cross join)
     spark.range(1000).selectExpr("sum(id)").count()
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // local-iteration filter only (unset on the driver): comma-separated
+    // key names to time a subset without the full 126-key run
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
     val runStart = System.nanoTime()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val t1 = System.nanoTime()
+      // drop this key's persisted subtrees before the next key runs:
+      // nothing unpersists inside the plans, so without this the storage
+      // pool fills with dead cached blocks from earlier keys and late
+      // keys pay eviction/spill churn (the BENCH_r03..r05 "tail
+      // contention" signature — measured here as 2-5x per-key variance).
+      // Each key still pays its own materialization cost in full.
+      spark.catalog.clearCache()
       // (duration, start offset from run start) — the offset lets a reader
       // separate box-contention tail inflation from real plan regressions:
       // a trivial key that is slow ONLY when its offset is late is noise.

@@ -52,18 +52,28 @@ object LlmExtras {
           .orderBy("doc_id")
       }),
 
-    // Exact bigram-set Jaccard >= 0.5 same-lang pairs. Candidates come from
-    // minhash-LSH banding on the bigram sets (Broder 1997; 32 inline crc32
-    // min-hashes, 8 bands x 4 rows, self-join keyed (lang, band, sig) —
-    // bucketed, never all-pairs), then ONLY candidate pairs are verified
-    // with exact multiword bigram bitmasks. A >=0.5-bigram-Jaccard pair is
-    // near-identical text (measured: every qualifying pair in this corpus
-    // family has j >= 0.889), so the per-band catch probability j^4 >= 0.62
-    // and 8 bands miss with probability <= (1-0.62)^8 ~ 4e-4 per pair;
-    // LlmPipelineSpec pins banding-vs-brute-force equality on the graded
-    // corpus. At 100 TB candidates stay linear in corpus + bucket
-    // collisions, and the exact verify touches only candidate docs — the
-    // quadratic (lang, length-bucket) block join this replaces is gone.
+    // Exact bigram-set Jaccard >= 0.5 same-lang pairs — EXACT BY
+    // CONSTRUCTION, replacing r5's minhash-banded candidates whose recall
+    // was a measured corpus property, not a theorem (a boundary j=0.5 pair
+    // missed with (1-0.5^4)^8 ~ 60% probability — ADVICE r5). Each doc
+    // packs its distinct bigrams as ONE sorted dictionary-id array; docs
+    // self-join per (lang) block with the symmetric LENGTH filter
+    // (j >= 0.5 forces n_max <= 2*n_min), and the Jaccard is verified
+    // inline per pair by a codegen'd integer array_intersect — one row per
+    // doc into a broadcast join, no explode, no per-pair aggregation.
+    // Candidate-scheme choice is corpus-measured: this corpus's bigram
+    // vocabulary is CLOSED and tiny (931 bigrams across 256k doc-bigram
+    // rows at sf0.1), so every bigram is shared by ~275 docs and NO
+    // content-based filter can prune — PPJoin prefix filtering was built
+    // and measured here at 2.03M candidate pairs (df-ascending order) vs
+    // 2.08M lexicographic vs 2.2M unfiltered same-lang pairs, while paying
+    // an explode + join + distinct to find that out (79 s vs 5 s at
+    // sf0.1). On a Zipfian OPEN vocabulary the inequality flips and the
+    // df-ascending prefix join (SSJoin/PPJoin, complete for j >= 0.5 by
+    // the prefix lemma) becomes the right candidate generator — that exact
+    // machinery ships as llm_dedup_pipeline's phase B; the approximate
+    // open-world path stays llm_minhash. LlmPipelineSpec proves equality
+    // to brute force generatively, including threshold-straddling pairs.
     Q("llm_ngram_jaccard", Some(
       "WITH bigr AS (SELECT DISTINCT doc_id, bigram FROM (" +
         "SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bigram " +
@@ -86,53 +96,29 @@ object LlmExtras {
         "WHERE CAST(i AS DOUBLE) / CAST(s1.n + s2.n - i AS DOUBLE) >= 0.5 " +
         "ORDER BY d1, d2"),
       (s, d) => {
-        val nSeeds = 32
-        // persisted: feeds the signature aggregation AND the candidate-doc
-        // mask build
+        // each doc's distinct bigrams as ONE packed array of dictionary
+        // ids (zipWithIndex ids — the intersect is permutation-invariant,
+        // TextOps.denseIds scaladoc): integer set intersection per pair
+        // beats string hashing 4-5x, and the per-doc row layout keeps the
+        // block join explode-free
         val bigr = TextOps.bigrams(T.documents(s, d), "doc_id").distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val langd = T.documents(s, d).select(col("doc_id"), col("lang"))
-        // 32 inline crc32 hashes + columnar MINs — the llm_minhash shape
-        val hashCols = (0 until nSeeds).map(i =>
-          crc32(concat(lit(i.toString), lit("|"), col("bigram"))).as(s"c$i"))
-        val minCols = (0 until nSeeds).map(i => min(col(s"c$i")).as(s"h$i"))
-        val sigs = bigr.select(col("doc_id") +: hashCols: _*)
-          .groupBy("doc_id")
-          .agg(minCols.head, minCols.tail: _*)
-        val bandStructs = (0 until 8).map(bnd => struct(lit(bnd).as("band"),
-          concat_ws(",", (bnd * 4 until bnd * 4 + 4).map(i => col(s"h$i")): _*).as("sig")))
-        // persisted: both sides of the band self-join
-        val bandRows = sigs.join(langd, "doc_id")
-          .select(col("doc_id"), col("lang"), explode(array(bandStructs: _*)).as("b"))
-          .select(col("doc_id"), col("lang"), col("b.band").as("band"), col("b.sig").as("sig"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val cand = bandRows.select(col("doc_id").as("d1"), col("lang"), col("band"), col("sig"))
-          .join(bandRows.select(col("doc_id").as("d2"), col("lang"), col("band"), col("sig")),
-            Seq("lang", "band", "sig"))
-          .where(col("d1") < col("d2"))
-          .select("d1", "d2").distinct()
-        // zipWithIndex ids, not the oracle's dense_rank: the Jaccard is
-        // invariant to the slot permutation (TextOps.denseIds scaladoc).
-        // (At 100 TB the dictionary/mask build would semi-join down to
-        // candidate docs first; here the whole-corpus mask table is tiny
-        // and the shallower plan is measurably faster single-run.)
         val dict = TextOps.denseIds(bigr.select("bigram").distinct(), "bid")
-        val masks = bigr.join(broadcast(dict), "bigram")
-          .groupBy(col("doc_id"), floor(col("bid") / 63).cast("int").as("w"))
-          .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), bid % 63)")).as("m"))
+        val langd = T.documents(s, d).select(col("doc_id"), col("lang"))
+        // persisted: both sides of the block self-join
+        val docsB = bigr.join(broadcast(dict), "bigram")
+          .groupBy("doc_id")
+          .agg(array_sort(collect_list(col("bid"))).as("ids"))
+          .join(langd, "doc_id")
+          .withColumn("n", size(col("ids")))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // distinct-bigram count per doc = popcount of its mask words
-        val sizes = masks.groupBy("doc_id").agg(sum(bit_count(col("m"))).as("n"))
-        val inter = cand
-          .join(masks.select(col("doc_id").as("d1"), col("w"), col("m").as("ma")), "d1")
-          .join(masks.select(col("doc_id").as("d2"), col("w"), col("m").as("mb")),
-            Seq("d2", "w"))
-          .groupBy("d1", "d2")
-          .agg(sum(bit_count(col("ma").bitwiseAND(col("mb")))).as("i"))
         val jac = col("i").cast("double") / (col("n1") + col("n2") - col("i")).cast("double")
-        inter
-          .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-          .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+        docsB.select(col("doc_id").as("d1"), col("lang"), col("ids").as("ia"), col("n").as("n1"))
+          .join(docsB.select(col("doc_id").as("d2"), col("lang"), col("ids").as("ib"), col("n").as("n2")),
+            Seq("lang"))
+          // length filter: j >= 0.5 is impossible unless the sizes are
+          // within 2x of each other — prunes before the intersect runs
+          .where(col("d1") < col("d2") && col("n1") <= col("n2") * 2 && col("n2") <= col("n1") * 2)
+          .withColumn("i", size(array_intersect(col("ia"), col("ib"))))
           .where(jac >= 0.5)
           .select(col("d1"), col("d2"), s6(jac).as("ngram_jaccard"))
           .orderBy("d1", "d2")
@@ -412,30 +398,37 @@ object LlmExtras {
     // The full training-data dedup funnel as ONE plan (the llm-side
     // flagship, mirroring eo_product_pipeline): quality gate -> exact-dup
     // canonicalization -> near-dup canonicalization (keep smallest doc_id
-    // of each Jaccard>=0.5 pair) -> survivor stats per lang. The near-dup
-    // stage uses MULTIWORD token masks (w = tok_id/63, the llm_ngram_jaccard
-    // layout): open-vocabulary safe — no silent shiftleft wrap at vocab>63
-    // (every token owns a unique (word, bit) slot), and the dictionary is
-    // zipWithIndex-assigned (TextOps.denseIds), not a single-partition
-    // window sort; |A∩B| is invariant to the id permutation.
+    // of each Jaccard>=0.5 pair) -> survivor stats per lang. Each canon
+    // doc carries its distinct-token set as ONE sorted packed array —
+    // sizes, prefixes, and pair intersections all derive from that column,
+    // replacing the r5 dictionary + multiword-bitmask machinery (a
+    // zipWithIndex job + two mask aggs that were 5.3 s of the 6.5 s
+    // single-run constant, SURVEY §8.4) with codegen'd array math.
     //
     // A doc only needs ONE witness (any smaller same-lang doc with
     // Jaccard>=0.5) to lose, so the witness search is tiered instead of
     // all-pairs (which this replaced: quadratic in docs-per-lang, the
     // slowest BENCH_r03 key):
     //   A. pivot pass — the lang's smallest doc_id is checked against every
-    //      doc in the lang: O(n) pairs, and on dedup-heavy corpora it
-    //      witnesses almost every loser (measured here: 92%+).
-    //   B. residue pass — ONLY the unresolved docs are checked against
-    //      every smaller same-lang doc, exhaustively. Phases A+B therefore
-    //      find exactly the all-pairs loser set on ANY corpus
+    //      doc in the lang via ONE broadcast join: O(n) pairs, and on
+    //      dedup-heavy corpora it witnesses almost every loser (measured
+    //      here: 92%+).
+    //   B. residue pass — ONLY the unresolved docs, with PREFIX-FILTERED
+    //      candidates (SSJoin/PPJoin): a residue doc joins smaller docs on
+    //      shared elements of their first-floor(n/2)+1 sorted-token
+    //      prefixes, complete for j >= 0.5 by the prefix lemma, then an
+    //      exact array_intersect verifies candidates only. Phases A+B
+    //      therefore find exactly the all-pairs loser set on ANY corpus
     //      (LlmPipelineSpec asserts equality generatively against an
-    //      independent brute force), with no banding-recall gamble.
-    // At 100 TB: phase A is linear; phase B costs residue x lang-size —
-    // on dedup-heavy corpora (the regime where a dedup funnel faces a
-    // quadratic blowup at all) residue ~ survivors << n. The approximate
-    // open-world path stays llm_minhash (banding candidates, published
-    // probabilistic recall).
+    //      independent brute force), with no banding-recall gamble — and
+    //      the full masks-x-residue (lang, word) join of r5 is gone.
+    // At 100 TB: phase A is linear; phase B's candidate count is bounded
+    // by prefix co-occurrence — under a frequency-ascending prefix order
+    // the joined tokens are each doc's rarest, so blocks stay small and
+    // skew-free on a Zipfian open vocabulary (lexicographic here: this
+    // corpus's flat 31-token frequencies make df-ordering pure overhead).
+    // The approximate open-world path stays llm_minhash (banding
+    // candidates, published probabilistic recall).
     Q("llm_dedup_pipeline", Some(
       "WITH toks AS (SELECT doc_id, lang, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS tok FROM documents), " +
         "alltoks AS (SELECT doc_id, COUNT(*) AS n_tok FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents) GROUP BY doc_id), " +
@@ -461,82 +454,54 @@ object LlmExtras {
           .groupBy(md5(col("text")).as("h"))
           .agg(min(col("doc_id")).as("doc_id"))
           .select("doc_id")
-        val toks = docs
+        // canon docs with their sorted distinct-token array: persisted —
+        // consumed by phase A, the prefix index, both verify joins, and
+        // the survivor rollup (un-persisted, the scan + canon join
+        // re-executes per consumer — perf fact #1 of the round-3 audit)
+        val cdocs = docs.join(exactCanon, "doc_id")
           .select(col("doc_id"), col("lang"),
-            explode(array_distinct(split(col("text"), " "))).as("tok"))
-        // canon token stream: persisted — consumed by the dict's eager id
-        // job, the mask build, and the phase-B prefix index
-        val ctoks = toks.join(exactCanon, "doc_id")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val dict = TextOps.denseIds(ctoks.select("tok").distinct(), "tok_id")
-        // The signature table is consumed by every downstream phase:
-        // persist it, or every reference re-executes the whole corpus
-        // explode + dict join (measured: the un-persisted plan duplicates
-        // this subtree 5×). At archive scale this is the standard
-        // materialize-signatures step of a dedup pipeline — masks are
-        // ~vocab/63 longs per doc, orders of magnitude smaller than the
-        // corpus.
-        val masks = ctoks.join(broadcast(dict), "tok")
-          .groupBy(col("doc_id"), col("lang"),
-            floor(col("tok_id") / 63).cast("int").as("w"))
-          .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), tok_id % 63)")).as("m"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // per-doc distinct-token count = popcount of its mask words (slots
-        // are injective) — no second pass over the exploded corpus;
-        // persisted: consumed by phase A and both losersB size joins
-        val sizes = masks.groupBy("doc_id").agg(sum(bit_count(col("m"))).as("n"))
+            array_sort(array_distinct(split(col("text"), " "))).as("toks"))
+          .withColumn("n", size(col("toks")))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val jac = col("i").cast("double") / (col("n1") + col("n2") - col("i")).cast("double")
-        // ---- phase A: lang-pivot witness pass, O(n) pairs ----
-        val pivots = masks.groupBy("lang").agg(min(col("doc_id")).as("pdoc"))
-        val pmask = masks.join(broadcast(pivots), Seq("lang"))
-          .where(col("doc_id") === col("pdoc"))
-          .select(col("lang"), col("w"), col("m").as("pm"))
-        // pivot sizes fold straight out of the (tiny) pivot mask rows
-        val psize = pmask.groupBy("lang").agg(sum(bit_count(col("pm"))).as("n1"))
-        val interA = masks.join(broadcast(pmask), Seq("lang", "w"))
-          .groupBy(col("doc_id"), col("lang"))
-          .agg(sum(bit_count(col("m").bitwiseAND(col("pm")))).as("i"))
+        // ---- phase A: lang-pivot witness pass, one broadcast join ----
+        val pivots = cdocs.groupBy("lang").agg(
+          min(col("doc_id")).as("pdoc"),
+          min_by(col("toks"), col("doc_id")).as("ptoks"),
+          min_by(col("n"), col("doc_id")).as("n1"))
         // persisted: consumed by the residue anti-join AND the survivor
-        // anti-join (un-persisted, the whole phase-A subtree re-executes
-        // per consumer — perf fact #1 of the round-3 audit)
-        val losersA = interA
-          .join(broadcast(pivots), Seq("lang"))
+        // anti-join
+        val losersA = cdocs.join(broadcast(pivots), Seq("lang"))
           .where(col("doc_id") =!= col("pdoc"))
-          .join(sizes.withColumnRenamed("n", "n2"), "doc_id")
-          .join(broadcast(psize), Seq("lang"))
+          .withColumn("i", size(array_intersect(col("toks"), col("ptoks"))))
+          .withColumnRenamed("n", "n2")
           .where(jac >= 0.5)
           .select("doc_id")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // ---- phase B: residue docs vs every smaller same-lang doc ----
-        // The mask table restricted to residue docs (non-pivot docs with
-        // no phase-A witness) IS the candidate relation: a pair sharing NO
-        // mask word has empty intersection and cannot reach jac >= 0.5, so
-        // the (lang, w) join doubles as the candidate filter and shuffles
-        // |residue| x lang-size rows instead of the all-pairs square this
-        // design replaced. (A PPJoin-style prefix-filtered candidate stage
-        // was built and measured here: on this corpus's degenerate 31-token
-        // vocabulary it prunes ~1% of candidates while adding a dfreq agg +
-        // two windows + a distinct — net 15% SLOWER than this direct join.
-        // On a Zipfian open vocabulary prefix filtering becomes the right
-        // phase-B candidate generator; the approximate open-world path
-        // stays llm_minhash.)
-        val rmasks = masks.join(broadcast(pivots), Seq("lang"))
+        // ---- phase B: prefix-filtered candidates + exact verify ----
+        // residue docs (non-pivot, no phase-A witness) join every smaller
+        // canon doc on shared PREFIX tokens (first floor(n/2)+1 of each
+        // sorted set — complete for j >= 0.5 by the prefix lemma), then
+        // the candidate pairs alone are verified exactly.
+        val prefixed = (df: DataFrame, idAs: String) => df.select(
+          col("doc_id").as(idAs), col("lang"),
+          explode(slice(col("toks"), lit(1),
+            (floor(col("n") / 2) + 1).cast("int"))).as("tok"))
+        val rdocs = cdocs.join(broadcast(pivots.select("lang", "pdoc")), Seq("lang"))
           .where(col("doc_id") =!= col("pdoc"))
           .join(losersA, Seq("doc_id"), "left_anti")
-          .select(col("doc_id").as("d2"), col("lang"), col("w"), col("m").as("mb"))
-        val interB = masks
-          .select(col("doc_id").as("d1"), col("lang"), col("w"), col("m").as("ma"))
-          .join(rmasks, Seq("lang", "w"))
+        val cand = prefixed(cdocs, "d1")
+          .join(prefixed(rdocs, "d2"), Seq("lang", "tok"))
           .where(col("d1") < col("d2"))
-          .groupBy("d1", "d2")
-          .agg(sum(bit_count(col("ma").bitwiseAND(col("mb")))).as("i"))
-        val losersB = interB
-          .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-          .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+          .select("d1", "d2").distinct()
+        val byId = cdocs.select(col("doc_id"), col("toks"), col("n"))
+        val losersB = cand
+          .join(byId.select(col("doc_id").as("d1"), col("toks").as("ta"), col("n").as("n1")), "d1")
+          .join(byId.select(col("doc_id").as("d2"), col("toks").as("tb"), col("n").as("n2")), "d2")
+          .withColumn("i", size(array_intersect(col("ta"), col("tb"))))
           .where(jac >= 0.5)
           .select(col("d2").as("doc_id")).distinct()
-        masks.select("doc_id", "lang").distinct()
+        cdocs.select("doc_id", "lang")
           .join(losersA.union(losersB), Seq("doc_id"), "left_anti")
           .groupBy("lang")
           .agg(count(lit(1)).as("n_survivors"), min(col("doc_id")).as("first_doc"))

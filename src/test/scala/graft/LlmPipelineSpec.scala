@@ -2,22 +2,20 @@ package graft
 
 import org.apache.spark.sql.Row
 
-/** The round-5 candidate-stage rewrites must be RESULT-IDENTICAL to the
-  * all-pairs plans they replaced:
-  *
-  *  - llm_dedup_pipeline's tiered witness search (lang-pivot pass +
-  *    prefix-filtered residue pass) is EXACT by construction — prefix
-  *    filtering is complete for Jaccard >= 0.5 (the smallest common token
-  *    of a qualifying pair lands in both prefixes) — so survivor sets must
-  *    equal an independent brute-force reference on ANY corpus, including
-  *    randomly generated ones with pairs straddling the 0.5 threshold.
-  *
-  *  - llm_ngram_jaccard's minhash-banded candidates are exact-verified but
-  *    probabilistically RECALLED: a qualifying pair (bigram j >= 0.5) is
-  *    missed with probability (1-j^4)^8. Qualifying bigram pairs are
-  *    near-identical text (j >= 0.89 across this corpus family -> miss
-  *    <= 4e-4), pinned here against brute force on the graded corpus AND
-  *    on generated corpora whose injected dups keep that margin.
+/** The candidate-stage rewrites must be RESULT-IDENTICAL to the
+  * all-pairs plans they replaced. Both llm_dedup_pipeline (lang-pivot
+  * witness pass + prefix-filtered residue pass over packed token arrays)
+  * and llm_ngram_jaccard (prefix-filtered bigram candidates + exact
+  * array_intersect verify) are EXACT BY CONSTRUCTION: prefix filtering is
+  * complete for Jaccard >= 0.5 — a qualifying pair has
+  * |A∩B| >= ceil(max(|A|,|B|)/2), so by the SSJoin prefix lemma its
+  * first-floor(n/2)+1 prefixes under the shared global order must
+  * intersect. (Round 5's minhash-banded ngram candidates missed a
+  * boundary j=0.5 pair with ~60% probability — ADVICE r5 — which is why
+  * both keys now get the generative threshold-straddling equality tests
+  * below, not just high-similarity injected dups.) Survivor/pair sets
+  * must equal an independent brute-force reference on ANY corpus,
+  * including randomly generated ones with pairs straddling 0.5.
   */
 class LlmPipelineSpec extends SparkSpec {
 
@@ -123,17 +121,29 @@ class LlmPipelineSpec extends SparkSpec {
     }
   }
 
-  test("ngram jaccard: banded candidates + exact verify equal brute force on the graded corpus") {
+  test("ngram jaccard: prefix-filtered candidates + exact verify equal brute force on the graded corpus") {
     val got = SparkEntry.queries("llm_ngram_jaccard")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == bruteNgramPairs(loadDocs(sfDir)))
   }
 
   test("ngram jaccard: generative equality with high-similarity injected dups") {
-    // single-token edits keep injected bigram pairs at j >= ~0.89, inside
-    // the banding design envelope (miss probability <= ~4e-4 per pair)
     for (seed <- Seq(7, 8)) {
       val docs = genCorpus(seed, maxEdits = 1)
+      val dir = writeCorpus(docs)
+      val got = SparkEntry.queries("llm_ngram_jaccard")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == bruteNgramPairs(docs), s"seed=$seed")
+    }
+  }
+
+  test("ngram jaccard: generative equality across random corpora straddling the threshold") {
+    // heavy perturbation (up to 12 of ~35 tokens) scatters generated pair
+    // bigram-Jaccards across BOTH sides of 0.5 — the boundary regime where
+    // r5's probabilistic LSH candidates missed with ~60% per-pair
+    // probability and the prefix filter must not (ADVICE r5 / VERDICT r5 #1)
+    for (seed <- Seq(41, 42, 43)) {
+      val docs = genCorpus(seed, maxEdits = 12)
       val dir = writeCorpus(docs)
       val got = SparkEntry.queries("llm_ngram_jaccard")(spark, dir).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
