@@ -48,17 +48,39 @@ object Crs {
   /** Geographic -> UTM forward projection (Snyder eqs. 8-9..8-14).
     * Returns struct(easting, northing) in meters for the given zone;
     * southern-hemisphere northings carry the 10 000 km false northing. */
-  def utmForward(latDeg: Column, lonDeg: Column, zone: Int): Column = {
+  def utmForward(latDeg: Column, lonDeg: Column, zone: Int): Column =
+    utmForwardLam0(latDeg, lonDeg, lit(math.toRadians(zoneCentralMeridian(zone))))
+
+  /** Per-row-zone forward projection — the global-mosaic case where the
+    * scene grid spans many UTM zones and each point projects into ITS OWN
+    * zone (dc.load over a multi-zone extent [PK]). The zone derives from
+    * the longitude with the standard formula floor((lon+180)/6)+1, as
+    * pure column math (the division is the same IEEE op on both engines,
+    * so the integer zone is bit-identical to the SQL twin); only the
+    * central meridian lam0 depends on it, so the whole Snyder series is
+    * shared with the fixed-zone path. Returns struct(zone, easting,
+    * northing). Domain: -180 <= lon < 180 (lon = 180 would be zone 61). */
+  def utmForwardZoned(latDeg: Column, lonDeg: Column): Column = {
+    val zone = (floor((lonDeg + lit(180.0)) / lit(6.0)) + 1).cast("int")
+    val lam0 = radians((zone - 1).cast("double") * lit(6.0) - lit(180.0) + lit(3.0))
+    val en = utmForwardLam0(latDeg, lonDeg, lam0)
+    struct(zone.as("zone"),
+      en.getField("easting").as("easting"),
+      en.getField("northing").as("northing"))
+  }
+
+  /** The Snyder series with the central meridian as a COLUMN (radians) —
+    * shared by the fixed-zone and per-row-zone forward paths. */
+  private def utmForwardLam0(latDeg: Column, lonDeg: Column, lam0Rad: Column): Column = {
     val phi = rad(latDeg)
     val lam = rad(lonDeg)
-    val lam0 = math.toRadians(zoneCentralMeridian(zone))
     val sinPhi = sin(phi)
     val cosPhi = cos(phi)
     val tanPhi = tan(phi)
     val n = lit(A) / sqrt(lit(1.0) - lit(E2) * sinPhi * sinPhi)
     val t = tanPhi * tanPhi
     val c = lit(EP2) * cosPhi * cosPhi
-    val a1 = cosPhi * (lam - lit(lam0))
+    val a1 = cosPhi * (lam - lam0Rad)
     val a2 = a1 * a1
     val a3 = a2 * a1
     val a4 = a2 * a2
@@ -76,6 +98,15 @@ object Crs {
     struct(easting.as("easting"), northing.as("northing"))
   }
 
+  /** Oracle-SQL twin of [[utmForwardZoned]]: derives `zone`/`lam0` per
+    * row, then runs the same shared-constant series via
+    * [[sqlUtmForwardCtes]]'s chain with the column meridian. Final CTE
+    * `crs_out` carries `zone`, `easting`, `northing`. */
+  def sqlUtmForwardZonedCtes(src: String): String =
+    s"crs_z0 AS (SELECT *, CAST(FLOOR((lon + 180.0) / 6.0) AS INT) + 1 AS zone FROM $src), " +
+      s"crs_z1 AS (SELECT *, RADIANS(CAST(zone - 1 AS DOUBLE) * 6.0 - 180.0 + 3.0) AS lam0z FROM crs_z0), " +
+      sqlForwardSeriesCtes("crs_z1", "lam0z")
+
   /** Oracle-SQL twin of [[utmForward]]: the same series with the SAME
     * Scala-computed constants interpolated into the text (each double's
     * shortest decimal rendering parses back to the identical bits), as a
@@ -86,6 +117,14 @@ object Crs {
     * with slack (Det.s0 integer meters; ulp noise is ~1e-9 m). */
   def sqlUtmForwardCtes(src: String, zone: Int): String = {
     val lam0 = math.toRadians(zoneCentralMeridian(zone))
+    s"crs_f0 AS (SELECT *, ($lam0) AS lam0f FROM $src), " +
+      sqlForwardSeriesCtes("crs_f0", "lam0f")
+  }
+
+  /** The forward-series CTE chain over `src`, reading the central
+    * meridian (radians) from column `lam0Col` — shared by the fixed-zone
+    * and per-row-zone SQL twins. */
+  private def sqlForwardSeriesCtes(src: String, lam0Col: String): String = {
     val m1 = 1 - E2 / 4 - 3 * E4 / 64 - 5 * E6 / 256
     val m2 = 3 * E2 / 8 + 3 * E4 / 32 + 45 * E6 / 1024
     val m3 = 15 * E4 / 256 + 45 * E6 / 1024
@@ -95,7 +134,7 @@ object Crs {
     s"crs_t AS (SELECT *, RADIANS(lat) AS phi FROM $src), " +
       s"crs_u AS (SELECT *, SIN(phi) AS sp, COS(phi) AS cp, TAN(phi) AS tp FROM crs_t), " +
       s"crs_v AS (SELECT *, ($A) / SQRT(1.0 - ($E2) * sp * sp) AS nn, tp * tp AS tt, " +
-      s"($EP2) * cp * cp AS cc, cp * (RADIANS(lon) - ($lam0)) AS a1, " +
+      s"($EP2) * cp * cp AS cc, cp * (RADIANS(lon) - $lam0Col) AS a1, " +
       s"($A) * (($m1) * phi - ($m2) * SIN(phi * 2) + ($m3) * SIN(phi * 4) - ($m4) * SIN(phi * 6)) AS mm FROM crs_u), " +
       s"crs_w AS (SELECT *, a1 * a1 AS a2 FROM crs_v), " +
       s"crs_x AS (SELECT *, ($K0) * nn * (a1 + (1.0 - tt + cc) * (a2 * a1) / 6 + " +

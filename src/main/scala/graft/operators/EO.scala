@@ -526,6 +526,31 @@ object EO {
           .orderBy("event_id")
       }),
 
+    // Multi-zone reprojection (VERDICT r5 #5): a global mosaic never lives
+    // in one UTM zone, so the grid here spans zones 26-35 (lon -30..29.75)
+    // and every point projects into ITS OWN zone, selected per row from
+    // the longitude (Crs.utmForwardZoned). The integer zone is exact
+    // column math (same IEEE division both engines); the meter outputs
+    // land on the s0 grid like eo_reproject (0.5 m slack vs ~1e-9 m
+    // engine trig noise).
+    Q("eo_reproject_multizone", Some(
+      "WITH g AS (SELECT event_id, CAST(user_id % 160 AS DOUBLE) / 2 - 40 AS lat, " +
+        "-30.0 + CAST(event_id % 240 AS DOUBLE) / 4 AS lon FROM events), " +
+        graft.functions.Crs.sqlUtmForwardZonedCtes("g") +
+        " SELECT event_id, zone, " + sqlS0("easting") + " AS easting_m, " +
+        sqlS0("northing") + " AS northing_m FROM crs_out ORDER BY event_id"),
+      (s, d) => {
+        val geo = T.events(s, d).select(col("event_id"),
+          ((col("user_id") % 160).cast("double") / 2 - 40).as("lat"),
+          (lit(-30.0) + (col("event_id") % 240).cast("double") / 4).as("lon"))
+        geo
+          .withColumn("utm", graft.functions.Crs.utmForwardZoned(col("lat"), col("lon")))
+          .select(col("event_id"), col("utm.zone").as("zone"),
+            s0(col("utm.easting")).as("easting_m"),
+            s0(col("utm.northing")).as("northing_m"))
+          .orderBy("event_id")
+      }),
+
     // Geomedian composite per label (Roberts et al. 2017) — iterative
     // Weiszfeld, not SQL-expressible; property-tested in GeomedianSpec.
     Q("eo_geomedian", None,

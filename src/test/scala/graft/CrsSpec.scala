@@ -61,6 +61,31 @@ class CrsSpec extends SparkSpec {
     assert(span > 111000 && span < 111500, s"1-degree easting span $span")
   }
 
+  test("per-row-zone forward agrees with the fixed-zone path inside each zone") {
+    import spark.implicits._
+    // points across zones 26-35; inside a zone's own band the dynamic
+    // path must match utmForward(zone) bit-for-bit (same series, same
+    // lam0), and the derived zone must be the standard floor((lon+180)/6)+1
+    val grid = (for {
+      lat <- Seq(-35.25, -4.5, 0.5, 47.75)
+      lon <- BigDecimal(-29.5) to BigDecimal(29.5) by BigDecimal(1.75)
+    } yield (lat, lon.toDouble)).toDF("lat", "lon")
+    val rows = grid
+      .withColumn("dyn", Crs.utmForwardZoned(col("lat"), col("lon")))
+      .collect()
+    rows.foreach { r =>
+      val (lat, lon) = (r.getDouble(0), r.getDouble(1))
+      val dyn = r.getStruct(2)
+      val zone = math.floor((lon + 180.0) / 6.0).toInt + 1
+      assert(dyn.getInt(0) == zone, s"zone for lon=$lon")
+      val fixed = Seq((lat, lon)).toDF("lat", "lon")
+        .select(Crs.utmForward(col("lat"), col("lon"), zone).as("u"))
+        .head().getStruct(0)
+      assert(dyn.getDouble(1) == fixed.getDouble(0), s"easting at ($lat,$lon)")
+      assert(dyn.getDouble(2) == fixed.getDouble(1), s"northing at ($lat,$lon)")
+    }
+  }
+
   test("the reprojection is pure codegen column math — no UDF, no mapPartitions") {
     import spark.implicits._
     val df = Seq((40.5, 14.2)).toDF("lat", "lon")
