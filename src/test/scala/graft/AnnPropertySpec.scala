@@ -98,6 +98,29 @@ class AnnPropertySpec extends SparkSpec {
     SparkEntry.queries(key)(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSeq
 
+  test("ANN recall floor: mean recall vs the GLOBAL brute-force top-3 >= 0.6 on clustered corpora") {
+    // In-scope exactness (the two tests below) says nothing about how much
+    // the scope pruning loses; this pins the end-to-end recall the way
+    // llm_minhash's SketchSpec does. On cluster-structured corpora — the
+    // regime ANN indexes exist for — sign-LSH bucketing and 2-cell IVF
+    // probing must recover most of the true top-3; mean over 5 seeds
+    // absorbs the occasional unlucky bucket split (VERDICT r5 #7).
+    def bruteTop3(vecs: Seq[(Long, Int, Array[Float])]): Set[Long] = {
+      val q = vecs.find(_._1 == 0L).get._3
+      vecs.filter(_._1 != 0L).map(v => (v._1, cos(v._3, q)))
+        .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1).toSet
+    }
+    for (key <- Seq("llm_ann_lsh", "llm_ann_ivf")) {
+      val recalls = Seq(131, 132, 133, 134, 135).map { seed =>
+        val dir = genEmbeddings(seed)
+        val vecs = loadVecs(dir)
+        (runKey(key, dir).map(_._1).toSet & bruteTop3(vecs)).size / 3.0
+      }
+      val mean = recalls.sum / recalls.size
+      assert(mean >= 0.6, s"$key mean recall $mean (per-seed: ${recalls.mkString(", ")})")
+    }
+  }
+
   test("llm_ann_lsh top-k IS the exact ranking of the query's bucket (graded + generated)") {
     for (dir <- Seq(sfDir, genEmbeddings(11), genEmbeddings(12)))
       assert(runKey("llm_ann_lsh", dir) == lshExpected(loadVecs(dir)), s"dir=$dir")
