@@ -444,6 +444,64 @@ object EO {
           .orderBy("tile")
       }),
 
+    // downsample (dc.load(resolution=...) within the tile grid): the
+    // 256-pixel tiles are a 16x16 raster; factor-4 block means produce
+    // 4x4 outputs. A block mean of 16 small integers is bs/16 — exactly
+    // representable in float32 (dyadic) — so scaling by 16 recovers the
+    // integer block sum bit-for-bit. Partial edge tiles (the id space
+    // rarely ends on a 1024-event boundary) are excluded on BOTH sides:
+    // downsample addresses pixels positionally and a short tile has no
+    // defined 16x16 geometry.
+    Q("eo_tile_downsample", Some(
+      "WITH px AS (SELECT (event_id // 4) // 256 AS tile, (event_id // 4) % 256 AS pos, " +
+        "event_id % 4 AS t, CAST(user_id AS DOUBLE) AS v FROM events), " +
+        "full_t AS (SELECT tile FROM px WHERE t = 0 GROUP BY tile HAVING COUNT(*) = 256), " +
+        "blk AS (SELECT tile, t, ((pos // 16) // 4) * 4 + (pos % 16) // 4 AS opos, " +
+        "SUM(CAST(v AS BIGINT)) AS bs FROM px JOIN full_t USING (tile) GROUP BY tile, t, opos) " +
+        "SELECT tile, CAST(COUNT(*) AS BIGINT) AS n_out, " +
+        "CAST(SUM(bs) AS BIGINT) AS sum16, " +
+        "CAST(SUM(bs * (t * 16 + opos + 1)) AS BIGINT) AS checksum " +
+        "FROM blk GROUP BY tile ORDER BY tile"),
+      (s, d) => {
+        val grid = eventTiles(s, d, Seq("v" -> col("user_id")))
+          .where(size(col("data")) === 256)
+        val ds = graft.raster.RasterGrid.downsample(grid, h = 16, w = 16, factor = 4)
+        ds.select(col("time"), col("tile_y").cast("long").as("tile"),
+            posexplode(col("data")).as(Seq("opos", "v")))
+          .groupBy("tile")
+          .agg(
+            count(lit(1)).as("n_out"),
+            sum((col("v") * 16).cast("long")).as("sum16"),
+            sum((col("v") * 16).cast("long") * (col("time") * 16 + col("opos") + 1))
+              .as("checksum"))
+          .orderBy("tile")
+      }),
+
+    // zonalStats (AOI polygon statistics [PK], rasterized zones): the zone
+    // ids ride as a second tile-aligned band derived from the same event
+    // rows, so pixel i of the data tile pairs with pixel i of the zone
+    // tile exactly as a rasterized polygon layer would. This op is
+    // genuinely pixel-relational — RasterGrid explodes to (zone, value)
+    // pairs and classic partial aggregation takes over.
+    Q("eo_tile_zonal", Some(
+      "WITH px AS (SELECT CAST(user_id AS DOUBLE) AS v, " +
+        "CAST(event_id % 5 AS INT) AS zone FROM events) " +
+        "SELECT zone, CAST(COUNT(*) AS BIGINT) AS n_pixels, " +
+        "CAST(SUM(CAST(v AS BIGINT)) AS BIGINT) AS sum_l, " +
+        sqlS6("SUM(v) / COUNT(*)") + " AS mean6 " +
+        "FROM px GROUP BY zone ORDER BY zone"),
+      (s, d) => {
+        val grid = eventTiles(s, d,
+          Seq("v" -> col("user_id"), "zone" -> (col("event_id") % 5)))
+        val zs = graft.raster.RasterGrid.zonalStats(
+          grid.where(col("band") === "v"),
+          grid.where(col("band") === "zone"))
+        zs.select(col("zone"), col("n_pixels"),
+            col("sum_val").cast("long").as("sum_l"),
+            s6(col("mean_val")).as("mean6"))
+          .orderBy("zone")
+      }),
+
     // maskWhere (the xr.where(qa, x, NaN) analogue): QA band = props
     // length (8 or 9), keep == 8. NaN holes are counted and the kept
     // pixels reduce on the exact integer grid; NULL-vs-NaN semantics stay
