@@ -49,6 +49,9 @@ object Llm {
         "CASE WHEN tok_id > 62 THEN raise_error('llm_dedup_near: vocabulary " +
           "exceeds 63 tokens; use multiword masks or llm_minhash') " +
           "ELSE shiftleft(CAST(1 AS BIGINT), tok_id) END")).as("mask"))
+      // (the error message's "multiword masks" escape hatch now lives in
+      // llm_dedup_pipeline's packed-array tiers; ngram_jaccard verifies
+      // via integer array_intersect — both open-vocabulary safe)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 

@@ -86,7 +86,7 @@ object LlmExtras {
         "langd AS (SELECT doc_id, lang FROM documents), " +
         // the oracle states the SEMANTICS (all same-lang pairs over the
         // threshold) as brute force; the Spark plan reaches the same set
-        // through LSH candidates + exact verification
+        // through the length-filtered block join + inline exact verify
         "inter AS (SELECT x.doc_id AS d1, y.doc_id AS d2, SUM(BIT_COUNT(x.m & y.m)) AS i " +
         "FROM masks x JOIN masks y ON y.w = x.w AND x.doc_id < y.doc_id " +
         "JOIN langd la ON la.doc_id = x.doc_id JOIN langd lb ON lb.doc_id = y.doc_id AND lb.lang = la.lang " +
