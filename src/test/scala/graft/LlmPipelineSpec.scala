@@ -106,6 +106,29 @@ class LlmPipelineSpec extends SparkSpec {
     SparkEntry.queries("llm_dedup_pipeline")(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
 
+  test("prefix lemma: j >= 0.5 pairs ALWAYS share a first-floor(n/2)+1 prefix element") {
+    // the set-theoretic fact phase B's candidate completeness rests on,
+    // checked generatively over random set pairs engineered to straddle
+    // the threshold (pure Scala — no Spark; 20k pairs)
+    val rnd = new scala.util.Random(4242)
+    var checked = 0
+    for (_ <- 0 until 20000) {
+      val universe = (0 until 60).map(i => f"t$i%02d")
+      val a = rnd.shuffle(universe).take(8 + rnd.nextInt(30)).toSet
+      // derive b from a by replacing a random fraction — spans j in [0, 1]
+      val keep = a.toSeq.filter(_ => rnd.nextDouble() > rnd.nextDouble())
+      val b = (keep ++ rnd.shuffle(universe).take(rnd.nextInt(20))).toSet
+      val j = (a & b).size.toDouble / (a | b).size.toDouble
+      if (j >= 0.5 && b.nonEmpty) {
+        checked += 1
+        def prefix(s: Set[String]) = s.toSeq.sorted.take(s.size / 2 + 1).toSet
+        assert((prefix(a) & prefix(b)).nonEmpty,
+          s"prefix lemma violated: a=$a b=$b j=$j")
+      }
+    }
+    assert(checked > 1000, s"generator produced only $checked qualifying pairs")
+  }
+
   test("dedup pipeline: tiered witness search equals brute force on the graded corpus") {
     assert(runPipeline(sfDir) == brutePipeline(loadDocs(sfDir)))
   }
