@@ -113,7 +113,11 @@ object LlmExtras {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val jac = col("i").cast("double") / (col("n1") + col("n2") - col("i")).cast("double")
         docsB.select(col("doc_id").as("d1"), col("lang"), col("ids").as("ia"), col("n").as("n1"))
-          .join(docsB.select(col("doc_id").as("d2"), col("lang"), col("ids").as("ib"), col("n").as("n2")),
+          // one packed row per doc -> the whole side broadcasts (~1 MB at
+          // sf0.1); without the hint the stats-blind self-join plans SMJ
+          // and shuffles both sides on lang (5 hot keys)
+          .join(broadcast(
+            docsB.select(col("doc_id").as("d2"), col("lang"), col("ids").as("ib"), col("n").as("n2"))),
             Seq("lang"))
           // length filter: j >= 0.5 is impossible unless the sizes are
           // within 2x of each other — prunes before the intersect runs

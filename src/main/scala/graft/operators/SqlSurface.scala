@@ -60,6 +60,19 @@ object SqlSurface {
         "FROM seg a JOIN seg b ON a.n < b.n " +
         "ORDER BY seg1, seg2"),
 
+    // Correlated LATERAL subquery with per-row ORDER BY + LIMIT (the
+    // top-N-per-group "cross apply" surface; Catalyst plans a LateralJoin
+    // and pushes the per-group limit). Deterministic: the inner ordering
+    // covers the tie-break key. Identical portable statement in DuckDB.
+    mk("sql_lateral",
+      "SELECT c.c_custkey, t.o_orderkey, " +
+        "CAST(FLOOR(t.o_totalprice * 100 + 0.5) AS BIGINT) AS price2 " +
+        "FROM customer c, LATERAL (" +
+        "SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_custkey = c.c_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t " +
+        "ORDER BY c_custkey, o_orderkey"),
+
     // Recursive CTE (Spark 4's WITH RECURSIVE — the iterative plan
     // surface): a generated month ladder left-joined back to the data.
     // Identical portable statement in DuckDB.
