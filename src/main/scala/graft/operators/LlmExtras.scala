@@ -101,7 +101,10 @@ object LlmExtras {
         // TextOps.denseIds scaladoc): integer set intersection per pair
         // beats string hashing 4-5x, and the per-doc row layout keeps the
         // block join explode-free
+        // persisted: the dict's eager zipWithIndex job AND the docsB build
+        // both consume the distinct doc-bigram stream
         val bigr = TextOps.bigrams(T.documents(s, d), "doc_id").distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val dict = TextOps.denseIds(bigr.select("bigram").distinct(), "bid")
         val langd = T.documents(s, d).select(col("doc_id"), col("lang"))
         // persisted: both sides of the block self-join
