@@ -276,6 +276,46 @@ object Aggregates {
             expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("p95_approx"))
           .orderBy("l_returnflag")),
 
+    // Boolean aggregate family (round 6): bool_and/bool_or plus a
+    // conditional count — pure predicate folds, map-side combinable.
+    Q("agg_bool", Some(
+      "SELECT event_type, " +
+        "CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_big, " +
+        "BOOL_AND(value >= 0) AS all_nonneg, " +
+        "BOOL_OR(value > 400) AS any_huge " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+      (s, d) =>
+        T.events(s, d)
+          .groupBy("event_type")
+          .agg(
+            sum(when(col("value") > 100, 1).otherwise(0)).cast("bigint").as("n_big"),
+            bool_and(col("value") >= 0).as("all_nonneg"),
+            bool_or(col("value") > 400).as("any_huge"))
+          .orderBy("event_type")),
+
+    // Deterministic mode (round 6): most frequent cent residue of value
+    // per event_type, ties broken by smallest value — built-in MODE()'s
+    // tie order is engine-arbitrary, so BOTH engines spell the same
+    // (count DESC, value ASC) pick; the residue is an exact s2-grid
+    // integer.
+    Q("agg_mode", Some(
+      "WITH c AS (SELECT event_type, " + sqlS2("value") + " % 100 AS cents, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY event_type, cents) " +
+        "SELECT event_type, cents AS mode_cents, n FROM (" +
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n DESC, cents ASC) AS rn FROM c) x " +
+        "WHERE rn = 1 ORDER BY event_type"),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("event_type").orderBy(col("n").desc, col("cents").asc)
+        T.events(s, d)
+          .groupBy(col("event_type"), (s2(col("value")) % 100).as("cents"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("event_type"), col("cents").as("mode_cents"), col("n"))
+          .orderBy("event_type")
+      }),
+
     Q("agg_listagg", Some(
       "SELECT n_name, STRING_AGG(c_name, ',' ORDER BY c_name) AS names " +
         "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
