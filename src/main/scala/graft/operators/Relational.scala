@@ -22,6 +22,39 @@ import Det._
   */
 object Relational {
 
+  /** A write→read→aggregate loop through one source format: the events
+    * projection (ts excluded; see the key comment) lands in a fixed temp
+    * dir (overwrite — the driver executes keys serially), is read back
+    * with the DECLARED schema (never inferred, §2.2), and reduces to
+    * per-bucket exact aggregates compared against the parquet truth. */
+  private def scanRoundtrip(name: String, fmt: String): Q = {
+    val oracle =
+      "SELECT user_id % 10 AS bucket, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(event_id) AS BIGINT) AS sum_id, " +
+        sqlSum6("value") + " AS sum_val, " +
+        "CAST(SUM(LENGTH(props)) AS BIGINT) AS sum_len " +
+        "FROM events GROUP BY bucket ORDER BY bucket"
+    Q(name, Some(oracle), (s, d) => {
+      import org.apache.spark.sql.types._
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip_$fmt"
+      T.events(s, d).select("event_id", "user_id", "value", "props")
+        .write.mode("overwrite").format(fmt).option("header", "true").save(dir)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("user_id", LongType),
+        StructField("value", DoubleType),
+        StructField("props", StringType)))
+      s.read.schema(schema).format(fmt).option("header", "true").load(dir)
+        .groupBy((col("user_id") % 10).as("bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("event_id")).as("sum_id"),
+          sum6(col("value")).as("sum_val"),
+          sum(length(col("props"))).cast("long").as("sum_len"))
+        .orderBy("bucket")
+    })
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("scan_parquet", Some(
@@ -68,6 +101,20 @@ object Relational {
             col("event_id"),
             get_json_object(col("props"), "$.k").cast("int").as("k"))
           .orderBy("event_id")),
+
+    // Source-format round-trips (round 6): write the events projection to
+    // ORC / CSV / JSON-lines, read it back with the DECLARED schema, and
+    // aggregate — the oracle computes the same aggregates straight from
+    // the parquet truth, so any value corruption in the write/read loop
+    // (double formatting, quoting, type coercion) breaks the hash. Doubles
+    // survive text formats because both writers emit the shortest
+    // round-trippable decimal (Double.toString / Jackson) and the declared
+    // DoubleType parse restores the identical bits. `ts` is excluded:
+    // text-format timestamp fidelity is format-config-dependent by design,
+    // and the ns-origin column's contract lives in Tables.events.
+    scanRoundtrip("scan_orc_roundtrip", "orc"),
+    scanRoundtrip("scan_csv_roundtrip", "csv"),
+    scanRoundtrip("scan_jsonl_roundtrip", "json"),
 
     Q("project_arith", Some(
       "SELECT l_orderkey, l_linenumber, " +
