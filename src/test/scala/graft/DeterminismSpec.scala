@@ -23,7 +23,12 @@ class DeterminismSpec extends SparkSpec {
       "llm_cosine_topk", "eo_zonal_stats", "udaf_weighted",
       "join_asof_native", "eo_product_pipeline", "llm_dedup_pipeline",
       "join_asof_tol", "win_gaps_islands", "eo_regrid_affine",
-      "llm_embed_neardup", "llm_knn_centroid")
+      "llm_embed_neardup", "llm_knn_centroid",
+      // round 6: collect_list-based tile packing (order neutralized by
+      // array_sort/sort_array), the tie-specified mode pick, and the
+      // ngram block join must all survive topology changes
+      "eo_tile_composite_median", "eo_tile_argmax", "agg_mode",
+      "llm_ngram_jaccard", "stream_interval_join")
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     val base = keys.map(k => k -> SparkEntry.queries(k)(spark, sfDir).collect().toSeq).toMap
     try {
