@@ -515,6 +515,35 @@ object LlmExtras {
           .orderBy("lang")
       }),
 
+    // Unigram LM scoring (the CCNet-style language-model quality proxy):
+    // each token's corpus log-probability ln(cf/N), scaled to the exact
+    // s6 grid PER TOKEN so the per-doc sum is an order-free integer (a
+    // raw double SUM(ln) would be merge-order-dependent; the per-token
+    // FLOOR boundary carries the same generic-input ulp risk the trig
+    // keys document). cf rides a broadcast (vocabulary-sized); N is a
+    // broadcast scalar.
+    Q("llm_unigram_logprob", Some(
+      "WITH t AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents), " +
+        "cf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY tok), " +
+        "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM t) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok, " +
+        "CAST(SUM(" + sqlS6("LN(CAST(c AS DOUBLE) / total)") + ") AS BIGINT) AS sum_lp6 " +
+        "FROM t JOIN cf USING (tok) CROSS JOIN n " +
+        "GROUP BY doc_id ORDER BY doc_id"),
+      (s, d) => {
+        val t = T.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val cf = t.groupBy("tok").agg(count(lit(1)).as("c"))
+        val n = t.agg(count(lit(1)).as("total"))
+        t.join(broadcast(cf), "tok")
+          .crossJoin(broadcast(n))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_tok"),
+            sum(s6(log(col("c").cast("double") / col("total")))).as("sum_lp6"))
+          .orderBy("doc_id")
+      }),
+
     // Content-defined fingerprint: md5 over the sorted distinct token set —
     // order-insensitive (catches shuffled near-dups that exact dedup misses).
     Q("llm_fingerprint", Some(

@@ -74,6 +74,21 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("round-6 plans keep their shapes") {
+    // LATERAL's per-row LIMIT must stay a pushed group-limit, not a full
+    // window sort; the interval join and the ngram block join broadcast
+    // their bounded sides; no tile key may degenerate to a cartesian.
+    assert(planOf("sql_lateral").contains("WindowGroupLimit"),
+      "lateral LIMIT lost its pushed group-limit")
+    assert(planOf("stream_interval_join").contains("BroadcastHashJoin"))
+    assert(planOf("llm_ngram_jaccard").contains("BroadcastHashJoin"))
+    Seq("eo_tile_composite_median", "eo_tile_argmax", "eo_tile_maskwhere",
+      "eo_tile_downsample", "eo_tile_zonal").foreach { k =>
+      val p = planOf(k)
+      assert(!p.contains("CartesianProduct"), s"$k planned a cartesian:\n$p")
+    }
+  }
+
   test("vector hot paths stay codegen (no BatchEval / interpreted fold)") {
     Seq("llm_cosine_topk", "llm_embed_neardup", "llm_ann_lsh").foreach { k =>
       val p = planOf(k)
