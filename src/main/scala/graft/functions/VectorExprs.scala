@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 
 /** Native Catalyst expression for the vector hot path (SURVEY §5.3): a
@@ -183,11 +183,73 @@ case class DoubleVecScaledL2(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Intersection size of two SORTED, duplicate-free int-id arrays — the
+  * set-similarity verify kernel (llm_ngram_jaccard runs it on ~2.2M
+  * candidate pairs per bench). `array_intersect` builds a hash set per
+  * invocation (one allocation + rehash per ROW); this is the classic
+  * two-pointer merge: zero allocation, branch-predictable, whole-stage
+  * codegen'd. Callers own the contract that both arrays are ascending and
+  * distinct (array_sort over dictionary ids in the shipped plans);
+  * DetLemmaSpec proves equivalence to array_intersect generatively. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_icount expects (array<int>, array<int>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0; var j = 0; var acc = 0L
+    while (i < na && j < nb) {
+      val x = a.getInt(i); val y = b.getInt(j)
+      if (x == y) { acc += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $na = $a.numElements(); int $nb = $b.numElements();
+         |int $i = 0; int $j = 0; long $acc = 0L;
+         |while ($i < $na && $j < $nb) {
+         |  int $x = $a.getInt($i); int $y = $b.getInt($j);
+         |  if ($x == $y) { $acc++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
 
   val DotName = "graft_dot"
   val SDotLName = "graft_sdotl"
   val SL2Name = "graft_sl2"
+  val ICountName = "graft_icount"
 
   private val dotBuilder: Seq[Expression] => Expression =
     children => FloatVecDot(children(0), children(1))
@@ -198,6 +260,9 @@ object VectorExprs {
   private val sl2Builder: Seq[Expression] => Expression =
     children => DoubleVecScaledL2(children(0), children(1))
 
+  private val icountBuilder: Seq[Expression] => Expression =
+    children => SortedIntersectCount(children(0), children(1))
+
   /** Imperative registration — used by query builders so the expression is
     * available regardless of how the session was constructed. Idempotent. */
   def register(spark: SparkSession): Unit = {
@@ -207,6 +272,8 @@ object VectorExprs {
       .createOrReplaceTempFunction(SDotLName, sdotlBuilder, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(SL2Name, sl2Builder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(ICountName, icountBuilder, "built-in")
   }
 
   /** Column-level helper: `dot(a, b)` after [[register]]. */
@@ -220,6 +287,11 @@ object VectorExprs {
   /** Column-level helper: `sl2(a, b)` after [[register]]. */
   def sl2(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function(SL2Name, a, b)
+
+  /** Column-level helper: `icount(a, b)` after [[register]] — both arrays
+    * must be sorted ascending and duplicate-free. */
+  def icount(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function(ICountName, a, b)
 }
 
 /** Config-level registration: `--conf
@@ -244,5 +316,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(VectorExprs.SL2Name),
       new ExpressionInfo(classOf[DoubleVecScaledL2].getName, VectorExprs.SL2Name),
       children => DoubleVecScaledL2(children(0), children(1))))
+    e.injectFunction((
+      FunctionIdentifier(VectorExprs.ICountName),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, VectorExprs.ICountName),
+      children => SortedIntersectCount(children(0), children(1))))
   }
 }

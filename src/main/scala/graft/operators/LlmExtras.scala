@@ -98,9 +98,13 @@ object LlmExtras {
       (s, d) => {
         // each doc's distinct bigrams as ONE packed array of dictionary
         // ids (zipWithIndex ids — the intersect is permutation-invariant,
-        // TextOps.denseIds scaladoc): integer set intersection per pair
-        // beats string hashing 4-5x, and the per-doc row layout keeps the
-        // block join explode-free
+        // TextOps.denseIds scaladoc): the pair verify is the native
+        // SortedIntersectCount two-pointer merge (graft_icount) — zero
+        // allocation per pair where array_intersect builds a hash set per
+        // row, and the per-doc row layout keeps the block join
+        // explode-free
+        graft.functions.VectorExprs.register(s)
+        import graft.functions.VectorExprs.icount
         // persisted: the dict's eager zipWithIndex job AND the docsB build
         // both consume the distinct doc-bigram stream
         val bigr = TextOps.bigrams(T.documents(s, d), "doc_id").distinct()
@@ -125,7 +129,7 @@ object LlmExtras {
           // length filter: j >= 0.5 is impossible unless the sizes are
           // within 2x of each other — prunes before the intersect runs
           .where(col("d1") < col("d2") && col("n1") <= col("n2") * 2 && col("n2") <= col("n1") * 2)
-          .withColumn("i", size(array_intersect(col("ia"), col("ib"))))
+          .withColumn("i", icount(col("ia"), col("ib")))
           .where(jac >= 0.5)
           .select(col("d1"), col("d2"), s6(jac).as("ngram_jaccard"))
           .orderBy("d1", "d2")

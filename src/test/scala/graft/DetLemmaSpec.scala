@@ -82,4 +82,25 @@ class DetLemmaSpec extends SparkSpec {
       assert(viaExpr == viaRelational, s"seed=$seed")
     }
   }
+
+  test("lemma 5: the two-pointer SortedIntersectCount equals array_intersect size") {
+    import spark.implicits._
+    graft.functions.VectorExprs.register(spark)
+    import graft.functions.VectorExprs.icount
+    val rnd = new scala.util.Random(77)
+    // 500 random sorted distinct id-array pairs of skewed sizes — one
+    // DataFrame so the codegen path (not just interpreted eval) runs
+    val pairs = Seq.fill(500) {
+      def arr() = (0 until (1 + rnd.nextInt(60)))
+        .map(_ => rnd.nextInt(200)).distinct.sorted.toArray
+      (arr(), arr())
+    }
+    val df = pairs.toDF("a", "b")
+    val got = df.select(icount(col("a"), col("b"))).collect().map(_.getLong(0)).toSeq
+    val viaBuiltin = df.select(size(array_intersect(col("a"), col("b"))).cast("long"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == viaBuiltin)
+    val expected = pairs.map { case (a, b) => (a.toSet & b.toSet).size.toLong }
+    assert(got == expected)
+  }
 }
