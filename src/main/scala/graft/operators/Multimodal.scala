@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
-import graft.{Q, Tables => T}
+import graft.{Det, Q, Tables => T}
 
 /** Multimodal-column plumbing (BASELINE.json north star): image/audio/video
   * payloads as opaque `binary` columns plus typed metadata, with
@@ -19,6 +19,14 @@ import graft.{Q, Tables => T}
   * batch shape (one buffer reuse per partition, the Scala analogue of
   * mapInPandas batches), partition sizing, and the downstream relational
   * feature aggregation.
+  *
+  * Round 6: all four keys carry DuckDB ORACLES — the stub's byte math is
+  * deterministic arithmetic over the ASCII payload, so the oracle spells
+  * the same strides/offsets with SUBSTRING/ASCII over the text (1 char ==
+  * 1 byte) and the whole plumbing (metadata-only pruning, batch path,
+  * schema, binary outputs) is hash-graded end-to-end, not rows-only. A
+  * real codec swap would return these keys to property-only coverage —
+  * by then real fixtures exist to grade against.
   *
   * At 100 TB: payloads stay columnar in parquet (binary column), metadata
   * predicates prune at the scan (format/width filters never touch bytes),
@@ -102,12 +110,40 @@ object Multimodal {
 
     // Decode + feature-extract over batched partitions; metadata-only
     // predicate (format filter) is applied BEFORE touching payload bytes.
-    Q("mm_decode_features", None,
+    // The oracle replicates fakeDecode's byte arithmetic over the ASCII
+    // text (stride-8 mean, n-derived dims): exact-integer sums, one
+    // IEEE division — bit-identical across engines.
+    Q("mm_decode_features", Some(
+      "WITH p AS (SELECT doc_id, text, CAST(LENGTH(text) AS INTEGER) AS n, " +
+        "CASE WHEN doc_id % 3 = 0 THEN 'png' ELSE 'jpeg' END AS format " +
+        "FROM documents WHERE doc_id % 3 IN (0, 1)), " +
+        "st AS (SELECT doc_id, UNNEST(RANGE(0, (n + 7) // 8)) AS k FROM p), " +
+        "i AS (SELECT st.doc_id, SUM(ASCII(SUBSTRING(p.text, CAST(st.k * 8 AS INTEGER) + 1, 1))) AS ssum, " +
+        "CAST(COUNT(*) AS BIGINT) AS cnt FROM st JOIN p USING (doc_id) GROUP BY st.doc_id) " +
+        "SELECT p.doc_id, p.format, p.n AS n_bytes, " +
+        "CAST(16 + (p.n % 64) AS INTEGER) AS width, " +
+        "CAST(16 + ((p.n // 64) % 64) AS INTEGER) AS height, " +
+        "CAST(1 + (p.n % 4) AS INTEGER) AS frames_sampled, " +
+        "CAST(i.ssum AS DOUBLE) / i.cnt AS mean_intensity " +
+        "FROM p JOIN i USING (doc_id) ORDER BY doc_id"),
       (s, d) => features(s, d, Some(Seq("png", "jpeg"))).orderBy("doc_id")),
 
     // Downstream relational consumption of extracted features: per-format
-    // size/intensity profile.
-    Q("mm_format_stats", None,
+    // size/intensity profile (same feature CTE as mm_decode_features, all
+    // three formats; avg intensity on the 6-dp grid per Det rule 3).
+    Q("mm_format_stats", Some(
+      "WITH p AS (SELECT doc_id, text, CAST(LENGTH(text) AS INTEGER) AS n, " +
+        "CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'wav' END AS format " +
+        "FROM documents), " +
+        "st AS (SELECT doc_id, UNNEST(RANGE(0, (n + 7) // 8)) AS k FROM p), " +
+        "i AS (SELECT st.doc_id, SUM(ASCII(SUBSTRING(p.text, CAST(st.k * 8 AS INTEGER) + 1, 1))) AS ssum, " +
+        "CAST(COUNT(*) AS BIGINT) AS cnt FROM st JOIN p USING (doc_id) GROUP BY st.doc_id), " +
+        "f AS (SELECT p.doc_id, p.format, p.n, CAST(i.ssum AS DOUBLE) / i.cnt AS mi " +
+        "FROM p JOIN i USING (doc_id)) " +
+        "SELECT format, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CAST(n AS BIGINT)) AS BIGINT) AS total_bytes, " +
+        Det.sqlMean6("mi") + " AS avg_intensity " +
+        "FROM f GROUP BY format ORDER BY format"),
       (s, d) =>
         features(s, d, None).groupBy("format")
           .agg(
@@ -126,7 +162,18 @@ object Multimodal {
     // Metadata is FLAT (format/n_bytes/width/height scalars, not a nested
     // struct): flat scalars keep metadata predicates trivially pushable and
     // the output sortable by any generic consumer.
-    Q("mm_resize", None,
+    // Oracle: the stub's stride resample is out[i] = payload[(i*n)//1024]
+    // — the same integer index arithmetic over SUBSTRING, reassembled and
+    // cast to BLOB (ASCII: 1 char == 1 byte).
+    Q("mm_resize", Some(
+      "WITH p AS (SELECT doc_id, text, CAST(LENGTH(text) AS INTEGER) AS n, " +
+        "CASE WHEN doc_id % 3 = 0 THEN 'png' ELSE 'jpeg' END AS format " +
+        "FROM documents WHERE doc_id % 3 IN (0, 1)) " +
+        "SELECT doc_id, CAST(ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(0, 1024), " +
+        "i -> SUBSTRING(text, CAST((i * n) // 1024 AS INTEGER) + 1, 1)), '') AS BLOB) AS payload, " +
+        "format, CAST(1024 AS INTEGER) AS n_bytes, " +
+        "CAST(32 AS INTEGER) AS width, CAST(32 AS INTEGER) AS height " +
+        "FROM p ORDER BY doc_id"),
       (s, d) => {
         val outSchema = StructType(Seq(
           StructField("doc_id", LongType),
@@ -163,7 +210,18 @@ object Multimodal {
     // payload becomes its own row — pure column math (sequence +
     // transform + binary substring + posexplode), NO udf/mapPartitions:
     // offset arithmetic doesn't need a codec, so it stays codegen'd.
-    Q("mm_frame_sample", None,
+    // Oracle: frame k = 64 bytes at offset k*256 of the wav payloads —
+    // SUBSTRING windows cast to BLOB, count n // 256 (matches the int
+    // division of the Spark nFrames cast).
+    Q("mm_frame_sample", Some(
+      "WITH p AS (SELECT doc_id, text, CAST(LENGTH(text) AS INTEGER) AS n FROM documents " +
+        "WHERE doc_id % 3 = 2 AND LENGTH(text) // 256 > 0), " +
+        "f AS (SELECT doc_id, text, UNNEST(RANGE(0, n // 256)) AS k FROM p) " +
+        "SELECT doc_id, CAST(k AS INTEGER) AS frame_idx, " +
+        "CAST(k * 256 AS BIGINT) AS byte_offset, " +
+        "CAST(LENGTH(SUBSTRING(text, CAST(k * 256 AS INTEGER) + 1, 64)) AS INTEGER) AS frame_bytes, " +
+        "CAST(SUBSTRING(text, CAST(k * 256 AS INTEGER) + 1, 64) AS BLOB) AS frame " +
+        "FROM f ORDER BY doc_id, frame_idx"),
       (s, d) => {
         val frameBytes = 64
         val stride = 4 // sample every 4th frame
