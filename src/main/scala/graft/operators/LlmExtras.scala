@@ -226,14 +226,36 @@ object LlmExtras {
       }),
 
     // IVF-style ANN: the label clusters are the inverted-file cells; the
-    // query probes only its 2 nearest cells (by centroid distance), then
-    // ranks candidates by exact cosine (FloatVecDot, codegen'd). The
-    // other scale path is llm_ann_lsh; brute force is llm_cosine_topk.
-    // Probe-bounded recall -> no oracle; ranking shape property-tested.
-    Q("llm_ann_ivf", None,
+    // query probes only its 2 nearest cells (by scaled-long centroid
+    // distance), then ranks candidates by cosine built ENTIRELY from
+    // scaled-long dot products (FloatVecScaledDotL — exact, order-free
+    // integers; the ranking doubles then derive from identical longs on
+    // both engines). That determinism chain is what lets a probe-bounded
+    // ANN carry a full DuckDB oracle (round 6): the oracle unnests the
+    // same mean6 centroids, sl2 probes, and scaled dots relationally.
+    // The other scale path is llm_ann_lsh; brute force is llm_cosine_topk.
+    Q("llm_ann_ivf", Some(
+      "WITH ux AS (SELECT vec_id, label, CAST(UNNEST(embedding) AS DOUBLE) AS x, " +
+        "UNNEST(RANGE(1, LEN(embedding) + 1)) AS i FROM embeddings), " +
+        "cent AS (SELECT label AS clabel, i, " + sqlMean6("x") + " AS c6 " +
+        "FROM ux GROUP BY clabel, i), " +
+        "q AS (SELECT i, x AS qx FROM ux WHERE vec_id = 0), " +
+        "probes AS (SELECT clabel FROM (" +
+        "SELECT clabel, SUM(CAST(FLOOR((CAST(c6 AS DOUBLE) / 1e6 - qx) * (CAST(c6 AS DOUBLE) / 1e6 - qx) * 1e14 + 0.5) AS BIGINT)) AS d2 " +
+        "FROM cent JOIN q USING (i) GROUP BY clabel) x ORDER BY d2, clabel LIMIT 2), " +
+        "nq AS (SELECT SUM(CAST(FLOOR(qx * qx * 1e14 + 0.5) AS BIGINT)) AS nl FROM q), " +
+        "cand AS (SELECT u.vec_id, u.label, " +
+        "SUM(CAST(FLOOR(u.x * q.qx * 1e14 + 0.5) AS BIGINT)) AS dotl, " +
+        "SUM(CAST(FLOOR(u.x * u.x * 1e14 + 0.5) AS BIGINT)) AS nl " +
+        "FROM ux u JOIN q ON u.i = q.i JOIN probes p ON u.label = p.clabel " +
+        "WHERE u.vec_id <> 0 GROUP BY u.vec_id, u.label), " +
+        "cosd AS (SELECT vec_id, label, (CAST(dotl AS DOUBLE) / 1e14) / " +
+        "(SQRT(CAST(nl AS DOUBLE) / 1e14) * SQRT((SELECT CAST(nl AS DOUBLE) FROM nq) / 1e14)) AS c FROM cand) " +
+        "SELECT vec_id, label, " + sqlS6("c") + " AS cos_sim FROM cosd " +
+        "ORDER BY c DESC, vec_id LIMIT 3"),
       (s, d) => {
         graft.functions.VectorExprs.register(s)
-        import graft.functions.VectorExprs.{dot, sl2}
+        import graft.functions.VectorExprs.{sdotl, sl2}
         val ux = T.embeddings(s, d)
           .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "xf")))
           .withColumn("x", col("xf").cast("double"))
@@ -253,8 +275,9 @@ object LlmExtras {
           .select(col("clabel").as("label"))
         val q = T.embeddings(s, d).where(col("vec_id") === 0)
           .select(col("embedding").as("qe"))
-        val cos = dot(col("embedding"), col("qe")) /
-          (sqrt(dot(col("embedding"), col("embedding"))) * sqrt(dot(col("qe"), col("qe"))))
+        val cos = (sdotl(col("embedding"), col("qe")).cast("double") / lit(1e14)) /
+          (sqrt(sdotl(col("embedding"), col("embedding")).cast("double") / lit(1e14)) *
+            sqrt(sdotl(col("qe"), col("qe")).cast("double") / lit(1e14)))
         T.embeddings(s, d)
           .join(broadcast(probes), "label")
           .where(col("vec_id") =!= 0)

@@ -39,6 +39,22 @@ class AnnPropertySpec extends SparkSpec {
   private def cos(a: Array[Float], q: Array[Float]): Double =
     dot(a, q) / (math.sqrt(dot(a, a)) * math.sqrt(dot(q, q)))
 
+  /** Mirror of the scaled-long cosine llm_ann_ivf ranks with (round 6:
+    * exact integer dots so the key can carry a DuckDB oracle). */
+  private def sdotl(a: Array[Float], b: Array[Float]): Long = {
+    var acc = 0L; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      acc += math.floor(a(i).toDouble * b(i).toDouble * 1e14 + 0.5).toLong
+      i += 1
+    }
+    acc
+  }
+
+  private def scaledCos(a: Array[Float], q: Array[Float]): Double =
+    (sdotl(a, q).toDouble / 1e14) /
+      (math.sqrt(sdotl(a, a).toDouble / 1e14) * math.sqrt(sdotl(q, q).toDouble / 1e14))
+
   private def s6(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
 
   private def loadVecs(dir: String): Seq[(Long, Int, Array[Float])] =
@@ -89,7 +105,7 @@ class AnnPropertySpec extends SparkSpec {
       (lab, acc)
     }.sortBy { case (lab, d2) => (d2, lab) }.take(2).map(_._1).toSet
     vecs.filter(v => v._1 != 0L && probes(v._2))
-      .map(v => (v._1, cos(v._3, q)))
+      .map(v => (v._1, scaledCos(v._3, q)))
       .sortBy { case (id, c) => (-c, id) }
       .take(3).map { case (id, c) => (id, s6(c)) }
   }
