@@ -93,7 +93,23 @@ object Det {
   // ---- oracle-SQL twins (string builders keep both sides textually in
   // ---- lock-step; every helper above has exactly one SQL form)
 
+  /** Portable 32-bit string hash shared bit-for-bit with DuckDB: the
+    * little-endian uint32 of the FIRST FOUR md5 digest bytes. Spark reads
+    * it from the hex text (byte-swapped 8-char conv); DuckDB masks its
+    * md5_number_upper (the LE uint64 of digest bytes 1-8). Exists so
+    * sketch operators (minhash/simhash/sign-LSH) can be graded against
+    * the oracle — crc32 has no DuckDB twin. */
+  def hash32(c: Column): Column = {
+    val m = md5(c)
+    conv(concat(substring(m, 7, 2), substring(m, 5, 2),
+      substring(m, 3, 2), substring(m, 1, 2)), 16, 10).cast("long")
+  }
+
   def sqlS6(x: String): String = s"CAST(FLOOR(($x) * 1e6 + 0.5) AS BIGINT)"
+
+  /** Oracle twin of [[hash32]]. */
+  def sqlHash32(x: String): String =
+    s"CAST(md5_number_upper($x) & 4294967295 AS BIGINT)"
   def sqlS4(x: String): String = s"CAST(FLOOR(($x) * 1e4 + 0.5) AS BIGINT)"
   def sqlS2(x: String): String = s"CAST(FLOOR(($x) * 100 + 0.5) AS BIGINT)"
   def sqlS0(x: String): String = s"CAST(FLOOR(($x) + 0.5) AS BIGINT)"

@@ -26,6 +26,16 @@ import Det._
   */
 object Llm {
 
+  /** Carter-Wegman constants for the minhash family: a_i*h + b_i mod P
+    * over the portable 32-bit base hash. a_i < 2^30 keeps a*h+b inside
+    * signed 64 bits for any h < 2^32; fixed seed so the Spark columns and
+    * the interpolated oracle literals are the same numbers forever. */
+  private val MinhashP = 4294967311L
+  private[operators] val MinhashAB: Seq[(Long, Long)] = {
+    val r = new scala.util.Random(20240612L)
+    Seq.fill(16)((1L + r.nextInt((1 << 30) - 1).toLong, r.nextInt(1 << 30).toLong))
+  }
+
   /** (doc_id, lang, 64-bit distinct-token-set mask) via a dense token
     * dictionary (zipWithIndex ids — partition-parallel, no single-partition
     * window sort; see [[TextOps.denseIds]]: the Jaccard output is invariant
@@ -111,24 +121,44 @@ object Llm {
       }),
 
     // MinHash-LSH candidate generation (4 bands x 4 hashes; Broder 1997,
-    // "On the resemblance and containment of documents"). The 16 per-seed
-    // hashes are computed INLINE on the exploded tokens (16 codegen'd
-    // crc32 columns — no token dictionary, no distinct, no join), reduced
-    // with 16 columnar partial MINs, and the 4 bands explode into rows of
-    // ONE self-join keyed (lang, band, sig) — bucketed, never all-pairs.
+    // "On the resemblance and containment of documents"). Round 6: the 16
+    // per-seed hashes are a Carter-Wegman family (a_i*h + b_i mod P,
+    // P prime > 2^32, constants fixed at build) over ONE portable base
+    // hash (Det.hash32 — md5-derived, bit-identical to DuckDB's masked
+    // md5_number_upper), so the whole candidate pipeline — mins, band
+    // signatures, bucket self-join — is ORACLE-GRADED, while staying
+    // cheaper than the 16 crc32 calls it replaces (one md5 + 16 integer
+    // ops per token row; a_i < 2^30 and h < 2^32 keep a*h+b inside the
+    // signed-64 range on both engines). Reduced with 16 columnar partial
+    // MINs; the 4 bands explode into rows of ONE self-join keyed
+    // (lang, band, sig) — bucketed, never all-pairs.
     // (History: token×seed explode cost 4.5 s at sf0.1; a broadcast-dict
     // join + 4 separate band self-joins cost 3.0 s; this shape is the
     // minimum-shuffle form: one partial-agg shuffle + one join + distinct.)
-    // Approximate-by-construction: no oracle (SURVEY §3.10 ✘); recall vs
-    // exact Jaccard is property-tested in SketchSpec.
-    Q("llm_minhash", None,
+    // Recall vs exact Jaccard stays property-tested in SketchSpec.
+    Q("llm_minhash", Some {
+      val hs = MinhashAB.zipWithIndex.map { case ((a, b), i) =>
+        s"MIN(($a * h + $b) % $MinhashP) AS h$i" }.mkString(", ")
+      val bandSelects = (0 until 4).map(bnd =>
+        s"SELECT doc_id, lang, $bnd AS band, CONCAT_WS(','," +
+          (bnd * 4 until bnd * 4 + 4).map(i => s" h$i").mkString(",") +
+          ") AS sig FROM sigs").mkString(" UNION ALL ")
+      "WITH toks AS (SELECT doc_id, lang, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS tok FROM documents), " +
+        "hb AS (SELECT doc_id, lang, " + sqlHash32("tok") + " AS h FROM toks), " +
+        s"sigs AS (SELECT doc_id, lang, $hs FROM hb GROUP BY doc_id, lang), " +
+        s"bands AS ($bandSelects) " +
+        "SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a " +
+        "JOIN bands b ON a.lang = b.lang AND a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id " +
+        "ORDER BY d1, d2"
+    },
       (s, d) => {
         val nSeeds = 16
         val toks = T.documents(s, d)
           .select(col("doc_id"), col("lang"),
             explode(array_distinct(split(col("text"), " "))).as("tok"))
-        val hashCols = (0 until nSeeds).map(i =>
-          crc32(concat(lit(i.toString), lit("|"), col("tok"))).as(s"c$i"))
+          .withColumn("hb", hash32(col("tok")))
+        val hashCols = MinhashAB.zipWithIndex.map { case ((a, b), i) =>
+          ((lit(a) * col("hb") + lit(b)) % lit(MinhashP)).as(s"c$i") }
         val minCols = (0 until nSeeds).map(i => min(col(s"c$i")).as(s"h$i"))
         val sigs = toks.select(Seq(col("doc_id"), col("lang")) ++ hashCols: _*)
           .groupBy("doc_id", "lang")

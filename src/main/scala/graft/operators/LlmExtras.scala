@@ -26,12 +26,23 @@ object LlmExtras {
   val all: Seq[Q] = Seq(
 
     // SimHash-32 (Charikar 2002, "Similarity estimation techniques from
-    // rounding algorithms"): crc32(token) per distinct token; each bit position
-    // accumulates +w/-w by token frequency, signs form the signature.
-    // A sketch (like llm_minhash) with no portable oracle: the two engines
-    // share no common string hash. Property-tested: near-dup pairs from
-    // llm_dedup_near have small Hamming distance, random pairs do not.
-    Q("llm_simhash", None,
+    // rounding algorithms"): hash32(token) per distinct token; each bit
+    // position accumulates +w/-w by token frequency, signs form the
+    // signature. Round 6: the hash is the PORTABLE md5-derived 32-bit
+    // value (Det.hash32 — bit-identical to the oracle's masked
+    // md5_number_upper), so the signature itself is oracle-graded;
+    // the Hamming-separation property test remains as the semantic check.
+    Q("llm_simhash", Some {
+      val accCols = (0 until 32).map(b =>
+        s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN w ELSE -w END) AS acc$b").mkString(", ")
+      val sigExpr = (0 until 32).map(b =>
+        s"(CASE WHEN acc$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      "WITH t AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents), " +
+        "th AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS w, " +
+        sqlHash32("tok") + " AS h FROM t GROUP BY doc_id, tok), " +
+        s"acc AS (SELECT doc_id, $accCols FROM th GROUP BY doc_id) " +
+        s"SELECT doc_id, CAST($sigExpr AS BIGINT) AS simhash FROM acc ORDER BY doc_id"
+    },
       (s, d) => {
         // 32 columnar ± accumulators in ONE per-doc aggregation (the
         // per-(doc,bit) row layout shuffled 32× the rows through an extra
@@ -40,7 +51,7 @@ object LlmExtras {
         val th = tokens(s, d)
           .groupBy(col("doc_id"), col("tok"))
           .agg(count(lit(1)).as("w"))
-          .withColumn("h", crc32(col("tok")))
+          .withColumn("h", hash32(col("tok")))
         val accCols = (0 until 32).map(b =>
           sum(when(expr(s"(h >> $b) & 1") === 1, col("w")).otherwise(-col("w")))
             .as(s"acc$b"))
@@ -185,11 +196,38 @@ object LlmExtras {
       }),
 
     // ANN via sign-LSH: 8 deterministic pseudo-hyperplanes (elementwise
-    // +-1 signs from crc32(plane:pos)), vectors bucketed by the 8-bit sign
-    // signature, top-3 cosine searched within the query's bucket only.
-    // Approximate by construction -> no oracle; recall vs the brute-force
-    // llm_cosine_topk is property-tested in LlmExtrasSpec.
-    Q("llm_ann_lsh", None,
+    // +-1 signs from the portable hash32(plane:pos) parity), vectors
+    // bucketed by the 8-bit sign signature, top-3 scaled-long cosine
+    // searched within the query's bucket only. Round 6: every stage —
+    // scaled-long projections, sign bucket, scaled-long cosine ranking —
+    // is exact integer math shared bit-for-bit with the oracle, so the
+    // probe-bounded search is hash-graded end-to-end (same determinism
+    // chain as llm_ann_ivf); recall vs the brute-force llm_cosine_topk
+    // stays property-tested.
+    Q("llm_ann_lsh", Some {
+      def sgnSql(p: Int) =
+        s"(CASE WHEN ${sqlHash32(s"CONCAT($p, ':', i - 1)")} % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+      val projCols = (0 until 8).map(p =>
+        s"SUM(CAST(FLOOR(x * ${sgnSql(p)} * 1e14 + 0.5) AS BIGINT)) AS p$p").mkString(", ")
+      val bucketExpr = (0 until 8).map(p =>
+        s"(CASE WHEN p$p > 0 THEN ${1L << p} ELSE 0 END)").mkString(" + ")
+      "WITH ux AS (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x, " +
+        "UNNEST(RANGE(1, LEN(embedding) + 1)) AS i FROM embeddings), " +
+        s"projs AS (SELECT vec_id, $projCols FROM ux GROUP BY vec_id), " +
+        s"bkt AS (SELECT vec_id, CAST($bucketExpr AS BIGINT) AS bucket FROM projs), " +
+        "q AS (SELECT i, x AS qx FROM ux WHERE vec_id = 0), " +
+        "qb AS (SELECT bucket AS qbucket FROM bkt WHERE vec_id = 0), " +
+        "nq AS (SELECT SUM(CAST(FLOOR(qx * qx * 1e14 + 0.5) AS BIGINT)) AS nl FROM q), " +
+        "cand AS (SELECT u.vec_id, SUM(CAST(FLOOR(u.x * q.qx * 1e14 + 0.5) AS BIGINT)) AS dotl, " +
+        "SUM(CAST(FLOOR(u.x * u.x * 1e14 + 0.5) AS BIGINT)) AS nl " +
+        "FROM ux u JOIN q ON u.i = q.i JOIN bkt ON u.vec_id = bkt.vec_id " +
+        "JOIN qb ON bkt.bucket = qb.qbucket WHERE u.vec_id <> 0 GROUP BY u.vec_id), " +
+        "cosd AS (SELECT c.vec_id, bkt.bucket, (CAST(dotl AS DOUBLE) / 1e14) / " +
+        "(SQRT(CAST(c.nl AS DOUBLE) / 1e14) * SQRT((SELECT CAST(nl AS DOUBLE) FROM nq) / 1e14)) AS cc " +
+        "FROM cand c JOIN bkt ON c.vec_id = bkt.vec_id) " +
+        "SELECT vec_id, bucket, " + sqlS6("cc") + " AS cos_sim FROM cosd " +
+        "ORDER BY cc DESC, vec_id LIMIT 3"
+    },
       (s, d) => {
         val ux = T.embeddings(s, d)
           .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
@@ -199,7 +237,7 @@ object LlmExtras {
         // shuffled 8x the rows through an extra stage. The deterministic
         // pseudo-hyperplane sign for (plane, pos) is computed inline.
         def sgn(plane: Int) =
-          when(pmod(crc32(concat_ws(":", lit(plane), col("pos"))), lit(2)) === 0, 1d)
+          when(pmod(hash32(concat_ws(":", lit(plane), col("pos"))), lit(2)) === 0, 1d)
             .otherwise(-1d)
         val projCols = (0 until 8).map(p =>
           sum(floor(col("x") * sgn(p) * lit(1e14) + lit(0.5))).as(s"proj$p"))
@@ -209,17 +247,16 @@ object LlmExtras {
           .agg(projCols.head, projCols.tail: _*)
           .select(col("vec_id"), bucket.as("bucket"))
         graft.functions.VectorExprs.register(s)
-        import graft.functions.VectorExprs.dot
+        import graft.functions.VectorExprs.sdotl
         val e = T.embeddings(s, d).join(sigs, "vec_id")
         val q = e.where(col("vec_id") === 0)
           .select(col("bucket").as("qbucket"), col("embedding").as("qe"))
-        val (dotc, na, nb) = (
-          dot(col("embedding"), col("qe")),
-          dot(col("embedding"), col("embedding")),
-          dot(col("qe"), col("qe")))
+        val cos = (sdotl(col("embedding"), col("qe")).cast("double") / lit(1e14)) /
+          (sqrt(sdotl(col("embedding"), col("embedding")).cast("double") / lit(1e14)) *
+            sqrt(sdotl(col("qe"), col("qe")).cast("double") / lit(1e14)))
         e.where(col("vec_id") =!= 0)
           .join(broadcast(q), col("bucket") === col("qbucket"))
-          .withColumn("cos_raw", dotc / (sqrt(na) * sqrt(nb)))
+          .withColumn("cos_raw", cos)
           .orderBy(col("cos_raw").desc, col("vec_id"))
           .limit(3)
           .select(col("vec_id"), col("bucket"), s6(col("cos_raw")).as("cos_sim"))

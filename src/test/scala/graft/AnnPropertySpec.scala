@@ -11,18 +11,21 @@ import org.apache.spark.sql.Row
   * graded corpus AND generated clustered corpora. */
 class AnnPropertySpec extends SparkSpec {
 
-  private def crcEven(s: String): Boolean = {
-    val c = new java.util.zip.CRC32(); c.update(s.getBytes("UTF-8"))
-    c.getValue % 2 == 0
+  /** Mirror of Det.hash32: little-endian uint32 of the first four md5
+    * digest bytes (round 6 — the portable hash that replaced crc32 so the
+    * sketch keys could carry DuckDB oracles). */
+  private def hash32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    (d(0) & 0xffL) | ((d(1) & 0xffL) << 8) | ((d(2) & 0xffL) << 16) | ((d(3) & 0xffL) << 24)
   }
 
   /** Mirror of llm_ann_lsh's sign-LSH bucket: 8 scaled-long projections
-    * against deterministic crc32 pseudo-hyperplanes, sign bits packed. */
+    * against deterministic hash32 pseudo-hyperplanes, sign bits packed. */
   private def bucketOf(v: Array[Float]): Long =
     (0 until 8).map { p =>
       var acc = 0L; var i = 0
       while (i < v.length) {
-        val sgn = if (crcEven(s"$p:$i")) 1.0 else -1.0
+        val sgn = if (hash32(s"$p:$i") % 2 == 0) 1.0 else -1.0
         acc += math.floor(v(i).toDouble * sgn * 1e14 + 0.5).toLong
         i += 1
       }
@@ -81,7 +84,7 @@ class AnnPropertySpec extends SparkSpec {
     val q = vecs.find(_._1 == 0L).get._3
     val qb = bucketOf(q)
     vecs.filter(v => v._1 != 0L && bucketOf(v._3) == qb)
-      .map(v => (v._1, cos(v._3, q)))
+      .map(v => (v._1, scaledCos(v._3, q)))
       .sortBy { case (id, c) => (-c, id) }
       .take(3).map { case (id, c) => (id, s6(c)) }
   }
