@@ -614,20 +614,90 @@ object EO {
           .orderBy("event_id")
       }),
 
-    // Geomedian composite per label (Roberts et al. 2017) — iterative
-    // Weiszfeld, not SQL-expressible; property-tested in GeomedianSpec.
-    Q("eo_geomedian", None,
+    // Geomedian composite per label (Roberts et al. 2017), as a
+    // GRID-QUANTIZED Weiszfeld iteration — round 6 made the last
+    // property-only key oracle-graded by redefining the iteration to be
+    // engine-exact: every per-point contribution quantizes to the 1e-10
+    // grid BEFORE summation (FLOOR(·*1e10+0.5) longs — exact and
+    // order-free, the Det discipline applied inside an iterative solver),
+    // so each round's distances, weights, and the updated iterate are
+    // bit-identical in any engine and any merge order. 10 fixed rounds
+    // from the mean6 centroid; d2l >= 1 bounds w <= 1e5 so every scaled
+    // product stays far inside signed 64 bits (|x| < 1 here); d2l = 0
+    // (point within half-grid of the iterate) contributes weight 0 — the
+    // classic epsilon guard on the grid. The float-precision classic
+    // stays in functions.Geomedian/GeomedianAgg (unit-tested;
+    // GeomedianSpec pins this key to it within 1e-3), and
+    // GeomedianDistributed carries the same K-round pattern to
+    // archive-scale group counts.
+    Q("eo_geomedian", Some {
+      val K = 10
+      val iters = (1 to K).map { t =>
+        val prev = s"m${t - 1}"
+        s"d$t AS (SELECT u.label, u.vec_id, " +
+          "SUM(CAST(FLOOR((u.x - m.v) * (u.x - m.v) * 1e10 + 0.5) AS BIGINT)) AS d2l " +
+          s"FROM ux u JOIN $prev m ON u.label = m.label AND u.pos = m.pos GROUP BY u.label, u.vec_id), " +
+          s"w$t AS MATERIALIZED (SELECT label, vec_id, CASE WHEN d2l = 0 THEN 0.0 " +
+          s"ELSE 1.0 / SQRT(CAST(d2l AS DOUBLE) / 1e10) END AS w FROM d$t), " +
+          s"den$t AS (SELECT label, SUM(CAST(FLOOR(w * 1e10 + 0.5) AS BIGINT)) AS denl " +
+          s"FROM w$t GROUP BY label), " +
+          s"m$t AS MATERIALIZED (SELECT nm.label, nm.pos, CAST(nm.numl AS DOUBLE) / CAST(dd.denl AS DOUBLE) AS v FROM " +
+          s"(SELECT u.label, u.pos, SUM(CAST(FLOOR(u.x * w.w * 1e10 + 0.5) AS BIGINT)) AS numl " +
+          s"FROM ux u JOIN w$t w ON u.label = w.label AND u.vec_id = w.vec_id GROUP BY u.label, u.pos) nm " +
+          s"JOIN den$t dd ON nm.label = dd.label)"
+      }.mkString(", ")
+      // ux and each w_t have multiple consumers: MATERIALIZED stops
+      // DuckDB's default CTE inlining from copying the subtree per
+      // consumer (which doubles the plan every iteration — the same
+      // exponential blowup localCheckpoint prevents on the Spark side)
+      "WITH ux AS MATERIALIZED (SELECT vec_id, label, CAST(UNNEST(embedding) AS DOUBLE) AS x, " +
+        "UNNEST(RANGE(0, LEN(embedding))) AS pos FROM embeddings), " +
+        "m0 AS MATERIALIZED (SELECT label, pos, CAST(" + sqlMean6("x") + " AS DOUBLE) / 1e6 AS v " +
+        "FROM ux GROUP BY label, pos), " +
+        iters + ", " +
+        "cnt AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM embeddings GROUP BY label) " +
+        "SELECT c.label, c.n, " +
+        (1 to 4).map(g => sqlS6(s"MAX(CASE WHEN m.pos = ${g - 1} THEN m.v END)") + s" AS g$g")
+          .mkString(", ") +
+        s" FROM cnt c JOIN m$K m ON c.label = m.label GROUP BY c.label, c.n ORDER BY c.label"
+    },
       (s, d) => {
-        val gm = udaf(new graft.functions.GeomedianAgg())
-        T.embeddings(s, d)
-          .groupBy("label")
-          .agg(count(lit(1)).as("n"), gm(col("embedding")).as("gmed"))
-          .select(
-            col("label"), col("n"),
-            s6(element_at(col("gmed"), 1)).as("g1"),
-            s6(element_at(col("gmed"), 2)).as("g2"),
-            s6(element_at(col("gmed"), 3)).as("g3"),
-            s6(element_at(col("gmed"), 4)).as("g4"))
+        val K = 10
+        val ux = T.embeddings(s, d)
+          .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+          .withColumn("x", col("xf").cast("double"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        var med = ux.groupBy("label", "pos")
+          .agg((mean6(col("x")).cast("double") / lit(1e6)).as("v"))
+        for (_ <- 1 to K) {
+          // localCheckpoint truncates the iterate's lineage each round —
+          // den and the numerator both consume dists, so an unbroken
+          // chain doubles the plan per iteration (2^K nodes; measured:
+          // planner heap exhaustion at K = 10). Eager, tiny (per-vector
+          // weights: one row per point), the MLlib iterative idiom.
+          val dists = ux.join(broadcast(med), Seq("label", "pos"))
+            .groupBy("label", "vec_id")
+            .agg(sum(floor((col("x") - col("v")) * (col("x") - col("v")) * lit(1e10) + lit(0.5))).as("d2l"))
+            .withColumn("w", when(col("d2l") === 0, 0.0)
+              .otherwise(lit(1.0) / sqrt(col("d2l").cast("double") / lit(1e10))))
+            .localCheckpoint()
+          val den = dists.groupBy("label")
+            .agg(sum(floor(col("w") * lit(1e10) + lit(0.5))).as("denl"))
+          med = ux.join(broadcast(dists.select("label", "vec_id", "w")), Seq("label", "vec_id"))
+            .groupBy("label", "pos")
+            .agg(sum(floor(col("x") * col("w") * lit(1e10) + lit(0.5))).as("numl"))
+            .join(broadcast(den), "label")
+            .select(col("label"), col("pos"),
+              (col("numl").cast("double") / col("denl").cast("double")).as("v"))
+        }
+        val cnt = T.embeddings(s, d).groupBy("label").agg(count(lit(1)).as("n"))
+        cnt.join(med.where(col("pos") < 4), "label")
+          .groupBy("label", "n")
+          .agg(
+            s6(max(when(col("pos") === 0, col("v")))).as("g1"),
+            s6(max(when(col("pos") === 1, col("v")))).as("g2"),
+            s6(max(when(col("pos") === 2, col("v")))).as("g3"),
+            s6(max(when(col("pos") === 3, col("v")))).as("g4"))
           .orderBy("label")
       }))
 }

@@ -57,4 +57,24 @@ class GeomedianSpec extends SparkSpec {
     assert(rows.length == 10) // labels 0..9
     assert(rows.map(_.getInt(0)).toSeq == (0 until 10))
   }
+
+  test("the grid-quantized relational iteration tracks the classic Weiszfeld") {
+    // round 6 made the graded key a 1e-10-grid-quantized 10-round
+    // Weiszfeld (engine-exact => oracle-graded); it must stay within
+    // iteration-convergence distance of the float-precision classic on
+    // every label's first four dimensions
+    val got = SparkEntry.queries("eo_geomedian")(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> Seq(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val byLabel = Tables.embeddings(spark, sfDir).collect()
+      .map(r => (r.getInt(2), r.getSeq[Float](1).toArray.map(_.toDouble)))
+      .groupBy(_._1)
+    byLabel.foreach { case (label, vs) =>
+      val classic = graft.functions.Geomedian.weiszfeld(vs.map(_._2).toSeq)
+      val quantized = got(label).map(_ / 1e6)
+      (0 until 4).foreach { i =>
+        assert(math.abs(quantized(i) - classic(i)) < 1e-3,
+          s"label=$label dim=$i quantized=${quantized(i)} classic=${classic(i)}")
+      }
+    }
+  }
 }
