@@ -81,6 +81,13 @@ object EO {
     }.reduce(_ unionByName _)
   }
 
+  /** Rounds of the grid-quantized Weiszfeld iteration (eo_geomedian) —
+    * ONE constant consumed by both the Spark plan and the generated
+    * oracle CTE chain so the two sides can never drift. Six rounds from
+    * the centroid land within ~1e-4 of the converged classic on this
+    * corpus family (GeomedianSpec pins 1e-3). */
+  private val GeomedianRounds = 6
+
   /** Inverse of [[eventTiles]]'s packing for oracle comparison: one row
     * per (tile, pos, value) across whatever time/band rows the composite
     * left. */
@@ -631,20 +638,22 @@ object EO {
     // GeomedianDistributed carries the same K-round pattern to
     // archive-scale group counts.
     Q("eo_geomedian", Some {
-      val K = 10
+      val K = GeomedianRounds
       val iters = (1 to K).map { t =>
         val prev = s"m${t - 1}"
+        // single-consumer chain: the denominator folds into the SAME
+        // (label, pos) aggregation (each vector contributes exactly once
+        // per pos), so no CTE is referenced twice and the plan grows
+        // LINEARLY with rounds on both engines
         s"d$t AS (SELECT u.label, u.vec_id, " +
           "SUM(CAST(FLOOR((u.x - m.v) * (u.x - m.v) * 1e10 + 0.5) AS BIGINT)) AS d2l " +
           s"FROM ux u JOIN $prev m ON u.label = m.label AND u.pos = m.pos GROUP BY u.label, u.vec_id), " +
-          s"w$t AS MATERIALIZED (SELECT label, vec_id, CASE WHEN d2l = 0 THEN 0.0 " +
+          s"w$t AS (SELECT label, vec_id, CASE WHEN d2l = 0 THEN 0.0 " +
           s"ELSE 1.0 / SQRT(CAST(d2l AS DOUBLE) / 1e10) END AS w FROM d$t), " +
-          s"den$t AS (SELECT label, SUM(CAST(FLOOR(w * 1e10 + 0.5) AS BIGINT)) AS denl " +
-          s"FROM w$t GROUP BY label), " +
-          s"m$t AS MATERIALIZED (SELECT nm.label, nm.pos, CAST(nm.numl AS DOUBLE) / CAST(dd.denl AS DOUBLE) AS v FROM " +
-          s"(SELECT u.label, u.pos, SUM(CAST(FLOOR(u.x * w.w * 1e10 + 0.5) AS BIGINT)) AS numl " +
-          s"FROM ux u JOIN w$t w ON u.label = w.label AND u.vec_id = w.vec_id GROUP BY u.label, u.pos) nm " +
-          s"JOIN den$t dd ON nm.label = dd.label)"
+          s"m$t AS MATERIALIZED (SELECT label, pos, CAST(numl AS DOUBLE) / CAST(denl AS DOUBLE) AS v FROM " +
+          s"(SELECT u.label, u.pos, SUM(CAST(FLOOR(u.x * w.w * 1e10 + 0.5) AS BIGINT)) AS numl, " +
+          s"SUM(CAST(FLOOR(w.w * 1e10 + 0.5) AS BIGINT)) AS denl " +
+          s"FROM ux u JOIN w$t w ON u.label = w.label AND u.vec_id = w.vec_id GROUP BY u.label, u.pos) nm)"
       }.mkString(", ")
       // ux and each w_t have multiple consumers: MATERIALIZED stops
       // DuckDB's default CTE inlining from copying the subtree per
@@ -662,7 +671,7 @@ object EO {
         s" FROM cnt c JOIN m$K m ON c.label = m.label GROUP BY c.label, c.n ORDER BY c.label"
     },
       (s, d) => {
-        val K = 10
+        val K = GeomedianRounds
         val ux = T.embeddings(s, d)
           .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "xf")))
           .withColumn("x", col("xf").cast("double"))
@@ -670,23 +679,27 @@ object EO {
         var med = ux.groupBy("label", "pos")
           .agg((mean6(col("x")).cast("double") / lit(1e6)).as("v"))
         for (_ <- 1 to K) {
-          // localCheckpoint truncates the iterate's lineage each round —
-          // den and the numerator both consume dists, so an unbroken
-          // chain doubles the plan per iteration (2^K nodes; measured:
-          // planner heap exhaustion at K = 10). Eager, tiny (per-vector
-          // weights: one row per point), the MLlib iterative idiom.
+          // single-consumer chain: the per-label denominator folds into
+          // the SAME (label, pos) aggregation (each vector contributes
+          // exactly once per pos, so the per-pos weight sum IS the
+          // per-label sum) — no relation is referenced twice, the plan
+          // grows linearly with rounds, and no lineage checkpoint is
+          // needed (a dists consumed by den AND numerator doubled the
+          // plan per round: measured planner heap exhaustion at K = 10)
+          // localCheckpoint flattens the iterate's lineage each round:
+          // the all-lazy 10-round chain re-plans 20 nested broadcast
+          // stages (measured 2x slower than 10 eager tiny jobs)
           val dists = ux.join(broadcast(med), Seq("label", "pos"))
             .groupBy("label", "vec_id")
             .agg(sum(floor((col("x") - col("v")) * (col("x") - col("v")) * lit(1e10) + lit(0.5))).as("d2l"))
             .withColumn("w", when(col("d2l") === 0, 0.0)
               .otherwise(lit(1.0) / sqrt(col("d2l").cast("double") / lit(1e10))))
             .localCheckpoint()
-          val den = dists.groupBy("label")
-            .agg(sum(floor(col("w") * lit(1e10) + lit(0.5))).as("denl"))
           med = ux.join(broadcast(dists.select("label", "vec_id", "w")), Seq("label", "vec_id"))
             .groupBy("label", "pos")
-            .agg(sum(floor(col("x") * col("w") * lit(1e10) + lit(0.5))).as("numl"))
-            .join(broadcast(den), "label")
+            .agg(
+              sum(floor(col("x") * col("w") * lit(1e10) + lit(0.5))).as("numl"),
+              sum(floor(col("w") * lit(1e10) + lit(0.5))).as("denl"))
             .select(col("label"), col("pos"),
               (col("numl").cast("double") / col("denl").cast("double")).as("v"))
         }
