@@ -328,7 +328,8 @@ object Aggregates {
     Q("agg_approx_pct", Some(
       "WITH stats AS (SELECT l_returnflag, MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx, " +
         "CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY l_returnflag), " +
-        "binned AS (SELECT l.l_returnflag, LEAST(CAST(FLOOR((l.l_extendedprice - s.mn) / (s.mx - s.mn) * 4096.0) AS BIGINT), 4095) AS bin " +
+        "binned AS (SELECT l.l_returnflag, CASE WHEN s.mx = s.mn THEN 0 ELSE " +
+        "LEAST(CAST(FLOOR((l.l_extendedprice - s.mn) / (s.mx - s.mn) * 4096.0) AS BIGINT), 4095) END AS bin " +
         "FROM lineitem l JOIN stats s ON l.l_returnflag = s.l_returnflag), " +
         "hist AS (SELECT l_returnflag, bin, CAST(COUNT(*) AS BIGINT) AS c FROM binned GROUP BY l_returnflag, bin), " +
         "cum AS (SELECT h.l_returnflag, h.bin, SUM(h.c) OVER (PARTITION BY h.l_returnflag ORDER BY h.bin " +
@@ -343,9 +344,14 @@ object Aggregates {
         val price = col("l_extendedprice")
         val stats = T.lineitem(s, d).groupBy("l_returnflag")
           .agg(min(price).as("mn"), max(price).as("mx"), count(lit(1)).as("n"))
+        // mx == mn (a constant group) would make the bin 0/0 -> NaN ->
+        // a loud ANSI cast error; a constant group's quantile is mn and
+        // bin 0 yields exactly that
         val binned = T.lineitem(s, d).join(broadcast(stats), "l_returnflag")
           .select(col("l_returnflag"),
-            least(floor((price - col("mn")) / (col("mx") - col("mn")) * 4096.0), lit(4095L)).as("bin"))
+            when(col("mx") === col("mn"), 0L).otherwise(
+              least(floor((price - col("mn")) / (col("mx") - col("mn")) * 4096.0), lit(4095L)))
+              .as("bin"))
         val w = Window.partitionBy("l_returnflag").orderBy("bin")
           .rowsBetween(Window.unboundedPreceding, 0)
         val edge = col("mn") + col("bin") * (col("mx") - col("mn")) / 4096.0

@@ -648,7 +648,7 @@ object EO {
         s"d$t AS (SELECT u.label, u.vec_id, " +
           "SUM(CAST(FLOOR((u.x - m.v) * (u.x - m.v) * 1e10 + 0.5) AS BIGINT)) AS d2l " +
           s"FROM ux u JOIN $prev m ON u.label = m.label AND u.pos = m.pos GROUP BY u.label, u.vec_id), " +
-          s"w$t AS (SELECT label, vec_id, CASE WHEN d2l = 0 THEN 0.0 " +
+          s"w$t AS (SELECT label, vec_id, CASE WHEN d2l = 0 THEN 100000.0 " +
           s"ELSE 1.0 / SQRT(CAST(d2l AS DOUBLE) / 1e10) END AS w FROM d$t), " +
           s"m$t AS MATERIALIZED (SELECT label, pos, CAST(numl AS DOUBLE) / CAST(denl AS DOUBLE) AS v FROM " +
           s"(SELECT u.label, u.pos, SUM(CAST(FLOOR(u.x * w.w * 1e10 + 0.5) AS BIGINT)) AS numl, " +
@@ -692,7 +692,13 @@ object EO {
           val dists = ux.join(broadcast(med), Seq("label", "pos"))
             .groupBy("label", "vec_id")
             .agg(sum(floor((col("x") - col("v")) * (col("x") - col("v")) * lit(1e10) + lit(0.5))).as("d2l"))
-            .withColumn("w", when(col("d2l") === 0, 0.0)
+            // a coincident point takes the grid's MAXIMUM weight 1e5
+            // (= 1/sqrt of the floored minimum distance) instead of
+            // dropping out — the Vardi-Zhang-style cap keeps the
+            // denominator positive even if EVERY point coincides with
+            // the iterate (an all-identical group would otherwise hit
+            // 0/0), and the iterate correctly stays at the common point
+            .withColumn("w", when(col("d2l") === 0, lit(100000.0))
               .otherwise(lit(1.0) / sqrt(col("d2l").cast("double") / lit(1e10))))
             .localCheckpoint()
           med = ux.join(broadcast(dists.select("label", "vec_id", "w")), Seq("label", "vec_id"))
