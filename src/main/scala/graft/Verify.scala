@@ -26,6 +26,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Several plans persist() multi-consumer subtrees and nothing
+      // unpersists; without this the session accumulates dead blocks
+      // across all keys (same failure mode Bench fixed in r6).
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -30,11 +30,11 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("resize emits fixed-geometry thumbnails with rewritten flat metadata") {
-    val df = SparkEntry.queries("mm_resize")(spark, sfDir)
+    val df = Multimodal.resized(spark, sfDir)
     // metadata is flat scalars (no nested struct): any generic consumer can
     // sort/hash every column
     assert(df.schema.fields.forall(_.dataType.typeName != "struct"))
-    val rows = df.collect()
+    val rows = df.orderBy("doc_id").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val payload = r.getAs[Array[Byte]]("payload")
@@ -48,15 +48,25 @@ class MultimodalSpec extends SparkSpec {
       .where(org.apache.spark.sql.functions.col("doc_id") === rows.head.getLong(0))
       .head().getAs[Array[Byte]]("payload")
     assert(rows.head.getAs[Array[Byte]]("payload")(0) == src(0))
+    // graded projection = md5 hex of exactly these bytes
+    val graded = SparkEntry.queries("mm_resize")(spark, sfDir).collect()
+    assert(graded.length == rows.length)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = rows.head.getAs[Array[Byte]]("payload")
+    val hex = md.digest(expect).map("%02x".format(_)).mkString
+    assert(graded.head.getAs[String]("payload_md5") == hex)
   }
 
   test("frame sampling slices every k-th fixed-size byte window, codegen only") {
-    val df = SparkEntry.queries("mm_frame_sample")(spark, sfDir)
+    val df = Multimodal.frameSamples(spark, sfDir)
     // no UDF/mapPartitions in this one: offset math must stay declarative
-    val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("MapPartitions") && !plan.contains("BatchEvalPython"),
-      s"frame sampling left codegen:\n$plan")
-    val rows = df.collect()
+    // (check the GRADED plan too — the md5 projection must not break it)
+    Seq(df, SparkEntry.queries("mm_frame_sample")(spark, sfDir)).foreach { q =>
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("MapPartitions") && !plan.contains("BatchEvalPython"),
+        s"frame sampling left codegen:\n$plan")
+    }
+    val rows = df.orderBy("doc_id", "frame_idx").collect()
     assert(rows.nonEmpty)
     val byDoc = rows.groupBy(_.getLong(0))
     byDoc.foreach { case (_, frames) =>
@@ -75,6 +85,14 @@ class MultimodalSpec extends SparkSpec {
       .head().getAs[Array[Byte]]("payload")
     val f1 = rows.filter(r => r.getLong(0) == d0 && r.getInt(1) == 1).head
     assert(f1.getAs[Array[Byte]]("frame").sameElements(src.slice(256, 256 + 64)))
+    // graded projection = md5 hex of exactly these frame bytes
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(f1.getAs[Array[Byte]]("frame")).map("%02x".format(_)).mkString
+    val g1 = SparkEntry.queries("mm_frame_sample")(spark, sfDir)
+      .where(org.apache.spark.sql.functions.col("doc_id") === d0)
+      .where(org.apache.spark.sql.functions.col("frame_idx") === 1)
+      .head()
+    assert(g1.getAs[String]("frame_md5") == hex)
   }
 
   test("fn_map builds per-doc token count maps") {
