@@ -27,5 +27,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (box has 128 GiB): at 8g the 140-key bench session's
+  // accumulated broadcasts + cached blocks left the heaviest key
+  // (llm_dedup_pipeline) exposed to mid-run full-GC pauses — the r6
+  // driver's 28.7 s outlier vs 3.9 s local is consistent with that, and
+  // the key itself measured contention-insensitive (BASELINE.md r7 note).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -558,9 +558,13 @@ object LlmExtras {
           col("doc_id").as(idAs), col("lang"),
           explode(slice(col("toks"), lit(1),
             (floor(col("n") / 2) + 1).cast("int"))).as("tok"))
-        val rdocs = cdocs.join(broadcast(pivots.select("lang", "pdoc")), Seq("lang"))
+        // same broadcast(pivots) subtree as losersA — identical exchange,
+        // so the physical plan reuses one broadcast materialization
+        // instead of building a second (pivots.select(...) would not)
+        val rdocs = cdocs.join(broadcast(pivots), Seq("lang"))
           .where(col("doc_id") =!= col("pdoc"))
           .join(losersA, Seq("doc_id"), "left_anti")
+          .select("doc_id", "lang", "toks", "n")
         val cand = prefixed(cdocs, "d1")
           .join(prefixed(rdocs, "d2"), Seq("lang", "tok"))
           .where(col("d1") < col("d2"))
