@@ -22,7 +22,7 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").count()
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // local-iteration filter only (unset on the driver): comma-separated
-    // key names to time a subset without the full 126-key run
+    // key names to time a subset without the full registry run
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
     val runStart = System.nanoTime()

@@ -63,7 +63,15 @@ object EO {
     * small-integer-valued so every float op is exact and matches the
     * DuckDB double oracle bit-for-bit. The collect per (band, time, tile)
     * is bounded by the FIXED 256-pixel tile size at any corpus scale —
-    * tile COUNT grows, tile size doesn't (the real raster layout). */
+    * tile COUNT grows, tile size doesn't (the real raster layout).
+    *
+    * A "complete 4-deep stack" at every (tile, pos) additionally needs
+    * the events row count ≡ 0 (mod 4) with contiguous event_id (true of
+    * every driver corpus). The downstream composites no longer DEPEND on
+    * it: RasterGrid.temporalMedianComposite sizes its pixel loop from the
+    * longest stack entry and skips missing pixels (ADVICE r6), so a
+    * ragged tail degrades to a shallower per-pixel median, not an
+    * out-of-bounds or nondeterministic read. */
   private def eventTiles(s: SparkSession, d: String,
       bands: Seq[(String, Column)]): DataFrame = {
     val base = T.events(s, d)
@@ -628,7 +636,8 @@ object EO {
     // grid BEFORE summation (FLOOR(·*1e10+0.5) longs — exact and
     // order-free, the Det discipline applied inside an iterative solver),
     // so each round's distances, weights, and the updated iterate are
-    // bit-identical in any engine and any merge order. 10 fixed rounds
+    // bit-identical in any engine and any merge order. GeomedianRounds
+    // (= 6) fixed rounds
     // from the mean6 centroid; d2l >= 1 bounds w <= 1e5 so every scaled
     // product stays far inside signed 64 bits (|x| < 1 here); d2l = 0
     // (point within half-grid of the iterate) contributes weight 0 — the
@@ -687,8 +696,8 @@ object EO {
           // needed (a dists consumed by den AND numerator doubled the
           // plan per round: measured planner heap exhaustion at K = 10)
           // localCheckpoint flattens the iterate's lineage each round:
-          // the all-lazy 10-round chain re-plans 20 nested broadcast
-          // stages (measured 2x slower than 10 eager tiny jobs)
+          // an all-lazy K-round chain re-plans 2K nested broadcast
+          // stages (measured at K=10: 2x slower than eager tiny jobs)
           val dists = ux.join(broadcast(med), Seq("label", "pos"))
             .groupBy("label", "vec_id")
             .agg(sum(floor((col("x") - col("v")) * (col("x") - col("v")) * lit(1e10) + lit(0.5))).as("d2l"))

@@ -110,6 +110,12 @@ object Llm {
         "ORDER BY d1, d2"),
       (s, d) => {
         val m = docMasks(s, d)
+        // enforced scale caveat: this key is quadratic per lang block BY
+        // DESIGN (the oracle-graded semantics anchor); above the pair
+        // budget it refuses to run and points at the bucketed paths
+        TextOps.guardPairBudget(m, Seq("lang"), "llm_dedup_near",
+          "use llm_minhash (banded candidates) or llm_dedup_pipeline " +
+            "phase B (prefix-filtered) at corpus scale")
         val a = m.select(col("doc_id").as("d1"), col("lang").as("lang_a"), col("mask").as("mask_a"))
         val b = m.select(col("doc_id").as("d2"), col("lang").as("lang_b"), col("mask").as("mask_b"))
         val inter = bit_count(col("mask_a").bitwiseAND(col("mask_b"))).cast("double")

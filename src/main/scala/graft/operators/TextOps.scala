@@ -38,4 +38,37 @@ object TextOps {
     }
     spark.createDataFrame(rdd, schema)
   }
+
+  /** Session conf key for [[guardPairBudget]]'s ceiling (worst-case
+    * within-block pair count an exact pair self-join may attempt). */
+  val MaxPairsConf = "spark.graft.exactPairs.max"
+  val MaxPairsDefault = 50000000L // 5e7 pairs ~ seconds of verify work
+
+  /** Fail FAST (at plan-build time, one tiny agg job) when an exact
+    * within-block pair self-join would explode: the semantics-defining
+    * keys (llm_dedup_near, llm_ngram_jaccard) are deliberately quadratic
+    * per block — correct at any scale, affordable only below a budget.
+    * Their scaladocs point at the scale paths (llm_minhash banding,
+    * llm_dedup_pipeline's prefix filter); this guard makes the pointer
+    * ENFORCED rather than advisory: a naive 100 TB run dies in one
+    * second with the escape hatch in the message, not in a week-long
+    * shuffle. Estimate = sum over blocks of c*(c-1)/2 as doubles (an
+    * estimate needs no exact arithmetic at the 2^63 edge).
+    *
+    * `blocked` must be one row per joined element, `blockCols` the join's
+    * equality block (e.g. lang). Raise the ceiling per session via
+    * [[MaxPairsConf]] when a bounded corpus genuinely needs more. */
+  def guardPairBudget(blocked: DataFrame, blockCols: Seq[String],
+      key: String, scaleHint: String): Unit = {
+    val spark = blocked.sparkSession
+    val maxPairs = spark.conf.getOption(MaxPairsConf)
+      .map(_.toLong).getOrElse(MaxPairsDefault)
+    val est = blocked.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).cast("double").as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - 1) / 2), lit(0.0)))
+      .head().getDouble(0)
+    require(est <= maxPairs.toDouble,
+      f"$key: ~$est%.0f within-block pairs exceed $MaxPairsConf=$maxPairs — " +
+        s"this exact pair join is the semantics anchor, not the scale path; $scaleHint")
+  }
 }

@@ -50,15 +50,48 @@ object Windows {
           .orderBy("o_custkey", "rk", "o_orderkey")
       }),
 
+    // Global quartiles WITHOUT the single-partition global window sort
+    // (`ntile(4).over(Window.orderBy(...))` moves the whole table to one
+    // task — the r6 "No Partition Defined for Window" scale flag). The
+    // scale-safe form: range-repartition on the sort key (each partition
+    // holds a contiguous key range), compute per-partition row counts
+    // (32-row collect), broadcast the cumulative offsets back, global
+    // row number = offset + per-partition local row_number, and NTILE
+    // becomes closed-form arithmetic over (rn, N) — the same larger-
+    // buckets-first distribution the SQL NTILE defines. Every stage is
+    // distributed; the only driver data is one row per partition.
     Q("win_ntile", Some(
       "SELECT c_custkey, CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS quartile " +
         "FROM customer ORDER BY c_custkey"),
-      (s, d) =>
-        T.customer(s, d)
-          .withColumn("quartile",
-            ntile(4).over(Window.orderBy(col("c_acctbal"), col("c_custkey"))))
+      (s, d) => {
+        val sortCols = Seq(col("c_acctbal"), col("c_custkey"))
+        val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+        val ranged = T.customer(s, d)
+          .repartitionByRange(parts, sortCols: _*)
+          .withColumn("_pid", spark_partition_id())
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // one row per partition: (pid, rows) -> cumulative start offsets
+        val counts = ranged.groupBy("_pid").count().collect()
+          .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+        val n = counts.map(_._2).sum
+        val offs = counts.map(_._1).zip(
+          counts.scanLeft(0L)(_ + _._2).dropRight(1))
+        val offsDf = s.createDataFrame(offs.toSeq).toDF("_pid", "_off")
+        // rn = global rank; tile sizes: ceil(n/4) for the first n%4
+        // tiles, floor(n/4) after (the SQL NTILE contract)
+        val q = n / 4
+        val r = n % 4
+        val cut = r * (q + 1)
+        val rn = col("_off") +
+          row_number().over(Window.partitionBy("_pid").orderBy(sortCols: _*))
+        val quartile =
+          when(rn <= cut, (rn - 1) / (q + 1) + 1)
+            .otherwise(lit(r) + (rn - cut - 1) / math.max(q, 1L) + 1)
+        ranged.join(broadcast(offsDf), "_pid")
+          .withColumn("quartile", quartile.cast("int"))
           .select("c_custkey", "quartile")
-          .orderBy("c_custkey")),
+          .orderBy("c_custkey")
+      }),
 
     Q("win_lag_lead", Some(
       "SELECT o_custkey, o_orderkey, " +

@@ -76,19 +76,31 @@ object RasterGrid {
     * median-composite product): collect the bounded time stack per
     * (product, band, tile), then for each pixel index sort the stack and
     * take the middle — all inside one higher-order expression, no pixel
-    * explode, no UDF. Assumes no NaNs (mask first; see maskWhere). */
+    * explode, no UDF. Assumes no NaNs (mask first; see maskWhere).
+    *
+    * Robust to RAGGED stacks (ADVICE r6): the pixel loop is sized by the
+    * LONGEST stack entry (collect_list order is nondeterministic, so
+    * element_at(stack, 1) could be any entry), and each pixel's median is
+    * taken over the entries that actually have that pixel — shorter
+    * arrays are skipped via a guarded element_at (no out-of-bounds under
+    * ANSI). On equal-length stacks (every shipped corpus: the
+    * events-derived tiles are fixed 256-pixel arrays) this is
+    * bit-identical to the fixed-depth form. */
   def temporalMedianComposite(df: DataFrame): DataFrame = {
-    val n = size(col("stack"))
-    val mid = (n / 2).cast("int")
-    // per pixel i: sorted stack values; odd depth -> middle, even -> mean
-    // of the two middles (matches the reference's nanmedian for even n)
+    val maxLen = array_max(transform(col("stack"), a => size(a)))
+    // per pixel i: sorted present values; odd count -> middle, even ->
+    // mean of the two middles (matches the reference's nanmedian)
     val pixelMedian = transform(
-      sequence(lit(0), size(element_at(col("stack"), 1)) - 1),
+      sequence(lit(0), maxLen - 1),
       i => {
-        val vals = array_sort(transform(col("stack"), a => element_at(a, i + 1)))
+        val vals = array_sort(filter(
+          transform(col("stack"), a => when(size(a) > i, element_at(a, i + 1))),
+          v => v.isNotNull))
+        val pn = size(vals)
+        val pmid = (pn / 2).cast("int")
         // Spark promotes fractional division to double; pixels stay float32
-        when(n % 2 === 1, element_at(vals, mid + 1))
-          .otherwise(((element_at(vals, mid) + element_at(vals, mid + 1)) / lit(2.0))
+        when(pn % 2 === 1, element_at(vals, pmid + 1))
+          .otherwise(((element_at(vals, pmid) + element_at(vals, pmid + 1)) / lit(2.0))
             .cast("float"))
       })
     df.groupBy("product", "band", "tile_y", "tile_x")

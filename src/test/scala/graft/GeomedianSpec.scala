@@ -59,8 +59,9 @@ class GeomedianSpec extends SparkSpec {
   }
 
   test("the grid-quantized relational iteration tracks the classic Weiszfeld") {
-    // round 6 made the graded key a 1e-10-grid-quantized 10-round
-    // Weiszfeld (engine-exact => oracle-graded); it must stay within
+    // round 6 made the graded key a 1e-10-grid-quantized K-round
+    // Weiszfeld (K = EO.GeomedianRounds; engine-exact => oracle-graded);
+    // it must stay within
     // iteration-convergence distance of the float-precision classic on
     // every label's first four dimensions
     val got = SparkEntry.queries("eo_geomedian")(spark, sfDir).collect()

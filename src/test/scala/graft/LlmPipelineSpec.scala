@@ -173,4 +173,19 @@ class LlmPipelineSpec extends SparkSpec {
       assert(got == bruteNgramPairs(docs), s"seed=$seed")
     }
   }
+
+  test("exact pair keys refuse to run above the pair budget (enforced scale caveat)") {
+    import graft.operators.TextOps
+    spark.conf.set(TextOps.MaxPairsConf, "10")
+    try {
+      Seq("llm_dedup_near", "llm_ngram_jaccard").foreach { k =>
+        val e = intercept[IllegalArgumentException] {
+          SparkEntry.queries(k)(spark, sfDir)
+        }
+        assert(e.getMessage.contains("llm_minhash"), s"$k guard message: ${e.getMessage}")
+      }
+    } finally spark.conf.unset(TextOps.MaxPairsConf)
+    // and with the default budget both still build + run
+    assert(SparkEntry.queries("llm_dedup_near")(spark, sfDir).count() > 0)
+  }
 }

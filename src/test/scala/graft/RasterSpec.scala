@@ -54,6 +54,30 @@ class RasterSpec extends SparkSpec {
     assert(d2(0) == (10f + 20f) / 2)
   }
 
+  test("median composite survives ragged stacks (ADVICE r6: no OOB, no order dependence)") {
+    // three times with DIFFERENT tile lengths: t0 has 4 pixels, t1 has 2,
+    // t2 has 4 — pixel 0/1 median over {0,10,20},{1,11,21}; pixel 2/3 over
+    // the two entries that have them -> even count -> mean of middles
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("product", StringType), StructField("band", StringType),
+      StructField("time", IntegerType), StructField("tile_y", LongType),
+      StructField("tile_x", LongType),
+      StructField("data", ArrayType(FloatType))))
+    val rows = Seq(
+      Row("p", "b", 0, 0L, 0L, Seq(0f, 1f, 2f, 3f)),
+      Row("p", "b", 1, 0L, 0L, Seq(10f, 11f)),
+      Row("p", "b", 2, 0L, 0L, Seq(20f, 21f, 22f, 23f)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 3), schema)
+    val d = RasterGrid.temporalMedianComposite(df).head()
+      .getAs[scala.collection.Seq[Float]]("data")
+    assert(d.length == 4) // sized by the LONGEST entry, not entry 1
+    assert(d(0) == 10f && d(1) == 11f) // odd count 3 -> exact middle
+    assert(d(2) == (2f + 22f) / 2 && d(3) == (3f + 23f) / 2) // even count 2
+  }
+
   test("argmax composite picks the data value at peak score, earliest-time ties") {
     // score peaks at t=1 for even global x, at t=2 for odd; data = t*100+x
     val score = grid("ndvi")((x, y, t) =>
