@@ -16,6 +16,7 @@ object SparkEntry {
       operators.LlmExtras.all ++
       operators.Multimodal.all ++
       operators.SqlSurface.all ++
+      sources.SceneCatalog.all ++
       functions.Scalars.all ++
       functions.Udfs.all ++
       streaming.StreamTwins.all
