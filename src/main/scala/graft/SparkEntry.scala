@@ -13,6 +13,7 @@ object SparkEntry {
       operators.SortSet.all ++
       operators.EO.all ++
       operators.Llm.all ++
+      operators.Corpus.all ++
       operators.LlmExtras.all ++
       operators.Multimodal.all ++
       operators.SqlSurface.all ++

@@ -126,6 +126,72 @@ object Llm {
           .orderBy("d1", "d2")
       }),
 
+    // Near-dup CLUSTERS (round 7): connected components over the
+    // j >= 0.5 same-lang pair graph — the step that turns llm_dedup_near's
+    // pair list into dedup GROUPS (one canonical doc per component, the
+    // shape a dedup funnel actually consumes; a pair list alone
+    // under-removes transitive chains a~b~c). Labels start as each doc's
+    // own id and propagate the component MINIMUM along edges until a
+    // fixpoint — O(diameter) rounds, each one join + one partial-agg
+    // shuffle, lineage cut per round (localCheckpoint, the eo_geomedian
+    // pattern). The driver loop only evaluates an isEmpty convergence
+    // probe per round — bounded by component diameter, not data size.
+    // At 100 TB: same plan with minhash-banded candidate edges instead of
+    // the exact pair join (the guard below enforces that switch), and
+    // large-star/small-star alternation (Kiveris et al. 2014, "Connected
+    // Components in MapReduce") if diameters get long — this corpus's
+    // dup chains are short. Oracle: transitive closure by recursive CTE,
+    // cluster = MIN(reachable id) — fixpoint semantics, identical to the
+    // propagation's limit regardless of round count.
+    Q("llm_dedup_cluster", Some(
+      docMasksSql.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        ", pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2 " +
+        "FROM masks a JOIN masks b ON a.lang = b.lang AND a.doc_id < b.doc_id " +
+        "WHERE CAST(BIT_COUNT(a.mask & b.mask) AS DOUBLE) / " +
+        "CAST(BIT_COUNT(a.mask | b.mask) AS DOUBLE) >= 0.5), " +
+        "edges AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs), " +
+        "reach AS (SELECT doc_id AS a, doc_id AS b FROM masks " +
+        "UNION SELECT r.a, e.d2 FROM reach r JOIN edges e ON r.b = e.d1), " +
+        "cl AS (SELECT a AS doc_id, MIN(b) AS cluster FROM reach GROUP BY a) " +
+        "SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members, " +
+        "MAX(doc_id) AS max_member FROM cl GROUP BY cluster ORDER BY cluster"),
+      (s, d) => {
+        val m = docMasks(s, d)
+        TextOps.guardPairBudget(m, Seq("lang"), "llm_dedup_cluster",
+          "generate candidate edges with llm_minhash banding at corpus " +
+            "scale; the component propagation itself is linear")
+        val a = m.select(col("doc_id").as("d1"), col("lang").as("la"), col("mask").as("ma"))
+        val b = m.select(col("doc_id").as("d2"), col("lang").as("lb"), col("mask").as("mb"))
+        val inter = bit_count(col("ma").bitwiseAND(col("mb"))).cast("double")
+        val uni = bit_count(col("ma").bitwiseOR(col("mb"))).cast("double")
+        val pairs = a.join(b, col("la") === col("lb") && col("d1") < col("d2"))
+          .where(inter / uni >= 0.5)
+          .select("d1", "d2")
+        val edges = pairs
+          .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        var labels = m.select(col("doc_id"), col("doc_id").as("cluster")).localCheckpoint()
+        var converged = false
+        while (!converged) {
+          val nbrMin = edges
+            .join(labels.select(col("doc_id").as("d2"), col("cluster").as("nc")), "d2")
+            .groupBy(col("d1")).agg(min(col("nc")).as("nmin"))
+            .select(col("d1").as("doc_id"), col("nmin"))
+          val next = labels.join(nbrMin, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+            .localCheckpoint()
+          converged = next
+            .join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
+            .where(col("cluster") < col("prev")).isEmpty
+          labels = next
+        }
+        edges.unpersist()
+        labels.groupBy("cluster")
+          .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_member"))
+          .orderBy("cluster")
+      }),
+
     // MinHash-LSH candidate generation (4 bands x 4 hashes; Broder 1997,
     // "On the resemblance and containment of documents"). Round 6: the 16
     // per-seed hashes are a Carter-Wegman family (a_i*h + b_i mod P,
