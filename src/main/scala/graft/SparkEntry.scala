@@ -16,6 +16,7 @@ object SparkEntry {
       operators.Corpus.all ++
       operators.LlmExtras.all ++
       operators.Multimodal.all ++
+      operators.Skew.all ++
       operators.SqlSurface.all ++
       sources.SceneCatalog.all ++
       functions.Scalars.all ++

@@ -270,5 +270,57 @@ object Multimodal {
         frameSamples(s, d)
           .select(col("doc_id"), col("frame_idx"), col("byte_offset"),
             col("frame_bytes"), md5(col("frame")).as("frame_md5"))
-          .orderBy("doc_id", "frame_idx")))
+          .orderBy("doc_id", "frame_idx")),
+
+    // Perceptual near-dup over "image" payloads (round 7): average-hash —
+    // 60 stride-sampled bytes per payload, bit b set iff sample_b exceeds
+    // the sample mean (integer-exact: s_b * 60 > sum), packed into one
+    // 60-bit BIGINT; near-dup pairs = same-format docs with Hamming
+    // distance <= 8 between hashes. The real-image analogue is aHash over
+    // a resized grayscale thumbnail; the byte-stride stub stands in for
+    // the decode (same swap point as fakeDecode) while the Spark shape —
+    // whole-stage-codegen hash build (higher-order transform/aggregate,
+    // NO udf), blocked pair join, popcount verify — is the production
+    // plan. Pair stage is quadratic per format block BY DESIGN (semantics
+    // anchor, like llm_dedup_near): guardPairBudget enforces the
+    // band-bucketing switch at scale (split the 60-bit hash into bands,
+    // join on any equal band — complete for small Hamming radii by
+    // pigeonhole).
+    Q("mm_dedup_ahash", Some(
+      "WITH p AS (SELECT doc_id, text, CAST(LENGTH(text) AS INTEGER) AS n, " +
+        "CASE WHEN doc_id % 3 = 0 THEN 'png' ELSE 'jpeg' END AS format " +
+        "FROM documents WHERE doc_id % 3 IN (0, 1)), " +
+        "s AS (SELECT doc_id, format, LIST_TRANSFORM(RANGE(0, 60), " +
+        "b -> ASCII(SUBSTRING(text, CAST((b * n) // 60 AS INTEGER) + 1, 1))) AS sb FROM p), " +
+        "t AS (SELECT doc_id, format, sb, CAST(LIST_SUM(sb) AS BIGINT) AS tot FROM s), " +
+        "h AS (SELECT doc_id, format, CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, 60), " +
+        "b -> CASE WHEN sb[CAST(b AS INTEGER) + 1] * 60 > tot " +
+        "THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS ahash FROM t) " +
+        "SELECT a.doc_id AS d1, b.doc_id AS d2, " +
+        "CAST(BIT_COUNT(XOR(a.ahash, b.ahash)) AS INTEGER) AS hamming " +
+        "FROM h a JOIN h b ON a.format = b.format AND a.doc_id < b.doc_id " +
+        "WHERE BIT_COUNT(XOR(a.ahash, b.ahash)) <= 8 ORDER BY d1, d2"),
+      (s, d) => {
+        val h = payloads(s, d)
+          .where(col("meta.format").isin("png", "jpeg")) // metadata prune
+          .select(col("doc_id"), col("payload"), col("meta.format").as("format"))
+          .withColumn("sb", expr(
+            "transform(sequence(0, 59), b -> CAST(conv(hex(substring(payload, " +
+              "CAST(FLOOR(b * length(payload) / 60) AS INT) + 1, 1)), 16, 10) AS BIGINT))"))
+          .withColumn("tot", expr("aggregate(sb, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+          .withColumn("ahash", expr(
+            "aggregate(transform(sb, (x, b) -> IF(x * 60 > tot, " +
+              "shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))), " +
+              "CAST(0 AS BIGINT), (a, x) -> a + x)"))
+          .select("doc_id", "format", "ahash")
+        TextOps.guardPairBudget(h, Seq("format"), "mm_dedup_ahash",
+          "band-bucket the 60-bit hash (join on any equal band) at corpus scale")
+        val ham = bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int")
+        h.select(col("doc_id").as("d1"), col("format").as("fa"), col("ahash").as("ha"))
+          .join(h.select(col("doc_id").as("d2"), col("format").as("fb"), col("ahash").as("hb")),
+            col("fa") === col("fb") && col("d1") < col("d2"))
+          .where(ham <= 8)
+          .select(col("d1"), col("d2"), ham.as("hamming"))
+          .orderBy("d1", "d2")
+      }))
 }

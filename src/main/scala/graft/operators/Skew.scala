@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.{Det, Q, Tables => T}
+
 /** Skew-handling primitives (SCALING.md "skew answers"): when one key
   * carries a pathological share of the rows, AQE's skew-join split handles
   * sort-merge cases at runtime, but salting is the portable answer that
@@ -11,6 +13,28 @@ import org.apache.spark.sql.functions._
   * 90%-skew corpus).
   */
 object Skew {
+
+  /** GRADED key (round 7): the salted join driven end-to-end against the
+    * PLAIN join's oracle — the grade IS the semantics-preservation proof
+    * at the harness level (SkewSpec keeps the 90%-skew unit proof).
+    * lineitem⋈part on partkey through 8 salts, then a per-brand rollup
+    * with an exact cent sum; the oracle is the direct join + group. */
+  val all: Seq[Q] = Seq(
+    Q("join_salted", Some(
+      "SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n, " +
+        Det.sqlCentSum("l.l_extendedprice") + " AS revenue_c " +
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey " +
+        "GROUP BY p.p_brand ORDER BY p.p_brand"),
+      (s, d) => {
+        val facts = T.lineitem(s, d)
+          .select("l_partkey", "l_orderkey", "l_extendedprice")
+        val dim = T.part(s, d).select("p_partkey", "p_brand")
+        saltedEquiJoin(facts, dim, "l_partkey", "p_partkey", "l_orderkey", 8)
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n"),
+            Det.centSum(col("l_extendedprice")).as("revenue_c"))
+          .orderBy("p_brand")
+      }))
 
   /** `facts ⋈ dim ON key` rewritten as
     * `facts+salt ⋈ (dim × salt_range) ON (key, salt)`: each fact row gets
