@@ -130,19 +130,30 @@ object Llm {
     // j >= 0.5 same-lang pair graph — the step that turns llm_dedup_near's
     // pair list into dedup GROUPS (one canonical doc per component, the
     // shape a dedup funnel actually consumes; a pair list alone
-    // under-removes transitive chains a~b~c). Labels start as each doc's
-    // own id and propagate the component MINIMUM along edges until a
-    // fixpoint — O(diameter) rounds, each one join + one partial-agg
-    // shuffle, lineage cut per round (localCheckpoint, the eo_geomedian
-    // pattern). The driver loop only evaluates an isEmpty convergence
-    // probe per round — bounded by component diameter, not data size.
+    // under-removes transitive chains a~b~c). Two phases, because a
+    // dup-heavy corpus makes this graph DENSE (4.58 M edges over 5 k docs
+    // at sf0.1 — avg degree ~900):
+    //   1. STAR CONTRACTION (one pass): every node merges into
+    //      min(self, min neighbor). Valid coarsening — a node is adjacent
+    //      to its min neighbor, so components are preserved — and on a
+    //      dense graph it collapses almost everything: the full edge set
+    //      is touched ONCE (an agg + two broadcast label joins), then
+    //      shrinks to the contracted remainder (Kiveris et al. 2014,
+    //      "Connected Components in MapReduce and Beyond", the star
+    //      operation).
+    //   2. Min-label propagation over the contracted remainder to a
+    //      fixpoint — O(contracted diameter) tiny rounds, lineage cut per
+    //      round (localCheckpoint, the eo_geomedian pattern); the driver
+    //      loop only evaluates an isEmpty convergence probe.
+    //      (Pointer-jumping was measured a net LOSS here: rounds 5 -> 4
+    //      but +1 self-join and +1 checkpoint per round on a loop whose
+    //      cost is per-round edge volume, not round count.)
     // At 100 TB: same plan with minhash-banded candidate edges instead of
-    // the exact pair join (the guard below enforces that switch), and
-    // large-star/small-star alternation (Kiveris et al. 2014, "Connected
-    // Components in MapReduce") if diameters get long — this corpus's
-    // dup chains are short. Oracle: transitive closure by recursive CTE,
-    // cluster = MIN(reachable id) — fixpoint semantics, identical to the
-    // propagation's limit regardless of round count.
+    // the exact pair join (the guard below enforces that switch) and
+    // repeated contraction rounds if the remainder stays large.
+    // Oracle: transitive closure by recursive CTE, cluster =
+    // MIN(reachable id) — fixpoint semantics, identical to the
+    // contraction+propagation limit regardless of round structure.
     Q("llm_dedup_cluster", Some(
       docMasksSql.replaceFirst("WITH ", "WITH RECURSIVE ") +
         ", pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2 " +
@@ -170,10 +181,30 @@ object Llm {
         val edges = pairs
           .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        var labels = m.select(col("doc_id"), col("doc_id").as("cluster")).localCheckpoint()
-        var converged = false
+        // ---- phase 1: star contraction — full edge set touched ONCE ----
+        val nbr1 = edges.groupBy("d1").agg(min(col("d2")).as("mn"))
+          .select(col("d1").as("doc_id"), col("mn"))
+        val l1 = m.select("doc_id")
+          .join(nbr1, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("doc_id"), coalesce(col("mn"), col("doc_id"))).as("l1"))
+          .localCheckpoint()
+        // contracted remainder: edges between DIFFERENT l1 classes (the
+        // label table is node-count-sized -> broadcast map-side joins)
+        val e2 = edges
+          .join(broadcast(l1.select(col("doc_id").as("d1"), col("l1").as("a"))), "d1")
+          .join(broadcast(l1.select(col("doc_id").as("d2"), col("l1").as("b"))), "d2")
+          .where(col("a") =!= col("b"))
+          .select(col("a").as("d1"), col("b").as("d2"))
+          .distinct()
+          .localCheckpoint()
+        edges.unpersist()
+        // ---- phase 2: propagation over the contracted remainder ----
+        var labels = l1.select(col("l1").as("doc_id")).distinct()
+          .select(col("doc_id"), col("doc_id").as("cluster")).localCheckpoint()
+        var converged = e2.isEmpty
         while (!converged) {
-          val nbrMin = edges
+          val nbrMin = e2
             .join(labels.select(col("doc_id").as("d2"), col("cluster").as("nc")), "d2")
             .groupBy(col("d1")).agg(min(col("nc")).as("nmin"))
             .select(col("d1").as("doc_id"), col("nmin"))
@@ -186,8 +217,10 @@ object Llm {
             .where(col("cluster") < col("prev")).isEmpty
           labels = next
         }
-        edges.unpersist()
-        labels.groupBy("cluster")
+        // compose: cluster(doc) = root(l1(doc))
+        l1.join(labels.select(col("doc_id").as("_l1k"), col("cluster")),
+            l1("l1") === col("_l1k"))
+          .groupBy("cluster")
           .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_member"))
           .orderBy("cluster")
       }),

@@ -278,14 +278,19 @@ object Multimodal {
     // 60-bit BIGINT; near-dup pairs = same-format docs with Hamming
     // distance <= 8 between hashes. The real-image analogue is aHash over
     // a resized grayscale thumbnail; the byte-stride stub stands in for
-    // the decode (same swap point as fakeDecode) while the Spark shape —
-    // whole-stage-codegen hash build (higher-order transform/aggregate,
-    // NO udf), blocked pair join, popcount verify — is the production
-    // plan. Pair stage is quadratic per format block BY DESIGN (semantics
-    // anchor, like llm_dedup_near): guardPairBudget enforces the
-    // band-bucketing switch at scale (split the 60-bit hash into bands,
-    // join on any equal band — complete for small Hamming radii by
-    // pigeonhole).
+    // the decode (same swap point as fakeDecode). The hash builds in the
+    // SAME mapPartitions codec-batch shape as decode/resize — a
+    // deliberate choice over higher-order column expressions, which are
+    // interpreted (CodegenFallback) AND got the per-row mean re-inlined
+    // into the per-element lambda by CollapseProject (60x re-aggregation
+    // per row + a duplicated null-check filter: measured 14-17 s at
+    // sf0.1 vs <2 s for this form). The hash table is persisted so the
+    // pair self-join's two sides and the budget guard read one
+    // materialization. Pair stage is quadratic per format block BY
+    // DESIGN (semantics anchor, like llm_dedup_near): guardPairBudget
+    // enforces the band-bucketing switch at scale (split the 60-bit hash
+    // into bands, join on any equal band — complete for small Hamming
+    // radii by pigeonhole).
     Q("mm_dedup_ahash", Some(
       "WITH p AS (SELECT doc_id, text, CAST(LENGTH(text) AS INTEGER) AS n, " +
         "CASE WHEN doc_id % 3 = 0 THEN 'png' ELSE 'jpeg' END AS format " +
@@ -301,18 +306,31 @@ object Multimodal {
         "FROM h a JOIN h b ON a.format = b.format AND a.doc_id < b.doc_id " +
         "WHERE BIT_COUNT(XOR(a.ahash, b.ahash)) <= 8 ORDER BY d1, d2"),
       (s, d) => {
+        val hashSchema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("format", StringType),
+          StructField("ahash", LongType)))
+        val enc = org.apache.spark.sql.Encoders.row(hashSchema)
         val h = payloads(s, d)
           .where(col("meta.format").isin("png", "jpeg")) // metadata prune
           .select(col("doc_id"), col("payload"), col("meta.format").as("format"))
-          .withColumn("sb", expr(
-            "transform(sequence(0, 59), b -> CAST(conv(hex(substring(payload, " +
-              "CAST(FLOOR(b * length(payload) / 60) AS INT) + 1, 1)), 16, 10) AS BIGINT))"))
-          .withColumn("tot", expr("aggregate(sb, CAST(0 AS BIGINT), (a, x) -> a + x)"))
-          .withColumn("ahash", expr(
-            "aggregate(transform(sb, (x, b) -> IF(x * 60 > tot, " +
-              "shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))), " +
-              "CAST(0 AS BIGINT), (a, x) -> a + x)"))
-          .select("doc_id", "format", "ahash")
+          .mapPartitions { rows =>
+            rows.grouped(batchSize).flatMap { batch =>
+              batch.map { r =>
+                val p = r.getAs[Array[Byte]]("payload")
+                // STUB "decode + ahash" in one codec call: stride-sample
+                // 60 bytes, bit b set iff sample*60 > sample sum
+                val sb = Array.tabulate(60)(b =>
+                  if (p.isEmpty) 0L else (p((b.toLong * p.length / 60).toInt) & 0xff).toLong)
+                val tot = sb.sum
+                var hash = 0L
+                var b = 0
+                while (b < 60) { if (sb(b) * 60 > tot) hash |= 1L << b; b += 1 }
+                Row(r.getAs[Long]("doc_id"), r.getAs[String]("format"), hash)
+              }
+            }
+          }(enc)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         TextOps.guardPairBudget(h, Seq("format"), "mm_dedup_ahash",
           "band-bucket the 60-bit hash (join on any equal band) at corpus scale")
         val ham = bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int")
