@@ -28,7 +28,12 @@ class DeterminismSpec extends SparkSpec {
       // array_sort/sort_array), the tie-specified mode pick, and the
       // ngram block join must all survive topology changes
       "eo_tile_composite_median", "eo_tile_argmax", "agg_mode",
-      "llm_ngram_jaccard", "stream_interval_join")
+      "llm_ngram_jaccard", "stream_interval_join",
+      // round 7: range-partitioned ntile derives its partition count from
+      // this very conf (the global rank must not move), contraction-based
+      // clustering, the salted join, and the hash-gated sample
+      "win_ntile", "llm_dedup_cluster", "join_salted",
+      "llm_sample_stratified", "mm_dedup_ahash", "eo_catalog_pruned_load")
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     val base = keys.map(k => k -> SparkEntry.queries(k)(spark, sfDir).collect().toSeq).toMap
     try {
