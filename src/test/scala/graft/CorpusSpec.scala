@@ -43,15 +43,10 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
-  test("dedup clusters equal an independent union-find over the exact pair graph") {
-    // brute-force reference: same masks semantics recomputed from raw
-    // text in Scala, pairs by direct Jaccard, components by union-find
-    val docs = Tables.documents(spark, sfDir)
-      .select("doc_id", "lang", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
-    val sets = docs.map { case (id, lang, text) =>
-      (id, lang, text.split(" ").toSet)
-    }
+  /** Independent reference: pairs by direct set Jaccard, components by
+    * union-find (path compression, min-root union). */
+  private def bruteClusters(docs: Seq[(Long, String, String)]): Seq[(Long, Long, Long)] = {
+    val sets = docs.map { case (id, lang, text) => (id, lang, text.split(" ").toSet) }
     val parent = scala.collection.mutable.Map(sets.map(s => s._1 -> s._1): _*)
     def find(x: Long): Long = {
       var r = x; while (parent(r) != r) r = parent(r)
@@ -63,17 +58,63 @@ class CorpusSpec extends SparkSpec {
       if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
     }
     sets.groupBy(_._2).foreach { case (_, ds) =>
-      for (i <- ds.indices; j <- (i + 1) until ds.length) {
-        val (a, b) = (ds(i)._3, ds(j)._3)
+      val arr = ds.toIndexedSeq
+      for (i <- arr.indices; j <- (i + 1) until arr.length) {
+        val (a, b) = (arr(i)._3, arr(j)._3)
         val inter = (a & b).size.toDouble
-        if (inter / (a | b).size >= 0.5) union(ds(i)._1, ds(j)._1)
+        if (inter / (a | b).size >= 0.5) union(arr(i)._1, arr(j)._1)
       }
     }
-    val expect = sets.map(_._1).groupBy(find)
+    sets.map(_._1).groupBy(find)
       .map { case (root, ms) => (root, ms.length.toLong, ms.max) }
       .toSeq.sortBy(_._1)
-    val got = SparkEntry.queries("llm_dedup_cluster")(spark, sfDir).collect()
+  }
+
+  private def clustersOf(dir: String): Seq[(Long, Long, Long)] =
+    SparkEntry.queries("llm_dedup_cluster")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-    assert(got == expect)
+
+  test("dedup clusters equal an independent union-find over the exact pair graph") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(clustersOf(sfDir) == bruteClusters(docs))
+  }
+
+  test("dedup clusters: generative equality on random chain-heavy corpora") {
+    // random corpora over a <=63-word vocabulary (the docMasks bound) with
+    // CHAINS of near-dups — a~b~c~... where consecutive Jaccards straddle
+    // 0.5 — so transitive merging (the thing a pair list alone gets wrong,
+    // and the star contraction must preserve) is actually exercised
+    import org.apache.spark.sql.Row
+    for (seed <- Seq(7, 8, 9)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (0 until 55).map(i => s"w$i")
+      def randDoc(n: Int): Array[String] =
+        Array.fill(n)(vocab(rnd.nextInt(vocab.size)))
+      val docs = scala.collection.mutable.ArrayBuffer[(Long, String, String)]()
+      var id = 0L
+      for (_ <- 0 until 25) {
+        val lang = Seq("aa", "bb")(rnd.nextInt(2))
+        var cur = randDoc(12 + rnd.nextInt(10))
+        docs += ((id, lang, cur.mkString(" "))); id += 1
+        // a chain of 0-4 successive perturbations
+        for (_ <- 0 until rnd.nextInt(5)) {
+          val next = cur.clone()
+          for (_ <- 0 until (1 + rnd.nextInt(6)))
+            next(rnd.nextInt(next.length)) = vocab(rnd.nextInt(vocab.size))
+          docs += ((id, lang, next.mkString(" "))); id += 1
+          cur = next
+        }
+      }
+      val dir = java.nio.file.Files.createTempDirectory("graft_corpus_gen").toString
+      val rows = docs.map { case (i, lang, text) =>
+        Row(i, text, lang, "gen", text.length.toLong)
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 4), Tables.documentsSchema)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      assert(clustersOf(dir) == bruteClusters(docs.toSeq), s"seed=$seed")
+    }
   }
 }
