@@ -96,4 +96,24 @@ class PlanContractSpec extends SparkSpec {
         s"$k left codegen:\n$p")
     }
   }
+
+  test("round-7 keys keep their promised shapes") {
+    // hash-gated sampling is map-only: no join, no window, no aggregate —
+    // the only exchange is the final presentation sort
+    val sample = planOf("llm_sample_stratified")
+    assert(!sample.contains("Join") && !sample.contains("Window") &&
+      !sample.contains("HashAggregate"), s"sampling gained a shuffle stage:\n$sample")
+    // gap fill: ONE entity-bounded window (no 'No Partition Defined'
+    // global sort) feeding the rollup
+    val gap = planOf("eo_gap_fill")
+    assert(gap.contains("Window") && !gap.contains("CartesianProduct"))
+    // ahash pair stage: hash join on the format block over the persisted
+    // hash table (no cartesian, no re-derived hash build on either side)
+    val ahash = planOf("mm_dedup_ahash")
+    assert(ahash.contains("InMemoryTableScan") && !ahash.contains("CartesianProduct"),
+      s"ahash self-join lost the persisted hash table:\n$ahash")
+    // salted join replicates the dim via broadcast, never a cartesian of
+    // the fact side
+    assert(!planOf("join_salted").contains("CartesianProduct"))
+  }
 }
