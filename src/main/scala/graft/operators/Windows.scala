@@ -60,6 +60,11 @@ object Windows {
     // becomes closed-form arithmetic over (rn, N) — the same larger-
     // buckets-first distribution the SQL NTILE defines. Every stage is
     // distributed; the only driver data is one row per partition.
+    // BUILD-TIME SIDE EFFECT: the two-pass form necessarily runs the
+    // range shuffle + count jobs EAGERLY when the query is built (the
+    // offsets are data), and the persisted range stays cached until the
+    // harness's per-key clearCache (Bench/Verify) — callers embedding
+    // this in a long-lived session should clearCache or unpersist.
     Q("win_ntile", Some(
       "SELECT c_custkey, CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS quartile " +
         "FROM customer ORDER BY c_custkey"),

@@ -72,7 +72,15 @@ object SceneCatalog {
     * round-trip itself is what the Spark side additionally exercises).
     * At scale the catalog is a parquet table partitioned by product/time
     * — this exact query shape becomes a partition-pruned scan, and the
-    * payload join touches only matching paths (see object scaladoc). */
+    * payload join touches only matching paths (see object scaladoc).
+    *
+    * Corpus contract (like Multimodal's): demoDocs hand-concatenates JSON,
+    * so it assumes every events.props carries key "k" with a value free of
+    * JSON-special characters (quotes/backslashes/control chars) — a doc
+    * that violates it would null out of from_json and be DROPPED from the
+    * catalog while the oracle (reading events directly) keeps the row.
+    * The driver corpora satisfy this ({"k": <int>}); a real deployment
+    * parses real dataset documents and the generator disappears. */
   val all: Seq[graft.Q] = Seq(
     graft.Q("eo_catalog_pruned_load", Some(
       "WITH cat AS (SELECT 'ndvi_' || event_type AS product, " +

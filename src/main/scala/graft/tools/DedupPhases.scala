@@ -6,6 +6,12 @@ import org.apache.spark.sql.SparkSession
   * #1: 28.7 s driver vs 3.9 s local). Times each sub-phase of the funnel
   * as its own action so the expensive stage is visible, plus a cold vs
   * warm split of the full key (codegen/JIT vs steady-state).
+  *
+  * NOTE: this deliberately snapshots the ROUND-6 plan under investigation
+  * — e.g. rdocs builds its own broadcast(pivots.select(...)) where the
+  * shipped key now reuses one broadcast(pivots) exchange. Phase numbers
+  * here attribute the r6 outlier; re-sync the copy before using it to
+  * profile the current key.
   */
 object DedupPhases {
   def main(args: Array[String]): Unit = {

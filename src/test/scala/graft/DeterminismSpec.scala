@@ -33,7 +33,8 @@ class DeterminismSpec extends SparkSpec {
       // this very conf (the global rank must not move), contraction-based
       // clustering, the salted join, and the hash-gated sample
       "win_ntile", "llm_dedup_cluster", "join_salted",
-      "llm_sample_stratified", "mm_dedup_ahash", "eo_catalog_pruned_load")
+      "llm_sample_stratified", "mm_dedup_ahash", "eo_catalog_pruned_load",
+      "eo_gap_fill")
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     val base = keys.map(k => k -> SparkEntry.queries(k)(spark, sfDir).collect().toSeq).toMap
     try {
