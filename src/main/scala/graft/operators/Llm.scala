@@ -175,30 +175,39 @@ object Llm {
         val b = m.select(col("doc_id").as("d2"), col("lang").as("lb"), col("mask").as("mb"))
         val inter = bit_count(col("ma").bitwiseAND(col("mb"))).cast("double")
         val uni = bit_count(col("ma").bitwiseOR(col("mb"))).cast("double")
+        // persisted: consumed by the contraction agg AND the remainder map
         val pairs = a.join(b, col("la") === col("lb") && col("d1") < col("d2"))
           .where(inter / uni >= 0.5)
           .select("d1", "d2")
-        val edges = pairs
-          .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // ---- phase 1: star contraction — full edge set touched ONCE ----
-        val nbr1 = edges.groupBy("d1").agg(min(col("d2")).as("mn"))
-          .select(col("d1").as("doc_id"), col("mn"))
+        // ---- phase 1: star contraction — pair set touched ONCE ----
+        // With d1 < d2 by construction, l1(x) = min(x, min d1 over pairs
+        // whose d2 = x): the minimum SMALLER-id neighbor. If x has any
+        // smaller neighbor that beats x itself; if it has only larger
+        // neighbors, x stays its own class — still an adjacent-or-self
+        // merge, so components are preserved, and the directed pair list
+        // never needs the 2x symmetric-union materialization.
+        val nbr1 = pairs.groupBy("d2").agg(min(col("d1")).as("mn"))
+          .select(col("d2").as("doc_id"), col("mn"))
         val l1 = m.select("doc_id")
           .join(nbr1, Seq("doc_id"), "left")
           .select(col("doc_id"),
             least(col("doc_id"), coalesce(col("mn"), col("doc_id"))).as("l1"))
           .localCheckpoint()
-        // contracted remainder: edges between DIFFERENT l1 classes (the
-        // label table is node-count-sized -> broadcast map-side joins)
-        val e2 = edges
+        // contracted remainder: pairs between DIFFERENT l1 classes (the
+        // label table is node-count-sized -> broadcast map-side joins);
+        // symmetrized only AFTER contraction, when it is small
+        // checkpointed BEFORE the symmetric union below reads it twice
+        val r2 = pairs
           .join(broadcast(l1.select(col("doc_id").as("d1"), col("l1").as("a"))), "d1")
           .join(broadcast(l1.select(col("doc_id").as("d2"), col("l1").as("b"))), "d2")
           .where(col("a") =!= col("b"))
-          .select(col("a").as("d1"), col("b").as("d2"))
+          .select(col("a"), col("b"))
           .distinct()
           .localCheckpoint()
-        edges.unpersist()
+        val e2 = r2.select(col("a").as("d1"), col("b").as("d2"))
+          .union(r2.select(col("b").as("d1"), col("a").as("d2")))
+        pairs.unpersist()
         // ---- phase 2: propagation over the contracted remainder ----
         var labels = l1.select(col("l1").as("doc_id")).distinct()
           .select(col("doc_id"), col("doc_id").as("cluster")).localCheckpoint()
