@@ -116,4 +116,19 @@ class PlanContractSpec extends SparkSpec {
     // the fact side
     assert(!planOf("join_salted").contains("CartesianProduct"))
   }
+
+  test("global sweep: no key plans a cartesian product or a python fallback") {
+    // join_cross IS the cartesian semantics (125-row dimension square);
+    // everything else must never degrade to one, and nothing may fall to
+    // a Python eval path (no pyspark in this library, ever)
+    val cartesianOk = Set("join_cross")
+    val offenders = SparkEntry.registry.flatMap { q =>
+      val p = planOf(q.name)
+      val bad =
+        (if (!cartesianOk(q.name) && p.contains("CartesianProduct")) Seq("cartesian") else Nil) ++
+          (if (p.contains("BatchEvalPython") || p.contains("ArrowEvalPython")) Seq("python") else Nil)
+      if (bad.isEmpty) Nil else Seq(s"${q.name}: ${bad.mkString(",")}")
+    }
+    assert(offenders.isEmpty, s"plan sweep violations: $offenders")
+  }
 }
