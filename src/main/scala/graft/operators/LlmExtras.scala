@@ -484,6 +484,41 @@ object LlmExtras {
           .orderBy("chunk_hash")
       }),
 
+    // Decontamination (round 7): find training documents that share a
+    // 10-token chunk with any EVAL-set document — the train/test overlap
+    // scrub every training pipeline runs before the corpus ships (chunk
+    // n-gram overlap, the published Brown et al. 2020 appendix-C shape).
+    // The eval set here is the deterministic doc_id % 10 == 0 slice (a
+    // real deployment supplies benchmark docs); eval chunk hashes form a
+    // benchmark-sized dictionary that BROADCASTS — the training side
+    // stays a linear scan + map-side join at any corpus scale, followed
+    // by one per-doc aggregation. Same chunking arithmetic as
+    // llm_chunk_dedup on both engines.
+    Q("llm_decontaminate", Some(
+      "WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents), " +
+        "chunks AS (SELECT doc_id, MD5(ARRAY_TO_STRING(LIST_SLICE(toks, i * 10 + 1, i * 10 + 10), ' ')) AS h " +
+        "FROM t, (SELECT UNNEST(RANGE(0, 1000)) AS i) idx WHERE i * 10 < LEN(toks)), " +
+        "ev AS (SELECT h, MIN(doc_id) AS ed FROM chunks WHERE doc_id % 10 = 0 GROUP BY h), " +
+        "tr AS (SELECT DISTINCT doc_id, h FROM chunks WHERE doc_id % 10 <> 0) " +
+        "SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared, MIN(ev.ed) AS first_eval_doc " +
+        "FROM tr JOIN ev USING (h) GROUP BY tr.doc_id ORDER BY tr.doc_id"),
+      (s, d) => {
+        val chunks = T.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), explode(transform(
+            sequence(lit(0), ((size(col("toks")) - 1) / 10).cast("int")),
+            i => array_join(slice(col("toks"), i * 10 + 1, lit(10)), " "))).as("chunk"))
+          .select(col("doc_id"), md5(col("chunk")).as("h"))
+        val ev = chunks.where(col("doc_id") % 10 === 0)
+          .groupBy("h").agg(min(col("doc_id")).as("ed"))
+        val tr = chunks.where(col("doc_id") % 10 =!= 0)
+          .select("doc_id", "h").distinct()
+        tr.join(broadcast(ev), "h")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shared"), min(col("ed")).as("first_eval_doc"))
+          .orderBy("doc_id")
+      }),
+
     // The full training-data dedup funnel as ONE plan (the llm-side
     // flagship, mirroring eo_product_pipeline): quality gate -> exact-dup
     // canonicalization -> near-dup canonicalization (keep smallest doc_id
