@@ -183,10 +183,11 @@ object Llm {
         // ---- phase 1: star contraction — pair set touched ONCE ----
         // With d1 < d2 by construction, l1(x) = min(x, min d1 over pairs
         // whose d2 = x): the minimum SMALLER-id neighbor. If x has any
-        // smaller neighbor that beats x itself; if it has only larger
-        // neighbors, x stays its own class — still an adjacent-or-self
-        // merge, so components are preserved, and the directed pair list
-        // never needs the 2x symmetric-union materialization.
+        // smaller neighbor, that minimum beats x and becomes l1(x); if it
+        // has only larger neighbors, x stays its own class. Either way
+        // the merge target is adjacent-or-self, so components are
+        // preserved, and the directed pair list never needs the 2x
+        // symmetric-union materialization.
         val nbr1 = pairs.groupBy("d2").agg(min(col("d1")).as("mn"))
           .select(col("d2").as("doc_id"), col("mn"))
         val l1 = m.select("doc_id")
@@ -202,7 +203,10 @@ object Llm {
           .join(broadcast(l1.select(col("doc_id").as("d1"), col("l1").as("a"))), "d1")
           .join(broadcast(l1.select(col("doc_id").as("d2"), col("l1").as("b"))), "d2")
           .where(col("a") =!= col("b"))
-          .select(col("a"), col("b"))
+          // canonical orientation BEFORE distinct: class pairs can arrive
+          // in either order ((1,4)->(1,2) vs (2,3)->(2,1)) and would
+          // otherwise survive dedup twice, doubling every loop round
+          .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
           .distinct()
           .localCheckpoint()
         val e2 = r2.select(col("a").as("d1"), col("b").as("d2"))

@@ -469,12 +469,10 @@ object LlmExtras {
       (s, d) => {
         // chunking stays inside WholeStageCodegen: sequence + transform +
         // explode over array slices (the typed flatMap alternative
-        // deserializes every row — VERDICT r01 minor #4)
-        T.documents(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .select(col("doc_id"), explode(transform(
-            sequence(lit(0), ((size(col("toks")) - 1) / 10).cast("int")),
-            i => array_join(slice(col("toks"), i * 10 + 1, lit(10)), " "))).as("chunk"))
+        // deserializes every row — VERDICT r01 minor #4); shared with
+        // llm_decontaminate via TextOps.chunks10 (incl. the oracle's
+        // 1000-chunk cap)
+        TextOps.chunks10(T.documents(s, d))
           .groupBy(md5(col("chunk")).as("chunk_hash"))
           .agg(
             count(lit(1)).as("occurrences"),
@@ -503,11 +501,7 @@ object LlmExtras {
         "SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared, MIN(ev.ed) AS first_eval_doc " +
         "FROM tr JOIN ev USING (h) GROUP BY tr.doc_id ORDER BY tr.doc_id"),
       (s, d) => {
-        val chunks = T.documents(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .select(col("doc_id"), explode(transform(
-            sequence(lit(0), ((size(col("toks")) - 1) / 10).cast("int")),
-            i => array_join(slice(col("toks"), i * 10 + 1, lit(10)), " "))).as("chunk"))
+        val chunks = TextOps.chunks10(T.documents(s, d))
           .select(col("doc_id"), md5(col("chunk")).as("h"))
         val ev = chunks.where(col("doc_id") % 10 === 0)
           .groupBy("h").agg(min(col("doc_id")).as("ed"))

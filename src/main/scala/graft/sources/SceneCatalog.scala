@@ -74,12 +74,15 @@ object SceneCatalog {
     * — this exact query shape becomes a partition-pruned scan, and the
     * payload join touches only matching paths (see object scaladoc).
     *
-    * Corpus contract (like Multimodal's): demoDocs hand-concatenates JSON,
-    * so it assumes every events.props carries key "k" with a value free of
-    * JSON-special characters (quotes/backslashes/control chars) — a doc
-    * that violates it would null out of from_json and be DROPPED from the
-    * catalog while the oracle (reading events directly) keeps the row.
-    * The driver corpora satisfy this ({"k": <int>}); a real deployment
+    * Corpus contract (like Multimodal's): demoDocs hand-concatenates JSON
+    * and extracts the prop with an anchored digit regexp, so it assumes
+    * every events.props carries key "k" with an INTEGER value — a props
+    * violating that extracts as an empty string and the doc is KEPT with
+    * an empty prop (it would still parse), silently diverging from a real
+    * document's content; a props field that broke the JSON structure
+    * itself would instead null out of from_json and DROP the scene while
+    * the oracle (reading events directly) keeps the row. The driver
+    * corpora satisfy the contract ({"k": <int>}); a real deployment
     * parses real dataset documents and the generator disappears. */
   val all: Seq[graft.Q] = Seq(
     graft.Q("eo_catalog_pruned_load", Some(

@@ -120,7 +120,12 @@ class PlanContractSpec extends SparkSpec {
   test("global sweep: no key plans a cartesian product or a python fallback") {
     // join_cross IS the cartesian semantics (125-row dimension square);
     // everything else must never degrade to one, and nothing may fall to
-    // a Python eval path (no pyspark in this library, ever)
+    // a Python eval path (no pyspark in this library, ever).
+    // KNOWN LIMIT: iterative keys that localCheckpoint mid-build
+    // (eo_geomedian, llm_dedup_cluster, win_ntile) surface their earlier
+    // stages as Scan ExistingRDD in the final plan, so this sweep only
+    // sees their LAST stage — their internal joins are covered by the
+    // targeted tests above and by their runtime specs, not by this sweep.
     val cartesianOk = Set("join_cross")
     val offenders = SparkEntry.registry.flatMap { q =>
       val p = planOf(q.name)
