@@ -177,6 +177,63 @@ object Multimodal {
         col("frame"))
   }
 
+  /** 60-bit average-hash per "image" payload — 60 stride-sampled bytes,
+    * bit b set iff sample_b exceeds the sample mean (integer-exact:
+    * s_b * 60 > sum), built in the SAME mapPartitions codec-batch shape as
+    * decode/resize (see mm_dedup_ahash's key comment for why higher-order
+    * column expressions lost by 10x here). Returned PERSISTED: the pair /
+    * band self-join's two sides and the budget guard all read one
+    * materialization. BUILD-TIME SIDE EFFECT (ADVICE r7, the win_ntile
+    * precedent): the cached hash table stays resident until the harness's
+    * per-key clearCache (Bench/Verify) — callers embedding these keys in a
+    * long-lived session should clearCache or unpersist once the pair join
+    * has materialized. */
+  private def ahashes(s: SparkSession, d: String): DataFrame = {
+    val hashSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("format", StringType),
+      StructField("ahash", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(hashSchema)
+    payloads(s, d)
+      .where(col("meta.format").isin("png", "jpeg")) // metadata prune
+      .select(col("doc_id"), col("payload"), col("meta.format").as("format"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val p = r.getAs[Array[Byte]]("payload")
+            // STUB "decode + ahash" in one codec call: stride-sample
+            // 60 bytes, bit b set iff sample*60 > sample sum
+            val sb = Array.tabulate(60)(b =>
+              if (p.isEmpty) 0L else (p((b.toLong * p.length / 60).toInt) & 0xff).toLong)
+            val tot = sb.sum
+            var hash = 0L
+            var b = 0
+            while (b < 60) { if (sb(b) * 60 > tot) hash |= 1L << b; b += 1 }
+            Row(r.getAs[Long]("doc_id"), r.getAs[String]("format"), hash)
+          }
+        }
+      }(enc)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Oracle shared by mm_dedup_ahash and mm_dedup_ahash_banded: the banded
+    * plan provably returns the exact key's pair set (see the banded key's
+    * comment), so both grade against the one all-pairs SQL definition. */
+  private val ahashPairsSql: String =
+    "WITH p AS (SELECT doc_id, text, CAST(LENGTH(text) AS INTEGER) AS n, " +
+      "CASE WHEN doc_id % 3 = 0 THEN 'png' ELSE 'jpeg' END AS format " +
+      "FROM documents WHERE doc_id % 3 IN (0, 1)), " +
+      "s AS (SELECT doc_id, format, LIST_TRANSFORM(RANGE(0, 60), " +
+      "b -> ASCII(SUBSTRING(text, CAST((b * n) // 60 AS INTEGER) + 1, 1))) AS sb FROM p), " +
+      "t AS (SELECT doc_id, format, sb, CAST(LIST_SUM(sb) AS BIGINT) AS tot FROM s), " +
+      "h AS (SELECT doc_id, format, CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, 60), " +
+      "b -> CASE WHEN sb[CAST(b AS INTEGER) + 1] * 60 > tot " +
+      "THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS ahash FROM t) " +
+      "SELECT a.doc_id AS d1, b.doc_id AS d2, " +
+      "CAST(BIT_COUNT(XOR(a.ahash, b.ahash)) AS INTEGER) AS hamming " +
+      "FROM h a JOIN h b ON a.format = b.format AND a.doc_id < b.doc_id " +
+      "WHERE BIT_COUNT(XOR(a.ahash, b.ahash)) <= 8 ORDER BY d1, d2"
+
   val all: Seq[Q] = Seq(
 
     // Decode + feature-extract over batched partitions; metadata-only
@@ -291,54 +348,53 @@ object Multimodal {
     // enforces the band-bucketing switch at scale (split the 60-bit hash
     // into bands, join on any equal band — complete for small Hamming
     // radii by pigeonhole).
-    Q("mm_dedup_ahash", Some(
-      "WITH p AS (SELECT doc_id, text, CAST(LENGTH(text) AS INTEGER) AS n, " +
-        "CASE WHEN doc_id % 3 = 0 THEN 'png' ELSE 'jpeg' END AS format " +
-        "FROM documents WHERE doc_id % 3 IN (0, 1)), " +
-        "s AS (SELECT doc_id, format, LIST_TRANSFORM(RANGE(0, 60), " +
-        "b -> ASCII(SUBSTRING(text, CAST((b * n) // 60 AS INTEGER) + 1, 1))) AS sb FROM p), " +
-        "t AS (SELECT doc_id, format, sb, CAST(LIST_SUM(sb) AS BIGINT) AS tot FROM s), " +
-        "h AS (SELECT doc_id, format, CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, 60), " +
-        "b -> CASE WHEN sb[CAST(b AS INTEGER) + 1] * 60 > tot " +
-        "THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS ahash FROM t) " +
-        "SELECT a.doc_id AS d1, b.doc_id AS d2, " +
-        "CAST(BIT_COUNT(XOR(a.ahash, b.ahash)) AS INTEGER) AS hamming " +
-        "FROM h a JOIN h b ON a.format = b.format AND a.doc_id < b.doc_id " +
-        "WHERE BIT_COUNT(XOR(a.ahash, b.ahash)) <= 8 ORDER BY d1, d2"),
+    Q("mm_dedup_ahash", Some(ahashPairsSql),
       (s, d) => {
-        val hashSchema = StructType(Seq(
-          StructField("doc_id", LongType),
-          StructField("format", StringType),
-          StructField("ahash", LongType)))
-        val enc = org.apache.spark.sql.Encoders.row(hashSchema)
-        val h = payloads(s, d)
-          .where(col("meta.format").isin("png", "jpeg")) // metadata prune
-          .select(col("doc_id"), col("payload"), col("meta.format").as("format"))
-          .mapPartitions { rows =>
-            rows.grouped(batchSize).flatMap { batch =>
-              batch.map { r =>
-                val p = r.getAs[Array[Byte]]("payload")
-                // STUB "decode + ahash" in one codec call: stride-sample
-                // 60 bytes, bit b set iff sample*60 > sample sum
-                val sb = Array.tabulate(60)(b =>
-                  if (p.isEmpty) 0L else (p((b.toLong * p.length / 60).toInt) & 0xff).toLong)
-                val tot = sb.sum
-                var hash = 0L
-                var b = 0
-                while (b < 60) { if (sb(b) * 60 > tot) hash |= 1L << b; b += 1 }
-                Row(r.getAs[Long]("doc_id"), r.getAs[String]("format"), hash)
-              }
-            }
-          }(enc)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val h = ahashes(s, d)
         TextOps.guardPairBudget(h, Seq("format"), "mm_dedup_ahash",
-          "band-bucket the 60-bit hash (join on any equal band) at corpus scale")
+          "use mm_dedup_ahash_banded (band-bucketed, identical pairs) at corpus scale")
         val ham = bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int")
         h.select(col("doc_id").as("d1"), col("format").as("fa"), col("ahash").as("ha"))
           .join(h.select(col("doc_id").as("d2"), col("format").as("fb"), col("ahash").as("hb")),
             col("fa") === col("fb") && col("d1") < col("d2"))
           .where(ham <= 8)
           .select(col("d1"), col("d2"), ham.as("hamming"))
+          .orderBy("d1", "d2")
+      }),
+
+    // The SCALE path for ahash near-dup (round 8, VERDICT r7 "next" #2),
+    // graded against the SAME all-pairs oracle: split the 60-bit hash into
+    // 10 disjoint 6-bit bands and join only on (format, band index, band
+    // value) — a pair at Hamming distance <= 8 differs in at most 8 bands,
+    // so (pigeonhole: 9 bands already suffice) at least TWO bands are
+    // bit-identical and the pair is GUARANTEED to surface as a candidate.
+    // The exact Hamming verify then runs over candidates only. Unlike
+    // minhash banding this is deterministic-complete, not probabilistic:
+    // banded candidates + verify produce exactly the all-pairs result at
+    // any scale, which is why the one oracle grades both keys. Cost is
+    // linear in docs + band-bucket collisions (no quadratic block join —
+    // PlanContractSpec pins the plan to the band-key equi-join), so no
+    // pair-budget guard: this is where the guard on mm_dedup_ahash points.
+    Q("mm_dedup_ahash_banded", Some(ahashPairsSql),
+      (s, d) => {
+        val h = ahashes(s, d)
+        // 10 static band columns (Scala-level unroll — stays codegen'd)
+        val bandVals = array((0 until 10).map(b =>
+          shiftright(col("ahash"), 6 * b).bitwiseAND(lit(63L))): _*)
+        val bands = h.select(col("doc_id"), col("format"), col("ahash"),
+          posexplode(bandVals).as(Seq("band", "bv")))
+        val ham = bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int")
+        bands.select(col("doc_id").as("d1"), col("ahash").as("ha"),
+            col("format"), col("band"), col("bv"))
+          .join(bands.select(col("doc_id").as("d2"), col("ahash").as("hb"),
+            col("format"), col("band"), col("bv")), Seq("format", "band", "bv"))
+          .where(col("d1") < col("d2"))
+          // hashes ride the candidate rows (functionally dependent on the
+          // ids), so the verify needs no second join back to h — and runs
+          // BEFORE the dedup shuffle, so failed candidates never shuffle
+          .where(ham <= 8)
+          .select(col("d1"), col("d2"), ham.as("hamming"))
+          .distinct()
           .orderBy("d1", "d2")
       }))
 }

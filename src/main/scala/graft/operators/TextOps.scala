@@ -78,7 +78,13 @@ object TextOps {
       key: String, scaleHint: String): Unit = {
     val spark = blocked.sparkSession
     val maxPairs = spark.conf.getOption(MaxPairsConf)
-      .map(_.toLong).getOrElse(MaxPairsDefault)
+      .map { v =>
+        try v.trim.toLong
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$MaxPairsConf must be a long pair count, got '$v'")
+        }
+      }.getOrElse(MaxPairsDefault)
     val est = blocked.groupBy(blockCols.map(col): _*)
       .agg(count(lit(1)).cast("double").as("c"))
       .agg(coalesce(sum(col("c") * (col("c") - 1) / 2), lit(0.0)))

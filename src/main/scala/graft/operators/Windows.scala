@@ -87,13 +87,16 @@ object Windows {
         val q = n / 4
         val r = n % 4
         val cut = r * (q + 1)
-        val rn = col("_off") +
-          row_number().over(Window.partitionBy("_pid").orderBy(sortCols: _*))
-        val quartile =
-          when(rn <= cut, (rn - 1) / (q + 1) + 1)
-            .otherwise(lit(r) + (rn - cut - 1) / math.max(q, 1L) + 1)
+        // true 64-bit integer division (`div`), not Column `/`: IEEE double
+        // division + trunc equals floor only below 2^53 rows — `div` has no
+        // such bound (ADVICE r7)
         ranged.join(broadcast(offsDf), "_pid")
-          .withColumn("quartile", quartile.cast("int"))
+          .withColumn("_rn", col("_off") +
+            row_number().over(Window.partitionBy("_pid").orderBy(sortCols: _*)))
+          .withColumn("quartile",
+            when(col("_rn") <= cut, expr(s"(_rn - 1) div ${q + 1}") + 1)
+              .otherwise(lit(r) + expr(s"(_rn - 1 - $cut) div ${math.max(q, 1L)}") + 1)
+              .cast("int"))
           .select("c_custkey", "quartile")
           .orderBy("c_custkey")
       }),

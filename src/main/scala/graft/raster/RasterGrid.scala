@@ -106,7 +106,11 @@ object RasterGrid {
     df.groupBy("product", "band", "tile_y", "tile_x")
       .agg(collect_list(col("data")).as("stack"))
       .select(col("product"), col("band"), col("tile_y"), col("tile_x"),
-        pixelMedian.as("data"))
+        // all-empty stack: maxLen = 0 would make sequence(0, -1) count DOWN
+        // ([0, -1]) and i = -1 slips past the size(a) > i guard into
+        // element_at(a, 0) — emit the empty composite instead (ADVICE r7)
+        when(maxLen > 0, pixelMedian)
+          .otherwise(array().cast("array<float>")).as("data"))
   }
 
   /** Per-pixel argmax composite (the max-NDVI mosaic): for each pixel,

@@ -100,4 +100,18 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.length == 500)
     assert(rows.forall(_.getInt(1) > 0))
   }
+
+  test("banded ahash pairs are IDENTICAL to the exact all-pairs result") {
+    // 10 disjoint 6-bit bands over the 60-bit hash: Hamming <= 8 flips at
+    // most 8 bands, so at least two band values match (pigeonhole) and
+    // every true pair is guaranteed a candidate — deterministic-complete,
+    // unlike probabilistic minhash banding. Equality must be exact.
+    def pairs(key: String) =
+      SparkEntry.queries(key)(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val exact = pairs("mm_dedup_ahash")
+    val banded = pairs("mm_dedup_ahash_banded")
+    assert(exact.nonEmpty, "corpus has no ahash near-dup pairs to compare")
+    assert(banded == exact)
+  }
 }

@@ -117,6 +117,18 @@ class PlanContractSpec extends SparkSpec {
     assert(!planOf("join_salted").contains("CartesianProduct"))
   }
 
+  test("round-8 banded ahash joins on band buckets, never all-pairs") {
+    // the scale path mm_dedup_ahash's guard points at: candidates come
+    // from a (format, band, value) equi-join over the persisted hash
+    // table — a cartesian/NLJ here would mean the banding regressed to
+    // the quadratic block join it exists to replace
+    val p = planOf("mm_dedup_ahash_banded")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"banded ahash degenerated to all-pairs:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"banded ahash lost the persisted hash table:\n$p")
+  }
+
   test("global sweep: no key plans a cartesian product or a python fallback") {
     // join_cross IS the cartesian semantics (125-row dimension square);
     // everything else must never degrade to one, and nothing may fall to
