@@ -112,7 +112,11 @@ object ProductSink {
         concat(lit(s"${m.path}/$tileXCol="), col("tile_x"),
           lit(s"/$tileYCol="), col("tile_y")).as("path"),
         map(lit("rows"), col("n").cast("string"),
-          lit("lineage"), lit(lineage.getOrElse("none"))).as("props"))).as("doc"))
+          lit("lineage"), lit(lineage.getOrElse("none"))).as("props"),
+        // fresh product writes register as live version 0; a reprocessing
+        // run would bump the version and archive the superseded documents
+        // (SceneCatalog.latestNonArchived is the load-side pick)
+        lit(0).as("version"), lit(false).as("archived"))).as("doc"))
       .write.mode(SaveMode.Overwrite).text(s"${m.path}/_datasets")
     m
   }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -22,7 +22,14 @@ object SceneCatalog {
     StructField("tile_y", IntegerType),
     StructField("time", TimestampType),
     StructField("path", StringType),
-    StructField("props", MapType(StringType, StringType))))
+    StructField("props", MapType(StringType, StringType)),
+    // dataset lineage/archiving fields (round 8): a reprocessed scene is a
+    // NEW dataset document with a higher version; superseded/withdrawn
+    // documents are archived, not deleted — the ODC index keeps them for
+    // provenance but dc.load must never return them [PK datacube dataset
+    // archiving]. Absent in older documents -> null (treated as live v0).
+    StructField("version", IntegerType),
+    StructField("archived", BooleanType)))
 
   /** Parse raw dataset-document JSON strings into the catalog. Documents
     * that fail to parse surface as all-null rows -> filtered, counted by
@@ -50,6 +57,27 @@ object SceneCatalog {
       .where(col("time") >= lit(timeFrom).cast("timestamp") &&
         col("time") < lit(timeTo).cast("timestamp"))
       .where(col("tile_x").between(x0, x1) && col("tile_y").between(y0, y1))
+  }
+
+  /** Dataset-archiving load semantics (round 8, VERDICT r7 "next" #6): a
+    * reprocessing user's first surprise — within each (product, tile,
+    * solar-day) observation group, the HIGHEST-VERSION non-archived
+    * dataset wins and archived datasets never load; a group whose every
+    * dataset is archived loads nothing. `tieBreak` orders datasets of
+    * equal version (a real index breaks ties on ingest time / dataset id).
+    * One bounded window per observation group — at scale this shuffles
+    * catalog rows only (datasets-per-group is small), never payloads,
+    * and the pick happens BEFORE any payload IO. Null version/archived
+    * (pre-versioning documents) count as live version 0. */
+  def latestNonArchived(scenes: DataFrame, tieBreak: Seq[Column]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("product"), col("tile_x"), col("tile_y"), to_date(col("time")))
+      .orderBy(coalesce(col("version"), lit(0)).desc +: tieBreak: _*)
+    scenes
+      .where(!coalesce(col("archived"), lit(false)))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn")
   }
 
   /** Group scenes into solar-day observation groups (the reference's
@@ -109,6 +137,45 @@ object SceneCatalog {
           .agg(count(lit(1)).as("n_scenes"),
             graft.Det.sum6(col("value")).as("sum_v6"))
           .orderBy("tile_x", "tile_y", "day")
+      }),
+
+    /** Archiving semantics graded end-to-end (see [[latestNonArchived]]):
+      * per (product, tile, solar-day) group, pick the latest non-archived
+      * dataset (version desc, then time/dataset-id desc) and count the
+      * group's dataset/archived totals. The oracle applies the same
+      * predicates directly over events (version/archived are the doc
+      * generator's deterministic field arithmetic); fully-archived groups
+      * drop on both sides (inner join from the pick). */
+    graft.Q("eo_catalog_latest_version", Some(
+      "WITH cat AS (SELECT 'ndvi_' || event_type AS product, " +
+        "CAST(user_id % 8 AS INTEGER) AS tile_x, CAST(user_id % 5 AS INTEGER) AS tile_y, " +
+        "CAST(ts AS DATE) AS day, ts, event_id, " +
+        "CAST(event_id % 3 AS INTEGER) AS version, (event_id % 7 = 0) AS archived FROM events), " +
+        "pick AS (SELECT product, tile_x, tile_y, day, event_id, version, " +
+        "ROW_NUMBER() OVER (PARTITION BY product, tile_x, tile_y, day " +
+        "ORDER BY version DESC, ts DESC, event_id DESC) AS rn FROM cat WHERE NOT archived), " +
+        "tot AS (SELECT product, tile_x, tile_y, day, CAST(COUNT(*) AS BIGINT) AS n_datasets, " +
+        "CAST(SUM(CASE WHEN archived THEN 1 ELSE 0 END) AS BIGINT) AS n_archived " +
+        "FROM cat GROUP BY product, tile_x, tile_y, day) " +
+        "SELECT p.product, p.tile_x, p.tile_y, p.day, " +
+        "p.event_id AS chosen_id, p.version AS chosen_version, t.n_datasets, t.n_archived " +
+        "FROM pick p JOIN tot t USING (product, tile_x, tile_y, day) WHERE p.rn = 1 " +
+        "ORDER BY product, tile_x, tile_y, day"),
+      (s, d) => {
+        val catalog = parse(demoDocs(s, d))
+          .withColumn("event_id",
+            regexp_extract(col("path"), "/scenes/(\\d+)\\.tif", 1).cast("long"))
+        val day = to_date(col("time"))
+        val picked = latestNonArchived(catalog,
+            Seq(col("time").desc, col("event_id").desc))
+          .select(col("product"), col("tile_x"), col("tile_y"), day.as("day"),
+            col("event_id").as("chosen_id"), col("version").as("chosen_version"))
+        val totals = catalog
+          .groupBy(col("product"), col("tile_x"), col("tile_y"), day.as("day"))
+          .agg(count(lit(1)).as("n_datasets"),
+            sum(when(col("archived"), 1L).otherwise(0L)).as("n_archived"))
+        picked.join(totals, Seq("product", "tile_x", "tile_y", "day"))
+          .orderBy("product", "tile_x", "tile_y", "day")
       }))
 
   /** Demo catalog synthesized from the corpus (no scene fixtures exist):
@@ -122,9 +189,14 @@ object SceneCatalog {
         lit(""", "tile_y": """), (col("user_id") % 5).cast("string"),
         lit(""", "time": """"), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
         lit("""", "path": "file:///scenes/"""), col("event_id").cast("string"),
+        // deterministic version/archived fields: reprocessing runs produce
+        // versions 0..2 per scene family; every 7th dataset is archived
+        lit(""".tif", "version": """), (col("event_id") % 3).cast("string"),
+        lit(""", "archived": """),
+        when(col("event_id") % 7 === 0, lit("true")).otherwise(lit("false")),
         // regexp beats get_json_object here: Jackson spins up a parser
         // per row for a 10-char payload (measured on the graded key)
-        lit(""".tif", "props": {"k": """"), regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1),
+        lit(""", "props": {"k": """"), regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1),
         lit(""""}}""")).as("doc"))
       .as[String]
   }

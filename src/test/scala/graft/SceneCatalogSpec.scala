@@ -48,6 +48,30 @@ class SceneCatalogSpec extends SparkSpec {
     }
   }
 
+  test("latest non-archived dataset wins per observation group; archived never load") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def doc(tx: Int, hour: Int, v: Int, archived: Boolean, path: String) =
+      s"""{"product": "p", "tile_x": $tx, "tile_y": 0, """ +
+        s""""time": "2024-01-01 0$hour:00:00", "path": "$path", "props": {}, """ +
+        s""""version": $v, "archived": $archived}"""
+    val cat = SceneCatalog.parse(spark.createDataset(Seq(
+      // group 0: highest LIVE version wins (the archived v2 must lose)
+      doc(0, 1, 0, archived = false, "a0"),
+      doc(0, 2, 2, archived = true, "a1"),
+      doc(0, 3, 1, archived = false, "a2"),
+      // group 1: fully archived -> loads nothing
+      doc(1, 1, 0, archived = true, "b0"),
+      doc(1, 2, 1, archived = true, "b1"),
+      // group 2: equal versions -> tie-break (latest time) wins
+      doc(2, 1, 1, archived = false, "c0"),
+      doc(2, 2, 1, archived = false, "c1"))))
+    val picked = SceneCatalog.latestNonArchived(
+        cat, Seq(col("time").desc, col("path").desc))
+      .collect().map(r => r.getAs[Int]("tile_x") -> r.getAs[String]("path")).toMap
+    assert(picked == Map(0 -> "a2", 2 -> "c1"))
+  }
+
   test("product write emits dataset docs; catalog registers, queries and prunes the read-back") {
     import org.apache.spark.sql.functions._
     import graft.sources.ProductSink
