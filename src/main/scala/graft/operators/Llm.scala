@@ -40,7 +40,7 @@ object Llm {
     * dictionary (zipWithIndex ids — partition-parallel, no single-partition
     * window sort; see [[TextOps.denseIds]]: the Jaccard output is invariant
     * to the id permutation) broadcast-joined back to the corpus. */
-  private def docMasks(s: SparkSession, d: String): DataFrame = {
+  private[graft] def docMasks(s: SparkSession, d: String): DataFrame = {
     // persisted: consumed by the dict's eager id job AND the mask build
     val toks = T.documents(s, d)
       .select(col("doc_id"), col("lang"),
@@ -128,13 +128,26 @@ object Llm {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** Largest contracted-remainder edge count the local union-find
+    * finisher in [[componentLabels]] will collect (default 1 M edges =
+    * two long columns ~ 16 MB on the driver; the distributed loop takes
+    * over above it). Session-overridable so a bigger driver can raise it
+    * — and so ComponentBranchSpec can force the distributed branch. */
+  private[graft] val FinishLocalConf = "spark.graft.cc.localFinishMax"
+  private val FinishLocalEdgeDefault = 1000000L
+
   /** Per-doc connected-component label over a (d1 < d2) pair list: star
-    * contraction then min-label propagation over the contracted remainder
-    * (see llm_dedup_cluster's key comment for the full design note and
-    * the Kiveris 2014 citation). `nodes` = one `doc_id` row per element;
-    * `pairs` must arrive PERSISTED (it is read by the contraction agg and
-    * the remainder map) and is unpersisted here once the checkpointed
-    * remainder exists. Returns (doc_id, cluster). */
+    * contraction, then the contracted remainder resolves through a
+    * SIZE-GATED local union-find finisher (remainders are minuscule on
+    * dup-dense graphs) or, above [[FinishLocalEdgeMax]], distributed
+    * min-label propagation to the fixpoint (see llm_dedup_cluster's key
+    * comment for the full design note and the Kiveris 2014 citation —
+    * two-phase contract-then-finish is that paper's shape). All three
+    * branches compute the same fixpoint: cluster = MIN reachable id.
+    * `nodes` = one `doc_id` row per element; `pairs` must arrive
+    * PERSISTED (it is read by the contraction agg and the remainder map)
+    * and is unpersisted here once the checkpointed remainder exists.
+    * Returns (doc_id, cluster). */
   private[graft] def componentLabels(nodes: DataFrame, pairs: DataFrame): DataFrame = {
     // ---- phase 1: star contraction — pair set touched ONCE ----
     // With d1 < d2 by construction, l1(x) = min(x, min d1 over pairs
@@ -165,31 +178,85 @@ object Llm {
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
       .distinct()
       .localCheckpoint()
-    val e2 = r2.select(col("a").as("d1"), col("b").as("d2"))
-      .union(r2.select(col("b").as("d1"), col("a").as("d2")))
     pairs.unpersist()
-    // ---- phase 2: propagation over the contracted remainder ----
-    var labels = l1.select(col("l1").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("cluster")).localCheckpoint()
-    var converged = e2.isEmpty
-    while (!converged) {
-      val nbrMin = e2
-        .join(labels.select(col("doc_id").as("d2"), col("cluster").as("nc")), "d2")
-        .groupBy(col("d1")).agg(min(col("nc")).as("nmin"))
-        .select(col("d1").as("doc_id"), col("nmin"))
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+    // ---- phase 2: resolve the contracted remainder ----
+    // r2 is checkpointed, so this count reads cached blocks. On a dense
+    // dup graph contraction is brutal (sf0.1: 2.29 M edges -> 793), so
+    // the remainder usually fits the local finisher budget below.
+    val nRem = r2.count()
+    val finishLocalMax = r2.sparkSession.conf.getOption(FinishLocalConf)
+      .map { v =>
+        try v.trim.toLong
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$FinishLocalConf must be a long edge count, got '$v'")
+        }
+      }.getOrElse(FinishLocalEdgeDefault)
+    if (nRem == 0) {
+      // every component collapsed in one star round: l1 IS the label
+      l1.select(col("doc_id"), col("l1").as("cluster"))
+    } else if (nRem <= finishLocalMax) {
+      // LOCAL FINISHER (the two-phase CC shape of the MapReduce CC
+      // literature: contract distributed until the core fits one
+      // machine, then solve it exactly). Union-find with min-id roots
+      // over the collected remainder — O(nRem α(nRem)) driver work, a
+      // few ms — replaces O(diameter) distributed rounds that were pure
+      // job-scheduling overhead at this size (ClusterPhases r8: 4
+      // rounds x ~2 jobs over <1k rows = ~2-4 s of the key's ~6-9 s).
+      // The size gate keeps the 100 TB story honest: a remainder bigger
+      // than the budget (~tens of MB collected) falls through to the
+      // distributed propagation loop unchanged.
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      r2.collect().foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ra != rb) { // min id becomes the root: the fixpoint label
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val resolved = parent.keys.toSeq.map(k => (k, find(k)))
+      val spark = r2.sparkSession
+      import spark.implicits._
+      val lbl = broadcast(resolved.toDF("_l1k", "cluster"))
+      // classes untouched by the remainder keep their own id
+      l1.join(lbl, l1("l1") === col("_l1k"), "left")
         .select(col("doc_id"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-        .localCheckpoint()
-      converged = next
-        .join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
-        .where(col("cluster") < col("prev")).isEmpty
-      labels = next
+          coalesce(col("cluster"), col("l1")).as("cluster"))
+    } else {
+      // distributed min-label propagation to the fixpoint
+      val e2 = r2.select(col("a").as("d1"), col("b").as("d2"))
+        .union(r2.select(col("b").as("d1"), col("a").as("d2")))
+      var labels = l1.select(col("l1").as("doc_id")).distinct()
+        .select(col("doc_id"), col("doc_id").as("cluster")).localCheckpoint()
+      var converged = false
+      while (!converged) {
+        val nbrMin = e2
+          .join(labels.select(col("doc_id").as("d2"), col("cluster").as("nc")), "d2")
+          .groupBy(col("d1")).agg(min(col("nc")).as("nmin"))
+          .select(col("d1").as("doc_id"), col("nmin"))
+        // convergence rides the checkpointed row as a `changed` flag, so
+        // the probe is one scan of the label table — not a second
+        // labels-vs-next join per round (ClusterPhases r8: the probe join
+        // was ~0.15 s of every ~0.5 s round)
+        val next = labels.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
+            (coalesce(col("nmin"), col("cluster")) < col("cluster")).as("changed"))
+          .localCheckpoint()
+        converged = next.where(col("changed")).isEmpty
+        labels = next.select("doc_id", "cluster")
+      }
+      // compose: cluster(doc) = root(l1(doc))
+      l1.join(labels.select(col("doc_id").as("_l1k"), col("cluster")),
+          l1("l1") === col("_l1k"))
+        .select(col("doc_id"), col("cluster"))
     }
-    // compose: cluster(doc) = root(l1(doc))
-    l1.join(labels.select(col("doc_id").as("_l1k"), col("cluster")),
-        l1("l1") === col("_l1k"))
-      .select(col("doc_id"), col("cluster"))
   }
 
   /** The graded (cluster, n_members, max_member) rollup over
