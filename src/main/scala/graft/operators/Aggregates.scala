@@ -292,6 +292,43 @@ object Aggregates {
           .orderBy("l_returnflag")
       }),
 
+    // Linear-regression aggregates (regr_slope / regr_intercept / regr_r2)
+    // derived from the SAME exact integer moments as agg_stats — Spark's
+    // built-in regr_* aggregate doubles directly and is merge-order-
+    // dependent, so the graded form reduces to exact scaled-long sums
+    // (n, Σx, Σy, Σxy, Σx², Σy²) first and derives the statistics with a
+    // fixed double op sequence (Det rule 3: identical integer inputs ⇒
+    // bit-identical doubles on both engines). Same 2^53 headroom note and
+    // per-(group, salt) sharding remedy as agg_stats at ≥1e8 rows/group.
+    Q("agg_regr", Some(regrOracle),
+      (s, d) => {
+        val xi = s0(col("l_quantity"))
+        val yi = s0(col("l_extendedprice"))
+        val m = T.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(xi).as("sx"), sum(xi * xi).as("sxx"),
+            sum(yi).as("sy"), sum(yi * yi).as("syy"),
+            sum(xi * yi).as("sxy"))
+        val nD = col("n").cast("double")
+        val sxD = col("sx").cast("double"); val sxxD = col("sxx").cast("double")
+        val syD = col("sy").cast("double"); val syyD = col("syy").cast("double")
+        val sxyD = col("sxy").cast("double")
+        val cov = nD * sxyD - sxD * syD
+        val varX = nD * sxxD - sxD * sxD
+        val varY = nD * syyD - syD * syD
+        val slope = cov / varX
+        val intercept = (syD - slope * sxD) / nD
+        val r2 = (cov * cov) / (varX * varY)
+        m.select(
+            col("l_returnflag"), col("n"),
+            s6(slope).as("slope6"),
+            s4(intercept).as("icept4"),
+            s6(r2).as("r2_6"))
+          .orderBy("l_returnflag")
+      }),
+
     // Exact percentiles over scaled-long cents: interpolation at p ∈
     // {.25,.5,.75} over integers is exact in double space (Det rule 4), so
     // the ×100 re-scale is an exact integer on both engines.
@@ -453,6 +490,32 @@ object Aggregates {
       sqlS4(varQ) + " AS var_qty, " +
       sqlS4(corrPQ) + " AS corr_pq, " +
       sqlS4(covPQ) + " AS cov_pq " +
+      "FROM m ORDER BY l_returnflag"
+  }
+
+  /** Oracle twin of agg_regr — the identical moment sums and double op
+    * sequence, spelled once (the Spark side mirrors it term for term). */
+  private def regrOracle: String = {
+    val nD = "CAST(n AS DOUBLE)"
+    val sxD = "CAST(sx AS DOUBLE)"; val sxxD = "CAST(sxx AS DOUBLE)"
+    val syD = "CAST(sy AS DOUBLE)"; val syyD = "CAST(syy AS DOUBLE)"
+    val sxyD = "CAST(sxy AS DOUBLE)"
+    val cov = s"($nD * $sxyD - $sxD * $syD)"
+    val varX = s"($nD * $sxxD - $sxD * $sxD)"
+    val varY = s"($nD * $syyD - $syD * $syD)"
+    val slope = s"($cov / $varX)"
+    val intercept = s"(($syD - $slope * $sxD) / $nD)"
+    val r2 = s"(($cov * $cov) / ($varX * $varY))"
+    "WITH b AS (SELECT l_returnflag, " + sqlS0("l_quantity") + " AS xi, " +
+      sqlS0("l_extendedprice") + " AS yi FROM lineitem), " +
+      "m AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, " +
+      "CAST(SUM(xi) AS BIGINT) AS sx, CAST(SUM(xi * xi) AS BIGINT) AS sxx, " +
+      "CAST(SUM(yi) AS BIGINT) AS sy, CAST(SUM(yi * yi) AS BIGINT) AS syy, " +
+      "CAST(SUM(xi * yi) AS BIGINT) AS sxy FROM b GROUP BY l_returnflag) " +
+      "SELECT l_returnflag, n, " +
+      sqlS6(slope) + " AS slope6, " +
+      sqlS4(intercept) + " AS icept4, " +
+      sqlS6(r2) + " AS r2_6 " +
       "FROM m ORDER BY l_returnflag"
   }
 

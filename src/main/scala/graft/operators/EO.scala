@@ -536,6 +536,46 @@ object EO {
           .orderBy("level", "tile")
       }),
 
+    // Z-order (Morton) spatial key (round 8) — the 100-TB LAYOUT primitive:
+    // interleaving the bits of the grid (x, y) gives a 1-D key whose ranges
+    // are spatially compact, so sorting/range-partitioning a 100-TB scene
+    // table by zkey turns any bbox query into a handful of contiguous key
+    // ranges (file skipping via min/max stats — the Delta/Hudi Z-ORDER
+    // clustering story, and the tile-id scheme a SceneCatalog index would
+    // range-prune on). Graded: 8-bit x/y from integer columns, the 16-bit
+    // Morton code spelled as the same closed-form bit sum on both engines,
+    // then per-zone (zkey div 1024) counts/sums + min/max zkey showing each
+    // zone covers a contiguous key range. Pure map arithmetic + one partial
+    // agg — no shuffle beyond the group-by at any scale.
+    Q("eo_zorder", Some {
+      val x = "(event_id % 256)"; val y = "(user_id % 256)"
+      val z = (0 until 8).map(b =>
+        s"((($x >> $b) & 1) << ${2 * b}) + ((($y >> $b) & 1) << ${2 * b + 1})")
+        .mkString(" + ")
+      "WITH zk AS (SELECT CAST(" + z + " AS BIGINT) AS zkey, value FROM events) " +
+        "SELECT CAST(zkey // 1024 AS BIGINT) AS zone, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(MIN(zkey) AS BIGINT) AS z_min, CAST(MAX(zkey) AS BIGINT) AS z_max, " +
+        sqlSum6("value") + " AS sum_val " +
+        "FROM zk GROUP BY zone ORDER BY zone"
+    },
+      (s, d) => {
+        val x = col("event_id") % 256
+        val y = col("user_id") % 256
+        val z = (0 until 8).map { b =>
+          (shiftright(x, b).bitwiseAND(lit(1)) * lit(1L << (2 * b))) +
+            (shiftright(y, b).bitwiseAND(lit(1)) * lit(1L << (2 * b + 1)))
+        }.reduce(_ + _)
+        T.events(s, d)
+          .select(z.cast("long").as("zkey"), col("value"))
+          .groupBy(expr("zkey div 1024").as("zone"))
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("zkey")).as("z_min"), max(col("zkey")).as("z_max"),
+            sum6(col("value")).as("sum_val"))
+          .orderBy("zone")
+      }),
+
     // zonalStats (AOI polygon statistics [PK], rasterized zones): the zone
     // ids ride as a second tile-aligned band derived from the same event
     // rows, so pixel i of the data tile pairs with pixel i of the zone

@@ -116,6 +116,42 @@ object Relational {
     scanRoundtrip("scan_csv_roundtrip", "csv"),
     scanRoundtrip("scan_jsonl_roundtrip", "json"),
 
+    // Hive-partitioned write → partition-PRUNED read (round 8). This is
+    // the 100-TB layout story made a graded key: a table partitioned on a
+    // low-cardinality predicate column (event_type here; date/product in a
+    // real archive) lets a filtered read LIST only the matching
+    // directories — the other partitions are never opened, so the scan
+    // cost tracks the selected fraction, not the table size. The filter
+    // must land in the scan's PartitionFilters (not a post-scan Filter) —
+    // PlanContractSpec pins that, and RasterPruningSpec measures the same
+    // mechanism on tile keys. Oracle = the same predicate + aggregate over
+    // the unpartitioned parquet truth, so a value lost or duplicated by
+    // the partitioned write/read loop breaks the hash.
+    Q("scan_partition_pruned", Some(
+      "SELECT user_id % 10 AS bucket, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(event_id) AS BIGINT) AS sum_id, " +
+        sqlSum6("value") + " AS sum_val " +
+        "FROM events WHERE event_type = 'click' GROUP BY bucket ORDER BY bucket"),
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_part_events"
+        T.events(s, d).select("event_id", "user_id", "value", "event_type")
+          .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+        val schema = StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("user_id", LongType),
+          StructField("value", DoubleType),
+          StructField("event_type", StringType)))
+        s.read.schema(schema).parquet(dir)
+          .where(col("event_type") === "click")
+          .groupBy((col("user_id") % 10).as("bucket"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("event_id")).as("sum_id"),
+            sum6(col("value")).as("sum_val"))
+          .orderBy("bucket")
+      }),
+
     Q("project_arith", Some(
       "SELECT l_orderkey, l_linenumber, " +
         sqlS6("l_extendedprice * (1 - l_discount) * (1 + l_tax)") + " AS net_charge, " +

@@ -129,6 +129,30 @@ class PlanContractSpec extends SparkSpec {
       s"banded ahash lost the persisted hash table:\n$p")
   }
 
+  test("scan_partition_pruned prunes partitions at the scan, not post-filter") {
+    // the event_type predicate must land in the scan's PartitionFilters —
+    // a post-scan Filter would mean every partition directory was read
+    // and the key's 100-TB claim (scan cost ~ selected fraction) is false
+    val df = SparkEntry.queries("scan_partition_pruned")(spark, sfDir)
+    // sparkPlan, not executedPlan: AQE wraps the latter in an adaptive
+    // root whose inner tree is not reachable via collect before execution
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "no file scan in the plan")
+    assert(scans.exists(_.partitionFilters.exists(_.toString.contains("event_type"))),
+      s"event_type not in PartitionFilters:\n${scans.map(_.toString).mkString}")
+    assert(scans.forall(s => s.relation.location.inputFiles.length >
+      s.selectedPartitions.totalNumberOfFiles),
+      "scan read every partition — pruning did not happen")
+  }
+
+  test("eo_zorder stays map + one partial agg — no join, no window") {
+    val p = planOf("eo_zorder")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"z-order key gained a join/window stage:\n$p")
+  }
+
   test("global sweep: no key plans a cartesian product or a python fallback") {
     // join_cross IS the cartesian semantics (125-row dimension square);
     // everything else must never degrade to one, and nothing may fall to
