@@ -536,6 +536,119 @@ object EO {
           .orderBy("level", "tile")
       }),
 
+    // Percentile composite (round 8) — the ODC percentile stat product
+    // [PK odc-stats percentile]: per pixel (user_id as the pixel-group
+    // analogue, as eo_composite_median established), the p10/p50/p90 of
+    // the observation stack by the NEAREST-RANK-LOWER rule: value at
+    // sorted position ((n-1)·k) div 10 + 1. Pure integer index math over
+    // 6-dp-grid values — no interpolation, so determinism needs no Det
+    // rule-4 argument at any p. One entity-bounded window (bounded
+    // partition = observations per pixel) + one group-by; two shuffles on
+    // the same key at any scale (AQE coalesces the tiny groups here).
+    Q("eo_composite_percentile", Some(
+      "WITH b AS (SELECT user_id, " + sqlS6("value") + " AS v6 FROM events), " +
+        "r AS (SELECT user_id, v6, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY v6) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY user_id) AS n FROM b) " +
+        "SELECT user_id, " +
+        "MIN(CASE WHEN rn = ((n-1) * 1) // 10 + 1 THEN v6 END) AS p10, " +
+        "MIN(CASE WHEN rn = ((n-1) * 5) // 10 + 1 THEN v6 END) AS p50, " +
+        "MIN(CASE WHEN rn = ((n-1) * 9) // 10 + 1 THEN v6 END) AS p90 " +
+        "FROM r GROUP BY user_id ORDER BY user_id"),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("v6")
+        val wAll = Window.partitionBy("user_id")
+        def pick(k: Int) = min(when(
+          col("rn") === expr(s"((n - 1) * $k) div 10") + 1, col("v6")))
+        T.events(s, d)
+          .select(col("user_id"), s6(col("value")).as("v6"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .groupBy("user_id")
+          .agg(pick(1).as("p10"), pick(5).as("p50"), pick(9).as("p90"))
+          .orderBy("user_id")
+      }),
+
+    // MAD composite (round 8) — the dispersion member of the ODC TMAD
+    // stat family [PK odc-stats tmads], in its 1-D per-band form: per
+    // pixel group, the median absolute deviation around the temporal
+    // median (both medians nearest-rank-lower on the 6-dp grid — all
+    // integer index math, no interpolation). The per-group median table
+    // is group-level (one row per pixel group) and joins back broadcast;
+    // at archive scale it follows the same key-partitioned join as any
+    // group-stat reattachment. Robust-dispersion screens cloud/sensor
+    // artifacts the mean/stddev composite absorbs.
+    Q("eo_composite_mad", Some(
+      "WITH b AS (SELECT user_id, " + sqlS6("value") + " AS v6 FROM events), " +
+        "r AS (SELECT user_id, v6, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY v6) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY user_id) AS n FROM b), " +
+        "med AS (SELECT user_id, MIN(CASE WHEN rn = (n-1) // 2 + 1 THEN v6 END) AS med " +
+        "FROM r GROUP BY user_id), " +
+        "dev AS (SELECT b.user_id, m.med, ABS(b.v6 - m.med) AS ad " +
+        "FROM b JOIN med m ON b.user_id = m.user_id), " +
+        "r2 AS (SELECT user_id, med, ad, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ad) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY user_id) AS n FROM dev) " +
+        "SELECT user_id, MIN(med) AS med, " +
+        "MIN(CASE WHEN rn = (n-1) // 2 + 1 THEN ad END) AS mad " +
+        "FROM r2 GROUP BY user_id ORDER BY user_id"),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("v6")
+        val wAll = Window.partitionBy("user_id")
+        val b = T.events(s, d)
+          .select(col("user_id"), s6(col("value")).as("v6"))
+        val med = b
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .groupBy("user_id")
+          .agg(min(when(col("rn") === expr("(n - 1) div 2") + 1, col("v6"))).as("med"))
+        val w2 = Window.partitionBy("user_id").orderBy("ad")
+        b.join(broadcast(med), "user_id")
+          .withColumn("ad", abs(col("v6") - col("med")))
+          .withColumn("rn", row_number().over(w2))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .groupBy("user_id")
+          .agg(min(col("med")).as("med"),
+            min(when(col("rn") === expr("(n - 1) div 2") + 1, col("ad"))).as("mad"))
+          .orderBy("user_id")
+      }),
+
+    // Windowed tile read (round 8) — the COG window / rasterio partial-
+    // read analogue: RasterGrid.windowRead prunes to the tiles the global
+    // pixel bbox [4,12)×[8,40) intersects (a tile-KEY predicate — the
+    // partition prune at archive scale) and crops each survivor's packed
+    // array to the in-bbox pixels. Graded on the full-tile t=0 slice
+    // (positional math needs the 16x16 geometry, as eo_tile_downsample
+    // established); the oracle applies the same global-coordinate
+    // predicate relationally. Tiles 0-2 survive — tile 0 and 2 partially
+    // cropped, tile 1 fully inside on y — so the key checks both the
+    // prune and the crop edge arithmetic.
+    Q("eo_window_read", Some(
+      "WITH px AS (SELECT (event_id // 4) // 256 AS tile, (event_id // 4) % 256 AS pos, " +
+        "event_id % 4 AS t, CAST(user_id AS DOUBLE) AS v FROM events), " +
+        "full_t AS (SELECT tile FROM px WHERE t = 0 GROUP BY tile HAVING COUNT(*) = 256), " +
+        "win AS (SELECT tile, pos, v FROM px JOIN full_t USING (tile) WHERE t = 0 " +
+        "AND pos % 16 >= 4 AND pos % 16 < 12 " +
+        "AND tile * 16 + pos // 16 >= 8 AND tile * 16 + pos // 16 < 40) " +
+        "SELECT tile, CAST(COUNT(*) AS BIGINT) AS n_px, " +
+        "CAST(SUM(CAST(v AS BIGINT)) AS BIGINT) AS sum_v, " +
+        "CAST(SUM(CAST(v AS BIGINT) * (pos + 1)) AS BIGINT) AS checksum " +
+        "FROM win GROUP BY tile ORDER BY tile"),
+      (s, d) => {
+        val grid = eventTiles(s, d, Seq("v" -> col("user_id")))
+          .where(size(col("data")) === 256 && col("time") === 0)
+        val win = graft.raster.RasterGrid.windowRead(
+          grid, h = 16, w = 16, x0 = 4, x1 = 12, y0 = 8, y1 = 40)
+        win.select(col("tile_y").cast("long").as("tile"),
+            explode(col("win")).as("e"))
+          .select(col("tile"), col("e.pos").as("pos"),
+            col("e.v").cast("long").as("v"))
+          .groupBy("tile")
+          .agg(
+            count(lit(1)).as("n_px"),
+            sum(col("v")).as("sum_v"),
+            sum(col("v") * (col("pos") + 1)).as("checksum"))
+          .orderBy("tile")
+      }),
+
     // Z-order (Morton) spatial key (round 8) — the 100-TB LAYOUT primitive:
     // interleaving the bits of the grid (x, y) gives a 1-D key whose ranges
     // are spatially compact, so sorting/range-partitioning a 100-TB scene

@@ -208,6 +208,36 @@ object RasterGrid {
     acc
   }
 
+  /** Windowed read (the COG window / rasterio partial-read analogue
+    * [PK rasterio windowed reading]): keep only tiles intersecting the
+    * half-open GLOBAL pixel bbox [x0,x1)×[y0,y1) — tile (tile_y, tile_x)
+    * spans [tile_x·w,(tile_x+1)·w)×[tile_y·h,(tile_y+1)·h) — then crop
+    * each surviving tile's packed array to the pixels inside the bbox,
+    * kept as (pos, v) structs so positions stay addressable downstream.
+    *
+    * At 100 TB the tile-intersect predicate is the whole point: it is a
+    * comparison on the tile KEY columns, so with (tile_y, tile_x) as
+    * partition/bucket keys it becomes a partition prune (and a parquet
+    * min/max skip otherwise) — the pixel crop only ever touches tiles the
+    * bbox intersects, never the archive. */
+  def windowRead(df: DataFrame, h: Int, w: Int,
+      x0: Int, x1: Int, y0: Int, y1: Int): DataFrame = {
+    val pruned = df.where(
+      col("tile_x") * w < x1 && (col("tile_x") + 1) * w > x0 &&
+        col("tile_y") * h < y1 && (col("tile_y") + 1) * h > y0)
+    pruned.withColumn("win",
+      filter(
+        transform(sequence(lit(0), size(col("data")) - 1),
+          i => struct(i.as("pos"), element_at(col("data"), i + 1).as("v"))),
+        e => {
+          val pos = e.getField("pos")
+          val gx = col("tile_x") * w + pos % w
+          val gy = col("tile_y") * h + (pos / w).cast("int")
+          gx >= x0 && gx < x1 && gy >= y0 && gy < y1
+        }))
+      .drop("data")
+  }
+
   /** Zonal statistics: per-zone pixel mean/count where the zone id comes
     * from a second, tile-aligned integer raster (rasterized polygons).
     * This op is genuinely pixel-relational — each pixel's (zone, value)

@@ -150,6 +150,30 @@ class RasterSpec extends SparkSpec {
     }
   }
 
+  test("windowRead prunes to intersecting tiles and crops to the exact bbox") {
+    // value encodes the global coordinate so the crop is fully checkable
+    val g = grid("b1")((x, y, t) => (1000 * t + 100 * y + x).toFloat)
+    // bbox [3,13)x[5,14) over the 16x16 global grid: hits all 4 tiles
+    val win = RasterGrid.windowRead(g, H, W, x0 = 3, x1 = 13, y0 = 5, y1 = 14)
+    assert(win.count() == 4 * 3) // every tile intersects, all 3 times
+    val got = win.select(col("tile_y"), col("tile_x"), col("time"),
+        explode(col("win")).as("e"))
+      .select(col("tile_y"), col("tile_x"), col("time"),
+        col("e.pos").as("pos"), col("e.v").as("v"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getFloat(4))).toSet
+    val want = (for {
+      t <- 0 until 3; ty <- 0 until 2; tx <- 0 until 2
+      py <- 0 until H; px <- 0 until W
+      x = tx * W + px; y = ty * H + py
+      if x >= 3 && x < 13 && y >= 5 && y < 14
+    } yield (ty, tx, t, py * W + px, (1000 * t + 100 * y + x).toFloat)).toSet
+    assert(got == want)
+    // a bbox left of the grid prunes every tile before any pixel math
+    assert(RasterGrid.windowRead(g, H, W, -20, -4, 0, 16).count() == 0)
+  }
+
   test("zonal stats aggregate pixel values by an aligned zone raster") {
     val v = grid("b1")((x, y, t) => 1.0f) // every pixel contributes 1
     val zones = grid("zone")((x, y, t) => (if (x < 8) 0 else 1).toFloat)
