@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Det, Q, Tables => T}
@@ -699,5 +700,103 @@ object LlmExtras {
         T.documents(s, d)
           .select(col("doc_id"),
             md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")).as("fp"))
-          .orderBy("doc_id")))
+          .orderBy("doc_id")),
+
+    // Okapi BM25 relevance scoring (round 8) [PK Robertson & Zaragoza
+    // 2009]: top-10 docs for a fixed 3-term query, k1=1.2 b=0.75. The
+    // corpus stats (N, Σdl → avgdl; df per query term) are tiny and
+    // broadcast; tf is computed ONLY for the query terms (the isin filter
+    // prunes the exploded stream before its one partial-agg shuffle), so
+    // cost is ~linear in corpus tokens with no wide shuffle — the shape
+    // that serves interactive retrieval over a 100-TB corpus. Per-term
+    // scores canonicalize to the 6-dp grid BEFORE the per-doc sum (Det
+    // rule 3: the sum of ≤3 longs is order-free); LN carries the same
+    // 1-ulp residual risk every scoring key accepts. Top-10 is
+    // TakeOrderedAndProject (per-partition heaps), never a global sort.
+    Q("llm_bm25", Some(
+      "WITH dls AS (SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS dl FROM documents), " +
+        "corp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl FROM dls), " +
+        "tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM " +
+        "(SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents) " +
+        "WHERE tok IN ('spark', 'merge', 'window') GROUP BY doc_id, tok), " +
+        "df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok), " +
+        "term AS (SELECT t.doc_id, " +
+        "CAST(FLOOR(LN((CAST(c.n AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5) + 1) * " +
+        "(CAST(t.tf AS DOUBLE) * 2.2) / (CAST(t.tf AS DOUBLE) + 1.2 * " +
+        "(1 - 0.75 + 0.75 * CAST(l.dl AS DOUBLE) / (CAST(c.sumdl AS DOUBLE) / CAST(c.n AS DOUBLE)))) " +
+        "* 1e6 + 0.5) AS BIGINT) AS ts6 " +
+        "FROM tf t JOIN df f USING (tok) JOIN dls l ON t.doc_id = l.doc_id CROSS JOIN corp c) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms, " +
+        "CAST(SUM(ts6) AS BIGINT) AS bm25_6 " +
+        "FROM term GROUP BY doc_id ORDER BY bm25_6 DESC, doc_id LIMIT 10"),
+      (s, d) => {
+        val queryTerms = Seq("spark", "merge", "window")
+        val dls = T.documents(s, d)
+          .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+        val corp = dls.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+        val tf = T.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .where(col("tok").isin(queryTerms: _*))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val nD = col("n").cast("double"); val dfD = col("df").cast("double")
+        val tfD = col("tf").cast("double"); val dlD = col("dl").cast("double")
+        val avgdl = col("sumdl").cast("double") / nD
+        val ts6 = floor(log((nD - dfD + lit(0.5)) / (dfD + lit(0.5)) + lit(1)) *
+          (tfD * lit(2.2)) / (tfD + lit(1.2) *
+            (lit(1) - lit(0.75) + lit(0.75) * dlD / avgdl)) *
+          lit(1e6) + lit(0.5)).cast("long")
+        tf.join(broadcast(df), "tok")
+          .join(dls, "doc_id")
+          .crossJoin(broadcast(corp))
+          .select(col("doc_id"), ts6.as("ts6"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_terms"), sum(col("ts6")).as("bm25_6"))
+          .orderBy(col("bm25_6").desc, col("doc_id"))
+          .limit(10)
+      }),
+
+    // Winnowing document fingerprints (round 8) [PK Schleimer, Wilkerson
+    // & Aiken 2003, SIGMOD]: token-trigram hashes (portable Det.hash32),
+    // guarantee window w=4, fingerprint set = the distinct window minima
+    // per doc — the local-algorithm property (any shared substring ≥
+    // k+w-1 tokens shares a fingerprint) without shipping every k-gram.
+    // Full windows only (pos ≥ 3): the boundary rule is spelled
+    // identically on both engines; docs shorter than k+w-1 = 7 tokens
+    // have no full window and drop out by construction. Per doc the
+    // window pass is an entity-bounded (doc_id, pos) window — bounded
+    // partitions, linear at any corpus scale; ~1/w of k-gram hashes
+    // survive as fingerprints (the winnowing density bound), which is
+    // the 100-TB win over llm_chunk_dedup-style exhaustive k-gram sets.
+    Q("llm_winnow", Some(
+      "WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents), " +
+        "k AS (SELECT doc_id, i - 1 AS pos, " +
+        "CAST(md5_number_upper(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) & 4294967295 AS BIGINT) AS kh " +
+        "FROM t, UNNEST(RANGE(1, LEN(t) - 1)) AS g(i) WHERE LEN(t) >= 3), " +
+        "w AS (SELECT doc_id, pos, MIN(kh) OVER (PARTITION BY doc_id ORDER BY pos " +
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel FROM k), " +
+        "f AS (SELECT DISTINCT doc_id, sel FROM w WHERE pos >= 3) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp, " +
+        "CAST(MIN(sel) AS BIGINT) AS min_fp, CAST(SUM(sel) AS BIGINT) AS sum_fp " +
+        "FROM f GROUP BY doc_id ORDER BY doc_id"),
+      (s, d) => {
+        val kgrams = T.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .where(size(col("t")) >= 3)
+          .select(col("doc_id"), posexplode(transform(
+            sequence(lit(0), size(col("t")) - 3),
+            i => Det.hash32(concat_ws(" ",
+              element_at(col("t"), i + 1),
+              element_at(col("t"), i + 2),
+              element_at(col("t"), i + 3))))).as(Seq("pos", "kh")))
+        val w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
+        kgrams
+          .withColumn("sel", min(col("kh")).over(w))
+          .where(col("pos") >= 3)
+          .select("doc_id", "sel").distinct()
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_fp"),
+            min(col("sel")).as("min_fp"), sum(col("sel")).as("sum_fp"))
+          .orderBy("doc_id")
+      }))
 }

@@ -153,6 +153,14 @@ class PlanContractSpec extends SparkSpec {
       s"z-order key gained a join/window stage:\n$p")
   }
 
+  test("llm_bm25 takes its top-10 with per-partition heaps, stats broadcast") {
+    val p = planOf("llm_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bm25 top-k became a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"bm25 corpus stats are not broadcast:\n$p")
+  }
+
   test("global sweep: no key plans a cartesian product or a python fallback") {
     // join_cross IS the cartesian semantics (125-row dimension square);
     // everything else must never degrade to one, and nothing may fall to
