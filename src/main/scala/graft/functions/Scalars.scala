@@ -52,6 +52,33 @@ object Scalars {
             regexp_replace(col("p_name"), "[aeiou]", "").as("consonants"))
           .orderBy("p_partkey")),
 
+    // URL parsing (round 8): Spark's parse_url (HOST / PATH / QUERY-key
+    // extraction) over synthesized URLs; DuckDB has no parse_url, so the
+    // oracle spells the SAME component grammar as anchored regexes —
+    // which is itself the graded claim: parse_url's component split on
+    // well-formed URLs equals the RFC-shaped regex. Provenance/source
+    // URLs are a standard column of web-scale training corpora, and the
+    // host extract is the key for per-domain dedup/quality grouping.
+    Q("fn_url", Some(
+      "WITH u AS (SELECT event_id, 'https://' || event_type || '.example.com/u/' || " +
+        "CAST(user_id AS VARCHAR) || '?v=' || CAST(event_id % 97 AS VARCHAR) || '&x=1' AS url FROM events) " +
+        "SELECT event_id, REGEXP_EXTRACT(url, '^[a-z]+://([^/?#]+)', 1) AS host, " +
+        "REGEXP_EXTRACT(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path, " +
+        "REGEXP_EXTRACT(url, '[?&]v=([^&#]*)', 1) AS v_param " +
+        "FROM u ORDER BY event_id"),
+      (s, d) =>
+        T.events(s, d)
+          .select(col("event_id"), concat(
+            lit("https://"), col("event_type"), lit(".example.com/u/"),
+            col("user_id").cast("string"), lit("?v="),
+            (col("event_id") % 97).cast("string"), lit("&x=1")).as("url"))
+          .select(
+            col("event_id"),
+            parse_url(col("url"), lit("HOST")).as("host"),
+            parse_url(col("url"), lit("PATH")).as("path"),
+            parse_url(col("url"), lit("QUERY"), lit("v")).as("v_param"))
+          .orderBy("event_id")),
+
     // dayofweek is deliberately absent (numbering differs across engines);
     // datediff(end, start) maps to DuckDB date_diff('day', start, end).
     Q("fn_datetime", Some(

@@ -536,6 +536,45 @@ object EO {
           .orderBy("level", "tile")
       }),
 
+    // Focal statistics (round 8) — the neighborhood-op class (GDAL focal
+    // stats / xarray rolling [PK]): 3×3 unnormalized box sum over each
+    // tile's 14×14 interior via RasterGrid.focalSum3x3, map-only per
+    // tile. The halo problem is the scale design point: edge pixels need
+    // neighbor-tile borders, so the primitive computes the interior and
+    // the halo exchange composes explicitly (see focalSum3x3 scaladoc).
+    // Same full-tile t=0 slice as the other positional tile keys; the
+    // oracle spells the 9-neighbor sum as a bounded relational self-join.
+    Q("eo_tile_focal", Some(
+      "WITH px AS (SELECT (event_id // 4) // 256 AS tile, " +
+        "((event_id // 4) % 256) // 16 AS py, ((event_id // 4) % 256) % 16 AS px, " +
+        "event_id % 4 AS t, CAST(user_id AS BIGINT) AS v FROM events), " +
+        "full_t AS (SELECT tile FROM px WHERE t = 0 GROUP BY tile HAVING COUNT(*) = 256), " +
+        "p0 AS (SELECT tile, py, px, v FROM px JOIN full_t USING (tile) WHERE t = 0), " +
+        "fs AS (SELECT o.tile, (o.py - 1) * 14 + (o.px - 1) AS opos, " +
+        "CAST(SUM(nb.v) AS BIGINT) AS fsum " +
+        "FROM p0 o JOIN p0 nb ON nb.tile = o.tile " +
+        "AND nb.py BETWEEN o.py - 1 AND o.py + 1 AND nb.px BETWEEN o.px - 1 AND o.px + 1 " +
+        "WHERE o.py BETWEEN 1 AND 14 AND o.px BETWEEN 1 AND 14 " +
+        "GROUP BY o.tile, opos) " +
+        "SELECT tile, CAST(COUNT(*) AS BIGINT) AS n_out, " +
+        "CAST(SUM(fsum) AS BIGINT) AS sum_fs, " +
+        "CAST(SUM(fsum * (opos + 1)) AS BIGINT) AS checksum " +
+        "FROM fs GROUP BY tile ORDER BY tile"),
+      (s, d) => {
+        val grid = eventTiles(s, d, Seq("v" -> col("user_id")))
+          .where(size(col("data")) === 256 && col("time") === 0)
+        val foc = graft.raster.RasterGrid.focalSum3x3(grid, h = 16, w = 16)
+        foc.select(col("tile_y").cast("long").as("tile"),
+            posexplode(col("data")).as(Seq("opos", "v")))
+          .withColumn("fsum", col("v").cast("long"))
+          .groupBy("tile")
+          .agg(
+            count(lit(1)).as("n_out"),
+            sum(col("fsum")).as("sum_fs"),
+            sum(col("fsum") * (col("opos") + 1)).as("checksum"))
+          .orderBy("tile")
+      }),
+
     // Percentile composite (round 8) — the ODC percentile stat product
     // [PK odc-stats percentile]: per pixel (user_id as the pixel-group
     // analogue, as eo_composite_median established), the p10/p50/p90 of

@@ -152,6 +152,46 @@ object Relational {
           .orderBy("bucket")
       }),
 
+    // Bucketed co-located join (round 8) — the shuffle-FREE big-big join:
+    // both sides are written bucketBy(8) + sortBy on the join key, so the
+    // sort-merge join reads co-located, pre-sorted buckets and plans ZERO
+    // hash exchanges (PlanContractSpec pins it). At 100 TB this is the
+    // difference between shuffling two fact tables per query and paying
+    // the layout cost once at ingest — the bucket count scales to
+    // cluster width (thousands), 8 here only to keep the graded write
+    // small. The group-by on a superset of the bucket key also rides the
+    // same distribution (hash on o_orderkey co-locates every
+    // (o_orderkey, o_custkey) group). Oracle = the identical join + agg
+    // over the unbucketed truth, so the bucketed write/read loop is
+    // value-graded like every other storage key.
+    Q("join_bucketed", Some(
+      "SELECT o_orderkey, o_custkey, CAST(COUNT(*) AS BIGINT) AS n_items, " +
+        sqlCentSum("l_extendedprice") + " AS rev_cents " +
+        "FROM orders JOIN lineitem ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderkey, o_custkey ORDER BY o_orderkey"),
+      (s, d) => {
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed"
+        T.orders(s, d).select("o_orderkey", "o_custkey")
+          .write.mode("overwrite")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$base/orders").saveAsTable("graft_buck_orders")
+        T.lineitem(s, d).select("l_orderkey", "l_extendedprice")
+          .write.mode("overwrite")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$base/lineitem").saveAsTable("graft_buck_lineitem")
+        // merge hint: at graded scale the small side would broadcast and
+        // the co-located path would go untested; at 100 TB two fact
+        // tables take SMJ anyway (the hint pins the physical path the key
+        // exists to grade, the join_smj precedent)
+        s.table("graft_buck_orders").hint("merge")
+          .join(s.table("graft_buck_lineitem"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderkey", "o_custkey")
+          .agg(count(lit(1)).as("n_items"),
+            centSum(col("l_extendedprice")).as("rev_cents"))
+          .orderBy("o_orderkey")
+      }),
+
     Q("project_arith", Some(
       "SELECT l_orderkey, l_linenumber, " +
         sqlS6("l_extendedprice * (1 - l_discount) * (1 + l_tax)") + " AS net_charge, " +

@@ -208,6 +208,32 @@ object RasterGrid {
     acc
   }
 
+  /** 3×3 focal (neighborhood) SUM over each tile's interior — the box-
+    * filter member of the focal-statistics family (GDAL focal stats /
+    * xarray rolling [PK]). Output is the (h−2)×(w−2) interior: edge
+    * pixels need the neighboring tile's halo, and at 100 TB the halo
+    * exchange is its own shuffle (ship each tile's 1-pixel border to its
+    * 8 neighbors, ~4/w extra rows) — deliberately NOT hidden inside this
+    * map-only primitive; compose it explicitly when borders matter.
+    * Unnormalized sum, not mean: small-integer pixel sums stay exact in
+    * float32, while /9 is non-dyadic and would leave the integer grid. */
+  def focalSum3x3(df: DataFrame, h: Int, w: Int): DataFrame = {
+    require(h >= 3 && w >= 3, "focal window needs a 3x3 interior")
+    val oh = h - 2; val ow = w - 2
+    val out = transform(
+      sequence(lit(0), lit(oh * ow - 1)),
+      o => {
+        val oy = (o / ow).cast("int") + 1; val ox = (o % ow).cast("int") + 1
+        val offs = sequence(lit(0), lit(8))
+        aggregate(offs, lit(0.0f), (acc, k) => {
+          val dy = (k / 3).cast("int") - 1; val dx = (k % 3).cast("int") - 1
+          acc + element_at(col("data"), (oy + dy) * w + (ox + dx) + 1)
+        })
+      })
+    df.select(col("product"), col("band"), col("time"),
+      col("tile_y"), col("tile_x"), out.as("data"))
+  }
+
   /** Windowed read (the COG window / rasterio partial-read analogue
     * [PK rasterio windowed reading]): keep only tiles intersecting the
     * half-open GLOBAL pixel bbox [x0,x1)×[y0,y1) — tile (tile_y, tile_x)

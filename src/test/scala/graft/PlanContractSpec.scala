@@ -153,6 +153,18 @@ class PlanContractSpec extends SparkSpec {
       s"z-order key gained a join/window stage:\n$p")
   }
 
+  test("join_bucketed plans a co-located sort-merge join — zero hash exchanges") {
+    // both sides bucketed+sorted on the join key: the SMJ must read the
+    // buckets directly, and the group-by on a superset of the bucket key
+    // must ride the same distribution. The only allowed exchange is the
+    // presentation sort's range partitioning.
+    val df = SparkEntry.queries("join_bucketed")(spark, sfDir)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(p.contains("SortMergeJoin"), s"bucketed join not SMJ:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join/agg shuffled — bucket pruning lost:\n$p")
+  }
+
   test("llm_bm25 takes its top-10 with per-partition heaps, stats broadcast") {
     val p = planOf("llm_bm25")
     assert(p.contains("TakeOrderedAndProject"),

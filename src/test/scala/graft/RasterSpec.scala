@@ -150,6 +150,23 @@ class RasterSpec extends SparkSpec {
     }
   }
 
+  test("focal 3x3 sum matches brute force on the tile interior") {
+    val g = grid("b1")((x, y, t) => (x + 10 * y + t).toFloat)
+    val foc = RasterGrid.focalSum3x3(g, H, W)
+    assert(foc.count() == 2 * 2 * 3)
+    val row = foc.where(col("tile_x") === 1 && col("tile_y") === 0 &&
+      col("time") === 1).head()
+    val data = row.getAs[scala.collection.Seq[Float]]("data")
+    assert(data.length == (H - 2) * (W - 2))
+    for (oy <- 0 until H - 2; ox <- 0 until W - 2) {
+      val want = (for (dy <- -1 to 1; dx <- -1 to 1) yield {
+        val x = W + (ox + 1 + dx); val y = oy + 1 + dy
+        (x + 10 * y + 1).toFloat
+      }).sum
+      assert(data(oy * (W - 2) + ox) == want, s"mismatch at ($ox,$oy)")
+    }
+  }
+
   test("windowRead prunes to intersecting tiles and crops to the exact bbox") {
     // value encodes the global coordinate so the crop is fully checkable
     val g = grid("b1")((x, y, t) => (1000 * t + 100 * y + x).toFloat)
