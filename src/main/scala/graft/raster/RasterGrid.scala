@@ -220,15 +220,24 @@ object RasterGrid {
   def focalSum3x3(df: DataFrame, h: Int, w: Int): DataFrame = {
     require(h >= 3 && w >= 3, "focal window needs a 3x3 interior")
     val oh = h - 2; val ow = w - 2
+    // ONE transform whose body is a FLAT 9-term addition unrolled at plan
+    // build time (the dy/dx offsets are Scala literals, so the window
+    // never needs an inner `aggregate` fold): higher-order eval is
+    // interpreted, so the cost of the original 9-step fold was lambda
+    // dispatch + a per-pixel offsets array, not arithmetic. A two-pass
+    // separable form (rowsum alias + vertical pass) was tried and
+    // REVERTED: Catalyst substitutes the multiply-referenced array alias
+    // across projections (and into pushed-down predicates), nesting the
+    // h*w rowsum transform inside each of the 3 vertical reads —
+    // O(tile^2) per output pixel, observed as a ~1000 s stall at sf0.1.
+    // Keep focal windows as single self-contained transforms.
     val out = transform(
       sequence(lit(0), lit(oh * ow - 1)),
       o => {
         val oy = (o / ow).cast("int") + 1; val ox = (o % ow).cast("int") + 1
-        val offs = sequence(lit(0), lit(8))
-        aggregate(offs, lit(0.0f), (acc, k) => {
-          val dy = (k / 3).cast("int") - 1; val dx = (k % 3).cast("int") - 1
-          acc + element_at(col("data"), (oy + dy) * w + (ox + dx) + 1)
-        })
+        val c = oy * w + ox + 1 // 1-based center index into data
+        (for (dy <- -1 to 1; dx <- -1 to 1)
+          yield element_at(col("data"), c + dy * w + dx)).reduce(_ + _)
       })
     df.select(col("product"), col("band"), col("time"),
       col("tile_y"), col("tile_x"), out.as("data"))
