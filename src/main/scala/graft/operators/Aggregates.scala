@@ -50,6 +50,57 @@ object Aggregates {
       "CAST(COUNT(*) AS BIGINT) AS count_order " +
       "FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
 
+  // ---- HyperLogLog plumbing shared by agg_hll and agg_hll_merge (the
+  // ---- sketch build/estimate is identical; only the register source
+  // ---- differs). See the agg_hll key comment for the numeric argument.
+  private val HllM = 256
+  private val HllAlpha = 0.7213 / (1 + 1.079 / HllM)
+
+  /** rho = leading-zero count of the 24 post-bucket hash bits + 1, as a
+    * comparison chain over `w` — no log2, no floor-boundary risk. */
+  private def hllRho: Column =
+    (1 to 24).foldRight(lit(25): Column) { (r, acc) =>
+      when(col("w") >= (1L << (24 - r)), r).otherwise(acc)
+    }
+
+  private val hllRhoSql: String = (1 to 24).map(r =>
+    s"WHEN w >= ${1L << (24 - r)} THEN $r").mkString(
+    "CASE ", " ", " ELSE 25 END")
+
+  /** (event_type, hv) from events — the hashed item stream. */
+  private def hllItems(s: SparkSession, d: String): DataFrame =
+    T.events(s, d).select(col("event_type"),
+      hash32(col("user_id").cast("string")).as("hv"))
+
+  /** Estimate from a finished register table (event_type, j, mreg):
+    * exact-dyadic harmonic sum + the published linear-counting
+    * correction below 2.5m. */
+  private def hllEstimate(regs: DataFrame): DataFrame = {
+    val eraw = lit(HllAlpha) * HllM * HllM /
+      (col("spresent") + (lit(HllM) - col("npresent")).cast("double"))
+    val v = lit(HllM.toLong) - col("npresent")
+    regs.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("npresent"),
+        sum(lit(1.0) / expr("CAST(shiftleft(1L, mreg) AS DOUBLE)")).as("spresent"))
+      .select(col("event_type"),
+        s0(when(eraw <= 2.5 * HllM && v > 0,
+          lit(HllM) * log(lit(HllM.toDouble) / v)).otherwise(eraw)).as("approx_users"))
+      .orderBy("event_type")
+  }
+
+  /** Oracle tail from a `regs(event_type, j, mreg)` CTE — textually the
+    * same estimate arithmetic as [[hllEstimate]]. */
+  private def hllEstimateSql(withRegsCtes: String): String =
+    withRegsCtes +
+      ", agg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS npresent, " +
+      "SUM(1.0 / CAST(CAST(1 AS BIGINT) << mreg AS DOUBLE)) AS spresent FROM regs GROUP BY event_type), " +
+      s"est AS (SELECT event_type, CAST($HllM AS BIGINT) - npresent AS v, " +
+      s"CAST($HllAlpha AS DOUBLE) * $HllM * $HllM / (spresent + CAST($HllM - npresent AS DOUBLE)) AS eraw FROM agg) " +
+      "SELECT event_type, " +
+      sqlS0(s"CASE WHEN eraw <= ${2.5 * HllM} AND v > 0 THEN $HllM * LN(CAST($HllM AS DOUBLE) / v) ELSE eraw END") +
+      " AS approx_users FROM est ORDER BY event_type"
+
   val all: Seq[Q] = Seq(
 
     Q("agg_group", Some(aggGroupOracle), aggGroup),
@@ -92,46 +143,83 @@ object Aggregates {
     // 2.5m exactly as published. Accuracy stays property-tested (±5%
     // vs exact; at this corpus's ~150 distinct per group the LC regime
     // estimate is within ~1%).
-    Q("agg_hll", Some {
-      val m = 256
-      val alpha = 0.7213 / (1 + 1.079 / m)
-      val rhoSql = (1 to 24).map(r =>
-        s"WHEN w >= ${1L << (24 - r)} THEN $r").mkString(
-        "CASE ", " ", " ELSE 25 END")
+    Q("agg_hll", Some(hllEstimateSql(
       "WITH h AS (SELECT event_type, " + sqlHash32("CAST(user_id AS VARCHAR)") + " AS hv " +
         "FROM events), " +
-        s"jr AS (SELECT event_type, hv % $m AS j, hv // $m AS w FROM h), " +
-        s"regs AS (SELECT event_type, j, MAX($rhoSql) AS mreg FROM jr GROUP BY event_type, j), " +
-        "agg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS npresent, " +
-        "SUM(1.0 / CAST(CAST(1 AS BIGINT) << mreg AS DOUBLE)) AS spresent FROM regs GROUP BY event_type), " +
-        s"est AS (SELECT event_type, CAST($m AS BIGINT) - npresent AS v, " +
-        s"CAST($alpha AS DOUBLE) * $m * $m / (spresent + CAST($m - npresent AS DOUBLE)) AS eraw FROM agg) " +
-        "SELECT event_type, " +
-        sqlS0(s"CASE WHEN eraw <= ${2.5 * m} AND v > 0 THEN $m * LN(CAST($m AS DOUBLE) / v) ELSE eraw END") +
-        " AS approx_users FROM est ORDER BY event_type"
+        s"jr AS (SELECT event_type, hv % $HllM AS j, hv // $HllM AS w FROM h), " +
+        s"regs AS (SELECT event_type, j, MAX($hllRhoSql) AS mreg FROM jr GROUP BY event_type, j)")),
+      (s, d) => {
+        val regs = hllItems(s, d)
+          .select(col("event_type"), (col("hv") % HllM).as("j"),
+            expr(s"hv div $HllM").as("w"))
+          .groupBy("event_type", "j")
+          .agg(max(hllRho).as("mreg"))
+        hllEstimate(regs)
+      }),
+
+    // Sketch MERGEABILITY, graded (round 8): two HLL sketches built
+    // INDEPENDENTLY on disjoint halves of the stream (event_id parity —
+    // the per-partition / per-day build at 100 TB, where each ingest
+    // batch keeps an O(m) sketch and the union is answered without
+    // re-touching the data), then merged register-wise by MAX and
+    // estimated. Register MAX over a partition of the items equals the
+    // global register, so the estimate must hash-match agg_hll — but the
+    // PLAN is the real merge path (two independent aggregations unioned),
+    // and the oracle spells the same split/merge, sealing the
+    // "sketches compose" claim the HLL key comment only asserted.
+    Q("agg_hll_merge", Some(hllEstimateSql(
+      "WITH h AS (SELECT event_type, event_id % 2 AS half, " +
+        sqlHash32("CAST(user_id AS VARCHAR)") + " AS hv FROM events), " +
+        s"jr AS (SELECT event_type, half, hv % $HllM AS j, hv // $HllM AS w FROM h), " +
+        s"partials AS (SELECT event_type, half, j, MAX($hllRhoSql) AS mreg " +
+        "FROM jr GROUP BY event_type, half, j), " +
+        "regs AS (SELECT event_type, j, MAX(mreg) AS mreg FROM partials GROUP BY event_type, j)")),
+      (s, d) => {
+        val jr = T.events(s, d).select(col("event_type"),
+            (col("event_id") % 2).as("half"),
+            hash32(col("user_id").cast("string")).as("hv"))
+          .select(col("event_type"), col("half"), (col("hv") % HllM).as("j"),
+            expr(s"hv div $HllM").as("w"))
+        val partials = jr.groupBy("event_type", "half", "j")
+          .agg(max(hllRho).as("mreg"))
+        val regs = partials.groupBy("event_type", "j").agg(max("mreg").as("mreg"))
+        hllEstimate(regs)
+      }),
+
+    // Count-Min sketch (Cormode & Muthukrishnan 2005), HAND-IMPLEMENTED
+    // relationally and oracle-graded like the HLL: d=4 rows × w=256
+    // counters; row i hashes an item to pmod(hash32(item || "#i"), w) and
+    // the point estimate is MIN over the 4 rows' counters. The sketch
+    // build is one count aggregation on (row, pos) — 1024 cells total
+    // regardless of stream size, merge = counter SUM (order-free) — and
+    // probing broadcasts the finished sketch to the query keys. Estimates
+    // are biased HIGH only (collisions add, never subtract): the ≥-exact
+    // bound and the published ε=e/w error bound are property-tested in
+    // SketchSpec; the oracle spells the identical sketch, grading the
+    // implementation itself.
+    Q("agg_countmin", Some {
+      val posSql = sqlHash32("event_type || '#' || CAST(rw AS VARCHAR)") + " % 256"
+      "WITH rows4 AS (SELECT UNNEST([0, 1, 2, 3]) AS rw), " +
+        s"cells AS (SELECT rw, $posSql AS pos FROM events CROSS JOIN rows4), " +
+        "sketch AS (SELECT rw, pos, CAST(COUNT(*) AS BIGINT) AS cnt FROM cells GROUP BY rw, pos), " +
+        "keys AS (SELECT DISTINCT event_type FROM events), " +
+        s"probes AS (SELECT event_type, rw, $posSql AS pos FROM keys CROSS JOIN rows4) " +
+        "SELECT p.event_type, MIN(s.cnt) AS est_n FROM probes p " +
+        "JOIN sketch s ON s.rw = p.rw AND s.pos = p.pos " +
+        "GROUP BY p.event_type ORDER BY p.event_type"
     },
       (s, d) => {
-        val m = 256
-        val alpha = 0.7213 / (1 + 1.079 / m)
-        val h = T.events(s, d).select(col("event_type"),
-          hash32(col("user_id").cast("string")).as("hv"))
-        val rho = (1 to 24).foldRight(lit(25): Column) { (r, acc) =>
-          when(col("w") >= (1L << (24 - r)), r).otherwise(acc)
-        }
-        val regs = h
-          .select(col("event_type"), (col("hv") % m).as("j"), expr(s"hv div $m").as("w"))
-          .groupBy("event_type", "j")
-          .agg(max(rho).as("mreg"))
-        val eraw = lit(alpha) * m * m /
-          (col("spresent") + (lit(m) - col("npresent")).cast("double"))
-        val v = lit(m.toLong) - col("npresent")
-        regs.groupBy("event_type")
-          .agg(
-            count(lit(1)).as("npresent"),
-            sum(lit(1.0) / expr("CAST(shiftleft(1L, mreg) AS DOUBLE)")).as("spresent"))
+        val cmD = 4; val cmW = 256
+        def positions(item: Column): Column = array((0 until cmD).map(i =>
+          pmod(hash32(concat(item, lit("#" + i))), lit(cmW))): _*)
+        val cells = T.events(s, d).select(
+          posexplode(positions(col("event_type"))).as(Seq("rw", "pos")))
+        val sketch = cells.groupBy("rw", "pos").agg(count(lit(1)).as("cnt"))
+        val probes = T.events(s, d).select("event_type").distinct()
           .select(col("event_type"),
-            s0(when(eraw <= 2.5 * m && v > 0,
-              lit(m) * log(lit(m.toDouble) / v)).otherwise(eraw)).as("approx_users"))
+            posexplode(positions(col("event_type"))).as(Seq("rw", "pos")))
+        probes.join(broadcast(sketch), Seq("rw", "pos"))
+          .groupBy("event_type").agg(min(col("cnt")).as("est_n"))
           .orderBy("event_type")
       }),
 

@@ -20,6 +20,37 @@ object Skew {
     * lineitem⋈part on partkey through 8 salts, then a per-brand rollup
     * with an exact cent sum; the oracle is the direct join + group. */
   val all: Seq[Q] = Seq(
+
+    // Runtime Bloom-filter join pruning, graded (round 8): the dim side's
+    // key set is folded into an 8192-bit / 4-hash Bloom filter (128
+    // longs), broadcast, and the FACT side is pruned by the filter BEFORE
+    // its join shuffle — the runtime-filter rewrite for the 100 TB case
+    // where the dim is too big to broadcast as a hash relation but its
+    // key membership compresses to a KB-scale bitmap, so the fact
+    // shuffle only carries probable matches (Bloom 1970; Spark's own
+    // InjectRuntimeFilter applies the same rewrite internally — this key
+    // grades OUR portable, deterministic construction). Bloom filters
+    // have NO false negatives, and the exact join runs after the prune,
+    // so the result is identical to the direct join: like join_salted,
+    // the oracle IS the plain join, sealing semantics preservation.
+    // False positives only cost shuffled rows; BloomSpec pins the
+    // measured prune rate and the no-false-negative construction.
+    Q("join_bloom", Some(
+      "SELECT o.o_orderkey, c.c_name, " + Det.sqlS2("o.o_totalprice") + " AS price_c " +
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "WHERE c.c_mktsegment = 'BUILDING' ORDER BY o.o_orderkey"),
+      (s, d) => {
+        val dim = T.customer(s, d)
+          .where(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey", "c_name")
+        val facts = T.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+        bloomPrune(facts, dim, "o_custkey", "c_custkey")
+          .join(dim.hint("merge"), col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("c_name"),
+            Det.s2(col("o_totalprice")).as("price_c"))
+          .orderBy("o_orderkey")
+      }),
+
     Q("join_salted", Some(
       "SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n, " +
         Det.sqlCentSum("l.l_extendedprice") + " AS revenue_c " +
@@ -35,6 +66,54 @@ object Skew {
             Det.centSum(col("l_extendedprice")).as("revenue_c"))
           .orderBy("p_brand")
       }))
+
+  // ---- Bloom-filter runtime pruning (join_bloom) ----
+
+  /** 8192 bits = 128 longs: broadcastable at any dim cardinality; at the
+    * ~1 bit/key regime (8k dim keys) FP ≈ (1-e^-k·n/m)^k ≈ 2.4% — each FP
+    * costs one shuffled fact row, never a wrong result. */
+  private val BloomBits = 8192
+  private val BloomK = 4
+
+  /** The k probe positions for one key — Det.hash32 over the key text
+    * plus a per-hash suffix, so build and probe sides agree bit-for-bit
+    * on any engine that can reproduce md5 (portability discipline shared
+    * with the sketch family). */
+  private def bloomPositions(key: Column): Seq[Column] =
+    (0 until BloomK).map(i =>
+      pmod(Det.hash32(concat(key.cast("string"), lit("#b" + i))), lit(BloomBits)))
+
+  /** Prune `facts` to rows whose `factKey` is PROBABLY in `dim.dimKey`:
+    * build the dim side's Bloom words (one tiny aggregation →
+    * `BloomBits/64` rows → a single map row), broadcast it, and keep the
+    * fact rows whose k probe bits are all set. No false negatives by
+    * construction (every inserted key set exactly the probed bits), so
+    * `prune → exact join ≡ exact join`. The fact side is touched
+    * map-only: no shuffle is added, and the downstream join's shuffle
+    * shrinks to the candidate set. */
+  def bloomPrune(
+      facts: DataFrame,
+      dim: DataFrame,
+      factKey: String,
+      dimKey: String): DataFrame = {
+    val words = dim
+      .select(explode(array(bloomPositions(col(dimKey)): _*)).as("p"))
+      .select(expr("CAST(p DIV 64 AS INT)").as("wi"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("bit"))
+      .groupBy("wi").agg(bit_or(col("bit")).as("bits"))
+    val filterRow = words.agg(
+      map_from_entries(collect_list(struct(col("wi"), col("bits")))).as("__bloom"))
+    val posCols = (0 until BloomK).map(i => s"__bp$i")
+    val withPos = bloomPositions(col(factKey)).zip(posCols)
+      .foldLeft(facts.crossJoin(broadcast(filterRow))) {
+        case (df, (p, name)) => df.withColumn(name, p)
+      }
+    val pass = posCols.map { bp =>
+      coalesce(element_at(col("__bloom"), expr(s"CAST($bp DIV 64 AS INT)")), lit(0L))
+        .bitwiseAND(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($bp % 64 AS INT))")) =!= 0L
+    }.reduce(_ && _)
+    withPos.where(pass).drop("__bloom" +: posCols: _*)
+  }
 
   /** `facts ⋈ dim ON key` rewritten as
     * `facts+salt ⋈ (dim × salt_range) ON (key, salt)`: each fact row gets

@@ -19,6 +19,33 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("agg_hll_merge: split-build-merge estimate equals the single-pass sketch") {
+    val merged = SparkEntry.queries("agg_hll_merge")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sorted
+    val single = SparkEntry.queries("agg_hll")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sorted
+    // register-wise MAX over any partition of the items equals the global
+    // register table, so the merge path must reproduce agg_hll exactly
+    assert(merged == single)
+  }
+
+  test("agg_countmin: estimates are >= exact counts and within e/w * N") {
+    val est = SparkEntry.queries("agg_countmin")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = exact.values.sum
+    // CMS bias is one-sided (collisions only ADD); published bound:
+    // est <= exact + (e/w) * N with prob 1 - e^-d (w=256, d=4)
+    val eps = math.E / 256.0
+    exact.foreach { case (k, n) =>
+      assert(est(k) >= n, s"$k: CMS underestimated — est=${est(k)} exact=$n")
+      assert(est(k) <= n + eps * total,
+        s"$k: est=${est(k)} exceeds exact=$n + ${eps * total}")
+    }
+  }
+
   test("llm_minhash candidates recall most exact near-dup pairs") {
     val exact = SparkEntry.queries("llm_dedup_near")(spark, sfDir)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -66,4 +66,23 @@ class SkewSpec extends SparkSpec {
     assert(salted.length == direct.length, "row multiplicity changed")
     assert(salted.map(_.toSeq).toSeq == direct.map(_.toSeq).toSeq)
   }
+
+  test("bloom prune keeps every matching fact row and actually prunes") {
+    val dim = Tables.customer(spark, sfDir)
+      .where(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val facts = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val pruned = Skew.bloomPrune(facts, dim, "o_custkey", "c_custkey")
+    // no false negatives: every fact row whose key IS in the dim survives
+    val matchingLost = facts.join(dim, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey")
+      .exceptAll(pruned.join(dim, col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey"))
+      .count()
+    assert(matchingLost == 0, s"bloom dropped $matchingLost matching rows")
+    // and it prunes: BUILDING is ~1/5 of customers, FP rate ~(n*k/m)^k —
+    // the candidate set must be well under the full fact table
+    val total = facts.count(); val kept = pruned.count()
+    assert(kept < total * 0.5, s"prune ineffective: kept $kept of $total")
+  }
 }
