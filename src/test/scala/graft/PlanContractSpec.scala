@@ -117,6 +117,22 @@ class PlanContractSpec extends SparkSpec {
     assert(!planOf("join_salted").contains("CartesianProduct"))
   }
 
+  test("round-8 bloom prune filters the fact side below the exact join") {
+    // the 128-long filter row arrives via a 1-row broadcast nested-loop
+    // (constant cost), the membership test runs as a Filter BELOW the
+    // merge join, and the exact join stays an SMJ — the fact shuffle only
+    // carries bloom candidates
+    val p = planOf("join_bloom")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"bloom filter row is not broadcast:\n$p")
+    assert(p.contains("SortMergeJoin"), s"exact join lost the SMJ hint:\n$p")
+    assert(!p.contains("CartesianProduct"), s"bloom prune went cartesian:\n$p")
+    val filterIdx = p.indexOf("Filter")
+    val smjIdx = p.indexOf("SortMergeJoin")
+    assert(filterIdx >= 0 && filterIdx > smjIdx,
+      s"bloom membership Filter is not below the SMJ in the plan tree:\n$p")
+  }
+
   test("round-8 banded ahash joins on band buckets, never all-pairs") {
     // the scale path mm_dedup_ahash's guard points at: candidates come
     // from a (format, band, value) equi-join over the persisted hash
