@@ -223,6 +223,32 @@ object Aggregates {
           .orderBy("event_type")
       }),
 
+    // EXACT distinct counting via 64-bit word bitmaps (round 8) — the
+    // dense-integer-ID regime where a bitmap beats both COUNT(DISTINCT)'s
+    // value shuffle and the HLL's approximation (the roaring-bitmap dense
+    // container / bitmap-index pattern). Each key sets bit (k % 64) of
+    // word (k div 64); partial state per (group, word) is a single long
+    // merged by BIT_OR — idempotent AND order-free, so duplicate keys
+    // collapse map-side and the shuffle carries at most maxkey/64 words
+    // per group NO MATTER how many input rows (at 100 TB: rows shrink to
+    // a fixed-size bitmap before moving). popcount-sum over words is the
+    // exact distinct count; the oracle is plain COUNT(DISTINCT), grading
+    // that the bitmap loses and invents nothing.
+    Q("agg_bitmap_distinct", Some(
+      "SELECT o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+      (s, d) => {
+        val words = T.orders(s, d)
+          .select(col("o_orderpriority"),
+            expr("o_custkey DIV 64").as("wi"),
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(o_custkey % 64 AS INT))").as("bit"))
+          .groupBy("o_orderpriority", "wi")
+          .agg(bit_or(col("bit")).as("bits"))
+        words.groupBy("o_orderpriority")
+          .agg(sum(expr("bit_count(bits)")).as("n_cust"))
+          .orderBy("o_orderpriority")
+      }),
+
     Q("agg_rollup", Some(
       "SELECT r_name, n_name, CAST(GROUPING(r_name, n_name) AS INTEGER) AS gid, " +
         "CAST(COUNT(*) AS BIGINT) AS n_cust, " + sqlCentSum("c_acctbal") + " AS sum_bal " +

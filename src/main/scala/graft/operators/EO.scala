@@ -575,6 +575,50 @@ object EO {
           .orderBy("tile")
       }),
 
+    // Horn 3×3 terrain gradient (round 8) — RasterGrid.focalGradient3x3
+    // driven end-to-end: the slope/aspect/hillshade building block
+    // graded on its exact integer-weighted component sums gx/gy (the
+    // atan/sqrt slope stays OUT of the graded surface — trig ulps are
+    // not cross-engine portable; Det discipline). Same events-derived
+    // 16×16 tiles and interior/halo contract as eo_tile_focal; the
+    // oracle spells the weighted neighbor join with the same
+    // (nb.px − o.px) · (2 if same row else 1) weights. Per-tile sums +
+    // position-weighted checksums pin every interior pixel's components.
+    Q("eo_tile_gradient", Some(
+      "WITH px AS (SELECT (event_id // 4) // 256 AS tile, " +
+        "((event_id // 4) % 256) // 16 AS py, ((event_id // 4) % 256) % 16 AS px, " +
+        "event_id % 4 AS t, CAST(user_id AS BIGINT) AS v FROM events), " +
+        "full_t AS (SELECT tile FROM px WHERE t = 0 GROUP BY tile HAVING COUNT(*) = 256), " +
+        "p0 AS (SELECT tile, py, px, v FROM px JOIN full_t USING (tile) WHERE t = 0), " +
+        "g AS (SELECT o.tile, (o.py - 1) * 14 + (o.px - 1) AS opos, " +
+        "CAST(SUM(nb.v * (nb.px - o.px) * (CASE WHEN nb.py = o.py THEN 2 ELSE 1 END)) AS BIGINT) AS gx, " +
+        "CAST(SUM(nb.v * (nb.py - o.py) * (CASE WHEN nb.px = o.px THEN 2 ELSE 1 END)) AS BIGINT) AS gy " +
+        "FROM p0 o JOIN p0 nb ON nb.tile = o.tile " +
+        "AND nb.py BETWEEN o.py - 1 AND o.py + 1 AND nb.px BETWEEN o.px - 1 AND o.px + 1 " +
+        "WHERE o.py BETWEEN 1 AND 14 AND o.px BETWEEN 1 AND 14 " +
+        "GROUP BY o.tile, opos) " +
+        "SELECT tile, CAST(COUNT(*) AS BIGINT) AS n_out, " +
+        "CAST(SUM(gx) AS BIGINT) AS sum_gx, CAST(SUM(gy) AS BIGINT) AS sum_gy, " +
+        "CAST(SUM(gx * (opos + 1)) AS BIGINT) AS cksum_x, " +
+        "CAST(SUM(gy * (opos + 1)) AS BIGINT) AS cksum_y " +
+        "FROM g GROUP BY tile ORDER BY tile"),
+      (s, d) => {
+        val grid = eventTiles(s, d, Seq("v" -> col("user_id")))
+          .where(size(col("data")) === 256 && col("time") === 0)
+        val g = graft.raster.RasterGrid.focalGradient3x3(grid, h = 16, w = 16)
+        g.select(col("tile_y").cast("long").as("tile"),
+            posexplode(arrays_zip(col("gx"), col("gy"))).as(Seq("opos", "p")))
+          .select(col("tile"), col("opos"),
+            col("p.gx").cast("long").as("gx"), col("p.gy").cast("long").as("gy"))
+          .groupBy("tile")
+          .agg(
+            count(lit(1)).as("n_out"),
+            sum(col("gx")).as("sum_gx"), sum(col("gy")).as("sum_gy"),
+            sum(col("gx") * (col("opos") + 1)).as("cksum_x"),
+            sum(col("gy") * (col("opos") + 1)).as("cksum_y"))
+          .orderBy("tile")
+      }),
+
     // Percentile composite (round 8) — the ODC percentile stat product
     // [PK odc-stats percentile]: per pixel (user_id as the pixel-group
     // analogue, as eo_composite_median established), the p10/p50/p90 of

@@ -243,6 +243,38 @@ object RasterGrid {
       col("tile_y"), col("tile_x"), out.as("data"))
   }
 
+  /** Horn (1981) 3×3 terrain gradient over each tile's interior — the
+    * slope/aspect/hillshade building block (gdaldem / richdem [PK]).
+    * Returns the raw INTEGER-WEIGHTED component sums `gx`
+    * ([-1 0 1; -2 0 2; -1 0 1]) and `gy` (its transpose) as two arrays
+    * over the (h−2)×(w−2) interior: on small-integer tiles both are
+    * exact in float32, whereas slope's atan/sqrt would leave the integer
+    * grid (the Det discipline — trig ulps are not cross-engine
+    * portable). Same flat-unroll construction and halo caveat as
+    * [[focalSum3x3]]; each component is its own self-contained
+    * transform so no multi-referenced array alias exists for Catalyst
+    * to inline (the focalSum3x3 lesson). */
+  def focalGradient3x3(df: DataFrame, h: Int, w: Int): DataFrame = {
+    require(h >= 3 && w >= 3, "gradient window needs a 3x3 interior")
+    val oh = h - 2; val ow = w - 2
+    def component(weight: (Int, Int) => Int): Column = transform(
+      sequence(lit(0), lit(oh * ow - 1)),
+      o => {
+        val oy = (o / ow).cast("int") + 1; val ox = (o % ow).cast("int") + 1
+        val c = oy * w + ox + 1 // 1-based center index into data
+        (for {
+          dy <- -1 to 1; dx <- -1 to 1; wt = weight(dy, dx) if wt != 0
+          // lit(wt.toFloat): float*int would widen to double; ±1/±2 are
+          // exact floats, so the products stay on the integer grid
+        } yield element_at(col("data"), c + dy * w + dx) * lit(wt.toFloat))
+          .reduce(_ + _)
+      })
+    val gx = component((dy, dx) => dx * (if (dy == 0) 2 else 1))
+    val gy = component((dy, dx) => dy * (if (dx == 0) 2 else 1))
+    df.select(col("product"), col("band"), col("time"),
+      col("tile_y"), col("tile_x"), gx.as("gx"), gy.as("gy"))
+  }
+
   /** Windowed read (the COG window / rasterio partial-read analogue
     * [PK rasterio windowed reading]): keep only tiles intersecting the
     * half-open GLOBAL pixel bbox [x0,x1)×[y0,y1) — tile (tile_y, tile_x)

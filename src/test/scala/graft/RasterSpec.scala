@@ -167,6 +167,26 @@ class RasterSpec extends SparkSpec {
     }
   }
 
+  test("focal 3x3 Horn gradient matches brute force on the tile interior") {
+    val g = grid("b1")((x, y, t) => (x * x + 3 * y + t).toFloat)
+    val grad = RasterGrid.focalGradient3x3(g, H, W)
+    assert(grad.count() == 2 * 2 * 3)
+    val row = grad.where(col("tile_x") === 0 && col("tile_y") === 1 &&
+      col("time") === 2).head()
+    val gx = row.getAs[scala.collection.Seq[Float]]("gx")
+    val gy = row.getAs[scala.collection.Seq[Float]]("gy")
+    assert(gx.length == (H - 2) * (W - 2) && gy.length == (H - 2) * (W - 2))
+    def v(x: Int, y: Int) = (x * x + 3 * (H + y) + 2).toFloat
+    for (oy <- 0 until H - 2; ox <- 0 until W - 2) {
+      val wantX = (for (dy <- -1 to 1; dx <- -1 to 1) yield
+        v(ox + 1 + dx, oy + 1 + dy) * dx * (if (dy == 0) 2 else 1)).sum
+      val wantY = (for (dy <- -1 to 1; dx <- -1 to 1) yield
+        v(ox + 1 + dx, oy + 1 + dy) * dy * (if (dx == 0) 2 else 1)).sum
+      assert(gx(oy * (W - 2) + ox) == wantX, s"gx mismatch at ($ox,$oy)")
+      assert(gy(oy * (W - 2) + ox) == wantY, s"gy mismatch at ($ox,$oy)")
+    }
+  }
+
   test("windowRead prunes to intersecting tiles and crops to the exact bbox") {
     // value encodes the global coordinate so the crop is fully checkable
     val g = grid("b1")((x, y, t) => (1000 * t + 100 * y + x).toFloat)
