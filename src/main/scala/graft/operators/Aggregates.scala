@@ -72,22 +72,40 @@ object Aggregates {
     T.events(s, d).select(col("event_type"),
       hash32(col("user_id").cast("string")).as("hv"))
 
-  /** Estimate from a finished register table (event_type, j, mreg):
-    * exact-dyadic harmonic sum + the published linear-counting
-    * correction below 2.5m. */
-  private def hllEstimate(regs: DataFrame): DataFrame = {
+  /** Raw-double estimate from a finished register table (keys..., j,
+    * mreg): exact-dyadic harmonic sum + the published linear-counting
+    * correction below 2.5m. Kept unscaled so composite keys
+    * (inclusion-exclusion) can combine estimates before the single
+    * final rounding. */
+  private def hllEstimateRaw(regs: DataFrame, keys: String*): DataFrame = {
     val eraw = lit(HllAlpha) * HllM * HllM /
       (col("spresent") + (lit(HllM) - col("npresent")).cast("double"))
     val v = lit(HllM.toLong) - col("npresent")
-    regs.groupBy("event_type")
+    regs.groupBy(keys.map(col): _*)
       .agg(
         count(lit(1)).as("npresent"),
         sum(lit(1.0) / expr("CAST(shiftleft(1L, mreg) AS DOUBLE)")).as("spresent"))
-      .select(col("event_type"),
-        s0(when(eraw <= 2.5 * HllM && v > 0,
-          lit(HllM) * log(lit(HllM.toDouble) / v)).otherwise(eraw)).as("approx_users"))
-      .orderBy("event_type")
+      .select(keys.map(col) :+
+        when(eraw <= 2.5 * HllM && v > 0,
+          lit(HllM) * log(lit(HllM.toDouble) / v)).otherwise(eraw).as("est"): _*)
   }
+
+  /** Estimate from a finished register table (event_type, j, mreg). */
+  private def hllEstimate(regs: DataFrame): DataFrame =
+    hllEstimateRaw(regs, "event_type")
+      .select(col("event_type"), s0(col("est")).as("approx_users"))
+      .orderBy("event_type")
+
+  /** Per-key-list SQL twin of [[hllEstimateRaw]]: agg + estimate CTEs
+    * named `<p>agg`/`<p>est`, reading CTE `<regs>` grouped by `keyList`.
+    * Textually the same arithmetic as the Column form. */
+  private def hllEstimateRawSql(p: String, regs: String, keyList: String): String =
+    s"${p}agg AS (SELECT $keyList, CAST(COUNT(*) AS BIGINT) AS npresent, " +
+      s"SUM(1.0 / CAST(CAST(1 AS BIGINT) << mreg AS DOUBLE)) AS spresent FROM $regs GROUP BY $keyList), " +
+      s"${p}est AS (SELECT $keyList, " +
+      s"CASE WHEN (CAST($HllAlpha AS DOUBLE) * $HllM * $HllM / (spresent + CAST($HllM - npresent AS DOUBLE))) <= ${2.5 * HllM} " +
+      s"AND CAST($HllM AS BIGINT) - npresent > 0 THEN $HllM * LN(CAST($HllM AS DOUBLE) / (CAST($HllM AS BIGINT) - npresent)) " +
+      s"ELSE CAST($HllAlpha AS DOUBLE) * $HllM * $HllM / (spresent + CAST($HllM - npresent AS DOUBLE)) END AS est FROM ${p}agg)"
 
   /** Oracle tail from a `regs(event_type, j, mreg)` CTE — textually the
     * same estimate arithmetic as [[hllEstimate]]. */
@@ -247,6 +265,108 @@ object Aggregates {
         words.groupBy("o_orderpriority")
           .agg(sum(expr("bit_count(bits)")).as("n_cust"))
           .orderBy("o_orderpriority")
+      }),
+
+    // Sketch SET ALGEBRA (round 8): audience overlap |A∩B| between every
+    // pair of event types by inclusion-exclusion over the SAME HLL
+    // registers as agg_hll — est(A) + est(B) − est(A∪B), where the union
+    // estimate comes from a register-wise MAX merge (the only set op HLL
+    // supports natively; intersection has no direct sketch, which is WHY
+    // the published recipe is inclusion-exclusion, e.g. the theta-sketch
+    // comparison literature). At 100 TB the per-type registers are O(m)
+    // each and every join below is a broadcast of sketch-sized tables —
+    // the raw stream is touched exactly once to build `regs`. All three
+    // estimates stay raw doubles until ONE final s0 rounding, and the
+    // oracle spells the identical register algebra, so the subtraction
+    // of two ~equal estimates is the same IEEE sequence on both engines.
+    Q("agg_hll_intersect", Some {
+      val regsCte =
+        "WITH h AS (SELECT event_type, " + sqlHash32("CAST(user_id AS VARCHAR)") + " AS hv FROM events), " +
+          s"jr AS (SELECT event_type, hv % $HllM AS j, hv // $HllM AS w FROM h), " +
+          s"regs AS (SELECT event_type, j, MAX($hllRhoSql) AS mreg FROM jr GROUP BY event_type, j), " +
+          "pairs AS (SELECT a.event_type AS ta, b.event_type AS tb " +
+          "FROM (SELECT DISTINCT event_type FROM events) a " +
+          "JOIN (SELECT DISTINCT event_type FROM events) b ON a.event_type < b.event_type), " +
+          "uregs AS (SELECT p.ta, p.tb, r.j, MAX(r.mreg) AS mreg FROM pairs p " +
+          "JOIN regs r ON r.event_type = p.ta OR r.event_type = p.tb GROUP BY p.ta, p.tb, r.j)"
+      regsCte + ", " +
+        hllEstimateRawSql("t", "regs", "event_type") + ", " +
+        hllEstimateRawSql("u", "uregs", "ta, tb") +
+        " SELECT u.ta, u.tb, " + sqlS0("a.est + b.est - u.est") + " AS inter_est " +
+        "FROM uest u JOIN test a ON a.event_type = u.ta " +
+        "JOIN test b ON b.event_type = u.tb ORDER BY u.ta, u.tb"
+    },
+      (s, d) => {
+        val regs = hllItems(s, d)
+          .select(col("event_type"), (col("hv") % HllM).as("j"),
+            expr(s"hv div $HllM").as("w"))
+          .groupBy("event_type", "j")
+          .agg(max(hllRho).as("mreg"))
+        val types = regs.select("event_type").distinct()
+        val pairs = types.as("a").join(types.as("b"),
+            col("a.event_type") < col("b.event_type"))
+          .select(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+        val unionRegs = regs.join(broadcast(pairs),
+            col("event_type") === col("ta") || col("event_type") === col("tb"))
+          .groupBy("ta", "tb", "j").agg(max("mreg").as("mreg"))
+        val estT = hllEstimateRaw(regs, "event_type")
+        hllEstimateRaw(unionRegs, "ta", "tb").withColumnRenamed("est", "eu")
+          .join(broadcast(estT.select(col("event_type").as("ta"), col("est").as("ea"))), "ta")
+          .join(broadcast(estT.select(col("event_type").as("tb"), col("est").as("eb"))), "tb")
+          .select(col("ta"), col("tb"),
+            s0(col("ea") + col("eb") - col("eu")).as("inter_est"))
+          .orderBy("ta", "tb")
+      }),
+
+    // Histogram MERGEABILITY (round 8) — the agg_hll_merge argument made
+    // for the quantile sketch: two fixed-grid histograms built
+    // INDEPENDENTLY on disjoint halves of lineitem (orderkey parity — the
+    // per-ingest-batch build at 100 TB), merged by plain count SUM, then
+    // quantiled. The grid is pinned by the same global (min, max) pass
+    // agg_approx_pct already needs, so half-built bins land on identical
+    // edges and the merged histogram is EQUAL to the single-pass one —
+    // count addition is order-free, unlike KLL/t-digest compaction. The
+    // oracle spells the same split/merge; equality with agg_approx_pct
+    // itself is asserted in SketchSpec.
+    Q("agg_hist_merge", Some(
+      "WITH stats AS (SELECT l_returnflag, MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY l_returnflag), " +
+        "binned AS (SELECT l.l_returnflag, l.l_orderkey % 2 AS half, CASE WHEN s.mx = s.mn THEN 0 ELSE " +
+        "LEAST(CAST(FLOOR((l.l_extendedprice - s.mn) / (s.mx - s.mn) * 4096.0) AS BIGINT), 4095) END AS bin " +
+        "FROM lineitem l JOIN stats s ON l.l_returnflag = s.l_returnflag), " +
+        "partials AS (SELECT l_returnflag, half, bin, CAST(COUNT(*) AS BIGINT) AS c " +
+        "FROM binned GROUP BY l_returnflag, half, bin), " +
+        "hist AS (SELECT l_returnflag, bin, CAST(SUM(c) AS BIGINT) AS c FROM partials GROUP BY l_returnflag, bin), " +
+        "cum AS (SELECT h.l_returnflag, h.bin, SUM(h.c) OVER (PARTITION BY h.l_returnflag ORDER BY h.bin " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, s.mn, s.mx, s.n " +
+        "FROM hist h JOIN stats s ON h.l_returnflag = s.l_returnflag) " +
+        "SELECT l_returnflag, " +
+        "MIN(CASE WHEN cum >= CAST(CEIL(0.5 * n) AS BIGINT) THEN mn + bin * (mx - mn) / 4096.0 END) AS p50_approx, " +
+        "MIN(CASE WHEN cum >= CAST(CEIL(0.95 * n) AS BIGINT) THEN mn + bin * (mx - mn) / 4096.0 END) AS p95_approx " +
+        "FROM cum GROUP BY l_returnflag ORDER BY l_returnflag"),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val price = col("l_extendedprice")
+        val stats = T.lineitem(s, d).groupBy("l_returnflag")
+          .agg(min(price).as("mn"), max(price).as("mx"), count(lit(1)).as("n"))
+        val binned = T.lineitem(s, d).join(broadcast(stats), "l_returnflag")
+          .select(col("l_returnflag"), (col("l_orderkey") % 2).as("half"),
+            when(col("mx") === col("mn"), 0L).otherwise(
+              least(floor((price - col("mn")) / (col("mx") - col("mn")) * 4096.0), lit(4095L)))
+              .as("bin"))
+        val partials = binned.groupBy("l_returnflag", "half", "bin")
+          .agg(count(lit(1)).as("c"))
+        val hist = partials.groupBy("l_returnflag", "bin").agg(sum("c").as("c"))
+        val w = Window.partitionBy("l_returnflag").orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val edge = col("mn") + col("bin") * (col("mx") - col("mn")) / 4096.0
+        def estAt(p: Double) =
+          min(when(col("cum") >= ceil(lit(p) * col("n")), edge))
+        hist.withColumn("cum", sum(col("c")).over(w))
+          .join(broadcast(stats), "l_returnflag")
+          .groupBy("l_returnflag")
+          .agg(estAt(0.5).as("p50_approx"), estAt(0.95).as("p95_approx"))
+          .orderBy("l_returnflag")
       }),
 
     Q("agg_rollup", Some(

@@ -827,6 +827,42 @@ object EO {
           .orderBy("tile")
       }),
 
+    // RasterGrid.fuseFirstValid — the ODC GroupBy/fuse_func step [PK
+    // datacube fuse_func]: overlapping datasets in one observation group
+    // fold in precedence order (t here) and each pixel takes the first
+    // non-nodata value, later scenes only filling holes. Half the pixels
+    // are nodata (user_id parity), so fusion genuinely cascades through
+    // the 4-deep precedence chain and ~1/16 of pixels stay nodata —
+    // grading the fill, the precedence pick AND the all-nodata branch.
+    // The oracle spells the same pick as FIRST(v ORDER BY t) over valid
+    // observations.
+    Q("eo_tile_fuse", Some(
+      "WITH px AS (SELECT (event_id // 4) // 256 AS tile, (event_id // 4) % 256 AS pos, " +
+        "event_id % 4 AS t, CASE WHEN user_id % 2 = 0 THEN NULL ELSE CAST(user_id AS DOUBLE) END AS v " +
+        "FROM events), " +
+        "fused AS (SELECT tile, pos, FIRST(v ORDER BY t) FILTER (WHERE v IS NOT NULL) AS fv " +
+        "FROM px GROUP BY tile, pos) " +
+        "SELECT tile, CAST(COUNT(*) AS BIGINT) AS n_px, " +
+        "CAST(COUNT(fv) AS BIGINT) AS n_filled, " +
+        "CAST(COALESCE(SUM(CAST(fv AS BIGINT)), 0) AS BIGINT) AS sum_fused, " +
+        "CAST(COALESCE(SUM(CAST(fv AS BIGINT) * (pos + 1)), 0) AS BIGINT) AS checksum " +
+        "FROM fused GROUP BY tile ORDER BY tile"),
+      (s, d) => {
+        val nodata = when(col("user_id") % 2 === 0, lit(Float.NaN))
+          .otherwise(col("user_id"))
+        val fused = graft.raster.RasterGrid.fuseFirstValid(
+          eventTiles(s, d, Seq("v" -> nodata)))
+        unpackTiles(fused)
+          .groupBy("tile")
+          .agg(
+            count(lit(1)).as("n_px"),
+            count(when(!isnan(col("v")), 1)).as("n_filled"),
+            coalesce(sum(when(!isnan(col("v")), col("v").cast("long"))), lit(0L)).as("sum_fused"),
+            coalesce(sum(when(!isnan(col("v")), col("v").cast("long") * (col("pos") + 1))), lit(0L))
+              .as("checksum"))
+          .orderBy("tile")
+      }),
+
     // True-CRS reprojection of a geographic grid into UTM zone 33 — the
     // datum-true Snyder transverse-Mercator series (functions.Crs), closing
     // the dc.load(crs=) projection gap beyond eo_regrid_affine's affine

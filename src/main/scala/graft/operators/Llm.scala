@@ -103,13 +103,11 @@ object Llm {
       "SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members, " +
       "MAX(doc_id) AS max_member FROM cl GROUP BY cluster ORDER BY cluster"
 
-  /** (doc_id, lang, band, sig) minhash-LSH band rows — the llm_minhash
-    * candidate machinery (4 bands x 4 Carter-Wegman hashes over the
-    * portable base hash; see llm_minhash's key comment for the shape
-    * history). Returned PERSISTED: the signature subtree (corpus explode +
-    * 16 hash mins) feeds both sides of every band self-join. Shared by
-    * llm_minhash and llm_dedup_cluster_banded. */
-  private[operators] def bandRows(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, lang, h0..h15) Carter-Wegman minhash signature rows — the
+    * corpus explode + 16 per-token hash mins shared by the band machinery
+    * and the estimator key. Not persisted here; callers that fan the
+    * subtree out persist at their own join point. */
+  private[operators] def sigRows(s: SparkSession, d: String): DataFrame = {
     val toks = T.documents(s, d)
       .select(col("doc_id"), col("lang"),
         explode(array_distinct(split(col("text"), " "))).as("tok"))
@@ -117,16 +115,28 @@ object Llm {
     val hashCols = MinhashAB.zipWithIndex.map { case ((a, b), i) =>
       ((lit(a) * col("hb") + lit(b)) % lit(MinhashP)).as(s"c$i") }
     val minCols = MinhashAB.indices.map(i => min(col(s"c$i")).as(s"h$i"))
-    val sigs = toks.select(Seq(col("doc_id"), col("lang")) ++ hashCols: _*)
+    toks.select(Seq(col("doc_id"), col("lang")) ++ hashCols: _*)
       .groupBy("doc_id", "lang")
       .agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** (doc_id, lang, band, sig) 4×4 band rows from a signature table. */
+  private def bandsFromSigs(sigs: DataFrame): DataFrame = {
     val bandStructs = (0 until 4).map(bnd => struct(lit(bnd).as("band"),
       concat_ws(",", (bnd * 4 until bnd * 4 + 4).map(i => col(s"h$i")): _*).as("sig")))
     sigs
       .select(col("doc_id"), col("lang"), explode(array(bandStructs: _*)).as("b"))
       .select(col("doc_id"), col("lang"), col("b.band").as("band"), col("b.sig").as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
+
+  /** (doc_id, lang, band, sig) minhash-LSH band rows — the llm_minhash
+    * candidate machinery (4 bands x 4 Carter-Wegman hashes; see
+    * llm_minhash's key comment for the shape history). Returned PERSISTED:
+    * the signature subtree feeds both sides of every band self-join.
+    * Shared by llm_minhash and llm_dedup_cluster_banded. */
+  private[operators] def bandRows(s: SparkSession, d: String): DataFrame =
+    bandsFromSigs(sigRows(s, d))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Largest contracted-remainder edge count the local union-find
     * finisher in [[componentLabels]] will collect (default 1 M edges =
@@ -451,6 +461,53 @@ object Llm {
             Seq("lang", "band", "sig"))
           .where(col("d1") < col("d2"))
           .select("d1", "d2").distinct()
+          .orderBy("d1", "d2")
+      }),
+
+    // The minhash ESTIMATOR itself, graded (Broder 1997: P[min_i(A) =
+    // min_i(B)] = J(A,B), so the matching-component fraction is an
+    // unbiased Jaccard estimate with sd sqrt(j(1-j)/16)): for every
+    // banded candidate pair, count agreeing signature components and emit
+    // n_match/16 on the s6 grid (exact dyadic — n/16 then ×1e6 floor is
+    // bit-identical on both engines). This is the number a 100-TB dedup
+    // funnel thresholds on INSTEAD of exact verification when the doc
+    // bodies are too big to re-tokenize at pair time — llm_minhash grades
+    // the candidates, this key grades the decision value; accuracy vs
+    // exact Jaccard is property-tested in SketchSpec. Signature table is
+    // sketch-sized (16 longs/doc), so both pair-side joins shuffle
+    // sketches, never documents.
+    Q("llm_minhash_est", Some(
+      s"WITH $toksSql" + minhashBandsSql + ", " +
+        "pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a " +
+        "JOIN bands b ON a.lang = b.lang AND a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id), " +
+        "m AS (SELECT p.d1, p.d2, " +
+        (0 until 16).map(i => s"(CASE WHEN x.h$i = y.h$i THEN 1 ELSE 0 END)").mkString(" + ") +
+        " AS n_match FROM pairs p JOIN sigs x ON x.doc_id = p.d1 JOIN sigs y ON y.doc_id = p.d2) " +
+        "SELECT d1, d2, CAST(n_match AS BIGINT) AS n_match, " +
+        sqlS6("n_match / 16.0") + " AS est_j6 FROM m ORDER BY d1, d2"),
+      (s, d) => {
+        // one signature build feeds the band join AND both pair sides;
+        // BUILD-TIME SIDE EFFECT: persisted for the three consumers —
+        // harness clears the cache per key, long-lived sessions should
+        // clearCache (the win_ntile note)
+        val sigs = sigRows(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val bands = bandsFromSigs(sigs)
+        val pairs = bands.select(col("doc_id").as("d1"), col("lang"), col("band"), col("sig"))
+          .join(bands.select(col("doc_id").as("d2"), col("lang"), col("band"), col("sig")),
+            Seq("lang", "band", "sig"))
+          .where(col("d1") < col("d2"))
+          .select("d1", "d2").distinct()
+        val x = sigs.select(col("doc_id").as("d1") +:
+          (0 until 16).map(i => col(s"h$i").as(s"x$i")): _*)
+        val y = sigs.select(col("doc_id").as("d2") +:
+          (0 until 16).map(i => col(s"h$i").as(s"y$i")): _*)
+        val nMatch = (0 until 16).map(i =>
+          when(col(s"x$i") === col(s"y$i"), 1).otherwise(0)).reduce(_ + _)
+        pairs.join(x, "d1").join(y, "d2")
+          .withColumn("n_match", nMatch)
+          .select(col("d1"), col("d2"), col("n_match").cast("long").as("n_match"),
+            s6(col("n_match") / 16.0).as("est_j6"))
           .orderBy("d1", "d2")
       }),
 

@@ -147,6 +147,38 @@ object RasterGrid {
         col("tile_y"), col("tile_x"), pixelArgmax.as("data"))
   }
 
+  /** Per-pixel first-valid fusion of overlapping observations — the ODC
+    * GroupBy/fuse_func step [PK datacube fuse_func]: when several
+    * datasets cover the same (product, band, tile) group (adjacent-swath
+    * scenes on one solar day), they fold in `time` order — the dataset
+    * precedence — and each pixel takes the FIRST non-NaN value; later
+    * observations only fill the holes (NaN nodata) earlier ones left.
+    * Pixels every dataset left as nodata stay NaN. Same bounded-collect
+    * shape as the composites: one shuffle of packed tiles, a higher-order
+    * fold per pixel, no UDF, no pixel explode — at archive scale the
+    * group is a handful of same-day scenes, never the full time series. */
+  def fuseFirstValid(df: DataFrame): DataFrame = {
+    val maxLen = array_max(transform(col("stack"), a => size(a)))
+    val pixelFuse = transform(
+      sequence(lit(0), maxLen - 1),
+      i => aggregate(
+        col("stack"),
+        lit(Float.NaN),
+        (acc, a) => {
+          val v = when(size(a) > i, element_at(a, i + 1))
+            .otherwise(lit(Float.NaN))
+          when(isnan(acc) && !isnan(v), v).otherwise(acc)
+        }))
+    df.groupBy("product", "band", "tile_y", "tile_x")
+      .agg(sort_array(collect_list(struct(col("time"), col("data")))).as("tstack"))
+      .withColumn("stack", transform(col("tstack"), e => e.getField("data")))
+      .select(col("product"), col("band"), col("tile_y"), col("tile_x"),
+        // all-empty stack: same sequence(0, -1) guard as the median
+        // composite (ADVICE r7)
+        when(maxLen > 0, pixelFuse)
+          .otherwise(array().cast("array<float>")).as("data"))
+  }
+
   /** QA masking: pixel-wise `when(maskOp(q), v).otherwise(NaN)` over a
     * data band and its QA band — the xr.where(mask, x, nan) analogue. */
   def maskWhere(

@@ -54,6 +54,29 @@ class RasterSpec extends SparkSpec {
     assert(d2(0) == (10f + 20f) / 2)
   }
 
+  test("fuseFirstValid takes the first non-NaN in precedence order, holes stay NaN") {
+    // per pixel, time t's value is NaN unless t >= (x % 4): pixel x=0
+    // fills from t0, x=1 from t1, …, x=3 from t3; value encodes (x, t) so
+    // the PICK is observable, not just the fill
+    val g = RasterGrid.synthesize(spark, "p", "b", 1, 1, 4, 4, Seq(0, 1, 2, 3)) {
+      (x, y, t) => if (t >= x % 4) (100 * t + 10 * x + y).toFloat else Float.NaN
+    }
+    val fused = RasterGrid.fuseFirstValid(g)
+    assert(fused.count() == 1)
+    val data = fused.head().getAs[scala.collection.Seq[Float]]("data")
+    for (py <- 0 until 4; px <- 0 until 4) {
+      val want = (100 * (px % 4) + 10 * px + py).toFloat // first valid t = x%4
+      assert(data(py * 4 + px) == want, s"pixel ($px,$py)")
+    }
+    // a pixel no dataset covers stays NaN
+    val g2 = RasterGrid.synthesize(spark, "p", "b", 1, 1, 1, 2, Seq(0, 1)) {
+      (x, y, t) => if (x == 0) t.toFloat else Float.NaN
+    }
+    val d2 = RasterGrid.fuseFirstValid(g2).head()
+      .getAs[scala.collection.Seq[Float]]("data")
+    assert(d2(0) == 0f && d2(1).isNaN)
+  }
+
   test("median composite survives ragged stacks (ADVICE r6: no OOB, no order dependence)") {
     // three times with DIFFERENT tile lengths: t0 has 4 pixels, t1 has 2,
     // t2 has 4 — pixel 0/1 median over {0,10,20},{1,11,21}; pixel 2/3 over

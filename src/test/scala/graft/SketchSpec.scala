@@ -29,6 +29,35 @@ class SketchSpec extends SparkSpec {
     assert(merged == single)
   }
 
+  test("agg_hll_intersect within 15% of exact pairwise overlaps") {
+    val approx = SparkEntry.queries("agg_hll_intersect")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val users = Tables.events(spark, sfDir)
+      .select("event_type", "user_id").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSet }
+    val types = users.keys.toSeq.sorted
+    for (ta <- types; tb <- types if ta < tb) {
+      val exact = (users(ta) & users(tb)).size
+      val est = approx((ta, tb))
+      // inclusion-exclusion compounds three LC-regime estimates; allow
+      // 15% relative or ±4 absolute, whichever is looser
+      assert(math.abs(est - exact) <= math.max(4.0, 0.15 * exact),
+        s"($ta,$tb): est=$est exact=$exact")
+    }
+  }
+
+  test("agg_hist_merge: half-built merged histogram equals the single-pass quantiles") {
+    val merged = SparkEntry.queries("agg_hist_merge")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val single = SparkEntry.queries("agg_approx_pct")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // the grid is pinned by the same global (min,max), and count SUM over
+    // any partition of the rows equals the global histogram — so the
+    // merge path must reproduce agg_approx_pct EXACTLY, not approximately
+    assert(merged == single)
+  }
+
   test("agg_countmin: estimates are >= exact counts and within e/w * N") {
     val est = SparkEntry.queries("agg_countmin")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -44,6 +73,23 @@ class SketchSpec extends SparkSpec {
       assert(est(k) <= n + eps * total,
         s"$k: est=${est(k)} exceeds exact=$n + ${eps * total}")
     }
+  }
+
+  test("llm_minhash_est tracks exact Jaccard on candidate pairs (Broder estimator)") {
+    val est = SparkEntry.queries("llm_minhash_est")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3) / 1e6).toMap
+    val exact = SparkEntry.queries("llm_dedup_near")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2) / 1e6).toMap
+    val shared = est.keySet & exact.keySet
+    assert(shared.nonEmpty)
+    // per-pair: sd of a 16-component estimate is sqrt(j(1-j))/4 <= 0.125;
+    // allow 4 sd. aggregate: the unbiased estimator's mean error shrinks
+    // as 1/sqrt(n), allow 0.1
+    shared.foreach { p =>
+      assert(math.abs(est(p) - exact(p)) <= 0.5, s"$p: est=${est(p)} j=${exact(p)}")
+    }
+    val meanErr = shared.toSeq.map(p => est(p) - exact(p)).sum / shared.size
+    assert(math.abs(meanErr) <= 0.1, s"mean signed error $meanErr")
   }
 
   test("llm_minhash candidates recall most exact near-dup pairs") {
