@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Det, Q, Tables => T}
@@ -72,5 +73,44 @@ object Corpus {
             s6(col("n_tokens").cast("double") / col("total").cast("double")).as("corpus_share6"),
             s6(col("n_tokens").cast("double") / col("lang_tokens").cast("double")).as("lang_share6"))
           .orderBy("source", "lang")
+      }),
+
+    // Sequence PACKING — the last preprocessing step before training:
+    // concatenate documents into fixed-capacity context windows (512
+    // tokens here). The distributed-practice shape: docs are first
+    // sharded by a deterministic hash (8 shards — the per-worker stream),
+    // then packed GREEDILY IN ORDER within the shard: a document starts
+    // in the bin where its first token lands, bin = floor(tokens-before /
+    // capacity), i.e. the streaming concatenate-then-slice packing of the
+    // GPT lineage (documents cross bin boundaries; boundary docs belong
+    // to their starting bin). All integer math: cumsum of exact token
+    // counts, one `div`. At 100 TB: the window partitions by (lang,
+    // shard) — per-shard history, corpus-size-independent — and everything
+    // else is one partial agg; fill6 is one IEEE divide on the s6 grid.
+    // Output = per-bin packing manifest (docs, tokens, fill ratio).
+    Q("llm_pack", Some(
+      "WITH t AS (SELECT doc_id, lang, " + sqlHash32("CAST(doc_id AS VARCHAR)") + " % 8 AS shard, " +
+        "CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS ntok FROM documents), " +
+        "c AS (SELECT doc_id, lang, shard, ntok, " +
+        "CAST(SUM(ntok) OVER (PARTITION BY lang, shard ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok AS BIGINT) AS before_tok FROM t), " +
+        "b AS (SELECT lang, shard, before_tok // 512 AS bin, ntok FROM c) " +
+        "SELECT lang, shard, bin, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(ntok) AS BIGINT) AS n_tokens, " +
+        sqlS6("CAST(SUM(ntok) AS DOUBLE) / 512.0") + " AS fill6 " +
+        "FROM b GROUP BY lang, shard, bin ORDER BY lang, shard, bin"),
+      (s, d) => {
+        val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        T.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            (Det.hash32(col("doc_id").cast("string")) % 8).as("shard"),
+            size(split(col("text"), " ")).cast("long").as("ntok"))
+          .withColumn("before_tok", sum(col("ntok")).over(w) - col("ntok"))
+          .withColumn("bin", expr("before_tok div 512"))
+          .groupBy("lang", "shard", "bin")
+          .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
+            s6(sum(col("ntok")).cast("double") / 512.0).as("fill6"))
+          .orderBy("lang", "shard", "bin")
       }))
 }

@@ -95,13 +95,39 @@ object Llm {
     * cluster oracles — expects `masks` (the node set) and `pairs`
     * (d1 < d2 edges) to exist. Fixpoint semantics: cluster = MIN
     * reachable id, identical to the contraction+propagation limit. */
-  private val clusterClosureSql: String =
+  private val clusterClosureCtes: String =
     ", edges AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs), " +
       "reach AS (SELECT doc_id AS a, doc_id AS b FROM masks " +
       "UNION SELECT r.a, e.d2 FROM reach r JOIN edges e ON r.b = e.d1), " +
-      "cl AS (SELECT a AS doc_id, MIN(b) AS cluster FROM reach GROUP BY a) " +
-      "SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members, " +
+      "cl AS (SELECT a AS doc_id, MIN(b) AS cluster FROM reach GROUP BY a)"
+
+  private val clusterClosureSql: String =
+    clusterClosureCtes +
+      " SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members, " +
       "MAX(doc_id) AS max_member FROM cl GROUP BY cluster ORDER BY cluster"
+
+  /** The exact j >= 0.5 mask-Jaccard pair CTE (expects `masks`) — shared
+    * by the cluster and dedup-apply oracles. */
+  private val exactPairsSql: String =
+    ", pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2 " +
+      "FROM masks a JOIN masks b ON a.lang = b.lang AND a.doc_id < b.doc_id " +
+      "WHERE CAST(BIT_COUNT(a.mask & b.mask) AS DOUBLE) / " +
+      "CAST(BIT_COUNT(a.mask | b.mask) AS DOUBLE) >= 0.5)"
+
+  /** Exact per-lang all-pairs j >= 0.5 edges over a mask table — the
+    * quadratic semantics anchor shared by llm_dedup_cluster and
+    * llm_dedup_apply. Returned PERSISTED (componentLabels reads it twice
+    * and unpersists it); callers guardPairBudget first. */
+  private def exactMaskPairs(m: DataFrame): DataFrame = {
+    val a = m.select(col("doc_id").as("d1"), col("lang").as("la"), col("mask").as("ma"))
+    val b = m.select(col("doc_id").as("d2"), col("lang").as("lb"), col("mask").as("mb"))
+    val inter = bit_count(col("ma").bitwiseAND(col("mb"))).cast("double")
+    val uni = bit_count(col("ma").bitwiseOR(col("mb"))).cast("double")
+    a.join(b, col("la") === col("lb") && col("d1") < col("d2"))
+      .where(inter / uni >= 0.5)
+      .select("d1", "d2")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 
   /** (doc_id, lang, h0..h15) Carter-Wegman minhash signature rows — the
     * corpus explode + 16 per-token hash mins shared by the band machinery
@@ -360,27 +386,56 @@ object Llm {
     // contraction+propagation limit regardless of round structure.
     Q("llm_dedup_cluster", Some(
       docMasksSql.replaceFirst("WITH ", "WITH RECURSIVE ") +
-        ", pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2 " +
-        "FROM masks a JOIN masks b ON a.lang = b.lang AND a.doc_id < b.doc_id " +
-        "WHERE CAST(BIT_COUNT(a.mask & b.mask) AS DOUBLE) / " +
-        "CAST(BIT_COUNT(a.mask | b.mask) AS DOUBLE) >= 0.5)" +
-        clusterClosureSql),
+        exactPairsSql + clusterClosureSql),
       (s, d) => {
         val m = docMasks(s, d)
         TextOps.guardPairBudget(m, Seq("lang"), "llm_dedup_cluster",
           "use llm_dedup_cluster_banded (minhash-banded candidate edges " +
             "into the same contraction) at corpus scale; the component " +
             "propagation itself is linear")
-        val a = m.select(col("doc_id").as("d1"), col("lang").as("la"), col("mask").as("ma"))
-        val b = m.select(col("doc_id").as("d2"), col("lang").as("lb"), col("mask").as("mb"))
-        val inter = bit_count(col("ma").bitwiseAND(col("mb"))).cast("double")
-        val uni = bit_count(col("ma").bitwiseOR(col("mb"))).cast("double")
-        // persisted: consumed by the contraction agg AND the remainder map
-        val pairs = a.join(b, col("la") === col("lb") && col("d1") < col("d2"))
-          .where(inter / uni >= 0.5)
-          .select("d1", "d2")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        componentRollup(m.select("doc_id"), pairs)
+        componentRollup(m.select("doc_id"), exactMaskPairs(m))
+      }),
+
+    // APPLY the dedup decision — the step that actually produces the
+    // deduplicated corpus (the published recipe keeps ONE representative
+    // per near-dup cluster, e.g. Lee et al. 2022 "Deduplicating Training
+    // Data Makes Language Models Better"): per component, keep the
+    // LONGEST document (ties -> smallest doc_id; the longest member is
+    // the standard pick — it dominates its near-dups' content). Output =
+    // the kept doc per cluster with its cluster size; singletons keep
+    // themselves, so output rows = number of components and the kept set
+    // IS the surviving corpus. At 100 TB: labels are the linear
+    // componentLabels output, the length join is doc-count-sized, and the
+    // pick is one window over partitions bounded by CLUSTER size — no
+    // stage touches all-pairs beyond the shared (budget-guarded) edge
+    // source the cluster family already anchors on.
+    Q("llm_dedup_apply", Some(
+      docMasksSql.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        exactPairsSql + clusterClosureCtes +
+        ", ranked AS (SELECT cl.doc_id, cl.cluster, " +
+        "ROW_NUMBER() OVER (PARTITION BY cl.cluster ORDER BY LEN(dd.text) DESC, cl.doc_id) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY cl.cluster) AS n_members " +
+        "FROM cl JOIN documents dd ON dd.doc_id = cl.doc_id) " +
+        "SELECT doc_id AS kept_id, cluster, CAST(n_members AS BIGINT) AS n_members " +
+        "FROM ranked WHERE rn = 1 ORDER BY cluster"),
+      (s, d) => {
+        val m = docMasks(s, d)
+        TextOps.guardPairBudget(m, Seq("lang"), "llm_dedup_apply",
+          "swap the edge source for llm_dedup_cluster_banded's banded " +
+            "candidates at corpus scale; the keep-longest pick is linear")
+        val labels = componentLabels(m.select("doc_id"), exactMaskPairs(m))
+        val lens = T.documents(s, d)
+          .select(col("doc_id"), length(col("text")).as("len"))
+        val wPick = Window.partitionBy("cluster")
+          .orderBy(col("len").desc, col("doc_id"))
+        val wAll = Window.partitionBy("cluster")
+        labels.join(lens, "doc_id")
+          .withColumn("rn", row_number().over(wPick))
+          .withColumn("n_members", count(lit(1)).over(wAll))
+          .where(col("rn") === 1)
+          .select(col("doc_id").as("kept_id"), col("cluster"),
+            col("n_members").cast("long").as("n_members"))
+          .orderBy("cluster")
       }),
 
     // The SCALE path for near-dup clustering (round 8, VERDICT r7 "next"

@@ -359,6 +359,48 @@ object Relational {
           .orderBy("purchase_id", "click_id")
       }),
 
+    // Bucketed (binned) range join — the 100-TB plan for a range
+    // predicate with NO equi key. join_interval rides its user_id equi
+    // column through a hash shuffle; a pure "date in [start, end)" join
+    // has no such column and Spark's only built-in plan is a broadcast
+    // nested loop — O(|W|x|F|) compares even when each window matches a
+    // sliver. The published rewrite (the binned range join of the Spark
+    // ecosystem / Trino range-partitioned joins) quantizes time into
+    // fixed-width buckets >= the window width: each 7-day window overlaps
+    // at most TWO 7-day buckets (emitted DISTINCT), each fact has exactly
+    // ONE, so bucket equality is a superset of the range predicate and
+    // the pair appears at most once — equi-join on bucket, refine, no
+    // dedup needed. The join becomes a shuffled hash/merge join whose
+    // per-key fan-in is one bucket's rows, independent of table size.
+    // Graded against the PLAIN range-predicate oracle: the rewrite must
+    // be invisible. PlanContractSpec pins no nested-loop/cartesian node.
+    Q("join_range_bucketed", Some(
+      "WITH w AS (SELECT o_orderkey AS w_key, " +
+        "(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS ws " +
+        "FROM orders WHERE o_totalprice > 480000), " +
+        "f AS (SELECT (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS fd, o_totalprice FROM orders) " +
+        "SELECT w_key, CAST(COUNT(*) AS BIGINT) AS n_in_window, " +
+        sqlCentSum("o_totalprice") + " AS sum_cents " +
+        "FROM w JOIN f ON f.fd >= w.ws AND f.fd < w.ws + 7 " +
+        "GROUP BY w_key ORDER BY w_key"),
+      (s, d) => {
+        val days = datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+        val w = T.orders(s, d).where(col("o_totalprice") > 480000)
+          .select(col("o_orderkey").as("w_key"), days.as("ws"))
+          // end-exclusive [ws, ws+7): last covered day is ws+6
+          .withColumn("bucket",
+            explode(array_distinct(array(expr("ws div 7"), expr("(ws + 6) div 7")))))
+        val f = T.orders(s, d)
+          .select(days.as("fd"), col("o_totalprice"))
+          .withColumn("bucket", expr("fd div 7"))
+        w.join(f, Seq("bucket"))
+          .where(col("fd") >= col("ws") && col("fd") < col("ws") + 7)
+          .groupBy("w_key")
+          .agg(count(lit(1)).as("n_in_window"),
+            sum(s2(col("o_totalprice"))).as("sum_cents"))
+          .orderBy("w_key")
+      }),
+
     // Native as-of join (graft.plans.AsOfJoinExec): same semantics as
     // join_asof but left-outer and executed by the custom sorted-merge
     // operator — O(n+m) per partition instead of the window formulation's

