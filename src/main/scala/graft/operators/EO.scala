@@ -536,6 +536,45 @@ object EO {
           .orderBy("level", "tile")
       }),
 
+    // Bilinear upsample (round 8) — the finer-than-stored resampling path
+    // (dc.load resampling='bilinear' [PK rasterio/GDAL]): each 16×16 tile
+    // doubles to 32×32 via RasterGrid.upsampleBilinear2x; even outputs
+    // reproduce inputs exactly, odd outputs are 2-/4-neighbor means with
+    // dyadic weights, so 4× every output is the exact integer 2×2-block
+    // sum the oracle spells through four positional self-joins. Map-only
+    // per tile (no shuffle); position-weighted checksum pins every output
+    // pixel to its (oy, ox) slot, grading the clamp rows too.
+    Q("eo_tile_upsample", Some(
+      "WITH px AS (SELECT (event_id // 4) // 256 AS tile, (event_id // 4) % 256 AS pos, " +
+        "event_id % 4 AS t, CAST(user_id AS DOUBLE) AS v FROM events), " +
+        "full_t AS (SELECT tile FROM px WHERE t = 0 GROUP BY tile HAVING COUNT(*) = 256), " +
+        "p0 AS (SELECT tile, pos, v FROM px JOIN full_t USING (tile) WHERE t = 0), " +
+        "o AS (SELECT f.tile, t1.oy, t2.ox FROM full_t f, range(0,32) t1(oy), range(0,32) t2(ox)), " +
+        "g AS (SELECT tile, oy, ox, oy//2 AS y0, ox//2 AS x0, " +
+        "LEAST(oy//2 + oy%2, 15) AS y1, LEAST(ox//2 + ox%2, 15) AS x1 FROM o), " +
+        "u AS (SELECT g.tile, g.oy, g.ox, (a.v + b.v + c.v + e.v) AS s4 FROM g " +
+        "JOIN p0 a ON a.tile = g.tile AND a.pos = g.y0*16 + g.x0 " +
+        "JOIN p0 b ON b.tile = g.tile AND b.pos = g.y0*16 + g.x1 " +
+        "JOIN p0 c ON c.tile = g.tile AND c.pos = g.y1*16 + g.x0 " +
+        "JOIN p0 e ON e.tile = g.tile AND e.pos = g.y1*16 + g.x1) " +
+        "SELECT tile, CAST(COUNT(*) AS BIGINT) AS n_out, " +
+        "CAST(SUM(CAST(s4 AS BIGINT)) AS BIGINT) AS sum4, " +
+        "CAST(SUM(CAST(s4 AS BIGINT) * (oy*32 + ox + 1)) AS BIGINT) AS checksum " +
+        "FROM u GROUP BY tile ORDER BY tile"),
+      (s, d) => {
+        val grid = eventTiles(s, d, Seq("v" -> col("user_id")))
+          .where(size(col("data")) === 256 && col("time") === 0)
+        val up = graft.raster.RasterGrid.upsampleBilinear2x(grid, h = 16, w = 16)
+        up.select(col("tile_y").cast("long").as("tile"),
+            posexplode(col("data")).as(Seq("opos", "v")))
+          .groupBy("tile")
+          .agg(
+            count(lit(1)).as("n_out"),
+            sum((col("v") * 4).cast("long")).as("sum4"),
+            sum((col("v") * 4).cast("long") * (col("opos") + 1)).as("checksum"))
+          .orderBy("tile")
+      }),
+
     // Focal statistics (round 8) — the neighborhood-op class (GDAL focal
     // stats / xarray rolling [PK]): 3×3 unnormalized box sum over each
     // tile's 14×14 interior via RasterGrid.focalSum3x3, map-only per

@@ -240,6 +240,35 @@ object RasterGrid {
     acc
   }
 
+  /** Factor-2 bilinear upsample within each tile (dc.load at a FINER
+    * resolution than the stored grid — the resampling='bilinear' path of
+    * the raster loaders [PK rasterio/GDAL resampling]). Align-corners-off
+    * half-pixel convention in its exact integer-index form: output pixel
+    * (oy, ox) averages the 2×2 input block {y0, y1}×{x0, x1} with
+    * y0 = oy/2, y1 = min(y0 + oy%2, h-1) (edge rows clamp), so even
+    * outputs reproduce the input pixel exactly (all four indices
+    * coincide), odd outputs are the 2-neighbor midpoint, and odd-odd the
+    * 4-neighbor mean — the dyadic /2 and /4 weights stay exact in float32
+    * for small-integer inputs. Pure per-row array math, NO shuffle; the
+    * flat 4-term body is unrolled at plan build time like the focal ops. */
+  def upsampleBilinear2x(df: DataFrame, h: Int, w: Int): DataFrame = {
+    val oh = 2 * h; val ow = 2 * w
+    val out = transform(
+      sequence(lit(0), lit(oh * ow - 1)),
+      o => {
+        val oy = (o / ow).cast("int"); val ox = (o % ow).cast("int")
+        val y0 = (oy / 2).cast("int"); val x0 = (ox / 2).cast("int")
+        val y1 = least(y0 + oy % 2, lit(h - 1))
+        val x1 = least(x0 + ox % 2, lit(w - 1))
+        def v(y: Column, x: Column) =
+          element_at(col("data"), (y * w + x + 1).cast("int"))
+        ((v(y0, x0) + v(y0, x1) + v(y1, x0) + v(y1, x1)) / lit(4.0f))
+          .cast("float")
+      })
+    df.select(col("product"), col("band"), col("time"),
+      col("tile_y"), col("tile_x"), out.as("data"))
+  }
+
   /** 3×3 focal (neighborhood) SUM over each tile's interior — the box-
     * filter member of the focal-statistics family (GDAL focal stats /
     * xarray rolling [PK]). Output is the (h−2)×(w−2) interior: edge

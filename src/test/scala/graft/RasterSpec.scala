@@ -77,6 +77,25 @@ class RasterSpec extends SparkSpec {
     assert(d2(0) == 0f && d2(1).isNaN)
   }
 
+  test("bilinear 2x upsample matches brute force; even outputs reproduce inputs") {
+    val h = 4; val w = 4
+    val g = RasterGrid.synthesize(spark, "p", "b", 1, 1, h, w, Seq(0)) {
+      (x, y, _) => (7 * x + 3 * y * y + 1).toFloat
+    }
+    val in = Array.tabulate(h, w)((y, x) => (7 * x + 3 * y * y + 1).toFloat)
+    val up = RasterGrid.upsampleBilinear2x(g, h, w).head()
+      .getAs[scala.collection.Seq[Float]]("data")
+    assert(up.length == 4 * h * w)
+    for (oy <- 0 until 2 * h; ox <- 0 until 2 * w) {
+      val y0 = oy / 2; val x0 = ox / 2
+      val y1 = math.min(y0 + oy % 2, h - 1); val x1 = math.min(x0 + ox % 2, w - 1)
+      val want = (in(y0)(x0) + in(y0)(x1) + in(y1)(x0) + in(y1)(x1)) / 4.0f
+      assert(up(oy * 2 * w + ox) == want, s"($ox,$oy)")
+      if (oy % 2 == 0 && ox % 2 == 0)
+        assert(up(oy * 2 * w + ox) == in(y0)(x0), s"even ($ox,$oy) not exact")
+    }
+  }
+
   test("median composite survives ragged stacks (ADVICE r6: no OOB, no order dependence)") {
     // three times with DIFFERENT tile lengths: t0 has 4 pixels, t1 has 2,
     // t2 has 4 — pixel 0/1 median over {0,10,20},{1,11,21}; pixel 2/3 over
