@@ -536,6 +536,59 @@ object EO {
           .orderBy("level", "tile")
       }),
 
+    // Halo-exchange focal composition (round 8) — the CROSS-TILE half of
+    // the focal-stats story that eo_tile_focal's scaladoc promises
+    // ("compose the halo exchange explicitly when borders matter"): each
+    // tile receives its vertical neighbors' adjacent border rows (tiles
+    // stack on tile_y; 2×16 floats per tile — the entire shuffle), is
+    // padded to 18×16, and the SAME map-only focalSum3x3 then covers all
+    // 16 of the tile's own rows, not just its 14-row interior. Only
+    // tiles with BOTH neighbors present are emitted (global-interior
+    // semantics). At 100 TB this is the real distributed-raster pattern:
+    // a border-sliver shuffle (~2/h of the data) buys seam-free focal
+    // output; the oracle ignores tiling entirely and joins on GLOBAL
+    // pixel coordinates, so any seam error breaks the hash.
+    Q("eo_tile_focal_halo", Some(
+      "WITH px AS (SELECT (event_id // 4) // 256 AS tile, (event_id // 4) % 256 AS pos, " +
+        "event_id % 4 AS t, CAST(user_id AS BIGINT) AS v FROM events), " +
+        "full_t AS (SELECT tile FROM px WHERE t = 0 GROUP BY tile HAVING COUNT(*) = 256), " +
+        "core AS (SELECT f.tile FROM full_t f JOIN full_t a ON a.tile = f.tile - 1 " +
+        "JOIN full_t b ON b.tile = f.tile + 1), " +
+        "pg AS (SELECT p.tile, p.tile * 16 + p.pos // 16 AS gy, p.pos % 16 AS gx, p.v " +
+        "FROM px p JOIN full_t USING (tile) WHERE p.t = 0), " +
+        "ctr AS (SELECT pg.tile, pg.gy, pg.gx FROM pg JOIN core USING (tile) " +
+        "WHERE pg.gx BETWEEN 1 AND 14), " +
+        "fs AS (SELECT o.tile, (o.gy - o.tile * 16) * 14 + o.gx - 1 AS opos, " +
+        "CAST(SUM(nb.v) AS BIGINT) AS fsum FROM ctr o JOIN pg nb " +
+        "ON nb.gy BETWEEN o.gy - 1 AND o.gy + 1 AND nb.gx BETWEEN o.gx - 1 AND o.gx + 1 " +
+        "GROUP BY o.tile, opos) " +
+        "SELECT tile, CAST(COUNT(*) AS BIGINT) AS n_out, " +
+        "CAST(SUM(fsum) AS BIGINT) AS sum_fs, " +
+        "CAST(SUM(fsum * (opos + 1)) AS BIGINT) AS checksum " +
+        "FROM fs GROUP BY tile ORDER BY tile"),
+      (s, d) => {
+        val grid = eventTiles(s, d, Seq("v" -> col("user_id")))
+          .where(size(col("data")) === 256 && col("time") === 0)
+        // the halo exchange: ship each tile's first/last row to the
+        // neighbor that needs it (keyed re-partition of 16-float rows)
+        val fromAbove = grid.select((col("tile_y") + 1).as("tile_y"),
+          slice(col("data"), 241, 16).as("halo_top"))
+        val fromBelow = grid.select((col("tile_y") - 1).as("tile_y"),
+          slice(col("data"), 1, 16).as("halo_bot"))
+        val padded = grid.join(fromAbove, "tile_y").join(fromBelow, "tile_y")
+          .select(col("product"), col("band"), col("time"),
+            col("tile_y"), col("tile_x"),
+            concat(col("halo_top"), col("data"), col("halo_bot")).as("data"))
+        val f = graft.raster.RasterGrid.focalSum3x3(padded, h = 18, w = 16)
+        unpackTiles(f)
+          .groupBy("tile")
+          .agg(
+            count(lit(1)).as("n_out"),
+            sum(col("v").cast("long")).as("sum_fs"),
+            sum(col("v").cast("long") * (col("pos") + 1)).as("checksum"))
+          .orderBy("tile")
+      }),
+
     // Bilinear upsample (round 8) — the finer-than-stored resampling path
     // (dc.load resampling='bilinear' [PK rasterio/GDAL]): each 16×16 tile
     // doubles to 32×32 via RasterGrid.upsampleBilinear2x; even outputs

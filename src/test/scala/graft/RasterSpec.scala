@@ -77,6 +77,34 @@ class RasterSpec extends SparkSpec {
     assert(d2(0) == 0f && d2(1).isNaN)
   }
 
+  test("halo-padded focal equals the seam-free global focal on a multi-tile grid") {
+    import org.apache.spark.sql.functions._
+    val h = 4; val w = 4; val nT = 3
+    // value depends on GLOBAL y so any seam mistake shifts the sums
+    val g = RasterGrid.synthesize(spark, "p", "b", 1, nT, h, w, Seq(0)) {
+      (x, y, _) => (y * 10 + x + 1).toFloat
+    }
+    val fromAbove = g.select((col("tile_y") + 1).as("tile_y"),
+      slice(col("data"), (h - 1) * w + 1, w).as("halo_top"))
+    val fromBelow = g.select((col("tile_y") - 1).as("tile_y"),
+      slice(col("data"), 1, w).as("halo_bot"))
+    val padded = g.join(fromAbove, "tile_y").join(fromBelow, "tile_y")
+      .select(col("product"), col("band"), col("time"), col("tile_y"), col("tile_x"),
+        concat(col("halo_top"), col("data"), col("halo_bot")).as("data"))
+    val f = RasterGrid.focalSum3x3(padded, h + 2, w)
+    // only the middle tile has both neighbors
+    val rows = f.collect()
+    assert(rows.length == 1 && rows.head.getAs[Int]("tile_y") == 1)
+    val out = rows.head.getAs[scala.collection.Seq[Float]]("data")
+    val global = Array.tabulate(nT * h, w)((y, x) => (y * 10 + x + 1).toFloat)
+    for (iy <- 0 until h; ix <- 1 until w - 1) {
+      val gy = h + iy // middle tile's global rows
+      val want = (for (dy <- -1 to 1; dx <- -1 to 1)
+        yield global(gy + dy)(ix + dx)).sum
+      assert(out(iy * (w - 2) + (ix - 1)) == want, s"($ix,$iy)")
+    }
+  }
+
   test("bilinear 2x upsample matches brute force; even outputs reproduce inputs") {
     val h = 4; val w = 4
     val g = RasterGrid.synthesize(spark, "p", "b", 1, 1, h, w, Seq(0)) {
