@@ -193,5 +193,31 @@ object StreamTwins {
           .withColumn("run_total", sum(s6(col("value"))).over(w))
           .select("event_id", "user_id", "run_total")
           .orderBy("event_id")
+      }),
+
+    // Per-window top-k (round 8) — the trending-items query every
+    // streaming analytics surface ships: top-3 event types per tumbling
+    // hour, ties broken by type name. Batch twin of the incremental
+    // form (per-window counts ARE the running state a stateful stream
+    // keeps; the rank fires at window close/watermark). The rk <= 3
+    // filter plans as WindowGroupLimit — per-partition top-k heaps
+    // below the window sort, never a global sort (PlanContractSpec).
+    Q("stream_topk", Some(
+      "WITH wc AS (SELECT (CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600) * 3600 AS win_start, " +
+        "event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY win_start, event_type), " +
+        "rk AS (SELECT win_start, event_type, n, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY win_start ORDER BY n DESC, event_type) AS INT) AS rk FROM wc) " +
+        "SELECT win_start, event_type, n, rk FROM rk WHERE rk <= 3 ORDER BY win_start, rk"),
+      (s, d) => {
+        val wTop = Window.partitionBy("win_start")
+          .orderBy(col("n").desc, col("event_type"))
+        T.events(s, d)
+          .groupBy(
+            (floor(epochS(col("ts")) / 3600) * 3600).as("win_start"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rk", row_number().over(wTop))
+          .where(col("rk") <= 3)
+          .orderBy("win_start", "rk")
       }))
 }

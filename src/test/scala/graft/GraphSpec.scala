@@ -43,4 +43,33 @@ class GraphSpec extends SparkSpec {
     assert(got.values.sum <= 1000000000L + nations.size)
     assert(got.values.forall(_ >= 6000000L))
   }
+
+  test("graph_triangles equals a brute-force scalar recount") {
+    val got = SparkEntry.queries("graph_triangles")(spark, sfDir)
+      .select(col("nationkey").cast("long"), col("n_tri"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val e = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").cast("long").as("src"),
+        col("s_nationkey").cast("long").as("dst"))
+      .count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      .filter { case ((s, d), _) => s != d }
+    val mu = e.values.sum.toDouble / e.size
+    val ue = e.filter(_._2 >= 1.25 * mu).keySet
+      .map { case (s, d) => (math.min(s, d), math.max(s, d)) }
+    val nodes = ue.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    val triCount = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      (a, b) <- ue; (b2, c) <- ue if b2 == b && ue.contains((a, c))
+    } { triCount(a) += 1; triCount(b) += 1; triCount(c) += 1 }
+    got.foreach { case (v, n) => assert(n == triCount(v), s"nation $v") }
+    assert(nodes.forall(got.contains))
+  }
 }

@@ -198,6 +198,10 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("bucket"), s"bucket join key missing from the plan:\n$p")
   }
 
+  test("stream_topk ranks through WindowGroupLimit, not a full window sort") {
+    assert(planOf("stream_topk").contains("WindowGroupLimit"))
+  }
+
   test("win_ewma and llm_pack windows are entity-partitioned, never global") {
     for (k <- Seq("win_ewma", "llm_pack")) {
       val p = planOf(k)
