@@ -563,6 +563,40 @@ object Aggregates {
           .orderBy("l_returnflag")
       }),
 
+    // Higher-moment shape statistics (skewness / excess kurtosis) from
+    // the SAME exact integer-moment discipline as agg_stats/agg_regr:
+    // n, Σx..Σx⁴ as exact longs (x = integer quantities ≤ 50, so Σx⁴
+    // stays under 2^53 through ~10^9 rows/group; beyond that the same
+    // per-(group, salt) sharding remedy applies), then ONE fixed double
+    // op sequence per statistic. m2^1.5 is spelled m2*SQRT(m2), never
+    // POWER() — sqrt is IEEE-correctly-rounded everywhere, pow is not
+    // (the Det trig-ulp rule). The built-in skewness/kurtosis aggregates
+    // are merge-order-dependent doubles, which is WHY the graded form
+    // reduces to moments first.
+    Q("agg_skew_kurt", Some(skewKurtOracle),
+      (s, d) => {
+        val xi = s0(col("l_quantity"))
+        val m = T.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(xi).as("s1"), sum(xi * xi).as("s2"),
+            sum(xi * xi * xi).as("s3"), sum(xi * xi * xi * xi).as("s4m"))
+        val nD = col("n").cast("double")
+        val s1D = col("s1").cast("double"); val s2D = col("s2").cast("double")
+        val s3D = col("s3").cast("double"); val s4D = col("s4m").cast("double")
+        val mu = s1D / nD
+        val m2 = s2D / nD - mu * mu
+        val m3 = s3D / nD - lit(3.0) * mu * (s2D / nD) + lit(2.0) * mu * mu * mu
+        val m4 = s4D / nD - lit(4.0) * mu * (s3D / nD) +
+          lit(6.0) * mu * mu * (s2D / nD) - lit(3.0) * mu * mu * mu * mu
+        m.select(
+            col("l_returnflag"), col("n"),
+            s6(m3 / (m2 * sqrt(m2))).as("skew6"),
+            s6(m4 / (m2 * m2) - lit(3.0)).as("kurt6"))
+          .orderBy("l_returnflag")
+      }),
+
     // Exact percentiles over scaled-long cents: interpolation at p ∈
     // {.25,.5,.75} over integers is exact in double space (Det rule 4), so
     // the ×100 re-scale is an exact integer on both engines.
@@ -724,6 +758,28 @@ object Aggregates {
       sqlS4(varQ) + " AS var_qty, " +
       sqlS4(corrPQ) + " AS corr_pq, " +
       sqlS4(covPQ) + " AS cov_pq " +
+      "FROM m ORDER BY l_returnflag"
+  }
+
+  /** Oracle twin of agg_skew_kurt — identical moment sums and double op
+    * sequence (m2^1.5 spelled as m2*SQRT(m2), matching the Column form). */
+  private def skewKurtOracle: String = {
+    val nD = "CAST(n AS DOUBLE)"
+    val s1D = "CAST(s1 AS DOUBLE)"; val s2D = "CAST(s2 AS DOUBLE)"
+    val s3D = "CAST(s3 AS DOUBLE)"; val s4D = "CAST(s4m AS DOUBLE)"
+    val mu = s"($s1D / $nD)"
+    val m2 = s"($s2D / $nD - $mu * $mu)"
+    val m3 = s"($s3D / $nD - 3.0 * $mu * ($s2D / $nD) + 2.0 * $mu * $mu * $mu)"
+    val m4 = s"($s4D / $nD - 4.0 * $mu * ($s3D / $nD) + " +
+      s"6.0 * $mu * $mu * ($s2D / $nD) - 3.0 * $mu * $mu * $mu * $mu)"
+    "WITH b AS (SELECT l_returnflag, " + sqlS0("l_quantity") + " AS xi FROM lineitem), " +
+      "m AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, " +
+      "CAST(SUM(xi) AS BIGINT) AS s1, CAST(SUM(xi * xi) AS BIGINT) AS s2, " +
+      "CAST(SUM(xi * xi * xi) AS BIGINT) AS s3, " +
+      "CAST(SUM(xi * xi * xi * xi) AS BIGINT) AS s4m FROM b GROUP BY l_returnflag) " +
+      "SELECT l_returnflag, n, " +
+      sqlS6(s"$m3 / ($m2 * SQRT($m2))") + " AS skew6, " +
+      sqlS6(s"$m4 / ($m2 * $m2) - 3.0") + " AS kurt6 " +
       "FROM m ORDER BY l_returnflag"
   }
 
