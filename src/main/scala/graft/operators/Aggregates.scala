@@ -597,6 +597,40 @@ object Aggregates {
           .orderBy("l_returnflag")
       }),
 
+    // Shannon entropy of each user's event-type mix — the behavioral-
+    // diversity feature of engagement/quality scoring (and the split
+    // criterion of every decision tree). The llm_unigram_logprob LN
+    // discipline: each -(c/n)ln(c/n) term is s6-floored BEFORE the
+    // per-user sum, so the aggregate is an order-free integer (a raw
+    // double SUM over partials would be merge-order-dependent); c and n
+    // are exact longs, so the per-term double sequence is engine-
+    // identical. Single-type users hit ln(1) = 0 exactly. Linear: two
+    // stacked partial aggs on the same user_id key — one shuffle.
+    Q("agg_entropy", Some(
+      "WITH g AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c " +
+        "FROM events GROUP BY user_id, event_type), " +
+        "t AS (SELECT user_id, c, " +
+        "CAST(SUM(c) OVER (PARTITION BY user_id) AS BIGINT) AS n, " +
+        sqlS6("(CAST(c AS DOUBLE) / CAST(SUM(c) OVER (PARTITION BY user_id) AS DOUBLE)) * " +
+          "LN(CAST(c AS DOUBLE) / CAST(SUM(c) OVER (PARTITION BY user_id) AS DOUBLE))") +
+        " AS term6 FROM g) " +
+        "SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_types, " +
+        "CAST(-SUM(term6) AS BIGINT) AS ent6 " +
+        "FROM t GROUP BY user_id ORDER BY user_id"),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val g = T.events(s, d)
+          .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+        val wu = Window.partitionBy("user_id")
+        val p = col("c").cast("double") / sum(col("c")).over(wu).cast("double")
+        g.withColumn("term6", s6(p * log(p)))
+          .groupBy("user_id")
+          .agg(sum(col("c")).as("n_events"), count(lit(1)).as("n_types"),
+            (-sum(col("term6"))).as("ent6"))
+          .orderBy("user_id")
+      }),
+
     // Exact percentiles over scaled-long cents: interpolation at p ∈
     // {.25,.5,.75} over integers is exact in double space (Det rule 4), so
     // the ×100 re-scale is an exact integer on both engines.

@@ -244,6 +244,52 @@ object Windows {
           .orderBy("user_id")
       }),
 
+    // Per-entity z-score standardization — the feature-normalization op
+    // every ML feature pipeline runs before training: each event's value
+    // standardized against ITS USER's distribution. The agg_stats moment
+    // discipline moved into a window: v = s6(value) exact longs, window
+    // partials n/Σv/Σv² exact integer window sums over the user
+    // partition, then ONE fixed double sequence per row (sample
+    // variance), s6-projected. v is CENT-scaled (s2), not s6: squares
+    // of s6 values would overflow the 63-bit window sums at ~10 rows
+    // (and DuckDB widens SUM(BIGINT) to HUGEINT where Spark wraps, so
+    // overflow would also DIVERGE, not just lose precision); s2 keeps
+    // 2^63/(max_cents^2) ~ 10^9 rows/user of headroom and z-scores are
+    // scale-invariant, so the statistic is unchanged. Degenerate
+    // partitions (n < 2 or zero
+    // variance) emit NULL, spelled identically in both engines.
+    // Entity-bounded: user partitions scale with per-user history.
+    Q("win_zscore", Some(
+      "WITH v AS (SELECT event_id, user_id, " + sqlS2("value") + " AS vi FROM events), " +
+        "m AS (SELECT event_id, user_id, vi, " +
+        "CAST(COUNT(*) OVER w AS BIGINT) AS n, " +
+        "CAST(SUM(vi) OVER w AS BIGINT) AS sv, " +
+        "CAST(SUM(vi * vi) OVER w AS BIGINT) AS svv " +
+        "FROM v WINDOW w AS (PARTITION BY user_id)) " +
+        "SELECT event_id, user_id, " +
+        "CASE WHEN n < 2 OR CAST(n AS DOUBLE) * CAST(svv AS DOUBLE) - " +
+        "CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) <= 0.0 THEN NULL ELSE " +
+        sqlS6("(CAST(vi AS DOUBLE) - CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) / " +
+          "SQRT((CAST(n AS DOUBLE) * CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) / " +
+          "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))") +
+        " END AS z6 FROM m ORDER BY event_id"),
+      (s, d) => {
+        val wu = Window.partitionBy("user_id")
+        val nD = col("n").cast("double")
+        val svD = col("sv").cast("double"); val svvD = col("svv").cast("double")
+        val num = nD * svvD - svD * svD
+        val z = (col("vi").cast("double") - svD / nD) /
+          sqrt(num / (nD * (nD - lit(1.0))))
+        T.events(s, d)
+          .select(col("event_id"), col("user_id"), s2(col("value")).as("vi"))
+          .withColumn("n", count(lit(1)).over(wu))
+          .withColumn("sv", sum(col("vi")).over(wu))
+          .withColumn("svv", sum(col("vi") * col("vi")).over(wu))
+          .select(col("event_id"), col("user_id"),
+            when(col("n") < 2 || num <= 0.0, lit(null)).otherwise(s6(z)).as("z6"))
+          .orderBy("event_id")
+      }),
+
     // Exponentially-weighted moving average (the pandas `ewm` / time-series
     // smoothing op) in its DYADIC-EXACT finite form: alpha = 1/2 over the
     // last 8 observations, so the weight of lag k is 2^-(k+1) and the
