@@ -249,24 +249,16 @@ object RasterGrid {
     * outputs reproduce the input pixel exactly (all four indices
     * coincide), odd outputs are the 2-neighbor midpoint, and odd-odd the
     * 4-neighbor mean — the dyadic /2 and /4 weights stay exact in float32
-    * for small-integer inputs. Pure per-row array math, NO shuffle; the
-    * flat 4-term body is unrolled at plan build time like the focal ops. */
+    * for small-integer inputs. Pure per-row array math, NO shuffle,
+    * executed by the native codegen'd [[TileUpsample2x]] stencil (the
+    * interpreted `transform` form it replaced was the whole key cost:
+    * 4.5 s -> sub-second at the r8 bench scale; same left-assoc float
+    * sums, bit-for-bit identical output). */
   def upsampleBilinear2x(df: DataFrame, h: Int, w: Int): DataFrame = {
-    val oh = 2 * h; val ow = 2 * w
-    val out = transform(
-      sequence(lit(0), lit(oh * ow - 1)),
-      o => {
-        val oy = (o / ow).cast("int"); val ox = (o % ow).cast("int")
-        val y0 = (oy / 2).cast("int"); val x0 = (ox / 2).cast("int")
-        val y1 = least(y0 + oy % 2, lit(h - 1))
-        val x1 = least(x0 + ox % 2, lit(w - 1))
-        def v(y: Column, x: Column) =
-          element_at(col("data"), (y * w + x + 1).cast("int"))
-        ((v(y0, x0) + v(y0, x1) + v(y1, x0) + v(y1, x1)) / lit(4.0f))
-          .cast("float")
-      })
+    TileExprs.register(df.sparkSession)
     df.select(col("product"), col("band"), col("time"),
-      col("tile_y"), col("tile_x"), out.as("data"))
+      col("tile_y"), col("tile_x"),
+      TileExprs.up2x(col("data"), h, w).as("data"))
   }
 
   /** 3×3 focal (neighborhood) SUM over each tile's interior — the box-
@@ -280,28 +272,21 @@ object RasterGrid {
     * float32, while /9 is non-dyadic and would leave the integer grid. */
   def focalSum3x3(df: DataFrame, h: Int, w: Int): DataFrame = {
     require(h >= 3 && w >= 3, "focal window needs a 3x3 interior")
-    val oh = h - 2; val ow = w - 2
-    // ONE transform whose body is a FLAT 9-term addition unrolled at plan
-    // build time (the dy/dx offsets are Scala literals, so the window
-    // never needs an inner `aggregate` fold): higher-order eval is
-    // interpreted, so the cost of the original 9-step fold was lambda
-    // dispatch + a per-pixel offsets array, not arithmetic. A two-pass
-    // separable form (rowsum alias + vertical pass) was tried and
-    // REVERTED: Catalyst substitutes the multiply-referenced array alias
-    // across projections (and into pushed-down predicates), nesting the
-    // h*w rowsum transform inside each of the 3 vertical reads —
-    // O(tile^2) per output pixel, observed as a ~1000 s stall at sf0.1.
-    // Keep focal windows as single self-contained transforms.
-    val out = transform(
-      sequence(lit(0), lit(oh * ow - 1)),
-      o => {
-        val oy = (o / ow).cast("int") + 1; val ox = (o % ow).cast("int") + 1
-        val c = oy * w + ox + 1 // 1-based center index into data
-        (for (dy <- -1 to 1; dx <- -1 to 1)
-          yield element_at(col("data"), c + dy * w + dx)).reduce(_ + _)
-      })
+    // Executed by the native codegen'd [[TileFocalSum3x3]] stencil: same
+    // left-assoc 9-term float sum as the flat-unrolled transform it
+    // replaced, bit-for-bit identical output, none of the interpreted
+    // higher-order eval cost. (History kept for the next kernel author:
+    // an inner `aggregate` fold cost lambda dispatch + a per-pixel
+    // offsets array; a two-pass separable form — rowsum alias + vertical
+    // pass — was tried and REVERTED because Catalyst substitutes the
+    // multiply-referenced array alias across projections, nesting the
+    // h*w rowsum transform inside each of the 3 vertical reads: O(tile^2)
+    // per output pixel, a ~1000 s stall at sf0.1. Keep stencils
+    // self-contained — one expression, one array read.)
+    TileExprs.register(df.sparkSession)
     df.select(col("product"), col("band"), col("time"),
-      col("tile_y"), col("tile_x"), out.as("data"))
+      col("tile_y"), col("tile_x"),
+      TileExprs.focal3(col("data"), h, w).as("data"))
   }
 
   /** Horn (1981) 3×3 terrain gradient over each tile's interior — the

@@ -1,0 +1,186 @@
+package graft.raster
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
+import org.apache.spark.sql.{Column, SparkSession}
+
+/** Native Catalyst expressions for the fixed-stencil tile hot paths
+  * (SURVEY §5.3, the same justification as functions.VectorExprs): the
+  * higher-order `transform` forms of the upsample/focal kernels are
+  * interpreted per OUTPUT PIXEL — lambda dispatch + an element_at walk
+  * per term — which the bench measured as the whole cost of the keys
+  * (eo_tile_upsample 4.5 s for ~96 graded tiles; the focal keys carried
+  * the same eval class even after the flat-9-term unroll). A stencil is
+  * a tight index loop over one primitive float array: exactly what
+  * `doGenCode` expresses and whole-stage codegen inlines — no boxing, no
+  * closure dispatch, one `UnsafeArrayData.fromPrimitiveArray` per tile.
+  *
+  * Determinism: float arithmetic in the IDENTICAL association order as
+  * the transform forms they replace (left-assoc 4-term / 9-term sums),
+  * so results are bit-for-bit unchanged and the DuckDB oracles and
+  * brute-force specs hold without modification. Interpreted nullSafeEval
+  * mirrors the generated Java exactly.
+  *
+  * (h, w) arrive as foldable int literals (tile geometry is plan-time
+  * constant); the expressions are registered like the vector family so
+  * any session shape can reach them.
+  */
+case class TileUpsample2x(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def prettyName: String = TileExprs.Up2xName
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType, _), IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_tile_up2x expects (array<float>, int, int), got $other")
+    }
+
+  override def nullSafeEval(d: Any, hh: Any, ww: Any): Any = {
+    val a = d.asInstanceOf[ArrayData]
+    val h = hh.asInstanceOf[Int]; val w = ww.asInstanceOf[Int]
+    val ow = 2 * w
+    val out = new Array[Float](4 * h * w)
+    var oy = 0
+    while (oy < 2 * h) {
+      val y0 = oy / 2
+      val y1 = math.min(y0 + oy % 2, h - 1)
+      var ox = 0
+      while (ox < ow) {
+        val x0 = ox / 2
+        val x1 = math.min(x0 + ox % 2, w - 1)
+        out(oy * ow + ox) =
+          (a.getFloat(y0 * w + x0) + a.getFloat(y0 * w + x1) +
+            a.getFloat(y1 * w + x0) + a.getFloat(y1 * w + x1)) / 4.0f
+        ox += 1
+      }
+      oy += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (d, hh, ww) => {
+      val h = ctx.freshName("h"); val w = ctx.freshName("w")
+      val ow = ctx.freshName("ow"); val out = ctx.freshName("out")
+      val oy = ctx.freshName("oy"); val ox = ctx.freshName("ox")
+      val y0 = ctx.freshName("y0"); val y1 = ctx.freshName("y1")
+      val x0 = ctx.freshName("x0"); val x1 = ctx.freshName("x1")
+      s"""
+         |int $h = $hh; int $w = $ww; int $ow = 2 * $w;
+         |float[] $out = new float[4 * $h * $w];
+         |for (int $oy = 0; $oy < 2 * $h; $oy++) {
+         |  int $y0 = $oy / 2;
+         |  int $y1 = java.lang.Math.min($y0 + $oy % 2, $h - 1);
+         |  for (int $ox = 0; $ox < $ow; $ox++) {
+         |    int $x0 = $ox / 2;
+         |    int $x1 = java.lang.Math.min($x0 + $ox % 2, $w - 1);
+         |    $out[$oy * $ow + $ox] =
+         |      ($d.getFloat($y0 * $w + $x0) + $d.getFloat($y0 * $w + $x1) +
+         |       $d.getFloat($y1 * $w + $x0) + $d.getFloat($y1 * $w + $x1)) / 4.0f;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** 3×3 interior box sum — the focal kernel, 9 terms left-assoc like the
+  * unrolled transform it replaces. Output (h-2)×(w-2). */
+case class TileFocalSum3x3(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def prettyName: String = TileExprs.Focal3Name
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType, _), IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_tile_focal3 expects (array<float>, int, int), got $other")
+    }
+
+  override def nullSafeEval(d: Any, hh: Any, ww: Any): Any = {
+    val a = d.asInstanceOf[ArrayData]
+    val h = hh.asInstanceOf[Int]; val w = ww.asInstanceOf[Int]
+    val oh = h - 2; val ow = w - 2
+    val out = new Array[Float](oh * ow)
+    var oy = 0
+    while (oy < oh) {
+      var ox = 0
+      while (ox < ow) {
+        val c = (oy + 1) * w + (ox + 1)
+        out(oy * ow + ox) =
+          a.getFloat(c - w - 1) + a.getFloat(c - w) + a.getFloat(c - w + 1) +
+            a.getFloat(c - 1) + a.getFloat(c) + a.getFloat(c + 1) +
+            a.getFloat(c + w - 1) + a.getFloat(c + w) + a.getFloat(c + w + 1)
+        ox += 1
+      }
+      oy += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (d, hh, ww) => {
+      val h = ctx.freshName("h"); val w = ctx.freshName("w")
+      val oh = ctx.freshName("oh"); val ow = ctx.freshName("ow")
+      val out = ctx.freshName("out"); val c = ctx.freshName("c")
+      val oy = ctx.freshName("oy"); val ox = ctx.freshName("ox")
+      s"""
+         |int $h = $hh; int $w = $ww;
+         |int $oh = $h - 2; int $ow = $w - 2;
+         |float[] $out = new float[$oh * $ow];
+         |for (int $oy = 0; $oy < $oh; $oy++) {
+         |  for (int $ox = 0; $ox < $ow; $ox++) {
+         |    int $c = ($oy + 1) * $w + ($ox + 1);
+         |    $out[$oy * $ow + $ox] =
+         |      $d.getFloat($c - $w - 1) + $d.getFloat($c - $w) + $d.getFloat($c - $w + 1) +
+         |      $d.getFloat($c - 1) + $d.getFloat($c) + $d.getFloat($c + 1) +
+         |      $d.getFloat($c + $w - 1) + $d.getFloat($c + $w) + $d.getFloat($c + $w + 1);
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+object TileExprs {
+
+  val Up2xName = "graft_tile_up2x"
+  val Focal3Name = "graft_tile_focal3"
+
+  /** Imperative registration, idempotent (the VectorExprs pattern). */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      Up2xName, ch => TileUpsample2x(ch(0), ch(1), ch(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      Focal3Name, ch => TileFocalSum3x3(ch(0), ch(1), ch(2)), "built-in")
+  }
+
+  def up2x(data: Column, h: Int, w: Int): Column =
+    org.apache.spark.sql.functions.call_function(Up2xName, data,
+      org.apache.spark.sql.functions.lit(h), org.apache.spark.sql.functions.lit(w))
+
+  def focal3(data: Column, h: Int, w: Int): Column =
+    org.apache.spark.sql.functions.call_function(Focal3Name, data,
+      org.apache.spark.sql.functions.lit(h), org.apache.spark.sql.functions.lit(w))
+}

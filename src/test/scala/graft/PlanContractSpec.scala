@@ -97,6 +97,16 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("tile stencils run the native expressions, not interpreted transforms") {
+    // (eventTiles' struct-field unpack is still a cheap one-lambda
+    // transform — the pin is that the KERNEL is the native expression)
+    for (k <- Seq("eo_tile_upsample", "eo_tile_focal", "eo_tile_focal_halo")) {
+      val p = planOf(k)
+      assert(p.contains("graft_tile_up2x") || p.contains("graft_tile_focal3"),
+        s"$k lost the native stencil:\n$p")
+    }
+  }
+
   test("round-7 keys keep their promised shapes") {
     // hash-gated sampling is map-only: no join, no window, no aggregate —
     // the only exchange is the final presentation sort
