@@ -194,21 +194,13 @@ object RasterGrid {
     * packed tile, no shuffle at all. */
   def downsample(df: DataFrame, h: Int, w: Int, factor: Int): DataFrame = {
     require(h % factor == 0 && w % factor == 0, "factor must divide tile dims")
-    val oh = h / factor; val ow = w / factor
-    val block = transform(
-      sequence(lit(0), lit(oh * ow - 1)),
-      o => {
-        val oy = (o / ow).cast("int"); val ox = (o % ow).cast("int")
-        val idxs = sequence(lit(0), lit(factor * factor - 1))
-        val summed = aggregate(idxs, lit(0.0f), (acc, k) => {
-          val dy = (k / factor).cast("int"); val dx = (k % factor).cast("int")
-          acc + element_at(col("data"),
-            (oy * factor + dy) * w + (ox * factor + dx) + 1)
-        })
-        (summed / lit(factor * factor.toFloat)).cast("float")
-      })
+    // native codegen'd stencil (TileExprs) — same k-order block fold and
+    // final /factor² float divide as the transform+aggregate form it
+    // replaced, bit-for-bit identical output
+    TileExprs.register(df.sparkSession)
     df.select(col("product"), col("band"), col("time"),
-      col("tile_y"), col("tile_x"), block.as("data"))
+      col("tile_y"), col("tile_x"),
+      TileExprs.down(col("data"), h, w, factor).as("data"))
   }
 
   /** Overview pyramid (the COG overview / dc.load multi-resolution

@@ -163,10 +163,84 @@ case class TileFocalSum3x3(first: Expression, second: Expression, third: Express
     copy(first = f, second = s, third = t)
 }
 
+/** Block-mean downsample by an integer factor — (data, h, w, factor).
+  * Accumulation order matches the `aggregate` fold it replaces: k-order
+  * row-major within the block from a 0.0f seed, one float divide by
+  * factor² at the end. Output (h/factor)×(w/factor). */
+case class TileDownsample(
+    first: Expression, second: Expression, third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def prettyName: String = TileExprs.DownName
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
+      case (ArrayType(FloatType, _), IntegerType, IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_tile_down expects (array<float>, int, int, int), got $other")
+    }
+
+  override def nullSafeEval(d: Any, hh: Any, ww: Any, ff: Any): Any = {
+    val a = d.asInstanceOf[ArrayData]
+    val h = hh.asInstanceOf[Int]; val w = ww.asInstanceOf[Int]
+    val f = ff.asInstanceOf[Int]
+    val oh = h / f; val ow = w / f
+    val out = new Array[Float](oh * ow)
+    var oy = 0
+    while (oy < oh) {
+      var ox = 0
+      while (ox < ow) {
+        var acc = 0.0f
+        var k = 0
+        while (k < f * f) {
+          acc += a.getFloat((oy * f + k / f) * w + (ox * f + k % f))
+          k += 1
+        }
+        out(oy * ow + ox) = acc / (f * f).toFloat
+        ox += 1
+      }
+      oy += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (d, hh, ww, ff) => {
+      val h = ctx.freshName("h"); val w = ctx.freshName("w")
+      val f = ctx.freshName("f"); val oh = ctx.freshName("oh")
+      val ow = ctx.freshName("ow"); val out = ctx.freshName("out")
+      val oy = ctx.freshName("oy"); val ox = ctx.freshName("ox")
+      val k = ctx.freshName("k"); val acc = ctx.freshName("acc")
+      s"""
+         |int $h = $hh; int $w = $ww; int $f = $ff;
+         |int $oh = $h / $f; int $ow = $w / $f;
+         |float[] $out = new float[$oh * $ow];
+         |for (int $oy = 0; $oy < $oh; $oy++) {
+         |  for (int $ox = 0; $ox < $ow; $ox++) {
+         |    float $acc = 0.0f;
+         |    for (int $k = 0; $k < $f * $f; $k++) {
+         |      $acc += $d.getFloat(($oy * $f + $k / $f) * $w + ($ox * $f + $k % $f));
+         |    }
+         |    $out[$oy * $ow + $ox] = $acc / (float) ($f * $f);
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f1: Expression, f2: Expression, f3: Expression, f4: Expression): Expression =
+    copy(first = f1, second = f2, third = f3, fourth = f4)
+}
+
 object TileExprs {
 
   val Up2xName = "graft_tile_up2x"
   val Focal3Name = "graft_tile_focal3"
+  val DownName = "graft_tile_down"
 
   /** Imperative registration, idempotent (the VectorExprs pattern). */
   def register(spark: SparkSession): Unit = {
@@ -174,6 +248,8 @@ object TileExprs {
       Up2xName, ch => TileUpsample2x(ch(0), ch(1), ch(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       Focal3Name, ch => TileFocalSum3x3(ch(0), ch(1), ch(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      DownName, ch => TileDownsample(ch(0), ch(1), ch(2), ch(3)), "built-in")
   }
 
   def up2x(data: Column, h: Int, w: Int): Column =
@@ -183,4 +259,9 @@ object TileExprs {
   def focal3(data: Column, h: Int, w: Int): Column =
     org.apache.spark.sql.functions.call_function(Focal3Name, data,
       org.apache.spark.sql.functions.lit(h), org.apache.spark.sql.functions.lit(w))
+
+  def down(data: Column, h: Int, w: Int, factor: Int): Column =
+    org.apache.spark.sql.functions.call_function(DownName, data,
+      org.apache.spark.sql.functions.lit(h), org.apache.spark.sql.functions.lit(w),
+      org.apache.spark.sql.functions.lit(factor))
 }
