@@ -290,6 +290,43 @@ object Windows {
           .orderBy("event_id")
       }),
 
+    // SCD2 history build — the slowly-changing-dimension type-2
+    // materialization every warehouse runs over a CDC change stream:
+    // compress consecutive same-state observations per entity into one
+    // validity interval [valid_from, valid_to), open-ended + flagged on
+    // the current state. Two window passes, both entity-partitioned:
+    // lag(state) finds the change points, lead(t) OVER THE CHANGE ROWS
+    // closes each interval with the next change's start. Whole epoch
+    // seconds (Det.epochS), (t, event_id) orders ties away.
+    Q("win_scd2", Some(
+      "WITH d AS (SELECT user_id, event_id, event_type AS state, " +
+        "CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t FROM events), " +
+        "chg AS (SELECT user_id, event_id, state, t, " +
+        "CASE WHEN LAG(state) OVER w IS NULL OR LAG(state) OVER w <> state THEN 1 ELSE 0 END AS is_chg " +
+        "FROM d WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)), " +
+        "iv AS (SELECT user_id, state, t AS valid_from, " +
+        "LEAD(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS valid_to " +
+        "FROM chg WHERE is_chg = 1) " +
+        "SELECT user_id, state, valid_from, valid_to, " +
+        "CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INT) AS is_current " +
+        "FROM iv ORDER BY user_id, valid_from, state"),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+        val chg = T.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            col("event_type").as("state"), epochS(col("ts")).as("t"))
+          .withColumn("is_chg",
+            when(lag(col("state"), 1).over(w).isNull ||
+              lag(col("state"), 1).over(w) =!= col("state"), 1).otherwise(0))
+          .where(col("is_chg") === 1)
+        chg
+          .withColumn("valid_to", lead(col("t"), 1).over(w))
+          .select(col("user_id"), col("state"), col("t").as("valid_from"),
+            col("valid_to"),
+            when(col("valid_to").isNull, 1).otherwise(0).cast("int").as("is_current"))
+          .orderBy("user_id", "valid_from", "state")
+      }),
+
     // Exponentially-weighted moving average (the pandas `ewm` / time-series
     // smoothing op) in its DYADIC-EXACT finite form: alpha = 1/2 over the
     // last 8 observations, so the weight of lag k is 2^-(k+1) and the
