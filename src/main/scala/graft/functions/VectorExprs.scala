@@ -320,5 +320,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(VectorExprs.ICountName),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, VectorExprs.ICountName),
       children => SortedIntersectCount(children(0), children(1))))
+    // the native tile-stencil family (graft.raster.TileExprs) — same
+    // contract as the vector tier: conf-built sessions get the SQL names
+    // without routing through RasterGrid's self-registering methods
+    e.injectFunction((
+      FunctionIdentifier(graft.raster.TileExprs.Up2xName),
+      new ExpressionInfo(classOf[graft.raster.TileUpsample2x].getName,
+        graft.raster.TileExprs.Up2xName),
+      children => graft.raster.TileUpsample2x(children(0), children(1), children(2))))
+    e.injectFunction((
+      FunctionIdentifier(graft.raster.TileExprs.Focal3Name),
+      new ExpressionInfo(classOf[graft.raster.TileFocalSum3x3].getName,
+        graft.raster.TileExprs.Focal3Name),
+      children => graft.raster.TileFocalSum3x3(children(0), children(1), children(2))))
+    e.injectFunction((
+      FunctionIdentifier(graft.raster.TileExprs.DownName),
+      new ExpressionInfo(classOf[graft.raster.TileDownsample].getName,
+        graft.raster.TileExprs.DownName),
+      children => graft.raster.TileDownsample(
+        children(0), children(1), children(2), children(3))))
   }
 }

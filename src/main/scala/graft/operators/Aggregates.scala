@@ -605,12 +605,14 @@ object Aggregates {
     // double SUM over partials would be merge-order-dependent); c and n
     // are exact longs, so the per-term double sequence is engine-
     // identical. Single-type users hit ln(1) = 0 exactly. Linear: two
-    // stacked partial aggs on the same user_id key — one shuffle.
+    // exchanges — (user_id, event_type) for the count, then user_id for
+    // the window (hashpartitioning(user_id, event_type) does NOT satisfy
+    // the window's user_id clustering); the final user_id agg reuses the
+    // second.
     Q("agg_entropy", Some(
       "WITH g AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c " +
         "FROM events GROUP BY user_id, event_type), " +
         "t AS (SELECT user_id, c, " +
-        "CAST(SUM(c) OVER (PARTITION BY user_id) AS BIGINT) AS n, " +
         sqlS6("(CAST(c AS DOUBLE) / CAST(SUM(c) OVER (PARTITION BY user_id) AS DOUBLE)) * " +
           "LN(CAST(c AS DOUBLE) / CAST(SUM(c) OVER (PARTITION BY user_id) AS DOUBLE))") +
         " AS term6 FROM g) " +

@@ -309,7 +309,12 @@ object Windows {
         "FROM chg WHERE is_chg = 1) " +
         "SELECT user_id, state, valid_from, valid_to, " +
         "CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INT) AS is_current " +
-        "FROM iv ORDER BY user_id, valid_from, state"),
+        // valid_to completes the total order: a same-state re-entry
+        // within one floored second yields two rows tying on (user,
+        // valid_from, state) — any rows still tying after valid_to are
+        // bit-identical, so produced order can't diverge. NULLS FIRST
+        // spelled on both sides (DuckDB defaults NULLS LAST, Spark FIRST).
+        "FROM iv ORDER BY user_id, valid_from, state, valid_to NULLS FIRST"),
       (s, d) => {
         val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
         val chg = T.events(s, d)
@@ -324,7 +329,8 @@ object Windows {
           .select(col("user_id"), col("state"), col("t").as("valid_from"),
             col("valid_to"),
             when(col("valid_to").isNull, 1).otherwise(0).cast("int").as("is_current"))
-          .orderBy("user_id", "valid_from", "state")
+          .orderBy(col("user_id"), col("valid_from"), col("state"),
+            col("valid_to").asc_nulls_first)
       }),
 
     // Exponentially-weighted moving average (the pandas `ewm` / time-series

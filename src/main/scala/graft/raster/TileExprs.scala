@@ -47,6 +47,7 @@ case class TileUpsample2x(first: Expression, second: Expression, third: Expressi
   override def nullSafeEval(d: Any, hh: Any, ww: Any): Any = {
     val a = d.asInstanceOf[ArrayData]
     val h = hh.asInstanceOf[Int]; val w = ww.asInstanceOf[Int]
+    TileExprs.requireGeometry(prettyName, a.numElements(), h, w, 1)
     val ow = 2 * w
     val out = new Array[Float](4 * h * w)
     var oy = 0
@@ -76,6 +77,7 @@ case class TileUpsample2x(first: Expression, second: Expression, third: Expressi
       val x0 = ctx.freshName("x0"); val x1 = ctx.freshName("x1")
       s"""
          |int $h = $hh; int $w = $ww; int $ow = 2 * $w;
+         |graft.raster.TileExprs.requireGeometry("${TileExprs.Up2xName}", $d.numElements(), $h, $w, 1, 1);
          |float[] $out = new float[4 * $h * $w];
          |for (int $oy = 0; $oy < 2 * $h; $oy++) {
          |  int $y0 = $oy / 2;
@@ -117,6 +119,7 @@ case class TileFocalSum3x3(first: Expression, second: Expression, third: Express
   override def nullSafeEval(d: Any, hh: Any, ww: Any): Any = {
     val a = d.asInstanceOf[ArrayData]
     val h = hh.asInstanceOf[Int]; val w = ww.asInstanceOf[Int]
+    TileExprs.requireGeometry(prettyName, a.numElements(), h, w, 1, minDim = 3)
     val oh = h - 2; val ow = w - 2
     val out = new Array[Float](oh * ow)
     var oy = 0
@@ -143,6 +146,7 @@ case class TileFocalSum3x3(first: Expression, second: Expression, third: Express
       val oy = ctx.freshName("oy"); val ox = ctx.freshName("ox")
       s"""
          |int $h = $hh; int $w = $ww;
+         |graft.raster.TileExprs.requireGeometry("${TileExprs.Focal3Name}", $d.numElements(), $h, $w, 1, 3);
          |int $oh = $h - 2; int $ow = $w - 2;
          |float[] $out = new float[$oh * $ow];
          |for (int $oy = 0; $oy < $oh; $oy++) {
@@ -187,6 +191,7 @@ case class TileDownsample(
     val a = d.asInstanceOf[ArrayData]
     val h = hh.asInstanceOf[Int]; val w = ww.asInstanceOf[Int]
     val f = ff.asInstanceOf[Int]
+    TileExprs.requireGeometry(prettyName, a.numElements(), h, w, f)
     val oh = h / f; val ow = w / f
     val out = new Array[Float](oh * ow)
     var oy = 0
@@ -216,6 +221,7 @@ case class TileDownsample(
       val k = ctx.freshName("k"); val acc = ctx.freshName("acc")
       s"""
          |int $h = $hh; int $w = $ww; int $f = $ff;
+         |graft.raster.TileExprs.requireGeometry("${TileExprs.DownName}", $d.numElements(), $h, $w, $f, 1);
          |int $oh = $h / $f; int $ow = $w / $f;
          |float[] $out = new float[$oh * $ow];
          |for (int $oy = 0; $oy < $oh; $oy++) {
@@ -241,6 +247,20 @@ object TileExprs {
   val Up2xName = "graft_tile_up2x"
   val Focal3Name = "graft_tile_focal3"
   val DownName = "graft_tile_down"
+
+  /** One branch per TILE (not per pixel): the stencils index the pixel
+    * array purely from the (h, w, factor) literals, and an
+    * UnsafeArrayData.getFloat past numElements is an UNCHECKED platform
+    * read — silent garbage, where the element_at forms they replaced
+    * returned NULL. Mismatched geometry must fail loudly instead.
+    * Called from both the interpreted eval and the generated Java. */
+  def requireGeometry(fn: String, n: Int, h: Int, w: Int, f: Int,
+      minDim: Int = 1): Unit = {
+    if (h < minDim || w < minDim || f < 1 || n < h * w)
+      throw new IllegalArgumentException(
+        s"$fn: tile geometry (h=$h, w=$w, factor=$f) needs ${h.max(0) * w.max(0)}" +
+          s" pixels (min dim $minDim) but the array has $n elements")
+  }
 
   /** Imperative registration, idempotent (the VectorExprs pattern). */
   def register(spark: SparkSession): Unit = {

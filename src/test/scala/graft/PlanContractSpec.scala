@@ -105,6 +105,13 @@ class PlanContractSpec extends SparkSpec {
       assert(p.contains("graft_tile_up2x") || p.contains("graft_tile_focal3"),
         s"$k lost the native stencil:\n$p")
     }
+    // the downsample family rewired to graft_tile_down in the same
+    // commit — pin it too, or a revert to the interpreted aggregate
+    // fold would pass the suite silently
+    for (k <- Seq("eo_tile_downsample", "eo_tile_pyramid")) {
+      val p = planOf(k)
+      assert(p.contains("graft_tile_down"), s"$k lost the native stencil:\n$p")
+    }
   }
 
   test("round-7 keys keep their promised shapes") {

@@ -290,4 +290,31 @@ class RasterSpec extends SparkSpec {
     assert(zs.forall(_.getAs[Long]("n_pixels") == 3 * 2 * H * W))
     assert(zs.forall(r => math.abs(r.getAs[Double]("mean_val") - 1.0) < 1e-9))
   }
+
+  test("native stencils fail loudly on geometry/array mismatch, not garbage") {
+    // the stencils index from (h, w, factor) literals; an OOB
+    // UnsafeArrayData read is UNCHECKED, so a wrong geometry must throw
+    // (the element_at forms they replaced returned NULL instead)
+    val g = grid("b1")((x, y, t) => 1.0f)
+    for (bad <- Seq(
+        RasterGrid.upsampleBilinear2x(g, 2 * H, 2 * W), // claims 4x the pixels
+        RasterGrid.focalSum3x3(g, H + 2, W + 2),
+        RasterGrid.downsample(g, 4 * H, 4 * W, 2))) {
+      val e = intercept[Exception](bad.collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("tile geometry")),
+        s"expected the geometry guard, got: $e")
+    }
+    // SQL callers bypass RasterGrid's require()s — the expression guard
+    // still catches them (undersized h*w vs a 64-element array is fine,
+    // oversized throws; exercised via the registered SQL name)
+    graft.raster.TileExprs.register(spark)
+    val sqlErr = intercept[Exception](
+      g.selectExpr(s"graft_tile_down(data, ${4 * H}, ${4 * W}, 2) AS d")
+        .collect())
+    def sqlMsgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ sqlMsgs(t.getCause)
+    assert(sqlMsgs(sqlErr).exists(_.contains("tile geometry")))
+  }
 }
