@@ -12,9 +12,11 @@ import org.apache.spark.sql.types._
   * "measurement spec" schema discipline (SURVEY §2.1) — and at 100 TB a
   * schema-declared scan also skips the file-listing + sampling step.
   *
-  * Note `events.ts` is timestamp[ns] in parquet; both Spark and DuckDB 1.x
-  * truncate it to microseconds on read, so µs comparisons agree engine-to-
-  * engine (verified; graded outputs still project whole seconds, SURVEY §8.2).
+  * Note `events.ts` has shipped as BOTH timestamp[ns] (rounds 1-8) and
+  * timestamp[us] (round 9 regeneration) across driver corpus versions, so
+  * [[events]] probes the footer type per path instead of hard-coding the
+  * ns→µs conversion; both engines agree at µs either way (graded outputs
+  * still project whole seconds, SURVEY §8.2).
   */
 object Tables {
 
@@ -69,14 +71,18 @@ object Tables {
     StructField("r_regionkey", IntegerType),
     StructField("r_name", StringType)))
 
-  /** On-disk schema: `ts` is INT64 TIMESTAMP(NANOS), which Spark will not
-    * read as TimestampType — it is declared LongType (raw nanos, via the
-    * `nanosAsLong` legacy conf) and converted to a µs TimestampType in
-    * [[events]]. Floor-division by 1000 matches DuckDB's ns→µs truncation
-    * exactly, so cross-engine timestamp comparisons agree. */
-  val eventsSchema: StructType = StructType(Seq(
+  /** Logical schema after [[events]] normalizes `ts` (see
+    * [[eventsSchemaWith]] for the on-disk variants). */
+  val eventsSchema: StructType = eventsSchemaWith(TimestampType)
+
+  /** On-disk `ts` has two corpus variants: INT64 TIMESTAMP(NANOS) (read as
+    * raw-nanos LongType via the `nanosAsLong` legacy conf, then floor-div
+    * 1000 → µs, matching DuckDB's ns→µs truncation) and plain
+    * TIMESTAMP(MICROS) (possibly NTZ). [[events]] probes the footer once
+    * per path and declares the matching type. */
+  def eventsSchemaWith(ts: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", ts),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -116,17 +122,36 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  /** Footer-probed `ts` type per events path (one footer read per path per
+    * JVM; the probe itself needs `nanosAsLong` set so a NANOS column infers
+    * as LongType instead of erroring). */
+  private val eventsTsType =
+    new java.util.concurrent.ConcurrentHashMap[String, DataType]()
+
   /** NOTE: sets `spark.sql.legacy.parquet.nanosAsLong` on the session
-    * (required to read the INT64(NANOS) column; sticky session-wide — any
+    * (required to read an INT64(NANOS) `ts`; sticky session-wide — any
     * later ns-timestamp parquet read in the same session also sees longs).
-    * This corpus has exactly one ns column, so the trade is intentional:
-    * the loader stays self-sufficient for whichever session the driver
-    * constructs. */
+    * This corpus has exactly one ns-capable column, so the trade is
+    * intentional: the loader stays self-sufficient for whichever session
+    * the driver constructs. The corpus has shipped `ts` as both
+    * TIMESTAMP(NANOS) and TIMESTAMP(MICROS[,NTZ]); the footer probe picks
+    * the conversion, and every downstream query sees a session-TZ µs
+    * TimestampType either way. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts DIV 1000)"))
+    val path = s"$d/events.parquet"
+    val onDisk = eventsTsType.computeIfAbsent(path,
+      _ => s.read.parquet(path).schema("ts").dataType)
+    val raw = s.read.schema(eventsSchemaWith(onDisk)).parquet(path)
+    onDisk match {
+      case LongType => // legacy TIMESTAMP(NANOS): floor-div matches DuckDB
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts DIV 1000)"))
+      case TimestampType => raw
+      case _ => // TIMESTAMP_NTZ: same wall-clock instant under the UTC session
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

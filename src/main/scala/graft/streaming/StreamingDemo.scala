@@ -45,11 +45,18 @@ object StreamingDemo {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       landing.resolve("events.parquet"))
+    // probe the footer the same way Tables.events does: `ts` has shipped
+    // as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across corpus versions
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema(Tables.eventsSchema)
+    val onDisk = spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    val rawStream = spark.readStream
+      .schema(Tables.eventsSchemaWith(onDisk))
       .parquet(landing.toString)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val stream = onDisk match {
+      case org.apache.spark.sql.types.LongType =>
+        rawStream.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _ => rawStream.withColumn("ts", col("ts").cast("timestamp"))
+    }
 
     // 1) watermark + tumbling window (streaming shape of stream_tumble/late)
     val tumble = stream
