@@ -633,6 +633,42 @@ object Aggregates {
           .orderBy("user_id")
       }),
 
+    // Exact weighted median (round 9) — the revenue-weighted "typical
+    // order size" statistic no built-in serves (percentile_approx is
+    // unweighted and approximate): the smallest quantity whose cumulative
+    // revenue weight reaches half the group's total. All integer math:
+    // weights are exact cents, the value domain is collapsed FIRST
+    // (groupBy flag+quantity — ~50 distinct quantities regardless of
+    // corpus size), so the window cumsum runs over a value-domain-sized
+    // table, not the fact table. At 100 TB: one partial-agg shuffle on
+    // (flag, q) does all the data-sized work map-side; the cumulative
+    // pick is a few hundred rows. The lower-median convention (2*cw >=
+    // W) is pinned on both engines.
+    Q("agg_weighted_median", Some(
+      "WITH w AS (SELECT l_returnflag AS flag, l_quantity AS q, " +
+        sqlS2("l_extendedprice") + " AS wt FROM lineitem), " +
+        "g AS (SELECT flag, q, CAST(SUM(wt) AS BIGINT) AS wq FROM w GROUP BY flag, q), " +
+        "c AS (SELECT flag, q, wq, " +
+        "CAST(SUM(wq) OVER (PARTITION BY flag ORDER BY q) AS BIGINT) AS cw, " +
+        "CAST(SUM(wq) OVER (PARTITION BY flag) AS BIGINT) AS tw FROM g) " +
+        "SELECT flag AS l_returnflag, " +
+        sqlS2("MIN(CASE WHEN 2 * cw >= tw THEN q END)") + " AS wmedian_c " +
+        "FROM c GROUP BY flag ORDER BY l_returnflag"),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val g = T.lineitem(s, d)
+          .select(col("l_returnflag").as("flag"), col("l_quantity").as("q"),
+            s2(col("l_extendedprice")).as("wt"))
+          .groupBy("flag", "q").agg(sum(col("wt")).as("wq"))
+        val byFlag = Window.partitionBy("flag")
+        g.withColumn("cw", sum(col("wq")).over(byFlag.orderBy("q")))
+          .withColumn("tw", sum(col("wq")).over(byFlag))
+          .groupBy("flag")
+          .agg(s2(min(when(col("cw") * 2 >= col("tw"), col("q")))).as("wmedian_c"))
+          .select(col("flag").as("l_returnflag"), col("wmedian_c"))
+          .orderBy("l_returnflag")
+      }),
+
     // Exact percentiles over scaled-long cents: interpolation at p ∈
     // {.25,.5,.75} over integers is exact in double space (Det rule 4), so
     // the ×100 re-scale is an exact integer on both engines.

@@ -112,5 +112,34 @@ object Corpus {
           .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
             s6(sum(col("ntok")).cast("double") / 512.0).as("fill6"))
           .orderBy("lang", "shard", "bin")
-      }))
+      }),
+
+    // Sliding-window chunking with overlap (round 9) — the RAG-index /
+    // context-window prep step every retrieval and pretraining pipeline
+    // runs: windows of 8 tokens at stride 4, so consecutive chunks share
+    // half their tokens and no boundary sentence is ever split across an
+    // unrecoverable edge (the published RAG chunk-overlap recipe; cf.
+    // llm_chunk_dedup's DISJOINT chunks, which grade dedup semantics).
+    // Content-graded: the chunk text itself is projected, not just
+    // counts. Map-only explode — ~ntok/stride output rows per doc, NO
+    // shuffle at any scale; the per-doc fan-out is bounded by doc length
+    // so executor memory is safe under any corpus skew.
+    Q("llm_rag_chunk", Some(
+      "WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents), " +
+        "st AS (SELECT doc_id, tk, UNNEST(GENERATE_SERIES(0, LEN(tk) - 1, 4)) AS start FROM toks), " +
+        "ch AS (SELECT doc_id, CAST(start // 4 AS INT) AS chunk_id, " +
+        "LIST_SLICE(tk, start + 1, LEAST(start + 8, LEN(tk))) AS sl FROM st) " +
+        "SELECT doc_id, chunk_id, CAST(LEN(sl) AS INT) AS n_tok, " +
+        "ARRAY_TO_STRING(sl, ' ') AS chunk_text " +
+        "FROM ch ORDER BY doc_id, chunk_id"),
+      (s, d) =>
+        T.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("tk"))
+          .select(col("doc_id"), col("tk"),
+            explode(sequence(lit(0), size(col("tk")) - 1, lit(4))).as("start"))
+          .select(col("doc_id"), (col("start") / 4).cast("int").as("chunk_id"),
+            slice(col("tk"), col("start") + 1, lit(8)).as("sl"))
+          .select(col("doc_id"), col("chunk_id"),
+            size(col("sl")).as("n_tok"), concat_ws(" ", col("sl")).as("chunk_text"))
+          .orderBy("doc_id", "chunk_id")))
 }

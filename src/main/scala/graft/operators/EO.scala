@@ -667,6 +667,62 @@ object EO {
           .orderBy("tile")
       }),
 
+    // Binary morphology — closing = dilate ∘ erode (round 9): the
+    // cloud/shadow MASK CLEANUP step of every optical-EO pipeline
+    // (fmask's buffered cloud masks, GDAL sieve/morphology [PK]): fill
+    // pinholes in the detection mask without growing its support beyond
+    // one dilation. Both halves ride the SAME native focal stencil as
+    // eo_tile_focal (a 0/1 mask's 3×3 box sum is exact in float32):
+    // dilate = fsum > 0, erode = fsum = 9 — so the whole operator is two
+    // map-only array passes per tile, NO shuffle, and each pass shrinks
+    // the interior by one ring (16² → 14² → 12²; compose the halo
+    // exchange of eo_tile_focal_halo when seams matter). The oracle
+    // spells both passes as bounded relational neighbor joins on global
+    // pixel coordinates, so any off-by-one in either ring breaks the
+    // hash. Mask = user_id parity (~half the pixels set — both
+    // morphology directions exercised on every tile).
+    Q("eo_tile_morph", Some(
+      "WITH px AS (SELECT (event_id // 4) // 256 AS tile, " +
+        "((event_id // 4) % 256) // 16 AS py, ((event_id // 4) % 256) % 16 AS px, " +
+        "event_id % 4 AS t, CAST(user_id % 2 AS BIGINT) AS m FROM events), " +
+        "full_t AS (SELECT tile FROM px WHERE t = 0 GROUP BY tile HAVING COUNT(*) = 256), " +
+        "p0 AS (SELECT tile, py, px, m FROM px JOIN full_t USING (tile) WHERE t = 0), " +
+        "dil AS (SELECT o.tile, o.py, o.px, " +
+        "CASE WHEN SUM(nb.m) > 0 THEN 1 ELSE 0 END AS dm " +
+        "FROM p0 o JOIN p0 nb ON nb.tile = o.tile " +
+        "AND nb.py BETWEEN o.py - 1 AND o.py + 1 AND nb.px BETWEEN o.px - 1 AND o.px + 1 " +
+        "WHERE o.py BETWEEN 1 AND 14 AND o.px BETWEEN 1 AND 14 " +
+        "GROUP BY o.tile, o.py, o.px), " +
+        "er AS (SELECT o.tile, (o.py - 2) * 12 + (o.px - 2) AS opos, " +
+        "CASE WHEN SUM(nb.dm) = 9 THEN 1 ELSE 0 END AS cm " +
+        "FROM dil o JOIN dil nb ON nb.tile = o.tile " +
+        "AND nb.py BETWEEN o.py - 1 AND o.py + 1 AND nb.px BETWEEN o.px - 1 AND o.px + 1 " +
+        "WHERE o.py BETWEEN 2 AND 13 AND o.px BETWEEN 2 AND 13 " +
+        "GROUP BY o.tile, o.py, o.px) " +
+        "SELECT tile, CAST(COUNT(*) AS BIGINT) AS n_out, " +
+        "CAST(SUM(cm) AS BIGINT) AS n_set, " +
+        "CAST(SUM(cm * (opos + 1)) AS BIGINT) AS checksum " +
+        "FROM er GROUP BY tile ORDER BY tile"),
+      (s, d) => {
+        val mask = eventTiles(s, d, Seq("m" -> (col("user_id") % 2)))
+          .where(size(col("data")) === 256 && col("time") === 0)
+        val dil = graft.raster.RasterGrid.focalSum3x3(mask, h = 16, w = 16)
+          .withColumn("data", transform(col("data"),
+            v => when(v > 0f, lit(1.0f)).otherwise(lit(0.0f))))
+        val closed = graft.raster.RasterGrid.focalSum3x3(dil, h = 14, w = 14)
+          .withColumn("data", transform(col("data"),
+            v => when(v === 9.0f, lit(1.0f)).otherwise(lit(0.0f))))
+        closed.select(col("tile_y").cast("long").as("tile"),
+            posexplode(col("data")).as(Seq("opos", "v")))
+          .withColumn("cm", col("v").cast("long"))
+          .groupBy("tile")
+          .agg(
+            count(lit(1)).as("n_out"),
+            sum(col("cm")).as("n_set"),
+            sum(col("cm") * (col("opos") + 1)).as("checksum"))
+          .orderBy("tile")
+      }),
+
     // Horn 3×3 terrain gradient (round 8) — RasterGrid.focalGradient3x3
     // driven end-to-end: the slope/aspect/hillshade building block
     // graded on its exact integer-weighted component sums gx/gy (the

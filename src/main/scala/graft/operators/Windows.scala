@@ -377,5 +377,93 @@ object Windows {
           .select(col("event_id"), num.cast("long").as("ewm_num"),
             s6(num.cast("double") / den.cast("double")).as("ewma6"))
           .orderBy("event_id")
+      }),
+
+    // Ordered conversion funnel (round 9) — the product-analytics staple:
+    // per user, the earliest view, the earliest click AFTER that view,
+    // and the earliest purchase AFTER that click (strict event-order
+    // dependency, not three independent mins). Three user-level partial
+    // aggregates chained by per-user joins — every join key is user_id,
+    // so at 100 TB the whole funnel is ONE shuffle footprint on the
+    // natural key, each stage's input already a user-sized table (the
+    // stage tables are orders-of-magnitude smaller than the event log;
+    // AQE broadcasts them when they fit). stage = deepest stage reached.
+    Q("win_funnel", Some(
+      "WITH d AS (SELECT user_id, event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t FROM events), " +
+        "v AS (SELECT user_id, MIN(t) AS t_view FROM d WHERE event_type = 'view' GROUP BY user_id), " +
+        "c AS (SELECT d.user_id, MIN(d.t) AS t_click FROM d JOIN v ON v.user_id = d.user_id " +
+        "WHERE d.event_type = 'click' AND d.t > v.t_view GROUP BY d.user_id), " +
+        "p AS (SELECT d.user_id, MIN(d.t) AS t_purchase FROM d JOIN c ON c.user_id = d.user_id " +
+        "WHERE d.event_type = 'purchase' AND d.t > c.t_click GROUP BY d.user_id) " +
+        "SELECT v.user_id, v.t_view, c.t_click, p.t_purchase, " +
+        "CAST(CASE WHEN p.user_id IS NOT NULL THEN 3 WHEN c.user_id IS NOT NULL THEN 2 " +
+        "ELSE 1 END AS INT) AS stage " +
+        "FROM v LEFT JOIN c ON c.user_id = v.user_id LEFT JOIN p ON p.user_id = v.user_id " +
+        "ORDER BY v.user_id"),
+      (s, dd) => {
+        val d = T.events(s, dd)
+          .select(col("user_id"), col("event_type"), epochS(col("ts")).as("t"))
+        val v = d.where(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("t")).as("t_view"))
+        val c = d.where(col("event_type") === "click")
+          .join(v, "user_id").where(col("t") > col("t_view"))
+          .groupBy("user_id").agg(min(col("t")).as("t_click"))
+        val p = d.where(col("event_type") === "purchase")
+          .join(c, "user_id").where(col("t") > col("t_click"))
+          .groupBy("user_id").agg(min(col("t")).as("t_purchase"))
+        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+          .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+            when(col("t_purchase").isNotNull, 3)
+              .when(col("t_click").isNotNull, 2)
+              .otherwise(1).cast("int").as("stage"))
+          .orderBy("user_id")
+      }),
+
+    // Point-in-time (feature-store) join against the win_scd2 history
+    // (round 9): for each purchase, the state the user was in 15 minutes
+    // BEFORE the purchase — the "as the training example saw the world"
+    // lookup every feature store serves [PK point-in-time correctness].
+    // SCD2 intervals are half-open [valid_from, valid_to) and disjoint
+    // per user, so the range join matches AT MOST once and the left join
+    // preserves probe cardinality exactly (early probes before the first
+    // interval get NULL). At 100 TB: the equi key user_id carries the
+    // shuffle; the range predicate evaluates inside the per-user join
+    // group, whose size is the user's interval count — bounded by
+    // per-user history, never corpus size.
+    Q("join_scd2_asof", Some(
+      "WITH d AS (SELECT user_id, event_id, event_type AS state, " +
+        "CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t FROM events), " +
+        "chg AS (SELECT user_id, event_id, state, t, " +
+        "CASE WHEN LAG(state) OVER w IS NULL OR LAG(state) OVER w <> state THEN 1 ELSE 0 END AS is_chg " +
+        "FROM d WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)), " +
+        "iv AS (SELECT user_id, state, t AS valid_from, " +
+        "LEAD(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS valid_to " +
+        "FROM chg WHERE is_chg = 1), " +
+        "probe AS (SELECT event_id, user_id, t - 900 AS pt FROM d WHERE state = 'purchase') " +
+        "SELECT p.event_id, p.user_id, p.pt, iv.state AS prior_state " +
+        "FROM probe p LEFT JOIN iv ON iv.user_id = p.user_id " +
+        "AND p.pt >= iv.valid_from AND (iv.valid_to IS NULL OR p.pt < iv.valid_to) " +
+        "ORDER BY p.event_id"),
+      (s, dd) => {
+        val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+        val d = T.events(s, dd)
+          .select(col("user_id"), col("event_id"),
+            col("event_type").as("state"), epochS(col("ts")).as("t"))
+        val iv = d
+          .withColumn("is_chg",
+            when(lag(col("state"), 1).over(w).isNull ||
+              lag(col("state"), 1).over(w) =!= col("state"), 1).otherwise(0))
+          .where(col("is_chg") === 1)
+          .withColumn("valid_to", lead(col("t"), 1).over(w))
+          .select(col("user_id").as("iv_user"),
+            col("state").as("prior_state"), col("t").as("valid_from"), col("valid_to"))
+        val probe = d.where(col("state") === "purchase")
+          .select(col("event_id"), col("user_id"), (col("t") - 900).as("pt"))
+        probe.join(iv,
+            probe("user_id") === iv("iv_user")
+              && col("pt") >= col("valid_from")
+              && (col("valid_to").isNull || col("pt") < col("valid_to")), "left")
+          .select(col("event_id"), col("user_id"), col("pt"), col("prior_state"))
+          .orderBy("event_id")
       }))
 }

@@ -219,5 +219,36 @@ object StreamTwins {
           .withColumn("rk", row_number().over(wTop))
           .where(col("rk") <= 3)
           .orderBy("win_start", "rk")
+      }),
+
+    // CDC changelog -> snapshot (round 9): the MERGE INTO / foreachBatch-
+    // upsert semantics every lakehouse sink implements. The event stream
+    // is read as a changelog keyed by user_id ('error' = delete, anything
+    // else = upsert of `value`); the snapshot is the LAST change per key
+    // in (t, event_id) order, with deleted keys absent. Batch twin of the
+    // streaming form (flatMapGroupsWithState keeping one row per key —
+    // the same "latest by key" state this window pick materializes).
+    // At 100 TB: ONE shuffle on the merge key; the row_number pick plans
+    // as WindowGroupLimit (per-partition top-1 heaps, no per-key sort
+    // materialization), and partial last-by-key combining happens
+    // map-side. The s6 payload projection keeps the grade exact.
+    Q("stream_cdc_apply", Some(
+      "WITH d AS (SELECT user_id, event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t, " +
+        "CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op, value FROM events), " +
+        "rk AS (SELECT user_id, t, event_id, op, value, " +
+        "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t DESC, event_id DESC) AS rn FROM d) " +
+        "SELECT user_id, t AS last_t, " + sqlS6("value") + " AS last_val6 " +
+        "FROM rk WHERE rn = 1 AND op <> 'D' ORDER BY user_id"),
+      (s, d) => {
+        val wLast = Window.partitionBy("user_id")
+          .orderBy(col("t").desc, col("event_id").desc)
+        T.events(s, d)
+          .select(col("user_id"), col("event_id"), epochS(col("ts")).as("t"),
+            when(col("event_type") === "error", "D").otherwise("U").as("op"),
+            col("value"))
+          .withColumn("rn", row_number().over(wLast))
+          .where(col("rn") === 1 && col("op") =!= "D")
+          .select(col("user_id"), col("t").as("last_t"), s6(col("value")).as("last_val6"))
+          .orderBy("user_id")
       }))
 }
