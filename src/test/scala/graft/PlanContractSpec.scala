@@ -226,6 +226,26 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("llm_rag_chunk is map-only: no exchange below the presentation sort") {
+    // chunking must never shuffle — the only Exchange allowed is the
+    // range partitioning of the final ORDER BY
+    val p = planOf("llm_rag_chunk")
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toList
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"rag chunking shuffles before the sort:\n$p")
+    assert(!p.contains("HashAggregate"), s"rag chunking aggregates:\n$p")
+  }
+
+  test("stream_cdc_apply picks last-per-key through WindowGroupLimit heaps") {
+    assert(planOf("stream_cdc_apply").contains("WindowGroupLimit"))
+  }
+
+  test("join_scd2_asof keeps user_id as the join's equi key (no nested loop)") {
+    val p = planOf("join_scd2_asof")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"PIT join degraded to a loop join:\n$p")
+  }
+
   test("global sweep: no key plans a cartesian product or a python fallback") {
     // join_cross IS the cartesian semantics (125-row dimension square);
     // everything else must never degrade to one, and nothing may fall to
