@@ -63,6 +63,15 @@ object Graph {
       "JOIN supplier s ON l.l_suppkey = s.s_suppkey " +
       "GROUP BY src, dst)"
 
+  /** Rounds of hash-min label propagation (graph_cc) — one constant for
+    * both the Spark loop and the unrolled oracle CTE chain. Min labels
+    * spread one hop per round, so K bounds the traceable diameter; the
+    * graded contract only needs both engines to run the SAME K, and
+    * GraphSpec asserts the result actually CONVERGED to the union-find
+    * components on this corpus (raise K if a future corpus fragments
+    * into a longer path). */
+  private val CcRounds = 12
+
   val all: Seq[Q] = Seq(
 
     // Weighted PageRank over the nation-level trade graph: an edge
@@ -134,6 +143,64 @@ object Graph {
           .join(pern, col("nationkey") === col("v"), "left")
           .select(col("nationkey"),
             coalesce(col("c"), lit(0L)).as("n_tri"))
+          .orderBy("nationkey")
+      }),
+
+    // Connected components over the SPARSE trade graph (round 9) — the
+    // generic form of the dedup-cluster primitive, graded on a graph
+    // domain instead of documents: keep only edges at >= 3x the mean
+    // weight (both engines derive the threshold from the same exact
+    // sum/count and one shared IEEE multiply), then K rounds of hash-min
+    // label propagation (Kiveris et al. 2014's baseline step): l(v) <-
+    // min(l(v), min over neighbors l(u)). Both engines run the SAME
+    // K = CcRounds, so the loop hash-matches an unrolled K-layer CTE
+    // chain; GraphSpec asserts the labels converged to true union-find
+    // components on this corpus (K >= diameter here). At web scale each
+    // round is edges ⋈ labels -> partial MIN agg — one shuffle on the
+    // node key with map-side combine; the label table is node-sized
+    // (broadcast here), and star contraction (llm_dedup_cluster) replaces
+    // raw rounds when components are deep.
+    Q("graph_cc", Some {
+      val rounds = (1 to CcRounds).map { k =>
+        val prev = s"l${k - 1}"
+        s"l$k AS MATERIALIZED (SELECT p.v, LEAST(p.lbl, COALESCE(MIN(q.lbl), p.lbl)) AS lbl " +
+          s"FROM $prev p LEFT JOIN sym s ON s.u = p.v LEFT JOIN $prev q ON q.v = s.w " +
+          "GROUP BY p.v, p.lbl)"
+      }.mkString(", ")
+      s"WITH $tradeEdgesSql, " +
+        "m AS (SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*) AS mu FROM e WHERE src <> dst), " +
+        "ue AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b " +
+        "FROM e, m WHERE src <> dst AND w >= 3.0 * mu), " +
+        "sym AS MATERIALIZED (SELECT a AS u, b AS w FROM ue UNION ALL SELECT b, a FROM ue), " +
+        "l0 AS MATERIALIZED (SELECT n_nationkey AS v, CAST(n_nationkey AS BIGINT) AS lbl FROM nation), " +
+        rounds +
+        s" SELECT v AS nationkey, lbl AS component FROM l$CcRounds ORDER BY nationkey"
+    },
+      (s, d) => {
+        val e = tradeEdges(s, d).where(col("src") =!= col("dst"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val mu = e.agg((sum("w").cast("double") / count(lit(1))).as("mu"))
+        val ue = e.crossJoin(broadcast(mu))
+          .where(col("w") >= lit(3.0) * col("mu"))
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+        val sym = ue.select(col("a").as("u"), col("b").as("w"))
+          .unionByName(ue.select(col("b").as("u"), col("a").as("w")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        var l = T.nation(s, d)
+          .select(col("n_nationkey").as("v"), col("n_nationkey").cast("long").as("lbl"))
+        for (_ <- 1 to CcRounds) {
+          val nb = sym
+            .join(broadcast(l.select(col("v"), col("lbl").as("nlbl"))),
+              col("w") === col("v"))
+            .groupBy(col("u")).agg(min(col("nlbl")).as("mn"))
+          l = l.join(nb, l("v") === nb("u"), "left")
+            .select(l("v"), least(col("lbl"), coalesce(col("mn"), col("lbl"))).as("lbl"))
+            .localCheckpoint()
+        }
+        e.unpersist(); sym.unpersist()
+        l.select(col("v").as("nationkey"), col("lbl").as("component"))
           .orderBy("nationkey")
       }),
   )

@@ -152,6 +152,45 @@ object Relational {
           .orderBy("bucket")
       }),
 
+    // Schema-evolution read (round 9) — the mergeSchema path every
+    // long-lived lakehouse table exercises: a "legacy" partition written
+    // before a column existed and an "evolved" partition carrying it,
+    // read as ONE table (spark.read.option mergeSchema), legacy rows
+    // surfacing NULL for the late column. The aggregate counts the
+    // evolved column's presence per bucket, so a read that drops either
+    // partition's rows OR mis-aligns the merged schema breaks the hash.
+    // Oracle = the same two projections UNION ALL'd straight from the
+    // parquet truth. At 100 TB mergeSchema's footer-sampling cost is the
+    // known trade — the graded point is value fidelity across the
+    // evolution boundary.
+    Q("scan_merge_schema", Some(
+      "WITH u AS (" +
+        "SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority " +
+        "FROM orders WHERE o_orderkey % 2 = 0 " +
+        "UNION ALL " +
+        "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders WHERE o_orderkey % 2 = 1) " +
+        "SELECT o_orderkey % 10 AS bucket, CAST(COUNT(*) AS BIGINT) AS n, " +
+        sqlCentSum("o_totalprice") + " AS sum_cents, " +
+        "CAST(COUNT(o_orderpriority) AS BIGINT) AS n_with_prio " +
+        "FROM u GROUP BY bucket ORDER BY bucket"),
+      (s, d) => {
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_evolved"
+        val o = T.orders(s, d)
+        o.where(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_totalprice")
+          .write.mode("overwrite").parquet(s"$base/v=1")
+        o.where(col("o_orderkey") % 2 === 1)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority")
+          .write.mode("overwrite").parquet(s"$base/v=2")
+        s.read.option("mergeSchema", "true").parquet(base)
+          .groupBy((col("o_orderkey") % 10).as("bucket"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(s2(col("o_totalprice"))).as("sum_cents"),
+            count(col("o_orderpriority")).as("n_with_prio"))
+          .orderBy("bucket")
+      }),
+
     // Bucketed co-located join (round 8) — the shuffle-FREE big-big join:
     // both sides are written bucketBy(8) + sortBy on the join key, so the
     // sort-merge join reads co-located, pre-sorted buckets and plans ZERO

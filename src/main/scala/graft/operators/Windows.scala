@@ -465,5 +465,40 @@ object Windows {
               && (col("valid_to").isNull || col("pt") < col("valid_to")), "left")
           .select(col("event_id"), col("user_id"), col("pt"), col("prior_state"))
           .orderBy("event_id")
+      }),
+
+    // Cohort retention triangle (round 9) — the growth-analytics staple:
+    // users cohorted by first-active epoch week, retention(cohort, k) =
+    // distinct users active in week cohort+k / cohort size. Dedup to
+    // (user, week) FIRST (the data-sized reduction happens map-side in
+    // one user-keyed shuffle), then the cohort join and the (cohort,
+    // offset) count run on user-sized tables. The share is ONE IEEE
+    // divide of exact longs on the s6 grid. At 100 TB the plan's only
+    // fact-sized exchange is the initial distinct.
+    Q("win_retention", Some(
+      "WITH d AS (SELECT DISTINCT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 604800 AS wk FROM events), " +
+        "f AS (SELECT user_id, MIN(wk) AS cwk FROM d GROUP BY user_id), " +
+        "a AS (SELECT d.user_id, f.cwk, d.wk - f.cwk AS offs FROM d JOIN f ON f.user_id = d.user_id), " +
+        "r AS (SELECT cwk, offs, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active FROM a GROUP BY cwk, offs), " +
+        "c AS (SELECT cwk, n_active AS cohort_size FROM r WHERE offs = 0) " +
+        "SELECT r.cwk AS cohort_week, CAST(r.offs AS INT) AS week_offset, r.n_active, " +
+        "c.cohort_size, " +
+        sqlS6("CAST(r.n_active AS DOUBLE) / CAST(c.cohort_size AS DOUBLE)") + " AS retention6 " +
+        "FROM r JOIN c ON c.cwk = r.cwk ORDER BY cohort_week, week_offset"),
+      (s, dd) => {
+        val d = T.events(s, dd)
+          .select(col("user_id"), floor(epochS(col("ts")) / 604800).cast("long").as("wk"))
+          .distinct()
+        val f = d.groupBy("user_id").agg(min(col("wk")).as("cwk"))
+        val r = d.join(f, "user_id")
+          .select(col("cwk"), (col("wk") - col("cwk")).as("offs"), col("user_id"))
+          .groupBy("cwk", "offs").agg(countDistinct(col("user_id")).as("n_active"))
+        val c = r.where(col("offs") === 0)
+          .select(col("cwk").as("ccwk"), col("n_active").as("cohort_size"))
+        r.join(c, col("cwk") === col("ccwk"))
+          .select(col("cwk").as("cohort_week"), col("offs").cast("int").as("week_offset"),
+            col("n_active"), col("cohort_size"),
+            s6(col("n_active").cast("double") / col("cohort_size").cast("double")).as("retention6"))
+          .orderBy("cohort_week", "week_offset")
       }))
 }

@@ -72,4 +72,42 @@ class GraphSpec extends SparkSpec {
     got.foreach { case (v, n) => assert(n == triCount(v), s"nation $v") }
     assert(nodes.forall(got.contains))
   }
+
+  test("graph_cc CONVERGED: labels equal union-find components (K >= diameter)") {
+    // the graded contract only pins both engines to the same K rounds;
+    // this asserts K actually sufficed on this corpus, so `component`
+    // semantically IS the connected component, not a truncated label
+    val got = SparkEntry.queries("graph_cc")(spark, sfDir)
+      .select(col("nationkey").cast("long"), col("component"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val e = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").cast("long").as("src"),
+        col("s_nationkey").cast("long").as("dst"))
+      .count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      .filter { case ((s, d), _) => s != d }
+    val mu = e.values.sum.toDouble / e.size
+    val ue = e.filter(_._2 >= 3.0 * mu).keySet
+      .map { case (s, d) => (math.min(s, d), math.max(s, d)) }
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    ue.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    got.foreach { case (v, lbl) =>
+      val want = if (parent.contains(v)) find(v) else v
+      assert(lbl == want, s"nation $v: label $lbl vs component root $want")
+    }
+  }
 }
