@@ -500,5 +500,33 @@ object Windows {
             col("n_active"), col("cohort_size"),
             s6(col("n_active").cast("double") / col("cohort_size").cast("double")).as("retention6"))
           .orderBy("cohort_week", "week_offset")
+      }),
+
+    // Moving median (round 9) — the ROBUST member of the moving-stat
+    // family (win_movavg's mean is spike-sensitive; the rolling median is
+    // the standard despiking filter, e.g. temporal smoothing of EO
+    // time-series [PK xarray rolling median]). Graded EXACTLY by the
+    // doubled-median trick: 2·median of integers is always an integer
+    // (odd frame: 2·mid; even: mid1+mid2), so no interpolation double
+    // ever reaches the output. Spark has no framed median — the frame is
+    // materialized per row (collect_list over ROWS BETWEEN 2 PRECEDING
+    // AND 2 FOLLOWING, ≤5 longs — bounded state, the streaming ring
+    // buffer) and sorted per row; DuckDB's framed MEDIAN×2 is the twin.
+    // Entity-partitioned: per-customer frames, never a global window.
+    Q("win_movmedian", Some(
+      "SELECT o_custkey, o_orderkey, " +
+        "CAST(MEDIAN(" + sqlS2("o_totalprice") + ") OVER w * 2 AS BIGINT) AS med2c " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) ORDER BY o_custkey, o_orderkey"),
+      (s, d) => {
+        val w5 = custDateKey.rowsBetween(-2, 2)
+        T.orders(s, d)
+          .withColumn("fr", sort_array(collect_list(s2(col("o_totalprice"))).over(w5)))
+          .withColumn("med2c", expr(
+            "CASE WHEN size(fr) % 2 = 1 THEN element_at(fr, CAST((size(fr) + 1) DIV 2 AS INT)) * 2 " +
+              "ELSE element_at(fr, CAST(size(fr) DIV 2 AS INT)) + " +
+              "element_at(fr, CAST(size(fr) DIV 2 + 1 AS INT)) END"))
+          .select("o_custkey", "o_orderkey", "med2c")
+          .orderBy("o_custkey", "o_orderkey")
       }))
 }
