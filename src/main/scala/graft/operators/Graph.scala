@@ -150,16 +150,18 @@ object Graph {
     // generic form of the dedup-cluster primitive, graded on a graph
     // domain instead of documents: keep only edges at >= 3x the mean
     // weight (both engines derive the threshold from the same exact
-    // sum/count and one shared IEEE multiply), then K rounds of hash-min
-    // label propagation (Kiveris et al. 2014's baseline step): l(v) <-
-    // min(l(v), min over neighbors l(u)). Both engines run the SAME
-    // K = CcRounds, so the loop hash-matches an unrolled K-layer CTE
-    // chain; GraphSpec asserts the labels converged to true union-find
-    // components on this corpus (K >= diameter here). At web scale each
-    // round is edges ⋈ labels -> partial MIN agg — one shuffle on the
-    // node key with map-side combine; the label table is node-sized
-    // (broadcast here), and star contraction (llm_dedup_cluster) replaces
-    // raw rounds when components are deep.
+    // sum/count and one shared IEEE multiply), then components as
+    // cluster = MIN reachable node id. The ORACLE spells K = CcRounds
+    // unrolled hash-min propagation layers (Kiveris et al. 2014's
+    // baseline step, MATERIALIZED per layer — plain CTEs would re-expand
+    // each layer twice, the 2^K blowup); the SPARK side reuses
+    // Llm.componentLabels — star contraction + the size-gated local
+    // union-find finisher (distributed min-label fallback above the
+    // budget) — which computes the same fixpoint in ~2 jobs instead of
+    // K scheduling rounds (the r8 ClusterPhases lesson: O(diameter)
+    // rounds over node-sized tables are pure job overhead; 49.6 s -> see
+    // BASELINE.md round 9). The two sides agree IFF K rounds converge —
+    // GraphSpec pins convergence to union-find on this corpus.
     Q("graph_cc", Some {
       val rounds = (1 to CcRounds).map { k =>
         val prev = s"l${k - 1}"
@@ -180,27 +182,20 @@ object Graph {
         val e = tradeEdges(s, d).where(col("src") =!= col("dst"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val mu = e.agg((sum("w").cast("double") / count(lit(1))).as("mu"))
-        val ue = e.crossJoin(broadcast(mu))
+        // a < b canonical pairs — componentLabels' d1 < d2 contract
+        val pairs = e.crossJoin(broadcast(mu))
           .where(col("w") >= lit(3.0) * col("mu"))
-          .select(least(col("src"), col("dst")).as("a"),
-            greatest(col("src"), col("dst")).as("b"))
+          .select(least(col("src"), col("dst")).cast("long").as("d1"),
+            greatest(col("src"), col("dst")).cast("long").as("d2"))
           .distinct()
-        val sym = ue.select(col("a").as("u"), col("b").as("w"))
-          .unionByName(ue.select(col("b").as("u"), col("a").as("w")))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        var l = T.nation(s, d)
-          .select(col("n_nationkey").as("v"), col("n_nationkey").cast("long").as("lbl"))
-        for (_ <- 1 to CcRounds) {
-          val nb = sym
-            .join(broadcast(l.select(col("v"), col("lbl").as("nlbl"))),
-              col("w") === col("v"))
-            .groupBy(col("u")).agg(min(col("nlbl")).as("mn"))
-          l = l.join(nb, l("v") === nb("u"), "left")
-            .select(l("v"), least(col("lbl"), coalesce(col("mn"), col("lbl"))).as("lbl"))
-            .localCheckpoint()
-        }
-        e.unpersist(); sym.unpersist()
-        l.select(col("v").as("nationkey"), col("lbl").as("component"))
+        val nodes = T.nation(s, d)
+          .select(col("n_nationkey").cast("long").as("doc_id"))
+        val labels = Llm.componentLabels(nodes, pairs) // unpersists pairs
+        e.unpersist()
+        labels
+          .select(col("doc_id").cast("int").as("nationkey"),
+            col("cluster").as("component"))
           .orderBy("nationkey")
       }),
   )
