@@ -528,5 +528,49 @@ object Windows {
               "element_at(fr, CAST(size(fr) DIV 2 + 1 AS INT)) END"))
           .select("o_custkey", "o_orderkey", "med2c")
           .orderBy("o_custkey", "o_orderkey")
+      }),
+
+    // Time-series resample + forward-fill (round 9) — the pandas
+    // `resample('6H').ffill()` / xarray regularization step that precedes
+    // any composite over irregular observations [PK]: per user, the
+    // COMPLETE 6-hour bucket grid between the user's first and last
+    // observation (empty buckets materialized via sequence/explode — a
+    // per-entity-bounded fan-out, never a global calendar join), per-
+    // bucket exact grid means, and empty buckets forward-filled with the
+    // last observed mean (last(ignoreNulls) over the entity-ordered
+    // window = LAST_VALUE IGNORE NULLS). The first bucket is always
+    // observed (the grid starts at min(b)), so the fill never dangles.
+    // At 100 TB: one shuffle on (user, bucket) for the agg, one on user
+    // for grid+fill — both entity-bounded; no global structure anywhere.
+    Q("win_resample_ffill", Some(
+      "WITH te AS (SELECT user_id, (CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 21600) * 21600 AS b, value FROM events), " +
+        "g AS (SELECT user_id, b, CAST(COUNT(*) AS BIGINT) AS n, " +
+        sqlMean6("value") + " AS m6 FROM te GROUP BY user_id, b), " +
+        "bounds AS (SELECT user_id, MIN(b) AS b0, MAX(b) AS b1 FROM g GROUP BY user_id), " +
+        "grid AS (SELECT user_id, UNNEST(GENERATE_SERIES(b0, b1, 21600)) AS b FROM bounds), " +
+        "j AS (SELECT grid.user_id, grid.b, COALESCE(g.n, 0) AS n_obs, g.m6 " +
+        "FROM grid LEFT JOIN g ON g.user_id = grid.user_id AND g.b = grid.b) " +
+        "SELECT user_id, b AS bucket, CAST(n_obs AS BIGINT) AS n_obs, " +
+        "LAST_VALUE(m6 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill6 " +
+        "FROM j ORDER BY user_id, bucket"),
+      (s, dd) => {
+        val g = T.events(s, dd)
+          .select(col("user_id"),
+            (floor(epochS(col("ts")) / 21600) * 21600).cast("long").as("b"),
+            col("value"))
+          .groupBy("user_id", "b")
+          .agg(count(lit(1)).as("n"), mean6(col("value")).as("m6"))
+        val grid = g.groupBy("user_id")
+          .agg(min(col("b")).as("b0"), max(col("b")).as("b1"))
+          .select(col("user_id"),
+            explode(sequence(col("b0"), col("b1"), lit(21600L))).as("b"))
+        val wFill = Window.partitionBy("user_id").orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        grid.join(g, Seq("user_id", "b"), "left")
+          .select(col("user_id"), col("b").as("bucket"),
+            coalesce(col("n"), lit(0L)).as("n_obs"),
+            last(col("m6"), ignoreNulls = true).over(wFill).as("ffill6"))
+          .orderBy("user_id", "bucket")
       }))
 }

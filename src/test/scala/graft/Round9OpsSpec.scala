@@ -122,6 +122,29 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("win_resample_ffill: complete grid, exact means, dangling-free fill") {
+    val got = SparkEntry.queries("win_resample_ffill")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byUser = events.groupBy(_._1)
+    val rows = got.groupBy(_._1)
+    assert(rows.keySet == byUser.keySet)
+    byUser.foreach { case (u, es) =>
+      val obs = es.groupBy(e => (e._3 / 21600) * 21600).view
+        .mapValues { g =>
+          val s = g.map(e => math.floor(e._5 * 1e6 + 0.5).toLong).sum
+          (g.size.toLong, math.floor(s.toDouble / g.size + 0.5).toLong)
+        }.toMap
+      val (b0, b1) = (obs.keys.min, obs.keys.max)
+      val want = Seq.range(b0, b1 + 1, 21600L).foldLeft((Seq.empty[(Long, Long, Long, Long)], 0L)) {
+        case ((acc, lastFill), b) =>
+          val (n, m) = obs.getOrElse(b, (0L, lastFill))
+          val fill = if (n > 0) m else lastFill
+          (acc :+ ((u, b, n, fill)), fill)
+      }._1
+      assert(rows(u).sortBy(_._2).toSeq == want, s"user $u")
+    }
+  }
+
   test("eo_tile_morph: closing matches a direct 2D morphology mirror") {
     // rebuild the full t=0 tiles (parity mask) exactly as eventTiles does
     val px = events.map { e =>
