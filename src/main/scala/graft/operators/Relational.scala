@@ -511,5 +511,44 @@ object Relational {
           .where(col("rn") === 1)
           .select(col("p.event_id").as("purchase_id"), col("c.event_id").as("click_id"))
           .orderBy("purchase_id")
+      }),
+
+    // As-of NEAREST (round 9) — the direction='nearest' member of the
+    // merge_asof family the backward/tolerance keys left open: for each
+    // purchase, the same user's click with the smallest |Δt| in whole
+    // seconds, ties pinned to the EARLIER click then smaller id (spelled
+    // identically on both engines — pandas' own tie rule is
+    // backward-biased, and an unpinned tie would be engine-dependent).
+    // Whole-second integer distances keep ABS exact. The per-user
+    // all-pairs join is the semantics anchor (same shape join_asof
+    // grades); at scale nearest composes from the two DIRECTED
+    // candidates — AsOfJoin backward + its forward mirror, one
+    // sorted-merge pass each — then one comparison picks the nearer,
+    // so the pair space never materializes.
+    Q("join_asof_nearest", Some(
+      "WITH te AS (SELECT event_id, user_id, event_type, " +
+        "CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t FROM events) " +
+        "SELECT purchase_id, click_id, dist FROM (" +
+        "SELECT p.event_id AS purchase_id, c.event_id AS click_id, ABS(c.t - p.t) AS dist, " +
+        "ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY ABS(c.t - p.t), c.t, c.event_id) AS rn " +
+        "FROM (SELECT * FROM te WHERE event_type = 'purchase') p JOIN " +
+        "(SELECT * FROM te WHERE event_type = 'click') c ON p.user_id = c.user_id) x " +
+        "WHERE rn = 1 ORDER BY purchase_id"),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val te = T.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            epochS(col("ts")).as("t"))
+        val p = te.where(col("event_type") === "purchase").as("p")
+        val c = te.where(col("event_type") === "click").as("c")
+        val dist = abs(col("c.t") - col("p.t"))
+        val w = Window.partitionBy(col("p.event_id"))
+          .orderBy(dist, col("c.t"), col("c.event_id"))
+        p.join(c, col("p.user_id") === col("c.user_id"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("p.event_id").as("purchase_id"),
+            col("c.event_id").as("click_id"), dist.as("dist"))
+          .orderBy("purchase_id")
       }))
 }
