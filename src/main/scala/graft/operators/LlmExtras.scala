@@ -214,6 +214,72 @@ object LlmExtras {
           .orderBy("v1", "v2")
       }),
 
+    // Semantic dedup END-TO-END (round 9) — the SemDeDup recipe (Abbas
+    // et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    // through semantic deduplication"): embedding-cosine near-dup PAIRS
+    // (llm_embed_neardup's exact label-blocked plan — the IVF cell is
+    // the published within-cluster scope) → connected components (the
+    // shared componentLabels machinery: star contraction + size-gated
+    // local union-find) → ONE representative kept per component. The
+    // keep rule is deterministic and exact: highest scaled-long L2 norm
+    // (the most-informative member under the dot-product geometry),
+    // ties to the smallest vec_id. Oracle: the same pair SQL feeding a
+    // WITH RECURSIVE min-label closure and the same norm-ranked pick.
+    // At 100 TB the pair source is the guarded family story: label
+    // blocks bound the join (or llm_ann_lsh's sign buckets replace
+    // them), components and picks are linear.
+    Q("llm_dedup_semantic", Some(
+      "WITH RECURSIVE ux AS (SELECT vec_id, label, CAST(UNNEST(embedding) AS DOUBLE) AS x, " +
+        "UNNEST(RANGE(1, LEN(embedding) + 1)) AS i FROM embeddings), " +
+        "norms AS (SELECT vec_id, CAST(SUM(CAST(FLOOR(x * x * 1e14 + 0.5) AS BIGINT)) AS BIGINT) AS nl " +
+        "FROM ux GROUP BY vec_id), " +
+        "dots AS (SELECT a.vec_id AS v1, b.vec_id AS v2, " +
+        "CAST(SUM(CAST(FLOOR(a.x * b.x * 1e14 + 0.5) AS BIGINT)) AS BIGINT) AS dotl FROM ux a " +
+        "JOIN ux b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id " +
+        "GROUP BY v1, v2), " +
+        "pairs AS (SELECT v1 AS d1, v2 AS d2 FROM dots " +
+        "JOIN norms na ON v1 = na.vec_id JOIN norms nb ON v2 = nb.vec_id " +
+        "WHERE (CAST(dotl AS DOUBLE) / 1e14) / " +
+        "(SQRT(CAST(na.nl AS DOUBLE) / 1e14) * SQRT(CAST(nb.nl AS DOUBLE) / 1e14)) >= 0.3), " +
+        "edges AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs), " +
+        "reach AS (SELECT vec_id AS a, vec_id AS b FROM embeddings " +
+        "UNION SELECT r.a, e.d2 FROM reach r JOIN edges e ON r.b = e.d1), " +
+        "cl AS (SELECT a AS vec_id, MIN(b) AS cluster FROM reach GROUP BY a), " +
+        "rep AS (SELECT cl.vec_id, cl.cluster, " +
+        "ROW_NUMBER() OVER (PARTITION BY cl.cluster ORDER BY n.nl DESC, cl.vec_id) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY cl.cluster) AS n_members " +
+        "FROM cl JOIN norms n ON n.vec_id = cl.vec_id) " +
+        "SELECT cluster, vec_id AS kept_id, CAST(n_members AS BIGINT) AS n_members " +
+        "FROM rep WHERE rn = 1 ORDER BY cluster"),
+      (s, d) => {
+        graft.functions.VectorExprs.register(s)
+        import graft.functions.VectorExprs.sdotl
+        val withNorm = T.embeddings(s, d)
+          .select(col("vec_id"), col("label"), col("embedding"),
+            sdotl(col("embedding"), col("embedding")).as("nl"))
+        val a = withNorm.select(col("vec_id").as("v1"), col("label"),
+          col("embedding").as("ea"), col("nl").as("nla"))
+        val b = withNorm.select(col("vec_id").as("v2"), col("label"),
+          col("embedding").as("eb"), col("nl").as("nlb"))
+        val cos = (sdotl(col("ea"), col("eb")).cast("double") / lit(1e14)) /
+          (sqrt(col("nla").cast("double") / lit(1e14)) * sqrt(col("nlb").cast("double") / lit(1e14)))
+        val pairs = a.join(b, Seq("label"))
+          .where(col("v1") < col("v2") && cos >= 0.3)
+          .select(col("v1").as("d1"), col("v2").as("d2"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val labels = Llm.componentLabels(
+          withNorm.select(col("vec_id").as("doc_id")), pairs)
+        val wPick = Window.partitionBy("cluster").orderBy(col("nl").desc, col("doc_id"))
+        val wAll = Window.partitionBy("cluster")
+        labels
+          .join(withNorm.select(col("vec_id").as("doc_id"), col("nl")), "doc_id")
+          .withColumn("rn", row_number().over(wPick))
+          .withColumn("n_members", count(lit(1)).over(wAll))
+          .where(col("rn") === 1)
+          .select(col("cluster"), col("doc_id").as("kept_id"), col("n_members"))
+          .orderBy("cluster")
+      }),
+
     // ANN via sign-LSH: 8 deterministic pseudo-hyperplanes (elementwise
     // +-1 signs from the portable hash32(plane:pos) parity), vectors
     // bucketed by the 8-bit sign signature, top-3 scaled-long cosine
