@@ -145,6 +145,40 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("llm_dedup_semantic: one max-norm representative per cosine component") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    // mirror of the scaled-long pair plan: label-blocked exact cosines
+    def sdotl(x: Array[Float], y: Array[Float]): Long =
+      x.zip(y).map { case (a, b) => math.floor(a.toDouble * b.toDouble * 1e14 + 0.5).toLong }.sum
+    val norms = vecs.map(v => v._1 -> sdotl(v._3, v._3)).toMap
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for {
+      pair <- vecs.combinations(2)
+      a = pair(0); b = pair(1)
+      if a._2 == b._2
+      c = (sdotl(a._3, b._3).toDouble / 1e14) /
+        (math.sqrt(norms(a._1).toDouble / 1e14) * math.sqrt(norms(b._1).toDouble / 1e14))
+      if c >= 0.3
+    } {
+      val (ra, rb) = (find(a._1), find(b._1))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val comps = vecs.map(_._1).groupBy(find)
+    val want = comps.map { case (root, members) =>
+      val kept = members.minBy(id => (-norms(id), id))
+      (root, kept, members.length.toLong)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("llm_dedup_semantic")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+  }
+
   test("eo_tile_morph: closing matches a direct 2D morphology mirror") {
     // rebuild the full t=0 tiles (parity mask) exactly as eventTiles does
     val px = events.map { e =>
