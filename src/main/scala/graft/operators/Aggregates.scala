@@ -669,6 +669,46 @@ object Aggregates {
           .orderBy("l_returnflag")
       }),
 
+    // Gini concentration coefficient (round 9) — the inequality metric of
+    // revenue/engagement concentration analysis, in its exact sorted-
+    // cumulative form G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over cents ranked
+    // ascending per segment. Determinism: ties on x get arbitrary ranks
+    // but Σ i·xᵢ is INVARIANT under permutations within a tie group (the
+    // tied x factors out of its fixed rank-index set), so the integer
+    // sums are engine-exact without a tie-break column; the final
+    // expression is one fixed double sequence on the s6 grid. Scale: one
+    // shuffle on segment + an in-partition sort; i·x sums stay in int64
+    // up to ~1e8 rows/segment at this value range — beyond that (or for
+    // unsorted streams) the binned Lorenz approximation replaces the
+    // exact rank form (the agg_approx_pct histogram trade, documented).
+    Q("agg_gini", Some(
+      "WITH b AS (SELECT c.c_mktsegment AS seg, " + sqlS2("o.o_totalprice") + " AS x " +
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey), " +
+        "r AS (SELECT seg, x, ROW_NUMBER() OVER (PARTITION BY seg ORDER BY x) AS i FROM b), " +
+        "g AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx, " +
+        "CAST(SUM(i * x) AS BIGINT) AS six FROM r GROUP BY seg) " +
+        "SELECT seg, n, " +
+        sqlS6("2.0 * CAST(six AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) " +
+          "- (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)") + " AS gini6 " +
+        "FROM g ORDER BY seg"),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val b = T.orders(s, d)
+          .join(broadcast(T.customer(s, d).select("c_custkey", "c_mktsegment")),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("seg"), s2(col("o_totalprice")).as("x"))
+        val i = row_number().over(Window.partitionBy("seg").orderBy("x"))
+        val g = b.withColumn("i", i)
+          .groupBy("seg")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("i") * col("x")).as("six"))
+        g.select(col("seg"), col("n"),
+            s6(lit(2.0) * col("six").cast("double")
+              / (col("n").cast("double") * col("sx").cast("double"))
+              - (col("n").cast("double") + lit(1.0)) / col("n").cast("double")).as("gini6"))
+          .orderBy("seg")
+      }),
+
     // Exact percentiles over scaled-long cents: interpolation at p ∈
     // {.25,.5,.75} over integers is exact in double space (Det rule 4), so
     // the ×100 re-scale is an exact integer on both engines.

@@ -145,6 +145,26 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("agg_gini: matches the scalar sorted-cumulative formula") {
+    val rows = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .select("c_mktsegment", "o_totalprice").collect()
+      .map(r => r.getString(0) -> math.floor(r.getDouble(1) * 100 + 0.5).toLong)
+    val got = SparkEntry.queries("agg_gini")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    rows.groupBy(_._1).foreach { case (seg, rs) =>
+      val xs = rs.map(_._2).sorted
+      val n = xs.length.toLong
+      val six = xs.zipWithIndex.map { case (x, i0) => (i0 + 1).toLong * x }.sum
+      val gini = 2.0 * six.toDouble / (n.toDouble * xs.sum.toDouble) - (n.toDouble + 1.0) / n.toDouble
+      val want = math.floor(gini * 1e6 + 0.5).toLong
+      assert(got(seg) == ((n, want)), s"segment $seg")
+      // Gini of a non-degenerate positive distribution lies in (0, 1)
+      assert(want > 0 && want < 1000000L)
+    }
+  }
+
   test("llm_dedup_semantic: one max-norm representative per cosine component") {
     val vecs = Tables.embeddings(spark, sfDir)
       .select("vec_id", "label", "embedding").collect()
