@@ -709,6 +709,79 @@ object Aggregates {
           .orderBy("seg")
       }),
 
+    // Welch two-sample t statistic + Welch-Satterthwaite df (round 9,
+    // second wave) — the hypothesis-testing primitive of A/B analysis,
+    // comparing returned ('A') vs refused ('R') quantities per linestatus.
+    // Same exact-integer-moment discipline as agg_regr: ONE conditional-
+    // aggregation pass produces (n, Σx, Σx²) per arm as exact longs
+    // (merge-order-free), then each statistic is a FIXED double op
+    // sequence over those integers — divisions, multiplies and one sqrt,
+    // all IEEE-correctly-rounded, so both engines agree bit-for-bit (Det
+    // rule 3). Linear, one shuffle on the group key; the two arms ride
+    // the same partial aggregate, not two scans.
+    Q("agg_ttest", Some(ttestOracle),
+      (s, d) => {
+        val xi = s0(col("l_quantity"))
+        def arm(flag: String, e: Column): Column =
+          sum(when(col("l_returnflag") === flag, e).otherwise(lit(0L)))
+        val m = T.lineitem(s, d)
+          .where(col("l_returnflag").isin("A", "R"))
+          .groupBy("l_linestatus")
+          .agg(
+            arm("A", lit(1L)).as("na"), arm("A", xi).as("sa"),
+            arm("A", xi * xi).as("saa"),
+            arm("R", lit(1L)).as("nr"), arm("R", xi).as("sr"),
+            arm("R", xi * xi).as("srr"))
+        val naD = col("na").cast("double"); val nrD = col("nr").cast("double")
+        val saD = col("sa").cast("double"); val saaD = col("saa").cast("double")
+        val srD = col("sr").cast("double"); val srrD = col("srr").cast("double")
+        val m1 = saD / naD; val m2 = srD / nrD
+        val v1 = (saaD - saD * saD / naD) / (naD - lit(1.0))
+        val v2 = (srrD - srD * srD / nrD) / (nrD - lit(1.0))
+        val g1 = v1 / naD; val g2 = v2 / nrD
+        val se2 = g1 + g2
+        val t = (m1 - m2) / sqrt(se2)
+        val df = (se2 * se2) /
+          ((g1 * g1) / (naD - lit(1.0)) + (g2 * g2) / (nrD - lit(1.0)))
+        m.select(col("l_linestatus"), col("na"), col("nr"),
+            s6(t).as("t6"), s4(df).as("df4"))
+          .orderBy("l_linestatus")
+      }),
+
+    // Pearson chi-squared independence statistic over the returnflag ×
+    // linestatus contingency table (round 9, second wave). Cell counts,
+    // row/col totals and the grand total are exact longs; each cell's
+    // (o−e)²/e term is s6-floored BEFORE the sum (the agg_entropy LN
+    // discipline — a raw double SUM over partials would be merge-order-
+    // dependent), so the statistic is an order-free integer sum. One
+    // heavy pass (the cell count agg); the marginal/total aggregates and
+    // dof arithmetic run over ≤|R|·|C| rows, joined broadcast — the
+    // 100 TB cost profile is exactly one shuffle on the two keys.
+    Q("agg_chisq", Some(chisqOracle),
+      (s, d) => {
+        val cells = T.lineitem(s, d)
+          .groupBy(col("l_returnflag").as("f"), col("l_linestatus").as("st"))
+          .agg(count(lit(1)).as("c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val rt = cells.groupBy("f").agg(sum("c").as("r"))
+        val ct = cells.groupBy("st").agg(sum("c").as("k"))
+        val tot = cells.agg(sum("c").as("n"))
+        val e = col("r").cast("double") * col("k").cast("double") /
+          col("n").cast("double")
+        val cD = col("c").cast("double")
+        val terms = cells
+          .join(broadcast(rt), "f").join(broadcast(ct), "st")
+          .crossJoin(broadcast(tot))
+          .select(s6((cD - e) * (cD - e) / e).as("term6"))
+        val nrDf = rt.agg(count(lit(1)).as("nrows"))
+        val ncDf = ct.agg(count(lit(1)).as("ncols"))
+        terms.agg(count(lit(1)).as("n_cells"), sum(col("term6")).as("chi2_6"))
+          .crossJoin(broadcast(nrDf)).crossJoin(broadcast(ncDf))
+          .select(col("n_cells"),
+            ((col("nrows") - lit(1L)) * (col("ncols") - lit(1L))).as("dof"),
+            col("chi2_6"))
+      }),
+
     // Exact percentiles over scaled-long cents: interpolation at p ∈
     // {.25,.5,.75} over integers is exact in double space (Det rule 4), so
     // the ×100 re-scale is an exact integer on both engines.
@@ -919,6 +992,55 @@ object Aggregates {
       sqlS4(intercept) + " AS icept4, " +
       sqlS6(r2) + " AS r2_6 " +
       "FROM m ORDER BY l_returnflag"
+  }
+
+  /** Oracle twin of agg_ttest — identical conditional moment sums and
+    * double op sequence (one CASE-aggregation pass, then Welch's t and
+    * the Satterthwaite df with the Column form's exact parenthesization). */
+  private def ttestOracle: String = {
+    val naD = "CAST(na AS DOUBLE)"; val nrD = "CAST(nr AS DOUBLE)"
+    val saD = "CAST(sa AS DOUBLE)"; val saaD = "CAST(saa AS DOUBLE)"
+    val srD = "CAST(sr AS DOUBLE)"; val srrD = "CAST(srr AS DOUBLE)"
+    val m1 = s"($saD / $naD)"; val m2 = s"($srD / $nrD)"
+    val v1 = s"(($saaD - $saD * $saD / $naD) / ($naD - 1.0))"
+    val v2 = s"(($srrD - $srD * $srD / $nrD) / ($nrD - 1.0))"
+    val g1 = s"($v1 / $naD)"; val g2 = s"($v2 / $nrD)"
+    val se2 = s"($g1 + $g2)"
+    val t = s"(($m1 - $m2) / SQRT($se2))"
+    val df = s"(($se2 * $se2) / " +
+      s"(($g1 * $g1) / ($naD - 1.0) + ($g2 * $g2) / ($nrD - 1.0)))"
+    "WITH b AS (SELECT l_linestatus, l_returnflag, " + sqlS0("l_quantity") +
+      " AS xi FROM lineitem WHERE l_returnflag IN ('A', 'R')), " +
+      "m AS (SELECT l_linestatus, " +
+      "CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na, " +
+      "CAST(SUM(CASE WHEN l_returnflag = 'A' THEN xi ELSE 0 END) AS BIGINT) AS sa, " +
+      "CAST(SUM(CASE WHEN l_returnflag = 'A' THEN xi * xi ELSE 0 END) AS BIGINT) AS saa, " +
+      "CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS nr, " +
+      "CAST(SUM(CASE WHEN l_returnflag = 'R' THEN xi ELSE 0 END) AS BIGINT) AS sr, " +
+      "CAST(SUM(CASE WHEN l_returnflag = 'R' THEN xi * xi ELSE 0 END) AS BIGINT) AS srr " +
+      "FROM b GROUP BY l_linestatus) " +
+      "SELECT l_linestatus, na, nr, " +
+      sqlS6(t) + " AS t6, " + sqlS4(df) + " AS df4 " +
+      "FROM m ORDER BY l_linestatus"
+  }
+
+  /** Oracle twin of agg_chisq — identical cell/marginal integer sums,
+    * the same per-cell s6-floored (o−e)²/e term, and the same dof
+    * arithmetic, spelled with scalar subqueries. */
+  private def chisqOracle: String = {
+    val e = "(CAST(r AS DOUBLE) * CAST(k AS DOUBLE) / CAST(n AS DOUBLE))"
+    val cD = "CAST(c AS DOUBLE)"
+    "WITH cells AS (SELECT l_returnflag AS f, l_linestatus AS st, " +
+      "CAST(COUNT(*) AS BIGINT) AS c FROM lineitem GROUP BY l_returnflag, l_linestatus), " +
+      "rt AS (SELECT f, CAST(SUM(c) AS BIGINT) AS r FROM cells GROUP BY f), " +
+      "ct AS (SELECT st, CAST(SUM(c) AS BIGINT) AS k FROM cells GROUP BY st), " +
+      "tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells), " +
+      "terms AS (SELECT " +
+      sqlS6(s"($cD - $e) * ($cD - $e) / $e") + " AS term6 " +
+      "FROM cells JOIN rt USING (f) JOIN ct USING (st) CROSS JOIN tot) " +
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n_cells, " +
+      "CAST(((SELECT COUNT(*) FROM rt) - 1) * ((SELECT COUNT(*) FROM ct) - 1) AS BIGINT) AS dof, " +
+      "CAST(SUM(term6) AS BIGINT) AS chi2_6 FROM terms"
   }
 
   private def custNationRegion(s: SparkSession, d: String): DataFrame =
