@@ -17,6 +17,7 @@ object SparkEntry {
       operators.LlmExtras.all ++
       operators.Multimodal.all ++
       operators.Skew.all ++
+      operators.Quality.all ++
       operators.Graph.all ++
       operators.SqlSurface.all ++
       sources.SceneCatalog.all ++

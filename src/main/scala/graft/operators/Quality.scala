@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{Det, Q, Tables => T}
+import Det._
+
+/** Data-quality operators (round 9, second wave) — the profile/constraint
+  * surface every ingestion pipeline runs before a corpus is trusted
+  * (Deequ-style checks re-expressed as plain declarative aggregates; see
+  * SURVEY.md §3.13). Both keys are single-pass shapes: the profile is one
+  * hash aggregate over the table (plus Spark's Expand for the exact
+  * distinct counts), the constraint sweep is one conditional aggregate
+  * plus one broadcast anti-join — at 100 TB each costs one scan.
+  *
+  * Determinism: every metric is an exact BIGINT (counts, scaled cents,
+  * epoch seconds) — no doubles reach the output, so the usual Det
+  * ordering arguments are not even needed beyond the final ORDER BY.
+  */
+object Quality {
+
+  val all: Seq[Q] = Seq(
+
+    // Per-column profile of `orders` in long format: row/null/distinct
+    // counts for every column plus scaled min/max where the type admits
+    // an exact integer embedding (keys as-is, money as cents, timestamps
+    // as epoch seconds; strings carry NULL bounds — a string min/max
+    // would hash-compare fine but collation is engine-config-dependent,
+    // so the graded surface stays integer). ONE aggregate produces all
+    // 26 metrics; the exact n_distinct columns make Catalyst plan an
+    // Expand (one input row per distinct-column) — the documented cost
+    // of exactness. At 100 TB the profile swaps COUNT(DISTINCT) for
+    // approx_count_distinct per column (single pass, no Expand) — the
+    // agg_hll key IS that estimator, graded separately.
+    Q("dq_profile", Some(profileOracle),
+      (s, d) => {
+        val o = T.orders(s, d)
+        val m = o.agg(
+          count(lit(1)).as("n_rows"),
+          count(col("o_orderkey")).as("nn_orderkey"),
+          countDistinct(col("o_orderkey")).as("nd_orderkey"),
+          min(col("o_orderkey")).as("mn_orderkey"),
+          max(col("o_orderkey")).as("mx_orderkey"),
+          count(col("o_custkey")).as("nn_custkey"),
+          countDistinct(col("o_custkey")).as("nd_custkey"),
+          min(col("o_custkey")).as("mn_custkey"),
+          max(col("o_custkey")).as("mx_custkey"),
+          count(col("o_orderstatus")).as("nn_status"),
+          countDistinct(col("o_orderstatus")).as("nd_status"),
+          count(col("o_totalprice")).as("nn_price"),
+          countDistinct(col("o_totalprice")).as("nd_price"),
+          min(s2(col("o_totalprice"))).as("mn_price"),
+          max(s2(col("o_totalprice"))).as("mx_price"),
+          count(col("o_orderdate")).as("nn_date"),
+          countDistinct(col("o_orderdate")).as("nd_date"),
+          min(epochS(col("o_orderdate"))).as("mn_date"),
+          max(epochS(col("o_orderdate"))).as("mx_date"),
+          count(col("o_orderpriority")).as("nn_prio"),
+          countDistinct(col("o_orderpriority")).as("nd_prio"))
+        m.select(expr(
+            "stack(6, " +
+              "'o_orderkey',      nn_orderkey, nd_orderkey, mn_orderkey, mx_orderkey, " +
+              "'o_custkey',       nn_custkey,  nd_custkey,  mn_custkey,  mx_custkey, " +
+              "'o_orderstatus',   nn_status,   nd_status,   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), " +
+              "'o_totalprice',    nn_price,    nd_price,    mn_price,    mx_price, " +
+              "'o_orderdate',     nn_date,     nd_date,     mn_date,     mx_date, " +
+              "'o_orderpriority', nn_prio,     nd_prio,     CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)) " +
+              "AS (col_name, n_notnull, n_distinct, min_l, max_l)"),
+            col("n_rows"))
+          .select(col("col_name"), col("n_rows"),
+            (col("n_rows") - col("n_notnull")).as("n_null"),
+            col("n_distinct"), col("min_l"), col("max_l"))
+          .orderBy("col_name")
+      }),
+
+    // Constraint sweep over `orders`: named rules → violation counts.
+    // Domain/null/range/duplicate rules fold into ONE conditional
+    // aggregate (map-side partials, order-free longs); the referential
+    // rule is a broadcast LEFT ANTI against the customer key set — the
+    // orphan count a real FK check needs, linear in the fact side. The
+    // result unions six one-row subplans of constants — negligible at
+    // any scale next to the two scans.
+    Q("dq_constraints", Some(constraintsOracle),
+      (s, d) => {
+        val o = T.orders(s, d)
+        val base = o.agg(
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("pk_null"),
+          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("pk_dup"),
+          sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("price_nonpos"),
+          sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L))
+            .as("status_domain"),
+          sum(when(col("o_orderdate") < to_timestamp(lit("1990-01-01")) ||
+              col("o_orderdate") >= to_timestamp(lit("2030-01-01")), 1L)
+            .otherwise(0L)).as("date_range"))
+        val rules = base.select(expr(
+          "stack(5, " +
+            "'date_range', date_range, " +
+            "'pk_dup', pk_dup, " +
+            "'pk_null', pk_null, " +
+            "'price_nonpos', price_nonpos, " +
+            "'status_domain', status_domain) AS (rule, violations)"))
+        val orphan = o.select("o_custkey")
+          .join(broadcast(T.customer(s, d).select("c_custkey")),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("violations"))
+          .select(lit("fk_orphan").as("rule"), col("violations"))
+        rules.unionByName(orphan).orderBy("rule")
+      }))
+
+  /** Oracle twin of dq_profile — one SELECT per column UNION ALL'd, each
+    * computing the same exact-integer metrics (n_null spelled as
+    * COUNT(*) − COUNT(col), the Column form's subtraction). */
+  private def profileOracle: String = {
+    def row(name: String, colSql: String, minSql: String, maxSql: String) =
+      s"SELECT '$name' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        s"CAST(COUNT(*) - COUNT($colSql) AS BIGINT) AS n_null, " +
+        s"CAST(COUNT(DISTINCT $colSql) AS BIGINT) AS n_distinct, " +
+        s"$minSql AS min_l, $maxSql AS max_l FROM orders"
+    val nul = "CAST(NULL AS BIGINT)"
+    Seq(
+      row("o_orderkey", "o_orderkey",
+        "CAST(MIN(o_orderkey) AS BIGINT)", "CAST(MAX(o_orderkey) AS BIGINT)"),
+      row("o_custkey", "o_custkey",
+        "CAST(MIN(o_custkey) AS BIGINT)", "CAST(MAX(o_custkey) AS BIGINT)"),
+      row("o_orderstatus", "o_orderstatus", nul, nul),
+      row("o_totalprice", "o_totalprice",
+        "CAST(MIN(" + sqlS2("o_totalprice") + ") AS BIGINT)",
+        "CAST(MAX(" + sqlS2("o_totalprice") + ") AS BIGINT)"),
+      row("o_orderdate", "o_orderdate",
+        "CAST(MIN(CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT)) AS BIGINT)",
+        "CAST(MAX(CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT)) AS BIGINT)"),
+      row("o_orderpriority", "o_orderpriority", nul, nul))
+      .mkString("", " UNION ALL ", " ORDER BY col_name")
+  }
+
+  /** Oracle twin of dq_constraints — the same six rules as scalar
+    * aggregates UNION ALL'd (fk_orphan as a NOT-EXISTS count). */
+  private def constraintsOracle: String =
+    "SELECT 'date_range' AS rule, CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01' " +
+      "OR o_orderdate >= TIMESTAMP '2030-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM orders " +
+      "UNION ALL SELECT 'fk_orphan', CAST(COUNT(*) AS BIGINT) FROM orders o " +
+      "WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey) " +
+      "UNION ALL SELECT 'pk_dup', CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders " +
+      "UNION ALL SELECT 'pk_null', CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders " +
+      "UNION ALL SELECT 'price_nonpos', CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM orders " +
+      "UNION ALL SELECT 'status_domain', CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END) AS BIGINT) FROM orders " +
+      "ORDER BY rule"
+}
