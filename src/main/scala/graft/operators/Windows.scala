@@ -572,5 +572,72 @@ object Windows {
             coalesce(col("n"), lit(0L)).as("n_obs"),
             last(col("m6"), ignoreNulls = true).over(wFill).as("ffill6"))
           .orderBy("user_id", "bucket")
+      }),
+
+    // Linear-interpolation resample (round 9, second wave) — the gap-fill
+    // a numeric sensor series wants where ffill is a step function: each
+    // empty bucket takes pv + (nv−pv)·(b−pb)/(nb−pb) between its
+    // bracketing observed buckets. The brackets come from four IGNORE
+    // NULLS window picks over the SAME (user_id, b) sort — backward
+    // last_value pairs and forward first_value pairs share one exchange
+    // and one sort (two Window nodes, zero extra shuffles). The grid
+    // spans [min,max] of each entity's OBSERVED buckets, so every empty
+    // bucket is interior and both brackets exist — no edge-null branch.
+    // Determinism: pv/nv are s6 longs and pb/nb/b exact epochs, so the
+    // lerp is one fixed double sequence re-floored to the s6 grid (Det
+    // rule 3); observed buckets pass their exact m6 through untouched.
+    Q("win_interpolate", Some(
+      "WITH te AS (SELECT user_id, (CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 21600) * 21600 AS b, value FROM events), " +
+        "g AS (SELECT user_id, b, CAST(COUNT(*) AS BIGINT) AS n, " +
+        sqlMean6("value") + " AS m6 FROM te GROUP BY user_id, b), " +
+        "bounds AS (SELECT user_id, MIN(b) AS b0, MAX(b) AS b1 FROM g GROUP BY user_id), " +
+        "grid AS (SELECT user_id, UNNEST(GENERATE_SERIES(b0, b1, 21600)) AS b FROM bounds), " +
+        "j AS (SELECT grid.user_id, grid.b, COALESCE(g.n, 0) AS n_obs, g.m6 " +
+        "FROM grid LEFT JOIN g ON g.user_id = grid.user_id AND g.b = grid.b), " +
+        "w AS (SELECT user_id, b, n_obs, m6, " +
+        "LAST_VALUE(m6 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv, " +
+        "LAST_VALUE(CASE WHEN m6 IS NOT NULL THEN b END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb, " +
+        "FIRST_VALUE(m6 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv, " +
+        "FIRST_VALUE(CASE WHEN m6 IS NOT NULL THEN b END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb FROM j) " +
+        "SELECT user_id, b AS bucket, CAST(n_obs AS BIGINT) AS n_obs, " +
+        "CAST(CASE WHEN n_obs > 0 THEN m6 ELSE " +
+        "CAST(FLOOR((CAST(pv AS DOUBLE) + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE)) * " +
+        "(CAST(b - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE))) + 0.5) AS BIGINT) END AS BIGINT) AS interp6 " +
+        "FROM w ORDER BY user_id, bucket"),
+      (s, dd) => {
+        val g = T.events(s, dd)
+          .select(col("user_id"),
+            (floor(epochS(col("ts")) / 21600) * 21600).cast("long").as("b"),
+            col("value"))
+          .groupBy("user_id", "b")
+          .agg(count(lit(1)).as("n"), mean6(col("value")).as("m6"))
+        val grid = g.groupBy("user_id")
+          .agg(min(col("b")).as("b0"), max(col("b")).as("b1"))
+          .select(col("user_id"),
+            explode(sequence(col("b0"), col("b1"), lit(21600L))).as("b"))
+        val back = Window.partitionBy("user_id").orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val fwd = Window.partitionBy("user_id").orderBy("b")
+          .rowsBetween(0, Window.unboundedFollowing)
+        val obsB = when(col("m6").isNotNull, col("b"))
+        val j = grid.join(g, Seq("user_id", "b"), "left")
+          .select(col("user_id"), col("b"),
+            coalesce(col("n"), lit(0L)).as("n_obs"), col("m6"),
+            last(col("m6"), ignoreNulls = true).over(back).as("pv"),
+            last(obsB, ignoreNulls = true).over(back).as("pb"),
+            first(col("m6"), ignoreNulls = true).over(fwd).as("nv"),
+            first(obsB, ignoreNulls = true).over(fwd).as("nb"))
+        val lerp = col("pv").cast("double") +
+          (col("nv").cast("double") - col("pv").cast("double")) *
+            ((col("b") - col("pb")).cast("double") /
+              (col("nb") - col("pb")).cast("double"))
+        j.select(col("user_id"), col("b").as("bucket"), col("n_obs"),
+            when(col("n_obs") > 0, col("m6"))
+              .otherwise(floor(lerp + lit(0.5)).cast("long")).as("interp6"))
+          .orderBy("user_id", "bucket")
       }))
 }
