@@ -522,6 +522,121 @@ object LlmExtras {
           .orderBy("doc_id")
       }),
 
+    // The composite keep/drop FUNNEL (round 9, second wave): the
+    // length/stopword/uniqueness rules of llm_quality and the top-bigram
+    // repetition rule of llm_repetition applied as ONE ordered rule
+    // chain per document, emitting the first failing rule as the drop
+    // reason — the C4-style filter a corpus actually ships through, with
+    // per-reason attribution for funnel accounting. All rule inputs are
+    // s6 integers BEFORE any comparison, so both engines branch on
+    // identical values; docs too short for bigrams take rep6 = 0 via the
+    // left join's coalesce. Two explode+agg passes (tokens, bigrams)
+    // joined on doc_id — linear, same cost family as its two parents.
+    Q("llm_quality_filter", Some(
+      "WITH t AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents), " +
+        "m AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok, " +
+        sqlS6("CAST(SUM(CASE WHEN tok IN " + StopwordsSqlList + " THEN 1 ELSE 0 END) AS DOUBLE) " +
+          "/ CAST(COUNT(*) AS DOUBLE)") + " AS stop6, " +
+        sqlS6("CAST(COUNT(DISTINCT tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)") + " AS uniq6 " +
+        "FROM t GROUP BY doc_id), " +
+        "bg AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bigram " +
+        "FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents) WHERE LEN(tk) >= 2), " +
+        "cnt AS (SELECT doc_id, bigram, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY doc_id, bigram), " +
+        "rep AS (SELECT t.doc_id, " + sqlS6("CAST(t.top AS DOUBLE) / CAST(s.nb AS DOUBLE)") + " AS rep6 " +
+        "FROM (SELECT doc_id, MAX(c) AS top FROM cnt GROUP BY doc_id) t " +
+        "JOIN (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nb FROM bg GROUP BY doc_id) s " +
+        "ON t.doc_id = s.doc_id), " +
+        "j AS (SELECT m.doc_id, m.n_tok, m.stop6, m.uniq6, COALESCE(rep.rep6, 0) AS rep6 " +
+        "FROM m LEFT JOIN rep ON m.doc_id = rep.doc_id) " +
+        "SELECT doc_id, n_tok, " +
+        "CASE WHEN n_tok < 20 THEN 'too_short' WHEN stop6 > 600000 THEN 'high_stop' " +
+        "WHEN uniq6 < 100000 THEN 'low_uniq' WHEN rep6 > 200000 THEN 'repetitive' " +
+        "ELSE 'ok' END AS reason, " +
+        "CASE WHEN n_tok >= 20 AND stop6 <= 600000 AND uniq6 >= 100000 AND rep6 <= 200000 " +
+        "THEN 1 ELSE 0 END AS keep " +
+        "FROM j ORDER BY doc_id"),
+      (s, d) => {
+        val m = tokens(s, d)
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_tok"),
+            s6(sum(when(col("tok").isin(Stopwords: _*), 1).otherwise(0)).cast("double")
+              / count(lit(1)).cast("double")).as("stop6"),
+            s6(countDistinct(col("tok")).cast("double") / count(lit(1)).cast("double"))
+              .as("uniq6"))
+        val bg = TextOps.bigrams(T.documents(s, d), "doc_id")
+        val cnt = bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+        val rep = cnt.groupBy("doc_id").agg(max(col("c")).as("top"))
+          .join(bg.groupBy("doc_id").agg(count(lit(1)).as("nb")), "doc_id")
+          .select(col("doc_id"),
+            s6(col("top").cast("double") / col("nb").cast("double")).as("rep6"))
+        val j = m.join(rep, Seq("doc_id"), "left")
+          .withColumn("rep6", coalesce(col("rep6"), lit(0L)))
+        val reason = when(col("n_tok") < 20, "too_short")
+          .when(col("stop6") > 600000L, "high_stop")
+          .when(col("uniq6") < 100000L, "low_uniq")
+          .when(col("rep6") > 200000L, "repetitive")
+          .otherwise("ok")
+        j.select(col("doc_id"), col("n_tok"), reason.as("reason"),
+            when(col("n_tok") >= 20 && col("stop6") <= 600000L &&
+              col("uniq6") >= 100000L && col("rep6") <= 200000L, 1)
+              .otherwise(0).as("keep"))
+          .orderBy("doc_id")
+      }),
+
+    // Pointwise-mutual-information collocations per language (round 9,
+    // second wave) — the phrase-mining statistic (Church & Hanks 1990)
+    // over exact per-lang unigram/bigram counts: PMI = ln((c₂/nb) /
+    // ((ca/n)(cb/n))). The corpus vocabulary is CLOSED, so the unigram
+    // dictionary and the qualifying-bigram output are bounded by
+    // |vocab|·|langs| regardless of corpus size — c1/totals broadcast
+    // to the bigram-count side and the whole key stays two explode+agg
+    // passes plus broadcast joins at any SF. Counts are exact longs; the
+    // one LN per output row is the accepted ≤1-ulp libm residual
+    // (Det rule 2, the agg_entropy/llm_unigram_logprob precedent). The
+    // c₂ ≥ 5 support floor is the published PMI practice (sparse-count
+    // PMI explodes) and keeps the output support-stable.
+    Q("llm_collocations", Some(
+      "WITH t AS (SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents), " +
+        "c1 AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY lang, tok), " +
+        "n1 AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY lang), " +
+        "bg AS (SELECT lang, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bigram " +
+        "FROM (SELECT lang, STRING_SPLIT(text, ' ') AS tk FROM documents) WHERE LEN(tk) >= 2), " +
+        "cp AS (SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS np FROM bg GROUP BY lang, bigram), " +
+        "n2 AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nb FROM bg GROUP BY lang) " +
+        "SELECT cp.lang, cp.bigram, cp.np AS n_pair, " +
+        sqlS6("LN((CAST(cp.np AS DOUBLE) / CAST(n2.nb AS DOUBLE)) / " +
+          "((CAST(a.c AS DOUBLE) / CAST(n1.n AS DOUBLE)) * (CAST(b.c AS DOUBLE) / CAST(n1.n AS DOUBLE))))") +
+        " AS pmi6 " +
+        "FROM cp JOIN c1 a ON a.lang = cp.lang AND a.tok = STRING_SPLIT(cp.bigram, ' ')[1] " +
+        "JOIN c1 b ON b.lang = cp.lang AND b.tok = STRING_SPLIT(cp.bigram, ' ')[2] " +
+        "JOIN n1 ON n1.lang = cp.lang JOIN n2 ON n2.lang = cp.lang " +
+        "WHERE cp.np >= 5 ORDER BY cp.lang, cp.bigram"),
+      (s, d) => {
+        val t = tokens(s, d)
+        val c1 = t.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+        val n1 = t.groupBy("lang").agg(count(lit(1)).as("n"))
+        val bg = TextOps.bigrams(T.documents(s, d), "lang")
+        val cp = bg.groupBy("lang", "bigram").agg(count(lit(1)).as("np"))
+        val n2 = bg.groupBy("lang").agg(count(lit(1)).as("nb"))
+        val w1 = split(col("bigram"), " ").getItem(0)
+        val w2 = split(col("bigram"), " ").getItem(1)
+        val ca = c1.select(col("lang").as("la"), col("tok").as("ta"), col("c").as("ca"))
+        val cb = c1.select(col("lang").as("lb"), col("tok").as("tb"), col("c").as("cb"))
+        val pmi = log(
+          (col("np").cast("double") / col("nb").cast("double")) /
+            ((col("ca").cast("double") / col("n").cast("double")) *
+              (col("cb").cast("double") / col("n").cast("double"))))
+        cp.where(col("np") >= 5)
+          .join(broadcast(ca), col("la") === col("lang") && col("ta") === w1)
+          .join(broadcast(cb), col("lb") === col("lang") && col("tb") === w2)
+          .join(broadcast(n1), "lang")
+          .join(broadcast(n2), "lang")
+          .select(col("lang"), col("bigram"), col("np").as("n_pair"),
+            s6(pmi).as("pmi6"))
+          .orderBy("lang", "bigram")
+      }),
+
     // Cross-document chunk dedup: 10-token chunks (udtf_sentences shape)
     // repeated across documents, with the canonical (smallest) location —
     // paragraph-level dedup of the training-data funnel.
