@@ -300,6 +300,46 @@ object EO {
               / count(lit(1)).cast("double")).as("pct_wet"))
           .orderBy("user_id")),
 
+    // Per-pixel phenology metrics (round 9, second wave) — the NDVI
+    // seasonal-curve statistics of a vegetation-condition product: peak
+    // value, time of peak, clear observations above the green threshold,
+    // and the season extent (first/last threshold crossing). Time-of-peak
+    // ties break to the EARLIEST observation deterministically: the
+    // per-pixel max is spread by an unbounded window (one shuffle + sort
+    // on the pixel key; the following aggregate reuses the exchange) and
+    // t_peak is MIN(ts) over the rows equal to it — never max_by, whose
+    // tie pick is implementation-defined on both engines. Doubles are
+    // only compared (parquet values, bit-identical), never aggregated;
+    // every output is an exact long (s2 peak, epoch seconds).
+    Q("eo_phenology", Some(
+      "WITH w AS (SELECT user_id, ts, value, MAX(value) OVER (PARTITION BY user_id) AS mx FROM events) " +
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_obs, " +
+        sqlS2("MAX(value)") + " AS peak_c, " +
+        "CAST(MIN(CASE WHEN value = mx THEN CAST(FLOOR(EPOCH(ts)) AS BIGINT) END) AS BIGINT) AS t_peak, " +
+        "CAST(SUM(CASE WHEN value > 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_above, " +
+        "CAST(MIN(CASE WHEN value > 200 THEN CAST(FLOOR(EPOCH(ts)) AS BIGINT) END) AS BIGINT) AS first_above, " +
+        "CAST(MAX(CASE WHEN value > 200 THEN CAST(FLOOR(EPOCH(ts)) AS BIGINT) END) AS BIGINT) AS last_above, " +
+        "CAST(MAX(CASE WHEN value > 200 THEN CAST(FLOOR(EPOCH(ts)) AS BIGINT) END) - " +
+        "MIN(CASE WHEN value > 200 THEN CAST(FLOOR(EPOCH(ts)) AS BIGINT) END) AS BIGINT) AS season_len " +
+        "FROM w GROUP BY user_id ORDER BY user_id"),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val mx = max(col("value")).over(Window.partitionBy("user_id"))
+        val es = epochS(col("ts"))
+        T.events(s, d)
+          .select(col("user_id"), col("value"), es.as("es"), mx.as("mx"))
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_obs"),
+            s2(max(col("value"))).as("peak_c"),
+            min(when(col("value") === col("mx"), col("es"))).as("t_peak"),
+            sum(when(col("value") > 200, 1).otherwise(0)).cast("bigint").as("n_above"),
+            min(when(col("value") > 200, col("es"))).as("first_above"),
+            max(when(col("value") > 200, col("es"))).as("last_above"))
+          .withColumn("season_len", col("last_above") - col("first_above"))
+          .orderBy("user_id")
+      }),
+
     // Two-endmember linear unmixing (fractional-cover product family):
     // closed-form fraction clamp((x - e0) / (e1 - e0), 0, 1).
     Q("eo_unmix", Some(
