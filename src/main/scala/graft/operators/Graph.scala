@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables => T}
+import graft.Det.{s6, sqlS6}
 
 /** SURVEY.md §3 graph-analytics row: iterative link analysis as plain
   * relational rounds — the quality-weighting step real pretraining
@@ -197,6 +198,82 @@ object Graph {
           .select(col("doc_id").cast("int").as("nationkey"),
             col("cluster").as("component"))
           .orderBy("nationkey")
+      }),
+
+    // Degree distribution of the undirected trade graph (round 9, second
+    // wave) — the first diagnostic anyone runs on a web graph (power-law
+    // check before sampling weights). Distinct canonical {a,b} edges are
+    // symmetrized, so COUNT per node IS the distinct-neighbor degree;
+    // isolated nations enter at degree 0 via the left join. Two
+    // node-sized aggregates after the shared edge build — the histogram
+    // is at most |V| rows at any scale.
+    Q("graph_degree_dist", Some(
+      s"WITH $tradeEdgesSql, " +
+        "und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b " +
+        "FROM e WHERE src <> dst), " +
+        "nb AS (SELECT a AS v, b AS u FROM und UNION ALL SELECT b, a FROM und), " +
+        "deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS degree FROM nb GROUP BY v), " +
+        "d2 AS (SELECT n.n_nationkey AS v, COALESCE(deg.degree, 0) AS degree " +
+        "FROM nation n LEFT JOIN deg ON deg.v = n.n_nationkey) " +
+        "SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes " +
+        "FROM d2 GROUP BY degree ORDER BY degree"),
+      (s, d) => {
+        val und = tradeEdges(s, d).where(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+        val nb = und.select(col("a").as("v"), col("b").as("u"))
+          .unionAll(und.select(col("b").as("v"), col("a").as("u")))
+        val deg = nb.groupBy("v").agg(count(lit(1)).as("degree"))
+        T.nation(s, d).select(col("n_nationkey").as("v"))
+          .join(deg, Seq("v"), "left")
+          .select(coalesce(col("degree"), lit(0L)).as("degree"))
+          .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+          .orderBy("degree")
+      }),
+
+    // Common-neighbor Jaccard similarity for every connected node pair
+    // (round 9, second wave) — the classic link-prediction score
+    // (Liben-Nowell & Kleinberg 2003): J(a,b) = |N(a)∩N(b)| /
+    // (|N(a)|+|N(b)|−|N(a)∩N(b)|). The intersection comes from the
+    // wedge self-join on the shared neighbor (one shuffle on the
+    // neighbor key); degrees join back broadcast. Counts are exact
+    // longs and the ratio one shared IEEE divide on the s6 grid. At web
+    // scale the wedge join is the triangle-counting cost profile — the
+    // same degree-ordered orientation fix applies when hubs dominate;
+    // here pairs are bounded by |V|² of a nation-level graph.
+    Q("graph_jaccard", Some(
+      s"WITH $tradeEdgesSql, " +
+        "und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b " +
+        "FROM e WHERE src <> dst), " +
+        "nb AS (SELECT a AS v, b AS u FROM und UNION ALL SELECT b, a FROM und), " +
+        "deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS dg FROM nb GROUP BY v), " +
+        "cmn AS (SELECT x.v AS a, y.v AS b, CAST(COUNT(*) AS BIGINT) AS c " +
+        "FROM nb x JOIN nb y ON x.u = y.u AND x.v < y.v GROUP BY x.v, y.v) " +
+        "SELECT cmn.a, cmn.b, cmn.c AS n_common, " +
+        sqlS6("CAST(cmn.c AS DOUBLE) / CAST(da.dg + db.dg - cmn.c AS DOUBLE)") + " AS jac6 " +
+        "FROM cmn JOIN deg da ON da.v = cmn.a JOIN deg db ON db.v = cmn.b " +
+        "ORDER BY cmn.a, cmn.b"),
+      (s, d) => {
+        val und = tradeEdges(s, d).where(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nb = und.select(col("a").as("v"), col("b").as("u"))
+          .unionAll(und.select(col("b").as("v"), col("a").as("u")))
+        val deg = nb.groupBy("v").agg(count(lit(1)).as("dg"))
+        val cmn = nb.select(col("v").as("a"), col("u"))
+          .join(nb.select(col("v").as("b"), col("u")), "u")
+          .where(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("c"))
+        cmn
+          .join(broadcast(deg.select(col("v").as("a"), col("dg").as("da"))), "a")
+          .join(broadcast(deg.select(col("v").as("b"), col("dg").as("db"))), "b")
+          .select(col("a"), col("b"), col("c").as("n_common"),
+            s6(col("c").cast("double") /
+              (col("da") + col("db") - col("c")).cast("double")).as("jac6"))
+          .orderBy("a", "b")
       }),
   )
 
