@@ -178,6 +178,37 @@ object StreamTwins {
           .orderBy("click_id", "purchase_id")
       }),
 
+    // LEFT OUTER stream-stream interval join (round 9, second wave) —
+    // the attribution query that must ALSO report unconverted clicks:
+    // every click row survives, purchases attach within the 5-minute
+    // horizon, unmatched clicks emit nulls. In true streaming this is
+    // exactly the watermark-gated left outer join (the null row fires
+    // once the watermark passes tl+300 and state is evicted); the batch
+    // twin defines those end-of-stream semantics. NULLS FIRST is pinned
+    // on both engines — Spark's ASC default and DuckDB's differ, the
+    // one place an outer twin can hash-mismatch without being wrong.
+    Q("stream_left_join", Some(
+      "WITH te AS (SELECT user_id, event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS te, event_id FROM events) " +
+        "SELECT a.event_id AS click_id, b.event_id AS purchase_id, b.te - a.te AS lag_s " +
+        "FROM (SELECT * FROM te WHERE event_type = 'click') a " +
+        "LEFT JOIN (SELECT * FROM te WHERE event_type = 'purchase') b " +
+        "ON a.user_id = b.user_id AND b.te >= a.te AND b.te <= a.te + 300 " +
+        "ORDER BY click_id, purchase_id NULLS FIRST"),
+      (s, d) => {
+        val te = T.events(s, d)
+          .select(col("user_id"), col("event_type"), epochS(col("ts")).as("te"), col("event_id"))
+        val clicks = te.where(col("event_type") === "click")
+          .select(col("user_id"), col("te").as("tl"), col("event_id").as("click_id"))
+        val buys = te.where(col("event_type") === "purchase")
+          .select(col("user_id").as("u2"), col("te").as("tr"), col("event_id").as("purchase_id"))
+        clicks.join(buys,
+            col("user_id") === col("u2")
+              && col("tr") >= col("tl") && col("tr") <= col("tl") + 300,
+            "left")
+          .select(col("click_id"), col("purchase_id"), (col("tr") - col("tl")).as("lag_s"))
+          .orderBy(col("click_id"), col("purchase_id").asc_nulls_first)
+      }),
+
     // Stateful per-user running total (flatMapGroupsWithState twin is the
     // streaming demo; the batch twin is an exact grid-long running sum).
     Q("stream_runtotal", Some(
