@@ -1,0 +1,247 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Second-wave round-9 operators, each pinned against an independent Scala
+  * mirror on the sf0.001 corpus (the oracle gate grades the same keys
+  * against DuckDB at sf0.01; these mirrors assert the semantics with a
+  * third implementation so the two engine sides can't share a bug). */
+class Round9bOpsSpec extends SparkSpec {
+
+  private def s6(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+  private def s4(x: Double): Long = math.floor(x * 1e4 + 0.5).toLong
+  private def s2(x: Double): Long = math.floor(x * 100 + 0.5).toLong
+  private def s0(x: Double): Long = math.floor(x + 0.5).toLong
+
+  private lazy val lineitem: Seq[(String, String, Double)] =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+
+  private lazy val events: Seq[(Long, Long, Long, String, Double)] =
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("t"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+
+  private lazy val docs: Seq[(Long, String, String)] =
+    Tables.documents(spark, sfDir).select("doc_id", "text", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
+  test("agg_ttest: Welch t and Satterthwaite df match the moment mirror") {
+    val got = SparkEntry.queries("agg_ttest")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val byStatus = lineitem.filter(e => e._1 == "A" || e._1 == "R").groupBy(_._2)
+    assert(got.keySet == byStatus.keySet)
+    byStatus.foreach { case (st, rows) =>
+      def mom(flag: String): (Long, Long, Long) = {
+        val xs = rows.filter(_._1 == flag).map(e => s0(e._3))
+        (xs.size.toLong, xs.sum, xs.map(x => x * x).sum)
+      }
+      val (na, sa, saa) = mom("A"); val (nr, sr, srr) = mom("R")
+      val (naD, nrD) = (na.toDouble, nr.toDouble)
+      val m1 = sa.toDouble / naD; val m2 = sr.toDouble / nrD
+      val v1 = (saa.toDouble - sa.toDouble * sa.toDouble / naD) / (naD - 1.0)
+      val v2 = (srr.toDouble - sr.toDouble * sr.toDouble / nrD) / (nrD - 1.0)
+      val g1 = v1 / naD; val g2 = v2 / nrD
+      val se2 = g1 + g2
+      val t = (m1 - m2) / math.sqrt(se2)
+      val df = (se2 * se2) / ((g1 * g1) / (naD - 1.0) + (g2 * g2) / (nrD - 1.0))
+      assert(got(st) == ((na, nr, s6(t), s4(df))), s"linestatus $st")
+      assert(df >= math.min(naD, nrD) - 1.0 - 1e-9 && df <= naD + nrD - 2.0 + 1e-9,
+        s"Satterthwaite df out of its bracket for $st")
+    }
+  }
+
+  test("agg_chisq: statistic matches the contingency mirror") {
+    val r = SparkEntry.queries("agg_chisq")(spark, sfDir).collect().head
+    val cells = lineitem.groupBy(e => (e._1, e._2)).view.mapValues(_.size.toLong).toMap
+    val rowT = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val colT = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n = cells.values.sum.toDouble
+    val chi = cells.map { case ((f, st), c) =>
+      val e = rowT(f).toDouble * colT(st).toDouble / n
+      s6((c - e) * (c - e) / e)
+    }.sum
+    assert(r.getLong(0) == cells.size.toLong)
+    assert(r.getLong(1) == (rowT.size - 1).toLong * (colT.size - 1).toLong)
+    assert(r.getLong(2) == chi)
+  }
+
+  test("dq_profile: orders metrics match a direct scan") {
+    val got = SparkEntry.queries("dq_profile")(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Long]))).toMap
+    val o = Tables.orders(spark, sfDir).collect()
+    val n = o.length.toLong
+    assert(got.keySet == Set("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority"))
+    got.values.foreach(v => assert(v._1 == n))
+    val keys = o.map(_.getLong(0))
+    assert(got("o_orderkey") ==
+      ((n, 0L, keys.distinct.length.toLong, Some(keys.min), Some(keys.max))))
+    val prices = o.map(r => r.getDouble(3))
+    assert(got("o_totalprice") == ((n, 0L, prices.distinct.length.toLong,
+      Some(prices.map(s2).min), Some(prices.map(s2).max))))
+    assert(got("o_orderstatus")._4.isEmpty && got("o_orderstatus")._5.isEmpty)
+    assert(got("o_orderstatus")._3 == o.map(_.getString(2)).distinct.length.toLong)
+  }
+
+  test("dq_constraints: clean corpus yields zero violations except by rule") {
+    val got = SparkEntry.queries("dq_constraints")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set("pk_null", "pk_dup", "price_nonpos",
+      "status_domain", "date_range", "fk_orphan"))
+    val o = Tables.orders(spark, sfDir).collect()
+    val cust = Tables.customer(spark, sfDir).select("c_custkey")
+      .collect().map(_.getLong(0)).toSet
+    assert(got("pk_dup") ==
+      o.length.toLong - o.map(_.getLong(0)).distinct.length.toLong)
+    assert(got("fk_orphan") == o.count(r => !cust.contains(r.getLong(1))).toLong)
+    assert(got("price_nonpos") == o.count(_.getDouble(3) <= 0).toLong)
+    assert(got("pk_null") == 0L)
+  }
+
+  test("win_interpolate: observed buckets exact, gaps on the lerp line") {
+    val got = SparkEntry.queries("win_interpolate")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    events.groupBy(_._1).foreach { case (u, es) =>
+      val byB = es.groupBy(e => (e._3 / 21600) * 21600)
+      val obs = byB.view.mapValues { rows =>
+        val sum = rows.map(e => s6(e._5)).sum
+        math.floor(sum.toDouble / rows.size + 0.5).toLong
+      }.toMap
+      val (b0, b1) = (obs.keys.min, obs.keys.max)
+      (b0 to b1 by 21600).foreach { b =>
+        val (nObs, interp) = got((u, b))
+        obs.get(b) match {
+          case Some(m) =>
+            assert(nObs == byB(b).size.toLong && interp == m, s"user $u bucket $b")
+          case None =>
+            assert(nObs == 0L)
+            val pb = obs.keys.filter(_ < b).max; val nb = obs.keys.filter(_ > b).min
+            val lerp = obs(pb).toDouble + (obs(nb).toDouble - obs(pb).toDouble) *
+              ((b - pb).toDouble / (nb - pb).toDouble)
+            assert(interp == math.floor(lerp + 0.5).toLong, s"user $u gap $b")
+        }
+      }
+    }
+  }
+
+  test("llm_quality_filter: verdicts match the rule-chain mirror") {
+    val stop = Set("the", "a", "of", "and", "to", "in", "is", "on")
+    val got = SparkEntry.queries("llm_quality_filter")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getInt(3))).toMap
+    docs.foreach { case (id, text, _) =>
+      val toks = text.split(" ", -1).toSeq
+      val nTok = toks.size.toLong
+      val stop6 = s6(toks.count(stop).toDouble / nTok.toDouble)
+      val uniq6 = s6(toks.distinct.size.toDouble / nTok.toDouble)
+      val rep6 =
+        if (toks.size < 2) 0L
+        else {
+          val bgs = toks.sliding(2).map(_.mkString(" ")).toSeq
+          s6(bgs.groupBy(identity).values.map(_.size).max.toDouble / bgs.size.toDouble)
+        }
+      val reason =
+        if (nTok < 20) "too_short" else if (stop6 > 600000L) "high_stop"
+        else if (uniq6 < 100000L) "low_uniq" else if (rep6 > 200000L) "repetitive"
+        else "ok"
+      val keep = if (reason == "ok") 1 else 0
+      assert(got(id) == ((nTok, reason, keep)), s"doc $id")
+    }
+  }
+
+  test("llm_collocations: PMI matches the count mirror and respects support") {
+    val got = SparkEntry.queries("llm_collocations")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val toks = docs.flatMap { case (_, text, lang) =>
+      text.split(" ", -1).toSeq.map(lang -> _)
+    }
+    val c1 = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n1 = toks.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val bgs = docs.flatMap { case (_, text, lang) =>
+      val t = text.split(" ", -1).toSeq
+      if (t.size < 2) Nil else t.sliding(2).map(p => lang -> p.mkString(" ")).toSeq
+    }
+    val cp = bgs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n2 = bgs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val want = cp.collect { case ((lang, bg), c) if c >= 5 =>
+      val Array(w1, w2) = bg.split(" ", 2)
+      val pmi = math.log((c.toDouble / n2(lang).toDouble) /
+        ((c1((lang, w1)).toDouble / n1(lang).toDouble) *
+          (c1((lang, w2)).toDouble / n1(lang).toDouble)))
+      (lang, bg) -> ((c, s6(pmi)))
+    }.toMap
+    assert(got == want)
+  }
+
+  test("eo_phenology: peak/season metrics match the series mirror") {
+    val got = SparkEntry.queries("eo_phenology")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    events.groupBy(_._1).foreach { case (u, es) =>
+      val r = got(u)
+      val mx = es.map(_._5).max
+      assert(r.getLong(1) == es.size.toLong)
+      assert(r.getLong(2) == s2(mx))
+      assert(r.getLong(3) == es.filter(_._5 == mx).map(_._3).min, s"t_peak user $u")
+      val above = es.filter(_._5 > 200).map(_._3)
+      assert(r.getLong(4) == above.size.toLong)
+      if (above.nonEmpty) {
+        assert(r.getLong(5) == above.min && r.getLong(6) == above.max)
+        assert(r.getLong(7) == above.max - above.min)
+      } else assert(r.isNullAt(5) && r.isNullAt(6) && r.isNullAt(7))
+    }
+  }
+
+  test("graph_degree_dist + graph_jaccard: agree with an adjacency mirror") {
+    // rebuild the trade edges the long way (the keys' four-table join)
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cNat = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val sNat = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val und = li.map { case (ok, sk) =>
+      val a = cNat(ord(ok)); val b = sNat(sk)
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val nations = Tables.nation(spark, sfDir).select("n_nationkey")
+      .collect().map(_.getInt(0))
+    val wantDeg = nations.map(v => adj.get(v).map(_.size).getOrElse(0).toLong)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val gotDeg = SparkEntry.queries("graph_degree_dist")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDeg == wantDeg)
+    val gotJac = SparkEntry.queries("graph_jaccard")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val wantJac = (for {
+      a <- adj.keys; b <- adj.keys if a < b
+      c = (adj(a) intersect adj(b)).size if c > 0
+    } yield (a, b) -> ((c.toLong,
+      s6(c.toDouble / (adj(a).size + adj(b).size - c).toDouble)))).toMap
+    assert(gotJac == wantJac)
+  }
+
+  test("stream_left_join: clicks preserved; matches the nested-loop mirror") {
+    val got = SparkEntry.queries("stream_left_join")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long])))
+    val clicks = events.filter(_._4 == "click")
+    val buys = events.filter(_._4 == "purchase")
+    val want = clicks.flatMap { c =>
+      val m = buys.filter(b => b._1 == c._1 && b._3 >= c._3 && b._3 <= c._3 + 300)
+      if (m.isEmpty) Seq((c._2, None: Option[Long], None: Option[Long]))
+      else m.map(b => (c._2, Some(b._2), Some(b._3 - c._3)))
+    }.sortBy(e => (e._1, e._2.getOrElse(Long.MinValue)))
+    assert(got.toSeq == want)
+  }
+}
