@@ -246,6 +246,34 @@ class PlanContractSpec extends SparkSpec {
       s"PIT join degraded to a loop join:\n$p")
   }
 
+  test("round-9b keys keep their promised shapes") {
+    // dq_constraints: the FK rule is a broadcast LEFT ANTI — the orphan
+    // check must never shuffle the fact side against a 150-row key set
+    val dq = planOf("dq_constraints")
+    assert(dq.contains("BroadcastHashJoin") && dq.contains("LeftAnti"),
+      s"fk_orphan lost its broadcast anti join:\n$dq")
+    // collocations: both unigram dictionaries and both totals reach the
+    // bigram counts as broadcasts (closed vocabulary — never shuffled)
+    val pmi = planOf("llm_collocations")
+    assert(pmi.split("BroadcastHashJoin").length >= 5 &&
+      !pmi.contains("CartesianProduct"),
+      s"collocation dictionaries not broadcast:\n$pmi")
+    // jaccard: the wedge is an equi self-join on the shared neighbor
+    val jac = planOf("graph_jaccard")
+    assert(!jac.contains("CartesianProduct") && !jac.contains("NestedLoopJoin"),
+      s"jaccard wedge degenerated:\n$jac")
+    // left-outer interval twin: a real outer join, never a cartesian
+    val slj = planOf("stream_left_join")
+    assert(slj.contains("LeftOuter") && !slj.contains("CartesianProduct"),
+      s"left join twin lost its outer join:\n$slj")
+    // interpolate: the backward and forward brackets collapse into ONE
+    // Window node (same partition/order spec, per-function frames) over
+    // a single user_id sort — four picks, zero extra exchanges
+    val itp = planOf("win_interpolate")
+    assert(itp.split("Window \\[").length - 1 == 1,
+      s"interpolate should plan exactly one collapsed Window node:\n$itp")
+  }
+
   test("global sweep: no key plans a cartesian product or a python fallback") {
     // join_cross IS the cartesian semantics (125-row dimension square);
     // everything else must never degrade to one, and nothing may fall to
