@@ -637,6 +637,31 @@ object LlmExtras {
           .orderBy("lang", "bigram")
       }),
 
+    // Canonical-URL dedup (round 9, second wave) — the first dedup stage
+    // of a crawl pipeline: strip the query/fragment (tracking params),
+    // group on the canonical scheme://host/path, keep the smallest id as
+    // representative. URLs are synthesized from events exactly as fn_url
+    // does (the corpus carries no URL column); the canonicalization is
+    // one regex capture, so the whole key is a map + ONE hash aggregate
+    // on the canonical key — linear, the same cost class as
+    // llm_dedup_exact's md5 group-by, and the crawl-scale shape (URL
+    // space shards cleanly; hot hosts salt like any skewed group key).
+    Q("llm_dedup_url", Some(
+      "WITH u AS (SELECT event_id, 'https://' || event_type || '.example.com/u/' || " +
+        "CAST(user_id AS VARCHAR) || '?v=' || CAST(event_id % 97 AS VARCHAR) || '&x=1' AS url FROM events) " +
+        "SELECT REGEXP_EXTRACT(url, '^[a-z]+://([^?#]*)', 1) AS canon_url, " +
+        "MIN(event_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_total " +
+        "FROM u GROUP BY canon_url ORDER BY canon_url"),
+      (s, d) =>
+        T.events(s, d)
+          .select(col("event_id"), concat(
+            lit("https://"), col("event_type"), lit(".example.com/u/"),
+            col("user_id").cast("string"), lit("?v="),
+            (col("event_id") % 97).cast("string"), lit("&x=1")).as("url"))
+          .groupBy(regexp_extract(col("url"), "^[a-z]+://([^?#]*)", 1).as("canon_url"))
+          .agg(min(col("event_id")).as("keep_id"), count(lit(1)).as("n_total"))
+          .orderBy("canon_url")),
+
     // Cross-document chunk dedup: 10-token chunks (udtf_sentences shape)
     // repeated across documents, with the canonical (smallest) location —
     // paragraph-level dedup of the training-data funnel.

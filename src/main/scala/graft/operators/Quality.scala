@@ -105,6 +105,46 @@ object Quality {
           .agg(count(lit(1)).as("violations"))
           .select(lit("fk_orphan").as("rule"), col("violations"))
         rules.unionByName(orphan).orderBy("rule")
+      }),
+
+    // Tukey-fence outlier screen (round 9, second wave) — the IQR rule
+    // every numeric-column profiler ships: values outside
+    // [q1 − 1.5·IQR, q3 + 1.5·IQR] per segment. Quantiles run over
+    // exact integer cents at p ∈ {.25,.75} (Det rule 4 — the lerp is
+    // exact in double space on both engines), the fences are one shared
+    // IEEE sequence, and the flag count is an order-free long. Pass 1
+    // is a per-group quantile agg; pass 2 re-scans with the fences
+    // broadcast — two scans, no window, no skew sensitivity.
+    Q("dq_anomaly_iqr", Some {
+      val lo = "(q1 - 1.5 * (q3 - q1))"
+      val hi = "(q3 + 1.5 * (q3 - q1))"
+      "WITH b AS (SELECT l_returnflag, " + sqlS2("l_extendedprice") + " AS x FROM lineitem), " +
+        "q AS (SELECT l_returnflag, QUANTILE_CONT(x, 0.25) AS q1, " +
+        "QUANTILE_CONT(x, 0.75) AS q3 FROM b GROUP BY l_returnflag) " +
+        "SELECT b.l_returnflag, " +
+        sqlS2("q.q1") + " AS q1_cc, " + sqlS2("q.q3") + " AS q3_cc, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        s"CAST(SUM(CASE WHEN CAST(b.x AS DOUBLE) < $lo OR CAST(b.x AS DOUBLE) > $hi " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_out " +
+        "FROM b JOIN q ON b.l_returnflag = q.l_returnflag " +
+        "GROUP BY b.l_returnflag, q.q1, q.q3 ORDER BY b.l_returnflag"
+    },
+      (s, d) => {
+        val b = T.lineitem(s, d)
+          .select(col("l_returnflag"), s2(col("l_extendedprice")).as("x"))
+        val q = b.groupBy("l_returnflag")
+          .agg(percentile(col("x"), lit(0.25)).as("q1"),
+            percentile(col("x"), lit(0.75)).as("q3"))
+        val lo = col("q1") - lit(1.5) * (col("q3") - col("q1"))
+        val hi = col("q3") + lit(1.5) * (col("q3") - col("q1"))
+        b.join(broadcast(q), "l_returnflag")
+          .groupBy(col("l_returnflag"), col("q1"), col("q3"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("x").cast("double") < lo || col("x").cast("double") > hi, 1L)
+              .otherwise(0L)).as("n_out"))
+          .select(col("l_returnflag"), s2(col("q1")).as("q1_cc"),
+            s2(col("q3")).as("q3_cc"), col("n_rows"), col("n_out"))
+          .orderBy("l_returnflag")
       }))
 
   /** Oracle twin of dq_profile — one SELECT per column UNION ALL'd, each

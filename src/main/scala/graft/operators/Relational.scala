@@ -379,6 +379,35 @@ object Relational {
           .orderBy("pk_small", "pk_large")
       }),
 
+    // Null-safe equality join (round 9, second wave): `<=>` / IS NOT
+    // DISTINCT FROM — the join surface ETL needs when a key column
+    // carries real NULLs that must MATCH each other instead of silently
+    // dropping (plain `=` is never true on NULL). Keys here are derived
+    // residues with NULLIF-injected nulls since the corpus keys are
+    // non-null by construction. EqualNullSafe is still an equi-join
+    // predicate to Catalyst (it hash-partitions on coalesced keys), so
+    // this plans as a broadcast/shuffled HASH join, never a nested loop
+    // — PlanContractSpec's sweep would catch the degeneration. Output
+    // ordering pins NULLS FIRST on both engines.
+    Q("join_null_safe", Some(
+      "WITH o AS (SELECT NULLIF(o_custkey % 50, 0) AS nk, o_totalprice FROM orders), " +
+        "c AS (SELECT NULLIF(c_custkey % 50, 0) AS ck FROM customer) " +
+        "SELECT o.nk AS k, CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
+        Det.sqlCentSum("o.o_totalprice") + " AS price_c " +
+        "FROM o JOIN c ON o.nk IS NOT DISTINCT FROM c.ck " +
+        "GROUP BY o.nk ORDER BY k NULLS FIRST"),
+      (s, d) => {
+        val o = T.orders(s, d)
+          .select(nullif(col("o_custkey") % 50, lit(0)).as("nk"), col("o_totalprice"))
+        val c = T.customer(s, d)
+          .select(nullif(col("c_custkey") % 50, lit(0)).as("ck"))
+        o.join(broadcast(c), col("nk") <=> col("ck"))
+          .groupBy(col("nk").as("k"))
+          .agg(count(lit(1)).as("n_pairs"),
+            Det.centSum(col("o_totalprice")).as("price_c"))
+          .orderBy(col("k").asc_nulls_first)
+      }),
+
     // Interval self-join: clicks within 5 minutes after a purchase, same user.
     Q("join_interval", Some(
       "SELECT p.event_id AS purchase_id, c.event_id AS click_id FROM " +
