@@ -807,6 +807,60 @@ object EO {
           .orderBy("tile")
       }),
 
+    // Aspect (slope direction) octants from the Sobel gradient (round 9,
+    // second wave) — the terrain-analysis product beside hillshade, made
+    // INTEGER-EXACT: instead of atan2 (libm, engine-variant at the ulp),
+    // the eight compass sectors are classified by the rational slope
+    // 5/12 ≈ tan 22.6° — `12·|minor| ≤ 5·|major|` picks the cardinal
+    // sectors, signs pick the rest, pure int64 comparisons identical in
+    // both engines. Flat cells (gx=gy=0) class separately, as GIS aspect
+    // conventions do. Same focal machinery and cost as eo_tile_gradient
+    // (one halo-free in-tile stencil + one aggregate).
+    Q("eo_tile_aspect", Some(
+      "WITH px AS (SELECT (event_id // 4) // 256 AS tile, " +
+        "((event_id // 4) % 256) // 16 AS py, ((event_id // 4) % 256) % 16 AS px, " +
+        "event_id % 4 AS t, CAST(user_id AS BIGINT) AS v FROM events), " +
+        "full_t AS (SELECT tile FROM px WHERE t = 0 GROUP BY tile HAVING COUNT(*) = 256), " +
+        "p0 AS (SELECT tile, py, px, v FROM px JOIN full_t USING (tile) WHERE t = 0), " +
+        "g AS (SELECT o.tile, (o.py - 1) * 14 + (o.px - 1) AS opos, " +
+        "CAST(SUM(nb.v * (nb.px - o.px) * (CASE WHEN nb.py = o.py THEN 2 ELSE 1 END)) AS BIGINT) AS gx, " +
+        "CAST(SUM(nb.v * (nb.py - o.py) * (CASE WHEN nb.px = o.px THEN 2 ELSE 1 END)) AS BIGINT) AS gy " +
+        "FROM p0 o JOIN p0 nb ON nb.tile = o.tile " +
+        "AND nb.py BETWEEN o.py - 1 AND o.py + 1 AND nb.px BETWEEN o.px - 1 AND o.px + 1 " +
+        "WHERE o.py BETWEEN 1 AND 14 AND o.px BETWEEN 1 AND 14 " +
+        "GROUP BY o.tile, opos), " +
+        "a AS (SELECT tile, opos, CASE " +
+        "WHEN gx = 0 AND gy = 0 THEN 'FLAT' " +
+        "WHEN 12 * ABS(gy) <= 5 * ABS(gx) THEN (CASE WHEN gx > 0 THEN 'E' ELSE 'W' END) " +
+        "WHEN 12 * ABS(gx) <= 5 * ABS(gy) THEN (CASE WHEN gy > 0 THEN 'N' ELSE 'S' END) " +
+        "WHEN gx > 0 AND gy > 0 THEN 'NE' WHEN gx < 0 AND gy > 0 THEN 'NW' " +
+        "WHEN gx < 0 AND gy < 0 THEN 'SW' ELSE 'SE' END AS aspect FROM g) " +
+        "SELECT tile, aspect, CAST(COUNT(*) AS BIGINT) AS n_px, " +
+        "CAST(SUM(opos + 1) AS BIGINT) AS cksum " +
+        "FROM a GROUP BY tile, aspect ORDER BY tile, aspect"),
+      (s, d) => {
+        val grid = eventTiles(s, d, Seq("v" -> col("user_id")))
+          .where(size(col("data")) === 256 && col("time") === 0)
+        val g = graft.raster.RasterGrid.focalGradient3x3(grid, h = 16, w = 16)
+          .select(col("tile_y").cast("long").as("tile"),
+            posexplode(arrays_zip(col("gx"), col("gy"))).as(Seq("opos", "p")))
+          .select(col("tile"), col("opos"),
+            col("p.gx").cast("long").as("gx"), col("p.gy").cast("long").as("gy"))
+        val aspect = when(col("gx") === 0 && col("gy") === 0, "FLAT")
+          .when(lit(12) * abs(col("gy")) <= lit(5) * abs(col("gx")),
+            when(col("gx") > 0, "E").otherwise("W"))
+          .when(lit(12) * abs(col("gx")) <= lit(5) * abs(col("gy")),
+            when(col("gy") > 0, "N").otherwise("S"))
+          .when(col("gx") > 0 && col("gy") > 0, "NE")
+          .when(col("gx") < 0 && col("gy") > 0, "NW")
+          .when(col("gx") < 0 && col("gy") < 0, "SW")
+          .otherwise("SE")
+        g.select(col("tile"), col("opos"), aspect.as("aspect"))
+          .groupBy("tile", "aspect")
+          .agg(count(lit(1)).as("n_px"), sum(col("opos") + 1).as("cksum"))
+          .orderBy("tile", "aspect")
+      }),
+
     // Percentile composite (round 8) — the ODC percentile stat product
     // [PK odc-stats percentile]: per pixel (user_id as the pixel-group
     // analogue, as eo_composite_median established), the p10/p50/p90 of
