@@ -231,6 +231,119 @@ class Round9bOpsSpec extends SparkSpec {
     assert(gotJac == wantJac)
   }
 
+  test("join_null_safe: null keys match each other, never drop") {
+    val got = SparkEntry.queries("join_null_safe")(spark, sfDir).collect()
+      .map(r => Option(r.get(0)).map(_.asInstanceOf[Long]) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val o = Tables.orders(spark, sfDir).select("o_custkey", "o_totalprice")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val c = Tables.customer(spark, sfDir).select("c_custkey")
+      .collect().map(_.getLong(0))
+    def key(k: Long): Option[Long] = if (k % 50 == 0) None else Some(k % 50)
+    val cKeys = c.map(key).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val want = o.groupBy(e => key(e._1)).collect {
+      case (k, rows) if cKeys.contains(k) =>
+        k -> ((rows.size * cKeys(k), rows.map(e => s2(e._2)).sum * cKeys(k)))
+    }
+    assert(got == want)
+    assert(got.contains(None), "the null key group must be present (NULL matches NULL)")
+  }
+
+  test("dq_anomaly_iqr: fences and outlier counts match the sort mirror") {
+    val got = SparkEntry.queries("dq_anomaly_iqr")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val rows = Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_extendedprice").collect()
+      .map(r => (r.getString(0), s2(r.getDouble(1))))
+    rows.groupBy(_._1).foreach { case (f, es) =>
+      val xs = es.map(_._2).sorted
+      def q(p: Double): Double = {
+        val pos = p * (xs.length - 1)
+        val lo = xs(pos.toInt); val hi = xs(math.ceil(pos).toInt)
+        lo + (pos - pos.toInt) * (hi - lo)
+      }
+      val (q1, q3) = (q(0.25), q(0.75))
+      val lo = q1 - 1.5 * (q3 - q1); val hi = q3 + 1.5 * (q3 - q1)
+      val nOut = xs.count(x => x.toDouble < lo || x.toDouble > hi).toLong
+      assert(got(f) == ((s2(q1), s2(q3), xs.length.toLong, nOut)), s"flag $f")
+    }
+  }
+
+  test("llm_dedup_url: canonical groups keep the smallest id") {
+    val got = SparkEntry.queries("llm_dedup_url")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the capture group starts after the scheme separator
+    val want = events.groupBy(e => s"${e._4}.example.com/u/${e._1}")
+      .map { case (u, es) => u -> ((es.map(_._2).min, es.size.toLong)) }
+    assert(got == want)
+  }
+
+  test("graph_bfs: distances match a queue BFS; sentinel marks unreachable") {
+    val got = SparkEntry.queries("graph_bfs")(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cNat = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val sNat = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val adj = li.map { case (ok, sk) => (cNat(ord(ok)), sNat(sk)) }
+      .filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e, e.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val dist = scala.collection.mutable.Map(0 -> 0L)
+    val queue = scala.collection.mutable.Queue(0)
+    while (queue.nonEmpty) {
+      val v = queue.dequeue()
+      adj.getOrElse(v, Set.empty).foreach { u =>
+        if (!dist.contains(u)) { dist(u) = dist(v) + 1; queue += u }
+      }
+    }
+    Tables.nation(spark, sfDir).select("n_nationkey").collect()
+      .map(_.getInt(0)).foreach { v =>
+        assert(got(v) == dist.getOrElse(v, 999L), s"nation $v")
+      }
+  }
+
+  test("eo_tile_aspect: octant histogram matches a pixel mirror (sf0.01)") {
+    // sf0.001 has no complete 256-pixel tile; mirror at the grading SF
+    val sf01 = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("eo_tile_aspect")(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val px = Tables.events(spark, sf01).select("event_id", "user_id").collect()
+      .map { r =>
+        val id = r.getLong(0); val p = id / 4
+        ((p / 256, ((p % 256) / 16).toInt, ((p % 256) % 16).toInt, id % 4), r.getLong(1))
+      }.toMap
+    val tiles = px.keys.filter(_._4 == 0).groupBy(_._1).collect {
+      case (t, ks) if ks.size == 256 => t
+    }
+    val want = scala.collection.mutable.Map.empty[(Long, String), (Long, Long)]
+    tiles.foreach { t =>
+      def v(y: Int, x: Int): Long = px((t, y, x, 0L))
+      for (oy <- 1 to 14; ox <- 1 to 14) {
+        var gx = 0L; var gy = 0L
+        for (ny <- oy - 1 to oy + 1; nx <- ox - 1 to ox + 1) {
+          gx += v(ny, nx) * (nx - ox) * (if (ny == oy) 2 else 1)
+          gy += v(ny, nx) * (ny - oy) * (if (nx == ox) 2 else 1)
+        }
+        val a =
+          if (gx == 0 && gy == 0) "FLAT"
+          else if (12 * math.abs(gy) <= 5 * math.abs(gx)) { if (gx > 0) "E" else "W" }
+          else if (12 * math.abs(gx) <= 5 * math.abs(gy)) { if (gy > 0) "N" else "S" }
+          else if (gx > 0 && gy > 0) "NE" else if (gx < 0 && gy > 0) "NW"
+          else if (gx < 0 && gy < 0) "SW" else "SE"
+        val opos = ((oy - 1) * 14 + (ox - 1)).toLong
+        val (c, ck) = want.getOrElse((t, a), (0L, 0L))
+        want((t, a)) = (c + 1, ck + opos + 1)
+      }
+    }
+    assert(got == want.toMap)
+  }
+
   test("stream_left_join: clicks preserved; matches the nested-loop mirror") {
     val got = SparkEntry.queries("stream_left_join")(spark, sfDir).collect()
       .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
