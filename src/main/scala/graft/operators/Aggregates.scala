@@ -748,6 +748,46 @@ object Aggregates {
           .orderBy("l_linestatus")
       }),
 
+    // Mann-Whitney U rank-sum test (round 9, second wave) — the
+    // NONPARAMETRIC sibling of agg_ttest, comparing the same two arms
+    // without a normality assumption. Everything stays integer until
+    // the final z: tie-averaged ranks are half-integers, so the DOUBLED
+    // rank is exact — per value v, 2·avgrank = 2·(count below) +
+    // (count equal) + 1, accumulated from ONE per-(group, value) count
+    // table and a domain-sized window cumsum (the agg_weighted_median
+    // shape: all data-sized work is the first partial agg). 2U and the
+    // tie-correction Σ(t³−t) are exact longs; the normal-approximation
+    // z with tie-corrected variance is one fixed double sequence.
+    Q("agg_mannwhitney", Some(mannWhitneyOracle),
+      (s, dd) => {
+        import org.apache.spark.sql.expressions.Window
+        val g = T.lineitem(s, dd)
+          .where(col("l_returnflag").isin("A", "R"))
+          .select(col("l_linestatus").as("st"), col("l_returnflag").as("f"),
+            s0(col("l_quantity")).as("q"))
+          .groupBy("st", "q")
+          .agg(sum(when(col("f") === "A", 1L).otherwise(0L)).as("ca"),
+            sum(when(col("f") === "R", 1L).otherwise(0L)).as("cr"))
+        val w = Window.partitionBy("st").orderBy("q")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val t = col("ca") + col("cr")
+        val m = g
+          .withColumn("below", coalesce(sum(col("ca") + col("cr")).over(w), lit(0L)))
+          .groupBy("st")
+          .agg(sum(col("ca")).as("na"), sum(col("cr")).as("nr"),
+            sum(col("ca") * (lit(2L) * col("below") + t + lit(1L))).as("r2a"),
+            sum(t * t * t - t).as("ties"))
+        val naD = col("na").cast("double"); val nrD = col("nr").cast("double")
+        val nD = (col("na") + col("nr")).cast("double")
+        val u2 = col("r2a") - col("na") * (col("na") + lit(1L))
+        val varU = (naD * nrD / lit(12.0)) *
+          ((nD + lit(1.0)) - col("ties").cast("double") / (nD * (nD - lit(1.0))))
+        val z = (u2.cast("double") - naD * nrD) / (lit(2.0) * sqrt(varU))
+        m.select(col("st").as("l_linestatus"), col("na"), col("nr"),
+            u2.as("u2a"), s6(z).as("z6"))
+          .orderBy("l_linestatus")
+      }),
+
     // Pearson chi-squared independence statistic over the returnflag ×
     // linestatus contingency table (round 9, second wave). Cell counts,
     // row/col totals and the grand total are exact longs; each cell's
@@ -1021,6 +1061,32 @@ object Aggregates {
       "FROM b GROUP BY l_linestatus) " +
       "SELECT l_linestatus, na, nr, " +
       sqlS6(t) + " AS t6, " + sqlS4(df) + " AS df4 " +
+      "FROM m ORDER BY l_linestatus"
+  }
+
+  /** Oracle twin of agg_mannwhitney — the same per-value count table,
+    * domain-window cumsum, doubled-rank/tie long sums and z sequence. */
+  private def mannWhitneyOracle: String = {
+    val naD = "CAST(na AS DOUBLE)"; val nrD = "CAST(nr AS DOUBLE)"
+    val nD = "CAST(na + nr AS DOUBLE)"
+    val u2 = "(r2a - na * (na + 1))"
+    val varU = s"(($naD * $nrD / 12.0) * " +
+      s"(($nD + 1.0) - CAST(ties AS DOUBLE) / ($nD * ($nD - 1.0))))"
+    val z = s"((CAST($u2 AS DOUBLE) - $naD * $nrD) / (2.0 * SQRT($varU)))"
+    "WITH b AS (SELECT l_linestatus AS st, l_returnflag AS f, " +
+      sqlS0("l_quantity") + " AS q FROM lineitem WHERE l_returnflag IN ('A', 'R')), " +
+      "g AS (SELECT st, q, " +
+      "CAST(SUM(CASE WHEN f = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca, " +
+      "CAST(SUM(CASE WHEN f = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS cr " +
+      "FROM b GROUP BY st, q), " +
+      "c AS (SELECT st, q, ca, cr, ca + cr AS t, " +
+      "COALESCE(SUM(ca + cr) OVER (PARTITION BY st ORDER BY q " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below FROM g), " +
+      "m AS (SELECT st, CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cr) AS BIGINT) AS nr, " +
+      "CAST(SUM(ca * (2 * below + t + 1)) AS BIGINT) AS r2a, " +
+      "CAST(SUM(t * t * t - t) AS BIGINT) AS ties FROM c GROUP BY st) " +
+      "SELECT st AS l_linestatus, na, nr, " +
+      s"CAST($u2 AS BIGINT) AS u2a, " + sqlS6(z) + " AS z6 " +
       "FROM m ORDER BY l_linestatus"
   }
 

@@ -340,6 +340,37 @@ object EO {
           .orderBy("user_id")
       }),
 
+    // Revisit-cadence statistics (round 9, second wave) — the
+    // acquisition-planning diagnostic of any observation archive: per
+    // pixel, the min/max/mean gap between consecutive observations.
+    // LAG orders by the bare timestamp: tied timestamps pick an
+    // arbitrary neighbor, but the MULTISET of consecutive diffs over a
+    // sorted sequence is tie-permutation-invariant, so the min/max/sum
+    // aggregates are engine-exact without a tie-break column (the
+    // agg_gini argument). Gaps are exact epoch-second longs; the mean
+    // is one floored scaled divide. One shuffle on the pixel key.
+    Q("eo_cadence", Some(
+      "WITH g AS (SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t FROM events), " +
+        "l AS (SELECT user_id, t - LAG(t) OVER (PARTITION BY user_id ORDER BY t) AS gap FROM g) " +
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps, " +
+        "CAST(MIN(gap) AS BIGINT) AS gap_min, CAST(MAX(gap) AS BIGINT) AS gap_max, " +
+        "CAST(FLOOR(CAST(SUM(gap) AS DOUBLE) * 1e6 / COUNT(*) + 0.5) AS BIGINT) AS gap_mean6 " +
+        "FROM l WHERE gap IS NOT NULL GROUP BY user_id ORDER BY user_id"),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("t")
+        T.events(s, d)
+          .select(col("user_id"), epochS(col("ts")).as("t"))
+          .withColumn("gap", col("t") - lag(col("t"), 1).over(w))
+          .where(col("gap").isNotNull)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_gaps"),
+            min(col("gap")).as("gap_min"), max(col("gap")).as("gap_max"),
+            floor(sum(col("gap")).cast("double") * lit(1e6) / count(lit(1)) + lit(0.5))
+              .cast("long").as("gap_mean6"))
+          .orderBy("user_id")
+      }),
+
     // Two-endmember linear unmixing (fractional-cover product family):
     // closed-form fraction clamp((x - e0) / (e1 - e0), 0, 1).
     Q("eo_unmix", Some(

@@ -662,6 +662,50 @@ object LlmExtras {
           .agg(min(col("event_id")).as("keep_id"), count(lit(1)).as("n_total"))
           .orderBy("canon_url")),
 
+    // Bigram-LM document scoring with add-one smoothing (round 9, second
+    // wave) — the next rung past llm_unigram_logprob on the perplexity-
+    // filter ladder (CCNet-style quality scoring with one token of
+    // context): per occurrence, ln((c(w₁w₂)+1)/(c(w₁)+V)) under the
+    // per-language corpus counts, s6-floored per term so the per-doc
+    // sum is an order-free long (the unigram key's discipline). The
+    // count dictionaries and vocabulary sizes are CLOSED-vocabulary
+    // bounded and broadcast; the doc side stays one explode + two
+    // map-side joins + one aggregate — linear at any SF.
+    Q("llm_bigram_logprob", Some(
+      "WITH bg AS (SELECT doc_id, lang, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bigram " +
+        "FROM (SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS tk FROM documents) WHERE LEN(tk) >= 2), " +
+        "t AS (SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents), " +
+        "c1 AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY lang, tok), " +
+        "vv AS (SELECT lang, CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM t GROUP BY lang), " +
+        "c2 AS (SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY lang, bigram) " +
+        "SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, " +
+        "CAST(SUM(" +
+        sqlS6("LN(CAST(c2.c + 1 AS DOUBLE) / CAST(c1.c + vv.v AS DOUBLE))") +
+        ") AS BIGINT) AS lp6 " +
+        "FROM bg JOIN c2 ON c2.lang = bg.lang AND c2.bigram = bg.bigram " +
+        "JOIN c1 ON c1.lang = bg.lang AND c1.tok = STRING_SPLIT(bg.bigram, ' ')[1] " +
+        "JOIN vv ON vv.lang = bg.lang " +
+        "GROUP BY bg.doc_id ORDER BY bg.doc_id"),
+      (s, d) => {
+        val t = tokens(s, d)
+        val c1 = t.groupBy("lang", "tok").agg(count(lit(1)).as("c1"))
+          .select(col("lang").as("l1"), col("tok").as("t1"), col("c1"))
+        val vv = t.groupBy("lang").agg(countDistinct(col("tok")).as("v"))
+          .select(col("lang").as("lv"), col("v"))
+        val bg = TextOps.bigrams(T.documents(s, d), "doc_id", "lang")
+        val c2 = bg.groupBy("lang", "bigram").agg(count(lit(1)).as("c2"))
+          .select(col("lang").as("l2"), col("bigram").as("b2"), col("c2"))
+        val term = s6(log((col("c2") + 1).cast("double") /
+          (col("c1") + col("v")).cast("double")))
+        bg.join(broadcast(c2), col("l2") === col("lang") && col("b2") === col("bigram"))
+          .join(broadcast(c1), col("l1") === col("lang") &&
+            col("t1") === split(col("bigram"), " ").getItem(0))
+          .join(broadcast(vv), col("lv") === col("lang"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum(term).as("lp6"))
+          .orderBy("doc_id")
+      }),
+
     // Cross-document chunk dedup: 10-token chunks (udtf_sentences shape)
     // repeated across documents, with the canonical (smallest) location —
     // paragraph-level dedup of the training-data funnel.
