@@ -344,6 +344,69 @@ class Round9bOpsSpec extends SparkSpec {
     assert(got == want.toMap)
   }
 
+  test("agg_mannwhitney: doubled ranks equal a direct tie-averaged ranking") {
+    val got = SparkEntry.queries("agg_mannwhitney")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    lineitem.filter(e => e._1 == "A" || e._1 == "R").groupBy(_._2)
+      .foreach { case (st, rows) =>
+        val xs = rows.map(e => (e._1, s0(e._3)))
+        val sorted = xs.map(_._2).sorted
+        // tie-averaged rank per value, via first/last 1-based positions
+        val rank2 = sorted.zipWithIndex.groupBy(_._1).view.mapValues { ps =>
+          ps.map(_._2 + 1).min.toLong + ps.map(_._2 + 1).max.toLong // = 2·avg
+        }.toMap
+        val na = xs.count(_._1 == "A").toLong; val nr = xs.count(_._1 == "R").toLong
+        val r2a = xs.filter(_._1 == "A").map(e => rank2(e._2)).sum
+        val u2 = r2a - na * (na + 1)
+        val ties = sorted.groupBy(identity).values
+          .map(g => { val t = g.size.toLong; t * t * t - t }).sum
+        val nD = (na + nr).toDouble
+        val varU = (na.toDouble * nr.toDouble / 12.0) *
+          ((nD + 1.0) - ties.toDouble / (nD * (nD - 1.0)))
+        val z = (u2.toDouble - na.toDouble * nr.toDouble) / (2.0 * math.sqrt(varU))
+        assert(got(st) == ((na, nr, u2, s6(z))), s"linestatus $st")
+      }
+  }
+
+  test("eo_cadence: gap stats match the sorted-diff mirror") {
+    val got = SparkEntry.queries("eo_cadence")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    events.groupBy(_._1).foreach { case (u, es) =>
+      val ts = es.map(_._3).sorted
+      if (ts.size < 2) assert(!got.contains(u))
+      else {
+        val gaps = ts.sliding(2).map(p => p(1) - p(0)).toSeq
+        val mean6 = math.floor(gaps.sum.toDouble * 1e6 / gaps.size + 0.5).toLong
+        assert(got(u) == ((gaps.size.toLong, gaps.min, gaps.max, mean6)), s"user $u")
+      }
+    }
+  }
+
+  test("llm_bigram_logprob: scores match the smoothed-count mirror") {
+    val got = SparkEntry.queries("llm_bigram_logprob")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val toks = docs.flatMap { case (_, text, lang) =>
+      text.split(" ", -1).toSeq.map(lang -> _)
+    }
+    val c1 = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val vv = toks.distinct.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val bgAll = docs.flatMap { case (id, text, lang) =>
+      val t = text.split(" ", -1).toSeq
+      if (t.size < 2) Nil
+      else t.sliding(2).map(p => (id, lang, p.head, p.mkString(" "))).toSeq
+    }
+    val c2 = bgAll.groupBy(e => (e._2, e._4)).view.mapValues(_.size.toLong).toMap
+    val want = bgAll.groupBy(_._1).map { case (id, bs) =>
+      val lp = bs.map { case (_, lang, w1, bg) =>
+        s6(math.log((c2((lang, bg)) + 1).toDouble / (c1((lang, w1)) + vv(lang)).toDouble))
+      }.sum
+      id -> ((bs.size.toLong, lp))
+    }
+    assert(got == want)
+  }
+
   test("stream_left_join: clicks preserved; matches the nested-loop mirror") {
     val got = SparkEntry.queries("stream_left_join")(spark, sfDir).collect()
       .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
