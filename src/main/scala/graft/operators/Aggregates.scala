@@ -788,6 +788,41 @@ object Aggregates {
           .orderBy("l_linestatus")
       }),
 
+    // Kolmogorov-Smirnov two-sample D (round 9, second wave) — completes
+    // the classic test trio (t / U / KS): D = max |ECDF_A − ECDF_R| over
+    // the shared value domain. The same domain-collapsed count table as
+    // agg_mannwhitney feeds per-value cumulative counts; each candidate
+    // |caCum/na − crCum/nr| is one fixed double from exact longs, and MAX
+    // over an identical candidate set is engine-identical (no epsilon
+    // needed). All data-sized work is the first partial agg.
+    Q("agg_ks", Some(ksOracle),
+      (s, dd) => {
+        import org.apache.spark.sql.expressions.Window
+        val g = T.lineitem(s, dd)
+          .where(col("l_returnflag").isin("A", "R"))
+          .select(col("l_linestatus").as("st"), col("l_returnflag").as("f"),
+            s0(col("l_quantity")).as("q"))
+          .groupBy("st", "q")
+          .agg(sum(when(col("f") === "A", 1L).otherwise(0L)).as("ca"),
+            sum(when(col("f") === "R", 1L).otherwise(0L)).as("cr"))
+        val w = Window.partitionBy("st").orderBy("q")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val c = g
+          .withColumn("cca", sum(col("ca")).over(w))
+          .withColumn("ccr", sum(col("cr")).over(w))
+        val wAll = Window.partitionBy("st")
+        val diff = abs(col("cca").cast("double") / col("na").cast("double")
+          - col("ccr").cast("double") / col("nr").cast("double"))
+        c.withColumn("na", sum(col("ca")).over(wAll))
+          .withColumn("nr", sum(col("cr")).over(wAll))
+          .groupBy("st")
+          .agg(max(col("na")).as("na2"), max(col("nr")).as("nr2"),
+            max(s6(diff)).as("d6"))
+          .select(col("st").as("l_linestatus"), col("na2").as("na"),
+            col("nr2").as("nr"), col("d6"))
+          .orderBy("l_linestatus")
+      }),
+
     // Pearson chi-squared independence statistic over the returnflag ×
     // linestatus contingency table (round 9, second wave). Cell counts,
     // row/col totals and the grand total are exact longs; each cell's
@@ -1089,6 +1124,26 @@ object Aggregates {
       s"CAST($u2 AS BIGINT) AS u2a, " + sqlS6(z) + " AS z6 " +
       "FROM m ORDER BY l_linestatus"
   }
+
+  /** Oracle twin of agg_ks — the same count table, cumulative/total
+    * window sums, s6-floored per-value ECDF gaps and MAX pick. */
+  private def ksOracle: String =
+    "WITH b AS (SELECT l_linestatus AS st, l_returnflag AS f, " +
+      sqlS0("l_quantity") + " AS q FROM lineitem WHERE l_returnflag IN ('A', 'R')), " +
+      "g AS (SELECT st, q, " +
+      "CAST(SUM(CASE WHEN f = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca, " +
+      "CAST(SUM(CASE WHEN f = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS cr " +
+      "FROM b GROUP BY st, q), " +
+      "c AS (SELECT st, ca, cr, " +
+      "SUM(ca) OVER (PARTITION BY st ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cca, " +
+      "SUM(cr) OVER (PARTITION BY st ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccr, " +
+      "SUM(ca) OVER (PARTITION BY st) AS na, SUM(cr) OVER (PARTITION BY st) AS nr FROM g) " +
+      "SELECT st AS l_linestatus, CAST(MAX(na) AS BIGINT) AS na, " +
+      "CAST(MAX(nr) AS BIGINT) AS nr, " +
+      "CAST(MAX(" +
+      sqlS6("ABS(CAST(cca AS DOUBLE) / CAST(na AS DOUBLE) - CAST(ccr AS DOUBLE) / CAST(nr AS DOUBLE))") +
+      ") AS BIGINT) AS d6 " +
+      "FROM c GROUP BY st ORDER BY l_linestatus"
 
   /** Oracle twin of agg_chisq — identical cell/marginal integer sums,
     * the same per-cell s6-floored (o−e)²/e term, and the same dof

@@ -892,6 +892,34 @@ object EO {
           .orderBy("tile", "aspect")
       }),
 
+    // Per-tile value histogram (round 9, second wave) — the per-scene
+    // DN-distribution stat every raster QA report carries (and the
+    // input to histogram-matching normalization). Bins are pure integer
+    // math (32-wide, clamped to 16 bins), so the histogram is one
+    // hash aggregate over pixel rows with map-side combine — at archive
+    // scale the combiner collapses each tile's 256 pixels to ≤16 rows
+    // before the (tile, bin) shuffle.
+    Q("eo_tile_histogram", Some(
+      "WITH px AS (SELECT (event_id // 4) // 256 AS tile, " +
+        "event_id % 4 AS t, CAST(user_id AS BIGINT) AS v FROM events), " +
+        "full_t AS (SELECT tile FROM px WHERE t = 0 GROUP BY tile HAVING COUNT(*) = 256) " +
+        "SELECT p.tile, LEAST(p.v // 32, 15) AS bin, CAST(COUNT(*) AS BIGINT) AS n_px, " +
+        "CAST(MIN(p.v) AS BIGINT) AS v_min, CAST(MAX(p.v) AS BIGINT) AS v_max " +
+        "FROM px p JOIN full_t USING (tile) WHERE p.t = 0 " +
+        "GROUP BY p.tile, bin ORDER BY p.tile, bin"),
+      (s, d) => {
+        val px = T.events(s, d).select(
+          expr("(event_id div 4) div 256").as("tile"),
+          (col("event_id") % 4).as("t"), col("user_id").as("v"))
+        val fullT = px.where(col("t") === 0).groupBy("tile")
+          .agg(count(lit(1)).as("c")).where(col("c") === 256).select("tile")
+        px.where(col("t") === 0)
+          .join(broadcast(fullT), "tile")
+          .groupBy(col("tile"), least(expr("v div 32"), lit(15L)).as("bin"))
+          .agg(count(lit(1)).as("n_px"), min(col("v")).as("v_min"), max(col("v")).as("v_max"))
+          .orderBy("tile", "bin")
+      }),
+
     // Percentile composite (round 8) — the ODC percentile stat product
     // [PK odc-stats percentile]: per pixel (user_id as the pixel-group
     // analogue, as eo_composite_median established), the p10/p50/p90 of

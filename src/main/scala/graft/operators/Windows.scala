@@ -639,5 +639,36 @@ object Windows {
             when(col("n_obs") > 0, col("m6"))
               .otherwise(floor(lerp + lit(0.5)).cast("long")).as("interp6"))
           .orderBy("user_id", "bucket")
+      }),
+
+    // Maximum drawdown (round 9, second wave) — the running-peak
+    // retracement statistic (risk analytics, but generically "how far
+    // below its best has this series fallen"): per entity, cumulative
+    // s6 value sums in (t, event_id) order, running max of that, and
+    // the largest peak−current gap. Entirely integer: the cumsum is
+    // exact grid-longs (stream_runtotal's discipline), the running max
+    // and the final MAX(gap) are order-pinned longs. One shuffle + one
+    // entity sort shared by both window passes.
+    Q("win_drawdown", Some(
+      "WITH c AS (SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t, event_id, " +
+        "CAST(SUM(" + sqlS6("value") + ") OVER (" +
+        "PARTITION BY user_id ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT), event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM events), " +
+        "p AS (SELECT user_id, cum, MAX(cum) OVER (PARTITION BY user_id ORDER BY t, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak FROM c) " +
+        "SELECT user_id, CAST(MAX(peak) AS BIGINT) AS peak_total, " +
+        "CAST(MAX(peak - cum) AS BIGINT) AS max_drawdown " +
+        "FROM p GROUP BY user_id ORDER BY user_id"),
+      (s, dd) => {
+        val ord = Window.partitionBy("user_id")
+          .orderBy(epochS(col("ts")), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        T.events(s, dd)
+          .withColumn("cum", sum(s6(col("value"))).over(ord))
+          .withColumn("peak", max(col("cum")).over(ord))
+          .groupBy("user_id")
+          .agg(max(col("peak")).as("peak_total"),
+            max(col("peak") - col("cum")).as("max_drawdown"))
+          .orderBy("user_id")
       }))
 }

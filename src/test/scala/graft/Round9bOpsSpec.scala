@@ -407,6 +407,53 @@ class Round9bOpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("agg_ks: D matches a direct ECDF sweep") {
+    val got = SparkEntry.queries("agg_ks")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    lineitem.filter(e => e._1 == "A" || e._1 == "R").groupBy(_._2)
+      .foreach { case (st, rows) =>
+        val a = rows.filter(_._1 == "A").map(e => s0(e._3))
+        val r = rows.filter(_._1 == "R").map(e => s0(e._3))
+        val d = (a ++ r).distinct.map { q =>
+          s6(math.abs(a.count(_ <= q).toDouble / a.size.toDouble
+            - r.count(_ <= q).toDouble / r.size.toDouble))
+        }.max
+        assert(got(st) == ((a.size.toLong, r.size.toLong, d)), s"linestatus $st")
+      }
+  }
+
+  test("win_drawdown: peak and retracement match a running mirror") {
+    val got = SparkEntry.queries("win_drawdown")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    events.groupBy(_._1).foreach { case (u, es) =>
+      var cum = 0L; var peak = Long.MinValue; var dd = 0L
+      es.sortBy(e => (e._3, e._2)).foreach { e =>
+        cum += s6(e._5)
+        peak = math.max(peak, cum)
+        dd = math.max(dd, peak - cum)
+      }
+      assert(got(u) == ((peak, dd)), s"user $u")
+    }
+  }
+
+  test("eo_tile_histogram: bins match a pixel mirror (sf0.01)") {
+    val sf01 = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("eo_tile_histogram")(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val px = Tables.events(spark, sf01).select("event_id", "user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._1 % 4 == 0)
+      .map { case (id, v) => ((id / 4) / 256, v) }
+    val want = px.groupBy(_._1).filter(_._2.length == 256).toSeq.flatMap {
+      case (tile, vs) =>
+        vs.map(_._2).groupBy(v => math.min(v / 32, 15L)).map { case (bin, g) =>
+          (tile, bin) -> ((g.length.toLong, g.min, g.max))
+        }
+    }.toMap
+    assert(got == want)
+  }
+
   test("stream_left_join: clicks preserved; matches the nested-loop mirror") {
     val got = SparkEntry.queries("stream_left_join")(spark, sfDir).collect()
       .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
