@@ -709,6 +709,89 @@ object Aggregates {
           .orderBy("seg")
       }),
 
+    // Herfindahl-Hirschman concentration index (round 9, third wave) —
+    // the companion of agg_gini on the CATEGORICAL axis: how concentrated
+    // is each user bucket's activity across event types (market-share
+    // concentration, source-mix concentration in corpus audits). Shares
+    // never materialize: HHI = Σ(nᵢ/N)² = (Σnᵢ²)/N², so both sums stay
+    // exact int64 counts through the two-level aggregate and ONE double
+    // divide at the end lands the statistic on the s6 grid (Det rule 3).
+    // Scale: two partial-agg shuffles, the second over ≤|buckets| rows;
+    // the nᵢ² sums fit int64 up to ~3e9 rows/cell.
+    Q("agg_hhi", Some(
+      "WITH c AS (SELECT user_id % 10 AS bucket, event_type, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY bucket, event_type), " +
+        "a AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_types, " +
+        "CAST(SUM(n) AS BIGINT) AS tot, CAST(SUM(n * n) AS BIGINT) AS ss FROM c GROUP BY bucket) " +
+        "SELECT bucket, n_types, tot, " +
+        sqlS6("CAST(ss AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))") +
+        " AS hhi6 FROM a ORDER BY bucket"),
+      (s, d) => {
+        val c = T.events(s, d)
+          .groupBy((col("user_id") % 10).as("bucket"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        c.groupBy("bucket")
+          .agg(count(lit(1)).as("n_types"), sum(col("n")).as("tot"),
+            sum(col("n") * col("n")).as("ss"))
+          .select(col("bucket"), col("n_types"), col("tot"),
+            s6(col("ss").cast("double")
+              / (col("tot").cast("double") * col("tot").cast("double"))).as("hhi6"))
+          .orderBy("bucket")
+      }),
+
+    // Lag-1 autocorrelation per entity series (round 9, third wave) —
+    // the first-order serial-dependence statistic of time-series QA
+    // (is a sensor/user stream white or trending?). The (xₜ, xₜ₊₁) pairs
+    // come from ONE entity-partitioned lead window over (ts, event_id)
+    // — the same shuffle the per-entity aggregate reuses — and the
+    // Pearson r over pairs follows agg_stats' exact-moment discipline:
+    // six int64 sums (cents in, products ≤ ~1e10/row), then one fixed
+    // double sequence (Det rule 3). NULL when fewer than 2 pairs or a
+    // degenerate (constant) margin, identically on both engines. Scale:
+    // one shuffle total; partition size = events-per-entity, bounded.
+    Q("agg_autocorr", Some {
+      val nD = "CAST(n AS DOUBLE)"
+      val sxD = "CAST(sx AS DOUBLE)"; val syD = "CAST(sy AS DOUBLE)"
+      val sxyD = "CAST(sxy AS DOUBLE)"
+      val sxxD = "CAST(sxx AS DOUBLE)"; val syyD = "CAST(syy AS DOUBLE)"
+      val denx = s"($nD * $sxxD - $sxD * $sxD)"
+      val deny = s"($nD * $syyD - $syD * $syD)"
+      "WITH v AS (SELECT user_id, ts, event_id, " + sqlS2("value") + " AS x FROM events), " +
+        "p AS (SELECT user_id, x, LEAD(x) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y FROM v), " +
+        "m AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, " +
+        "CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx, " +
+        "CAST(SUM(y * y) AS BIGINT) AS syy FROM p WHERE y IS NOT NULL GROUP BY user_id) " +
+        "SELECT user_id, n AS n_pairs, " +
+        s"CASE WHEN n < 2 OR $denx <= 0.0 OR $deny <= 0.0 THEN NULL ELSE " +
+        sqlS6(s"($nD * $sxyD - $sxD * $syD) / (SQRT($denx) * SQRT($deny))") +
+        " END AS r6 FROM m ORDER BY user_id"
+    },
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val lead1 = lead(col("x"), 1)
+          .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        val m = T.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), s2(col("value")).as("x"))
+          .withColumn("y", lead1)
+          .where(col("y").isNotNull)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+        val nD = col("n").cast("double")
+        val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
+        val sxyD = col("sxy").cast("double")
+        val sxxD = col("sxx").cast("double"); val syyD = col("syy").cast("double")
+        val denx = nD * sxxD - sxD * sxD
+        val deny = nD * syyD - syD * syD
+        val r = (nD * sxyD - sxD * syD) / (sqrt(denx) * sqrt(deny))
+        m.select(col("user_id"), col("n").as("n_pairs"),
+            when(col("n") < 2 || denx <= 0.0 || deny <= 0.0, lit(null))
+              .otherwise(s6(r)).as("r6"))
+          .orderBy("user_id")
+      }),
+
     // Welch two-sample t statistic + Welch-Satterthwaite df (round 9,
     // second wave) — the hypothesis-testing primitive of A/B analysis,
     // comparing returned ('A') vs refused ('R') quantities per linestatus.

@@ -670,5 +670,122 @@ object Windows {
           .agg(max(col("peak")).as("peak_total"),
             max(col("peak") - col("cum")).as("max_drawdown"))
           .orderBy("user_id")
+      }),
+
+    // CUSUM change detection (round 9, third wave) — Page's cumulative-
+    // sum statistic per entity: how far the running sum of deviations
+    // from the series mean wanders (a drifting sensor / behavior shift
+    // shows as a large |CUSUM| range; Page 1954). Kept integer-exact by
+    // scaling: Σ(n·xᵢ − S) over the prefix is n·prefix_sum − i·S, all
+    // int64 on cents (n ≤ partition size keeps products ≪ 2⁶³). The
+    // per-entity (n, S) window and the running sum share ONE shuffle +
+    // sort on the entity key; the final per-entity extrema collapse in
+    // the same partitioning. At 100 TB: partition = events-per-entity,
+    // bounded; no global window anywhere.
+    Q("win_cusum", Some(
+      "WITH v AS (SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t, event_id, " +
+        sqlS2("value") + " AS x FROM events), " +
+        "m AS (SELECT user_id, t, event_id, x, " +
+        "CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n, " +
+        "CAST(SUM(x) OVER (PARTITION BY user_id) AS BIGINT) AS sv FROM v), " +
+        "c AS (SELECT user_id, n, " +
+        "CAST(SUM(n * x - sv) OVER (PARTITION BY user_id ORDER BY t, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cusum FROM m) " +
+        "SELECT user_id, CAST(MAX(n) AS BIGINT) AS n, " +
+        "CAST(MAX(cusum) AS BIGINT) AS cusum_max, CAST(MIN(cusum) AS BIGINT) AS cusum_min, " +
+        "CAST(MAX(cusum) - MIN(cusum) AS BIGINT) AS cusum_range " +
+        "FROM c GROUP BY user_id ORDER BY user_id"),
+      (s, dd) => {
+        val byU = Window.partitionBy("user_id")
+        val ord = byU.orderBy(col("t"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        T.events(s, dd)
+          .select(col("user_id"), epochS(col("ts")).as("t"), col("event_id"),
+            s2(col("value")).as("x"))
+          .withColumn("n", count(lit(1)).over(byU))
+          .withColumn("sv", sum(col("x")).over(byU))
+          .withColumn("cusum", sum(col("n") * col("x") - col("sv")).over(ord))
+          .groupBy("user_id")
+          .agg(max(col("n")).as("n"),
+            max(col("cusum")).as("cusum_max"), min(col("cusum")).as("cusum_min"),
+            (max(col("cusum")) - min(col("cusum"))).as("cusum_range"))
+          .orderBy("user_id")
+      }),
+
+    // Pareto / Lorenz concentration curve (round 9, third wave) — "what
+    // share of total value do the top-k entities hold": entities ranked
+    // by exact cent totals descending, cumulative share on the s6 grid.
+    // The data-sized work is the per-entity aggregate (one shuffle); the
+    // ranking window then runs over ENTITY-level rows only — bounded by
+    // the entity space, the same post-aggregation-window justification
+    // as agg_topk_group. At an unbounded entity count the two-pass
+    // range-partition + broadcast-offset form (win_ntile's construction)
+    // replaces the single ordering. Top 20 ranks graded; (cents DESC,
+    // user_id) is a total order so ranks never tie ambiguously.
+    Q("win_pareto", Some(
+      "WITH u AS (SELECT user_id, " + sqlCentSum("value") + " AS cents " +
+        "FROM events GROUP BY user_id), " +
+        "r AS (SELECT user_id, cents, " +
+        "CAST(ROW_NUMBER() OVER (ORDER BY cents DESC, user_id) AS BIGINT) AS rnk, " +
+        "CAST(SUM(cents) OVER (ORDER BY cents DESC, user_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum, " +
+        "CAST(SUM(cents) OVER () AS BIGINT) AS tot FROM u) " +
+        "SELECT rnk, user_id, cents, cum AS cum_cents, " +
+        sqlS6("CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)") + " AS share6 " +
+        "FROM r WHERE rnk <= 20 ORDER BY rnk"),
+      (s, dd) => {
+        val u = T.events(s, dd).groupBy("user_id").agg(centSum(col("value")).as("cents"))
+        val ord = Window.orderBy(col("cents").desc, col("user_id"))
+        val cumW = ord.rowsBetween(Window.unboundedPreceding, 0)
+        u.withColumn("rnk", row_number().over(ord).cast("long"))
+          .withColumn("cum", sum(col("cents")).over(cumW))
+          .withColumn("tot", sum(col("cents")).over(
+            Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .where(col("rnk") <= 20)
+          .select(col("rnk"), col("user_id"), col("cents"), col("cum").as("cum_cents"),
+            s6(col("cum").cast("double") / col("tot").cast("double")).as("share6"))
+          .orderBy("rnk")
+      }),
+
+    // Longest strictly-increasing streak (round 9, third wave) — the
+    // run-length analytics shape (consecutive-growth streaks, monotone
+    // sensor runs) as a VALUE-conditioned island build: a new run starts
+    // wherever xₜ ≤ xₜ₋₁ (or at the series head), run ids are the
+    // running sum of those starts, run lengths collapse per (entity,
+    // run). Complements win_gaps_islands (whose islands are TIME-gap
+    // driven). All integer: cents comparisons, int64 run ids/lengths.
+    // One shuffle + entity sort shared by the lag and the running sum;
+    // the two aggregates stay on the same key. Partition = one entity's
+    // events, bounded at any corpus scale.
+    Q("win_streak", Some(
+      "WITH v AS (SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t, event_id, " +
+        sqlS2("value") + " AS x FROM events), " +
+        "f AS (SELECT user_id, t, event_id, x, " +
+        "CASE WHEN LAG(x) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL " +
+        "OR x <= LAG(x) OVER (PARTITION BY user_id ORDER BY t, event_id) " +
+        "THEN 1 ELSE 0 END AS brk FROM v), " +
+        "r AS (SELECT user_id, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id FROM f), " +
+        "l AS (SELECT user_id, run_id, CAST(COUNT(*) AS BIGINT) AS len " +
+        "FROM r GROUP BY user_id, run_id) " +
+        "SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_runs, CAST(SUM(len) AS BIGINT) AS n " +
+        "FROM l GROUP BY user_id ORDER BY user_id"),
+      (s, dd) => {
+        val ord = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+        val cum = ord.rowsBetween(Window.unboundedPreceding, 0)
+        val prev = lag(col("x"), 1).over(ord)
+        T.events(s, dd)
+          .select(col("user_id"), epochS(col("ts")).as("t"), col("event_id"),
+            s2(col("value")).as("x"))
+          .withColumn("brk",
+            when(prev.isNull || col("x") <= prev, 1L).otherwise(0L))
+          .withColumn("run_id", sum(col("brk")).over(cum))
+          .groupBy("user_id", "run_id")
+          .agg(count(lit(1)).as("len"))
+          .groupBy("user_id")
+          .agg(max(col("len")).as("max_streak"), count(lit(1)).as("n_runs"),
+            sum(col("len")).as("n"))
+          .orderBy("user_id")
       }))
 }

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Third-wave round-9 operators, each pinned against an independent Scala
+  * mirror on the sf0.001 corpus (the oracle gate grades the same keys
+  * against DuckDB at sf0.01; these mirrors assert the semantics with a
+  * third implementation so the two engine sides can't share a bug). */
+class Round9cOpsSpec extends SparkSpec {
+
+  private def s6(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+  private def s2(x: Double): Long = math.floor(x * 100 + 0.5).toLong
+
+  /** (user_id, event_id, epoch_us, epoch_s, value). */
+  private lazy val events: Seq[(Long, Long, Long, Long, Double)] =
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        unix_timestamp(col("ts")).as("t"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+
+  private lazy val eventTypes: Seq[(Long, String)] =
+    Tables.events(spark, sfDir).select(col("user_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+
+  test("agg_hhi: concentration matches the share-squared mirror") {
+    val got = SparkEntry.queries("agg_hhi")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val byBucket = eventTypes.groupBy(_._1 % 10)
+    assert(got.keySet == byBucket.keySet)
+    byBucket.foreach { case (b, rows) =>
+      val counts = rows.groupBy(_._2).view.mapValues(_.size.toLong).values.toSeq
+      val tot = counts.sum
+      val hhi = counts.map(n => n.toDouble / tot * (n.toDouble / tot)).sum
+      assert(got(b)._1 == counts.size.toLong && got(b)._2 == tot, s"bucket $b counts")
+      // the mirror sums shares (not the ss/tot² form) — agreement within
+      // one grid cell proves the algebraic identity held numerically
+      assert(math.abs(got(b)._3 - s6(hhi)) <= 1, s"bucket $b hhi")
+      assert(got(b)._3 >= s6(1.0 / counts.size) - 1 && got(b)._3 <= 1000000L,
+        s"bucket $b hhi out of [1/k, 1]")
+    }
+  }
+
+  test("agg_autocorr: r matches the Pearson mirror over lag pairs") {
+    val got = SparkEntry.queries("agg_autocorr")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    val byUser = events.groupBy(_._1)
+    assert(got.keySet == byUser.keySet)
+    byUser.foreach { case (u, rows) =>
+      val xs = rows.sortBy(e => (e._3, e._2)).map(e => s2(e._5))
+      val pairs = xs.zip(xs.drop(1))
+      val n = pairs.size.toLong
+      assert(got(u)._1 == n, s"user $u pair count")
+      if (n >= 2) {
+        val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+        val sxy = pairs.map(p => p._1 * p._2).sum
+        val sxx = pairs.map(p => p._1 * p._1).sum
+        val syy = pairs.map(p => p._2 * p._2).sum
+        val nD = n.toDouble
+        val denx = nD * sxx - sx.toDouble * sx.toDouble
+        val deny = nD * syy - sy.toDouble * sy.toDouble
+        if (denx > 0 && deny > 0) {
+          val r = (nD * sxy - sx.toDouble * sy.toDouble) /
+            (math.sqrt(denx) * math.sqrt(deny))
+          assert(got(u)._2.contains(s6(r)), s"user $u r")
+          assert(math.abs(r) <= 1.0 + 1e-12, s"user $u |r| > 1")
+        } else assert(got(u)._2.isEmpty, s"user $u degenerate margin")
+      }
+    }
+  }
+
+  test("win_cusum: extrema match the scaled prefix-deviation mirror") {
+    val got = SparkEntry.queries("win_cusum")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val byUser = events.groupBy(_._1)
+    assert(got.keySet == byUser.keySet)
+    byUser.foreach { case (u, rows) =>
+      val xs = rows.sortBy(e => (e._4, e._2)).map(e => s2(e._5))
+      val n = xs.size.toLong; val sv = xs.sum
+      val cusums = xs.scanLeft(0L)((acc, x) => acc + (n * x - sv)).drop(1)
+      val (mx, mn) = (cusums.max, cusums.min)
+      assert(got(u) == ((n, mx, mn, mx - mn)), s"user $u")
+      // the full-series CUSUM telescopes to n*S - n*S = 0: the last
+      // prefix must be exactly zero (a strong internal consistency pin)
+      assert(cusums.last == 0L, s"user $u telescoping")
+    }
+  }
+
+  test("win_pareto: cumulative shares match the sorted mirror") {
+    val got = SparkEntry.queries("win_pareto")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val totals = events.groupBy(_._1).view
+      .mapValues(_.map(e => s2(e._5)).sum).toSeq
+      .sortBy { case (u, c) => (-c, u) }
+    val tot = totals.map(_._2).sum
+    val expect = totals.zipWithIndex.take(20).map { case ((u, c), i) =>
+      val cum = totals.take(i + 1).map(_._2).sum
+      (i + 1L, u, c, cum, s6(cum.toDouble / tot.toDouble))
+    }
+    assert(got.toSeq == expect)
+    // shares must be nondecreasing and end below 1e6 unless everything
+    // fit in the top 20
+    assert(got.map(_._5).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+  }
+
+  test("win_streak: longest run matches the scan mirror") {
+    val got = SparkEntry.queries("win_streak")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val byUser = events.groupBy(_._1)
+    assert(got.keySet == byUser.keySet)
+    byUser.foreach { case (u, rows) =>
+      val xs = rows.sortBy(e => (e._4, e._2)).map(e => s2(e._5))
+      var best = 0L; var cur = 0L; var runs = 0L; var prev = Long.MinValue
+      var first = true
+      xs.foreach { x =>
+        if (first || x <= prev) { runs += 1; cur = 1 } else cur += 1
+        if (cur > best) best = cur
+        prev = x; first = false
+      }
+      assert(got(u) == ((best, runs, xs.size.toLong)), s"user $u")
+    }
+  }
+}
