@@ -79,6 +79,15 @@ object Graph {
     * the graded contract is only that both engines run the same K. */
   private val BfsRounds = 8
 
+  /** Peeling rounds and the core order k for graph_kcore — shared by the
+    * Spark loop and the generated oracle CTE chain (the CcRounds
+    * contract: both engines run the SAME fixed depth; the spec pins
+    * convergence on this corpus). Declared BEFORE `all`: object vals
+    * initialize in declaration order, and a forward reference from the
+    * `all` initializer would silently read 0. */
+  private val KcoreRounds = 8
+  private val KcoreK = 6
+
   val all: Seq[Q] = Seq(
 
     // Weighted PageRank over the nation-level trade graph: an edge
@@ -331,6 +340,123 @@ object Graph {
             s6(col("c").cast("double") /
               (col("da") + col("db") - col("c")).cast("double")).as("jac6"))
           .orderBy("a", "b")
+      }),
+
+    // Local clustering coefficient (round 9, third wave) — per node,
+    // how interconnected its neighborhood is: C(v) = 2·T(v)/(d(v)·(d(v)−1))
+    // (Watts & Strogatz 1998), the per-node refinement of
+    // graph_triangles' global count. T(v) comes from the wedge self-join
+    // (center key, one shuffle) probed against the canonical edge set;
+    // degrees join back broadcast, isolated/degree-1 nodes surface with
+    // NULL coefficient. Counts exact longs, ratio one shared IEEE divide
+    // on the s6 grid. At web scale the wedge join takes the same
+    // degree-ordered orientation as triangle counting; here it is
+    // bounded by the nation graph.
+    Q("graph_clustering_coeff", Some(
+      s"WITH $tradeEdgesSql, " +
+        "und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b " +
+        "FROM e WHERE src <> dst), " +
+        "nb AS (SELECT a AS v, b AS u FROM und UNION ALL SELECT b, a FROM und), " +
+        "deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS dg FROM nb GROUP BY v), " +
+        "tri AS (SELECT x.v, CAST(COUNT(*) AS BIGINT) AS t " +
+        "FROM nb x JOIN nb y ON x.v = y.v AND x.u < y.u " +
+        "JOIN und ed ON ed.a = x.u AND ed.b = y.u GROUP BY x.v) " +
+        "SELECT n.n_nationkey AS v, COALESCE(deg.dg, 0) AS degree, " +
+        "COALESCE(tri.t, 0) AS n_tri, " +
+        "CASE WHEN COALESCE(deg.dg, 0) < 2 THEN NULL ELSE " +
+        sqlS6("2.0 * CAST(COALESCE(tri.t, 0) AS DOUBLE) / " +
+          "(CAST(deg.dg AS DOUBLE) * (CAST(deg.dg AS DOUBLE) - 1.0))") +
+        " END AS coeff6 " +
+        "FROM nation n LEFT JOIN deg ON deg.v = n.n_nationkey " +
+        "LEFT JOIN tri ON tri.v = n.n_nationkey ORDER BY v"),
+      (s, d) => {
+        val und = tradeEdges(s, d).where(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nb = und.select(col("a").as("v"), col("b").as("u"))
+          .unionAll(und.select(col("b").as("v"), col("a").as("u")))
+        val deg = nb.groupBy("v").agg(count(lit(1)).as("dg"))
+        val tri = nb.select(col("v"), col("u").as("p"))
+          .join(nb.select(col("v"), col("u").as("q")), "v")
+          .where(col("p") < col("q"))
+          .join(und.select(col("a").as("p"), col("b").as("q")), Seq("p", "q"))
+          .groupBy("v").agg(count(lit(1)).as("t"))
+        val dgD = col("dg").cast("double")
+        T.nation(s, d).select(col("n_nationkey").as("v"))
+          .join(broadcast(deg), Seq("v"), "left")
+          .join(broadcast(tri), Seq("v"), "left")
+          .select(col("v"), coalesce(col("dg"), lit(0L)).as("degree"),
+            coalesce(col("t"), lit(0L)).as("n_tri"),
+            when(coalesce(col("dg"), lit(0L)) < 2, lit(null)).otherwise(
+              s6(lit(2.0) * coalesce(col("t"), lit(0L)).cast("double")
+                / (dgD * (dgD - lit(1.0))))).as("coeff6"))
+          .orderBy("v")
+      }),
+
+    // k-core decomposition (round 9, third wave) — the dense-subgraph
+    // extraction of community/spam analysis: iteratively peel nodes of
+    // degree < k until the k-core remains (Seidman 1983). The graded
+    // graph keeps only SIGNIFICANT trade ties (pair weight ≥ the mean
+    // pair weight — scale-invariant, so the same rule binds at every
+    // SF), giving real peeling cascades instead of a trivially dense
+    // clique. A FIXED round count (KcoreRounds, both engines) bounds
+    // the cascade depth the way CcRounds bounds label propagation;
+    // GraphSpec asserts the peel actually CONVERGED on this corpus (one
+    // more round removes nothing). Each round = one degree partial-agg
+    // + two semi joins against a node-sized survivor set (broadcast);
+    // localCheckpoint per round keeps the K-round plan linear. At web
+    // scale this is exactly the iterative-peeling MapReduce form; the
+    // O(1)-round alternative (bin-sort core numbers) needs
+    // sequential-priority state Spark can't shard.
+    Q("graph_kcore", Some {
+      // every stage MATERIALIZED (the graph_cc oracle convention): each
+      // k_i references k_{i-1} five times through nb/s, so the default
+      // inlined expansion would re-evaluate the base scan 5^R times
+      val sb = new StringBuilder(
+        s"WITH $tradeEdgesSql, " +
+          "und AS MATERIALIZED (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, " +
+          "CAST(SUM(w) AS BIGINT) AS w2 FROM e WHERE src <> dst GROUP BY a, b), " +
+          "tot AS MATERIALIZED (SELECT CAST(SUM(w2) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS ne FROM und), " +
+          "k0 AS MATERIALIZED (SELECT a, b FROM und, tot WHERE w2 * ne >= t)")
+      for (i <- 1 to KcoreRounds) {
+        sb.append(s", nb$i AS MATERIALIZED (SELECT a AS v FROM k${i - 1} UNION ALL SELECT b FROM k${i - 1})")
+        sb.append(s", d$i AS MATERIALIZED (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM nb$i GROUP BY v)")
+        sb.append(s", s$i AS MATERIALIZED (SELECT v FROM d$i WHERE deg >= $KcoreK)")
+        sb.append(s", k$i AS MATERIALIZED (SELECT a, b FROM k${i - 1} " +
+          s"JOIN s$i x ON x.v = a JOIN s$i y ON y.v = b)")
+      }
+      sb.append(s" SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM " +
+        s"(SELECT a AS v FROM k$KcoreRounds UNION ALL SELECT b FROM k$KcoreRounds) " +
+        "GROUP BY v ORDER BY v")
+      sb.toString
+    },
+      (s, d) => {
+        val und = tradeEdges(s, d).where(col("src") =!= col("dst"))
+          .groupBy(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .agg(sum(col("w")).as("w2"))
+        val tot = und.agg(sum(col("w2")).as("t"), count(lit(1)).as("ne"))
+        var edges = und.crossJoin(broadcast(tot))
+          .where(col("w2") * col("ne") >= col("t"))
+          .select("a", "b")
+          .localCheckpoint()
+        for (_ <- 1 to KcoreRounds) {
+          val survivors = edges.select(col("a").as("v"))
+            .unionAll(edges.select(col("b").as("v")))
+            .groupBy("v").agg(count(lit(1)).as("deg"))
+            .where(col("deg") >= KcoreK)
+            .select("v")
+          edges = edges
+            .join(broadcast(survivors.withColumnRenamed("v", "a")), "a")
+            .join(broadcast(survivors.withColumnRenamed("v", "b")), "b")
+            .select("a", "b")
+            .localCheckpoint()
+        }
+        edges.select(col("a").as("v")).unionAll(edges.select(col("b").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("deg"))
+          .orderBy("v")
       }),
   )
 

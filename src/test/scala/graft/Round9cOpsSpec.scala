@@ -122,4 +122,73 @@ class Round9cOpsSpec extends SparkSpec {
       assert(got(u) == ((best, runs, xs.size.toLong)), s"user $u")
     }
   }
+
+  /** Undirected nation trade graph (a < b canonical, per-pair weight),
+    * rebuilt independently from the collected base tables. */
+  private lazy val tradePairs: Map[(Long, Long), Long] = {
+    val custNation = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").cast("long"), col("c_nationkey").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val suppNation = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey").cast("long"), col("s_nationkey").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val orderCust = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").cast("long"), col("o_custkey").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").cast("long"), col("l_suppkey").cast("long")).collect()
+      .map(r => (custNation(orderCust(r.getLong(0))), suppNation(r.getLong(1))))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+  }
+
+  test("graph_clustering_coeff: matches the neighborhood-edge mirror") {
+    val got = SparkEntry.queries("graph_clustering_coeff")(spark, sfDir).collect()
+      .map(r => r.getAs[Number](0).longValue -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    val edges = tradePairs.keySet
+    val adj = edges.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    got.foreach { case (v, (deg, tri, coeff)) =>
+      val nbrs = adj.getOrElse(v, Set.empty)
+      assert(deg == nbrs.size.toLong, s"node $v degree")
+      val t = nbrs.toSeq.combinations(2).count { case Seq(p, q) =>
+        edges.contains((math.min(p, q), math.max(p, q)))
+      }.toLong
+      assert(tri == t, s"node $v triangles")
+      if (deg < 2) assert(coeff.isEmpty, s"node $v coeff should be NULL")
+      else {
+        assert(coeff.contains(s6(2.0 * t / (deg.toDouble * (deg.toDouble - 1.0)))),
+          s"node $v coeff")
+        assert(coeff.get >= 0L && coeff.get <= 1000000L, s"node $v coeff range")
+      }
+    }
+  }
+
+  test("graph_kcore: fixed-round peel equals the converged fixpoint") {
+    val got = SparkEntry.queries("graph_kcore")(spark, sfDir).collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+    // threshold: significant ties only (pair weight >= mean pair weight)
+    val tot = tradePairs.values.sum; val ne = tradePairs.size.toLong
+    // NB: not Map.collect returning pairs — that would rebuild a Map and
+    // collapse edges sharing a first endpoint
+    var edges: Set[(Long, Long)] = tradePairs.filter(p => p._2 * ne >= tot).keySet
+    // peel to the FIXPOINT (not a fixed round count): equality with the
+    // graded 8-round output proves the peel converged on this corpus
+    var changed = true
+    while (changed) {
+      val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val keep = deg.collect { case (v, dg) if dg >= 6 => v }.toSet
+      val next = edges.filter(e => keep(e._1) && keep(e._2))
+      changed = next != edges
+      edges = next
+    }
+    val coreDeg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == coreDeg)
+    // the defining k-core property: every member has degree >= k inside
+    assert(coreDeg.values.forall(_ >= 6L))
+  }
 }
