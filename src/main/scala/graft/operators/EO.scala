@@ -1380,5 +1380,155 @@ object EO {
             count(when(col("fv").isNull, 1)).as("n_missing"),
             sum(when(col("fv").isNotNull, s6(col("fv")))).as("sum_v6"))
           .orderBy("tile", "t")
+      }),
+
+    // Savitzky-Golay 5-point quadratic smoothing (round 9, third wave) —
+    // THE standard NDVI time-series filter (Chen et al. 2004, "A simple
+    // method for reconstructing a high-quality NDVI time-series data set
+    // based on the Savitzky-Golay filter"): per entity series, the
+    // least-squares-exact convolution (−3, 12, 17, 12, −3)/35. The tap
+    // weights keep the numerator an EXACT int64 over cents (four
+    // lag/lead copies from ONE entity-partitioned window pass), and the
+    // /35 is one shared IEEE divide floored back to the grid — no trig,
+    // no accumulation order anywhere. Interior points only (all five
+    // taps present), as the published filter defines them. One shuffle +
+    // one in-partition sort at any scale.
+    Q("eo_sg_smooth", Some(
+      "WITH v AS (SELECT user_id, event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t, " +
+        sqlS2("value") + " AS x FROM events), " +
+        "w AS (SELECT user_id, event_id, x, " +
+        "LAG(x, 2) OVER win AS l2, LAG(x, 1) OVER win AS l1, " +
+        "LEAD(x, 1) OVER win AS d1, LEAD(x, 2) OVER win AS d2 " +
+        "FROM v WINDOW win AS (PARTITION BY user_id ORDER BY t, event_id)) " +
+        "SELECT event_id, user_id, x, " +
+        "CAST(FLOOR(CAST(-3 * l2 + 12 * l1 + 17 * x + 12 * d1 - 3 * d2 AS DOUBLE) / 35.0 + 0.5) AS BIGINT) AS sg " +
+        "FROM w WHERE l2 IS NOT NULL AND d2 IS NOT NULL ORDER BY event_id"),
+      (s, d) => {
+        val win = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+        T.events(s, d)
+          .select(col("user_id"), col("event_id"), epochS(col("ts")).as("t"),
+            s2(col("value")).as("x"))
+          .withColumn("l2", lag(col("x"), 2).over(win))
+          .withColumn("l1", lag(col("x"), 1).over(win))
+          .withColumn("d1", lead(col("x"), 1).over(win))
+          .withColumn("d2", lead(col("x"), 2).over(win))
+          .where(col("l2").isNotNull && col("d2").isNotNull)
+          .select(col("event_id"), col("user_id"), col("x"),
+            floor((lit(-3) * col("l2") + lit(12) * col("l1") + lit(17) * col("x") +
+              lit(12) * col("d1") - lit(3) * col("d2")).cast("double") / lit(35.0)
+              + lit(0.5)).cast("long").as("sg"))
+          .orderBy("event_id")
+      }),
+
+    // Terrain Ruggedness Index (round 9, third wave) — the
+    // neighborhood-heterogeneity terrain product beside slope/aspect
+    // (Riley et al. 1999), as the native TileFocalTri3x3 stencil:
+    // per interior pixel, Σ|neighbor − center| over the 8-neighborhood
+    // (abs-sum form — exact in float32 on these small-integer pixels,
+    // where the published square-root form would leave the integer
+    // grid). Map-only per tile like every in-tile stencil; compose
+    // eo_tile_focal_halo's halo exchange when seams matter. The oracle
+    // spells the 8-neighbor abs-diff sum as the bounded relational
+    // self-join, pinning every interior pixel via the position-weighted
+    // checksum.
+    Q("eo_tile_tri", Some(
+      "WITH px AS (SELECT (event_id // 4) // 256 AS tile, " +
+        "((event_id // 4) % 256) // 16 AS py, ((event_id // 4) % 256) % 16 AS px, " +
+        "event_id % 4 AS t, CAST(user_id AS BIGINT) AS v FROM events), " +
+        "full_t AS (SELECT tile FROM px WHERE t = 0 GROUP BY tile HAVING COUNT(*) = 256), " +
+        "p0 AS (SELECT tile, py, px, v FROM px JOIN full_t USING (tile) WHERE t = 0), " +
+        "fs AS (SELECT o.tile, (o.py - 1) * 14 + (o.px - 1) AS opos, " +
+        "CAST(SUM(ABS(nb.v - o.v)) AS BIGINT) AS tri " +
+        "FROM p0 o JOIN p0 nb ON nb.tile = o.tile " +
+        "AND nb.py BETWEEN o.py - 1 AND o.py + 1 AND nb.px BETWEEN o.px - 1 AND o.px + 1 " +
+        "WHERE o.py BETWEEN 1 AND 14 AND o.px BETWEEN 1 AND 14 " +
+        "GROUP BY o.tile, opos) " +
+        "SELECT tile, CAST(COUNT(*) AS BIGINT) AS n_out, " +
+        "CAST(SUM(tri) AS BIGINT) AS sum_tri, " +
+        "CAST(SUM(tri * (opos + 1)) AS BIGINT) AS checksum " +
+        "FROM fs GROUP BY tile ORDER BY tile"),
+      (s, d) => {
+        val grid = eventTiles(s, d, Seq("v" -> col("user_id")))
+          .where(size(col("data")) === 256 && col("time") === 0)
+        val t = graft.raster.RasterGrid.focalTri3x3(grid, h = 16, w = 16)
+        t.select(col("tile_y").cast("long").as("tile"),
+            posexplode(col("data")).as(Seq("opos", "v")))
+          .withColumn("tri", col("v").cast("long"))
+          .groupBy("tile")
+          .agg(
+            count(lit(1)).as("n_out"),
+            sum(col("tri")).as("sum_tri"),
+            sum(col("tri") * (col("opos") + 1)).as("checksum"))
+          .orderBy("tile")
+      }),
+
+    // Raster clump / sieve labeling (round 9, third wave) — GDAL's
+    // sieve/clump and ODC's raster polygonization both start from
+    // CONNECTED-COMPONENT LABELS of a mask under 4-adjacency. Pixels of
+    // the t=0 detection mask (user_id parity, the eo_tile_morph mask)
+    // become nodes keyed by GLOBAL pixel id (tile·256 + pos), in-tile
+    // right/down neighbor pairs become edges (4-adjacency; ids already
+    // canonically ordered), and the SAME star-contraction + size-gated
+    // union-find machinery that labels duplicate clusters
+    // (Llm.componentLabels) labels the clumps — min pixel id per clump,
+    // deterministic. Edges never cross tiles, so at archive scale the
+    // contraction is embarrassingly tile-local (a per-tile labeler in a
+    // mapPartitions would also work; the shared machinery is preferred
+    // over a second implementation). Oracle: the recursive-CTE closure
+    // over the same adjacency.
+    Q("eo_tile_clump", Some(
+      "WITH RECURSIVE px AS (SELECT (event_id // 4) // 256 AS tile, " +
+        "((event_id // 4) % 256) // 16 AS py, ((event_id // 4) % 256) % 16 AS px, " +
+        "(event_id // 4) AS pid, event_id % 4 AS t, user_id % 2 AS m FROM events), " +
+        "full_t AS (SELECT tile FROM px WHERE t = 0 GROUP BY tile HAVING COUNT(*) = 256), " +
+        "p0 AS (SELECT p.tile, py, px, pid FROM px p JOIN full_t USING (tile) " +
+        "WHERE t = 0 AND m = 1), " +
+        "ed AS (SELECT a.pid AS d1, b.pid AS d2 FROM p0 a JOIN p0 b ON a.tile = b.tile " +
+        "AND ((b.py = a.py AND b.px = a.px + 1) OR (b.py = a.py + 1 AND b.px = a.px))), " +
+        "edges AS (SELECT d1, d2 FROM ed UNION ALL SELECT d2, d1 FROM ed), " +
+        "reach AS (SELECT pid AS a, pid AS b FROM p0 " +
+        "UNION SELECT r.a, e.d2 FROM reach r JOIN edges e ON r.b = e.d1), " +
+        "cl AS (SELECT a AS pid, MIN(b) AS clump FROM reach GROUP BY a) " +
+        "SELECT p0.tile, cl.clump, CAST(COUNT(*) AS BIGINT) AS n_px, " +
+        "CAST(SUM(p0.pid + 1) AS BIGINT) AS cksum " +
+        "FROM cl JOIN p0 ON p0.pid = cl.pid " +
+        "GROUP BY p0.tile, cl.clump ORDER BY p0.tile, cl.clump"),
+      (s, d) => {
+        val px = T.events(s, d).select(
+          expr("(event_id div 4) div 256").as("tile"),
+          expr("((event_id div 4) % 256) div 16").as("py"),
+          expr("((event_id div 4) % 256) % 16").as("px"),
+          expr("event_id div 4").as("pid"),
+          (col("event_id") % 4).as("t"), (col("user_id") % 2).as("m"))
+        val fullT = px.where(col("t") === 0).groupBy("tile")
+          .agg(count(lit(1)).as("c")).where(col("c") === 256).select("tile")
+        val p0 = px.where(col("t") === 0 && col("m") === 1)
+          .join(broadcast(fullT), "tile")
+          .select("tile", "py", "px", "pid")
+        clumpRollup(p0)
       }))
+
+  /** 4-adjacency connected-component rollup over set mask pixels
+    * (tile, py, px, pid — pid globally unique, raster-ordered within a
+    * tile): per (tile, clump) size + id checksum, clump = min pid in the
+    * component. Shared by eo_tile_clump and its generative spec. */
+  private[graft] def clumpRollup(pixels: DataFrame): DataFrame = {
+    val p0 = pixels
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = p0.select(col("tile"), col("py"), col("px"), col("pid").as("d1"))
+    val b = p0.select(col("tile").as("tb"), col("py").as("qy"),
+      col("px").as("qx"), col("pid").as("d2"))
+    // right + down in-tile neighbors; pid order follows raster order
+    val pairs = a.join(b, col("tb") === col("tile") &&
+        ((col("qy") === col("py") && col("qx") === col("px") + 1) ||
+          (col("qy") === col("py") + 1 && col("qx") === col("px"))))
+      .select("d1", "d2")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labels = graft.operators.Llm.componentLabels(
+      p0.select(col("pid").as("doc_id")), pairs)
+    labels.join(p0, col("doc_id") === col("pid"))
+      .groupBy(col("tile"), col("cluster").as("clump"))
+      .agg(count(lit(1)).as("n_px"), sum(col("pid") + 1).as("cksum"))
+      .orderBy("tile", "clump")
+  }
 }

@@ -281,6 +281,19 @@ object RasterGrid {
       TileExprs.focal3(col("data"), h, w).as("data"))
   }
 
+  /** Terrain Ruggedness Index over each tile's interior: per pixel, the
+    * 8-neighbor Σ|nb − c| (Riley et al. 1999, abs-sum form — exact in
+    * float32 on small-integer pixels where the published RMS form would
+    * leave the integer grid). Same (h−2)×(w−2) interior/halo contract
+    * and native-stencil execution as [[focalSum3x3]]. */
+  def focalTri3x3(df: DataFrame, h: Int, w: Int): DataFrame = {
+    require(h >= 3 && w >= 3, "TRI window needs a 3x3 interior")
+    TileExprs.register(df.sparkSession)
+    df.select(col("product"), col("band"), col("time"),
+      col("tile_y"), col("tile_x"),
+      TileExprs.tri3(col("data"), h, w).as("data"))
+  }
+
   /** Horn (1981) 3×3 terrain gradient over each tile's interior — the
     * slope/aspect/hillshade building block (gdaldem / richdem [PK]).
     * Returns the raw INTEGER-WEIGHTED component sums `gx`

@@ -237,6 +237,23 @@ class RasterSpec extends SparkSpec {
     }
   }
 
+  test("focal 3x3 TRI matches brute force on the tile interior") {
+    val g = grid("b1")((x, y, t) => (x * 5 + 11 * y + 2 * t).toFloat)
+    val tri = RasterGrid.focalTri3x3(g, H, W)
+    assert(tri.count() == 2 * 2 * 3)
+    val row = tri.where(col("tile_x") === 1 && col("tile_y") === 1 &&
+      col("time") === 2).head()
+    val data = row.getAs[scala.collection.Seq[Float]]("data")
+    assert(data.length == (H - 2) * (W - 2))
+    def v(x: Int, y: Int) = ((W + x) * 5 + 11 * (H + y) + 4).toFloat
+    for (oy <- 0 until H - 2; ox <- 0 until W - 2) {
+      val c = v(ox + 1, oy + 1)
+      val want = (for (dy <- -1 to 1; dx <- -1 to 1 if dy != 0 || dx != 0)
+        yield math.abs(v(ox + 1 + dx, oy + 1 + dy) - c)).sum
+      assert(data(oy * (W - 2) + ox) == want, s"TRI mismatch at ($ox,$oy)")
+    }
+  }
+
   test("focal 3x3 Horn gradient matches brute force on the tile interior") {
     val g = grid("b1")((x, y, t) => (x * x + 3 * y + t).toFloat)
     val grad = RasterGrid.focalGradient3x3(g, H, W)

@@ -191,4 +191,60 @@ class Round9cOpsSpec extends SparkSpec {
     // the defining k-core property: every member has degree >= k inside
     assert(coreDeg.values.forall(_ >= 6L))
   }
+
+  test("eo_sg_smooth: taps match the sliding-convolution mirror") {
+    val got = SparkEntry.queries("eo_sg_smooth")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expect = events.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val srt = rows.sortBy(e => (e._4, e._2))
+      val xs = srt.map(e => s2(e._5))
+      srt.indices.drop(2).dropRight(2).map { i =>
+        val num = -3 * xs(i - 2) + 12 * xs(i - 1) + 17 * xs(i) +
+          12 * xs(i + 1) - 3 * xs(i + 2)
+        (srt(i)._2, u, xs(i), math.floor(num.toDouble / 35.0 + 0.5).toLong)
+      }
+    }.sortBy(_._1)
+    assert(got.toSeq == expect)
+    // a constant window must reproduce itself ((-3+12+17+12-3)/35 = 1):
+    // spot-check the filter's DC gain on a synthetic run
+    val const = Seq.fill(5)(700L)
+    val dc = -3 * const(0) + 12 * const(1) + 17 * const(2) + 12 * const(3) - 3 * const(4)
+    assert(math.floor(dc.toDouble / 35.0 + 0.5).toLong == 700L)
+  }
+
+  test("eo_tile_clump: labels equal a local flood fill on generated masks") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val h = 8; val w = 8; val tiles = 3
+      val px = for {
+        tile <- 0 until tiles; py <- 0 until h; pxx <- 0 until w
+        if rnd.nextInt(100) < 45 + 10 * trial
+      } yield (tile.toLong, py, pxx, (tile * h * w + py * w + pxx).toLong)
+      val df = px.toDF("tile", "py", "px", "pid")
+      val got = operators.EO.clumpRollup(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+      // mirror: BFS flood fill per tile under 4-adjacency
+      val set = px.map(p => (p._1, p._2, p._3)).toSet
+      val seen = scala.collection.mutable.Set.empty[(Long, Int, Int)]
+      val mirror = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+      px.foreach { case (t, py0, px0, _) =>
+        if (!seen((t, py0, px0))) {
+          val comp = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
+          val queue = scala.collection.mutable.Queue((py0, px0))
+          seen += ((t, py0, px0))
+          while (queue.nonEmpty) {
+            val (y, x) = queue.dequeue(); comp += ((y, x))
+            for ((ny, nx) <- Seq((y - 1, x), (y + 1, x), (y, x - 1), (y, x + 1)))
+              if (set((t, ny, nx)) && !seen((t, ny, nx))) {
+                seen += ((t, ny, nx)); queue.enqueue((ny, nx))
+              }
+          }
+          val pids = comp.map { case (y, x) => t * h * w + y * w + x }
+          mirror((t, pids.min)) = (pids.size.toLong, pids.map(_ + 1).sum)
+        }
+      }
+      assert(got == mirror.toMap, s"trial $trial")
+    }
+  }
 }
