@@ -1048,5 +1048,112 @@ object LlmExtras {
           .agg(count(lit(1)).as("n_fp"),
             min(col("sel")).as("min_fp"), sum(col("sel")).as("sum_fp"))
           .orderBy("doc_id")
-      }))
+      }),
+
+    // Asymmetric token-set containment (round 9, third wave) — Broder's
+    // OTHER resemblance measure: C(A→B) = |A∩B| / |A| (Broder 1997 calls
+    // it containment), the doc-inside-doc detector Jaccard misses when
+    // sizes differ wildly (a quote-with-commentary page has tiny Jaccard
+    // against its source but containment ≈ 1). Same machinery as
+    // llm_ngram_jaccard: packed sorted dictionary-id arrays, per-lang
+    // block join, native two-pointer intersect — plus the
+    // containment-specific length filter (|B| ≥ 0.8·|A| or C can't
+    // reach 0.8) and the INTEGER threshold 5·i ≥ 4·n1 (no double
+    // compare anywhere). Directed pairs d1≠d2. Budget-guarded like the
+    // other exact-pair anchors; the bucketed path at corpus scale is
+    // the same minhash banding (containment has its own unbiased
+    // banded estimator over bottom-k sketches).
+    Q("llm_containment", Some(
+      "WITH toks AS (SELECT DISTINCT doc_id, tok FROM (" +
+        "SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)), " +
+        "dict AS (SELECT tok, CAST(DENSE_RANK() OVER (ORDER BY tok) - 1 AS INT) AS tid " +
+        "FROM (SELECT DISTINCT tok FROM toks)), " +
+        "masks AS (SELECT doc_id, tid // 63 AS w, SUM(CAST(1 AS BIGINT) << (tid % 63)) AS m " +
+        "FROM toks JOIN dict USING (tok) GROUP BY doc_id, w), " +
+        "sizes AS (SELECT doc_id, CAST(SUM(BIT_COUNT(m)) AS BIGINT) AS n FROM masks GROUP BY doc_id), " +
+        "langd AS (SELECT doc_id, lang FROM documents), " +
+        "inter AS (SELECT x.doc_id AS d1, y.doc_id AS d2, CAST(SUM(BIT_COUNT(x.m & y.m)) AS BIGINT) AS i " +
+        "FROM masks x JOIN masks y ON y.w = x.w AND x.doc_id <> y.doc_id " +
+        "JOIN langd la ON la.doc_id = x.doc_id JOIN langd lb ON lb.doc_id = y.doc_id AND lb.lang = la.lang " +
+        "GROUP BY d1, d2), " +
+        "f AS (SELECT d1, d2, i, s1.n AS n1 FROM inter JOIN sizes s1 ON d1 = s1.doc_id " +
+        "WHERE 5 * i >= 4 * s1.n), " +
+        "g AS (SELECT d1, CAST(COUNT(*) AS BIGINT) AS n_sup, MAX(i) AS mi, MAX(n1) AS n1 " +
+        "FROM f GROUP BY d1) " +
+        "SELECT g.d1, g.n_sup, g.n1, " +
+        sqlS6("CAST(g.mi AS DOUBLE) / CAST(g.n1 AS DOUBLE)") + " AS best_cont6, " +
+        "MIN(CASE WHEN f.i = g.mi THEN f.d2 END) AS best_d2 " +
+        "FROM g JOIN f ON f.d1 = g.d1 " +
+        "GROUP BY g.d1, g.n_sup, g.n1, g.mi ORDER BY g.d1"),
+      (s, d) => {
+        graft.functions.VectorExprs.register(s)
+        import graft.functions.VectorExprs.icount
+        val toks = T.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val dict = TextOps.denseIds(toks.select("tok").distinct(), "tid")
+        val langd = T.documents(s, d).select(col("doc_id"), col("lang"))
+        val docsT = toks.join(broadcast(dict), "tok")
+          .groupBy("doc_id")
+          .agg(array_sort(collect_list(col("tid"))).as("ids"))
+          .join(langd, "doc_id")
+          .withColumn("n", size(col("ids")).cast("long"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        TextOps.guardPairBudget(docsT, Seq("lang"), "llm_containment",
+          "use llm_minhash banded candidates (bottom-k sketches estimate " +
+            "containment) at corpus scale")
+        // size-gated build-side broadcast, the llm_ngram_jaccard contract
+        val sizes = docsT.agg(count(lit(1)).as("c"),
+          coalesce(sum(col("n")), lit(0L)).as("ids")).head()
+        val estBytes = sizes.getLong(0) * 64L + sizes.getLong(1) * 8L
+        val build = docsT.select(
+          col("doc_id").as("d2"), col("lang"), col("ids").as("ib"))
+        docsT.select(col("doc_id").as("d1"), col("lang"),
+            col("ids").as("ia"), col("n").as("n1"))
+          .join(if (estBytes <= (8L << 20)) broadcast(build) else build, Seq("lang"))
+          // C(d1->d2) >= 0.8 needs |d2| >= 0.8*|d1|: prune before the
+          // intersect (5*n2 >= 4*n1, integer form)
+          .where(col("d1") =!= col("d2") &&
+            lit(5) * size(col("ib")).cast("long") >= lit(4) * col("n1"))
+          .withColumn("i", icount(col("ia"), col("ib")).cast("long"))
+          .where(lit(5) * col("i") >= lit(4) * col("n1"))
+          // per-doc subsumption summary, NOT the raw pair stream: the
+          // output stays doc-count-sized at any duplication density
+          // (this corpus: ~38k qualifying pairs at sf0.01 would grow
+          // ~quadratically; the summary is what a dedup funnel consumes)
+          .withColumn("mi", max(col("i")).over(Window.partitionBy("d1")))
+          .groupBy("d1")
+          .agg(count(lit(1)).as("n_sup"), max(col("mi")).as("mi"),
+            max(col("n1")).as("n1"),
+            min(when(col("i") === col("mi"), col("d2"))).as("best_d2"))
+          .select(col("d1"), col("n_sup"), col("n1"),
+            s6(col("mi").cast("double") / col("n1").cast("double")).as("best_cont6"),
+            col("best_d2"))
+          .orderBy("d1")
+      }),
+
+    // Quality-weighted deterministic sampling (round 9, third wave) —
+    // the importance-sampling step of corpus mixing (upsample long/high-
+    // quality documents, downsample boilerplate) with the SAME
+    // reproducibility contract as llm_sample_stratified: acceptance is a
+    // pure function of the doc id (portable md5-derived hash vs a
+    // per-doc acceptance threshold), so reruns, retries and both engines
+    // select the identical set — no RNG, no shuffle, map-only and
+    // scan-pushed. Acceptance rate = min(n_chars/4, 1000) permille:
+    // length as the quality proxy this corpus affords (llm_quality's
+    // composite score would slot in unchanged).
+    Q("llm_sample_weighted", Some(
+      "WITH p AS (SELECT doc_id, lang, n_chars, " +
+        "LEAST(CAST(n_chars // 4 AS BIGINT), 1000) AS permille FROM documents) " +
+        "SELECT doc_id, lang, permille FROM p " +
+        "WHERE " + sqlHash32("CAST(doc_id AS VARCHAR) || ':w'") + " % 1000 < permille " +
+        "ORDER BY doc_id"),
+      (s, d) =>
+        T.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            least(expr("n_chars div 4"), lit(1000L)).as("permille"))
+          .where(Det.hash32(concat(col("doc_id").cast("string"), lit(":w")))
+            % 1000 < col("permille"))
+          .orderBy("doc_id")))
 }

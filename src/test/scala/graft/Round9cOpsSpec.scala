@@ -247,4 +247,60 @@ class Round9cOpsSpec extends SparkSpec {
       assert(got == mirror.toMap, s"trial $trial")
     }
   }
+
+  private lazy val docs: Seq[(Long, String, String, Long)] =
+    Tables.documents(spark, sfDir).select("doc_id", "text", "lang", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+
+  test("llm_containment: subsumption summary matches the token-set mirror") {
+    val got = SparkEntry.queries("llm_containment")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val tokSets = docs.map(d => d._1 -> d._2.split(" ").toSet).toMap
+    val byLang = docs.groupBy(_._3)
+    val expect = scala.collection.mutable.Map.empty[Long, (Long, Long, Long, Long)]
+    byLang.values.foreach { group =>
+      group.foreach { case (d1, _, _, _) =>
+        val a = tokSets(d1); val n1 = a.size.toLong
+        val sups = group.collect {
+          case (d2, _, _, _) if d2 != d1 &&
+            5L * a.count(tokSets(d2)) >= 4L * n1 =>
+            (d2, a.count(tokSets(d2)).toLong)
+        }
+        if (sups.nonEmpty) {
+          val mi = sups.map(_._2).max
+          val bestD2 = sups.filter(_._2 == mi).map(_._1).min
+          expect(d1) = (sups.size.toLong, n1, s6(mi.toDouble / n1.toDouble), bestD2)
+        }
+      }
+    }
+    assert(got == expect.toMap)
+    // containment is reflexive-free and bounded: best_cont6 in (0, 1e6]
+    assert(got.values.forall(v => v._3 > 0 && v._3 <= 1000000L))
+  }
+
+  /** Portable 32-bit hash mirror of Det.hash32: little-endian uint32 of
+    * the first four md5 digest bytes. */
+  private def hash32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    ((d(3) & 0xffL) << 24) | ((d(2) & 0xffL) << 16) |
+      ((d(1) & 0xffL) << 8) | (d(0) & 0xffL)
+  }
+
+  test("llm_sample_weighted: acceptance is the deterministic hash gate") {
+    val got = SparkEntry.queries("llm_sample_weighted")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expect = docs.collect {
+      case (id, _, lang, nChars)
+        if hash32(s"$id:w") % 1000 < math.min(nChars / 4, 1000L) =>
+        (id, lang, math.min(nChars / 4, 1000L))
+    }.sortBy(_._1)
+    assert(got.toSeq == expect)
+    // re-running the query returns the identical set (reproducibility
+    // is the operator's contract)
+    val again = SparkEntry.queries("llm_sample_weighted")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(again.toSeq == expect)
+  }
 }
