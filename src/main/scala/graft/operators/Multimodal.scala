@@ -396,5 +396,54 @@ object Multimodal {
           .select(col("d1"), col("d2"), ham.as("hamming"))
           .distinct()
           .orderBy("d1", "d2")
+      }),
+
+    // Voice-activity-style segmentation over "audio" payloads (round 9,
+    // third wave) — the energy-threshold VAD every speech pipeline runs
+    // before transcription: frame the waveform, score per-frame energy,
+    // threshold, merge consecutive active frames into segments. The
+    // energy stub is the non-space byte count of each 64-byte frame
+    // (the same swap point as fakeDecode: a real frontend computes RMS
+    // over PCM samples in the codec batch; the FRAMING, thresholding
+    // and island-merge plumbing graded here is what survives the swap).
+    // Active = energy ≥ 80% of the frame (10·e ≥ 512, integer). The
+    // merge is the gaps-islands run build (k − ROW_NUMBER), per-doc
+    // partitions — one shuffle on doc_id, segments collapse in the same
+    // partitioning. Everything downstream of the frame explode is
+    // linear in frames.
+    Q("mm_energy_segments", Some(
+      "WITH p AS (SELECT doc_id, text, CAST(LENGTH(text) AS INTEGER) AS n FROM documents " +
+        "WHERE doc_id % 3 = 2 AND LENGTH(text) // 64 > 0), " +
+        "f AS (SELECT doc_id, text, UNNEST(RANGE(0, n // 64)) AS k FROM p), " +
+        "e AS (SELECT doc_id, CAST(k AS BIGINT) AS k, " +
+        "CAST(LENGTH(REPLACE(SUBSTRING(text, CAST(k * 64 AS INTEGER) + 1, 64), ' ', '')) AS BIGINT) AS energy " +
+        "FROM f), " +
+        "a AS (SELECT doc_id, k, energy FROM e WHERE 10 * energy >= 512), " +
+        "r AS (SELECT doc_id, k, energy, " +
+        "k - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY k) AS run FROM a) " +
+        "SELECT doc_id, CAST(MIN(k) AS BIGINT) AS seg_start, CAST(MAX(k) AS BIGINT) AS seg_end, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_frames, CAST(SUM(energy) AS BIGINT) AS sum_energy " +
+        "FROM r GROUP BY doc_id, run ORDER BY doc_id, seg_start"),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val p = T.documents(s, d)
+          .where(col("doc_id") % 3 === 2 && expr("length(text) div 64") > 0)
+          .select(col("doc_id"), col("text"),
+            expr("length(text) div 64").cast("int").as("nf"))
+        val e = p
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(0), col("nf") - 1)).as("k"))
+          .select(col("doc_id"), col("k").cast("long").as("k"),
+            length(regexp_replace(
+              expr("substring(text, cast(k * 64 as int) + 1, 64)"), " ", ""))
+              .cast("long").as("energy"))
+        val r = e.where(lit(10) * col("energy") >= 512)
+          .withColumn("run", col("k") -
+            row_number().over(Window.partitionBy("doc_id").orderBy("k")))
+        r.groupBy("doc_id", "run")
+          .agg(min(col("k")).as("seg_start"), max(col("k")).as("seg_end"),
+            count(lit(1)).as("n_frames"), sum(col("energy")).as("sum_energy"))
+          .select("doc_id", "seg_start", "seg_end", "n_frames", "sum_energy")
+          .orderBy("doc_id", "seg_start")
       }))
 }

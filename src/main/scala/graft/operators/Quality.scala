@@ -145,6 +145,47 @@ object Quality {
           .select(col("l_returnflag"), s2(col("q1")).as("q1_cc"),
             s2(col("q3")).as("q3_cc"), col("n_rows"), col("n_out"))
           .orderBy("l_returnflag")
+      }),
+
+    // Partition-volume anomaly monitor (round 9, third wave) — the
+    // freshness/volume check every ingestion DQ suite runs per arriving
+    // partition: daily row volume against its own trailing-week
+    // baseline, flagging silent drops (>50% below) and floods (>2x
+    // above). Entirely integer: epoch-day buckets, exact counts, and
+    // the thresholds cross-multiplied (14·n < s7, 7·n > 2·s7) so no
+    // ratio ever materializes. The ordered window runs over PER-DAY
+    // aggregate rows — calendar-bounded, thousands of rows at any
+    // corpus scale — after the one data-sized shuffle (the daily
+    // partial agg). Days without a full 7-day history flag NULL, both
+    // engines by the same frame-count test.
+    Q("dq_volume_anomaly", Some(
+      "WITH g AS (SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users " +
+        "FROM events GROUP BY day), " +
+        "w AS (SELECT day, n, n_users, " +
+        "CAST(SUM(n) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS s7, " +
+        "CAST(COUNT(*) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS d7 " +
+        "FROM g) " +
+        "SELECT day, n, n_users, " +
+        "CASE WHEN d7 = 7 THEN s7 END AS s7, " +
+        "CASE WHEN d7 < 7 THEN NULL WHEN 14 * n < s7 THEN 'LOW' " +
+        "WHEN 7 * n > 2 * s7 THEN 'HIGH' ELSE 'OK' END AS flag " +
+        "FROM w ORDER BY day"),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val g = T.events(s, d)
+          .groupBy(expr("unix_timestamp(ts) div 86400").as("day"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        val trail = Window.orderBy("day").rowsBetween(-7, -1)
+        g.withColumn("s7r", sum(col("n")).over(trail))
+          .withColumn("d7", count(lit(1)).over(trail))
+          .select(col("day"), col("n"), col("n_users"),
+            when(col("d7") === 7, col("s7r")).as("s7"),
+            when(col("d7") < 7, lit(null))
+              .when(lit(14) * col("n") < col("s7r"), "LOW")
+              .when(lit(7) * col("n") > lit(2) * col("s7r"), "HIGH")
+              .otherwise("OK").as("flag"))
+          .orderBy("day")
       }))
 
   /** Oracle twin of dq_profile — one SELECT per column UNION ALL'd, each

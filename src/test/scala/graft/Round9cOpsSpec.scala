@@ -303,4 +303,55 @@ class Round9cOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(again.toSeq == expect)
   }
+
+  test("dq_volume_anomaly: flags match the trailing-week mirror") {
+    val got = SparkEntry.queries("dq_volume_anomaly")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getString(4))))
+    val daily = events.groupBy(e => e._4 / 86400).toSeq.sortBy(_._1)
+      .map { case (day, rows) => (day, rows.size.toLong, rows.map(_._1).distinct.size.toLong) }
+    val expect = daily.zipWithIndex.map { case ((day, n, nu), i) =>
+      val trail = daily.slice(math.max(0, i - 7), i)
+      if (trail.size < 7) (day, n, nu, None, None)
+      else {
+        val s7 = trail.map(_._2).sum
+        val flag = if (14 * n < s7) "LOW" else if (7 * n > 2 * s7) "HIGH" else "OK"
+        (day, n, nu, Some(s7), Some(flag))
+      }
+    }
+    assert(got.toSeq == expect)
+    // volumes must reconcile: flagged-day counts sum to the corpus size
+    assert(daily.map(_._2).sum == events.size.toLong)
+  }
+
+  test("mm_energy_segments: islands match the frame-scan mirror") {
+    val got = SparkEntry.queries("mm_energy_segments")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val expect = docs.filter(d => d._1 % 3 == 2 && d._2.length / 64 > 0)
+      .sortBy(_._1).flatMap { case (id, text, _, _) =>
+        val energies = (0 until text.length / 64).map { k =>
+          text.substring(k * 64, k * 64 + 64).count(_ != ' ').toLong
+        }
+        val active = energies.zipWithIndex.filter { case (e, _) => 10 * e >= 512 }
+        // group consecutive frame indices into runs
+        val segs = scala.collection.mutable.ListBuffer.empty[List[(Long, Int)]]
+        active.foreach { case (e, k) =>
+          if (segs.nonEmpty && segs.last.last._2 == k - 1)
+            segs(segs.length - 1) = segs.last :+ ((e, k))
+          else segs += List((e, k))
+        }
+        segs.map(seg => (id, seg.head._2.toLong, seg.last._2.toLong,
+          seg.size.toLong, seg.map(_._1).sum))
+      }
+    assert(got.toSeq == expect)
+    // segments never overlap and stay within the frame range
+    got.groupBy(_._1).foreach { case (_, segs) =>
+      val s = segs.sortBy(_._2)
+      s.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 < b._2)
+        case _ =>
+      }
+    }
+  }
 }
