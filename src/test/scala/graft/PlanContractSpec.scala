@@ -274,6 +274,39 @@ class PlanContractSpec extends SparkSpec {
       s"interpolate should plan exactly one collapsed Window node:\n$itp")
   }
 
+  test("round-9c keys keep their promised shapes") {
+    // weighted sampling: map-only and scan-pushed — the acceptance gate
+    // must reach the scan as a pushed/partial filter, never a shuffle
+    val sw = planOf("llm_sample_weighted")
+    assert(!sw.contains("Exchange hashpartitioning"),
+      s"hash-gated sampling must not shuffle:\n$sw")
+    // TRI stencil: map-only per tile below its aggregate — exactly the
+    // exchanges of the grouped tile build + final agg, no join anywhere
+    val tri = planOf("eo_tile_tri")
+    assert(!tri.contains("Join"), s"in-tile stencil must not join:\n$tri")
+    assert(tri.contains("graft_tile_tri3"), s"native TRI kernel not planned:\n$tri")
+    // CUSUM: the per-entity stats window and the running-sum window
+    // share ONE hashpartitioning exchange on user_id (partitioning reuse)
+    val cu = planOf("win_cusum")
+    assert(cu.split("Exchange hashpartitioning").length - 1 == 1,
+      s"cusum should shuffle once on the entity key:\n$cu")
+    // pareto: the ordering window runs AFTER the per-entity aggregate
+    // (rangepartitioning over entity-level rows, one data-sized hash
+    // exchange below it)
+    val pa = planOf("win_pareto")
+    assert(pa.split("Exchange hashpartitioning").length - 1 <= 2 &&
+      pa.contains("Window"), s"pareto shape regressed:\n$pa")
+    // clustering coefficient: degree/triangle tables join back broadcast
+    val cc = planOf("graph_clustering_coeff")
+    assert(cc.contains("BroadcastHashJoin") && !cc.contains("CartesianProduct"),
+      s"coefficient joins must broadcast:\n$cc")
+    // containment: the block self-join is an equi join on lang with the
+    // size-gated broadcast applied at this corpus size
+    val ct = planOf("llm_containment")
+    assert(ct.contains("BroadcastHashJoin") && !ct.contains("CartesianProduct"),
+      s"containment block join degenerated:\n$ct")
+  }
+
   test("global sweep: no key plans a cartesian product or a python fallback") {
     // join_cross IS the cartesian semantics (125-row dimension square);
     // everything else must never degrade to one, and nothing may fall to
