@@ -1462,6 +1462,51 @@ object EO {
           .orderBy("tile")
       }),
 
+    // Focal variance (round 9, third wave) — local texture/heterogeneity
+    // (the GLCM-free variance texture band of classification stacks),
+    // COMPOSED from the existing stencil instead of a fourth kernel:
+    // the 9·Σx² − (Σx)² variance numerator needs only focalSum3x3 over
+    // the band AND over its square (x² ≤ 149² and its 9-sum stay exact
+    // in float32, < 2²⁴). Both stencils run in ONE map-only projection
+    // per tile — no join, no shuffle beyond the shared tile build — and
+    // the integer combine happens on the exploded longs. Oracle spells
+    // the same n·Σx²−S² over the 9-neighbor join.
+    Q("eo_tile_focal_var", Some(
+      "WITH px AS (SELECT (event_id // 4) // 256 AS tile, " +
+        "((event_id // 4) % 256) // 16 AS py, ((event_id // 4) % 256) % 16 AS px, " +
+        "event_id % 4 AS t, CAST(user_id AS BIGINT) AS v FROM events), " +
+        "full_t AS (SELECT tile FROM px WHERE t = 0 GROUP BY tile HAVING COUNT(*) = 256), " +
+        "p0 AS (SELECT tile, py, px, v FROM px JOIN full_t USING (tile) WHERE t = 0), " +
+        "fs AS (SELECT o.tile, (o.py - 1) * 14 + (o.px - 1) AS opos, " +
+        "CAST(SUM(nb.v) AS BIGINT) AS sv, CAST(SUM(nb.v * nb.v) AS BIGINT) AS svv " +
+        "FROM p0 o JOIN p0 nb ON nb.tile = o.tile " +
+        "AND nb.py BETWEEN o.py - 1 AND o.py + 1 AND nb.px BETWEEN o.px - 1 AND o.px + 1 " +
+        "WHERE o.py BETWEEN 1 AND 14 AND o.px BETWEEN 1 AND 14 " +
+        "GROUP BY o.tile, opos), " +
+        "vr AS (SELECT tile, opos, 9 * svv - sv * sv AS vn FROM fs) " +
+        "SELECT tile, CAST(COUNT(*) AS BIGINT) AS n_out, " +
+        "CAST(SUM(vn) AS BIGINT) AS sum_vn, " +
+        "CAST(SUM(vn * (opos + 1)) AS BIGINT) AS checksum " +
+        "FROM vr GROUP BY tile ORDER BY tile"),
+      (s, d) => {
+        import graft.raster.TileExprs
+        val grid = eventTiles(s, d, Seq("v" -> col("user_id")))
+          .where(size(col("data")) === 256 && col("time") === 0)
+        TileExprs.register(s)
+        val both = grid.select(col("tile_y").cast("long").as("tile"),
+          TileExprs.focal3(col("data"), 16, 16).as("fs"),
+          TileExprs.focal3(transform(col("data"), e => e * e), 16, 16).as("fs2"))
+        both.select(col("tile"),
+            posexplode(arrays_zip(col("fs"), col("fs2"))).as(Seq("opos", "p")))
+          .select(col("tile"), col("opos"),
+            (lit(9L) * col("p.fs2").cast("long")
+              - col("p.fs").cast("long") * col("p.fs").cast("long")).as("vn"))
+          .groupBy("tile")
+          .agg(count(lit(1)).as("n_out"), sum(col("vn")).as("sum_vn"),
+            sum(col("vn") * (col("opos") + 1)).as("checksum"))
+          .orderBy("tile")
+      }),
+
     // Raster clump / sieve labeling (round 9, third wave) — GDAL's
     // sieve/clump and ODC's raster polygonization both start from
     // CONNECTED-COMPONENT LABELS of a mask under 4-adjacency. Pixels of

@@ -88,6 +88,11 @@ object Graph {
   private val KcoreRounds = 8
   private val KcoreK = 6
 
+  /** Closure-growth rounds for graph_scc (same fixed-depth contract).
+    * Each round extends reachability one hop, so K bounds the traceable
+    * path length; GraphSpec pins fixpoint convergence on this corpus. */
+  private val SccRounds = 8
+
   val all: Seq[Q] = Seq(
 
     // Weighted PageRank over the nation-level trade graph: an edge
@@ -457,6 +462,111 @@ object Graph {
         edges.select(col("a").as("v")).unionAll(edges.select(col("b").as("v")))
           .groupBy("v").agg(count(lit(1)).as("deg"))
           .orderBy("v")
+      }),
+
+    // Strongly connected components (round 9, third wave) — the DIRECTED
+    // cousin of graph_cc: mutual reachability classes over the directed
+    // trade flow (customer nation → supplier nation), kept asymmetric by
+    // the mean weight threshold per DIRECTION (A may buy heavily from B
+    // while B barely buys from A — exactly what makes SCCs nontrivial).
+    // K fixed rounds of pair-closure growth (reach ∪ reach⋈edges,
+    // DISTINCT per round, localCheckpoint — the transitive-closure
+    // relational form), then scc(v) = MIN u with v⇄u mutual reach (the
+    // closure joined against its transpose). Node-pair closure is
+    // |V|²-bounded — fine on an aggregated entity graph; at web scale
+    // the forward-backward label-intersection variant with frontier
+    // deltas replaces the explicit closure (same joins, bounded state).
+    Q("graph_scc", Some {
+      val rounds = (1 to SccRounds).map { k =>
+        s"r$k AS MATERIALIZED (SELECT v, u FROM r${k - 1} " +
+          s"UNION SELECT r.v, e.dst FROM r${k - 1} r JOIN ke e ON e.src = r.u)"
+      }.mkString(", ")
+      s"WITH $tradeEdgesSql, " +
+        "tot AS MATERIALIZED (SELECT CAST(SUM(w) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS ne " +
+        "FROM e WHERE src <> dst), " +
+        "ke AS MATERIALIZED (SELECT src, dst FROM e, tot WHERE src <> dst AND w * ne >= t), " +
+        "r0 AS MATERIALIZED (SELECT n_nationkey AS v, n_nationkey AS u FROM nation), " +
+        rounds +
+        s" SELECT f.v, MIN(f.u) AS scc FROM r$SccRounds f " +
+        s"JOIN r$SccRounds b ON b.v = f.u AND b.u = f.v " +
+        "GROUP BY f.v ORDER BY f.v"
+    },
+      (s, d) => {
+        val dir = tradeEdges(s, d).where(col("src") =!= col("dst"))
+        val tot = dir.agg(sum(col("w")).as("t"), count(lit(1)).as("ne"))
+        val ke = dir.crossJoin(broadcast(tot))
+          .where(col("w") * col("ne") >= col("t"))
+          .select("src", "dst")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nodes = T.nation(s, d).select(col("n_nationkey").as("v"))
+        var reach = nodes.select(col("v"), col("v").as("u")).localCheckpoint()
+        for (_ <- 1 to SccRounds) {
+          reach = reach
+            .unionByName(reach.join(ke, col("u") === col("src"))
+              .select(col("v"), col("dst").as("u")))
+            .distinct()
+            .localCheckpoint()
+        }
+        ke.unpersist()
+        // mutual reach: the closure joined against its TRANSPOSE — a back
+        // row (bv, bu) must witness u → v, not restate v → u
+        val back = reach.select(col("v").as("bv"), col("u").as("bu"))
+        reach.join(back, col("u") === col("bv") && col("v") === col("bu"))
+          .groupBy("v").agg(min(col("u")).as("scc"))
+          .orderBy("v")
+      }),
+
+    // Degree assortativity (round 9, third wave) — Newman 2002's mixing
+    // coefficient: do high-degree nodes link to high-degree nodes? The
+    // Pearson correlation of endpoint degrees over every directed STUB
+    // (each undirected edge contributes both orientations — the standard
+    // symmetrized form, which also makes Σx = Σy structurally). Exact
+    // integer moment sums over the stub list (the agg_autocorr
+    // discipline), one fixed double sequence, one scalar row out.
+    // Degrees join onto stubs broadcast; everything after the edge
+    // build is node/edge-sized.
+    Q("graph_assortativity", Some(
+      s"WITH $tradeEdgesSql, " +
+        "und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b " +
+        "FROM e WHERE src <> dst), " +
+        "nb AS (SELECT a AS v, b AS u FROM und UNION ALL SELECT b, a FROM und), " +
+        "deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS dg FROM nb GROUP BY v), " +
+        "st AS (SELECT da.dg AS x, db.dg AS y FROM nb " +
+        "JOIN deg da ON da.v = nb.v JOIN deg db ON db.v = nb.u), " +
+        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx, " +
+        "CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy, " +
+        "CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy FROM st) " +
+        "SELECT n AS n_stubs, " +
+        "CASE WHEN n < 2 OR CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <= 0.0 " +
+        "OR CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) <= 0.0 THEN NULL ELSE " +
+        sqlS6("(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+          "(SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+          "SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))") +
+        " END AS r6 FROM m"),
+      (s, d) => {
+        val und = tradeEdges(s, d).where(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+        val nb = und.select(col("a").as("v"), col("b").as("u"))
+          .unionAll(und.select(col("b").as("v"), col("a").as("u")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val deg = nb.groupBy("v").agg(count(lit(1)).as("dg"))
+        val m = nb
+          .join(broadcast(deg.select(col("v"), col("dg").as("x"))), "v")
+          .join(broadcast(deg.select(col("v").as("u"), col("dg").as("y"))), "u")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+        val nD = col("n").cast("double")
+        val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
+        val denx = nD * col("sxx").cast("double") - sxD * sxD
+        val deny = nD * col("syy").cast("double") - syD * syD
+        val r = (nD * col("sxy").cast("double") - sxD * syD) /
+          (sqrt(denx) * sqrt(deny))
+        m.select(col("n").as("n_stubs"),
+          when(col("n") < 2 || denx <= 0.0 || deny <= 0.0, lit(null))
+            .otherwise(s6(r)).as("r6"))
       }),
   )
 

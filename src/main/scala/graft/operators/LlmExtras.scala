@@ -1155,5 +1155,50 @@ object LlmExtras {
             least(expr("n_chars div 4"), lit(1000L)).as("permille"))
           .where(Det.hash32(concat(col("doc_id").cast("string"), lit(":w")))
             % 1000 < col("permille"))
-          .orderBy("doc_id")))
+          .orderBy("doc_id")),
+
+    // Zipf rank-frequency slope (round 9, third wave) — the corpus-health
+    // diagnostic: natural text follows freq ∝ rank^s with s ≈ −1 (Zipf
+    // 1949); heavy boilerplate or synthetic junk bends the log-log line.
+    // OLS over (ln rank, ln freq) with every ln term s6-FLOORED before
+    // the moment sums (the agg_entropy discipline — the sums are then
+    // exact int64 and merge-order-free), slope/intercept as one fixed
+    // double sequence. The ranking window runs over VOCABULARY-sized
+    // rows after the one data-sized token aggregate; (count DESC, tok)
+    // is a total order so ranks never tie ambiguously.
+    Q("llm_zipf_slope", Some(
+      "WITH t AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM (" +
+        "SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents) GROUP BY tok), " +
+        "r AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS BIGINT) AS rnk, c FROM t), " +
+        "l AS (SELECT " + sqlS6("LN(CAST(rnk AS DOUBLE))") + " AS x6, " +
+        sqlS6("LN(CAST(c AS DOUBLE))") + " AS y6 FROM r), " +
+        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x6) AS BIGINT) AS sx, " +
+        "CAST(SUM(y6) AS BIGINT) AS sy, CAST(SUM(x6 * y6) AS BIGINT) AS sxy, " +
+        "CAST(SUM(x6 * x6) AS BIGINT) AS sxx FROM l) " +
+        "SELECT n AS n_vocab, " +
+        sqlS6("(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+          "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))") +
+        " AS slope6, " +
+        sqlS0("(CAST(sy AS DOUBLE) - " +
+          "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+          "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) " +
+          "* CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)") + " AS icept6 FROM m"),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = T.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c"))
+        val rnk = row_number().over(Window.orderBy(col("c").desc, col("tok"))).cast("long")
+        val m = t.withColumn("rnk", rnk)
+          .select(s6(log(col("rnk").cast("double"))).as("x6"),
+            s6(log(col("c").cast("double"))).as("y6"))
+          .agg(count(lit(1)).as("n"), sum(col("x6")).as("sx"), sum(col("y6")).as("sy"),
+            sum(col("x6") * col("y6")).as("sxy"), sum(col("x6") * col("x6")).as("sxx"))
+        val nD = col("n").cast("double")
+        val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
+        val slope = (nD * col("sxy").cast("double") - sxD * syD) /
+          (nD * col("sxx").cast("double") - sxD * sxD)
+        m.select(col("n").as("n_vocab"), s6(slope).as("slope6"),
+          s0((syD - slope * sxD) / nD).as("icept6"))
+      }))
 }

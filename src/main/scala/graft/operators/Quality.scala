@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Det, Q, Tables => T}
@@ -186,7 +187,80 @@ object Quality {
               .when(lit(7) * col("n") > lit(2) * col("s7r"), "HIGH")
               .otherwise("OK").as("flag"))
           .orderBy("day")
+      }),
+
+    // Distribution-drift monitor (round 9, third wave) — the Population
+    // Stability Index every ML-monitoring suite computes between a
+    // reference and a current window: PSI = Σ(pᵢ−qᵢ)·ln(pᵢ/qᵢ) over
+    // fixed value bins, here first-half vs second-half of the corpus
+    // time span per event type. Determinism: the split point is the
+    // integer midpoint (es·2 < min+max — no division), bins are
+    // FLOOR(value/50) clamped to 10, Laplace +1 smoothing makes every
+    // bin's ratio finite without an epsilon, and each bin's term is
+    // s6-floored BEFORE the sum (the agg_entropy LN discipline — a raw
+    // double sum over partials would be merge-order-dependent). The
+    // full type×bin grid is generated so zero-count bins still
+    // contribute; all data-sized work is one conditional partial agg.
+    Q("dq_drift_psi", Some(
+      "WITH b AS (SELECT event_type, " +
+        "CASE WHEN CAST(FLOOR(EPOCH(ts)) AS BIGINT) * 2 < " +
+        "(SELECT CAST(MIN(FLOOR(EPOCH(ts))) AS BIGINT) + CAST(MAX(FLOOR(EPOCH(ts))) AS BIGINT) FROM events) " +
+        "THEN 0 ELSE 1 END AS half, " +
+        "LEAST(CAST(FLOOR(value / 50.0) AS BIGINT), 9) AS bin FROM events), " +
+        "c AS (SELECT event_type, bin, " +
+        "CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca, " +
+        "CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb " +
+        "FROM b GROUP BY event_type, bin), " +
+        "grid AS (SELECT t.event_type, g.bin FROM (SELECT DISTINCT event_type FROM events) t " +
+        "CROSS JOIN (SELECT UNNEST(RANGE(0, 10)) AS bin) g), " +
+        "full_c AS (SELECT grid.event_type, grid.bin, COALESCE(c.ca, 0) AS ca, COALESCE(c.cb, 0) AS cb " +
+        "FROM grid LEFT JOIN c ON c.event_type = grid.event_type AND c.bin = grid.bin), " +
+        "tot AS (SELECT event_type, CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb " +
+        "FROM full_c GROUP BY event_type), " +
+        "terms AS (SELECT f.event_type, t.na, t.nb, " +
+        sqlS6("(CAST(f.ca + 1 AS DOUBLE) / CAST(t.na + 10 AS DOUBLE) - " +
+          "CAST(f.cb + 1 AS DOUBLE) / CAST(t.nb + 10 AS DOUBLE)) * " +
+          "LN((CAST(f.ca + 1 AS DOUBLE) / CAST(t.na + 10 AS DOUBLE)) / " +
+          "(CAST(f.cb + 1 AS DOUBLE) / CAST(t.nb + 10 AS DOUBLE)))") + " AS t6 " +
+        "FROM full_c f JOIN tot t ON t.event_type = f.event_type) " +
+        "SELECT event_type, CAST(MAX(na) AS BIGINT) AS n_ref, CAST(MAX(nb) AS BIGINT) AS n_cur, " +
+        "CAST(SUM(t6) AS BIGINT) AS psi6 " +
+        "FROM terms GROUP BY event_type ORDER BY event_type"),
+      (s, d) => {
+        val es = expr("unix_timestamp(ts)")
+        val ev = T.events(s, d)
+        // midpoint rides the plan as a broadcast scalar (no driver round
+        // trip): es·2 < min+max avoids any division
+        val mm = ev.agg((min(es) + max(es)).as("m"))
+        val c = ev.crossJoin(broadcast(mm))
+          .select(col("event_type"),
+            when(es * 2 < col("m"), 0).otherwise(1).as("half"),
+            least(floor(col("value") / lit(50.0)).cast("long"), lit(9L)).as("bin"))
+          .groupBy("event_type", "bin")
+          .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("ca"),
+            sum(when(col("half") === 1, 1L).otherwise(0L)).as("cb"))
+        val grid = ev.select("event_type").distinct()
+          .crossJoin(spark_range10(s))
+        val fullC = grid.join(c, Seq("event_type", "bin"), "left")
+          .select(col("event_type"), col("bin"),
+            coalesce(col("ca"), lit(0L)).as("ca"), coalesce(col("cb"), lit(0L)).as("cb"))
+        val tot = fullC.groupBy("event_type")
+          .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+        val p = (col("ca") + 1).cast("double") / (col("na") + 10).cast("double")
+        val q = (col("cb") + 1).cast("double") / (col("nb") + 10).cast("double")
+        fullC.join(broadcast(tot), "event_type")
+          .select(col("event_type"), col("na"), col("nb"),
+            s6((p - q) * log(p / q)).as("t6"))
+          .groupBy("event_type")
+          .agg(max(col("na")).as("n_ref"), max(col("nb")).as("n_cur"),
+            sum(col("t6")).as("psi6"))
+          .orderBy("event_type")
       }))
+
+  /** The 10-row bin grid (0..9) as a DataFrame — tiny, broadcast into
+    * the type×bin cross. */
+  private def spark_range10(s: SparkSession): DataFrame =
+    s.range(0, 10).select(col("id").as("bin"))
 
   /** Oracle twin of dq_profile — one SELECT per column UNION ALL'd, each
     * computing the same exact-integer metrics (n_null spelled as

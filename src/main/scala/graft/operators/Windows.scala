@@ -787,5 +787,50 @@ object Windows {
           .agg(max(col("len")).as("max_streak"), count(lit(1)).as("n_runs"),
             sum(col("len")).as("n"))
           .orderBy("user_id")
+      }),
+
+    // Hampel despiking filter (round 9, third wave) — the robust
+    // outlier detector of sensor/time-series QA (Hampel 1974; Pearson's
+    // process-data survey popularized the 3·MAD rule): a point is a
+    // spike when |x − med| > 3·MAD over its centered 5-point window.
+    // Exactness by DOUBLING TWICE (win_movmedian's trick, iterated):
+    // med2 = 2·median is an int; dᵢ = |2xᵢ − med2| = 2|xᵢ−med| is an
+    // int; mad4 = 2·median(d) = 4·MAD is an int; the flag compares
+    // 2·d > 3·mad4 ⟺ |x−med| > 3·MAD — no fractional value ever
+    // materializes. Full 5-windows only (interior points, odd count ⇒
+    // both medians are middle-element picks). One entity shuffle/sort;
+    // the ≤5-element frame materializes per row — the streaming ring
+    // buffer, same cost class as win_movmedian.
+    Q("win_hampel", Some(
+      "WITH v AS (SELECT user_id, event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t, " +
+        sqlS2("value") + " AS x FROM events), " +
+        "w AS (SELECT user_id, event_id, x, " +
+        "LIST(x) OVER win AS fr, COUNT(*) OVER win AS nw " +
+        "FROM v WINDOW win AS (PARTITION BY user_id ORDER BY t, event_id " +
+        "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)), " +
+        "f AS (SELECT user_id, event_id, x, fr, " +
+        "CAST(LIST_SORT(fr)[3] * 2 AS BIGINT) AS med2 FROM w WHERE nw = 5), " +
+        "g AS (SELECT user_id, event_id, x, med2, " +
+        "CAST(LIST_SORT(LIST_TRANSFORM(fr, e -> ABS(2 * e - med2)))[3] * 2 AS BIGINT) AS mad4 " +
+        "FROM f) " +
+        "SELECT event_id, user_id, x, med2, mad4, " +
+        "CAST(CASE WHEN 2 * ABS(2 * x - med2) > 3 * mad4 THEN 1 ELSE 0 END AS BIGINT) AS spike " +
+        "FROM g ORDER BY event_id"),
+      (s, dd) => {
+        val w5 = Window.partitionBy("user_id")
+          .orderBy(col("t"), col("event_id")).rowsBetween(-2, 2)
+        T.events(s, dd)
+          .select(col("user_id"), col("event_id"), epochS(col("ts")).as("t"),
+            s2(col("value")).as("x"))
+          .withColumn("fr", collect_list(col("x")).over(w5))
+          .withColumn("nw", count(lit(1)).over(w5))
+          .where(col("nw") === 5)
+          .withColumn("med2", element_at(array_sort(col("fr")), 3) * 2)
+          .withColumn("mad4", element_at(array_sort(
+            transform(col("fr"), e => abs(e * 2 - col("med2")))), 3) * 2)
+          .select(col("event_id"), col("user_id"), col("x"), col("med2"), col("mad4"),
+            when(lit(2) * abs(lit(2) * col("x") - col("med2")) > lit(3) * col("mad4"), 1L)
+              .otherwise(0L).as("spike"))
+          .orderBy("event_id")
       }))
 }

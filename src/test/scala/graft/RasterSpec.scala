@@ -254,6 +254,31 @@ class RasterSpec extends SparkSpec {
     }
   }
 
+  test("focal variance numerator (9·Σx² − S²) matches brute force") {
+    // the eo_tile_focal_var composition: focal3 over the band and over
+    // its square, combined as integers after the stencils
+    val g = grid("b1")((x, y, t) => (x * 3 + 7 * y + t).toFloat)
+    val fs = RasterGrid.focalSum3x3(g, H, W)
+    val fs2 = RasterGrid.focalSum3x3(
+      g.withColumn("data", org.apache.spark.sql.functions.transform(
+        col("data"), e => e * e)), H, W)
+    val key = Seq("product", "band", "time", "tile_y", "tile_x")
+    val joined = fs.as("a").join(fs2.as("b"), key)
+      .where(col("tile_x") === 0 && col("tile_y") === 1 && col("time") === 1)
+      .select(col("a.data").as("s"), col("b.data").as("ss")).head()
+    val s = joined.getAs[scala.collection.Seq[Float]]("s")
+    val ss = joined.getAs[scala.collection.Seq[Float]]("ss")
+    def v(x: Int, y: Int) = (x * 3 + 7 * (H + y) + 1).toLong
+    for (oy <- 0 until H - 2; ox <- 0 until W - 2) {
+      val nbrs = for (dy <- -1 to 1; dx <- -1 to 1) yield v(ox + 1 + dx, oy + 1 + dy)
+      val want = 9 * nbrs.map(n => n * n).sum - nbrs.sum * nbrs.sum
+      val gotNum = 9 * ss(oy * (W - 2) + ox).toLong -
+        s(oy * (W - 2) + ox).toLong * s(oy * (W - 2) + ox).toLong
+      assert(gotNum == want, s"variance numerator mismatch at ($ox,$oy)")
+      assert(gotNum >= 0, "n·Σx²−S² is nonnegative by Cauchy-Schwarz")
+    }
+  }
+
   test("focal 3x3 Horn gradient matches brute force on the tile interior") {
     val g = grid("b1")((x, y, t) => (x * x + 3 * y + t).toFloat)
     val grad = RasterGrid.focalGradient3x3(g, H, W)
