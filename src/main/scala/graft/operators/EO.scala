@@ -1462,6 +1462,94 @@ object EO {
           .orderBy("tile")
       }),
 
+    // Discrete Laplacian / curvature (round 9, fourth wave) — the
+    // second-derivative terrain product beside slope and aspect
+    // (profile-curvature screening, edge detection on masks): the
+    // plus-shaped N+S+E+W−4c kernel as a fourth native stencil
+    // (TileFocalLaplace3x3 — it is NOT composable from the 9-sum
+    // focal3, which can't isolate the cross). Same interior/halo
+    // contract, map-only per tile, integer-exact on these pixels. The
+    // oracle weights the neighbor join 1 on the cross, −4 on center, 0
+    // on corners.
+    Q("eo_tile_laplace", Some(
+      "WITH px AS (SELECT (event_id // 4) // 256 AS tile, " +
+        "((event_id // 4) % 256) // 16 AS py, ((event_id // 4) % 256) % 16 AS px, " +
+        "event_id % 4 AS t, CAST(user_id AS BIGINT) AS v FROM events), " +
+        "full_t AS (SELECT tile FROM px WHERE t = 0 GROUP BY tile HAVING COUNT(*) = 256), " +
+        "p0 AS (SELECT tile, py, px, v FROM px JOIN full_t USING (tile) WHERE t = 0), " +
+        "lp AS (SELECT o.tile, (o.py - 1) * 14 + (o.px - 1) AS opos, " +
+        "CAST(SUM(nb.v * (CASE WHEN nb.py = o.py AND nb.px = o.px THEN -4 " +
+        "WHEN ABS(nb.py - o.py) + ABS(nb.px - o.px) = 1 THEN 1 ELSE 0 END)) AS BIGINT) AS lap " +
+        "FROM p0 o JOIN p0 nb ON nb.tile = o.tile " +
+        "AND nb.py BETWEEN o.py - 1 AND o.py + 1 AND nb.px BETWEEN o.px - 1 AND o.px + 1 " +
+        "WHERE o.py BETWEEN 1 AND 14 AND o.px BETWEEN 1 AND 14 " +
+        "GROUP BY o.tile, opos) " +
+        "SELECT tile, CAST(COUNT(*) AS BIGINT) AS n_out, " +
+        "CAST(SUM(lap) AS BIGINT) AS sum_lap, " +
+        "CAST(SUM(ABS(lap)) AS BIGINT) AS sum_abs, " +
+        "CAST(SUM(lap * (opos + 1)) AS BIGINT) AS checksum " +
+        "FROM lp GROUP BY tile ORDER BY tile"),
+      (s, d) => {
+        import graft.raster.TileExprs
+        val grid = eventTiles(s, d, Seq("v" -> col("user_id")))
+          .where(size(col("data")) === 256 && col("time") === 0)
+        TileExprs.register(s)
+        grid.select(col("tile_y").cast("long").as("tile"),
+            posexplode(TileExprs.laplace3(col("data"), 16, 16)).as(Seq("opos", "v")))
+          .withColumn("lap", col("v").cast("long"))
+          .groupBy("tile")
+          .agg(count(lit(1)).as("n_out"), sum(col("lap")).as("sum_lap"),
+            sum(abs(col("lap"))).as("sum_abs"),
+            sum(col("lap") * (col("opos") + 1)).as("checksum"))
+          .orderBy("tile")
+      }),
+
+    // Batched AOI × catalog spatial join (round 9, fourth wave) — "which
+    // scenes intersect EACH of my study areas", the many-AOI form of the
+    // catalog query (datacube users run one bbox at a time; a production
+    // stats service runs thousands). SEMANTICS (the oracle) is the brute
+    // cross-join bbox test; the PLAN decomposes each AOI into its
+    // covered grid cells (entity-bounded explode — AOIs are small boxes
+    // on the tile grid) and EQUI-joins scenes on the cell key: no
+    // cartesian anywhere (PlanContractSpec pins it), the cell join is
+    // the 2-D binned analogue of join_range_bucketed, and at archive
+    // scale it is the S2/geohash cover-cells pattern verbatim. AOIs
+    // derive from the nation table (10 deterministic 3×2 boxes).
+    Q("eo_catalog_aoi_batch", Some(
+      "WITH sc AS (SELECT event_id, CAST(user_id % 8 AS INTEGER) AS tile_x, " +
+        "CAST(user_id % 5 AS INTEGER) AS tile_y FROM events), " +
+        "aoi AS (SELECT n_nationkey AS aoi_id, n_nationkey % 5 AS x0, n_nationkey % 5 + 2 AS x1, " +
+        "n_nationkey % 3 AS y0, n_nationkey % 3 + 1 AS y1 FROM nation WHERE n_nationkey < 10) " +
+        "SELECT a.aoi_id, CAST(COUNT(*) AS BIGINT) AS n_scenes, " +
+        "CAST(COUNT(DISTINCT s.tile_x * 5 + s.tile_y) AS BIGINT) AS n_tiles, " +
+        "CAST(SUM(s.event_id) AS BIGINT) AS checksum " +
+        "FROM aoi a JOIN sc s ON s.tile_x BETWEEN a.x0 AND a.x1 " +
+        "AND s.tile_y BETWEEN a.y0 AND a.y1 " +
+        "GROUP BY a.aoi_id ORDER BY a.aoi_id"),
+      (s, d) => {
+        val sc = T.events(s, d).select(col("event_id"),
+          (col("user_id") % 8).cast("int").as("tile_x"),
+          (col("user_id") % 5).cast("int").as("tile_y"))
+        val aoi = T.nation(s, d).where(col("n_nationkey") < 10)
+          .select(col("n_nationkey").as("aoi_id"),
+            (col("n_nationkey") % 5).as("x0"), (col("n_nationkey") % 3).as("y0"))
+        // cover cells: each AOI explodes into its (cx, cy) grid cells,
+        // the scene side joins on the EQUI cell key — never a cross join
+        val cells = aoi
+          .select(col("aoi_id"),
+            explode(sequence(col("x0"), col("x0") + 2)).as("cx"), col("y0"))
+          .select(col("aoi_id"), col("cx"),
+            explode(sequence(col("y0"), col("y0") + 1)).as("cy"))
+        sc.join(broadcast(cells),
+            col("tile_x") === col("cx").cast("int") &&
+              col("tile_y") === col("cy").cast("int"))
+          .groupBy("aoi_id")
+          .agg(count(lit(1)).as("n_scenes"),
+            countDistinct(col("tile_x") * 5 + col("tile_y")).as("n_tiles"),
+            sum(col("event_id")).as("checksum"))
+          .orderBy("aoi_id")
+      }),
+
     // Focal variance (round 9, third wave) — local texture/heterogeneity
     // (the GLCM-free variance texture band of classification stacks),
     // COMPOSED from the existing stencil instead of a fourth kernel:

@@ -1200,5 +1200,43 @@ object LlmExtras {
           (nD * col("sxx").cast("double") - sxD * sxD)
         m.select(col("n").as("n_vocab"), s6(slope).as("slope6"),
           s0((syD - slope * sxD) / nD).as("icept6"))
+      }),
+
+    // Boilerplate line removal (round 9, fourth wave) — C4/CCNet's
+    // line-level dedup (Raffel et al. 2020 drop lines occurring ≥3×;
+    // CCNet hashes paragraphs across shards): a chunk that appears in
+    // many DISTINCT documents is boilerplate (nav bars, license
+    // headers) and is scrubbed from every document carrying it. Chunks
+    // are TextOps.chunks10 (the shared 10-token stride + cap, so this
+    // key, llm_chunk_dedup and llm_decontaminate cannot drift apart);
+    // the df table is chunk-keyed (one shuffle), flags join back on the
+    // chunk, and the per-doc summary carries an ORDER-FREE retained
+    // fingerprint (Σ hash32(chunk) over kept chunks — portable and
+    // partial-agg-safe where a concatenation would be order-dependent).
+    // Linear end to end; the df join's build side is the boilerplate
+    // dictionary — vocabulary-sized, broadcast at corpus scale.
+    Q("llm_line_dedup", Some(
+      "WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents), " +
+        "chunks AS (SELECT doc_id, ARRAY_TO_STRING(LIST_SLICE(toks, i * 10 + 1, i * 10 + 10), ' ') AS chunk " +
+        "FROM t, (SELECT UNNEST(RANGE(0, 1000)) AS i) idx WHERE i * 10 < LEN(toks)), " +
+        "df AS (SELECT chunk, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs " +
+        "FROM chunks GROUP BY chunk), " +
+        "fl AS (SELECT c.doc_id, c.chunk, CASE WHEN df.n_docs >= 4 THEN 1 ELSE 0 END AS bp " +
+        "FROM chunks c JOIN df USING (chunk)) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks, " +
+        "CAST(SUM(bp) AS BIGINT) AS n_removed, " +
+        "CAST(SUM(CASE WHEN bp = 0 THEN " + sqlHash32("chunk") + " END) AS BIGINT) AS kept_fp " +
+        "FROM fl GROUP BY doc_id ORDER BY doc_id"),
+      (s, d) => {
+        val chunks = TextOps.chunks10(T.documents(s, d))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val df = chunks.groupBy("chunk")
+          .agg(countDistinct(col("doc_id")).as("n_docs"))
+        chunks.join(df, "chunk")
+          .withColumn("bp", when(col("n_docs") >= 4, 1L).otherwise(0L))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"), sum(col("bp")).as("n_removed"),
+            sum(when(col("bp") === 0, Det.hash32(col("chunk")))).as("kept_fp"))
+          .orderBy("doc_id")
       }))
 }

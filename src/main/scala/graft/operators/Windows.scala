@@ -832,5 +832,45 @@ object Windows {
             when(lit(2) * abs(lit(2) * col("x") - col("med2")) > lit(3) * col("mad4"), 1L)
               .otherwise(0L).as("spike"))
           .orderBy("event_id")
+      }),
+
+    // Time-weighted average (round 9, fourth wave) — the TSDB/metrics
+    // aggregate that plain AVG gets wrong on irregular samples: each
+    // observation holds until the next one, so its weight is the
+    // interval it covers (step interpolation, the standard TWA). Per
+    // entity: Σ xᵢ·(tᵢ₊₁ − tᵢ) over all but the last observation,
+    // divided by the covered span — cent·second products stay exact
+    // int64 (≤ ~1.3e11/row at this domain), the divide is ONE IEEE op
+    // onto the s6 grid. The lead-window pass and the aggregate share
+    // one entity shuffle; ties order away on (t, event_id). Entities
+    // with a single observation carry no covered interval → NULL.
+    Q("win_twa", Some(
+      "WITH v AS (SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t, event_id, " +
+        sqlS2("value") + " AS x FROM events), " +
+        "p AS (SELECT user_id, x, t, " +
+        "LEAD(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS nt FROM v), " +
+        "m AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_iv, " +
+        "CAST(SUM(x * (nt - t)) AS BIGINT) AS sw, CAST(SUM(nt - t) AS BIGINT) AS span " +
+        "FROM p WHERE nt IS NOT NULL GROUP BY user_id) " +
+        "SELECT user_id, n_iv, span, " +
+        "CASE WHEN span <= 0 THEN NULL ELSE " +
+        sqlS6("CAST(sw AS DOUBLE) / CAST(span AS DOUBLE)") + " END AS twa_c6 " +
+        "FROM m ORDER BY user_id"),
+      (s, dd) => {
+        val ord = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+        val m = T.events(s, dd)
+          .select(col("user_id"), epochS(col("ts")).as("t"), col("event_id"),
+            s2(col("value")).as("x"))
+          .withColumn("nt", lead(col("t"), 1).over(ord))
+          .where(col("nt").isNotNull)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_iv"),
+            sum(col("x") * (col("nt") - col("t"))).as("sw"),
+            sum(col("nt") - col("t")).as("span"))
+        m.select(col("user_id"), col("n_iv"), col("span"),
+            when(col("span") <= 0, lit(null))
+              .otherwise(s6(col("sw").cast("double") / col("span").cast("double")))
+              .as("twa_c6"))
+          .orderBy("user_id")
       }))
 }

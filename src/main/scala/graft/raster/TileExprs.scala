@@ -244,6 +244,74 @@ case class TileFocalTri3x3(first: Expression, second: Expression, third: Express
     copy(first = f, second = s, third = t)
 }
 
+/** Discrete 4-neighbor Laplacian stencil — (data, h, w): per interior
+  * pixel, N + S + E + W − 4·center (the plus-shaped second-derivative
+  * kernel of curvature/edge analysis; exact in float32 on small-integer
+  * pixels). Output (h−2)×(w−2), row-major. */
+case class TileFocalLaplace3x3(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def prettyName: String = TileExprs.Laplace3Name
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType, _), IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_tile_laplace3 expects (array<float>, int, int), got $other")
+    }
+
+  override def nullSafeEval(d: Any, hh: Any, ww: Any): Any = {
+    val a = d.asInstanceOf[ArrayData]
+    val h = hh.asInstanceOf[Int]; val w = ww.asInstanceOf[Int]
+    TileExprs.requireGeometry(prettyName, a.numElements(), h, w, 1, minDim = 3)
+    val oh = h - 2; val ow = w - 2
+    val out = new Array[Float](oh * ow)
+    var oy = 0
+    while (oy < oh) {
+      var ox = 0
+      while (ox < ow) {
+        val c = (oy + 1) * w + (ox + 1)
+        out(oy * ow + ox) =
+          a.getFloat(c - w) + a.getFloat(c + w) + a.getFloat(c - 1) +
+            a.getFloat(c + 1) - 4.0f * a.getFloat(c)
+        ox += 1
+      }
+      oy += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (d, hh, ww) => {
+      val h = ctx.freshName("h"); val w = ctx.freshName("w")
+      val oh = ctx.freshName("oh"); val ow = ctx.freshName("ow")
+      val out = ctx.freshName("out"); val c = ctx.freshName("c")
+      val oy = ctx.freshName("oy"); val ox = ctx.freshName("ox")
+      s"""
+         |int $h = $hh; int $w = $ww;
+         |graft.raster.TileExprs.requireGeometry("${TileExprs.Laplace3Name}", $d.numElements(), $h, $w, 1, 3);
+         |int $oh = $h - 2; int $ow = $w - 2;
+         |float[] $out = new float[$oh * $ow];
+         |for (int $oy = 0; $oy < $oh; $oy++) {
+         |  for (int $ox = 0; $ox < $ow; $ox++) {
+         |    int $c = ($oy + 1) * $w + ($ox + 1);
+         |    $out[$oy * $ow + $ox] =
+         |      $d.getFloat($c - $w) + $d.getFloat($c + $w) + $d.getFloat($c - 1) +
+         |      $d.getFloat($c + 1) - 4.0f * $d.getFloat($c);
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 /** Block-mean downsample by an integer factor — (data, h, w, factor).
   * Accumulation order matches the `aggregate` fold it replaces: k-order
   * row-major within the block from a 0.0f seed, one float divide by
@@ -324,6 +392,7 @@ object TileExprs {
   val Up2xName = "graft_tile_up2x"
   val Focal3Name = "graft_tile_focal3"
   val Tri3Name = "graft_tile_tri3"
+  val Laplace3Name = "graft_tile_laplace3"
   val DownName = "graft_tile_down"
 
   /** One branch per TILE (not per pixel): the stencils index the pixel
@@ -349,6 +418,8 @@ object TileExprs {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       Tri3Name, ch => TileFocalTri3x3(ch(0), ch(1), ch(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      Laplace3Name, ch => TileFocalLaplace3x3(ch(0), ch(1), ch(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       DownName, ch => TileDownsample(ch(0), ch(1), ch(2), ch(3)), "built-in")
   }
 
@@ -362,6 +433,10 @@ object TileExprs {
 
   def tri3(data: Column, h: Int, w: Int): Column =
     org.apache.spark.sql.functions.call_function(Tri3Name, data,
+      org.apache.spark.sql.functions.lit(h), org.apache.spark.sql.functions.lit(w))
+
+  def laplace3(data: Column, h: Int, w: Int): Column =
+    org.apache.spark.sql.functions.call_function(Laplace3Name, data,
       org.apache.spark.sql.functions.lit(h), org.apache.spark.sql.functions.lit(w))
 
   def down(data: Column, h: Int, w: Int, factor: Int): Column =

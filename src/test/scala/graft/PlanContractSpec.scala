@@ -307,6 +307,29 @@ class PlanContractSpec extends SparkSpec {
       s"containment block join degenerated:\n$ct")
   }
 
+  test("round-9c wave 7/8 keys keep their promised shapes") {
+    // AOI batch: SEMANTICS is a bbox cross join, the PLAN must be the
+    // cell equi-join — never a cartesian/BNL
+    val aoi = planOf("eo_catalog_aoi_batch")
+    assert(!aoi.contains("CartesianProduct") && !aoi.contains("NestedLoopJoin"),
+      s"AOI batch degenerated to a cross join:\n$aoi")
+    assert(aoi.contains("BroadcastHashJoin"), s"cover cells not broadcast:\n$aoi")
+    // laplace: native kernel in-plan, no join (in-tile stencil)
+    val lp = planOf("eo_tile_laplace")
+    assert(lp.contains("graft_tile_laplace3") && !lp.contains("Join"),
+      s"laplace stencil shape regressed:\n$lp")
+    // focal variance: BOTH stencils in one map-only projection — no join
+    val fv = planOf("eo_tile_focal_var")
+    assert(!fv.contains("Join"), s"focal variance must not join its two sums:\n$fv")
+    // TWA: the lead window and the aggregate share one entity shuffle
+    val twa = planOf("win_twa")
+    assert(twa.split("Exchange hashpartitioning").length - 1 == 1,
+      s"TWA should shuffle once on the entity key:\n$twa")
+    // line dedup: chunk df joins back as an equi join, never a cartesian
+    val ld = planOf("llm_line_dedup")
+    assert(!ld.contains("CartesianProduct"), s"line-dedup join degenerated:\n$ld")
+  }
+
   test("global sweep: no key plans a cartesian product or a python fallback") {
     // join_cross IS the cartesian semantics (125-row dimension square);
     // everything else must never degrade to one, and nothing may fall to

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.raster.RasterGrid
+import graft.raster.{RasterGrid, TileExprs}
 
 /** Tile-granular raster layer (SURVEY §8.5): synthesized grids, checked
   * against straightforward Scala-side reference computations. */
@@ -276,6 +276,25 @@ class RasterSpec extends SparkSpec {
         s(oy * (W - 2) + ox).toLong * s(oy * (W - 2) + ox).toLong
       assert(gotNum == want, s"variance numerator mismatch at ($ox,$oy)")
       assert(gotNum >= 0, "n·Σx²−S² is nonnegative by Cauchy-Schwarz")
+    }
+  }
+
+  test("focal 3x3 Laplacian matches brute force on the tile interior") {
+    TileExprs.register(spark)
+    val lap = RasterGrid.synthesize(spark, "p", "b",
+      nTilesX = 1, nTilesY = 1, h = H, w = W, times = Seq(0))(
+      (x, y, _) => (x * x + 2 * y * y).toFloat)
+    val out = lap.select(TileExprs.laplace3(col("data"), H, W).as("d")).head()
+      .getAs[scala.collection.Seq[Float]]("d")
+    assert(out.length == (H - 2) * (W - 2))
+    def v(x: Int, y: Int) = (x * x + 2 * y * y).toFloat
+    for (oy <- 0 until H - 2; ox <- 0 until W - 2) {
+      val (cx, cy) = (ox + 1, oy + 1)
+      val want = v(cx, cy - 1) + v(cx, cy + 1) + v(cx - 1, cy) + v(cx + 1, cy) -
+        4.0f * v(cx, cy)
+      assert(out(oy * (W - 2) + ox) == want, s"laplace mismatch at ($ox,$oy)")
+      // the discrete Laplacian of x² + 2y² is the constant 2 + 4 = 6
+      assert(out(oy * (W - 2) + ox) == 6.0f)
     }
   }
 

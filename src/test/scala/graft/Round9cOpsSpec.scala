@@ -472,6 +472,65 @@ class Round9cOpsSpec extends SparkSpec {
     assert(got.toSeq == expect)
   }
 
+  test("win_twa: step-interpolated average matches the interval mirror") {
+    val got = SparkEntry.queries("win_twa")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    val byUser = events.groupBy(_._1)
+    assert(got.keySet == byUser.keySet)
+    byUser.foreach { case (u, rows) =>
+      val srt = rows.sortBy(e => (e._4, e._2))
+      val iv = srt.zip(srt.drop(1)).map { case (a, b) => (s2(a._5), b._4 - a._4) }
+      val span = iv.map(_._2).sum
+      val sw = iv.map { case (x, dt) => x * dt }.sum
+      assert(got(u)._1 == iv.size.toLong && got(u)._2 == span, s"user $u intervals")
+      if (span > 0) {
+        assert(got(u)._3.contains(s6(sw.toDouble / span.toDouble)), s"user $u twa")
+        // TWA lies within the observed value range (cents, scaled 1e6)
+        val xs = iv.map(_._1)
+        assert(got(u)._3.get >= xs.min * 1000000L - 1 &&
+          got(u)._3.get <= xs.max * 1000000L + 1, s"user $u twa bounds")
+      } else assert(got(u)._3.isEmpty)
+    }
+  }
+
+  test("llm_line_dedup: boilerplate scrub matches the chunk-df mirror") {
+    val got = SparkEntry.queries("llm_line_dedup")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    val chunksByDoc = docs.map { case (id, text, _, _) =>
+      id -> text.split(" ").grouped(10).take(1000).map(_.mkString(" ")).toSeq
+    }.toMap
+    val df = chunksByDoc.toSeq.flatMap { case (id, cs) => cs.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    assert(got.keySet == chunksByDoc.keySet)
+    chunksByDoc.foreach { case (id, cs) =>
+      val bp = cs.count(c => df(c) >= 4).toLong
+      val kept = cs.filter(c => df(c) < 4)
+      val fp = if (kept.isEmpty) None else Some(kept.map(hash32).sum)
+      assert(got(id) == ((cs.size.toLong, bp, fp)), s"doc $id")
+    }
+    // boilerplate must actually bind on this corpus (dups exist by
+    // construction) — otherwise the key degenerates to a row count
+    assert(got.values.map(_._2).sum > 0, "no boilerplate chunk found")
+  }
+
+  test("eo_catalog_aoi_batch: cell-join equals the brute bbox cross join") {
+    val got = SparkEntry.queries("eo_catalog_aoi_batch")(spark, sfDir).collect()
+      .map(r => r.getAs[Number](0).longValue ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val scenes = events.map(e => (e._2, e._1 % 8, e._1 % 5)) // (event_id, tx, ty)
+    val expect = (0L until 10L).map { a =>
+      val (x0, y0) = (a % 5, a % 3)
+      val hits = scenes.filter(s =>
+        s._2 >= x0 && s._2 <= x0 + 2 && s._3 >= y0 && s._3 <= y0 + 1)
+      a -> ((hits.size.toLong,
+        hits.map(s => s._2 * 5 + s._3).distinct.size.toLong,
+        hits.map(_._1).sum))
+    }.toMap
+    assert(got == expect)
+  }
+
   test("mm_energy_segments: islands match the frame-scan mirror") {
     val got = SparkEntry.queries("mm_energy_segments")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
