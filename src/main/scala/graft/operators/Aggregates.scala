@@ -792,6 +792,44 @@ object Aggregates {
           .orderBy("user_id")
       }),
 
+    // Geometric + harmonic means (round 9, fourth wave) — the other two
+    // Pythagorean means, the right averages for ratios/rates where the
+    // arithmetic mean misleads. Discipline: each ln(x) / 1/x term is
+    // s6-FLOORED before the order-free integer sum (the agg_entropy LN
+    // rule), the mean-of-logs surfaces as an exact-int derivation, and
+    // the final EXP/division is one fixed IEEE sequence whose ≤1-ulp
+    // libm drift (~1e-9 relative) sits far inside the 1e-2 output grid.
+    // AM ≥ GM ≥ HM by construction — the spec pins the inequality.
+    Q("agg_geo_mean", Some(
+      "WITH b AS (SELECT l_returnflag, " +
+        sqlS6("LN(l_quantity)") + " AS lx, " + sqlS6("1.0 / l_quantity") + " AS rx, " +
+        sqlS0("l_quantity") + " AS x FROM lineitem WHERE l_quantity > 0), " +
+        "m AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(lx) AS BIGINT) AS sl, CAST(SUM(rx) AS BIGINT) AS sr, " +
+        "CAST(SUM(x) AS BIGINT) AS sx FROM b GROUP BY l_returnflag) " +
+        "SELECT l_returnflag, n, " +
+        sqlS2("EXP(CAST(sl AS DOUBLE) / CAST(n AS DOUBLE) / 1e6)") + " AS gm_c, " +
+        sqlS2("CAST(n AS DOUBLE) / (CAST(sr AS DOUBLE) / 1e6)") + " AS hm_c, " +
+        sqlS2("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)") + " AS am_c " +
+        "FROM m ORDER BY l_returnflag"),
+      (s, d) => {
+        val m = T.lineitem(s, d)
+          .where(col("l_quantity") > 0)
+          .select(col("l_returnflag"),
+            s6(log(col("l_quantity"))).as("lx"),
+            s6(lit(1.0) / col("l_quantity")).as("rx"),
+            s0(col("l_quantity")).as("x"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum(col("lx")).as("sl"),
+            sum(col("rx")).as("sr"), sum(col("x")).as("sx"))
+        val nD = col("n").cast("double")
+        m.select(col("l_returnflag"), col("n"),
+            s2(exp(col("sl").cast("double") / nD / lit(1e6))).as("gm_c"),
+            s2(nD / (col("sr").cast("double") / lit(1e6))).as("hm_c"),
+            s2(col("sx").cast("double") / nD).as("am_c"))
+          .orderBy("l_returnflag")
+      }),
+
     // Welch two-sample t statistic + Welch-Satterthwaite df (round 9,
     // second wave) — the hypothesis-testing primitive of A/B analysis,
     // comparing returned ('A') vs refused ('R') quantities per linestatus.

@@ -265,6 +265,43 @@ object EO {
             sum6(col("value")).as("sum_val"))
           .orderBy("n_name")),
 
+    // Zonal majority (round 9, fourth wave) — the MODE-per-zone raster
+    // product (GDAL majority resample / classification zonal mode):
+    // which land-cover class dominates each administrative zone. Counts
+    // per (zone, class) in one shuffle; the pick is a window top-1 by
+    // (count DESC, class ASC) — the deterministic tie-break agg_mode
+    // established (max_by's tie choice is implementation-defined, so it
+    // never appears in graded surfaces). Share on the s6 grid from
+    // exact longs. The window runs over zone×class rows — bounded by
+    // |zones|·|classes| at any data scale.
+    Q("eo_zonal_majority", Some(
+      "WITH c AS (SELECT n.n_name, e.event_type, CAST(COUNT(*) AS BIGINT) AS n_class " +
+        "FROM events e JOIN nation n ON CAST(e.user_id % 25 AS INT) = n.n_nationkey " +
+        "GROUP BY n.n_name, e.event_type), " +
+        "t AS (SELECT n_name, CAST(SUM(n_class) AS BIGINT) AS n_total FROM c GROUP BY n_name), " +
+        "r AS (SELECT n_name, event_type, n_class, " +
+        "ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY n_class DESC, event_type) AS rn FROM c) " +
+        "SELECT r.n_name, r.event_type AS maj_class, r.n_class, t.n_total, " +
+        sqlS6("CAST(r.n_class AS DOUBLE) / CAST(t.n_total AS DOUBLE)") + " AS share6 " +
+        "FROM r JOIN t ON t.n_name = r.n_name WHERE r.rn = 1 ORDER BY r.n_name"),
+      (s, d) => {
+        val c = T.events(s, d)
+          .join(broadcast(T.nation(s, d)),
+            (col("user_id") % 25).cast("int") === col("n_nationkey"))
+          .groupBy("n_name", "event_type")
+          .agg(count(lit(1)).as("n_class"))
+        val t = c.groupBy("n_name").agg(sum(col("n_class")).as("n_total"))
+        val w = Window.partitionBy("n_name")
+          .orderBy(col("n_class").desc, col("event_type"))
+        c.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .join(broadcast(t), "n_name")
+          .select(col("n_name"), col("event_type").as("maj_class"), col("n_class"),
+            col("n_total"),
+            s6(col("n_class").cast("double") / col("n_total").cast("double")).as("share6"))
+          .orderBy("n_name")
+      }),
+
     // Max-NDVI mosaic: per pixel-group, keep the observation with the
     // highest index value (the reference's max-NDVI composite product) —
     // argmax via window, ties broken by event_id.

@@ -281,5 +281,29 @@ object StreamTwins {
           .where(col("rn") === 1 && col("op") =!= "D")
           .select(col("user_id"), col("t").as("last_t"), s6(col("value")).as("last_val6"))
           .orderBy("user_id")
+      }),
+
+    // Debounce / rate-limit twin (round 9, fourth wave) — the event
+    // suppression every alerting/telemetry pipeline applies: emit an
+    // event only when it follows ≥ 60 s of per-user silence (leading-
+    // edge debounce; the streaming form is one timestamp per key in
+    // flatMapGroupsWithState, this is its end-of-stream batch twin —
+    // the stream_dedup contract, keyed on time gaps instead of
+    // identity). Gap from ONE lag pass; first event per user always
+    // emits (NULL gap). One entity shuffle + sort, linear.
+    Q("stream_debounce", Some(
+      "WITH v AS (SELECT user_id, event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t FROM events), " +
+        "g AS (SELECT user_id, event_id, t, " +
+        "t - LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS gap FROM v) " +
+        "SELECT event_id, user_id, t, gap FROM g " +
+        "WHERE gap IS NULL OR gap >= 60 ORDER BY event_id"),
+      (s, d) => {
+        val ord = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+        T.events(s, d)
+          .select(col("user_id"), col("event_id"), epochS(col("ts")).as("t"))
+          .withColumn("gap", col("t") - lag(col("t"), 1).over(ord))
+          .where(col("gap").isNull || col("gap") >= 60)
+          .select("event_id", "user_id", "t", "gap")
+          .orderBy("event_id")
       }))
 }

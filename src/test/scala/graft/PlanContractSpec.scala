@@ -328,6 +328,12 @@ class PlanContractSpec extends SparkSpec {
     // line dedup: chunk df joins back as an equi join, never a cartesian
     val ld = planOf("llm_line_dedup")
     assert(!ld.contains("CartesianProduct"), s"line-dedup join degenerated:\n$ld")
+    // star query: every dimension broadcasts; the fact side is never the
+    // build side of any join and no exchange precedes the joins
+    val q5 = planOf("join_star_q5")
+    assert(q5.split("BroadcastHashJoin").length >= 5 &&
+      !q5.contains("SortMergeJoin"),
+      s"star dims must all broadcast at this scale:\n$q5")
   }
 
   test("global sweep: no key plans a cartesian product or a python fallback") {

@@ -531,6 +531,99 @@ class Round9cOpsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("agg_geo_mean: Pythagorean mean inequality and the moment mirror") {
+    val got = SparkEntry.queries("agg_geo_mean")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val q = Tables.lineitem(spark, sfDir).select("l_returnflag", "l_quantity")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).filter(_._2 > 0)
+    q.groupBy(_._1).foreach { case (flag, rows) =>
+      val xs = rows.map(_._2)
+      val n = xs.size.toLong
+      val sl = xs.map(x => s6(math.log(x))).sum
+      val sr = xs.map(x => s6(1.0 / x)).sum
+      val sx = xs.map(x => math.floor(x + 0.5).toLong).sum
+      val (gn, gm, hm, am) = (got(flag)._1, got(flag)._2, got(flag)._3, got(flag)._4)
+      assert(gn == n, s"flag $flag n")
+      assert(math.abs(gm - s2(math.exp(sl.toDouble / n / 1e6))) <= 1, s"flag $flag gm")
+      assert(math.abs(hm - s2(n.toDouble / (sr.toDouble / 1e6))) <= 1, s"flag $flag hm")
+      assert(am == s2(sx.toDouble / n), s"flag $flag am")
+      // AM >= GM >= HM (strict unless all values equal)
+      assert(am >= gm - 1 && gm >= hm - 1, s"flag $flag mean inequality")
+    }
+  }
+
+  test("eo_zonal_majority: pick matches the count mirror with min-class ties") {
+    val got = SparkEntry.queries("eo_zonal_majority")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val nations = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").cast("long"), col("n_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byZone = eventTypes.groupBy(e => nations(e._1 % 25))
+    assert(got.keySet == byZone.keySet)
+    byZone.foreach { case (zone, rows) =>
+      val counts = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val tot = counts.values.sum
+      val (cls, cnt) = counts.toSeq.sortBy { case (c, n) => (-n, c) }.head
+      assert(got(zone) == ((cls, cnt, tot, s6(cnt.toDouble / tot.toDouble))), zone)
+    }
+  }
+
+  test("stream_debounce: kept set matches the silence-gap mirror") {
+    val got = SparkEntry.queries("stream_debounce")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val expect = events.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val srt = rows.sortBy(e => (e._4, e._2))
+      srt.zipWithIndex.collect {
+        case ((_, id, _, t, _), 0) => (id, u, t, None)
+        case ((_, id, _, t, _), i) if t - srt(i - 1)._4 >= 60 =>
+          (id, u, t, Some(t - srt(i - 1)._4))
+      }
+    }.sortBy(_._1)
+    assert(got.toSeq == expect)
+    // each user's first event always survives debouncing
+    assert(got.map(_._2).distinct.length == events.map(_._1).distinct.length)
+  }
+
+  test("join_star_q5: revenue matches the local-commerce star mirror") {
+    val got = SparkEntry.queries("join_star_q5")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val custNation = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").cast("long"), col("c_nationkey").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val orderRows = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").cast("long"), col("o_custkey").cast("long"),
+        col("o_orderdate").cast("string")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val suppNation = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey").cast("long"), col("s_nationkey").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nationInfo = Tables.nation(spark, sfDir)
+      .join(Tables.region(spark, sfDir),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").cast("long"), col("n_name"), col("r_name"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    val agg = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").cast("long"), col("l_suppkey").cast("long"),
+        col("l_extendedprice"), col("l_discount")).collect()
+      .foreach { r =>
+        val (custkey, odate) = orderRows(r.getLong(0))
+        val sn = suppNation(r.getLong(1))
+        val (nname, rname) = nationInfo(sn)
+        if (rname == "ASIA" && custNation(custkey) == sn &&
+          odate >= "1996-01-01" && odate < "1997-01-01") {
+          val rev = s2(r.getDouble(2)) *
+            math.floor((1 - r.getDouble(3)) * 100 + 0.5).toLong
+          val (c, v) = agg.getOrElse(nname, (0L, 0L))
+          agg(nname) = (c + 1, v + rev)
+        }
+      }
+    assert(got == agg.toMap)
+  }
+
   test("mm_energy_segments: islands match the frame-scan mirror") {
     val got = SparkEntry.queries("mm_energy_segments")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
