@@ -1238,5 +1238,108 @@ object LlmExtras {
           .agg(count(lit(1)).as("n_chunks"), sum(col("bp")).as("n_removed"),
             sum(when(col("bp") === 0, Det.hash32(col("chunk")))).as("kept_fp"))
           .orderBy("doc_id")
+      }),
+
+    // Dataset-card rollup (round 9, fourth wave) — the per-source
+    // summary every corpus release ships (the "dataset card" numbers):
+    // document/token counts, language spread, exact-duplicate share and
+    // mean document length, in ONE pass over the corpus plus a
+    // broadcast duplicate-dictionary join. The duplicate share reuses
+    // llm_dedup_exact's md5 grouping; shares land on the s6 grid from
+    // exact longs. Output is source-count-sized.
+    Q("llm_corpus_report", Some(
+      "WITH d AS (SELECT source, lang, doc_id, MD5(text) AS h, " +
+        "LEN(STRING_SPLIT(text, ' ')) AS ntok, n_chars FROM documents), " +
+        "dup AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY h), " +
+        "g AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(COUNT(DISTINCT d.lang) AS BIGINT) AS n_langs, " +
+        "CAST(SUM(d.ntok) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(d.n_chars) AS BIGINT) AS n_chars, " +
+        "CAST(SUM(CASE WHEN dup.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup " +
+        "FROM d JOIN dup ON dup.h = d.h GROUP BY d.source) " +
+        "SELECT source, n_docs, n_langs, n_tokens, " +
+        sqlS6("CAST(n_dup AS DOUBLE) / CAST(n_docs AS DOUBLE)") + " AS dup_share6, " +
+        "CAST(FLOOR(CAST(n_chars AS DOUBLE) / CAST(n_docs AS DOUBLE) + 0.5) AS BIGINT) AS mean_chars " +
+        "FROM g ORDER BY source"),
+      (s, d) => {
+        val dd = T.documents(s, d).select(col("source"), col("lang"), col("doc_id"),
+          md5(col("text")).as("h"),
+          size(split(col("text"), " ")).cast("long").as("ntok"), col("n_chars"))
+        val dup = dd.groupBy("h").agg(count(lit(1)).as("cnt"))
+        val g = dd.join(dup, "h")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), countDistinct(col("lang")).as("n_langs"),
+            sum(col("ntok")).as("n_tokens"), sum(col("n_chars")).as("nc"),
+            sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup"))
+        g.select(col("source"), col("n_docs"), col("n_langs"), col("n_tokens"),
+            s6(col("n_dup").cast("double") / col("n_docs").cast("double")).as("dup_share6"),
+            floor(col("nc").cast("double") / col("n_docs").cast("double") + lit(0.5))
+              .cast("long").as("mean_chars"))
+          .orderBy("source")
+      }),
+
+    // BPE round-1 pair statistics (round 9, fourth wave) — the adjacency
+    // counts a byte-pair-encoding trainer computes each merge round
+    // (Sennrich et al. 2016): per language, the top-5 most frequent
+    // adjacent CHARACTER pairs within tokens, ties to the
+    // lexicographically smallest pair (the deterministic tie rule real
+    // trainers fix for reproducible vocabularies). Pair explode is
+    // linear in characters; the pick is a window top-5 over the
+    // per-lang pair vocabulary — bounded rows after the one data-sized
+    // aggregate.
+    Q("llm_bpe_pairs", Some(
+      "WITH t AS (SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents), " +
+        "p AS (SELECT lang, SUBSTRING(tok, i, 2) AS pair " +
+        "FROM t, (SELECT UNNEST(RANGE(1, 40)) AS i) idx WHERE i < LEN(tok)), " +
+        "c AS (SELECT lang, pair, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY lang, pair), " +
+        "r AS (SELECT lang, pair, n, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, pair) AS BIGINT) AS rnk FROM c) " +
+        "SELECT lang, rnk, pair, n FROM r WHERE rnk <= 5 ORDER BY lang, rnk"),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = T.documents(s, d)
+          .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        // positions 1..39 cover any token this vocabulary holds; the cap
+        // is baked into the oracle's RANGE identically (the ChunkCap rule)
+        val p = t.select(col("lang"),
+            explode(sequence(lit(1), least(lit(39), length(col("tok")) - 1))).as("i"),
+            col("tok"))
+          .select(col("lang"), expr("substring(tok, i, 2)").as("pair"))
+        val c = p.groupBy("lang", "pair").agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("lang").orderBy(col("n").desc, col("pair"))
+        c.withColumn("rnk", row_number().over(w).cast("long"))
+          .where(col("rnk") <= 5)
+          .select("lang", "rnk", "pair", "n")
+          .orderBy("lang", "rnk")
+      }),
+
+    // Character-entropy gibberish filter (round 9, fourth wave) — the
+    // cheap pre-quality screen (random bytes and key-mash have
+    // near-uniform character entropy; natural text sits lower): Shannon
+    // entropy of each document's character distribution, each
+    // −(c/n)·ln(c/n) term s6-floored BEFORE the per-doc sum (the
+    // agg_entropy discipline). The explode is linear in characters and
+    // collapses to (doc, char) counts map-side; output is doc-sized.
+    Q("llm_char_entropy", Some(
+      "WITH ch AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, '')) AS c FROM documents), " +
+        "cc AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS k FROM ch GROUP BY doc_id, c), " +
+        "n AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n FROM cc GROUP BY doc_id), " +
+        "t AS (SELECT cc.doc_id, " +
+        sqlS6("-(CAST(k AS DOUBLE) / CAST(n.n AS DOUBLE)) * LN(CAST(k AS DOUBLE) / CAST(n.n AS DOUBLE))") +
+        " AS e6 FROM cc JOIN n ON n.doc_id = cc.doc_id) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct_chars, " +
+        "CAST(SUM(e6) AS BIGINT) AS entropy6 " +
+        "FROM t GROUP BY doc_id ORDER BY doc_id"),
+      (s, d) => {
+        val cc = T.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+          .groupBy("doc_id", "c").agg(count(lit(1)).as("k"))
+        val n = cc.groupBy("doc_id").agg(sum(col("k")).as("n"))
+        val ratio = col("k").cast("double") / col("n").cast("double")
+        cc.join(n, "doc_id")
+          .select(col("doc_id"), s6(-ratio * log(ratio)).as("e6"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_distinct_chars"), sum(col("e6")).as("entropy6"))
+          .orderBy("doc_id")
       }))
 }

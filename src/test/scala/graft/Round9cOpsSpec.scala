@@ -624,6 +624,61 @@ class Round9cOpsSpec extends SparkSpec {
     assert(got == agg.toMap)
   }
 
+  test("llm_corpus_report: card numbers match the rollup mirror") {
+    val got = SparkEntry.queries("llm_corpus_report")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    val bySource = Tables.documents(spark, sfDir)
+      .select("source", "lang", "text", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .groupBy(_._1)
+    val dupCounts = bySource.values.flatten.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(got.keySet == bySource.keySet)
+    bySource.foreach { case (src, rows) =>
+      val nDocs = rows.size.toLong
+      val nDup = rows.count(r => dupCounts(r._3) > 1).toLong
+      val nChars = rows.map(_._4).sum
+      assert(got(src) == ((nDocs, rows.map(_._2).distinct.size.toLong,
+        rows.map(_._3.split(" ").length.toLong).sum,
+        s6(nDup.toDouble / nDocs.toDouble),
+        math.floor(nChars.toDouble / nDocs.toDouble + 0.5).toLong)), s"source $src")
+    }
+  }
+
+  test("llm_bpe_pairs: round-1 merge candidates match the pair mirror") {
+    val got = SparkEntry.queries("llm_bpe_pairs")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val expect = docs.groupBy(_._3).toSeq.flatMap { case (lang, rows) =>
+      val pairs = rows.flatMap(_._2.split(" ")).flatMap { tok =>
+        (0 until math.min(tok.length - 1, 39)).map(i => tok.substring(i, i + 2))
+      }
+      pairs.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .sortBy { case (p, n) => (-n, p) }.take(5).zipWithIndex
+        .map { case ((p, n), i) => (lang, i + 1L, p, n) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == expect)
+  }
+
+  test("llm_char_entropy: per-doc entropy matches the distribution mirror") {
+    val got = SparkEntry.queries("llm_char_entropy")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == docs.map(_._1).toSet)
+    docs.foreach { case (id, text, _, _) =>
+      val counts = text.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = text.length.toLong
+      val e = counts.values.map { k =>
+        val r = k.toDouble / n
+        s6(-r * math.log(r))
+      }.sum
+      assert(got(id)._1 == counts.size.toLong, s"doc $id distinct chars")
+      // Math.log vs engine LN last-ulp drift: ±1 grid cell per distinct char
+      assert(math.abs(got(id)._2 - e) <= counts.size, s"doc $id entropy")
+      // entropy bounded by ln(alphabet size)
+      assert(got(id)._2 <= s6(math.log(counts.size.toDouble)) + counts.size,
+        s"doc $id entropy bound")
+    }
+  }
+
   test("mm_energy_segments: islands match the frame-scan mirror") {
     val got = SparkEntry.queries("mm_energy_segments")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
