@@ -1133,6 +1133,87 @@ object LlmExtras {
           .orderBy("d1")
       }),
 
+    // Bottom-k containment ESTIMATOR (round 9, fourth wave) — the scale
+    // path llm_containment's guard names, graded end-to-end (the r8
+    // rule: a documented 100-TB switch must be oracle-proven, not
+    // advisory). Broder's bottom-k construction: sketch(A) = the k=32
+    // tokens with smallest portable hash (ties by token — both engines
+    // order identically under binary collation); est C(A→B) =
+    // |sketch(A) ∩ B| / min(k, |A|), EXACT whenever |A| ≤ k and an
+    // unbiased k-sample otherwise. The same per-doc subsumption summary
+    // shape as the exact key so the two surfaces compare 1:1; the
+    // estimator's recall against the exact key is property-pinned in
+    // Round9cOpsSpec. Verify cost per pair drops from |A| to ≤ k — at
+    // corpus scale the sketch side also feeds an inverted-index
+    // (posting-list) join instead of the block join, the SSJoin shape.
+    Q("llm_containment_est", Some(
+      "WITH toks AS (SELECT DISTINCT doc_id, tok FROM (" +
+        "SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)), " +
+        "sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY doc_id), " +
+        "langd AS (SELECT doc_id, lang FROM documents), " +
+        "sk AS (SELECT doc_id, tok FROM (SELECT doc_id, tok, " +
+        "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY " + sqlHash32("tok") + ", tok) AS rn " +
+        "FROM toks) WHERE rn <= 32), " +
+        "m AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS i " +
+        "FROM sk a JOIN toks b ON b.tok = a.tok AND b.doc_id <> a.doc_id " +
+        "JOIN langd la ON la.doc_id = a.doc_id " +
+        "JOIN langd lb ON lb.doc_id = b.doc_id AND lb.lang = la.lang " +
+        "GROUP BY d1, d2), " +
+        "f AS (SELECT m.d1, m.d2, m.i, LEAST(32, s1.n) AS k, s1.n AS n1 " +
+        "FROM m JOIN sizes s1 ON s1.doc_id = m.d1 JOIN sizes s2 ON s2.doc_id = m.d2 " +
+        "WHERE 5 * s2.n >= 4 * s1.n AND 5 * m.i >= 4 * LEAST(32, s1.n)), " +
+        "g AS (SELECT d1, CAST(COUNT(*) AS BIGINT) AS n_sup, MAX(i) AS mi, " +
+        "MAX(k) AS k, MAX(n1) AS n1 FROM f GROUP BY d1) " +
+        "SELECT g.d1, g.n_sup, g.n1, " +
+        sqlS6("CAST(g.mi AS DOUBLE) / CAST(g.k AS DOUBLE)") + " AS best_est6, " +
+        "MIN(CASE WHEN f.i = g.mi THEN f.d2 END) AS best_d2 " +
+        "FROM g JOIN f ON f.d1 = g.d1 " +
+        "GROUP BY g.d1, g.n_sup, g.n1, g.mi, g.k ORDER BY g.d1"),
+      (s, d) => {
+        graft.functions.VectorExprs.register(s)
+        import graft.functions.VectorExprs.icount
+        val toks = T.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val dict = TextOps.denseIds(toks.select("tok").distinct(), "tid")
+        val langd = T.documents(s, d).select(col("doc_id"), col("lang"))
+        // per doc: full sorted id array + the bottom-32-by-(hash, tok)
+        // sketch as a SORTED id array (ids are dictionary-arbitrary; the
+        // intersect is permutation-invariant, the SELECTION is hash-tied)
+        val docsT = toks.join(broadcast(dict), "tok")
+          .withColumn("h", Det.hash32(col("tok")))
+          .groupBy("doc_id")
+          .agg(array_sort(collect_list(col("tid"))).as("ids"),
+            array_sort(transform(
+              slice(array_sort(collect_list(struct(col("h"), col("tok"), col("tid")))), 1, 32),
+              e => e.getField("tid"))).as("sk"))
+          .join(langd, "doc_id")
+          .withColumn("n", size(col("ids")).cast("long"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        TextOps.guardPairBudget(docsT, Seq("lang"), "llm_containment_est",
+          "route the sketch through an inverted-index posting join " +
+            "(the oracle's own shape) at corpus scale")
+        val k = least(lit(32L), col("n1"))
+        val build = docsT.select(col("doc_id").as("d2"), col("lang"), col("ids").as("ib"),
+          col("n").as("n2"))
+        docsT.select(col("doc_id").as("d1"), col("lang"), col("sk").as("ska"),
+            col("n").as("n1"))
+          .join(build, Seq("lang"))
+          .where(col("d1") =!= col("d2") && lit(5) * col("n2") >= lit(4) * col("n1"))
+          .withColumn("i", icount(col("ska"), col("ib")).cast("long"))
+          .where(lit(5) * col("i") >= lit(4) * k)
+          .withColumn("mi", max(col("i")).over(Window.partitionBy("d1")))
+          .groupBy("d1")
+          .agg(count(lit(1)).as("n_sup"), max(col("mi")).as("mi"),
+            max(k).as("k"), max(col("n1")).as("n1"),
+            min(when(col("i") === col("mi"), col("d2"))).as("best_d2"))
+          .select(col("d1"), col("n_sup"), col("n1"),
+            s6(col("mi").cast("double") / col("k").cast("double")).as("best_est6"),
+            col("best_d2"))
+          .orderBy("d1")
+      }),
+
     // Quality-weighted deterministic sampling (round 9, third wave) —
     // the importance-sampling step of corpus mixing (upsample long/high-
     // quality documents, downsample boilerplate) with the SAME

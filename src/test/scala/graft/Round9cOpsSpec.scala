@@ -279,6 +279,32 @@ class Round9cOpsSpec extends SparkSpec {
     assert(got.values.forall(v => v._3 > 0 && v._3 <= 1000000L))
   }
 
+  test("llm_containment_est: exact below k, recall-complete on full containment") {
+    val exact = SparkEntry.queries("llm_containment")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val est = SparkEntry.queries("llm_containment_est")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val tokCounts = docs.map(d => d._1 -> d._2.split(" ").toSet.size).toMap
+    // |A| <= k = 32: the sketch IS A, so the estimator must agree with
+    // the exact key row-for-row (same n_sup, same best doc, same value)
+    val small = exact.keySet.filter(tokCounts(_) <= 32)
+    small.foreach { d1 =>
+      assert(est.contains(d1), s"doc $d1 (|A|<=k) missing from estimator")
+      assert(est(d1) == exact(d1), s"doc $d1 (|A|<=k) estimator != exact")
+    }
+    // fully contained docs (best_cont6 == 1e6): every sketch token is in
+    // B, so est = 1 — the estimator can NEVER miss them (pigeonhole)
+    exact.foreach { case (d1, (_, _, cont, _)) =>
+      if (cont == 1000000L)
+        assert(est.contains(d1) && est(d1)._3 == 1000000L,
+          s"doc $d1 fully contained but estimator missed it")
+    }
+    // and the estimator flags at least the exactly-subsumed population
+    assert(est.keySet.intersect(exact.keySet).size >= small.size)
+  }
+
   /** Portable 32-bit hash mirror of Det.hash32: little-endian uint32 of
     * the first four md5 digest bytes. */
   private def hash32(s: String): Long = {
