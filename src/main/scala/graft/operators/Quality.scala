@@ -255,6 +255,39 @@ object Quality {
           .agg(max(col("na")).as("n_ref"), max(col("nb")).as("n_cur"),
             sum(col("t6")).as("psi6"))
           .orderBy("event_type")
+      }),
+
+    // Benford first-digit audit (round 9, fifth wave) — the classic
+    // forensic-accounting screen (Benford 1938; Nigrini's audit
+    // practice): naturally-occurring monetary amounts put digit d first
+    // with probability log10(1 + 1/d); fabricated data rarely does. The
+    // leading digit comes from the STRING form of the exact cent
+    // integer (identical on both engines — no log10/power decade
+    // arithmetic, whose 1-ulp drift at exact decade boundaries could
+    // flip a digit), shares land on the s6 grid from exact longs, and
+    // the reference distribution is a fixed LN sequence. One aggregate
+    // pass; output is 9 rows.
+    Q("dq_benford", Some(
+      "WITH d AS (SELECT SUBSTRING(CAST(" + sqlS2("o_totalprice") + " AS VARCHAR), 1, 1) AS digit " +
+        "FROM orders WHERE o_totalprice > 0), " +
+        "c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit), " +
+        "t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c) " +
+        "SELECT digit, n, " +
+        sqlS6("CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)") + " AS share6, " +
+        sqlS6("LN(1.0 + 1.0 / CAST(digit AS DOUBLE)) / LN(10.0)") + " AS benford6 " +
+        "FROM c, t ORDER BY digit"),
+      (s, d) => {
+        val c = T.orders(s, d)
+          .where(col("o_totalprice") > 0)
+          .select(substring(s2(col("o_totalprice")).cast("string"), 1, 1).as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n"))
+        val t = c.agg(sum(col("n")).as("tot"))
+        c.crossJoin(broadcast(t))
+          .select(col("digit"), col("n"),
+            s6(col("n").cast("double") / col("tot").cast("double")).as("share6"),
+            s6(log(lit(1.0) + lit(1.0) / col("digit").cast("double")) / log(lit(10.0)))
+              .as("benford6"))
+          .orderBy("digit")
       }))
 
   /** The 10-row bin grid (0..9) as a DataFrame — tiny, broadcast into

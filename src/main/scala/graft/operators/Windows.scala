@@ -872,5 +872,37 @@ object Windows {
               .otherwise(s6(col("sw").cast("double") / col("span").cast("double")))
               .as("twa_c6"))
           .orderBy("user_id")
+      }),
+
+    // Last-touch attribution (round 9, fifth wave) — the marketing-
+    // analytics staple: each purchase credits the LAST non-purchase
+    // event ("channel") the same user emitted strictly before it. ONE
+    // ignore-nulls last_value pass over the mixed per-user stream (the
+    // win_interpolate bracket idiom — no self-join, no as-of pass),
+    // then a channel-level rollup; purchases with no prior touch credit
+    // 'none'. One entity shuffle/sort; output is channel-count-sized.
+    Q("win_attribution", Some(
+      "WITH v AS (SELECT user_id, event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t, " +
+        "event_type FROM events), " +
+        "w AS (SELECT user_id, event_id, t, event_type, " +
+        "LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY t, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch FROM v) " +
+        "SELECT COALESCE(touch, 'none') AS channel, CAST(COUNT(*) AS BIGINT) AS n_credits, " +
+        "CAST(SUM(event_id) AS BIGINT) AS cksum " +
+        "FROM w WHERE event_type = 'purchase' GROUP BY channel ORDER BY channel"),
+      (s, dd) => {
+        val ord = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        T.events(s, dd)
+          .select(col("user_id"), col("event_id"), epochS(col("ts")).as("t"),
+            col("event_type"))
+          .withColumn("touch", last(
+            when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(ord))
+          .where(col("event_type") === "purchase")
+          .groupBy(coalesce(col("touch"), lit("none")).as("channel"))
+          .agg(count(lit(1)).as("n_credits"), sum(col("event_id")).as("cksum"))
+          .orderBy("channel")
       }))
 }

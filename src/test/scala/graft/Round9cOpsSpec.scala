@@ -705,6 +705,91 @@ class Round9cOpsSpec extends SparkSpec {
     }
   }
 
+  test("win_attribution: credits match the last-touch scan mirror") {
+    val got = SparkEntry.queries("win_attribution")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val all = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("t"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val credits = all.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val srt = rows.sortBy(e => (e._3, e._2))
+      var lastTouch: Option[String] = None
+      srt.flatMap { e =>
+        val out = if (e._4 == "purchase") Some((lastTouch.getOrElse("none"), e._2)) else None
+        if (e._4 != "purchase") lastTouch = Some(e._4)
+        out
+      }
+    }
+    val expect = credits.groupBy(_._1).view
+      .mapValues(cs => (cs.size.toLong, cs.map(_._2).sum)).toSeq
+      .map { case (ch, (n, ck)) => (ch, n, ck) }.sortBy(_._1)
+    assert(got.toSeq == expect)
+    // credit conservation: total credits == total purchases
+    assert(got.map(_._2).sum == all.count(_._4 == "purchase").toLong)
+  }
+
+  test("dq_benford: digit distribution matches the string-head mirror") {
+    val got = SparkEntry.queries("dq_benford")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val cents = Tables.orders(spark, sfDir).select("o_totalprice").collect()
+      .map(_.getDouble(0)).filter(_ > 0).map(v => s2(v))
+    val counts = cents.map(_.toString.head.toString)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tot = counts.values.sum
+    assert(got.keySet == counts.keySet)
+    counts.foreach { case (d, n) =>
+      assert(got(d)._1 == n, s"digit $d count")
+      assert(got(d)._2 == s6(n.toDouble / tot.toDouble), s"digit $d share")
+      assert(math.abs(got(d)._3 -
+        s6(math.log(1.0 + 1.0 / d.toInt) / math.log(10.0))) <= 1, s"digit $d ref")
+    }
+    // the reference distribution itself sums to ~1 over digits 1..9
+    val ref = (1 to 9).map(d => math.log(1.0 + 1.0 / d) / math.log(10.0)).sum
+    assert(math.abs(ref - 1.0) < 1e-12)
+  }
+
+  test("eo_composite_seasonal: weekly medians match the doubled mirror") {
+    val got = SparkEntry.queries("eo_composite_seasonal")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val rows = Tables.events(spark, sfDir)
+      .select(col("user_id"), weekofyear(col("ts")).as("w"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val byKey = rows.groupBy(e => (e._1, e._2))
+    assert(got.keySet == byKey.keySet)
+    byKey.foreach { case (k, es) =>
+      val vs = es.map(e => s6(e._3)).sorted
+      val med2 = if (vs.size % 2 == 1) vs(vs.size / 2) * 2
+        else vs(vs.size / 2 - 1) + vs(vs.size / 2)
+      assert(got(k) == ((vs.size.toLong, med2)), s"key $k")
+    }
+  }
+
+  test("eo_tile_stretch: p2/p98 rescale matches the sorted mirror") {
+    // sf0.001 has no full tiles; build the mirror only when tiles exist
+    val got = SparkEntry.queries("eo_tile_stretch")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val px = events.map(e => (e._2 / 4 / 256, (e._2 / 4 % 256).toInt, e._2 % 4, e._1))
+      .filter(_._3 == 0)
+    val full = px.groupBy(_._1).filter(_._2.size == 256)
+    assert(got.keySet == full.keySet)
+    full.foreach { case (tile, pxs) =>
+      val sorted = pxs.map(p => (p._4, p._2)).sortBy(identity)
+      val n = sorted.size
+      val lo = sorted(((n - 1) * 2) / 100)._1
+      val hi = sorted(((n - 1) * 98) / 100)._1
+      val svs = pxs.map { p =>
+        val sv = if (hi <= lo) 0L
+          else math.min(255L, math.max(0L,
+            math.floor((p._4 - lo).toDouble * 255.0 / (hi - lo).toDouble + 0.5).toLong))
+        (sv, p._2)
+      }
+      assert(got(tile) == ((lo, hi, svs.map(_._1).sum,
+        svs.map { case (s, pos) => s * (pos + 1) }.sum)), s"tile $tile")
+    }
+  }
+
   test("mm_energy_segments: islands match the frame-scan mirror") {
     val got = SparkEntry.queries("mm_energy_segments")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
