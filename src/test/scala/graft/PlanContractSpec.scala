@@ -334,6 +334,17 @@ class PlanContractSpec extends SparkSpec {
     assert(q5.split("BroadcastHashJoin").length >= 5 &&
       !q5.contains("SortMergeJoin"),
       s"star dims must all broadcast at this scale:\n$q5")
+    // attribution: ONE entity-partitioned window, never a self-join
+    val at = planOf("win_attribution")
+    assert(!at.contains("Join") &&
+      at.split("Exchange hashpartitioning").length - 1 <= 2,
+      s"attribution must be the single-window form:\n$at")
+    // tile stretch: per-tile bounds join back broadcast
+    val ts = planOf("eo_tile_stretch")
+    assert(ts.contains("BroadcastHashJoin"), s"stretch bounds not broadcast:\n$ts")
+    // containment estimator keeps the equi block join (no cartesian)
+    val ce = planOf("llm_containment_est")
+    assert(!ce.contains("CartesianProduct"), s"estimator join degenerated:\n$ce")
   }
 
   test("global sweep: no key plans a cartesian product or a python fallback") {
