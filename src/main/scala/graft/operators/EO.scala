@@ -302,6 +302,61 @@ object EO {
           .orderBy("n_name")
       }),
 
+    // Cloud-shadow geometric projection (round 9, fifth wave) — the
+    // fmask-family step after cloud detection: project each cloud pixel
+    // along the sun vector (here a fixed (dx=2, dy=1) offset — the
+    // integer displacement a real pipeline derives from sun
+    // elevation/azimuth and cloud height) and flag the landing pixel as
+    // shadow; the usable-pixel mask is cloud ∪ shadow. Pure coordinate
+    // algebra: the shadow test is an EQUI self-join on the shifted
+    // (tile, py−1, px−2) key — map-side at any scale, zero-filled at
+    // tile borders (compose the halo exchange when cross-tile shadows
+    // matter, the focal contract). Counts + position checksum per tile.
+    Q("eo_tile_shift_mask", Some(
+      "WITH px AS (SELECT (event_id // 4) // 256 AS tile, " +
+        "((event_id // 4) % 256) // 16 AS py, ((event_id // 4) % 256) % 16 AS px, " +
+        "event_id % 4 AS t, CAST(user_id % 2 AS BIGINT) AS m FROM events), " +
+        "full_t AS (SELECT tile FROM px WHERE t = 0 GROUP BY tile HAVING COUNT(*) = 256), " +
+        "p0 AS (SELECT p.tile, py, px, m FROM px p JOIN full_t USING (tile) WHERE t = 0), " +
+        "sh AS (SELECT o.tile, o.py, o.px, o.m AS cloud, " +
+        "COALESCE(src.m, 0) AS shadow FROM p0 o " +
+        "LEFT JOIN p0 src ON src.tile = o.tile AND src.py = o.py - 1 AND src.px = o.px - 2), " +
+        "c AS (SELECT tile, py * 16 + px AS pos, cloud, shadow, " +
+        "CASE WHEN cloud = 1 OR shadow = 1 THEN 1 ELSE 0 END AS bad FROM sh) " +
+        "SELECT tile, CAST(SUM(cloud) AS BIGINT) AS n_cloud, " +
+        "CAST(SUM(CASE WHEN shadow = 1 AND cloud = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_shadow_only, " +
+        "CAST(SUM(1 - bad) AS BIGINT) AS n_clear, " +
+        "CAST(SUM(bad * (pos + 1)) AS BIGINT) AS checksum " +
+        "FROM c GROUP BY tile ORDER BY tile"),
+      (s, d) => {
+        val px = T.events(s, d).select(
+          expr("(event_id div 4) div 256").as("tile"),
+          expr("((event_id div 4) % 256) div 16").as("py"),
+          expr("((event_id div 4) % 256) % 16").as("px"),
+          (col("event_id") % 4).as("t"), (col("user_id") % 2).as("m"))
+        val fullT = px.where(col("t") === 0).groupBy("tile")
+          .agg(count(lit(1)).as("c")).where(col("c") === 256).select("tile")
+        val p0 = px.where(col("t") === 0).join(broadcast(fullT), "tile")
+          .select("tile", "py", "px", "m")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val src = p0.select(col("tile").as("ts"), col("py").as("sy"),
+          col("px").as("sx"), col("m").as("sm"))
+        val sh = p0.join(src,
+            col("ts") === col("tile") && col("sy") === col("py") - 1 &&
+              col("sx") === col("px") - 2, "left")
+          .select(col("tile"), (col("py") * 16 + col("px")).as("pos"),
+            col("m").as("cloud"), coalesce(col("sm"), lit(0L)).as("shadow"))
+        val bad = when(col("cloud") === 1 || col("shadow") === 1, 1L).otherwise(0L)
+        sh.select(col("tile"), col("pos"), col("cloud"), col("shadow"), bad.as("bad"))
+          .groupBy("tile")
+          .agg(sum(col("cloud")).as("n_cloud"),
+            sum(when(col("shadow") === 1 && col("cloud") === 0, 1L).otherwise(0L))
+              .as("n_shadow_only"),
+            sum(lit(1L) - col("bad")).as("n_clear"),
+            sum(col("bad") * (col("pos") + 1)).as("checksum"))
+          .orderBy("tile")
+      }),
+
     // Percentile contrast stretch (round 9, fifth wave) — the p2/p98
     // display normalization every RGB quicklook/browse-image pipeline
     // applies (GDAL translate -scale, QGIS cumulative-cut): per tile,

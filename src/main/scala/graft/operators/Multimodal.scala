@@ -445,5 +445,50 @@ object Multimodal {
             count(lit(1)).as("n_frames"), sum(col("energy")).as("sum_energy"))
           .select("doc_id", "seg_start", "seg_end", "n_frames", "sum_energy")
           .orderBy("doc_id", "seg_start")
+      }),
+
+    // Shot-boundary detection (round 9, fifth wave) — the scene-cut
+    // step of video preprocessing (frame-difference thresholding, the
+    // classic pre-neural detector): a cut lands where consecutive
+    // frames' energies jump by ≥ 16 (25% of the 64-byte frame) — the
+    // real detector diffs histogram/embedding distances in the codec
+    // batch, the SAME swap point as fakeDecode; the framing, lag diff
+    // and per-asset rollup graded here survive that swap. One lag pass
+    // per doc partition, integer throughout.
+    Q("mm_scene_cuts", Some(
+      "WITH p AS (SELECT doc_id, text, CAST(LENGTH(text) AS INTEGER) AS n FROM documents " +
+        "WHERE doc_id % 3 = 2 AND LENGTH(text) // 64 > 0), " +
+        "f AS (SELECT doc_id, text, UNNEST(RANGE(0, n // 64)) AS k FROM p), " +
+        "e AS (SELECT doc_id, CAST(k AS BIGINT) AS k, " +
+        "CAST(LENGTH(REPLACE(SUBSTRING(text, CAST(k * 64 AS INTEGER) + 1, 64), ' ', '')) AS BIGINT) AS energy " +
+        "FROM f), " +
+        "d AS (SELECT doc_id, k, energy, " +
+        "ABS(energy - LAG(energy) OVER (PARTITION BY doc_id ORDER BY k)) AS jump FROM e) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames, " +
+        "CAST(SUM(CASE WHEN jump >= 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts, " +
+        "MIN(CASE WHEN jump >= 16 THEN k END) AS first_cut, " +
+        "MAX(CASE WHEN jump >= 16 THEN k END) AS last_cut, " +
+        "CAST(SUM(CASE WHEN jump >= 16 THEN k ELSE 0 END) AS BIGINT) AS cksum " +
+        "FROM d GROUP BY doc_id ORDER BY doc_id"),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = T.documents(s, d)
+          .where(col("doc_id") % 3 === 2 && expr("length(text) div 64") > 0)
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(0), expr("length(text) div 64").cast("int") - 1)).as("k"))
+          .select(col("doc_id"), col("k").cast("long").as("k"),
+            length(regexp_replace(
+              expr("substring(text, cast(k * 64 as int) + 1, 64)"), " ", ""))
+              .cast("long").as("energy"))
+        val jump = abs(col("energy") -
+          lag(col("energy"), 1).over(Window.partitionBy("doc_id").orderBy("k")))
+        e.withColumn("jump", jump)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_frames"),
+            sum(when(col("jump") >= 16, 1L).otherwise(0L)).as("n_cuts"),
+            min(when(col("jump") >= 16, col("k"))).as("first_cut"),
+            max(when(col("jump") >= 16, col("k"))).as("last_cut"),
+            sum(when(col("jump") >= 16, col("k")).otherwise(0L)).as("cksum"))
+          .orderBy("doc_id")
       }))
 }

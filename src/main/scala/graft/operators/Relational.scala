@@ -231,6 +231,33 @@ object Relational {
           .orderBy("o_orderkey")
       }),
 
+    // Bucketed AGGREGATION (round 9, fifth wave) — join_bucketed's
+    // layout story applied to the OTHER exchange consumer: a table
+    // bucketed on the grouping key satisfies the aggregate's required
+    // distribution from the scan, so the groupBy runs with ZERO
+    // exchanges (PlanContractSpec pins it). At 100 TB this is the
+    // difference between re-shuffling every query and paying the
+    // shuffle once at ingest — the standard warehouse layout contract.
+    // Oracle = the identical aggregate over the unbucketed parquet
+    // truth, so the bucketed write/read loop is value-graded too.
+    Q("agg_bucketed", Some(
+      "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(event_id) AS BIGINT) AS sum_id, " +
+        sqlSum6("value") + " AS sum_val " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
+      (s, d) => {
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed"
+        T.events(s, d).select("event_id", "user_id", "value")
+          .write.mode("overwrite")
+          .bucketBy(8, "user_id")
+          .option("path", s"$base/events_agg").saveAsTable("graft_buck_events")
+        s.table("graft_buck_events")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
+            sum6(col("value")).as("sum_val"))
+          .orderBy("user_id")
+      }),
+
     Q("project_arith", Some(
       "SELECT l_orderkey, l_linenumber, " +
         sqlS6("l_extendedprice * (1 - l_discount) * (1 + l_tax)") + " AS net_charge, " +

@@ -345,6 +345,16 @@ class PlanContractSpec extends SparkSpec {
     // containment estimator keeps the equi block join (no cartesian)
     val ce = planOf("llm_containment_est")
     assert(!ce.contains("CartesianProduct"), s"estimator join degenerated:\n$ce")
+    // bucketed aggregation: the layout satisfies the distribution — the
+    // groupBy must run with ZERO exchanges below the presentation sort
+    val ab = planOf("agg_bucketed")
+    val belowSort = ab.substring(ab.indexOf("HashAggregate"))
+    assert(!belowSort.contains("Exchange hashpartitioning"),
+      s"bucketed aggregate still shuffles:\n$ab")
+    // shadow projection: the shifted-coordinate test is an equi join
+    val sm = planOf("eo_tile_shift_mask")
+    assert(!sm.contains("CartesianProduct") && !sm.contains("NestedLoopJoin"),
+      s"shadow projection degenerated:\n$sm")
   }
 
   test("global sweep: no key plans a cartesian product or a python fallback") {

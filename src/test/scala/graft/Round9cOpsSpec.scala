@@ -790,6 +790,52 @@ class Round9cOpsSpec extends SparkSpec {
     }
   }
 
+  test("eo_tile_shift_mask: shadow landing matches the offset mirror") {
+    val got = SparkEntry.queries("eo_tile_shift_mask")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val px = events.map(e => (e._2 / 4 / 256, ((e._2 / 4) % 256 / 16).toInt,
+      ((e._2 / 4) % 256 % 16).toInt, e._2 % 4, e._1 % 2))
+      .filter(_._4 == 0)
+    val full = px.groupBy(_._1).filter(_._2.size == 256)
+    assert(got.keySet == full.keySet)
+    full.foreach { case (tile, pxs) =>
+      val mask = pxs.map(p => (p._2, p._3) -> p._5).toMap
+      var (nc, nso, ncl, ck) = (0L, 0L, 0L, 0L)
+      pxs.foreach { p =>
+        val cloud = p._5
+        val shadow = mask.getOrElse((p._2 - 1, p._3 - 2), 0L)
+        val bad = if (cloud == 1 || shadow == 1) 1L else 0L
+        nc += cloud
+        if (shadow == 1 && cloud == 0) nso += 1
+        if (bad == 0) ncl += 1
+        ck += bad * (p._2 * 16 + p._3 + 1)
+      }
+      assert(got(tile) == ((nc, nso, ncl, ck)), s"tile $tile")
+      // partition: cloud + shadow-only + clear covers all 256 pixels
+      assert(nc + nso + ncl == 256L, s"tile $tile partition")
+    }
+  }
+
+  test("mm_scene_cuts: boundaries match the frame-diff mirror") {
+    val got = SparkEntry.queries("mm_scene_cuts")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5)))).toMap
+    val expect = docs.filter(d => d._1 % 3 == 2 && d._2.length / 64 > 0)
+      .map { case (id, text, _, _) =>
+        val energies = (0 until text.length / 64).map { k =>
+          text.substring(k * 64, k * 64 + 64).count(_ != ' ').toLong
+        }
+        val cuts = energies.zipWithIndex.drop(1).collect {
+          case (e, k) if math.abs(e - energies(k - 1)) >= 16 => k.toLong
+        }
+        id -> ((energies.size.toLong, cuts.size.toLong,
+          cuts.headOption, cuts.lastOption, cuts.sum))
+      }.toMap
+    assert(got == expect)
+  }
+
   test("mm_energy_segments: islands match the frame-scan mirror") {
     val got = SparkEntry.queries("mm_energy_segments")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
