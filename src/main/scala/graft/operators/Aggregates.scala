@@ -792,6 +792,45 @@ object Aggregates {
           .orderBy("user_id")
       }),
 
+    // Tail-latency ratio (round 9, fifth wave) — the SRE/SLO staple:
+    // p50/p95/p99 of the value distribution per event type and the
+    // p99/p50 tail ratio (how heavy is the tail relative to the
+    // median). Percentiles are NEAREST-RANK-LOWER integer index picks
+    // over cents (the eo_composite_percentile rule — no interpolation),
+    // the ratio one IEEE divide on the s6 grid. One shuffle + one
+    // in-partition sort; partition = one type's rows.
+    Q("agg_tail_ratio", Some(
+      "WITH b AS (SELECT event_type, " + sqlS2("value") + " AS x FROM events), " +
+        "r AS (SELECT event_type, x, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY event_type) AS n FROM b), " +
+        "p AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n, " +
+        "CAST(MIN(CASE WHEN rn = ((n - 1) * 50) // 100 + 1 THEN x END) AS BIGINT) AS p50, " +
+        "CAST(MIN(CASE WHEN rn = ((n - 1) * 95) // 100 + 1 THEN x END) AS BIGINT) AS p95, " +
+        "CAST(MIN(CASE WHEN rn = ((n - 1) * 99) // 100 + 1 THEN x END) AS BIGINT) AS p99 " +
+        "FROM r GROUP BY event_type) " +
+        "SELECT event_type, n, p50, p95, p99, " +
+        "CASE WHEN p50 <= 0 THEN NULL ELSE " +
+        sqlS6("CAST(p99 AS DOUBLE) / CAST(p50 AS DOUBLE)") + " END AS tail6 " +
+        "FROM p ORDER BY event_type"),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wT = Window.partitionBy("event_type")
+        val r = T.events(s, d)
+          .select(col("event_type"), s2(col("value")).as("x"))
+          .withColumn("rn", row_number().over(wT.orderBy("x")))
+          .withColumn("n", count(lit(1)).over(wT))
+        val p = r.groupBy("event_type").agg(
+          max(col("n")).as("n"),
+          min(when(col("rn") === expr("((n - 1) * 50) div 100 + 1"), col("x"))).as("p50"),
+          min(when(col("rn") === expr("((n - 1) * 95) div 100 + 1"), col("x"))).as("p95"),
+          min(when(col("rn") === expr("((n - 1) * 99) div 100 + 1"), col("x"))).as("p99"))
+        p.select(col("event_type"), col("n"), col("p50"), col("p95"), col("p99"),
+            when(col("p50") <= 0, lit(null))
+              .otherwise(s6(col("p99").cast("double") / col("p50").cast("double")))
+              .as("tail6"))
+          .orderBy("event_type")
+      }),
+
     // Geometric + harmonic means (round 9, fourth wave) — the other two
     // Pythagorean means, the right averages for ratios/rates where the
     // arithmetic mean misleads. Discipline: each ln(x) / 1/x term is

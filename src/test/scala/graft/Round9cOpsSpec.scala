@@ -836,6 +836,23 @@ class Round9cOpsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("agg_tail_ratio: percentile picks match the sorted mirror") {
+    val got = SparkEntry.queries("agg_tail_ratio")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5))))).toMap
+    val rows = Tables.events(spark, sfDir).select("event_type", "value").collect()
+      .map(r => (r.getString(0), s2(r.getDouble(1))))
+    rows.groupBy(_._1).foreach { case (ty, es) =>
+      val xs = es.map(_._2).sorted
+      val n = xs.size
+      def pick(p: Int) = xs(((n - 1) * p) / 100)
+      val (p50, p95, p99) = (pick(50), pick(95), pick(99))
+      val tail = if (p50 <= 0) None else Some(s6(p99.toDouble / p50.toDouble))
+      assert(got(ty) == ((n.toLong, p50, p95, p99, tail)), s"type $ty")
+      assert(p50 <= p95 && p95 <= p99, s"type $ty percentile monotonicity")
+    }
+  }
+
   test("mm_energy_segments: islands match the frame-scan mirror") {
     val got = SparkEntry.queries("mm_energy_segments")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
