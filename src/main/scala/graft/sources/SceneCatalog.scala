@@ -162,9 +162,14 @@ object SceneCatalog {
         "FROM pick p JOIN tot t USING (product, tile_x, tile_y, day) WHERE p.rn = 1 " +
         "ORDER BY product, tile_x, tile_y, day"),
       (s, d) => {
+        // persisted: BOTH the version pick and the per-day totals consume
+        // the doc-build + JSON-parse subtree — unpersisted it executes
+        // twice (the multi-consumer signature rule; measured ~0.9 s of
+        // this key's ~2.6 s steady state at sf0.1)
         val catalog = parse(demoDocs(s, d))
           .withColumn("event_id",
             regexp_extract(col("path"), "/scenes/(\\d+)\\.tif", 1).cast("long"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val day = to_date(col("time"))
         val picked = latestNonArchived(catalog,
             Seq(col("time").desc, col("event_id").desc))
