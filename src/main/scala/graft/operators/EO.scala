@@ -302,6 +302,52 @@ object EO {
           .orderBy("n_name")
       }),
 
+    // Per-pixel linear trend (round 9, fifth wave) — the change-
+    // detection raster product (vegetation greening/browning maps,
+    // coastal-change rates): OLS slope of the observation series
+    // against time, per pixel group. The agg_regr exact-moment
+    // discipline at pixel granularity: x = epoch DAYS (int), y = cents,
+    // five int64 moment sums per pixel (x ≤ ~2e4 keeps x²·n far inside
+    // int64), slope/intercept as one fixed double sequence; NULL on
+    // degenerate time spreads. The slope surfaces in s6 cents/day. One
+    // shuffle on the pixel key — embarrassingly partitionable like
+    // every per-pixel temporal reduction.
+    Q("eo_trend", Some {
+      val nD = "CAST(n AS DOUBLE)"
+      val sxD = "CAST(sx AS DOUBLE)"; val syD = "CAST(sy AS DOUBLE)"
+      val sxyD = "CAST(sxy AS DOUBLE)"; val sxxD = "CAST(sxx AS DOUBLE)"
+      val den = s"($nD * $sxxD - $sxD * $sxD)"
+      "WITH b AS (SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 AS x, " +
+        sqlS2("value") + " AS y FROM events), " +
+        "m AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, " +
+        "CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx " +
+        "FROM b GROUP BY user_id) " +
+        "SELECT user_id, n, " +
+        s"CASE WHEN n < 2 OR $den <= 0.0 THEN NULL ELSE " +
+        sqlS6(s"($nD * $sxyD - $sxD * $syD) / $den") + " END AS slope6, " +
+        s"CASE WHEN n < 2 OR $den <= 0.0 THEN NULL ELSE " +
+        sqlS2(s"($syD - ($nD * $sxyD - $sxD * $syD) / $den * $sxD) / $nD") +
+        " END AS icept_c FROM m ORDER BY user_id"
+    },
+      (s, d) => {
+        val m = T.events(s, d)
+          .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("x"),
+            s2(col("value")).as("y"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        val nD = col("n").cast("double")
+        val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
+        val den = nD * col("sxx").cast("double") - sxD * sxD
+        val slope = (nD * col("sxy").cast("double") - sxD * syD) / den
+        m.select(col("user_id"), col("n"),
+            when(col("n") < 2 || den <= 0.0, lit(null)).otherwise(s6(slope)).as("slope6"),
+            when(col("n") < 2 || den <= 0.0, lit(null))
+              .otherwise(s2((syD - slope * sxD) / nD)).as("icept_c"))
+          .orderBy("user_id")
+      }),
+
     // Cloud-shadow geometric projection (round 9, fifth wave) — the
     // fmask-family step after cloud detection: project each cloud pixel
     // along the sun vector (here a fixed (dx=2, dy=1) offset — the

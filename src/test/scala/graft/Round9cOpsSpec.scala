@@ -853,6 +853,35 @@ class Round9cOpsSpec extends SparkSpec {
     }
   }
 
+  test("eo_trend: per-pixel OLS matches the moment mirror") {
+    val got = SparkEntry.queries("eo_trend")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    val byUser = events.groupBy(_._1)
+    assert(got.keySet == byUser.keySet)
+    byUser.foreach { case (u, rows) =>
+      val pts = rows.map(e => (e._4 / 86400, s2(e._5)))
+      val n = pts.size.toLong
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val den = n.toDouble * sxx - sx.toDouble * sx.toDouble
+      assert(got(u)._1 == n, s"user $u n")
+      if (n >= 2 && den > 0) {
+        val slope = (n.toDouble * sxy - sx.toDouble * sy.toDouble) / den
+        assert(got(u)._2.contains(s6(slope)), s"user $u slope")
+        assert(got(u)._3.contains(s2((sy.toDouble - slope * sx.toDouble) / n)),
+          s"user $u intercept")
+        // the fitted line passes through the centroid: recompute the
+        // mean from slope/intercept and compare on the cent grid
+        val meanX = sx.toDouble / n
+        val fitMeanY = slope * meanX + (sy.toDouble - slope * sx.toDouble) / n
+        assert(math.abs(fitMeanY - sy.toDouble / n) < 0.5, s"user $u centroid")
+      } else assert(got(u)._2.isEmpty && got(u)._3.isEmpty, s"user $u degenerate")
+    }
+  }
+
   test("mm_energy_segments: islands match the frame-scan mirror") {
     val got = SparkEntry.queries("mm_energy_segments")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
