@@ -302,6 +302,69 @@ object EO {
           .orderBy("n_name")
       }),
 
+    // Lee speckle filter (round 9, fifth wave) — the adaptive local
+    // filter of every SAR (Sentinel-1) preprocessing chain (Lee 1980):
+    // out = m + (x − m)·v/(v + σₙ²), where m and v are the 3×3 local
+    // mean/variance — smooth where the window is flat, preserve edges
+    // where it isn't. COMPOSED from the native focalSum3x3 over the
+    // band and its square (the eo_tile_focal_var construction): both
+    // stencils + the per-pixel filter run in ONE map-only projection.
+    // m, v and the gain are a FIXED IEEE sequence from exact integer
+    // window sums (both engines bit-agree), floored to cent-grid
+    // output. σₙ² = 400 DN² — the noise constant a real chain
+    // calibrates from the sensor.
+    Q("eo_tile_lee", Some(
+      "WITH px AS (SELECT (event_id // 4) // 256 AS tile, " +
+        "((event_id // 4) % 256) // 16 AS py, ((event_id // 4) % 256) % 16 AS px, " +
+        "event_id % 4 AS t, CAST(user_id AS BIGINT) AS v FROM events), " +
+        "full_t AS (SELECT tile FROM px WHERE t = 0 GROUP BY tile HAVING COUNT(*) = 256), " +
+        "p0 AS (SELECT tile, py, px, v FROM px JOIN full_t USING (tile) WHERE t = 0), " +
+        "fs AS (SELECT o.tile, (o.py - 1) * 14 + (o.px - 1) AS opos, o.v AS x, " +
+        "CAST(SUM(nb.v) AS BIGINT) AS sv, CAST(SUM(nb.v * nb.v) AS BIGINT) AS svv " +
+        "FROM p0 o JOIN p0 nb ON nb.tile = o.tile " +
+        "AND nb.py BETWEEN o.py - 1 AND o.py + 1 AND nb.px BETWEEN o.px - 1 AND o.px + 1 " +
+        "WHERE o.py BETWEEN 1 AND 14 AND o.px BETWEEN 1 AND 14 " +
+        "GROUP BY o.tile, opos, o.v), " +
+        "lee AS (SELECT tile, opos, " +
+        sqlS2("CAST(sv AS DOUBLE) / 9.0 + (CAST(x AS DOUBLE) - CAST(sv AS DOUBLE) / 9.0) * " +
+          "((CAST(9 * svv - sv * sv AS DOUBLE) / 81.0) / " +
+          "(CAST(9 * svv - sv * sv AS DOUBLE) / 81.0 + 400.0))") + " AS f FROM fs) " +
+        "SELECT tile, CAST(COUNT(*) AS BIGINT) AS n_out, " +
+        "CAST(SUM(f) AS BIGINT) AS sum_f, " +
+        "CAST(SUM(f * (opos + 1)) AS BIGINT) AS checksum " +
+        "FROM lee GROUP BY tile ORDER BY tile"),
+      (s, d) => {
+        import graft.raster.TileExprs
+        val grid = eventTiles(s, d, Seq("v" -> col("user_id")))
+          .where(size(col("data")) === 256 && col("time") === 0)
+        TileExprs.register(s)
+        // interior pixel values align with the stencil outputs by
+        // slicing the same 14x14 window out of the original tile
+        val interior = transform(
+          sequence(lit(0), lit(14 * 14 - 1)),
+          o => element_at(col("data"),
+            ((o / 14).cast("int") + 1) * 16 + (o % 14).cast("int") + 2))
+        val both = grid.select(col("tile_y").cast("long").as("tile"),
+          TileExprs.focal3(col("data"), 16, 16).as("fs"),
+          TileExprs.focal3(transform(col("data"), e => e * e), 16, 16).as("fs2"),
+          interior.as("xs"))
+        val ex = both.select(col("tile"),
+            posexplode(arrays_zip(col("fs"), col("fs2"), col("xs")))
+              .as(Seq("opos", "p")))
+          .select(col("tile"), col("opos"),
+            col("p.fs").cast("long").as("sv"), col("p.fs2").cast("long").as("svv"),
+            col("p.xs").cast("long").as("x"))
+        val svD = col("sv").cast("double")
+        val m = svD / lit(9.0)
+        val v = (lit(9L) * col("svv") - col("sv") * col("sv")).cast("double") / lit(81.0)
+        val f = s2(m + (col("x").cast("double") - m) * (v / (v + lit(400.0))))
+        ex.select(col("tile"), col("opos"), f.as("f"))
+          .groupBy("tile")
+          .agg(count(lit(1)).as("n_out"), sum(col("f")).as("sum_f"),
+            sum(col("f") * (col("opos") + 1)).as("checksum"))
+          .orderBy("tile")
+      }),
+
     // Per-pixel linear trend (round 9, fifth wave) — the change-
     // detection raster product (vegetation greening/browning maps,
     // coastal-change rates): OLS slope of the observation series

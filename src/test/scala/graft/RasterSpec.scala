@@ -298,6 +298,37 @@ class RasterSpec extends SparkSpec {
     }
   }
 
+  test("Lee-filter algebra: flat windows pass through, gain stays in [0,1)") {
+    // the eo_tile_lee composition evaluated on a synthetic tile: the
+    // filter is m + (x-m)·v/(v+σ²) from the two focal sums
+    TileExprs.register(spark)
+    val g = RasterGrid.synthesize(spark, "p", "b",
+      nTilesX = 1, nTilesY = 1, h = H, w = W, times = Seq(0))(
+      (x, y, _) => if (y < H / 2) 7.0f else (x * 9 + y * 3).toFloat)
+    val row = g.select(
+      TileExprs.focal3(col("data"), H, W).as("fs"),
+      TileExprs.focal3(org.apache.spark.sql.functions.transform(
+        col("data"), e => e * e), H, W).as("fs2")).head()
+    val fs = row.getAs[scala.collection.Seq[Float]]("fs")
+    val fs2 = row.getAs[scala.collection.Seq[Float]]("fs2")
+    def v(x: Int, y: Int) = if (y < H / 2) 7.0f else (x * 9 + y * 3).toFloat
+    for (oy <- 0 until H - 2; ox <- 0 until W - 2) {
+      val x = v(ox + 1, oy + 1).toDouble
+      val sv = fs(oy * (W - 2) + ox).toDouble
+      val m = sv / 9.0
+      val vn = (9.0 * fs2(oy * (W - 2) + ox) - sv * sv) / 81.0
+      val k = vn / (vn + 400.0)
+      assert(k >= 0.0 && k < 1.0, s"gain out of range at ($ox,$oy)")
+      val f = m + (x - m) * k
+      // flat windows (top half): v = 0 -> the filter returns the mean,
+      // which equals the constant itself
+      if (oy + 2 < H / 2) assert(f == 7.0, s"flat window not identity at ($ox,$oy)")
+      // everywhere: the output lies between the window mean and x
+      assert((f >= math.min(m, x) - 1e-9) && (f <= math.max(m, x) + 1e-9),
+        s"filter overshoot at ($ox,$oy)")
+    }
+  }
+
   test("focal 3x3 Horn gradient matches brute force on the tile interior") {
     val g = grid("b1")((x, y, t) => (x * x + 3 * y + t).toFloat)
     val grad = RasterGrid.focalGradient3x3(g, H, W)
