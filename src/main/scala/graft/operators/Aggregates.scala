@@ -1154,6 +1154,107 @@ object Aggregates {
           .where(col("rn") <= 3)
           .select("o_custkey", "o_orderkey", "rn")
           .orderBy("o_custkey", "rn")
+      }),
+
+    // Spearman rank correlation (round 9, sixth wave) — the
+    // distribution-free monotone-association test screening pipelines
+    // run where Pearson's linearity assumption fails. Average-rank tie
+    // handling made EXACT by the doubled-rank grid: avg rank =
+    // (first+last)/2 over a tie group, so 2·avgrank = 2·RANK() +
+    // tiecount − 1, an integer on both engines (RANK from a per-group
+    // window, tiecount from a (group, value) partition count — doubles
+    // PARTITION the window but are never aggregated). Then Pearson over
+    // the integer doubled ranks via six exact moments and ONE double
+    // sequence with the agg_stats √·√ denominator. Two window passes +
+    // one aggregate, all shuffling on the same group key. Magnitude
+    // audit: ranks ≤ 2·n so Σr² ≤ 4n³ — inside int64 to n ~ 10⁸ rows
+    // PER GROUP; beyond that the moment sums move to DECIMAL(38,0),
+    // documented here rather than silently wrong.
+    Q("agg_spearman", Some {
+      val nD = "CAST(n AS DOUBLE)"
+      val sxD = "CAST(sx AS DOUBLE)"; val syD = "CAST(sy AS DOUBLE)"
+      val sxxD = "CAST(sxx AS DOUBLE)"; val syyD = "CAST(syy AS DOUBLE)"
+      val sxyD = "CAST(sxy AS DOUBLE)"
+      "WITH r AS (SELECT l_returnflag AS f, " +
+        "2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) + " +
+        "COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1 AS rx, " +
+        "2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) + " +
+        "COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1 AS ry " +
+        "FROM lineitem), " +
+        "m AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy, " +
+        "CAST(SUM(rx * rx) AS BIGINT) AS sxx, CAST(SUM(ry * ry) AS BIGINT) AS syy, " +
+        "CAST(SUM(rx * ry) AS BIGINT) AS sxy FROM r GROUP BY f) " +
+        "SELECT f, n, " +
+        s"CASE WHEN n < 2 OR $nD * $sxxD - $sxD * $sxD <= 0.0 OR " +
+        s"$nD * $syyD - $syD * $syD <= 0.0 THEN NULL ELSE " +
+        sqlS6(s"($nD * $sxyD - $sxD * $syD) / " +
+          s"(SQRT($nD * $sxxD - $sxD * $sxD) * SQRT($nD * $syyD - $syD * $syD))") +
+        " END AS rho6 FROM m ORDER BY f"
+    },
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+        val wqt = Window.partitionBy("l_returnflag", "l_quantity")
+        val wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+        val wpt = Window.partitionBy("l_returnflag", "l_extendedprice")
+        val r = T.lineitem(s, d)
+          .select(col("l_returnflag").as("f"),
+            (lit(2) * rank().over(wq) + count(lit(1)).over(wqt) - 1).as("rx"),
+            (lit(2) * rank().over(wp) + count(lit(1)).over(wpt) - 1).as("ry"))
+        val m = r.groupBy("f")
+          .agg(count(lit(1)).as("n"),
+            sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+            sum(col("rx") * col("rx")).as("sxx"),
+            sum(col("ry") * col("ry")).as("syy"),
+            sum(col("rx") * col("ry")).as("sxy"))
+        val nD = col("n").cast("double")
+        val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
+        val vx = nD * col("sxx").cast("double") - sxD * sxD
+        val vy = nD * col("syy").cast("double") - syD * syD
+        val rho = (nD * col("sxy").cast("double") - sxD * syD) /
+          (sqrt(vx) * sqrt(vy))
+        m.select(col("f"), col("n"),
+            when(col("n") < 2 || vx <= 0.0 || vy <= 0.0, lit(null))
+              .otherwise(s6(rho)).as("rho6"))
+          .orderBy("f")
+      }),
+
+    // Theil T inequality index (round 9, sixth wave) — the
+    // decomposable concentration measure complementing agg_gini/agg_hhi
+    // (Theil 1967): T = mean over x of (x/μ)·ln(x/μ). μ comes from the
+    // exact integer cent sum and count (one divide); each row's term is
+    // ONE shared IEEE sequence s6-FLOORED BEFORE the order-free long
+    // sum (the PMI/logprob LN discipline), and the final mean is one
+    // more divide on the s6 grid. One partial-agg shuffle for the
+    // moments + one broadcast of the group means back over the rows.
+    Q("agg_theil", Some(
+      "WITH b AS (SELECT o_orderpriority AS pri, " + sqlS2("o_totalprice") + " AS xc " +
+        "FROM orders), " +
+        "m AS (SELECT pri, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(xc) AS BIGINT) AS sc FROM b GROUP BY pri), " +
+        "t AS (SELECT b.pri, n, " +
+        sqlS6("(CAST(xc AS DOUBLE) / (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))) * " +
+          "LN(CAST(xc AS DOUBLE) / (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)))") +
+        " AS t6 FROM b JOIN m ON m.pri = b.pri) " +
+        "SELECT pri, n, " +
+        "CAST(FLOOR(CAST(CAST(SUM(t6) AS BIGINT) AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS theil6 " +
+        "FROM t GROUP BY pri, n ORDER BY pri"),
+      (s, d) => {
+        val b = T.orders(s, d)
+          .select(col("o_orderpriority").as("pri"), s2(col("o_totalprice")).as("xc"))
+        val m = b.groupBy("pri")
+          .agg(count(lit(1)).as("n"), sum(col("xc")).as("sc"))
+        val mu = col("sc").cast("double") / col("n").cast("double")
+        val ratio = col("xc").cast("double") / mu
+        b.join(broadcast(m), "pri")
+          .select(col("pri"), col("n"), s6(ratio * log(ratio)).as("t6"))
+          .groupBy("pri", "n")
+          .agg(sum(col("t6")).as("st"))
+          .select(col("pri"), col("n"),
+            floor(col("st").cast("double") / col("n").cast("double") + 0.5)
+              .cast("long").as("theil6"))
+          .orderBy("pri")
       }))
 
   /** agg_stats oracle: the same exact-integer-moment formulas, textually

@@ -1925,6 +1925,77 @@ object EO {
           .join(broadcast(fullT), "tile")
           .select("tile", "py", "px", "pid")
         clumpRollup(p0)
+      }),
+
+    // Latest-pixel mosaic (round 9, sixth wave) — the "most recent
+    // clear observation" composite of every browse/monitoring service
+    // (odc-stats `latest`; GEE mosaic()): per pixel group keep the
+    // newest unmasked observation. Distinct from eo_tile_fuse (first
+    // valid in DATASET-PRECEDENCE order within a load group): this is
+    // max-time across the whole series under the cloud mask. One
+    // window per pixel key, ties broken (t DESC, event_id DESC) —
+    // value copied out as an exact scaled long (Det rule 1). Pixels
+    // with zero clear observations drop out on both engines.
+    Q("eo_composite_latest", Some(
+      "SELECT user_id, event_id, t, " + sqlS6("value") + " AS v6 FROM (" +
+        "SELECT user_id, event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t, value, " +
+        "ROW_NUMBER() OVER (PARTITION BY user_id " +
+        "ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT) DESC, event_id DESC) AS rn " +
+        "FROM events WHERE event_type <> 'error') x " +
+        "WHERE rn = 1 ORDER BY user_id"),
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("t").desc, col("event_id").desc)
+        T.events(s, d)
+          .where(col("event_type") =!= "error")
+          .select(col("user_id"), col("event_id"), epochS(col("ts")).as("t"),
+            col("value"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("event_id"), col("t"),
+            s6(col("value")).as("v6"))
+          .orderBy("user_id")
+      }),
+
+    // Theil–Sen robust trend (round 9, sixth wave) — the median-of-
+    // pairwise-slopes change estimator the Landsat time-series
+    // literature prefers over OLS for outlier-laden stacks (Sen 1968;
+    // dense NDVI trend mapping): per pixel group, the median slope over
+    // all observation pairs with distinct epoch-day x. Quadratic in the
+    // TEMPORAL DEPTH ONLY (T observations per pixel → T²/2 pairs, T is
+    // the archive revisit count, bounded at any spatial scale), pixels
+    // independent — the per-pixel self-join shuffles once on the pixel
+    // key and never crosses pixels. Each slope is ONE shared IEEE
+    // divide s6-floored; the median is the doubled-grid exact pick
+    // (odd: 2·mid, even: mid-pair sum — DuckDB MEDIAN(BIGINT)·2).
+    Q("eo_theilsen", Some(
+      "WITH b AS (SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 AS x, " +
+        sqlS2("value") + " AS y FROM events), " +
+        "p AS (SELECT a.user_id, " +
+        sqlS6("CAST(b2.y - a.y AS DOUBLE) / CAST(b2.x - a.x AS DOUBLE)") + " AS s6 " +
+        "FROM b a JOIN b b2 ON b2.user_id = a.user_id AND b2.x > a.x) " +
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
+        "CAST(MEDIAN(s6) * 2 AS BIGINT) AS slope2 " +
+        "FROM p GROUP BY user_id ORDER BY user_id"),
+      (s, d) => {
+        val b = T.events(s, d)
+          .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("x"),
+            s2(col("value")).as("y"))
+        val b2 = b.select(col("user_id").as("u2"), col("x").as("x2"),
+          col("y").as("y2"))
+        val pairs = b.join(b2,
+            col("u2") === col("user_id") && col("x2") > col("x"))
+          .select(col("user_id"),
+            s6((col("y2") - col("y")).cast("double") /
+              (col("x2") - col("x")).cast("double")).as("sl"))
+        pairs.groupBy("user_id")
+          .agg(count(lit(1)).as("n_pairs"),
+            sort_array(collect_list(col("sl"))).as("vs"))
+          .select(col("user_id"), col("n_pairs"),
+            expr("CASE WHEN size(vs) % 2 = 1 THEN element_at(vs, CAST((size(vs) + 1) DIV 2 AS INT)) * 2 " +
+              "ELSE element_at(vs, CAST(size(vs) DIV 2 AS INT)) + " +
+              "element_at(vs, CAST(size(vs) DIV 2 + 1 AS INT)) END").as("slope2"))
+          .orderBy("user_id")
       }))
 
   /** 4-adjacency connected-component rollup over set mask pixels

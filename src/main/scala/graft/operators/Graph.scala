@@ -568,6 +568,41 @@ object Graph {
           when(col("n") < 2 || denx <= 0.0 || deny <= 0.0, lit(null))
             .otherwise(s6(r)).as("r6"))
       }),
+
+    // Edge reciprocity (round 9, sixth wave) — the directed-graph
+    // mutuality diagnostic (Garlaschelli & Loffredo 2004): per source
+    // node, the share of its out-edges (src≠dst) whose REVERSE edge
+    // exists. The witness is a LEFT SELF-SEMI-join of the node²-bounded
+    // distinct edge list against its transpose — node-sized tables,
+    // broadcast at this graph's scale; at web scale the same plan
+    // shuffles on the canonical edge key, still one join + one agg.
+    // The ratio is one IEEE divide over two exact counts.
+    Q("graph_reciprocity", Some(
+      s"WITH $tradeEdgesSql, " +
+        "de AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst), " +
+        "r AS (SELECT a.src, a.dst, " +
+        "CASE WHEN b.src IS NULL THEN 0 ELSE 1 END AS m FROM de a " +
+        "LEFT JOIN de b ON b.src = a.dst AND b.dst = a.src) " +
+        "SELECT src, CAST(COUNT(*) AS BIGINT) AS n_out, " +
+        "CAST(SUM(m) AS BIGINT) AS n_mutual, " +
+        sqlS6("CAST(SUM(m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)") + " AS recip6 " +
+        "FROM r GROUP BY src ORDER BY src"),
+      (s, d) => {
+        val de = tradeEdges(s, d).where(col("src") =!= col("dst"))
+          .select("src", "dst").distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val rev = de.select(col("src").as("rs"), col("dst").as("rd"),
+          lit(1).as("hit"))
+        de.join(broadcast(rev),
+            col("rs") === col("dst") && col("rd") === col("src"), "left")
+          .select(col("src"), coalesce(col("hit"), lit(0)).as("m"))
+          .groupBy("src")
+          .agg(count(lit(1)).as("n_out"), sum(col("m")).as("n_mutual"))
+          .select(col("src"), col("n_out"), col("n_mutual"),
+            s6(col("n_mutual").cast("double") / col("n_out").cast("double"))
+              .as("recip6"))
+          .orderBy("src")
+      }),
   )
 
   private def pagerank(s: SparkSession, d: String): DataFrame = {

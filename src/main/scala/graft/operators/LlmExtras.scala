@@ -1422,5 +1422,91 @@ object LlmExtras {
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_distinct_chars"), sum(col("e6")).as("entropy6"))
           .orderBy("doc_id")
+      }),
+
+    // Duplicate-n-gram fraction (round 9, sixth wave) — the per-doc
+    // "how much of me is boilerplate" diagnostic (the memorization/
+    // near-dup screen of Gopher's repetition table at n=8, run against
+    // the CORPUS rather than within the doc — llm_repetition covers the
+    // within-doc case): share of a doc's DISTINCT 8-grams that occur in
+    // at least one other document. Linear end-to-end: explode → distinct
+    // → one shuffle on the n-gram key for the doc-frequency counts →
+    // rejoin → per-doc aggregate. Docs under 8 tokens have no 8-grams
+    // and drop out identically on both engines.
+    Q("llm_dup_ngram_fraction", Some(
+      "WITH g AS (SELECT DISTINCT doc_id, ng FROM (" +
+        "SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks) - 6), " +
+        "i -> ARRAY_TO_STRING(toks[i:i+7], ' '))) AS ng " +
+        "FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents) " +
+        "WHERE LEN(toks) >= 8) x), " +
+        "df AS (SELECT ng, CAST(COUNT(*) AS BIGINT) AS nd FROM g GROUP BY ng) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams, " +
+        "CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup, " +
+        sqlS6("CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)") +
+        " AS dup_frac6 " +
+        "FROM g JOIN df USING (ng) GROUP BY doc_id ORDER BY doc_id"),
+      (s, d) => {
+        val g = T.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .where(size(col("toks")) >= 8)
+          .select(col("doc_id"), explode(transform(
+            sequence(lit(1), size(col("toks")) - 7),
+            i => array_join(slice(col("toks"), i, lit(8)), " "))).as("ng"))
+          .distinct()
+        val df = g.groupBy("ng").agg(count(lit(1)).as("nd"))
+        val dup = when(col("nd") >= 2, 1L).otherwise(0L)
+        g.join(df, "ng")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_ngrams"), sum(dup).as("n_dup"))
+          .select(col("doc_id"), col("n_ngrams"), col("n_dup"),
+            s6(col("n_dup").cast("double") / col("n_ngrams").cast("double"))
+              .as("dup_frac6"))
+          .orderBy("doc_id")
+      }),
+
+    // DSIR importance weights (round 9, sixth wave) — Data Selection
+    // via Importance Resampling (Xie et al. 2023): score every raw doc
+    // by Σ_tokens log(p_target(b)/p_raw(b)) over HASHED unigram buckets
+    // (1024 buckets of the portable Det.hash32; the paper hashes n-gram
+    // features for exactly this closed-dictionary property), target =
+    // the English slice, raw = the whole corpus, both Laplace-smoothed.
+    // The bucket dictionary is 1024 rows at ANY corpus size — built in
+    // one partial-agg shuffle, broadcast back over the token stream
+    // (map-side), per-token log-ratios s6-floored BEFORE the order-free
+    // per-doc long sum (the PMI/logprob LN discipline).
+    Q("llm_dsir", Some {
+      val pt = "((CAST(ct AS DOUBLE) + 1.0) / (CAST(nt AS DOUBLE) + 1024.0))"
+      val pr = "((CAST(cr AS DOUBLE) + 1.0) / (CAST(nr AS DOUBLE) + 1024.0))"
+      "WITH tok AS (SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS t " +
+        "FROM documents), " +
+        "tb AS (SELECT doc_id, lang, " + sqlHash32("t") + " % 1024 AS b FROM tok), " +
+        "dict AS (SELECT b, CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct, " +
+        "CAST(COUNT(*) AS BIGINT) AS cr FROM tb GROUP BY b), " +
+        "tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr FROM dict), " +
+        "w AS (SELECT doc_id, " + sqlS6(s"LN($pt / $pr)") + " AS w6 " +
+        "FROM tb JOIN dict USING (b) CROSS JOIN tot) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks, " +
+        "CAST(SUM(w6) AS BIGINT) AS dsir6 FROM w GROUP BY doc_id ORDER BY doc_id"
+    },
+      (s, d) => {
+        val tb = T.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("t"))
+          .select(col("doc_id"), col("lang"),
+            (graft.Det.hash32(col("t")) % 1024).as("b"))
+        val dict = tb.groupBy("b")
+          .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
+            count(lit(1)).as("cr"))
+        val tot = dict.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+        val ptD = (col("ct").cast("double") + 1.0) /
+          (col("nt").cast("double") + 1024.0)
+        val prD = (col("cr").cast("double") + 1.0) /
+          (col("nr").cast("double") + 1024.0)
+        tb.join(broadcast(dict), "b")
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"), s6(log(ptD / prD)).as("w6"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_toks"), sum(col("w6")).as("dsir6"))
+          .orderBy("doc_id")
       }))
 }

@@ -288,6 +288,33 @@ object Quality {
             s6(log(lit(1.0) + lit(1.0) / col("digit").cast("double")) / log(lit(10.0)))
               .as("benford6"))
           .orderBy("digit")
+      }),
+
+    // Freshness / SLA lag monitor (round 9, sixth wave) — the "is this
+    // feed still flowing" check every ingestion pipeline alarms on: per
+    // event type, the lag between its newest record and the newest
+    // record ANYWHERE in the table, in whole seconds (exact integer
+    // subtraction — no float time math), flagged stale beyond a 24 h
+    // SLA. One partial-agg shuffle to the per-type maxima; the global
+    // maximum is the 1-row rollup of THOSE (never a second scan),
+    // broadcast back over the type-count-sized result.
+    Q("dq_freshness", Some(
+      "WITH m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "MAX(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) AS max_t FROM events GROUP BY event_type), " +
+        "g AS (SELECT MAX(max_t) AS gmax FROM m) " +
+        "SELECT event_type, n, max_t, gmax - max_t AS lag_s, " +
+        "CASE WHEN gmax - max_t > 86400 THEN 1 ELSE 0 END AS stale " +
+        "FROM m, g ORDER BY event_type"),
+      (s, d) => {
+        val m = T.events(s, d)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), max(epochS(col("ts"))).as("max_t"))
+        val g = m.agg(max(col("max_t")).as("gmax"))
+        m.crossJoin(broadcast(g))
+          .select(col("event_type"), col("n"), col("max_t"),
+            (col("gmax") - col("max_t")).as("lag_s"),
+            when(col("gmax") - col("max_t") > 86400, 1).otherwise(0).as("stale"))
+          .orderBy("event_type")
       }))
 
   /** The 10-row bin grid (0..9) as a DataFrame — tiny, broadcast into

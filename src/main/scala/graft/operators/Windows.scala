@@ -904,5 +904,107 @@ object Windows {
           .groupBy(coalesce(col("touch"), lit("none")).as("channel"))
           .agg(count(lit(1)).as("n_credits"), sum(col("event_id")).as("cksum"))
           .orderBy("channel")
+      }),
+
+    // Bollinger bands (round 9, sixth wave) — the rolling mean ± 2σ
+    // envelope of monitoring/trading dashboards, over a 5-row frame per
+    // entity. The win_zscore moment discipline in a bounded frame:
+    // n/Σv/Σv² as exact integer cent sums over the frame, the variance
+    // NUMERATOR n·Σv²−(Σv)² stays a LONG (frame ≤ 5 rows of cents keeps
+    // it ≪ 2^63) so the degenerate test is an integer compare, then the
+    // band edges are ONE shared IEEE sequence each, floored to nearest
+    // cents BEFORE the breach compare — so the breach flag is an exact
+    // integer three-way on both engines, never a float compare.
+    // Entity-bounded frame: shuffle on user_id only.
+    Q("win_bollinger", Some(
+      "WITH v AS (SELECT event_id, user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t, " +
+        sqlS2("value") + " AS vi FROM events), " +
+        "m AS (SELECT event_id, user_id, vi, " +
+        "CAST(COUNT(*) OVER w AS BIGINT) AS n, " +
+        "CAST(SUM(vi) OVER w AS BIGINT) AS sv, " +
+        "CAST(SUM(vi * vi) OVER w AS BIGINT) AS svv " +
+        "FROM v WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id " +
+        "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)), " +
+        "b AS (SELECT event_id, user_id, vi, n, n * svv - sv * sv AS num, " +
+        "CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mc, " +
+        "SQRT(CAST(n * svv - sv * sv AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS sd " +
+        "FROM m) " +
+        "SELECT event_id, user_id, vi, " +
+        "CASE WHEN n < 2 OR num <= 0 THEN NULL ELSE " + sqlS0("mc + 2.0 * sd") + " END AS ub_c, " +
+        "CASE WHEN n < 2 OR num <= 0 THEN NULL ELSE " + sqlS0("mc - 2.0 * sd") + " END AS lb_c, " +
+        "CASE WHEN n < 2 OR num <= 0 THEN NULL " +
+        "WHEN vi > " + sqlS0("mc + 2.0 * sd") + " THEN 1 " +
+        "WHEN vi < " + sqlS0("mc - 2.0 * sd") + " THEN -1 ELSE 0 END AS breach " +
+        "FROM b ORDER BY event_id"),
+      (s, dd) => {
+        val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+          .rowsBetween(-4, Window.currentRow)
+        val base = T.events(s, dd)
+          .select(col("event_id"), col("user_id"), epochS(col("ts")).as("t"),
+            s2(col("value")).as("vi"))
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("sv", sum(col("vi")).over(w))
+          .withColumn("svv", sum(col("vi") * col("vi")).over(w))
+        val num = col("n") * col("svv") - col("sv") * col("sv")
+        val mc = col("sv").cast("double") / col("n").cast("double")
+        val nD = col("n").cast("double")
+        val sd = sqrt(num.cast("double") / (nD * (nD - lit(1.0))))
+        val ub = s0(mc + lit(2.0) * sd); val lb = s0(mc - lit(2.0) * sd)
+        val degen = col("n") < 2 || num <= 0
+        base.select(col("event_id"), col("user_id"), col("vi"),
+            when(degen, lit(null)).otherwise(ub).as("ub_c"),
+            when(degen, lit(null)).otherwise(lb).as("lb_c"),
+            when(degen, lit(null))
+              .when(col("vi") > ub, lit(1))
+              .when(col("vi") < lb, lit(-1))
+              .otherwise(lit(0)).as("breach"))
+          .orderBy("event_id")
+      }),
+
+    // Rolling correlation (round 9, sixth wave) — the co-movement
+    // monitor between two per-entity series (here the event value and
+    // its props payload integer) over a 7-row frame: six exact integer
+    // window moments, then Pearson as ONE fixed double sequence with the
+    // agg_stats sqrt(vx)·sqrt(vy) denominator form (never vx·vy — the
+    // long product would overflow where the double √ pair cannot).
+    // Degeneracy (n<2 or a zero-variance side) tested on the exact LONG
+    // numerators. Entity-bounded frame; one shuffle on user_id.
+    Q("win_rolling_corr", Some(
+      "WITH v AS (SELECT event_id, user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t, " +
+        sqlS2("value") + " AS x, " +
+        "CAST(json_extract_string(props, '$.k') AS BIGINT) AS y FROM events), " +
+        "m AS (SELECT event_id, user_id, " +
+        "CAST(COUNT(*) OVER w AS BIGINT) AS n, " +
+        "CAST(SUM(x) OVER w AS BIGINT) AS sx, CAST(SUM(y) OVER w AS BIGINT) AS sy, " +
+        "CAST(SUM(x * x) OVER w AS BIGINT) AS sxx, CAST(SUM(y * y) OVER w AS BIGINT) AS syy, " +
+        "CAST(SUM(x * y) OVER w AS BIGINT) AS sxy " +
+        "FROM v WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id " +
+        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) " +
+        "SELECT event_id, user_id, n, " +
+        "CASE WHEN n < 2 OR n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0 THEN NULL ELSE " +
+        sqlS6("CAST(n * sxy - sx * sy AS DOUBLE) / " +
+          "(SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))") +
+        " END AS r6 FROM m ORDER BY event_id"),
+      (s, dd) => {
+        val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+          .rowsBetween(-6, Window.currentRow)
+        val base = T.events(s, dd)
+          .select(col("event_id"), col("user_id"), epochS(col("ts")).as("t"),
+            s2(col("value")).as("x"),
+            get_json_object(col("props"), "$.k").cast("long").as("y"))
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("sx", sum(col("x")).over(w))
+          .withColumn("sy", sum(col("y")).over(w))
+          .withColumn("sxx", sum(col("x") * col("x")).over(w))
+          .withColumn("syy", sum(col("y") * col("y")).over(w))
+          .withColumn("sxy", sum(col("x") * col("y")).over(w))
+        val vx = col("n") * col("sxx") - col("sx") * col("sx")
+        val vy = col("n") * col("syy") - col("sy") * col("sy")
+        val r = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt(vx.cast("double")) * sqrt(vy.cast("double")))
+        base.select(col("event_id"), col("user_id"), col("n"),
+            when(col("n") < 2 || vx <= 0 || vy <= 0, lit(null))
+              .otherwise(s6(r)).as("r6"))
+          .orderBy("event_id")
       }))
 }
