@@ -1255,6 +1255,54 @@ object Aggregates {
             floor(col("st").cast("double") / col("n").cast("double") + 0.5)
               .cast("long").as("theil6"))
           .orderBy("pri")
+      }),
+
+    // Winsorized mean (round 9, sixth wave) — the robust location
+    // estimate monitoring pipelines use when trimming is too lossy:
+    // clamp to the p5/p95 picks, then average. DISTRIBUTED-SAFE
+    // percentile picks (no per-group collect): a per-group value rank
+    // (ties resolve arbitrarily — the value AT an index is a multiset
+    // property, so any tie order yields the same pick), the two
+    // nearest-rank-lower indexes i = max(1, (p·n) div 100), the picked
+    // cut values joined back BROADCAST (group-count-sized), clamp as
+    // integer LEAST/GREATEST on cents, exact sum, one final divide on
+    // the avg6 grid. Two shuffles on the group key, both partial-agg.
+    Q("agg_winsorized_mean", Some(
+      "WITH b AS (SELECT l_returnflag AS f, " + sqlS2("l_extendedprice") + " AS xc " +
+        "FROM lineitem), " +
+        "r AS (SELECT f, xc, ROW_NUMBER() OVER (PARTITION BY f ORDER BY xc) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY f) AS n FROM b), " +
+        "cuts AS (SELECT f, " +
+        "MAX(CASE WHEN rn = GREATEST(1, n * 5 // 100) THEN xc END) AS lo_c, " +
+        "MAX(CASE WHEN rn = GREATEST(1, n * 95 // 100) THEN xc END) AS hi_c, " +
+        "CAST(MAX(n) AS BIGINT) AS n FROM r GROUP BY f) " +
+        "SELECT b.f, cuts.n, lo_c, hi_c, " +
+        "CAST(FLOOR(CAST(CAST(SUM(LEAST(GREATEST(xc, lo_c), hi_c)) AS BIGINT) AS DOUBLE) " +
+        "* 1e4 / CAST(cuts.n AS DOUBLE) + 0.5) AS BIGINT) AS wmean6 " +
+        "FROM b JOIN cuts ON cuts.f = b.f GROUP BY b.f, cuts.n, lo_c, hi_c ORDER BY b.f"),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val b = T.lineitem(s, d)
+          .select(col("l_returnflag").as("f"), s2(col("l_extendedprice")).as("xc"))
+        val r = b
+          .withColumn("rn", row_number().over(Window.partitionBy("f").orderBy("xc")))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("f")))
+        val cuts = r.groupBy("f")
+          .agg(
+            max(when(col("rn") === greatest(lit(1L), expr("n * 5 div 100")), col("xc")))
+              .as("lo_c"),
+            max(when(col("rn") === greatest(lit(1L), expr("n * 95 div 100")), col("xc")))
+              .as("hi_c"),
+            max(col("n")).as("n"))
+        b.join(broadcast(cuts), "f")
+          .select(col("f"), col("n"), col("lo_c"), col("hi_c"),
+            least(greatest(col("xc"), col("lo_c")), col("hi_c")).as("cl"))
+          .groupBy("f", "n", "lo_c", "hi_c")
+          .agg(sum(col("cl")).as("sc"))
+          .select(col("f"), col("n"), col("lo_c"), col("hi_c"),
+            floor(col("sc").cast("double") * lit(1e4) / col("n").cast("double") + 0.5)
+              .cast("long").as("wmean6"))
+          .orderBy("f")
       }))
 
   /** agg_stats oracle: the same exact-integer-moment formulas, textually

@@ -1996,6 +1996,129 @@ object EO {
               "ELSE element_at(vs, CAST(size(vs) DIV 2 AS INT)) + " +
               "element_at(vs, CAST(size(vs) DIV 2 + 1 AS INT)) END").as("slope2"))
           .orderBy("user_id")
+      }),
+
+    // Mann–Kendall trend test (round 9, sixth wave) — eo_theilsen's
+    // statistical companion: THE standard significance test the EO
+    // change-detection literature pairs with the Sen slope (Mann 1945,
+    // Kendall 1975; NDVI/water-level monotone-trend maps). The series is
+    // first collapsed to one observation per epoch day (earliest by
+    // (t, event_id) — a deterministic pick both engines share), then
+    // S = Σ sign(y_j − y_i) over time-ordered day pairs is a PURE
+    // INTEGER, the tie-corrected variance 18·Var(S) = n(n−1)(2n+5) −
+    // Σ_t t(t−1)(2t+5) is exact int64 (n = temporal depth, bounded), and
+    // the continuity-corrected Z is ONE shared IEEE sequence. Quadratic
+    // in temporal depth only, like eo_theilsen; all shuffles on the
+    // pixel key.
+    Q("eo_mk_trend", Some(
+      "WITH e AS (SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 AS x, " +
+        "CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t, event_id, " + sqlS2("value") + " AS y " +
+        "FROM events), " +
+        "d AS (SELECT user_id, x, y FROM (SELECT user_id, x, y, " +
+        "ROW_NUMBER() OVER (PARTITION BY user_id, x ORDER BY t, event_id) AS rn FROM e) z " +
+        "WHERE rn = 1), " +
+        "p AS (SELECT a.user_id, CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sg " +
+        "FROM d a JOIN d b ON b.user_id = a.user_id AND b.x > a.x), " +
+        "s AS (SELECT user_id, CAST(SUM(sg) AS BIGINT) AS s_stat FROM p GROUP BY user_id), " +
+        "n AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_days FROM d GROUP BY user_id), " +
+        "tg AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS tc FROM d GROUP BY user_id, y), " +
+        "tv AS (SELECT user_id, CAST(SUM(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) AS tie_adj " +
+        "FROM tg GROUP BY user_id), " +
+        "v AS (SELECT n.user_id, n_days, COALESCE(s_stat, 0) AS s_stat, " +
+        "n_days * (n_days - 1) * (2 * n_days + 5) - tie_adj AS var18 " +
+        "FROM n LEFT JOIN s ON s.user_id = n.user_id JOIN tv ON tv.user_id = n.user_id) " +
+        "SELECT user_id, n_days, s_stat, " +
+        "CASE WHEN var18 <= 0 THEN NULL " +
+        "WHEN s_stat > 0 THEN " +
+        sqlS6("CAST(s_stat - 1 AS DOUBLE) / SQRT(CAST(var18 AS DOUBLE) / 18.0)") + " " +
+        "WHEN s_stat < 0 THEN " +
+        sqlS6("CAST(s_stat + 1 AS DOUBLE) / SQRT(CAST(var18 AS DOUBLE) / 18.0)") + " " +
+        "ELSE 0 END AS z6 FROM v ORDER BY user_id"),
+      (s, dd) => {
+        val w = Window.partitionBy("user_id", "x").orderBy(col("t"), col("event_id"))
+        val d = T.events(s, dd)
+          .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("x"),
+            epochS(col("ts")).as("t"), col("event_id"), s2(col("value")).as("y"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select("user_id", "x", "y")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val b = d.select(col("user_id").as("u2"), col("x").as("x2"), col("y").as("y2"))
+        val sStat = d.join(b, col("u2") === col("user_id") && col("x2") > col("x"))
+          .select(col("user_id"),
+            when(col("y2") > col("y"), 1L).when(col("y2") < col("y"), -1L)
+              .otherwise(0L).as("sg"))
+          .groupBy("user_id").agg(sum(col("sg")).as("s_stat"))
+        val n = d.groupBy("user_id").agg(count(lit(1)).as("n_days"))
+        val tv = d.groupBy("user_id", "y").agg(count(lit(1)).as("tc"))
+          .groupBy("user_id")
+          .agg(sum(col("tc") * (col("tc") - 1) * (lit(2) * col("tc") + 5)).as("tie_adj"))
+        val v = n.join(sStat, Seq("user_id"), "left").join(tv, "user_id")
+          .select(col("user_id"), col("n_days"),
+            coalesce(col("s_stat"), lit(0L)).as("s_stat"),
+            (col("n_days") * (col("n_days") - 1) * (lit(2) * col("n_days") + 5) -
+              col("tie_adj")).as("var18"))
+        val sd = sqrt(col("var18").cast("double") / lit(18.0))
+        v.select(col("user_id"), col("n_days"), col("s_stat"),
+            when(col("var18") <= 0, lit(null))
+              .when(col("s_stat") > 0, s6((col("s_stat") - 1).cast("double") / sd))
+              .when(col("s_stat") < 0, s6((col("s_stat") + 1).cast("double") / sd))
+              .otherwise(lit(0L)).as("z6"))
+          .orderBy("user_id")
+      }),
+
+    // Raster sieve (round 9, sixth wave) — GDAL's sieve filter, the
+    // standard cleanup AFTER clump labeling (eo_tile_clump): remove
+    // connected components smaller than the minimum mapping unit
+    // (3 px here) and report per tile what survived. Same 4-adjacency
+    // machinery (clumpRollup → Llm.componentLabels star contraction,
+    // tile-local edges so contraction stays tile-bounded at archive
+    // scale) plus ONE clump-count-sized aggregate on top; the oracle
+    // extends the recursive-closure clump oracle with the same HAVING
+    // rollup. Pixel checksums pin WHICH pixels survived, not just how
+    // many.
+    Q("eo_tile_sieve", Some(
+      "WITH RECURSIVE px AS (SELECT (event_id // 4) // 256 AS tile, " +
+        "((event_id // 4) % 256) // 16 AS py, ((event_id // 4) % 256) % 16 AS px, " +
+        "(event_id // 4) AS pid, event_id % 4 AS t, user_id % 2 AS m FROM events), " +
+        "full_t AS (SELECT tile FROM px WHERE t = 0 GROUP BY tile HAVING COUNT(*) = 256), " +
+        "p0 AS (SELECT p.tile, py, px, pid FROM px p JOIN full_t USING (tile) " +
+        "WHERE t = 0 AND m = 1), " +
+        "ed AS (SELECT a.pid AS d1, b.pid AS d2 FROM p0 a JOIN p0 b ON a.tile = b.tile " +
+        "AND ((b.py = a.py AND b.px = a.px + 1) OR (b.py = a.py + 1 AND b.px = a.px))), " +
+        "edges AS (SELECT d1, d2 FROM ed UNION ALL SELECT d2, d1 FROM ed), " +
+        "reach AS (SELECT pid AS a, pid AS b FROM p0 " +
+        "UNION SELECT r.a, e.d2 FROM reach r JOIN edges e ON r.b = e.d1), " +
+        "cl AS (SELECT a AS pid, MIN(b) AS clump FROM reach GROUP BY a), " +
+        "cs AS (SELECT p0.tile, cl.clump, CAST(COUNT(*) AS BIGINT) AS n_px, " +
+        "CAST(SUM(p0.pid + 1) AS BIGINT) AS cksum " +
+        "FROM cl JOIN p0 ON p0.pid = cl.pid GROUP BY p0.tile, cl.clump) " +
+        "SELECT tile, " +
+        "CAST(SUM(CASE WHEN n_px >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_clumps_kept, " +
+        "CAST(SUM(CASE WHEN n_px >= 3 THEN n_px ELSE 0 END) AS BIGINT) AS n_px_kept, " +
+        "CAST(SUM(CASE WHEN n_px < 3 THEN n_px ELSE 0 END) AS BIGINT) AS n_px_removed, " +
+        "CAST(SUM(CASE WHEN n_px >= 3 THEN cksum ELSE 0 END) AS BIGINT) AS cksum_kept " +
+        "FROM cs GROUP BY tile ORDER BY tile"),
+      (s, d) => {
+        val px = T.events(s, d).select(
+          expr("(event_id div 4) div 256").as("tile"),
+          expr("((event_id div 4) % 256) div 16").as("py"),
+          expr("((event_id div 4) % 256) % 16").as("px"),
+          expr("event_id div 4").as("pid"),
+          (col("event_id") % 4).as("t"), (col("user_id") % 2).as("m"))
+        val fullT = px.where(col("t") === 0).groupBy("tile")
+          .agg(count(lit(1)).as("c")).where(col("c") === 256).select("tile")
+        val p0 = px.where(col("t") === 0 && col("m") === 1)
+          .join(broadcast(fullT), "tile")
+          .select("tile", "py", "px", "pid")
+        val kept = col("n_px") >= 3
+        clumpRollup(p0)
+          .groupBy("tile")
+          .agg(sum(when(kept, 1L).otherwise(0L)).as("n_clumps_kept"),
+            sum(when(kept, col("n_px")).otherwise(0L)).as("n_px_kept"),
+            sum(when(!kept, col("n_px")).otherwise(0L)).as("n_px_removed"),
+            sum(when(kept, col("cksum")).otherwise(0L)).as("cksum_kept"))
+          .orderBy("tile")
       }))
 
   /** 4-adjacency connected-component rollup over set mask pixels

@@ -93,6 +93,13 @@ object Graph {
     * path length; GraphSpec pins fixpoint convergence on this corpus. */
   private val SccRounds = 8
 
+  /** Rounds of the quantized HITS iteration (graph_hits) — the CcRounds
+    * contract: both engines run the SAME fixed K; scores live on the
+    * 1e9 sum-normalized grid so each round is exact-integer sums + ONE
+    * shared IEEE normalize per node. */
+  private val HitsRounds = 3
+  private val HitsGrid = 1e9
+
   val all: Seq[Q] = Seq(
 
     // Weighted PageRank over the nation-level trade graph: an edge
@@ -569,6 +576,43 @@ object Graph {
             .otherwise(s6(r)).as("r6"))
       }),
 
+    // HITS hubs & authorities (round 9, sixth wave) — Kleinberg 1999's
+    // mutually-reinforcing link scores over the weighted trade graph
+    // (the OTHER classic web-quality signal next to graph_pagerank's):
+    // auth = weighted in-sum of hub scores, hub = weighted out-sum of
+    // auth scores, K fixed rounds. The pagerank grid discipline with a
+    // SUM normalization replacing the L2 norm (no √ in the fixpoint:
+    // every round is exact w·score long sums, one total, ONE shared
+    // IEEE multiply/divide per node floored back to the 1e9 grid — so
+    // the Spark loop hash-matches a K-layer unrolled CTE chain, all
+    // stages MATERIALIZED per the graph_kcore feasibility lesson).
+    // Per round: two edges⋈scores joins + two partial aggs; score
+    // tables node-sized (broadcast; shuffle-on-src beyond broadcast
+    // scale). localCheckpoint per round keeps the plan linear in K.
+    Q("graph_hits", Some {
+      val rounds = (1 to HitsRounds).map { k =>
+        val prevH = s"h${k - 1}"
+        s"ar$k AS MATERIALIZED (SELECT e.dst AS v, CAST(SUM(e.w * h.sc) AS BIGINT) AS raw " +
+          s"FROM e JOIN $prevH h ON e.src = h.v GROUP BY e.dst), " +
+          s"at$k AS MATERIALIZED (SELECT CAST(SUM(raw) AS BIGINT) AS tot FROM ar$k), " +
+          s"a$k AS MATERIALIZED (SELECT n.v, CAST(FLOOR(CAST(COALESCE(r.raw, 0) AS DOUBLE) * $HitsGrid / CAST(t.tot AS DOUBLE) + 0.5) AS BIGINT) AS sc " +
+          s"FROM n LEFT JOIN ar$k r ON r.v = n.v CROSS JOIN at$k t), " +
+          s"hr$k AS MATERIALIZED (SELECT e.src AS v, CAST(SUM(e.w * a.sc) AS BIGINT) AS raw " +
+          s"FROM e JOIN a$k a ON e.dst = a.v GROUP BY e.src), " +
+          s"ht$k AS MATERIALIZED (SELECT CAST(SUM(raw) AS BIGINT) AS tot FROM hr$k), " +
+          s"h$k AS MATERIALIZED (SELECT n.v, CAST(FLOOR(CAST(COALESCE(r.raw, 0) AS DOUBLE) * $HitsGrid / CAST(t.tot AS DOUBLE) + 0.5) AS BIGINT) AS sc " +
+          s"FROM n LEFT JOIN hr$k r ON r.v = n.v CROSS JOIN ht$k t)"
+      }.mkString(", ")
+      s"WITH $tradeEdgesSql, " +
+        "n AS (SELECT n_nationkey AS v FROM nation), " +
+        "h0 AS (SELECT v, CAST(1000000000 AS BIGINT) AS sc FROM n), " +
+        rounds +
+        s" SELECT n.v AS nationkey, a.sc AS auth9, h.sc AS hub9 " +
+        s"FROM n JOIN a$HitsRounds a ON a.v = n.v JOIN h$HitsRounds h ON h.v = n.v " +
+        "ORDER BY nationkey"
+    },
+      (s, d) => hits(s, d)),
+
     // Edge reciprocity (round 9, sixth wave) — the directed-graph
     // mutuality diagnostic (Garlaschelli & Loffredo 2004): per source
     // node, the share of its out-edges (src≠dst) whose REVERSE edge
@@ -604,6 +648,39 @@ object Graph {
           .orderBy("src")
       }),
   )
+
+  /** The quantized HITS loop — graph_hits's Spark side (see the Q's
+    * scaladoc for the grid/normalization contract). */
+  private def hits(s: SparkSession, d: String): DataFrame = {
+    val e = tradeEdges(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nations = T.nation(s, d).select(col("n_nationkey").as("v"))
+    def normalize(raw: DataFrame): DataFrame = {
+      val tot = raw.agg(sum(col("raw")).as("tot"))
+      nations.join(broadcast(raw), Seq("v"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("v"),
+          floor(coalesce(col("raw"), lit(0L)).cast("double") * lit(HitsGrid) /
+            col("tot").cast("double") + 0.5).cast("long").as("sc"))
+        .localCheckpoint()
+    }
+    var h = nations.select(col("v"), lit(1000000000L).as("sc"))
+    var a = h
+    for (_ <- 1 to HitsRounds) {
+      a = normalize(e
+        .join(broadcast(h.select(col("v").as("src"), col("sc"))), "src")
+        .groupBy(col("dst").as("v")).agg(sum(col("w") * col("sc")).as("raw")))
+      h = normalize(e
+        .join(broadcast(a.select(col("v").as("dst"), col("sc"))), "dst")
+        .groupBy(col("src").as("v")).agg(sum(col("w") * col("sc")).as("raw")))
+    }
+    e.unpersist()
+    nations
+      .join(a.select(col("v"), col("sc").as("auth9")), "v")
+      .join(h.select(col("v"), col("sc").as("hub9")), "v")
+      .select(col("v").as("nationkey"), col("auth9"), col("hub9"))
+      .orderBy("nationkey")
+  }
 
   private def pagerank(s: SparkSession, d: String): DataFrame = {
     // persisted: every round re-reads the edge table

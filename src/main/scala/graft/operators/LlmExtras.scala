@@ -1508,5 +1508,59 @@ object LlmExtras {
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_toks"), sum(col("w6")).as("dsir6"))
           .orderBy("doc_id")
+      }),
+
+    // CCNet perplexity buckets (round 9, sixth wave) — the published
+    // head/middle/tail quality split (Wenzek et al. 2020): score every
+    // doc by its average negative log-probability under a PER-LANGUAGE
+    // unigram LM (the llm_unigram_logprob construction, per lang), then
+    // tercile-bucket WITHIN each language by that score — lower
+    // perplexity = head, the slice CCNet keeps. Terms s6-floored before
+    // the order-free per-doc sum; the per-doc average is one divide
+    // floored back to the grid, so the bucket boundary ranks integers
+    // with (score, doc_id) tie order. The per-lang rank window is the
+    // recipe's own requirement (CCNet sorts each language shard); at
+    // open-corpus scale the cut comes from a quantile sketch instead —
+    // same output contract, documented swap.
+    Q("llm_ccnet_bucket", Some(
+      "WITH t AS (SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents), " +
+        "cf AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY lang, tok), " +
+        "nl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS total FROM t GROUP BY lang), " +
+        "sc AS (SELECT doc_id, t.lang, CAST(COUNT(*) AS BIGINT) AS n_tok, " +
+        "CAST(SUM(" + sqlS6("-LN(CAST(c AS DOUBLE) / total)") + ") AS BIGINT) AS sum_nl6 " +
+        "FROM t JOIN cf ON cf.lang = t.lang AND cf.tok = t.tok " +
+        "JOIN nl ON nl.lang = t.lang GROUP BY doc_id, t.lang), " +
+        "p AS (SELECT doc_id, lang, " +
+        "CAST(FLOOR(CAST(sum_nl6 AS DOUBLE) / CAST(n_tok AS DOUBLE) + 0.5) AS BIGINT) AS avg_nl6 " +
+        "FROM sc), " +
+        "r AS (SELECT doc_id, lang, avg_nl6, " +
+        "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY avg_nl6, doc_id) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY lang) AS n FROM p) " +
+        "SELECT doc_id, lang, avg_nl6, " +
+        "CASE (rn - 1) * 3 // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket " +
+        "FROM r ORDER BY doc_id"),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = T.documents(s, d)
+          .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+        val cf = t.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+        val nl = t.groupBy("lang").agg(count(lit(1)).as("total"))
+        val sc = t.join(broadcast(cf), Seq("lang", "tok"))
+          .join(broadcast(nl), "lang")
+          .groupBy("doc_id", "lang")
+          .agg(count(lit(1)).as("n_tok"),
+            sum(s6(-log(col("c").cast("double") / col("total")))).as("sum_nl6"))
+        val p = sc.select(col("doc_id"), col("lang"),
+          floor(col("sum_nl6").cast("double") / col("n_tok").cast("double") + 0.5)
+            .cast("long").as("avg_nl6"))
+        val r = p
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("lang").orderBy(col("avg_nl6"), col("doc_id"))))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+        r.select(col("doc_id"), col("lang"), col("avg_nl6"),
+            when(expr("(rn - 1) * 3 div n") === 0, "head")
+              .when(expr("(rn - 1) * 3 div n") === 1, "middle")
+              .otherwise("tail").as("bucket"))
+          .orderBy("doc_id")
       }))
 }

@@ -654,5 +654,41 @@ object Relational {
           .groupBy("n_name")
           .agg(count(lit(1)).as("n_items"), sum(rev).as("revenue_cc"))
           .orderBy("n_name")
+      }),
+
+    // Fuzzy dictionary join (round 9, sixth wave) — the entity-
+    // resolution primitive behind catalog/vendor-name matching: find
+    // near-identical VALUES of a dimension attribute (typos, spelling
+    // variants) by edit distance ≤ 2. The join runs over the DISTINCT-
+    // value dictionary, never the fact rows — the dictionary is bounded
+    // by the attribute's closed vocabulary (64 part names here; catalog
+    // dimensions stay dictionary-sized at any fact scale), so the
+    // all-pairs step is vocab², length-banded (|Δlen| ≤ 2 is a
+    // levenshtein lower bound — a cheap ~5x prune before the O(len²)
+    // verify), with support counts carried so a resolver can pick the
+    // canonical spelling by frequency. At an OPEN vocabulary this key's
+    // guard is llm_dedup_pipeline's prefix-filter/banding family.
+    Q("join_fuzzy", Some(
+      "WITH d AS (SELECT p_name AS nm, CAST(COUNT(*) AS BIGINT) AS cnt " +
+        "FROM part GROUP BY p_name) " +
+        "SELECT a.nm AS n1, b.nm AS n2, " +
+        "CAST(LEVENSHTEIN(a.nm, b.nm) AS INT) AS dist, " +
+        "a.cnt AS cnt1, b.cnt AS cnt2 " +
+        "FROM d a JOIN d b ON a.nm < b.nm " +
+        "AND ABS(LENGTH(a.nm) - LENGTH(b.nm)) <= 2 " +
+        "WHERE LEVENSHTEIN(a.nm, b.nm) <= 2 ORDER BY n1, n2"),
+      (s, d) => {
+        val dict = T.part(s, d).groupBy(col("p_name").as("nm"))
+          .agg(count(lit(1)).as("cnt"))
+        val b = dict.select(col("nm").as("n2"), col("cnt").as("cnt2"))
+        dict.select(col("nm").as("n1"), col("cnt").as("cnt1"))
+          .join(broadcast(b),
+            col("n1") < col("n2") &&
+              abs(length(col("n1")) - length(col("n2"))) <= 2 &&
+              levenshtein(col("n1"), col("n2")) <= 2)
+          .select(col("n1"), col("n2"),
+            levenshtein(col("n1"), col("n2")).as("dist"),
+            col("cnt1"), col("cnt2"))
+          .orderBy("n1", "n2")
       }))
 }

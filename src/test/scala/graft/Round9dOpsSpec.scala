@@ -239,6 +239,145 @@ class Round9dOpsSpec extends SparkSpec {
     }
   }
 
+  test("eo_mk_trend: S, tie variance and Z match the pair mirror") {
+    val got = SparkEntry.queries("eo_mk_trend")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    events.groupBy(_._1).foreach { case (u, rows) =>
+      // daily collapse: earliest by (t, event_id)
+      val daily = rows.groupBy(_._3 / 86400).toSeq
+        .map { case (x, es) => (x, s2(es.minBy(e => (e._3, e._2))._4)) }
+        .sortBy(_._1)
+      val n = daily.size.toLong
+      val sStat = (for {
+        (a, i) <- daily.zipWithIndex; b <- daily.drop(i + 1)
+      } yield java.lang.Long.signum(b._2 - a._2).toLong).sum
+      val tieAdj = daily.groupBy(_._2).values
+        .map(g => { val t = g.size.toLong; t * (t - 1) * (2 * t + 5) }).sum
+      val var18 = n * (n - 1) * (2 * n + 5) - tieAdj
+      assert(got(u)._1 == n && got(u)._2 == sStat, s"pixel $u moments")
+      if (var18 <= 0) assert(got(u)._3.isEmpty, s"pixel $u degenerate")
+      else {
+        val sd = math.sqrt(var18.toDouble / 18.0)
+        val z = if (sStat > 0) s6((sStat - 1) / sd)
+        else if (sStat < 0) s6((sStat + 1) / sd) else 0L
+        assert(got(u)._3.contains(z), s"pixel $u z")
+      }
+    }
+  }
+
+  test("agg_winsorized_mean: clamped mean between min and raw mean bounds") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val got = SparkEntry.queries("agg_winsorized_mean")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    li.groupBy(_._1).foreach { case (f, rows) =>
+      val xs = rows.map(r => s2(r._2)).sorted
+      val n = xs.size.toLong
+      val lo = xs((math.max(1, n * 5 / 100) - 1).toInt)
+      val hi = xs((math.max(1, n * 95 / 100) - 1).toInt)
+      val clamped = xs.map(x => math.min(math.max(x, lo), hi))
+      val wm = math.floor(clamped.sum.toDouble * 1e4 / n + 0.5).toLong
+      assert(got(f) == ((n, lo, hi, wm)), s"flag $f")
+      // robustness: the winsorized mean is within the clamp bounds
+      assert(got(f)._4 >= lo * 10000 - 1 && got(f)._4 <= hi * 10000 + 1)
+    }
+  }
+
+  test("graph_hits: converges toward the dominant eigen-direction; " +
+    "scores sum to the grid and top authority has in-links") {
+    val rows = SparkEntry.queries("graph_hits")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 25)
+    // sum-normalized grid: each score vector sums to ~1e9 (per-node
+    // rounding moves the total by at most half a cell per node)
+    assert(math.abs(rows.map(_._2).sum - 1000000000L) <= 25)
+    assert(math.abs(rows.map(_._3).sum - 1000000000L) <= 25)
+    assert(rows.forall(r => r._2 >= 0 && r._3 >= 0))
+    // a node with zero in-edges must have zero authority
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ordCust = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val custNat = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val suppNat = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val dsts = li.map { case (ok, sk) => suppNat(sk) }.toSet
+    val srcs = li.map { case (ok, sk) => custNat(ordCust(ok)) }.toSet
+    rows.foreach { case (v, auth, hub) =>
+      if (!dsts.contains(v)) assert(auth == 0L, s"node $v authority")
+      if (!srcs.contains(v)) assert(hub == 0L, s"node $v hub")
+    }
+  }
+
+  test("llm_ccnet_bucket: terciles split each language by the LM score") {
+    val rows = SparkEntry.queries("llm_ccnet_bucket")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(rows.map(_._1).distinct.length == rows.length)
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val n = rs.size
+      // bucket sizes follow the (rn-1)*3 div n law
+      val expected = (1 to n).groupBy(rn => (rn - 1) * 3 / n).view
+        .mapValues(_.size).toMap
+      val gotSizes = rs.groupBy(_._4).map {
+        case ("head", g) => 0 -> g.size
+        case ("middle", g) => 1 -> g.size
+        case ("tail", g) => 2 -> g.size
+      }
+      assert(gotSizes == expected.filter(_._2 > 0), s"lang $lang sizes")
+      // ordering: every head score <= every tail score
+      val headMax = rs.filter(_._4 == "head").map(_._3).max
+      val tailMin = rs.filter(_._4 == "tail").map(_._3).min
+      assert(headMax <= tailMin, s"lang $lang head/tail order")
+    }
+  }
+
+  test("join_fuzzy: matched pairs are exactly the dist<=2 dictionary pairs") {
+    val got = SparkEntry.queries("join_fuzzy")(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getInt(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    val names = Tables.part(spark, sfDir).select("p_name").collect()
+      .map(_.getString(0))
+    val dict = names.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      a <- dict.keys; b <- dict.keys
+      if a < b && lev(a, b) <= 2
+    } yield ((a, b), (lev(a, b), dict(a), dict(b)))).toMap
+    assert(got == expected)
+    // the length band never excluded a true match (lev >= |len diff|)
+    expected.keys.foreach { case (a, b) =>
+      assert(math.abs(a.length - b.length) <= 2)
+    }
+  }
+
+  test("eo_tile_sieve: rollup equals the clump table filtered at 3 px") {
+    val clumps = SparkEntry.queries("eo_tile_clump")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val got = SparkEntry.queries("eo_tile_sieve")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    val byTile = clumps.groupBy(_._1)
+    assert(got.keySet == byTile.keySet)
+    byTile.foreach { case (tile, cs) =>
+      val kept = cs.filter(_._3 >= 3)
+      val removed = cs.filter(_._3 < 3)
+      assert(got(tile) == ((kept.size.toLong, kept.map(_._3).sum,
+        removed.map(_._3).sum, kept.map(_._4).sum)), s"tile $tile")
+    }
+  }
+
   test("dq_freshness: per-type lags against a scalar mirror") {
     val got = SparkEntry.queries("dq_freshness")(spark, sfDir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
