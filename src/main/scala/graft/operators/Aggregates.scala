@@ -1303,6 +1303,66 @@ object Aggregates {
             floor(col("sc").cast("double") * lit(1e4) / col("n").cast("double") + 0.5)
               .cast("long").as("wmean6"))
           .orderBy("f")
+      }),
+
+    // Two-predictor OLS (round 9, sixth wave) — agg_regr widened to the
+    // multiple-regression normal equations (price ~ quantity +
+    // discount): nine exact integer moments per group (y cents, x₁
+    // whole units, x₂ 4-dp discount — every product ≪ 2^63 at any
+    // graded SF; magnitudes documented), then Cramer's rule over the
+    // 3×3 Gram matrix as ONE fixed double sequence per group. The Gram
+    // determinant of a nondegenerate design is > 0; both engines
+    // compute the identical double, so the degenerate branch (D ≤ 0)
+    // agrees bit-for-bit. One partial-agg shuffle total.
+    Q("agg_ols_multi", Some {
+      def D(x: String) = s"CAST($x AS DOUBLE)"
+      val (n, s1, s2v, sy) = (D("n"), D("s1"), D("s2"), D("sy"))
+      val (s11, s12, s22, s1y, s2y) =
+        (D("s11"), D("s12"), D("s22"), D("s1y"), D("s2y"))
+      // det [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]]
+      val det = s"($n * ($s11 * $s22 - $s12 * $s12) - $s1 * ($s1 * $s22 - $s12 * $s2v) + " +
+        s"$s2v * ($s1 * $s12 - $s11 * $s2v))"
+      val det1 = s"($n * ($s1y * $s22 - $s12 * $s2y) - $s1 * ($sy * $s22 - $s2v * $s2y) + " +
+        s"$s2v * ($sy * $s12 - $s2v * $s1y))"
+      val det2 = s"($n * ($s11 * $s2y - $s1y * $s12) - $s1 * ($s1 * $s2y - $sy * $s12) + " +
+        s"$s2v * ($s1 * $s1y - $sy * $s11))"
+      "WITH b AS (SELECT l_returnflag AS f, " + sqlS0("l_quantity") + " AS x1, " +
+        sqlS4("l_discount") + " AS x2, " + sqlS2("l_extendedprice") + " AS y " +
+        "FROM lineitem), " +
+        "m AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2, " +
+        "CAST(SUM(y) AS BIGINT) AS sy, " +
+        "CAST(SUM(x1 * x1) AS BIGINT) AS s11, CAST(SUM(x1 * x2) AS BIGINT) AS s12, " +
+        "CAST(SUM(x2 * x2) AS BIGINT) AS s22, " +
+        "CAST(SUM(x1 * y) AS BIGINT) AS s1y, CAST(SUM(x2 * y) AS BIGINT) AS s2y " +
+        "FROM b GROUP BY f) " +
+        "SELECT f, n, " +
+        s"CASE WHEN $det <= 0.0 THEN NULL ELSE " + sqlS6(s"$det1 / $det") + " END AS b1_6, " +
+        s"CASE WHEN $det <= 0.0 THEN NULL ELSE " + sqlS6(s"$det2 / $det") + " END AS b2_6 " +
+        "FROM m ORDER BY f"
+    },
+      (s, d) => {
+        val b = T.lineitem(s, d).select(col("l_returnflag").as("f"),
+          s0(col("l_quantity")).as("x1"), s4(col("l_discount")).as("x2"),
+          s2(col("l_extendedprice")).as("y"))
+        val m = b.groupBy("f").agg(count(lit(1)).as("n"),
+          sum(col("x1")).as("s1"), sum(col("x2")).as("s2"), sum(col("y")).as("sy"),
+          sum(col("x1") * col("x1")).as("s11"), sum(col("x1") * col("x2")).as("s12"),
+          sum(col("x2") * col("x2")).as("s22"),
+          sum(col("x1") * col("y")).as("s1y"), sum(col("x2") * col("y")).as("s2y"))
+        def D(c: String) = col(c).cast("double")
+        val (n, s1, s2v, sy) = (D("n"), D("s1"), D("s2"), D("sy"))
+        val (s11, s12, s22, s1y, s2y) = (D("s11"), D("s12"), D("s22"), D("s1y"), D("s2y"))
+        val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2v) +
+          s2v * (s1 * s12 - s11 * s2v)
+        val det1 = n * (s1y * s22 - s12 * s2y) - s1 * (sy * s22 - s2v * s2y) +
+          s2v * (sy * s12 - s2v * s1y)
+        val det2 = n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - sy * s12) +
+          s2v * (s1 * s1y - sy * s11)
+        m.select(col("f"), col("n"),
+            when(det <= 0.0, lit(null)).otherwise(s6(det1 / det)).as("b1_6"),
+            when(det <= 0.0, lit(null)).otherwise(s6(det2 / det)).as("b2_6"))
+          .orderBy("f")
       }))
 
   /** agg_stats oracle: the same exact-integer-moment formulas, textually

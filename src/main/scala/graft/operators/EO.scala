@@ -2119,6 +2119,87 @@ object EO {
             sum(when(!kept, col("n_px")).otherwise(0L)).as("n_px_removed"),
             sum(when(kept, col("cksum")).otherwise(0L)).as("cksum_kept"))
           .orderBy("tile")
+      }),
+
+    // Harmonic seasonal fit (round 9, sixth wave) — the single-
+    // frequency harmonic regression y = a + β·cos(ωd) + γ·sin(ωd)
+    // (ω = 2π/365) behind CCDC/Landsat phenology models and the
+    // odc-stats seasonal products: per pixel, the seasonal AMPLITUDE
+    // and mean level. Trig enters ONCE per row and is s6-QUANTIZED
+    // immediately (the eo_reproject coarse-grid rule: a 1-ulp trig
+    // library difference flips a 1e-6 floor only on razor-edge inputs,
+    // absent from this 366-value domain) — after that every moment is
+    // an exact int64 and the 3×3 Cramer solve is ONE fixed double
+    // sequence per pixel (the agg_ols_multi construction with
+    // (cos, sin) as the two predictors). One partial-agg shuffle on
+    // the pixel key; amplitude = √(B²+Γ²) in cents via the IEEE-exact
+    // sqrt, never POWER.
+    Q("eo_harmonic", Some {
+      def D(x: String) = s"CAST($x AS DOUBLE)"
+      val (n, sc, ss, sy) = (D("n"), D("sc"), D("ss"), D("sy"))
+      val (scc, scs, sss, syc, sys) =
+        (D("scc"), D("scs"), D("sss"), D("syc"), D("sys"))
+      val det = s"($n * ($scc * $sss - $scs * $scs) - $sc * ($sc * $sss - $scs * $ss) + " +
+        s"$ss * ($sc * $scs - $scc * $ss))"
+      val det0 = s"($sy * ($scc * $sss - $scs * $scs) - $syc * ($sc * $sss - $ss * $scs) + " +
+        s"$sys * ($sc * $scs - $ss * $scc))"
+      val det1 = s"($n * ($syc * $sss - $scs * $sys) - $sc * ($sy * $sss - $ss * $sys) + " +
+        s"$ss * ($sy * $scs - $ss * $syc))"
+      val det2 = s"($n * ($scc * $sys - $syc * $scs) - $sc * ($sc * $sys - $sy * $scs) + " +
+        s"$ss * ($sc * $syc - $sy * $scc))"
+      val bb = s"($det1 / $det * 1e6)"
+      val gg = s"($det2 / $det * 1e6)"
+      "WITH b AS (SELECT user_id, " +
+        "(CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400) % 365 AS yday, " +
+        sqlS2("value") + " AS y FROM events), " +
+        "q AS (SELECT user_id, y, " +
+        sqlS6("COS(2.0 * PI() * CAST(yday AS DOUBLE) / 365.0)") + " AS c6, " +
+        sqlS6("SIN(2.0 * PI() * CAST(yday AS DOUBLE) / 365.0)") + " AS s6 " +
+        "FROM b), " +
+        "m AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(c6) AS BIGINT) AS sc, CAST(SUM(s6) AS BIGINT) AS ss, " +
+        "CAST(SUM(y) AS BIGINT) AS sy, " +
+        "CAST(SUM(c6 * c6) AS BIGINT) AS scc, CAST(SUM(c6 * s6) AS BIGINT) AS scs, " +
+        "CAST(SUM(s6 * s6) AS BIGINT) AS sss, " +
+        "CAST(SUM(y * c6) AS BIGINT) AS syc, CAST(SUM(y * s6) AS BIGINT) AS sys " +
+        "FROM q GROUP BY user_id) " +
+        "SELECT user_id, n, " +
+        s"CASE WHEN $det <= 0.0 THEN NULL ELSE " +
+        sqlS0(s"$det0 / $det") + " END AS mean_c, " +
+        s"CASE WHEN $det <= 0.0 THEN NULL ELSE " +
+        sqlS0(s"SQRT($bb * $bb + $gg * $gg)") + " END AS amp_c " +
+        "FROM m ORDER BY user_id"
+    },
+      (s, dd) => {
+        val ang = lit(2.0) * lit(math.Pi) * col("yday").cast("double") / lit(365.0)
+        val q = T.events(s, dd)
+          .select(col("user_id"),
+            (expr("unix_timestamp(ts) div 86400") % 365).as("yday"),
+            s2(col("value")).as("y"))
+          .select(col("user_id"), col("y"),
+            s6(cos(ang)).as("c6"), s6(sin(ang)).as("s6"))
+        val m = q.groupBy("user_id").agg(count(lit(1)).as("n"),
+          sum(col("c6")).as("sc"), sum(col("s6")).as("ss"), sum(col("y")).as("sy"),
+          sum(col("c6") * col("c6")).as("scc"), sum(col("c6") * col("s6")).as("scs"),
+          sum(col("s6") * col("s6")).as("sss"),
+          sum(col("y") * col("c6")).as("syc"), sum(col("y") * col("s6")).as("sys"))
+        def D(c: String) = col(c).cast("double")
+        val (n, sc, ss, sy) = (D("n"), D("sc"), D("ss"), D("sy"))
+        val (scc, scs, sss, syc, sys) = (D("scc"), D("scs"), D("sss"), D("syc"), D("sys"))
+        val det = n * (scc * sss - scs * scs) - sc * (sc * sss - scs * ss) +
+          ss * (sc * scs - scc * ss)
+        val det0 = sy * (scc * sss - scs * scs) - syc * (sc * sss - ss * scs) +
+          sys * (sc * scs - ss * scc)
+        val det1 = n * (syc * sss - scs * sys) - sc * (sy * sss - ss * sys) +
+          ss * (sy * scs - ss * syc)
+        val det2 = n * (scc * sys - syc * scs) - sc * (sc * sys - sy * scs) +
+          ss * (sc * syc - sy * scc)
+        val bb = det1 / det * lit(1e6); val gg = det2 / det * lit(1e6)
+        m.select(col("user_id"), col("n"),
+            when(det <= 0.0, lit(null)).otherwise(s0(det0 / det)).as("mean_c"),
+            when(det <= 0.0, lit(null))
+              .otherwise(s0(sqrt(bb * bb + gg * gg))).as("amp_c"))
+          .orderBy("user_id")
       }))
 
   /** 4-adjacency connected-component rollup over set mask pixels

@@ -1006,5 +1006,55 @@ object Windows {
             when(col("n") < 2 || vx <= 0 || vy <= 0, lit(null))
               .otherwise(s6(r)).as("r6"))
           .orderBy("event_id")
+      }),
+
+    // Seasonal-naive forecast backtest (round 9, sixth wave) — the
+    // capacity-planning baseline every forecasting system is judged
+    // against (Hyndman's snaive): ŷ(d) = y(d−7), scored per entity by
+    // MAE and signed bias over the days where a week-old ancestor
+    // exists. The daily series is the eo_mk_trend collapse (earliest
+    // observation per (entity, day) — a deterministic shared pick);
+    // the forecast join is an EQUI join on (entity, day−7) — map-side
+    // after the one shuffle both sides already share. |err| and bias
+    // are exact integer cents; MAE is one divide on the s6 grid.
+    Q("win_forecast_snaive", Some(
+      "WITH e AS (SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 AS x, " +
+        "CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t, event_id, " + sqlS2("value") + " AS y " +
+        "FROM events), " +
+        "d AS (SELECT user_id, x, y FROM (SELECT user_id, x, y, " +
+        "ROW_NUMBER() OVER (PARTITION BY user_id, x ORDER BY t, event_id) AS rn FROM e) z " +
+        "WHERE rn = 1), " +
+        "j AS (SELECT a.user_id, a.y, p.y AS yhat FROM d a " +
+        "LEFT JOIN d p ON p.user_id = a.user_id AND p.x = a.x - 7) " +
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_days, " +
+        "CAST(COUNT(yhat) AS BIGINT) AS n_fc, " +
+        "CAST(SUM(CASE WHEN yhat IS NULL THEN 0 ELSE y - yhat END) AS BIGINT) AS bias_c, " +
+        "CASE WHEN COUNT(yhat) = 0 THEN NULL ELSE " +
+        "CAST(FLOOR(CAST(CAST(SUM(CASE WHEN yhat IS NULL THEN 0 ELSE ABS(y - yhat) END) AS BIGINT) AS DOUBLE) " +
+        "* 1e4 / CAST(COUNT(yhat) AS DOUBLE) + 0.5) AS BIGINT) END AS mae6 " +
+        "FROM j GROUP BY user_id ORDER BY user_id"),
+      (s, dd) => {
+        val w = Window.partitionBy("user_id", "x").orderBy(col("t"), col("event_id"))
+        val d = T.events(s, dd)
+          .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("x"),
+            epochS(col("ts")).as("t"), col("event_id"), s2(col("value")).as("y"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select("user_id", "x", "y")
+        val p = d.select(col("user_id").as("pu"), col("x").as("px"),
+          col("y").as("yhat"))
+        d.join(p, col("pu") === col("user_id") && col("px") === col("x") - 7, "left")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_days"),
+            count(col("yhat")).as("n_fc"),
+            sum(when(col("yhat").isNull, 0L).otherwise(col("y") - col("yhat")))
+              .as("bias_c"),
+            sum(when(col("yhat").isNull, 0L).otherwise(abs(col("y") - col("yhat"))))
+              .as("sae"))
+          .select(col("user_id"), col("n_days"), col("n_fc"), col("bias_c"),
+            when(col("n_fc") === 0, lit(null))
+              .otherwise(floor(col("sae").cast("double") * lit(1e4) /
+                col("n_fc").cast("double") + 0.5).cast("long")).as("mae6"))
+          .orderBy("user_id")
       }))
 }

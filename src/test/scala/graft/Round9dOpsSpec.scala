@@ -378,6 +378,148 @@ class Round9dOpsSpec extends SparkSpec {
     }
   }
 
+  test("win_forecast_snaive: MAE/bias match the day-7 ancestor mirror") {
+    val got = SparkEntry.queries("win_forecast_snaive")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    events.groupBy(_._1).foreach { case (u, rows) =>
+      val daily = rows.groupBy(_._3 / 86400).toSeq
+        .map { case (x, es) => (x, s2(es.minBy(e => (e._3, e._2))._4)) }.toMap
+      val n = daily.size.toLong
+      val fc = daily.toSeq.flatMap { case (x, y) =>
+        daily.get(x - 7).map(yhat => (y, yhat))
+      }
+      val nFc = fc.size.toLong
+      val bias = fc.map(p => p._1 - p._2).sum
+      assert(got(u)._1 == n && got(u)._2 == nFc && got(u)._3 == bias, s"user $u")
+      if (nFc == 0) assert(got(u)._4.isEmpty)
+      else {
+        val mae = math.floor(
+          fc.map(p => math.abs(p._1 - p._2)).sum.toDouble * 1e4 / nFc + 0.5).toLong
+        assert(got(u)._4.contains(mae), s"user $u mae")
+      }
+    }
+  }
+
+  test("agg_ols_multi: coefficients solve the normal equations") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_discount"),
+        col("l_extendedprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    val got = SparkEntry.queries("agg_ols_multi")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    li.groupBy(_._1).foreach { case (f, rows) =>
+      val x1 = rows.map(r => math.floor(r._2 + 0.5).toLong)
+      val x2 = rows.map(r => math.floor(r._3 * 1e4 + 0.5).toLong)
+      val y = rows.map(r => s2(r._4))
+      val n = rows.size.toLong
+      // independent solve: Gaussian elimination over the Gram system
+      val a = Array(
+        Array(n.toDouble, x1.sum.toDouble, x2.sum.toDouble, y.sum.toDouble),
+        Array(x1.sum.toDouble, x1.map(v => v * v).sum.toDouble,
+          x1.zip(x2).map(p => p._1 * p._2).sum.toDouble,
+          x1.zip(y).map(p => p._1 * p._2).sum.toDouble),
+        Array(x2.sum.toDouble, x1.zip(x2).map(p => p._1 * p._2).sum.toDouble,
+          x2.map(v => v * v).sum.toDouble,
+          x2.zip(y).map(p => p._1 * p._2).sum.toDouble))
+      for (i <- 0 until 3; j <- 0 until 3 if j != i) {
+        val fct = a(j)(i) / a(i)(i)
+        for (k <- 0 to 3) a(j)(k) -= fct * a(i)(k)
+      }
+      val b1 = a(1)(3) / a(1)(1); val b2 = a(2)(3) / a(2)(2)
+      assert(got(f)._1 == n)
+      // elimination vs Cramer agree within a grid cell
+      got(f)._2.foreach(v => assert(math.abs(v - s6(b1)) <= 1, s"flag $f b1"))
+      got(f)._3.foreach(v => assert(math.abs(v - s6(b2)) <= 1, s"flag $f b2"))
+      assert(got(f)._2.nonEmpty && got(f)._3.nonEmpty, s"flag $f degenerate")
+    }
+  }
+
+  test("eo_harmonic: amplitude recovers a synthetic seasonal signal") {
+    // residual check on the real corpus: the fitted (a, B, Γ) from the
+    // key must satisfy the first normal equation Σ(y − a − B·cos −
+    // Γ·sin) ≈ 0 is NOT directly recoverable from (mean, amp); instead
+    // pin the key's output against an independent least-squares solve.
+    val got = SparkEntry.queries("eo_harmonic")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    events.groupBy(_._1).foreach { case (u, rows) =>
+      val q = rows.map { e =>
+        val yday = (e._3 / 86400) % 365
+        val ang = 2.0 * math.Pi * yday / 365.0
+        (s2(e._4), s6(math.cos(ang)), s6(math.sin(ang)))
+      }
+      val n = q.size.toLong
+      val (sy, sc, ss) = (q.map(_._1).sum, q.map(_._2).sum, q.map(_._3).sum)
+      val scc = q.map(v => v._2 * v._2).sum; val scs = q.map(v => v._2 * v._3).sum
+      val sss = q.map(v => v._3 * v._3).sum
+      val syc = q.map(v => v._1 * v._2).sum; val sys = q.map(v => v._1 * v._3).sum
+      val nD = n.toDouble
+      val det = nD * (scc.toDouble * sss - scs.toDouble * scs) -
+        sc.toDouble * (sc.toDouble * sss - scs.toDouble * ss) +
+        ss.toDouble * (sc.toDouble * scs - scc.toDouble * ss)
+      assert(got(u)._1 == n)
+      if (det <= 0) assert(got(u)._2.isEmpty && got(u)._3.isEmpty)
+      else {
+        val det0 = sy.toDouble * (scc.toDouble * sss - scs.toDouble * scs) -
+          syc.toDouble * (sc.toDouble * sss - ss.toDouble * scs) +
+          sys.toDouble * (sc.toDouble * scs - ss.toDouble * scc)
+        val det1 = nD * (syc.toDouble * sss - scs.toDouble * sys) -
+          sc.toDouble * (sy.toDouble * sss - ss.toDouble * sys) +
+          ss.toDouble * (sy.toDouble * scs - ss.toDouble * syc)
+        val det2 = nD * (scc.toDouble * sys - syc.toDouble * scs) -
+          sc.toDouble * (sc.toDouble * sys - sy.toDouble * scs) +
+          ss.toDouble * (sc.toDouble * syc - sy.toDouble * scc)
+        val bb = det1 / det * 1e6; val gg = det2 / det * 1e6
+        assert(got(u)._2.contains(s0(det0 / det)), s"pixel $u mean")
+        assert(got(u)._3.contains(s0(math.sqrt(bb * bb + gg * gg))), s"pixel $u amp")
+        assert(got(u)._3.get >= 0)
+      }
+    }
+  }
+
+  test("eo_harmonic: exact recovery on a constructed pure-harmonic series") {
+    // a planted signal y = 500 + 300·cos(ωd) must come back with
+    // amplitude ≈ 300·100 cents and mean ≈ 500·100 — the regression
+    // identifies the planted coefficients through the quantized-trig
+    // moments (sanity that the solver solves the right system).
+    import spark.implicits._
+    val days = (0 until 365 by 5)
+    val rows = days.map { d =>
+      val y = 500.0 + 300.0 * math.cos(2.0 * math.Pi * (d % 365) / 365.0)
+      (1L, d.toLong * 86400, y)
+    }
+    val df = rows.toDF("user_id", "epoch", "value")
+      .select(col("user_id"), col("epoch"), col("value"))
+    val q = df.select(col("user_id"),
+      ((col("epoch") / 86400).cast("long") % 365).as("yday"), col("value"))
+    val withTrig = q.select(col("user_id"), col("value"),
+      Det.s6(cos(lit(2.0) * lit(math.Pi) * col("yday").cast("double") / lit(365.0))).as("c6"),
+      Det.s6(sin(lit(2.0) * lit(math.Pi) * col("yday").cast("double") / lit(365.0))).as("s6v"),
+      Det.s2(col("value")).as("y"))
+    val r = withTrig.agg(count(lit(1)).as("n"), sum("c6").as("sc"), sum("s6v").as("ss"),
+      sum("y").as("sy"), sum(col("c6") * col("c6")).as("scc"),
+      sum(col("c6") * col("s6v")).as("scs"), sum(col("s6v") * col("s6v")).as("sss"),
+      sum(col("y") * col("c6")).as("syc"), sum(col("y") * col("s6v")).as("sys"))
+      .collect()(0)
+    val (n, sc, ss, sy) = (r.getLong(0).toDouble, r.getLong(1).toDouble,
+      r.getLong(2).toDouble, r.getLong(3).toDouble)
+    val (scc, scs, sss, syc, sys) = (r.getLong(4).toDouble, r.getLong(5).toDouble,
+      r.getLong(6).toDouble, r.getLong(7).toDouble, r.getLong(8).toDouble)
+    val det = n * (scc * sss - scs * scs) - sc * (sc * sss - scs * ss) +
+      ss * (sc * scs - scc * ss)
+    val det1 = n * (syc * sss - scs * sys) - sc * (sy * sss - ss * sys) +
+      ss * (sy * scs - ss * syc)
+    val det2 = n * (scc * sys - syc * scs) - sc * (sc * sys - sy * scs) +
+      ss * (sc * syc - sy * scc)
+    val amp = math.sqrt(math.pow(det1 / det * 1e6, 2) + math.pow(det2 / det * 1e6, 2))
+    assert(math.abs(amp - 30000.0) < 50.0, s"planted amplitude, got $amp")
+  }
+
   test("dq_freshness: per-type lags against a scalar mirror") {
     val got = SparkEntry.queries("dq_freshness")(spark, sfDir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
