@@ -357,6 +357,49 @@ class PlanContractSpec extends SparkSpec {
       s"shadow projection degenerated:\n$sm")
   }
 
+  test("sixth-wave plan shapes: broadcast dictionaries, banded joins, bounded windows") {
+    // DSIR: the 1024-bucket dictionary and the scalar totals broadcast —
+    // the token stream is never shuffled for the scoring join
+    val ds = planOf("llm_dsir")
+    assert(ds.contains("BroadcastHashJoin"), s"dsir dict not broadcast:\n$ds")
+    // winsorized mean: cut values join back broadcast; exactly the two
+    // promised hash exchanges (group partial-aggs) plus the rank window's
+    assert(planOf("agg_winsorized_mean").contains("BroadcastHashJoin"))
+    // fuzzy dictionary join: the length band keeps it a (broadcast)
+    // nested-loop over the bounded dictionary, never over fact rows —
+    // and the dictionary aggregate runs BELOW the join
+    val jf = planOf("join_fuzzy")
+    assert(jf.contains("BroadcastNestedLoopJoin"), s"fuzzy join shape:\n$jf")
+    assert(jf.indexOf("HashAggregate") > jf.indexOf("BroadcastNestedLoopJoin"),
+      s"fuzzy join must join dictionaries, not raw rows:\n$jf")
+    // theilsen / mk_trend: the pair join is an EQUI join on the pixel
+    // key (SortMerge or Hash), never a cartesian
+    Seq("eo_theilsen", "eo_mk_trend").foreach { k =>
+      val p = planOf(k)
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+        s"$k pair join degenerated:\n$p")
+    }
+    // bollinger / rolling corr: entity-partitioned running windows —
+    // exactly one hash exchange (user_id) below the presentation sort
+    Seq("win_bollinger", "win_rolling_corr").foreach { k =>
+      val p = planOf(k)
+      assert(p.split("Exchange hashpartitioning").length - 1 <= 1,
+        s"$k must shuffle once on the entity key:\n$p")
+    }
+    // ccnet buckets: the LM dictionaries broadcast back over the token
+    // stream (cf and nl are vocabulary/lang-sized)
+    assert(planOf("llm_ccnet_bucket").contains("BroadcastHashJoin"))
+    // snaive: the day-7 ancestor lookup is an equi self-join
+    val sn = planOf("win_forecast_snaive")
+    assert(!sn.contains("CartesianProduct") && !sn.contains("NestedLoopJoin"),
+      s"snaive ancestor join degenerated:\n$sn")
+    // harmonic: map + ONE partial-agg shuffle, no joins at all
+    val hm = planOf("eo_harmonic")
+    assert(!hm.contains("Join"), s"harmonic must be join-free:\n$hm")
+    assert(hm.split("Exchange hashpartitioning").length - 1 == 1,
+      s"harmonic must shuffle once on the pixel key:\n$hm")
+  }
+
   test("global sweep: no key plans a cartesian product or a python fallback") {
     // join_cross IS the cartesian semantics (125-row dimension square);
     // everything else must never degrade to one, and nothing may fall to
