@@ -96,6 +96,16 @@ object EO {
     * corpus family (GeomedianSpec pins 1e-3). */
   private val GeomedianRounds = 6
 
+  /** Min-plus relaxation rounds for eo_tile_distance — the graph_bfs
+    * fixed-depth contract on the raster grid: both engines run the SAME
+    * K; distances beyond K stay at the 999 sentinel identically. K=8
+    * covers the widest gap a 16x16 tile's interior can hold from its
+    * own mask pixels in Manhattan metric rings. Declared BEFORE `all`
+    * (object vals initialize in declaration order — a forward reference
+    * from the `all` initializer would silently read 0, the KcoreRounds
+    * lesson). */
+  private val DistRounds = 8
+
   /** Inverse of [[eventTiles]]'s packing for oracle comparison: one row
     * per (tile, pos, value) across whatever time/band rows the composite
     * left. */
@@ -2200,6 +2210,75 @@ object EO {
             when(det <= 0.0, lit(null))
               .otherwise(s0(sqrt(bb * bb + gg * gg))).as("amp_c"))
           .orderBy("user_id")
+      }),
+
+    // Grid distance transform (round 9, sixth wave) — Manhattan
+    // distance to the nearest masked pixel, the "distance to cloud"
+    // proximity band fmask-family pipelines buffer their masks with
+    // (and GDAL's gdal_proximity): K=8 min-plus relaxation rounds of
+    // dist ← min(dist, 1 + min over 4-neighbors) — graph_bfs's
+    // relational Bellman-Ford step ON THE RASTER GRID, tile-local
+    // (cross-tile proximity composes via the halo contract). 999 is
+    // the beyond-K sentinel on BOTH engines (no NULL/LEAST divergence);
+    // K bounds the traceable distance, fixed and shared with the
+    // unrolled all-stages-MATERIALIZED oracle chain (the graph_kcore
+    // feasibility lesson). Spark rounds localCheckpoint so the plan
+    // stays linear in K. Output is the per-tile distance histogram
+    // (≤ K+2 rows per tile) with a position checksum.
+    Q("eo_tile_distance", Some {
+      val rounds = (1 to DistRounds).map { k =>
+        val prev = s"d${k - 1}"
+        s"nb$k AS MATERIALIZED (SELECT tile, py, px, MIN(dist) AS mind FROM (" +
+          s"SELECT tile, py + 1 AS py, px, dist FROM $prev " +
+          s"UNION ALL SELECT tile, py - 1, px, dist FROM $prev " +
+          s"UNION ALL SELECT tile, py, px + 1, dist FROM $prev " +
+          s"UNION ALL SELECT tile, py, px - 1, dist FROM $prev) u " +
+          s"GROUP BY tile, py, px), " +
+          s"d$k AS MATERIALIZED (SELECT p.tile, p.py, p.px, " +
+          s"LEAST(p.dist, COALESCE(nb.mind, 999) + 1) AS dist " +
+          s"FROM $prev p LEFT JOIN nb$k nb ON nb.tile = p.tile AND nb.py = p.py AND nb.px = p.px)"
+      }.mkString(", ")
+      "WITH px AS (SELECT (event_id // 4) // 256 AS tile, " +
+        "((event_id // 4) % 256) // 16 AS py, ((event_id // 4) % 256) % 16 AS px, " +
+        "event_id % 4 AS t, user_id % 2 AS m FROM events), " +
+        "full_t AS (SELECT tile FROM px WHERE t = 0 GROUP BY tile HAVING COUNT(*) = 256), " +
+        "d0 AS MATERIALIZED (SELECT p.tile, py, px, " +
+        "CASE WHEN m = 1 THEN 0 ELSE 999 END AS dist " +
+        "FROM px p JOIN full_t USING (tile) WHERE t = 0), " +
+        rounds +
+        s" SELECT tile, CAST(dist AS BIGINT) AS dist, CAST(COUNT(*) AS BIGINT) AS n_px, " +
+        s"CAST(SUM(py * 16 + px + 1) AS BIGINT) AS cksum " +
+        s"FROM d$DistRounds GROUP BY tile, dist ORDER BY tile, dist"
+    },
+      (s, d) => {
+        val px = T.events(s, d).select(
+          expr("(event_id div 4) div 256").as("tile"),
+          expr("((event_id div 4) % 256) div 16").as("py"),
+          expr("((event_id div 4) % 256) % 16").as("px"),
+          (col("event_id") % 4).as("t"), (col("user_id") % 2).as("m"))
+        val fullT = px.where(col("t") === 0).groupBy("tile")
+          .agg(count(lit(1)).as("c")).where(col("c") === 256).select("tile")
+        var dcur = px.where(col("t") === 0)
+          .join(broadcast(fullT), "tile")
+          .select(col("tile"), col("py"), col("px"),
+            when(col("m") === 1, 0L).otherwise(999L).as("dist"))
+          .localCheckpoint()
+        for (_ <- 1 to DistRounds) {
+          val nb = dcur.select(col("tile"), (col("py") + 1).as("py"), col("px"), col("dist"))
+            .unionAll(dcur.select(col("tile"), (col("py") - 1).as("py"), col("px"), col("dist")))
+            .unionAll(dcur.select(col("tile"), col("py"), (col("px") + 1).as("px"), col("dist")))
+            .unionAll(dcur.select(col("tile"), col("py"), (col("px") - 1).as("px"), col("dist")))
+            .groupBy("tile", "py", "px").agg(min(col("dist")).as("mind"))
+          dcur = dcur.join(nb.withColumnRenamed("mind", "mind"),
+              Seq("tile", "py", "px"), "left")
+            .select(col("tile"), col("py"), col("px"),
+              least(col("dist"), coalesce(col("mind"), lit(999L)) + 1).as("dist"))
+            .localCheckpoint()
+        }
+        dcur.groupBy(col("tile"), col("dist"))
+          .agg(count(lit(1)).as("n_px"),
+            sum(col("py") * 16 + col("px") + 1).as("cksum"))
+          .orderBy("tile", "dist")
       }))
 
   /** 4-adjacency connected-component rollup over set mask pixels

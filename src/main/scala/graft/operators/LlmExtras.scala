@@ -1562,5 +1562,31 @@ object LlmExtras {
               .when(expr("(rn - 1) * 3 div n") === 1, "middle")
               .otherwise("tail").as("bucket"))
           .orderBy("doc_id")
+      }),
+
+    // Soft dedup weights (round 9, sixth wave) — the down-weighting
+    // alternative to removal: instead of keeping one copy per exact-
+    // duplicate cluster (llm_dedup_exact), every copy survives with
+    // sampling weight 1/cluster_size, so the cluster contributes one
+    // document's worth of probability mass in expectation (the repeated-
+    // data correction the data-constrained scaling-law literature
+    // applies [Muennighoff et al. 2023]). Same md5 fingerprint groups,
+    // one extra broadcast of the duplicate-count dictionary (duplicate
+    // clusters only — it stays tiny relative to the corpus); the weight
+    // is one IEEE divide on the s6 grid. Linear, two partial-agg
+    // shuffles.
+    Q("llm_dedup_weight", Some(
+      "WITH f AS (SELECT doc_id, MD5(text) AS fp FROM documents), " +
+        "c AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS cnt FROM f GROUP BY fp) " +
+        "SELECT doc_id, cnt AS dup_count, " +
+        sqlS6("1.0 / CAST(cnt AS DOUBLE)") + " AS weight6 " +
+        "FROM f JOIN c USING (fp) ORDER BY doc_id"),
+      (s, d) => {
+        val f = T.documents(s, d).select(col("doc_id"), md5(col("text")).as("fp"))
+        val c = f.groupBy("fp").agg(count(lit(1)).as("cnt"))
+        f.join(broadcast(c), "fp")
+          .select(col("doc_id"), col("cnt").as("dup_count"),
+            s6(lit(1.0) / col("cnt").cast("double")).as("weight6"))
+          .orderBy("doc_id")
       }))
 }

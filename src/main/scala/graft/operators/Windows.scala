@@ -1056,5 +1056,45 @@ object Windows {
               .otherwise(floor(col("sae").cast("double") * lit(1e4) /
                 col("n_fc").cast("double") + 0.5).cast("long")).as("mae6"))
           .orderBy("user_id")
+      }),
+
+    // Local-maximum peak detection (round 9, sixth wave) — the
+    // signal-processing peak picker (scipy.signal.find_peaks' core
+    // rule) over each entity's observation series: a peak is a strict
+    // local maximum over both immediate neighbors (plateau rows are NOT
+    // peaks — the strict/strict rule is fixed and shared), with a
+    // 50-cent prominence floor over the LOWER neighbor. Interior rows
+    // only (lag and lead both defined). Pure integer comparisons on
+    // cents; one entity shuffle; summary output is entity-sized with a
+    // position checksum pinning WHICH rows were peaks.
+    Q("win_peak_detect", Some(
+      "WITH v AS (SELECT user_id, event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t, " +
+        sqlS2("value") + " AS vi FROM events), " +
+        "n AS (SELECT user_id, event_id, vi, " +
+        "LAG(vi) OVER w AS pv, LEAD(vi) OVER w AS nv " +
+        "FROM v WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)), " +
+        "p AS (SELECT user_id, event_id, vi, " +
+        "CASE WHEN pv IS NOT NULL AND nv IS NOT NULL AND vi > pv AND vi > nv " +
+        "AND vi - GREATEST(pv, nv) >= 50 THEN 1 ELSE 0 END AS is_peak FROM n) " +
+        "SELECT user_id, CAST(SUM(is_peak) AS BIGINT) AS n_peaks, " +
+        "CAST(SUM(is_peak * event_id) AS BIGINT) AS cksum, " +
+        "MAX(CASE WHEN is_peak = 1 THEN vi END) AS max_peak_c " +
+        "FROM p GROUP BY user_id ORDER BY user_id"),
+      (s, dd) => {
+        val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+        val n = T.events(s, dd)
+          .select(col("user_id"), col("event_id"), epochS(col("ts")).as("t"),
+            s2(col("value")).as("vi"))
+          .withColumn("pv", lag(col("vi"), 1).over(w))
+          .withColumn("nv", lead(col("vi"), 1).over(w))
+        val isPeak = when(col("pv").isNotNull && col("nv").isNotNull &&
+          col("vi") > col("pv") && col("vi") > col("nv") &&
+          col("vi") - greatest(col("pv"), col("nv")) >= 50, 1L).otherwise(0L)
+        n.select(col("user_id"), col("event_id"), col("vi"), isPeak.as("is_peak"))
+          .groupBy("user_id")
+          .agg(sum(col("is_peak")).as("n_peaks"),
+            sum(col("is_peak") * col("event_id")).as("cksum"),
+            max(when(col("is_peak") === 1, col("vi"))).as("max_peak_c"))
+          .orderBy("user_id")
       }))
 }

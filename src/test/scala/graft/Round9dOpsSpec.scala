@@ -520,6 +520,81 @@ class Round9dOpsSpec extends SparkSpec {
     assert(math.abs(amp - 30000.0) < 50.0, s"planted amplitude, got $amp")
   }
 
+  test("win_peak_detect: peaks match the strict-neighbor mirror") {
+    val got = SparkEntry.queries("win_peak_detect")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    events.groupBy(_._1).foreach { case (u, rows) =>
+      val xs = rows.sortBy(e => (e._3, e._2)).map(e => (e._2, s2(e._4)))
+      val peaks = xs.sliding(3).filter(_.size == 3).collect {
+        case Seq((_, pv), (id, vi), (_, nv))
+          if vi > pv && vi > nv && vi - math.max(pv, nv) >= 50 => (id, vi)
+      }.toSeq
+      val expected = (peaks.size.toLong, peaks.map(_._1).sum,
+        if (peaks.isEmpty) None else Some(peaks.map(_._2).max))
+      assert(got(u) == expected, s"user $u")
+    }
+  }
+
+  test("eo_tile_distance: the K=8 relaxation equals true multi-source BFS") {
+    val got = SparkEntry.queries("eo_tile_distance")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // independent fixpoint BFS per full tile from the same construction
+    val px = Tables.events(spark, sfDir)
+      .selectExpr("(event_id div 4) div 256 AS tile",
+        "((event_id div 4) % 256) div 16 AS py",
+        "((event_id div 4) % 256) % 16 AS px",
+        "event_id div 4 AS pid", "event_id % 4 AS t", "user_id % 2 AS m")
+      .where(col("t") === 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2).toInt, r.getLong(5)))
+    val full = px.groupBy(_._1).filter(_._2.length == 256)
+    if (full.isEmpty) assert(got.isEmpty)
+    full.foreach { case (tile, ps) =>
+      val mask = ps.filter(_._4 == 1).map(p => (p._2, p._3)).toSet
+      val dist = scala.collection.mutable.Map[(Int, Int), Int]()
+      var frontier = mask
+      mask.foreach(p => dist(p) = 0)
+      var d = 0
+      while (frontier.nonEmpty) {
+        d += 1
+        frontier = frontier.flatMap { case (y, x) =>
+          Seq((y + 1, x), (y - 1, x), (y, x + 1), (y, x - 1))
+        }.filter { case (y, x) =>
+          y >= 0 && y < 16 && x >= 0 && x < 16 && !dist.contains((y, x))
+        }
+        frontier.foreach(p => dist(p) = d)
+      }
+      val hist = ps.map { p =>
+        val bfsD = dist.getOrElse((p._2, p._3), 999)
+        (if (bfsD > 8) 999L else bfsD.toLong, p._2 * 16 + p._3 + 1)
+      }.groupBy(_._1).view
+        .mapValues(g => (g.length.toLong, g.map(_._2.toLong).sum)).toMap
+      hist.foreach { case (dd, exp) =>
+        assert(got((tile, dd)) == exp, s"tile $tile dist $dd")
+      }
+      assert(got.keys.count(_._1 == tile) == hist.size, s"tile $tile rows")
+    }
+  }
+
+  test("llm_dedup_weight: cluster mass sums to one document") {
+    val got = SparkEntry.queries("llm_dedup_weight")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byText = docs.groupBy(_._2)
+    assert(got.length == docs.length)
+    val cnt = byText.view.mapValues(_.size.toLong).toMap
+    val textOf = docs.map(d => d._1 -> d._2).toMap
+    got.foreach { case (id, dc, w6) =>
+      val c = cnt(textOf(id))
+      assert(dc == c && w6 == s6(1.0 / c), s"doc $id")
+    }
+    // per-cluster weight mass = 1e6 within per-member rounding
+    byText.values.foreach { g =>
+      val ids = g.map(_._1).toSet
+      val mass = got.filter(r => ids(r._1)).map(_._3).sum
+      assert(math.abs(mass - 1000000L) <= g.size, s"cluster mass $mass")
+    }
+  }
+
   test("dq_freshness: per-type lags against a scalar mirror") {
     val got = SparkEntry.queries("dq_freshness")(spark, sfDir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
