@@ -34,7 +34,13 @@ class DeterminismSpec extends SparkSpec {
       // clustering, the salted join, and the hash-gated sample
       "win_ntile", "llm_dedup_cluster", "join_salted",
       "llm_sample_stratified", "mm_dedup_ahash", "eo_catalog_pruned_load",
-      "eo_gap_fill")
+      "eo_gap_fill",
+      // round 9 sixth wave: the sorted-collect median (theilsen), the
+      // hashed-bucket dictionary (dsir), rank-derived percentile picks
+      // (winsorized) and tercile buckets (ccnet), and the two iterative
+      // loops (hits, tile_distance) must all survive topology changes
+      "eo_theilsen", "llm_dsir", "agg_winsorized_mean",
+      "llm_ccnet_bucket", "graph_hits", "eo_tile_distance")
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     val base = keys.map(k => k -> SparkEntry.queries(k)(spark, sfDir).collect().toSeq).toMap
     try {
