@@ -2279,6 +2279,52 @@ object EO {
           .agg(count(lit(1)).as("n_px"),
             sum(col("py") * 16 + col("px") + 1).as("cksum"))
           .orderBy("tile", "dist")
+      }),
+
+    // Catalog spatial kNN (round 9, sixth wave) — "the 3 nearest scene
+    // footprints to each AOI point", the catalog query behind
+    // find-closest-acquisition tooling: scene CENTERS are the distinct
+    // (tile_x, tile_y) grid cells with their acquisition counts (the
+    // catalog dictionary — metadata-sized at any archive scale, like
+    // join_fuzzy's vocabulary), AOI points come from the nation grid.
+    // Distance is SQUARED integer Euclidean (no √ — monotone, so the
+    // ranking is exact), per-point top-3 via a window that Catalyst
+    // plans as a WindowGroupLimit heap, ties pinned (d2, tile_x,
+    // tile_y). The dictionary broadcasts; the nested-loop is
+    // points × dictionary, never points × acquisitions.
+    Q("join_spatial_knn", Some(
+      "WITH sc AS (SELECT CAST(user_id % 8 AS INTEGER) AS tile_x, " +
+        "CAST(user_id % 5 AS INTEGER) AS tile_y, CAST(COUNT(*) AS BIGINT) AS n_acq " +
+        "FROM events GROUP BY 1, 2), " +
+        "pt AS (SELECT n_nationkey AS aoi_id, CAST(n_nationkey % 11 AS INTEGER) AS px, " +
+        "CAST(n_nationkey % 7 AS INTEGER) AS py FROM nation), " +
+        "d AS (SELECT aoi_id, tile_x, tile_y, n_acq, " +
+        "CAST((tile_x - px) * (tile_x - px) + (tile_y - py) * (tile_y - py) AS BIGINT) AS d2, " +
+        "ROW_NUMBER() OVER (PARTITION BY aoi_id " +
+        "ORDER BY (tile_x - px) * (tile_x - px) + (tile_y - py) * (tile_y - py), tile_x, tile_y) AS rn " +
+        "FROM pt CROSS JOIN sc) " +
+        "SELECT aoi_id, CAST(rn AS INTEGER) AS rn, tile_x, tile_y, d2, n_acq " +
+        "FROM d WHERE rn <= 3 ORDER BY aoi_id, rn"),
+      (s, d) => {
+        val sc = T.events(s, d)
+          .groupBy((col("user_id") % 8).cast("int").as("tile_x"),
+            (col("user_id") % 5).cast("int").as("tile_y"))
+          .agg(count(lit(1)).as("n_acq"))
+        val pt = T.nation(s, d).select(col("n_nationkey").as("aoi_id"),
+          (col("n_nationkey") % 11).cast("int").as("px"),
+          (col("n_nationkey") % 7).cast("int").as("py"))
+        val d2 = ((col("tile_x") - col("px")) * (col("tile_x") - col("px")) +
+          (col("tile_y") - col("py")) * (col("tile_y") - col("py"))).cast("long")
+        val w = Window.partitionBy("aoi_id")
+          .orderBy(((col("tile_x") - col("px")) * (col("tile_x") - col("px")) +
+            (col("tile_y") - col("py")) * (col("tile_y") - col("py"))).asc,
+            col("tile_x"), col("tile_y"))
+        pt.crossJoin(broadcast(sc))
+          .withColumn("d2", d2)
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 3)
+          .select("aoi_id", "rn", "tile_x", "tile_y", "d2", "n_acq")
+          .orderBy("aoi_id", "rn")
       }))
 
   /** 4-adjacency connected-component rollup over set mask pixels

@@ -305,5 +305,42 @@ object StreamTwins {
           .where(col("gap").isNull || col("gap") >= 60)
           .select("event_id", "user_id", "t", "gap")
           .orderBy("event_id")
+      }),
+
+    // Stream disorder metric (round 9, sixth wave) — the out-of-order
+    // measurement that CALIBRATES a watermark: per stream (event type),
+    // how many events arrive with an event time behind the running
+    // maximum seen so far, and by how much at worst. Arrival order is
+    // event_id (the stream twins' generation-sequence convention); the
+    // running max is one entity-partitioned window over integer epoch
+    // seconds, lateness is exact integer subtraction, and the disorder
+    // share is one IEEE divide. This is the statistic that justifies
+    // stream_late's 3600 s watermark: max observed lateness bounds the
+    // allowed-lateness knob.
+    Q("stream_disorder", Some(
+      "WITH te AS (SELECT event_type, event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS te " +
+        "FROM events), " +
+        "r AS (SELECT event_type, te, MAX(te) OVER (PARTITION BY event_type " +
+        "ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm FROM te) " +
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CASE WHEN hwm IS NOT NULL AND te < hwm THEN 1 ELSE 0 END) AS BIGINT) AS n_ooo, " +
+        sqlS6("CAST(SUM(CASE WHEN hwm IS NOT NULL AND te < hwm THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)") +
+        " AS disorder6, " +
+        "CAST(MAX(CASE WHEN hwm IS NOT NULL AND te < hwm THEN hwm - te ELSE 0 END) AS BIGINT) AS max_late_s " +
+        "FROM r GROUP BY event_type ORDER BY event_type"),
+      (s, d) => {
+        val w = Window.partitionBy("event_type").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val r = T.events(s, d)
+          .select(col("event_type"), col("event_id"), epochS(col("ts")).as("te"))
+          .withColumn("hwm", max(col("te")).over(w))
+        val ooo = when(col("hwm").isNotNull && col("te") < col("hwm"), 1L)
+          .otherwise(0L)
+        r.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(ooo).as("n_ooo"),
+            s6(sum(ooo).cast("double") / count(lit(1)).cast("double")).as("disorder6"),
+            max(when(col("hwm").isNotNull && col("te") < col("hwm"),
+              col("hwm") - col("te")).otherwise(0L)).as("max_late_s"))
+          .orderBy("event_type")
       }))
 }

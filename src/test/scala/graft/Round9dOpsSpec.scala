@@ -595,6 +595,50 @@ class Round9dOpsSpec extends SparkSpec {
     }
   }
 
+  test("stream_disorder: out-of-order shares match the running-max mirror") {
+    val got = SparkEntry.queries("stream_disorder")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    events.groupBy(_._5).foreach { case (et, rows) =>
+      val arr = rows.sortBy(_._2) // event_id = arrival order
+      var hwm = Long.MinValue
+      var nOoo = 0L; var maxLate = 0L
+      arr.foreach { e =>
+        if (hwm != Long.MinValue && e._3 < hwm) {
+          nOoo += 1; maxLate = math.max(maxLate, hwm - e._3)
+        }
+        hwm = math.max(hwm, e._3)
+      }
+      val n = arr.size.toLong
+      assert(got(et) == ((n, nOoo, s6(nOoo.toDouble / n), maxLate)), s"type $et")
+    }
+    // calibration link: the graded watermark (3600 s in stream_late)
+    // must dominate every stream's observed max lateness OR the
+    // disorder metric is telling the user to widen it — either way the
+    // metric is the decision input; here just pin nonnegativity
+    assert(got.values.forall(v => v._4 >= 0 && v._2 <= v._1))
+  }
+
+  test("join_spatial_knn: top-3 scene centers match brute force") {
+    val got = SparkEntry.queries("join_spatial_knn")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5)))).toMap
+    val centers = events.groupBy(e => ((e._1 % 8).toInt, (e._1 % 5).toInt))
+      .view.mapValues(_.size.toLong).toMap
+    val aois = Tables.nation(spark, sfDir).select("n_nationkey").collect()
+      .map(_.getInt(0))
+    aois.foreach { a =>
+      val (px, py) = (a % 11, a % 7)
+      val ranked = centers.toSeq.map { case ((x, y), n) =>
+        (((x - px).toLong * (x - px) + (y - py).toLong * (y - py)), x, y, n)
+      }.sortBy(t => (t._1, t._2, t._3)).take(3)
+      ranked.zipWithIndex.foreach { case ((d2, x, y, n), i) =>
+        assert(got((a, i + 1)) == ((x, y, d2, n)), s"aoi $a rank ${i + 1}")
+      }
+    }
+    assert(got.size == aois.length * 3)
+  }
+
   test("dq_freshness: per-type lags against a scalar mirror") {
     val got = SparkEntry.queries("dq_freshness")(spark, sfDir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
