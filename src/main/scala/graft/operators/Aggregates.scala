@@ -1363,6 +1363,53 @@ object Aggregates {
             when(det <= 0.0, lit(null)).otherwise(s6(det1 / det)).as("b1_6"),
             when(det <= 0.0, lit(null)).otherwise(s6(det2 / det)).as("b2_6"))
           .orderBy("f")
+      }),
+
+    // A/B conversion lift (round 9, sixth wave) — the two-PROPORTION
+    // z-test agg_ttest's mean comparison doesn't cover, the primary
+    // experimentation metric: per-user conversion flags (any purchase)
+    // rolled into cohort counts (user_id parity as the assignment
+    // hash), relative lift p₁/p₀ − 1 and the pooled z statistic, each
+    // ONE fixed double sequence over four exact integers. Two
+    // partial-agg shuffles (user rollup, then the 2-row cohort
+    // aggregate); NULLs on the degenerate branches (p₀ = 0, pooled p
+    // at 0 or 1) spelled identically on both engines.
+    Q("agg_ab_lift", Some {
+      val p0 = "(CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))"
+      val p1 = "(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+      val pp = "(CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))"
+      "WITH u AS (SELECT user_id, CAST(user_id % 2 AS INTEGER) AS grp, " +
+        "MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv " +
+        "FROM events GROUP BY user_id), " +
+        "c AS (SELECT " +
+        "CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, " +
+        "CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+        "CAST(SUM(CASE WHEN grp = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0, " +
+        "CAST(SUM(CASE WHEN grp = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1 FROM u) " +
+        "SELECT n0, n1, c0, c1, " +
+        s"CASE WHEN c0 = 0 THEN NULL ELSE " + sqlS6(s"$p1 / $p0 - 1.0") + " END AS lift6, " +
+        s"CASE WHEN $pp <= 0.0 OR $pp >= 1.0 THEN NULL ELSE " +
+        sqlS6(s"($p1 - $p0) / SQRT($pp * (1.0 - $pp) * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))") +
+        " END AS z6 FROM c"
+    },
+      (s, d) => {
+        val u = T.events(s, d)
+          .groupBy(col("user_id"), (col("user_id") % 2).cast("int").as("grp"))
+          .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
+        val c = u.agg(
+          sum(when(col("grp") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("grp") === 0, col("conv")).otherwise(0)).cast("long").as("c0"),
+          sum(when(col("grp") === 1, col("conv")).otherwise(0)).cast("long").as("c1"))
+        val p0 = col("c0").cast("double") / col("n0").cast("double")
+        val p1 = col("c1").cast("double") / col("n1").cast("double")
+        val pp = (col("c0") + col("c1")).cast("double") /
+          (col("n0") + col("n1")).cast("double")
+        val z = (p1 - p0) / sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / col("n0").cast("double") + lit(1.0) / col("n1").cast("double")))
+        c.select(col("n0"), col("n1"), col("c0"), col("c1"),
+          when(col("c0") === 0, lit(null)).otherwise(s6(p1 / p0 - 1.0)).as("lift6"),
+          when(pp <= 0.0 || pp >= 1.0, lit(null)).otherwise(s6(z)).as("z6"))
       }))
 
   /** agg_stats oracle: the same exact-integer-moment formulas, textually

@@ -2325,6 +2325,42 @@ object EO {
           .where(col("rn") <= 3)
           .select("aoi_id", "rn", "tile_x", "tile_y", "d2", "n_acq")
           .orderBy("aoi_id", "rn")
+      }),
+
+    // Tile texture entropy (round 9, sixth wave) — the histogram-
+    // entropy texture band of land-cover classification stacks (the
+    // information-theoretic sibling of eo_tile_focal_var's variance
+    // texture): Shannon entropy of each full tile's 16-bin DN
+    // histogram. Rides eo_tile_histogram's exact binning; each
+    // -(c/256)·ln(c/256) term is s6-floored BEFORE the order-free
+    // per-tile sum (the agg_entropy discipline). Two partial-agg
+    // shuffles on the tile key, map-side combinable.
+    Q("eo_texture_entropy", Some(
+      "WITH px AS (SELECT (event_id // 4) // 256 AS tile, " +
+        "event_id % 4 AS t, CAST(user_id AS BIGINT) AS v FROM events), " +
+        "full_t AS (SELECT tile FROM px WHERE t = 0 GROUP BY tile HAVING COUNT(*) = 256), " +
+        "h AS (SELECT p.tile, LEAST(p.v // 32, 15) AS bin, CAST(COUNT(*) AS BIGINT) AS c " +
+        "FROM px p JOIN full_t USING (tile) WHERE p.t = 0 GROUP BY p.tile, bin) " +
+        "SELECT tile, CAST(COUNT(*) AS BIGINT) AS n_bins, " +
+        "CAST(SUM(" +
+        sqlS6("-(CAST(c AS DOUBLE) / 256.0) * LN(CAST(c AS DOUBLE) / 256.0)") +
+        ") AS BIGINT) AS entropy6 " +
+        "FROM h GROUP BY tile ORDER BY tile"),
+      (s, d) => {
+        val px = T.events(s, d).select(
+          expr("(event_id div 4) div 256").as("tile"),
+          (col("event_id") % 4).as("t"), col("user_id").as("v"))
+        val fullT = px.where(col("t") === 0).groupBy("tile")
+          .agg(count(lit(1)).as("c")).where(col("c") === 256).select("tile")
+        val h = px.where(col("t") === 0)
+          .join(broadcast(fullT), "tile")
+          .groupBy(col("tile"), least(expr("v div 32"), lit(15L)).as("bin"))
+          .agg(count(lit(1)).as("c"))
+        val p = col("c").cast("double") / lit(256.0)
+        h.select(col("tile"), s6(-p * log(p)).as("e6"))
+          .groupBy("tile")
+          .agg(count(lit(1)).as("n_bins"), sum(col("e6")).as("entropy6"))
+          .orderBy("tile")
       }))
 
   /** 4-adjacency connected-component rollup over set mask pixels

