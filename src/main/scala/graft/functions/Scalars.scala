@@ -330,5 +330,45 @@ object Scalars {
             col("doc_id"),
             size(filter(col("tk"), t => length(t) > 5)).cast("bigint").as("n_long"),
             aggregate(col("tk"), lit(0L), (acc, t) => acc + length(t)).as("total_len"))
-          .orderBy("doc_id")))
+          .orderBy("doc_id")),
+
+    // Haversine great-circle distance (round 9, sixth wave) — the geo
+    // scalar behind every nearest-scene / coverage-radius catalog query.
+    // Trig is allowed here under the eo_reproject coarse-grid rule,
+    // strengthened: the output floors to INTEGER METERS, and a 1-ulp
+    // trig/asin library difference perturbs the distance by ~1e-9 m —
+    // nine orders below the grid. Synthetic station coordinates derive
+    // from the nation key; all 25×24/2 pairs via the canonical a < b
+    // self-join (dimension-sized, broadcast). The formula is the
+    // textbook 2R·asin(√h); R = 6371000 m, one shared IEEE sequence.
+    Q("fn_haversine", Some {
+      val rad = "(PI() / 180.0)" // parenthesized: both engines multiply by the SAME precomputed constant
+      def lat(t: String) = s"CAST($t.n_nationkey % 90 - 45 AS DOUBLE) * $rad"
+      def lon(t: String) = s"CAST(($t.n_nationkey * 7) % 360 - 180 AS DOUBLE) * $rad"
+      val h = s"SIN((${lat("b")} - ${lat("a")}) / 2.0) * SIN((${lat("b")} - ${lat("a")}) / 2.0) + " +
+        s"COS(${lat("a")}) * COS(${lat("b")}) * " +
+        s"SIN((${lon("b")} - ${lon("a")}) / 2.0) * SIN((${lon("b")} - ${lon("a")}) / 2.0)"
+      "SELECT a.n_nationkey AS id1, b.n_nationkey AS id2, " +
+        s"CAST(FLOOR(2.0 * 6371000.0 * ASIN(SQRT($h)) + 0.5) AS BIGINT) AS dist_m " +
+        "FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey " +
+        "ORDER BY id1, id2"
+    },
+      (s, d) => {
+        val rad = math.Pi / 180.0
+        def lat(c: org.apache.spark.sql.Column) =
+          (c % 90 - 45).cast("double") * rad
+        def lon(c: org.apache.spark.sql.Column) =
+          ((c * 7) % 360 - 180).cast("double") * rad
+        val a = T.nation(s, d).select(col("n_nationkey").as("id1"))
+        val b = T.nation(s, d).select(col("n_nationkey").as("id2"))
+        val la1 = lat(col("id1")); val la2 = lat(col("id2"))
+        val lo1 = lon(col("id1")); val lo2 = lon(col("id2"))
+        val h = sin((la2 - la1) / 2.0) * sin((la2 - la1) / 2.0) +
+          cos(la1) * cos(la2) * sin((lo2 - lo1) / 2.0) * sin((lo2 - lo1) / 2.0)
+        a.join(broadcast(b), col("id1") < col("id2"))
+          .select(col("id1"), col("id2"),
+            floor(lit(2.0) * lit(6371000.0) * asin(sqrt(h)) + 0.5)
+              .cast("long").as("dist_m"))
+          .orderBy("id1", "id2")
+      }))
 }

@@ -713,6 +713,34 @@ class Round9dOpsSpec extends SparkSpec {
     }
   }
 
+  test("fn_haversine: distances match the scalar mirror and the metric axioms") {
+    val got = SparkEntry.queries("fn_haversine")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val keys = Tables.nation(spark, sfDir).select("n_nationkey").collect()
+      .map(_.getInt(0))
+    val rad = math.Pi / 180.0
+    def pos(k: Int) = ((k % 90 - 45) * rad, ((k * 7) % 360 - 180) * rad)
+    def hav(a: Int, b: Int): Long = {
+      val (la1, lo1) = pos(a); val (la2, lo2) = pos(b)
+      val h = math.pow(math.sin((la2 - la1) / 2), 2) +
+        math.cos(la1) * math.cos(la2) * math.pow(math.sin((lo2 - lo1) / 2), 2)
+      math.floor(2.0 * 6371000.0 * math.asin(math.sqrt(h)) + 0.5).toLong
+    }
+    assert(got.size == keys.length * (keys.length - 1) / 2)
+    for (a <- keys; b <- keys if a < b) {
+      // pow-vs-multiply mirror differs by ulps; the integer-meter grid
+      // absorbs far more than that
+      assert(math.abs(got((a, b)) - hav(a, b)) <= 1, s"pair ($a,$b)")
+      assert(got((a, b)) >= 0 && got((a, b)) <= 20015087L + 1, s"pair ($a,$b) range")
+    }
+    // triangle inequality on a sample of triples (great-circle metric)
+    for (a <- keys.take(5); b <- keys.slice(5, 10); c <- keys.slice(10, 15)) {
+      def d(x: Int, y: Int) =
+        if (x == y) 0L else got.getOrElse((math.min(x, y), math.max(x, y)), 0L)
+      assert(d(a, c) <= d(a, b) + d(b, c) + 2, s"triangle ($a,$b,$c)")
+    }
+  }
+
   test("dq_freshness: per-type lags against a scalar mirror") {
     val got = SparkEntry.queries("dq_freshness")(spark, sfDir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
