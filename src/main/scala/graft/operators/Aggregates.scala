@@ -1410,6 +1410,115 @@ object Aggregates {
         c.select(col("n0"), col("n1"), col("c0"), col("c1"),
           when(col("c0") === 0, lit(null)).otherwise(s6(p1 / p0 - 1.0)).as("lift6"),
           when(pp <= 0.0 || pp >= 1.0, lit(null)).otherwise(s6(z)).as("z6"))
+      }),
+
+    // Cramér's V (round 9, seventh wave) — the EFFECT-SIZE companion to
+    // agg_chisq's significance test: V = √(χ²/n/min(r−1,c−1)) ∈ [0,1]
+    // makes contingency association comparable across table sizes (the
+    // feature-selection screen for categorical pairs). χ² re-derives by
+    // the agg_chisq machinery (exact cell/marginal counts, per-cell
+    // s6-floored terms); V is then ONE fixed double sequence over three
+    // exact integers — χ²₆, n, min-dof — so the s6 output is
+    // bit-identical by induction. Same single-pass cost: one cell agg
+    // over the table, everything after is domain-sized.
+    Q("agg_cramers_v", Some(cramersVOracle),
+      (s, d) => {
+        val cells = T.lineitem(s, d)
+          .groupBy(col("l_returnflag").as("f"), col("l_linestatus").as("st"))
+          .agg(count(lit(1)).as("c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val rt = cells.groupBy("f").agg(sum("c").as("r"))
+        val ct = cells.groupBy("st").agg(sum("c").as("k"))
+        val tot = cells.agg(sum("c").as("n"))
+        val e = col("r").cast("double") * col("k").cast("double") /
+          col("n").cast("double")
+        val cD = col("c").cast("double")
+        val terms = cells
+          .join(broadcast(rt), "f").join(broadcast(ct), "st")
+          .crossJoin(broadcast(tot))
+          .select(s6((cD - e) * (cD - e) / e).as("term6"))
+        val nrDf = rt.agg(count(lit(1)).as("nrows"))
+        val ncDf = ct.agg(count(lit(1)).as("ncols"))
+        val base = terms.agg(sum(col("term6")).as("chi2_6"))
+          .crossJoin(broadcast(tot)).crossJoin(broadcast(nrDf))
+          .crossJoin(broadcast(ncDf))
+          .select(col("n"), col("chi2_6"),
+            least(col("nrows") - lit(1L), col("ncols") - lit(1L)).as("mdof"))
+        val v = sqrt(col("chi2_6").cast("double") / lit(1e6) /
+          col("n").cast("double") / col("mdof").cast("double"))
+        base.select(col("n"), col("mdof"), col("chi2_6"), s6(v).as("v6"))
+      }),
+
+    // Cohen's d / Hedges' g (round 9, seventh wave) — the standardized
+    // mean difference the A/B readout reports NEXT TO agg_ttest's
+    // significance: d = (m₁−m₂)/s_pooled, with Hedges' small-sample
+    // correction g = J·d, J = 1 − 3/(4·df−1). Identical single-pass
+    // conditional-moment shape as agg_ttest (six exact integer sums per
+    // stratum), then one fixed IEEE sequence per statistic — no
+    // engine-internal double aggregation anywhere.
+    Q("agg_cohens_d", Some(cohensDOracle),
+      (s, d) => {
+        val b = T.lineitem(s, d)
+          .filter(col("l_returnflag").isin("A", "R"))
+          .select(col("l_linestatus"), col("l_returnflag"),
+            s0(col("l_quantity")).as("xi"))
+        val m = b.groupBy("l_linestatus").agg(
+          sum(when(col("l_returnflag") === "A", 1L).otherwise(0L)).as("na"),
+          sum(when(col("l_returnflag") === "A", col("xi")).otherwise(0L)).as("sa"),
+          sum(when(col("l_returnflag") === "A", col("xi") * col("xi")).otherwise(0L)).as("saa"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("nr"),
+          sum(when(col("l_returnflag") === "R", col("xi")).otherwise(0L)).as("sr"),
+          sum(when(col("l_returnflag") === "R", col("xi") * col("xi")).otherwise(0L)).as("srr"))
+        val naD = col("na").cast("double"); val nrD = col("nr").cast("double")
+        val saD = col("sa").cast("double"); val saaD = col("saa").cast("double")
+        val srD = col("sr").cast("double"); val srrD = col("srr").cast("double")
+        val m1 = saD / naD; val m2 = srD / nrD
+        val v1 = (saaD - saD * saD / naD) / (naD - lit(1.0))
+        val v2 = (srrD - srD * srD / nrD) / (nrD - lit(1.0))
+        val df = naD + nrD - lit(2.0)
+        val sp2 = ((naD - lit(1.0)) * v1 + (nrD - lit(1.0)) * v2) / df
+        val dd = (m1 - m2) / sqrt(sp2)
+        val j = lit(1.0) - lit(3.0) / (lit(4.0) * df - lit(1.0))
+        m.select(col("l_linestatus"), col("na"), col("nr"),
+          s6(dd).as("d6"), s6(j * dd).as("g6"))
+          .orderBy("l_linestatus")
+      }),
+
+    // Two-variable PCA (round 9, seventh wave) — the 2×2
+    // eigen-decomposition in closed form, the building block of
+    // correlation-structure screens and whitening: per returnflag, the
+    // covariance matrix of (quantity units, price whole-dollars) from
+    // six exact integer moments, then λ₁ = (a+c)/2 + √(((a−c)/2)² + b²)
+    // and the alignment cos2θ = h/√(h²+b²) — all closed-form arithmetic,
+    // NO trig and no iterative solver, so every output is one fixed
+    // IEEE sequence over exact integers. Whole-dollar units keep the
+    // Σy² moment inside int64 through the graded SFs; at archive scale
+    // the moments widen to DECIMAL(38) sums or center first — the
+    // documented trade (win_zscore's overflow note, applied here).
+    Q("agg_pca2", Some(pca2Oracle),
+      (s, d) => {
+        val b = T.lineitem(s, d).select(col("l_returnflag"),
+          s0(col("l_quantity")).as("x"), s0(col("l_extendedprice")).as("y"))
+        val m = b.groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        val nD = col("n").cast("double")
+        val a = (nD * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")) / (nD * (nD - lit(1.0)))
+        val bb = (nD * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) / (nD * (nD - lit(1.0)))
+        val c = (nD * col("syy").cast("double") -
+          col("sy").cast("double") * col("sy").cast("double")) / (nD * (nD - lit(1.0)))
+        val h = (a - c) / lit(2.0)
+        val disc = sqrt(h * h + bb * bb)
+        val lam1 = (a + c) / lit(2.0) + disc
+        m.select(col("l_returnflag"), col("n"),
+          s6(lam1).as("lam1_6"),
+          s6(lam1 / (a + c)).as("evr6"),
+          s6(h / disc).as("align6"))
+          .orderBy("l_returnflag")
       }))
 
   /** agg_stats oracle: the same exact-integer-moment formulas, textually
@@ -1578,6 +1687,77 @@ object Aggregates {
       "SELECT CAST(COUNT(*) AS BIGINT) AS n_cells, " +
       "CAST(((SELECT COUNT(*) FROM rt) - 1) * ((SELECT COUNT(*) FROM ct) - 1) AS BIGINT) AS dof, " +
       "CAST(SUM(term6) AS BIGINT) AS chi2_6 FROM terms"
+  }
+
+  /** Oracle twin of agg_cramers_v — the agg_chisq cell/marginal machinery
+    * plus the identical V = √(χ²₆/1e6/n/mdof) double sequence. */
+  private def cramersVOracle: String = {
+    val e = "(CAST(r AS DOUBLE) * CAST(k AS DOUBLE) / CAST(n AS DOUBLE))"
+    val cD = "CAST(c AS DOUBLE)"
+    val v = "SQRT(CAST(chi2_6 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE) / CAST(mdof AS DOUBLE))"
+    "WITH cells AS (SELECT l_returnflag AS f, l_linestatus AS st, " +
+      "CAST(COUNT(*) AS BIGINT) AS c FROM lineitem GROUP BY l_returnflag, l_linestatus), " +
+      "rt AS (SELECT f, CAST(SUM(c) AS BIGINT) AS r FROM cells GROUP BY f), " +
+      "ct AS (SELECT st, CAST(SUM(c) AS BIGINT) AS k FROM cells GROUP BY st), " +
+      "tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells), " +
+      "terms AS (SELECT " +
+      sqlS6(s"($cD - $e) * ($cD - $e) / $e") + " AS term6 " +
+      "FROM cells JOIN rt USING (f) JOIN ct USING (st) CROSS JOIN tot), " +
+      "m AS (SELECT (SELECT n FROM tot) AS n, " +
+      "CAST(LEAST((SELECT COUNT(*) FROM rt) - 1, (SELECT COUNT(*) FROM ct) - 1) AS BIGINT) AS mdof, " +
+      "CAST(SUM(term6) AS BIGINT) AS chi2_6 FROM terms) " +
+      s"SELECT n, mdof, chi2_6, " + sqlS6(v) + " AS v6 FROM m"
+  }
+
+  /** Oracle twin of agg_cohens_d — agg_ttest's conditional moment sums
+    * with the pooled-variance d and Hedges-J sequences. */
+  private def cohensDOracle: String = {
+    val naD = "CAST(na AS DOUBLE)"; val nrD = "CAST(nr AS DOUBLE)"
+    val saD = "CAST(sa AS DOUBLE)"; val saaD = "CAST(saa AS DOUBLE)"
+    val srD = "CAST(sr AS DOUBLE)"; val srrD = "CAST(srr AS DOUBLE)"
+    val m1 = s"($saD / $naD)"; val m2 = s"($srD / $nrD)"
+    val v1 = s"(($saaD - $saD * $saD / $naD) / ($naD - 1.0))"
+    val v2 = s"(($srrD - $srD * $srD / $nrD) / ($nrD - 1.0))"
+    val df = s"($naD + $nrD - 2.0)"
+    val sp2 = s"((($naD - 1.0) * $v1 + ($nrD - 1.0) * $v2) / $df)"
+    val dd = s"(($m1 - $m2) / SQRT($sp2))"
+    val j = s"(1.0 - 3.0 / (4.0 * $df - 1.0))"
+    "WITH b AS (SELECT l_linestatus, l_returnflag, " + sqlS0("l_quantity") +
+      " AS xi FROM lineitem WHERE l_returnflag IN ('A', 'R')), " +
+      "m AS (SELECT l_linestatus, " +
+      "CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na, " +
+      "CAST(SUM(CASE WHEN l_returnflag = 'A' THEN xi ELSE 0 END) AS BIGINT) AS sa, " +
+      "CAST(SUM(CASE WHEN l_returnflag = 'A' THEN xi * xi ELSE 0 END) AS BIGINT) AS saa, " +
+      "CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS nr, " +
+      "CAST(SUM(CASE WHEN l_returnflag = 'R' THEN xi ELSE 0 END) AS BIGINT) AS sr, " +
+      "CAST(SUM(CASE WHEN l_returnflag = 'R' THEN xi * xi ELSE 0 END) AS BIGINT) AS srr " +
+      "FROM b GROUP BY l_linestatus) " +
+      "SELECT l_linestatus, na, nr, " +
+      sqlS6(dd) + " AS d6, " + sqlS6(s"$j * $dd") + " AS g6 " +
+      "FROM m ORDER BY l_linestatus"
+  }
+
+  /** Oracle twin of agg_pca2 — identical six-moment sums and the
+    * closed-form λ₁ / explained-ratio / alignment sequences. */
+  private def pca2Oracle: String = {
+    val nD = "CAST(n AS DOUBLE)"
+    val a = s"(($nD * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / ($nD * ($nD - 1.0)))"
+    val b = s"(($nD * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / ($nD * ($nD - 1.0)))"
+    val c = s"(($nD * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) / ($nD * ($nD - 1.0)))"
+    val h = s"(($a - $c) / 2.0)"
+    val disc = s"SQRT($h * $h + $b * $b)"
+    val lam1 = s"(($a + $c) / 2.0 + $disc)"
+    "WITH b AS (SELECT l_returnflag, " + sqlS0("l_quantity") + " AS x, " +
+      sqlS0("l_extendedprice") + " AS y FROM lineitem), " +
+      "m AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, " +
+      "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, " +
+      "CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy, " +
+      "CAST(SUM(x * y) AS BIGINT) AS sxy FROM b GROUP BY l_returnflag) " +
+      "SELECT l_returnflag, n, " +
+      sqlS6(lam1) + " AS lam1_6, " +
+      sqlS6(s"$lam1 / ($a + $c)") + " AS evr6, " +
+      sqlS6(s"$h / $disc") + " AS align6 " +
+      "FROM m ORDER BY l_returnflag"
   }
 
   private def custNationRegion(s: SparkSession, d: String): DataFrame =

@@ -1135,6 +1135,90 @@ object Windows {
           .select(col("o_custkey"), col("rec_day"), col("freq"), col("mon_c"),
             (col("r_s") * 100 + col("f_s") * 10 + col("m_s")).cast("int").as("rfm"))
           .orderBy("o_custkey")
+      }),
+
+    // First-order Markov transition matrix of user behavior (round 9,
+    // seventh wave) — the sequence-analytics primitive behind next-event
+    // prediction and funnel simulation: P(curr | prev) estimated from
+    // every consecutive event pair per user. ONE user_id shuffle carries
+    // the lag window ((ts, event_id) total order — no tie ambiguity);
+    // the pair counts collapse to the |types|² domain before the final
+    // broadcast row-normalization, so all post-window work is
+    // domain-sized at any corpus scale. Probabilities are one IEEE
+    // divide of two exact counts onto the s6 grid.
+    Q("win_markov", Some(
+      "WITH o AS (SELECT event_type AS curr, " +
+        "LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev " +
+        "FROM events), " +
+        "p AS (SELECT prev, curr, CAST(COUNT(*) AS BIGINT) AS n_pairs " +
+        "FROM o WHERE prev IS NOT NULL GROUP BY prev, curr), " +
+        "t AS (SELECT prev, CAST(SUM(n_pairs) AS BIGINT) AS tot FROM p GROUP BY prev) " +
+        "SELECT p.prev, p.curr, p.n_pairs, " +
+        sqlS6("CAST(p.n_pairs AS DOUBLE) / CAST(t.tot AS DOUBLE)") + " AS p6 " +
+        "FROM p JOIN t USING (prev) ORDER BY p.prev, p.curr"),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val p = T.events(s, d)
+          .select(col("event_type").as("curr"),
+            lag(col("event_type"), 1).over(w).as("prev"))
+          .filter(col("prev").isNotNull)
+          .groupBy("prev", "curr").agg(count(lit(1)).as("n_pairs"))
+        val t = p.groupBy("prev").agg(sum("n_pairs").as("tot"))
+        p.join(broadcast(t), "prev")
+          .select(col("prev"), col("curr"), col("n_pairs"),
+            s6(col("n_pairs").cast("double") / col("tot").cast("double")).as("p6"))
+          .orderBy("prev", "curr")
+      }),
+
+    // Moving-average crossover signals (round 9, seventh wave) — the
+    // classic trend-following detector (golden / death cross) over each
+    // user's daily value series: a fast 3-day mean crossing a slow
+    // 7-day mean. Entirely integer: both frames keep their SUMS and the
+    // comparison cross-multiplies (7·fast3 vs 3·slow7), so no mean ever
+    // materializes; a signal fires where the sign of the difference
+    // changes between consecutive days. The daily collapse is the one
+    // data-sized shuffle; the frame windows ride a single (user, day)
+    // sort. Partial-history rows (fewer than 7 prior days) emit no
+    // signal on either engine by the same frame-count test.
+    Q("win_sma_cross", Some(
+      "WITH g AS (SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 AS day, " +
+        "CAST(SUM(" + sqlS2("value") + ") AS BIGINT) AS v FROM events GROUP BY user_id, day), " +
+        "f AS (SELECT user_id, day, " +
+        "SUM(v) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s3, " +
+        "SUM(v) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS s7, " +
+        "COUNT(*) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n7 " +
+        "FROM g), " +
+        "sg AS (SELECT user_id, day, n7, " +
+        "CASE WHEN 7 * s3 > 3 * s7 THEN 1 WHEN 7 * s3 < 3 * s7 THEN -1 ELSE 0 END AS side " +
+        "FROM f), " +
+        "x AS (SELECT user_id, day, side, " +
+        "LAG(side) OVER (PARTITION BY user_id ORDER BY day) AS pside, " +
+        "LAG(n7) OVER (PARTITION BY user_id ORDER BY day) AS pn7, n7 FROM sg) " +
+        "SELECT user_id, CAST(day AS BIGINT) AS day, " +
+        "CAST(side AS INTEGER) AS direction " +
+        "FROM x WHERE n7 = 7 AND pn7 = 7 AND pside IS NOT NULL " +
+        "AND side <> pside AND side <> 0 ORDER BY user_id, day"),
+      (s, d) => {
+        val g = T.events(s, d)
+          .groupBy(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"))
+          .agg(sum(s2(col("value"))).as("v"))
+        val ord = Window.partitionBy("user_id").orderBy("day")
+        val f3 = ord.rowsBetween(-2, 0)
+        val f7 = ord.rowsBetween(-6, 0)
+        val sg = g.select(col("user_id"), col("day"),
+          sum("v").over(f3).as("s3"), sum("v").over(f7).as("s7"),
+          count(lit(1)).over(f7).as("n7"))
+          .withColumn("side",
+            when(lit(7) * col("s3") > lit(3) * col("s7"), 1)
+              .when(lit(7) * col("s3") < lit(3) * col("s7"), -1).otherwise(0))
+        sg.select(col("user_id"), col("day"), col("side"), col("n7"),
+          lag(col("side"), 1).over(ord).as("pside"),
+          lag(col("n7"), 1).over(ord).as("pn7"))
+          .filter(col("n7") === 7 && col("pn7") === 7 && col("pside").isNotNull &&
+            col("side") =!= col("pside") && col("side") =!= 0)
+          .select(col("user_id"), col("day").cast("long").as("day"),
+            col("side").cast("int").as("direction"))
+          .orderBy("user_id", "day")
       }))
 
   /** The win_ntile range-partition + broadcast-offset global NTILE(n)
