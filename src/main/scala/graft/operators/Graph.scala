@@ -100,6 +100,12 @@ object Graph {
   private val HitsRounds = 3
   private val HitsGrid = 1e9
 
+  /** Rounds of weighted min-plus relaxation (graph_sssp). With unit-to-5
+    * integer costs a cheapest path can use more edges than the hop-count
+    * diameter, so K exceeds BfsRounds; GraphSpec asserts convergence at
+    * this K on the graded corpus (the CcRounds contract). */
+  private val SsspRounds = 10
+
   val all: Seq[Q] = Seq(
 
     // Weighted PageRank over the nation-level trade graph: an edge
@@ -647,7 +653,64 @@ object Graph {
               .as("recip6"))
           .orderBy("src")
       }),
+
+    // Weighted single-source shortest paths (round 9, seventh wave) —
+    // graph_bfs generalized from hop counts to EDGE COSTS: K rounds of
+    // min-plus relaxation d(v) ← min(d(v), min over (u,v) of d(u)+cost),
+    // the relational Bellman-Ford over the undirected trade graph. Costs
+    // are deterministic small integers derived from the pair's total
+    // trade volume (1 + Σw mod 5), so both engines relax identical
+    // weights; 999 stays the unreachable sentinel. The oracle unrolls
+    // the SAME K layers as MATERIALIZED CTEs; GraphSpec pins that round
+    // K+1 changes nothing (converged on this corpus). Same archive-scale
+    // note as graph_bfs: the frontier-delta form replaces full
+    // relaxation when |V| is web-sized.
+    Q("graph_sssp", Some {
+      val rounds = (1 to SsspRounds).map { k =>
+        val prev = s"d${k - 1}"
+        s"d$k AS MATERIALIZED (SELECT p.v, LEAST(p.d, COALESCE(MIN(q.d + s.cst), p.d)) AS d " +
+          s"FROM $prev p LEFT JOIN sym s ON s.u = p.v LEFT JOIN $prev q ON q.v = s.w " +
+          "GROUP BY p.v, p.d)"
+      }.mkString(", ")
+      s"WITH $tradeEdgesSql, " +
+        "und AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, " +
+        "CAST(1 + SUM(w) % 5 AS BIGINT) AS cst FROM e WHERE src <> dst GROUP BY a, b), " +
+        "sym AS MATERIALIZED (SELECT a AS u, b AS w, cst FROM und " +
+        "UNION ALL SELECT b, a, cst FROM und), " +
+        "d0 AS MATERIALIZED (SELECT n_nationkey AS v, " +
+        "CAST(CASE WHEN n_nationkey = 0 THEN 0 ELSE 999 END AS BIGINT) AS d FROM nation), " +
+        rounds +
+        s" SELECT v AS nationkey, d AS dist FROM d$SsspRounds ORDER BY nationkey"
+    },
+      (s, d) => ssspDistances(s, d, SsspRounds)
+        .select(col("v").as("nationkey"), col("d").as("dist"))
+        .orderBy("nationkey")),
   )
+
+  /** The graph_sssp relaxation loop, K parameterized so GraphSpec can
+    * run K and K+1 and assert the fixpoint. */
+  def ssspDistances(s: SparkSession, d: String, k: Int): DataFrame = {
+    val und = tradeEdges(s, d).where(col("src") =!= col("dst"))
+      .groupBy(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .agg((lit(1L) + sum("w") % 5).as("cst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sym = und.select(col("a").as("u"), col("b").as("w"), col("cst"))
+      .unionAll(und.select(col("b").as("u"), col("a").as("w"), col("cst")))
+    val nodes = T.nation(s, d).select(col("n_nationkey").as("v"))
+    var dist = nodes.select(col("v"),
+      when(col("v") === 0, 0L).otherwise(999L).as("d"))
+    for (_ <- 1 to k) {
+      val viaN = sym
+        .join(broadcast(dist.select(col("v").as("w"), col("d").as("dn"))), "w")
+        .groupBy(col("u").as("v")).agg(min(col("dn") + col("cst")).as("nd"))
+      dist = dist.join(viaN, Seq("v"), "left")
+        .select(col("v"), least(col("d"), coalesce(col("nd"), col("d"))).as("d"))
+        .localCheckpoint()
+    }
+    und.unpersist()
+    dist
+  }
 
   /** The quantized HITS loop — graph_hits's Spark side (see the Q's
     * scaladoc for the grid/normalization contract). */

@@ -1588,5 +1588,73 @@ object LlmExtras {
           .select(col("doc_id"), col("cnt").as("dup_count"),
             s6(lit(1.0) / col("cnt").cast("double")).as("weight6"))
           .orderBy("doc_id")
+      }),
+
+    // Jensen-Shannon divergence between per-source unigram distributions
+    // (round 9, seventh wave) — the symmetric, bounded [0, ln 2] drift
+    // metric corpus curators use to compare slices before mixing (PSI's
+    // information-theoretic sibling; dq_drift_psi covers the numeric
+    // case, this covers vocabulary distributions). For every source pair
+    // a<b: JSD = ½Σp·ln(2p/(p+q)) + ½Σq·ln(2q/(p+q)), where tokens
+    // present in only one side contribute exactly ½p·ln2 — that whole
+    // disjoint mass folds into ONE closed-form term per pair from exact
+    // counts, so only the token INTERSECTION is joined (a tok-keyed
+    // self-join of the |sources|×|vocab| count table, never doc-sized).
+    // Each intersection term is s6-floored before its order-free sum
+    // (the llm_unigram_logprob LN discipline); the two disjoint-mass
+    // terms are one fixed IEEE sequence each.
+    Q("llm_jsd_drift", Some(jsdDriftOracle),
+      (s, d) => {
+        val t = T.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        val cf = t.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val tot = cf.groupBy("source").agg(sum("c").as("n"))
+        val x = cf.select(col("source").as("sa"), col("tok"), col("c").as("ca"))
+          .join(broadcast(tot.select(col("source").as("sa"), col("n").as("na"))), "sa")
+        val y = cf.select(col("source").as("sb"), col("tok"), col("c").as("cb"))
+          .join(broadcast(tot.select(col("source").as("sb"), col("n").as("nb"))), "sb")
+        val p = col("ca").cast("double") / col("na").cast("double")
+        val q = col("cb").cast("double") / col("nb").cast("double")
+        val term = lit(0.5) * (p * log(lit(2.0) * p / (p + q)) +
+          q * log(lit(2.0) * q / (p + q)))
+        val inter = x.join(y, Seq("tok"))
+          .where(col("sa") < col("sb"))
+          .groupBy("sa", "sb")
+          .agg(count(lit(1)).as("n_common"), sum(s6(term)).as("inter6"),
+            sum("ca").as("ia"), sum("cb").as("ib"),
+            min("na").as("na"), min("nb").as("nb"))
+        val ln2 = lit(0.6931471805599453)
+        val missA = (col("na") - col("ia")).cast("double") / col("na").cast("double")
+        val missB = (col("nb") - col("ib")).cast("double") / col("nb").cast("double")
+        inter.select(col("sa").as("source_a"), col("sb").as("source_b"),
+          col("n_common"),
+          (col("inter6") + s6(lit(0.5) * ln2 * missA) +
+            s6(lit(0.5) * ln2 * missB)).as("jsd6"))
+          .orderBy("source_a", "source_b")
       }))
+
+  /** Oracle twin of llm_jsd_drift — identical count table, intersection
+    * self-join, per-token s6 terms and the two disjoint-mass sequences. */
+  private def jsdDriftOracle: String = {
+    val p = "(CAST(x.ca AS DOUBLE) / CAST(x.na AS DOUBLE))"
+    val q = "(CAST(y.cb AS DOUBLE) / CAST(y.nb AS DOUBLE))"
+    val term = s"0.5 * ($p * LN(2.0 * $p / ($p + $q)) + $q * LN(2.0 * $q / ($p + $q)))"
+    val missA = "(CAST(na - ia AS DOUBLE) / CAST(na AS DOUBLE))"
+    val missB = "(CAST(nb - ib AS DOUBLE) / CAST(nb AS DOUBLE))"
+    "WITH t AS (SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents), " +
+      "cf AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY source, tok), " +
+      "tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cf GROUP BY source), " +
+      "x AS (SELECT cf.source AS sa, tok, c AS ca, n AS na FROM cf JOIN tot ON tot.source = cf.source), " +
+      "y AS (SELECT cf.source AS sb, tok, c AS cb, n AS nb FROM cf JOIN tot ON tot.source = cf.source), " +
+      "inter AS (SELECT sa, sb, CAST(COUNT(*) AS BIGINT) AS n_common, " +
+      "CAST(SUM(" + sqlS6(term) + ") AS BIGINT) AS inter6, " +
+      "CAST(SUM(x.ca) AS BIGINT) AS ia, CAST(SUM(y.cb) AS BIGINT) AS ib, " +
+      "MIN(x.na) AS na, MIN(y.nb) AS nb " +
+      "FROM x JOIN y USING (tok) WHERE sa < sb GROUP BY sa, sb) " +
+      "SELECT sa AS source_a, sb AS source_b, n_common, " +
+      "CAST(inter6 + " + sqlS6(s"0.5 * 0.6931471805599453 * $missA") + " + " +
+      sqlS6(s"0.5 * 0.6931471805599453 * $missB") + " AS BIGINT) AS jsd6 " +
+      "FROM inter ORDER BY source_a, source_b"
+  }
 }

@@ -315,6 +315,69 @@ object Quality {
             (col("gmax") - col("max_t")).as("lag_s"),
             when(col("gmax") - col("max_t") > 86400, 1).otherwise(0).as("stale"))
           .orderBy("event_type")
+      }),
+
+    // Referential-integrity sweep (round 9, seventh wave) — the
+    // whole-schema audit dq_constraints' single fk rule scales up to:
+    // every foreign-key edge of the TPC-H-ish schema checked for
+    // orphaned children (anti-join count), plus the reverse childless-
+    // parent counts a warehouse migration always wants next to them.
+    // Each row is one anti-join + count, all unioned into ONE plan; the
+    // dimension sides broadcast, the two fact-sized checks (lineitem →
+    // orders/part) shuffle on their join key exactly once. All outputs
+    // are exact counts.
+    Q("dq_referential", Some(Seq(
+      ("customer->nation", "customer", "nation",
+        "NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)", "c"),
+      ("childless_customer", "customer", "orders",
+        "NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)", "c"),
+      ("childless_part", "part", "lineitem",
+        "NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)", "p"),
+      ("lineitem->orders", "lineitem", "orders",
+        "NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)", "l"),
+      ("lineitem->part", "lineitem", "part",
+        "NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)", "l"),
+      ("lineitem->supplier", "lineitem", "supplier",
+        "NOT EXISTS (SELECT 1 FROM supplier su WHERE su.s_suppkey = l.l_suppkey)", "l"),
+      ("orders->customer", "orders", "customer",
+        "NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)", "o"),
+      ("supplier->nation", "supplier", "nation",
+        "NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = su.s_nationkey)", "su"))
+      .map { case (name, child, _, pred, alias) =>
+        s"SELECT '$name' AS relation, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+          s"CAST(SUM(CASE WHEN $pred THEN 1 ELSE 0 END) AS BIGINT) AS n_bad " +
+          s"FROM $child $alias"
+      }.mkString("", " UNION ALL ", " ORDER BY relation")),
+      (s, d) => {
+        def audit(name: String, child: DataFrame, childKey: String,
+            parent: DataFrame, parentKey: String): DataFrame = {
+          val orphans = child
+            .join(parent.select(col(parentKey).as(childKey)).distinct(),
+              Seq(childKey), "left_anti")
+          child.agg(count(lit(1)).as("n_rows"))
+            .crossJoin(orphans.agg(count(lit(1)).as("n_bad")))
+            .select(lit(name).as("relation"), col("n_rows"), col("n_bad"))
+        }
+        val li = T.lineitem(s, d); val or = T.orders(s, d)
+        val cu = T.customer(s, d); val pa = T.part(s, d)
+        val su = T.supplier(s, d); val na = T.nation(s, d)
+        audit("customer->nation", cu.select(col("c_nationkey")), "c_nationkey",
+          na, "n_nationkey")
+          .unionAll(audit("childless_customer", cu.select(col("c_custkey")),
+            "c_custkey", or, "o_custkey"))
+          .unionAll(audit("childless_part", pa.select(col("p_partkey")),
+            "p_partkey", li, "l_partkey"))
+          .unionAll(audit("lineitem->orders", li.select(col("l_orderkey")),
+            "l_orderkey", or, "o_orderkey"))
+          .unionAll(audit("lineitem->part", li.select(col("l_partkey")),
+            "l_partkey", pa, "p_partkey"))
+          .unionAll(audit("lineitem->supplier", li.select(col("l_suppkey")),
+            "l_suppkey", su, "s_suppkey"))
+          .unionAll(audit("orders->customer", or.select(col("o_custkey")),
+            "o_custkey", cu, "c_custkey"))
+          .unionAll(audit("supplier->nation", su.select(col("s_nationkey")),
+            "s_nationkey", na, "n_nationkey"))
+          .orderBy("relation")
       }))
 
   /** The 10-row bin grid (0..9) as a DataFrame — tiny, broadcast into

@@ -1219,6 +1219,51 @@ object Windows {
           .select(col("user_id"), col("day").cast("long").as("day"),
             col("side").cast("int").as("direction"))
           .orderBy("user_id", "day")
+      }),
+
+    // Classical seasonal decomposition (round 9, seventh wave) — the
+    // STL-shaped additive split y = trend + seasonal + residual on the
+    // global daily revenue series with weekly seasonality, made
+    // INTEGER-EXACT by working in 7× units: trend stays the centered
+    // 7-day SUM, the detrended value is 7·y − trend (exact int64), the
+    // weekday seasonal index is the floored mean of those integers, and
+    // the residual their exact difference. No division ever reaches a
+    // summed value. The data-sized work is one daily partial agg; every
+    // window/join after runs over the calendar-bounded day series (the
+    // dq_volume_anomaly precedent), with the weekday index broadcast
+    // back. Only full-window days decompose — same frame-count test on
+    // both engines.
+    Q("win_decompose", Some(
+      "WITH g AS (SELECT CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) // 86400 AS day, " +
+        "CAST(SUM(" + sqlS2("o_totalprice") + ") AS BIGINT) AS v FROM orders GROUP BY day), " +
+        "f AS (SELECT day, v, " +
+        "SUM(v) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS t7, " +
+        "COUNT(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7 " +
+        "FROM g), " +
+        "d AS (SELECT day, v, t7, day % 7 AS wd, 7 * v - t7 AS detr " +
+        "FROM f WHERE n7 = 7), " +
+        "sidx AS (SELECT wd, CAST(FLOOR(CAST(SUM(detr) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS seas " +
+        "FROM d GROUP BY wd) " +
+        "SELECT d.day, d.v AS v_c, d.t7 AS trend7s, sidx.seas AS seas7s, " +
+        "d.detr - sidx.seas AS resid7s " +
+        "FROM d JOIN sidx USING (wd) ORDER BY d.day"),
+      (s, d) => {
+        val g = T.orders(s, d)
+          .groupBy(expr("unix_timestamp(o_orderdate) div 86400").as("day"))
+          .agg(sum(s2(col("o_totalprice"))).as("v"))
+        val w = Window.orderBy("day").rowsBetween(-3, 3)
+        val dd = g.select(col("day"), col("v"),
+          sum("v").over(w).as("t7"), count(lit(1)).over(w).as("n7"))
+          .where(col("n7") === 7)
+          .select(col("day"), col("v"), col("t7"), (col("day") % 7).as("wd"),
+            (lit(7) * col("v") - col("t7")).as("detr"))
+        val sidx = dd.groupBy("wd")
+          .agg(floor(sum("detr").cast("double") / count(lit(1)) + 0.5)
+            .cast("long").as("seas"))
+        dd.join(broadcast(sidx), "wd")
+          .select(col("day"), col("v").as("v_c"), col("t7").as("trend7s"),
+            col("seas").as("seas7s"), (col("detr") - col("seas")).as("resid7s"))
+          .orderBy("day")
       }))
 
   /** The win_ntile range-partition + broadcast-offset global NTILE(n)
