@@ -1519,6 +1519,50 @@ object Aggregates {
           s6(lam1 / (a + c)).as("evr6"),
           s6(h / disc).as("align6"))
           .orderBy("l_returnflag")
+      }),
+
+    // ROC-AUC (round 9, seventh wave) — the standard ranking-quality
+    // readout for a score against a binary outcome (here: does event
+    // value rank purchases above non-purchases), computed EXACTLY by the
+    // rank-sum identity AUC = (R⁺ − n⁺(n⁺+1)/2)/(n⁺n⁻) with tie-averaged
+    // ranks — agg_mannwhitney's doubled-rank machinery pointed at model
+    // evaluation instead of hypothesis testing (no variance/z): the
+    // per-value count table collapses the data once, a domain-sized
+    // window cumsum yields exact doubled rank sums, and AUC + the Gini
+    // coefficient 2·AUC−1 are one IEEE divide each over exact longs.
+    Q("agg_auc", Some {
+      val u2 = "(r2p - np * (np + 1))"
+      "WITH b AS (SELECT " + sqlS2("value") + " AS v, " +
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y FROM events), " +
+        "g AS (SELECT v, CAST(SUM(y) AS BIGINT) AS cp, " +
+        "CAST(SUM(1 - y) AS BIGINT) AS cn FROM b GROUP BY v), " +
+        "c AS (SELECT v, cp, cn, cp + cn AS t, " +
+        "COALESCE(SUM(cp + cn) OVER (ORDER BY v " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below FROM g), " +
+        "m AS (SELECT CAST(SUM(cp) AS BIGINT) AS np, CAST(SUM(cn) AS BIGINT) AS nn, " +
+        "CAST(SUM(cp * (2 * below + t + 1)) AS BIGINT) AS r2p FROM c) " +
+        s"SELECT np, nn, CAST($u2 AS BIGINT) AS u2p, " +
+        sqlS6(s"CAST($u2 AS DOUBLE) / (2.0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE))") + " AS auc6, " +
+        sqlS6(s"CAST($u2 AS DOUBLE) / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)) - 1.0") + " AS gini6 " +
+        "FROM m"
+    },
+      (s, d) => {
+        val b = T.events(s, d).select(s2(col("value")).as("v"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+        val g = b.groupBy("v")
+          .agg(sum("y").as("cp"), sum(lit(1L) - col("y")).as("cn"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val c = g.select(col("cp"), (col("cp") + col("cn")).as("t"),
+          coalesce(sum(col("cp") + col("cn")).over(w), lit(0L)).as("below"))
+        val m = c.agg(sum("cp").as("np"),
+          sum(col("t") - col("cp")).as("nn"),
+          sum(col("cp") * (lit(2) * col("below") + col("t") + 1)).as("r2p"))
+        val u2 = col("r2p") - col("np") * (col("np") + 1)
+        val npD = col("np").cast("double"); val nnD = col("nn").cast("double")
+        m.select(col("np"), col("nn"), u2.cast("long").as("u2p"),
+          s6(u2.cast("double") / (lit(2.0) * npD * nnD)).as("auc6"),
+          s6(u2.cast("double") / (npD * nnD) - lit(1.0)).as("gini6"))
       }))
 
   /** agg_stats oracle: the same exact-integer-moment formulas, textually

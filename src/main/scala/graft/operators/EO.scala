@@ -1369,6 +1369,53 @@ object EO {
           .orderBy("zone")
       }),
 
+    // Geohash bucketing (round 9, seventh wave) — the base32 spatial key
+    // every catalog/tile service uses for prefix-range pruning
+    // (Niemeyer's geohash; eo_zorder grades the raw Morton key, this
+    // grades the ENCODED string and its prefix aggregation). Entirely
+    // integer: micro-degree coordinates quantize by INTEGER division
+    // (never a float), 13 lon + 12 lat bits interleave lon-first into
+    // the 25-bit cell code, and the 2-char prefix maps through the
+    // base32 alphabet by position. One map + one partial-agg shuffle on
+    // the ≤1024-value prefix domain — the layout-key shape: at 100 TB
+    // this IS the write-partitioning column, computed scan-side.
+    Q("eo_geohash", Some {
+      val latU = "((event_id * 131) % 180000001 - 90000000)"
+      val lonU = "((event_id * 7919) % 360000001 - 180000000)"
+      val latQ = s"((($latU + 90000000) * 4096) // 180000001)"
+      val lonQ = s"((($lonU + 180000000) * 8192) // 360000001)"
+      val code = ((0 to 12).map(j => s"((($lonQ >> ${12 - j}) & 1) << ${24 - 2 * j})") ++
+        (0 to 11).map(j => s"((($latQ >> ${11 - j}) & 1) << ${23 - 2 * j})"))
+        .mkString(" + ")
+      val alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+      "WITH c AS (SELECT CAST(" + code + " AS BIGINT) AS code, value FROM events), " +
+        s"g AS (SELECT SUBSTRING('$alpha', CAST((code >> 20) & 31 AS INT) + 1, 1) || " +
+        s"SUBSTRING('$alpha', CAST((code >> 15) & 31 AS INT) + 1, 1) AS gh2, code, value FROM c) " +
+        "SELECT gh2, CAST(COUNT(*) AS BIGINT) AS n, " +
+        sqlCentSum("value") + " AS sum_val_c, " +
+        "CAST(MIN(code) AS BIGINT) AS code_min, CAST(MAX(code) AS BIGINT) AS code_max " +
+        "FROM g GROUP BY gh2 ORDER BY gh2"
+    },
+      (s, d) => {
+        val latQ = expr("(((event_id * 131) % 180000001 - 90000000 + 90000000) * 4096) div 180000001")
+        val lonQ = expr("(((event_id * 7919) % 360000001 - 180000000 + 180000000) * 8192) div 360000001")
+        val code = ((0 to 12).map(j =>
+          shiftright(lonQ, 12 - j).bitwiseAND(lit(1L)) * lit(1L << (24 - 2 * j))) ++
+          (0 to 11).map(j =>
+            shiftright(latQ, 11 - j).bitwiseAND(lit(1L)) * lit(1L << (23 - 2 * j))))
+          .reduce(_ + _)
+        val alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+        T.events(s, d)
+          .select(code.cast("long").as("code"), col("value"))
+          .withColumn("gh2", expr(
+            s"substring('$alpha', CAST((code >> 20) & 31 AS INT) + 1, 1) || " +
+              s"substring('$alpha', CAST((code >> 15) & 31 AS INT) + 1, 1)"))
+          .groupBy("gh2")
+          .agg(count(lit(1)).as("n"), centSum(col("value")).as("sum_val_c"),
+            min("code").as("code_min"), max("code").as("code_max"))
+          .orderBy("gh2")
+      }),
+
     // zonalStats (AOI polygon statistics [PK], rasterized zones): the zone
     // ids ride as a second tile-aligned band derived from the same event
     // rows, so pixel i of the data tile pairs with pixel i of the zone

@@ -647,6 +647,55 @@ object Llm {
           .orderBy("label", "assigned")
       }),
 
+    // One Lloyd iteration of k-means over the embedding corpus (round 9,
+    // seventh wave) — the update step SemDeDup-style semantic dedup and
+    // corpus clustering iterate (k=8 deterministic seeds = vec_ids 0..7;
+    // real pipelines seed by hash or k-means‖, equally deterministic):
+    // ASSIGN each vector to its nearest seed by the scaled-long L2 the
+    // ANN family established (exact, order-free, codegen'd via
+    // DoubleVecScaledL2 against 8 broadcast seed arrays — map-only), then
+    // UPDATE every centroid coordinate as the 6-dp-grid mean of its
+    // members (one (cluster, pos) partial-agg shuffle of the posexploded
+    // members). Output = the full updated k×dim centroid matrix with
+    // member counts — the state a driver loop would feed into round 2.
+    // Ties in the assignment break by cluster id on both engines.
+    Q("llm_kmeans_round", Some(
+      "WITH ux AS (" + vecPosSql + "), " +
+        "seeds AS (SELECT vec_id AS ck, pos, x AS c FROM ux WHERE vec_id < 8), " +
+        "dist AS (SELECT u.vec_id, s.ck, " +
+        "CAST(SUM(CAST(FLOOR((u.x - s.c) * (u.x - s.c) * 1e14 + 0.5) AS BIGINT)) AS BIGINT) AS d2 " +
+        "FROM ux u JOIN seeds s ON u.pos = s.pos GROUP BY u.vec_id, s.ck), " +
+        "asg AS (SELECT vec_id, ck FROM (SELECT vec_id, ck, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, ck) AS rn FROM dist) WHERE rn = 1), " +
+        "nm AS (SELECT ck, CAST(COUNT(*) AS BIGINT) AS n_members FROM asg GROUP BY ck), " +
+        "upd AS (SELECT a.ck, u.pos, " + sqlMean6("u.x") + " AS c6 " +
+        "FROM ux u JOIN asg a ON a.vec_id = u.vec_id GROUP BY a.ck, u.pos) " +
+        "SELECT upd.ck AS cluster, upd.pos, upd.c6, nm.n_members " +
+        "FROM upd JOIN nm ON nm.ck = upd.ck ORDER BY cluster, pos"),
+      (s, d) => {
+        graft.functions.VectorExprs.register(s)
+        import graft.functions.VectorExprs.sl2
+        val seedArr = T.embeddings(s, d).where(col("vec_id") < 8)
+          .select(col("vec_id").as("ck"),
+            transform(col("embedding"), x => x.cast("double")).as("cvec"))
+        val vecs = T.embeddings(s, d).select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("dvec"))
+        val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("ck"))
+        val asg = vecs.crossJoin(broadcast(seedArr))
+          .select(col("vec_id"), col("ck"), sl2(col("dvec"), col("cvec")).as("d2"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select("vec_id", "ck")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nm = asg.groupBy("ck").agg(count(lit(1)).as("n_members"))
+        val upd = vecPos(s, d).join(asg, "vec_id")
+          .groupBy(col("ck"), col("pos"))
+          .agg(mean6(col("x")).as("c6"))
+        upd.join(broadcast(nm), "ck")
+          .select(col("ck").as("cluster"), col("pos"), col("c6"), col("n_members"))
+          .orderBy("cluster", "pos")
+      }),
+
     Q("llm_text_stats", Some(
       "SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
         "CAST(COUNT(*) AS BIGINT) AS n_tokens, " +

@@ -237,4 +237,82 @@ class Round9eOpsSpec extends SparkSpec {
     }
     assert(rows.length == trend.size, "full-window day count")
   }
+
+  test("agg_auc: rank-sum identity equals the pairwise win count") {
+    val row = SparkEntry.queries("agg_auc")(spark, sfDir).collect().head
+    val scored = events.map(e => (s2(e._4), if (e._5 == "purchase") 1 else 0))
+    val pos = scored.filter(_._2 == 1).map(_._1)
+    val neg = scored.filter(_._2 == 0).map(_._1)
+    val wins = (for (p <- pos; n <- neg) yield
+      if (p > n) 2L else if (p == n) 1L else 0L).sum
+    assert(row.getLong(0) == pos.size.toLong && row.getLong(1) == neg.size.toLong)
+    // u2p = 2*#(pos>neg) + #(ties) — exact integer identity
+    assert(row.getLong(2) == wins, "doubled win count")
+    val auc6 = s6(wins.toDouble / (2.0 * pos.size * neg.size))
+    assert(row.getLong(3) == auc6, "auc6")
+    assert(row.getLong(4) == s6(wins.toDouble / (pos.size.toDouble * neg.size) - 1.0),
+      "gini6")
+  }
+
+  test("eo_geohash: codes, prefixes and counts match the integer mirror") {
+    val got = SparkEntry.queries("eo_geohash")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    val alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    val mirror = events.map { e =>
+      val id = e._2
+      val latU = (id * 131) % 180000001L - 90000000L
+      val lonU = (id * 7919) % 360000001L - 180000000L
+      val latQ = (latU + 90000000L) * 4096 / 180000001L
+      val lonQ = (lonU + 180000000L) * 8192 / 360000001L
+      val code = (0 to 12).map(j => ((lonQ >> (12 - j)) & 1) << (24 - 2 * j)).sum +
+        (0 to 11).map(j => ((latQ >> (11 - j)) & 1) << (23 - 2 * j)).sum
+      val gh2 = "" + alpha(((code >> 20) & 31).toInt) + alpha(((code >> 15) & 31).toInt)
+      (gh2, code, s2(e._4))
+    }
+    val grouped = mirror.groupBy(_._1)
+    assert(got.keySet == grouped.keySet, "prefix domain")
+    grouped.foreach { case (gh2, rows) =>
+      val (n, sv, cmin, cmax) = got(gh2)
+      assert(n == rows.size.toLong, s"$gh2 n")
+      assert(sv == rows.map(_._3).sum, s"$gh2 sum")
+      assert(cmin == rows.map(_._2).min && cmax == rows.map(_._2).max, s"$gh2 code range")
+      // the prefix chars really are the top-10 bits of every member code
+      rows.foreach(r => assert(r._2 >= cmin && r._2 <= cmax))
+    }
+    assert(got.values.map(_._1).sum == events.size.toLong, "total coverage")
+  }
+
+  test("llm_kmeans_round: assignment and centroid update match the mirror") {
+    val got = SparkEntry.queries("llm_kmeans_round")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val seeds = vecs.filter(_._1 < 8).toMap
+    val asg = vecs.map { case (id, v) =>
+      val best = seeds.toSeq.map { case (ck, c) =>
+        val d2 = v.indices.map(i =>
+          math.floor((v(i) - c(i)) * (v(i) - c(i)) * 1e14 + 0.5).toLong).sum
+        (d2, ck)
+      }.min
+      id -> best._2
+    }.toMap
+    val vecMap = vecs.toMap
+    val byCluster = asg.groupBy(_._2)
+    byCluster.foreach { case (ck, members) =>
+      val ids = members.keys.toSeq
+      val dim = vecs.head._2.length
+      (0 until dim).foreach { pos =>
+        val s6sum = ids.map(id => s6(vecMap(id)(pos))).sum
+        val c6 = math.floor(s6sum.toDouble / ids.size + 0.5).toLong
+        val (gc6, gn) = got((ck, pos))
+        assert(gn == ids.size.toLong, s"cluster $ck size")
+        assert(gc6 == c6, s"cluster $ck pos $pos centroid")
+      }
+    }
+    assert(byCluster.values.map(_.size).sum == vecs.length, "total membership")
+    assert(got.size == byCluster.size * vecs.head._2.length, "matrix shape")
+  }
 }
