@@ -1563,6 +1563,86 @@ object Aggregates {
         m.select(col("np"), col("nn"), u2.cast("long").as("u2p"),
           s6(u2.cast("double") / (lit(2.0) * npD * nnD)).as("auc6"),
           s6(u2.cast("double") / (npD * nnD) - lit(1.0)).as("gini6"))
+      }),
+
+    // Process-capability indices Cp / Cpk (round 9, seventh wave) — the
+    // SPC readout manufacturing and SLO monitoring run against fixed
+    // spec limits (here LSL=5, USL=45 on order quantity): Cp compares
+    // the spec width to 6σ, Cpk penalizes off-center processes via the
+    // nearer limit. agg_stats' exact-moment discipline: three integer
+    // sums per group, then each index is one fixed IEEE sequence with
+    // the √ of the n−1 variance — no engine-internal double aggregation.
+    Q("agg_cpk", Some {
+      val nD = "CAST(n AS DOUBLE)"; val sD = "CAST(s AS DOUBLE)"
+      val ssD = "CAST(ss AS DOUBLE)"
+      val mean = s"($sD / $nD)"
+      val sd = s"SQRT(($ssD - $sD * $sD / $nD) / ($nD - 1.0))"
+      val cp = s"((45.0 - 5.0) / (6.0 * $sd))"
+      val cpu = s"((45.0 - $mean) / (3.0 * $sd))"
+      val cpl = s"(($mean - 5.0) / (3.0 * $sd))"
+      "WITH b AS (SELECT l_returnflag, " + sqlS0("l_quantity") + " AS q FROM lineitem), " +
+        "m AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(q) AS BIGINT) AS s, CAST(SUM(q * q) AS BIGINT) AS ss " +
+        "FROM b GROUP BY l_returnflag) " +
+        "SELECT l_returnflag, n, " + sqlS6(cp) + " AS cp6, " +
+        sqlS6(s"LEAST($cpu, $cpl)") + " AS cpk6 " +
+        "FROM m ORDER BY l_returnflag"
+    },
+      (s, d) => {
+        val m = T.lineitem(s, d)
+          .select(col("l_returnflag"), s0(col("l_quantity")).as("q"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum("q").as("s"),
+            sum(col("q") * col("q")).as("ss"))
+        val nD = col("n").cast("double"); val sD = col("s").cast("double")
+        val ssD = col("ss").cast("double")
+        val mean = sD / nD
+        val sd = sqrt((ssD - sD * sD / nD) / (nD - lit(1.0)))
+        val cp = (lit(45.0) - lit(5.0)) / (lit(6.0) * sd)
+        val cpu = (lit(45.0) - mean) / (lit(3.0) * sd)
+        val cpl = (mean - lit(5.0)) / (lit(3.0) * sd)
+        m.select(col("l_returnflag"), col("n"),
+          s6(cp).as("cp6"), s6(least(cpu, cpl)).as("cpk6"))
+          .orderBy("l_returnflag")
+      }),
+
+    // Value-at-Risk and expected shortfall (round 9, seventh wave) — the
+    // tail-risk pair every financial / capacity-planning readout wants
+    // past agg_tail_ratio's percentile picks: VaR95 by the established
+    // nearest-rank-lower index, CVaR as the EXACT mean of the tail at or
+    // above that rank (integer tail sum and count, one IEEE divide onto
+    // whole cents). The rank window is the agg_tail_ratio shape — tie
+    // permutations cannot move either output because only values and
+    // rank-set sums are consumed.
+    Q("agg_cvar", Some(
+      "WITH b AS (SELECT event_type, " + sqlS2("value") + " AS x FROM events), " +
+        "r AS (SELECT event_type, x, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY event_type) AS n FROM b), " +
+        "p AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n, " +
+        "CAST(MIN(CASE WHEN rn = ((n - 1) * 95) // 100 + 1 THEN x END) AS BIGINT) AS var95_c, " +
+        "CAST(SUM(CASE WHEN rn >= ((n - 1) * 95) // 100 + 1 THEN x ELSE 0 END) AS BIGINT) AS tail_sum, " +
+        "CAST(SUM(CASE WHEN rn >= ((n - 1) * 95) // 100 + 1 THEN 1 ELSE 0 END) AS BIGINT) AS tail_n " +
+        "FROM r GROUP BY event_type) " +
+        "SELECT event_type, n, var95_c, tail_n, " +
+        "CAST(FLOOR(CAST(tail_sum AS DOUBLE) / CAST(tail_n AS DOUBLE) + 0.5) AS BIGINT) AS cvar95_c " +
+        "FROM p ORDER BY event_type"),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wT = Window.partitionBy("event_type")
+        val r = T.events(s, d)
+          .select(col("event_type"), s2(col("value")).as("x"))
+          .withColumn("rn", row_number().over(wT.orderBy("x")))
+          .withColumn("n", count(lit(1)).over(wT))
+        val idx = expr("((n - 1) * 95) div 100 + 1")
+        val p = r.groupBy("event_type").agg(
+          max(col("n")).as("n"),
+          min(when(col("rn") === idx, col("x"))).as("var95_c"),
+          sum(when(col("rn") >= idx, col("x")).otherwise(0L)).as("tail_sum"),
+          sum(when(col("rn") >= idx, 1L).otherwise(0L)).as("tail_n"))
+        p.select(col("event_type"), col("n"), col("var95_c"), col("tail_n"),
+          floor(col("tail_sum").cast("double") / col("tail_n").cast("double") + 0.5)
+            .cast("long").as("cvar95_c"))
+          .orderBy("event_type")
       }))
 
   /** agg_stats oracle: the same exact-integer-moment formulas, textually

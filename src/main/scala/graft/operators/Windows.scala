@@ -1264,6 +1264,70 @@ object Windows {
           .select(col("day"), col("v").as("v_c"), col("t7").as("trend7s"),
             col("seas").as("seas7s"), (col("detr") - col("seas")).as("resid7s"))
           .orderBy("day")
+      }),
+
+    // Kaplan-Meier survival curve (round 9, seventh wave) — the
+    // product-limit estimator behind every conversion/churn readout,
+    // here on TIME TO FIRST PURCHASE: a user "dies" at their first
+    // purchase (duration = first event → first purchase, whole days)
+    // and is right-CENSORED at their last event if they never purchase
+    // — the textbook conversion-survival framing. The estimator runs in
+    // LOG space so it stays on the exact integer grid: each event time
+    // contributes s6(ln(1 − d/n_risk)) — one fixed IEEE sequence over
+    // two exact integers — and log S(t) is the order-free running sum
+    // of those integers (the llm_unigram_logprob LN discipline applied
+    // to a cumulative product). The at-risk count is N minus a
+    // domain-sized cumsum (durations are calendar-bounded). The row
+    // where d = n_risk (survival hits exactly zero, ln 0 undefined) is
+    // excluded by the same predicate on both engines — it can only be
+    // the final duration.
+    Q("win_survival", Some {
+      val term = "LN(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))"
+      "WITH u AS (SELECT user_id, " +
+        "MIN(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) AS first_t, " +
+        "MAX(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) AS last_t, " +
+        "MIN(CASE WHEN event_type = 'purchase' THEN CAST(FLOOR(EPOCH(ts)) AS BIGINT) END) AS fp_t " +
+        "FROM events GROUP BY user_id), " +
+        "lab AS (SELECT (COALESCE(fp_t, last_t) - first_t) // 86400 AS dur, " +
+        "CASE WHEN fp_t IS NULL THEN 0 ELSE 1 END AS death FROM u), " +
+        "t AS (SELECT dur, CAST(SUM(death) AS BIGINT) AS d, " +
+        "CAST(SUM(1 - death) AS BIGINT) AS c, CAST(COUNT(*) AS BIGINT) AS tot FROM lab GROUP BY dur), " +
+        "rk AS (SELECT dur, d, c, " +
+        "CAST((SELECT COUNT(*) FROM u) AS BIGINT) - COALESCE(SUM(tot) OVER (ORDER BY dur " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk FROM t), " +
+        "f AS (SELECT dur, d, c, n_risk, " + sqlS6(term) + " AS term6 " +
+        "FROM rk WHERE d < n_risk), " +
+        "s AS (SELECT dur, d, c, n_risk, " +
+        "CAST(SUM(term6) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS log_s6 " +
+        "FROM f) " +
+        "SELECT dur AS t_days, n_risk, d, c, log_s6 FROM s WHERE d > 0 ORDER BY t_days"
+    },
+      (s, d) => {
+        val u = T.events(s, d)
+          .groupBy("user_id")
+          .agg(min(epochS(col("ts"))).as("first_t"),
+            max(epochS(col("ts"))).as("last_t"),
+            min(when(col("event_type") === "purchase", epochS(col("ts")))).as("fp_t"))
+        val nTot = u.agg(count(lit(1)).as("n_total"))
+        val lab = u.select(
+          expr("(coalesce(fp_t, last_t) - first_t) div 86400").as("dur"),
+          when(col("fp_t").isNull, 0L).otherwise(1L).as("death"))
+        val t = lab.groupBy("dur")
+          .agg(sum("death").as("d"), sum(lit(1L) - col("death")).as("c"),
+            count(lit(1)).as("tot"))
+        val wOrd = Window.orderBy("dur")
+        val rk = t.crossJoin(broadcast(nTot))
+          .withColumn("n_risk", col("n_total") -
+            coalesce(sum("tot").over(wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        val term = s6(log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double")))
+        rk.where(col("d") < col("n_risk"))
+          .withColumn("term6", term)
+          .withColumn("log_s6",
+            sum("term6").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+          .where(col("d") > 0)
+          .select(col("dur").as("t_days"), col("n_risk"), col("d"), col("c"),
+            col("log_s6"))
+          .orderBy("t_days")
       }))
 
   /** The win_ntile range-partition + broadcast-offset global NTILE(n)

@@ -315,4 +315,69 @@ class Round9eOpsSpec extends SparkSpec {
     assert(byCluster.values.map(_.size).sum == vecs.length, "total membership")
     assert(got.size == byCluster.size * vecs.head._2.length, "matrix shape")
   }
+
+  test("agg_cpk: indices match the moment mirror; Cpk <= Cp") {
+    val got = SparkEntry.queries("agg_cpk")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    li.groupBy(_._1).foreach { case (f, rows) =>
+      val q = rows.map(r => s0(r._3))
+      val n = q.size.toLong; val s = q.sum; val ss = q.map(x => x * x).sum
+      val mean = s.toDouble / n
+      val sd = math.sqrt((ss - s.toDouble * s / n) / (n - 1.0))
+      val cp = (45.0 - 5.0) / (6.0 * sd)
+      val cpk = math.min((45.0 - mean) / (3.0 * sd), (mean - 5.0) / (3.0 * sd))
+      val (gn, cp6, cpk6) = got(f)
+      assert(gn == n && cp6 == s6(cp) && cpk6 == s6(cpk), s"$f cpk")
+      assert(cpk6 <= cp6, s"$f Cpk bounded by Cp")
+    }
+  }
+
+  test("agg_cvar: VaR pick and tail mean match the sorted mirror") {
+    val got = SparkEntry.queries("agg_cvar")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    events.groupBy(_._5).foreach { case (et, rows) =>
+      val xs = rows.map(e => s2(e._4)).sorted
+      val n = xs.size
+      val idx = ((n - 1) * 95) / 100 // 0-based nearest-rank-lower
+      val tail = xs.drop(idx)
+      val (gn, gvar, gtn, gcvar) = got(et)
+      assert(gn == n.toLong, s"$et n")
+      assert(gvar == xs(idx), s"$et var95")
+      assert(gtn == tail.size.toLong, s"$et tail size")
+      assert(gcvar == math.floor(tail.sum.toDouble / tail.size + 0.5).toLong, s"$et cvar")
+      assert(gcvar >= gvar, s"$et CVaR dominates VaR")
+    }
+  }
+
+  test("win_survival: KM log-survival matches the lifetable mirror") {
+    val rows = SparkEntry.queries("win_survival")(spark, sfDir).collect()
+    assert(rows.nonEmpty, "deaths exist on this corpus")
+    val users = events.groupBy(_._1).toSeq.map { case (_, es) =>
+      val firstT = es.map(_._3).min
+      val lastT = es.map(_._3).max
+      val fp = es.filter(_._5 == "purchase").map(_._3)
+      val (end, death) = if (fp.nonEmpty) (fp.min, 1) else (lastT, 0)
+      ((end - firstT) / 86400, death)
+    }.toSeq
+    val n = users.size.toLong
+    val table = users.groupBy(_._1).toSeq.sortBy(_._1).map { case (dur, m) =>
+      (dur, m.count(_._2 == 1).toLong, m.count(_._2 == 0).toLong, m.size.toLong)
+    }
+    var below = 0L; var logS = 0L
+    val expect = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long)]()
+    table.foreach { case (dur, d, c, tot) =>
+      val nRisk = n - below
+      if (d < nRisk) {
+        logS += s6(math.log(1.0 - d.toDouble / nRisk))
+        if (d > 0) expect += ((dur, nRisk, d, c, logS))
+      }
+      below += tot
+    }
+    val gotSeq = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq
+    assert(gotSeq == expect.toSeq, "lifetable")
+    // log-survival is nonincreasing
+    assert(gotSeq.map(_._5) == gotSeq.map(_._5).sorted.reverse, "monotone")
+  }
 }
