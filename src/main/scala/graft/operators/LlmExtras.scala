@@ -1632,6 +1632,53 @@ object LlmExtras {
           (col("inter6") + s6(lit(0.5) * ln2 * missA) +
             s6(lit(0.5) * ln2 * missB)).as("jsd6"))
           .orderBy("source_a", "source_b")
+      }),
+
+    // Held-out cross-entropy (round 9, seventh wave) — the eval half of
+    // the llm_unigram_logprob family: a unigram LM with add-1 (Laplace)
+    // smoothing is FIT on the 80% train split (the llm_pack hash-shard
+    // discipline: md5-derived fold, no RNG) and SCORED on the held-out
+    // 20%, per language — the perplexity-style readout that catches
+    // train/eval drift a single in-corpus logprob can't. OOV test
+    // tokens fall through the same (c+1)/(N+V) formula at c = 0, so one
+    // left join + one fixed LN sequence covers both branches; every
+    // per-token term s6-floors before its order-free sum. The count
+    // dictionary is vocab-sized and broadcast — the test stream never
+    // shuffles more than its own token partial-agg.
+    Q("llm_heldout_ce", Some {
+      val p = "((CAST(COALESCE(c, 0) AS DOUBLE) + 1.0) / (CAST(nl AS DOUBLE) + CAST(vl AS DOUBLE)))"
+      "WITH t AS (SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok, " +
+        sqlHash32("CAST(doc_id AS VARCHAR)") + " % 5 AS fold FROM documents), " +
+        "tr AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c FROM t WHERE fold <> 0 GROUP BY lang, tok), " +
+        "m AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS nl, CAST(COUNT(*) AS BIGINT) AS vl FROM tr GROUP BY lang), " +
+        "te AS (SELECT t.lang, t.doc_id, t.tok, tr.c FROM t " +
+        "LEFT JOIN tr ON tr.lang = t.lang AND tr.tok = t.tok WHERE t.fold = 0) " +
+        "SELECT te.lang, CAST(COUNT(DISTINCT te.doc_id) AS BIGINT) AS n_test_docs, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_tok, " +
+        "CAST(SUM(CASE WHEN te.c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, " +
+        "CAST(SUM(" + sqlS6(s"-LN($p)") + ") AS BIGINT) AS sum_ce6 " +
+        "FROM te JOIN m ON m.lang = te.lang GROUP BY te.lang ORDER BY te.lang"
+    },
+      (s, d) => {
+        val t = T.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("tok"),
+            (Det.hash32(col("doc_id").cast("string")) % 5).as("fold"))
+        val tr = t.where(col("fold") =!= 0)
+          .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+        val m = tr.groupBy("lang")
+          .agg(sum("c").as("nl"), count(lit(1)).as("vl"))
+        val te = t.where(col("fold") === 0)
+          .join(broadcast(tr), Seq("lang", "tok"), "left")
+          .join(broadcast(m), "lang")
+        val p = (coalesce(col("c"), lit(0L)).cast("double") + lit(1.0)) /
+          (col("nl").cast("double") + col("vl").cast("double"))
+        te.groupBy("lang")
+          .agg(countDistinct(col("doc_id")).as("n_test_docs"),
+            count(lit(1)).as("n_tok"),
+            sum(when(col("c").isNull, 1L).otherwise(0L)).as("n_oov"),
+            sum(s6(-log(p))).as("sum_ce6"))
+          .orderBy("lang")
       }))
 
   /** Oracle twin of llm_jsd_drift — identical count table, intersection

@@ -490,5 +490,47 @@ object Multimodal {
             max(when(col("jump") >= 16, col("k"))).as("last_cut"),
             sum(when(col("jump") >= 16, col("k")).otherwise(0L)).as("cksum"))
           .orderBy("doc_id")
+      }),
+
+    // WebDataset-style shard manifest (round 9, seventh wave) — the
+    // step that turns a media corpus into fixed-size tar shards for
+    // sequential dataloader reads: samples pack GREEDILY IN doc_id
+    // ORDER per format stream, each member costing its TAR footprint
+    // (512-byte header + payload rounded up to a 512 block), shard =
+    // floor(bytes-before / 10240) — llm_pack's streaming-cumsum shape
+    // with the tar block arithmetic that makes byte budgeting real.
+    // All integer: sizes, padding, cumsum, one `div`; fill6 is one
+    // IEEE divide on the s6 grid. The window partitions by format —
+    // per-stream history — and everything else is one partial agg.
+    Q("mm_shard_pack", Some(
+      "WITH p AS (SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n, " +
+        "CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'wav' END AS format " +
+        "FROM documents), " +
+        "t AS (SELECT doc_id, format, n, 512 + ((n + 511) // 512) * 512 AS tar_bytes FROM p), " +
+        "c AS (SELECT doc_id, format, n, tar_bytes, " +
+        "CAST(SUM(tar_bytes) OVER (PARTITION BY format ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tar_bytes AS BIGINT) AS before_b FROM t), " +
+        "b AS (SELECT format, before_b // 10240 AS shard, n, tar_bytes FROM c) " +
+        "SELECT format, shard, CAST(COUNT(*) AS BIGINT) AS n_items, " +
+        "CAST(SUM(n) AS BIGINT) AS payload_bytes, " +
+        "CAST(SUM(tar_bytes) AS BIGINT) AS tar_bytes, " +
+        Det.sqlS6("CAST(SUM(tar_bytes) AS DOUBLE) / 10240.0") + " AS fill6 " +
+        "FROM b GROUP BY format, shard ORDER BY format, shard"),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("format").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        payloads(s, d)
+          .select(col("doc_id"), col("meta.format").as("format"),
+            col("meta.n_bytes").cast("long").as("n"))
+          .withColumn("tar_bytes",
+            lit(512L) + expr("((n + 511) div 512) * 512"))
+          .withColumn("before_b", sum(col("tar_bytes")).over(w) - col("tar_bytes"))
+          .withColumn("shard", expr("before_b div 10240"))
+          .groupBy("format", "shard")
+          .agg(count(lit(1)).as("n_items"), sum("n").as("payload_bytes"),
+            sum("tar_bytes").as("tar_bytes"),
+            Det.s6(sum("tar_bytes").cast("double") / 10240.0).as("fill6"))
+          .orderBy("format", "shard")
       }))
 }

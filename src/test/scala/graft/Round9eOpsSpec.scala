@@ -20,6 +20,11 @@ class Round9eOpsSpec extends SparkSpec {
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
 
+  /** (doc_id, text, lang). */
+  private lazy val docs: Seq[(Long, String, String)] =
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("text"), col("lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
   /** (user_id, event_id, epoch_s, value, event_type). */
   private lazy val events: Seq[(Long, Long, Long, Double, String)] =
     Tables.events(spark, sfDir)
@@ -379,5 +384,70 @@ class Round9eOpsSpec extends SparkSpec {
     assert(gotSeq == expect.toSeq, "lifetable")
     // log-survival is nonincreasing
     assert(gotSeq.map(_._5) == gotSeq.map(_._5).sorted.reverse, "monotone")
+  }
+
+  test("mm_shard_pack: tar arithmetic and shard assignment match the mirror") {
+    val got = SparkEntry.queries("mm_shard_pack")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    val items = docs.map { case (id, text, _) =>
+      val fmt = if (id % 3 == 0) "png" else if (id % 3 == 1) "jpeg" else "wav"
+      (fmt, id, text.length.toLong)
+    }
+    val expect = scala.collection.mutable.Map[(String, Long),
+      (Long, Long, Long)]()
+    items.groupBy(_._1).foreach { case (fmt, rows) =>
+      var before = 0L
+      rows.sortBy(_._2).foreach { case (_, _, n) =>
+        val tar = 512L + ((n + 511) / 512) * 512
+        val shard = before / 10240
+        val (a, b, c) = expect.getOrElse((fmt, shard), (0L, 0L, 0L))
+        expect((fmt, shard)) = (a + 1, b + n, c + tar)
+        before += tar
+      }
+    }
+    assert(got.keySet == expect.keySet, "shard domain")
+    expect.foreach { case (k, (n, pb, tb)) =>
+      val (gn, gpb, gtb, gf6) = got(k)
+      assert(gn == n && gpb == pb && gtb == tb, s"$k sums")
+      assert(gf6 == s6(tb.toDouble / 10240.0), s"$k fill")
+    }
+    // every member's tar footprint is a whole number of 512 blocks
+    assert(got.values.forall(_._3 % 512 == 0), "block alignment")
+  }
+
+  test("llm_heldout_ce: smoothed cross-entropy matches the split mirror") {
+    val got = SparkEntry.queries("llm_heldout_ce")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    // fold must match Det.hash32(doc_id) % 5 — read it from the engine
+    val folds = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), (Det.hash32(col("doc_id").cast("string")) % 5).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.groupBy(_._3).foreach { case (lang, rows) =>
+      val train = rows.filter(r => folds(r._1) != 0)
+      val test = rows.filter(r => folds(r._1) == 0)
+      if (test.isEmpty) assert(!got.contains(lang))
+      else {
+        val tc = train.flatMap(_._2.split(" ", -1))
+          .groupBy(identity).map { case (t, v) => t -> v.size.toLong }
+        val nl = tc.values.sum; val vl = tc.size.toLong
+        var nTok = 0L; var nOov = 0L; var ce = 0L
+        test.foreach { case (_, text, _) =>
+          text.split(" ", -1).foreach { tok =>
+            nTok += 1
+            val c = tc.getOrElse(tok, 0L)
+            if (c == 0L) nOov += 1
+            ce += s6(-math.log((c + 1.0) / (nl.toDouble + vl.toDouble)))
+          }
+        }
+        val (gd, gt, go, gc) = got(lang)
+        assert(gd == test.size.toLong, s"$lang docs")
+        assert(gt == nTok && go == nOov, s"$lang token counts")
+        assert(gc == ce, s"$lang cross-entropy")
+        // smoothing keeps every term positive
+        assert(gc > 0, s"$lang positive ce")
+      }
+    }
   }
 }
