@@ -476,6 +476,84 @@ object EO {
           .orderBy("tile")
       }),
 
+    // D8 flow direction (round 9, seventh wave) — the hydrology primitive
+    // under every watershed/flow-accumulation product (O'Callaghan &
+    // Mark 1984; gdaldem's drainage model): each interior pixel drains
+    // toward its steepest-descent neighbor, encoded by the ESRI power-
+    // of-two direction code (E=1, SE=2, S=4, SW=8, W=16, NW=32, N=64,
+    // NE=128; flats and pits = 0). Instead of eight shifted self-joins,
+    // ONE join against an exploded 8-row offset dimension reaches every
+    // neighbor — the offsets broadcast, so the cost is one equi-join on
+    // the shifted coordinate key, the eo_tile_shift_mask shape
+    // generalized. Elevations are exact cents; the argmax resolves
+    // (drop DESC, dir ASC) via a min over encoded pairs, never max_by.
+    // Output = per-tile direction histogram with drop and position
+    // checksums pinning every pixel's decision.
+    Q("eo_tile_d8", Some(
+      "WITH px AS (SELECT (event_id // 4) // 256 AS tile, " +
+        "((event_id // 4) % 256) // 16 AS py, ((event_id // 4) % 256) % 16 AS px, " +
+        "event_id % 4 AS t, " + sqlS2("value") + " AS z FROM events), " +
+        "full_t AS (SELECT tile FROM px WHERE t = 0 GROUP BY tile HAVING COUNT(*) = 256), " +
+        "p0 AS (SELECT p.tile, py, px, z FROM px p JOIN full_t USING (tile) WHERE t = 0), " +
+        "offs AS (SELECT * FROM (VALUES (0, 1, 1), (1, 1, 2), (1, 0, 4), (1, -1, 8), " +
+        "(0, -1, 16), (-1, -1, 32), (-1, 0, 64), (-1, 1, 128)) AS v(dy, dx, dir)), " +
+        "nb AS (SELECT o.tile, o.py, o.px, f.dir, o.z - n.z AS drop " +
+        "FROM p0 o CROSS JOIN offs f " +
+        "JOIN p0 n ON n.tile = o.tile AND n.py = o.py + f.dy AND n.px = o.px + f.dx " +
+        "WHERE o.py BETWEEN 1 AND 14 AND o.px BETWEEN 1 AND 14), " +
+        "wb AS (SELECT tile, py, px, dir, drop, " +
+        "MAX(drop) OVER (PARTITION BY tile, py, px) AS best FROM nb), " +
+        "pick AS (SELECT tile, py, px, MAX(best) AS best, " +
+        "CAST(MIN(CASE WHEN drop = best THEN dir END) AS BIGINT) AS dir " +
+        "FROM wb GROUP BY tile, py, px), " +
+        "d AS (SELECT tile, py * 16 + px AS pos, " +
+        "CASE WHEN best > 0 THEN dir ELSE 0 END AS dir, " +
+        "CASE WHEN best > 0 THEN best ELSE 0 END AS drop FROM pick) " +
+        "SELECT tile, dir, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(drop) AS BIGINT) AS sum_drop, " +
+        "CAST(SUM(pos + 1) AS BIGINT) AS checksum " +
+        "FROM d GROUP BY tile, dir ORDER BY tile, dir"),
+      (s, d) => {
+        val px = T.events(s, d).select(
+          expr("(event_id div 4) div 256").as("tile"),
+          expr("((event_id div 4) % 256) div 16").as("py"),
+          expr("((event_id div 4) % 256) % 16").as("px"),
+          (col("event_id") % 4).as("t"), s2(col("value")).as("z"))
+        val fullT = px.where(col("t") === 0).groupBy("tile")
+          .agg(count(lit(1)).as("c")).where(col("c") === 256).select("tile")
+        val p0 = px.where(col("t") === 0).join(broadcast(fullT), "tile")
+          .select("tile", "py", "px", "z")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val offs = Seq((0, 1, 1), (1, 1, 2), (1, 0, 4), (1, -1, 8),
+          (0, -1, 16), (-1, -1, 32), (-1, 0, 64), (-1, 1, 128))
+        val offDf = s.createDataFrame(offs).toDF("dy", "dx", "dir")
+        val nbr = p0.select(col("tile").as("nt"), col("py").as("ny"),
+          col("px").as("nx"), col("z").as("nz"))
+        val nb = p0.where(col("py").between(1, 14) && col("px").between(1, 14))
+          .crossJoin(broadcast(offDf))
+          .join(nbr, col("nt") === col("tile") &&
+            col("ny") === col("py") + col("dy") &&
+            col("nx") === col("px") + col("dx"))
+          .select(col("tile"), col("py"), col("px"), col("dir"),
+            (col("z") - col("nz")).as("drop"))
+        // argmax with the (drop DESC, dir ASC) tie rule: per-pixel max
+        // via a window over the 8 neighbor rows, then the min qualifying
+        // direction — never max_by (implementation-defined ties)
+        val wPix = org.apache.spark.sql.expressions.Window
+          .partitionBy("tile", "py", "px")
+        val pick = nb.withColumn("best", max(col("drop")).over(wPix))
+          .groupBy("tile", "py", "px")
+          .agg(max(col("best")).as("best"),
+            min(when(col("drop") === col("best"), col("dir"))).as("dir_raw"))
+        pick.select(col("tile"), (col("py") * 16 + col("px")).as("pos"),
+            when(col("best") > 0, col("dir_raw")).otherwise(0L).cast("long").as("dir"),
+            when(col("best") > 0, col("best")).otherwise(0L).as("drop"))
+          .groupBy("tile", "dir")
+          .agg(count(lit(1)).as("n"), sum("drop").as("sum_drop"),
+            sum(col("pos") + 1).as("checksum"))
+          .orderBy("tile", "dir")
+      }),
+
     // Percentile contrast stretch (round 9, fifth wave) — the p2/p98
     // display normalization every RGB quicklook/browse-image pipeline
     // applies (GDAL translate -scale, QGIS cumulative-cut): per tile,

@@ -1328,6 +1328,69 @@ object Windows {
           .select(col("dur").as("t_days"), col("n_risk"), col("d"), col("c"),
             col("log_s6"))
           .orderBy("t_days")
+      }),
+
+    // Sequential probability ratio test (round 9, seventh wave) — Wald's
+    // SPRT, the always-valid sequential monitor that lets an A/B readout
+    // stop EARLY instead of waiting for agg_ab_lift's fixed-horizon z:
+    // H0 p=0.2 vs H1 p=0.3 on per-user conversion, users observed in
+    // user_id order (the deterministic stand-in for arrival order). Each
+    // observation adds one of two CONSTANT log-likelihood-ratio terms —
+    // s6-floored double literals, so no libm call exists anywhere — and
+    // the decision compares the exact integer cumsum against the
+    // ±ln((1−β)/α) Wald boundaries (α=β=0.05). Output = one trajectory
+    // summary row: final LLR, first boundary-crossing index each way,
+    // and the decision. The cumsum window runs over the user-level
+    // rollup (dimension-sized); SPRT is inherently sequential, so at
+    // scale the same plan runs per experiment cell, not per corpus.
+    Q("win_sprt", Some {
+      // ln(0.3/0.2), ln(0.7/0.8), ln(19) as double literals; s6 floors
+      val aT = "CAST(FLOOR(0.4054651081081644 * 1e6 + 0.5) AS BIGINT)"
+      val bT = "CAST(FLOOR(-0.13353139262452263 * 1e6 + 0.5) AS BIGINT)"
+      val bound = "CAST(FLOOR(2.9444389791664403 * 1e6 + 0.5) AS BIGINT)"
+      "WITH u AS (SELECT user_id, MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv " +
+        "FROM events GROUP BY user_id), " +
+        s"t AS (SELECT user_id, conv, CASE WHEN conv = 1 THEN $aT ELSE $bT END AS term6 FROM u), " +
+        "c AS (SELECT user_id, conv, " +
+        "CAST(SUM(term6) OVER (ORDER BY user_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS llr6, " +
+        "ROW_NUMBER() OVER (ORDER BY user_id) AS rn FROM t) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_users, " +
+        "CAST(SUM(conv) AS BIGINT) AS n_conv, " +
+        "CAST(MAX(CASE WHEN rn = (SELECT COUNT(*) FROM u) THEN llr6 END) AS BIGINT) AS llr6_final, " +
+        s"CAST(MIN(CASE WHEN llr6 >= $bound THEN rn END) AS BIGINT) AS first_accept, " +
+        s"CAST(MIN(CASE WHEN llr6 <= -$bound THEN rn END) AS BIGINT) AS first_reject, " +
+        s"CAST(CASE WHEN MIN(CASE WHEN llr6 >= $bound THEN rn END) IS NOT NULL " +
+        s"AND (MIN(CASE WHEN llr6 <= -$bound THEN rn END) IS NULL " +
+        s"OR MIN(CASE WHEN llr6 >= $bound THEN rn END) < MIN(CASE WHEN llr6 <= -$bound THEN rn END)) THEN 1 " +
+        s"WHEN MIN(CASE WHEN llr6 <= -$bound THEN rn END) IS NOT NULL THEN -1 ELSE 0 END AS INTEGER) AS decision " +
+        "FROM c"
+    },
+      (s, d) => {
+        val aT = floor(lit(0.4054651081081644) * 1e6 + 0.5).cast("long")
+        val bT = floor(lit(-0.13353139262452263) * 1e6 + 0.5).cast("long")
+        val bound = floor(lit(2.9444389791664403) * 1e6 + 0.5).cast("long")
+        val u = T.events(s, d).groupBy("user_id")
+          .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+        val wOrd = Window.orderBy("user_id")
+        val c = u.select(col("user_id"), col("conv"),
+            when(col("conv") === 1, aT).otherwise(bT).as("term6"))
+          .select(col("conv"),
+            sum("term6").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)).as("llr6"),
+            row_number().over(wOrd).as("rn"))
+        val nTot = u.agg(count(lit(1)).as("n_all"))
+        val acc = min(when(col("llr6") >= bound, col("rn"))).cast("long")
+        val rej = min(when(col("llr6") <= -bound, col("rn"))).cast("long")
+        c.crossJoin(broadcast(nTot))
+          .agg(count(lit(1)).as("n_users"), sum("conv").as("n_conv"),
+            max(when(col("rn") === col("n_all"), col("llr6"))).as("llr6_final"),
+            acc.as("first_accept"), rej.as("first_reject"))
+          .select(col("n_users"), col("n_conv"), col("llr6_final"),
+            col("first_accept"), col("first_reject"),
+            when(col("first_accept").isNotNull &&
+              (col("first_reject").isNull ||
+                col("first_accept") < col("first_reject")), 1)
+              .when(col("first_reject").isNotNull, -1).otherwise(0)
+              .cast("int").as("decision"))
       }))
 
   /** The win_ntile range-partition + broadcast-offset global NTILE(n)

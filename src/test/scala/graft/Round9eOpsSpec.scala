@@ -450,4 +450,69 @@ class Round9eOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("eo_tile_d8: steepest-descent histogram matches the grid mirror") {
+    // sf0.001 has no complete tiles; synthesize the check at sf0.01
+    val dir01 = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("eo_tile_d8")(spark, dir01).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got.nonEmpty, "complete tiles exist at sf0.01")
+    val px = Tables.events(spark, dir01)
+      .select(col("event_id"), Det.s2(col("value")).as("z")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val p0 = px.filter(_._1 % 4 == 0).map { case (id, z) =>
+      val p = id / 4
+      ((p / 256, (p % 256) / 16, (p % 256) % 16), z)
+    }.toMap
+    val fullTiles = p0.keys.groupBy(_._1).filter(_._2.size == 256).keySet
+    val offs = Seq((0, 1, 1), (1, 1, 2), (1, 0, 4), (1, -1, 8),
+      (0, -1, 16), (-1, -1, 32), (-1, 0, 64), (-1, 1, 128))
+    val expect = scala.collection.mutable.Map[(Long, Long), (Long, Long, Long)]()
+    for (tile <- fullTiles; py <- 1L to 14L; px2 <- 1L to 14L) {
+      val z = p0((tile, py, px2))
+      val drops = offs.map { case (dy, dx, dir) =>
+        (z - p0((tile, py + dy, px2 + dx)), dir.toLong)
+      }
+      val best = drops.map(_._1).max
+      val dir = if (best > 0) drops.filter(_._1 == best).map(_._2).min else 0L
+      val drop = if (best > 0) best else 0L
+      val pos = py * 16 + px2
+      val (a, b, c) = expect.getOrElse((tile, dir), (0L, 0L, 0L))
+      expect((tile, dir)) = (a + 1, b + drop, c + pos + 1)
+    }
+    assert(got == expect.toMap, "direction histogram")
+    // every interior pixel is classified exactly once
+    val perTile = got.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2._1).sum)
+    assert(perTile.values.forall(_ == 196L), "14x14 interior coverage")
+  }
+
+  test("win_sprt: trajectory summary matches the sequential mirror") {
+    val row = SparkEntry.queries("win_sprt")(spark, sfDir).collect().head
+    val aT = math.floor(0.4054651081081644 * 1e6 + 0.5).toLong
+    val bT = math.floor(-0.13353139262452263 * 1e6 + 0.5).toLong
+    val bound = math.floor(2.9444389791664403 * 1e6 + 0.5).toLong
+    val users = events.groupBy(_._1).toSeq
+      .map { case (u, es) => (u, if (es.exists(_._5 == "purchase")) 1L else 0L) }
+      .sortBy(_._1)
+    var llr = 0L
+    var fa: Option[Long] = None; var fr: Option[Long] = None
+    users.zipWithIndex.foreach { case ((_, conv), i) =>
+      llr += (if (conv == 1) aT else bT)
+      if (fa.isEmpty && llr >= bound) fa = Some(i + 1L)
+      if (fr.isEmpty && llr <= -bound) fr = Some(i + 1L)
+    }
+    assert(row.getLong(0) == users.size.toLong)
+    assert(row.getLong(1) == users.map(_._2).sum)
+    assert(row.getLong(2) == llr, "final llr")
+    assert(Option(row.get(3)).map(_.asInstanceOf[Long]) == fa, "first accept")
+    assert(Option(row.get(4)).map(_.asInstanceOf[Long]) == fr, "first reject")
+    val decision = (fa, fr) match {
+      case (Some(a), Some(r)) => if (a < r) 1 else -1
+      case (Some(_), None) => 1
+      case (None, Some(_)) => -1
+      case _ => 0
+    }
+    assert(row.getInt(5) == decision, "decision")
+  }
 }
