@@ -40,7 +40,14 @@ class DeterminismSpec extends SparkSpec {
       // (winsorized) and tercile buckets (ccnet), and the two iterative
       // loops (hits, tile_distance) must all survive topology changes
       "eo_theilsen", "llm_dsir", "agg_winsorized_mean",
-      "llm_ccnet_bucket", "graph_hits", "eo_tile_distance")
+      "llm_ccnet_bucket", "graph_hits", "eo_tile_distance",
+      // round 9 seventh wave: the Lloyd assignment's window tie-break,
+      // the SSSP relaxation loop, the D8 argmax window, the global
+      // domain-window trio (AUC / SPRT / survival), and the two
+      // broadcast-dictionary evals must all survive topology changes
+      "llm_kmeans_round", "graph_sssp", "eo_tile_d8", "agg_auc",
+      "win_sprt", "win_survival", "llm_heldout_ce", "llm_jsd_drift",
+      "agg_cvar", "win_markov", "mm_shard_pack")
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     val base = keys.map(k => k -> SparkEntry.queries(k)(spark, sfDir).collect().toSeq).toMap
     try {

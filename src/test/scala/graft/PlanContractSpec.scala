@@ -400,6 +400,46 @@ class PlanContractSpec extends SparkSpec {
       s"harmonic must shuffle once on the pixel key:\n$hm")
   }
 
+  test("seventh-wave keys keep their promised shapes") {
+    // markov: ONE user_id exchange carries the lag window; the row
+    // totals broadcast back over the domain-sized pair table
+    val mk = planOf("win_markov")
+    assert(mk.contains("BroadcastHashJoin"), s"markov totals must broadcast:\n$mk")
+    // jsd drift: the intersection self-join is an equi join on tok —
+    // never a cartesian over source pairs
+    val jd = planOf("llm_jsd_drift")
+    assert(!jd.contains("CartesianProduct") && !jd.contains("NestedLoopJoin"),
+      s"jsd intersection degenerated:\n$jd")
+    // held-out CE: count dictionary and lang totals broadcast over the
+    // test token stream
+    assert(planOf("llm_heldout_ce").contains("BroadcastHashJoin"))
+    // kmeans: seed centroids broadcast into the map-side assignment
+    assert(planOf("llm_kmeans_round").contains("BroadcastHashJoin") ||
+      planOf("llm_kmeans_round").contains("BroadcastNestedLoopJoin"))
+    // d8: the neighbor reach is an equi join on the shifted coordinate
+    // key (the 8-row offset dimension broadcasts)
+    val d8 = planOf("eo_tile_d8")
+    assert(d8.contains("BroadcastHashJoin") || d8.contains("SortMergeJoin"),
+      s"d8 neighbor join shape:\n$d8")
+    // referential sweep: every orphan check is a HASH anti-join (the
+    // 1-row count combiners are legitimately BroadcastNestedLoopJoin
+    // Cross — the agg_chisq scalar-combine shape); no cartesian
+    val rf = planOf("dq_referential")
+    assert(!rf.contains("CartesianProduct"), s"referential cartesian:\n$rf")
+    assert(rf.contains("LeftAnti"), s"anti-join missing:\n$rf")
+    assert(!rf.contains("NestedLoopJoin BuildRight, LeftAnti") &&
+      !rf.contains("NestedLoopJoin BuildLeft, LeftAnti"),
+      s"orphan check fell to a nested loop:\n$rf")
+    // decompose/auc/sprt/survival: their global windows run over
+    // DOMAIN-sized rows (days / cent values / users / durations) after
+    // the one data-sized partial agg — exactly one fact-sized exchange
+    Seq("win_decompose", "agg_auc", "win_sprt", "win_survival").foreach { k =>
+      val p = planOf(k)
+      assert(p.split("Exchange hashpartitioning").length - 1 <= 3,
+        s"$k grew unexpected exchanges:\n$p")
+    }
+  }
+
   test("global sweep: no key plans a cartesian product or a python fallback") {
     // join_cross IS the cartesian semantics (125-row dimension square);
     // everything else must never degrade to one, and nothing may fall to
