@@ -1073,6 +1073,48 @@ object EO {
           .orderBy("tile")
       }),
 
+    // Cubic-convolution upsample (round 9, seventh wave) — GDAL's
+    // resampling='cubic' in its row-axis 2× form, the sharper sibling
+    // eo_tile_upsample's bilinear key: odd samples take the Catmull-Rom
+    // t=1/2 taps (−1, 9, 9, −1)/16 with edge clamp, even samples
+    // reproduce the input. Runs as the native codegen'd TileUpCubicRows
+    // stencil (map-only per tile); outputs stay SIXTEEN-SCALED exact
+    // integers so float32 never leaves the integer grid and the oracle
+    // spells the same integer taps via positional self-joins. RasterSpec
+    // pins interpolation exactness on a known ramp.
+    Q("eo_tile_cubic", Some(
+      "WITH px AS (SELECT (event_id // 4) // 256 AS tile, " +
+        "((event_id // 4) % 256) // 16 AS py, ((event_id // 4) % 256) % 16 AS px, " +
+        "event_id % 4 AS t, CAST(user_id AS BIGINT) AS v FROM events), " +
+        "full_t AS (SELECT tile FROM px WHERE t = 0 GROUP BY tile HAVING COUNT(*) = 256), " +
+        "p0 AS (SELECT p.tile, py, px, v FROM px p JOIN full_t USING (tile) WHERE t = 0), " +
+        "o AS (SELECT tile, py, px, v, " +
+        "GREATEST(px - 1, 0) AS xm, LEAST(px + 1, 15) AS xp, LEAST(px + 2, 15) AS xq FROM p0), " +
+        "u AS (SELECT o.tile, o.py, o.px, 16 * o.v AS even_v, " +
+        "-a.v + 9 * o.v + 9 * b.v - c.v AS odd_v FROM o " +
+        "JOIN p0 a ON a.tile = o.tile AND a.py = o.py AND a.px = o.xm " +
+        "JOIN p0 b ON b.tile = o.tile AND b.py = o.py AND b.px = o.xp " +
+        "JOIN p0 c ON c.tile = o.tile AND c.py = o.py AND c.px = o.xq), " +
+        "e AS (SELECT tile, py * 32 + 2 * px AS opos, even_v AS v FROM u " +
+        "UNION ALL SELECT tile, py * 32 + 2 * px + 1, odd_v FROM u) " +
+        "SELECT tile, CAST(COUNT(*) AS BIGINT) AS n_out, " +
+        "CAST(SUM(v) AS BIGINT) AS sum16, " +
+        "CAST(SUM(v * (opos + 1)) AS BIGINT) AS checksum " +
+        "FROM e GROUP BY tile ORDER BY tile"),
+      (s, d) => {
+        val grid = eventTiles(s, d, Seq("v" -> col("user_id")))
+          .where(size(col("data")) === 256 && col("time") === 0)
+        val up = graft.raster.RasterGrid.upsampleCubic2xRows(grid, h = 16, w = 16)
+        up.select(col("tile_y").cast("long").as("tile"),
+            posexplode(col("data")).as(Seq("opos", "v")))
+          .groupBy("tile")
+          .agg(
+            count(lit(1)).as("n_out"),
+            sum(col("v").cast("long")).as("sum16"),
+            sum(col("v").cast("long") * (col("opos") + 1)).as("checksum"))
+          .orderBy("tile")
+      }),
+
     // Focal statistics (round 8) — the neighborhood-op class (GDAL focal
     // stats / xarray rolling [PK]): 3×3 unnormalized box sum over each
     // tile's 14×14 interior via RasterGrid.focalSum3x3, map-only per

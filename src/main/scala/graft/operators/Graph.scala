@@ -685,6 +685,58 @@ object Graph {
       (s, d) => ssspDistances(s, d, SsspRounds)
         .select(col("v").as("nationkey"), col("d").as("dist"))
         .orderBy("nationkey")),
+
+    // Personalized PageRank (round 9, seventh wave) — graph_pagerank's
+    // power iteration with the teleport mass pinned to a SINGLE source
+    // (nation 0): the random-surfer-with-restart similarity measure
+    // behind related-item and seed-expansion ranking (Page et al. 1999
+    // §6; the "topic-sensitive" special case). Identical plan shape and
+    // 1e-9-grid quantization discipline as graph_pagerank — the only
+    // change is the per-node restart term (0.15·1e9 at the source, 0
+    // elsewhere), so the K-round Spark loop hash-matches the K-layer
+    // unrolled oracle by the same induction.
+    Q("graph_ppr", Some {
+      val rounds = (1 to PagerankRounds).map { k =>
+        val prev = s"r${k - 1}"
+        s"s$k AS (SELECT e.dst AS v, CAST(SUM(CAST(FLOOR(CAST(r.rq AS DOUBLE) * e.w / ow.wt + 0.5) AS BIGINT)) AS BIGINT) AS s " +
+          s"FROM e JOIN $prev r ON e.src = r.v JOIN outw ow ON ow.src = e.src GROUP BY e.dst), " +
+          s"r$k AS (SELECT n.v, CAST(FLOOR((CASE WHEN n.v = 0 THEN 150000000.0 ELSE 0.0 END) " +
+          s"+ 0.85 * CAST(COALESCE(s.s, 0) AS DOUBLE) + 0.5) AS BIGINT) AS rq " +
+          s"FROM n LEFT JOIN s$k s ON s.v = n.v)"
+      }.mkString(", ")
+      s"WITH $tradeEdgesSql, " +
+        "outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wt FROM e GROUP BY src), " +
+        "n AS (SELECT n_nationkey AS v FROM nation), " +
+        "r0 AS (SELECT v, CAST(CASE WHEN v = 0 THEN 1000000000 ELSE 0 END AS BIGINT) AS rq FROM n), " +
+        rounds +
+        s" SELECT v AS nationkey, rq AS ppr9 FROM r$PagerankRounds ORDER BY nationkey"
+    },
+      (s, d) => {
+        val e = tradeEdges(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val outw = e.groupBy("src").agg(sum("w").as("wt"))
+        val nations = T.nation(s, d).select(col("n_nationkey").as("v"))
+        val restart = when(col("v") === 0, lit(150000000.0)).otherwise(lit(0.0))
+        var r = nations.select(col("v"),
+          when(col("v") === 0, 1000000000L).otherwise(0L).as("rq"))
+        for (_ <- 1 to PagerankRounds) {
+          val contrib = e
+            .join(broadcast(r.select(col("v").as("src"), col("rq"))), "src")
+            .join(broadcast(outw), "src")
+            .select(col("dst").as("v"),
+              floor(col("rq").cast("double") * col("w") / col("wt") + 0.5)
+                .cast("long").as("c"))
+            .groupBy("v").agg(sum("c").as("s"))
+          r = nations.join(contrib, Seq("v"), "left")
+            .select(col("v"),
+              floor(restart + lit(0.85) * coalesce(col("s"), lit(0L)).cast("double") + lit(0.5))
+                .cast("long").as("rq"))
+            .localCheckpoint()
+        }
+        e.unpersist()
+        r.select(col("v").as("nationkey"), col("rq").as("ppr9"))
+          .orderBy("nationkey")
+      }),
   )
 
   /** The graph_sssp relaxation loop, K parameterized so GraphSpec can

@@ -253,6 +253,16 @@ object RasterGrid {
       TileExprs.up2x(col("data"), h, w).as("data"))
   }
 
+  /** Horizontal Catmull-Rom cubic 2× upsample (resampling='cubic' along
+    * rows), SIXTEEN-SCALED integer outputs — see [[TileUpCubicRows]] for
+    * the tap/clamp contract. Output tiles are h×2w. */
+  def upsampleCubic2xRows(df: DataFrame, h: Int, w: Int): DataFrame = {
+    TileExprs.register(df.sparkSession)
+    df.select(col("product"), col("band"), col("time"),
+      col("tile_y"), col("tile_x"),
+      TileExprs.upCubic(col("data"), h, w).as("data"))
+  }
+
   /** 3×3 focal (neighborhood) SUM over each tile's interior — the box-
     * filter member of the focal-statistics family (GDAL focal stats /
     * xarray rolling [PK]). Output is the (h−2)×(w−2) interior: edge

@@ -387,9 +387,86 @@ case class TileDownsample(
     copy(first = f1, second = f2, third = f3, fourth = f4)
 }
 
+/** Horizontal cubic-convolution 2× upsample (Catmull-Rom at t = 1/2,
+  * GDAL resampling='cubic' along the row axis): even outputs reproduce
+  * the input ×16, odd outputs are the integer tap sum −p₋₁ + 9p₀ + 9p₁
+  * − p₂ with edge clamp — SIXTEEN-SCALED so every output is an exact
+  * small integer in float32 (the /16 is deferred to the consumer, the
+  * focalSum3x3 unnormalized-sum discipline). Output h×2w. */
+case class TileUpCubicRows(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def prettyName: String = TileExprs.UpCubicName
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType, _), IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_tile_upcubic expects (array<float>, int, int), got $other")
+    }
+
+  override def nullSafeEval(d: Any, hh: Any, ww: Any): Any = {
+    val a = d.asInstanceOf[ArrayData]
+    val h = hh.asInstanceOf[Int]; val w = ww.asInstanceOf[Int]
+    TileExprs.requireGeometry(prettyName, a.numElements(), h, w, 1, 2)
+    val ow = 2 * w
+    val out = new Array[Float](h * ow)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val xm = math.max(x - 1, 0)
+        val xp = math.min(x + 1, w - 1)
+        val xq = math.min(x + 2, w - 1)
+        out(y * ow + 2 * x) = a.getFloat(y * w + x) * 16.0f
+        out(y * ow + 2 * x + 1) =
+          -a.getFloat(y * w + xm) + 9.0f * a.getFloat(y * w + x) +
+            9.0f * a.getFloat(y * w + xp) - a.getFloat(y * w + xq)
+        x += 1
+      }
+      y += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (d, hh, ww) => {
+      val h = ctx.freshName("h"); val w = ctx.freshName("w")
+      val ow = ctx.freshName("ow"); val out = ctx.freshName("out")
+      val y = ctx.freshName("y"); val x = ctx.freshName("x")
+      val xm = ctx.freshName("xm"); val xp = ctx.freshName("xp")
+      val xq = ctx.freshName("xq")
+      s"""
+         |int $h = $hh; int $w = $ww; int $ow = 2 * $w;
+         |graft.raster.TileExprs.requireGeometry("${TileExprs.UpCubicName}", $d.numElements(), $h, $w, 1, 2);
+         |float[] $out = new float[$h * $ow];
+         |for (int $y = 0; $y < $h; $y++) {
+         |  for (int $x = 0; $x < $w; $x++) {
+         |    int $xm = java.lang.Math.max($x - 1, 0);
+         |    int $xp = java.lang.Math.min($x + 1, $w - 1);
+         |    int $xq = java.lang.Math.min($x + 2, $w - 1);
+         |    $out[$y * $ow + 2 * $x] = $d.getFloat($y * $w + $x) * 16.0f;
+         |    $out[$y * $ow + 2 * $x + 1] =
+         |      -$d.getFloat($y * $w + $xm) + 9.0f * $d.getFloat($y * $w + $x) +
+         |      9.0f * $d.getFloat($y * $w + $xp) - $d.getFloat($y * $w + $xq);
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 object TileExprs {
 
   val Up2xName = "graft_tile_up2x"
+  val UpCubicName = "graft_tile_upcubic"
   val Focal3Name = "graft_tile_focal3"
   val Tri3Name = "graft_tile_tri3"
   val Laplace3Name = "graft_tile_laplace3"
@@ -414,6 +491,8 @@ object TileExprs {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       Up2xName, ch => TileUpsample2x(ch(0), ch(1), ch(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      UpCubicName, ch => TileUpCubicRows(ch(0), ch(1), ch(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       Focal3Name, ch => TileFocalSum3x3(ch(0), ch(1), ch(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       Tri3Name, ch => TileFocalTri3x3(ch(0), ch(1), ch(2)), "built-in")
@@ -425,6 +504,10 @@ object TileExprs {
 
   def up2x(data: Column, h: Int, w: Int): Column =
     org.apache.spark.sql.functions.call_function(Up2xName, data,
+      org.apache.spark.sql.functions.lit(h), org.apache.spark.sql.functions.lit(w))
+
+  def upCubic(data: Column, h: Int, w: Int): Column =
+    org.apache.spark.sql.functions.call_function(UpCubicName, data,
       org.apache.spark.sql.functions.lit(h), org.apache.spark.sql.functions.lit(w))
 
   def focal3(data: Column, h: Int, w: Int): Column =

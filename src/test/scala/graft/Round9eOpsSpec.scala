@@ -515,4 +515,45 @@ class Round9eOpsSpec extends SparkSpec {
     }
     assert(row.getInt(5) == decision, "decision")
   }
+
+  test("TileUpCubicRows: ramp-exact interpolation, clamped edges, 16x scale") {
+    import spark.implicits._
+    graft.raster.TileExprs.register(spark)
+    val h = 3; val w = 4
+    // rows: a linear ramp, a constant row, and an alternating row
+    val ramp = Array.tabulate(w)(_.toFloat)
+    val const = Array.fill(w)(5.0f)
+    val alt = Array.tabulate(w)(i => if (i % 2 == 0) 0.0f else 8.0f)
+    val tile = (ramp ++ const ++ alt).toSeq
+    val df = Seq(tile).toDF("data")
+      .select(graft.raster.TileExprs.upCubic(col("data"), h, w).as("out"))
+    val out = df.collect().head.getSeq[Float](0)
+    assert(out.length == h * 2 * w)
+    def o(y: Int, x: Int): Float = out(y * 2 * w + x)
+    // even outputs reproduce the input x16
+    for (y <- 0 until h; x <- 0 until w)
+      assert(o(y, 2 * x) == tile(y * w + x) * 16.0f, s"even $y,$x")
+    // cubic reproduces a linear ramp exactly: odd = 16*(x + 0.5), interior
+    assert(o(0, 3) == 16.0f * 1.5f, "ramp interior")
+    // constant row: every odd sample equals the constant x16
+    for (x <- 0 until w) assert(o(1, 2 * x + 1) == 5.0f * 16.0f, s"const $x")
+    // edge clamp: last odd sample uses clamped xp = xq = w-1
+    val lastExpected = -tile(w - 2) + 9 * tile(w - 1) + 9 * tile(w - 1) - tile(w - 1)
+    assert(o(0, 2 * w - 1) == lastExpected, "right edge clamp")
+    // alternating row overshoots (the cubic signature the bilinear lacks)
+    assert(o(2, 1) > 8.0f * 16.0f / 2.0f, "catmull-rom overshoot")
+  }
+
+  test("graph_ppr: restart mass concentrates at the source; grid mirror") {
+    val got = SparkEntry.queries("graph_ppr")(spark, sfDir).collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue).toMap
+    assert(got.size == 25)
+    // the source keeps the restart mass plus recirculation: strictly
+    // the largest rank, and every reachable node holds positive rank
+    val src = got(0L)
+    assert(got.forall { case (v, rq) => v == 0L || rq <= src }, "source dominates")
+    assert(src >= 150000000L, "source holds at least the restart mass")
+    // mass conservation (dangling drop only): total <= 1e9 + rounding slack
+    assert(got.values.sum <= 1000000000L + 25, "no mass created")
+  }
 }
