@@ -1643,6 +1643,35 @@ object Aggregates {
           floor(col("tail_sum").cast("double") / col("tail_n").cast("double") + 0.5)
             .cast("long").as("cvar95_c"))
           .orderBy("event_type")
+      }),
+
+    // Power-of-two (log2) histogram (round 9, seventh wave) — the
+    // latency-histogram layout every observability backend stores
+    // (HdrHistogram / Prometheus-exponential buckets): bucket k holds
+    // values in [2^k, 2^(k+1)). The bucket index is a generated integer
+    // CASE bisection over exact cents — no log2() call exists, so there
+    // is no float-tie risk at exact powers and the whole key is map +
+    // one domain-sized partial agg (≤ 41 buckets per type). Non-positive
+    // values land in the sentinel bucket −1.
+    Q("agg_log2_hist", Some {
+      val cases = (40 to 0 by -1)
+        .map(k => s"WHEN x >= ${1L << k} THEN $k").mkString(" ")
+      "WITH b AS (SELECT event_type, " + sqlS2("value") + " AS x FROM events), " +
+        s"k AS (SELECT event_type, x, CAST(CASE $cases ELSE -1 END AS BIGINT) AS bucket FROM b) " +
+        "SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(MIN(x) AS BIGINT) AS min_c, CAST(MAX(x) AS BIGINT) AS max_c " +
+        "FROM k GROUP BY event_type, bucket ORDER BY event_type, bucket"
+    },
+      (s, d) => {
+        val bucket = (40 to 0 by -1).foldLeft(when(lit(false), -1)) {
+          (acc, k) => acc.when(col("x") >= lit(1L << k), k)
+        }.otherwise(-1).cast("long")
+        T.events(s, d)
+          .select(col("event_type"), s2(col("value")).as("x"))
+          .withColumn("bucket", bucket)
+          .groupBy("event_type", "bucket")
+          .agg(count(lit(1)).as("n"), min("x").as("min_c"), max("x").as("max_c"))
+          .orderBy("event_type", "bucket")
       }))
 
   /** agg_stats oracle: the same exact-integer-moment formulas, textually

@@ -1679,6 +1679,36 @@ object LlmExtras {
             sum(when(col("c").isNull, 1L).otherwise(0L)).as("n_oov"),
             sum(s6(-log(p))).as("sum_ce6"))
           .orderBy("lang")
+      }),
+
+    // Prefix dedup (round 9, seventh wave) — the crawl-specific member
+    // of the dedup family: boilerplate-led pages and truncation variants
+    // share their opening bytes even when tails differ, so grouping on
+    // the md5 of the first 64 characters catches near-dups the exact
+    // hash misses while staying a LINEAR hash-group-by (no pair join at
+    // all — the cheapest rung on the dedup ladder, run before minhash).
+    // Keep-longest (ties → smallest doc_id), the llm_dedup_apply pick.
+    Q("llm_prefix_dedup", Some(
+      "WITH f AS (SELECT doc_id, MD5(SUBSTRING(text, 1, 64)) AS pfx, " +
+        "CAST(LENGTH(text) AS BIGINT) AS len FROM documents), " +
+        "r AS (SELECT doc_id, pfx, len, " +
+        "ROW_NUMBER() OVER (PARTITION BY pfx ORDER BY len DESC, doc_id) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY pfx) AS n_members FROM f) " +
+        "SELECT doc_id AS kept_id, pfx, CAST(n_members AS BIGINT) AS n_members " +
+        "FROM r WHERE rn = 1 ORDER BY pfx"),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val f = T.documents(s, d)
+          .select(col("doc_id"), md5(substring(col("text"), 1, 64)).as("pfx"),
+            length(col("text")).cast("long").as("len"))
+        val wPick = Window.partitionBy("pfx").orderBy(col("len").desc, col("doc_id"))
+        val wAll = Window.partitionBy("pfx")
+        f.withColumn("rn", row_number().over(wPick))
+          .withColumn("n_members", count(lit(1)).over(wAll))
+          .where(col("rn") === 1)
+          .select(col("doc_id").as("kept_id"), col("pfx"),
+            col("n_members").cast("long").as("n_members"))
+          .orderBy("pfx")
       }))
 
   /** Oracle twin of llm_jsd_drift — identical count table, intersection

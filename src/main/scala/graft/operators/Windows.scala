@@ -1330,6 +1330,49 @@ object Windows {
           .orderBy("t_days")
       }),
 
+    // STL-residual anomaly flags (round 9, seventh wave) — the
+    // decomposition-based detector (the Twitter/Netflix S-H-ESD shape in
+    // its deterministic core): win_decompose's additive split, then any
+    // day whose residual sits beyond 3 robust sigmas — median ± 3·MAD —
+    // is flagged. The win_hampel DOUBLING discipline keeps everything
+    // integer: med2 = 2·median(resid) (interpolated median of ints ×2 is
+    // exact, Det rule 4), dev2 = |2·resid − med2|, mad4 = 2·median(dev2),
+    // flag ⟺ 2·dev2 > 3·mad4. The two medians run over the calendar-
+    // bounded day series; data-sized work stays the one daily agg.
+    Q("win_stl_anomaly", Some(
+      "WITH g AS (SELECT CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) // 86400 AS day, " +
+        "CAST(SUM(" + sqlS2("o_totalprice") + ") AS BIGINT) AS v FROM orders GROUP BY day), " +
+        "f AS (SELECT day, v, " +
+        "SUM(v) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS t7, " +
+        "COUNT(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7 " +
+        "FROM g), " +
+        "d AS (SELECT day, v, t7, day % 7 AS wd, 7 * v - t7 AS detr " +
+        "FROM f WHERE n7 = 7), " +
+        "sidx AS (SELECT wd, CAST(FLOOR(CAST(SUM(detr) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS seas " +
+        "FROM d GROUP BY wd), " +
+        "r AS (SELECT d.day, d.detr - sidx.seas AS resid FROM d JOIN sidx USING (wd)), " +
+        "m1 AS (SELECT CAST(FLOOR(QUANTILE_CONT(resid, 0.5) * 2 + 0.5) AS BIGINT) AS med2 FROM r), " +
+        "dv AS (SELECT day, resid, ABS(2 * resid - (SELECT med2 FROM m1)) AS dev2 FROM r), " +
+        "m2 AS (SELECT CAST(FLOOR(QUANTILE_CONT(dev2, 0.5) * 2 + 0.5) AS BIGINT) AS mad4 FROM dv) " +
+        "SELECT day, resid, dev2, " +
+        "CAST(CASE WHEN 2 * dev2 > 3 * (SELECT mad4 FROM m2) THEN 1 ELSE 0 END AS BIGINT) AS anomaly " +
+        "FROM dv ORDER BY day"),
+      (s, d) => {
+        val r = decomposedResid(s, d)
+        val m1 = r.agg(floor(percentile(col("resid"), lit(0.5)) * 2 + 0.5)
+          .cast("long").as("med2"))
+        val dv = r.crossJoin(broadcast(m1))
+          .select(col("day"), col("resid"),
+            abs(lit(2) * col("resid") - col("med2")).as("dev2"))
+        val m2 = dv.agg(floor(percentile(col("dev2"), lit(0.5)) * 2 + 0.5)
+          .cast("long").as("mad4"))
+        dv.crossJoin(broadcast(m2))
+          .select(col("day"), col("resid"), col("dev2"),
+            when(lit(2) * col("dev2") > lit(3) * col("mad4"), 1L).otherwise(0L)
+              .as("anomaly"))
+          .orderBy("day")
+      }),
+
     // Sequential probability ratio test (round 9, seventh wave) — Wald's
     // SPRT, the always-valid sequential monitor that lets an A/B readout
     // stop EARLY instead of waiting for agg_ab_lift's fixed-horizon z:
@@ -1392,6 +1435,27 @@ object Windows {
               .when(col("first_reject").isNotNull, -1).otherwise(0)
               .cast("int").as("decision"))
       }))
+
+  /** win_decompose's day/trend/seasonal pipeline up to the residual —
+    * shared by win_stl_anomaly (the same CTE chain, one more robust-
+    * threshold stage). */
+  private def decomposedResid(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val g = T.orders(s, d)
+      .groupBy(expr("unix_timestamp(o_orderdate) div 86400").as("day"))
+      .agg(sum(s2(col("o_totalprice"))).as("v"))
+    val w = Window.orderBy("day").rowsBetween(-3, 3)
+    val dd = g.select(col("day"), col("v"),
+      sum("v").over(w).as("t7"), count(lit(1)).over(w).as("n7"))
+      .where(col("n7") === 7)
+      .select(col("day"), (col("day") % 7).as("wd"),
+        (lit(7) * col("v") - col("t7")).as("detr"))
+    val sidx = dd.groupBy("wd")
+      .agg(floor(sum("detr").cast("double") / count(lit(1)) + 0.5)
+        .cast("long").as("seas"))
+    dd.join(broadcast(sidx), "wd")
+      .select(col("day"), (col("detr") - col("seas")).as("resid"))
+  }
 
   /** The win_ntile range-partition + broadcast-offset global NTILE(n)
     * without a single-partition window: repartitionByRange on the sort

@@ -556,4 +556,66 @@ class Round9eOpsSpec extends SparkSpec {
     // mass conservation (dangling drop only): total <= 1e9 + rounding slack
     assert(got.values.sum <= 1000000000L + 25, "no mass created")
   }
+
+  test("win_stl_anomaly: robust threshold flags match the decompose mirror") {
+    val rows = SparkEntry.queries("win_stl_anomaly")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // recompute resid via the win_decompose key (already mirror-proven)
+    val resid = SparkEntry.queries("win_decompose")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(rows.map(_._1).toSet == resid.keySet, "day domain")
+    rows.foreach { case (day, re, _, _) => assert(re == resid(day), s"day $day resid") }
+    def dmed(xs: Seq[Long]): Long = { // interpolated median, doubled
+      val s = xs.sorted
+      val n = s.size
+      if (n % 2 == 1) 2 * s(n / 2) else s(n / 2 - 1) + s(n / 2)
+    }
+    val med2 = dmed(resid.values.toSeq)
+    val devs = rows.map { case (d2, re, dev2, _) =>
+      val expect = math.abs(2 * re - med2)
+      assert(dev2 == expect, s"day $d2 dev"); expect
+    }
+    val mad4 = dmed(devs)
+    rows.foreach { case (day, _, dev2, fl) =>
+      assert(fl == (if (2 * dev2 > 3 * mad4) 1L else 0L), s"day $day flag")
+    }
+    // anomalies are rare on a smooth revenue series
+    assert(rows.count(_._4 == 1) <= rows.size / 10, "flag rate sanity")
+  }
+
+  test("llm_prefix_dedup: keep-longest per prefix group; coverage partition") {
+    val got = SparkEntry.queries("llm_prefix_dedup")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val groups = docs.groupBy(d => d._2.take(64))
+    assert(got.length == groups.size, "one keeper per prefix group")
+    val byId = docs.map(d => d._1 -> d._2).toMap
+    got.foreach { case (kept, _, n) =>
+      val grp = groups(byId(kept).take(64))
+      assert(n == grp.size.toLong, s"group of $kept size")
+      val best = grp.sortBy(d => (-d._2.length, d._1)).head
+      assert(kept == best._1, s"keeper pick for prefix of $kept")
+    }
+    assert(got.map(_._3).sum == docs.size.toLong, "membership partition")
+  }
+
+  test("agg_log2_hist: bucket bisection matches the bit-length mirror") {
+    val got = SparkEntry.queries("agg_log2_hist")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    val mirror = events.map(e => (e._5, s2(e._4)))
+      .map { case (et, x) =>
+        val b = if (x <= 0) -1L else (63 - java.lang.Long.numberOfLeadingZeros(x)).toLong
+        (et, b, x)
+      }
+    val grouped = mirror.groupBy(t => (t._1, t._2))
+    assert(got.keySet == grouped.keySet, "bucket domain")
+    grouped.foreach { case (k, rows) =>
+      val xs = rows.map(_._3)
+      val (n, mn, mx) = got(k)
+      assert(n == xs.size.toLong && mn == xs.min && mx == xs.max, s"$k stats")
+      // every member really sits inside [2^k, 2^(k+1))
+      if (k._2 >= 0) assert(mn >= (1L << k._2) && mx < (1L << (k._2 + 1)), s"$k bounds")
+    }
+  }
 }
