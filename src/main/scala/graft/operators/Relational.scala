@@ -116,6 +116,45 @@ object Relational {
     scanRoundtrip("scan_csv_roundtrip", "csv"),
     scanRoundtrip("scan_jsonl_roundtrip", "json"),
 
+    // Hostile-content CSV roundtrip (round 9, seventh wave) — the
+    // quoting/escaping fidelity check real ingestion depends on: a
+    // payload column deliberately containing the delimiter, the quote
+    // character (doubled), and an embedded NEWLINE is written to CSV by
+    // Spark and read back under multiLine mode; the graded aggregate is
+    // computed from the ORIGINAL table by the oracle, so any lossy
+    // quote/escape handling breaks the hash. The multiLine read is the
+    // documented cost: embedded newlines defeat line-splitting, so such
+    // files are not splittable — at 100 TB keep newline payloads in
+    // parquet/JSONL and reserve quoted CSV for interchange exports.
+    Q("scan_csv_quoted", Some(
+      "WITH h AS (SELECT doc_id, " +
+        "CONCAT(SUBSTRING(text, 1, 20), '\",', CHR(10), SUBSTRING(text, 1, 10), '\"\"tail') AS payload " +
+        "FROM documents) " +
+        "SELECT doc_id % 10 AS bucket, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(LENGTH(payload)) AS BIGINT) AS sum_len, " +
+        "CAST(SUM(LENGTH(REPLACE(payload, CHR(10), ''))) AS BIGINT) AS sum_len_nonl " +
+        "FROM h GROUP BY bucket ORDER BY bucket"),
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip_quoted"
+        val hostile = concat(substring(col("text"), 1, 20), lit("\",\n"),
+          substring(col("text"), 1, 10), lit("\"\"tail"))
+        T.documents(s, d).select(col("doc_id"), hostile.as("payload"))
+          .write.mode("overwrite").format("csv")
+          .option("header", "true").option("quoteAll", "true").save(dir)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("payload", StringType)))
+        s.read.schema(schema).format("csv")
+          .option("header", "true").option("multiLine", "true").load(dir)
+          .groupBy((col("doc_id") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("payload"))).cast("long").as("sum_len"),
+            sum(length(regexp_replace(col("payload"), "\n", ""))).cast("long")
+              .as("sum_len_nonl"))
+          .orderBy("bucket")
+      }),
+
     // Hive-partitioned write → partition-PRUNED read (round 8). This is
     // the 100-TB layout story made a graded key: a table partitioned on a
     // low-cardinality predicate column (event_type here; date/product in a
@@ -605,6 +644,45 @@ object Relational {
           .where(col("rn") === 1)
           .select(col("p.event_id").as("purchase_id"),
             col("c.event_id").as("click_id"), dist.as("dist"))
+          .orderBy("purchase_id")
+      }),
+
+    // FORWARD as-of (round 9, seventh wave) — pandas merge_asof
+    // direction='forward', completing the backward (native) / nearest /
+    // forward trio: each purchase matches the EARLIEST click at or
+    // after it (the "next follow-up action" lookup), left-outer so
+    // never-followed purchases survive with NULLs. Same WindowGroupLimit
+    // shape as the other compositional as-ofs: one user_id equi join,
+    // per-purchase rank over (t ASC, event_id), rn = 1. The native
+    // AsOfJoinExec covers backward; forward stays compositional — it is
+    // backward on the negated time axis, which the oracle and plan both
+    // express directly.
+    Q("join_asof_fwd", Some(
+      "WITH te AS (SELECT event_id, user_id, event_type, " +
+        "CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t FROM events) " +
+        "SELECT purchase_id, click_id, wait_s FROM (" +
+        "SELECT p.event_id AS purchase_id, c.event_id AS click_id, c.t - p.t AS wait_s, " +
+        "ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY c.t, c.event_id) AS rn " +
+        "FROM (SELECT * FROM te WHERE event_type = 'purchase') p LEFT JOIN " +
+        "(SELECT * FROM te WHERE event_type = 'click') c " +
+        "ON p.user_id = c.user_id AND c.t >= p.t) x " +
+        "WHERE rn = 1 ORDER BY purchase_id"),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val te = T.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            epochS(col("ts")).as("t"))
+        val p = te.where(col("event_type") === "purchase").as("p")
+        val c = te.where(col("event_type") === "click").as("c")
+        val w = Window.partitionBy(col("p.event_id"))
+          .orderBy(col("c.t"), col("c.event_id"))
+        p.join(c, col("p.user_id") === col("c.user_id") &&
+            col("c.t") >= col("p.t"), "left")
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("p.event_id").as("purchase_id"),
+            col("c.event_id").as("click_id"),
+            (col("c.t") - col("p.t")).as("wait_s"))
           .orderBy("purchase_id")
       }),
 

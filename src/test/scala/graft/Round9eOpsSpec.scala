@@ -618,4 +618,37 @@ class Round9eOpsSpec extends SparkSpec {
       if (k._2 >= 0) assert(mn >= (1L << k._2) && mx < (1L << (k._2 + 1)), s"$k bounds")
     }
   }
+
+  test("join_asof_fwd: earliest follow-up click matches the scan mirror") {
+    val got = SparkEntry.queries("join_asof_fwd")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some((r.getLong(1), r.getLong(2))))).toMap
+    val byUser = events.groupBy(_._1)
+    val expect = events.filter(_._5 == "purchase").map { p =>
+      val cands = byUser(p._1).filter(e => e._5 == "click" && e._3 >= p._3)
+      p._2 -> (if (cands.isEmpty) None else {
+        val c = cands.minBy(e => (e._3, e._2))
+        Some((c._2, c._3 - p._3))
+      })
+    }.toMap
+    assert(got == expect, "forward as-of matches")
+    // waits are nonnegative by construction
+    assert(got.values.flatten.forall(_._2 >= 0), "forward-only")
+  }
+
+  test("scan_csv_quoted: hostile payload survives the quote/newline roundtrip") {
+    val rows = SparkEntry.queries("scan_csv_quoted")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val mirror = docs.map { case (id, text, _) =>
+      (id % 10, text.take(20) + "\",\n" + text.take(10) + "\"\"tail")
+    }.groupBy(_._1)
+    assert(rows.keySet == mirror.keySet)
+    mirror.foreach { case (b, ps) =>
+      val (n, sl, slnn) = rows(b)
+      assert(n == ps.size.toLong, s"bucket $b n")
+      assert(sl == ps.map(_._2.length.toLong).sum, s"bucket $b len")
+      // exactly one embedded newline per payload survived the roundtrip
+      assert(sl - slnn == ps.size.toLong, s"bucket $b newline count")
+    }
+  }
 }
