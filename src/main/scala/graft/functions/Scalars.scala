@@ -370,5 +370,38 @@ object Scalars {
             floor(lit(2.0) * lit(6371000.0) * asin(sqrt(h)) + 0.5)
               .cast("long").as("dist_m"))
           .orderBy("id1", "id2")
+      }),
+
+    // Deterministic namespace UUID (round 9, seventh wave) — RFC 4122
+    // version 3 (md5-based): the STABLE row identity every cross-system
+    // dedup/lineage join wants, derived from content alone (no RNG, no
+    // monotonic generator). The digest formats into 8-4-4-4-12 with the
+    // version nibble forced to '3' and the variant nibble folded into
+    // {8,9,a,b} by a 16-way CASE — pure string slicing over the shared
+    // md5, so both engines emit identical UUIDs character for character.
+    Q("fn_uuid3", Some {
+      val vmap = "CASE WHEN SUBSTRING(m, 17, 1) IN ('0','4','8','c') THEN '8' " +
+        "WHEN SUBSTRING(m, 17, 1) IN ('1','5','9','d') THEN '9' " +
+        "WHEN SUBSTRING(m, 17, 1) IN ('2','6','a','e') THEN 'a' ELSE 'b' END"
+      "WITH h AS (SELECT doc_id, MD5(CONCAT('urn:doc:', CAST(doc_id AS VARCHAR))) AS m FROM documents) " +
+        "SELECT doc_id, CONCAT(SUBSTRING(m, 1, 8), '-', SUBSTRING(m, 9, 4), '-', " +
+        s"'3', SUBSTRING(m, 14, 3), '-', $vmap, SUBSTRING(m, 18, 3), '-', " +
+        "SUBSTRING(m, 21, 12)) AS uuid3 " +
+        "FROM h ORDER BY doc_id"
+    },
+      (s, d) => {
+        val m = col("m")
+        val v16 = substring(m, 17, 1)
+        val vmap = when(v16.isin("0", "4", "8", "c"), "8")
+          .when(v16.isin("1", "5", "9", "d"), "9")
+          .when(v16.isin("2", "6", "a", "e"), "a").otherwise("b")
+        T.documents(s, d)
+          .select(col("doc_id"),
+            md5(concat(lit("urn:doc:"), col("doc_id").cast("string"))).as("m"))
+          .select(col("doc_id"), concat(
+            substring(m, 1, 8), lit("-"), substring(m, 9, 4), lit("-"),
+            lit("3"), substring(m, 14, 3), lit("-"), vmap, substring(m, 18, 3),
+            lit("-"), substring(m, 21, 12)).as("uuid3"))
+          .orderBy("doc_id")
       }))
 }

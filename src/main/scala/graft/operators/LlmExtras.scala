@@ -1709,6 +1709,40 @@ object LlmExtras {
           .select(col("doc_id").as("kept_id"), col("pfx"),
             col("n_members").cast("long").as("n_members"))
           .orderBy("pfx")
+      }),
+
+    // Gazetteer entity tagging (round 9, seventh wave) — dictionary-based
+    // weak labeling, the distant-supervision primitive every NER pipeline
+    // bootstraps from: document tokens matched (case-folded) against a
+    // CURATED literal dictionary (the realistic shape — a maintained
+    // entity list shipped with the pipeline), with per-document mention
+    // and distinct-entity counts plus the alphabetically-first entity as
+    // the deterministic sample. The dictionary broadcasts; cost is the
+    // token explode's one partial-agg shuffle — linear at any corpus
+    // scale, the same plan a million-entry gazetteer keeps (the
+    // dictionary stays the build side).
+    Q("llm_gazetteer", Some(
+      "WITH g AS (SELECT * FROM (VALUES ('spark'), ('hash'), ('merge'), " +
+        "('sort'), ('window'), ('batch'), ('scan')) AS v(entity)), " +
+        "t AS (SELECT doc_id, LOWER(UNNEST(STRING_SPLIT(text, ' '))) AS tok FROM documents), " +
+        "m AS (SELECT t.doc_id, t.tok FROM t JOIN g ON g.entity = t.tok) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_mentions, " +
+        "CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_entities, " +
+        "MIN(tok) AS first_entity " +
+        "FROM m GROUP BY doc_id ORDER BY doc_id"),
+      (s, d) => {
+        import s.implicits._
+        val g = Seq("spark", "hash", "merge", "sort", "window", "batch", "scan")
+          .toDF("tok")
+        T.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("rawtok"))
+          .select(col("doc_id"), lower(col("rawtok")).as("tok"))
+          .join(broadcast(g), "tok")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_mentions"),
+            countDistinct(col("tok")).as("n_entities"),
+            min(col("tok")).as("first_entity"))
+          .orderBy("doc_id")
       }))
 
   /** Oracle twin of llm_jsd_drift — identical count table, intersection

@@ -1373,6 +1373,52 @@ object Windows {
           .orderBy("day")
       }),
 
+    // Growth accounting (round 9, seventh wave) — the DAU/MAU decomposition
+    // every product-analytics readout opens with: per 7-day period, each
+    // active user classifies as NEW (first period ever), RETAINED (also
+    // active the prior period) or RESURRECTED (active before, skipped the
+    // prior period); CHURNED(p) = active(p−1) − retained(p) closes the
+    // identity. One user_id shuffle carries the per-user period sequence
+    // (first-period min + lag over ≤ period-count rows per user); the
+    // classification rollup and the prior-period totals join are
+    // period-domain-sized. All outputs exact counts, and the conservation
+    // identity active = new + retained + resurrected holds row for row.
+    Q("win_growth_accounting", Some(
+      "WITH a AS (SELECT DISTINCT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 // 7 AS p FROM events), " +
+        "c AS (SELECT user_id, p, MIN(p) OVER (PARTITION BY user_id) AS first_p, " +
+        "LAG(p) OVER (PARTITION BY user_id ORDER BY p) AS prev_p FROM a), " +
+        "k AS (SELECT p, " +
+        "CAST(SUM(CASE WHEN p = first_p THEN 1 ELSE 0 END) AS BIGINT) AS n_new, " +
+        "CAST(SUM(CASE WHEN prev_p = p - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained, " +
+        "CAST(SUM(CASE WHEN p > first_p AND (prev_p IS NULL OR prev_p < p - 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_active FROM c GROUP BY p) " +
+        "SELECT k.p, k.n_active, k.n_new, k.n_retained, k.n_resurrected, " +
+        "CAST(COALESCE(prev.n_active, 0) - k.n_retained AS BIGINT) AS n_churned " +
+        "FROM k LEFT JOIN k prev ON prev.p = k.p - 1 ORDER BY k.p"),
+      (s, d) => {
+        val a = T.events(s, d)
+          .select(col("user_id"), expr("unix_timestamp(ts) div 86400 div 7").as("p"))
+          .distinct()
+        val wU = Window.partitionBy("user_id")
+        val c = a.select(col("user_id"), col("p"),
+          min("p").over(wU).as("first_p"),
+          lag("p", 1).over(wU.orderBy("p")).as("prev_p"))
+        val k = c.groupBy("p").agg(
+          sum(when(col("p") === col("first_p"), 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("prev_p") === col("p") - 1, 1L).otherwise(0L)).as("n_retained"),
+          sum(when(col("p") > col("first_p") &&
+            (col("prev_p").isNull || col("prev_p") < col("p") - 1), 1L)
+            .otherwise(0L)).as("n_resurrected"),
+          count(lit(1)).as("n_active"))
+        val prev = k.select((col("p") + 1).as("p"), col("n_active").as("prev_active"))
+        k.join(broadcast(prev), Seq("p"), "left")
+          .select(col("p"), col("n_active"), col("n_new"), col("n_retained"),
+            col("n_resurrected"),
+            (coalesce(col("prev_active"), lit(0L)) - col("n_retained"))
+              .cast("long").as("n_churned"))
+          .orderBy("p")
+      }),
+
     // Sequential probability ratio test (round 9, seventh wave) — Wald's
     // SPRT, the always-valid sequential monitor that lets an A/B readout
     // stop EARLY instead of waiting for agg_ab_lift's fixed-horizon z:

@@ -651,4 +651,59 @@ class Round9eOpsSpec extends SparkSpec {
       assert(sl - slnn == ps.size.toLong, s"bucket $b newline count")
     }
   }
+
+  test("fn_uuid3: RFC 4122 v3 format and referential stability") {
+    val got = SparkEntry.queries("fn_uuid3")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == docs.size)
+    val re = "^[0-9a-f]{8}-[0-9a-f]{4}-3[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$".r
+    got.foreach { case (id, u) =>
+      assert(re.matches(u), s"doc $id format: $u")
+      // stable: recompute from the md5 mirror
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"urn:doc:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val variant = "89ab"((Integer.parseInt(md(16).toString, 16) & 3))
+      val expect = md.substring(0, 8) + "-" + md.substring(8, 12) + "-3" +
+        md.substring(13, 16) + "-" + variant + md.substring(17, 20) + "-" +
+        md.substring(20, 32)
+      assert(u == expect, s"doc $id uuid mirror")
+    }
+    assert(got.values.toSet.size == got.size, "uuids are unique")
+  }
+
+  test("win_growth_accounting: classification partition and churn identity") {
+    val rows = SparkEntry.queries("win_growth_accounting")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    val active = events.map(e => (e._1, e._3 / 86400 / 7)).distinct
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val firstP = active.toSeq.flatMap { case (p, us) => us.map(_ -> p) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    rows.foreach { case (p, nAct, nNew, nRet, nRes, nCh) =>
+      val us = active(p)
+      assert(nAct == us.size.toLong, s"p$p active")
+      assert(nNew == us.count(firstP(_) == p).toLong, s"p$p new")
+      val prev = active.getOrElse(p - 1, Set.empty[Long])
+      assert(nRet == us.count(prev).toLong, s"p$p retained")
+      assert(nRes == us.count(u => firstP(u) < p && !prev(u)).toLong, s"p$p resurrected")
+      assert(nCh == prev.size.toLong - nRet, s"p$p churned")
+      // conservation: every active user is exactly one of the three
+      assert(nAct == nNew + nRet + nRes, s"p$p partition identity")
+    }
+  }
+
+  test("llm_gazetteer: mention counts match the dictionary-scan mirror") {
+    val got = SparkEntry.queries("llm_gazetteer")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    val dict = Set("spark", "hash", "merge", "sort", "window", "batch", "scan")
+    val expect = docs.flatMap { case (id, text, _) =>
+      val hits = text.split(" ", -1).map(_.toLowerCase).filter(dict)
+      if (hits.isEmpty) None
+      else Some(id -> ((hits.length.toLong, hits.distinct.length.toLong, hits.min)))
+    }.toMap
+    assert(got == expect, "gazetteer rollup")
+  }
 }
