@@ -1743,6 +1743,40 @@ object LlmExtras {
             countDistinct(col("tok")).as("n_entities"),
             min(col("tok")).as("first_entity"))
           .orderBy("doc_id")
+      }),
+
+    // Per-domain document cap (round 9, seventh wave) — the Gopher/
+    // MassiveText curation rule that stops any one domain from dominating
+    // the mixture: each source keeps at most its 20 highest-quality
+    // documents (quality proxy = length, ties to smallest id — the
+    // llm_dedup_apply pick) and the rest drop. Output = the per-source
+    // accounting (kept/dropped docs and chars) the dataset card reports.
+    // One source-partitioned rank window after a doc-count-sized
+    // projection; the window partitions are source-bounded at any scale.
+    Q("llm_domain_cap", Some(
+      "WITH r AS (SELECT source, n_chars, " +
+        "ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn " +
+        "FROM documents) " +
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(CASE WHEN rn <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+        "CAST(SUM(CASE WHEN rn > 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped, " +
+        "CAST(SUM(CASE WHEN rn <= 20 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars, " +
+        "CAST(MIN(CASE WHEN rn <= 20 THEN n_chars END) AS BIGINT) AS kept_min_chars " +
+        "FROM r GROUP BY source ORDER BY source"),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source")
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        T.documents(s, d)
+          .select(col("source"), col("doc_id"), col("n_chars"))
+          .withColumn("rn", row_number().over(w))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("rn") <= 20, 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("rn") > 20, 1L).otherwise(0L)).as("n_dropped"),
+            sum(when(col("rn") <= 20, col("n_chars")).otherwise(0L)).as("kept_chars"),
+            min(when(col("rn") <= 20, col("n_chars"))).as("kept_min_chars"))
+          .orderBy("source")
       }))
 
   /** Oracle twin of llm_jsd_drift — identical count table, intersection

@@ -378,7 +378,31 @@ object Quality {
           .unionAll(audit("supplier->nation", su.select(col("s_nationkey")),
             "s_nationkey", na, "n_nationkey"))
           .orderBy("relation")
-      }))
+      }),
+
+    // k-anonymity audit (round 9, seventh wave) — the release-readiness
+    // check privacy reviews run before sharing a derived table: every
+    // quasi-identifier combination (here lang × source) must describe at
+    // least k=5 records, else those rows need suppression or
+    // generalization. One hash aggregate gives the equivalence classes;
+    // the output is the per-class size with its violation flag plus the
+    // suppression cost (rows inside sub-k classes). Exact counts only;
+    // at 100 TB this is one partial-agg shuffle over the QI key.
+    Q("dq_k_anonymity", Some(
+      "WITH g AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS k FROM documents " +
+        "GROUP BY lang, source) " +
+        "SELECT lang, source, k, " +
+        "CAST(CASE WHEN k < 5 THEN 1 ELSE 0 END AS BIGINT) AS violates, " +
+        "CAST(CASE WHEN k < 5 THEN k ELSE 0 END AS BIGINT) AS rows_to_suppress " +
+        "FROM g ORDER BY lang, source"),
+      (s, d) =>
+        T.documents(s, d)
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("k"))
+          .select(col("lang"), col("source"), col("k"),
+            when(col("k") < 5, 1L).otherwise(0L).as("violates"),
+            when(col("k") < 5, col("k")).otherwise(0L).as("rows_to_suppress"))
+          .orderBy("lang", "source")))
 
   /** The 10-row bin grid (0..9) as a DataFrame — tiny, broadcast into
     * the type×bin cross. */

@@ -706,4 +706,47 @@ class Round9eOpsSpec extends SparkSpec {
     }.toMap
     assert(got == expect, "gazetteer rollup")
   }
+
+  test("dq_k_anonymity: class sizes and suppression cost match the mirror") {
+    val got = SparkEntry.queries("dq_k_anonymity")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    val full = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("source")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val classes = full.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got.keySet == classes.keySet, "QI class domain")
+    classes.foreach { case (qi, k) =>
+      val (gk, v, sup) = got(qi)
+      assert(gk == k, s"$qi k")
+      assert(v == (if (k < 5) 1L else 0L), s"$qi flag")
+      assert(sup == (if (k < 5) k else 0L), s"$qi suppression")
+    }
+    // total suppression cost equals the sum over violating classes
+    assert(got.values.map(_._3).sum ==
+      classes.values.filter(_ < 5).sum, "total cost")
+  }
+
+  test("llm_domain_cap: keep-top-20 accounting matches the rank mirror") {
+    val got = SparkEntry.queries("llm_domain_cap")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    val bysrc = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(got.keySet == bysrc.keySet)
+    bysrc.foreach { case (src, rows) =>
+      val ranked = rows.sortBy(r => (-r._3, r._2))
+      val kept = ranked.take(20)
+      val (n, nk, nd, kc, kmin) = got(src)
+      assert(n == rows.size.toLong && nk == kept.size.toLong, s"$src counts")
+      assert(nd == (rows.size - kept.size).toLong, s"$src dropped")
+      assert(kc == kept.map(_._3).sum, s"$src kept chars")
+      assert(kmin == kept.map(_._3).min, s"$src kept min")
+      // the cap keeps the LONGEST docs: min kept >= max dropped
+      if (rows.size > 20)
+        assert(kmin >= ranked.drop(20).map(_._3).max, s"$src quality order")
+    }
+  }
 }
