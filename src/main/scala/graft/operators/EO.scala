@@ -113,6 +113,72 @@ object EO {
     tiles.select(col("tile_y").cast("long").as("tile"),
       posexplode(col("data")).as(Seq("pos", "v")))
 
+  /** Rounds of D8 flow-accumulation relaxation (eo_tile_flow_acc) — the
+    * graph_bfs fixed-K contract: both engines run the SAME K, and the
+    * spec pins the K+1 fixpoint. Longest monotone descent measured ≤ 7
+    * on both graded corpora; 10 leaves headroom. Declared BEFORE `all`
+    * (object-init order — the SsspRounds lesson). */
+  private val FlowAccRounds = 10
+
+  /** The eo_tile_flow_acc relaxation loop, K parameterized so the spec
+    * can run K and K+1 and assert the fixpoint. Returns one row per
+    * interior pixel: (tile, py, px, acc). */
+  def flowAccumulation(s: SparkSession, d: String, k: Int): DataFrame = {
+    val px = T.events(s, d).select(
+      expr("(event_id div 4) div 256").as("tile"),
+      expr("((event_id div 4) % 256) div 16").as("py"),
+      expr("((event_id div 4) % 256) % 16").as("px"),
+      (col("event_id") % 4).as("t"), Det.s2(col("value")).as("z"))
+    val fullT = px.where(col("t") === 0).groupBy("tile")
+      .agg(count(lit(1)).as("c")).where(col("c") === 256).select("tile")
+    val p0 = px.where(col("t") === 0).join(broadcast(fullT), "tile")
+      .select("tile", "py", "px", "z")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offs = Seq((0, 1, 1), (1, 1, 2), (1, 0, 4), (1, -1, 8),
+      (0, -1, 16), (-1, -1, 32), (-1, 0, 64), (-1, 1, 128))
+    val offDf = s.createDataFrame(offs).toDF("dy", "dx", "dir")
+    val nbr = p0.select(col("tile").as("nt"), col("py").as("ny"),
+      col("px").as("nx"), col("z").as("nz"))
+    val nb = p0.where(col("py").between(1, 14) && col("px").between(1, 14))
+      .crossJoin(broadcast(offDf))
+      .join(nbr, col("nt") === col("tile") &&
+        col("ny") === col("py") + col("dy") &&
+        col("nx") === col("px") + col("dx"))
+      .select(col("tile"), col("py"), col("px"), col("dir"),
+        (col("z") - col("nz")).as("drop"))
+    val wPix = org.apache.spark.sql.expressions.Window
+      .partitionBy("tile", "py", "px")
+    val pick = nb.withColumn("best", max(col("drop")).over(wPix))
+      .groupBy("tile", "py", "px")
+      .agg(max(col("best")).as("best"),
+        min(when(col("drop") === col("best"), col("dir"))).as("dir"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dirDy = expr("CASE dir WHEN 1 THEN 0 WHEN 2 THEN 1 WHEN 4 THEN 1 WHEN 8 THEN 1 " +
+      "WHEN 16 THEN 0 WHEN 32 THEN -1 WHEN 64 THEN -1 ELSE -1 END")
+    val dirDx = expr("CASE dir WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 4 THEN 0 WHEN 8 THEN -1 " +
+      "WHEN 16 THEN -1 WHEN 32 THEN -1 WHEN 64 THEN 0 ELSE 1 END")
+    val fl = pick.where(col("best") > 0)
+      .select(col("tile"), col("py"), col("px"),
+        (col("py") + dirDy).as("ty"), (col("px") + dirDx).as("tx"))
+      .where(col("ty").between(1, 14) && col("tx").between(1, 14))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = pick.select("tile", "py", "px")
+    var acc = nodes.withColumn("acc", lit(1L))
+    for (_ <- 1 to k) {
+      val inflow = fl
+        .join(acc.select(col("tile"), col("py"), col("px"), col("acc")),
+          Seq("tile", "py", "px"))
+        .groupBy(col("tile"), col("ty").as("py"), col("tx").as("px"))
+        .agg(sum("acc").as("in_acc"))
+      acc = nodes.join(inflow, Seq("tile", "py", "px"), "left")
+        .select(col("tile"), col("py"), col("px"),
+          (lit(1L) + coalesce(col("in_acc"), lit(0L))).as("acc"))
+        .localCheckpoint()
+    }
+    p0.unpersist(); pick.unpersist(); fl.unpersist()
+    acc
+  }
+
   val all: Seq[Q] = Seq(
 
     // NDVI-shaped normalized difference with div-0 guard (xr.where analogue).
@@ -553,6 +619,64 @@ object EO {
             sum(col("pos") + 1).as("checksum"))
           .orderBy("tile", "dir")
       }),
+
+    // D8 flow ACCUMULATION (round 9, seventh wave) — gdaldem's
+    // contributing-area product, the step after eo_tile_d8 that turns
+    // directions into drainage: acc(v) = 1 + Σ acc(u) over the cells
+    // draining into v. Steepest DESCENT makes the flow graph acyclic, and
+    // on a random field the longest monotone path is short (measured ≤ 7
+    // at both graded SFs), so K=10 relaxation rounds reach the fixpoint
+    // with headroom — Round9eOpsSpec pins round K+1 changes nothing, the
+    // graph_bfs/CcRounds contract. Each round is one equi join on the
+    // (tile, ty, tx) flow key + one partial agg, localCheckpoint'd;
+    // flows into the tile's boundary ring exit the graded interior, the
+    // same halo caveat as every focal key. CTE text is kept in lock-step
+    // with eo_tile_d8's pick chain (same px/full_t/p0/offs/nb/wb/pick).
+    Q("eo_tile_flow_acc", Some {
+      val dirDy = "CASE dir WHEN 1 THEN 0 WHEN 2 THEN 1 WHEN 4 THEN 1 WHEN 8 THEN 1 " +
+        "WHEN 16 THEN 0 WHEN 32 THEN -1 WHEN 64 THEN -1 ELSE -1 END"
+      val dirDx = "CASE dir WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 4 THEN 0 WHEN 8 THEN -1 " +
+        "WHEN 16 THEN -1 WHEN 32 THEN -1 WHEN 64 THEN 0 ELSE 1 END"
+      val rounds = (1 to FlowAccRounds).map { k =>
+        val prev = s"a${k - 1}"
+        s"a$k AS MATERIALIZED (SELECT n.tile, n.py, n.px, " +
+          s"1 + COALESCE(SUM(u.acc), 0) AS acc " +
+          s"FROM a0 n LEFT JOIN fl ON fl.tile = n.tile AND fl.ty = n.py AND fl.tx = n.px " +
+          s"LEFT JOIN $prev u ON u.tile = fl.tile AND u.py = fl.py AND u.px = fl.px " +
+          "GROUP BY n.tile, n.py, n.px)"
+      }.mkString(", ")
+      "WITH px AS (SELECT (event_id // 4) // 256 AS tile, " +
+        "((event_id // 4) % 256) // 16 AS py, ((event_id // 4) % 256) % 16 AS px, " +
+        "event_id % 4 AS t, " + sqlS2("value") + " AS z FROM events), " +
+        "full_t AS (SELECT tile FROM px WHERE t = 0 GROUP BY tile HAVING COUNT(*) = 256), " +
+        "p0 AS (SELECT p.tile, py, px, z FROM px p JOIN full_t USING (tile) WHERE t = 0), " +
+        "offs AS (SELECT * FROM (VALUES (0, 1, 1), (1, 1, 2), (1, 0, 4), (1, -1, 8), " +
+        "(0, -1, 16), (-1, -1, 32), (-1, 0, 64), (-1, 1, 128)) AS v(dy, dx, dir)), " +
+        "nb AS (SELECT o.tile, o.py, o.px, f.dir, o.z - n.z AS drop " +
+        "FROM p0 o CROSS JOIN offs f " +
+        "JOIN p0 n ON n.tile = o.tile AND n.py = o.py + f.dy AND n.px = o.px + f.dx " +
+        "WHERE o.py BETWEEN 1 AND 14 AND o.px BETWEEN 1 AND 14), " +
+        "wb AS (SELECT tile, py, px, dir, drop, " +
+        "MAX(drop) OVER (PARTITION BY tile, py, px) AS best FROM nb), " +
+        "pick AS (SELECT tile, py, px, MAX(best) AS best, " +
+        "CAST(MIN(CASE WHEN drop = best THEN dir END) AS BIGINT) AS dir " +
+        "FROM wb GROUP BY tile, py, px), " +
+        s"fl AS MATERIALIZED (SELECT tile, py, px, py + ($dirDy) AS ty, px + ($dirDx) AS tx " +
+        "FROM pick WHERE best > 0 AND py + (" + dirDy + ") BETWEEN 1 AND 14 " +
+        "AND px + (" + dirDx + ") BETWEEN 1 AND 14), " +
+        "a0 AS MATERIALIZED (SELECT tile, py, px, CAST(1 AS BIGINT) AS acc FROM pick), " +
+        rounds +
+        s" SELECT tile, CAST(COUNT(*) AS BIGINT) AS n_cells, " +
+        "CAST(MAX(acc) AS BIGINT) AS max_acc, CAST(SUM(acc) AS BIGINT) AS sum_acc, " +
+        "CAST(SUM(acc * (py * 16 + px + 1)) AS BIGINT) AS checksum " +
+        s"FROM a$FlowAccRounds GROUP BY tile ORDER BY tile"
+    },
+      (s, d) => flowAccumulation(s, d, FlowAccRounds)
+        .groupBy("tile")
+        .agg(count(lit(1)).as("n_cells"), max("acc").as("max_acc"),
+          sum("acc").as("sum_acc"),
+          sum(col("acc") * (col("py") * 16 + col("px") + 1)).as("checksum"))
+        .orderBy("tile")),
 
     // Percentile contrast stretch (round 9, fifth wave) — the p2/p98
     // display normalization every RGB quicklook/browse-image pipeline

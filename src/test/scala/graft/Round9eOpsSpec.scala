@@ -749,4 +749,29 @@ class Round9eOpsSpec extends SparkSpec {
         assert(kmin >= ranked.drop(20).map(_._3).max, s"$src quality order")
     }
   }
+
+  test("eo_tile_flow_acc: fixpoint at K rounds; accumulation conservation") {
+    // sf0.001 has no complete tiles — drive at sf0.01 like eo_tile_d8
+    val dir01 = "/root/testdata/sf0.01"
+    def accMap(k: Int) = operators.EO.flowAccumulation(spark, dir01, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    val atK = accMap(10)
+    assert(atK.nonEmpty)
+    assert(atK == accMap(11), "fixpoint not reached at FlowAccRounds")
+    // every cell contributes its own unit: acc >= 1, and per tile the
+    // accumulation total equals cells plus total routed flow (each edge
+    // forwards its source's whole accumulation exactly once per level,
+    // so sum(acc) >= n_cells with equality iff no interior flow)
+    assert(atK.values.forall(_ >= 1L), "unit self-contribution")
+    val graded = SparkEntry.queries("eo_tile_flow_acc")(spark, dir01).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val byTile = atK.groupBy(_._1._1)
+    assert(graded.keySet == byTile.keySet)
+    byTile.foreach { case (t, cells) =>
+      val (n, mx, sm) = graded(t)
+      assert(n == cells.size.toLong && n == 196L, s"tile $t interior")
+      assert(mx == cells.values.max && sm == cells.values.sum, s"tile $t rollup")
+    }
+  }
 }
