@@ -1419,6 +1419,56 @@ object Windows {
           .orderBy("p")
       }),
 
+    // Seasonal strength (round 9, seventh wave) — Hyndman's tsfeatures
+    // F_s = max(0, 1 − Var(resid)/Var(seas + resid)): the scalar that
+    // says whether win_decompose's weekly component is real signal or
+    // noise (the model-selection gate before fitting seasonal
+    // forecasters). Both variances come from exact integer moment sums
+    // over the decomposition's integer residuals/deseasonalized values
+    // (all in 7× units, which cancel in the ratio), then one fixed IEEE
+    // sequence onto the s6 grid. Day-series-sized everywhere after the
+    // daily partial agg.
+    Q("win_seasonal_strength", Some {
+      val vr = "((CAST(n AS DOUBLE) * CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)) / " +
+        "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))"
+      val vd = "((CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)) / " +
+        "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))"
+      "WITH g AS (SELECT CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) // 86400 AS day, " +
+        "CAST(SUM(" + sqlS2("o_totalprice") + ") AS BIGINT) AS v FROM orders GROUP BY day), " +
+        "f AS (SELECT day, v, " +
+        "SUM(v) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS t7, " +
+        "COUNT(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7 " +
+        "FROM g), " +
+        "d AS (SELECT day, v, t7, day % 7 AS wd, 7 * v - t7 AS detr " +
+        "FROM f WHERE n7 = 7), " +
+        "sidx AS (SELECT wd, CAST(FLOOR(CAST(SUM(detr) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS seas " +
+        "FROM d GROUP BY wd), " +
+        "r0 AS (SELECT d.detr AS ds, d.detr - sidx.seas AS resid FROM d JOIN sidx USING (wd)), " +
+        "r AS (SELECT CAST(FLOOR(CAST(ds AS DOUBLE) / 1e4) AS BIGINT) AS ds, " +
+        "CAST(FLOOR(CAST(resid AS DOUBLE) / 1e4) AS BIGINT) AS resid FROM r0), " +
+        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(resid) AS BIGINT) AS sr, CAST(SUM(resid * resid) AS BIGINT) AS srr, " +
+        "CAST(SUM(ds) AS BIGINT) AS sd, CAST(SUM(ds * ds) AS BIGINT) AS sdd FROM r) " +
+        s"SELECT n, " + sqlS6(s"GREATEST(0.0, 1.0 - $vr / $vd)") + " AS strength6 FROM m"
+    },
+      (s, d) => {
+        // moments in hundred-dollar (1e4-cent) units: cent-scale squares
+        // overflow int64 over the full calendar (the win_zscore lesson);
+        // the 1e4 quantization cancels in the variance ratio to ~1e-8
+        val base = decomposedDetrResid(s, d).select(
+          floor(col("ds").cast("double") / 1e4).cast("long").as("ds"),
+          floor(col("resid").cast("double") / 1e4).cast("long").as("resid"))
+        val m = base.agg(count(lit(1)).as("n"),
+          sum("resid").as("sr"), sum(col("resid") * col("resid")).as("srr"),
+          sum("ds").as("sd"), sum(col("ds") * col("ds")).as("sdd"))
+        val nD = col("n").cast("double")
+        val vr = (nD * col("srr").cast("double") -
+          col("sr").cast("double") * col("sr").cast("double")) / (nD * (nD - lit(1.0)))
+        val vd = (nD * col("sdd").cast("double") -
+          col("sd").cast("double") * col("sd").cast("double")) / (nD * (nD - lit(1.0)))
+        m.select(col("n"), s6(greatest(lit(0.0), lit(1.0) - vr / vd)).as("strength6"))
+      }),
+
     // Sequential probability ratio test (round 9, seventh wave) — Wald's
     // SPRT, the always-valid sequential monitor that lets an A/B readout
     // stop EARLY instead of waiting for agg_ab_lift's fixed-horizon z:
@@ -1486,6 +1536,12 @@ object Windows {
     * shared by win_stl_anomaly (the same CTE chain, one more robust-
     * threshold stage). */
   private def decomposedResid(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    decomposedDetrResid(s, d).select(col("day"), col("resid"))
+
+  /** win_decompose's pipeline up to (detrended, residual) in 7× units —
+    * shared by win_stl_anomaly and win_seasonal_strength. */
+  private def decomposedDetrResid(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val g = T.orders(s, d)
       .groupBy(expr("unix_timestamp(o_orderdate) div 86400").as("day"))
@@ -1500,7 +1556,8 @@ object Windows {
       .agg(floor(sum("detr").cast("double") / count(lit(1)) + 0.5)
         .cast("long").as("seas"))
     dd.join(broadcast(sidx), "wd")
-      .select(col("day"), (col("detr") - col("seas")).as("resid"))
+      .select(col("day"), col("detr").as("ds"),
+        (col("detr") - col("seas")).as("resid"))
   }
 
   /** The win_ntile range-partition + broadcast-offset global NTILE(n)

@@ -50,6 +50,29 @@ object StreamTwins {
           .agg(count(lit(1)).as("n"))
           .orderBy("event_type", "win_start")),
 
+    // Sliding DISTINCT actives (round 9, seventh wave) — the rolling-DAU
+    // metric every engagement dashboard streams (1-hour window sliding
+    // 15 min): stream_slide's window explode with the per-window
+    // duplicate collapse the distinct-count semantics needs. The
+    // (user, window) dedup is the one extra shuffle; at archive scale it
+    // swaps for the per-window HLL sketch — agg_hll grades that
+    // estimator, this key grades the exact semantics.
+    Q("stream_active_users", Some(
+      "WITH uw AS (SELECT DISTINCT user_id, " +
+        "((CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 900) - k) * 900 AS win_start " +
+        "FROM events CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS k) offs) " +
+        "SELECT win_start, CAST(COUNT(*) AS BIGINT) AS n_active " +
+        "FROM uw GROUP BY win_start ORDER BY win_start"),
+      (s, d) =>
+        T.events(s, d)
+          .crossJoin(broadcast(s.range(0, 4).select(col("id").as("k"))))
+          .select(col("user_id"),
+            ((floor(epochS(col("ts")) / 900) - col("k")) * 900).as("win_start"))
+          .distinct()
+          .groupBy("win_start")
+          .agg(count(lit(1)).as("n_active"))
+          .orderBy("win_start")),
+
     // 30-min-gap sessionization: lag -> new-session flag -> running session id.
     Q("stream_session", Some(
       "WITH te AS (SELECT user_id, event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS te FROM events), " +

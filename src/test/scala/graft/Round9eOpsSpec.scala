@@ -774,4 +774,39 @@ class Round9eOpsSpec extends SparkSpec {
       assert(mx == cells.values.max && sm == cells.values.sum, s"tile $t rollup")
     }
   }
+
+  test("stream_active_users: sliding distinct actives match the window mirror") {
+    val got = SparkEntry.queries("stream_active_users")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = events.flatMap { e =>
+      (0 to 3).map(k => ((e._3 / 900 - k) * 900, e._1))
+    }.distinct.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(got == expect, "sliding distinct actives")
+    // a window's actives never exceed the sum of its four slices' actives
+    assert(got.values.forall(_ >= 1L))
+  }
+
+  test("win_seasonal_strength: variance-ratio strength matches the mirror") {
+    val row = SparkEntry.queries("win_seasonal_strength")(spark, sfDir)
+      .collect().head
+    // rebuild detr/resid via the win_decompose key and its mirror fields
+    val dec = SparkEntry.queries("win_decompose")(spark, sfDir).collect()
+      .map(r => (r.getLong(2) /*trend*/ , r.getLong(1) /*v*/ , r.getLong(3),
+        r.getLong(4)))
+    val pairs = dec.map { case (t7, v, seas, resid) =>
+      val ds = 7 * v - t7
+      assert(resid == ds - seas)
+      (math.floor(ds.toDouble / 1e4).toLong, math.floor(resid.toDouble / 1e4).toLong)
+    }
+    val n = pairs.size.toLong
+    def varOf(xs: Seq[Long]): Double = {
+      val s = xs.sum; val ss = xs.map(x => x * x).sum
+      (n.toDouble * ss - s.toDouble * s) / (n.toDouble * (n - 1.0))
+    }
+    val strength = math.max(0.0, 1.0 - varOf(pairs.map(_._2).toSeq) /
+      varOf(pairs.map(_._1).toSeq))
+    assert(row.getLong(0) == n, "n")
+    assert(row.getLong(1) == s6(strength), "strength")
+    assert(row.getLong(1) >= 0 && row.getLong(1) <= 1000000, "bounded")
+  }
 }
