@@ -1645,6 +1645,59 @@ object Aggregates {
           .orderBy("event_type")
       }),
 
+    // Rescaled-range Hurst exponent (round 9, seventh wave) — the
+    // long-memory diagnostic (Hurst 1951; Mandelbrot & Wallis 1969)
+    // capacity planners run on demand series: H ≈ 0.5 means the daily
+    // revenue increments are memoryless, H > 0.5 persistent. Classic
+    // two-scale R/S estimation, engine-exact end to end: the daily
+    // series quantizes to hundred-dollar integers (the win_zscore
+    // overflow trade), each complete m-day segment (m = 16, 64) computes
+    // its cumulative-deviation RANGE as the exact integer
+    // max−min of U_j = m·Σ_{i≤j}v − j·S (the win_cusum n-scaling trick),
+    // its sd from exact moments, one fixed IEEE R/S sequence s6-floored
+    // per segment, integer segment means, and H = Δln(R/S)/ln 4 as one
+    // final fixed sequence. Everything after the daily partial agg is
+    // calendar-bounded.
+    Q("agg_hurst", Some(hurstOracle),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val g = T.orders(s, d)
+          .groupBy(expr("unix_timestamp(o_orderdate) div 86400").as("day"))
+          .agg(sum(s2(col("o_totalprice"))).as("vc"))
+          .select(col("day"), floor(col("vc").cast("double") / 1e4).cast("long").as("v"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        def rsAtScale(m: Int): DataFrame = {
+          val seg = g.withColumn("seg", expr(s"day div $m"))
+          val full = seg.groupBy("seg").agg(
+            count(lit(1)).as("n"), sum("v").as("sv"),
+            sum(col("v") * col("v")).as("svv"))
+            .where(col("n") === m)
+          val wSeg = Window.partitionBy("seg").orderBy("day")
+          val u = seg.join(full.select("seg", "sv", "svv"), "seg")
+            .withColumn("j", row_number().over(wSeg))
+            .withColumn("cum", sum("v").over(wSeg.rowsBetween(Window.unboundedPreceding, 0)))
+            .withColumn("u", lit(m.toLong) * col("cum") - col("j") * col("sv"))
+          val mD = lit(m.toDouble)
+          val varS = (mD * col("svv").cast("double") -
+            col("sv").cast("double") * col("sv").cast("double")) / (mD * (mD - lit(1.0)))
+          val rs = (col("r").cast("double") / mD) / sqrt(varS)
+          u.groupBy("seg").agg(max("u").as("umax"), min("u").as("umin"),
+              max("sv").as("sv"), max("svv").as("svv"))
+            .withColumn("r", col("umax") - col("umin"))
+            .where(varS > 0)
+            .select(s6(rs).as("rs6"))
+            .agg(count(lit(1)).as("n_seg"),
+              floor(sum("rs6").cast("double") / count(lit(1)) + 0.5)
+                .cast("long").as("rs_mean6"))
+        }
+        val a = rsAtScale(16).select(col("n_seg").as("n16"), col("rs_mean6").as("rs16"))
+        val b = rsAtScale(64).select(col("n_seg").as("n64"), col("rs_mean6").as("rs64"))
+        val h = (log(col("rs64").cast("double") / 1e6) -
+          log(col("rs16").cast("double") / 1e6)) / lit(1.3862943611198906)
+        a.crossJoin(broadcast(b))
+          .select(col("n16"), col("n64"), col("rs16"), col("rs64"), s6(h).as("h6"))
+      }),
+
     // Power-of-two (log2) histogram (round 9, seventh wave) — the
     // latency-histogram layout every observability backend stores
     // (HdrHistogram / Prometheus-exponential buckets): bucket k holds
@@ -1840,6 +1893,38 @@ object Aggregates {
       "SELECT CAST(COUNT(*) AS BIGINT) AS n_cells, " +
       "CAST(((SELECT COUNT(*) FROM rt) - 1) * ((SELECT COUNT(*) FROM ct) - 1) AS BIGINT) AS dof, " +
       "CAST(SUM(term6) AS BIGINT) AS chi2_6 FROM terms"
+  }
+
+  /** Oracle twin of agg_hurst — identical day quantization, per-segment
+    * integer range/moment math, s6 R/S terms, integer means and the
+    * final Δln/ln4 sequence, generated per scale. */
+  private def hurstOracle: String = {
+    def scale(m: Int, tag: String): String = {
+      val mD = s"$m.0"
+      val varS = s"(($mD * CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) / ($mD * ($mD - 1.0)))"
+      val rs = s"((CAST(r AS DOUBLE) / $mD) / SQRT($varS))"
+      s"seg$tag AS (SELECT day, v, day // $m AS seg FROM g), " +
+        s"full$tag AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS sv, " +
+        s"CAST(SUM(v * v) AS BIGINT) AS svv FROM seg$tag GROUP BY seg HAVING COUNT(*) = $m), " +
+        s"u$tag AS (SELECT s.seg, f.sv, f.svv, " +
+        s"CAST($m AS BIGINT) * SUM(s.v) OVER (PARTITION BY s.seg ORDER BY s.day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - " +
+        s"ROW_NUMBER() OVER (PARTITION BY s.seg ORDER BY s.day) * f.sv AS u " +
+        s"FROM seg$tag s JOIN full$tag f ON f.seg = s.seg), " +
+        s"r$tag AS (SELECT seg, MAX(sv) AS sv, MAX(svv) AS svv, " +
+        s"MAX(u) - MIN(u) AS r FROM u$tag GROUP BY seg), " +
+        s"m$tag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_seg, " +
+        s"CAST(FLOOR(CAST(SUM(" + sqlS6(rs) + s") AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS rs_mean6 " +
+        s"FROM r$tag WHERE $varS > 0)"
+    }
+    val h = "((LN(CAST(rs64 AS DOUBLE) / 1e6) - LN(CAST(rs16 AS DOUBLE) / 1e6)) / 1.3862943611198906)"
+    "WITH g0 AS (SELECT CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) // 86400 AS day, " +
+      "CAST(SUM(" + sqlS2("o_totalprice") + ") AS BIGINT) AS vc FROM orders GROUP BY day), " +
+      "g AS (SELECT day, CAST(FLOOR(CAST(vc AS DOUBLE) / 1e4) AS BIGINT) AS v FROM g0), " +
+      scale(16, "16") + ", " + scale(64, "64") + " " +
+      "SELECT m16.n_seg AS n16, m64.n_seg AS n64, " +
+      "m16.rs_mean6 AS rs16, m64.rs_mean6 AS rs64, " +
+      sqlS6(h) + " AS h6 FROM m16 CROSS JOIN m64"
   }
 
   /** Oracle twin of agg_cramers_v — the agg_chisq cell/marginal machinery

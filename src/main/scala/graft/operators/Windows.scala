@@ -1419,6 +1419,40 @@ object Windows {
           .orderBy("p")
       }),
 
+    // Cohort LTV curves (round 9, seventh wave) — the revenue companion
+    // to win_retention's active-user triangle: users cohort by their
+    // FIRST purchase week, and each (cohort, weeks-since) cell carries
+    // that week's purchase revenue plus the running cumulative — the
+    // lifetime-value curve finance reads off the diagonal. Exact cents
+    // everywhere; the one data-sized shuffle is the user_id rollup that
+    // pins each user's cohort, then everything is (cohort × age)-sized,
+    // including the cumulative window (entity-partitioned by cohort).
+    Q("win_cohort_ltv", Some(
+      "WITH pur AS (SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 604800 AS wk, " +
+        sqlS2("value") + " AS v FROM events WHERE event_type = 'purchase'), " +
+        "coh AS (SELECT user_id, MIN(wk) AS cohort FROM pur GROUP BY user_id), " +
+        "cell AS (SELECT c.cohort, p.wk - c.cohort AS age, " +
+        "CAST(SUM(p.v) AS BIGINT) AS rev_c, CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_buyers " +
+        "FROM pur p JOIN coh c ON c.user_id = p.user_id GROUP BY c.cohort, age) " +
+        "SELECT cohort, age, n_buyers, rev_c, " +
+        "CAST(SUM(rev_c) OVER (PARTITION BY cohort ORDER BY age " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev_c " +
+        "FROM cell ORDER BY cohort, age"),
+      (s, d) => {
+        val pur = T.events(s, d).where(col("event_type") === "purchase")
+          .select(col("user_id"), expr("unix_timestamp(ts) div 604800").as("wk"),
+            s2(col("value")).as("v"))
+        val coh = pur.groupBy("user_id").agg(min("wk").as("cohort"))
+        val cell = pur.join(coh, "user_id")
+          .groupBy(col("cohort"), (col("wk") - col("cohort")).as("age"))
+          .agg(sum("v").as("rev_c"), countDistinct(col("user_id")).as("n_buyers"))
+        val wC = Window.partitionBy("cohort").orderBy("age")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        cell.select(col("cohort"), col("age"), col("n_buyers"), col("rev_c"),
+            sum("rev_c").over(wC).as("cum_rev_c"))
+          .orderBy("cohort", "age")
+      }),
+
     // Seasonal strength (round 9, seventh wave) — Hyndman's tsfeatures
     // F_s = max(0, 1 − Var(resid)/Var(seas + resid)): the scalar that
     // says whether win_decompose's weekly component is real signal or

@@ -809,4 +809,58 @@ class Round9eOpsSpec extends SparkSpec {
     assert(row.getLong(1) == s6(strength), "strength")
     assert(row.getLong(1) >= 0 && row.getLong(1) <= 1000000, "bounded")
   }
+
+  test("win_cohort_ltv: cohort cells and cumulative revenue match the mirror") {
+    val got = SparkEntry.queries("win_cohort_ltv")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    val pur = events.filter(_._5 == "purchase")
+      .map(e => (e._1, e._3 / 604800, s2(e._4)))
+    val cohort = pur.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val cells = pur.groupBy(p => (cohort(p._1), p._2 - cohort(p._1)))
+      .map { case (k, v) => k -> ((v.map(_._1).distinct.size.toLong, v.map(_._3).sum)) }
+    assert(got.keySet == cells.keySet, "cell domain")
+    cells.foreach { case (k @ (c, a), (nb, rev)) =>
+      val (gn, gr, gcum) = got(k)
+      assert(gn == nb && gr == rev, s"cell $k")
+      val cum = cells.filter { case ((c2, a2), _) => c2 == c && a2 <= a }
+        .values.map(_._2).sum
+      assert(gcum == cum, s"cell $k cumulative")
+    }
+  }
+
+  test("agg_hurst: two-scale R/S matches the segment mirror; H in (0,1)") {
+    // sf0.001's order series is too sparse for complete 16-day segments
+    // (the graded key degenerates to NULLs there, matching its oracle);
+    // drive the mirror at sf0.01 where 144 complete segments exist
+    val dir01 = "/root/testdata/sf0.01"
+    val row = SparkEntry.queries("agg_hurst")(spark, dir01).collect().head
+    val daily = Tables.orders(spark, dir01)
+      .select(expr("unix_timestamp(o_orderdate) div 86400").as("day"),
+        col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), s2(r.getDouble(1))))
+      .groupBy(_._1).view
+      .mapValues(v => math.floor(v.map(_._2).sum.toDouble / 1e4).toLong).toMap
+    def rsMean(m: Int): (Long, Long) = {
+      val segs = daily.toSeq.groupBy(_._1 / m).filter(_._2.size == m)
+      val rs6 = segs.toSeq.flatMap { case (_, cells) =>
+        val vs = cells.sortBy(_._1).map(_._2)
+        val sv = vs.sum; val svv = vs.map(x => x * x).sum
+        val varS = (m.toDouble * svv - sv.toDouble * sv) / (m.toDouble * (m - 1.0))
+        if (varS <= 0) None else {
+          val us = vs.scanLeft(0L)(_ + _).drop(1).zipWithIndex
+            .map { case (cum, i) => m.toLong * cum - (i + 1L) * sv }
+          val r = us.max - us.min
+          Some(s6((r.toDouble / m) / math.sqrt(varS)))
+        }
+      }
+      (rs6.size.toLong, math.floor(rs6.sum.toDouble / rs6.size + 0.5).toLong)
+    }
+    val (n16, rs16) = rsMean(16); val (n64, rs64) = rsMean(64)
+    assert(row.getLong(0) == n16 && row.getLong(1) == n64, "segment counts")
+    assert(row.getLong(2) == rs16 && row.getLong(3) == rs64, "R/S means")
+    val h = (math.log(rs64 / 1e6) - math.log(rs16 / 1e6)) / 1.3862943611198906
+    assert(row.getLong(4) == s6(h), "H")
+    assert(row.getLong(4) > 0 && row.getLong(4) < 1000000, "H in (0,1)")
+  }
 }
