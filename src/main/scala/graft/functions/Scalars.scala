@@ -403,5 +403,43 @@ object Scalars {
             lit("3"), substring(m, 14, 3), lit("-"), vmap, substring(m, 18, 3),
             lit("-"), substring(m, 21, 12)).as("uuid3"))
           .orderBy("doc_id")
+      }),
+
+    // Business-day arithmetic (round 9, seventh wave) — the SLA clock
+    // every fulfillment/finance report runs on: weekdays of order-to-ship
+    // lead time per lineitem, in CLOSED FORM (no calendar explode):
+    // shift epoch days so Monday ≡ 0, then weekdays-before-d is
+    // 5·(e div 7) + least(e mod 7, 5) and the interval count is one
+    // subtraction — pure integer ops, identical div/mod on positive
+    // epochs in both engines. Output = the bizdays histogram with the
+    // calendar-day bounds per bucket (weekend compression visible as
+    // cal range > biz value).
+    Q("fn_bizdays", Some {
+      def cum(d: String) =
+        s"(5 * (($d + 3) // 7) + LEAST(($d + 3) % 7, 5))"
+      val od = "(CAST(FLOOR(EPOCH(o.o_orderdate)) AS BIGINT) // 86400)"
+      val sd2 = "(CAST(FLOOR(EPOCH(l.l_shipdate)) AS BIGINT) // 86400)"
+      "WITH b AS (SELECT " + cum(sd2) + " - " + cum(od) + " AS bizdays, " +
+        s"$sd2 - $od AS caldays FROM lineitem l " +
+        "JOIN orders o ON o.o_orderkey = l.l_orderkey) " +
+        "SELECT bizdays, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(MIN(caldays) AS BIGINT) AS cal_min, " +
+        "CAST(MAX(caldays) AS BIGINT) AS cal_max " +
+        "FROM b GROUP BY bizdays ORDER BY bizdays"
+    },
+      (s, d) => {
+        def cum(day: String): String =
+          s"(5 * (($day + 3) div 7) + least(($day + 3) % 7, 5))"
+        T.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+          .join(T.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(expr("unix_timestamp(o_orderdate) div 86400").as("od"),
+            expr("unix_timestamp(l_shipdate) div 86400").as("sd"))
+          .select(expr(cum("sd") + " - " + cum("od")).as("bizdays"),
+            (col("sd") - col("od")).as("caldays"))
+          .groupBy("bizdays")
+          .agg(count(lit(1)).as("n"), min("caldays").as("cal_min"),
+            max("caldays").as("cal_max"))
+          .orderBy("bizdays")
       }))
 }

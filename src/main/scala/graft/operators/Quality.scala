@@ -402,7 +402,41 @@ object Quality {
           .select(col("lang"), col("source"), col("k"),
             when(col("k") < 5, 1L).otherwise(0L).as("violates"),
             when(col("k") < 5, col("k")).otherwise(0L).as("rows_to_suppress"))
-          .orderBy("lang", "source")))
+          .orderBy("lang", "source")),
+
+    // Surrogate-key gap audit (round 9, seventh wave) — the completeness
+    // check CDC and batch-ingest reconciliation runs on a PARTIAL feed
+    // (here the urgent-priority export; a filtered slice of a dense key
+    // space is naturally gappy, exactly the shape a dropped-batch
+    // investigation starts from): total missing ids from span arithmetic
+    // alone (no sort), and the number of gap RUNS via an equi ANTI
+    // self-join on key+1 — a present key starts a gap iff its successor
+    // id is absent and it is not the maximum. No global-sort window
+    // anywhere, so the audit stays two hash joins/aggregates at any
+    // key-space size.
+    Q("dq_id_gaps", Some(
+      "WITH k AS (SELECT o_orderkey AS id FROM orders WHERE o_orderpriority = '1-URGENT'), " +
+        "b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(id) AS BIGINT) AS lo, " +
+        "CAST(MAX(id) AS BIGINT) AS hi FROM k), " +
+        "gs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_gap_runs FROM k a " +
+        "WHERE NOT EXISTS (SELECT 1 FROM k b2 WHERE b2.id = a.id + 1) " +
+        "AND a.id < (SELECT hi FROM b)) " +
+        "SELECT n, lo, hi, CAST(hi - lo + 1 - n AS BIGINT) AS n_missing, " +
+        "(SELECT n_gap_runs FROM gs) AS n_gap_runs FROM b"),
+      (s, d) => {
+        val k = T.orders(s, d).where(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey").as("id"))
+        val b = k.agg(count(lit(1)).as("n"), min("id").as("lo"), max("id").as("hi"))
+        val succ = k.select((col("id") - 1).as("id"))
+        val gapStarts = k.join(succ, Seq("id"), "left_anti")
+          .crossJoin(broadcast(b.select(col("hi").as("hi2"))))
+          .where(col("id") < col("hi2"))
+          .agg(count(lit(1)).as("n_gap_runs"))
+        b.crossJoin(broadcast(gapStarts))
+          .select(col("n"), col("lo"), col("hi"),
+            (col("hi") - col("lo") + 1 - col("n")).as("n_missing"),
+            col("n_gap_runs"))
+      }))
 
   /** The 10-row bin grid (0..9) as a DataFrame — tiny, broadcast into
     * the type×bin cross. */

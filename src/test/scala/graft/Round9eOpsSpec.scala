@@ -863,4 +863,47 @@ class Round9eOpsSpec extends SparkSpec {
     assert(row.getLong(4) == s6(h), "H")
     assert(row.getLong(4) > 0 && row.getLong(4) < 1000000, "H in (0,1)")
   }
+
+  test("fn_bizdays: closed form equals the day-by-day weekday count") {
+    val rows = SparkEntry.queries("fn_bizdays")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.nonEmpty)
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), expr("unix_timestamp(l_shipdate) div 86400").as("sd"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), expr("unix_timestamp(o_orderdate) div 86400").as("od"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute day-by-day weekday count, SIGNED for ship-before-order rows
+    // (this synthetic corpus does not order the two dates)
+    def weekdays(a: Long, b: Long): Long =
+      if (a <= b) (a until b).count(d => (d + 3) % 7 < 5).toLong
+      else -(b until a).count(d => (d + 3) % 7 < 5).toLong
+    val mirror = li.map { case (ok, sd) =>
+      val od = ord(ok)
+      (weekdays(od, sd), sd - od)
+    }.groupBy(_._1).view.mapValues { v =>
+      (v.size.toLong, v.map(_._2).min, v.map(_._2).max)
+    }.toMap
+    assert(rows == mirror, "bizdays histogram vs brute weekday count")
+    // weekend compression: calendar span always >= business span
+    rows.foreach { case (bd, (_, cmin, cmax)) =>
+      if (bd >= 0) assert(cmax >= bd, s"bucket $bd")
+      else assert(cmin <= bd, s"bucket $bd") }
+  }
+
+  test("dq_id_gaps: span arithmetic and gap-run count match the set mirror") {
+    val row = SparkEntry.queries("dq_id_gaps")(spark, sfDir).collect().head
+    val ids = Tables.orders(spark, sfDir)
+      .where(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+      .collect().map(_.getLong(0)).toSet
+    val lo = ids.min; val hi = ids.max
+    assert(row.getLong(0) == ids.size.toLong)
+    assert(row.getLong(1) == lo && row.getLong(2) == hi)
+    assert(row.getLong(3) == hi - lo + 1 - ids.size, "missing count")
+    val gapRuns = ids.count(v => v < hi && !ids.contains(v + 1)).toLong
+    assert(row.getLong(4) == gapRuns, "gap runs")
+    // TPC-H orderkeys are deliberately sparse: the audit must see gaps
+    assert(row.getLong(3) > 0 && gapRuns > 0, "corpus really is gappy")
+  }
 }
