@@ -441,5 +441,49 @@ object Scalars {
           .agg(count(lit(1)).as("n"), min("caldays").as("cal_min"),
             max("caldays").as("cal_max"))
           .orderBy("bizdays")
+      }),
+
+    // Luhn check digits (round 9, seventh wave) — the mod-10 checksum
+    // behind card/IMEI/identifier validation, the classic ingest-time
+    // integrity scalar: an 11-digit account number synthesizes from the
+    // order key, the Luhn sum doubles every second digit from the right
+    // (d*2 > 9 → d*2 − 9), and the check digit closes the sum to 0 mod
+    // 10. Pure integer digit arithmetic generated textually for both
+    // engines — no string padding semantics in the graded math. Output =
+    // check digit histogram plus a digit-sum checksum per bucket.
+    Q("fn_luhn", Some {
+      // digits d0 (least significant) .. d10 of the 11-digit id
+      def digit(i: Int) = s"((id // ${"1" + "0" * i}) % 10)"
+      // from the RIGHT of the 11-digit payload, positions 0,2,4,... keep,
+      // 1,3,5,... double (check digit appended after, so payload parity
+      // counts from position 1 of the final number)
+      val terms = (0 until 11).map { i =>
+        val d = digit(i)
+        if (i % 2 == 0) s"(CASE WHEN $d * 2 > 9 THEN $d * 2 - 9 ELSE $d * 2 END)"
+        else d
+      }.mkString(" + ")
+      "WITH b AS (SELECT (o_orderkey * 7919 + 12345) % 100000000000 AS id FROM orders), " +
+        s"l AS (SELECT id, $terms AS lsum FROM b), " +
+        "c AS (SELECT id, lsum, (10 - lsum % 10) % 10 AS check_digit FROM l) " +
+        "SELECT check_digit, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(lsum) AS BIGINT) AS sum_lsum, " +
+        "CAST(MIN(id) AS BIGINT) AS min_id " +
+        "FROM c GROUP BY check_digit ORDER BY check_digit"
+    },
+      (s, d) => {
+        def digit(i: Int) = s"((id div ${"1" + "0" * i}) % 10)"
+        val terms = (0 until 11).map { i =>
+          val dd = digit(i)
+          if (i % 2 == 0) s"(CASE WHEN $dd * 2 > 9 THEN $dd * 2 - 9 ELSE $dd * 2 END)"
+          else dd
+        }.mkString(" + ")
+        T.orders(s, d)
+          .select(((col("o_orderkey") * 7919 + 12345) % 100000000000L).as("id"))
+          .withColumn("lsum", expr(terms))
+          .withColumn("check_digit", (lit(10) - col("lsum") % 10) % 10)
+          .groupBy("check_digit")
+          .agg(count(lit(1)).as("n"), sum("lsum").as("sum_lsum"),
+            min("id").as("min_id"))
+          .orderBy("check_digit")
       }))
 }

@@ -1698,6 +1698,48 @@ object Aggregates {
           .select(col("n16"), col("n64"), col("rs16"), col("rs64"), s6(h).as("h6"))
       }),
 
+    // Capture-recapture population estimate (round 9, seventh wave) —
+    // Lincoln-Petersen: how many DISTINCT users exist when you can only
+    // afford two partial samples (the dedup/census estimator for uniques
+    // you never observe jointly): sample 1 = users seen in even events,
+    // sample 2 = odd events, N̂ = n₁·n₂/m with m the recapture overlap.
+    // The Chapman small-sample correction ((n₁+1)(n₂+1)/(m+1) − 1) rides
+    // along. Exact distinct counts via one aggregate over the (user,
+    // parity) dedup; both estimators are one fixed IEEE sequence each.
+    // The spec pins N̂ ≥ the observed union (estimators never undercount
+    // the census here).
+    Q("agg_capture_recapture", Some {
+      val lp = "(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / CAST(m AS DOUBLE))"
+      val ch = "((CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE) / CAST(m + 1 AS DOUBLE)) - 1.0)"
+      "WITH up AS (SELECT DISTINCT user_id, CAST(event_id % 2 AS INTEGER) AS s FROM events), " +
+        "c AS (SELECT " +
+        "CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+        "CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2, " +
+        "CAST(COUNT(*) - COUNT(DISTINCT user_id) AS BIGINT) AS m, " +
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_union FROM up) " +
+        "SELECT n1, n2, m, n_union, " +
+        s"CASE WHEN m = 0 THEN NULL ELSE CAST(FLOOR($lp + 0.5) AS BIGINT) END AS lp_est, " +
+        s"CAST(FLOOR($ch + 0.5) AS BIGINT) AS chapman_est FROM c"
+    },
+      (s, d) => {
+        val up = T.events(s, d)
+          .select(col("user_id"), (col("event_id") % 2).cast("int").as("s"))
+          .distinct()
+        val c = up.agg(
+          sum(when(col("s") === 0, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("s") === 1, 1L).otherwise(0L)).as("n2"),
+          (count(lit(1)) - countDistinct(col("user_id"))).as("m"),
+          countDistinct(col("user_id")).as("n_union"))
+        val lp = col("n1").cast("double") * col("n2").cast("double") /
+          col("m").cast("double")
+        val ch = (col("n1") + 1).cast("double") * (col("n2") + 1).cast("double") /
+          (col("m") + 1).cast("double") - lit(1.0)
+        c.select(col("n1"), col("n2"), col("m"), col("n_union"),
+          when(col("m") === 0, lit(null))
+            .otherwise(floor(lp + 0.5).cast("long")).as("lp_est"),
+          floor(ch + 0.5).cast("long").as("chapman_est"))
+      }),
+
     // Power-of-two (log2) histogram (round 9, seventh wave) — the
     // latency-histogram layout every observability backend stores
     // (HdrHistogram / Prometheus-exponential buckets): bucket k holds

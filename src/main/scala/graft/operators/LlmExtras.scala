@@ -1711,6 +1711,39 @@ object LlmExtras {
           .orderBy("pfx")
       }),
 
+    // Feature hashing (round 9, seventh wave) — the hashing trick
+    // (Weinberger et al. 2009 / Vowpal Wabbit): bag-of-words folded into
+    // a FIXED 64-bucket vector by the portable token hash, sign from the
+    // hash's next bit so collisions cancel in expectation — the
+    // featurizer that needs NO vocabulary pass at any corpus size. Per
+    // doc: the exact integer ‖v‖² over signed bucket counts, nonzero
+    // bucket count, and a position-weighted checksum pinning every
+    // bucket value. Map + one (doc, bucket) partial agg — linear,
+    // dictionary-free (the tf-idf key's broadcast-df join disappears).
+    Q("llm_feature_hash", Some(
+      "WITH t AS (SELECT doc_id, " + sqlHash32("UNNEST(STRING_SPLIT(text, ' '))") +
+        " AS h FROM documents), " +
+        "b AS (SELECT doc_id, h % 64 AS bucket, " +
+        "CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS sg FROM t), " +
+        "v AS (SELECT doc_id, bucket, CAST(SUM(sg) AS BIGINT) AS w FROM b GROUP BY doc_id, bucket) " +
+        "SELECT doc_id, CAST(SUM(CASE WHEN w <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz, " +
+        "CAST(SUM(w * w) AS BIGINT) AS norm_sq, " +
+        "CAST(SUM(w * (bucket + 1)) AS BIGINT) AS checksum " +
+        "FROM v GROUP BY doc_id ORDER BY doc_id"),
+      (s, d) => {
+        val t = T.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .select(col("doc_id"), Det.hash32(col("tok")).as("h"))
+        t.select(col("doc_id"), (col("h") % 64).as("bucket"),
+            when(expr("(h div 64) % 2") === 0, 1L).otherwise(-1L).as("sg"))
+          .groupBy("doc_id", "bucket").agg(sum("sg").as("w"))
+          .groupBy("doc_id")
+          .agg(sum(when(col("w") =!= 0, 1L).otherwise(0L)).as("nnz"),
+            sum(col("w") * col("w")).as("norm_sq"),
+            sum(col("w") * (col("bucket") + 1)).as("checksum"))
+          .orderBy("doc_id")
+      }),
+
     // Gazetteer entity tagging (round 9, seventh wave) — dictionary-based
     // weak labeling, the distant-supervision primitive every NER pipeline
     // bootstraps from: document tokens matched (case-folded) against a

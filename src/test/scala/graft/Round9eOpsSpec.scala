@@ -906,4 +906,76 @@ class Round9eOpsSpec extends SparkSpec {
     // TPC-H orderkeys are deliberately sparse: the audit must see gaps
     assert(row.getLong(3) > 0 && gapRuns > 0, "corpus really is gappy")
   }
+
+  test("agg_capture_recapture: estimators match and never undercount the census") {
+    val row = SparkEntry.queries("agg_capture_recapture")(spark, sfDir)
+      .collect().head
+    val s1 = events.filter(_._2 % 2 == 0).map(_._1).toSet
+    val s2set = events.filter(_._2 % 2 == 1).map(_._1).toSet
+    val m = (s1 intersect s2set).size.toLong
+    val union = (s1 union s2set).size.toLong
+    assert(row.getLong(0) == s1.size.toLong && row.getLong(1) == s2set.size.toLong)
+    assert(row.getLong(2) == m && row.getLong(3) == union)
+    assert(row.getLong(4) ==
+      math.floor(s1.size.toDouble * s2set.size / m + 0.5).toLong, "LP")
+    assert(row.getLong(5) ==
+      math.floor((s1.size + 1.0) * (s2set.size + 1.0) / (m + 1) - 1.0 + 0.5).toLong,
+      "Chapman")
+    assert(row.getLong(4) >= union && row.getLong(5) >= union - 1, "no undercount")
+  }
+
+  test("fn_luhn: check digits validate against the digit-walk mirror") {
+    val got = SparkEntry.queries("fn_luhn")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val keys = Tables.orders(spark, sfDir).select("o_orderkey")
+      .collect().map(_.getLong(0))
+    val mirror = keys.map { ok =>
+      val id = (ok * 7919 + 12345) % 100000000000L
+      val lsum = (0 until 11).map { i =>
+        val d = (id / math.pow(10, i).toLong) % 10
+        if (i % 2 == 0) { val x = d * 2; if (x > 9) x - 9 else x } else d
+      }.sum
+      (id, lsum, (10 - lsum % 10) % 10)
+    }
+    val grouped = mirror.groupBy(_._3)
+    assert(got.keySet == grouped.keySet.map(_.toLong))
+    grouped.foreach { case (cd, rows) =>
+      val (n, sl, mid) = got(cd)
+      assert(n == rows.size.toLong && sl == rows.map(_._2).sum &&
+        mid == rows.map(_._1).min, s"digit $cd")
+    }
+    // appending the check digit makes every number Luhn-valid: the full
+    // 12-digit Luhn sum (payload shifted one position left) ends in 0
+    mirror.take(50).foreach { case (id, _, cd) =>
+      val full = id * 10 + cd
+      val s12 = (0 until 12).map { i =>
+        val d = (full / math.pow(10, i).toLong) % 10
+        if (i % 2 == 1) { val x = d * 2; if (x > 9) x - 9 else x } else d
+      }.sum
+      assert(s12 % 10 == 0, s"$full not Luhn-valid")
+    }
+  }
+
+  test("llm_feature_hash: signed-bucket vectors match the hashing mirror") {
+    val got = SparkEntry.queries("llm_feature_hash")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // read the engine's own portable hash for the vocabulary once
+    val vocab = docs.flatMap(_._2.split(" ", -1)).distinct
+    import spark.implicits._
+    val hashes = vocab.toDF("tok")
+      .select(col("tok"), Det.hash32(col("tok")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    docs.foreach { case (id, text, _) =>
+      val w = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      text.split(" ", -1).foreach { tok =>
+        val h = hashes(tok)
+        w(h % 64) += (if ((h / 64) % 2 == 0) 1L else -1L)
+      }
+      val (nnz, nsq, ck) = got(id)
+      assert(nnz == w.values.count(_ != 0).toLong, s"doc $id nnz")
+      assert(nsq == w.values.map(v => v * v).sum, s"doc $id norm")
+      assert(ck == w.map { case (b, v) => v * (b + 1) }.sum, s"doc $id checksum")
+    }
+  }
 }
