@@ -485,5 +485,37 @@ object Scalars {
           .agg(count(lit(1)).as("n"), sum("lsum").as("sum_lsum"),
             min("id").as("min_id"))
           .orderBy("check_digit")
+      }),
+
+    // CIDR subnet matching (round 9, seventh wave) — the IP-allowlist /
+    // geo-fence predicate every security and ops pipeline evaluates per
+    // row: a uint32 address (synthesized by the Knuth multiplicative
+    // hash of the event id) tested against a broadcast prefix table by
+    // pure integer shifts — ip >> (32−p) = net >> (32−p) — never string
+    // octets. The prefix dimension is tiny and broadcast; the match is
+    // map-side, so the plan is one scan + one domain-sized aggregate at
+    // any event volume.
+    Q("fn_cidr_match", Some(
+      "WITH ip AS (SELECT (event_id * 2654435761) % 4294967296 AS a FROM events), " +
+        "nets AS (SELECT * FROM (VALUES ('10.0.0.0/8', 167772160, 8), " +
+        "('172.16.0.0/12', 2886729728, 12), ('192.168.0.0/16', 3232235520, 16)) " +
+        "AS v(cidr, net, p)), " +
+        "m AS (SELECT n.cidr, ip.a FROM ip JOIN nets n " +
+        "ON ip.a >> (32 - n.p) = n.net >> (32 - n.p)) " +
+        "SELECT cidr, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(MIN(a) AS BIGINT) AS ip_min, CAST(MAX(a) AS BIGINT) AS ip_max " +
+        "FROM m GROUP BY cidr ORDER BY cidr"),
+      (s, d) => {
+        import s.implicits._
+        val nets = Seq(("10.0.0.0/8", 167772160L, 8),
+          ("172.16.0.0/12", 2886729728L, 12),
+          ("192.168.0.0/16", 3232235520L, 16)).toDF("cidr", "net", "p")
+        T.events(s, d)
+          .select(((col("event_id") * 2654435761L) % 4294967296L).as("a"))
+          .crossJoin(broadcast(nets))
+          .where(expr("a >> (32 - p) = net >> (32 - p)"))
+          .groupBy("cidr")
+          .agg(count(lit(1)).as("n"), min("a").as("ip_min"), max("a").as("ip_max"))
+          .orderBy("cidr")
       }))
 }

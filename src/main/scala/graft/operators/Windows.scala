@@ -1419,6 +1419,61 @@ object Windows {
           .orderBy("p")
       }),
 
+    // Clamped running balance by Skorokhod reflection (round 9, seventh
+    // wave) — the inventory/wallet balance that can never go negative:
+    // purchases add stock, clicks consume it, and the floor at zero
+    // would seem to force sequential state (each clamp depends on the
+    // last), but the reflection identity B_t = S_t − least(0, min_{j≤t}
+    // S_j) turns it into TWO plain window functions over one entity
+    // sort — the closed form every windowed engine should use instead
+    // of a per-key state loop. Exact cents throughout; per-user summary
+    // keeps the output entity-sized (final/max balance, depletion
+    // count, and the total shortfall the clamp absorbed).
+    Q("win_reflected_runsum", Some(
+      "WITH e AS (SELECT user_id, event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t, " +
+        "CASE WHEN event_type = 'purchase' THEN " + sqlS2("value") +
+        " WHEN event_type = 'click' THEN -" + sqlS2("value") + " ELSE 0 END AS delta " +
+        "FROM events WHERE event_type IN ('purchase', 'click')), " +
+        "c1 AS (SELECT user_id, event_id, t, delta, " +
+        "SUM(delta) OVER (PARTITION BY user_id ORDER BY t, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sr FROM e), " +
+        "c2 AS (SELECT user_id, delta, sr, " +
+        "MIN(sr) OVER (PARTITION BY user_id ORDER BY t, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmin, " +
+        "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t, event_id) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY user_id) AS n FROM c1), " +
+        "b AS (SELECT user_id, delta, sr, rn, n, " +
+        "sr - LEAST(CAST(0 AS BIGINT), runmin) AS bal FROM c2) " +
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_moves, " +
+        "CAST(MAX(bal) AS BIGINT) AS max_bal, " +
+        "CAST(SUM(CASE WHEN bal = 0 AND delta < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_depleted, " +
+        "CAST(GREATEST(CAST(0 AS BIGINT), -MIN(sr)) AS BIGINT) AS shortfall_c, " +
+        "CAST(MAX(CASE WHEN rn = n THEN bal END) AS BIGINT) AS final_bal " +
+        "FROM b GROUP BY user_id ORDER BY user_id"),
+      (s, d) => {
+        val e = T.events(s, d)
+          .where(col("event_type").isin("purchase", "click"))
+          .select(col("user_id"), col("event_id"), epochS(col("ts")).as("t"),
+            when(col("event_type") === "purchase", s2(col("value")))
+              .otherwise(-s2(col("value"))).as("delta"))
+        val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val c = e.withColumn("sr", sum("delta").over(w))
+          .withColumn("refl", least(lit(0L), min(col("sr")).over(w)))
+          .withColumn("bal", col("sr") - col("refl"))
+        val wAll = Window.partitionBy("user_id")
+          .orderBy(col("t"), col("event_id"))
+        c.withColumn("rn", row_number().over(wAll))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_moves"), max("bal").as("max_bal"),
+            sum(when(col("bal") === 0 && col("delta") < 0, 1L).otherwise(0L))
+              .as("n_depleted"),
+            greatest(lit(0L), -min(col("sr"))).as("shortfall_c"),
+            max(when(col("rn") === col("n"), col("bal"))).as("final_bal"))
+          .orderBy("user_id")
+      }),
+
     // Cohort LTV curves (round 9, seventh wave) — the revenue companion
     // to win_retention's active-user triangle: users cohort by their
     // FIRST purchase week, and each (cohort, weeks-since) cell carries

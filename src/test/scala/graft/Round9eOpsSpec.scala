@@ -978,4 +978,54 @@ class Round9eOpsSpec extends SparkSpec {
       assert(ck == w.map { case (b, v) => v * (b + 1) }.sum, s"doc $id checksum")
     }
   }
+
+  test("win_reflected_runsum: reflection identity equals the sequential clamp") {
+    val got = SparkEntry.queries("win_reflected_runsum")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    events.filter(e => e._5 == "purchase" || e._5 == "click")
+      .groupBy(_._1).foreach { case (u, rows) =>
+        val ordered = rows.sortBy(e => (e._3, e._2))
+        // the SEQUENTIAL ground truth the closed form must reproduce
+        var bal = 0L; var maxB = 0L; var dep = 0L; var short = 0L
+        var s = 0L; var minS = 0L
+        ordered.foreach { e =>
+          val delta = if (e._5 == "purchase") s2(e._4) else -s2(e._4)
+          s += delta; minS = math.min(minS, s)
+          val nb = bal + delta
+          if (nb < 0) { short += -nb; bal = 0; if (delta < 0) dep += 1 }
+          else { bal = nb; if (delta < 0 && bal == 0) dep += 1 }
+          maxB = math.max(maxB, bal)
+        }
+        val (n, gmax, gdep, gshort, gfinal) = got(u)
+        assert(n == ordered.size.toLong, s"user $u moves")
+        assert(gmax == maxB, s"user $u max")
+        assert(gfinal == bal, s"user $u final")
+        assert(gdep == dep, s"user $u depletions")
+        assert(gshort == math.max(0L, -minS), s"user $u shortfall")
+        // identity check: clamp-absorbed shortfall equals the reflection
+        assert(short == gshort, s"user $u Skorokhod identity")
+      }
+  }
+
+  test("fn_cidr_match: shift matching equals the prefix mirror") {
+    val got = SparkEntry.queries("fn_cidr_match")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val nets = Seq(("10.0.0.0/8", 167772160L, 8),
+      ("172.16.0.0/12", 2886729728L, 12), ("192.168.0.0/16", 3232235520L, 16))
+    val ips = events.map(e => (e._2 * 2654435761L) % 4294967296L)
+    val mirror = nets.flatMap { case (cidr, net, p) =>
+      val hits = ips.filter(a => (a >> (32 - p)) == (net >> (32 - p)))
+      if (hits.isEmpty) None
+      else Some(cidr -> ((hits.size.toLong, hits.min, hits.max)))
+    }.toMap
+    assert(got == mirror, "cidr matches")
+    // every reported ip really sits inside its subnet's numeric range
+    got.foreach { case (cidr, (_, lo, hi)) =>
+      val (_, net, p) = nets.find(_._1 == cidr).get
+      val span = 1L << (32 - p)
+      assert(lo >= net && hi < net + span, s"$cidr bounds")
+    }
+  }
 }
