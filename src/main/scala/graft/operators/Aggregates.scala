@@ -1740,6 +1740,45 @@ object Aggregates {
           floor(ch + 0.5).cast("long").as("chapman_est"))
       }),
 
+    // Wilson score interval (round 9, seventh wave) — the proportion CI
+    // every dashboard SHOULD use instead of the Wald ±z√(p(1−p)/n)
+    // (which collapses at p near 0/1): per event type, the share of
+    // high-value events with its 95% Wilson bounds. Closed form over two
+    // exact integers (k successes, n trials) with z = 1.96 as a double
+    // literal — one fixed IEEE sequence per bound, s6-floored; the spec
+    // pins 0 ≤ lo ≤ p̂ ≤ hi ≤ 1 and shrinking width with n.
+    Q("agg_wilson", Some {
+      val z = "1.96"; val nD = "CAST(n AS DOUBLE)"; val kD = "CAST(k AS DOUBLE)"
+      val p = s"($kD / $nD)"
+      val denom = s"(1.0 + $z * $z / $nD)"
+      val center = s"(($p + $z * $z / (2.0 * $nD)) / $denom)"
+      val half = s"(($z * SQRT($p * (1.0 - $p) / $nD + $z * $z / (4.0 * $nD * $nD))) / $denom)"
+      "WITH b AS (SELECT event_type, CASE WHEN value > 500 THEN 1 ELSE 0 END AS hit FROM events), " +
+        "m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(hit) AS BIGINT) AS k FROM b GROUP BY event_type) " +
+        "SELECT event_type, n, k, " + sqlS6(p) + " AS p6, " +
+        sqlS6(s"$center - $half") + " AS lo6, " +
+        sqlS6(s"$center + $half") + " AS hi6 " +
+        "FROM m ORDER BY event_type"
+    },
+      (s, d) => {
+        val m = T.events(s, d)
+          .select(col("event_type"),
+            when(col("value") > 500, 1L).otherwise(0L).as("hit"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("hit").as("k"))
+        val z = lit(1.96)
+        val nD = col("n").cast("double"); val kD = col("k").cast("double")
+        val p = kD / nD
+        val denom = lit(1.0) + z * z / nD
+        val center = (p + z * z / (lit(2.0) * nD)) / denom
+        val half = (z * sqrt(p * (lit(1.0) - p) / nD +
+          z * z / (lit(4.0) * nD * nD))) / denom
+        m.select(col("event_type"), col("n"), col("k"), s6(p).as("p6"),
+          s6(center - half).as("lo6"), s6(center + half).as("hi6"))
+          .orderBy("event_type")
+      }),
+
     // Power-of-two (log2) histogram (round 9, seventh wave) — the
     // latency-histogram layout every observability backend stores
     // (HdrHistogram / Prometheus-exponential buckets): bucket k holds

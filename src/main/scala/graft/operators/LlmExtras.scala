@@ -1744,6 +1744,40 @@ object LlmExtras {
           .orderBy("doc_id")
       }),
 
+    // Term burstiness (round 9, seventh wave) — Church & Gale's
+    // adaptation statistic: cf/df, the mean occurrences per CONTAINING
+    // document. Content words burst (a doc that mentions a topic mentions
+    // it again); function words don't — the signal that separates
+    // topical vocabulary from glue without any stopword list, used to
+    // pick index terms and weight retrieval. One exploded partial agg
+    // produces cf and df together; the df ≥ 5 support floor bounds the
+    // output by the closed vocabulary; top 20 by (burstiness DESC, tok)
+    // through a rank with the reproducible tie rule.
+    Q("llm_burstiness", Some(
+      "WITH t AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents), " +
+        "f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cf, " +
+        "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM t GROUP BY tok), " +
+        "r AS (SELECT tok, cf, df, " + sqlS6("CAST(cf AS DOUBLE) / CAST(df AS DOUBLE)") + " AS burst6, " +
+        "ROW_NUMBER() OVER (ORDER BY CAST(cf AS DOUBLE) / CAST(df AS DOUBLE) DESC, tok) AS rn " +
+        "FROM f WHERE df >= 5) " +
+        "SELECT tok, cf, df, burst6, CAST(rn AS INT) AS rn " +
+        "FROM r WHERE rn <= 20 ORDER BY rn"),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val f = T.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("tok")
+          .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
+          .where(col("df") >= 5)
+        val burst = col("cf").cast("double") / col("df").cast("double")
+        val w = Window.orderBy(burst.desc, col("tok"))
+        f.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 20)
+          .select(col("tok"), col("cf"), col("df"), s6(burst).as("burst6"),
+            col("rn").cast("int").as("rn"))
+          .orderBy("rn")
+      }),
+
     // Gazetteer entity tagging (round 9, seventh wave) — dictionary-based
     // weak labeling, the distant-supervision primitive every NER pipeline
     // bootstraps from: document tokens matched (case-folded) against a

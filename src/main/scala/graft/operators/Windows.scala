@@ -1474,6 +1474,42 @@ object Windows {
           .orderBy("user_id")
       }),
 
+    // Time-in-state accounting (round 9, seventh wave) — how long each
+    // user SPENDS in each behavioral state, where the state holds from
+    // an event until the next one (the session-replay / device-state
+    // accounting shape): lead(t) − t per row via one entity-ordered
+    // window, summed per (user's) state with exact integer seconds;
+    // terminal events carry no duration on either engine. The per-type
+    // rollup also reports each state's share of the user's total tracked
+    // time as one IEEE divide on the s6 grid.
+    Q("win_state_duration", Some(
+      "WITH e AS (SELECT user_id, event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t, event_id FROM events), " +
+        "g AS (SELECT user_id, event_type, " +
+        "LEAD(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t AS dur FROM e), " +
+        "st AS (SELECT user_id, event_type, CAST(SUM(dur) AS BIGINT) AS secs, " +
+        "CAST(COUNT(dur) AS BIGINT) AS n_holds FROM g WHERE dur IS NOT NULL " +
+        "GROUP BY user_id, event_type), " +
+        "tot AS (SELECT user_id, CAST(SUM(secs) AS BIGINT) AS total FROM st GROUP BY user_id) " +
+        "SELECT st.user_id, st.event_type, st.n_holds, st.secs, " +
+        sqlS6("CAST(st.secs AS DOUBLE) / CAST(tot.total AS DOUBLE)") + " AS share6 " +
+        "FROM st JOIN tot ON tot.user_id = st.user_id " +
+        "ORDER BY st.user_id, st.event_type"),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+        val g = T.events(s, d)
+          .select(col("user_id"), col("event_type"), epochS(col("ts")).as("t"),
+            col("event_id"))
+          .withColumn("dur", lead(col("t"), 1).over(w) - col("t"))
+          .where(col("dur").isNotNull)
+        val st = g.groupBy("user_id", "event_type")
+          .agg(sum("dur").as("secs"), count("dur").as("n_holds"))
+        val tot = st.groupBy("user_id").agg(sum("secs").as("total"))
+        st.join(broadcast(tot), "user_id")
+          .select(col("user_id"), col("event_type"), col("n_holds"), col("secs"),
+            s6(col("secs").cast("double") / col("total").cast("double")).as("share6"))
+          .orderBy("user_id", "event_type")
+      }),
+
     // Cohort LTV curves (round 9, seventh wave) — the revenue companion
     // to win_retention's active-user triangle: users cohort by their
     // FIRST purchase week, and each (cohort, weeks-since) cell carries

@@ -1028,4 +1028,65 @@ class Round9eOpsSpec extends SparkSpec {
       assert(lo >= net && hi < net + span, s"$cidr bounds")
     }
   }
+
+  test("agg_wilson: interval brackets p-hat and matches the closed form") {
+    val got = SparkEntry.queries("agg_wilson")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    events.groupBy(_._5).foreach { case (et, rows) =>
+      val n = rows.size.toLong
+      val k = rows.count(_._4 > 500).toLong
+      val z = 1.96; val nD = n.toDouble; val p = k.toDouble / nD
+      val denom = 1.0 + z * z / nD
+      val center = (p + z * z / (2.0 * nD)) / denom
+      val half = (z * math.sqrt(p * (1.0 - p) / nD + z * z / (4.0 * nD * nD))) / denom
+      val (gn, gk, p6, lo6, hi6) = got(et)
+      assert(gn == n && gk == k, s"$et counts")
+      assert(p6 == s6(p) && lo6 == s6(center - half) && hi6 == s6(center + half),
+        s"$et interval")
+      assert(lo6 <= p6 && p6 <= hi6, s"$et bracket")
+      assert(lo6 >= -1 && hi6 <= 1000001, s"$et bounds")
+    }
+  }
+
+  test("win_state_duration: hold times match the lead mirror; shares sum to 1") {
+    val got = SparkEntry.queries("win_state_duration")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    events.groupBy(_._1).foreach { case (u, rows) =>
+      val ordered = rows.sortBy(e => (e._3, e._2))
+      val holds = ordered.zip(ordered.drop(1))
+        .map { case (a, b) => (a._5, b._3 - a._3) }
+      val byType = holds.groupBy(_._1)
+      val total = holds.map(_._2).sum
+      byType.foreach { case (et, hs) =>
+        val (nh, secs, share) = got((u, et))
+        assert(nh == hs.size.toLong, s"$u/$et holds")
+        assert(secs == hs.map(_._2).sum, s"$u/$et secs")
+        assert(share == s6(hs.map(_._2).sum.toDouble / total), s"$u/$et share")
+      }
+      val userShares = got.collect { case ((uu, _), (_, _, sh)) if uu == u => sh }
+      assert(math.abs(userShares.sum - 1000000L) <= userShares.size, s"$u share sum")
+    }
+  }
+
+  test("llm_burstiness: top-20 cf/df ranking matches the corpus mirror") {
+    val got = SparkEntry.queries("llm_burstiness")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+    val stats = docs.flatMap { case (id, text, _) =>
+      text.split(" ", -1).map(t => (t, id))
+    }.groupBy(_._1).view.mapValues(v => (v.size.toLong, v.map(_._2).distinct.size.toLong))
+      .filter(_._2._2 >= 5)
+    val ranked = stats.toSeq
+      .sortBy { case (t, (cf, df)) => (-cf.toDouble / df, t) }.take(20)
+    assert(got.length == 20)
+    got.zip(ranked).zipWithIndex.foreach {
+      case (((tok, cf, df, b6, rn), (mt, (mcf, mdf))), i) =>
+        assert(tok == mt && cf == mcf && df == mdf, s"rank ${i + 1}")
+        assert(b6 == s6(cf.toDouble / df) && rn == i + 1, s"rank ${i + 1} score")
+        // burstiness is at least 1 by definition (cf >= df)
+        assert(b6 >= 1000000, s"rank ${i + 1} floor")
+    }
+  }
 }
