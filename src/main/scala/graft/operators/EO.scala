@@ -620,6 +620,59 @@ object EO {
           .orderBy("tile", "dir")
       }),
 
+    // Change vector analysis (round 9, seventh wave) — the classic
+    // two-band bi-temporal change detector (Malila 1980): per pixel,
+    // the change vector (Δb₁, Δb₂) between epochs t=0 and t=1 yields a
+    // MAGNITUDE (squared, exact int64 — the √ stays out of the graded
+    // surface per the Det trig/ulp rule) and a DIRECTION quadrant
+    // (brightening/greening combinations), the pair analysts threshold
+    // into change classes. Bands derive from the event payload (b1 =
+    // user_id, b2 = cents); one (tile, pos) self-join aligns the two
+    // epochs — equi, never cartesian — and the rollup is tile-sized:
+    // per (tile, quadrant) counts, summed squared magnitude, and a
+    // position checksum pinning every pixel's classification.
+    Q("eo_cva", Some(
+      "WITH px AS (SELECT (event_id // 4) // 256 AS tile, (event_id // 4) % 256 AS pos, " +
+        "event_id % 4 AS t, CAST(user_id AS BIGINT) AS b1, " + sqlS2("value") + " AS b2 FROM events), " +
+        "full_t AS (SELECT tile FROM px WHERE t = 0 GROUP BY tile HAVING COUNT(*) = 256), " +
+        "p0 AS (SELECT p.tile, pos, b1, b2 FROM px p JOIN full_t USING (tile) WHERE t = 0), " +
+        "p1 AS (SELECT p.tile, pos, b1, b2 FROM px p JOIN full_t USING (tile) WHERE t = 1), " +
+        "cv AS (SELECT p0.tile, p0.pos, p1.b1 - p0.b1 AS d1, p1.b2 - p0.b2 AS d2 " +
+        "FROM p0 JOIN p1 ON p1.tile = p0.tile AND p1.pos = p0.pos), " +
+        "cls AS (SELECT tile, pos, d1 * d1 + d2 * d2 AS mag2, " +
+        "CAST(CASE WHEN d1 >= 0 AND d2 >= 0 THEN 0 WHEN d1 < 0 AND d2 >= 0 THEN 1 " +
+        "WHEN d1 < 0 AND d2 < 0 THEN 2 ELSE 3 END AS BIGINT) AS quadrant FROM cv) " +
+        "SELECT tile, quadrant, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(mag2) AS BIGINT) AS sum_mag2, " +
+        "CAST(SUM(pos + 1) AS BIGINT) AS checksum " +
+        "FROM cls GROUP BY tile, quadrant ORDER BY tile, quadrant"),
+      (s, d) => {
+        val px = T.events(s, d).select(
+          expr("(event_id div 4) div 256").as("tile"),
+          expr("(event_id div 4) % 256").as("pos"),
+          (col("event_id") % 4).as("t"),
+          col("user_id").as("b1"), s2(col("value")).as("b2"))
+        val fullT = px.where(col("t") === 0).groupBy("tile")
+          .agg(count(lit(1)).as("c")).where(col("c") === 256).select("tile")
+        def epoch(t: Int) = px.where(col("t") === t)
+          .join(broadcast(fullT), "tile")
+          .select(col("tile"), col("pos"), col("b1"), col("b2"))
+        val p1 = epoch(1).select(col("tile"), col("pos"),
+          col("b1").as("b1b"), col("b2").as("b2b"))
+        val cv = epoch(0).join(p1, Seq("tile", "pos"))
+          .select(col("tile"), col("pos"),
+            (col("b1b") - col("b1")).as("d1"), (col("b2b") - col("b2")).as("d2"))
+        cv.select(col("tile"), col("pos"),
+            (col("d1") * col("d1") + col("d2") * col("d2")).as("mag2"),
+            when(col("d1") >= 0 && col("d2") >= 0, 0L)
+              .when(col("d1") < 0 && col("d2") >= 0, 1L)
+              .when(col("d1") < 0 && col("d2") < 0, 2L).otherwise(3L).as("quadrant"))
+          .groupBy("tile", "quadrant")
+          .agg(count(lit(1)).as("n"), sum("mag2").as("sum_mag2"),
+            sum(col("pos") + 1).as("checksum"))
+          .orderBy("tile", "quadrant")
+      }),
+
     // D8 flow ACCUMULATION (round 9, seventh wave) — gdaldem's
     // contributing-area product, the step after eo_tile_d8 that turns
     // directions into drainage: acc(v) = 1 + Σ acc(u) over the cells

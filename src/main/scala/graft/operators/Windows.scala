@@ -1474,6 +1474,49 @@ object Windows {
           .orderBy("user_id")
       }),
 
+    // Top-k leaderboard churn (round 9, seventh wave) — how stable is
+    // the weekly top-5 spenders list: consecutive weeks' top sets
+    // compared by Jaccard overlap, the rank-stability readout ops teams
+    // watch for sudden cohort shifts (a crash to 0 means the board
+    // turned over entirely). Weekly top-5 via a per-week rank window
+    // over the (week, user) aggregate — week-bounded partitions, exact
+    // cents, (revenue DESC, user_id) ties — then ONE equi self-join on
+    // the adjacent week pairs the sets; |A∪B| = 10 − |A∩B| because both
+    // sets hold exactly 5. Output rows are week-domain-sized.
+    Q("win_topk_churn", Some(
+      "WITH g AS (SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 604800 AS wk, user_id, " +
+        "CAST(SUM(" + sqlS2("value") + ") AS BIGINT) AS rev FROM events " +
+        "WHERE event_type = 'purchase' GROUP BY wk, user_id), " +
+        "r AS (SELECT wk, user_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY wk ORDER BY rev DESC, user_id) AS rn FROM g), " +
+        "t AS (SELECT wk, user_id FROM r WHERE rn <= 5), " +
+        "j AS (SELECT a.wk AS wk_from, CAST(COUNT(*) AS BIGINT) AS n_common " +
+        "FROM t a JOIN t b ON b.wk = a.wk + 1 AND b.user_id = a.user_id GROUP BY a.wk), " +
+        "wks AS (SELECT DISTINCT wk FROM t WHERE EXISTS (SELECT 1 FROM t i WHERE i.wk = t.wk + 1)) " +
+        "SELECT wks.wk AS wk_from, COALESCE(j.n_common, 0) AS n_common, " +
+        sqlS6("CAST(COALESCE(j.n_common, 0) AS DOUBLE) / CAST(10 - COALESCE(j.n_common, 0) AS DOUBLE)") +
+        " AS jaccard6 FROM wks LEFT JOIN j ON j.wk_from = wks.wk ORDER BY wk_from"),
+      (s, d) => {
+        val g = T.events(s, d).where(col("event_type") === "purchase")
+          .groupBy(expr("unix_timestamp(ts) div 604800").as("wk"), col("user_id"))
+          .agg(sum(s2(col("value"))).as("rev"))
+        val wWk = Window.partitionBy("wk").orderBy(col("rev").desc, col("user_id"))
+        val t = g.withColumn("rn", row_number().over(wWk))
+          .where(col("rn") <= 5).select("wk", "user_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nxt = t.select((col("wk") - 1).as("wk"), col("user_id"))
+        val j = t.join(nxt, Seq("wk", "user_id"))
+          .groupBy(col("wk").as("wk_from")).agg(count(lit(1)).as("n_common"))
+        val wks = t.select("wk").distinct()
+          .join(t.select((col("wk") - 1).as("wk")).distinct(), Seq("wk"))
+          .select(col("wk").as("wk_from"))
+        val nc = coalesce(col("n_common"), lit(0L))
+        wks.join(j, Seq("wk_from"), "left")
+          .select(col("wk_from"), nc.as("n_common"),
+            s6(nc.cast("double") / (lit(10) - nc).cast("double")).as("jaccard6"))
+          .orderBy("wk_from")
+      }),
+
     // Time-in-state accounting (round 9, seventh wave) — how long each
     // user SPENDS in each behavioral state, where the state holds from
     // an event until the next one (the session-replay / device-state

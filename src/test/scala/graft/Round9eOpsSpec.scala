@@ -1089,4 +1089,54 @@ class Round9eOpsSpec extends SparkSpec {
         assert(b6 >= 1000000, s"rank ${i + 1} floor")
     }
   }
+
+  test("eo_cva: change vectors match the bi-temporal mirror at sf0.01") {
+    val dir01 = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("eo_cva")(spark, dir01).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got.nonEmpty)
+    val px = Tables.events(spark, dir01)
+      .select(col("event_id"), col("user_id"), Det.s2(col("value")).as("b2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byPix = px.map { case (id, b1, b2) =>
+      ((id / 4 / 256, (id / 4) % 256, id % 4), (b1, b2))
+    }.toMap
+    val fullTiles = byPix.keys.filter(_._3 == 0).groupBy(_._1)
+      .filter(_._2.size == 256).keySet
+    val expect = scala.collection.mutable.Map[(Long, Long), (Long, Long, Long)]()
+    for (tile <- fullTiles; pos <- 0L until 256L) {
+      val (a1, a2) = byPix((tile, pos, 0L))
+      val (c1, c2) = byPix((tile, pos, 1L))
+      val d1 = c1 - a1; val d2 = c2 - a2
+      val q = if (d1 >= 0 && d2 >= 0) 0L else if (d1 < 0 && d2 >= 0) 1L
+        else if (d1 < 0 && d2 < 0) 2L else 3L
+      val (n, m, ck) = expect.getOrElse((tile, q), (0L, 0L, 0L))
+      expect((tile, q)) = (n + 1, m + d1 * d1 + d2 * d2, ck + pos + 1)
+    }
+    assert(got == expect.toMap, "CVA histogram")
+    // per tile, the quadrant partition covers all 256 pixels
+    got.toSeq.groupBy(_._1._1).foreach { case (t, rows) =>
+      assert(rows.map(_._2._1).sum == 256L, s"tile $t coverage")
+    }
+  }
+
+  test("win_topk_churn: adjacent-week overlap matches the set mirror") {
+    val got = SparkEntry.queries("win_topk_churn")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val weekly = events.filter(_._5 == "purchase")
+      .groupBy(e => (e._3 / 604800, e._1)).view
+      .mapValues(_.map(e => s2(e._4)).sum).toMap
+    val top5 = weekly.groupBy(_._1._1).view.mapValues { m =>
+      m.toSeq.map { case ((_, u), rev) => (u, rev) }
+        .sortBy { case (u, rev) => (-rev, u) }.take(5).map(_._1).toSet
+    }.toMap
+    val expect = top5.keys.filter(w => top5.contains(w + 1)).map { w =>
+      val common = (top5(w) intersect top5(w + 1)).size.toLong
+      w -> ((common, s6(common.toDouble / (10 - common))))
+    }.toMap
+    assert(got == expect, "leaderboard churn")
+    // the |union| = 10 − |common| shortcut requires full boards
+    top5.values.foreach(s => assert(s.size == 5, "full top-5 board"))
+  }
 }
