@@ -1740,6 +1740,105 @@ object Aggregates {
           floor(ch + 0.5).cast("long").as("chapman_est"))
       }),
 
+    // Market-basket association (round 9, seventh wave) — the apriori
+    // first pass every recommender bootstrap runs: brand pairs
+    // co-occurring in one order, scored by support, confidence and LIFT
+    // = P(a,b)/(P(a)P(b)). The fact table collapses to DISTINCT (order,
+    // brand) FIRST, so the pair self-join is bounded by basket width ×
+    // the ~25-brand dictionary, never line items²; singles broadcast
+    // back over the pair domain. Counts exact; confidence/lift one IEEE
+    // divide each on the s6 grid; top 20 by (lift DESC, a, b).
+    Q("agg_basket_lift", Some {
+      val conf = "(CAST(nab AS DOUBLE) / CAST(na AS DOUBLE))"
+      val lift = "(CAST(nab AS DOUBLE) * CAST(nt AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))"
+      "WITH ob AS (SELECT DISTINCT l_orderkey AS o, p_brand AS b FROM lineitem " +
+        "JOIN part ON p_partkey = l_partkey), " +
+        "nt AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS nt FROM ob), " +
+        "s AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n FROM ob GROUP BY b), " +
+        "pr AS (SELECT x.b AS a, y.b AS b2, CAST(COUNT(*) AS BIGINT) AS nab " +
+        "FROM ob x JOIN ob y ON y.o = x.o AND x.b < y.b GROUP BY x.b, y.b), " +
+        "sc AS (SELECT pr.a, pr.b2, pr.nab, sa.n AS na, sb.n AS nb, " +
+        "(SELECT nt FROM nt) AS nt FROM pr " +
+        "JOIN s sa ON sa.b = pr.a JOIN s sb ON sb.b = pr.b2), " +
+        "r AS (SELECT a, b2, nab, " + sqlS6(conf) + " AS conf6, " + sqlS6(lift) + " AS lift6, " +
+        s"ROW_NUMBER() OVER (ORDER BY $lift DESC, a, b2) AS rn FROM sc) " +
+        "SELECT a, b2 AS b, nab, conf6, lift6, CAST(rn AS INT) AS rn " +
+        "FROM r WHERE rn <= 20 ORDER BY rn"
+    },
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ob = T.lineitem(s, d).select(col("l_orderkey").as("o"), col("l_partkey"))
+          .join(broadcast(T.part(s, d).select(col("p_partkey"), col("p_brand").as("b"))),
+            col("l_partkey") === col("p_partkey"))
+          .select("o", "b").distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nt = ob.agg(countDistinct(col("o")).as("nt"))
+        val singles = ob.groupBy("b").agg(count(lit(1)).as("n"))
+        val pr = ob.select(col("o"), col("b").as("a"))
+          .join(ob.select(col("o"), col("b").as("b2")), "o")
+          .where(col("a") < col("b2"))
+          .groupBy("a", "b2").agg(count(lit(1)).as("nab"))
+        val sc = pr
+          .join(broadcast(singles.select(col("b").as("a"), col("n").as("na"))), "a")
+          .join(broadcast(singles.select(col("b").as("b2"), col("n").as("nb"))), "b2")
+          .crossJoin(broadcast(nt))
+        val conf = col("nab").cast("double") / col("na").cast("double")
+        val lift = col("nab").cast("double") * col("nt").cast("double") /
+          (col("na").cast("double") * col("nb").cast("double"))
+        val w = Window.orderBy(lift.desc, col("a"), col("b2"))
+        sc.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 20)
+          .select(col("a"), col("b2").as("b"), col("nab"),
+            s6(conf).as("conf6"), s6(lift).as("lift6"), col("rn").cast("int").as("rn"))
+          .orderBy("rn")
+      }),
+
+    // One-way ANOVA (round 9, seventh wave) — the k-group extension of
+    // agg_ttest (here: does order quantity differ across the three
+    // return flags): F = (SSB/(k−1))/(SSW/(n−k)) from per-group exact
+    // integer moments (n_g, Σx, Σx²) combined in ONE more aggregate —
+    // SSB and SSW each reduce to fixed IEEE sequences over exact longs,
+    // so the statistic is bit-identical by the Det induction. Two
+    // partial-agg passes, both map-side combinable.
+    Q("agg_anova", Some {
+      // the between-groups Σ sg²/ng term s6-floors PER GROUP before its
+      // long sum (Det rule 3 — a double sum across groups would be
+      // merge-order-dependent), so ssb/ssw/F are fixed sequences over
+      // exact integers throughout
+      val sxgD = "(CAST(sxg6 AS DOUBLE) / 1e6)"
+      val ssb = s"($sxgD - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+      val ssw = s"(CAST(sxx AS DOUBLE) - $sxgD)"
+      val f = s"(($ssb / (CAST(k AS DOUBLE) - 1.0)) / ($ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))))"
+      "WITH b AS (SELECT l_returnflag AS g, " + sqlS0("l_quantity") + " AS x FROM lineitem), " +
+        "m AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng, CAST(SUM(x) AS BIGINT) AS sg, " +
+        "CAST(SUM(x * x) AS BIGINT) AS ssg FROM b GROUP BY g), " +
+        "c AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(ng) AS BIGINT) AS n, " +
+        "CAST(SUM(sg) AS BIGINT) AS sx, CAST(SUM(ssg) AS BIGINT) AS sxx, " +
+        "CAST(SUM(" + sqlS6("CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)") +
+        ") AS BIGINT) AS sxg6 FROM m) " +
+        "SELECT k, n, " + sqlS6(ssb) + " AS ssb6, " + sqlS6(ssw) + " AS ssw6, " +
+        sqlS6(f) + " AS f6 FROM c"
+    },
+      (s, d) => {
+        val m = T.lineitem(s, d)
+          .select(col("l_returnflag").as("g"), s0(col("l_quantity")).as("x"))
+          .groupBy("g")
+          .agg(count(lit(1)).as("ng"), sum("x").as("sg"),
+            sum(col("x") * col("x")).as("ssg"))
+        val c = m.agg(count(lit(1)).as("k"), sum("ng").as("n"),
+          sum("sg").as("sx"), sum("ssg").as("sxx"),
+          sum(s6(col("sg").cast("double") * col("sg").cast("double") /
+            col("ng").cast("double"))).as("sxg6"))
+        val sxgD = col("sxg6").cast("double") / lit(1e6)
+        val ssb = sxgD -
+          col("sx").cast("double") * col("sx").cast("double") / col("n").cast("double")
+        val ssw = col("sxx").cast("double") - sxgD
+        val f = (ssb / (col("k").cast("double") - lit(1.0))) /
+          (ssw / (col("n").cast("double") - col("k").cast("double")))
+        c.select(col("k"), col("n"), s6(ssb).as("ssb6"), s6(ssw).as("ssw6"),
+          s6(f).as("f6"))
+      }),
+
     // Wilson score interval (round 9, seventh wave) — the proportion CI
     // every dashboard SHOULD use instead of the Wald ±z√(p(1−p)/n)
     // (which collapses at p near 0/1): per event type, the share of

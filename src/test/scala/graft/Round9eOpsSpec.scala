@@ -1139,4 +1139,54 @@ class Round9eOpsSpec extends SparkSpec {
     // the |union| = 10 − |common| shortcut requires full boards
     top5.values.foreach(s => assert(s.size == 5, "full top-5 board"))
   }
+
+  test("agg_basket_lift: pair association matches the basket mirror") {
+    val got = SparkEntry.queries("agg_basket_lift")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5)))
+    val brands = Tables.part(spark, sfDir).select("p_partkey", "p_brand")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val baskets = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), brands(r.getLong(1)))).distinct
+    val nt = baskets.map(_._1).distinct.length.toLong
+    val singles = baskets.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairs = baskets.groupBy(_._1).values.toSeq.flatMap { items =>
+      val bs = items.map(_._2).sorted
+      for (i <- bs.indices; j <- (i + 1) until bs.size) yield (bs(i), bs(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ranked = pairs.toSeq.map { case ((a, b), nab) =>
+      val lift = nab.toDouble * nt / (singles(a).toDouble * singles(b))
+      (a, b, nab, lift)
+    }.sortBy { case (a, b, _, l) => (-l, a, b) }.take(20)
+    assert(got.length == 20)
+    got.zip(ranked).zipWithIndex.foreach {
+      case (((ga, gb, gnab, gc6, gl6, grn), (a, b, nab, lift)), i) =>
+        assert(ga == a && gb == b && gnab == nab, s"rank ${i + 1}")
+        assert(gc6 == s6(nab.toDouble / singles(a)), s"rank ${i + 1} conf")
+        assert(gl6 == s6(lift) && grn == i + 1, s"rank ${i + 1} lift")
+    }
+  }
+
+  test("agg_anova: F statistic matches the group-moment mirror; SS identity") {
+    val row = SparkEntry.queries("agg_anova")(spark, sfDir).collect().head
+    val groups = li.groupBy(_._1).view.mapValues(_.map(r => s0(r._3))).toMap
+    val k = groups.size.toLong
+    val n = groups.values.map(_.size).sum.toLong
+    val sx = groups.values.map(_.sum).sum
+    val sxx = groups.values.flatMap(_.map(x => x * x)).sum
+    val sxg6 = groups.values.map { xs =>
+      s6(xs.sum.toDouble * xs.sum / xs.size)
+    }.sum
+    val sxgD = sxg6.toDouble / 1e6
+    val ssb = sxgD - sx.toDouble * sx / n
+    val ssw = sxx.toDouble - sxgD
+    val f = (ssb / (k - 1.0)) / (ssw / (n.toDouble - k))
+    assert(row.getLong(0) == k && row.getLong(1) == n)
+    assert(row.getLong(2) == s6(ssb) && row.getLong(3) == s6(ssw), "SS split")
+    assert(row.getLong(4) == s6(f), "F")
+    // SSB + SSW = total sum of squares (the ANOVA identity)
+    val sst = sxx.toDouble - sx.toDouble * sx / n
+    assert(math.abs((ssb + ssw) - sst) < 1e-3, "SS identity")
+  }
 }
