@@ -47,7 +47,14 @@ class DeterminismSpec extends SparkSpec {
       // broadcast-dictionary evals must all survive topology changes
       "llm_kmeans_round", "graph_sssp", "eo_tile_d8", "agg_auc",
       "win_sprt", "win_survival", "llm_heldout_ce", "llm_jsd_drift",
-      "agg_cvar", "win_markov", "mm_shard_pack")
+      "agg_cvar", "win_markov", "mm_shard_pack",
+      // later seventh-wave keys: the flow-accumulation loop, the
+      // two-scale Hurst segmentation, reflected running sums, hashed
+      // feature vectors, rank-window picks and the basket pair join
+      "eo_tile_flow_acc", "agg_hurst", "win_reflected_runsum",
+      "llm_feature_hash", "win_topk_churn", "llm_domain_cap",
+      "llm_burstiness", "win_growth_accounting", "agg_basket_lift",
+      "win_state_duration", "stream_active_users")
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     val base = keys.map(k => k -> SparkEntry.queries(k)(spark, sfDir).collect().toSeq).toMap
     try {

@@ -440,6 +440,27 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("late seventh-wave keys keep their promised shapes") {
+    // basket mining: the distinct-basket pair join is EQUI on the order
+    // key; brand dictionaries broadcast
+    val bl = planOf("agg_basket_lift")
+    assert(!bl.contains("CartesianProduct"), s"basket degenerated:\n$bl")
+    assert(bl.contains("BroadcastHashJoin"), s"basket dictionaries:\n$bl")
+    // feature hashing: dictionary-free — NO join anywhere
+    assert(!planOf("llm_feature_hash").contains("Join"),
+      "feature hashing must stay join-free")
+    // reflected runsum: one entity sort carries all three windows
+    val rr = planOf("win_reflected_runsum")
+    assert(rr.split("Exchange hashpartitioning").length - 1 <= 2,
+      s"reflection grew exchanges:\n$rr")
+    // state durations: one entity window + broadcast totals
+    assert(planOf("win_state_duration").contains("BroadcastHashJoin"))
+    // CIDR: the 3-row prefix dimension must broadcast (theta join)
+    val cm = planOf("fn_cidr_match")
+    assert(cm.contains("BroadcastNestedLoopJoin") || cm.contains("BroadcastHashJoin"),
+      s"cidr dimension not broadcast:\n$cm")
+  }
+
   test("global sweep: no key plans a cartesian product or a python fallback") {
     // join_cross IS the cartesian semantics (125-row dimension square);
     // everything else must never degrade to one, and nothing may fall to
