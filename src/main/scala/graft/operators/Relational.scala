@@ -647,6 +647,61 @@ object Relational {
           .orderBy("purchase_id")
       }),
 
+    // Interval-overlap attribution (round 9, seventh wave) — not "did
+    // the intervals touch" (join_interval grades that) but HOW LONG:
+    // each user session (the stream_session 30-min-gap build) overlaps
+    // a fixed weekly maintenance-window grid, and the attribution is
+    // Σ greatest(0, least(ends) − greatest(starts)) in exact integer
+    // seconds — the downtime/billing-overlap aggregate. The window grid
+    // derives from the corpus's own day span (deterministic on both
+    // engines), stays calendar-bounded, and broadcasts; sessions join
+    // it on the COARSE week key first, so the range predicate never
+    // degenerates to a cartesian.
+    Q("join_overlap_secs", Some(
+      "WITH te AS (SELECT user_id, event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t FROM events), " +
+        "fl AS (SELECT user_id, event_id, t, CASE WHEN t - LAG(t) OVER " +
+        "(PARTITION BY user_id ORDER BY t, event_id) > 1800 OR LAG(t) OVER " +
+        "(PARTITION BY user_id ORDER BY t, event_id) IS NULL THEN 1 ELSE 0 END AS ns FROM te), " +
+        "sess AS (SELECT user_id, t, CAST(SUM(ns) OVER (PARTITION BY user_id " +
+        "ORDER BY t, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS sid FROM fl), " +
+        "sp AS (SELECT user_id, sid, MIN(t) AS s0, MAX(t) AS s1, " +
+        "MIN(t) // 604800 AS wk FROM sess GROUP BY user_id, sid), " +
+        "mw AS (SELECT wk, wk * 604800 + 172800 AS m0, wk * 604800 + 194400 AS m1 " +
+        "FROM (SELECT DISTINCT t // 604800 AS wk FROM te)), " +
+        "ov AS (SELECT sp.user_id, " +
+        "GREATEST(CAST(0 AS BIGINT), LEAST(sp.s1, mw.m1) - GREATEST(sp.s0, mw.m0)) AS secs " +
+        "FROM sp JOIN mw ON mw.wk = sp.wk) " +
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions_in_wk, " +
+        "CAST(SUM(secs) AS BIGINT) AS overlap_secs, " +
+        "CAST(SUM(CASE WHEN secs > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit " +
+        "FROM ov GROUP BY user_id ORDER BY user_id"),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val byUser = Window.partitionBy("user_id").orderBy("t", "event_id")
+        val te = T.events(s, d)
+          .select(col("user_id"), col("event_id"), epochS(col("ts")).as("t"))
+        val fl = te.withColumn("ns",
+          when(col("t") - lag("t", 1).over(byUser) > 1800 ||
+            lag("t", 1).over(byUser).isNull, 1).otherwise(0))
+        val sess = fl.withColumn("sid",
+          sum("ns").over(byUser.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
+        val sp = sess.groupBy("user_id", "sid")
+          .agg(min("t").as("s0"), max("t").as("s1"))
+          .withColumn("wk", expr("s0 div 604800"))
+        val mw = te.select(expr("t div 604800").as("wk")).distinct()
+          .select(col("wk"), (col("wk") * 604800 + 172800).as("m0"),
+            (col("wk") * 604800 + 194400).as("m1"))
+        sp.join(broadcast(mw), "wk")
+          .select(col("user_id"),
+            greatest(lit(0L), least(col("s1"), col("m1")) -
+              greatest(col("s0"), col("m0"))).as("secs"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_sessions_in_wk"),
+            sum("secs").as("overlap_secs"),
+            sum(when(col("secs") > 0, 1L).otherwise(0L)).as("n_hit"))
+          .orderBy("user_id")
+      }),
+
     // FORWARD as-of (round 9, seventh wave) — pandas merge_asof
     // direction='forward', completing the backward (native) / nearest /
     // forward trio: each purchase matches the EARLIEST click at or

@@ -1474,6 +1474,57 @@ object Windows {
           .orderBy("user_id")
       }),
 
+    // Impossible-travel detection (round 9, seventh wave) — the
+    // account-takeover heuristic every auth pipeline runs: consecutive
+    // events of one user whose implied ground speed exceeds a bound.
+    // Coordinates are the eo_geohash micro-degree synthesis; the test
+    // stays INTEGER by comparing squared equirectangular distance
+    // against (v·Δt)² cross-multiplied — no √, no trig, no division:
+    // flag ⟺ dy² + dx² > (VMAX_µdeg/s · Δt)², with Δt clamped to one
+    // day (longer gaps are never "impossible" AND the clamp keeps the
+    // right-hand side inside int64 on any corpus span). One entity-ordered lag
+    // window; per-user rollup keeps the output entity-sized (flag count
+    // plus the worst squared-speed ratio's event id).
+    Q("win_impossible_travel", Some {
+      val latU = "((event_id * 131) % 180000001 - 90000000)"
+      val lonU = "((event_id * 7919) % 360000001 - 180000000)"
+      "WITH e AS (SELECT user_id, event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t, " +
+        s"$latU AS la, $lonU AS lo FROM events), " +
+        "w AS (SELECT user_id, event_id, t, la, lo, " +
+        "LAG(t) OVER win AS pt, LAG(la) OVER win AS pla, LAG(lo) OVER win AS plo " +
+        "FROM e WINDOW win AS (PARTITION BY user_id ORDER BY t, event_id)), " +
+        "f AS (SELECT user_id, event_id, " +
+        "(la - pla) * (la - pla) + (lo - plo) * (lo - plo) AS d2, " +
+        "LEAST(GREATEST(t - pt, 1), 86400) AS dt FROM w WHERE pt IS NOT NULL), " +
+        "g AS (SELECT user_id, event_id, d2, dt, " +
+        "CASE WHEN d2 > 1000000 * dt * dt THEN 1 ELSE 0 END AS flag FROM f) " +
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_hops, " +
+        "CAST(SUM(flag) AS BIGINT) AS n_flagged, " +
+        "CAST(MIN(CASE WHEN flag = 1 THEN event_id END) AS BIGINT) AS first_flagged " +
+        "FROM g GROUP BY user_id ORDER BY user_id"
+    },
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+        val e = T.events(s, d).select(col("user_id"), col("event_id"),
+          epochS(col("ts")).as("t"),
+          expr("(event_id * 131) % 180000001 - 90000000").as("la"),
+          expr("(event_id * 7919) % 360000001 - 180000000").as("lo"))
+        val f = e.select(col("user_id"), col("event_id"), col("t"), col("la"), col("lo"),
+            lag("t", 1).over(w).as("pt"), lag("la", 1).over(w).as("pla"),
+            lag("lo", 1).over(w).as("plo"))
+          .where(col("pt").isNotNull)
+          .select(col("user_id"), col("event_id"),
+            ((col("la") - col("pla")) * (col("la") - col("pla")) +
+              (col("lo") - col("plo")) * (col("lo") - col("plo"))).as("d2"),
+            least(greatest(col("t") - col("pt"), lit(1L)), lit(86400L)).as("dt"))
+        f.withColumn("flag",
+            when(col("d2") > lit(1000000L) * col("dt") * col("dt"), 1L).otherwise(0L))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_hops"), sum("flag").as("n_flagged"),
+            min(when(col("flag") === 1, col("event_id"))).as("first_flagged"))
+          .orderBy("user_id")
+      }),
+
     // Top-k leaderboard churn (round 9, seventh wave) — how stable is
     // the weekly top-5 spenders list: consecutive weeks' top sets
     // compared by Jaccard overlap, the rank-stability readout ops teams

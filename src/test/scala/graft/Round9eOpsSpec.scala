@@ -1189,4 +1189,52 @@ class Round9eOpsSpec extends SparkSpec {
     val sst = sxx.toDouble - sx.toDouble * sx / n
     assert(math.abs((ssb + ssw) - sst) < 1e-3, "SS identity")
   }
+
+  test("win_impossible_travel: flags match the squared-speed mirror") {
+    val got = SparkEntry.queries("win_impossible_travel")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    events.groupBy(_._1).foreach { case (u, rows) =>
+      val ordered = rows.sortBy(e => (e._3, e._2))
+      val hops = ordered.zip(ordered.drop(1)).map { case (a, b) =>
+        def la(id: Long) = (id * 131) % 180000001L - 90000000L
+        def lo(id: Long) = (id * 7919) % 360000001L - 180000000L
+        val d2 = (la(b._2) - la(a._2)) * (la(b._2) - la(a._2)) +
+          (lo(b._2) - lo(a._2)) * (lo(b._2) - lo(a._2))
+        val dt = math.min(math.max(b._3 - a._3, 1L), 86400L)
+        (b._2, d2 > 1000000L * dt * dt)
+      }
+      val (n, nf, first) = got(u)
+      assert(n == hops.size.toLong, s"user $u hops")
+      assert(nf == hops.count(_._2).toLong, s"user $u flags")
+      assert(first == hops.filter(_._2).map(_._1).minOption, s"user $u first")
+    }
+  }
+
+  test("join_overlap_secs: interval overlap matches the session mirror") {
+    val got = SparkEntry.queries("join_overlap_secs")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val weeks = events.map(_._3 / 604800).distinct
+    val windows = weeks.map(w => w -> ((w * 604800 + 172800, w * 604800 + 194400))).toMap
+    events.groupBy(_._1).foreach { case (u, rows) =>
+      val ts = rows.sortBy(e => (e._3, e._2)).map(_._3)
+      // 30-min-gap sessionization mirror
+      val sessions = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var s0 = ts.head; var s1 = ts.head
+      ts.drop(1).foreach { t =>
+        if (t - s1 > 1800) { sessions += ((s0, s1)); s0 = t }
+        s1 = t
+      }
+      sessions += ((s0, s1))
+      val cells = sessions.map { case (a, b) =>
+        val wk = a / 604800
+        val (_, m0, m1) = (wk, windows(wk)._1, windows(wk)._2)
+        math.max(0L, math.min(b, m1) - math.max(a, m0))
+      }
+      val (n, secs, hits) = got(u)
+      assert(n == sessions.size.toLong, s"user $u sessions")
+      assert(secs == cells.sum, s"user $u overlap")
+      assert(hits == cells.count(_ > 0).toLong, s"user $u hits")
+    }
+  }
 }
