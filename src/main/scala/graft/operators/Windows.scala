@@ -1474,6 +1474,96 @@ object Windows {
           .orderBy("user_id")
       }),
 
+    // Multiwindow SLO burn-rate alerts (round 9, seventh wave) — the
+    // Google SRE error-budget recipe: alert only when BOTH a fast (1 h)
+    // and a slow (6 h) window burn the budget, so blips don't page but
+    // sustained burns do. Budget = 20% error share; burn = rate/0.2.
+    // The alert decision is INTEGER throughout — 50·err > 12·tot for
+    // the 1.2× fast window and 500·err₆ > 105·tot₆ for the 1.05× slow
+    // one (cross-multiplied, no rate ever materializes) — while the
+    // reported burn values are one IEEE divide each on the s6 grid.
+    // Hourly rollup first; the 6-h window rides the calendar-bounded
+    // hour series.
+    Q("win_slo_burn", Some(
+      "WITH h AS (SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600 AS hr, " +
+        "CAST(COUNT(*) AS BIGINT) AS tot, " +
+        "CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS err " +
+        "FROM events GROUP BY hr), " +
+        "w AS (SELECT hr, tot, err, " +
+        "CAST(SUM(tot) OVER win6 AS BIGINT) AS tot6, CAST(SUM(err) OVER win6 AS BIGINT) AS err6 " +
+        "FROM h WINDOW win6 AS (ORDER BY hr ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)) " +
+        "SELECT hr, tot, err, " +
+        sqlS6("CAST(err AS DOUBLE) / CAST(tot AS DOUBLE) / 0.2") + " AS burn1h6, " +
+        sqlS6("CAST(err6 AS DOUBLE) / CAST(tot6 AS DOUBLE) / 0.2") + " AS burn6h6, " +
+        "CAST(CASE WHEN 50 * err > 12 * tot AND 500 * err6 > 105 * tot6 THEN 1 ELSE 0 END AS BIGINT) AS alert " +
+        "FROM w ORDER BY hr"),
+      (s, d) => {
+        val h = T.events(s, d)
+          .groupBy(expr("unix_timestamp(ts) div 3600").as("hr"))
+          .agg(count(lit(1)).as("tot"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("err"))
+        val w6 = Window.orderBy("hr").rowsBetween(-5, 0)
+        h.withColumn("tot6", sum("tot").over(w6))
+          .withColumn("err6", sum("err").over(w6))
+          .select(col("hr"), col("tot"), col("err"),
+            s6(col("err").cast("double") / col("tot").cast("double") / 0.2).as("burn1h6"),
+            s6(col("err6").cast("double") / col("tot6").cast("double") / 0.2).as("burn6h6"),
+            when(lit(50) * col("err") > lit(12) * col("tot") &&
+              lit(500) * col("err6") > lit(105) * col("tot6"), 1L).otherwise(0L)
+              .as("alert"))
+          .orderBy("hr")
+      }),
+
+    // Largest-triangle downsampling (round 9, seventh wave) — the LTTB
+    // family's deterministic one-bucket variant (Steinarsson 2013): the
+    // day-series point kept per 7-day bucket is the one subtending the
+    // largest triangle against the NEIGHBOR BUCKET CENTROIDS — the
+    // visual-fidelity downsampler time-series dashboards ship instead
+    // of naive striding. Exactness: the triangle area comparison is
+    // cross-multiplied by the neighbor counts so every compared metric
+    // is an exact int64 (|·| of integer products) — no centroid double
+    // ever enters the ordering; ties break to the earlier day. Interior
+    // buckets only (both neighbors exist); everything after the daily
+    // agg is calendar-bounded.
+    Q("win_lttb", Some(
+      "WITH g AS (SELECT CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) // 86400 AS day, " +
+        "CAST(SUM(" + sqlS2("o_totalprice") + ") AS BIGINT) AS v FROM orders GROUP BY day), " +
+        "b AS (SELECT day // 7 AS bk, CAST(COUNT(*) AS BIGINT) AS c, " +
+        "CAST(SUM(day) AS BIGINT) AS sd, CAST(SUM(v) AS BIGINT) AS sv FROM g GROUP BY bk), " +
+        "j AS (SELECT g.day, g.v, g.day // 7 AS bk, " +
+        "a.c AS ca, a.sd AS sda, a.sv AS sva, nb.c AS cb, nb.sd AS sdb, nb.sv AS svb " +
+        "FROM g JOIN b a ON a.bk = g.day // 7 - 1 JOIN b nb ON nb.bk = g.day // 7 + 1), " +
+        "m AS (SELECT day, v, bk, " +
+        "ABS((sda * cb - sdb * ca) * (v * ca - sva) - (sda - day * ca) * (svb * ca - sva * cb)) AS metric " +
+        "FROM j), " +
+        "r AS (SELECT day, v, bk, metric, " +
+        "ROW_NUMBER() OVER (PARTITION BY bk ORDER BY metric DESC, day) AS rn FROM m) " +
+        "SELECT bk, day, v AS v_c, metric FROM r WHERE rn = 1 ORDER BY bk"),
+      (s, d) => {
+        val g = T.orders(s, d)
+          .groupBy(expr("unix_timestamp(o_orderdate) div 86400").as("day"))
+          .agg(sum(s2(col("o_totalprice"))).as("v"))
+        val b = g.groupBy(expr("day div 7").as("bk"))
+          .agg(count(lit(1)).as("c"), sum("day").as("sd"), sum("v").as("sv"))
+        val withBk = g.withColumn("bk", expr("day div 7"))
+        val j = withBk
+          .join(broadcast(b.select((col("bk") + 1).as("bk"), col("c").as("ca"),
+            col("sd").as("sda"), col("sv").as("sva"))), "bk")
+          .join(broadcast(b.select((col("bk") - 1).as("bk"), col("c").as("cb"),
+            col("sd").as("sdb"), col("sv").as("svb"))), "bk")
+        val metric = abs(
+          (col("sda") * col("cb") - col("sdb") * col("ca")) *
+            (col("v") * col("ca") - col("sva")) -
+            (col("sda") - col("day") * col("ca")) *
+              (col("svb") * col("ca") - col("sva") * col("cb")))
+        val wB = Window.partitionBy("bk").orderBy(col("metric").desc, col("day"))
+        j.withColumn("metric", metric)
+          .withColumn("rn", row_number().over(wB))
+          .where(col("rn") === 1)
+          .select(col("bk"), col("day"), col("v").as("v_c"), col("metric"))
+          .orderBy("bk")
+      }),
+
     // Impossible-travel detection (round 9, seventh wave) — the
     // account-takeover heuristic every auth pipeline runs: consecutive
     // events of one user whose implied ground speed exceeds a bound.

@@ -1237,4 +1237,58 @@ class Round9eOpsSpec extends SparkSpec {
       assert(hits == cells.count(_ > 0).toLong, s"user $u hits")
     }
   }
+
+  test("win_slo_burn: multiwindow alert matches the integer-threshold mirror") {
+    val rows = SparkEntry.queries("win_slo_burn")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    val hourly = events.groupBy(_._3 / 3600).toSeq.sortBy(_._1).map {
+      case (hr, es) => (hr, es.size.toLong, es.count(_._5 == "error").toLong)
+    }
+    assert(rows.map(_._1).toSeq == hourly.map(_._1), "hour domain")
+    rows.zipWithIndex.foreach { case ((hr, tot, err, b1, b6v, alert), i) =>
+      val (_, mt, me) = hourly(i)
+      assert(tot == mt && err == me, s"hr $hr counts")
+      val win = hourly.slice(math.max(0, i - 5), i + 1)
+      val (t6, e6) = (win.map(_._2).sum, win.map(_._3).sum)
+      assert(b1 == s6(err.toDouble / tot / 0.2), s"hr $hr fast burn")
+      assert(b6v == s6(e6.toDouble / t6 / 0.2), s"hr $hr slow burn")
+      val expect = if (50 * err > 12 * tot && 500 * e6 > 105 * t6) 1L else 0L
+      assert(alert == expect, s"hr $hr alert")
+    }
+    // the slow window gates the fast one: alerts are a subset of fast breaches
+    rows.foreach { case (hr, tot, err, _, _, a) =>
+      if (a == 1) assert(50 * err > 12 * tot, s"hr $hr gating")
+    }
+  }
+
+  test("win_lttb: per-bucket pick maximizes the cross-multiplied triangle") {
+    val rows = SparkEntry.queries("win_lttb")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val daily = Tables.orders(spark, sfDir)
+      .select(expr("unix_timestamp(o_orderdate) div 86400").as("day"),
+        col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), s2(r.getDouble(1))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    val buckets = daily.groupBy(_._1 / 7)
+    val expect = buckets.keys.toSeq.sorted.flatMap { bk =>
+      (buckets.get(bk - 1), buckets.get(bk + 1)) match {
+        case (Some(a), Some(b)) =>
+          val (ca, sda, sva) = (a.size.toLong, a.map(_._1).sum, a.map(_._2).sum)
+          val (cb, sdb, svb) = (b.size.toLong, b.map(_._1).sum, b.map(_._2).sum)
+          val scored = buckets(bk).map { case (day, v) =>
+            val m = math.abs((sda * cb - sdb * ca) * (v * ca - sva) -
+              (sda - day * ca) * (svb * ca - sva * cb))
+            (day, v, m)
+          }
+          val best = scored.sortBy(p => (-p._3, p._1)).head
+          Some((bk, best._1, best._2, best._3))
+        case _ => None
+      }
+    }
+    assert(rows.sortBy(_._1).toSeq == expect, "LTTB picks")
+    // exactly one representative per interior bucket
+    assert(rows.map(_._1).distinct.length == rows.length)
+  }
 }
