@@ -1740,6 +1740,39 @@ object Aggregates {
           floor(ch + 0.5).cast("long").as("chapman_est"))
       }),
 
+    // Median absolute deviation (round 9, seventh wave) — the robust
+    // scale estimate per segment (the global-aggregate sibling of
+    // win_hampel's rolling filter and eo_composite_mad's per-pixel
+    // form): med2 = 2·median and mad4 = 2·median(|2x − med2|) keep both
+    // medians exact integers (interpolated medians of ints ×2, Det rule
+    // 4), and the robust outlier count compares 2·|2x − med2| > 3·mad4
+    // — all integer. Two quantile passes + one rejoin, the
+    // dq_anomaly_iqr shape with the doubled-median discipline.
+    Q("agg_mad", Some(
+      "WITH b AS (SELECT l_returnflag AS g, " + sqlS0("l_quantity") + " AS x FROM lineitem), " +
+        "m1 AS (SELECT g, CAST(FLOOR(QUANTILE_CONT(x, 0.5) * 2 + 0.5) AS BIGINT) AS med2 FROM b GROUP BY g), " +
+        "dv AS (SELECT b.g, b.x, m1.med2, ABS(2 * b.x - m1.med2) AS d2v FROM b JOIN m1 ON m1.g = b.g), " +
+        "m2 AS (SELECT g, CAST(FLOOR(QUANTILE_CONT(d2v, 0.5) * 2 + 0.5) AS BIGINT) AS mad4 FROM dv GROUP BY g) " +
+        "SELECT dv.g, CAST(COUNT(*) AS BIGINT) AS n, MAX(dv.med2) AS med2, MAX(m2.mad4) AS mad4, " +
+        "CAST(SUM(CASE WHEN 2 * dv.d2v > 3 * m2.mad4 THEN 1 ELSE 0 END) AS BIGINT) AS n_out " +
+        "FROM dv JOIN m2 ON m2.g = dv.g GROUP BY dv.g ORDER BY dv.g"),
+      (s, d) => {
+        val b = T.lineitem(s, d)
+          .select(col("l_returnflag").as("g"), s0(col("l_quantity")).as("x"))
+        val m1 = b.groupBy("g")
+          .agg(floor(percentile(col("x"), lit(0.5)) * 2 + 0.5).cast("long").as("med2"))
+        val dv = b.join(broadcast(m1), "g")
+          .withColumn("d2v", abs(lit(2) * col("x") - col("med2")))
+        val m2 = dv.groupBy("g")
+          .agg(floor(percentile(col("d2v"), lit(0.5)) * 2 + 0.5).cast("long").as("mad4"))
+        dv.join(broadcast(m2), "g")
+          .groupBy("g")
+          .agg(count(lit(1)).as("n"), max("med2").as("med2"), max("mad4").as("mad4"),
+            sum(when(lit(2) * col("d2v") > lit(3) * col("mad4"), 1L).otherwise(0L))
+              .as("n_out"))
+          .orderBy("g")
+      }),
+
     // Market-basket association (round 9, seventh wave) — the apriori
     // first pass every recommender bootstrap runs: brand pairs
     // co-occurring in one order, scored by support, confidence and LIFT

@@ -100,6 +100,12 @@ object Graph {
   private val HitsRounds = 3
   private val HitsGrid = 1e9
 
+  /** Rounds of ALL-PAIRS min-plus relaxation (graph_closeness): the
+    * distance MATRIX (|V|² rows) relaxes one hop per round, so K bounds
+    * the traceable diameter; 8 covers this graph (the BfsRounds
+    * argument applied per source). Declared before `all`. */
+  private val ClosenessRounds = 8
+
   /** Rounds of weighted min-plus relaxation (graph_sssp). With unit-to-5
     * integer costs a cheapest path can use more edges than the hop-count
     * diameter, so K exceeds BfsRounds; GraphSpec asserts convergence at
@@ -685,6 +691,74 @@ object Graph {
       (s, d) => ssspDistances(s, d, SsspRounds)
         .select(col("v").as("nationkey"), col("d").as("dist"))
         .orderBy("nationkey")),
+
+    // Closeness centrality (round 9, seventh wave) — Bavelas' classic
+    // C(v) = (n−1)/Σ_u d(u,v), completing the centrality family next to
+    // degree / PageRank / HITS: at nation scale the full |V|²=625-row
+    // distance MATRIX relaxes in K=8 min-plus rounds (graph_bfs's
+    // Bellman-Ford step run from every source simultaneously — the
+    // matrix replaces the per-source loop), then one aggregate per
+    // target folds the column sums and the (n−1)/Σ reciprocal is one
+    // IEEE divide on the s6 grid. The oracle unrolls the same K
+    // MATERIALIZED layers; 999 stays the unreachable sentinel. At web
+    // scale exact all-pairs is infeasible — the published fallback is
+    // pivot sampling (closeness against k sampled sources), the same
+    // plan with a sampled source dimension.
+    Q("graph_closeness", Some {
+      val rounds = (1 to ClosenessRounds).map { k =>
+        val prev = s"d${k - 1}"
+        s"d$k AS MATERIALIZED (SELECT p.u, p.v, LEAST(p.d, COALESCE(MIN(q.d + 1), p.d)) AS d " +
+          s"FROM $prev p LEFT JOIN sym s ON s.a = p.v LEFT JOIN $prev q ON q.u = p.u AND q.v = s.b " +
+          "GROUP BY p.u, p.v, p.d)"
+      }.mkString(", ")
+      s"WITH $tradeEdgesSql, " +
+        "und AS (SELECT DISTINCT LEAST(src, dst) AS x, GREATEST(src, dst) AS y " +
+        "FROM e WHERE src <> dst), " +
+        "sym AS MATERIALIZED (SELECT x AS a, y AS b FROM und UNION ALL SELECT y, x FROM und), " +
+        "n AS (SELECT n_nationkey AS v FROM nation), " +
+        "d0 AS MATERIALIZED (SELECT a.v AS u, b.v AS v, " +
+        "CAST(CASE WHEN a.v = b.v THEN 0 ELSE 999 END AS BIGINT) AS d " +
+        "FROM n a CROSS JOIN n b), " +
+        rounds + ", " +
+        s"cs AS (SELECT v, CAST(SUM(d) AS BIGINT) AS sum_d, " +
+        s"CAST(COUNT(*) AS BIGINT) AS n_nodes FROM d$ClosenessRounds WHERE u <> v GROUP BY v) " +
+        "SELECT v AS nationkey, sum_d, " +
+        sqlS6("(CAST(n_nodes AS DOUBLE)) / CAST(sum_d AS DOUBLE)") + " AS closeness6 " +
+        "FROM cs ORDER BY nationkey"
+    },
+      (s, d) => {
+        val und = tradeEdges(s, d).where(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("x"),
+            greatest(col("src"), col("dst")).as("y"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sym = und.select(col("x").as("a"), col("y").as("b"))
+          .unionAll(und.select(col("y").as("a"), col("x").as("b")))
+        val n = T.nation(s, d).select(col("n_nationkey").as("v"))
+        var dist = n.select(col("v").as("u"))
+          .crossJoin(n.select(col("v")))
+          .select(col("u"), col("v"),
+            when(col("u") === col("v"), 0L).otherwise(999L).as("d"))
+        for (_ <- 1 to ClosenessRounds) {
+          val viaN = sym
+            .join(broadcast(dist.select(col("u").as("pu"), col("v").as("b"),
+              col("d").as("dn"))), "b")
+            .groupBy(col("pu").as("u"), col("a").as("v"))
+            .agg(min(col("dn") + 1).as("nd"))
+          dist = dist.join(viaN, Seq("u", "v"), "left")
+            .select(col("u"), col("v"),
+              least(col("d"), coalesce(col("nd"), col("d"))).as("d"))
+            .localCheckpoint()
+        }
+        und.unpersist()
+        dist.where(col("u") =!= col("v"))
+          .groupBy(col("v").as("nationkey"))
+          .agg(sum("d").as("sum_d"), count(lit(1)).as("n_nodes"))
+          .select(col("nationkey"), col("sum_d"),
+            s6(col("n_nodes").cast("double") / col("sum_d").cast("double"))
+              .as("closeness6"))
+          .orderBy("nationkey")
+      }),
 
     // Personalized PageRank (round 9, seventh wave) — graph_pagerank's
     // power iteration with the teleport mass pinned to a SINGLE source

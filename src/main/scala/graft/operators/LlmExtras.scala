@@ -1744,6 +1744,72 @@ object LlmExtras {
           .orderBy("doc_id")
       }),
 
+    // SimHash cosine ESTIMATOR (round 9, seventh wave) — Charikar 2002:
+    // P[bit agreement] = 1 − θ/π, so cos(π·hamming/32) estimates the
+    // cosine between the term-frequency vectors — the decision value a
+    // 100-TB near-dup funnel thresholds on instead of re-tokenizing
+    // (llm_minhash_est's role for the Jaccard side). Candidates come
+    // from 8×4-bit banding over the graded 32-bit signature (bucketed,
+    // never all-pairs); hamming is one XOR+popcount per candidate; the
+    // single COS call runs on a fixed rational multiple of π under the
+    // eo_reproject coarse-grid rule (1 ulp ≪ the s6 grid). Graded rows
+    // keep only the hamming ≤ 8 DECISION REGION — the threshold band a
+    // funnel acts on (and the bound that keeps output pair-light on a
+    // dup-dense corpus; the full candidate set stays internal).
+    Q("llm_simhash_est", Some {
+      val accCols = (0 until 32).map(b =>
+        s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN w ELSE -w END) AS acc$b").mkString(", ")
+      val sigExpr = (0 until 32).map(b =>
+        s"(CASE WHEN acc$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      "WITH t AS (SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents), " +
+        "th AS (SELECT doc_id, lang, tok, CAST(COUNT(*) AS BIGINT) AS w, " +
+        sqlHash32("tok") + " AS h FROM t GROUP BY doc_id, lang, tok), " +
+        s"acc AS (SELECT doc_id, lang, $accCols FROM th GROUP BY doc_id, lang), " +
+        s"sigs AS (SELECT doc_id, lang, CAST($sigExpr AS BIGINT) AS sig FROM acc), " +
+        "bands AS (SELECT doc_id, lang, sig, b, (sig >> CAST(4 * b AS INTEGER)) & 15 AS bv " +
+        "FROM sigs CROSS JOIN (SELECT UNNEST(RANGE(0, 8)) AS b) bs), " +
+        "cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2 FROM bands x " +
+        "JOIN bands y ON y.lang = x.lang AND y.b = x.b AND y.bv = x.bv AND x.doc_id < y.doc_id), " +
+        "hm AS (SELECT c.d1, c.d2, CAST(BIT_COUNT(XOR(a.sig, b2.sig)) AS BIGINT) AS hamming " +
+        "FROM cand c JOIN sigs a ON a.doc_id = c.d1 JOIN sigs b2 ON b2.doc_id = c.d2) " +
+        "SELECT d1, d2, hamming, " +
+        sqlS6("COS(PI() * CAST(hamming AS DOUBLE) / 32.0)") + " AS est_cos6 " +
+        "FROM hm WHERE hamming <= 8 ORDER BY d1, d2"
+    },
+      (s, d) => {
+        val th = T.documents(s, d)
+          .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("w"))
+          .withColumn("h", Det.hash32(col("tok")))
+        val accCols = (0 until 32).map(b =>
+          sum(when(expr(s"(h >> $b) & 1") === 1, col("w")).otherwise(-col("w")))
+            .as(s"acc$b"))
+        val sig = (0 until 32).map(b =>
+          when(col(s"acc$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+        val sigs = th.groupBy("doc_id", "lang")
+          .agg(accCols.head, accCols.tail: _*)
+          .select(col("doc_id"), col("lang"), sig.as("sig"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val bands = sigs.crossJoin(broadcast(
+            s.range(0, 8).select(col("id").cast("int").as("b"))))
+          .select(col("doc_id"), col("lang"), col("b"),
+            expr("(sig >> CAST(4 * b AS INT)) & 15").as("bv"))
+        val cand = bands.select(col("doc_id").as("d1"), col("lang"), col("b"), col("bv"))
+          .join(bands.select(col("doc_id").as("d2"), col("lang"), col("b"), col("bv")),
+            Seq("lang", "b", "bv"))
+          .where(col("d1") < col("d2"))
+          .select("d1", "d2").distinct()
+        val hm = cand
+          .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sa")), "d1")
+          .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sb")), "d2")
+          .select(col("d1"), col("d2"),
+            bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
+        hm.where(col("hamming") <= 8)
+          .select(col("d1"), col("d2"), col("hamming"),
+            s6(cos(lit(math.Pi) * col("hamming").cast("double") / 32.0)).as("est_cos6"))
+          .orderBy("d1", "d2")
+      }),
+
     // Term burstiness (round 9, seventh wave) — Church & Gale's
     // adaptation statistic: cf/df, the mean occurrences per CONTAINING
     // document. Content words burst (a doc that mentions a topic mentions
