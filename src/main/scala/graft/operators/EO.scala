@@ -620,6 +620,69 @@ object EO {
           .orderBy("tile", "dir")
       }),
 
+    // Otsu automatic thresholding (round 9, seventh wave) — the
+    // histogram-based threshold selection (Otsu 1979) behind every
+    // unsupervised water/cloud/shadow mask: per tile, the 16-bin DN
+    // histogram (the eo_tile_histogram binning) is scanned for the cut
+    // maximizing between-class variance. The argmax stays EXACT: the
+    // score ω₀ω₁(μ₀−μ₁)² is monotone in (s₀c₁ − s₁c₀)²/(c₀c₁), whose
+    // numerator and denominator are exact int64 from cumulative
+    // count/sum windows — the rank orders by that one fixed-double
+    // ratio with ties to the smaller cut. Everything after the per-tile
+    // histogram partial agg is (tile × 16)-sized.
+    Q("eo_tile_otsu", Some {
+      val num = "(s0 * c1 - s1 * c0)"
+      val score = s"(CAST($num AS DOUBLE) * CAST($num AS DOUBLE) / (CAST(c0 AS DOUBLE) * CAST(c1 AS DOUBLE)))"
+      "WITH px AS (SELECT (event_id // 4) // 256 AS tile, " +
+        "event_id % 4 AS t, CAST(user_id AS BIGINT) AS v FROM events), " +
+        "full_t AS (SELECT tile FROM px WHERE t = 0 GROUP BY tile HAVING COUNT(*) = 256), " +
+        "h AS (SELECT p.tile, LEAST(p.v // 32, 15) AS bin, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(LEAST(p.v // 32, 15)) AS BIGINT) AS sv " +
+        "FROM px p JOIN full_t USING (tile) WHERE p.t = 0 GROUP BY p.tile, bin), " +
+        "c AS (SELECT tile, bin, " +
+        "SUM(n) OVER (PARTITION BY tile ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c0, " +
+        "SUM(sv) OVER (PARTITION BY tile ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s0, " +
+        "SUM(n) OVER (PARTITION BY tile) AS ct, SUM(sv) OVER (PARTITION BY tile) AS st FROM h), " +
+        "k AS (SELECT tile, bin, c0, ct - c0 AS c1, s0, st - s0 AS s1 FROM c " +
+        "WHERE c0 > 0 AND ct - c0 > 0), " +
+        "r AS (SELECT tile, bin, c0, c1, " + score + " AS score, " +
+        s"ROW_NUMBER() OVER (PARTITION BY tile ORDER BY $score DESC, bin) AS rn FROM k) " +
+        "SELECT tile, bin AS cut_bin, c0 AS n_below, c1 AS n_above, " +
+        sqlS6("score") + " AS sep6 FROM r WHERE rn = 1 ORDER BY tile"
+    },
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val px = T.events(s, d).select(
+          expr("(event_id div 4) div 256").as("tile"),
+          (col("event_id") % 4).as("t"), col("user_id").as("v"))
+        val fullT = px.where(col("t") === 0).groupBy("tile")
+          .agg(count(lit(1)).as("c")).where(col("c") === 256).select("tile")
+        val h = px.where(col("t") === 0)
+          .join(broadcast(fullT), "tile")
+          .groupBy(col("tile"), least(expr("v div 32"), lit(15L)).as("bin"))
+          .agg(count(lit(1)).as("n"),
+            sum(least(expr("v div 32"), lit(15L))).as("sv"))
+        val wCum = Window.partitionBy("tile").orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wAll = Window.partitionBy("tile")
+        val c = h.select(col("tile"), col("bin"),
+          sum("n").over(wCum).as("c0"), sum("sv").over(wCum).as("s0"),
+          sum("n").over(wAll).as("ct"), sum("sv").over(wAll).as("st"))
+        val k = c.select(col("tile"), col("bin"), col("c0"),
+            (col("ct") - col("c0")).as("c1"), col("s0"),
+            (col("st") - col("s0")).as("s1"))
+          .where(col("c0") > 0 && col("c1") > 0)
+        val num = (col("s0") * col("c1") - col("s1") * col("c0")).cast("double")
+        val score = num * num / (col("c0").cast("double") * col("c1").cast("double"))
+        val wPick = Window.partitionBy("tile").orderBy(score.desc, col("bin"))
+        k.withColumn("score", score)
+          .withColumn("rn", row_number().over(wPick))
+          .where(col("rn") === 1)
+          .select(col("tile"), col("bin").as("cut_bin"), col("c0").as("n_below"),
+            col("c1").as("n_above"), s6(col("score")).as("sep6"))
+          .orderBy("tile")
+      }),
+
     // Change vector analysis (round 9, seventh wave) — the classic
     // two-band bi-temporal change detector (Malila 1980): per pixel,
     // the change vector (Δb₁, Δb₂) between epochs t=0 and t=1 yields a

@@ -1334,4 +1334,39 @@ class Round9eOpsSpec extends SparkSpec {
     assert(got(0L)._1 == bfs.filter(_._1 != 0L).values.sum,
       "node-0 column equals BFS row")
   }
+
+  test("eo_tile_otsu: the cut maximizes between-class variance at sf0.01") {
+    val dir01 = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("eo_tile_otsu")(spark, dir01).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got.nonEmpty)
+    val px = Tables.events(spark, dir01)
+      .select(col("event_id"), col("user_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val tiles = px.filter(_._1 % 4 == 0)
+      .map { case (id, v) => (id / 4 / 256, math.min(v / 32, 15L)) }
+      .groupBy(_._1).filter(_._2.size == 256)
+    tiles.foreach { case (tile, bins) =>
+      val hist = bins.map(_._2).groupBy(identity).view
+        .mapValues(v => (v.size.toLong, v.sum)).toMap
+      val order = hist.keys.toSeq.sorted
+      val ct = hist.values.map(_._1).sum; val st = hist.values.map(_._2).sum
+      var c0 = 0L; var s0v = 0L
+      val cands = order.flatMap { bin =>
+        c0 += hist(bin)._1; s0v += hist(bin)._2
+        val c1 = ct - c0; val s1 = st - s0v
+        if (c0 > 0 && c1 > 0) {
+          val num = (s0v * c1 - s1 * c0).toDouble
+          Some((bin, c0, c1, num * num / (c0.toDouble * c1)))
+        } else None
+      }
+      val best = cands.sortBy(c => (-c._4, c._1)).head
+      val (gb, gc0, gc1, gsep) = got(tile)
+      assert(gb == best._1 && gc0 == best._2 && gc1 == best._3, s"tile $tile cut")
+      assert(gsep == s6(best._4), s"tile $tile separation")
+      // maximality: no other candidate scores higher
+      cands.foreach(c => assert(c._4 <= best._4 + 1e-9, s"tile $tile argmax"))
+    }
+  }
 }
