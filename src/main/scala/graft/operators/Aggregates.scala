@@ -1740,6 +1740,97 @@ object Aggregates {
           floor(ch + 0.5).cast("long").as("chapman_est"))
       }),
 
+    // Hill diversity numbers (round 9, seventh wave) — ecology's unified
+    // diversity ladder applied to behavioral mixes (Hill 1973): per
+    // user-decile bucket, ⁰D = richness (distinct event types), ¹D =
+    // exp(Shannon entropy) and ²D = inverse Simpson N²/Σn² — the three
+    // "effective type counts" that agree iff the mix is even. ²D is one
+    // IEEE divide over exact integers; ¹D rides agg_entropy's s6-floored
+    // term discipline with one EXP at the end (≤1-ulp inside the 1e-2
+    // output grid); the evenness ordering ⁰D ≥ ¹D ≥ ²D is pinned in the
+    // spec. One (bucket, type) partial agg, domain-sized after.
+    Q("agg_hill_diversity", Some {
+      val d1 = "EXP(CAST(h6 AS DOUBLE) / 1e6)"
+      val d2 = "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) / CAST(ss AS DOUBLE))"
+      "WITH b AS (SELECT user_id % 10 AS bucket, event_type FROM events), " +
+        "c AS (SELECT bucket, event_type, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY bucket, event_type), " +
+        "t AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS d0, " +
+        "CAST(SUM(cnt * cnt) AS BIGINT) AS ss FROM c GROUP BY bucket), " +
+        "h AS (SELECT c.bucket, CAST(SUM(" +
+        sqlS6("-(CAST(cnt AS DOUBLE) / CAST(t.n AS DOUBLE)) * LN(CAST(cnt AS DOUBLE) / CAST(t.n AS DOUBLE))") +
+        ") AS BIGINT) AS h6 FROM c JOIN t ON t.bucket = c.bucket GROUP BY c.bucket) " +
+        "SELECT t.bucket, t.n, t.d0, " +
+        "CAST(FLOOR(" + d1 + " * 100 + 0.5) AS BIGINT) AS d1_c, " +
+        "CAST(FLOOR(" + d2 + " * 100 + 0.5) AS BIGINT) AS d2_c " +
+        "FROM t JOIN h ON h.bucket = t.bucket ORDER BY t.bucket"
+    },
+      (s, d) => {
+        val c = T.events(s, d)
+          .groupBy((col("user_id") % 10).as("bucket"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+        val t = c.groupBy("bucket")
+          .agg(sum("cnt").as("n"), count(lit(1)).as("d0"),
+            sum(col("cnt") * col("cnt")).as("ss"))
+        val p = col("cnt").cast("double") / col("n").cast("double")
+        val h = c.join(broadcast(t.select(col("bucket"), col("n"))), "bucket")
+          .groupBy("bucket")
+          .agg(sum(s6(-p * log(p))).as("h6"))
+        val d1 = exp(col("h6").cast("double") / lit(1e6))
+        val d2 = col("n").cast("double") * col("n").cast("double") /
+          col("ss").cast("double")
+        t.join(broadcast(h), "bucket")
+          .select(col("bucket"), col("n"), col("d0"),
+            floor(d1 * 100 + 0.5).cast("long").as("d1_c"),
+            floor(d2 * 100 + 0.5).cast("long").as("d2_c"))
+          .orderBy("bucket")
+      }),
+
+    // Pairwise correlation matrix (round 9, seventh wave) — the
+    // first screen of any multivariate analysis: all three Pearson r
+    // between (quantity, price-dollars, discount-percent) in ONE pass
+    // of nine exact integer moments (the agg_ols_multi Gram layout),
+    // each r one fixed IEEE sequence. Long-format output (var_a, var_b,
+    // r6) so the matrix reads like a table at any width.
+    Q("agg_corr_matrix", Some {
+      def r(sab: String, sa: String, sb: String, saa: String, sbb: String) =
+        s"((CAST(n AS DOUBLE) * CAST($sab AS DOUBLE) - CAST($sa AS DOUBLE) * CAST($sb AS DOUBLE)) / " +
+          s"(SQRT(CAST(n AS DOUBLE) * CAST($saa AS DOUBLE) - CAST($sa AS DOUBLE) * CAST($sa AS DOUBLE)) * " +
+          s"SQRT(CAST(n AS DOUBLE) * CAST($sbb AS DOUBLE) - CAST($sb AS DOUBLE) * CAST($sb AS DOUBLE))))"
+      "WITH b AS (SELECT " + sqlS0("l_quantity") + " AS x, " + sqlS0("l_extendedprice") + " AS y, " +
+        sqlS2("l_discount") + " AS z FROM lineitem), " +
+        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(z) AS BIGINT) AS sz, " +
+        "CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy, CAST(SUM(z * z) AS BIGINT) AS szz, " +
+        "CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * z) AS BIGINT) AS sxz, CAST(SUM(y * z) AS BIGINT) AS syz FROM b) " +
+        "SELECT 'qty' AS var_a, 'price' AS var_b, " + sqlS6(r("sxy", "sx", "sy", "sxx", "syy")) + " AS r6 FROM m " +
+        "UNION ALL SELECT 'qty', 'disc', " + sqlS6(r("sxz", "sx", "sz", "sxx", "szz")) + " FROM m " +
+        "UNION ALL SELECT 'price', 'disc', " + sqlS6(r("syz", "sy", "sz", "syy", "szz")) + " FROM m " +
+        "ORDER BY var_a, var_b"
+    },
+      (s, d) => {
+        val m = T.lineitem(s, d)
+          .select(s0(col("l_quantity")).as("x"), s0(col("l_extendedprice")).as("y"),
+            s2(col("l_discount")).as("z"))
+          .agg(count(lit(1)).as("n"),
+            sum("x").as("sx"), sum("y").as("sy"), sum("z").as("sz"),
+            sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+            sum(col("z") * col("z")).as("szz"),
+            sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("z")).as("sxz"),
+            sum(col("y") * col("z")).as("syz"))
+        val nD = col("n").cast("double")
+        def r(sab: String, sa: String, sb: String, saa: String, sbb: String) =
+          (nD * col(sab).cast("double") - col(sa).cast("double") * col(sb).cast("double")) /
+            (sqrt(nD * col(saa).cast("double") - col(sa).cast("double") * col(sa).cast("double")) *
+              sqrt(nD * col(sbb).cast("double") - col(sb).cast("double") * col(sb).cast("double")))
+        val a = m.select(lit("qty").as("var_a"), lit("price").as("var_b"),
+          s6(r("sxy", "sx", "sy", "sxx", "syy")).as("r6"))
+        val b2 = m.select(lit("qty").as("var_a"), lit("disc").as("var_b"),
+          s6(r("sxz", "sx", "sz", "sxx", "szz")).as("r6"))
+        val c2 = m.select(lit("price").as("var_a"), lit("disc").as("var_b"),
+          s6(r("syz", "sy", "sz", "syy", "szz")).as("r6"))
+        a.unionAll(b2).unionAll(c2).orderBy("var_a", "var_b")
+      }),
+
     // Median absolute deviation (round 9, seventh wave) — the robust
     // scale estimate per segment (the global-aggregate sibling of
     // win_hampel's rolling filter and eo_composite_mad's per-pixel

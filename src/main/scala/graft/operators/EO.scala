@@ -620,6 +620,35 @@ object EO {
           .orderBy("tile", "dir")
       }),
 
+    // Zonal cross-tabulation (round 9, seventh wave) — the accuracy-
+    // assessment / land-cover-transition CONTINGENCY table (zone ×
+    // class counts with row shares) that every classified-map validation
+    // starts from: zones from the spatial key, classes from the same
+    // threshold rule eo_decision_tree grades, counted in one hash
+    // aggregate with the zone totals broadcast back for the share
+    // divide. Exact counts; shares one IEEE divide on the s6 grid.
+    Q("eo_crosstab", Some(
+      "WITH b AS (SELECT user_id % 8 AS zone, " +
+        "CASE WHEN value < 200 THEN 'low' WHEN value < 600 THEN 'mid' ELSE 'high' END AS cls " +
+        "FROM events), " +
+        "c AS (SELECT zone, cls, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY zone, cls), " +
+        "t AS (SELECT zone, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY zone) " +
+        "SELECT c.zone, c.cls, c.n, " +
+        sqlS6("CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE)") + " AS share6 " +
+        "FROM c JOIN t ON t.zone = c.zone ORDER BY c.zone, c.cls"),
+      (s, d) => {
+        val c = T.events(s, d)
+          .select((col("user_id") % 8).as("zone"),
+            when(col("value") < 200, "low").when(col("value") < 600, "mid")
+              .otherwise("high").as("cls"))
+          .groupBy("zone", "cls").agg(count(lit(1)).as("n"))
+        val t = c.groupBy("zone").agg(sum("n").as("tot"))
+        c.join(broadcast(t), "zone")
+          .select(col("zone"), col("cls"), col("n"),
+            s6(col("n").cast("double") / col("tot").cast("double")).as("share6"))
+          .orderBy("zone", "cls")
+      }),
+
     // Otsu automatic thresholding (round 9, seventh wave) — the
     // histogram-based threshold selection (Otsu 1979) behind every
     // unsupervised water/cloud/shadow mask: per tile, the 16-bin DN

@@ -1369,4 +1369,65 @@ class Round9eOpsSpec extends SparkSpec {
       cands.foreach(c => assert(c._4 <= best._4 + 1e-9, s"tile $tile argmax"))
     }
   }
+
+  test("agg_hill_diversity: ladder matches mirror and obeys 0D >= 1D >= 2D") {
+    val got = SparkEntry.queries("agg_hill_diversity")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    events.groupBy(_._1 % 10).foreach { case (bk, rows) =>
+      val counts = rows.groupBy(_._5).view.mapValues(_.size.toLong).toMap
+      val n = counts.values.sum
+      val h6 = counts.values.map { c =>
+        val p = c.toDouble / n; s6(-p * math.log(p))
+      }.sum
+      val d1c = math.floor(math.exp(h6.toDouble / 1e6) * 100 + 0.5).toLong
+      val d2c = math.floor(n.toDouble * n / counts.values.map(c => c * c).sum * 100 + 0.5).toLong
+      val (gn, gd0, gd1, gd2) = got(bk)
+      assert(gn == n && gd0 == counts.size.toLong, s"bucket $bk counts")
+      assert(gd1 == d1c && gd2 == d2c, s"bucket $bk ladder")
+      // evenness ordering (in hundredths; ties allowed)
+      assert(gd0 * 100 >= gd1 && gd1 >= gd2 - 1, s"bucket $bk ordering")
+    }
+  }
+
+  test("agg_corr_matrix: pairwise r matches the nine-moment mirror") {
+    val got = SparkEntry.queries("agg_corr_matrix")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val rows = li.map(r => (s0(r._3), s0(r._4)))
+    val disc = Tables.lineitem(spark, sfDir).select("l_discount")
+      .collect().map(r => s2(r.getDouble(0)))
+    val xs = rows.map(_._1); val ys = rows.map(_._2); val zs = disc.toSeq
+    val n = xs.size.toDouble
+    def r(a: Seq[Long], b: Seq[Long]): Double = {
+      val sa = a.sum; val sb = b.sum
+      val saa = a.map(v => v * v).sum; val sbb = b.map(v => v * v).sum
+      val sab = a.zip(b).map { case (u, v) => u * v }.sum
+      (n * sab - sa.toDouble * sb) /
+        (math.sqrt(n * saa - sa.toDouble * sa) * math.sqrt(n * sbb - sb.toDouble * sb))
+    }
+    assert(got(("qty", "price")) == s6(r(xs, ys)), "qty~price")
+    assert(got(("qty", "disc")) == s6(r(xs, zs)), "qty~disc")
+    assert(got(("price", "disc")) == s6(r(ys, zs)), "price~disc")
+    got.values.foreach(v => assert(v >= -1000000 && v <= 1000000, "|r| <= 1"))
+  }
+
+  test("eo_crosstab: contingency counts and shares match the mirror") {
+    val got = SparkEntry.queries("eo_crosstab")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val cells = events.map { e =>
+      val cls = if (e._4 < 200) "low" else if (e._4 < 600) "mid" else "high"
+      (e._1 % 8, cls)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val totals = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    assert(got.keySet == cells.keySet, "cell domain")
+    cells.foreach { case (k @ (z, _), n) =>
+      val (gn, gs) = got(k)
+      assert(gn == n && gs == s6(n.toDouble / totals(z)), s"cell $k")
+    }
+    // each zone's shares sum to ~1 on the s6 grid
+    got.toSeq.groupBy(_._1._1).foreach { case (z, rows) =>
+      assert(math.abs(rows.map(_._2._2).sum - 1000000L) <= rows.size, s"zone $z")
+    }
+  }
 }
