@@ -1749,8 +1749,13 @@ object LlmExtras {
     // cosine between the term-frequency vectors — the decision value a
     // 100-TB near-dup funnel thresholds on instead of re-tokenizing
     // (llm_minhash_est's role for the Jaccard side). Candidates come
-    // from 8×4-bit banding over the graded 32-bit signature (bucketed,
-    // never all-pairs); hamming is one XOR+popcount per candidate; the
+    // from 4×8-bit banding over the graded 32-bit signature (bucketed,
+    // never all-pairs; 256-way buckets keep candidate volume near-linear
+    // on a dup-dense corpus — pigeonhole-COMPLETE for hamming ≤ 3, a
+    // recall trade the banded-candidate contract makes explicit: the
+    // oracle spells the same bands, so the graded semantics is the
+    // estimator on ITS OWN candidate set); hamming is one XOR+popcount
+    // per candidate; the
     // single COS call runs on a fixed rational multiple of π under the
     // eo_reproject coarse-grid rule (1 ulp ≪ the s6 grid). Graded rows
     // keep only the hamming ≤ 8 DECISION REGION — the threshold band a
@@ -1766,8 +1771,8 @@ object LlmExtras {
         sqlHash32("tok") + " AS h FROM t GROUP BY doc_id, lang, tok), " +
         s"acc AS (SELECT doc_id, lang, $accCols FROM th GROUP BY doc_id, lang), " +
         s"sigs AS (SELECT doc_id, lang, CAST($sigExpr AS BIGINT) AS sig FROM acc), " +
-        "bands AS (SELECT doc_id, lang, sig, b, (sig >> CAST(4 * b AS INTEGER)) & 15 AS bv " +
-        "FROM sigs CROSS JOIN (SELECT UNNEST(RANGE(0, 8)) AS b) bs), " +
+        "bands AS (SELECT doc_id, lang, sig, b, (sig >> CAST(8 * b AS INTEGER)) & 255 AS bv " +
+        "FROM sigs CROSS JOIN (SELECT UNNEST(RANGE(0, 4)) AS b) bs), " +
         "cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2 FROM bands x " +
         "JOIN bands y ON y.lang = x.lang AND y.b = x.b AND y.bv = x.bv AND x.doc_id < y.doc_id), " +
         "hm AS (SELECT c.d1, c.d2, CAST(BIT_COUNT(XOR(a.sig, b2.sig)) AS BIGINT) AS hamming " +
@@ -1791,17 +1796,19 @@ object LlmExtras {
           .select(col("doc_id"), col("lang"), sig.as("sig"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val bands = sigs.crossJoin(broadcast(
-            s.range(0, 8).select(col("id").cast("int").as("b"))))
+            s.range(0, 4).select(col("id").cast("int").as("b"))))
           .select(col("doc_id"), col("lang"), col("b"),
-            expr("(sig >> CAST(4 * b AS INT)) & 15").as("bv"))
-        val cand = bands.select(col("doc_id").as("d1"), col("lang"), col("b"), col("bv"))
-          .join(bands.select(col("doc_id").as("d2"), col("lang"), col("b"), col("bv")),
-            Seq("lang", "b", "bv"))
+            expr("(sig >> CAST(8 * b AS INT)) & 255").as("bv"), col("sig"))
+        // signatures RIDE the band join (8 bytes per side), so the
+        // candidate distinct is the last wide op — the two sig rejoins
+        // the first form paid cost more than the whole signature build
+        val cand = bands.select(col("doc_id").as("d1"), col("lang"), col("b"),
+            col("bv"), col("sig").as("sa"))
+          .join(bands.select(col("doc_id").as("d2"), col("lang"), col("b"),
+            col("bv"), col("sig").as("sb")), Seq("lang", "b", "bv"))
           .where(col("d1") < col("d2"))
-          .select("d1", "d2").distinct()
+          .select("d1", "d2", "sa", "sb").distinct()
         val hm = cand
-          .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sa")), "d1")
-          .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sb")), "d2")
           .select(col("d1"), col("d2"),
             bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
         hm.where(col("hamming") <= 8)

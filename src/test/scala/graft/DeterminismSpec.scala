@@ -54,7 +54,12 @@ class DeterminismSpec extends SparkSpec {
       "eo_tile_flow_acc", "agg_hurst", "win_reflected_runsum",
       "llm_feature_hash", "win_topk_churn", "llm_domain_cap",
       "llm_burstiness", "win_growth_accounting", "agg_basket_lift",
-      "win_state_duration", "stream_active_users")
+      "win_state_duration", "stream_active_users",
+      // closing waves: the banded simhash estimator, all-pairs
+      // closeness loop, Otsu argmax windows, LTTB picks, doubled-MAD
+      // quantiles and the diversity/crosstab shares
+      "llm_simhash_est", "graph_closeness", "eo_tile_otsu", "win_lttb",
+      "agg_mad", "agg_hill_diversity", "eo_crosstab", "win_slo_burn")
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     val base = keys.map(k => k -> SparkEntry.queries(k)(spark, sfDir).collect().toSeq).toMap
     try {

@@ -1411,6 +1411,44 @@ class Round9eOpsSpec extends SparkSpec {
     got.values.foreach(v => assert(v >= -1000000 && v <= 1000000, "|r| <= 1"))
   }
 
+  test("llm_simhash_est: banded candidates and cosine estimates match the mirror") {
+    val got = SparkEntry.queries("llm_simhash_est")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val vocab = docs.flatMap(_._2.split(" ", -1)).distinct
+    import spark.implicits._
+    val hashes = vocab.toDF("tok")
+      .select(col("tok"), Det.hash32(col("tok")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sigs = docs.map { case (id, text, lang) =>
+      val w = text.split(" ", -1).groupBy(identity).view.mapValues(_.length.toLong)
+      val acc = new Array[Long](32)
+      w.foreach { case (tok, cnt) =>
+        val h = hashes(tok)
+        (0 until 32).foreach(b =>
+          acc(b) += (if (((h >> b) & 1) == 1) cnt else -cnt))
+      }
+      val sig = (0 until 32).map(b => if (acc(b) > 0) 1L << b else 0L).sum
+      (id, lang, sig)
+    }
+    val expect = scala.collection.mutable.Map[(Long, Long), (Long, Long)]()
+    sigs.groupBy(_._2).foreach { case (_, ds) =>
+      for (i <- ds.indices; j <- (i + 1) until ds.size) {
+        val (a, b2) = if (ds(i)._1 < ds(j)._1) (ds(i), ds(j)) else (ds(j), ds(i))
+        val shareBand = (0 until 4).exists(b =>
+          ((a._3 >> (8 * b)) & 255) == ((b2._3 >> (8 * b)) & 255))
+        if (shareBand) {
+          val h = java.lang.Long.bitCount(a._3 ^ b2._3).toLong
+          if (h <= 8)
+            expect((a._1, b2._1)) = (h, s6(math.cos(math.Pi * h / 32.0)))
+        }
+      }
+    }
+    assert(got == expect.toMap, "estimator surface")
+    // identical docs estimate cosine 1 exactly
+    got.foreach { case (_, (h, e)) => if (h == 0) assert(e == 1000000L) }
+  }
+
   test("eo_crosstab: contingency counts and shares match the mirror") {
     val got = SparkEntry.queries("eo_crosstab")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
