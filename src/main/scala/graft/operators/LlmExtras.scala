@@ -1817,6 +1817,50 @@ object LlmExtras {
           .orderBy("d1", "d2")
       }),
 
+    // Content novelty curve (round 9, closing wave) — how much of each
+    // document is NEW relative to everything ingested before it (doc_id
+    // order standing in for arrival order): the share of a doc's
+    // distinct 8-grams whose FIRST corpus occurrence is this doc. The
+    // curve's collapse is how corpus curators detect a crawl going
+    // stale (novelty → 0 means everything is re-crawl). Two aggregates:
+    // first-seen doc per gram (min over the gram key), then the per-doc
+    // share — both linear, the gram dictionary never leaves its
+    // partial-agg shuffle. Exact counts; the share one IEEE divide.
+    Q("llm_novelty", Some(
+      "WITH t AS (SELECT doc_id, tk, UNNEST(RANGE(0, GREATEST(LEN(tk) - 7, 0))) AS i " +
+        "FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents)), " +
+        "g AS (SELECT DISTINCT doc_id, " +
+        "ARRAY_TO_STRING(LIST_SLICE(tk, CAST(i AS INTEGER) + 1, CAST(i AS INTEGER) + 8), ' ') AS gram FROM t), " +
+        "fs AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram), " +
+        "j AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, " +
+        "CAST(SUM(CASE WHEN fs.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel " +
+        "FROM g JOIN fs ON fs.gram = g.gram GROUP BY g.doc_id) " +
+        "SELECT doc_id, n_grams, n_novel, " +
+        sqlS6("CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE)") + " AS novelty6 " +
+        "FROM j ORDER BY doc_id"),
+      (s, d) => {
+        val g = T.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("tk"))
+          // short docs drop on both engines (DuckDB's RANGE(0,0) is
+          // empty; Spark's sequence would DESCEND on start > stop)
+          .where(size(col("tk")) >= 8)
+          .select(col("doc_id"), col("tk"),
+            explode(sequence(lit(0), size(col("tk")) - 8)).as("i"))
+          .select(col("doc_id"),
+            array_join(slice(col("tk"), col("i") + 1, lit(8)), " ").as("gram"))
+          .distinct()
+        val fs = g.groupBy("gram").agg(min("doc_id").as("first_doc"))
+        g.join(fs, "gram")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .select(col("doc_id"), col("n_grams"), col("n_novel"),
+            s6(col("n_novel").cast("double") / col("n_grams").cast("double"))
+              .as("novelty6"))
+          .orderBy("doc_id")
+      }),
+
     // Term burstiness (round 9, seventh wave) — Church & Gale's
     // adaptation statistic: cf/df, the mean occurrences per CONTAINING
     // document. Content words burst (a doc that mentions a topic mentions

@@ -436,7 +436,40 @@ object Quality {
           .select(col("n"), col("lo"), col("hi"),
             (col("hi") - col("lo") + 1 - col("n")).as("n_missing"),
             col("n_gap_runs"))
-      }))
+      }),
+
+    // String-column profile (round 9, closing wave) — the character-class
+    // statistics a Deequ-style profiler reports for free-text columns
+    // (the screen that catches encoding regressions and schema drift in
+    // string feeds): per language, exact length extrema/sums plus the
+    // whitespace and vowel character shares — every character count is
+    // an exact integer (length of the class-stripped string subtracted
+    // from the total), shares one IEEE divide on the s6 grid. One scan,
+    // one partial agg; the regex classes are shared POSIX sets.
+    Q("dq_string_profile", Some(
+      "WITH b AS (SELECT lang, CAST(LENGTH(text) AS BIGINT) AS len, " +
+        "CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS BIGINT) AS n_space, " +
+        "CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[aeiou]', '', 'g')) AS BIGINT) AS n_vowel " +
+        "FROM documents) " +
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(MIN(len) AS BIGINT) AS len_min, CAST(MAX(len) AS BIGINT) AS len_max, " +
+        "CAST(SUM(len) AS BIGINT) AS len_sum, " +
+        sqlS6("CAST(SUM(n_space) AS DOUBLE) / CAST(SUM(len) AS DOUBLE)") + " AS space_share6, " +
+        sqlS6("CAST(SUM(n_vowel) AS DOUBLE) / CAST(SUM(len) AS DOUBLE)") + " AS vowel_share6 " +
+        "FROM b GROUP BY lang ORDER BY lang"),
+      (s, d) =>
+        T.documents(s, d)
+          .select(col("lang"), length(col("text")).cast("long").as("len"),
+            (length(col("text")) -
+              length(regexp_replace(col("text"), " ", ""))).cast("long").as("n_space"),
+            (length(col("text")) -
+              length(regexp_replace(col("text"), "[aeiou]", ""))).cast("long").as("n_vowel"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), min("len").as("len_min"),
+            max("len").as("len_max"), sum("len").as("len_sum"),
+            s6(sum("n_space").cast("double") / sum("len").cast("double")).as("space_share6"),
+            s6(sum("n_vowel").cast("double") / sum("len").cast("double")).as("vowel_share6"))
+          .orderBy("lang")))
 
   /** The 10-row bin grid (0..9) as a DataFrame — tiny, broadcast into
     * the type×bin cross. */

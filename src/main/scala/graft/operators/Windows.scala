@@ -1474,6 +1474,54 @@ object Windows {
           .orderBy("user_id")
       }),
 
+    // MTBF / MTTR (round 9, closing wave) — the reliability pair every
+    // incident review reports: per user, Mean Time Between Failures =
+    // mean gap between consecutive 'error' events, and Mean Time To
+    // Recovery = mean gap from each error to the next NON-error event.
+    // Both ride ONE entity-ordered window pass: errors lag against the
+    // previous error (a conditional last_value ignore-nulls), recovery
+    // via the min following non-error time per error (lead over the
+    // error-partitioned frame is wrong under consecutive errors, so
+    // recovery uses the ignore-nulls mirror — next non-error timestamp
+    // carried backwards). Exact integer seconds; means one IEEE divide
+    // each, floored to whole seconds.
+    Q("win_mtbf", Some(
+      "WITH e AS (SELECT user_id, event_id, event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t FROM events), " +
+        "w AS (SELECT user_id, event_id, event_type, t, " +
+        "LAG(CASE WHEN event_type = 'error' THEN t END IGNORE NULLS) OVER " +
+        "(PARTITION BY user_id ORDER BY t, event_id) AS prev_err, " +
+        "LEAD(CASE WHEN event_type <> 'error' THEN t END IGNORE NULLS) OVER " +
+        "(PARTITION BY user_id ORDER BY t, event_id) AS next_ok FROM e), " +
+        "f AS (SELECT user_id, " +
+        "CASE WHEN event_type = 'error' AND prev_err IS NOT NULL THEN t - prev_err END AS tbf, " +
+        "CASE WHEN event_type = 'error' AND next_ok IS NOT NULL THEN next_ok - t END AS ttr " +
+        "FROM w WHERE event_type = 'error') " +
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_failures, " +
+        "CAST(COUNT(tbf) AS BIGINT) AS n_gaps, " +
+        "CAST(FLOOR(CAST(SUM(tbf) AS DOUBLE) / COUNT(tbf) + 0.5) AS BIGINT) AS mtbf_s, " +
+        "CAST(FLOOR(CAST(SUM(ttr) AS DOUBLE) / COUNT(ttr) + 0.5) AS BIGINT) AS mttr_s " +
+        "FROM f GROUP BY user_id ORDER BY user_id"),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+        val e = T.events(s, d).select(col("user_id"), col("event_id"),
+          col("event_type"), epochS(col("ts")).as("t"))
+        val prevErr = lag(when(col("event_type") === "error", col("t")), 1, null, true)
+          .over(w)
+        val nextOk = lead(when(col("event_type") =!= "error", col("t")), 1, null, true)
+          .over(w)
+        e.select(col("user_id"), col("event_type"), col("t"),
+            prevErr.as("prev_err"), nextOk.as("next_ok"))
+          .where(col("event_type") === "error")
+          .select(col("user_id"),
+            when(col("prev_err").isNotNull, col("t") - col("prev_err")).as("tbf"),
+            when(col("next_ok").isNotNull, col("next_ok") - col("t")).as("ttr"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_failures"), count("tbf").as("n_gaps"),
+            floor(sum("tbf").cast("double") / count("tbf") + 0.5).cast("long").as("mtbf_s"),
+            floor(sum("ttr").cast("double") / count("ttr") + 0.5).cast("long").as("mttr_s"))
+          .orderBy("user_id")
+      }),
+
     // Multiwindow SLO burn-rate alerts (round 9, seventh wave) — the
     // Google SRE error-budget recipe: alert only when BOTH a fast (1 h)
     // and a slow (6 h) window burn the budget, so blips don't page but

@@ -1468,4 +1468,68 @@ class Round9eOpsSpec extends SparkSpec {
       assert(math.abs(rows.map(_._2._2).sum - 1000000L) <= rows.size, s"zone $z")
     }
   }
+
+  test("dq_string_profile: character-class shares match the scan mirror") {
+    val got = SparkEntry.queries("dq_string_profile")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    docs.groupBy(_._3).foreach { case (lang, rows) =>
+      val lens = rows.map(_._2.length.toLong)
+      val spaces = rows.map(_._2.count(_ == ' ').toLong)
+      val vowels = rows.map(_._2.count("aeiou".contains(_)).toLong)
+      val (n, mn, mx, sm, sp6, vw6) = got(lang)
+      assert(n == rows.size.toLong && mn == lens.min && mx == lens.max &&
+        sm == lens.sum, s"$lang lengths")
+      assert(sp6 == s6(spaces.sum.toDouble / lens.sum), s"$lang spaces")
+      assert(vw6 == s6(vowels.sum.toDouble / lens.sum), s"$lang vowels")
+    }
+  }
+
+  test("llm_novelty: first-occurrence shares match the ordered mirror") {
+    val got = SparkEntry.queries("llm_novelty")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val grams = docs.flatMap { case (id, text, _) =>
+      val tk = text.split(" ", -1)
+      if (tk.length < 8) Nil
+      else (0 to tk.length - 8).map(i => (id, tk.slice(i, i + 8).mkString(" "))).distinct
+    }
+    val firstSeen = grams.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val byDoc = grams.groupBy(_._1)
+    assert(got.keySet == byDoc.keySet, "doc domain")
+    byDoc.foreach { case (id, gs) =>
+      val novel = gs.count { case (_, g) => firstSeen(g) == id }.toLong
+      val (n, nv, s) = got(id)
+      assert(n == gs.size.toLong && nv == novel, s"doc $id counts")
+      assert(s == s6(novel.toDouble / gs.size), s"doc $id share")
+    }
+    // the earliest doc is fully novel
+    val firstDoc = byDoc.keys.min
+    assert(got(firstDoc)._3 == 1000000L, "first doc novelty 1")
+  }
+
+  test("win_mtbf: failure gaps and recovery times match the lag mirror") {
+    val got = SparkEntry.queries("win_mtbf")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    events.groupBy(_._1).foreach { case (u, rows) =>
+      val ordered = rows.sortBy(e => (e._3, e._2))
+      val errIdx = ordered.zipWithIndex.filter(_._1._5 == "error")
+      if (errIdx.isEmpty) assert(!got.contains(u))
+      else {
+        val errTimes = errIdx.map(_._1._3)
+        val tbf = errTimes.zip(errTimes.drop(1)).map { case (a, b) => b - a }
+        val ttr = errIdx.flatMap { case (e, i) =>
+          ordered.drop(i + 1).find(_._5 != "error").map(_._3 - e._3)
+        }
+        val (nf, ng, mtbf, mttr) = got(u)
+        assert(nf == errIdx.size.toLong && ng == tbf.size.toLong, s"$u counts")
+        def fmean(xs: Seq[Long]): Option[Long] =
+          if (xs.isEmpty) None
+          else Some(math.floor(xs.sum.toDouble / xs.size + 0.5).toLong)
+        assert(mtbf == fmean(tbf), s"$u mtbf")
+        assert(mttr == fmean(ttr), s"$u mttr")
+      }
+    }
+  }
 }
