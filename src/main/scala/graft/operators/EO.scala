@@ -620,6 +620,44 @@ object EO {
           .orderBy("tile", "dir")
       }),
 
+    // Morphological gradient (round 9, closing wave) — Beucher's
+    // dilation − erosion, the edge detector of grayscale morphology
+    // (the boundary-extraction step after eo_tile_morph's binary
+    // closing): two NEW native extremum stencils (TileFocalExtremum3x3,
+    // the max/min siblings of the focal-sum family) feed one per-pixel
+    // subtract, all map-only per tile; comparisons are exact in float32
+    // so integer pixels stay integral and the DuckDB oracle spells the
+    // same 9-neighbor MAX/MIN via the offsets-dimension join on global
+    // pixel coordinates. Interior 14×14, the focal halo contract.
+    Q("eo_tile_morph_gradient", Some(
+      "WITH px AS (SELECT (event_id // 4) // 256 AS tile, " +
+        "((event_id // 4) % 256) // 16 AS py, ((event_id // 4) % 256) % 16 AS px, " +
+        "event_id % 4 AS t, CAST(user_id AS BIGINT) AS v FROM events), " +
+        "full_t AS (SELECT tile FROM px WHERE t = 0 GROUP BY tile HAVING COUNT(*) = 256), " +
+        "p0 AS (SELECT p.tile, py, px, v FROM px p JOIN full_t USING (tile) WHERE t = 0), " +
+        "offs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) AS o(dy, dx)), " +
+        "nb AS (SELECT o.tile, o.py, o.px, n.v FROM p0 o CROSS JOIN offs f " +
+        "JOIN p0 n ON n.tile = o.tile AND n.py = o.py + f.dy AND n.px = o.px + f.dx " +
+        "WHERE o.py BETWEEN 1 AND 14 AND o.px BETWEEN 1 AND 14), " +
+        "g AS (SELECT tile, py, px, MAX(v) - MIN(v) AS grad FROM nb GROUP BY tile, py, px) " +
+        "SELECT tile, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(grad) AS BIGINT) AS sum_grad, CAST(MAX(grad) AS BIGINT) AS max_grad, " +
+        "CAST(SUM(grad * ((py - 1) * 14 + (px - 1) + 1)) AS BIGINT) AS checksum " +
+        "FROM g GROUP BY tile ORDER BY tile"),
+      (s, d) => {
+        val grid = eventTiles(s, d, Seq("v" -> col("user_id")))
+          .where(size(col("data")) === 256 && col("time") === 0)
+        val grad = graft.raster.RasterGrid.morphGradient3x3(grid, h = 16, w = 16)
+        grad.select(col("tile_y").cast("long").as("tile"),
+            posexplode(col("data")).as(Seq("opos", "g")))
+          .groupBy("tile")
+          .agg(count(lit(1)).as("n"),
+            sum(col("g").cast("long")).as("sum_grad"),
+            max(col("g").cast("long")).as("max_grad"),
+            sum(col("g").cast("long") * (col("opos") + 1)).as("checksum"))
+          .orderBy("tile")
+      }),
+
     // Zonal cross-tabulation (round 9, seventh wave) — the accuracy-
     // assessment / land-cover-transition CONTINGENCY table (zone ×
     // class counts with row shares) that every classified-map validation

@@ -263,6 +263,20 @@ object RasterGrid {
       TileExprs.upCubic(col("data"), h, w).as("data"))
   }
 
+  /** Beucher morphological gradient over each tile's interior: grayscale
+    * dilation − erosion (the 3×3 max − min), the classic morphology edge
+    * detector. Two native extremum stencils feed one per-pixel subtract;
+    * comparisons are exact in float, so integer inputs stay integral.
+    * Same (h−2)×(w−2) interior/halo contract as [[focalSum3x3]]. */
+  def morphGradient3x3(df: DataFrame, h: Int, w: Int): DataFrame = {
+    require(h >= 3 && w >= 3, "focal window needs a 3x3 interior")
+    TileExprs.register(df.sparkSession)
+    df.select(col("product"), col("band"), col("time"),
+      col("tile_y"), col("tile_x"),
+      zip_with(TileExprs.max3(col("data"), h, w),
+        TileExprs.min3(col("data"), h, w), (a, b) => a - b).as("data"))
+  }
+
   /** 3×3 focal (neighborhood) SUM over each tile's interior — the box-
     * filter member of the focal-statistics family (GDAL focal stats /
     * xarray rolling [PK]). Output is the (h−2)×(w−2) interior: edge

@@ -463,10 +463,97 @@ case class TileUpCubicRows(first: Expression, second: Expression, third: Express
     copy(first = f, second = s, third = t)
 }
 
+/** 3×3 interior focal EXTREMUM — one stencil class for both the grayscale
+  * DILATE (max) and ERODE (min) of mathematical morphology; float
+  * comparisons are exact (no arithmetic), so composition stays on the
+  * integer grid whenever inputs are small integers. Output (h−2)×(w−2),
+  * the focalSum3x3 interior/halo contract. */
+case class TileFocalExtremum3x3(first: Expression, second: Expression,
+    third: Expression, isMax: Boolean)
+    extends TernaryExpression {
+
+  override def prettyName: String =
+    if (isMax) TileExprs.Max3Name else TileExprs.Min3Name
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType, _), IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<float>, int, int), got $other")
+    }
+
+  override def nullSafeEval(d: Any, hh: Any, ww: Any): Any = {
+    val a = d.asInstanceOf[ArrayData]
+    val h = hh.asInstanceOf[Int]; val w = ww.asInstanceOf[Int]
+    TileExprs.requireGeometry(prettyName, a.numElements(), h, w, 1, minDim = 3)
+    val oh = h - 2; val ow = w - 2
+    val out = new Array[Float](oh * ow)
+    var oy = 0
+    while (oy < oh) {
+      var ox = 0
+      while (ox < ow) {
+        val c = (oy + 1) * w + (ox + 1)
+        var m = a.getFloat(c - w - 1)
+        var i = 0
+        val offs = Array(-w, -w + 1, -1, 0, 1, w - 1, w, w + 1)
+        while (i < 8) {
+          val v = a.getFloat(c + offs(i))
+          if (if (isMax) v > m else v < m) m = v
+          i += 1
+        }
+        out(oy * ow + ox) = m
+        ox += 1
+      }
+      oy += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (d, hh, ww) => {
+      val h = ctx.freshName("h"); val w = ctx.freshName("w")
+      val oh = ctx.freshName("oh"); val ow = ctx.freshName("ow")
+      val out = ctx.freshName("out"); val c = ctx.freshName("c")
+      val oy = ctx.freshName("oy"); val ox = ctx.freshName("ox")
+      val m = ctx.freshName("m"); val v = ctx.freshName("v")
+      val cmp = if (isMax) ">" else "<"
+      val offs = Seq("- $W - 1", "- $W", "- $W + 1", "- 1", "", "+ 1",
+        "+ $W - 1", "+ $W", "+ $W + 1")
+      val reads = offs.map(o => o.replace("$W", w)).map { o =>
+        s"""|    { float $v = $d.getFloat($c $o); if ($v $cmp $m) $m = $v; }"""
+          .stripMargin
+      }
+      s"""
+         |int $h = $hh; int $w = $ww;
+         |graft.raster.TileExprs.requireGeometry("$prettyName", $d.numElements(), $h, $w, 1, 3);
+         |int $oh = $h - 2; int $ow = $w - 2;
+         |float[] $out = new float[$oh * $ow];
+         |for (int $oy = 0; $oy < $oh; $oy++) {
+         |  for (int $ox = 0; $ox < $ow; $ox++) {
+         |    int $c = ($oy + 1) * $w + ($ox + 1);
+         |    float $m = ${if (isMax) "Float.NEGATIVE_INFINITY" else "Float.POSITIVE_INFINITY"};
+         |${reads.mkString("\n")}
+         |    $out[$oy * $ow + $ox] = $m;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 object TileExprs {
 
   val Up2xName = "graft_tile_up2x"
   val UpCubicName = "graft_tile_upcubic"
+  val Max3Name = "graft_tile_max3"
+  val Min3Name = "graft_tile_min3"
   val Focal3Name = "graft_tile_focal3"
   val Tri3Name = "graft_tile_tri3"
   val Laplace3Name = "graft_tile_laplace3"
@@ -493,6 +580,10 @@ object TileExprs {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       UpCubicName, ch => TileUpCubicRows(ch(0), ch(1), ch(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      Max3Name, ch => TileFocalExtremum3x3(ch(0), ch(1), ch(2), isMax = true), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      Min3Name, ch => TileFocalExtremum3x3(ch(0), ch(1), ch(2), isMax = false), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       Focal3Name, ch => TileFocalSum3x3(ch(0), ch(1), ch(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       Tri3Name, ch => TileFocalTri3x3(ch(0), ch(1), ch(2)), "built-in")
@@ -508,6 +599,14 @@ object TileExprs {
 
   def upCubic(data: Column, h: Int, w: Int): Column =
     org.apache.spark.sql.functions.call_function(UpCubicName, data,
+      org.apache.spark.sql.functions.lit(h), org.apache.spark.sql.functions.lit(w))
+
+  def max3(data: Column, h: Int, w: Int): Column =
+    org.apache.spark.sql.functions.call_function(Max3Name, data,
+      org.apache.spark.sql.functions.lit(h), org.apache.spark.sql.functions.lit(w))
+
+  def min3(data: Column, h: Int, w: Int): Column =
+    org.apache.spark.sql.functions.call_function(Min3Name, data,
       org.apache.spark.sql.functions.lit(h), org.apache.spark.sql.functions.lit(w))
 
   def focal3(data: Column, h: Int, w: Int): Column =

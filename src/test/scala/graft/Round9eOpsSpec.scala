@@ -1469,6 +1469,60 @@ class Round9eOpsSpec extends SparkSpec {
     }
   }
 
+  test("TileFocalExtremum3x3: dilate/erode and the Beucher gradient on a known grid") {
+    import spark.implicits._
+    graft.raster.TileExprs.register(spark)
+    val h = 4; val w = 5
+    // a ramp with one spike: interior extrema are hand-checkable
+    val tile = Array(
+      0f, 1f, 2f, 3f, 4f,
+      1f, 2f, 9f, 4f, 5f,
+      2f, 3f, 4f, 5f, 6f,
+      3f, 4f, 5f, 6f, 7f).toSeq
+    val df = Seq(tile).toDF("data").select(
+      graft.raster.TileExprs.max3(col("data"), h, w).as("mx"),
+      graft.raster.TileExprs.min3(col("data"), h, w).as("mn"))
+    val row = df.collect().head
+    val mx = row.getSeq[Float](0); val mn = row.getSeq[Float](1)
+    assert(mx.length == (h - 2) * (w - 2) && mn.length == mx.length)
+    // interior (1,1): 3x3 block rows 0-2 cols 0-2 -> max 9 (the spike), min 0
+    assert(mx(0) == 9f && mn(0) == 0f)
+    // interior (1,3): rows 0-2 cols 2-4 -> max 9, min 2
+    assert(mx(2) == 9f && mn(2) == 2f)
+    // interior (2,2): rows 1-3 cols 1-3 -> max 9, min 2
+    assert(mx(4) == 9f && mn(4) == 2f)
+    // gradient is nonnegative everywhere and zero only on flats
+    mx.zip(mn).foreach { case (a, b) => assert(a >= b) }
+  }
+
+  test("eo_tile_morph_gradient: stencil pair matches the neighbor-join mirror") {
+    val dir01 = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("eo_tile_morph_gradient")(spark, dir01).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got.nonEmpty)
+    val px = Tables.events(spark, dir01)
+      .select(col("event_id"), col("user_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val p0 = px.filter(_._1 % 4 == 0).map { case (id, v) =>
+      val p = id / 4
+      ((p / 256, (p % 256) / 16, (p % 256) % 16), v)
+    }.toMap
+    val fullTiles = p0.keys.groupBy(_._1).filter(_._2.size == 256).keySet
+    fullTiles.foreach { tile =>
+      var n = 0L; var sg = 0L; var mg = 0L; var ck = 0L
+      for (py <- 1L to 14L; pxx <- 1L to 14L) {
+        val nbs = for (dy <- -1 to 1; dx <- -1 to 1)
+          yield p0((tile, py + dy, pxx + dx))
+        val g = nbs.max - nbs.min
+        n += 1; sg += g; mg = math.max(mg, g)
+        ck += g * ((py - 1) * 14 + (pxx - 1) + 1)
+      }
+      val (gn, gs, gm, gc) = got(tile)
+      assert(gn == n && gs == sg && gm == mg && gc == ck, s"tile $tile")
+    }
+  }
+
   test("dq_string_profile: character-class shares match the scan mirror") {
     val got = SparkEntry.queries("dq_string_profile")(spark, sfDir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
