@@ -1740,6 +1740,44 @@ object Aggregates {
           floor(ch + 0.5).cast("long").as("chapman_est"))
       }),
 
+    // Time-decayed mean (round 9, closing wave) — the recency-weighted
+    // feature every feature store materializes (recent behavior counts
+    // more): half-life decay with the weight kept EXACTLY DYADIC —
+    // age buckets of 7 days give w = 2^(−k), realized as the integer
+    // shift 2²⁰ >> k, so numerator Σ v·(2²⁰>>k) and denominator
+    // Σ(2²⁰>>k) are exact int64 sums and the decayed mean is ONE
+    // integer-ratio floor. No pow(), no float weight, merge-order-free
+    // by construction. One user_id partial agg; ages derive from the
+    // corpus max (broadcast).
+    Q("agg_decay_mean", Some(
+      "WITH g AS (SELECT MAX(CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400) AS dmax FROM events), " +
+        "b AS (SELECT user_id, " + sqlS2("value") + " AS v, " +
+        "LEAST(((SELECT dmax FROM g) - CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400) // 7, 20) AS k " +
+        "FROM events WHERE event_type = 'purchase'), " +
+        "w AS (SELECT user_id, v, (1048576 >> CAST(k AS INTEGER)) AS wt FROM b) " +
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(wt) AS BIGINT) AS wsum, " +
+        "CAST(FLOOR(CAST(SUM(v * wt) AS DOUBLE) / CAST(SUM(wt) AS DOUBLE) + 0.5) AS BIGINT) AS decayed_c, " +
+        "CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS plain_c " +
+        "FROM w GROUP BY user_id ORDER BY user_id"),
+      (s, d) => {
+        val g = T.events(s, d)
+          .agg(max(expr("unix_timestamp(ts) div 86400")).as("dmax"))
+        val b = T.events(s, d).where(col("event_type") === "purchase")
+          .crossJoin(broadcast(g))
+          .select(col("user_id"), s2(col("value")).as("v"),
+            least(expr("(dmax - unix_timestamp(ts) div 86400) div 7"), lit(20L))
+              .as("k"))
+        b.withColumn("wt", expr("shiftright(1048576L, cast(k as int))"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"), sum("wt").as("wsum"),
+            floor(sum(col("v") * col("wt")).cast("double") /
+              sum("wt").cast("double") + 0.5).cast("long").as("decayed_c"),
+            floor(sum("v").cast("double") / count(lit(1)) + 0.5).cast("long")
+              .as("plain_c"))
+          .orderBy("user_id")
+      }),
+
     // Hill diversity numbers (round 9, seventh wave) — ecology's unified
     // diversity ladder applied to behavioral mixes (Hill 1973): per
     // user-decile bucket, ⁰D = richness (distinct event types), ¹D =

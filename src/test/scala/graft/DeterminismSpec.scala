@@ -59,7 +59,8 @@ class DeterminismSpec extends SparkSpec {
       // closeness loop, Otsu argmax windows, LTTB picks, doubled-MAD
       // quantiles and the diversity/crosstab shares
       "llm_simhash_est", "graph_closeness", "eo_tile_otsu", "win_lttb",
-      "agg_mad", "agg_hill_diversity", "eo_crosstab", "win_slo_burn")
+      "agg_mad", "agg_hill_diversity", "eo_crosstab", "win_slo_burn",
+      "llm_novelty", "win_mtbf", "eo_tile_morph_gradient", "agg_decay_mean")
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     val base = keys.map(k => k -> SparkEntry.queries(k)(spark, sfDir).collect().toSeq).toMap
     try {

@@ -1469,6 +1469,26 @@ class Round9eOpsSpec extends SparkSpec {
     }
   }
 
+  test("agg_decay_mean: dyadic weights match the shift mirror; recency pulls") {
+    val got = SparkEntry.queries("agg_decay_mean")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    val dmax = events.map(_._3 / 86400).max
+    events.filter(_._5 == "purchase").groupBy(_._1).foreach { case (u, rows) =>
+      val pts = rows.map { e =>
+        val k = math.min((dmax - e._3 / 86400) / 7, 20L)
+        (s2(e._4), 1048576L >> k.toInt)
+      }
+      val wsum = pts.map(_._2).sum
+      val num = pts.map { case (v, w) => v * w }.sum
+      val (n, gw, dec, plain) = got(u)
+      assert(n == pts.size.toLong && gw == wsum, s"user $u weights")
+      assert(dec == math.floor(num.toDouble / wsum + 0.5).toLong, s"user $u decayed")
+      assert(plain ==
+        math.floor(pts.map(_._1).sum.toDouble / pts.size + 0.5).toLong, s"user $u plain")
+    }
+  }
+
   test("TileFocalExtremum3x3: dilate/erode and the Beucher gradient on a known grid") {
     import spark.implicits._
     graft.raster.TileExprs.register(spark)
