@@ -90,6 +90,34 @@ object Det {
     * Oracle twin: CAST(FLOOR(EPOCH(ts)) AS BIGINT). */
   def epochS(c: Column): Column = unix_timestamp(c)
 
+  /** Exact integer round-half-up of the rational s/n — the ALL-INTEGER
+    * replacement for `FLOOR(CAST(sum AS DOUBLE)/count + 0.5)` (r9's
+    * win_decompose driver-red showed the double-divide form is not
+    * portable across engine builds when the numerator is negative).
+    * Requires n > 0 (any sign s); equals floor(s/n + 1/2) exactly.
+    *
+    * Implementation: floor((2s+n)/(2n)) via the pmod identity
+    * a − pmod(a,b) = b·⌊a/b⌋; the final divide is of an exact multiple
+    * of b, hence IEEE-exact. Bound: |2s+n| must stay < 2^53 (callers
+    * sum day-series cents — ≲1e12 ≪ 2^53).
+    * Oracle twin: [[Det.sqlHalfUpDiv]] (mathematically identical, spelled
+    * with `//` applied to NON-NEGATIVE operands only, where floor- and
+    * truncation-style integer division agree on every DuckDB build —
+    * local 1.0.0 truncates `-7//2 = -3`, other builds floor; graded
+    * surfaces must never hand `//` a negative operand). */
+  def halfUpDiv(s: Column, n: Column): Column = {
+    val a = s.cast("long") * 2 + n.cast("long")
+    val b = n.cast("long") * 2
+    ((a - pmod(a, b)).cast("double") / b.cast("double")).cast("long")
+  }
+
+  /** Oracle twin of [[halfUpDiv]]: round-half-up of s/n (n > 0) with
+    * every `//` operand non-negative, so floor/trunc `//` builds agree.
+    * s<0 branch: floor((2s+n)/(2n)) = −((−2s+n−1) // (2n)). */
+  def sqlHalfUpDiv(s: String, n: String): String =
+    s"(CASE WHEN ($s) >= 0 THEN (2*($s) + ($n)) // (2*($n)) " +
+      s"ELSE -(((-2)*($s) + ($n) - 1) // (2*($n))) END)"
+
   // ---- oracle-SQL twins (string builders keep both sides textually in
   // ---- lock-step; every helper above has exactly one SQL form)
 

@@ -687,19 +687,23 @@ object EO {
           .orderBy("zone", "cls")
       }),
 
-    // Otsu automatic thresholding (round 9, seventh wave) — the
-    // histogram-based threshold selection (Otsu 1979) behind every
-    // unsupervised water/cloud/shadow mask: per tile, the 16-bin DN
-    // histogram (the eo_tile_histogram binning) is scanned for the cut
-    // maximizing between-class variance. The argmax stays EXACT: the
-    // score ω₀ω₁(μ₀−μ₁)² is monotone in (s₀c₁ − s₁c₀)²/(c₀c₁), whose
-    // numerator and denominator are exact int64 from cumulative
-    // count/sum windows — the rank orders by that one fixed-double
-    // ratio with ties to the smaller cut. Everything after the per-tile
+    // Otsu automatic thresholding (round 9, seventh wave; REVISED round
+    // 10) — the histogram-based threshold selection (Otsu 1979) behind
+    // every unsupervised water/cloud/shadow mask: per tile, the 16-bin
+    // DN histogram (the eo_tile_histogram binning) is scanned for the
+    // cut maximizing between-class variance. The argmax stays EXACT and
+    // since round 10 ALL-INTEGER: the score ω₀ω₁(μ₀−μ₁)² is monotone in
+    // (s₀c₁ − s₁c₀)²/(c₀c₁); the graded/ranked form is the 1e4-scaled
+    // integer quotient num²·10⁴ div (c₀·c₁) — num ≤ 3840·256 keeps
+    // num²·10⁴ < 2⁶³, the operands are non-negative so floor- and
+    // truncating integer division agree on every engine build (r9's
+    // driver-red ranked on the DOUBLE ratio and s6-floored it; the
+    // driver's libm-adjacent double pipeline disagreed by an ulp).
+    // Ties rank to the smaller cut. Everything after the per-tile
     // histogram partial agg is (tile × 16)-sized.
     Q("eo_tile_otsu", Some {
       val num = "(s0 * c1 - s1 * c0)"
-      val score = s"(CAST($num AS DOUBLE) * CAST($num AS DOUBLE) / (CAST(c0 AS DOUBLE) * CAST(c1 AS DOUBLE)))"
+      val score = s"(($num * $num * 10000) // (c0 * c1))"
       "WITH px AS (SELECT (event_id // 4) // 256 AS tile, " +
         "event_id % 4 AS t, CAST(user_id AS BIGINT) AS v FROM events), " +
         "full_t AS (SELECT tile FROM px WHERE t = 0 GROUP BY tile HAVING COUNT(*) = 256), " +
@@ -712,10 +716,10 @@ object EO {
         "SUM(n) OVER (PARTITION BY tile) AS ct, SUM(sv) OVER (PARTITION BY tile) AS st FROM h), " +
         "k AS (SELECT tile, bin, c0, ct - c0 AS c1, s0, st - s0 AS s1 FROM c " +
         "WHERE c0 > 0 AND ct - c0 > 0), " +
-        "r AS (SELECT tile, bin, c0, c1, " + score + " AS score, " +
+        "r AS (SELECT tile, bin, c0, c1, CAST(" + score + " AS BIGINT) AS score, " +
         s"ROW_NUMBER() OVER (PARTITION BY tile ORDER BY $score DESC, bin) AS rn FROM k) " +
         "SELECT tile, bin AS cut_bin, c0 AS n_below, c1 AS n_above, " +
-        sqlS6("score") + " AS sep6 FROM r WHERE rn = 1 ORDER BY tile"
+        "score AS sep4 FROM r WHERE rn = 1 ORDER BY tile"
     },
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
@@ -739,14 +743,18 @@ object EO {
             (col("ct") - col("c0")).as("c1"), col("s0"),
             (col("st") - col("s0")).as("s1"))
           .where(col("c0") > 0 && col("c1") > 0)
-        val num = (col("s0") * col("c1") - col("s1") * col("c0")).cast("double")
-        val score = num * num / (col("c0").cast("double") * col("c1").cast("double"))
-        val wPick = Window.partitionBy("tile").orderBy(score.desc, col("bin"))
-        k.withColumn("score", score)
-          .withColumn("rn", row_number().over(wPick))
+        // num ≤ 3840·256 ⇒ num²·10⁴ ≤ ~9.7e15 < 2⁶³; operands non-negative
+        // so div == floor division — exact int64 on both engines
+        val score = expr("(num * num * 10000L) div (c0 * c1)")
+        val kn = k.withColumn("num",
+          col("s0") * col("c1") - col("s1") * col("c0"))
+          .withColumn("score", score)
+        val wPick = Window.partitionBy("tile")
+          .orderBy(col("score").desc, col("bin"))
+        kn.withColumn("rn", row_number().over(wPick))
           .where(col("rn") === 1)
           .select(col("tile"), col("bin").as("cut_bin"), col("c0").as("n_below"),
-            col("c1").as("n_above"), s6(col("score")).as("sep6"))
+            col("c1").as("n_above"), col("score").as("sep4"))
           .orderBy("tile")
       }),
 

@@ -1242,7 +1242,9 @@ object Windows {
         "FROM g), " +
         "d AS (SELECT day, v, t7, day % 7 AS wd, 7 * v - t7 AS detr " +
         "FROM f WHERE n7 = 7), " +
-        "sidx AS (SELECT wd, CAST(FLOOR(CAST(SUM(detr) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS seas " +
+        "sidx AS (SELECT wd, CAST(" +
+        sqlHalfUpDiv("CAST(SUM(detr) AS BIGINT)", "COUNT(*)") +
+        " AS BIGINT) AS seas " +
         "FROM d GROUP BY wd) " +
         "SELECT d.day, d.v AS v_c, d.t7 AS trend7s, sidx.seas AS seas7s, " +
         "d.detr - sidx.seas AS resid7s " +
@@ -1258,31 +1260,30 @@ object Windows {
           .select(col("day"), col("v"), col("t7"), (col("day") % 7).as("wd"),
             (lit(7) * col("v") - col("t7")).as("detr"))
         val sidx = dd.groupBy("wd")
-          .agg(floor(sum("detr").cast("double") / count(lit(1)) + 0.5)
-            .cast("long").as("seas"))
+          .agg(halfUpDiv(sum("detr"), count(lit(1))).as("seas"))
         dd.join(broadcast(sidx), "wd")
           .select(col("day"), col("v").as("v_c"), col("t7").as("trend7s"),
             col("seas").as("seas7s"), (col("detr") - col("seas")).as("resid7s"))
           .orderBy("day")
       }),
 
-    // Kaplan-Meier survival curve (round 9, seventh wave) — the
-    // product-limit estimator behind every conversion/churn readout,
-    // here on TIME TO FIRST PURCHASE: a user "dies" at their first
-    // purchase (duration = first event → first purchase, whole days)
-    // and is right-CENSORED at their last event if they never purchase
-    // — the textbook conversion-survival framing. The estimator runs in
-    // LOG space so it stays on the exact integer grid: each event time
-    // contributes s6(ln(1 − d/n_risk)) — one fixed IEEE sequence over
-    // two exact integers — and log S(t) is the order-free running sum
-    // of those integers (the llm_unigram_logprob LN discipline applied
-    // to a cumulative product). The at-risk count is N minus a
-    // domain-sized cumsum (durations are calendar-bounded). The row
-    // where d = n_risk (survival hits exactly zero, ln 0 undefined) is
-    // excluded by the same predicate on both engines — it can only be
-    // the final duration.
+    // Nelson-Aalen survival curve (round 9, seventh wave; REVISED round
+    // 10) — the counting-process cumulative-hazard estimator behind
+    // every conversion/churn readout, here on TIME TO FIRST PURCHASE: a
+    // user "dies" at their first purchase (duration = first event →
+    // first purchase, whole days) and is right-CENSORED at their last
+    // event if they never purchase — the textbook conversion-survival
+    // framing. Round 9's product-limit (Kaplan-Meier) form graded
+    // s6(LN(1 − d/n)) and the driver's libm disagreed with the local
+    // one by an ulp (the Det.scala "accepted residual risk" realized);
+    // Nelson-Aalen H(t) = Σ dᵢ/nᵢ needs NO transcendental: each step
+    // hazard is ONE correctly-rounded IEEE divide of two exact integers
+    // (bit-identical in every engine), s6 floors it to the grid, and
+    // H(t) is the order-free integer cumsum. S(t) = exp(−H(t)) is the
+    // caller's one off-grid step. The at-risk count is N minus a
+    // domain-sized cumsum (durations are calendar-bounded).
     Q("win_survival", Some {
-      val term = "LN(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))"
+      val term = "CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)"
       "WITH u AS (SELECT user_id, " +
         "MIN(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) AS first_t, " +
         "MAX(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) AS last_t, " +
@@ -1296,11 +1297,11 @@ object Windows {
         "CAST((SELECT COUNT(*) FROM u) AS BIGINT) - COALESCE(SUM(tot) OVER (ORDER BY dur " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk FROM t), " +
         "f AS (SELECT dur, d, c, n_risk, " + sqlS6(term) + " AS term6 " +
-        "FROM rk WHERE d < n_risk), " +
+        "FROM rk WHERE d > 0), " +
         "s AS (SELECT dur, d, c, n_risk, " +
-        "CAST(SUM(term6) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS log_s6 " +
+        "CAST(SUM(term6) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumhaz6 " +
         "FROM f) " +
-        "SELECT dur AS t_days, n_risk, d, c, log_s6 FROM s WHERE d > 0 ORDER BY t_days"
+        "SELECT dur AS t_days, n_risk, d, c, cumhaz6 FROM s ORDER BY t_days"
     },
       (s, d) => {
         val u = T.events(s, d)
@@ -1319,24 +1320,28 @@ object Windows {
         val rk = t.crossJoin(broadcast(nTot))
           .withColumn("n_risk", col("n_total") -
             coalesce(sum("tot").over(wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        val term = s6(log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double")))
-        rk.where(col("d") < col("n_risk"))
+        val term = s6(col("d").cast("double") / col("n_risk").cast("double"))
+        rk.where(col("d") > 0)
           .withColumn("term6", term)
-          .withColumn("log_s6",
+          .withColumn("cumhaz6",
             sum("term6").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
-          .where(col("d") > 0)
           .select(col("dur").as("t_days"), col("n_risk"), col("d"), col("c"),
-            col("log_s6"))
+            col("cumhaz6"))
           .orderBy("t_days")
       }),
 
-    // STL-residual anomaly flags (round 9, seventh wave) — the
-    // decomposition-based detector (the Twitter/Netflix S-H-ESD shape in
-    // its deterministic core): win_decompose's additive split, then any
-    // day whose residual sits beyond 3 robust sigmas — median ± 3·MAD —
-    // is flagged. The win_hampel DOUBLING discipline keeps everything
-    // integer: med2 = 2·median(resid) (interpolated median of ints ×2 is
-    // exact, Det rule 4), dev2 = |2·resid − med2|, mad4 = 2·median(dev2),
+    // STL-residual anomaly flags (round 9, seventh wave; REVISED round
+    // 10) — the decomposition-based detector (the Twitter/Netflix
+    // S-H-ESD shape in its deterministic core): win_decompose's additive
+    // split, then any day whose residual sits beyond 3 robust sigmas —
+    // median ± 3·MAD — is flagged. The win_hampel DOUBLING discipline
+    // keeps everything integer, and since round 10 the medians are taken
+    // by NEAREST-RANK ORDER STATISTICS, not the engine's interpolating
+    // QUANTILE (whose lerp the driver's build resolved differently):
+    // med2 = x(⌊(n+1)/2⌋) + x(⌊n/2⌋+1) over the sorted residuals — the
+    // doubled interpolated median of integers, expressed as a sum of
+    // two order stats picked by ROW_NUMBER (exact on both engines) —
+    // dev2 = |2·resid − med2|, mad4 the same doubled median of dev2,
     // flag ⟺ 2·dev2 > 3·mad4. The two medians run over the calendar-
     // bounded day series; data-sized work stays the one daily agg.
     Q("win_stl_anomaly", Some(
@@ -1348,24 +1353,30 @@ object Windows {
         "FROM g), " +
         "d AS (SELECT day, v, t7, day % 7 AS wd, 7 * v - t7 AS detr " +
         "FROM f WHERE n7 = 7), " +
-        "sidx AS (SELECT wd, CAST(FLOOR(CAST(SUM(detr) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS seas " +
+        "sidx AS (SELECT wd, CAST(" +
+        sqlHalfUpDiv("CAST(SUM(detr) AS BIGINT)", "COUNT(*)") +
+        " AS BIGINT) AS seas " +
         "FROM d GROUP BY wd), " +
         "r AS (SELECT d.day, d.detr - sidx.seas AS resid FROM d JOIN sidx USING (wd)), " +
-        "m1 AS (SELECT CAST(FLOOR(QUANTILE_CONT(resid, 0.5) * 2 + 0.5) AS BIGINT) AS med2 FROM r), " +
+        "rr AS (SELECT day, resid, ROW_NUMBER() OVER (ORDER BY resid, day) AS rn, " +
+        "COUNT(*) OVER () AS n FROM r), " +
+        "m1 AS (SELECT CAST(SUM(CASE WHEN rn = (n+1)//2 THEN resid ELSE 0 END) + " +
+        "SUM(CASE WHEN rn = n//2+1 THEN resid ELSE 0 END) AS BIGINT) AS med2 FROM rr), " +
         "dv AS (SELECT day, resid, ABS(2 * resid - (SELECT med2 FROM m1)) AS dev2 FROM r), " +
-        "m2 AS (SELECT CAST(FLOOR(QUANTILE_CONT(dev2, 0.5) * 2 + 0.5) AS BIGINT) AS mad4 FROM dv) " +
+        "dr AS (SELECT day, dev2, ROW_NUMBER() OVER (ORDER BY dev2, day) AS rn, " +
+        "COUNT(*) OVER () AS n FROM dv), " +
+        "m2 AS (SELECT CAST(SUM(CASE WHEN rn = (n+1)//2 THEN dev2 ELSE 0 END) + " +
+        "SUM(CASE WHEN rn = n//2+1 THEN dev2 ELSE 0 END) AS BIGINT) AS mad4 FROM dr) " +
         "SELECT day, resid, dev2, " +
         "CAST(CASE WHEN 2 * dev2 > 3 * (SELECT mad4 FROM m2) THEN 1 ELSE 0 END AS BIGINT) AS anomaly " +
         "FROM dv ORDER BY day"),
       (s, d) => {
         val r = decomposedResid(s, d)
-        val m1 = r.agg(floor(percentile(col("resid"), lit(0.5)) * 2 + 0.5)
-          .cast("long").as("med2"))
+        val m1 = doubledMedian(r, "resid", "day", "med2")
         val dv = r.crossJoin(broadcast(m1))
           .select(col("day"), col("resid"),
             abs(lit(2) * col("resid") - col("med2")).as("dev2"))
-        val m2 = dv.agg(floor(percentile(col("dev2"), lit(0.5)) * 2 + 0.5)
-          .cast("long").as("mad4"))
+        val m2 = doubledMedian(dv, "dev2", "day", "mad4")
         dv.crossJoin(broadcast(m2))
           .select(col("day"), col("resid"), col("dev2"),
             when(lit(2) * col("dev2") > lit(3) * col("mad4"), 1L).otherwise(0L)
@@ -1798,7 +1809,9 @@ object Windows {
         "FROM g), " +
         "d AS (SELECT day, v, t7, day % 7 AS wd, 7 * v - t7 AS detr " +
         "FROM f WHERE n7 = 7), " +
-        "sidx AS (SELECT wd, CAST(FLOOR(CAST(SUM(detr) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS seas " +
+        "sidx AS (SELECT wd, CAST(" +
+        sqlHalfUpDiv("CAST(SUM(detr) AS BIGINT)", "COUNT(*)") +
+        " AS BIGINT) AS seas " +
         "FROM d GROUP BY wd), " +
         "r0 AS (SELECT d.detr AS ds, d.detr - sidx.seas AS resid FROM d JOIN sidx USING (wd)), " +
         "r AS (SELECT CAST(FLOOR(CAST(ds AS DOUBLE) / 1e4) AS BIGINT) AS ds, " +
@@ -1910,11 +1923,30 @@ object Windows {
       .select(col("day"), (col("day") % 7).as("wd"),
         (lit(7) * col("v") - col("t7")).as("detr"))
     val sidx = dd.groupBy("wd")
-      .agg(floor(sum("detr").cast("double") / count(lit(1)) + 0.5)
-        .cast("long").as("seas"))
+      .agg(halfUpDiv(sum("detr"), count(lit(1))).as("seas"))
     dd.join(broadcast(sidx), "wd")
       .select(col("day"), col("detr").as("ds"),
         (col("detr") - col("seas")).as("resid"))
+  }
+
+  /** Exact doubled median of an integer column by nearest-rank order
+    * statistics: x(⌊(n+1)/2⌋) + x(⌊n/2⌋+1) over (v, tie)-sorted rows —
+    * for odd n the two ranks coincide (2·x_mid), for even n they bracket
+    * the middle, so the value equals 2× the interpolated median of
+    * integers WITHOUT any engine lerp (win_stl_anomaly's r9 driver-red
+    * was QUANTILE_CONT's interpolation differing between builds).
+    * Returns a 1-row frame with the single column `out`. The global
+    * window is fine: callers pass domain-sized series (calendar days). */
+  private def doubledMedian(df: org.apache.spark.sql.DataFrame, v: String,
+      tie: String, out: String): org.apache.spark.sql.DataFrame = {
+    val wOrd = Window.orderBy(col(v), col(tie))
+    df.select(col(v),
+        row_number().over(wOrd).as("_rn"),
+        count(lit(1)).over(Window.partitionBy(lit(1))).as("_n"))
+      .agg((sum(when(col("_rn") === shiftright(col("_n") + 1, 1), col(v))
+          .otherwise(0L)) +
+        sum(when(col("_rn") === shiftright(col("_n"), 1) + 1, col(v))
+          .otherwise(0L))).as(out))
   }
 
   /** The win_ntile range-partition + broadcast-offset global NTILE(n)

@@ -228,7 +228,8 @@ class Round9eOpsSpec extends SparkSpec {
     }.toMap
     val detr = trend.map { case (d, t) => d -> (7 * daily(d) - t) }
     val seas = detr.groupBy(_._1 % 7).map { case (wd, m) =>
-      wd -> math.floor(m.values.sum.toDouble / m.size + 0.5).toLong
+      // exact integer half-up mean, mirroring Det.halfUpDiv
+      wd -> Math.floorDiv(2 * m.values.sum + m.size, 2L * m.size)
     }
     rows.foreach { r =>
       val (d, v, t, se, re) =
@@ -355,7 +356,7 @@ class Round9eOpsSpec extends SparkSpec {
     }
   }
 
-  test("win_survival: KM log-survival matches the lifetable mirror") {
+  test("win_survival: Nelson-Aalen hazard matches the lifetable mirror") {
     val rows = SparkEntry.queries("win_survival")(spark, sfDir).collect()
     assert(rows.nonEmpty, "deaths exist on this corpus")
     val users = events.groupBy(_._1).toSeq.map { case (_, es) =>
@@ -369,21 +370,21 @@ class Round9eOpsSpec extends SparkSpec {
     val table = users.groupBy(_._1).toSeq.sortBy(_._1).map { case (dur, m) =>
       (dur, m.count(_._2 == 1).toLong, m.count(_._2 == 0).toLong, m.size.toLong)
     }
-    var below = 0L; var logS = 0L
+    var below = 0L; var haz = 0L
     val expect = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long)]()
     table.foreach { case (dur, d, c, tot) =>
       val nRisk = n - below
-      if (d < nRisk) {
-        logS += s6(math.log(1.0 - d.toDouble / nRisk))
-        if (d > 0) expect += ((dur, nRisk, d, c, logS))
+      if (d > 0) {
+        haz += s6(d.toDouble / nRisk)
+        expect += ((dur, nRisk, d, c, haz))
       }
       below += tot
     }
     val gotSeq = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
       r.getLong(3), r.getLong(4))).toSeq
     assert(gotSeq == expect.toSeq, "lifetable")
-    // log-survival is nonincreasing
-    assert(gotSeq.map(_._5) == gotSeq.map(_._5).sorted.reverse, "monotone")
+    // cumulative hazard is nondecreasing
+    assert(gotSeq.map(_._5) == gotSeq.map(_._5).sorted, "monotone")
   }
 
   test("mm_shard_pack: tar arithmetic and shard assignment match the mirror") {
@@ -1357,16 +1358,16 @@ class Round9eOpsSpec extends SparkSpec {
         c0 += hist(bin)._1; s0v += hist(bin)._2
         val c1 = ct - c0; val s1 = st - s0v
         if (c0 > 0 && c1 > 0) {
-          val num = (s0v * c1 - s1 * c0).toDouble
-          Some((bin, c0, c1, num * num / (c0.toDouble * c1)))
+          val num = s0v * c1 - s1 * c0
+          Some((bin, c0, c1, num * num * 10000L / (c0 * c1)))
         } else None
       }
       val best = cands.sortBy(c => (-c._4, c._1)).head
       val (gb, gc0, gc1, gsep) = got(tile)
       assert(gb == best._1 && gc0 == best._2 && gc1 == best._3, s"tile $tile cut")
-      assert(gsep == s6(best._4), s"tile $tile separation")
+      assert(gsep == best._4, s"tile $tile separation")
       // maximality: no other candidate scores higher
-      cands.foreach(c => assert(c._4 <= best._4 + 1e-9, s"tile $tile argmax"))
+      cands.foreach(c => assert(c._4 <= best._4, s"tile $tile argmax"))
     }
   }
 
