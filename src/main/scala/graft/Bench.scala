@@ -50,10 +50,19 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries_at":$qs,"sf":"$sfDir"}""")
-    // SECOND, short, final summary line: a tail-truncated capture of the
-    // long per-key line above (BENCH_r03 lost its first 34 keys that way)
-    // still parses this headline. Distinct metric name so a first-total-wins
-    // or summing parser cannot double-count (ADVICE r5).
+    // COMPACT full-coverage line (round 10, VERDICT r9 task 6): the
+    // driver keeps only the LAST ~2000 bytes of stdout, so the long
+    // per-key line above loses its head (~300 of 360 keys were invisible
+    // to rounds 3-9). This line carries EVERY key's duration in
+    // DECISECONDS, values only, in SORTED KEY ORDER (reconstruct names
+    // by sorting the registry keyset) — ~1.2 KB, inside the capture.
+    val ds = results.toSeq.sortBy(_._1)
+      .map { case (_, (d, _)) => math.round(d * 10).toString }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"per_key_ds","unit":"ds","order":"sorted_keys","n_keys":${results.size},"v":$ds}""")
+    // short, FINAL summary line: even a tail-truncated capture of the
+    // lines above still parses this headline. Distinct metric name so a
+    // first-total-wins or summing parser cannot double-count (ADVICE r5).
     val slowest5 = results.toSeq.sortBy(-_._2._1).take(5)
       .map { case (k, (d, _)) => f""""$k":$d%.3f""" }.mkString("{", ",", "}")
     println(f"""{"metric":"total_summary","value":$total%.3f,"unit":"sec","n_keys":${results.size},"slowest5":$slowest5,"sf":"$sfDir"}""")

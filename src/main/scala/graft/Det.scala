@@ -26,8 +26,19 @@ import org.apache.spark.sql.functions._
   *  2. A per-row scalar computed from parquet values with +,-,*,/ , abs,
   *     floor/ceil, greatest/least, sqrt (all IEEE-exact or correctly
   *     rounded) is bit-identical across engines, so rule 1 applies to it
-  *     directly. ln/log10/pow may differ by 1 ulp between libm builds —
-  *     accepted residual risk of ~1e-9 per value against the 1e-6 grid.
+  *     directly. ln/log10/pow/exp may differ by 1 ulp between libm
+  *     builds — round 9's driver proved this risk REAL (win_survival
+  *     et al.), so since round 10 NO graded surface calls libm: every
+  *     ln/exp goes through the portable fixed-IEEE-sequence helpers
+  *     below ([[lnInt]]/[[lnRatio]]/[[expP]]), and integer divisions in
+  *     oracles only ever see non-negative operands (DuckDB `//` is
+  *     truncating in 1.0.0 but floor-style in other builds; on
+  *     non-negative operands all builds agree). Graded epoch arithmetic
+  *     additionally assumes non-negative epochs (post-1970 corpus) —
+  *     pinned here so future corpora can't silently violate it. The
+  *     remaining libm surface is trig (sin/cos/tan in the CRS keys),
+  *     documented per key, whose outputs quantize to integer meters
+  *     with ~1e-9 m of drift against a 1 m grid.
   *
   *  3. An engine-internal double AGGREGATION (SUM/AVG/STDDEV over doubles)
   *     is order-dependent and must never reach an output. Canonicalize each
@@ -117,6 +128,115 @@ object Det {
   def sqlHalfUpDiv(s: String, n: String): String =
     s"(CASE WHEN ($s) >= 0 THEN (2*($s) + ($n)) // (2*($n)) " +
       s"ELSE -(((-2)*($s) + ($n) - 1) // (2*($n))) END)"
+
+  // ---- portable transcendentals (round 10) ----------------------------
+  //
+  // Round 9's driver disagreed with the local DuckDB on exactly the keys
+  // whose graded integer floored a bare libm LN (win_survival et al.) —
+  // the Det rule-2 "1 ulp between libm builds, accepted residual risk"
+  // realized. These helpers remove libm from the graded surface entirely:
+  // each is ONE FIXED sequence of IEEE +,-,*,/ ops (all correctly rounded
+  // by the standard), so given identical inputs every engine — Spark's
+  // JVM, DuckDB's C++, the Scala test mirrors — computes bit-identical
+  // doubles BY CONSTRUCTION, independent of libm build. Verified: the
+  // DuckDB 1.0.0 evaluation of these exact op sequences matches an
+  // IEEE-double mirror bit-for-bit over 1..3000, 2^52±1, 7^13 (ln) and
+  // a [−3.25, 10.125] grid (exp); DetLemmaSpec pins Spark == mirror.
+  //
+  // Accuracy (not graded, but keeps the semantics honest): lnP is the
+  // atanh series 2z(1 + z²/3 + … + z¹⁴/15), z = (m−1)/(m+1) ≤ 1/3 after
+  // the power-of-two reduction x = 2^e·m, m ∈ [1,2) — |lnP − ln| ≤ ~1e-9.
+  // expP is the Taylor sum to r¹³/13! after r = x − k·ln2, |r| ≤ ln2/2 —
+  // ~1e-16 relative, |x| ≤ 700.
+  //
+  // SQL-side note: the builders textually substitute their argument ~10
+  // times — pass a SHORT column reference (alias complex expressions in
+  // a prior CTE), or the oracle string balloons.
+
+  private val Ln2 = 0.6931471805599453
+  private val FactD: Array[Double] = Array(1.0, 1.0, 2.0, 6.0, 24.0, 120.0,
+    720.0, 5040.0, 40320.0, 362880.0, 3628800.0, 39916800.0, 479001600.0,
+    6227020800.0)
+
+  /** Portable natural log of a positive BIGINT (fixed IEEE op sequence;
+    * see block comment). Caller guarantees x ≥ 1. */
+  def lnInt(c: Column): Column = {
+    val x = c.cast("long")
+    val e = length(bin(x)) - 1
+    val p2 = call_function("shiftleft", lit(1L), e)
+    val m = x.cast("double") / p2.cast("double")
+    val z = (m - lit(1.0)) / (m + lit(1.0))
+    val w = z * z
+    val ser = Seq(13, 11, 9, 7, 5, 3).foldLeft(lit(1.0 / 15.0)) { (acc, k) =>
+      lit(1.0 / k) + w * acc
+    }
+    e.cast("double") * lit(Ln2) + lit(2.0) * z * (lit(1.0) + w * ser)
+  }
+
+  /** Scala mirror of [[lnInt]] — same op sequence, for test mirrors. */
+  def lnIntD(x: Long): Double = {
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val m = x.toDouble / (1L << e).toDouble
+    val z = (m - 1.0) / (m + 1.0)
+    val w = z * z
+    var ser = 1.0 / 15.0
+    Seq(13, 11, 9, 7, 5, 3).foreach(k => ser = 1.0 / k + w * ser)
+    e.toDouble * Ln2 + 2.0 * z * (1.0 + w * ser)
+  }
+
+  /** Oracle twin of [[lnInt]]. `x` MUST be a short column reference. */
+  def sqlLnInt(x: String): String = {
+    val e = s"(length(bin(CAST(($x) AS BIGINT))) - 1)"
+    val p2 = s"(CAST(1 AS BIGINT) << $e)"
+    val m = s"(CAST(($x) AS DOUBLE) / CAST($p2 AS DOUBLE))"
+    val z = s"(($m - 1.0) / ($m + 1.0))"
+    val w = s"($z * $z)"
+    val ser = Seq(13, 11, 9, 7, 5, 3)
+      .foldLeft("(1.0/15.0)")((acc, k) => s"((1.0/$k.0) + $w * $acc)")
+    s"(CAST($e AS DOUBLE) * 0.6931471805599453 + (2.0 * $z * (1.0 + $w * $ser)))"
+  }
+
+  /** Portable ln(a/b) over positive BIGINTs = lnInt(a) − lnInt(b) (one
+    * more correctly-rounded subtract; error ≤ ~2e-9). */
+  def lnRatio(a: Column, b: Column): Column = lnInt(a) - lnInt(b)
+  def lnRatioD(a: Long, b: Long): Double = lnIntD(a) - lnIntD(b)
+  def sqlLnRatio(a: String, b: String): String =
+    s"(${sqlLnInt(a)} - ${sqlLnInt(b)})"
+
+  /** Portable exp of a double (fixed IEEE op sequence; see block
+    * comment). |x| ≤ 700 (the 2^k scaling shifts by |k| ≤ 63 bits). */
+  def expP(c: Column): Column = {
+    val k = floor(c / lit(Ln2) + lit(0.5)).cast("long")
+    val r = c - k.cast("double") * lit(Ln2)
+    val ser = (0 to 12).reverse.foldLeft(lit(1.0 / FactD(13))) { (acc, i) =>
+      lit(1.0 / FactD(i)) + r * acc
+    }
+    when(k >= 0,
+      ser * call_function("shiftleft", lit(1L), k.cast("int")).cast("double"))
+      .otherwise(
+        ser / call_function("shiftleft", lit(1L), (-k).cast("int")).cast("double"))
+  }
+
+  /** Scala mirror of [[expP]]. */
+  def expPD(x: Double): Double = {
+    val k = math.floor(x / Ln2 + 0.5).toLong
+    val r = x - k.toDouble * Ln2
+    var ser = 1.0 / FactD(13)
+    (0 to 12).reverse.foreach(i => ser = 1.0 / FactD(i) + r * ser)
+    if (k >= 0) ser * (1L << k).toDouble else ser / (1L << -k).toDouble
+  }
+
+  /** Oracle twin of [[expP]]. `x` MUST be a short column reference. */
+  def sqlExpP(x: String): String = {
+    val k = s"(CAST(FLOOR(($x) / 0.6931471805599453 + 0.5) AS BIGINT))"
+    val r = s"(($x) - CAST($k AS DOUBLE) * 0.6931471805599453)"
+    val ser = (0 to 12).reverse
+      .foldLeft(s"(1.0/${FactD(13).toLong}.0)") { (acc, i) =>
+        s"((1.0/${FactD(i).toLong}.0) + $r * $acc)"
+      }
+    s"(CASE WHEN $k >= 0 THEN $ser * CAST((CAST(1 AS BIGINT) << $k) AS DOUBLE) " +
+      s"ELSE $ser / CAST((CAST(1 AS BIGINT) << (-$k)) AS DOUBLE) END)"
+  }
 
   // ---- oracle-SQL twins (string builders keep both sides textually in
   // ---- lock-step; every helper above has exactly one SQL form)

@@ -21,6 +21,7 @@ object SparkEntry {
       operators.Graph.all ++
       operators.SqlSurface.all ++
       sources.SceneCatalog.all ++
+      sources.GeoTiffScan.all ++
       functions.Scalars.all ++
       functions.Udfs.all ++
       streaming.StreamTwins.all

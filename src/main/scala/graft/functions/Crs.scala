@@ -165,7 +165,7 @@ object Crs {
       s"crsi_u AS (SELECT *, mu + ($f1) * SIN(mu * 2) + ($f2) * SIN(mu * 4) + ($f3) * SIN(mu * 6) + ($f4) * SIN(mu * 8) AS phi1 FROM crsi_t), " +
       s"crsi_v AS (SELECT *, SIN(phi1) AS sp1, COS(phi1) AS cp1, TAN(phi1) AS tp1 FROM crsi_u), " +
       s"crsi_w AS (SELECT *, ($EP2) * cp1 * cp1 AS cc1, tp1 * tp1 AS tt1, 1.0 - ($E2) * sp1 * sp1 AS om FROM crsi_v), " +
-      s"crsi_x AS (SELECT *, ($A) / SQRT(om) AS n1, ($aOneMinusE2) / POWER(om, 1.5) AS r1 FROM crsi_w), " +
+      s"crsi_x AS (SELECT *, ($A) / SQRT(om) AS n1, ($aOneMinusE2) / (om * SQRT(om)) AS r1 FROM crsi_w), " +
       s"crsi_y AS (SELECT *, xx / (n1 * ($K0)) AS d FROM crsi_x), " +
       s"crsi_z AS (SELECT *, d * d AS d2 FROM crsi_y), " +
       s"crsi_out AS (SELECT *, DEGREES(phi1 - (n1 * tp1 / r1) * (d2 / 2 " +
@@ -196,7 +196,9 @@ object Crs {
     val t1 = tanPhi1 * tanPhi1
     val oneMinusE2Sin2 = lit(1.0) - lit(E2) * sinPhi1 * sinPhi1
     val n1 = lit(A) / sqrt(oneMinusE2Sin2)
-    val r1 = lit(A * (1 - E2)) / pow(oneMinusE2Sin2, 1.5)
+    // om^1.5 spelled om·√om: two correctly-rounded IEEE ops, portable
+    // across builds (libm pow is not — Det "portable transcendentals")
+    val r1 = lit(A * (1 - E2)) / (oneMinusE2Sin2 * sqrt(oneMinusE2Sin2))
     val d = x / (n1 * lit(K0))
     val d2 = d * d
     val d3 = d2 * d

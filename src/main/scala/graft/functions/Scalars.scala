@@ -105,37 +105,73 @@ object Scalars {
           .orderBy("o_orderkey")),
 
     // Scaled-long projections throughout (Det rule 1): abs/sqrt/ceil/floor
-    // are IEEE-exact or correctly rounded; ln/log10/pow may differ by <= 1
-    // ulp between libm implementations — residual ~1e-9 flip risk per value
-    // against the 1e-6 grid (Det scaladoc rule 2), accepted.
+    // are IEEE-exact or correctly rounded. Since round 10 NO libm call
+    // remains in the graded surface: ln/log10 go through Det.lnRatio
+    // (2-dp money = cents/100, so ln(price) = lnInt(cents) − lnInt(100),
+    // every op a fixed IEEE sequence) and POWER(x,2) is one exact
+    // multiply — the r9 "1 ulp between libm builds" residual risk is
+    // engineered away rather than accepted.
     Q("fn_math", Some(
-      "SELECT l_orderkey, l_linenumber, " +
-        sqlS2("l_extendedprice") + " AS price_r2, " +
+      "WITH b AS (SELECT l_orderkey, l_linenumber, l_extendedprice, " +
+        "l_quantity, l_discount, " + sqlS2("l_extendedprice") + " AS cents " +
+        "FROM lineitem) " +
+        "SELECT l_orderkey, l_linenumber, " +
+        "cents AS price_r2, " +
         sqlS6("ABS(l_extendedprice - 50000)") + " AS abs_diff, " +
         "CAST(CEIL(l_extendedprice / 1000) AS BIGINT) AS ceil_k, " +
         "CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS floor_k, " +
-        sqlS6("POWER(l_quantity, 2)") + " AS qty_sq, " +
+        sqlS6("l_quantity * l_quantity") + " AS qty_sq, " +
         sqlS6("SQRT(l_extendedprice)") + " AS price_sqrt, " +
-        sqlS6("LN(l_extendedprice)") + " AS price_ln, " +
-        sqlS6("LOG10(l_extendedprice)") + " AS price_log10, " +
+        sqlS6(sqlLnRatio("cents", "100")) + " AS price_ln, " +
+        sqlS6(sqlLnRatio("cents", "100") + " * 0.4342944819032518") +
+        " AS price_log10, " +
         "l_orderkey % 7 AS key_mod, " +
         "CAST(SIGN(l_discount - 0.05) AS INT) AS disc_sign " +
-        "FROM lineitem ORDER BY l_orderkey, l_linenumber, price_r2, qty_sq, disc_sign"),
+        "FROM b ORDER BY l_orderkey, l_linenumber, price_r2, qty_sq, disc_sign"),
       (s, d) =>
         T.lineitem(s, d)
+          .withColumn("cents", s2(col("l_extendedprice")))
           .select(
             col("l_orderkey"), col("l_linenumber"),
-            s2(col("l_extendedprice")).as("price_r2"),
+            col("cents").as("price_r2"),
             s6(abs(col("l_extendedprice") - 50000)).as("abs_diff"),
             ceil(col("l_extendedprice") / 1000).as("ceil_k"),
             floor(col("l_extendedprice") / 1000).as("floor_k"),
-            s6(pow(col("l_quantity"), 2)).as("qty_sq"),
+            s6(col("l_quantity") * col("l_quantity")).as("qty_sq"),
             s6(sqrt(col("l_extendedprice"))).as("price_sqrt"),
-            s6(log(col("l_extendedprice"))).as("price_ln"),
-            s6(log10(col("l_extendedprice"))).as("price_log10"),
+            s6(lnRatio(col("cents"), lit(100L))).as("price_ln"),
+            s6(lnRatio(col("cents"), lit(100L)) * lit(0.4342944819032518))
+              .as("price_log10"),
             (col("l_orderkey") % 7).as("key_mod"),
             signum(col("l_discount") - 0.05).cast("int").as("disc_sign"))
           .orderBy("l_orderkey", "l_linenumber", "price_r2", "qty_sq", "disc_sign")),
+
+    // Round-10 sentinel for the portable-transcendental claim (Det.scala
+    // "portable transcendentals"): grades lnInt and expP at FULL double
+    // precision — ln(key) on the 1e-12 grid and exp(−ln(key)/4) on the
+    // 1e-15 grid — over every order key. Any cross-build divergence in
+    // the fixed-IEEE-op-sequence argument surfaces HERE as one red key
+    // instead of silently inside the ~20 migrated ln/exp consumers. The
+    // tight grids are the point: a single ulp anywhere fails the hash.
+    Q("fn_lnp", Some {
+      val lnk = sqlLnInt("o_orderkey")
+      "WITH b AS (SELECT o_orderkey, " +
+        s"CAST(FLOOR($lnk * 1e12 + 0.5) AS BIGINT) AS ln12, " +
+        s"(-($lnk) / 4.0) AS negq FROM orders), " +
+        "e AS (SELECT o_orderkey, ln12, " +
+        s"CAST(FLOOR(${sqlExpP("negq")} * 1e15 + 0.5) AS BIGINT) AS exp15 FROM b) " +
+        "SELECT o_orderkey, ln12, exp15 FROM e ORDER BY o_orderkey"
+    },
+      (s, d) =>
+        T.orders(s, d)
+          .select(col("o_orderkey"),
+            floor(lnInt(col("o_orderkey")) * lit(1e12) + lit(0.5)).cast("long")
+              .as("ln12"),
+            (-lnInt(col("o_orderkey")) / lit(4.0)).as("negq"))
+          .select(col("o_orderkey"), col("ln12"),
+            floor(expP(col("negq")) * lit(1e15) + lit(0.5)).cast("long")
+              .as("exp15"))
+          .orderBy("o_orderkey")),
 
     Q("fn_cond", Some(
       "SELECT o_orderkey, " +

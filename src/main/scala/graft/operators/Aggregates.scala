@@ -87,7 +87,7 @@ object Aggregates {
         sum(lit(1.0) / expr("CAST(shiftleft(1L, mreg) AS DOUBLE)")).as("spresent"))
       .select(keys.map(col) :+
         when(eraw <= 2.5 * HllM && v > 0,
-          lit(HllM) * log(lit(HllM.toDouble) / v)).otherwise(eraw).as("est"): _*)
+          lit(HllM) * lnRatio(lit(HllM.toLong), v)).otherwise(eraw).as("est"): _*)
   }
 
   /** Estimate from a finished register table (event_type, j, mreg). */
@@ -101,10 +101,11 @@ object Aggregates {
     * Textually the same arithmetic as the Column form. */
   private def hllEstimateRawSql(p: String, regs: String, keyList: String): String =
     s"${p}agg AS (SELECT $keyList, CAST(COUNT(*) AS BIGINT) AS npresent, " +
+      s"CAST($HllM AS BIGINT) - CAST(COUNT(*) AS BIGINT) AS v, " +
       s"SUM(1.0 / CAST(CAST(1 AS BIGINT) << mreg AS DOUBLE)) AS spresent FROM $regs GROUP BY $keyList), " +
       s"${p}est AS (SELECT $keyList, " +
       s"CASE WHEN (CAST($HllAlpha AS DOUBLE) * $HllM * $HllM / (spresent + CAST($HllM - npresent AS DOUBLE))) <= ${2.5 * HllM} " +
-      s"AND CAST($HllM AS BIGINT) - npresent > 0 THEN $HllM * LN(CAST($HllM AS DOUBLE) / (CAST($HllM AS BIGINT) - npresent)) " +
+      s"AND v > 0 THEN $HllM * ${sqlLnRatio(s"$HllM", "v")} " +
       s"ELSE CAST($HllAlpha AS DOUBLE) * $HllM * $HllM / (spresent + CAST($HllM - npresent AS DOUBLE)) END AS est FROM ${p}agg)"
 
   /** Oracle tail from a `regs(event_type, j, mreg)` CTE — textually the
@@ -116,7 +117,7 @@ object Aggregates {
       s"est AS (SELECT event_type, CAST($HllM AS BIGINT) - npresent AS v, " +
       s"CAST($HllAlpha AS DOUBLE) * $HllM * $HllM / (spresent + CAST($HllM - npresent AS DOUBLE)) AS eraw FROM agg) " +
       "SELECT event_type, " +
-      sqlS0(s"CASE WHEN eraw <= ${2.5 * HllM} AND v > 0 THEN $HllM * LN(CAST($HllM AS DOUBLE) / v) ELSE eraw END") +
+      sqlS0(s"CASE WHEN eraw <= ${2.5 * HllM} AND v > 0 THEN $HllM * ${sqlLnRatio(s"$HllM", "v")} ELSE eraw END") +
       " AS approx_users FROM est ORDER BY event_type"
 
   val all: Seq[Q] = Seq(
@@ -612,10 +613,11 @@ object Aggregates {
     Q("agg_entropy", Some(
       "WITH g AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c " +
         "FROM events GROUP BY user_id, event_type), " +
+        "t0 AS (SELECT user_id, c, " +
+        "CAST(SUM(c) OVER (PARTITION BY user_id) AS BIGINT) AS n FROM g), " +
         "t AS (SELECT user_id, c, " +
-        sqlS6("(CAST(c AS DOUBLE) / CAST(SUM(c) OVER (PARTITION BY user_id) AS DOUBLE)) * " +
-          "LN(CAST(c AS DOUBLE) / CAST(SUM(c) OVER (PARTITION BY user_id) AS DOUBLE))") +
-        " AS term6 FROM g) " +
+        sqlS6("(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * " + sqlLnRatio("c", "n")) +
+        " AS term6 FROM t0) " +
         "SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events, " +
         "CAST(COUNT(*) AS BIGINT) AS n_types, " +
         "CAST(-SUM(term6) AS BIGINT) AS ent6 " +
@@ -625,8 +627,9 @@ object Aggregates {
         val g = T.events(s, d)
           .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
         val wu = Window.partitionBy("user_id")
-        val p = col("c").cast("double") / sum(col("c")).over(wu).cast("double")
-        g.withColumn("term6", s6(p * log(p)))
+        val g2 = g.withColumn("n", sum(col("c")).over(wu))
+        val p = col("c").cast("double") / col("n").cast("double")
+        g2.withColumn("term6", s6(p * lnRatio(col("c"), col("n"))))
           .groupBy("user_id")
           .agg(sum(col("c")).as("n_events"), count(lit(1)).as("n_types"),
             (-sum(col("term6"))).as("ent6"))
@@ -831,39 +834,43 @@ object Aggregates {
           .orderBy("event_type")
       }),
 
-    // Geometric + harmonic means (round 9, fourth wave) — the other two
-    // Pythagorean means, the right averages for ratios/rates where the
-    // arithmetic mean misleads. Discipline: each ln(x) / 1/x term is
-    // s6-FLOORED before the order-free integer sum (the agg_entropy LN
-    // rule), the mean-of-logs surfaces as an exact-int derivation, and
-    // the final EXP/division is one fixed IEEE sequence whose ≤1-ulp
-    // libm drift (~1e-9 relative) sits far inside the 1e-2 output grid.
+    // Geometric + harmonic means (round 9, fourth wave; REVISED round
+    // 10) — the other two Pythagorean means, the right averages for
+    // ratios/rates where the arithmetic mean misleads. Discipline: each
+    // ln(x) / 1/x term is s6-FLOORED before the order-free integer sum
+    // (the agg_entropy LN rule); since round 10 both transcendentals run
+    // through the Det portable sequences — lnInt on the integral
+    // quantity, expP on the exact mean-of-logs — so no libm call and no
+    // cross-build ulp remains anywhere in the surface.
     // AM ≥ GM ≥ HM by construction — the spec pins the inequality.
     Q("agg_geo_mean", Some(
       "WITH b AS (SELECT l_returnflag, " +
-        sqlS6("LN(l_quantity)") + " AS lx, " + sqlS6("1.0 / l_quantity") + " AS rx, " +
+        sqlS6(sqlLnInt("l_quantity")) + " AS lx, " + sqlS6("1.0 / l_quantity") + " AS rx, " +
         sqlS0("l_quantity") + " AS x FROM lineitem WHERE l_quantity > 0), " +
         "m AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, " +
         "CAST(SUM(lx) AS BIGINT) AS sl, CAST(SUM(rx) AS BIGINT) AS sr, " +
-        "CAST(SUM(x) AS BIGINT) AS sx FROM b GROUP BY l_returnflag) " +
+        "CAST(SUM(x) AS BIGINT) AS sx FROM b GROUP BY l_returnflag), " +
+        "m2 AS (SELECT l_returnflag, n, sr, sx, " +
+        "(CAST(sl AS DOUBLE) / CAST(n AS DOUBLE) / 1e6) AS mlq FROM m) " +
         "SELECT l_returnflag, n, " +
-        sqlS2("EXP(CAST(sl AS DOUBLE) / CAST(n AS DOUBLE) / 1e6)") + " AS gm_c, " +
+        sqlS2(sqlExpP("mlq")) + " AS gm_c, " +
         sqlS2("CAST(n AS DOUBLE) / (CAST(sr AS DOUBLE) / 1e6)") + " AS hm_c, " +
         sqlS2("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)") + " AS am_c " +
-        "FROM m ORDER BY l_returnflag"),
+        "FROM m2 ORDER BY l_returnflag"),
       (s, d) => {
         val m = T.lineitem(s, d)
           .where(col("l_quantity") > 0)
           .select(col("l_returnflag"),
-            s6(log(col("l_quantity"))).as("lx"),
+            s6(lnInt(col("l_quantity"))).as("lx"),
             s6(lit(1.0) / col("l_quantity")).as("rx"),
             s0(col("l_quantity")).as("x"))
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n"), sum(col("lx")).as("sl"),
             sum(col("rx")).as("sr"), sum(col("x")).as("sx"))
         val nD = col("n").cast("double")
-        m.select(col("l_returnflag"), col("n"),
-            s2(exp(col("sl").cast("double") / nD / lit(1e6))).as("gm_c"),
+        m.withColumn("mlq", col("sl").cast("double") / nD / lit(1e6))
+          .select(col("l_returnflag"), col("n"),
+            s2(expP(col("mlq"))).as("gm_c"),
             s2(nD / (col("sr").cast("double") / lit(1e6))).as("hm_c"),
             s2(col("sx").cast("double") / nD).as("am_c"))
           .orderBy("l_returnflag")
@@ -1225,8 +1232,9 @@ object Aggregates {
     // (Theil 1967): T = mean over x of (x/μ)·ln(x/μ). μ comes from the
     // exact integer cent sum and count (one divide); each row's term is
     // ONE shared IEEE sequence s6-FLOORED BEFORE the order-free long
-    // sum (the PMI/logprob LN discipline), and the final mean is one
-    // more divide on the s6 grid. One partial-agg shuffle for the
+    // sum (the PMI/logprob LN discipline, via the round-10 portable
+    // lnInt — no libm), and the final mean is one more divide on the
+    // s6 grid. One partial-agg shuffle for the
     // moments + one broadcast of the group means back over the rows.
     Q("agg_theil", Some(
       "WITH b AS (SELECT o_orderpriority AS pri, " + sqlS2("o_totalprice") + " AS xc " +
@@ -1235,7 +1243,7 @@ object Aggregates {
         "CAST(SUM(xc) AS BIGINT) AS sc FROM b GROUP BY pri), " +
         "t AS (SELECT b.pri, n, " +
         sqlS6("(CAST(xc AS DOUBLE) / (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))) * " +
-          "LN(CAST(xc AS DOUBLE) / (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)))") +
+          s"((${sqlLnInt("xc")} + ${sqlLnInt("n")}) - ${sqlLnInt("sc")})") +
         " AS t6 FROM b JOIN m ON m.pri = b.pri) " +
         "SELECT pri, n, " +
         "CAST(FLOOR(CAST(CAST(SUM(t6) AS BIGINT) AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS theil6 " +
@@ -1247,8 +1255,11 @@ object Aggregates {
           .agg(count(lit(1)).as("n"), sum(col("xc")).as("sc"))
         val mu = col("sc").cast("double") / col("n").cast("double")
         val ratio = col("xc").cast("double") / mu
+        // ln(x/mu) = lnInt(xc) + lnInt(n) - lnInt(sc): three portable
+        // terms, no product that could overflow int64
+        val lnRat = lnInt(col("xc")) + lnInt(col("n")) - lnInt(col("sc"))
         b.join(broadcast(m), "pri")
-          .select(col("pri"), col("n"), s6(ratio * log(ratio)).as("t6"))
+          .select(col("pri"), col("n"), s6(ratio * lnRat).as("t6"))
           .groupBy("pri", "n")
           .agg(sum(col("t6")).as("st"))
           .select(col("pri"), col("n"),
@@ -1692,8 +1703,7 @@ object Aggregates {
         }
         val a = rsAtScale(16).select(col("n_seg").as("n16"), col("rs_mean6").as("rs16"))
         val b = rsAtScale(64).select(col("n_seg").as("n64"), col("rs_mean6").as("rs64"))
-        val h = (log(col("rs64").cast("double") / 1e6) -
-          log(col("rs16").cast("double") / 1e6)) / lit(1.3862943611198906)
+        val h = lnRatio(col("rs64"), col("rs16")) / lit(1.3862943611198906)
         a.crossJoin(broadcast(b))
           .select(col("n16"), col("n64"), col("rs16"), col("rs64"), s6(h).as("h6"))
       }),
@@ -1788,19 +1798,20 @@ object Aggregates {
     // output grid); the evenness ordering ⁰D ≥ ¹D ≥ ²D is pinned in the
     // spec. One (bucket, type) partial agg, domain-sized after.
     Q("agg_hill_diversity", Some {
-      val d1 = "EXP(CAST(h6 AS DOUBLE) / 1e6)"
       val d2 = "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) / CAST(ss AS DOUBLE))"
       "WITH b AS (SELECT user_id % 10 AS bucket, event_type FROM events), " +
         "c AS (SELECT bucket, event_type, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY bucket, event_type), " +
         "t AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS d0, " +
         "CAST(SUM(cnt * cnt) AS BIGINT) AS ss FROM c GROUP BY bucket), " +
         "h AS (SELECT c.bucket, CAST(SUM(" +
-        sqlS6("-(CAST(cnt AS DOUBLE) / CAST(t.n AS DOUBLE)) * LN(CAST(cnt AS DOUBLE) / CAST(t.n AS DOUBLE))") +
-        ") AS BIGINT) AS h6 FROM c JOIN t ON t.bucket = c.bucket GROUP BY c.bucket) " +
+        sqlS6("-(CAST(cnt AS DOUBLE) / CAST(t.n AS DOUBLE)) * " +
+          sqlLnRatio("cnt", "t.n")) +
+        ") AS BIGINT) AS h6 FROM c JOIN t ON t.bucket = c.bucket GROUP BY c.bucket), " +
+        "h2 AS (SELECT bucket, h6, (CAST(h6 AS DOUBLE) / 1e6) AS hd FROM h) " +
         "SELECT t.bucket, t.n, t.d0, " +
-        "CAST(FLOOR(" + d1 + " * 100 + 0.5) AS BIGINT) AS d1_c, " +
+        "CAST(FLOOR(" + sqlExpP("hd") + " * 100 + 0.5) AS BIGINT) AS d1_c, " +
         "CAST(FLOOR(" + d2 + " * 100 + 0.5) AS BIGINT) AS d2_c " +
-        "FROM t JOIN h ON h.bucket = t.bucket ORDER BY t.bucket"
+        "FROM t JOIN h2 ON h2.bucket = t.bucket ORDER BY t.bucket"
     },
       (s, d) => {
         val c = T.events(s, d)
@@ -1812,8 +1823,9 @@ object Aggregates {
         val p = col("cnt").cast("double") / col("n").cast("double")
         val h = c.join(broadcast(t.select(col("bucket"), col("n"))), "bucket")
           .groupBy("bucket")
-          .agg(sum(s6(-p * log(p))).as("h6"))
-        val d1 = exp(col("h6").cast("double") / lit(1e6))
+          .agg(sum(s6(-p * lnRatio(col("cnt"), col("n")))).as("h6"))
+          .withColumn("hd", col("h6").cast("double") / lit(1e6))
+        val d1 = expP(col("hd"))
         val d2 = col("n").cast("double") * col("n").cast("double") /
           col("ss").cast("double")
         t.join(broadcast(h), "bucket")
@@ -2259,7 +2271,9 @@ object Aggregates {
         s"CAST(FLOOR(CAST(SUM(" + sqlS6(rs) + s") AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS rs_mean6 " +
         s"FROM r$tag WHERE $varS > 0)"
     }
-    val h = "((LN(CAST(rs64 AS DOUBLE) / 1e6) - LN(CAST(rs16 AS DOUBLE) / 1e6)) / 1.3862943611198906)"
+    // ln(rs64/1e6) - ln(rs16/1e6) = lnInt(rs64) - lnInt(rs16) exactly
+    // (the 1e6 scales cancel), via the round-10 portable lnInt
+    val h = s"(${sqlLnRatio("rs64", "rs16")} / 1.3862943611198906)"
     "WITH g0 AS (SELECT CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) // 86400 AS day, " +
       "CAST(SUM(" + sqlS2("o_totalprice") + ") AS BIGINT) AS vc FROM orders GROUP BY day), " +
       "g AS (SELECT day, CAST(FLOOR(CAST(vc AS DOUBLE) / 1e4) AS BIGINT) AS v FROM g0), " +

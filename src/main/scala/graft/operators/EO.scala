@@ -1287,7 +1287,8 @@ object EO {
         pyr.where(col("level") >= 1)
           .select(col("level"), col("tile_y").cast("long").as("tile"),
             posexplode(col("data")).as(Seq("opos", "v")))
-          .withColumn("bs", (col("v") * pow(lit(4.0), col("level"))).cast("long"))
+          .withColumn("bs", (col("v") * call_function("shiftleft", lit(1L),
+            (col("level") * 2).cast("int")).cast("double")).cast("long"))
           .groupBy("level", "tile")
           .agg(
             count(lit(1)).as("n_out"),
@@ -2825,7 +2826,7 @@ object EO {
         "FROM px p JOIN full_t USING (tile) WHERE p.t = 0 GROUP BY p.tile, bin) " +
         "SELECT tile, CAST(COUNT(*) AS BIGINT) AS n_bins, " +
         "CAST(SUM(" +
-        sqlS6("-(CAST(c AS DOUBLE) / 256.0) * LN(CAST(c AS DOUBLE) / 256.0)") +
+        sqlS6("-(CAST(c AS DOUBLE) / 256.0) * " + sqlLnRatio("c", "256")) +
         ") AS BIGINT) AS entropy6 " +
         "FROM h GROUP BY tile ORDER BY tile"),
       (s, d) => {
@@ -2839,7 +2840,7 @@ object EO {
           .groupBy(col("tile"), least(expr("v div 32"), lit(15L)).as("bin"))
           .agg(count(lit(1)).as("c"))
         val p = col("c").cast("double") / lit(256.0)
-        h.select(col("tile"), s6(-p * log(p)).as("e6"))
+        h.select(col("tile"), s6(-p * lnRatio(col("c"), lit(256L))).as("e6"))
           .groupBy("tile")
           .agg(count(lit(1)).as("n_bins"), sum(col("e6")).as("entropy6"))
           .orderBy("tile")

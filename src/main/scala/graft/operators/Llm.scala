@@ -715,15 +715,19 @@ object Llm {
               .as("distinct_ratio"))
           .orderBy("lang")),
 
-    // tf-idf: tf per (lang, term), df per term over docs, idf = ln((N+1)/(df+1));
+    // tf-idf: tf per (lang, term), df per term over docs, idf = ln((N+1)/(df+1))
+    // via the round-10 portable lnRatio (no libm);
     // top-5 terms per lang ranked on the raw score, ties broken by term.
     Q("llm_tfidf_top", Some(
       "WITH toks AS (SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents), " +
-        "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents), " +
+        "n AS (SELECT CAST(COUNT(*) AS BIGINT) + 1 AS ndp FROM documents), " +
         "tf AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY lang, tok), " +
         "df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY tok), " +
+        "df2 AS (SELECT tok, df + 1 AS dfp FROM df), " +
         "scored AS (SELECT lang, tok, tf, " +
-        "CAST(tf AS DOUBLE) * LN(((SELECT nd FROM n) + 1) / (CAST(df AS DOUBLE) + 1)) AS score FROM tf JOIN df USING (tok)), " +
+        "CAST(tf AS DOUBLE) * " +
+        sqlLnRatio("(SELECT ndp FROM n)", "dfp") +
+        " AS score FROM tf JOIN df2 USING (tok)), " +
         "ranked AS (SELECT lang, tok, score, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, tok) AS rn FROM scored) " +
         "SELECT lang, tok, " + sqlS6("score") + " AS tfidf, CAST(rn AS INT) AS rn " +
         "FROM ranked WHERE rn <= 5 ORDER BY lang, rn"),
@@ -732,7 +736,7 @@ object Llm {
           .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
         // N as a lazy broadcast scalar — no driver-side count() at plan
         // construction (SCALING.md principle 3)
-        val nDocs = T.documents(s, d).agg(count(lit(1)).cast("double").as("nd"))
+        val nDocs = T.documents(s, d).agg((count(lit(1)) + 1).as("ndp"))
         // tf and df each map-side partial-aggregate the exploded stream
         // before their single shuffle (a shared (doc,lang,tok) pre-agg was
         // tried and measured WORSE: column pruning makes the two subtrees
@@ -743,7 +747,7 @@ object Llm {
         val scored = tf.join(broadcast(df), "tok")
           .crossJoin(broadcast(nDocs))
           .withColumn("score",
-            col("tf").cast("double") * log((col("nd") + 1) / (col("df").cast("double") + 1)))
+            col("tf").cast("double") * lnRatio(col("ndp"), col("df") + 1))
         val w = Window.partitionBy("lang").orderBy(col("score").desc, col("tok"))
         scored.withColumn("rn", row_number().over(w))
           .where(col("rn") <= 5)

@@ -592,8 +592,7 @@ object LlmExtras {
     // |vocab|·|langs| regardless of corpus size — c1/totals broadcast
     // to the bigram-count side and the whole key stays two explode+agg
     // passes plus broadcast joins at any SF. Counts are exact longs; the
-    // one LN per output row is the accepted ≤1-ulp libm residual
-    // (Det rule 2, the agg_entropy/llm_unigram_logprob precedent). The
+    // PMI is six portable lnInt terms (round 10 — no libm call). The
     // c₂ ≥ 5 support floor is the published PMI practice (sparse-count
     // PMI explodes) and keeps the output support-stable.
     Q("llm_collocations", Some(
@@ -605,8 +604,8 @@ object LlmExtras {
         "cp AS (SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS np FROM bg GROUP BY lang, bigram), " +
         "n2 AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nb FROM bg GROUP BY lang) " +
         "SELECT cp.lang, cp.bigram, cp.np AS n_pair, " +
-        sqlS6("LN((CAST(cp.np AS DOUBLE) / CAST(n2.nb AS DOUBLE)) / " +
-          "((CAST(a.c AS DOUBLE) / CAST(n1.n AS DOUBLE)) * (CAST(b.c AS DOUBLE) / CAST(n1.n AS DOUBLE))))") +
+        sqlS6(s"(((((${sqlLnInt("cp.np")} + ${sqlLnInt("n1.n")}) + ${sqlLnInt("n1.n")}) - " +
+          s"${sqlLnInt("n2.nb")}) - ${sqlLnInt("a.c")}) - ${sqlLnInt("b.c")})") +
         " AS pmi6 " +
         "FROM cp JOIN c1 a ON a.lang = cp.lang AND a.tok = STRING_SPLIT(cp.bigram, ' ')[1] " +
         "JOIN c1 b ON b.lang = cp.lang AND b.tok = STRING_SPLIT(cp.bigram, ' ')[2] " +
@@ -623,10 +622,10 @@ object LlmExtras {
         val w2 = split(col("bigram"), " ").getItem(1)
         val ca = c1.select(col("lang").as("la"), col("tok").as("ta"), col("c").as("ca"))
         val cb = c1.select(col("lang").as("lb"), col("tok").as("tb"), col("c").as("cb"))
-        val pmi = log(
-          (col("np").cast("double") / col("nb").cast("double")) /
-            ((col("ca").cast("double") / col("n").cast("double")) *
-              (col("cb").cast("double") / col("n").cast("double"))))
+        // ln(np·n²/(nb·ca·cb)) as six portable lnInt terms (no product
+        // that could overflow int64, no libm)
+        val pmi = lnInt(col("np")) + lnInt(col("n")) + lnInt(col("n")) -
+          lnInt(col("nb")) - lnInt(col("ca")) - lnInt(col("cb"))
         cp.where(col("np") >= 5)
           .join(broadcast(ca), col("la") === col("lang") && col("ta") === w1)
           .join(broadcast(cb), col("lb") === col("lang") && col("tb") === w2)
@@ -680,7 +679,7 @@ object LlmExtras {
         "c2 AS (SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY lang, bigram) " +
         "SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, " +
         "CAST(SUM(" +
-        sqlS6("LN(CAST(c2.c + 1 AS DOUBLE) / CAST(c1.c + vv.v AS DOUBLE))") +
+        sqlS6(sqlLnRatio("(c2.c + 1)", "(c1.c + vv.v)")) +
         ") AS BIGINT) AS lp6 " +
         "FROM bg JOIN c2 ON c2.lang = bg.lang AND c2.bigram = bg.bigram " +
         "JOIN c1 ON c1.lang = bg.lang AND c1.tok = STRING_SPLIT(bg.bigram, ' ')[1] " +
@@ -695,8 +694,7 @@ object LlmExtras {
         val bg = TextOps.bigrams(T.documents(s, d), "doc_id", "lang")
         val c2 = bg.groupBy("lang", "bigram").agg(count(lit(1)).as("c2"))
           .select(col("lang").as("l2"), col("bigram").as("b2"), col("c2"))
-        val term = s6(log((col("c2") + 1).cast("double") /
-          (col("c1") + col("v")).cast("double")))
+        val term = s6(lnRatio(col("c2") + 1, col("c1") + col("v")))
         bg.join(broadcast(c2), col("l2") === col("lang") && col("b2") === col("bigram"))
           .join(broadcast(c1), col("l1") === col("lang") &&
             col("t1") === split(col("bigram"), " ").getItem(0))
@@ -924,7 +922,7 @@ object LlmExtras {
         "cf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY tok), " +
         "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM t) " +
         "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok, " +
-        "CAST(SUM(" + sqlS6("LN(CAST(c AS DOUBLE) / total)") + ") AS BIGINT) AS sum_lp6 " +
+        "CAST(SUM(" + sqlS6(sqlLnRatio("c", "total")) + ") AS BIGINT) AS sum_lp6 " +
         "FROM t JOIN cf USING (tok) CROSS JOIN n " +
         "GROUP BY doc_id ORDER BY doc_id"),
       (s, d) => {
@@ -937,7 +935,7 @@ object LlmExtras {
           .groupBy("doc_id")
           .agg(
             count(lit(1)).as("n_tok"),
-            sum(s6(log(col("c").cast("double") / col("total")))).as("sum_lp6"))
+            sum(s6(lnRatio(col("c"), col("total")))).as("sum_lp6"))
           .orderBy("doc_id")
       }),
 
@@ -960,8 +958,8 @@ object LlmExtras {
     // cost is ~linear in corpus tokens with no wide shuffle — the shape
     // that serves interactive retrieval over a 100-TB corpus. Per-term
     // scores canonicalize to the 6-dp grid BEFORE the per-doc sum (Det
-    // rule 3: the sum of ≤3 longs is order-free); LN carries the same
-    // 1-ulp residual risk every scoring key accepts. Top-10 is
+    // rule 3: the sum of ≤3 longs is order-free); the idf runs through
+    // the round-10 portable lnRatio - no libm anywhere. Top-10 is
     // TakeOrderedAndProject (per-partition heaps), never a global sort.
     Q("llm_bm25", Some(
       "WITH dls AS (SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS dl FROM documents), " +
@@ -971,7 +969,7 @@ object LlmExtras {
         "WHERE tok IN ('spark', 'merge', 'window') GROUP BY doc_id, tok), " +
         "df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok), " +
         "term AS (SELECT t.doc_id, " +
-        "CAST(FLOOR(LN((CAST(c.n AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5) + 1) * " +
+        "CAST(FLOOR(" + sqlLnRatio("(2*c.n + 2)", "(2*f.df + 1)") + " * " +
         "(CAST(t.tf AS DOUBLE) * 2.2) / (CAST(t.tf AS DOUBLE) + 1.2 * " +
         "(1 - 0.75 + 0.75 * CAST(l.dl AS DOUBLE) / (CAST(c.sumdl AS DOUBLE) / CAST(c.n AS DOUBLE)))) " +
         "* 1e6 + 0.5) AS BIGINT) AS ts6 " +
@@ -992,7 +990,9 @@ object LlmExtras {
         val nD = col("n").cast("double"); val dfD = col("df").cast("double")
         val tfD = col("tf").cast("double"); val dlD = col("dl").cast("double")
         val avgdl = col("sumdl").cast("double") / nD
-        val ts6 = floor(log((nD - dfD + lit(0.5)) / (dfD + lit(0.5)) + lit(1)) *
+        // idf: (n-df+0.5)/(df+0.5)+1 = (2n+2)/(2df+1) exactly - an
+        // integer ratio, so the portable lnRatio applies (round 10)
+        val ts6 = floor(lnRatio(lit(2) * col("n") + 2, lit(2) * col("df") + 1) *
           (tfD * lit(2.2)) / (tfD + lit(1.2) *
             (lit(1) - lit(0.75) + lit(0.75) * dlD / avgdl)) *
           lit(1e6) + lit(0.5)).cast("long")
@@ -1251,8 +1251,8 @@ object LlmExtras {
       "WITH t AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM (" +
         "SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents) GROUP BY tok), " +
         "r AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS BIGINT) AS rnk, c FROM t), " +
-        "l AS (SELECT " + sqlS6("LN(CAST(rnk AS DOUBLE))") + " AS x6, " +
-        sqlS6("LN(CAST(c AS DOUBLE))") + " AS y6 FROM r), " +
+        "l AS (SELECT " + sqlS6(sqlLnInt("rnk")) + " AS x6, " +
+        sqlS6(sqlLnInt("c")) + " AS y6 FROM r), " +
         "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x6) AS BIGINT) AS sx, " +
         "CAST(SUM(y6) AS BIGINT) AS sy, CAST(SUM(x6 * y6) AS BIGINT) AS sxy, " +
         "CAST(SUM(x6 * x6) AS BIGINT) AS sxx FROM l) " +
@@ -1271,8 +1271,8 @@ object LlmExtras {
           .groupBy("tok").agg(count(lit(1)).as("c"))
         val rnk = row_number().over(Window.orderBy(col("c").desc, col("tok"))).cast("long")
         val m = t.withColumn("rnk", rnk)
-          .select(s6(log(col("rnk").cast("double"))).as("x6"),
-            s6(log(col("c").cast("double"))).as("y6"))
+          .select(s6(lnInt(col("rnk"))).as("x6"),
+            s6(lnInt(col("c"))).as("y6"))
           .agg(count(lit(1)).as("n"), sum(col("x6")).as("sx"), sum(col("y6")).as("sy"),
             sum(col("x6") * col("y6")).as("sxy"), sum(col("x6") * col("x6")).as("sxx"))
         val nD = col("n").cast("double")
@@ -1406,7 +1406,7 @@ object LlmExtras {
         "cc AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS k FROM ch GROUP BY doc_id, c), " +
         "n AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n FROM cc GROUP BY doc_id), " +
         "t AS (SELECT cc.doc_id, " +
-        sqlS6("-(CAST(k AS DOUBLE) / CAST(n.n AS DOUBLE)) * LN(CAST(k AS DOUBLE) / CAST(n.n AS DOUBLE))") +
+        sqlS6("-(CAST(k AS DOUBLE) / CAST(n.n AS DOUBLE)) * " + sqlLnRatio("k", "n.n")) +
         " AS e6 FROM cc JOIN n ON n.doc_id = cc.doc_id) " +
         "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct_chars, " +
         "CAST(SUM(e6) AS BIGINT) AS entropy6 " +
@@ -1418,7 +1418,7 @@ object LlmExtras {
         val n = cc.groupBy("doc_id").agg(sum(col("k")).as("n"))
         val ratio = col("k").cast("double") / col("n").cast("double")
         cc.join(n, "doc_id")
-          .select(col("doc_id"), s6(-ratio * log(ratio)).as("e6"))
+          .select(col("doc_id"), s6(-ratio * lnRatio(col("k"), col("n"))).as("e6"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_distinct_chars"), sum(col("e6")).as("entropy6"))
           .orderBy("doc_id")
@@ -1475,15 +1475,17 @@ object LlmExtras {
     // (map-side), per-token log-ratios s6-floored BEFORE the order-free
     // per-doc long sum (the PMI/logprob LN discipline).
     Q("llm_dsir", Some {
-      val pt = "((CAST(ct AS DOUBLE) + 1.0) / (CAST(nt AS DOUBLE) + 1024.0))"
-      val pr = "((CAST(cr AS DOUBLE) + 1.0) / (CAST(nr AS DOUBLE) + 1024.0))"
+      // ln(pt/pr) with pt = (ct+1)/(nt+1024), pr = (cr+1)/(nr+1024):
+      // four portable lnInt terms in a pinned order (round 10, no libm)
+      val lnw = s"(((${sqlLnInt("(ct + 1)")} - ${sqlLnInt("(nt + 1024)")}) - " +
+        s"${sqlLnInt("(cr + 1)")}) + ${sqlLnInt("(nr + 1024)")})"
       "WITH tok AS (SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS t " +
         "FROM documents), " +
         "tb AS (SELECT doc_id, lang, " + sqlHash32("t") + " % 1024 AS b FROM tok), " +
         "dict AS (SELECT b, CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct, " +
         "CAST(COUNT(*) AS BIGINT) AS cr FROM tb GROUP BY b), " +
         "tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr FROM dict), " +
-        "w AS (SELECT doc_id, " + sqlS6(s"LN($pt / $pr)") + " AS w6 " +
+        "w AS (SELECT doc_id, " + sqlS6(lnw) + " AS w6 " +
         "FROM tb JOIN dict USING (b) CROSS JOIN tot) " +
         "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks, " +
         "CAST(SUM(w6) AS BIGINT) AS dsir6 FROM w GROUP BY doc_id ORDER BY doc_id"
@@ -1498,13 +1500,11 @@ object LlmExtras {
           .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
             count(lit(1)).as("cr"))
         val tot = dict.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
-        val ptD = (col("ct").cast("double") + 1.0) /
-          (col("nt").cast("double") + 1024.0)
-        val prD = (col("cr").cast("double") + 1.0) /
-          (col("nr").cast("double") + 1024.0)
+        val lnw = lnInt(col("ct") + 1) - lnInt(col("nt") + 1024) -
+          lnInt(col("cr") + 1) + lnInt(col("nr") + 1024)
         tb.join(broadcast(dict), "b")
           .crossJoin(broadcast(tot))
-          .select(col("doc_id"), s6(log(ptD / prD)).as("w6"))
+          .select(col("doc_id"), s6(lnw).as("w6"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_toks"), sum(col("w6")).as("dsir6"))
           .orderBy("doc_id")
@@ -1527,7 +1527,7 @@ object LlmExtras {
         "cf AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY lang, tok), " +
         "nl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS total FROM t GROUP BY lang), " +
         "sc AS (SELECT doc_id, t.lang, CAST(COUNT(*) AS BIGINT) AS n_tok, " +
-        "CAST(SUM(" + sqlS6("-LN(CAST(c AS DOUBLE) / total)") + ") AS BIGINT) AS sum_nl6 " +
+        "CAST(SUM(" + sqlS6("-" + sqlLnRatio("c", "total")) + ") AS BIGINT) AS sum_nl6 " +
         "FROM t JOIN cf ON cf.lang = t.lang AND cf.tok = t.tok " +
         "JOIN nl ON nl.lang = t.lang GROUP BY doc_id, t.lang), " +
         "p AS (SELECT doc_id, lang, " +
@@ -1549,7 +1549,7 @@ object LlmExtras {
           .join(broadcast(nl), "lang")
           .groupBy("doc_id", "lang")
           .agg(count(lit(1)).as("n_tok"),
-            sum(s6(-log(col("c").cast("double") / col("total")))).as("sum_nl6"))
+            sum(s6(-lnRatio(col("c"), col("total")))).as("sum_nl6"))
         val p = sc.select(col("doc_id"), col("lang"),
           floor(col("sum_nl6").cast("double") / col("n_tok").cast("double") + 0.5)
             .cast("long").as("avg_nl6"))
@@ -1616,10 +1616,12 @@ object LlmExtras {
           .join(broadcast(tot.select(col("source").as("sb"), col("n").as("nb"))), "sb")
         val p = col("ca").cast("double") / col("na").cast("double")
         val q = col("cb").cast("double") / col("nb").cast("double")
-        val term = lit(0.5) * (p * log(lit(2.0) * p / (p + q)) +
-          q * log(lit(2.0) * q / (p + q)))
+        val term = lit(0.5) * (p * lnRatio(lit(2) * col("u"), col("u") + col("v")) +
+          q * lnRatio(lit(2) * col("v"), col("u") + col("v")))
         val inter = x.join(y, Seq("tok"))
           .where(col("sa") < col("sb"))
+          .withColumn("u", col("ca") * col("nb"))
+          .withColumn("v", col("cb") * col("na"))
           .groupBy("sa", "sb")
           .agg(count(lit(1)).as("n_common"), sum(s6(term)).as("inter6"),
             sum("ca").as("ia"), sum("cb").as("ib"),
@@ -1646,7 +1648,8 @@ object LlmExtras {
     // dictionary is vocab-sized and broadcast — the test stream never
     // shuffles more than its own token partial-agg.
     Q("llm_heldout_ce", Some {
-      val p = "((CAST(COALESCE(c, 0) AS DOUBLE) + 1.0) / (CAST(nl AS DOUBLE) + CAST(vl AS DOUBLE)))"
+      // -ln((c0+1)/(nl+vl)) via the portable lnRatio (round 10, no libm)
+      val negLnP = "-" + sqlLnRatio("(COALESCE(c, 0) + 1)", "(nl + vl)")
       "WITH t AS (SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok, " +
         sqlHash32("CAST(doc_id AS VARCHAR)") + " % 5 AS fold FROM documents), " +
         "tr AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c FROM t WHERE fold <> 0 GROUP BY lang, tok), " +
@@ -1656,7 +1659,7 @@ object LlmExtras {
         "SELECT te.lang, CAST(COUNT(DISTINCT te.doc_id) AS BIGINT) AS n_test_docs, " +
         "CAST(COUNT(*) AS BIGINT) AS n_tok, " +
         "CAST(SUM(CASE WHEN te.c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, " +
-        "CAST(SUM(" + sqlS6(s"-LN($p)") + ") AS BIGINT) AS sum_ce6 " +
+        "CAST(SUM(" + sqlS6(negLnP) + ") AS BIGINT) AS sum_ce6 " +
         "FROM te JOIN m ON m.lang = te.lang GROUP BY te.lang ORDER BY te.lang"
     },
       (s, d) => {
@@ -1671,13 +1674,13 @@ object LlmExtras {
         val te = t.where(col("fold") === 0)
           .join(broadcast(tr), Seq("lang", "tok"), "left")
           .join(broadcast(m), "lang")
-        val p = (coalesce(col("c"), lit(0L)).cast("double") + lit(1.0)) /
-          (col("nl").cast("double") + col("vl").cast("double"))
+        val negLnP = -lnRatio(coalesce(col("c"), lit(0L)) + 1,
+          col("nl") + col("vl"))
         te.groupBy("lang")
           .agg(countDistinct(col("doc_id")).as("n_test_docs"),
             count(lit(1)).as("n_tok"),
             sum(when(col("c").isNull, 1L).otherwise(0L)).as("n_oov"),
-            sum(s6(-log(p))).as("sum_ce6"))
+            sum(s6(negLnP)).as("sum_ce6"))
           .orderBy("lang")
       }),
 
@@ -1966,9 +1969,14 @@ object LlmExtras {
   /** Oracle twin of llm_jsd_drift — identical count table, intersection
     * self-join, per-token s6 terms and the two disjoint-mass sequences. */
   private def jsdDriftOracle: String = {
-    val p = "(CAST(x.ca AS DOUBLE) / CAST(x.na AS DOUBLE))"
-    val q = "(CAST(y.cb AS DOUBLE) / CAST(y.nb AS DOUBLE))"
-    val term = s"0.5 * ($p * LN(2.0 * $p / ($p + $q)) + $q * LN(2.0 * $q / ($p + $q)))"
+    // 2p/(p+q) = 2·ca·nb/(ca·nb + cb·na): with u = ca·nb, v = cb·na the
+    // two LN terms become portable lnRatios over exact int64 products
+    // (counts ≤ ~1e6, totals ≤ ~1e8 ⇒ u,v ≤ 1e14 ≪ 2^63) — round 10,
+    // no libm anywhere.
+    val p = "(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))"
+    val q = "(CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))"
+    val term = s"0.5 * ($p * ${sqlLnRatio("(2*u)", "(u + v)")} + " +
+      s"$q * ${sqlLnRatio("(2*v)", "(u + v)")})"
     val missA = "(CAST(na - ia AS DOUBLE) / CAST(na AS DOUBLE))"
     val missB = "(CAST(nb - ib AS DOUBLE) / CAST(nb AS DOUBLE))"
     "WITH t AS (SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents), " +
@@ -1976,11 +1984,13 @@ object LlmExtras {
       "tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cf GROUP BY source), " +
       "x AS (SELECT cf.source AS sa, tok, c AS ca, n AS na FROM cf JOIN tot ON tot.source = cf.source), " +
       "y AS (SELECT cf.source AS sb, tok, c AS cb, n AS nb FROM cf JOIN tot ON tot.source = cf.source), " +
+      "j AS (SELECT sa, sb, ca, na, cb, nb, ca * nb AS u, cb * na AS v " +
+      "FROM x JOIN y USING (tok) WHERE sa < sb), " +
       "inter AS (SELECT sa, sb, CAST(COUNT(*) AS BIGINT) AS n_common, " +
       "CAST(SUM(" + sqlS6(term) + ") AS BIGINT) AS inter6, " +
-      "CAST(SUM(x.ca) AS BIGINT) AS ia, CAST(SUM(y.cb) AS BIGINT) AS ib, " +
-      "MIN(x.na) AS na, MIN(y.nb) AS nb " +
-      "FROM x JOIN y USING (tok) WHERE sa < sb GROUP BY sa, sb) " +
+      "CAST(SUM(ca) AS BIGINT) AS ia, CAST(SUM(cb) AS BIGINT) AS ib, " +
+      "MIN(na) AS na, MIN(nb) AS nb " +
+      "FROM j GROUP BY sa, sb) " +
       "SELECT sa AS source_a, sb AS source_b, n_common, " +
       "CAST(inter6 + " + sqlS6(s"0.5 * 0.6931471805599453 * $missA") + " + " +
       sqlS6(s"0.5 * 0.6931471805599453 * $missB") + " AS BIGINT) AS jsd6 " +

@@ -220,8 +220,8 @@ object Quality {
         "terms AS (SELECT f.event_type, t.na, t.nb, " +
         sqlS6("(CAST(f.ca + 1 AS DOUBLE) / CAST(t.na + 10 AS DOUBLE) - " +
           "CAST(f.cb + 1 AS DOUBLE) / CAST(t.nb + 10 AS DOUBLE)) * " +
-          "LN((CAST(f.ca + 1 AS DOUBLE) / CAST(t.na + 10 AS DOUBLE)) / " +
-          "(CAST(f.cb + 1 AS DOUBLE) / CAST(t.nb + 10 AS DOUBLE)))") + " AS t6 " +
+          s"(((${sqlLnInt("(f.ca + 1)")} - ${sqlLnInt("(t.na + 10)")}) - " +
+          s"${sqlLnInt("(f.cb + 1)")}) + ${sqlLnInt("(t.nb + 10)")})") + " AS t6 " +
         "FROM full_c f JOIN tot t ON t.event_type = f.event_type) " +
         "SELECT event_type, CAST(MAX(na) AS BIGINT) AS n_ref, CAST(MAX(nb) AS BIGINT) AS n_cur, " +
         "CAST(SUM(t6) AS BIGINT) AS psi6 " +
@@ -248,9 +248,12 @@ object Quality {
           .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
         val p = (col("ca") + 1).cast("double") / (col("na") + 10).cast("double")
         val q = (col("cb") + 1).cast("double") / (col("nb") + 10).cast("double")
+        // ln(p/q) as four portable lnInt terms in a pinned order
+        val lnpq = lnInt(col("ca") + 1) - lnInt(col("na") + 10) -
+          lnInt(col("cb") + 1) + lnInt(col("nb") + 10)
         fullC.join(broadcast(tot), "event_type")
           .select(col("event_type"), col("na"), col("nb"),
-            s6((p - q) * log(p / q)).as("t6"))
+            s6((p - q) * lnpq).as("t6"))
           .groupBy("event_type")
           .agg(max(col("na")).as("n_ref"), max(col("nb")).as("n_cur"),
             sum(col("t6")).as("psi6"))
@@ -265,8 +268,8 @@ object Quality {
     // integer (identical on both engines — no log10/power decade
     // arithmetic, whose 1-ulp drift at exact decade boundaries could
     // flip a digit), shares land on the s6 grid from exact longs, and
-    // the reference distribution is a fixed LN sequence. One aggregate
-    // pass; output is 9 rows.
+    // the reference distribution is the portable lnRatio over (d+1, d)
+    // — no libm (round 10). One aggregate pass; output is 9 rows.
     Q("dq_benford", Some(
       "WITH d AS (SELECT SUBSTRING(CAST(" + sqlS2("o_totalprice") + " AS VARCHAR), 1, 1) AS digit " +
         "FROM orders WHERE o_totalprice > 0), " +
@@ -274,7 +277,8 @@ object Quality {
         "t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c) " +
         "SELECT digit, n, " +
         sqlS6("CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)") + " AS share6, " +
-        sqlS6("LN(1.0 + 1.0 / CAST(digit AS DOUBLE)) / LN(10.0)") + " AS benford6 " +
+        sqlS6(sqlLnRatio("(CAST(digit AS BIGINT) + 1)", "digit") +
+          " / 2.302585092994046") + " AS benford6 " +
         "FROM c, t ORDER BY digit"),
       (s, d) => {
         val c = T.orders(s, d)
@@ -285,8 +289,8 @@ object Quality {
         c.crossJoin(broadcast(t))
           .select(col("digit"), col("n"),
             s6(col("n").cast("double") / col("tot").cast("double")).as("share6"),
-            s6(log(lit(1.0) + lit(1.0) / col("digit").cast("double")) / log(lit(10.0)))
-              .as("benford6"))
+            s6(lnRatio(col("digit").cast("long") + 1, col("digit")) /
+              lit(2.302585092994046)).as("benford6"))
           .orderBy("digit")
       }),
 

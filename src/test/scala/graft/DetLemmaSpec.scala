@@ -103,4 +103,43 @@ class DetLemmaSpec extends SparkSpec {
     val expected = pairs.map { case (a, b) => (a.toSet & b.toSet).size.toLong }
     assert(got == expected)
   }
+
+  test("lemma 6: Spark lnInt/expP equal the Scala mirrors bit-for-bit; halfUpDiv is exact") {
+    import spark.implicits._
+    // lnInt: wide integer domain incl. powers of two and their neighbours
+    val ns = ((1L to 4096L) ++ (0 to 50).flatMap(e =>
+      Seq((1L << math.min(e, 52)) - 1, 1L << math.min(e, 52),
+        (1L << math.min(e, 52)) + 1)) ++
+      Seq(999999937L, 4503599627370495L)).distinct.filter(_ >= 1)
+    val gotLn = spark.createDataset(ns).toDF("n").repartition(7)
+      .select(col("n"), Det.lnInt(col("n")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ns.foreach { n =>
+      val mirror = Det.lnIntD(n)
+      assert(java.lang.Double.doubleToLongBits(gotLn(n)) ==
+        java.lang.Double.doubleToLongBits(mirror), s"lnInt($n)")
+      assert(math.abs(mirror - math.log(n.toDouble)) < 2e-9, s"lnInt($n) accuracy")
+    }
+    // expP: grid over [-20, 20] plus knife-edge half-multiples of ln2
+    val xs = ((-2000 to 2000).map(_ / 100.0) ++
+      (-20 to 20).map(_ * 0.34657359027997264)).distinct
+    val gotExp = spark.createDataset(xs).toDF("x").repartition(5)
+      .select(col("x"), Det.expP(col("x")).as("e"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    xs.foreach { x =>
+      val mirror = Det.expPD(x)
+      assert(java.lang.Double.doubleToLongBits(gotExp(x)) ==
+        java.lang.Double.doubleToLongBits(mirror), s"expP($x)")
+      assert(math.abs(mirror / math.exp(x) - 1.0) < 1e-14, s"expP($x) accuracy")
+    }
+    // halfUpDiv == floor(s/n + 1/2) for every sign combination of s
+    val cases = for (sv <- -500L to 500L; nv <- Seq(1L, 2L, 3L, 7L, 360L)) yield (sv, nv)
+    val gotH = spark.createDataset(cases.toSeq).toDF("s", "n")
+      .select(col("s"), col("n"), Det.halfUpDiv(col("s"), col("n")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    cases.foreach { case (sv, nv) =>
+      val expect = Math.floorDiv(2 * sv + nv, 2 * nv)
+      assert(gotH((sv, nv)) == expect, s"halfUpDiv($sv, $nv)")
+    }
+  }
 }

@@ -172,9 +172,8 @@ class Round9bOpsSpec extends SparkSpec {
     val n2 = bgs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
     val want = cp.collect { case ((lang, bg), c) if c >= 5 =>
       val Array(w1, w2) = bg.split(" ", 2)
-      val pmi = math.log((c.toDouble / n2(lang).toDouble) /
-        ((c1((lang, w1)).toDouble / n1(lang).toDouble) *
-          (c1((lang, w2)).toDouble / n1(lang).toDouble)))
+      val pmi = Det.lnIntD(c) + Det.lnIntD(n1(lang)) + Det.lnIntD(n1(lang)) -
+        Det.lnIntD(n2(lang)) - Det.lnIntD(c1((lang, w1))) - Det.lnIntD(c1((lang, w2)))
       (lang, bg) -> ((c, s6(pmi)))
     }.toMap
     assert(got == want)
@@ -400,7 +399,7 @@ class Round9bOpsSpec extends SparkSpec {
     val c2 = bgAll.groupBy(e => (e._2, e._4)).view.mapValues(_.size.toLong).toMap
     val want = bgAll.groupBy(_._1).map { case (id, bs) =>
       val lp = bs.map { case (_, lang, w1, bg) =>
-        s6(math.log((c2((lang, bg)) + 1).toDouble / (c1((lang, w1)) + vv(lang)).toDouble))
+        s6(Det.lnRatioD(c2((lang, bg)) + 1, c1((lang, w1)) + vv(lang)))
       }.sum
       id -> ((bs.size.toLong, lp))
     }

@@ -444,15 +444,17 @@ class Round9cOpsSpec extends SparkSpec {
       val psi = (0L until 10L).map { bin =>
         val p = (ha.getOrElse(bin, 0L) + 1).toDouble / (na + 10).toDouble
         val q = (hb.getOrElse(bin, 0L) + 1).toDouble / (nb + 10).toDouble
-        s6((p - q) * math.log(p / q))
+        val lnpq = Det.lnIntD(ha.getOrElse(bin, 0L) + 1) - Det.lnIntD(na + 10) -
+          Det.lnIntD(hb.getOrElse(bin, 0L) + 1) + Det.lnIntD(nb + 10)
+        s6((p - q) * lnpq)
       }.sum
       ty -> ((na, nb, psi))
     }.toMap
     expect.foreach { case (ty, (na, nb, psi)) =>
       assert(got(ty)._1 == na && got(ty)._2 == nb, s"type $ty counts")
-      // Math.log vs the engines' LN may differ in the last ulp per
-      // term; ±1 grid cell per bin bounds the drift
-      assert(math.abs(got(ty)._3 - psi) <= 10, s"type $ty psi")
+      // the mirror shares Det.lnIntD with the engine sides, so the
+      // match is exact
+      assert(got(ty)._3 == psi, s"type $ty psi")
       assert(got(ty)._3 >= -10, s"type $ty psi must be ~nonnegative")
     }
     assert(got.keySet == expect.keySet)
@@ -465,7 +467,7 @@ class Round9cOpsSpec extends SparkSpec {
       .sortBy { case (tok, c) => (-c, tok) }
     assert(row.getLong(0) == counts.size.toLong)
     val pts = counts.zipWithIndex.map { case ((_, c), i) =>
-      (s6(math.log((i + 1).toDouble)), s6(math.log(c.toDouble)))
+      (s6(Det.lnIntD(i + 1L)), s6(Det.lnIntD(c)))
     }
     val n = pts.size.toLong
     val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
@@ -566,12 +568,12 @@ class Round9cOpsSpec extends SparkSpec {
     q.groupBy(_._1).foreach { case (flag, rows) =>
       val xs = rows.map(_._2)
       val n = xs.size.toLong
-      val sl = xs.map(x => s6(math.log(x))).sum
+      val sl = xs.map(x => s6(Det.lnIntD(x.toLong))).sum
       val sr = xs.map(x => s6(1.0 / x)).sum
       val sx = xs.map(x => math.floor(x + 0.5).toLong).sum
       val (gn, gm, hm, am) = (got(flag)._1, got(flag)._2, got(flag)._3, got(flag)._4)
       assert(gn == n, s"flag $flag n")
-      assert(math.abs(gm - s2(math.exp(sl.toDouble / n / 1e6))) <= 1, s"flag $flag gm")
+      assert(gm == s2(Det.expPD(sl.toDouble / n / 1e6)), s"flag $flag gm")
       assert(math.abs(hm - s2(n.toDouble / (sr.toDouble / 1e6))) <= 1, s"flag $flag hm")
       assert(am == s2(sx.toDouble / n), s"flag $flag am")
       // AM >= GM >= HM (strict unless all values equal)
@@ -694,11 +696,11 @@ class Round9cOpsSpec extends SparkSpec {
       val n = text.length.toLong
       val e = counts.values.map { k =>
         val r = k.toDouble / n
-        s6(-r * math.log(r))
+        s6(-r * Det.lnRatioD(k, n))
       }.sum
       assert(got(id)._1 == counts.size.toLong, s"doc $id distinct chars")
-      // Math.log vs engine LN last-ulp drift: ±1 grid cell per distinct char
-      assert(math.abs(got(id)._2 - e) <= counts.size, s"doc $id entropy")
+      // the mirror shares Det.lnRatioD with the engine sides: exact
+      assert(got(id)._2 == e, s"doc $id entropy")
       // entropy bounded by ln(alphabet size)
       assert(got(id)._2 <= s6(math.log(counts.size.toDouble)) + counts.size,
         s"doc $id entropy bound")
@@ -741,8 +743,9 @@ class Round9cOpsSpec extends SparkSpec {
     counts.foreach { case (d, n) =>
       assert(got(d)._1 == n, s"digit $d count")
       assert(got(d)._2 == s6(n.toDouble / tot.toDouble), s"digit $d share")
-      assert(math.abs(got(d)._3 -
-        s6(math.log(1.0 + 1.0 / d.toInt) / math.log(10.0))) <= 1, s"digit $d ref")
+      assert(got(d)._3 ==
+        s6(Det.lnRatioD(d.toInt + 1L, d.toInt.toLong) / 2.302585092994046),
+        s"digit $d ref")
     }
     // the reference distribution itself sums to ~1 over digits 1..9
     val ref = (1 to 9).map(d => math.log(1.0 + 1.0 / d) / math.log(10.0)).sum

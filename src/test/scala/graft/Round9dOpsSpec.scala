@@ -154,8 +154,10 @@ class Round9dOpsSpec extends SparkSpec {
       val xc = rows.map(r => s2(r._2))
       val n = xc.size.toLong
       val mu = xc.sum.toDouble / n
+      val sc = xc.sum
       val terms = xc.map { x =>
-        val ratio = x / mu; s6(ratio * math.log(ratio))
+        val ratio = x / mu
+        s6(ratio * (Det.lnIntD(x) + Det.lnIntD(n) - Det.lnIntD(sc)))
       }
       val theil6 = math.floor(terms.sum.toDouble / n + 0.5).toLong
       assert(got(pri) == ((n, theil6)), s"priority $pri")
@@ -226,9 +228,8 @@ class Round9dOpsSpec extends SparkSpec {
     val avgByLang = docs.map { case (id, _, lang) =>
       val rows = byDoc(id)
       val w = rows.map { r =>
-        val pt = (ct(r._3) + 1.0) / (nt + 1024.0)
-        val pr = (cr(r._3) + 1.0) / (nr + 1024.0)
-        s6(math.log(pt / pr))
+        s6(Det.lnIntD(ct(r._3).toLong + 1) - Det.lnIntD(nt.toLong + 1024) -
+          Det.lnIntD(cr(r._3).toLong + 1) + Det.lnIntD(nr.toLong + 1024))
       }.sum
       assert(got(id) == ((rows.size.toLong, w)), s"doc $id")
       (lang, w.toDouble / rows.size)
@@ -706,7 +707,7 @@ class Round9dOpsSpec extends SparkSpec {
       val hist = full(tile).map(p => math.min(p._2 / 32, 15L))
         .groupBy(identity).view.mapValues(_.size).toMap
       val expected = hist.values.map { c =>
-        val p = c / 256.0; s6(-p * math.log(p))
+        val p = c / 256.0; s6(-p * Det.lnRatioD(c.toLong, 256L))
       }.sum
       assert(nBins == hist.size.toLong && e6 == expected, s"tile $tile")
       assert(e6 >= 0 && e6 <= s6(math.log(16.0)) + hist.size, s"tile $tile range")

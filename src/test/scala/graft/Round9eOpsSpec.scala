@@ -200,7 +200,8 @@ class Round9eOpsSpec extends SparkSpec {
       val common = ca.keySet.intersect(cb.keySet)
       val inter6 = common.toSeq.map { t =>
         val p = ca(t).toDouble / na; val q = cb(t).toDouble / nb
-        s6(0.5 * (p * math.log(2.0 * p / (p + q)) + q * math.log(2.0 * q / (p + q))))
+        val u = ca(t) * nb; val v = cb(t) * na
+        s6(0.5 * (p * Det.lnRatioD(2 * u, u + v) + q * Det.lnRatioD(2 * v, u + v)))
       }.sum
       val ia = common.toSeq.map(ca).sum; val ib = common.toSeq.map(cb).sum
       val ln2 = 0.6931471805599453
@@ -439,7 +440,7 @@ class Round9eOpsSpec extends SparkSpec {
             nTok += 1
             val c = tc.getOrElse(tok, 0L)
             if (c == 0L) nOov += 1
-            ce += s6(-math.log((c + 1.0) / (nl.toDouble + vl.toDouble)))
+            ce += s6(-Det.lnRatioD(c + 1, nl + vl))
           }
         }
         val (gd, gt, go, gc) = got(lang)
@@ -860,7 +861,7 @@ class Round9eOpsSpec extends SparkSpec {
     val (n16, rs16) = rsMean(16); val (n64, rs64) = rsMean(64)
     assert(row.getLong(0) == n16 && row.getLong(1) == n64, "segment counts")
     assert(row.getLong(2) == rs16 && row.getLong(3) == rs64, "R/S means")
-    val h = (math.log(rs64 / 1e6) - math.log(rs16 / 1e6)) / 1.3862943611198906
+    val h = Det.lnRatioD(rs64, rs16) / 1.3862943611198906
     assert(row.getLong(4) == s6(h), "H")
     assert(row.getLong(4) > 0 && row.getLong(4) < 1000000, "H in (0,1)")
   }
@@ -1379,9 +1380,9 @@ class Round9eOpsSpec extends SparkSpec {
       val counts = rows.groupBy(_._5).view.mapValues(_.size.toLong).toMap
       val n = counts.values.sum
       val h6 = counts.values.map { c =>
-        val p = c.toDouble / n; s6(-p * math.log(p))
+        val p = c.toDouble / n; s6(-p * Det.lnRatioD(c, n))
       }.sum
-      val d1c = math.floor(math.exp(h6.toDouble / 1e6) * 100 + 0.5).toLong
+      val d1c = math.floor(Det.expPD(h6.toDouble / 1e6) * 100 + 0.5).toLong
       val d2c = math.floor(n.toDouble * n / counts.values.map(c => c * c).sum * 100 + 0.5).toLong
       val (gn, gd0, gd1, gd2) = got(bk)
       assert(gn == n && gd0 == counts.size.toLong, s"bucket $bk counts")
