@@ -20,6 +20,7 @@ object SparkEntry {
       operators.Quality.all ++
       operators.Graph.all ++
       operators.SqlSurface.all ++
+      operators.Maintenance.all ++
       sources.SceneCatalog.all ++
       sources.GeoTiffScan.all ++
       functions.Scalars.all ++

@@ -155,4 +155,26 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Streaming twin of [[events]]: a readStream over `landingDir` (where
+    * the caller staged the events file) with the SAME footer-probed `ts`
+    * conversion, so batch and executed-streaming keys see identical
+    * instants. The probe reads the ORIGINAL corpus path under `d` (the
+    * staged copy is byte-identical). */
+  def eventsStream(s: SparkSession, d: String, landingDir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$d/events.parquet"
+    val onDisk = eventsTsType.computeIfAbsent(path,
+      _ => s.read.parquet(path).schema("ts").dataType)
+    val raw = s.readStream.schema(eventsSchemaWith(onDisk)).parquet(landingDir)
+    onDisk match {
+      case LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts DIV 1000)"))
+      case TimestampType => raw
+      case _ =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+    }
+  }
 }
