@@ -1004,7 +1004,7 @@ object Aggregates {
         val cells = T.lineitem(s, d)
           .groupBy(col("l_returnflag").as("f"), col("l_linestatus").as("st"))
           .agg(count(lit(1)).as("c"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
         val rt = cells.groupBy("f").agg(sum("c").as("r"))
         val ct = cells.groupBy("st").agg(sum("c").as("k"))
         val tot = cells.agg(sum("c").as("n"))
@@ -1437,7 +1437,7 @@ object Aggregates {
         val cells = T.lineitem(s, d)
           .groupBy(col("l_returnflag").as("f"), col("l_linestatus").as("st"))
           .agg(count(lit(1)).as("c"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
         val rt = cells.groupBy("f").agg(sum("c").as("r"))
         val ct = cells.groupBy("st").agg(sum("c").as("k"))
         val tot = cells.agg(sum("c").as("n"))
@@ -1676,7 +1676,7 @@ object Aggregates {
           .groupBy(expr("unix_timestamp(o_orderdate) div 86400").as("day"))
           .agg(sum(s2(col("o_totalprice"))).as("vc"))
           .select(col("day"), floor(col("vc").cast("double") / 1e4).cast("long").as("v"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
         def rsAtScale(m: Int): DataFrame = {
           val seg = g.withColumn("seg", expr(s"day div $m"))
           val full = seg.groupBy("seg").agg(
@@ -1945,7 +1945,7 @@ object Aggregates {
           .join(broadcast(T.part(s, d).select(col("p_partkey"), col("p_brand").as("b"))),
             col("l_partkey") === col("p_partkey"))
           .select("o", "b").distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
         val nt = ob.agg(countDistinct(col("o")).as("nt"))
         val singles = ob.groupBy("b").agg(count(lit(1)).as("n"))
         val pr = ob.select(col("o"), col("b").as("a"))

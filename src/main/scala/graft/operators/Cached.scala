@@ -1,0 +1,21 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** BUILD-TIME SIDE EFFECT, documented once (ADVICE r9): persist a
+  * subtree that several branches of ONE graded key's plan consume.
+  *
+  * The cache is intentionally NOT unpersisted inside the key: the
+  * returned plan is lazy, so an unpersist at build time would release
+  * the cache before any consumer executes. The lifecycle contract is
+  * the harness's per-key `spark.catalog.clearCache()` (Verify and Bench
+  * both do this between keys; a library user embedding one of these
+  * plans long-lived should clearCache — or unpersist after their final
+  * action — themselves). Keys whose builder RUNS actions internally
+  * (the iterative flowAccumulation/BFS family) unpersist eagerly
+  * instead, because their consumers have already executed. */
+object Cached {
+  def apply(df: DataFrame): DataFrame =
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+}

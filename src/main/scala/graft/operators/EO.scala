@@ -523,7 +523,7 @@ object EO {
           .agg(count(lit(1)).as("c")).where(col("c") === 256).select("tile")
         val p0 = px.where(col("t") === 0).join(broadcast(fullT), "tile")
           .select("tile", "py", "px", "m")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
         val src = p0.select(col("tile").as("ts"), col("py").as("sy"),
           col("px").as("sx"), col("m").as("sm"))
         val sh = p0.join(src,
@@ -589,7 +589,7 @@ object EO {
           .agg(count(lit(1)).as("c")).where(col("c") === 256).select("tile")
         val p0 = px.where(col("t") === 0).join(broadcast(fullT), "tile")
           .select("tile", "py", "px", "z")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
         val offs = Seq((0, 1, 1), (1, 1, 2), (1, 0, 4), (1, -1, 8),
           (0, -1, 16), (-1, -1, 32), (-1, 0, 64), (-1, 1, 128))
         val offDf = s.createDataFrame(offs).toDF("dy", "dx", "dir")
@@ -906,7 +906,7 @@ object EO {
           .agg(count(lit(1)).as("c")).where(col("c") === 256).select("tile")
         val p0 = px.where(col("t") === 0).join(broadcast(fullT), "tile")
           .select("tile", "pos", "v")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
         val wT = Window.partitionBy("tile")
         val r = p0.withColumn("rn", row_number().over(wT.orderBy(col("v"), col("pos"))))
           .withColumn("n", count(lit(1)).over(wT))
@@ -2852,7 +2852,7 @@ object EO {
     * component. Shared by eo_tile_clump and its generative spec. */
   private[graft] def clumpRollup(pixels: DataFrame): DataFrame = {
     val p0 = pixels
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
     val a = p0.select(col("tile"), col("py"), col("px"), col("pid").as("d1"))
     val b = p0.select(col("tile").as("tb"), col("py").as("qy"),
       col("px").as("qx"), col("pid").as("d2"))
@@ -2861,7 +2861,7 @@ object EO {
         ((col("qy") === col("py") && col("qx") === col("px") + 1) ||
           (col("qy") === col("py") + 1 && col("qx") === col("px"))))
       .select("d1", "d2")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
     val labels = graft.operators.Llm.componentLabels(
       p0.select(col("pid").as("doc_id")), pairs)
     labels.join(p0, col("doc_id") === col("pid"))

@@ -686,7 +686,7 @@ object Llm {
           .withColumn("rn", row_number().over(w))
           .where(col("rn") === 1)
           .select("vec_id", "ck")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
         val nm = asg.groupBy("ck").agg(count(lit(1)).as("n_members"))
         val upd = vecPos(s, d).join(asg, "vec_id")
           .groupBy(col("ck"), col("pos"))

@@ -1608,7 +1608,7 @@ object LlmExtras {
         val t = T.documents(s, d)
           .select(col("source"), explode(split(col("text"), " ")).as("tok"))
         val cf = t.groupBy("source", "tok").agg(count(lit(1)).as("c"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
         val tot = cf.groupBy("source").agg(sum("c").as("n"))
         val x = cf.select(col("source").as("sa"), col("tok"), col("c").as("ca"))
           .join(broadcast(tot.select(col("source").as("sa"), col("n").as("na"))), "sa")
@@ -1797,7 +1797,7 @@ object LlmExtras {
         val sigs = th.groupBy("doc_id", "lang")
           .agg(accCols.head, accCols.tail: _*)
           .select(col("doc_id"), col("lang"), sig.as("sig"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
         val bands = sigs.crossJoin(broadcast(
             s.range(0, 4).select(col("id").cast("int").as("b"))))
           .select(col("doc_id"), col("lang"), col("b"),

@@ -1692,28 +1692,45 @@ object Windows {
         "t AS (SELECT wk, user_id FROM r WHERE rn <= 5), " +
         "j AS (SELECT a.wk AS wk_from, CAST(COUNT(*) AS BIGINT) AS n_common " +
         "FROM t a JOIN t b ON b.wk = a.wk + 1 AND b.user_id = a.user_id GROUP BY a.wk), " +
+        "sz AS (SELECT wk, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY wk), " +
         "wks AS (SELECT DISTINCT wk FROM t WHERE EXISTS (SELECT 1 FROM t i WHERE i.wk = t.wk + 1)) " +
         "SELECT wks.wk AS wk_from, COALESCE(j.n_common, 0) AS n_common, " +
-        sqlS6("CAST(COALESCE(j.n_common, 0) AS DOUBLE) / CAST(10 - COALESCE(j.n_common, 0) AS DOUBLE)") +
-        " AS jaccard6 FROM wks LEFT JOIN j ON j.wk_from = wks.wk ORDER BY wk_from"),
+        sqlS6("CAST(COALESCE(j.n_common, 0) AS DOUBLE) / " +
+          "CAST(sa.n + sb.n - COALESCE(j.n_common, 0) AS DOUBLE)") +
+        " AS jaccard6 FROM wks LEFT JOIN j ON j.wk_from = wks.wk " +
+        "JOIN sz sa ON sa.wk = wks.wk JOIN sz sb ON sb.wk = wks.wk + 1 " +
+        "ORDER BY wk_from"),
       (s, d) => {
         val g = T.events(s, d).where(col("event_type") === "purchase")
           .groupBy(expr("unix_timestamp(ts) div 604800").as("wk"), col("user_id"))
           .agg(sum(s2(col("value"))).as("rev"))
         val wWk = Window.partitionBy("wk").orderBy(col("rev").desc, col("user_id"))
+        // BUILD-TIME SIDE EFFECT (the win_ntile note): t persists for its
+        // five consumers below and relies on the harness's per-key
+        // clearCache to release it — nothing here unpersists, since the
+        // returned plan is lazy and consumes the cache at execution.
         val t = g.withColumn("rn", row_number().over(wWk))
           .where(col("rn") <= 5).select("wk", "user_id")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nxt = t.select((col("wk") - 1).as("wk"), col("user_id"))
         val j = t.join(nxt, Seq("wk", "user_id"))
           .groupBy(col("wk").as("wk_from")).agg(count(lit(1)).as("n_common"))
+        val sz = t.groupBy("wk").agg(count(lit(1)).as("n"))
         val wks = t.select("wk").distinct()
           .join(t.select((col("wk") - 1).as("wk")).distinct(), Seq("wk"))
           .select(col("wk").as("wk_from"))
         val nc = coalesce(col("n_common"), lit(0L))
+        // true Jaccard: |A∩B| / (|A| + |B| − |A∩B|) with the ACTUAL week
+        // list sizes (a week can hold < 5 purchase-active users — the
+        // fixed 10-denominator form mislabeled those weeks; ADVICE r9)
         wks.join(j, Seq("wk_from"), "left")
+          .join(broadcast(sz.select(col("wk").as("wk_from"), col("n").as("na"))),
+            "wk_from")
+          .join(broadcast(sz.select((col("wk") - 1).as("wk_from"), col("n").as("nb"))),
+            "wk_from")
           .select(col("wk_from"), nc.as("n_common"),
-            s6(nc.cast("double") / (lit(10) - nc).cast("double")).as("jaccard6"))
+            s6(nc.cast("double") /
+              (col("na") + col("nb") - nc).cast("double")).as("jaccard6"))
           .orderBy("wk_from")
       }),
 

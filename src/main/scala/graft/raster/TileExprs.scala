@@ -496,10 +496,14 @@ case class TileFocalExtremum3x3(first: Expression, second: Expression,
       var ox = 0
       while (ox < ow) {
         val c = (oy + 1) * w + (ox + 1)
-        var m = a.getFloat(c - w - 1)
+        // seed with ±Infinity and scan all 9 neighbors — IDENTICAL to the
+        // codegen path below (a value seed + strict comparisons would
+        // retain a NaN seed while codegen silently skips NaN, making
+        // wholestage-codegen on/off change the output; ADVICE r9)
+        var m = if (isMax) Float.NegativeInfinity else Float.PositiveInfinity
         var i = 0
-        val offs = Array(-w, -w + 1, -1, 0, 1, w - 1, w, w + 1)
-        while (i < 8) {
+        val offs = Array(-w - 1, -w, -w + 1, -1, 0, 1, w - 1, w, w + 1)
+        while (i < 9) {
           val v = a.getFloat(c + offs(i))
           if (if (isMax) v > m else v < m) m = v
           i += 1
