@@ -328,18 +328,12 @@ object EO {
         sqlSum6("value") + " AS sum_val " +
         "FROM events JOIN nation ON CAST(user_id % 25 AS INT) = n_nationkey " +
         "GROUP BY n_name ORDER BY n_name"),
-      (s, d) =>
-        T.events(s, d)
-          .join(broadcast(T.nation(s, d)),
-            (col("user_id") % 25).cast("int") === col("n_nationkey"))
-          .groupBy("n_name")
-          .agg(
-            count(lit(1)).as("n"),
-            s6(min(col("value"))).as("min_val"),
-            s6(max(col("value"))).as("max_val"),
-            mean6(col("value")).as("mean_val"),
-            sum6(col("value")).as("sum_val"))
-          .orderBy("n_name")),
+      // thin instantiation of the parameterized library op (round 10)
+      (s, d) => graft.analytics.Zonal.stats(
+        T.events(s, d).join(broadcast(T.nation(s, d)),
+          (col("user_id") % 25).cast("int") === col("n_nationkey")),
+        zone = col("n_name"), value = col("value"))
+        .orderBy("n_name")),
 
     // Zonal majority (round 9, fourth wave) — the MODE-per-zone raster
     // product (GDAL majority resample / classification zonal mode):

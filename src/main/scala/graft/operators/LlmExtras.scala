@@ -555,34 +555,12 @@ object LlmExtras {
         "CASE WHEN n_tok >= 20 AND stop6 <= 600000 AND uniq6 >= 100000 AND rep6 <= 200000 " +
         "THEN 1 ELSE 0 END AS keep " +
         "FROM j ORDER BY doc_id"),
-      (s, d) => {
-        val m = tokens(s, d)
-          .groupBy("doc_id")
-          .agg(
-            count(lit(1)).as("n_tok"),
-            s6(sum(when(col("tok").isin(Stopwords: _*), 1).otherwise(0)).cast("double")
-              / count(lit(1)).cast("double")).as("stop6"),
-            s6(countDistinct(col("tok")).cast("double") / count(lit(1)).cast("double"))
-              .as("uniq6"))
-        val bg = TextOps.bigrams(T.documents(s, d), "doc_id")
-        val cnt = bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
-        val rep = cnt.groupBy("doc_id").agg(max(col("c")).as("top"))
-          .join(bg.groupBy("doc_id").agg(count(lit(1)).as("nb")), "doc_id")
-          .select(col("doc_id"),
-            s6(col("top").cast("double") / col("nb").cast("double")).as("rep6"))
-        val j = m.join(rep, Seq("doc_id"), "left")
-          .withColumn("rep6", coalesce(col("rep6"), lit(0L)))
-        val reason = when(col("n_tok") < 20, "too_short")
-          .when(col("stop6") > 600000L, "high_stop")
-          .when(col("uniq6") < 100000L, "low_uniq")
-          .when(col("rep6") > 200000L, "repetitive")
-          .otherwise("ok")
-        j.select(col("doc_id"), col("n_tok"), reason.as("reason"),
-            when(col("n_tok") >= 20 && col("stop6") <= 600000L &&
-              col("uniq6") >= 100000L && col("rep6") <= 200000L, 1)
-              .otherwise(0).as("keep"))
-          .orderBy("doc_id")
-      }),
+      // thin instantiation of the parameterized library op (round 10)
+      (s, d) => graft.analytics.QualityFilters.c4Filter(
+        T.documents(s, d), idCol = "doc_id", textCol = "text",
+        stopwords = Stopwords, minTokens = 20L, maxStop6 = 600000L,
+        minUniq6 = 100000L, maxRep6 = 200000L)
+        .orderBy("doc_id")),
 
     // Pointwise-mutual-information collocations per language (round 9,
     // second wave) — the phrase-mining statistic (Church & Hanks 1990)

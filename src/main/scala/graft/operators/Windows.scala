@@ -400,24 +400,13 @@ object Windows {
         "ELSE 1 END AS INT) AS stage " +
         "FROM v LEFT JOIN c ON c.user_id = v.user_id LEFT JOIN p ON p.user_id = v.user_id " +
         "ORDER BY v.user_id"),
-      (s, dd) => {
-        val d = T.events(s, dd)
-          .select(col("user_id"), col("event_type"), epochS(col("ts")).as("t"))
-        val v = d.where(col("event_type") === "view")
-          .groupBy("user_id").agg(min(col("t")).as("t_view"))
-        val c = d.where(col("event_type") === "click")
-          .join(v, "user_id").where(col("t") > col("t_view"))
-          .groupBy("user_id").agg(min(col("t")).as("t_click"))
-        val p = d.where(col("event_type") === "purchase")
-          .join(c, "user_id").where(col("t") > col("t_click"))
-          .groupBy("user_id").agg(min(col("t")).as("t_purchase"))
-        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
-          .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
-            when(col("t_purchase").isNotNull, 3)
-              .when(col("t_click").isNotNull, 2)
-              .otherwise(1).cast("int").as("stage"))
-          .orderBy("user_id")
-      }),
+      // thin instantiation of the parameterized library op (round 10)
+      (s, dd) => graft.analytics.Funnels.funnel(
+        T.events(s, dd).select(col("user_id"), col("event_type"),
+          epochS(col("ts")).as("t")),
+        entity = "user_id", typeCol = "event_type", tCol = "t",
+        steps = Seq("view", "click", "purchase"))
+        .orderBy("user_id")),
 
     // Point-in-time (feature-store) join against the win_scd2 history
     // (round 9): for each purchase, the state the user was in 15 minutes
@@ -485,22 +474,13 @@ object Windows {
         "c.cohort_size, " +
         sqlS6("CAST(r.n_active AS DOUBLE) / CAST(c.cohort_size AS DOUBLE)") + " AS retention6 " +
         "FROM r JOIN c ON c.cwk = r.cwk ORDER BY cohort_week, week_offset"),
-      (s, dd) => {
-        val d = T.events(s, dd)
-          .select(col("user_id"), floor(epochS(col("ts")) / 604800).cast("long").as("wk"))
-          .distinct()
-        val f = d.groupBy("user_id").agg(min(col("wk")).as("cwk"))
-        val r = d.join(f, "user_id")
-          .select(col("cwk"), (col("wk") - col("cwk")).as("offs"), col("user_id"))
-          .groupBy("cwk", "offs").agg(countDistinct(col("user_id")).as("n_active"))
-        val c = r.where(col("offs") === 0)
-          .select(col("cwk").as("ccwk"), col("n_active").as("cohort_size"))
-        r.join(c, col("cwk") === col("ccwk"))
-          .select(col("cwk").as("cohort_week"), col("offs").cast("int").as("week_offset"),
-            col("n_active"), col("cohort_size"),
-            s6(col("n_active").cast("double") / col("cohort_size").cast("double")).as("retention6"))
-          .orderBy("cohort_week", "week_offset")
-      }),
+      // thin instantiation of the parameterized library op (round 10)
+      (s, dd) => graft.analytics.Retention.cohortRetention(
+        T.events(s, dd), entity = "user_id", tsCol = "ts",
+        periodSecs = 604800L)
+        .withColumnRenamed("cohort_period", "cohort_week")
+        .withColumnRenamed("period_offset", "week_offset")
+        .orderBy("cohort_week", "week_offset")),
 
     // Moving median (round 9) — the ROBUST member of the moving-stat
     // family (win_movavg's mean is spike-sensitive; the rolling median is

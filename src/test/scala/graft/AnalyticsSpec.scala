@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics._
+
+/** The parameterized analytics API (analytics/Analytics.scala): each test
+  * expresses a NEW query — different steps, period, thresholds, zone —
+  * in a handful of lines against the library, and checks it against an
+  * independent in-memory mirror. The graded keys win_funnel /
+  * win_retention / llm_quality_filter / eo_zonal_stats are thin
+  * instantiations of the same functions, so the oracle gate already
+  * pins the canonical parameterizations. */
+class AnalyticsSpec extends SparkSpec {
+
+  private lazy val ev: Seq[(Long, Long, String)] =
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("t"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+
+  test("a NEW two-step funnel (click -> purchase) in three lines") {
+    val got = Funnels.funnel(
+      Tables.events(spark, sfDir).select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("t")),
+      "user_id", "event_type", "t", Seq("click", "purchase"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getInt(3)))).toMap
+    val byUser = ev.groupBy(_._1)
+    val expect = byUser.flatMap { case (u, es) =>
+      val clicks = es.filter(_._3 == "click").map(_._2)
+      if (clicks.isEmpty) None else {
+        val tc = clicks.min
+        val purch = es.filter(e => e._3 == "purchase" && e._2 > tc).map(_._2)
+        Some(u -> ((tc, purch.minOption, if (purch.nonEmpty) 2 else 1)))
+      }
+    }
+    assert(got == expect, "two-step funnel")
+  }
+
+  test("a NEW daily retention (86400 s periods) holds its invariants") {
+    val rows = Retention.cohortRetention(
+      Tables.events(spark, sfDir), "user_id", "ts", 86400L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // offset-0 cell is the cohort itself: retention exactly 1e6
+    rows.filter(_._2 == 0).foreach { case (_, _, na, cs, r6) =>
+      assert(na == cs && r6 == 1000000L)
+    }
+    // mirror one cohort cell exactly
+    val daily = ev.map(e => (e._1, e._2 / 86400)).distinct
+    val cohort = daily.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val cells = daily.groupBy(p => (cohort(p._1), p._2 - cohort(p._1)))
+      .view.mapValues(_.map(_._1).distinct.size.toLong).toMap
+    rows.foreach { case (c, o, na, cs, r6) =>
+      assert(na == cells((c, o.toLong)), s"cell ($c,$o)")
+      assert(cs == cells((c, 0L)), s"cohort $c size")
+      assert(r6 == math.floor(na.toDouble / cs * 1e6 + 0.5).toLong, s"cell ($c,$o) share")
+    }
+  }
+
+  test("a NEW stricter quality filter only tightens the kept set") {
+    val base = QualityFilters.c4Filter(Tables.documents(spark, sfDir),
+      "doc_id", "text", Seq("the", "a", "of", "and", "to", "in", "is", "on"),
+      20L, 600000L, 100000L, 200000L)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    val strict = QualityFilters.c4Filter(Tables.documents(spark, sfDir),
+      "doc_id", "text", Seq("the", "a", "of", "and", "to", "in", "is", "on"),
+      40L, 500000L, 200000L, 150000L)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(base.keySet == strict.keySet, "same doc domain")
+    strict.foreach { case (id, k) =>
+      assert(k <= base(id), s"doc $id: strict keep implies base keep")
+    }
+    assert(strict.values.sum < base.values.sum, "strictness bites")
+  }
+
+  test("a NEW zonal rollup over a different zone key in two lines") {
+    val got = Zonal.stats(Tables.events(spark, sfDir),
+      zone = col("event_type"), value = col("value"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val vals = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    vals.groupBy(_._1).foreach { case (ty, rows) =>
+      val xs = rows.map(_._2)
+      def s6(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+      val sum6 = xs.map(s6).sum
+      val (n, mn, mx, mean, sm) = got(ty)
+      assert(n == xs.size.toLong && mn == s6(xs.min) && mx == s6(xs.max), s"$ty extrema")
+      assert(sm == sum6, s"$ty sum")
+      assert(mean == math.floor(sum6.toDouble / xs.size + 0.5).toLong, s"$ty mean")
+    }
+  }
+}
