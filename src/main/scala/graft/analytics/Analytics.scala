@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Det
@@ -115,6 +116,31 @@ object QualityFilters {
       when(col("n_tok") >= minTokens && col("stop6") <= maxStop6 &&
         col("uniq6") >= minUniq6 && col("rep6") <= maxRep6, 1)
         .otherwise(0).as("keep"))
+  }
+}
+
+object Sessionize {
+
+  /** Gap-based sessionization (the gaps-and-islands shape): per entity,
+    * a new session starts when the gap since the previous event exceeds
+    * `gapSecs`. Returns one row per session:
+    * (entity, sid, t_start, t_end, n_events), sid 1-based in time order.
+    * `orderCol` breaks timestamp ties deterministically. The window is
+    * ENTITY-BOUNDED — partitions scale with per-entity history, never
+    * corpus size — and the rollup reuses the same key, so at scale this
+    * is one shuffle on the entity key end-to-end. */
+  def sessions(events: DataFrame, entity: String, tCol: String,
+      orderCol: String, gapSecs: Long): DataFrame = {
+    val w = Window.partitionBy(entity).orderBy(col(tCol), col(orderCol))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("_new_s",
+        when(col(tCol) - lag(col(tCol), 1).over(w) > gapSecs ||
+          lag(col(tCol), 1).over(w).isNull, 1).otherwise(0))
+      .withColumn("sid", sum(col("_new_s")).over(wRun))
+      .groupBy(col(entity), col("sid"))
+      .agg(min(col(tCol)).as("t_start"), max(col(tCol)).as("t_end"),
+        count(lit(1)).as("n_events"))
   }
 }
 

@@ -2838,6 +2838,100 @@ object EO {
           .groupBy("tile")
           .agg(count(lit(1)).as("n_bins"), sum(col("e6")).as("entropy6"))
           .orderBy("tile")
+      }),
+
+    // Brovey ratio pansharpening (round 10) — the standard fusion step
+    // that sharpens low-resolution multispectral bands with a co-located
+    // high-resolution panchromatic band: out_b = 3·band·pan/(r+g+b)
+    // [Pohl & van Genderen 1998 review; the GDAL pansharpen default].
+    // Bands are synthesized integers from each event row (cent digits +
+    // user/event residues — the eo_bandmath discipline), so numerator
+    // products are exact int64 and the ratio is ONE shared IEEE
+    // multiply/divide sequence per band, s6-floored (Det rule 3).
+    // Map-only: no shuffle at any scale; at 100 TB this is a pure
+    // codegen'd projection over the fused scan.
+    Q("eo_pansharpen", Some(
+      "WITH b AS (SELECT event_id, " + sqlS2("value") + " AS cents, user_id FROM events), " +
+        "c AS (SELECT event_id, cents % 256 AS r, (cents // 256) % 256 AS g, " +
+        "user_id % 256 AS bl, 1 + event_id % 255 AS pan FROM b) " +
+        "SELECT event_id, CAST(r + g + bl AS BIGINT) AS intens, " +
+        "CASE WHEN r + g + bl = 0 THEN NULL ELSE " +
+        sqlS6("3.0 * r * pan / (r + g + bl)") + " END AS r6, " +
+        "CASE WHEN r + g + bl = 0 THEN NULL ELSE " +
+        sqlS6("3.0 * g * pan / (r + g + bl)") + " END AS g6, " +
+        "CASE WHEN r + g + bl = 0 THEN NULL ELSE " +
+        sqlS6("3.0 * bl * pan / (r + g + bl)") + " END AS b6 " +
+        "FROM c ORDER BY event_id"),
+      (s, d) => {
+        val den = col("r") + col("g") + col("bl")
+        def sharp(b: Column) =
+          when(den === 0, lit(null))
+            .otherwise(s6(lit(3.0) * b * col("pan") / den))
+        T.events(s, d)
+          .select(col("event_id"), s2(col("value")).as("cents"), col("user_id"))
+          .select(col("event_id"),
+            (col("cents") % 256).as("r"),
+            (expr("cents div 256") % 256).as("g"),
+            (col("user_id") % 256).as("bl"),
+            (lit(1) + col("event_id") % 255).as("pan"))
+          .select(col("event_id"), den.cast("long").as("intens"),
+            sharp(col("r")).as("r6"), sharp(col("g")).as("g6"),
+            sharp(col("bl")).as("b6"))
+          .orderBy("event_id")
+      }),
+
+    // Marching-squares contour cases (round 10) — the isoline-extraction
+    // primitive behind every contour/coastline product [Lorensen & Cline
+    // 1987's 2-D form]: each interior 2×2 pixel cell classifies into one
+    // of 16 topology cases by thresholding its four corners (bit weights
+    // TL=8 TR=4 BL=2 BR=1); the per-tile case histogram is the graded
+    // surface (cases 1..14 are the crossing cells a vectorizer would
+    // emit segments for). Instead of a 4-way self-join, each pixel
+    // EXPLODES into the ≤4 cells it corners (a broadcast 2×2 offset
+    // grid) and one (tile, cy, cx) partial agg sums the bit weights —
+    // at archive scale that is one map-side-combined shuffle of
+    // tile-local keys, no join on pixel coordinates at all. Pure
+    // integer comparisons — no float topology ambiguity.
+    Q("eo_tile_contour", Some(
+      "WITH px AS (SELECT (event_id // 4) // 256 AS tile, " +
+        "((event_id // 4) % 256) // 16 AS py, ((event_id // 4) % 256) % 16 AS qx, " +
+        "event_id % 4 AS t, CASE WHEN user_id >= 64 THEN 1 ELSE 0 END AS b FROM events), " +
+        "full_t AS (SELECT tile FROM px WHERE t = 0 GROUP BY tile HAVING COUNT(*) = 256), " +
+        "corners AS (SELECT p.tile, p.py - dr AS cy, p.qx - dc AS cx, " +
+        "(CASE WHEN dr = 0 AND dc = 0 THEN 8 WHEN dr = 0 THEN 4 " +
+        "WHEN dc = 0 THEN 2 ELSE 1 END) * p.b AS wb " +
+        "FROM px p JOIN full_t USING (tile) " +
+        "CROSS JOIN (SELECT UNNEST([0, 1]) AS dr) r " +
+        "CROSS JOIN (SELECT UNNEST([0, 1]) AS dc) c " +
+        "WHERE p.t = 0 AND p.py - dr BETWEEN 0 AND 14 AND p.qx - dc BETWEEN 0 AND 14), " +
+        "cells AS (SELECT tile, cy, cx, CAST(SUM(wb) AS BIGINT) AS mcase " +
+        "FROM corners GROUP BY tile, cy, cx) " +
+        "SELECT tile, mcase, CAST(COUNT(*) AS BIGINT) AS n_cells " +
+        "FROM cells GROUP BY tile, mcase ORDER BY tile, mcase"),
+      (s, d) => {
+        val px = T.events(s, d).select(
+          expr("(event_id div 4) div 256").as("tile"),
+          expr("((event_id div 4) % 256) div 16").as("py"),
+          expr("((event_id div 4) % 256) % 16").as("qx"),
+          (col("event_id") % 4).as("t"),
+          when(col("user_id") >= 64, 1).otherwise(0).as("b"))
+        val fullT = px.where(col("t") === 0).groupBy("tile")
+          .agg(count(lit(1)).as("c")).where(col("c") === 256).select("tile")
+        val offs = s.range(0, 2).select(col("id").as("dr"))
+          .crossJoin(s.range(0, 2).select(col("id").as("dc")))
+        val wb = when(col("dr") === 0 && col("dc") === 0, 8)
+          .when(col("dr") === 0, 4).when(col("dc") === 0, 2).otherwise(1) * col("b")
+        px.where(col("t") === 0)
+          .join(broadcast(fullT), "tile")
+          .crossJoin(broadcast(offs))
+          .select(col("tile"), (col("py") - col("dr")).as("cy"),
+            (col("qx") - col("dc")).as("cx"), wb.as("wb"))
+          .where(col("cy").between(0, 14) && col("cx").between(0, 14))
+          .groupBy("tile", "cy", "cx")
+          .agg(sum(col("wb")).as("mcase"))
+          .groupBy("tile", "mcase")
+          .agg(count(lit(1)).as("n_cells"))
+          .orderBy("tile", "mcase")
       }))
 
   /** 4-adjacency connected-component rollup over set mask pixels

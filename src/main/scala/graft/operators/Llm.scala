@@ -765,5 +765,103 @@ object Llm {
         TextOps.bigrams(T.documents(s, d), "lang")
           .groupBy("lang", "bigram")
           .agg(count(lit(1)).as("cnt"))
-          .orderBy("lang", "bigram")))
+          .orderBy("lang", "bigram")),
+
+    // Maximal Marginal Relevance selection (round 10) — the
+    // diversity-aware top-k every RAG retriever and data-selection
+    // pipeline runs after similarity search [Carbonell & Goldstein
+    // 1998]: greedily pick K=5 documents maximizing
+    // λ·rel(i) − (1−λ)·max_{j∈S} sim(i,j), λ = 0.7 — relevance to the
+    // query (vec_id 0) traded against redundancy with what's already
+    // selected. Scale shape: relevance is llm_cosine_topk's map-only
+    // scaled-long cosine pass, the candidate POOL is its top-50 (the
+    // ANN-then-rerank contract — MMR never sees the corpus), and the
+    // O(pool²) pairwise sim matrix + the K greedy rounds run over
+    // ≤50-row broadcast tables. Cosines are the established exact
+    // machinery (FloorScaledDot terms = the oracle's per-element twins,
+    // √/÷ one shared IEEE sequence), the greedy argmax rides
+    // (score DESC, vec_id) on bit-identical doubles, and the oracle
+    // unrolls the SAME 5 rounds as CTE layers. rel6/score6 are the
+    // s6-floored graded surfaces; pick 1's redundancy term is 0 by
+    // definition on both engines.
+    Q("llm_mmr_select", Some {
+      val rounds = (2 to 5).map { k =>
+        val prev = s"sel${k - 1}"
+        s"sc$k AS (SELECT p.vec_id, p.r, MAX(ps.s) AS ms FROM pool p " +
+          s"JOIN psim ps ON ps.i = p.vec_id JOIN $prev sl ON ps.j = sl.vec_id " +
+          s"WHERE p.vec_id NOT IN (SELECT vec_id FROM $prev) GROUP BY p.vec_id, p.r), " +
+          s"s$k AS (SELECT vec_id, r, ms FROM (SELECT vec_id, r, ms, " +
+          s"ROW_NUMBER() OVER (ORDER BY 0.7 * r - 0.3 * ms DESC, vec_id) AS rn FROM sc$k) z$k " +
+          "WHERE rn = 1), " +
+          s"sel$k AS (SELECT vec_id FROM $prev UNION ALL SELECT vec_id FROM s$k)"
+      }.mkString(", ")
+      "WITH ux AS (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x, " +
+        "UNNEST(RANGE(1, LEN(embedding) + 1)) AS i FROM embeddings), " +
+        "nrm AS (SELECT vec_id, " +
+        "CAST(SUM(CAST(FLOOR(x * x * 1e14 + 0.5) AS BIGINT)) AS BIGINT) AS nl " +
+        "FROM ux GROUP BY vec_id), " +
+        "q AS (SELECT i, x FROM ux WHERE vec_id = 0), " +
+        "dots AS (SELECT u.vec_id, " +
+        "CAST(SUM(CAST(FLOOR(u.x * q.x * 1e14 + 0.5) AS BIGINT)) AS BIGINT) AS dotl " +
+        "FROM ux u JOIN q ON u.i = q.i WHERE u.vec_id <> 0 GROUP BY u.vec_id), " +
+        "relc AS (SELECT d.vec_id, (CAST(d.dotl AS DOUBLE) / 1e14) / " +
+        "(SQRT(CAST(n.nl AS DOUBLE) / 1e14) * " +
+        "SQRT(CAST((SELECT nl FROM nrm WHERE vec_id = 0) AS DOUBLE) / 1e14)) AS r " +
+        "FROM dots d JOIN nrm n ON n.vec_id = d.vec_id), " +
+        "pool AS (SELECT vec_id, r FROM (SELECT vec_id, r, " +
+        "ROW_NUMBER() OVER (ORDER BY r DESC, vec_id) AS rn FROM relc) pr WHERE rn <= 50), " +
+        "pd AS (SELECT a.vec_id AS i, b.vec_id AS j, " +
+        "CAST(SUM(CAST(FLOOR(a.x * b.x * 1e14 + 0.5) AS BIGINT)) AS BIGINT) AS dl " +
+        "FROM ux a JOIN ux b ON a.i = b.i " +
+        "JOIN pool pa ON pa.vec_id = a.vec_id JOIN pool pb ON pb.vec_id = b.vec_id " +
+        "WHERE a.vec_id <> b.vec_id GROUP BY a.vec_id, b.vec_id), " +
+        "psim AS (SELECT pd.i, pd.j, (CAST(pd.dl AS DOUBLE) / 1e14) / " +
+        "(SQRT(CAST(na.nl AS DOUBLE) / 1e14) * SQRT(CAST(nb.nl AS DOUBLE) / 1e14)) AS s " +
+        "FROM pd JOIN nrm na ON na.vec_id = pd.i JOIN nrm nb ON nb.vec_id = pd.j), " +
+        "s1 AS (SELECT vec_id, r, CAST(0.0 AS DOUBLE) AS ms FROM (SELECT vec_id, r, " +
+        "ROW_NUMBER() OVER (ORDER BY r DESC, vec_id) AS rn FROM pool) p1 WHERE rn = 1), " +
+        "sel1 AS (SELECT vec_id FROM s1), " + rounds + " " +
+        (1 to 5).map(k => s"SELECT $k AS pick, vec_id, " +
+          Det.sqlS6("r") + " AS rel6, " +
+          Det.sqlS6("0.7 * r - 0.3 * ms") + s" AS score6 FROM s$k")
+          .mkString("", " UNION ALL ", " ORDER BY pick")
+    },
+      (s, d) => {
+        graft.functions.VectorExprs.register(s)
+        import graft.functions.VectorExprs.sdotl
+        def cosOf(a: Column, b: Column): Column =
+          (sdotl(a, b).cast("double") / lit(1e14)) /
+            (sqrt(sdotl(a, a).cast("double") / lit(1e14)) *
+              sqrt(sdotl(b, b).cast("double") / lit(1e14)))
+        val emb = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+        val pool = emb.where(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), col("embedding"), cosOf(col("embedding"), col("qe")).as("r"))
+          .orderBy(col("r").desc, col("vec_id")).limit(50)
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        val psim = pool.select(col("vec_id").as("i"), col("embedding").as("ei"))
+          .join(broadcast(pool.select(col("vec_id").as("j"), col("embedding").as("ej"))),
+            col("i") =!= col("j"))
+          .select(col("i"), col("j"), cosOf(col("ei"), col("ej")).as("s"))
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        var sel = pool.orderBy(col("r").desc, col("vec_id")).limit(1)
+          .select(lit(1).as("pick"), col("vec_id"), col("r"),
+            lit(0.0).cast("double").as("ms"))
+        for (k <- 2 to 5) {
+          val ms = psim
+            .join(broadcast(sel.select(col("vec_id").as("j"))), "j")
+            .groupBy(col("i")).agg(max(col("s")).as("ms"))
+          val pick = pool
+            .join(broadcast(sel.select(col("vec_id"))), Seq("vec_id"), "left_anti")
+            .join(ms, col("vec_id") === col("i"))
+            .orderBy((lit(0.7) * col("r") - lit(0.3) * col("ms")).desc, col("vec_id"))
+            .limit(1)
+            .select(lit(k).as("pick"), col("vec_id"), col("r"), col("ms"))
+          sel = sel.unionAll(pick).localCheckpoint()
+        }
+        sel.select(col("pick"), col("vec_id"), s6(col("r")).as("rel6"),
+          s6(lit(0.7) * col("r") - lit(0.3) * col("ms")).as("score6"))
+          .orderBy("pick")
+      }))
 }

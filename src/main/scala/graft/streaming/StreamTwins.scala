@@ -75,6 +75,47 @@ object StreamTwins {
           .orderBy("event_type", "win_start")
       }),
 
+    // EXECUTED streaming dedup (round 10) — the second key whose graded
+    // value comes from a real micro-batch execution, covering the
+    // STATEFUL operator class stream_exec_tumble's aggregation does not:
+    // the landing dir is staged with the events file TWICE (an
+    // at-least-once redelivery twin), and `dropDuplicates` over the
+    // watermarked stream must collapse every redelivered row through
+    // the state store. The dedup key includes the event-time column, so
+    // the watermark genuinely bounds state (the production contract —
+    // without ts in the key, state grows forever); duplicate rows are
+    // bit-identical, so which copy survives is immaterial and APPEND
+    // mode emits each distinct row exactly once regardless of
+    // micro-batch order. The graded frame aggregates the SINK table —
+    // if even one duplicate leaks through state-store merge, n/sum_val
+    // double against the single-copy oracle and the hash breaks.
+    Q("stream_exec_dedup", Some(
+      "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+        sqlSum6("value") + " AS sum_val FROM events " +
+        "GROUP BY event_type ORDER BY event_type"),
+      (s, d) => {
+        val landing = java.nio.file.Files.createTempDirectory("graft_exec_dedup")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          landing.resolve("events_a.parquet"))
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          landing.resolve("events_b.parquet"))
+        val distinctRows = T.eventsStream(s, d, landing.toString)
+          .withWatermark("ts", "1 hour")
+          .dropDuplicates("event_id", "ts")
+        val q = distinctRows.writeStream.format("memory")
+          .queryName("graft_exec_dedup")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("graft_exec_dedup")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum6(col("value")).as("sum_val"))
+          .orderBy("event_type")
+      }),
+
     // 1h window sliding 15min: each event belongs to exactly 4 windows.
     Q("stream_slide", Some(
       "SELECT event_type, ((CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 900) - k) * 900 AS win_start, " +

@@ -1,0 +1,223 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-10 operator wave, each key pinned against an independent Scala
+  * mirror (the oracle gate grades the same keys against DuckDB at
+  * sf0.01; these mirrors are a third implementation so the two engine
+  * sides can't share a bug). */
+class Round10OpsSpec extends SparkSpec {
+
+  private def s6(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+  private def s2(x: Double): Long = math.floor(x * 100 + 0.5).toLong
+
+  /** (user_id, event_id, epoch_s, value, event_type). */
+  private lazy val events: Seq[(Long, Long, Long, Double, String)] =
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("t"),
+        col("value"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getString(4)))
+
+  test("eo_pansharpen: Brovey bands match the per-row mirror") {
+    val got = SparkEntry.queries("eo_pansharpen")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    events.foreach { case (uid, eid, _, v, _) =>
+      val cents = s2(v)
+      val (r, g, bl) = (cents % 256, (cents / 256) % 256, uid % 256)
+      val pan = 1 + eid % 255
+      val den = r + g + bl
+      val row = got(eid)
+      assert(row.getLong(1) == den, s"intens eid=$eid")
+      if (den == 0) assert(row.isNullAt(2) && row.isNullAt(3) && row.isNullAt(4))
+      else {
+        assert(row.getLong(2) == s6(3.0 * r * pan / den), s"r6 eid=$eid")
+        assert(row.getLong(3) == s6(3.0 * g * pan / den), s"g6 eid=$eid")
+        assert(row.getLong(4) == s6(3.0 * bl * pan / den), s"b6 eid=$eid")
+      }
+    }
+  }
+
+  test("eo_tile_contour: case histogram matches a pixel mirror (sf0.01)") {
+    // sf0.001 has no complete 256-pixel tiles — assert that, then mirror
+    // the marching-squares cases at sf0.01 where full tiles exist
+    assert(SparkEntry.queries("eo_tile_contour")(spark, sfDir).count() == 0)
+    val sf01 = "/root/testdata/sf0.01"
+    val px = Tables.events(spark, sf01)
+      .select(col("event_id"), col("user_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._1 % 4 == 0)
+      .map { case (eid, uid) =>
+        val pid = eid / 4
+        ((pid / 256, (pid % 256) / 16, (pid % 256) % 16),
+          if (uid >= 64) 1L else 0L)
+      }.toMap
+    val fullTiles = px.keys.groupBy(_._1).collect {
+      case (t, ps) if ps.size == 256 => t
+    }.toSet
+    val mirror = (for {
+      t <- fullTiles.toSeq; cy <- 0 to 14; cx <- 0 to 14
+    } yield {
+      val m = 8 * px((t, cy.toLong, cx.toLong)) +
+        4 * px((t, cy.toLong, cx + 1L)) +
+        2 * px((t, cy + 1L, cx.toLong)) + px((t, cy + 1L, cx + 1L))
+      (t, m)
+    }).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = SparkEntry.queries("eo_tile_contour")(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == mirror)
+    // topology sanity: every graded case id is one of the 16
+    assert(got.keys.forall { case (_, m) => m >= 0 && m <= 15 })
+  }
+
+  test("graph_label_prop: labels match a scalar synchronous LPA and reach a fixpoint") {
+    val got = SparkEntry.queries("graph_label_prop")(spark, sfDir).collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    // scalar mirror: rebuild the mutual-top-4 strongest-partner graph
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+    val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .count().collect()
+      .map(r => (r.getInt(0).toLong, r.getInt(1).toLong, r.getLong(2)))
+      .filter(e => e._1 != e._2)
+    val top4 = edges.groupBy(_._1).values.flatMap(
+      _.sortBy(e => (-e._3, e._2)).take(4).map(e => (e._1, e._2))).toSet
+    val und = top4.filter(e => top4((e._2, e._1)))
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSeq }
+    val nodes = Tables.nation(spark, sfDir).select("n_nationkey").collect()
+      .map(_.getInt(0).toLong).sorted
+    def step(l: Map[Long, Long]): Map[Long, Long] =
+      nodes.map { v =>
+        val votes = (l(v) +: adj.getOrElse(v, Seq.empty).map(l))
+          .groupBy(identity).map { case (lab, xs) => (lab, xs.size) }
+        v -> votes.toSeq.minBy { case (lab, c) => (-c, lab) }._1
+      }.toMap
+    var lbl = nodes.map(v => v -> v).toMap
+    (1 to 4).foreach(_ => lbl = step(lbl))
+    assert(got == lbl)
+    assert(lbl.values.toSet.size > 1, "degenerate single community")
+    // fixpoint: a fifth synchronous round changes nothing on this corpus
+    assert(step(lbl) == lbl, "LPA did not converge in 4 rounds")
+  }
+
+  test("win_ewvar: matches the ring-buffer mirror and is never below -1ulp grid") {
+    val got = SparkEntry.queries("win_ewvar")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    events.groupBy(_._5).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._2))
+      ordered.zipWithIndex.foreach { case ((_, eid, _, _, _), i) =>
+        val win = (0 until 8).flatMap { k =>
+          if (i - k >= 0) Some((ordered(i - k)._1, 1L << (7 - k))) else None
+        }
+        val n1 = win.map { case (v, w) => v * w }.sum
+        val n2 = win.map { case (v, w) => v * v * w }.sum
+        val dn = win.map(_._2).sum
+        val mean = n1.toDouble / dn.toDouble
+        val ev = s6(n2.toDouble / dn.toDouble - mean * mean)
+        assert(got(eid) == ((n2, ev)), s"eid=$eid")
+        assert(ev >= -1L) // biased weighted variance is >= 0 up to grid round
+      }
+    }
+  }
+
+  test("win_session_stats: durations match the scalar sessionizer and gaps_islands counts") {
+    val got = SparkEntry.queries("win_session_stats")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val gi = SparkEntry.queries("win_gaps_islands")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    events.groupBy(_._1).foreach { case (uid, rows) =>
+      val ts = rows.map(r => (r._3, r._2)).sortBy(identity)
+      val sessions = ts.tail.foldLeft(List(List(ts.head))) { (acc, cur) =>
+        if (cur._1 - acc.head.head._1 > 600) List(cur) :: acc
+        else (cur :: acc.head) :: acc.tail
+      }.map(s => s.map(_._1))
+      val durs = sessions.map(s => s.max - s.min)
+      val (n, tot) = (durs.size.toLong, durs.sum)
+      assert(got(uid) == ((n, tot, s6(tot.toDouble / n))), s"uid=$uid")
+      assert(gi(uid) == n, s"gaps_islands n_sessions uid=$uid")
+    }
+  }
+
+  test("llm_mmr_select: picks match a scalar greedy MMR over the top-50 pool") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def dotl(a: Array[Double], b: Array[Double]): Long =
+      a.indices.map(i => math.floor(a(i) * b(i) * 1e14 + 0.5).toLong).sum
+    def cos(i: Long, j: Long): Double = {
+      val (a, b) = (vecs(i), vecs(j))
+      (dotl(a, b).toDouble / 1e14) /
+        (math.sqrt(dotl(a, a).toDouble / 1e14) * math.sqrt(dotl(b, b).toDouble / 1e14))
+    }
+    val rel = vecs.keys.filter(_ != 0L).map(i => i -> cos(i, 0L)).toMap
+    val pool = rel.toSeq.sortBy { case (i, r) => (-r, i) }.take(50).map(_._1)
+    var sel = Vector((1, pool.head, rel(pool.head), 0.0))
+    for (k <- 2 to 5) {
+      val chosen = sel.map(_._2).toSet
+      val cand = pool.filterNot(chosen)
+      val scored = cand.map { i =>
+        val ms = chosen.map(j => cos(i, j)).max
+        (i, rel(i), ms, 0.7 * rel(i) - 0.3 * ms)
+      }
+      val best = scored.minBy { case (i, _, _, sc) => (-sc, i) }
+      sel :+= ((k, best._1, best._2, best._3))
+    }
+    val expect = sel.map { case (k, i, r, ms) =>
+      (k, i, s6(r), s6(0.7 * r - 0.3 * ms))
+    }
+    val got = SparkEntry.queries("llm_mmr_select")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toVector
+    assert(got == expect)
+    // diversity actually bites: the 5 picks are distinct and not simply
+    // the top-5 by relevance unless redundancy never dominated
+    assert(got.map(_._2).distinct.size == 5)
+  }
+
+  test("Snapshots: commit/readAsOf/rollback isolate versions over immutable files") {
+    import graft.maintenance.Snapshots
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap_spec").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    spark.range(0, 10).toDF("id").write.mode("overwrite").parquet(dir)
+    val v1 = Snapshots.commit(dir)
+    val v1Files = Snapshots.files(dir, v1).toSet
+    spark.range(10, 15).toDF("id").write.mode("append").parquet(dir)
+    val v2 = Snapshots.commit(dir, Snapshots.dataFiles(dir).filterNot(v1Files))
+    assert(v1 == 1 && v2 == 2)
+    // v1 files untouched by the append (immutable-data-file contract)
+    assert(Snapshots.files(dir, v1).toSet.subsetOf(Snapshots.dataFiles(dir).toSet))
+    assert(Snapshots.readAsOf(spark, dir, schema, v1).collect().map(_.getLong(0)).sorted
+      .sameElements(0L until 10L))
+    assert(Snapshots.readAsOf(spark, dir, schema, v2).collect().map(_.getLong(0)).sorted
+      .sameElements(10L until 15L))
+    val v3 = Snapshots.rollback(dir, v1)
+    assert(v3 == 3 && Snapshots.files(dir, v3) == Snapshots.files(dir, v1))
+    // the graded key's three versions: v1 == v3 == full truth, v2 filtered
+    val rows = SparkEntry.queries("maint_snapshot_asof")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byV = rows.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4)).toSet)
+    assert(byV(1) == byV(3), "rollback did not restore v1 visibility")
+    assert(!byV(2).exists(_._1 == "error") && byV(2).subsetOf(byV(1)))
+  }
+
+  test("stream_exec_dedup: the sink collapses the doubled landing to batch truth, twice") {
+    val batch = events.groupBy(_._5).map { case (t, rows) =>
+      t -> ((rows.size.toLong, rows.map(r => s6(r._4)).sum))
+    }
+    def run() = SparkEntry.queries("stream_exec_dedup")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(run() == batch)
+    // same-session re-invocation must restage and re-execute cleanly
+    assert(run() == batch)
+  }
+}
