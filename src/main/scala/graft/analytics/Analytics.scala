@@ -144,6 +144,39 @@ object Sessionize {
   }
 }
 
+object Dedup {
+
+  /** Exact content-dedup groups: one row per distinct `contentCol`
+    * value with its duplicate count and canonical (minimum) id — the
+    * linear first rung of every dedup funnel. One hash-keyed partial
+    * agg; at any scale the map-side combine collapses duplicates
+    * before the shuffle. */
+  def exactGroups(docs: DataFrame, idCol: String,
+      contentCol: String): DataFrame =
+    docs.groupBy(md5(col(contentCol)).as("content_hash"))
+      .agg(count(lit(1)).as("dup_count"), min(col(idCol)).as("canonical_id"))
+
+  /** Apply a dedup decision over component labels
+    * (`(idCol, cluster)` rows, e.g. from Llm.componentLabels): keep the
+    * LONGEST member per cluster, ties -> smallest id (Lee et al. 2022's
+    * keep-one-representative recipe). Returns
+    * (kept_id, cluster, n_members). The pick is one window over
+    * partitions bounded by cluster size. */
+  def keepLongest(labels: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val lens = docs.select(col(idCol), length(col(textCol)).as("len"))
+    val wPick = Window.partitionBy("cluster")
+      .orderBy(col("len").desc, col(idCol))
+    val wAll = Window.partitionBy("cluster")
+    labels.join(lens, idCol)
+      .withColumn("rn", row_number().over(wPick))
+      .withColumn("n_members", count(lit(1)).over(wAll))
+      .where(col("rn") === 1)
+      .select(col(idCol).as("kept_id"), col("cluster"),
+        col("n_members").cast("long").as("n_members"))
+  }
+}
+
 object Zonal {
 
   /** Zonal statistics: count / min / max / mean / sum of `value` per

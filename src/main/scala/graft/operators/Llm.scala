@@ -321,11 +321,10 @@ object Llm {
       "SELECT MD5(text) AS content_hash, CAST(COUNT(*) AS BIGINT) AS dup_count, " +
         "MIN(doc_id) AS canonical_id FROM documents " +
         "GROUP BY content_hash ORDER BY content_hash"),
-      (s, d) =>
-        T.documents(s, d)
-          .groupBy(md5(col("text")).as("content_hash"))
-          .agg(count(lit(1)).as("dup_count"), min(col("doc_id")).as("canonical_id"))
-          .orderBy("content_hash")),
+      // thin instantiation of the user-facing API (round 10)
+      (s, d) => graft.analytics.Dedup
+        .exactGroups(T.documents(s, d), "doc_id", "text")
+        .orderBy("content_hash")),
 
     // Exact token-set Jaccard >= 0.5 pairs, blocked by lang; O(1) per pair
     // via the 64-bit mask (see object scaladoc for the open-vocab path).
@@ -424,17 +423,10 @@ object Llm {
           "swap the edge source for llm_dedup_cluster_banded's banded " +
             "candidates at corpus scale; the keep-longest pick is linear")
         val labels = componentLabels(m.select("doc_id"), exactMaskPairs(m))
-        val lens = T.documents(s, d)
-          .select(col("doc_id"), length(col("text")).as("len"))
-        val wPick = Window.partitionBy("cluster")
-          .orderBy(col("len").desc, col("doc_id"))
-        val wAll = Window.partitionBy("cluster")
-        labels.join(lens, "doc_id")
-          .withColumn("rn", row_number().over(wPick))
-          .withColumn("n_members", count(lit(1)).over(wAll))
-          .where(col("rn") === 1)
-          .select(col("doc_id").as("kept_id"), col("cluster"),
-            col("n_members").cast("long").as("n_members"))
+        // thin instantiation of the user-facing API (round 10): the
+        // keep-longest pick lives in analytics.Dedup.keepLongest
+        graft.analytics.Dedup
+          .keepLongest(labels, T.documents(s, d), "doc_id", "text")
           .orderBy("cluster")
       }),
 

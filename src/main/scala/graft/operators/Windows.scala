@@ -454,6 +454,67 @@ object Windows {
           .orderBy("event_id")
       }),
 
+    // Holt's linear-trend double exponential smoothing (round 10) — the
+    // level+trend forecaster one rung above win_ewma [Holt 1957; the
+    // statsmodels/pandas Holt default shape], alpha = beta = 1/2, in the
+    // same BOUNDED-STATE truncated form: the two-state recursion
+    // l' = y/2 + (l+b)/2, b' = (l'-l)/2 + b/2 initialized at the oldest
+    // of the last 8 observations (l = y[t-7], b = 0) is LINEAR in the
+    // window, so it unrolls into two fixed 8-tap integer kernels with
+    // EXACT dyadic coefficients over denominator 2^14 (computed once by
+    // symbolic unrolling; ΣL = 16384 ≡ 1 and ΣB = 0, so a constant
+    // series reproduces itself with zero trend — the spec pins both).
+    // l_num/b_num are exact int64 dot products on both engines; level,
+    // trend and the one-step forecast l+b are ONE IEEE divide each off
+    // the 2^14 grid, s6-floored. Rows with fewer than 8 priors emit
+    // NULL (the kernel needs its full support — the partial-history
+    // renormalization that is well-defined for one state has no unique
+    // two-state analogue). Entity-bounded lag window, zero new shuffle
+    // shapes; a streaming engine keeps the same 8-value ring buffer.
+    Q("win_holt", Some {
+      val lCoef = Seq(8192L, 6144L, 3584L, 1408L, -32L, -744L, -914L, -1254L)
+      val bCoef = Seq(4096L, 1024L, -768L, -1472L, -1456L, -1084L, -627L, 287L)
+      "WITH d AS (SELECT event_type, event_id, user_id, " +
+        "CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t FROM events), " +
+        "lagged AS (SELECT event_type, event_id, " +
+        (0 until 8).map(k =>
+          s"LAG(user_id, $k) OVER (PARTITION BY event_type ORDER BY t, event_id) AS v$k")
+          .mkString(", ") +
+        " FROM d), " +
+        "m AS (SELECT event_id, v7, " +
+        "CAST(" + (0 until 8).map(k => s"v$k * (${lCoef(k)})").mkString(" + ") +
+        " AS BIGINT) AS l_num, " +
+        "CAST(" + (0 until 8).map(k => s"v$k * (${bCoef(k)})").mkString(" + ") +
+        " AS BIGINT) AS b_num FROM lagged) " +
+        "SELECT event_id, l_num, b_num, " +
+        "CASE WHEN v7 IS NULL THEN NULL ELSE " +
+        sqlS6("CAST(l_num AS DOUBLE) / 16384.0") + " END AS level6, " +
+        "CASE WHEN v7 IS NULL THEN NULL ELSE " +
+        sqlS6("CAST(l_num + b_num AS DOUBLE) / 16384.0") + " END AS fcast6 " +
+        "FROM m ORDER BY event_id"
+    },
+      (s, d) => {
+        val lCoef = Seq(8192L, 6144L, 3584L, 1408L, -32L, -744L, -914L, -1254L)
+        val bCoef = Seq(4096L, 1024L, -768L, -1472L, -1456L, -1084L, -627L, 287L)
+        val w = Window.partitionBy("event_type").orderBy(col("t"), col("event_id"))
+        val lags = (0 until 8).map(k => lag(col("user_id"), k).over(w).as(s"v$k"))
+        val lNum = (0 until 8).map(k => col(s"v$k") * lCoef(k)).reduce(_ + _)
+        val bNum = (0 until 8).map(k => col(s"v$k") * bCoef(k)).reduce(_ + _)
+        T.events(s, d)
+          .select(col("event_type"), col("event_id"), col("user_id"),
+            epochS(col("ts")).as("t"))
+          .select(Seq(col("event_id")) ++ lags: _*)
+          .select(col("event_id"), lNum.cast("long").as("l_num"),
+            bNum.cast("long").as("b_num"), col("v7"))
+          .select(col("event_id"), col("l_num"), col("b_num"),
+            when(col("v7").isNull, lit(null))
+              .otherwise(s6(col("l_num").cast("double") / lit(16384.0))).as("level6"),
+            when(col("v7").isNull, lit(null))
+              .otherwise(s6((col("l_num") + col("b_num")).cast("double") / lit(16384.0)))
+              .as("fcast6"))
+          .orderBy("event_id")
+      }),
+
     // Ordered conversion funnel (round 9) — the product-analytics staple:
     // per user, the earliest view, the earliest click AFTER that view,
     // and the earliest purchase AFTER that click (strict event-order

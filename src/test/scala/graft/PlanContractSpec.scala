@@ -461,6 +461,28 @@ class PlanContractSpec extends SparkSpec {
       s"cidr dimension not broadcast:\n$cm")
   }
 
+  test("round-10 keys keep their promised shapes") {
+    // pansharpen is map-only: no exchange anywhere in the plan
+    val ps = planOf("eo_pansharpen")
+    assert(!ps.contains("Exchange hashpartitioning"),
+      s"pansharpen grew a shuffle:\n$ps")
+    // contour classifies via corner-explode + partial agg, never a
+    // pixel-coordinate sort-merge join
+    val ct = planOf("eo_tile_contour")
+    assert(!ct.contains("SortMergeJoin"), s"contour joined coordinates:\n$ct")
+    assert(ct.contains("BroadcastNestedLoopJoin") ||
+      ct.contains("BroadcastHashJoin"), s"offset grid not broadcast:\n$ct")
+    // the two-state kernels ride entity-partitioned windows, never global
+    Seq("win_holt", "win_ewvar").foreach { k =>
+      val p = planOf(k)
+      assert(p.contains("PartitionBy: [event_type") ||
+        p.contains("hashpartitioning(event_type"), s"$k window not entity-bounded:\n$p")
+    }
+    // MMR's pool/pairwise joins broadcast - the pool is 50 rows by contract
+    val mmr = planOf("llm_mmr_select")
+    assert(!mmr.contains("SortMergeJoin"), s"mmr pool join degraded:\n$mmr")
+  }
+
   test("global sweep: no key plans a cartesian product or a python fallback") {
     // join_cross IS the cartesian semantics (125-row dimension square);
     // everything else must never degrade to one, and nothing may fall to

@@ -146,6 +146,40 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("win_holt: the unrolled kernel equals the SEQUENTIAL Holt recursion") {
+    val got = SparkEntry.queries("win_holt")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    events.groupBy(_._5).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._2))
+      ordered.zipWithIndex.foreach { case ((_, eid, _, _, _), i) =>
+        val row = got(eid)
+        if (i < 7) assert(row.isNullAt(3) && row.isNullAt(4), s"eid=$eid")
+        else {
+          // run the recursion itself, NOT the kernel — an independent
+          // derivation of the coefficient table
+          val win = (i - 7 to i).map(k => ordered(k)._1)
+          var l = win.head.toDouble
+          var b = 0.0
+          win.tail.foreach { y =>
+            val l2 = y / 2.0 + (l + b) / 2.0
+            b = (l2 - l) / 2.0 + b / 2.0
+            l = l2
+          }
+          // dyadic arithmetic is exact in double, so 2^14-scaling recovers
+          // the integer kernel outputs bit-for-bat
+          assert(row.getLong(1) == math.round(l * 16384), s"l_num eid=$eid")
+          assert(row.getLong(2) == math.round(b * 16384), s"b_num eid=$eid")
+          assert(row.getLong(3) == s6(row.getLong(1).toDouble / 16384.0))
+          assert(row.getLong(4) == s6((row.getLong(1) + row.getLong(2)).toDouble / 16384.0))
+        }
+      }
+    }
+    // constant-series identity: SUM(L)=2^14, SUM(B)=0
+    val lCoef = Seq(8192L, 6144L, 3584L, 1408L, -32L, -744L, -914L, -1254L)
+    val bCoef = Seq(4096L, 1024L, -768L, -1472L, -1456L, -1084L, -627L, 287L)
+    assert(lCoef.sum == 16384L && bCoef.sum == 0L)
+  }
+
   test("llm_mmr_select: picks match a scalar greedy MMR over the top-50 pool") {
     val vecs = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding")).collect()
