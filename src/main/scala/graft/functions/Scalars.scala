@@ -553,5 +553,53 @@ object Scalars {
           .groupBy("cidr")
           .agg(count(lit(1)).as("n"), min("a").as("ip_min"), max("a").as("ip_max"))
           .orderBy("cidr")
-      }))
+      }),
+
+    // Soundex phonetic bucketing (round 10) — the classic
+    // fuzzy-name-matching blocking key [Russell 1918; the standard SQL
+    // SOUNDEX], in its SIMPLE variant (vowels and H/W/Y all act as
+    // separators) spelled as ONE SHARED textual pipeline both engines
+    // evaluate verbatim: uppercase → TRANSLATE to digit classes → runs
+    // collapsed by a GENERATED 35-deep REPLACE chain (5 halving passes
+    // per digit cover runs ≤ 32; DuckDB's RE2 regex has no
+    // backreferences, so '(.)\\1+' is not portable — measured, not
+    // assumed) → zeros dropped → the first letter's own digit dropped →
+    // RPAD to the letter+3 code. Neither engine's BUILT-IN soundex is
+    // used: builtins disagree on the H/W rule across implementations,
+    // the generated pipeline cannot. Grouping parts by the code of
+    // their first name-word is the record-linkage blocking step; one
+    // hash aggregate, string work all map-side.
+    Q("fn_soundex", Some(
+      "WITH w AS (SELECT SPLIT_PART(p_name, ' ', 1) AS word FROM part), " +
+        "c AS (SELECT word, " + soundexSqlOf("word") + " AS code FROM w) " +
+        "SELECT code, CAST(COUNT(*) AS BIGINT) AS n_parts, " +
+        "CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words, " +
+        "MIN(word) AS word_min FROM c GROUP BY code ORDER BY code"),
+      (s, d) =>
+        T.part(s, d)
+          .select(split(col("p_name"), " ").getItem(0).as("word"))
+          .withColumn("code", expr(soundexSqlOf("word")))
+          .groupBy("code")
+          .agg(count(lit(1)).as("n_parts"),
+            countDistinct(col("word")).as("n_words"),
+            min(col("word")).as("word_min"))
+          .orderBy("code")))
+
+  /** The shared soundex pipeline over a column reference — ONE string
+    * both engines parse (Spark SQL and DuckDB agree on TRANSLATE /
+    * REPLACE / SUBSTR / RPAD / CASE / ||), so the arithmetic cannot
+    * diverge. See fn_soundex. */
+  private def soundexSqlOf(c: String): String = {
+    val digits = "01230120022455012623010202" // A..Z -> class
+    val tr = s"TRANSLATE(UPPER($c), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '$digits')"
+    // collapse runs: 5 halving REPLACE passes per digit class
+    val collapsed = (0 to 6).foldLeft(tr) { (e, dg) =>
+      (1 to 5).foldLeft(e)((e2, _) => s"REPLACE($e2, '$dg$dg', '$dg')")
+    }
+    val dg = s"REPLACE($collapsed, '0', '')"
+    val fd = s"TRANSLATE(SUBSTR(UPPER($c), 1, 1), " +
+      s"'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '$digits')"
+    s"(SUBSTR(UPPER($c), 1, 1) || SUBSTR(RPAD(CASE WHEN $fd <> '0' " +
+      s"THEN SUBSTR($dg, 2) ELSE $dg END, 3, '0'), 1, 3))"
+  }
 }

@@ -85,6 +85,33 @@ object Graph {
     * GraphSpec asserts the labels reached a fixpoint on this corpus. */
   private val LpaRounds = 4
 
+  /** The MUTUAL TOP-4 strongest-partner graph (canonical a < b pairs):
+    * each nation's 4 heaviest trade partners (w DESC, dst ASC), an edge
+    * kept only when BOTH ends rank each other. Mutual-kNN is the
+    * scale-invariant sparsification — per-node candidates are bounded
+    * by construction at any corpus size (a mean-multiple threshold
+    * degenerates as edge-weight variance collapses: 2×-mean leaves 0
+    * edges at sf0.1). Shared by graph_label_prop and graph_modularity. */
+  private def mutualTop4(s: SparkSession, d: String): DataFrame = {
+    val e = tradeEdges(s, d).where(col("src") =!= col("dst"))
+    val wTop = Window.partitionBy("src").orderBy(col("w").desc, col("dst"))
+    val tk = e.withColumn("rn", row_number().over(wTop))
+      .where(col("rn") <= 4).select(col("src").as("a"), col("dst").as("b"))
+    tk.join(tk.select(col("a").as("b2"), col("b").as("a2")),
+        col("a") === col("a2") && col("b") === col("b2"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+  }
+
+  /** Oracle twin of [[mutualTop4]]: CTEs `tk` and `ue` over `e`. */
+  private val mutualTop4Sql: String =
+    "tk AS (SELECT a, b FROM (SELECT src AS a, dst AS b, " +
+      "ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn " +
+      "FROM e WHERE src <> dst) r WHERE rn <= 4), " +
+      "ue AS (SELECT DISTINCT LEAST(t1.a, t1.b) AS a, GREATEST(t1.a, t1.b) AS b " +
+      "FROM tk t1 JOIN tk t2 ON t1.a = t2.b AND t1.b = t2.a)"
+
   /** Peeling rounds and the core order k for graph_kcore — shared by the
     * Spark loop and the generated oracle CTE chain (the CcRounds
     * contract: both engines run the SAME fixed depth; the spec pins
@@ -856,27 +883,14 @@ object Graph {
           s"l$k AS MATERIALIZED (SELECT p.v, pk.lab AS lbl " +
           s"FROM $prev p JOIN p$k pk ON pk.u = p.v)"
       }.mkString(", ")
-      s"WITH $tradeEdgesSql, " +
-        "tk AS (SELECT a, b FROM (SELECT src AS a, dst AS b, " +
-        "ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn " +
-        "FROM e WHERE src <> dst) r WHERE rn <= 4), " +
-        "ue AS (SELECT DISTINCT LEAST(t1.a, t1.b) AS a, GREATEST(t1.a, t1.b) AS b " +
-        "FROM tk t1 JOIN tk t2 ON t1.a = t2.b AND t1.b = t2.a), " +
+      s"WITH $tradeEdgesSql, $mutualTop4Sql, " +
         "sym AS MATERIALIZED (SELECT a AS u, b AS w FROM ue UNION ALL SELECT b, a FROM ue), " +
         "l0 AS MATERIALIZED (SELECT n_nationkey AS v, CAST(n_nationkey AS BIGINT) AS lbl FROM nation), " +
         rounds +
         s" SELECT v AS nationkey, lbl AS community FROM l$LpaRounds ORDER BY nationkey"
     },
       (s, d) => {
-        val e = tradeEdges(s, d).where(col("src") =!= col("dst"))
-        val wTop = Window.partitionBy("src").orderBy(col("w").desc, col("dst"))
-        val tk = e.withColumn("rn", row_number().over(wTop))
-          .where(col("rn") <= 4).select(col("src").as("a"), col("dst").as("b"))
-        val ue = tk.join(tk.select(col("a").as("b2"), col("b").as("a2")),
-            col("a") === col("a2") && col("b") === col("b2"))
-          .select(least(col("a"), col("b")).as("a"),
-            greatest(col("a"), col("b")).as("b"))
-          .distinct()
+        val ue = mutualTop4(s, d)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val sym = ue.select(col("a").as("u"), col("b").as("w"))
           .unionAll(ue.select(col("b").as("u"), col("a").as("w")))
@@ -898,6 +912,76 @@ object Graph {
         ue.unpersist()
         lbl.select(col("v").as("nationkey"), col("lbl").as("community"))
           .orderBy("nationkey")
+      }),
+
+    // Newman modularity per community (round 10) — the quality score
+    // that tells you whether a community structure is better than
+    // chance [Newman & Girvan 2004]: Q = Σ_c (e_c/m − (d_c/2m)²) over
+    // the connected components of the SAME mutual-top-4 partner graph
+    // graph_label_prop runs on (components are the natural communities
+    // of a sparse mutual-kNN graph; singletons contribute exactly 0 on
+    // both engines). e_c (intra-community edges), d_c (degree sum) and
+    // m are EXACT integers — the only doubles are the two divides of
+    // the per-community contribution, ONE shared IEEE sequence,
+    // s6-floored. Components ride Llm.componentLabels (star contraction
+    // + gated local finisher — the graph_cc scale path); everything
+    // after the labels is node-sized aggregates and broadcast joins.
+    // Oracle: recursive-CTE closure for the components + the same
+    // integer arithmetic.
+    Q("graph_modularity", Some {
+      s"WITH RECURSIVE $tradeEdgesSql, $mutualTop4Sql, " +
+        "sym AS (SELECT a AS u, b AS w FROM ue UNION ALL SELECT b, a FROM ue), " +
+        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS me FROM ue), " +
+        "reach AS (SELECT n_nationkey AS a, n_nationkey AS b FROM nation " +
+        "UNION SELECT r.a, s.w FROM reach r JOIN sym s ON s.u = r.b), " +
+        "comp AS (SELECT a AS v, MIN(b) AS c FROM reach GROUP BY a), " +
+        "deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS dg FROM sym GROUP BY u), " +
+        "dc AS (SELECT cp.c, CAST(COUNT(*) AS BIGINT) AS n_nodes, " +
+        "CAST(SUM(COALESCE(d.dg, 0)) AS BIGINT) AS d_tot " +
+        "FROM comp cp LEFT JOIN deg d ON d.u = cp.v GROUP BY cp.c), " +
+        "ec AS (SELECT ca.c, CAST(COUNT(*) AS BIGINT) AS e_in FROM ue " +
+        "JOIN comp ca ON ca.v = ue.a JOIN comp cb ON cb.v = ue.b AND ca.c = cb.c " +
+        "GROUP BY ca.c) " +
+        "SELECT dc.c AS community, dc.n_nodes, " +
+        "CAST(COALESCE(ec.e_in, 0) AS BIGINT) AS e_in, dc.d_tot, " +
+        "CASE WHEN dc.d_tot = 0 THEN 0 ELSE " +
+        sqlS6("CAST(COALESCE(ec.e_in, 0) AS DOUBLE) / (SELECT me FROM m) - " +
+          "(CAST(dc.d_tot AS DOUBLE) / (2.0 * (SELECT me FROM m))) * " +
+          "(CAST(dc.d_tot AS DOUBLE) / (2.0 * (SELECT me FROM m)))") +
+        " END AS q6 FROM dc LEFT JOIN ec ON ec.c = dc.c ORDER BY community"
+    },
+      (s, d) => {
+        val ue = mutualTop4(s, d)
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        val sym = ue.select(col("a").as("u"), col("b").as("w"))
+          .unionAll(ue.select(col("b").as("u"), col("a").as("w")))
+        val m = ue.agg(count(lit(1)).as("me"))
+        val nodes = T.nation(s, d)
+          .select(col("n_nationkey").cast("long").as("doc_id"))
+        val labels = Llm.componentLabels(nodes,
+          ue.select(col("a").cast("long").as("d1"), col("b").cast("long").as("d2")))
+        val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+        val dc = labels
+          .join(deg, col("doc_id") === col("u"), "left")
+          .groupBy(col("cluster").as("c"))
+          .agg(count(lit(1)).as("n_nodes"),
+            sum(coalesce(col("dg"), lit(0L))).as("d_tot"))
+        val comp = labels.select(col("doc_id").as("v"), col("cluster"))
+        val ec = ue
+          .join(broadcast(comp.select(col("v").as("a"), col("cluster").as("ca"))), "a")
+          .join(broadcast(comp.select(col("v").as("b"), col("cluster").as("cb"))), "b")
+          .where(col("ca") === col("cb"))
+          .groupBy(col("ca").as("c")).agg(count(lit(1)).as("e_in"))
+        val me = col("me").cast("double")
+        val dt = col("d_tot").cast("double")
+        dc.join(ec, Seq("c"), "left")
+          .crossJoin(broadcast(m))
+          .select(col("c").as("community"), col("n_nodes"),
+            coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_tot"),
+            when(col("d_tot") === 0, 0L)
+              .otherwise(s6(coalesce(col("e_in"), lit(0L)).cast("double") / me -
+                (dt / (lit(2.0) * me)) * (dt / (lit(2.0) * me)))).as("q6"))
+          .orderBy("community")
       }),
   )
 

@@ -146,6 +146,81 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("graph_modularity: per-component Q matches a scalar union-find mirror") {
+    val got = SparkEntry.queries("graph_modularity")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // rebuild the mutual-top-4 graph (same construction as the LPA spec)
+    val edges = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .count().collect()
+      .map(r => (r.getInt(0).toLong, r.getInt(1).toLong, r.getLong(2)))
+      .filter(e => e._1 != e._2)
+    val top4 = edges.groupBy(_._1).values.flatMap(
+      _.sortBy(e => (-e._3, e._2)).take(4).map(e => (e._1, e._2))).toSet
+    val und = top4.filter(e => top4((e._2, e._1)))
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+    val nodes = Tables.nation(spark, sfDir).select("n_nationkey").collect()
+      .map(_.getInt(0).toLong)
+    // union-find components
+    val parent = scala.collection.mutable.Map(nodes.map(v => v -> v): _*)
+    def find(v: Long): Long =
+      if (parent(v) == v) v else { parent(v) = find(parent(v)); parent(v) }
+    und.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val comp = nodes.map(v => v -> find(v)).toMap
+    val m = und.size.toLong
+    val deg = (und.toSeq ++ und.toSeq.map(_.swap)).groupBy(_._1)
+      .map { case (v, xs) => v -> xs.size.toLong }
+    val expect = nodes.groupBy(comp).map { case (c, vs) =>
+      val dTot = vs.map(v => deg.getOrElse(v, 0L)).sum
+      val eIn = und.count { case (a, b) => comp(a) == c && comp(b) == c }.toLong
+      val q6 = if (dTot == 0) 0L
+        else s6(eIn.toDouble / m - (dTot / (2.0 * m)) * (dTot / (2.0 * m)))
+      c -> ((vs.size.toLong, eIn, dTot, q6))
+    }
+    assert(got == expect)
+    // global Q of a partition is bounded
+    val qTot = got.values.map(_._4).sum
+    assert(qTot >= -1000000L && qTot <= 1000000L)
+  }
+
+  test("fn_soundex: codes match a scalar soundex of the simple variant") {
+    val classes = "01230120022455012623010202"
+    def sdx(word: String): String = {
+      val up = word.toUpperCase
+      def cls(ch: Char): Char =
+        if (ch >= 'A' && ch <= 'Z') classes(ch - 'A') else ch
+      val tr = up.map(cls)
+      val collapsed = tr.foldLeft(new StringBuilder) { (sb, ch) =>
+        if (sb.nonEmpty && sb.last == ch) sb else sb.append(ch)
+      }.toString
+      val dg0 = collapsed.filter(_ != '0')
+      val tail = if (cls(up.head) != '0') dg0.drop(1) else dg0
+      up.head.toString + tail.padTo(3, '0').take(3)
+    }
+    val words = Tables.part(spark, sfDir).select("p_name").collect()
+      .map(_.getString(0).split(" ").head)
+    val expect = words.groupBy(sdx).map { case (c, ws) =>
+      c -> ((ws.length.toLong, ws.distinct.length.toLong, ws.min))
+    }
+    val got = SparkEntry.queries("fn_soundex")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got == expect)
+    // the classic textbook vectors hold for the generated pipeline too
+    assert(sdx("pfister") == "P236" && sdx("robert") == "R163" &&
+      sdx("rupert") == "R163" && sdx("ashcraft") == "A226")
+  }
+
   test("win_holt: the unrolled kernel equals the SEQUENTIAL Holt recursion") {
     val got = SparkEntry.queries("win_holt")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r).toMap
