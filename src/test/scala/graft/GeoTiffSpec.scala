@@ -70,6 +70,31 @@ class GeoTiffSpec extends SparkSpec {
     intercept[Exception](GeoTiff.decode(compressed))
   }
 
+  test("deflate + multi-strip roundtrip is bit-exact at awkward strip sizes") {
+    // heights NOT divisible by rowsPerStrip exercise the short last strip
+    for (seed <- 11L to 13L; (w, h, rps) <- Seq((16, 16, 4), (5, 7, 3), (3, 1, 4))) {
+      val r0 = raster(seed, w, h)
+      r0.data(0) = Float.NaN
+      val bytes = GeoTiff.encode(r0, GeoTiff.CompDeflate, rowsPerStrip = rps)
+      val r1 = GeoTiff.decode(bytes)
+      assert(r1.nStrips == (h + rps - 1) / rps, "strip count")
+      r0.data.zip(r1.data).zipWithIndex.foreach { case ((a, b2), i) =>
+        assert(java.lang.Float.floatToRawIntBits(a) ==
+          java.lang.Float.floatToRawIntBits(b2), s"px $i bits (deflate)")
+      }
+      // deflate actually compresses the header-dominated constant raster
+      val flat = GeoTiff.Raster(16, 16, Array.fill(256)(7.5f), 1.0, 0.0, 0.0)
+      assert(GeoTiff.encode(flat, GeoTiff.CompDeflate).length <
+        GeoTiff.encode(flat).length, "deflate smaller on constant data")
+    }
+    // uncompressed multi-strip from the ENCODER (round 10: it can emit
+    // them now) decodes through the same walk
+    val r = raster(21L, 6, 9)
+    val r2 = GeoTiff.decode(GeoTiff.encode(r, GeoTiff.CompNone, rowsPerStrip = 2))
+    assert(r2.nStrips == 5 && r2.data.toSeq.map(java.lang.Float.floatToRawIntBits)
+      == r.data.toSeq.map(java.lang.Float.floatToRawIntBits))
+  }
+
   test("decoder accepts a multi-strip layout the encoder never emits") {
     // hand-build a 2-strip 2x4 file: the generic IFD walk must reassemble
     val r = GeoTiff.Raster(2, 4, Array.tabulate(8)(i => i * 1.5f), 1.0, 0.0, 0.0)

@@ -146,6 +146,26 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("agg_decay_time: continuous decay matches the expPD scalar mirror") {
+    val got = SparkEntry.queries("agg_decay_time")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val tmax = events.map(_._3).max
+    val expect = events.groupBy(_._5).map { case (t, rows) =>
+      val w6 = rows.map { r =>
+        val vc = s2(r._4)
+        s6(vc.toDouble / 100.0 * Det.expPD((r._3 - tmax).toDouble / 604800.0))
+      }.sum
+      t -> ((rows.size.toLong, rows.map(r => s2(r._4)).sum, w6))
+    }
+    assert(got == expect)
+    // decay only shrinks: decayed6 <= plain dollars on the same grid
+    got.values.foreach { case (_, plainC, dec6) =>
+      assert(dec6 <= plainC * 10000, "decay amplified value")
+      assert(dec6 >= 0)
+    }
+  }
+
   test("graph_modularity: per-component Q matches a scalar union-find mirror") {
     val got = SparkEntry.queries("graph_modularity")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
