@@ -1564,6 +1564,57 @@ object EO {
           .orderBy("tile")
       }),
 
+    // Hillshade illumination (round 10 second wave) — the shaded-relief
+    // product beside slope/aspect [Horn 1981], made INTEGER-EXACT the
+    // same way eo_tile_aspect dodged atan2: the surface normal of a
+    // unit-cell Horn stencil is n = (−gx, −gy, 8), the sun is the FIXED
+    // integer vector S = (2, −3, 6) (southeast, ~53° elevation), and
+    // the graded surface is the raw illumination dot product
+    // d = −2·gx + 3·gy + 48 — exact int64 per interior pixel — plus the
+    // lit/shadow partition (d > 0), which is exactly the cast-shadow
+    // mask decision. The 1/(|n|·|S|) normalization is a positive
+    // monotone map that cannot change the sign or the ordering, so it
+    // stays out of the graded surface per the Det √-rule (the
+    // eo_tile_gradient precedent). Same native focal stencil machinery,
+    // one aggregate — no new plan shape.
+    Q("eo_tile_hillshade", Some(
+      "WITH px AS (SELECT (event_id // 4) // 256 AS tile, " +
+        "((event_id // 4) % 256) // 16 AS py, ((event_id // 4) % 256) % 16 AS px, " +
+        "event_id % 4 AS t, CAST(user_id AS BIGINT) AS v FROM events), " +
+        "full_t AS (SELECT tile FROM px WHERE t = 0 GROUP BY tile HAVING COUNT(*) = 256), " +
+        "p0 AS (SELECT tile, py, px, v FROM px JOIN full_t USING (tile) WHERE t = 0), " +
+        "g AS (SELECT o.tile, (o.py - 1) * 14 + (o.px - 1) AS opos, " +
+        "CAST(SUM(nb.v * (nb.px - o.px) * (CASE WHEN nb.py = o.py THEN 2 ELSE 1 END)) AS BIGINT) AS gx, " +
+        "CAST(SUM(nb.v * (nb.py - o.py) * (CASE WHEN nb.px = o.px THEN 2 ELSE 1 END)) AS BIGINT) AS gy " +
+        "FROM p0 o JOIN p0 nb ON nb.tile = o.tile " +
+        "AND nb.py BETWEEN o.py - 1 AND o.py + 1 AND nb.px BETWEEN o.px - 1 AND o.px + 1 " +
+        "WHERE o.py BETWEEN 1 AND 14 AND o.px BETWEEN 1 AND 14 " +
+        "GROUP BY o.tile, opos), " +
+        "hs AS (SELECT tile, opos, (-2) * gx + 3 * gy + 48 AS d FROM g) " +
+        "SELECT tile, " +
+        "CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_lit, " +
+        "CAST(SUM(CASE WHEN d <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_shadow, " +
+        "CAST(SUM(d) AS BIGINT) AS sum_d, " +
+        "CAST(SUM(d * (opos + 1)) AS BIGINT) AS cksum " +
+        "FROM hs GROUP BY tile ORDER BY tile"),
+      (s, d) => {
+        val grid = eventTiles(s, d, Seq("v" -> col("user_id")))
+          .where(size(col("data")) === 256 && col("time") === 0)
+        val g = graft.raster.RasterGrid.focalGradient3x3(grid, h = 16, w = 16)
+        g.select(col("tile_y").cast("long").as("tile"),
+            posexplode(arrays_zip(col("gx"), col("gy"))).as(Seq("opos", "p")))
+          .select(col("tile"), col("opos"),
+            (lit(-2) * col("p.gx").cast("long") + lit(3) * col("p.gy").cast("long")
+              + lit(48)).as("d"))
+          .groupBy("tile")
+          .agg(
+            sum(when(col("d") > 0, 1).otherwise(0)).cast("long").as("n_lit"),
+            sum(when(col("d") <= 0, 1).otherwise(0)).cast("long").as("n_shadow"),
+            sum(col("d")).as("sum_d"),
+            sum(col("d") * (col("opos") + 1)).as("cksum"))
+          .orderBy("tile")
+      }),
+
     // Aspect (slope direction) octants from the Sobel gradient (round 9,
     // second wave) — the terrain-analysis product beside hillshade, made
     // INTEGER-EXACT: instead of atan2 (libm, engine-variant at the ulp),

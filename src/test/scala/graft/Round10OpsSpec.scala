@@ -146,6 +146,41 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("eo_tile_hillshade: dot products match a pixel mirror (sf0.01)") {
+    val sf01 = "/root/testdata/sf0.01"
+    val px = Tables.events(spark, sf01)
+      .select(col("event_id"), col("user_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._1 % 4 == 0)
+      .map { case (eid, uid) =>
+        val pid = eid / 4
+        ((pid / 256, (pid % 256) / 16, (pid % 256) % 16), uid)
+      }.toMap
+    val fullTiles = px.keys.groupBy(_._1).collect {
+      case (t, ps) if ps.size == 256 => t
+    }.toSet
+    val mirror = fullTiles.toSeq.map { t =>
+      val ds = for (py <- 1 to 14; qx <- 1 to 14) yield {
+        def v(dy: Int, dx: Int) = px((t, py + dy.toLong, qx + dx.toLong))
+        val gx = (0 to 0).map(_ =>
+          2 * (v(0, 1) - v(0, -1)) + (v(-1, 1) - v(-1, -1)) + (v(1, 1) - v(1, -1))).head
+        val gy = 2 * (v(1, 0) - v(-1, 0)) + (v(1, -1) - v(-1, -1)) + (v(1, 1) - v(-1, 1))
+        val opos = (py - 1) * 14 + (qx - 1)
+        (opos.toLong, -2 * gx + 3 * gy + 48)
+      }
+      t -> ((ds.count(_._2 > 0).toLong, ds.count(_._2 <= 0).toLong,
+        ds.map(_._2).sum, ds.map { case (p, d) => d * (p + 1) }.sum))
+    }.toMap
+    val got = SparkEntry.queries("eo_tile_hillshade")(spark, sf01).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got == mirror)
+    // partition covers every interior pixel
+    got.values.foreach { case (lit_, shadow, _, _) =>
+      assert(lit_ + shadow == 196L)
+    }
+  }
+
   test("agg_decay_time: continuous decay matches the expPD scalar mirror") {
     val got = SparkEntry.queries("agg_decay_time")(spark, sfDir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
