@@ -97,6 +97,9 @@ object Graph {
     val wTop = Window.partitionBy("src").orderBy(col("w").desc, col("dst"))
     val tk = e.withColumn("rn", row_number().over(wTop))
       .where(col("rn") <= 4).select(col("src").as("a"), col("dst").as("b"))
+      // node-sized, consumed twice by the mutuality self-join: without
+      // this the plan recomputes the fact-scan tradeEdges build per side
+      .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
     tk.join(tk.select(col("a").as("b2"), col("b").as("a2")),
         col("a") === col("a2") && col("b") === col("b2"))
       .select(least(col("a"), col("b")).as("a"),

