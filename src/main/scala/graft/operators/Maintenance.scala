@@ -105,5 +105,85 @@ object Maintenance {
             col("n_rows"), col("sum_v6"))
         agg(v1).unionAll(agg(v2)).unionAll(agg(v3))
           .orderBy("version", "event_type")
+      }),
+
+    // Z-order rewrite + pruned box query graded end-to-end (round 10
+    // second wave) — the OPTIMIZE ZORDER maintenance op every lakehouse
+    // runs so multi-dimensional range queries touch few files: the
+    // table is rewritten partitioned by the Morton bucket zb = z div
+    // 1024 (eo_zorder's interleave, 64 dirs, repartition(zb) ⇒ exactly
+    // one file per nonempty dir — each key lives in one task), then a
+    // fixed box query (x ∈ [32,79], y ∈ [8,71]) is PLANNED into its
+    // bucket list from a GENERATED 2-D grid — never by scanning data,
+    // the z-range-decomposition step — and executed as `zb IN (plan)`
+    // (directory/partition pruning) AND the exact residual predicate.
+    // Graded: the row truth of the box, n_files = COUNT(DISTINCT
+    // input_file_name) over matched rows — which the one-file-per-
+    // bucket layout makes equal to the number of DISTINCT buckets
+    // holding matching rows, the clustering law itself — and
+    // n_planned = the planning grid's bucket count (pruning upper
+    // bound, oracled by the same arithmetic). A rewrite that broke
+    // z-locality or a planner that missed a bucket breaks the hash.
+    // BUILD-TIME SIDE EFFECT: writes + rewrites a temp table at
+    // plan-construction time (the maint_compact discipline).
+    Q("maint_zorder_rewrite", Some {
+      val x = "(event_id % 256)"; val y = "(user_id % 256)"
+      val z = (0 until 8).map(b =>
+        s"((($x >> $b) & 1) << ${2 * b}) + ((($y >> $b) & 1) << ${2 * b + 1})")
+        .mkString(" + ")
+      val zg = (0 until 8).map(b =>
+        s"(((gx >> $b) & 1) << ${2 * b}) + (((gy >> $b) & 1) << ${2 * b + 1})")
+        .mkString(" + ")
+      "WITH zk AS (SELECT event_id, user_id, value, " +
+        s"CAST(($z) // 1024 AS BIGINT) AS zb FROM events), " +
+        "m AS (SELECT * FROM zk WHERE (event_id % 256) BETWEEN 32 AND 79 " +
+        "AND (user_id % 256) BETWEEN 8 AND 71), " +
+        s"plan AS (SELECT DISTINCT CAST(($zg) // 1024 AS BIGINT) AS zb " +
+        "FROM (SELECT UNNEST(RANGE(32, 80)) AS gx) a, " +
+        "(SELECT UNNEST(RANGE(8, 72)) AS gy) b) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        sqlSum6("value") + " AS sum_v6, " +
+        "CAST(COUNT(DISTINCT zb) AS BIGINT) AS n_files, " +
+        "CAST((SELECT COUNT(*) FROM plan) AS BIGINT) AS n_planned FROM m"
+    },
+      (s, d) => {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_zorder"
+        graft.maintenance.Compaction.deleteRecursively(
+          java.nio.file.Paths.get(dir))
+        def morton(x: org.apache.spark.sql.Column,
+            y: org.apache.spark.sql.Column) =
+          (0 until 8).map { b =>
+            (shiftright(x, b).bitwiseAND(lit(1)) * lit(1L << (2 * b))) +
+              (shiftright(y, b).bitwiseAND(lit(1)) * lit(1L << (2 * b + 1)))
+          }.reduce(_ + _)
+        // the rewrite: cluster by Morton bucket, one file per bucket dir
+        T.events(s, d)
+          .select(col("event_id"), col("user_id"), col("value"))
+          .withColumn("zb",
+            (morton(col("event_id") % 256, col("user_id") % 256) / 1024)
+              .cast("long"))
+          .repartition(col("zb"))
+          .write.mode("overwrite").partitionBy("zb").parquet(dir)
+        // plan the box into buckets from a GENERATED grid (no data scan)
+        val grid = s.range(32, 80).select(col("id").as("gx"))
+          .crossJoin(s.range(8, 72).select(col("id").as("gy")))
+          .select((morton(col("gx"), col("gy")) / 1024).cast("long").as("zb"))
+          .distinct()
+        val planned = grid.collect().map(_.getLong(0)).sorted // ≤64 buckets
+        val snap = StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("user_id", LongType),
+          StructField("value", DoubleType),
+          StructField("zb", LongType)))
+        val back = s.read.schema(snap).parquet(dir)
+          .where(col("zb").isin(planned: _*))
+          .where((col("event_id") % 256).between(32, 79) &&
+            (col("user_id") % 256).between(8, 71))
+          .withColumn("_file", input_file_name())
+        back.agg(
+            count(lit(1)).as("n_rows"),
+            sum6(col("value")).as("sum_v6"),
+            countDistinct(col("_file")).as("n_files"),
+            lit(planned.length.toLong).as("n_planned"))
       }))
 }

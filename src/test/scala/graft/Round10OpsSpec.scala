@@ -146,6 +146,36 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("maint_zorder_rewrite: one file per bucket, pruning law, scalar row truth") {
+    val row = SparkEntry.queries("maint_zorder_rewrite")(spark, sfDir).collect().head
+    def morton(x: Long, y: Long): Long =
+      (0 until 8).map(b => (((x >> b) & 1) << (2 * b)) | (((y >> b) & 1) << (2 * b + 1))).sum
+    val boxRows = events.filter { r =>
+      val (x, y) = (r._2 % 256, r._1 % 256)
+      x >= 32 && x <= 79 && y >= 8 && y <= 71
+    }
+    assert(row.getLong(0) == boxRows.size.toLong, "n_rows")
+    assert(row.getLong(1) == boxRows.map(r => s6(r._4)).sum, "sum_v6")
+    val touched = boxRows.map(r => morton(r._2 % 256, r._1 % 256) / 1024).toSet
+    val planned = (for (gx <- 32L to 79L; gy <- 8L to 71L)
+      yield morton(gx, gy) / 1024).toSet
+    assert(row.getLong(2) == touched.size.toLong, "n_files == touched buckets")
+    assert(row.getLong(3) == planned.size.toLong, "n_planned")
+    assert(touched.subsetOf(planned), "planner missed a bucket")
+    // layout law: the rewrite left exactly one parquet file per bucket dir
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_zorder")
+    import scala.jdk.CollectionConverters._
+    val dirs = java.nio.file.Files.list(root).iterator().asScala
+      .filter(p => java.nio.file.Files.isDirectory(p)).toSeq
+    assert(dirs.nonEmpty)
+    dirs.foreach { p =>
+      val files = java.nio.file.Files.list(p).iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+      assert(files == 1, s"${p.getFileName}: $files files")
+    }
+  }
+
   test("mm_phash: pairs match a scalar DCT-hash mirror; flat payloads hash to 0") {
     val dctQ: Array[Array[Long]] = Array(
       Array(16384L, 16384L, 16384L, 16384L, 16384L, 16384L, 16384L, 16384L),
