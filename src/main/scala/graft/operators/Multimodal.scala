@@ -237,7 +237,9 @@ object Multimodal {
     * (DctQ coefficients, int64 throughout) → 63 AC coefficients bit-set
     * iff 63·c > Σ(AC) — the standard pHash recipe with the mean in
     * place of the median, integer-exact. Same codec-batch shape and
-    * lifecycle as [[ahashes]]. */
+    * PERSIST lifecycle as [[ahashes]] (BUILD-TIME SIDE EFFECT — the
+    * harness's per-key clearCache is the release point; see the
+    * [[Cached]] scaladoc for the contract). */
   private def phashes(s: SparkSession, d: String): DataFrame = {
     val hashSchema = StructType(Seq(
       StructField("doc_id", LongType),
