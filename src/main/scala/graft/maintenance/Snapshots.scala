@@ -75,4 +75,21 @@ object Snapshots {
   /** Rollback: re-commit snapshot `v`'s file list as a NEW version
     * (history is append-only — the Iceberg rollback semantics). */
   def rollback(dir: String, v: Int): Int = commit(dir, files(dir, v))
+
+  /** Vacuum: physically delete every data file NOT referenced by the
+    * latest snapshot (the expire-snapshots/VACUUM step that reclaims the
+    * space logical deletes and compactions leave behind). Returns the
+    * deleted (relative) names, sorted. After a vacuum, earlier snapshots
+    * whose manifests referenced the removed files are no longer readable
+    * — exactly the retention contract of Iceberg's expire_snapshots /
+    * Delta's VACUUM. The file census is manifest- and listing-sized
+    * (never row data), so the operation is metadata-cheap at any table
+    * size; the deletes themselves are embarrassingly parallel at a real
+    * object store. */
+  def vacuum(dir: String): Seq[String] = {
+    val live = files(dir, latestVersion(dir)).toSet
+    val orphans = dataFiles(dir).filterNot(live)
+    orphans.foreach(f => Files.delete(Paths.get(dir, f)))
+    orphans
+  }
 }

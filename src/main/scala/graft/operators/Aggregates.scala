@@ -2118,6 +2118,69 @@ object Aggregates {
           .groupBy("event_type", "bucket")
           .agg(count(lit(1)).as("n"), min("x").as("min_c"), max("x").as("max_c"))
           .orderBy("event_type", "bucket")
+      }),
+
+    // Kendall's τ-b rank correlation (round 10, third wave) — the
+    // tie-adjusted concordance statistic [Kendall 1945] completing the
+    // correlation trio next to agg_regr (Pearson) and agg_spearman.
+    // Naively τ is a Σ over all n² row pairs — the agg_mannwhitney
+    // scale lesson applies: both variables live on SMALL INTEGER
+    // domains (l_quantity 1..50, l_linenumber 1..7), so the pair sums
+    // COLLAPSE onto the ≤350-cell contingency table: concordant C =
+    // Σ_{cells a,b: b.x>a.x ∧ b.y>a.y} m_a·m_b (each unordered pair
+    // counted once — only one direction satisfies both strict
+    // inequalities), discordant D the mirror, tie terms n1/n2 from the
+    // margins, n0 = n(n−1)/2. One linear partial agg + a domain²
+    // broadcast join — never a row-pair shuffle at ANY corpus size.
+    // All counts exact int64 (C ≤ n0 ≈ 1.8e11 at sf0.1; the n0−n1
+    // products exceed int64, so the denominator is the agg_spearman
+    // √·√ split — ONE shared IEEE sequence, s6-floored). Integer
+    // divisions use div/` // ` on provably non-negative operands only
+    // (Det scaladoc rule).
+    Q("agg_kendall_tau", Some {
+      val n0 = "CAST((n * (n - 1)) // 2 AS BIGINT)"
+      "WITH c AS (SELECT l_quantity AS x, l_linenumber AS y, " +
+        "CAST(COUNT(*) AS BIGINT) AS m FROM lineitem GROUP BY x, y), " +
+        "tot AS (SELECT CAST(SUM(m) AS BIGINT) AS n FROM c), " +
+        "cd AS (SELECT " +
+        "CAST(COALESCE(SUM(CASE WHEN b.y > a.y THEN a.m * b.m END), 0) AS BIGINT) AS conc, " +
+        "CAST(COALESCE(SUM(CASE WHEN b.y < a.y THEN a.m * b.m END), 0) AS BIGINT) AS disc " +
+        "FROM c a JOIN c b ON b.x > a.x), " +
+        "tx AS (SELECT CAST(SUM((s * (s - 1)) // 2) AS BIGINT) AS n1 " +
+        "FROM (SELECT CAST(SUM(m) AS BIGINT) AS s FROM c GROUP BY x) g), " +
+        "ty AS (SELECT CAST(SUM((s * (s - 1)) // 2) AS BIGINT) AS n2 " +
+        "FROM (SELECT CAST(SUM(m) AS BIGINT) AS s FROM c GROUP BY y) g) " +
+        "SELECT n, conc, disc, " +
+        s"CASE WHEN $n0 - n1 <= 0 OR $n0 - n2 <= 0 THEN NULL ELSE " +
+        sqlS6(s"CAST(conc - disc AS DOUBLE) / " +
+          s"(SQRT(CAST($n0 - n1 AS DOUBLE)) * SQRT(CAST($n0 - n2 AS DOUBLE)))") +
+        " END AS tau6 FROM cd, tot, tx, ty"
+    },
+      (s, d) => {
+        val c = T.lineitem(s, d)
+          .groupBy(col("l_quantity").as("x"), col("l_linenumber").as("y"))
+          .agg(count(lit(1)).as("m"))
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        val tot = c.agg(sum(col("m")).as("n"))
+        val b = c.select(col("x").as("x2"), col("y").as("y2"), col("m").as("m2"))
+        val cd = c.join(broadcast(b), col("x2") > col("x"))
+          .agg(
+            coalesce(sum(when(col("y2") > col("y"), col("m") * col("m2"))), lit(0L))
+              .as("conc"),
+            coalesce(sum(when(col("y2") < col("y"), col("m") * col("m2"))), lit(0L))
+              .as("disc"))
+        def tiePairs(k: String, out: String) = c.groupBy(col(k))
+          .agg(sum(col("m")).as("s"))
+          .agg(sum(expr("(s * (s - 1)) div 2")).as(out))
+        val n0 = expr("(n * (n - 1)) div 2")
+        cd.crossJoin(broadcast(tot))
+          .crossJoin(broadcast(tiePairs("x", "n1")))
+          .crossJoin(broadcast(tiePairs("y", "n2")))
+          .select(col("n"), col("conc"), col("disc"),
+            when(n0 - col("n1") <= 0 || n0 - col("n2") <= 0, lit(null))
+              .otherwise(s6((col("conc") - col("disc")).cast("double") /
+                (sqrt((n0 - col("n1")).cast("double")) *
+                  sqrt((n0 - col("n2")).cast("double"))))).as("tau6"))
       }))
 
   /** agg_stats oracle: the same exact-integer-moment formulas, textually

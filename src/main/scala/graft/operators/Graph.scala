@@ -148,6 +148,13 @@ object Graph {
     * this K on the graded corpus (the CcRounds contract). */
   private val SsspRounds = 10
 
+  /** Level-synchronous BFS-with-path-counts rounds (graph_betweenness):
+    * the all-pairs (dist, σ) table grows one hop per round, so K bounds
+    * the traceable diameter of the SPARSE mutual-top-4 graph (denser
+    * than this corpus needs — GraphSpec asserts the frontier is empty
+    * at K). Declared before `all` (the KcoreRounds contract). */
+  private val StressRounds = 8
+
   val all: Seq[Q] = Seq(
 
     // Weighted PageRank over the nation-level trade graph: an edge
@@ -985,6 +992,94 @@ object Graph {
               .otherwise(s6(coalesce(col("e_in"), lit(0L)).cast("double") / me -
                 (dt / (lit(2.0) * me)) * (dt / (lit(2.0) * me)))).as("q6"))
           .orderBy("community")
+      }),
+
+    // Stress centrality (round 10 third wave) — Shimbel 1953's
+    // all-integer cousin of betweenness: stress(v) = the NUMBER of
+    // shortest s–t paths passing through v (Brandes 2001 §6 lists it
+    // beside betweenness; betweenness replaces the count with the
+    // σ_st(v)/σ_st ratio, a rational this integer surface deliberately
+    // avoids — Det rule 1). Forward pass = the exact Brandes BFS DAG
+    // build in relational form: K level-synchronous rounds grow the
+    // all-pairs (s, v, d, σ) table — candidates = frontier ⋈ sym edges
+    // with σ summed over predecessors, minus already-settled (s, v)
+    // pairs (one join + one partial agg + one anti join per round,
+    // node²-bounded, localCheckpoint flattening the loop lineage).
+    // Aggregation replaces Brandes' backward sweep with the closed
+    // form: s–t paths through v = σ(s,v)·σ(v,t) iff d(s,v)+d(v,t) =
+    // d(s,t) — two self-joins of the path table plus the (s,t)
+    // distance lookup, all exact int64. Graph = the mutual-top-4
+    // sparsification (shared with graph_label_prop/graph_modularity;
+    // the dense trade graph has diameter ≲2 and trivial stress). At
+    // web scale the per-source rows make this the K-SOURCE SAMPLED
+    // variant (Brandes-pivot estimation) — same plan, sources drawn by
+    // Det.hash32 gate instead of ALL nations; here |V| = 25 so the
+    // exact all-sources table is the honest choice. Oracle: the SAME K
+    // rounds as MATERIALIZED CTEs + the same triple join.
+    Q("graph_betweenness", Some {
+      val rounds = (1 to StressRounds).map { k =>
+        val (p, f) = (s"p${k - 1}", s"f$k")
+        s"$f AS MATERIALIZED (SELECT fr.s, e.w AS v, CAST($k AS BIGINT) AS d, " +
+          s"CAST(SUM(fr.sig) AS BIGINT) AS sig FROM f${k - 1} fr " +
+          s"JOIN sym e ON e.u = fr.v LEFT JOIN $p p ON p.s = fr.s AND p.v = e.w " +
+          "WHERE p.s IS NULL GROUP BY fr.s, e.w), " +
+          s"p$k AS MATERIALIZED (SELECT * FROM p${k - 1} UNION ALL SELECT * FROM $f)"
+      }.mkString(", ")
+      s"WITH $tradeEdgesSql, $mutualTop4Sql, " +
+        "sym AS MATERIALIZED (SELECT a AS u, b AS w FROM ue UNION ALL SELECT b, a FROM ue), " +
+        "p0 AS MATERIALIZED (SELECT n_nationkey AS s, n_nationkey AS v, " +
+        "CAST(0 AS BIGINT) AS d, CAST(1 AS BIGINT) AS sig FROM nation), " +
+        "f0 AS MATERIALIZED (SELECT * FROM p0), " +
+        rounds + ", " +
+        s"st AS (SELECT a.v, CAST(SUM(a.sig * b.sig) AS BIGINT) AS stress " +
+        s"FROM p$StressRounds a JOIN p$StressRounds b ON b.s = a.v " +
+        s"JOIN p$StressRounds c ON c.s = a.s AND c.v = b.v " +
+        "WHERE a.s < b.v AND a.v <> a.s AND a.v <> b.v AND a.d + b.d = c.d " +
+        "GROUP BY a.v) " +
+        "SELECT n.n_nationkey AS nationkey, " +
+        "CAST(COALESCE(st.stress, 0) AS BIGINT) AS stress " +
+        "FROM nation n LEFT JOIN st ON st.v = n.n_nationkey ORDER BY nationkey"
+    },
+      (s, d) => {
+        val ue = mutualTop4(s, d)
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        val sym = ue.select(col("a").as("u"), col("b").as("w"))
+          .unionAll(ue.select(col("b").as("u"), col("a").as("w")))
+        val nodes = T.nation(s, d).select(col("n_nationkey").cast("long").as("v"))
+        var paths = nodes.select(col("v").as("s"), col("v"),
+          lit(0L).as("d"), lit(1L).as("sig"))
+        var frontier = paths
+        for (k <- 1 to StressRounds) {
+          val cand = frontier.select(col("s"), col("v"), col("sig"))
+            .join(sym, col("v") === col("u"))
+            .groupBy(col("s"), col("w").as("nv"))
+            .agg(sum(col("sig")).as("sig"))
+          frontier = cand
+            .join(paths.select(col("s"), col("v").as("nv")),
+              Seq("s", "nv"), "left_anti")
+            .select(col("s"), col("nv").as("v"), lit(k.toLong).as("d"),
+              col("sig"))
+            .localCheckpoint()
+          paths = paths.unionAll(frontier).localCheckpoint()
+        }
+        val a = paths.select(col("s"), col("v"),
+          col("d").as("da"), col("sig").as("siga"))
+        val b = paths.select(col("s").as("v"), col("v").as("t"),
+          col("d").as("db"), col("sig").as("sigb"))
+        val cDist = paths.select(col("s").as("cs"), col("v").as("t2"),
+          col("d").as("dst"))
+        val st = a.join(b, "v")
+          .where(col("s") < col("t") && col("v") =!= col("s")
+            && col("v") =!= col("t"))
+          .join(broadcast(cDist),
+            col("cs") === col("s") && col("t2") === col("t"))
+          .where(col("dst") === col("da") + col("db"))
+          .groupBy(col("v"))
+          .agg(sum(col("siga") * col("sigb")).as("stress"))
+        nodes.join(st, Seq("v"), "left")
+          .select(col("v").cast("int").as("nationkey"),
+            coalesce(col("stress"), lit(0L)).as("stress"))
+          .orderBy("nationkey")
       }),
   )
 

@@ -107,6 +107,56 @@ object Maintenance {
           .orderBy("version", "event_type")
       }),
 
+    // Vacuum / expire-snapshots graded end-to-end (round 10 third wave)
+    // — the space-reclaim step that completes the maintenance triad
+    // (compact = layout, snapshots = visibility, vacuum = physical GC):
+    // a fragmented ingest (repartition(17) ⇒ exactly 17 part files,
+    // round-robin leaves none empty) is committed as v1, compacted into
+    // ⌈rows/50k⌉ NEW files committed as v2 (old files untouched — the
+    // immutable-file contract), then Snapshots.vacuum deletes every file
+    // v2 does not reference. The graded frame reads the directory
+    // DIRECTLY (plain parquet scan, not as-of) — before the vacuum that
+    // read would double-count every row, so n_rows/sum_v6 grade that
+    // deletion removed ALL 17 orphans and ONLY orphans; n_files =
+    // COUNT(DISTINCT input_file_name()) grades the surviving layout is
+    // exactly the compacted one; n_orphans is the vacuum's own deletion
+    // census against the arithmetic 17. BUILD-TIME SIDE EFFECT: writes,
+    // commits and vacuums a temp table at plan-construction time (the
+    // maint_compact discipline).
+    Q("maint_vacuum", Some(
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        sqlSum6("value") + " AS sum_v6, " +
+        "CAST((COUNT(*) + 49999) // 50000 AS BIGINT) AS n_files, " +
+        "CAST(17 AS BIGINT) AS n_orphans FROM events"),
+      (s, d) => {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_vacuum"
+        graft.maintenance.Compaction.deleteRecursively(
+          java.nio.file.Paths.get(dir))
+        val src = T.events(s, d).select("event_id", "user_id", "value")
+        src.repartition(17).write.mode("overwrite").parquet(dir)
+        val v1 = graft.maintenance.Snapshots.commit(dir)
+        val v1Files = graft.maintenance.Snapshots.files(dir, v1).toSet
+        val vacSchema = StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("user_id", LongType),
+          StructField("value", DoubleType)))
+        // the compaction rewrite: v1's rows into ⌈n/50k⌉ new files
+        val asOf1 = graft.maintenance.Snapshots.readAsOf(s, dir, vacSchema, v1)
+        val nParts = math.max(1,
+          math.ceil(asOf1.count() / 50000.0).toInt)
+        asOf1.repartition(nParts).write.mode("append").parquet(dir)
+        val v2Files = graft.maintenance.Snapshots.dataFiles(dir)
+          .filterNot(v1Files)
+        graft.maintenance.Snapshots.commit(dir, v2Files)
+        val deleted = graft.maintenance.Snapshots.vacuum(dir)
+        s.read.schema(vacSchema).parquet(dir)
+          .withColumn("_file", input_file_name())
+          .agg(count(lit(1)).as("n_rows"),
+            sum6(col("value")).as("sum_v6"),
+            countDistinct(col("_file")).as("n_files"),
+            lit(deleted.size.toLong).as("n_orphans"))
+      }),
+
     // Z-order rewrite + pruned box query graded end-to-end (round 10
     // second wave) — the OPTIMIZE ZORDER maintenance op every lakehouse
     // runs so multi-dimensional range queries touch few files: the

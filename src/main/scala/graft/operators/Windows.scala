@@ -2033,6 +2033,55 @@ object Windows {
                 col("first_accept") < col("first_reject")), 1)
               .when(col("first_reject").isNotNull, -1).otherwise(0)
               .cast("int").as("decision"))
+      }),
+
+    // Pettitt changepoint test (round 10, third wave) — the rank-based
+    // single-changepoint detector [Pettitt 1979] every hydrology/climate
+    // homogeneity screen runs, here over the daily revenue series. 100%
+    // integer: S_t = #{j: x_j < x_t} − #{j: x_j > x_t} comes from the
+    // day-domain² sign cross (the series is CALENDAR-sized — a few
+    // hundred rows at any corpus scale, after one linear (day) partial
+    // agg collapses the data-sized input — so the broadcast cross join
+    // is domain², never data²), U_t = running Σ S_t in day order (the
+    // Pettitt recurrence U_t = U_{t−1} + Σ_j sgn(x_t − x_j)), and the
+    // changepoint is the EARLIEST argmax of |U_t|. U_n ≡ 0 by
+    // antisymmetry — the spec's invariant. The significance exponential
+    // exp(−6K²/(n³+n²)) stays out of the graded surface (Det rule: no
+    // libm); K itself is the graded statistic.
+    Q("win_pettitt", Some(
+      "WITH dly AS (SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 AS day, " +
+        "CAST(SUM(" + sqlS2("value") + ") AS BIGINT) AS x FROM events GROUP BY day), " +
+        "sg AS (SELECT a.day, CAST(SUM(CASE WHEN b.x < a.x THEN 1 " +
+        "WHEN b.x > a.x THEN -1 ELSE 0 END) AS BIGINT) AS s " +
+        "FROM dly a CROSS JOIN dly b GROUP BY a.day), " +
+        "u AS (SELECT day, s, CAST(SUM(s) OVER (ORDER BY day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS u FROM sg), " +
+        "mx AS (SELECT MAX(ABS(u)) AS k, MIN(CASE WHEN ABS(u) = (SELECT MAX(ABS(u)) FROM u) " +
+        "THEN day END) AS kday FROM u) " +
+        "SELECT day, s, u, CAST(CASE WHEN day = (SELECT kday FROM mx) " +
+        "THEN 1 ELSE 0 END AS INT) AS is_cp FROM u ORDER BY day"),
+      (s, d) => {
+        val dly = T.events(s, d)
+          .groupBy(expr("unix_timestamp(ts) div 86400").as("day"))
+          .agg(sum(s2(col("value"))).as("x"))
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        val b = dly.select(col("x").as("x2"))
+        val sg = dly.crossJoin(broadcast(b))
+          .groupBy("day")
+          .agg(sum(when(col("x2") < col("x"), 1L)
+            .when(col("x2") > col("x"), -1L).otherwise(0L)).as("s"))
+        val wOrd = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val u = sg.withColumn("u", sum(col("s")).over(wOrd))
+        val mx = u.agg(max(abs(col("u"))).as("k"))
+          .crossJoin(u.select(col("day").as("d2"), col("u").as("u2")))
+          .where(abs(col("u2")) === col("k"))
+          .agg(min(col("d2")).as("kday"))
+        u.crossJoin(broadcast(mx))
+          .select(col("day"), col("s"), col("u"),
+            when(col("day") === col("kday"), 1).otherwise(0)
+              .cast("int").as("is_cp"))
+          .orderBy("day")
       }))
 
   /** win_decompose's day/trend/seasonal pipeline up to the residual —

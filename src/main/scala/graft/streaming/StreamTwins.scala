@@ -116,6 +116,67 @@ object StreamTwins {
           .orderBy("event_type")
       }),
 
+    // EXECUTED streaming sessionization (round 10 third wave) — the
+    // third real-micro-batch key, covering the MERGING-state operator
+    // class the first two do not (tumble = keyed agg, dedup = identity
+    // state; session windows GROW and MERGE state entries): the same
+    // 30-minute-gap semantics as stream_session/stream_session_native,
+    // produced by an actual `session_window` streaming aggregation over
+    // the staged landing dir. The time column is the FLOORED-second
+    // instant (timestamp_seconds(epochS(ts))) so the executed gap
+    // arithmetic is bit-aligned with the batch twins' integer space.
+    // Complete output mode (session windows reject Update —
+    // STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION, verified; and
+    // APPEND-mode session emission needs the watermark to PASS each
+    // session, which a single-batch AvailableNow run never advances far
+    // enough to do): the sink re-materializes the full merged session
+    // state at the trigger, so with the whole file in one micro-batch
+    // it holds exactly one row per final session.
+    // session_id = per-user rank of session start (sessions are disjoint
+    // in time), applied batch-side on the sink. If the state store
+    // merged two sessions that a 1800 s gap should separate — or failed
+    // to merge rows 1800 s apart — s_start/s_end/n and the row count
+    // diverge from the twin oracle and the hash breaks. BUILD-TIME SIDE
+    // EFFECT: runs the streaming query to completion at
+    // plan-construction time.
+    Q("stream_exec_session", Some(
+      "WITH te AS (SELECT user_id, event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS te FROM events), " +
+        "flagged AS (SELECT user_id, event_id, te, " +
+        "CASE WHEN te - LAG(te) OVER (PARTITION BY user_id ORDER BY te, event_id) > 1800 " +
+        "OR LAG(te) OVER (PARTITION BY user_id ORDER BY te, event_id) IS NULL THEN 1 ELSE 0 END AS new_s " +
+        "FROM te), " +
+        "sess AS (SELECT user_id, te, CAST(SUM(new_s) OVER (PARTITION BY user_id " +
+        "ORDER BY te, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_id FROM flagged) " +
+        "SELECT user_id, session_id, MIN(te) AS s_start, MAX(te) AS s_end, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM sess GROUP BY user_id, session_id " +
+        "ORDER BY user_id, session_id"),
+      (s, d) => {
+        val landing = java.nio.file.Files.createTempDirectory("graft_exec_session")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          landing.resolve("events.parquet"))
+        val sess = T.eventsStream(s, d, landing.toString)
+          .select(col("user_id"),
+            timestamp_seconds(epochS(col("ts"))).as("tsec"))
+          .withWatermark("tsec", "1 hour")
+          .groupBy(col("user_id"),
+            session_window(col("tsec"), "30 minutes").as("w"))
+          .agg(min(unix_timestamp(col("tsec"))).as("s_start"),
+            max(unix_timestamp(col("tsec"))).as("s_end"),
+            count(lit(1)).as("n"))
+        val q = sess.writeStream.format("memory")
+          .queryName("graft_exec_session")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val byUser = Window.partitionBy("user_id").orderBy(col("s_start"))
+        s.table("graft_exec_session")
+          .withColumn("session_id", row_number().over(byUser).cast("int"))
+          .select("user_id", "session_id", "s_start", "s_end", "n")
+          .orderBy("user_id", "session_id")
+      }),
+
     // 1h window sliding 15min: each event belongs to exactly 4 windows.
     Q("stream_slide", Some(
       "SELECT event_type, ((CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 900) - k) * 900 AS win_start, " +
@@ -279,6 +340,63 @@ object StreamTwins {
             clicks("user_id") === buys("user_id")
               && col("tr") >= col("tl") && col("tr") <= col("tl") + 300)
           .select(col("click_id"), col("purchase_id"), (col("tr") - col("tl")).as("lag_s"))
+          .orderBy("click_id", "purchase_id")
+      }),
+
+    // EXECUTED stream-stream interval join (round 10, third wave) — the
+    // FOURTH executed key, covering the two-sided JOIN-state class the
+    // other three do not (tumble = keyed agg, dedup = identity state,
+    // session = merging state; stream-stream joins buffer BOTH inputs):
+    // two independent readStreams over the same staged landing dir,
+    // filtered to clicks/purchases, each watermarked 1h (the state-
+    // eviction contract a production interval join carries), joined
+    // INNER on user + the 300 s event-time range, APPEND-mode memory
+    // sink under Trigger.AvailableNow. Time columns are the floored-
+    // second instants, so the executed range predicate is bit-aligned
+    // with the batch twin's integer lag arithmetic, and with the whole
+    // file in one micro-batch every match pairs inside that batch —
+    // graded against the SAME oracle as stream_interval_join, so one
+    // dropped or duplicated buffered row breaks the hash. BUILD-TIME
+    // SIDE EFFECT: runs the streaming query to completion at
+    // plan-construction time.
+    Q("stream_exec_join", Some(
+      "WITH te AS (SELECT user_id, event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS te, event_id FROM events) " +
+        "SELECT a.event_id AS click_id, b.event_id AS purchase_id, b.te - a.te AS lag_s " +
+        "FROM te a JOIN te b ON a.user_id = b.user_id AND b.te >= a.te AND b.te <= a.te + 300 " +
+        "WHERE a.event_type = 'click' AND b.event_type = 'purchase' " +
+        "ORDER BY click_id, purchase_id"),
+      (s, d) => {
+        val landing = java.nio.file.Files.createTempDirectory("graft_exec_join")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          landing.resolve("events.parquet"))
+        val clicks = T.eventsStream(s, d, landing.toString)
+          .where(col("event_type") === "click")
+          .select(col("user_id"),
+            timestamp_seconds(epochS(col("ts"))).as("tl_ts"),
+            col("event_id").as("click_id"))
+          .withWatermark("tl_ts", "1 hour")
+        val buys = T.eventsStream(s, d, landing.toString)
+          .where(col("event_type") === "purchase")
+          .select(col("user_id").as("u2"),
+            timestamp_seconds(epochS(col("ts"))).as("tr_ts"),
+            col("event_id").as("purchase_id"))
+          .withWatermark("tr_ts", "1 hour")
+        val joined = clicks.join(buys,
+            col("user_id") === col("u2")
+              && col("tr_ts") >= col("tl_ts")
+              && col("tr_ts") <= col("tl_ts") + expr("INTERVAL 300 SECONDS"))
+          .select(col("click_id"), col("purchase_id"),
+            (unix_timestamp(col("tr_ts")) - unix_timestamp(col("tl_ts")))
+              .as("lag_s"))
+        val q = joined.writeStream.format("memory")
+          .queryName("graft_exec_join")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("graft_exec_join")
+          .select("click_id", "purchase_id", "lag_s")
           .orderBy("click_id", "purchase_id")
       }),
 

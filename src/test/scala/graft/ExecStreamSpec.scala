@@ -15,4 +15,22 @@ class ExecStreamSpec extends SparkSpec {
     val exec2 = SparkEntry.queries("stream_exec_tumble")(spark, sfDir).collect().toSeq
     assert(exec2 == batch, "second invocation in the same session")
   }
+
+  test("executed session windows equal the sessionization twin, twice") {
+    val batch = SparkEntry.queries("stream_session")(spark, sfDir).collect().toSeq
+    val exec1 = SparkEntry.queries("stream_exec_session")(spark, sfDir).collect().toSeq
+    assert(exec1.nonEmpty, "sink populated")
+    assert(exec1 == batch, "merging session state == lag+cumsum twin")
+    val exec2 = SparkEntry.queries("stream_exec_session")(spark, sfDir).collect().toSeq
+    assert(exec2 == batch, "second invocation in the same session")
+  }
+
+  test("executed stream-stream interval join equals the batch twin, twice") {
+    val batch = SparkEntry.queries("stream_interval_join")(spark, sfDir).collect().toSeq
+    val exec1 = SparkEntry.queries("stream_exec_join")(spark, sfDir).collect().toSeq
+    assert(exec1.nonEmpty, "sink populated")
+    assert(exec1 == batch, "buffered two-sided join state == batch twin")
+    val exec2 = SparkEntry.queries("stream_exec_join")(spark, sfDir).collect().toSeq
+    assert(exec2 == batch, "second invocation in the same session")
+  }
 }

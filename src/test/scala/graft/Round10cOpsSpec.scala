@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-10 third wave, each key pinned against an independent Scala
+  * mirror (the Round10OpsSpec discipline: the DuckDB oracle and these
+  * mirrors are separate implementations, so the two engine sides can't
+  * share a bug).
+  */
+class Round10cOpsSpec extends SparkSpec {
+
+  private def s6(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+
+  test("graph_betweenness: stress matches a scalar Brandes forward pass") {
+    val got = SparkEntry.queries("graph_betweenness")(spark, sfDir).collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    // scalar mirror: rebuild the mutual-top-4 graph (the label_prop spec's
+    // derivation), then per-source BFS with path counts
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+    val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .count().collect()
+      .map(r => (r.getInt(0).toLong, r.getInt(1).toLong, r.getLong(2)))
+      .filter(e => e._1 != e._2)
+    val top4 = edges.groupBy(_._1).values.flatMap(
+      _.sortBy(e => (-e._3, e._2)).take(4).map(e => (e._1, e._2))).toSet
+    val und = top4.filter(e => top4((e._2, e._1)))
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSeq }
+    val nodes = Tables.nation(spark, sfDir).select("n_nationkey").collect()
+      .map(_.getInt(0).toLong).sorted
+    // BFS with σ from each source; also pin the K=8 round budget
+    def bfs(s: Long): Map[Long, (Int, Long)] = {
+      var seen = Map(s -> (0, 1L))
+      var frontier = Seq(s)
+      var depth = 0
+      while (frontier.nonEmpty) {
+        depth += 1
+        val cand = frontier.flatMap(v => adj.getOrElse(v, Seq.empty)
+          .map(w => w -> seen(v)._2))
+          .groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).sum }
+          .filterNot { case (w, _) => seen.contains(w) }
+        cand.foreach { case (w, sig) => seen += w -> (depth, sig) }
+        frontier = cand.keys.toSeq
+      }
+      assert(depth - 1 <= 8, s"BFS from $s exceeded the StressRounds budget")
+      seen
+    }
+    val sp = nodes.map(s => s -> bfs(s)).toMap
+    val mirror = nodes.map { v =>
+      v -> (for {
+        s <- nodes if s != v
+        t <- nodes if t > s && t != v
+        dv <- sp(s).get(v)
+        dt <- sp(v).get(t)
+        dst <- sp(s).get(t)
+        if dv._1 + dt._1 == dst._1
+      } yield dv._2 * dt._2).sum
+    }.toMap
+    assert(got == mirror)
+    assert(mirror.values.exists(_ > 0L), "degenerate all-zero stress")
+  }
+
+  test("agg_kendall_tau: matches a brute-force pair count over all rows") {
+    val row = SparkEntry.queries("agg_kendall_tau")(spark, sfDir).collect().head
+    val xy = Tables.lineitem(spark, sfDir)
+      .select("l_quantity", "l_linenumber").collect()
+      .map(r => (r.getDouble(0).toLong, r.getInt(1).toLong))
+    val n = xy.length.toLong
+    var conc = 0L; var disc = 0L
+    var i = 0
+    while (i < xy.length) {
+      var j = i + 1
+      while (j < xy.length) {
+        val dx = java.lang.Long.signum(xy(j)._1 - xy(i)._1)
+        val dy = java.lang.Long.signum(xy(j)._2 - xy(i)._2)
+        if (dx * dy > 0) conc += 1 else if (dx * dy < 0) disc += 1
+        j += 1
+      }
+      i += 1
+    }
+    val n0 = n * (n - 1) / 2
+    val n1 = xy.groupBy(_._1).values.map(g => g.length.toLong * (g.length - 1) / 2).sum
+    val n2 = xy.groupBy(_._2).values.map(g => g.length.toLong * (g.length - 1) / 2).sum
+    assert(row.getLong(0) == n)
+    assert(row.getLong(1) == conc, "concordant")
+    assert(row.getLong(2) == disc, "discordant")
+    assert(row.getLong(3) == s6((conc - disc).toDouble /
+      (math.sqrt((n0 - n1).toDouble) * math.sqrt((n0 - n2).toDouble))))
+  }
+
+  test("win_pettitt: U matches the scalar sign cross; U_n == 0; earliest argmax") {
+    val got = SparkEntry.queries("win_pettitt")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    def s2v(x: Double): Long = math.floor(x * 100 + 0.5).toLong
+    val daily = Tables.events(spark, sfDir)
+      .select(unix_timestamp(col("ts")).as("t"), col("value")).collect()
+      .map(r => (r.getLong(0) / 86400, s2v(r.getDouble(1))))
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sum }
+      .toSeq.sortBy(_._1)
+    val sMap = daily.map { case (d, x) =>
+      d -> daily.map { case (_, x2) =>
+        if (x2 < x) 1L else if (x2 > x) -1L else 0L }.sum
+    }
+    var acc = 0L
+    val mirror = sMap.map { case (d, sv) => acc += sv; (d, sv, acc) }
+    assert(got.map(g => (g._1, g._2, g._3)).toSeq == mirror)
+    assert(mirror.last._3 == 0L, "U_n = 0 by antisymmetry")
+    val k = mirror.map(m => math.abs(m._3)).max
+    val kday = mirror.filter(m => math.abs(m._3) == k).map(_._1).min
+    assert(got.filter(_._4 == 1).map(_._1).toSeq == Seq(kday))
+  }
+
+  test("maint_vacuum: orphans physically gone, retention contract enforced") {
+    val row = SparkEntry.queries("maint_vacuum")(spark, sfDir).collect().head
+    val (nRows, sumV6, nFiles, nOrphans) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    // scalar row truth + the fragmentation/compaction arithmetic
+    val vals = Tables.events(spark, sfDir).select("value").collect()
+      .map(_.getDouble(0))
+    assert(nRows == vals.length)
+    assert(sumV6 == vals.map(s6).sum)
+    assert(nFiles == (vals.length + 49999) / 50000)
+    assert(nOrphans == 17L, "the 17-way fragmented ingest was the orphan set")
+    // the directory now holds EXACTLY the live compacted files
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_vacuum"
+    assert(graft.maintenance.Snapshots.dataFiles(dir).size.toLong == nFiles)
+    // retention contract: v1's manifest references deleted files, so the
+    // time-travel read must now fail (expire_snapshots semantics)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType)))
+    intercept[Exception] {
+      graft.maintenance.Snapshots.readAsOf(spark, dir, schema, 1).collect()
+    }
+  }
+}
