@@ -161,12 +161,18 @@ object Tables {
     * conversion, so batch and executed-streaming keys see identical
     * instants. The probe reads the ORIGINAL corpus path under `d` (the
     * staged copy is byte-identical). */
-  def eventsStream(s: SparkSession, d: String, landingDir: String): DataFrame = {
+  def eventsStream(s: SparkSession, d: String, landingDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$d/events.parquet"
     val onDisk = eventsTsType.computeIfAbsent(path,
       _ => s.read.parquet(path).schema("ts").dataType)
-    val raw = s.readStream.schema(eventsSchemaWith(onDisk)).parquet(landingDir)
+    val rdr = s.readStream.schema(eventsSchemaWith(onDisk))
+    // caps files per micro-batch (respected by Trigger.AvailableNow) —
+    // the knob that lets an executed key stage MULTI-batch scenarios
+    // (watermark progression between batches) from a static landing dir
+    maxFilesPerTrigger.foreach(n => rdr.option("maxFilesPerTrigger", n))
+    val raw = rdr.parquet(landingDir)
     onDisk match {
       case LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr(

@@ -1060,7 +1060,10 @@ object Graph {
             .select(col("s"), col("nv").as("v"), lit(k.toLong).as("d"),
               col("sig"))
             .localCheckpoint()
-          paths = paths.unionAll(frontier).localCheckpoint()
+          // no second checkpoint: paths is a UNION of already-
+          // checkpointed frontiers + the base, so its lineage is one
+          // level deep by construction — halving the per-round job count
+          paths = paths.unionAll(frontier)
         }
         val a = paths.select(col("s"), col("v"),
           col("d").as("da"), col("sig").as("siga"))

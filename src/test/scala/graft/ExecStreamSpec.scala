@@ -25,6 +25,31 @@ class ExecStreamSpec extends SparkSpec {
     assert(exec2 == batch, "second invocation in the same session")
   }
 
+  test("executed watermark late-drop matches the scalar kept-law, twice") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("stream_exec_late")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def s6v(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"),
+        unix_timestamp(col("ts")).as("te"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val sent = ev.map(e => (e._3, e._2)).min._2
+    val wmA = ev.filter(e => e._2 % 2 == 0 && e._2 != sent).map(_._3).max - 3600
+    val kept = ev.filter(e => e._2 % 2 == 0 || e._2 == sent
+      || (e._3 / 3600) * 3600 + 3600 > wmA)
+    val mirror = kept.groupBy(e => (e._1, (e._3 / 3600) * 3600))
+      .map { case ((t, w), xs) =>
+        (t, w, xs.length.toLong, xs.map(x => s6v(x._4)).sum) }
+      .toSeq.sortBy(x => (x._1, x._2))
+    assert(got.toSeq == mirror, "executed == scalar kept-law")
+    assert(kept.length < ev.length, "the watermark actually dropped rows")
+    val again = SparkEntry.queries("stream_exec_late")(spark, sfDir)
+      .collect().length
+    assert(again == got.length, "second invocation in the same session")
+  }
+
   test("executed stream-stream interval join equals the batch twin, twice") {
     val batch = SparkEntry.queries("stream_interval_join")(spark, sfDir).collect().toSeq
     val exec1 = SparkEntry.queries("stream_exec_join")(spark, sfDir).collect().toSeq
