@@ -1071,7 +1071,10 @@ object Graph {
           col("d").as("db"), col("sig").as("sigb"))
         val cDist = paths.select(col("s").as("cs"), col("v").as("t2"),
           col("d").as("dst"))
-        val st = a.join(b, "v")
+        // b and cDist are node²-bounded (the all-pairs table) —
+        // broadcast keeps the whole accumulation shuffle-free; the
+        // K-source sampled variant bounds them at sources×|V| at web scale
+        val st = a.join(broadcast(b), "v")
           .where(col("s") < col("t") && col("v") =!= col("s")
             && col("v") =!= col("t"))
           .join(broadcast(cDist),
@@ -1079,7 +1082,7 @@ object Graph {
           .where(col("dst") === col("da") + col("db"))
           .groupBy(col("v"))
           .agg(sum(col("siga") * col("sigb")).as("stress"))
-        nodes.join(st, Seq("v"), "left")
+        nodes.join(broadcast(st), Seq("v"), "left")
           .select(col("v").cast("int").as("nationkey"),
             coalesce(col("stress"), lit(0L)).as("stress"))
           .orderBy("nationkey")

@@ -483,6 +483,25 @@ class PlanContractSpec extends SparkSpec {
     assert(!mmr.contains("SortMergeJoin"), s"mmr pool join degraded:\n$mmr")
   }
 
+  test("round-10 third-wave keys keep their promised shapes") {
+    // Kendall pair sums ride the broadcast domain² join — a SortMergeJoin
+    // here would mean the contingency collapse regressed to a data join
+    val kt = planOf("agg_kendall_tau")
+    assert(!kt.contains("SortMergeJoin"), s"kendall cell join degraded:\n$kt")
+    assert(kt.contains("BroadcastNestedLoopJoin"),
+      s"kendall domain join not broadcast:\n$kt")
+    // Pettitt's sign cross is the calendar-domain² broadcast, never a
+    // shuffled join of the daily series
+    val pt = planOf("win_pettitt")
+    assert(!pt.contains("SortMergeJoin"), s"pettitt sign cross degraded:\n$pt")
+    assert(pt.contains("BroadcastNestedLoopJoin"),
+      s"pettitt day cross not broadcast:\n$pt")
+    // the stress accumulation is shuffle-free: both path-table sides of
+    // the triple join broadcast (node²-bounded by contract)
+    val bt = planOf("graph_betweenness")
+    assert(!bt.contains("SortMergeJoin"), s"stress join degraded:\n$bt")
+  }
+
   test("global sweep: no key plans a cartesian product or a python fallback") {
     // join_cross IS the cartesian semantics (125-row dimension square);
     // everything else must never degrade to one, and nothing may fall to
