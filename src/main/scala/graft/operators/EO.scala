@@ -1291,6 +1291,65 @@ object EO {
           .orderBy("level", "tile")
       }),
 
+    // COG overview selection (round 10, third wave) — the read-path
+    // DECISION rasterio/GDAL make before any window read [PK: GDAL
+    // overview selection picks the largest-decimation overview whose
+    // factor does not exceed the requested one, so a read never
+    // upsamples]: for each requested decimation factor f the law is
+    // level = max{L ≤ maxLevel : 2^L ≤ f}, spelled as the SAME generated
+    // CASE chain on both engines (no log2 call — the eo_geohash no-libm
+    // discipline), and the graded row carries the level PLUS the full
+    // pixel census of the pyramid level actually read (n_px, exact
+    // 4^L-scaled sum, position-weighted checksum) — so choosing the
+    // wrong overview OR reading it wrong breaks the hash. The factor
+    // table is a broadcast literal; levels are the eo_tile_pyramid
+    // machinery (RasterGrid.pyramid block means, v·4^L exact int64);
+    // the per-level census is THREE rows joined to the factor table —
+    // at archive scale the decision stays metadata-sized while the
+    // census is the one scan of the chosen level.
+    Q("eo_cog_overview_select", Some(
+      "WITH px AS (SELECT (event_id // 4) // 256 AS tile, (event_id // 4) % 256 AS pos, " +
+        "event_id % 4 AS t, CAST(user_id AS DOUBLE) AS v FROM events), " +
+        "full_t AS (SELECT tile FROM px WHERE t = 0 GROUP BY tile HAVING COUNT(*) = 256), " +
+        "p0 AS (SELECT tile, pos, v FROM px JOIN full_t USING (tile) WHERE t = 0), " +
+        "l0 AS (SELECT 0 AS level, tile, pos AS opos, CAST(v AS BIGINT) AS bs FROM p0), " +
+        "l1 AS (SELECT 1 AS level, tile, ((pos // 16) // 2) * 8 + (pos % 16) // 2 AS opos, " +
+        "SUM(CAST(v AS BIGINT)) AS bs FROM p0 GROUP BY tile, opos), " +
+        "l2 AS (SELECT 2 AS level, tile, ((pos // 16) // 4) * 4 + (pos % 16) // 4 AS opos, " +
+        "SUM(CAST(v AS BIGINT)) AS bs FROM p0 GROUP BY tile, opos), " +
+        "lv AS (SELECT * FROM l0 UNION ALL SELECT * FROM l1 UNION ALL SELECT * FROM l2), " +
+        "census AS (SELECT level, CAST(COUNT(*) AS BIGINT) AS n_px, " +
+        "CAST(SUM(bs) AS BIGINT) AS sum_px, " +
+        "CAST(SUM(bs * (opos + 1)) AS BIGINT) AS checksum FROM lv GROUP BY level), " +
+        "f AS (SELECT UNNEST([1, 2, 3, 4, 5, 8]) AS factor), " +
+        "sel AS (SELECT factor, CAST(CASE WHEN factor >= 4 THEN 2 " +
+        "WHEN factor >= 2 THEN 1 ELSE 0 END AS INT) AS level FROM f) " +
+        "SELECT sel.factor, sel.level, c.n_px, c.sum_px, c.checksum " +
+        "FROM sel JOIN census c ON c.level = sel.level ORDER BY sel.factor"),
+      (s, d) => {
+        val grid = eventTiles(s, d, Seq("v" -> col("user_id")))
+          .where(size(col("data")) === 256 && col("time") === 0)
+        val pyr = graft.raster.RasterGrid.pyramid(grid, h = 16, w = 16, levels = 2)
+        val census = pyr
+          .select(col("level"),
+            posexplode(col("data")).as(Seq("opos", "v")))
+          .withColumn("bs", (col("v") * call_function("shiftleft", lit(1L),
+            (col("level") * 2).cast("int")).cast("double")).cast("long"))
+          .groupBy("level")
+          .agg(count(lit(1)).as("n_px"), sum(col("bs")).as("sum_px"),
+            sum(col("bs") * (col("opos") + 1)).as("checksum"))
+        val factors = s.range(0, 6).select(
+          element_at(typedLit(Seq(1, 2, 3, 4, 5, 8)), (col("id") + 1).cast("int"))
+            .as("factor"))
+        val sel = factors.select(col("factor"),
+          when(col("factor") >= 4, 2).when(col("factor") >= 2, 1)
+            .otherwise(0).cast("int").as("level"))
+        sel.join(broadcast(census), "level")
+          .select(col("factor"), col("level"), col("n_px"),
+            col("sum_px"), col("checksum"))
+          .orderBy("factor")
+      }),
+
     // Halo-exchange focal composition (round 8) — the CROSS-TILE half of
     // the focal-stats story that eo_tile_focal's scaladoc promises
     // ("compose the halo exchange explicitly when borders matter"): each

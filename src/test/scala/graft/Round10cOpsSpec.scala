@@ -117,6 +117,35 @@ class Round10cOpsSpec extends SparkSpec {
     assert(got.filter(_._4 == 1).map(_._1).toSeq == Seq(kday))
   }
 
+  test("eo_cog_overview_select: selection law + mass conservation (sf0.01)") {
+    // sf0.001 has no complete 256-pixel tiles — assert that, then mirror
+    // at sf0.01 where full tiles exist (the eo_tile_contour discipline)
+    assert(SparkEntry.queries("eo_cog_overview_select")(spark, sfDir).count() == 0)
+    val sf01 = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("eo_cog_overview_select")(spark, sf01).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // the GDAL law: largest level with 2^L <= factor, capped at 2
+    val law = Map(1 -> 0, 2 -> 1, 3 -> 1, 4 -> 2, 5 -> 2, 8 -> 2)
+    assert(got.map(g => g._1 -> g._2).toMap == law)
+    // scalar mirror of the level-2 census from raw pixels
+    val px = Tables.events(spark, sf01)
+      .select(org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("user_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._1 % 4 == 0)
+      .map { case (eid, uid) => ((eid / 4) / 256, (eid / 4) % 256, uid) }
+    val fullTiles = px.groupBy(_._1).collect {
+      case (t, ps) if ps.length == 256 => t }.toSet
+    val l2 = px.filter(p => fullTiles(p._1))
+      .groupBy(p => (p._1, ((p._2 / 16) / 4) * 4 + (p._2 % 16) / 4))
+      .map { case (k, ps) => (k, ps.map(_._3).sum) }
+    val c2 = got.find(_._2 == 2).get
+    assert(c2._3 == fullTiles.size * 16L, "level-2 pixel count")
+    assert(c2._4 == l2.values.sum, "level-2 exact 4^L-scaled mass")
+    // mass conservation: every level carries the same total
+    assert(got.map(_._4).distinct.length == 1, "block means conserve mass")
+  }
+
   test("maint_vacuum: orphans physically gone, retention contract enforced") {
     val row = SparkEntry.queries("maint_vacuum")(spark, sfDir).collect().head
     val (nRows, sumV6, nFiles, nOrphans) =
