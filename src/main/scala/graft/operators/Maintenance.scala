@@ -157,6 +157,106 @@ object Maintenance {
             lit(deleted.size.toLong).as("n_orphans"))
       }),
 
+    // MERGE INTO graded end-to-end (round 10 third wave) — the upsert
+    // write every lakehouse sink ultimately runs (Delta/Iceberg MERGE,
+    // the batch half of stream_cdc_apply's changelog semantics): the
+    // BASE target is the latest-per-user snapshot of the non-%3 event
+    // rows EXCLUDING users ≡ 0 (mod 5) (committed v1 through
+    // Snapshots), the CHANGE set is the latest-per-user %3 rows
+    // excluding users ≡ 0 (mod 7), read as a changelog ('error' =
+    // DELETE, else UPSERT) — the two user-level exclusions are what
+    // make ALL FIVE clauses fire on this corpus (every user has rows
+    // on both %3 sides, so a plain event split never produces inserts,
+    // no-ops or untouched rows — measured), and the merge law is the
+    // full clause table —
+    // matched+delete drops, matched+upsert updates, unmatched+upsert
+    // inserts, unmatched+delete no-ops, unmatched-target rows carry
+    // over untouched. The merged target is REWRITTEN as new files and
+    // committed v2 (old files untouched — the immutable-file contract);
+    // rows carry their merge action as an audit column so the graded
+    // per-action rows for the SURVIVING actions come from the AS-OF v2
+    // READ-BACK (a dropped or doubled file breaks n/sum), while the
+    // delete/noop rows — absent from the target by definition — come
+    // from the merge computation itself. At scale the merge is ONE full
+    // outer join on the key (shuffle or bucket-colocated) and the
+    // rewrite is executor-parallel; the clause logic is a row map.
+    // BUILD-TIME SIDE EFFECT: writes + commits a temp table at
+    // plan-construction time (the maint_compact discipline).
+    Q("maint_merge_into", Some(
+      "WITH e AS (SELECT user_id, event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t, " +
+        "event_type, value FROM events), " +
+        "base_r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id " +
+        "ORDER BY t DESC, event_id DESC) AS rn FROM e " +
+        "WHERE event_id % 3 <> 0 AND user_id % 5 <> 0), " +
+        "base AS (SELECT user_id, value FROM base_r WHERE rn = 1), " +
+        "chg_r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id " +
+        "ORDER BY t DESC, event_id DESC) AS rn FROM e " +
+        "WHERE event_id % 3 = 0 AND user_id % 7 <> 0), " +
+        "chg AS (SELECT user_id, CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op, " +
+        "value FROM chg_r WHERE rn = 1), " +
+        "merged AS (SELECT COALESCE(b.user_id, c.user_id) AS user_id, " +
+        "CASE WHEN c.user_id IS NULL THEN b.value " +
+        "WHEN c.op = 'U' THEN c.value END AS value, " +
+        "CASE WHEN c.user_id IS NULL THEN 'untouched' " +
+        "WHEN b.user_id IS NULL AND c.op = 'U' THEN 'insert' " +
+        "WHEN b.user_id IS NULL THEN 'noop' " +
+        "WHEN c.op = 'D' THEN 'delete' ELSE 'update' END AS act " +
+        "FROM base b FULL JOIN chg c ON b.user_id = c.user_id) " +
+        "SELECT act, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CASE WHEN act IN ('untouched', 'insert', 'update') THEN " +
+        sqlSum6("value") + " END AS sum_v6 " +
+        "FROM merged GROUP BY act ORDER BY act"),
+      (s, d) => {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_merge"
+        graft.maintenance.Compaction.deleteRecursively(
+          java.nio.file.Paths.get(dir))
+        val wLast = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("t").desc, col("event_id").desc)
+        val e = T.events(s, d).select(col("user_id"), col("event_id"),
+          epochS(col("ts")).as("t"), col("event_type"), col("value"))
+        val base = e.where(col("event_id") % 3 =!= 0 && col("user_id") % 5 =!= 0)
+          .withColumn("rn", row_number().over(wLast)).where(col("rn") === 1)
+          .select("user_id", "value")
+        base.write.mode("overwrite").parquet(dir)
+        val v1 = graft.maintenance.Snapshots.commit(dir)
+        val v1Files = graft.maintenance.Snapshots.files(dir, v1).toSet
+        val chg = e.where(col("event_id") % 3 === 0 && col("user_id") % 7 =!= 0)
+          .withColumn("rn", row_number().over(wLast)).where(col("rn") === 1)
+          .select(col("user_id").as("c_uid"),
+            when(col("event_type") === "error", "D").otherwise("U").as("op"),
+            col("value").as("c_value"))
+        val baseSchema = StructType(Seq(
+          StructField("user_id", LongType),
+          StructField("value", DoubleType)))
+        val merged = graft.maintenance.Snapshots.readAsOf(s, dir, baseSchema, v1)
+          .join(chg, col("user_id") === col("c_uid"), "full")
+          .select(coalesce(col("user_id"), col("c_uid")).as("user_id"),
+            when(col("c_uid").isNull, col("value"))
+              .when(col("op") === "U", col("c_value")).as("value"),
+            when(col("c_uid").isNull, "untouched")
+              .when(col("user_id").isNull && col("op") === "U", "insert")
+              .when(col("user_id").isNull, "noop")
+              .when(col("op") === "D", "delete").otherwise("update").as("act"))
+        // rewrite: the surviving target (with its audit column) as NEW
+        // files beside the untouched v1 set, committed v2
+        merged.where(col("act").isin("untouched", "insert", "update"))
+          .write.mode("append").parquet(dir)
+        val v2Files = graft.maintenance.Snapshots.dataFiles(dir)
+          .filterNot(v1Files)
+        graft.maintenance.Snapshots.commit(dir, v2Files)
+        val tgtSchema = StructType(baseSchema.fields :+
+          StructField("act", StringType))
+        val survived = graft.maintenance.Snapshots
+          .readAsOf(s, dir, tgtSchema, v1 + 1)
+          .groupBy("act")
+          .agg(count(lit(1)).as("n"), sum6(col("value")).as("sum_v6"))
+        val gone = merged.where(col("act").isin("delete", "noop"))
+          .groupBy("act")
+          .agg(count(lit(1)).as("n"),
+            lit(null).cast(LongType).as("sum_v6"))
+        survived.unionAll(gone).orderBy("act")
+      }),
+
     // Z-order rewrite + pruned box query graded end-to-end (round 10
     // second wave) — the OPTIMIZE ZORDER maintenance op every lakehouse
     // runs so multi-dimensional range queries touch few files: the

@@ -146,6 +146,45 @@ class Round10cOpsSpec extends SparkSpec {
     assert(got.map(_._4).distinct.length == 1, "block means conserve mass")
   }
 
+  test("maint_merge_into: clause table matches a scalar merge; all five fire at sf0.01") {
+    def mirror(dir: String): Map[String, (Long, Option[Long])] = {
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("t"),
+          col("event_type"), col("value")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+          r.getDouble(4)))
+      def latest(rows: Array[(Long, Long, Long, String, Double)]) =
+        rows.groupBy(_._1).map { case (u, xs) =>
+          u -> xs.maxBy(x => (x._3, x._2)) }
+      val base = latest(ev.filter(e => e._2 % 3 != 0 && e._1 % 5 != 0))
+      val chg = latest(ev.filter(e => e._2 % 3 == 0 && e._1 % 7 != 0))
+      val acts = (base.keySet ++ chg.keySet).toSeq.map { u =>
+        (base.get(u), chg.get(u)) match {
+          case (Some(b), None) => ("untouched", Some(b._5))
+          case (None, Some(c)) if c._4 != "error" => ("insert", Some(c._5))
+          case (None, Some(_)) => ("noop", None)
+          case (Some(_), Some(c)) if c._4 == "error" => ("delete", None)
+          case (Some(_), Some(c)) => ("update", Some(c._5))
+        }
+      }
+      acts.groupBy(_._1).map { case (a, xs) =>
+        a -> (xs.length.toLong,
+          if (xs.head._2.isEmpty) None
+          else Some(xs.map(x => s6(x._2.get)).sum))
+      }
+    }
+    def got(dir: String) = SparkEntry.queries("maint_merge_into")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got(sfDir) == mirror(sfDir))
+    val sf01 = "/root/testdata/sf0.01"
+    val g01 = got(sf01)
+    assert(g01 == mirror(sf01))
+    assert(g01.keySet ==
+      Set("untouched", "insert", "noop", "delete", "update"),
+      "all five merge clauses must fire on the graded corpus")
+  }
+
   test("maint_vacuum: orphans physically gone, retention contract enforced") {
     val row = SparkEntry.queries("maint_vacuum")(spark, sfDir).collect().head
     val (nRows, sumV6, nFiles, nOrphans) =
