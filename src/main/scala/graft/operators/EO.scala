@@ -1291,6 +1291,58 @@ object EO {
           .orderBy("level", "tile")
       }),
 
+    // Categorical majority downsample (round 10, third wave) — GDAL's
+    // resampling='mode' path, completing the resampling family next to
+    // the mean (eo_tile_downsample/pyramid), bilinear (eo_tile_upsample)
+    // and cubic (eo_tile_cubic) members: class rasters (land cover, QA
+    // classes) must NEVER be averaged — each 2×2 block takes its most
+    // frequent class, ties to the SMALLEST class id (the
+    // eo_zonal_majority (count DESC, class ASC) rule — max_by's
+    // implementation-defined tie pick never enters a graded surface).
+    // Class band = user_id % 8 over the standard full event tiles.
+    // Plan: one (tile, block, class) partial agg (map-side combine
+    // collapses 256 pixels to ≤ 4·64 cells before any shuffle) + a
+    // WindowGroupLimit rank pick + the per-tile output census — no
+    // joins, no pixel shuffle. Graded on n_out and the position-weighted
+    // class checksum, so one wrong block winner breaks the hash.
+    Q("eo_tile_resample_majority", Some(
+      "WITH px AS (SELECT (event_id // 4) // 256 AS tile, (event_id // 4) % 256 AS pos, " +
+        "event_id % 4 AS t, CAST(user_id % 8 AS BIGINT) AS v FROM events), " +
+        "full_t AS (SELECT tile FROM px WHERE t = 0 GROUP BY tile HAVING COUNT(*) = 256), " +
+        "p0 AS (SELECT tile, pos, v FROM px JOIN full_t USING (tile) WHERE t = 0), " +
+        "blk AS (SELECT tile, ((pos // 16) // 2) * 8 + (pos % 16) // 2 AS opos, v, " +
+        "CAST(COUNT(*) AS BIGINT) AS c FROM p0 GROUP BY tile, opos, v), " +
+        "pick AS (SELECT tile, opos, v FROM (SELECT *, ROW_NUMBER() OVER " +
+        "(PARTITION BY tile, opos ORDER BY c DESC, v) AS rn FROM blk) r WHERE rn = 1) " +
+        "SELECT tile, CAST(COUNT(*) AS BIGINT) AS n_out, " +
+        "CAST(SUM(v) AS BIGINT) AS sum_cls, " +
+        "CAST(SUM(v * (opos + 1)) AS BIGINT) AS checksum " +
+        "FROM pick GROUP BY tile ORDER BY tile"),
+      (s, d) => {
+        val base = T.events(s, d)
+          .withColumn("rest", expr("event_id div 4"))
+          .where(col("event_id") % 4 === 0)
+          .select(expr("rest div 256").as("tile"),
+            (col("rest") % 256).cast("int").as("pos"),
+            (col("user_id") % 8).as("v"))
+        val full = base.groupBy("tile").agg(count(lit(1)).as("npx"))
+          .where(col("npx") === 256).select("tile")
+        val blk = base.join(broadcast(full), "tile")
+          .groupBy(col("tile"),
+            (((col("pos") / 16).cast("int") / 2).cast("int") * 8 +
+              ((col("pos") % 16) / 2).cast("int")).as("opos"),
+            col("v"))
+          .agg(count(lit(1)).as("c"))
+        val wPick = Window.partitionBy("tile", "opos")
+          .orderBy(col("c").desc, col("v"))
+        blk.withColumn("rn", row_number().over(wPick))
+          .where(col("rn") === 1)
+          .groupBy("tile")
+          .agg(count(lit(1)).as("n_out"), sum(col("v")).as("sum_cls"),
+            sum(col("v") * (col("opos") + 1)).as("checksum"))
+          .orderBy("tile")
+      }),
+
     // COG overview selection (round 10, third wave) — the read-path
     // DECISION rasterio/GDAL make before any window read [PK: GDAL
     // overview selection picks the largest-decimation overview whose

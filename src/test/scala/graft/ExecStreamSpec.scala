@@ -25,6 +25,17 @@ class ExecStreamSpec extends SparkSpec {
     assert(exec2 == batch, "second invocation in the same session")
   }
 
+  test("executed checkpoint restart recovers state and skips committed files") {
+    val batch = SparkEntry.queries("stream_tumble")(spark, sfDir).collect().toSeq
+    val exec1 = SparkEntry.queries("stream_exec_restart")(spark, sfDir).collect().toSeq
+    assert(exec1.nonEmpty, "sink populated")
+    // equality against the ALL-events twin is the recovery proof: lost
+    // state halves the counts, a re-read first file doubles them
+    assert(exec1 == batch, "restarted query == all-events batch twin")
+    val exec2 = SparkEntry.queries("stream_exec_restart")(spark, sfDir).collect().toSeq
+    assert(exec2 == batch, "second invocation in the same session")
+  }
+
   test("executed watermark late-drop matches the scalar kept-law, twice") {
     import org.apache.spark.sql.functions._
     val got = SparkEntry.queries("stream_exec_late")(spark, sfDir).collect()

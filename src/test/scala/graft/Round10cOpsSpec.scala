@@ -146,6 +146,34 @@ class Round10cOpsSpec extends SparkSpec {
     assert(got.map(_._4).distinct.length == 1, "block means conserve mass")
   }
 
+  test("eo_tile_resample_majority: block winners match a scalar mode pick (sf0.01)") {
+    assert(SparkEntry.queries("eo_tile_resample_majority")(spark, sfDir).count() == 0)
+    val sf01 = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("eo_tile_resample_majority")(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val px = Tables.events(spark, sf01)
+      .select(col("event_id"), col("user_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._1 % 4 == 0)
+      .map { case (eid, uid) => ((eid / 4) / 256, ((eid / 4) % 256).toInt, uid % 8) }
+    val fullTiles = px.groupBy(_._1).collect {
+      case (t, ps) if ps.length == 256 => t }.toSet
+    val mirror = px.filter(p => fullTiles(p._1))
+      .groupBy(p => (p._1, ((p._2 / 16) / 2) * 8 + (p._2 % 16) / 2))
+      .map { case ((tile, opos), ps) =>
+        val winner = ps.groupBy(_._3).map { case (v, xs) => (v, xs.length) }
+          .toSeq.minBy { case (v, c) => (-c, v) }._1
+        (tile, opos, winner)
+      }
+      .groupBy(_._1)
+      .map { case (tile, cells) =>
+        (tile, cells.size.toLong, cells.map(_._3).sum,
+          cells.map(c => c._3 * (c._2 + 1)).sum) }
+      .toSeq.sortBy(_._1)
+    assert(got.toSeq == mirror)
+    assert(mirror.forall(_._2 == 64L), "8x8 output per full tile")
+  }
+
   test("maint_merge_into: clause table matches a scalar merge; all five fire at sf0.01") {
     def mirror(dir: String): Map[String, (Long, Option[Long])] = {
       val ev = Tables.events(spark, dir)
