@@ -410,6 +410,114 @@ object LlmExtras {
           .select(col("vec_id"), col("label"), s6(col("cos_raw")).as("cos_sim"))
       }),
 
+    // ANN recall evaluation (round 10, third wave) — "measure, don't
+    // guess" applied to the ANN ladder itself: every production ANN
+    // deployment is judged by recall@k against the exact ranking, so
+    // the eval harness is a first-class operator. One row grades BOTH
+    // scale paths at once: the IVF candidate set (the 2 probed cells,
+    // llm_ann_ivf's probe law verbatim) and the sign-LSH candidate set
+    // (llm_ann_lsh's bucket law verbatim) are each intersected with the
+    // EXACT top-10 (llm_cosine_topk's scaled-long cosine ranking, ties
+    // by vec_id) — candidate counts and hit counts are pure integers,
+    // so the recall statistic needs no float tolerance anywhere. At
+    // archive scale the exact pass runs on a HELD-OUT evaluation slice
+    // (this corpus IS the slice) while the candidate laws are
+    // metadata-cheap — the standard recall-eval protocol.
+    Q("llm_ann_recall_eval", Some {
+      def sgnSql(p: Int) =
+        s"(CASE WHEN ${sqlHash32(s"CONCAT($p, ':', i - 1)")} % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+      val projCols = (0 until 8).map(p =>
+        s"SUM(CAST(FLOOR(x * ${sgnSql(p)} * 1e14 + 0.5) AS BIGINT)) AS p$p").mkString(", ")
+      val bucketExpr = (0 until 8).map(p =>
+        s"(CASE WHEN p$p > 0 THEN ${1L << p} ELSE 0 END)").mkString(" + ")
+      "WITH ux AS (SELECT vec_id, label, CAST(UNNEST(embedding) AS DOUBLE) AS x, " +
+        "UNNEST(RANGE(1, LEN(embedding) + 1)) AS i FROM embeddings), " +
+        "q AS (SELECT i, x AS qx FROM ux WHERE vec_id = 0), " +
+        "nq AS (SELECT SUM(CAST(FLOOR(qx * qx * 1e14 + 0.5) AS BIGINT)) AS nl FROM q), " +
+        "alld AS (SELECT u.vec_id, " +
+        "SUM(CAST(FLOOR(u.x * q.qx * 1e14 + 0.5) AS BIGINT)) AS dotl, " +
+        "SUM(CAST(FLOOR(u.x * u.x * 1e14 + 0.5) AS BIGINT)) AS nl " +
+        "FROM ux u JOIN q ON u.i = q.i WHERE u.vec_id <> 0 GROUP BY u.vec_id), " +
+        "cosd AS (SELECT vec_id, (CAST(dotl AS DOUBLE) / 1e14) / " +
+        "(SQRT(CAST(nl AS DOUBLE) / 1e14) * SQRT((SELECT CAST(nl AS DOUBLE) FROM nq) / 1e14)) AS c " +
+        "FROM alld), " +
+        "top10 AS (SELECT vec_id FROM cosd ORDER BY c DESC, vec_id LIMIT 10), " +
+        "cent AS (SELECT label AS clabel, i, " + sqlMean6("x") + " AS c6 " +
+        "FROM ux GROUP BY clabel, i), " +
+        "probes AS (SELECT clabel FROM (" +
+        "SELECT clabel, SUM(CAST(FLOOR((CAST(c6 AS DOUBLE) / 1e6 - qx) * (CAST(c6 AS DOUBLE) / 1e6 - qx) * 1e14 + 0.5) AS BIGINT)) AS d2 " +
+        "FROM cent JOIN q USING (i) GROUP BY clabel) x ORDER BY d2, clabel LIMIT 2), " +
+        "ivfc AS (SELECT DISTINCT e.vec_id FROM embeddings e " +
+        "JOIN probes p ON e.label = p.clabel WHERE e.vec_id <> 0), " +
+        s"projs AS (SELECT vec_id, $projCols FROM ux GROUP BY vec_id), " +
+        s"bkt AS (SELECT vec_id, CAST($bucketExpr AS BIGINT) AS bucket FROM projs), " +
+        "qb AS (SELECT bucket AS qbucket FROM bkt WHERE vec_id = 0), " +
+        "lshc AS (SELECT b.vec_id FROM bkt b JOIN qb ON b.bucket = qb.qbucket " +
+        "WHERE b.vec_id <> 0) " +
+        "SELECT CAST((SELECT COUNT(*) FROM ivfc) AS BIGINT) AS n_cand_ivf, " +
+        "CAST((SELECT COUNT(*) FROM top10 t JOIN ivfc USING (vec_id)) AS BIGINT) AS hits_ivf10, " +
+        "CAST((SELECT COUNT(*) FROM lshc) AS BIGINT) AS n_cand_lsh, " +
+        "CAST((SELECT COUNT(*) FROM top10 t JOIN lshc USING (vec_id)) AS BIGINT) AS hits_lsh10"
+    },
+      (s, d) => {
+        graft.functions.VectorExprs.register(s)
+        import graft.functions.VectorExprs.{sdotl, sl2}
+        val emb = T.embeddings(s, d)
+        val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+        val cos = (sdotl(col("embedding"), col("qe")).cast("double") / lit(1e14)) /
+          (sqrt(sdotl(col("embedding"), col("embedding")).cast("double") / lit(1e14)) *
+            sqrt(sdotl(col("qe"), col("qe")).cast("double") / lit(1e14)))
+        val top10 = emb.where(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .withColumn("c", cos)
+          .orderBy(col("c").desc, col("vec_id"))
+          .limit(10)
+          .select(col("vec_id"))
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        // IVF candidate law (llm_ann_ivf's probes, verbatim)
+        val ux = emb
+          .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+          .withColumn("x", col("xf").cast("double"))
+        val cent = ux.groupBy(col("label").as("clabel"), col("pos"))
+          .agg((graft.Det.mean6(col("x")).cast("double") / lit(1e6)).as("c"))
+        val centArr = cent.groupBy("clabel")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+            e => e.getField("c")).as("cvec"))
+        val qArr = emb.where(col("vec_id") === 0)
+          .select(transform(col("embedding"), x => x.cast("double")).as("qvec"))
+        val probes = centArr.crossJoin(broadcast(qArr))
+          .select(col("clabel"), sl2(col("cvec"), col("qvec")).as("d2"))
+          .orderBy(col("d2"), col("clabel"))
+          .limit(2)
+          .select(col("clabel").as("label"))
+        val ivfc = emb.join(broadcast(probes), "label")
+          .where(col("vec_id") =!= 0).select("vec_id")
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        // sign-LSH candidate law (llm_ann_lsh's buckets, verbatim)
+        def sgn(plane: Int) =
+          when(pmod(hash32(concat_ws(":", lit(plane), col("pos"))), lit(2)) === 0, 1d)
+            .otherwise(-1d)
+        val projCols2 = (0 until 8).map(p =>
+          sum(floor(col("x") * sgn(p) * lit(1e14) + lit(0.5))).as(s"proj$p"))
+        val bucket = (0 until 8).map(p =>
+          when(col(s"proj$p") > 0, lit(1L << p)).otherwise(0L)).reduce(_ + _)
+        val sigs = ux.groupBy("vec_id")
+          .agg(projCols2.head, projCols2.tail: _*)
+          .select(col("vec_id"), bucket.as("bucket"))
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        val qb = sigs.where(col("vec_id") === 0).select(col("bucket").as("qbucket"))
+        val lshc = sigs.crossJoin(broadcast(qb))
+          .where(col("bucket") === col("qbucket") && col("vec_id") =!= 0)
+          .select("vec_id")
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        val nIvf = ivfc.agg(count(lit(1)).as("n_cand_ivf"))
+        val hIvf = top10.join(ivfc, "vec_id").agg(count(lit(1)).as("hits_ivf10"))
+        val nLsh = lshc.agg(count(lit(1)).as("n_cand_lsh"))
+        val hLsh = top10.join(lshc, "vec_id").agg(count(lit(1)).as("hits_lsh10"))
+        nIvf.crossJoin(broadcast(hIvf))
+          .crossJoin(broadcast(nLsh)).crossJoin(broadcast(hLsh))
+      }),
+
     // Language-ID heuristic: stopword-ratio thresholding (the n-gram
     // frequency detector family, reduced to this corpus's vocabulary);
     // the declared lang column is ground truth for the confusion counts.

@@ -149,4 +149,36 @@ class AnnPropertySpec extends SparkSpec {
     for (dir <- Seq(sfDir, genEmbeddings(21), genEmbeddings(22)))
       assert(runKey("llm_ann_ivf", dir) == ivfExpected(loadVecs(dir)), s"dir=$dir")
   }
+
+  test("llm_ann_recall_eval matches the mirrored candidate sets and exact top-10") {
+    for (dir <- Seq(sfDir, genEmbeddings(31))) {
+      val vecs = loadVecs(dir)
+      val q = vecs.find(_._1 == 0L).get._3
+      val top10 = vecs.filter(_._1 != 0L).map(v => (v._1, scaledCos(v._3, q)))
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+      // IVF candidate mirror: members of the 2 probed cells
+      val dim = q.length
+      val cents = vecs.groupBy(_._2).map { case (lab, vs) =>
+        lab -> Array.tabulate(dim) { i =>
+          val scaled = vs.map(v => math.floor(v._3(i).toDouble * 1e6 + 0.5).toLong)
+          math.floor(scaled.sum.toDouble / scaled.size + 0.5) / 1e6
+        }
+      }
+      val probes = cents.toSeq.map { case (lab, c) =>
+        var acc = 0L; var i = 0
+        while (i < dim) {
+          val dd = c(i) - q(i).toDouble
+          acc += math.floor(dd * dd * 1e14 + 0.5).toLong; i += 1
+        }
+        (lab, acc)
+      }.sortBy { case (lab, d2) => (d2, lab) }.take(2).map(_._1).toSet
+      val ivfc = vecs.filter(v => v._1 != 0L && probes(v._2)).map(_._1).toSet
+      val qb = bucketOf(q)
+      val lshc = vecs.filter(v => v._1 != 0L && bucketOf(v._3) == qb).map(_._1).toSet
+      val row = SparkEntry.queries("llm_ann_recall_eval")(spark, dir).collect().head
+      assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ==
+        ((ivfc.size.toLong, (top10 & ivfc).size.toLong,
+          lshc.size.toLong, (top10 & lshc).size.toLong)), s"dir=$dir")
+    }
+  }
 }
