@@ -115,6 +115,55 @@ object Graph {
       "ue AS (SELECT DISTINCT LEAST(t1.a, t1.b) AS a, GREATEST(t1.a, t1.b) AS b " +
       "FROM tk t1 JOIN tk t2 ON t1.a = t2.b AND t1.b = t2.a)"
 
+  /** The K=LpaRounds synchronous-LPA CTE chain over `ue` (needs
+    * [[mutualTop4Sql]] in scope): defines `sym`, `l0..lK` — labels after
+    * round k live in `l$k(v, lbl)`. Extracted (round-10 third wave) so
+    * graph_louvain_move can start from EXACTLY graph_label_prop's
+    * partition without textual drift between the two oracles. */
+  private lazy val lpaSqlChain: String = {
+    val rounds = (1 to LpaRounds).map { k =>
+      val prev = s"l${k - 1}"
+      s"v$k AS MATERIALIZED (SELECT u, lab, COUNT(*) AS c FROM (" +
+        s"SELECT s.u AS u, q.lbl AS lab FROM sym s JOIN $prev q ON q.v = s.w " +
+        s"UNION ALL SELECT v AS u, lbl AS lab FROM $prev) x$k GROUP BY u, lab), " +
+        s"p$k AS MATERIALIZED (SELECT u, lab FROM (SELECT u, lab, " +
+        s"ROW_NUMBER() OVER (PARTITION BY u ORDER BY c DESC, lab) AS rn FROM v$k) y$k " +
+        "WHERE rn = 1), " +
+        s"l$k AS MATERIALIZED (SELECT p.v, pk.lab AS lbl " +
+        s"FROM $prev p JOIN p$k pk ON pk.u = p.v)"
+    }.mkString(", ")
+    "sym AS MATERIALIZED (SELECT a AS u, b AS w FROM ue UNION ALL SELECT b, a FROM ue), " +
+      "l0 AS MATERIALIZED (SELECT n_nationkey AS v, CAST(n_nationkey AS BIGINT) AS lbl FROM nation), " +
+      rounds
+  }
+
+  /** Spark twin of [[lpaSqlChain]]: the K-round synchronous LPA labels
+    * (v, lbl) — graph_label_prop's body, shared with
+    * graph_louvain_move. */
+  private def lpaLabels(s: SparkSession, d: String): DataFrame = {
+    val ue = mutualTop4(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sym = ue.select(col("a").as("u"), col("b").as("w"))
+      .unionAll(ue.select(col("b").as("u"), col("a").as("w")))
+    val nodes = T.nation(s, d).select(col("n_nationkey").as("v"))
+    var lbl = nodes.select(col("v"), col("v").cast("long").as("lbl"))
+    for (_ <- 1 to LpaRounds) {
+      val votes = sym
+        .join(broadcast(lbl.select(col("v").as("w"), col("lbl").as("lab"))), "w")
+        .select(col("u"), col("lab"))
+        .unionAll(lbl.select(col("v").as("u"), col("lbl").as("lab")))
+        .groupBy(col("u"), col("lab")).agg(count(lit(1)).as("c"))
+      val wPick = Window.partitionBy("u").orderBy(col("c").desc, col("lab"))
+      val picks = votes.withColumn("rn", row_number().over(wPick))
+        .where(col("rn") === 1).select(col("u").as("v"), col("lab"))
+      lbl = lbl.drop("lbl").join(picks, "v")
+        .select(col("v"), col("lab").as("lbl"))
+        .localCheckpoint()
+    }
+    ue.unpersist()
+    lbl
+  }
+
   /** Peeling rounds and the core order k for graph_kcore — shared by the
     * Spark loop and the generated oracle CTE chain (the CcRounds
     * contract: both engines run the SAME fixed depth; the spec pins
@@ -882,45 +931,12 @@ object Graph {
     // GraphSpec-style fixpoint: Round10OpsSpec pins that a 5th round
     // changes nothing on this corpus at every gated SF.
     Q("graph_label_prop", Some {
-      val rounds = (1 to LpaRounds).map { k =>
-        val prev = s"l${k - 1}"
-        s"v$k AS MATERIALIZED (SELECT u, lab, COUNT(*) AS c FROM (" +
-          s"SELECT s.u AS u, q.lbl AS lab FROM sym s JOIN $prev q ON q.v = s.w " +
-          s"UNION ALL SELECT v AS u, lbl AS lab FROM $prev) x$k GROUP BY u, lab), " +
-          s"p$k AS MATERIALIZED (SELECT u, lab FROM (SELECT u, lab, " +
-          s"ROW_NUMBER() OVER (PARTITION BY u ORDER BY c DESC, lab) AS rn FROM v$k) y$k " +
-          "WHERE rn = 1), " +
-          s"l$k AS MATERIALIZED (SELECT p.v, pk.lab AS lbl " +
-          s"FROM $prev p JOIN p$k pk ON pk.u = p.v)"
-      }.mkString(", ")
-      s"WITH $tradeEdgesSql, $mutualTop4Sql, " +
-        "sym AS MATERIALIZED (SELECT a AS u, b AS w FROM ue UNION ALL SELECT b, a FROM ue), " +
-        "l0 AS MATERIALIZED (SELECT n_nationkey AS v, CAST(n_nationkey AS BIGINT) AS lbl FROM nation), " +
-        rounds +
+      s"WITH $tradeEdgesSql, $mutualTop4Sql, $lpaSqlChain " +
         s" SELECT v AS nationkey, lbl AS community FROM l$LpaRounds ORDER BY nationkey"
     },
       (s, d) => {
-        val ue = mutualTop4(s, d)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val sym = ue.select(col("a").as("u"), col("b").as("w"))
-          .unionAll(ue.select(col("b").as("u"), col("a").as("w")))
-        val nodes = T.nation(s, d).select(col("n_nationkey").as("v"))
-        var lbl = nodes.select(col("v"), col("v").cast("long").as("lbl"))
-        for (_ <- 1 to LpaRounds) {
-          val votes = sym
-            .join(broadcast(lbl.select(col("v").as("w"), col("lbl").as("lab"))), "w")
-            .select(col("u"), col("lab"))
-            .unionAll(lbl.select(col("v").as("u"), col("lbl").as("lab")))
-            .groupBy(col("u"), col("lab")).agg(count(lit(1)).as("c"))
-          val wPick = Window.partitionBy("u").orderBy(col("c").desc, col("lab"))
-          val picks = votes.withColumn("rn", row_number().over(wPick))
-            .where(col("rn") === 1).select(col("u").as("v"), col("lab"))
-          lbl = lbl.drop("lbl").join(picks, "v")
-            .select(col("v"), col("lab").as("lbl"))
-            .localCheckpoint()
-        }
-        ue.unpersist()
-        lbl.select(col("v").as("nationkey"), col("lbl").as("community"))
+        lpaLabels(s, d)
+          .select(col("v").as("nationkey"), col("lbl").as("community"))
           .orderBy("nationkey")
       }),
 
@@ -1085,6 +1101,97 @@ object Graph {
         nodes.join(broadcast(st), Seq("v"), "left")
           .select(col("v").cast("int").as("nationkey"),
             coalesce(col("stress"), lit(0L)).as("stress"))
+          .orderBy("nationkey")
+      }),
+
+    // Louvain phase-1 local-move sweep (round 10, third wave) — the
+    // modularity-ASCENT step the Louvain method iterates [Blondel et
+    // al. 2008], run once synchronously from the SINGLETON partition
+    // (the canonical first sweep of phase 1 — starting from the K=4 LPA
+    // labels was measured a no-op local optimum on this corpus, so the
+    // singleton start is both the published form AND the one whose
+    // moves actually exercise the law): each node i evaluates
+    // every neighbor community C, its own community, and the
+    // detach-to-singleton option, ranking on the EXACT INTEGER gain
+    // g(C) = 2m·k_{i,C} − Σtot(C∖{i})·k_i — the standard ΔQ(i→C)
+    // multiplied through by the positive constant 2m (Det rule 1: the
+    // argmax needs only the ORDER, so the 1/2m² normalization never
+    // materializes; no float enters the decision). Ties break to the
+    // smallest community id; Σtot subtracts deg(i) exactly when i ∈ C
+    // (the remove-first Louvain convention). One pass = three
+    // node-sized aggregates + broadcast joins; at web scale this sweep
+    // repeats to fixpoint then contracts communities to super-nodes —
+    // the contraction machinery already exists (Llm.componentLabels /
+    // graph_cc). Oracle: the SAME gain algebra over the unrolled LPA
+    // chain.
+    Q("graph_louvain_move", Some {
+      s"WITH $tradeEdgesSql, $mutualTop4Sql, " +
+        "sym AS (SELECT a AS u, b AS w FROM ue UNION ALL SELECT b, a FROM ue), " +
+        "lbl AS (SELECT n_nationkey AS v, CAST(n_nationkey AS BIGINT) AS comm FROM nation), " +
+        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS me FROM ue), " +
+        "deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS dg FROM sym GROUP BY u), " +
+        "ctot AS (SELECT l.comm, CAST(SUM(COALESCE(d.dg, 0)) AS BIGINT) AS st " +
+        "FROM lbl l LEFT JOIN deg d ON d.u = l.v GROUP BY l.comm), " +
+        "kin AS (SELECT s.u AS v, lw.comm, CAST(COUNT(*) AS BIGINT) AS k " +
+        "FROM sym s JOIN lbl lw ON lw.v = s.w GROUP BY s.u, lw.comm), " +
+        "pairs AS (SELECT v, comm FROM kin UNION SELECT v, comm FROM lbl " +
+        "UNION SELECT v, CAST(v AS BIGINT) AS comm FROM lbl), " +
+        "cand AS (SELECT p.v, p.comm, " +
+        "CAST(2 * (SELECT me FROM m) * COALESCE(k.k, 0) " +
+        "- (COALESCE(ct.st, 0) - CASE WHEN p.comm = l.comm THEN COALESCE(d.dg, 0) ELSE 0 END) " +
+        "* COALESCE(d.dg, 0) AS BIGINT) AS g " +
+        "FROM pairs p JOIN lbl l ON l.v = p.v " +
+        "LEFT JOIN kin k ON k.v = p.v AND k.comm = p.comm " +
+        "LEFT JOIN ctot ct ON ct.comm = p.comm " +
+        "LEFT JOIN deg d ON d.u = p.v), " +
+        "pick AS (SELECT v, comm AS new_comm, g FROM (SELECT *, " +
+        "ROW_NUMBER() OVER (PARTITION BY v ORDER BY g DESC, comm) AS rn FROM cand) r " +
+        "WHERE rn = 1) " +
+        "SELECT n.n_nationkey AS nationkey, l.comm AS old_comm, " +
+        "p.new_comm, p.g AS gain " +
+        "FROM nation n JOIN lbl l ON l.v = n.n_nationkey " +
+        "JOIN pick p ON p.v = n.n_nationkey ORDER BY nationkey"
+    },
+      (s, d) => {
+        val ue = mutualTop4(s, d)
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        val sym = ue.select(col("a").as("u"), col("b").as("w"))
+          .unionAll(ue.select(col("b").as("u"), col("a").as("w")))
+        val lbl = T.nation(s, d).select(col("n_nationkey").as("v"),
+          col("n_nationkey").cast("long").as("comm"))
+        val m = ue.agg(count(lit(1)).as("me"))
+        val deg = sym.groupBy("u").agg(count(lit(1)).as("dg"))
+        val ctot = lbl.join(deg, col("u") === col("v"), "left")
+          .groupBy("comm").agg(sum(coalesce(col("dg"), lit(0L))).as("st"))
+        val kin = sym
+          .join(broadcast(lbl.select(col("v").as("w"), col("comm"))), "w")
+          .groupBy(col("u").as("kv"), col("comm"))
+          .agg(count(lit(1)).as("k"))
+        val pairs = kin.select(col("kv").as("v"), col("comm"))
+          .union(lbl.select(col("v"), col("comm")))
+          .union(lbl.select(col("v"), col("v").cast("long").as("comm")))
+          .distinct()
+        val cand = pairs
+          .join(broadcast(lbl.select(col("v"), col("comm").as("own"))), "v")
+          .join(broadcast(kin), col("kv") === col("v") && kin("comm") === pairs("comm"), "left")
+          .join(broadcast(ctot.select(col("comm").as("tc"), col("st"))),
+            col("tc") === pairs("comm"), "left")
+          .join(broadcast(deg), col("u") === col("v"), "left")
+          .crossJoin(broadcast(m))
+          .select(col("v"), pairs("comm"),
+            (lit(2) * col("me") * coalesce(col("k"), lit(0L)) -
+              (coalesce(col("st"), lit(0L)) -
+                when(pairs("comm") === col("own"), coalesce(col("dg"), lit(0L)))
+                  .otherwise(0L)) * coalesce(col("dg"), lit(0L))).as("g"))
+        val wPick = Window.partitionBy("v").orderBy(col("g").desc, col("comm"))
+        val pick = cand.withColumn("rn", row_number().over(wPick))
+          .where(col("rn") === 1)
+          .select(col("v"), col("comm").as("new_comm"), col("g").as("gain"))
+        T.nation(s, d).select(col("n_nationkey").as("v"))
+          .join(broadcast(lbl.select(col("v"), col("comm").as("old_comm"))), "v")
+          .join(broadcast(pick), "v")
+          .select(col("v").as("nationkey"), col("old_comm"),
+            col("new_comm"), col("gain"))
           .orderBy("nationkey")
       }),
   )

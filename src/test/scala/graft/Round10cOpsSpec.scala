@@ -117,6 +117,52 @@ class Round10cOpsSpec extends SparkSpec {
     assert(got.filter(_._4 == 1).map(_._1).toSeq == Seq(kday))
   }
 
+  test("graph_louvain_move: gains match a scalar sweep; moves fire at sf0.01") {
+    def mirror(dir: String): Seq[(Long, Long, Long, Long)] = {
+      val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
+      val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+      val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .count().collect()
+        .map(r => (r.getInt(0).toLong, r.getInt(1).toLong, r.getLong(2)))
+        .filter(e => e._1 != e._2)
+      val top4 = edges.groupBy(_._1).values.flatMap(
+        _.sortBy(e => (-e._3, e._2)).take(4).map(e => (e._1, e._2))).toSet
+      val und = top4.filter(e => top4((e._2, e._1)))
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      val m = und.size.toLong
+      val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2).toSeq }
+      val nodes = Tables.nation(spark, dir).select("n_nationkey").collect()
+        .map(_.getInt(0).toLong).sorted
+      val deg = nodes.map(v => v -> adj.getOrElse(v, Seq.empty).size.toLong).toMap
+      nodes.map { v =>
+        // singleton start: community c == node c, Σtot(c) = deg(c)
+        val kin = adj.getOrElse(v, Seq.empty).groupBy(identity)
+          .map { case (c, xs) => c -> xs.size.toLong }
+        val cands = (kin.keySet + v).toSeq.map { c =>
+          val st = deg.getOrElse(c, 0L) - (if (c == v) deg(v) else 0L)
+          (c, 2 * m * kin.getOrElse(c, 0L) - st * deg(v))
+        }
+        val (nc, g) = cands.minBy { case (c, gg) => (-gg, c) }
+        (v, v, nc, g)
+      }.toSeq
+    }
+    def got(dir: String) = SparkEntry.queries("graph_louvain_move")(spark, dir)
+      .collect().map(r =>
+        (r.getInt(0).toLong, r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got(sfDir) == mirror(sfDir))
+    val sf01 = "/root/testdata/sf0.01"
+    val g01 = got(sf01)
+    assert(g01 == mirror(sf01))
+    assert(g01.exists(r => r._2 != r._3 && r._4 > 0),
+      "the sweep must actually move nodes with positive gain")
+  }
+
   test("eo_cog_overview_select: selection law + mass conservation (sf0.01)") {
     // sf0.001 has no complete 256-pixel tiles — assert that, then mirror
     // at sf0.01 where full tiles exist (the eo_tile_contour discipline)
