@@ -116,6 +116,59 @@ object StreamTwins {
           .orderBy("event_type")
       }),
 
+    // EXECUTED flatMapGroupsWithState (round 10 third wave) — the
+    // ARBITRARY-stateful operator class (custom per-key state machines:
+    // sessionizers, CDC reducers, debouncers — everything the built-in
+    // aggregation state shapes can't express), executed for real: per
+    // user the state is the exact (count, Σs6(value)) pair, updated by
+    // an ORDER-FREE fold (per-element s6 floors THEN integer sums — the
+    // Det rule 3 discipline applied INSIDE the state function, since
+    // Spark guarantees no ordering of a group's rows within a batch),
+    // emitted once per group per batch in Append mode. With the whole
+    // file in one AvailableNow micro-batch the sink holds exactly one
+    // final row per user, graded against the plain per-user aggregate
+    // oracle — a lost or double-applied group breaks the hash.
+    // BUILD-TIME SIDE EFFECT: runs the streaming query to completion at
+    // plan-construction time.
+    Q("stream_exec_fmgws", Some(
+      "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, " +
+        sqlSum6("value") + " AS sum_val FROM events " +
+        "GROUP BY user_id ORDER BY user_id"),
+      (s, d) => {
+        val landing = java.nio.file.Files.createTempDirectory("graft_exec_fmgws")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          landing.resolve("events.parquet"))
+        val sq = s
+        import sq.implicits._
+        val stream = T.eventsStream(s, d, landing.toString)
+          .select(col("user_id"), col("value"))
+          .as[(Long, Double)]
+        val emitted = stream.groupByKey(_._1)
+          .flatMapGroupsWithState(
+            org.apache.spark.sql.streaming.OutputMode.Append(),
+            org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())(
+            (uid: Long, rows: Iterator[(Long, Double)],
+                state: org.apache.spark.sql.streaming.GroupState[(Long, Long)]) => {
+              val (n0, s0) = state.getOption.getOrElse((0L, 0L))
+              var n = n0; var acc = s0
+              rows.foreach { r =>
+                n += 1
+                acc += math.floor(r._2 * 1e6 + 0.5).toLong
+              }
+              state.update((n, acc))
+              Iterator((uid, n, acc))
+            })
+          .toDF("user_id", "n", "sum_val")
+        val q = emitted.writeStream.format("memory")
+          .queryName("graft_exec_fmgws")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("graft_exec_fmgws").orderBy("user_id")
+      }),
+
     // EXECUTED checkpoint recovery (round 10 third wave) — the
     // exactly-once RESTART property, which none of the other executed
     // keys touch (they each run one query lifetime): the same tumbling

@@ -25,6 +25,20 @@ class ExecStreamSpec extends SparkSpec {
     assert(exec2 == batch, "second invocation in the same session")
   }
 
+  test("executed flatMapGroupsWithState equals the per-user aggregate, twice") {
+    import org.apache.spark.sql.functions._
+    val batch = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 1e6 + 0.5).cast("long")).as("sum_val"))
+      .orderBy("user_id").collect().toSeq
+    val exec1 = SparkEntry.queries("stream_exec_fmgws")(spark, sfDir).collect().toSeq
+    assert(exec1.nonEmpty, "sink populated")
+    assert(exec1 == batch, "custom state fold == per-user aggregate")
+    val exec2 = SparkEntry.queries("stream_exec_fmgws")(spark, sfDir).collect().toSeq
+    assert(exec2 == batch, "second invocation in the same session")
+  }
+
   test("executed checkpoint restart recovers state and skips committed files") {
     val batch = SparkEntry.queries("stream_tumble")(spark, sfDir).collect().toSeq
     val exec1 = SparkEntry.queries("stream_exec_restart")(spark, sfDir).collect().toSeq
