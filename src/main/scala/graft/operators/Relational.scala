@@ -55,6 +55,14 @@ object Relational {
     })
   }
 
+  /** The join_pip polygon dictionary (quantized 0..255 grid): a concave
+    * L, a triangle, a diamond — one vertex list consumed by the Spark
+    * plan, the generated oracle VALUES, and the spec mirror. */
+  val PipPolygons: Seq[Seq[(Long, Long)]] = Seq(
+    Seq((10L, 10L), (120L, 10L), (120L, 60L), (70L, 60L), (70L, 120L), (10L, 120L)),
+    Seq((140L, 20L), (240L, 40L), (160L, 110L)),
+    Seq((130L, 180L), (190L, 130L), (250L, 180L), (190L, 230L)))
+
   val all: Seq[Q] = Seq(
 
     Q("scan_parquet", Some(
@@ -823,5 +831,88 @@ object Relational {
             levenshtein(col("n1"), col("n2")).as("dist"),
             col("cnt1"), col("cnt2"))
           .orderBy("n1", "n2")
+      }),
+
+    // Multi-polygon point-in-polygon spatial join (round 10, third
+    // wave) — the general spatial join above eo_catalog_polygon_load's
+    // single-literal-polygon filter: the polygon set is DATA (a
+    // broadcast dictionary of oriented edges), so one plan serves any
+    // number of AOIs. Points = the zorder (event_id%256, user_id%256)
+    // grid; three polygons exercise concave (an L), convex (a
+    // triangle) and diamond shapes. The PIP test is functions.Geometry's
+    // ray cast made fully RELATIONAL: candidates = points ⋈ broadcast
+    // polygon BBOXES (the coarse prefilter that keeps partition pruning
+    // alive at scale), then candidates ⋈ broadcast EDGES count exact
+    // sign-aware cross-multiplied crossings per (point, polygon) — all
+    // int64, no division, no floats — and odd wins. Fan-out is
+    // |points in bbox| × |edges of that polygon| (dictionary-bounded,
+    // the join_fuzzy discipline), never |points| × |polygons' edges|.
+    // Output = per-polygon census (n_inside + id checksum), so one
+    // misclassified point breaks the hash. GeometrySpec's mirror
+    // (pointInPolygonD) covers the same vertex walk.
+    Q("join_pip", Some {
+      val polys = PipPolygons.zipWithIndex.map { case (p, id) =>
+        p.indices.map { i =>
+          val (x1, y1) = p(i); val (x2, y2) = p((i + 1) % p.size)
+          s"($id, $x1, $y1, $x2, $y2)"
+        }.mkString(", ")
+      }.mkString(", ")
+      val bboxes = PipPolygons.zipWithIndex.map { case (p, id) =>
+        val (x0, y0, x1, y1) =
+          (p.map(_._1).min, p.map(_._2).min, p.map(_._1).max, p.map(_._2).max)
+        s"($id, $x0, $y0, $x1, $y1)"
+      }.mkString(", ")
+      s"WITH pe(poly_id, x1, y1, x2, y2) AS (VALUES $polys), " +
+        s"bb(poly_id, bx0, by0, bx1, by1) AS (VALUES $bboxes), " +
+        "pt AS (SELECT event_id, event_id % 256 AS px, user_id % 256 AS py FROM events), " +
+        "cand AS (SELECT pt.event_id, pt.px, pt.py, bb.poly_id FROM pt JOIN bb " +
+        "ON pt.px BETWEEN bb.bx0 AND bb.bx1 AND pt.py BETWEEN bb.by0 AND bb.by1), " +
+        "cr AS (SELECT c.event_id, c.poly_id, SUM(CASE WHEN " +
+        "((e.y1 > c.py) <> (e.y2 > c.py)) AND " +
+        "((e.y2 > e.y1 AND (c.px - e.x1) * (e.y2 - e.y1) < (c.py - e.y1) * (e.x2 - e.x1)) OR " +
+        "(e.y2 < e.y1 AND (c.px - e.x1) * (e.y2 - e.y1) > (c.py - e.y1) * (e.x2 - e.x1))) " +
+        "THEN 1 ELSE 0 END) AS nc " +
+        "FROM cand c JOIN pe e ON e.poly_id = c.poly_id " +
+        "GROUP BY c.event_id, c.poly_id) " +
+        "SELECT poly_id, CAST(COUNT(*) AS BIGINT) AS n_inside, " +
+        "CAST(SUM(event_id) AS BIGINT) AS checksum " +
+        "FROM cr WHERE nc % 2 = 1 GROUP BY poly_id ORDER BY poly_id"
+    },
+      (s, d) => {
+        val edgeRows = PipPolygons.zipWithIndex.flatMap { case (p, id) =>
+          p.indices.map { i =>
+            val (x1, y1) = p(i); val (x2, y2) = p((i + 1) % p.size)
+            (id, x1, y1, x2, y2)
+          }
+        }
+        val bboxRows = PipPolygons.zipWithIndex.map { case (p, id) =>
+          (id, p.map(_._1).min, p.map(_._2).min, p.map(_._1).max, p.map(_._2).max)
+        }
+        val sq = s
+        import sq.implicits._
+        val pe = edgeRows.toDF("poly_id", "x1", "y1", "x2", "y2")
+        val bb = bboxRows.toDF("poly_id", "bx0", "by0", "bx1", "by1")
+        val pt = T.events(s, d).select(col("event_id"),
+          (col("event_id") % 256).as("px"), (col("user_id") % 256).as("py"))
+        val cand = pt.join(broadcast(bb),
+          col("px").between(col("bx0"), col("bx1")) &&
+            col("py").between(col("by0"), col("by1")))
+        val crossing = when(
+          ((col("y1") > col("py")) =!= (col("y2") > col("py"))) &&
+            ((col("y2") > col("y1") &&
+              (col("px") - col("x1")) * (col("y2") - col("y1")) <
+                (col("py") - col("y1")) * (col("x2") - col("x1"))) ||
+              (col("y2") < col("y1") &&
+                (col("px") - col("x1")) * (col("y2") - col("y1")) >
+                  (col("py") - col("y1")) * (col("x2") - col("x1")))), 1)
+          .otherwise(0)
+        cand.join(broadcast(pe), "poly_id")
+          .groupBy(col("event_id"), col("poly_id"))
+          .agg(sum(crossing).as("nc"))
+          .where(col("nc") % 2 === 1)
+          .groupBy("poly_id")
+          .agg(count(lit(1)).as("n_inside"), sum(col("event_id")).as("checksum"))
+          .orderBy("poly_id")
       }))
+
 }

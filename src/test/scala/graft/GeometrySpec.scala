@@ -74,4 +74,28 @@ class GeometrySpec extends SparkSpec {
       assert(x >= x0 && x <= x1 && y >= y0 && y <= y1, s"bbox lost ($x,$y)")
     }
   }
+
+  test("join_pip census matches the scalar ray-cast mirror over all polygons") {
+    def run(dir: String): (Map[Int, (Long, Long)], Map[Int, (Long, Long)]) = {
+      val got = SparkEntry.queries("join_pip")(spark, dir).collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val pts = Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(0) % 256, r.getLong(1) % 256))
+      val mirror = graft.operators.Relational.PipPolygons.zipWithIndex.flatMap {
+        case (poly, id) =>
+          val in = pts.filter(p => Geometry.pointInPolygonD(p._2, p._3, poly))
+          if (in.isEmpty) None
+          else Some(id -> (in.length.toLong, in.map(_._1).sum))
+      }.toMap
+      (got, mirror)
+    }
+    val (g0, m0) = run(sfDir)
+    assert(g0 == m0)
+    // sf0.001's user domain is too sparse to reach every polygon; the
+    // all-three-populated check runs where the corpus covers the grid
+    val (g1, m1) = run("/root/testdata/sf0.01")
+    assert(g1 == m1)
+    assert(m1.size == 3, "every polygon holds points at sf0.01")
+  }
 }
