@@ -177,6 +177,30 @@ object Dedup {
   }
 }
 
+object Timeseries {
+
+  /** OHLC resampling: per (symbol, fixed-width bar) the open / high /
+    * low / close of `value6` (a Det scaled-long) plus the tick count —
+    * the classic market-bar shape of every time-series store. `tCol`
+    * is whole epoch seconds; `tieCol` must make (tCol, tieCol) unique
+    * per symbol so open/close picks are deterministic (the composite
+    * key packs both into one orderable long for min_by/max_by). One
+    * keyed partial agg — map-side combine collapses each bar before
+    * the shuffle, so bytes shuffled scale with bars, not ticks. */
+  def ohlc(df: DataFrame, symbol: Column, tCol: Column, tieCol: Column,
+      value6: Column, barSecs: Long): DataFrame = {
+    val k = tCol * lit(100000000L) + tieCol
+    df.groupBy(symbol.as("symbol"),
+        floor(tCol / lit(barSecs.toDouble)).cast("long").as("bar"))
+      .agg(
+        min_by(value6, k).as("open6"),
+        max(value6).as("high6"),
+        min(value6).as("low6"),
+        max_by(value6, k).as("close6"),
+        count(lit(1)).as("n_ticks"))
+  }
+}
+
 object Zonal {
 
   /** Zonal statistics: count / min / max / mean / sum of `value` per

@@ -335,5 +335,71 @@ object Maintenance {
             sum6(col("value")).as("sum_v6"),
             countDistinct(col("_file")).as("n_files"),
             lit(planned.length.toLong).as("n_planned"))
+      }),
+
+    // File-level min/max data skipping (round 10) — the OTHER half of
+    // the lakehouse pruning story: maint_zorder prunes on a clustered
+    // partition VALUE, this key prunes on collected per-file COLUMN
+    // STATISTICS, the mechanism behind Delta/Iceberg manifests and
+    // parquet row-group skipping. The table is range-clustered into 16
+    // bucket files (one write job: repartition on the bucket key +
+    // partitionBy splits one file per bucket dir), a stats manifest
+    // (file → min/max event_id, ≤16 rows — bounded driver state) is
+    // collected, and a BETWEEN query is planned manifest-first: only
+    // files whose [min,max] overlaps the predicate are handed to the
+    // reader. Graded on both axes: n_files proves the plan touched 3 of
+    // 16 files (the oracle derives the same count from bucket-group
+    // min/max — identical by construction since file contents ARE the
+    // bucket contents), and the aggregate proves the skipped files held
+    // nothing the query needed. All bounds are data-driven integer
+    // arithmetic (w = ⌈(max+1)/16⌉, lo = 3w, hi = 5w + w/2), so the key
+    // is SF-invariant. BUILD-TIME SIDE EFFECT: writes + reads a temp
+    // table at plan-construction time (the maint_compact discipline).
+    Q("maint_stats_skip", Some(
+      "WITH m AS (SELECT (MAX(event_id) + 16) // 16 AS w FROM events), " +
+        "b AS (SELECT 3 * w AS lo, 5 * w + w // 2 AS hi FROM m), " +
+        "f AS (SELECT event_id // m.w AS bk, MIN(event_id) AS mn, " +
+        "MAX(event_id) AS mx FROM events, m GROUP BY bk), " +
+        "sel AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_files FROM f, b " +
+        "WHERE f.mn <= b.hi AND f.mx >= b.lo), " +
+        "ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(SUM(event_id) AS BIGINT) AS sum_id, " +
+        sqlSum6("value") + " AS sum_v6 " +
+        "FROM events, b WHERE event_id BETWEEN b.lo AND b.hi) " +
+        "SELECT sel.n_files, ag.n_rows, ag.sum_id, ag.sum_v6 FROM sel, ag"),
+      (s, d) => {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_statsskip"
+        graft.maintenance.Compaction.deleteRecursively(
+          java.nio.file.Paths.get(dir))
+        val ev = T.events(s, d).select("event_id", "value")
+        val mx = ev.agg(max("event_id")).head.getLong(0)
+        val w = (mx + 16) / 16
+        ev.withColumn("b", expr(s"event_id DIV $w"))
+          .repartition(16, col("b"))
+          .write.mode("overwrite").partitionBy("b").parquet(dir)
+        val snap = StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("value", DoubleType),
+          StructField("b", LongType)))
+        // stats collection: one pass builds the (file, min, max) manifest
+        val manifest = s.read.schema(snap).parquet(dir)
+          .withColumn("_file", input_file_name())
+          .groupBy("_file")
+          .agg(min("event_id").as("mn"), max("event_id").as("mxv"))
+          .collect() // ≤16 rows — manifest-sized, never data-sized
+        val (lo, hi) = (3 * w, 5 * w + w / 2)
+        val selected = manifest
+          .filter(r => r.getLong(1) <= hi && r.getLong(2) >= lo)
+          .map(_.getString(0)).sorted
+        val fileSchema = StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("value", DoubleType)))
+        s.read.schema(fileSchema).parquet(selected: _*)
+          .where(col("event_id").between(lo, hi))
+          .agg(
+            lit(selected.length.toLong).as("n_files"),
+            count(lit(1)).as("n_rows"),
+            sum(col("event_id")).as("sum_id"),
+            sum6(col("value")).as("sum_v6"))
       }))
 }

@@ -124,6 +124,47 @@ object Relational {
     scanRoundtrip("scan_csv_roundtrip", "csv"),
     scanRoundtrip("scan_jsonl_roundtrip", "json"),
 
+    // XML roundtrip (round 10) — Spark 4's built-in XML source through
+    // the same write→declared-schema-read→aggregate loop as the other
+    // format keys. `props` is the hostile payload here: JSON text full
+    // of quotes/braces, plus markup-significant characters the writer
+    // must entity-escape (the scan_csv_quoted discipline applied to
+    // XML's <,>,& instead of CSV's quote/newline). Doubles survive via
+    // the same shortest-round-trippable-decimal contract as CSV/JSONL.
+    // 100 TB stance: row-tag XML is splittable only by record scan, so
+    // it is an interchange boundary, not an archive layout — same note
+    // as the CSV keys.
+    Q("scan_xml_roundtrip", Some(
+      "SELECT user_id % 10 AS bucket, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(event_id) AS BIGINT) AS sum_id, " +
+        sqlSum6("value") + " AS sum_val, " +
+        "CAST(SUM(LENGTH(payload)) AS BIGINT) AS sum_len " +
+        "FROM (SELECT event_id, user_id, value, " +
+        "CONCAT(props, '<&\"tail') AS payload FROM events) " +
+        "GROUP BY bucket ORDER BY bucket"),
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip_xml"
+        T.events(s, d)
+          .select(col("event_id"), col("user_id"), col("value"),
+            concat(col("props"), lit("<&\"tail")).as("payload"))
+          .write.mode("overwrite").option("rowTag", "row").format("xml")
+          .save(dir)
+        val schema = StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("user_id", LongType),
+          StructField("value", DoubleType),
+          StructField("payload", StringType)))
+        s.read.schema(schema).option("rowTag", "row").format("xml").load(dir)
+          .groupBy((col("user_id") % 10).as("bucket"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("event_id")).as("sum_id"),
+            sum6(col("value")).as("sum_val"),
+            sum(length(col("payload"))).cast("long").as("sum_len"))
+          .orderBy("bucket")
+      }),
+
     // Hostile-content CSV roundtrip (round 9, seventh wave) — the
     // quoting/escaping fidelity check real ingestion depends on: a
     // payload column deliberately containing the delimiter, the quote

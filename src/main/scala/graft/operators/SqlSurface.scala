@@ -73,6 +73,18 @@ object SqlSurface {
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t " +
         "ORDER BY c_custkey, o_orderkey"),
 
+    // GROUP BY ALL (round 10) — the modern-dialect ergonomic both
+    // engines added independently: every non-aggregate select item
+    // becomes a grouping key. Graded because the resolution rule (which
+    // expressions are keys) is pure frontend — a dialect divergence
+    // would change the grouping arity and break rows+hash at once.
+    mk("sql_groupby_all",
+      "SELECT c_mktsegment, c_nationkey % 5 AS nation_bucket, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_cents " +
+        "FROM customer GROUP BY ALL " +
+        "ORDER BY c_mktsegment, nation_bucket"),
+
     // Recursive CTE (Spark 4's WITH RECURSIVE — the iterative plan
     // surface): a generated month ladder left-joined back to the data.
     // Identical portable statement in DuckDB.

@@ -179,6 +179,28 @@ object Windows {
           .orderBy("o_custkey", "o_orderkey", "first_price", "last_price")
       }),
 
+    // OHLC bar resampling (round 10) — the market-bar shape of every
+    // time-series store: per (event_type, day) the open / high / low /
+    // close of the s6-scaled value plus the tick count. Open/close are
+    // ARG_MIN/ARG_MAX over a composite (t, event_id) key packed into
+    // one long (event_id is corpus-unique, so picks are tie-free on
+    // both engines). Thin instantiation of analytics.Timeseries.ohlc:
+    // ONE keyed partial agg — bytes shuffled scale with bars, not
+    // ticks, the aggregation-pushdown story a 100 TB tick archive
+    // needs (no window function anywhere in the plan).
+    Q("win_ohlc", Some(
+      "WITH d AS (SELECT event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t, " +
+        "CAST(FLOOR(EPOCH(ts)) AS BIGINT) * 100000000 + event_id AS k, " +
+        sqlS6("value") + " AS v6 FROM events) " +
+        "SELECT event_type AS symbol, CAST(FLOOR(t / 86400.0) AS BIGINT) AS bar, " +
+        "ARG_MIN(v6, k) AS open6, MAX(v6) AS high6, MIN(v6) AS low6, " +
+        "ARG_MAX(v6, k) AS close6, CAST(COUNT(*) AS BIGINT) AS n_ticks " +
+        "FROM d GROUP BY symbol, bar ORDER BY symbol, bar"),
+      (s, d) =>
+        graft.analytics.Timeseries.ohlc(T.events(s, d), col("event_type"),
+            epochS(col("ts")), col("event_id"), s6(col("value")), 86400L)
+          .orderBy("symbol", "bar")),
+
     Q("win_nthvalue", Some(
       "SELECT o_custkey, o_orderkey, " +
         sqlS2("(NTH_VALUE(o_totalprice, 2) OVER w)") + " AS second_price " +
