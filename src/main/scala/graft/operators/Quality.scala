@@ -473,7 +473,69 @@ object Quality {
             max("len").as("len_max"), sum("len").as("len_sum"),
             s6(sum("n_space").cast("double") / sum("len").cast("double")).as("space_share6"),
             s6(sum("n_vowel").cast("double") / sum("len").cast("double")).as("vowel_share6"))
-          .orderBy("lang")))
+          .orderBy("lang")),
+
+    // Bivariate Mahalanobis outlier screen (round 10, fourth wave) —
+    // the multivariate upgrade of dq_anomaly_iqr: a (quantity, price)
+    // pair can be individually unremarkable yet jointly anomalous, and
+    // D² = (v−μ)ᵀ Σ⁻¹ (v−μ) is the standard detector. Made EXACT
+    // integer end-to-end: with integer observations (x, y), scaled
+    // deviations dx = n·x − Σx, dy = n·y − Σy and scatter entries
+    // A = n·Σxx − (Σx)², B = n·Σxy − ΣxΣy, C = n·Σyy − (Σy)², the n²
+    // factors cancel so D² > 5 is the pure integer
+    // comparison C·dx² − 2B·dx·dy + A·dy² > 5·(AC − B²) (uniform bivariate
+    // data has compact D² support ≈ 6, so 5 flags the ~1.5% joint tail;
+    // heavy-tailed segments would use the χ²₂ 95% cut ≈ 6) — no division,
+    // no sqrt, no engine-specific covariance kernel. Intermediates
+    // exceed int64 (C ≈ 4e20 at sf0.1), so the quadratic form runs in
+    // DECIMAL(38,0) Spark-side and HUGEINT oracle-side — both exact;
+    // headroom to ~1e38 bounds per-group n·y² ≲ 1e24, far beyond any
+    // per-segment group this pipeline sees (rescale y first if not).
+    // Two scans (moments, then flags with the 3-row stats broadcast) —
+    // the dq_anomaly_iqr cost shape.
+    Q("dq_mahalanobis", Some(
+      "WITH b AS (SELECT l_returnflag AS rf, " +
+        "CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS x, " +
+        "CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT) AS y FROM lineitem), " +
+        "m AS (SELECT rf, CAST(COUNT(*) AS HUGEINT) AS n, " +
+        "CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy, " +
+        "CAST(SUM(x*x) AS HUGEINT) AS sxx, CAST(SUM(y*y) AS HUGEINT) AS syy, " +
+        "CAST(SUM(x*y) AS HUGEINT) AS sxy FROM b GROUP BY rf), " +
+        "st AS (SELECT rf, n, sx, sy, n*sxx - sx*sx AS a, " +
+        "n*sxy - sx*sy AS bxy, n*syy - sy*sy AS c FROM m) " +
+        "SELECT b.rf AS l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(SUM(CASE WHEN " +
+        "st.c*(st.n*b.x - st.sx)*(st.n*b.x - st.sx) " +
+        "- 2*st.bxy*(st.n*b.x - st.sx)*(st.n*b.y - st.sy) " +
+        "+ st.a*(st.n*b.y - st.sy)*(st.n*b.y - st.sy) " +
+        "> 5*(st.a*st.c - st.bxy*st.bxy) THEN 1 ELSE 0 END) AS BIGINT) AS n_out " +
+        "FROM b JOIN st ON b.rf = st.rf GROUP BY b.rf ORDER BY l_returnflag"),
+      (s, d) => {
+        val dec = "decimal(38,0)"
+        val b = T.lineitem(s, d).select(col("l_returnflag").as("rf"),
+          s0(col("l_quantity")).as("x"), s0(col("l_extendedprice")).as("y"))
+        val m = b.groupBy("rf").agg(
+          count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        def D(c: org.apache.spark.sql.Column) = c.cast(dec)
+        val st = m.select(col("rf"), col("n"), col("sx"), col("sy"),
+          (D(col("n")) * D(col("sxx")) - D(col("sx")) * D(col("sx"))).as("a"),
+          (D(col("n")) * D(col("sxy")) - D(col("sx")) * D(col("sy"))).as("bxy"),
+          (D(col("n")) * D(col("syy")) - D(col("sy")) * D(col("sy"))).as("c"))
+        // dx/dy fit int64 (n·x ≲ 1e7, n·y ≲ 2.2e10); square in decimal
+        val dx = D(col("n") * col("x") - col("sx"))
+        val dy = D(col("n") * col("y") - col("sy"))
+        val num = col("c") * dx * dx - lit(2).cast(dec) * col("bxy") * dx * dy +
+          col("a") * dy * dy
+        val det9 = lit(5).cast(dec) * (col("a") * col("c") - col("bxy") * col("bxy"))
+        b.join(broadcast(st), "rf")
+          .groupBy(col("rf").as("l_returnflag"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(num > det9, 1L).otherwise(0L)).as("n_out"))
+          .orderBy("l_returnflag")
+      }))
 
   /** The 10-row bin grid (0..9) as a DataFrame — tiny, broadcast into
     * the type×bin cross. */

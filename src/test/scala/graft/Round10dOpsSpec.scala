@@ -71,6 +71,33 @@ class Round10dOpsSpec extends SparkSpec {
     assert(got == mirror)
   }
 
+  test("dq_mahalanobis: flags match a BigInt quadratic-form mirror") {
+    val got = SparkEntry.queries("dq_mahalanobis")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        floor(col("l_quantity") + 0.5).cast("long"),
+        floor(col("l_extendedprice") + 0.5).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val mirror = rows.groupBy(_._1).map { case (rf, g) =>
+      val n = BigInt(g.length)
+      val sx = BigInt(g.map(_._2).sum); val sy = BigInt(g.map(_._3).sum)
+      val sxx = g.map(e => BigInt(e._2) * e._2).sum
+      val syy = g.map(e => BigInt(e._3) * e._3).sum
+      val sxy = g.map(e => BigInt(e._2) * e._3).sum
+      val a = n * sxx - sx * sx; val b = n * sxy - sx * sy
+      val c = n * syy - sy * sy
+      val nOut = g.count { e =>
+        val dx = n * e._2 - sx; val dy = n * e._3 - sy
+        c * dx * dx - 2 * b * dx * dy + a * dy * dy > 5 * (a * c - b * b)
+      }
+      rf -> (g.length.toLong, nOut.toLong)
+    }
+    assert(got == mirror)
+    // the screen must actually flag a joint tail on this corpus
+    assert(got.values.map(_._2).sum > 0)
+  }
+
   test("sql_groupby_all: grouping arity matches the explicit GROUP BY") {
     val got = SparkEntry.queries("sql_groupby_all")(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getAs[Number](1).longValue) ->
