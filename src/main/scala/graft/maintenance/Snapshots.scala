@@ -92,4 +92,40 @@ object Snapshots {
     orphans.foreach(f => Files.delete(Paths.get(dir, f)))
     orphans
   }
+
+  /** Change data feed between two committed snapshots (the Delta CDF /
+    * Iceberg changelog read): a FULL OUTER join of the two as-of reads
+    * on `keys` classifies every key as insert / delete / update /
+    * unchanged; updates emit BOTH images (`update_preimage` then
+    * `update_postimage`, the Delta row pair). The returned frame carries
+    * the schema's columns (pre-image values for delete/update_preimage,
+    * post-image for the rest) plus `change_type`. Non-key comparison is
+    * null-safe per column. One co-partitioned join on the key — at any
+    * table size the shuffle is keyed, never all-pairs; both sides scan
+    * only their manifest's files. */
+  def diff(spark: SparkSession, dir: String, schema: StructType,
+      v1: Int, v2: Int, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val nonKeys = schema.fieldNames.toSeq.filterNot(keys.contains)
+    val pre = readAsOf(spark, dir, schema, v1)
+      .select(keys.map(col) ++ nonKeys.map(c => col(c).as(s"_pre_$c"))
+        :+ lit(1).as("_in_pre"): _*)
+    val post = readAsOf(spark, dir, schema, v2)
+      .select(keys.map(col) ++ nonKeys.map(c => col(c).as(s"_post_$c"))
+        :+ lit(1).as("_in_post"): _*)
+    val j = pre.join(post, keys, "full_outer")
+    val changed = nonKeys.map(c => !(col(s"_pre_$c") <=> col(s"_post_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    def image(side: String, tpe: String) =
+      struct(lit(tpe).as("change_type") +:
+        nonKeys.map(c => col(s"$side$c").as(c)): _*)
+    val rows = when(col("_in_pre").isNull, array(image("_post_", "insert")))
+      .when(col("_in_post").isNull, array(image("_pre_", "delete")))
+      .when(changed, array(image("_pre_", "update_preimage"),
+        image("_post_", "update_postimage")))
+      .otherwise(array(image("_post_", "unchanged")))
+    j.select(keys.map(col) :+ explode(rows).as("_r"): _*)
+      .select(keys.map(col) ++ Seq(col("_r.change_type")) ++
+        nonKeys.map(c => col(s"_r.$c")): _*)
+  }
 }

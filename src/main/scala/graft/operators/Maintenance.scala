@@ -337,6 +337,79 @@ object Maintenance {
             lit(planned.length.toLong).as("n_planned"))
       }),
 
+    // Change data feed between snapshots (round 10, fourth wave) — the
+    // Delta CDF / Iceberg changelog read completing the lifecycle:
+    // commit → as-of → rollback → vacuum → merge → DIFF. Two per-
+    // (user, event_type) aggregate snapshots are committed through
+    // Snapshots (v2's transform: error cells dropped ⇒ DELETEs, odd-id
+    // view events removed ⇒ UPDATEs with both images, per-user 'total'
+    // cells added ⇒ INSERTs, everything else ⇒ unchanged — all four
+    // classes nonempty on this corpus at both SFs), then
+    // Snapshots.diff classifies every key via ONE co-partitioned full
+    // outer join of the two as-of reads and emits the Delta-style
+    // update_preimage/update_postimage row pair. The graded frame
+    // aggregates per change_type, so a misclassified key moves integer
+    // mass between rows and breaks the hash. BUILD-TIME SIDE EFFECT:
+    // writes + commits a temp table at plan-construction time.
+    Q("maint_snapshot_diff", Some {
+      val aggCols = "CAST(COUNT(*) AS BIGINT) AS n, " +
+        sqlSum6("value") + " AS v6"
+      "WITH a AS (SELECT user_id, event_type AS et, " + aggCols +
+        " FROM events GROUP BY user_id, et), " +
+        "b AS (SELECT user_id, event_type AS et, " + aggCols +
+        " FROM events WHERE event_type <> 'error' AND " +
+        "(event_type <> 'view' OR event_id % 2 = 0) GROUP BY user_id, et " +
+        "UNION ALL SELECT user_id, 'total' AS et, " + aggCols +
+        " FROM events WHERE event_type <> 'error' GROUP BY user_id), " +
+        "j AS (SELECT COALESCE(a.user_id, b.user_id) AS uid, " +
+        "a.n AS an, a.v6 AS av6, b.n AS bn, b.v6 AS bv6, " +
+        "CASE WHEN a.user_id IS NULL THEN 'i' WHEN b.user_id IS NULL THEN 'd' " +
+        "WHEN a.n = b.n AND a.v6 = b.v6 THEN 'u0' ELSE 'u1' END AS cls " +
+        "FROM a FULL OUTER JOIN b ON a.user_id = b.user_id AND a.et = b.et), " +
+        "r AS (SELECT 'insert' AS change_type, uid, bn AS n, bv6 AS v6 FROM j WHERE cls = 'i' " +
+        "UNION ALL SELECT 'delete', uid, an, av6 FROM j WHERE cls = 'd' " +
+        "UNION ALL SELECT 'update_preimage', uid, an, av6 FROM j WHERE cls = 'u1' " +
+        "UNION ALL SELECT 'update_postimage', uid, bn, bv6 FROM j WHERE cls = 'u1' " +
+        "UNION ALL SELECT 'unchanged', uid, bn, bv6 FROM j WHERE cls = 'u0') " +
+        "SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_keys, " +
+        "CAST(SUM(uid) AS BIGINT) AS sum_uid, CAST(SUM(n) AS BIGINT) AS sum_n, " +
+        "CAST(SUM(v6) AS BIGINT) AS sum_v6 " +
+        "FROM r GROUP BY change_type ORDER BY change_type"
+    },
+      (s, d) => {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_cdf"
+        graft.maintenance.Compaction.deleteRecursively(
+          java.nio.file.Paths.get(dir))
+        val snap = StructType(Seq(
+          StructField("user_id", LongType),
+          StructField("et", StringType),
+          StructField("n", LongType),
+          StructField("v6", LongType)))
+        val ev = T.events(s, d)
+        def cells(src: org.apache.spark.sql.DataFrame) =
+          src.groupBy(col("user_id"), col("event_type").as("et"))
+            .agg(count(lit(1)).as("n"), sum6(col("value")).as("v6"))
+        cells(ev).write.mode("overwrite").parquet(dir)
+        val v1 = graft.maintenance.Snapshots.commit(dir)
+        val v1Files = graft.maintenance.Snapshots.files(dir, v1).toSet
+        val nonErr = ev.where(col("event_type") =!= "error")
+        val b0 = cells(nonErr.where(col("event_type") =!= "view" ||
+          col("event_id") % 2 === 0))
+        val bt = nonErr.groupBy("user_id")
+          .agg(count(lit(1)).as("n"), sum6(col("value")).as("v6"))
+          .select(col("user_id"), lit("total").as("et"), col("n"), col("v6"))
+        b0.unionByName(bt).write.mode("append").parquet(dir)
+        val v2Files = graft.maintenance.Snapshots.dataFiles(dir)
+          .filterNot(v1Files)
+        val v2 = graft.maintenance.Snapshots.commit(dir, v2Files)
+        graft.maintenance.Snapshots
+          .diff(s, dir, snap, v1, v2, Seq("user_id", "et"))
+          .groupBy("change_type")
+          .agg(count(lit(1)).as("n_keys"), sum("user_id").as("sum_uid"),
+            sum("n").as("sum_n"), sum("v6").as("sum_v6"))
+          .orderBy("change_type")
+      }),
+
     // File-level min/max data skipping (round 10) — the OTHER half of
     // the lakehouse pruning story: maint_zorder prunes on a clustered
     // partition VALUE, this key prunes on collected per-file COLUMN

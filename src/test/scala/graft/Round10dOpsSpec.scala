@@ -71,6 +71,42 @@ class Round10dOpsSpec extends SparkSpec {
     assert(got == mirror)
   }
 
+  test("maint_snapshot_diff: CDF classes match a scalar snapshot diff") {
+    val got = SparkEntry.queries("maint_snapshot_diff")(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // scalar mirror: build both snapshots from the raw rows, classify
+    val raw = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    def cells(f: ((Long, Long, String, Double)) => Boolean) =
+      raw.filter(f).groupBy(e => (e._2, e._3))
+        .map { case (k, g) => k -> (g.length.toLong, g.map(e => s6(e._4)).sum) }
+    val a = cells(_ => true)
+    val b = cells(e => e._3 != "error" && (e._3 != "view" || e._1 % 2 == 0)) ++
+      raw.filter(_._3 != "error").groupBy(_._2).map { case (u, g) =>
+        (u, "total") -> (g.length.toLong, g.map(e => s6(e._4)).sum)
+      }
+    val emitted = (a.keySet ++ b.keySet).toSeq.flatMap { k =>
+      (a.get(k), b.get(k)) match {
+        case (None, Some(v))            => Seq(("insert", k, v))
+        case (Some(v), None)            => Seq(("delete", k, v))
+        case (Some(p), Some(q)) if p == q => Seq(("unchanged", k, q))
+        case (Some(p), Some(q)) =>
+          Seq(("update_preimage", k, p), ("update_postimage", k, q))
+      }
+    }
+    val mirror = emitted.groupBy(_._1).map { case (ct, g) =>
+      ct -> (g.length.toLong, g.map(_._2._1).sum,
+        g.map(_._3._1).sum, g.map(_._3._2).sum)
+    }
+    assert(got == mirror)
+    // all five CDF classes must fire on this corpus
+    assert(got.keySet == Set("insert", "delete", "unchanged",
+      "update_preimage", "update_postimage"))
+  }
+
   test("dq_mahalanobis: flags match a BigInt quadratic-form mirror") {
     val got = SparkEntry.queries("dq_mahalanobis")(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
