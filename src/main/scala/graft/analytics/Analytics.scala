@@ -177,6 +177,35 @@ object Dedup {
   }
 }
 
+object Similarity {
+
+  /** Exact cosine top-k against ONE query vector: every corpus row's
+    * cosine to the broadcast query, ranked, top `k` kept (ties broken
+    * by `idCol`). Dot products ride the codegen'd FloatVecScaledDotL
+    * expression (per-term 1e14 scaled-long floors — exact, order-free
+    * sums), so the ranking is engine-deterministic; the result carries
+    * the raw cosine in column `c`. TakeOrderedAndProject keeps the
+    * top-k as per-partition heaps — no global sort materializes. This
+    * is the exact baseline of the ANN ladder (llm_ann_lsh/llm_ann_ivf
+    * are the bucketed scale paths; llm_ann_recall_eval grades them
+    * against this). */
+  def cosineTopK(emb: DataFrame, query: DataFrame, embCol: String,
+      idCol: String, k: Int): DataFrame = {
+    graft.functions.VectorExprs.register(emb.sparkSession)
+    import graft.functions.VectorExprs.sdotl
+    val q = query.select(col(embCol).as("_qe"))
+    val e = col(embCol)
+    val cos = (sdotl(e, col("_qe")).cast("double") / lit(1e14)) /
+      (sqrt(sdotl(e, e).cast("double") / lit(1e14)) *
+        sqrt(sdotl(col("_qe"), col("_qe")).cast("double") / lit(1e14)))
+    emb.crossJoin(broadcast(q))
+      .withColumn("c", cos)
+      .orderBy(col("c").desc, col(idCol))
+      .limit(k)
+      .drop("_qe")
+  }
+}
+
 object Timeseries {
 
   /** OHLC resampling: per (symbol, fixed-width bar) the open / high /

@@ -577,26 +577,16 @@ object Llm {
         "FROM dots) " +
         "SELECT vec_id, " + sqlS6("c") + " AS cos_sim FROM cos " +
         "ORDER BY c DESC, vec_id LIMIT 10"),
-      (s, d) => {
-        // FloatVecScaledDotL per row against the broadcast query — the
-        // posexplode + broadcast-pos-join + dim×-row hash-agg collapses to
-        // one codegen'd loop per vector; the per-element FLOOR terms are
-        // the oracle's exact twins, so the unchanged oracle still matches.
-        // TakeOrderedAndProject keeps the top-10 as per-partition heaps.
-        graft.functions.VectorExprs.register(s)
-        import graft.functions.VectorExprs.sdotl
-        val q = T.embeddings(s, d).where(col("vec_id") === 0)
-          .select(col("embedding").as("qe"))
-        val cos = (sdotl(col("embedding"), col("qe")).cast("double") / lit(1e14)) /
-          (sqrt(sdotl(col("embedding"), col("embedding")).cast("double") / lit(1e14)) *
-            sqrt(sdotl(col("qe"), col("qe")).cast("double") / lit(1e14)))
-        T.embeddings(s, d).where(col("vec_id") =!= 0)
-          .crossJoin(broadcast(q))
-          .withColumn("c", cos)
-          .orderBy(col("c").desc, col("vec_id"))
-          .limit(10)
-          .select(col("vec_id"), s6(col("c")).as("cos_sim"))
-      }),
+      (s, d) =>
+        // thin instantiation of the user-facing API (round 10): the
+        // codegen'd FloatVecScaledDotL ranking lives in
+        // analytics.Similarity.cosineTopK — the per-element FLOOR terms
+        // are the oracle's exact twins, so the unchanged oracle matches.
+        graft.analytics.Similarity.cosineTopK(
+            T.embeddings(s, d).where(col("vec_id") =!= 0),
+            T.embeddings(s, d).where(col("vec_id") === 0),
+            "embedding", "vec_id", 10)
+          .select(col("vec_id"), s6(col("c")).as("cos_sim"))),
 
     // Per-label mean vector -> nearest-centroid assignment -> confusion
     // counts. Fully relational (posexplode layout); distances accumulate as

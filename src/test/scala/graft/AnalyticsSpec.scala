@@ -74,6 +74,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(strict.values.sum < base.values.sum, "strictness bites")
   }
 
+  test("a NEW cosine top-k (query vec 7, k=5) in three lines") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val got = Similarity.cosineTopK(
+      emb.where(col("vec_id") =!= 7), emb.where(col("vec_id") === 7),
+      "embedding", "vec_id", 5)
+      .select(col("vec_id"), col("c"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def sdot(a: Seq[Float], b: Seq[Float]): Long =
+      a.zip(b).map { case (x, y) =>
+        math.floor(x.toDouble * y.toDouble * 1e14 + 0.5).toLong
+      }.sum
+    val q = vecs(7L)
+    val expect = vecs.view.filterKeys(_ != 7L).map { case (id, v) =>
+      (id, (sdot(v, q).toDouble / 1e14) /
+        (math.sqrt(sdot(v, v).toDouble / 1e14) * math.sqrt(sdot(q, q).toDouble / 1e14)))
+    }.toSeq.sortBy { case (id, c) => (-c, id) }.take(5)
+    assert(got.toSeq == expect, "top-5 by exact scaled-long cosine")
+  }
+
   test("a NEW zonal rollup over a different zone key in two lines") {
     val got = Zonal.stats(Tables.events(spark, sfDir),
       zone = col("event_type"), value = col("value"))
