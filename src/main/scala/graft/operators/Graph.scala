@@ -204,6 +204,68 @@ object Graph {
     * at K). Declared before `all` (the KcoreRounds contract). */
   private val StressRounds = 8
 
+  /** The K=ClosenessRounds min-plus ALL-PAIRS distance chain over the
+    * unweighted undirected trade graph (needs [[tradeEdgesSql]] in
+    * scope): defines `und`, `sym`, `n`, `d0..dK` — distances after round
+    * k live in `d$k(u, v, d)`, 999 = unreachable sentinel. Extracted
+    * (round-10 fifth wave) so graph_ecc starts from EXACTLY
+    * graph_closeness's matrix without textual drift (the lpaSqlChain
+    * precedent). */
+  private lazy val apspSqlChain: String = {
+    val rounds = (1 to ClosenessRounds).map { k =>
+      val prev = s"d${k - 1}"
+      s"d$k AS MATERIALIZED (SELECT p.u, p.v, LEAST(p.d, COALESCE(MIN(q.d + 1), p.d)) AS d " +
+        s"FROM $prev p LEFT JOIN sym s ON s.a = p.v LEFT JOIN $prev q ON q.u = p.u AND q.v = s.b " +
+        "GROUP BY p.u, p.v, p.d)"
+    }.mkString(", ")
+    "und AS (SELECT DISTINCT LEAST(src, dst) AS x, GREATEST(src, dst) AS y " +
+      "FROM e WHERE src <> dst), " +
+      "sym AS MATERIALIZED (SELECT x AS a, y AS b FROM und UNION ALL SELECT y, x FROM und), " +
+      "n AS (SELECT n_nationkey AS v FROM nation), " +
+      "d0 AS MATERIALIZED (SELECT a.v AS u, b.v AS v, " +
+      "CAST(CASE WHEN a.v = b.v THEN 0 ELSE 999 END AS BIGINT) AS d " +
+      "FROM n a CROSS JOIN n b), " +
+      rounds
+  }
+
+  /** Spark twin of [[apspSqlChain]]: the converged-at-K (u, v, d)
+    * distance matrix shared by graph_closeness and graph_ecc. */
+  private def apspDistances(s: SparkSession, d: String): DataFrame = {
+    val und = tradeEdges(s, d).where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("x"),
+        greatest(col("src"), col("dst")).as("y"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sym = und.select(col("x").as("a"), col("y").as("b"))
+      .unionAll(und.select(col("y").as("a"), col("x").as("b")))
+    val n = T.nation(s, d).select(col("n_nationkey").as("v"))
+    var dist = n.select(col("v").as("u"))
+      .crossJoin(n.select(col("v")))
+      .select(col("u"), col("v"),
+        when(col("u") === col("v"), 0L).otherwise(999L).as("d"))
+    for (_ <- 1 to ClosenessRounds) {
+      val viaN = sym
+        .join(broadcast(dist.select(col("u").as("pu"), col("v").as("b"),
+          col("d").as("dn"))), "b")
+        .groupBy(col("pu").as("u"), col("a").as("v"))
+        .agg(min(col("dn") + 1).as("nd"))
+      dist = dist.join(viaN, Seq("u", "v"), "left")
+        .select(col("u"), col("v"),
+          least(col("d"), coalesce(col("nd"), col("d"))).as("d"))
+        .localCheckpoint()
+    }
+    und.unpersist()
+    dist
+  }
+
+  /** Peel rounds and the triangle-support threshold for graph_ktruss
+    * (support ≥ TrussSupp = the (TrussSupp+2)-truss). The KcoreRounds
+    * contract: both engines run the SAME fixed depth; GraphSpec pins
+    * convergence (rounds K and K+1 agree) on this corpus — measured 2
+    * rounds to fixpoint at sf0.001/0.01/0.1, so 4 carries slack. */
+  private val TrussRounds = 4
+  private val TrussSupp = 4
+
   val all: Seq[Q] = Seq(
 
     // Weighted PageRank over the nation-level trade graph: an edge
@@ -796,59 +858,51 @@ object Graph {
     // scale exact all-pairs is infeasible — the published fallback is
     // pivot sampling (closeness against k sampled sources), the same
     // plan with a sampled source dimension.
-    Q("graph_closeness", Some {
-      val rounds = (1 to ClosenessRounds).map { k =>
-        val prev = s"d${k - 1}"
-        s"d$k AS MATERIALIZED (SELECT p.u, p.v, LEAST(p.d, COALESCE(MIN(q.d + 1), p.d)) AS d " +
-          s"FROM $prev p LEFT JOIN sym s ON s.a = p.v LEFT JOIN $prev q ON q.u = p.u AND q.v = s.b " +
-          "GROUP BY p.u, p.v, p.d)"
-      }.mkString(", ")
-      s"WITH $tradeEdgesSql, " +
-        "und AS (SELECT DISTINCT LEAST(src, dst) AS x, GREATEST(src, dst) AS y " +
-        "FROM e WHERE src <> dst), " +
-        "sym AS MATERIALIZED (SELECT x AS a, y AS b FROM und UNION ALL SELECT y, x FROM und), " +
-        "n AS (SELECT n_nationkey AS v FROM nation), " +
-        "d0 AS MATERIALIZED (SELECT a.v AS u, b.v AS v, " +
-        "CAST(CASE WHEN a.v = b.v THEN 0 ELSE 999 END AS BIGINT) AS d " +
-        "FROM n a CROSS JOIN n b), " +
-        rounds + ", " +
+    Q("graph_closeness", Some(
+      s"WITH $tradeEdgesSql, $apspSqlChain, " +
         s"cs AS (SELECT v, CAST(SUM(d) AS BIGINT) AS sum_d, " +
         s"CAST(COUNT(*) AS BIGINT) AS n_nodes FROM d$ClosenessRounds WHERE u <> v GROUP BY v) " +
         "SELECT v AS nationkey, sum_d, " +
         sqlS6("(CAST(n_nodes AS DOUBLE)) / CAST(sum_d AS DOUBLE)") + " AS closeness6 " +
-        "FROM cs ORDER BY nationkey"
-    },
-      (s, d) => {
-        val und = tradeEdges(s, d).where(col("src") =!= col("dst"))
-          .select(least(col("src"), col("dst")).as("x"),
-            greatest(col("src"), col("dst")).as("y"))
-          .distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val sym = und.select(col("x").as("a"), col("y").as("b"))
-          .unionAll(und.select(col("y").as("a"), col("x").as("b")))
-        val n = T.nation(s, d).select(col("n_nationkey").as("v"))
-        var dist = n.select(col("v").as("u"))
-          .crossJoin(n.select(col("v")))
-          .select(col("u"), col("v"),
-            when(col("u") === col("v"), 0L).otherwise(999L).as("d"))
-        for (_ <- 1 to ClosenessRounds) {
-          val viaN = sym
-            .join(broadcast(dist.select(col("u").as("pu"), col("v").as("b"),
-              col("d").as("dn"))), "b")
-            .groupBy(col("pu").as("u"), col("a").as("v"))
-            .agg(min(col("dn") + 1).as("nd"))
-          dist = dist.join(viaN, Seq("u", "v"), "left")
-            .select(col("u"), col("v"),
-              least(col("d"), coalesce(col("nd"), col("d"))).as("d"))
-            .localCheckpoint()
-        }
-        und.unpersist()
-        dist.where(col("u") =!= col("v"))
+        "FROM cs ORDER BY nationkey"),
+      (s, d) =>
+        apspDistances(s, d).where(col("u") =!= col("v"))
           .groupBy(col("v").as("nationkey"))
           .agg(sum("d").as("sum_d"), count(lit(1)).as("n_nodes"))
           .select(col("nationkey"), col("sum_d"),
             s6(col("n_nodes").cast("double") / col("sum_d").cast("double"))
               .as("closeness6"))
+          .orderBy("nationkey")),
+
+    // Eccentricity / center / periphery (round 10, fifth wave) — the
+    // other classical statistic of the SAME K-round min-plus all-pairs
+    // matrix graph_closeness relaxes: ecc(v) = max distance from v
+    // (999-sentinel rows count as-is, so disconnected corpora stay
+    // deterministic), radius = min ecc, diameter = max ecc, and the
+    // integer flags mark the graph center and periphery. Zero new
+    // distance machinery — both engines reuse the shared apsp chain
+    // verbatim, so the induction already proven for closeness carries
+    // over; the final pass is one node-keyed max + a broadcast scalar
+    // join. |V|²-bounded like closeness: fine on an aggregated entity
+    // graph, per-source label frontiers at web scale.
+    Q("graph_ecc", Some(
+      s"WITH $tradeEdgesSql, $apspSqlChain, " +
+        s"ec AS (SELECT v, CAST(MAX(d) AS BIGINT) AS ecc FROM d$ClosenessRounds " +
+        "WHERE u <> v GROUP BY v), " +
+        "mm AS (SELECT MIN(ecc) AS rad, MAX(ecc) AS diam FROM ec) " +
+        "SELECT v AS nationkey, ecc, " +
+        "CASE WHEN ecc = mm.rad THEN 1 ELSE 0 END AS is_center, " +
+        "CASE WHEN ecc = mm.diam THEN 1 ELSE 0 END AS is_periphery " +
+        "FROM ec, mm ORDER BY nationkey"),
+      (s, d) => {
+        val ec = apspDistances(s, d).where(col("u") =!= col("v"))
+          .groupBy(col("v").as("nationkey"))
+          .agg(max("d").as("ecc"))
+        val mm = ec.agg(min(col("ecc")).as("rad"), max(col("ecc")).as("diam"))
+        ec.crossJoin(broadcast(mm))
+          .select(col("nationkey"), col("ecc"),
+            when(col("ecc") === col("rad"), 1).otherwise(0).as("is_center"),
+            when(col("ecc") === col("diam"), 1).otherwise(0).as("is_periphery"))
           .orderBy("nationkey")
       }),
 
@@ -1194,7 +1248,79 @@ object Graph {
             col("new_comm"), col("gain"))
           .orderBy("nationkey")
       }),
+
+    // K-truss decomposition (round 10, fifth wave) — the triangle-support
+    // cousin of graph_kcore [Cohen 2008]: peel every edge lying in fewer
+    // than TrussSupp triangles until none remain, i.e. the
+    // (TrussSupp+2)-truss. Runs over the above-mean-weight undirected
+    // trade graph (graph_kcore's base — the mutual-top-4 graph is too
+    // sparse to carry triangles at these corpora: 10 edges, 0 triangles
+    // at sf0.01). K fixed peel rounds (the KcoreRounds contract), then
+    // ONE final support pass over the survivors; GraphSpec pins the
+    // fixpoint (rounds K and K+1 agree), so the emitted support is the
+    // converged truss support. Per round: sym = both edge directions,
+    // support(a,b) = |N(a) ∩ N(b)| via the wedge join s1.u=a ⋈ s2.u=b ∧
+    // s2.v=s1.v + one (a,b) partial agg — the standard relational
+    // triangle enumeration (graph_triangles' shape, per-edge instead of
+    // global). The nation graph is node-sized so both probe sides
+    // broadcast; at archive scale sym is edge-sized and the same joins
+    // hash-partition on the wedge endpoints, still never all-pairs.
+    // localCheckpoint per round: the lineage discipline of every
+    // iterative key (graph_kcore scaladoc).
+    Q("graph_ktruss", Some {
+      val sb = new StringBuilder(
+        s"WITH $tradeEdgesSql, " +
+          "und AS MATERIALIZED (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, " +
+          "CAST(SUM(w) AS BIGINT) AS w2 FROM e WHERE src <> dst GROUP BY a, b), " +
+          "tot AS MATERIALIZED (SELECT CAST(SUM(w2) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS ne FROM und), " +
+          "t0 AS MATERIALIZED (SELECT a, b FROM und, tot WHERE w2 * ne >= t)")
+      for (i <- 1 to TrussRounds) {
+        sb.append(s", sym$i AS MATERIALIZED (SELECT a AS u, b AS v FROM t${i - 1} " +
+          s"UNION ALL SELECT b, a FROM t${i - 1})")
+        sb.append(s", sup$i AS MATERIALIZED (SELECT e.a, e.b, CAST(COUNT(*) AS BIGINT) AS supp " +
+          s"FROM t${i - 1} e JOIN sym$i s1 ON s1.u = e.a " +
+          s"JOIN sym$i s2 ON s2.u = e.b AND s2.v = s1.v GROUP BY e.a, e.b)")
+        sb.append(s", t$i AS MATERIALIZED (SELECT a, b FROM sup$i WHERE supp >= $TrussSupp)")
+      }
+      sb.append(s", symf AS (SELECT a AS u, b AS v FROM t$TrussRounds " +
+        s"UNION ALL SELECT b, a FROM t$TrussRounds) " +
+        s"SELECT e.a, e.b, CAST(COUNT(*) AS BIGINT) AS supp FROM t$TrussRounds e " +
+        "JOIN symf s1 ON s1.u = e.a JOIN symf s2 ON s2.u = e.b AND s2.v = s1.v " +
+        "GROUP BY e.a, e.b ORDER BY e.a, e.b")
+      sb.toString
+    },
+      (s, d) => ktrussSupport(s, d, TrussRounds)),
   )
+
+  /** The graph_ktruss peel, K parameterized so GraphSpec can run K and
+    * K+1 and assert the fixpoint. Returns the surviving edges with their
+    * support over the final graph (a, b, supp). */
+  def ktrussSupport(s: SparkSession, d: String, rounds: Int): DataFrame = {
+    val und = tradeEdges(s, d).where(col("src") =!= col("dst"))
+      .groupBy(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .agg(sum(col("w")).as("w2"))
+    val tot = und.agg(sum(col("w2")).as("t"), count(lit(1)).as("ne"))
+    var edges = und.crossJoin(broadcast(tot))
+      .where(col("w2") * col("ne") >= col("t"))
+      .select("a", "b")
+      .localCheckpoint()
+    def support(e: DataFrame): DataFrame = {
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      e.join(broadcast(sym.select(col("u").as("a"), col("v").as("c1"))), "a")
+        .join(broadcast(sym.select(col("u").as("b"), col("v").as("c2"))),
+          Seq("b"))
+        .where(col("c2") === col("c1"))
+        .groupBy("a", "b").agg(count(lit(1)).as("supp"))
+    }
+    for (_ <- 1 to rounds) {
+      edges = support(edges).where(col("supp") >= TrussSupp)
+        .select("a", "b")
+        .localCheckpoint()
+    }
+    support(edges).orderBy("a", "b")
+  }
 
   /** The graph_sssp relaxation loop, K parameterized so GraphSpec can
     * run K and K+1 and assert the fixpoint. */

@@ -279,6 +279,99 @@ object Relational {
           .orderBy("bucket")
       }),
 
+    // Dynamic partition pruning (round 10, fifth wave) — THE 100 TB scan
+    // feature still ungraded: the fact side is laid out hive-partitioned
+    // on the join key, and the dim side's filter is on a NON-key column
+    // (count parity), so no static predicate can reach the fact scan —
+    // only at runtime, after the broadcast build, can Spark prune fact
+    // partitions (a dynamicpruning subquery in PartitionFilters;
+    // PlanContractSpec pins it). On a date-partitioned archive this is
+    // the difference between scanning 100 TB and scanning the three
+    // partitions a dimension filter actually selects. The parity filter
+    // keeps 2 of 5 event types at every shipped SF (measured), so the
+    // graded result is never empty or total. Oracle = the same
+    // derived-dim join over the unpartitioned truth.
+    Q("join_dpp", Some(
+      "WITH dim AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_type " +
+        "FROM events GROUP BY event_type), " +
+        "sel AS (SELECT event_type, n_type FROM dim WHERE n_type % 2 = 1) " +
+        "SELECT e.user_id % 10 AS bucket, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(e.event_id) AS BIGINT) AS sum_id, " +
+        "CAST(SUM(s.n_type) AS BIGINT) AS sum_dim " +
+        "FROM events e JOIN sel s ON s.event_type = e.event_type " +
+        "GROUP BY bucket ORDER BY bucket"),
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_dpp_events"
+        T.events(s, d).select("event_id", "user_id", "event_type")
+          .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+        val dim = T.events(s, d).groupBy("event_type")
+          .agg(count(lit(1)).as("n_type"))
+          .where(col("n_type") % 2 === 1)
+        val schema = StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("user_id", LongType),
+          StructField("event_type", StringType)))
+        s.read.schema(schema).parquet(dir)
+          .join(broadcast(dim), "event_type")
+          .groupBy((col("user_id") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).as("sum_id"),
+            sum(col("n_type")).as("sum_dim"))
+          .orderBy("bucket")
+      }),
+
+    // Nested-schema roundtrip (round 10, fifth wave) — the
+    // struct/array<struct> shape every document/telemetry lake stores:
+    // orders fold into a header struct + an l_linenumber-sorted item
+    // array (array_sort on the struct's FIRST field — collect_list order
+    // is execution-dependent, the sort restores determinism), land in
+    // nested parquet, and are read back with the DECLARED nested schema
+    // (§2.2). The graded aggregate projects one header subfield and
+    // explodes the items, so both nested column pruning (ReadSchema
+    // keeps header.o_custkey, not the whole struct) and element fidelity
+    // are on the hash. Oracle = the same join + aggregate over the flat
+    // truth, so any element lost, reordered, or null-mangled by the
+    // nested write/read loop breaks it.
+    Q("scan_nested_roundtrip", Some(
+      "SELECT o.o_orderkey % 10 AS bucket, CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_items, " +
+        "CAST(SUM(o.o_custkey) AS BIGINT) AS sum_cust, " +
+        "CAST(SUM(l.l_linenumber * " +
+        "CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cksum " +
+        "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey " +
+        "GROUP BY bucket ORDER BY bucket"),
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_nested"
+        T.orders(s, d)
+          .join(T.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderkey")
+          .agg(
+            first(struct(col("o_custkey"), col("o_totalprice"))).as("header"),
+            array_sort(collect_list(struct(col("l_linenumber"),
+              s2(col("l_extendedprice")).as("price_cents")))).as("items"))
+          .write.mode("overwrite").parquet(dir)
+        val schema = StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("header", StructType(Seq(
+            StructField("o_custkey", LongType),
+            StructField("o_totalprice", DoubleType)))),
+          StructField("items", ArrayType(StructType(Seq(
+            StructField("l_linenumber", IntegerType),
+            StructField("price_cents", LongType)))))))
+        s.read.schema(schema).parquet(dir)
+          .select(col("o_orderkey"), col("header.o_custkey").as("cust"),
+            explode(col("items")).as("it"))
+          .groupBy((col("o_orderkey") % 10).as("bucket"))
+          .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+            count(lit(1)).as("n_items"),
+            sum(col("cust")).as("sum_cust"),
+            sum(col("it.l_linenumber").cast("long") * col("it.price_cents"))
+              .as("cksum"))
+          .orderBy("bucket")
+      }),
+
     // Bucketed co-located join (round 8) — the shuffle-FREE big-big join:
     // both sides are written bucketBy(8) + sortBy on the join key, so the
     // sort-merge join reads co-located, pre-sorted buckets and plans ZERO

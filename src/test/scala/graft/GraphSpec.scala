@@ -110,4 +110,47 @@ class GraphSpec extends SparkSpec {
       assert(lbl == want, s"nation $v: label $lbl vs component root $want")
     }
   }
+
+  test("graph_ktruss CONVERGED (K and K+1 agree) and equals a scalar peel") {
+    def rows(k: Int) = operators.Graph.ktrussSupport(spark, sfDir, k)
+      .select(col("a").cast("long"), col("b").cast("long"), col("supp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = rows(4)
+    assert(got == rows(5), "peel reached its fixpoint within K rounds")
+
+    // scalar mirror: mean-threshold undirected edges, T=4 peel to
+    // fixpoint, final support over the survivors
+    val e = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").cast("long").as("src"),
+        col("s_nationkey").cast("long").as("dst"))
+      .count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      .filter { case ((s, d), _) => s != d }
+    val und = e.toSeq
+      .map { case ((s, d), w) => (math.min(s, d), math.max(s, d)) -> w }
+      .groupBy(_._1).map { case (k2, xs) => k2 -> xs.map(_._2).sum }
+    val tot = und.values.sum
+    val ne = und.size.toLong
+    var edges = und.filter { case (_, w2) => w2 * ne >= tot }.keySet
+    def support(es: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+      val adj = es.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k2, xs) => k2 -> xs.map(_._2).toSet }
+      es.map(ed => ed -> (adj(ed._1) & adj(ed._2)).size.toLong).toMap
+    }
+    var done = false
+    while (!done) {
+      val keep = support(edges).filter(_._2 >= 4L).keySet
+      done = keep == edges
+      edges = keep
+    }
+    val expect = support(edges).map { case ((a, b), c) => (a, b, c) }.toSet
+    assert(got == expect, "converged truss edges + supports match the mirror")
+    assert(got.nonEmpty, "nontrivial truss on this corpus")
+  }
 }

@@ -180,6 +180,21 @@ class PlanContractSpec extends SparkSpec {
       "scan read every partition — pruning did not happen")
   }
 
+  test("join_dpp plans a dynamicpruning subquery on the fact scan") {
+    // the dim filter is on a non-key column, so nothing can prune the
+    // fact statically — the partition filter must be the RUNTIME
+    // dynamicpruning subquery fed by the broadcast build; a plan without
+    // it scans all 5 type directories and the key's 100-TB claim is false
+    val df = SparkEntry.queries("join_dpp")(spark, sfDir)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "no file scan in the plan")
+    assert(scans.exists(_.partitionFilters.exists(
+      _.toString.contains("dynamicpruning"))),
+      s"no dynamicpruning partition filter:\n${scans.map(_.toString).mkString}")
+  }
+
   test("eo_zorder stays map + one partial agg — no join, no window") {
     val p = planOf("eo_zorder")
     assert(!p.contains("Join") && !p.contains("Window"),
