@@ -206,6 +206,70 @@ object Similarity {
   }
 }
 
+object Graphs {
+
+  /** Connected components over an arbitrary undirected edge list: edges
+    * canonicalize to distinct a<b pairs, then the SAME star-contraction +
+    * size-gated union-find finisher machinery the graded dedup-cluster
+    * keys exercise (operators.Llm.componentLabels — Kiveris et al. 2014
+    * two-phase shape; see llm_dedup_cluster's key comment) labels every
+    * node with its MIN reachable id. graph_cc is the thin instantiation.
+    * Returns (idCol, component); ids must fit in long. */
+  def connectedComponents(nodes: DataFrame, idCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val sc = col(srcCol).cast("long")
+    val dc = col(dstCol).cast("long")
+    // a < b canonical pairs, PERSISTED — componentLabels' entry contract
+    // (it reads the pair set twice and unpersists it itself)
+    val pairs = edges.where(sc =!= dc)
+      .select(least(sc, dc).as("d1"), greatest(sc, dc).as("d2"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.operators.Llm.componentLabels(
+        nodes.select(col(idCol).cast("long").as("doc_id")), pairs)
+      .select(col("doc_id").as(idCol), col("cluster").as("component"))
+  }
+
+  /** Quantized damped PageRank over an arbitrary weighted edge list —
+    * the graded graph_pagerank loop with the corpus constants promoted
+    * to parameters. Ranks live on an integer grid: `r0Scaled` is the
+    * uniform start (grid/N), `baseScaled` the teleport term
+    * ((1−damping)·grid/N — pass a value exact in double, as the graded
+    * key does), and each round adds floor(r·w/outw + 0.5) per edge, so
+    * the whole iteration is exact-integer and merge-order-free (the
+    * graph_pagerank induction). The rank table is node-sized and
+    * broadcast into the edge join; edges shuffle once per round on the
+    * destination key; localCheckpoint caps lineage (the iterative-key
+    * discipline). Returns (v, rq) on the grid. */
+  def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, nodes: DataFrame, idCol: String, rounds: Int,
+      damping: Double, baseScaled: Double, r0Scaled: Long): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outw = e.groupBy("src").agg(sum("w").as("wt"))
+    val ns = nodes.select(col(idCol).as("v"))
+    var r = ns.select(col("v"), lit(r0Scaled).as("rq"))
+    for (_ <- 1 to rounds) {
+      val contrib = e
+        .join(broadcast(r.select(col("v").as("src"), col("rq"))), "src")
+        .join(broadcast(outw), "src")
+        .select(col("dst").as("v"),
+          floor(col("rq").cast("double") * col("w") / col("wt") + 0.5)
+            .cast("long").as("c"))
+        .groupBy("v").agg(sum("c").as("s"))
+      r = ns.join(contrib, Seq("v"), "left")
+        .select(col("v"),
+          floor(lit(baseScaled) +
+            lit(damping) * coalesce(col("s"), lit(0L)).cast("double") +
+            lit(0.5)).cast("long").as("rq"))
+        .localCheckpoint()
+    }
+    e.unpersist()
+    r
+  }
+}
+
 object Timeseries {
 
   /** OHLC resampling: per (symbol, fixed-width bar) the open / high /

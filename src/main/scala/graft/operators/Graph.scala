@@ -376,20 +376,17 @@ object Graph {
         val e = tradeEdges(s, d).where(col("src") =!= col("dst"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val mu = e.agg((sum("w").cast("double") / count(lit(1))).as("mu"))
-        // a < b canonical pairs — componentLabels' d1 < d2 contract
-        val pairs = e.crossJoin(broadcast(mu))
+        val strong = e.crossJoin(broadcast(mu))
           .where(col("w") >= lit(3.0) * col("mu"))
-          .select(least(col("src"), col("dst")).cast("long").as("d1"),
-            greatest(col("src"), col("dst")).cast("long").as("d2"))
-          .distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val nodes = T.nation(s, d)
-          .select(col("n_nationkey").cast("long").as("doc_id"))
-        val labels = Llm.componentLabels(nodes, pairs) // unpersists pairs
+        // thin instantiation of the promoted analytics API (round 10):
+        // canonicalization + star contraction live in
+        // analytics.Graphs.connectedComponents
+        val labels = graft.analytics.Graphs.connectedComponents(
+          T.nation(s, d), "n_nationkey", strong, "src", "dst")
         e.unpersist()
         labels
-          .select(col("doc_id").cast("int").as("nationkey"),
-            col("cluster").as("component"))
+          .select(col("n_nationkey").cast("int").as("nationkey"),
+            col("component"))
           .orderBy("nationkey")
       }),
 
@@ -1380,29 +1377,15 @@ object Graph {
       .orderBy("nationkey")
   }
 
-  private def pagerank(s: SparkSession, d: String): DataFrame = {
-    // persisted: every round re-reads the edge table
-    val e = tradeEdges(s, d)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val outw = e.groupBy("src").agg(sum("w").as("wt"))
-    val nations = T.nation(s, d).select(col("n_nationkey").as("v"))
-    var r = nations.select(col("v"), lit(R0Scaled).as("rq"))
-    for (_ <- 1 to PagerankRounds) {
-      val contrib = e
-        .join(broadcast(r.select(col("v").as("src"), col("rq"))), "src")
-        .join(broadcast(outw), "src")
-        .select(col("dst").as("v"),
-          floor(col("rq").cast("double") * col("w") / col("wt") + 0.5)
-            .cast("long").as("c"))
-        .groupBy("v").agg(sum("c").as("s"))
-      r = nations.join(contrib, Seq("v"), "left")
-        .select(col("v"),
-          floor(lit(BaseScaled) + lit(0.85) * coalesce(col("s"), lit(0L)).cast("double") + lit(0.5))
-            .cast("long").as("rq"))
-        .localCheckpoint()
-    }
-    e.unpersist()
-    r.select(col("v").as("nationkey"), col("rq").as("rank9"))
+  private def pagerank(s: SparkSession, d: String): DataFrame =
+    // thin instantiation of the promoted analytics API (round 10): the
+    // quantized power-iteration loop lives in analytics.Graphs.pagerank;
+    // the corpus constants (5 rounds, d=0.85, 1e-9 grid over 25 nations)
+    // stay pinned here so the unchanged oracle still matches.
+    graft.analytics.Graphs.pagerank(
+        tradeEdges(s, d), "src", "dst", "w",
+        T.nation(s, d), "n_nationkey",
+        PagerankRounds, 0.85, BaseScaled, R0Scaled)
+      .select(col("v").as("nationkey"), col("rq").as("rank9"))
       .orderBy("nationkey")
-  }
 }

@@ -95,6 +95,73 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.toSeq == expect, "top-5 by exact scaled-long cosine")
   }
 
+  test("a NEW pagerank (3 rounds, d=0.5, 1e6 grid) matches a scalar mirror") {
+    val e = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").cast("long").as("src"),
+        col("s_nationkey").cast("long").as("dst"))
+      .count().withColumnRenamed("count", "w")
+    // N=25 nations: r0 = 1e6/25 = 40000, base = 0.5*1e6/25 = 20000.0
+    val got = Graphs.pagerank(e, "src", "dst", "w",
+      Tables.nation(spark, sfDir), "n_nationkey", 3, 0.5, 20000.0, 40000L)
+      .collect().map(r => r.getAs[Number]("v").longValue -> r.getLong(1)).toMap
+
+    val ew = e.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val wt = ew.groupBy(_._1._1).map { case (s, xs) => s -> xs.values.sum }
+    val nodes = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").cast("long")).collect().map(_.getLong(0))
+    var r = nodes.map(_ -> 40000L).toMap
+    for (_ <- 1 to 3) {
+      val contrib = ew.toSeq.map { case ((s, d), w) =>
+        d -> math.floor(r(s).toDouble * w / wt(s) + 0.5).toLong
+      }.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sum }
+      r = nodes.map(v => v ->
+        math.floor(20000.0 + 0.5 * contrib.getOrElse(v, 0L).toDouble + 0.5).toLong).toMap
+    }
+    assert(got == r, "parameterized pagerank equals the scalar mirror")
+  }
+
+  test("a NEW connected-components rule (2x-mean edges) matches union-find") {
+    val e = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").cast("long").as("src"),
+        col("s_nationkey").cast("long").as("dst"))
+      .count().withColumnRenamed("count", "w")
+      .where(col("src") =!= col("dst"))
+    val ew = e.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val mu = ew.values.sum.toDouble / ew.size
+    val strong = e.where(col("w") >= lit(2.0) * lit(mu))
+    val got = Graphs.connectedComponents(
+      Tables.nation(spark, sfDir), "n_nationkey", strong, "src", "dst")
+      .collect().map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+
+    val ue = ew.filter(_._2 >= 2.0 * mu).keySet
+      .map { case (s, d) => (math.min(s, d), math.max(s, d)) }
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r2 = find(p); parent(x) = r2; r2 }
+    }
+    ue.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    got.foreach { case (v, c) =>
+      val want = if (parent.contains(v)) find(v) else v
+      assert(c == want, s"node $v: component $c vs union-find root $want")
+    }
+  }
+
   test("a NEW zonal rollup over a different zone key in two lines") {
     val got = Zonal.stats(Tables.events(spark, sfDir),
       zone = col("event_type"), value = col("value"))
