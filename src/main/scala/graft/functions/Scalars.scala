@@ -78,6 +78,56 @@ object Scalars {
             format_string("%3d%%", col("p_size")).as("size_pct"))
           .orderBy("p_partkey")),
 
+    // Error-tolerant parsing (round 10, fifth wave): TRY_CAST over
+    // deliberately messy synthesized strings — the first operation every
+    // ingest of hand-typed/scraped data runs. Graded on the subset where
+    // the two engines' grammars provably agree: integral strings (±,
+    // surrounding whitespace) for the int lane, decimal/exponent forms
+    // for the double lane, junk ('n/a', '', 'oops') → NULL in both.
+    // Deliberately EXCLUDED: fractional→int ('123.75'), which DuckDB
+    // rounds to 124 and Spark's ANSI try_cast rejects to NULL — a real
+    // cross-engine semantics cliff, documented here so nobody grades it.
+    // COUNT(col) counts parse successes; sums are over parsed values
+    // (cents-scaled in the double lane). Map-only, codegen'd.
+    Q("fn_trycast", Some(
+      "WITH m AS (SELECT o_orderkey AS k, " +
+        "CASE k % 5 WHEN 0 THEN CAST(k AS VARCHAR) " +
+        "WHEN 1 THEN CONCAT(' ', CAST(k AS VARCHAR), ' ') " +
+        "WHEN 2 THEN 'n/a' WHEN 3 THEN '' " +
+        "ELSE CONCAT('-', CAST(k AS VARCHAR)) END AS si, " +
+        "CASE k % 4 WHEN 0 THEN CONCAT(CAST(k AS VARCHAR), '.75') " +
+        "WHEN 1 THEN CONCAT(CAST(k % 9 AS VARCHAR), 'e3') " +
+        "WHEN 2 THEN CONCAT(' ', CAST(k AS VARCHAR), '.5 ') " +
+        "ELSE 'oops' END AS sd FROM orders), " +
+        "p AS (SELECT k, TRY_CAST(si AS BIGINT) AS pi, TRY_CAST(sd AS DOUBLE) AS pd FROM m) " +
+        "SELECT k % 7 AS bucket, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(COUNT(pi) AS BIGINT) AS n_int_ok, CAST(SUM(pi) AS BIGINT) AS sum_int, " +
+        "CAST(COUNT(pd) AS BIGINT) AS n_dbl_ok, " +
+        "CAST(SUM(CAST(FLOOR(pd * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_dbl_cents " +
+        "FROM p GROUP BY bucket ORDER BY bucket"),
+      (s, d) => {
+        val k = col("o_orderkey")
+        val si = when(k % 5 === 0, k.cast("string"))
+          .when(k % 5 === 1, concat(lit(" "), k.cast("string"), lit(" ")))
+          .when(k % 5 === 2, lit("n/a"))
+          .when(k % 5 === 3, lit(""))
+          .otherwise(concat(lit("-"), k.cast("string")))
+        val sd = when(k % 4 === 0, concat(k.cast("string"), lit(".75")))
+          .when(k % 4 === 1, concat((k % 9).cast("string"), lit("e3")))
+          .when(k % 4 === 2, concat(lit(" "), k.cast("string"), lit(".5 ")))
+          .otherwise(lit("oops"))
+        T.orders(s, d)
+          .select(k.as("k"), si.as("si"), sd.as("sd"))
+          .select(col("k"), expr("TRY_CAST(si AS BIGINT)").as("pi"),
+            expr("TRY_CAST(sd AS DOUBLE)").as("pd"))
+          .groupBy((col("k") % 7).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            count(col("pi")).as("n_int_ok"), sum(col("pi")).as("sum_int"),
+            count(col("pd")).as("n_dbl_ok"),
+            sum(s2(col("pd"))).as("sum_dbl_cents"))
+          .orderBy("bucket")
+      }),
+
     // URL parsing (round 8): Spark's parse_url (HOST / PATH / QUERY-key
     // extraction) over synthesized URLs; DuckDB has no parse_url, so the
     // oracle spells the SAME component grammar as anchored regexes —

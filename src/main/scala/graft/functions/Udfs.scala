@@ -34,6 +34,24 @@ object Udfs {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** Typed Aggregator for udx_typed_agg: (count, price cents, quantity
+    * cents) — exact long accumulators (Det rule 3), the per-row floors
+    * the oracle spells verbatim. */
+  class TypedCentsAgg
+      extends Aggregator[(String, Double, Double), (Long, Long, Long), (Long, Long, Long)] {
+    private def s2(x: Double): Long = math.floor(x * 100 + 0.5).toLong
+    override def zero: (Long, Long, Long) = (0L, 0L, 0L)
+    override def reduce(b: (Long, Long, Long), a: (String, Double, Double)): (Long, Long, Long) =
+      (b._1 + 1L, b._2 + s2(a._3), b._3 + s2(a._2))
+    override def merge(b1: (Long, Long, Long), b2: (Long, Long, Long)): (Long, Long, Long) =
+      (b1._1 + b2._1, b1._2 + b2._2, b1._3 + b2._3)
+    override def finish(r: (Long, Long, Long)): (Long, Long, Long) = r
+    override def bufferEncoder: Encoder[(Long, Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    override def outputEncoder: Encoder[(Long, Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+  }
+
   val all: Seq[Q] = Seq(
 
     // Scalar Scala udf; the oracle is the equivalent plain arithmetic —
@@ -68,6 +86,34 @@ object Udfs {
           .groupBy("l_returnflag")
           .agg(s6(wmean(col("l_extendedprice"), col("l_quantity"))).as("wmean_price"))
           .orderBy("l_returnflag")
+      }),
+
+    // Typed Dataset pipeline (round 10, fifth wave) — the ONE Spark API
+    // family the registry didn't yet grade: a case-class Dataset[T]
+    // through groupByKey + a typed Aggregator (Aggregator[IN, BUF, OUT]
+    // via .toColumn, not the untyped udaf() wrapper udaf_weighted
+    // grades) + a typed .map over the (key, out) pairs. Encoders derive
+    // from the case class / tuples, so the whole path round-trips
+    // through Tungsten rows with compile-time types. Cents discipline
+    // keeps the aggregation exact; groupByKey hash-partitions on the
+    // flag key like any relational groupBy — the typed API costs the
+    // deserialize/serialize boundary (documented reason the rest of the
+    // library prefers columns), not a different shuffle shape.
+    Q("udx_typed_agg", Some(
+      "SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n_items, " +
+        sqlCentSum("l_extendedprice") + " AS price_cents, " +
+        "CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_cents " +
+        "FROM lineitem GROUP BY flag ORDER BY flag"),
+      (s, d) => {
+        import s.implicits._
+        T.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+          .as[(String, Double, Double)]
+          .groupByKey(_._1)
+          .agg(new TypedCentsAgg().toColumn)
+          .map { case (flag, (n, pc, qc)) => (flag, n, pc, qc) }
+          .toDF("flag", "n_items", "price_cents", "qty_cents")
+          .orderBy("flag")
       }),
 
     // Generator/UDTF shape: split each document into 10-token "sentences".

@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-10 fifth wave, each key pinned against an independent Scala
+  * mirror (the Round10OpsSpec discipline: the DuckDB oracle and these
+  * mirrors are separate implementations, so the two engine sides can't
+  * share a bug). graph_ktruss's mirror lives in GraphSpec; join_dpp's
+  * plan contract in PlanContractSpec.
+  */
+class Round10eOpsSpec extends SparkSpec {
+
+  test("fn_printf: formatting matches a hand-rolled pad/hex mirror") {
+    val got = SparkEntry.queries("fn_printf")(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getString(3), r.getString(4)))
+      .toMap
+    val parts = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    // manual mirror: no java.util.Formatter anywhere (format_string IS
+    // the Formatter, so using it here would grade nothing)
+    def zeroPad(n: Long, w: Int): String = {
+      val d = n.toString; ("0" * math.max(0, w - d.length)) + d
+    }
+    def rightPad(s: String, w: Int): String =
+      s + (" " * math.max(0, w - s.length))
+    def leftPad(s: String, w: Int): String =
+      (" " * math.max(0, w - s.length)) + s
+    parts.foreach { case (k, brand, size) =>
+      val (idPad, idHex, brandJust, sizePct) = got(k)
+      assert(idPad == zeroPad(k, 8), s"part $k id_pad")
+      assert(idHex == java.lang.Long.toHexString(k * 2654435761L), s"part $k id_hex")
+      assert(brandJust == "[" + rightPad(brand, 12) + "]", s"part $k brand_just")
+      assert(sizePct == leftPad(size.toString, 3) + "%", s"part $k size_pct")
+    }
+    assert(got.size == parts.length)
+  }
+
+  test("fn_trycast: parse successes and sums match a scalar parse mirror") {
+    val got = SparkEntry.queries("fn_trycast")(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val keys = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    def s2(x: Double): Long = math.floor(x * 100 + 0.5).toLong
+    val mirror = keys.groupBy(_ % 7).map { case (b, ks) =>
+      val pis = ks.flatMap { k =>
+        (k % 5) match {
+          case 0 | 1 => Some(k) // plain / whitespace-wrapped int
+          case 4 => Some(-k)
+          case _ => None // 'n/a', ''
+        }
+      }
+      val pds = ks.flatMap { k =>
+        (k % 4) match {
+          case 0 => Some(k + 0.75)
+          case 1 => Some((k % 9).toDouble * 1000.0)
+          case 2 => Some(k + 0.5)
+          case _ => None // 'oops'
+        }
+      }
+      b -> (ks.length.toLong, pis.length.toLong, pis.sum,
+        pds.length.toLong, pds.map(s2).sum)
+    }
+    assert(got == mirror, "per-bucket parse counts and sums")
+    // both lanes must have real failures AND real successes
+    assert(got.values.map(_._2).sum > 0 && got.values.map(_._2).sum < keys.length)
+    assert(got.values.map(_._4).sum > 0 && got.values.map(_._4).sum < keys.length)
+  }
+
+  test("join_dpp: values match a scalar dim-parity join mirror") {
+    val got = SparkEntry.queries("join_dpp")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byType = ev.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val sel = byType.filter(_._2 % 2 == 1)
+    assert(sel.nonEmpty && sel.size < byType.size, "parity filter bites both ways")
+    val kept = ev.filter(e => sel.contains(e._3))
+    val mirror = kept.groupBy(_._2 % 10).map { case (b, rows) =>
+      b -> (rows.length.toLong, rows.map(_._1).sum, rows.map(e => sel(e._3)).sum)
+    }
+    assert(got == mirror)
+  }
+
+  test("scan_nested_roundtrip: nested loop equals the flat-truth mirror") {
+    val got = SparkEntry.queries("scan_nested_roundtrip")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .filter(l => ord.contains(l._1))
+    def s2(x: Double): Long = math.floor(x * 100 + 0.5).toLong
+    val mirror = li.groupBy(_._1 % 10).map { case (b, rows) =>
+      b -> (rows.map(_._1).distinct.length.toLong, rows.length.toLong,
+        rows.map(l => ord(l._1)).sum,
+        rows.map(l => l._2.toLong * s2(l._3)).sum)
+    }
+    assert(got == mirror)
+  }
+
+  test("udx_typed_agg: the typed Aggregator equals a scalar cents mirror") {
+    val got = SparkEntry.queries("udx_typed_agg")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    def s2(x: Double): Long = math.floor(x * 100 + 0.5).toLong
+    val mirror = li.groupBy(_._1).map { case (f, rows) =>
+      f -> (rows.length.toLong, rows.map(r => s2(r._3)).sum, rows.map(r => s2(r._2)).sum)
+    }
+    assert(got == mirror)
+  }
+
+  test("graph_ecc: eccentricities CONVERGED and match a scalar BFS mirror") {
+    val got = SparkEntry.queries("graph_ecc")(spark, sfDir).collect()
+      .map(r => r.getAs[Number](0).longValue ->
+        (r.getLong(1), r.getInt(2), r.getInt(3)))
+      .toMap
+    val e = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").cast("long").as("src"),
+        col("s_nationkey").cast("long").as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = e.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").cast("long")).collect().map(_.getLong(0))
+    def bfsEcc(s: Long): Long = {
+      var dist = Map(s -> 0L)
+      var frontier = Set(s)
+      var lvl = 0L
+      while (frontier.nonEmpty) {
+        lvl += 1
+        val next = frontier.flatMap(v => adj.getOrElse(v, Set.empty))
+          .filterNot(dist.contains)
+        next.foreach(v => dist += v -> lvl)
+        frontier = next
+      }
+      // ecc over the OTHER nodes; unreached = the 999 sentinel
+      nodes.filter(_ != s).map(v => dist.getOrElse(v, 999L)).max
+    }
+    val ecc = nodes.map(v => v -> bfsEcc(v)).toMap
+    val rad = ecc.values.min
+    val diam = ecc.values.max
+    nodes.foreach { v =>
+      val (ge, ic, ip) = got(v)
+      assert(ge == ecc(v), s"nation $v ecc")
+      assert(ic == (if (ecc(v) == rad) 1 else 0), s"nation $v center flag")
+      assert(ip == (if (ecc(v) == diam) 1 else 0), s"nation $v periphery flag")
+    }
+  }
+}
