@@ -480,6 +480,49 @@ object Llm {
         componentRollup(m.select("doc_id"), pairs)
       }),
 
+    // Banded-candidate RECALL evaluation (round 10, fifth wave) — the
+    // dedup counterpart of llm_ann_recall_eval: grades the LSH banding
+    // law itself by comparing the band-bucket candidate set against the
+    // exact mask-Jaccard ≥ 0.5 truth. n_hit/n_truth is the candidate
+    // recall the S-curve (1-(1-s^r)^b, r=4, b=4) predicts; n_cand vs
+    // n_truth is the precision cost. This is THE number an operator
+    // tunes bands/rows against before a 100 TB dedup run — graded here
+    // so the banding can't silently rot. Shapes: truth = the per-lang
+    // pair join (quadratic semantics anchor, budget-bounded corpus);
+    // cand = the one band self-join; hit = an equi join of two pair
+    // sets. BUILD-TIME SIDE EFFECT: truth arrives persisted
+    // (exactMaskPairs contract) and is released by the harness's
+    // per-key clearCache (the win_ntile note).
+    Q("llm_dedup_recall_eval", Some(
+      docMasksSql.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        minhashBandsSql +
+        ", cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a " +
+        "JOIN bands b ON a.lang = b.lang AND a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)" +
+        exactPairsSql +
+        " SELECT CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_truth, " +
+        "CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_cand, " +
+        "CAST((SELECT COUNT(*) FROM pairs p JOIN cand c ON c.d1 = p.d1 AND c.d2 = p.d2) AS BIGINT) AS n_hit, " +
+        "CASE WHEN (SELECT COUNT(*) FROM pairs) = 0 THEN CAST(1000000 AS BIGINT) ELSE " +
+        "CAST(FLOOR(CAST((SELECT COUNT(*) FROM pairs p JOIN cand c ON c.d1 = p.d1 AND c.d2 = p.d2) AS DOUBLE) / " +
+        "(SELECT COUNT(*) FROM pairs) * 1e6 + 0.5) AS BIGINT) END AS recall6"),
+      (s, d) => {
+        val truth = exactMaskPairs(docMasks(s, d))
+        val br = bandRows(s, d)
+        val cand = br.select(col("doc_id").as("d1"), col("lang"), col("band"), col("sig"))
+          .join(br.select(col("doc_id").as("d2"), col("lang"), col("band"), col("sig")),
+            Seq("lang", "band", "sig"))
+          .where(col("d1") < col("d2"))
+          .select("d1", "d2").distinct()
+        val nT = truth.agg(count(lit(1)).as("n_truth"))
+        val nC = cand.agg(count(lit(1)).as("n_cand"))
+        val nH = truth.join(cand, Seq("d1", "d2")).agg(count(lit(1)).as("n_hit"))
+        nT.crossJoin(nC).crossJoin(nH)
+          .select(col("n_truth"), col("n_cand"), col("n_hit"),
+            when(col("n_truth") === 0, 1000000L)
+              .otherwise(s6(col("n_hit").cast("double") / col("n_truth").cast("double")))
+              .as("recall6"))
+      }),
+
     // MinHash-LSH candidate generation (4 bands x 4 hashes; Broder 1997,
     // "On the resemblance and containment of documents"). Round 6: the 16
     // per-seed hashes are a Carter-Wegman family (a_i*h + b_i mod P,

@@ -22,6 +22,36 @@ object Quality {
 
   val all: Seq[Q] = Seq(
 
+    // Sharded table fingerprint (round 10, fifth wave) — the
+    // replication/migration audit every cross-system copy runs: an
+    // ORDER-FREE content checksum per shard (sum of a portable per-row
+    // hash over a canonical column serialization), so two engines — or
+    // the same table before and after a rewrite/compaction — can be
+    // compared without moving rows. Hash = Det.hash32 (md5-derived,
+    // bit-identical to DuckDB's masked md5_number_upper); the canonical
+    // string uses only integer/text columns (double→string formatting is
+    // engine-dependent — cents-scale any money column before
+    // fingerprinting it). ONE scan, one shard-keyed partial agg; the sum
+    // is exact int64 (≤ rows·2³²) and merge-order-free, so AQE/skew
+    // re-planning can't change it.
+    Q("dq_fingerprint", Some(
+      "WITH r AS (SELECT o_orderkey AS k, " +
+        "CONCAT(CAST(o_orderkey AS VARCHAR), '|', CAST(o_custkey AS VARCHAR), " +
+        "'|', o_orderstatus, '|', o_orderpriority) AS row_str FROM orders) " +
+        "SELECT k % 8 AS shard, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(" + sqlHash32("row_str") + ") AS BIGINT) AS fingerprint " +
+        "FROM r GROUP BY shard ORDER BY shard"),
+      (s, d) =>
+        T.orders(s, d)
+          .select(col("o_orderkey").as("k"),
+            concat_ws("|", col("o_orderkey").cast("string"),
+              col("o_custkey").cast("string"), col("o_orderstatus"),
+              col("o_orderpriority")).as("row_str"))
+          .groupBy((col("k") % 8).as("shard"))
+          .agg(count(lit(1)).as("n"),
+            sum(hash32(col("row_str"))).as("fingerprint"))
+          .orderBy("shard")),
+
     // Per-column profile of `orders` in long format: row/null/distinct
     // counts for every column plus scaled min/max where the type admits
     // an exact integer embedding (keys as-is, money as cents, timestamps

@@ -121,6 +121,60 @@ class Round10eOpsSpec extends SparkSpec {
     assert(got == mirror)
   }
 
+  test("dq_fingerprint: shard checksums match a scalar md5 mirror") {
+    val got = SparkEntry.queries("dq_fingerprint")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"))
+      .collect().map(r => (r.getLong(0),
+        s"${r.getLong(0)}|${r.getLong(1)}|${r.getString(2)}|${r.getString(3)}"))
+    // hash32 mirror: little-endian uint32 of the first 4 md5 bytes
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(s: String): Long = {
+      val d = md.digest(s.getBytes("UTF-8"))
+      ((d(3) & 0xffL) << 24) | ((d(2) & 0xffL) << 16) |
+        ((d(1) & 0xffL) << 8) | (d(0) & 0xffL)
+    }
+    val mirror = rows.groupBy(_._1 % 8).map { case (sh, rs) =>
+      sh -> (rs.length.toLong, rs.map(r => h32(r._2)).sum)
+    }
+    assert(got == mirror)
+    // the fingerprint is ORDER-FREE by construction (a sum) — permuting
+    // rows cannot change it; two shards colliding is astronomically
+    // unlikely, so they must differ on this corpus
+    assert(got.values.map(_._2).toSet.size == got.size)
+  }
+
+  test("llm_dedup_recall_eval: counts tie out against mask truth + llm_minhash") {
+    val r = SparkEntry.queries("llm_dedup_recall_eval")(spark, sfDir)
+      .collect().head
+    val (nTruth, nCand, nHit, recall6) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // candidate set IS llm_minhash's graded pair set
+    val cand = SparkEntry.queries("llm_minhash")(spark, sfDir).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(nCand == cand.size.toLong, "n_cand == llm_minhash pairs")
+    // truth mirror: all-pairs mask Jaccard >= 0.5 per lang, scalar-side
+    val masks = operators.Llm.docMasks(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("mask"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val truth = (for {
+      a <- masks; b <- masks
+      if a._2 == b._2 && a._1 < b._1
+      inter = java.lang.Long.bitCount(a._3 & b._3).toDouble
+      uni = java.lang.Long.bitCount(a._3 | b._3).toDouble
+      if inter / uni >= 0.5
+    } yield (a._1, b._1)).toSet
+    assert(nTruth == truth.size.toLong, "n_truth == scalar mask-pair truth")
+    assert(nHit == (truth & cand).size.toLong, "n_hit == the intersection")
+    assert(recall6 ==
+      math.floor(nHit.toDouble / nTruth * 1e6 + 0.5).toLong)
+    // the S-curve must actually bite both ways on this corpus: some
+    // truth pairs missed, some candidates are non-duplicates
+    assert(nHit < nTruth && nHit < nCand)
+  }
+
   test("graph_ecc: eccentricities CONVERGED and match a scalar BFS mirror") {
     val got = SparkEntry.queries("graph_ecc")(spark, sfDir).collect()
       .map(r => r.getAs[Number](0).longValue ->
