@@ -75,6 +75,44 @@ object StreamTwins {
           .orderBy("event_type", "win_start")
       }),
 
+    // EXECUTED sliding-window aggregation (round 10, fifth wave) — the
+    // OVERLAPPING-window state class stream_exec_tumble's tumble does
+    // not exercise: Spark's real window(ts, 1h, 15min) generator fans
+    // every event into its 4 covering windows INSIDE the micro-batch
+    // executor (the state store holds one entry per live (type, window)
+    // pair), so this grades the window-assignment arithmetic of the
+    // streaming engine itself against the batch twin's explicit
+    // offset-explode oracle (stream_slide's form + the value sum). One
+    // staged file = one AvailableNow micro-batch; the 1h watermark drops
+    // nothing; Complete mode emits the full state. BUILD-TIME SIDE
+    // EFFECT: runs the streaming query to completion at
+    // plan-construction time.
+    Q("stream_exec_slide", Some(
+      "SELECT event_type, ((CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 900) - k) * 900 AS win_start, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, " + sqlSum6("value") + " AS sum_val " +
+        "FROM events CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS k) offs " +
+        "GROUP BY event_type, win_start ORDER BY event_type, win_start"),
+      (s, d) => {
+        val landing = java.nio.file.Files.createTempDirectory("graft_exec_slide")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          landing.resolve("events.parquet"))
+        val agg = T.eventsStream(s, d, landing.toString)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum6(col("value")).as("sum_val"))
+        val q = agg.writeStream.format("memory")
+          .queryName("graft_exec_slide")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("graft_exec_slide")
+          .select(col("event_type"), epochS(col("window.start")).as("win_start"),
+            col("n"), col("sum_val"))
+          .orderBy("event_type", "win_start")
+      }),
+
     // EXECUTED streaming dedup (round 10) — the second key whose graded
     // value comes from a real micro-batch execution, covering the
     // STATEFUL operator class stream_exec_tumble's aggregation does not:

@@ -16,6 +16,20 @@ class ExecStreamSpec extends SparkSpec {
     assert(exec2 == batch, "second invocation in the same session")
   }
 
+  test("executed sliding windows equal the offset-explode twin, twice") {
+    import org.apache.spark.sql.functions._
+    // the batch twin carries (event_type, win_start, n); project the
+    // executed key down to the shared columns for the comparison
+    val batch = SparkEntry.queries("stream_slide")(spark, sfDir).collect().toSeq
+    def exec() = SparkEntry.queries("stream_exec_slide")(spark, sfDir)
+      .select(col("event_type"), col("win_start"), col("n"))
+      .collect().toSeq
+    val exec1 = exec()
+    assert(exec1.nonEmpty, "sink populated")
+    assert(exec1 == batch, "real window() assignment == offset explode")
+    assert(exec() == batch, "second invocation in the same session")
+  }
+
   test("executed session windows equal the sessionization twin, twice") {
     val batch = SparkEntry.queries("stream_session")(spark, sfDir).collect().toSeq
     val exec1 = SparkEntry.queries("stream_exec_session")(spark, sfDir).collect().toSeq
