@@ -206,6 +206,35 @@ object Similarity {
   }
 }
 
+object Anomalies {
+
+  /** Per-entity z-score on the exact moment grid: values canonicalize to
+    * the 1e-2 grid (Det rule 3), the entity window carries the exact
+    * integer (n, Σv, Σv²) moments, and the score is ONE fixed IEEE
+    * sequence per row — NULL where the variance degenerates (n < 2 or a
+    * zero/negative discriminant). The standard first-pass outlier score
+    * of every metrics pipeline; win_zscore is the thin instantiation.
+    * One entity-keyed window, no global sort. Returns
+    * (idCol, entityCol, z6). */
+  def groupZscore(df: DataFrame, entityCol: String, idCol: String,
+      valueCol: String): DataFrame = {
+    val wu = Window.partitionBy(entityCol)
+    val nD = col("n").cast("double")
+    val svD = col("sv").cast("double")
+    val svvD = col("svv").cast("double")
+    val num = nD * svvD - svD * svD
+    val z = (col("vi").cast("double") - svD / nD) /
+      sqrt(num / (nD * (nD - lit(1.0))))
+    df.select(col(idCol), col(entityCol), Det.s2(col(valueCol)).as("vi"))
+      .withColumn("n", count(lit(1)).over(wu))
+      .withColumn("sv", sum(col("vi")).over(wu))
+      .withColumn("svv", sum(col("vi") * col("vi")).over(wu))
+      .select(col(idCol), col(entityCol),
+        when(col("n") < 2 || num <= 0.0, lit(null))
+          .otherwise(Det.s6(z)).as("z6"))
+  }
+}
+
 object Graphs {
 
   /** Connected components over an arbitrary undirected edge list: edges

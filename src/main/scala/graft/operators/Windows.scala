@@ -324,22 +324,13 @@ object Windows {
           "SQRT((CAST(n AS DOUBLE) * CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) / " +
           "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))") +
         " END AS z6 FROM m ORDER BY event_id"),
-      (s, d) => {
-        val wu = Window.partitionBy("user_id")
-        val nD = col("n").cast("double")
-        val svD = col("sv").cast("double"); val svvD = col("svv").cast("double")
-        val num = nD * svvD - svD * svD
-        val z = (col("vi").cast("double") - svD / nD) /
-          sqrt(num / (nD * (nD - lit(1.0))))
-        T.events(s, d)
-          .select(col("event_id"), col("user_id"), s2(col("value")).as("vi"))
-          .withColumn("n", count(lit(1)).over(wu))
-          .withColumn("sv", sum(col("vi")).over(wu))
-          .withColumn("svv", sum(col("vi") * col("vi")).over(wu))
-          .select(col("event_id"), col("user_id"),
-            when(col("n") < 2 || num <= 0.0, lit(null)).otherwise(s6(z)).as("z6"))
-          .orderBy("event_id")
-      }),
+      (s, d) =>
+        // thin instantiation of the promoted analytics API (round 10):
+        // the exact-moment z-score lives in analytics.Anomalies
+        graft.analytics.Anomalies.groupZscore(
+            T.events(s, d), "user_id", "event_id", "value")
+          .select(col("event_id"), col("user_id"), col("z6"))
+          .orderBy("event_id")),
 
     // SCD2 history build — the slowly-changing-dimension type-2
     // materialization every warehouse runs over a CDC change stream:

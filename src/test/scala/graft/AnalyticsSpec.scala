@@ -95,6 +95,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.toSeq == expect, "top-5 by exact scaled-long cosine")
   }
 
+  test("a NEW z-score grouping (by event_type) matches a scalar mirror") {
+    val got = Anomalies.groupZscore(
+      Tables.events(spark, sfDir), "event_type", "event_id", "value")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    def s2v(x: Double) = math.floor(x * 100 + 0.5).toLong
+    def s6v(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val mirror = rows.groupBy(_._2).toSeq.flatMap { case (_, es) =>
+      val vis = es.map(e => s2v(e._3))
+      val n = vis.length.toDouble
+      val sv = vis.sum.toDouble
+      val svv = vis.map(v => v * v).sum.toDouble
+      val num = n * svv - sv * sv
+      es.toSeq.map { e =>
+        val vi = s2v(e._3)
+        e._1 -> (if (vis.length < 2 || num <= 0.0) None
+          else Some(s6v((vi - sv / n) / math.sqrt(num / (n * (n - 1.0))))))
+      }
+    }.toMap
+    assert(got == mirror, "per-type z-scores equal the scalar mirror")
+    assert(got.values.exists(_.isDefined), "nondegenerate groups exist")
+  }
+
   test("a NEW pagerank (3 rounds, d=0.5, 1e6 grid) matches a scalar mirror") {
     val e = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
       .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
