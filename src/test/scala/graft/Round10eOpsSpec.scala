@@ -121,6 +121,25 @@ class Round10eOpsSpec extends SparkSpec {
     assert(got == mirror)
   }
 
+  test("fn_variant: typed extraction equals the generating rule (no JSON)") {
+    val got = SparkEntry.queries("fn_variant")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((if (r.isNullAt(1)) None else Some(r.getInt(1))),
+        r.getString(2), r.getBoolean(3)))
+      .toMap
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // mirror straight from the generating rule — the JSON encode/decode
+    // round-trip through VARIANT must be the identity on these fields
+    ev.foreach { case (id, ty) =>
+      val (score, tag2, flag) = got(id)
+      assert(score == (if (id % 5 == 0) None else Some((id % 97).toInt)), s"event $id score")
+      assert(tag2 == ty, s"event $id tag2")
+      assert(flag == (id % 2 == 0), s"event $id flag")
+    }
+    assert(got.size == ev.length)
+  }
+
   test("dq_fingerprint: shard checksums match a scalar md5 mirror") {
     val got = SparkEntry.queries("dq_fingerprint")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
