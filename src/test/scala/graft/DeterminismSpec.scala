@@ -60,7 +60,13 @@ class DeterminismSpec extends SparkSpec {
       // quantiles and the diversity/crosstab shares
       "llm_simhash_est", "graph_closeness", "eo_tile_otsu", "win_lttb",
       "agg_mad", "agg_hill_diversity", "eo_crosstab", "win_slo_burn",
-      "llm_novelty", "win_mtbf", "eo_tile_morph_gradient", "agg_decay_mean")
+      "llm_novelty", "win_mtbf", "eo_tile_morph_gradient", "agg_decay_mean",
+      // round-10 fifth wave: the truss peel's wedge joins, the shared
+      // all-pairs chain's second consumer, the banding-recall pair
+      // intersection, the nested collect_list (array_sort-neutralized),
+      // and the executed sliding-window state store
+      "graph_ktruss", "graph_ecc", "llm_dedup_recall_eval",
+      "scan_nested_roundtrip", "stream_exec_slide")
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     val base = keys.map(k => k -> SparkEntry.queries(k)(spark, sfDir).collect().toSeq).toMap
     try {
