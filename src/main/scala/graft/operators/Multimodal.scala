@@ -383,6 +383,72 @@ object Multimodal {
             graft.Det.mean6(col("mean_intensity")).as("avg_intensity"))
           .orderBy("format")),
 
+    // Multimodal quality gate (round 10, fifth wave) — the LAION-style
+    // image-corpus funnel beside llm_quality_filter's C4 text funnel:
+    // size, aspect-ratio and intensity rules with FIRST-FAIL reasons
+    // (too_small → bad_aspect → too_dark → keep), rolled up per
+    // (format, reason) so the funnel report is the graded surface. All
+    // three rules are exact integer comparisons (the darkness rule is
+    // ssum < 100·cnt — never a double mean); the stride sums come from
+    // the SAME codec-batch mapPartitions boundary as fakeDecode (a real
+    // decode swaps in without touching the classification). Threshold
+    // 100 measured to fire all four classes at sf0.001/0.01/0.1.
+    // Empty-payload caveat shared with mm_decode_features (module
+    // scaladoc): the oracle's stride join drops zero-length docs.
+    Q("mm_quality_filter", Some(
+      "WITH p AS (SELECT doc_id, text, CAST(LENGTH(text) AS INTEGER) AS n, " +
+        "CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'wav' END AS format " +
+        "FROM documents), " +
+        "st AS (SELECT doc_id, UNNEST(RANGE(0, (n + 7) // 8)) AS k FROM p), " +
+        "i AS (SELECT st.doc_id, SUM(ASCII(SUBSTRING(p.text, CAST(st.k * 8 AS INTEGER) + 1, 1))) AS ssum, " +
+        "CAST(COUNT(*) AS BIGINT) AS cnt FROM st JOIN p USING (doc_id) GROUP BY st.doc_id), " +
+        "f AS (SELECT p.doc_id, p.format, p.n, 16 + (p.n % 64) AS w, " +
+        "16 + ((p.n // 64) % 64) AS h, i.ssum, i.cnt FROM p JOIN i USING (doc_id)), " +
+        "r AS (SELECT format, n, CASE WHEN n < 300 THEN 'too_small' " +
+        "WHEN 2 * w < h OR 2 * h < w THEN 'bad_aspect' " +
+        "WHEN ssum < 100 * cnt THEN 'too_dark' ELSE 'keep' END AS reason FROM f) " +
+        "SELECT format, reason, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(CAST(n AS BIGINT)) AS BIGINT) AS sum_bytes " +
+        "FROM r GROUP BY format, reason ORDER BY format, reason"),
+      (s, d) => {
+        val qSchema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("format", StringType),
+          StructField("n_bytes", IntegerType),
+          StructField("w", IntegerType),
+          StructField("h", IntegerType),
+          StructField("ssum", LongType),
+          StructField("cnt", LongType)))
+        val enc = org.apache.spark.sql.Encoders.row(qSchema)
+        val feats = payloads(s, d)
+          .select(col("doc_id"), col("payload"),
+            col("meta.format").as("format"), col("meta.n_bytes").as("n_bytes"))
+          .mapPartitions { rows =>
+            rows.grouped(batchSize).flatMap { batch =>
+              batch.map { r =>
+                val p = r.getAs[Array[Byte]]("payload")
+                val n = p.length
+                var sum = 0L; var cnt = 0L; var i = 0
+                while (i < n) { sum += p(i) & 0xff; cnt += 1; i += 8 }
+                Row(r.getAs[Long]("doc_id"), r.getAs[String]("format"),
+                  r.getAs[Int]("n_bytes"), 16 + (n % 64), 16 + ((n / 64) % 64),
+                  sum, cnt)
+              }
+            }
+          }(enc)
+        feats
+          .select(col("format"), col("n_bytes"),
+            when(col("n_bytes") < 300, "too_small")
+              .when(lit(2) * col("w") < col("h") || lit(2) * col("h") < col("w"),
+                "bad_aspect")
+              .when(col("ssum") < lit(100L) * col("cnt"), "too_dark")
+              .otherwise("keep").as("reason"))
+          .groupBy("format", "reason")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_bytes").cast("long")).as("sum_bytes"))
+          .orderBy("format", "reason")
+      }),
+
     // Resize (see `resized` above for the binary batch path).
     // Oracle: the stub's stride resample is out[i] = payload[(i*n)//1024]
     // — the same integer index arithmetic over SUBSTRING. Graded as

@@ -194,6 +194,32 @@ class Round10eOpsSpec extends SparkSpec {
     assert(nHit < nTruth && nHit < nCand)
   }
 
+  test("mm_quality_filter: the funnel matches a scalar gate mirror") {
+    val got = SparkEntry.queries("mm_quality_filter")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val mirror = docs.map { case (id, text) =>
+      val b = text.getBytes("UTF-8")
+      val n = b.length
+      val fmt = (id % 3) match { case 0 => "png"; case 1 => "jpeg"; case _ => "wav" }
+      val (w, h) = (16 + (n % 64), 16 + ((n / 64) % 64))
+      var sum = 0L; var cnt = 0L; var i = 0
+      while (i < n) { sum += b(i) & 0xff; cnt += 1; i += 8 }
+      val reason =
+        if (n < 300) "too_small"
+        else if (2 * w < h || 2 * h < w) "bad_aspect"
+        else if (sum < 100L * cnt) "too_dark"
+        else "keep"
+      ((fmt, reason), n.toLong)
+    }.groupBy(_._1).map { case (k, xs) => k -> (xs.length.toLong, xs.map(_._2).sum) }
+    assert(got == mirror)
+    // all four classes fire on this corpus (threshold-choice contract)
+    assert(got.keys.map(_._2).toSet == Set("keep", "too_small", "bad_aspect", "too_dark"))
+  }
+
   test("graph_ecc: eccentricities CONVERGED and match a scalar BFS mirror") {
     val got = SparkEntry.queries("graph_ecc")(spark, sfDir).collect()
       .map(r => r.getAs[Number](0).longValue ->
