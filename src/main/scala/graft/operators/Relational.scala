@@ -279,6 +279,53 @@ object Relational {
           .orderBy("bucket")
       }),
 
+    // PERMISSIVE corrupt-record ingestion (round 10, fifth wave) — the
+    // contract real CSV ingest lives by: malformed rows must neither
+    // kill the job (FAILFAST) nor vanish (DROPMALFORMED) but land in the
+    // corrupt-record column for quarantine + replay. Two malformation
+    // classes are staged (an unparsable field every k%7=3, an
+    // EXTRA-TOKEN line every k%7=5), and the graded split pins Spark
+    // 4.1's MEASURED semantics: type failures go to _corrupt; extra
+    // tokens are silently TRUNCATED and the row parses as good (v=1
+    // here) — the quiet-data-loss gotcha every CSV quarantine design
+    // must know about, now hash-pinned so a behavior change in either
+    // engine surfaces. Lines are synthesized from the generating rule
+    // and written as raw text, so the oracle needs no CSV at all. The
+    // graded aggregate projects ALL columns (the documented Spark
+    // constraint: a query over ONLY the corrupt column is disallowed
+    // since 2.3).
+    Q("scan_csv_permissive", Some(
+      "WITH k AS (SELECT o_orderkey AS kk FROM orders), " +
+        "c AS (SELECT kk, CASE WHEN kk % 7 = 3 THEN 1 ELSE 0 END AS bad, " +
+        "CASE WHEN kk % 7 = 5 THEN 1 ELSE kk % 100 END AS v FROM k) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_total, " +
+        "CAST(SUM(bad) AS BIGINT) AS n_corrupt, " +
+        "CAST(SUM(1 - bad) AS BIGINT) AS n_good, " +
+        "CAST(SUM(CASE WHEN bad = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_v " +
+        "FROM c"),
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_permissive"
+        val k = col("o_orderkey")
+        val line = when(k % 7 === 3, concat(k.cast("string"), lit(",xx")))
+          .when(k % 7 === 5, concat(k.cast("string"), lit(",1,2")))
+          .otherwise(concat(k.cast("string"), lit(","), (k % 100).cast("string")))
+        T.orders(s, d).select(line.as("value"))
+          .write.mode("overwrite").text(dir)
+        val schema = StructType(Seq(
+          StructField("kk", LongType),
+          StructField("v", LongType),
+          StructField("_corrupt", StringType)))
+        s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .csv(dir)
+          .agg(count(lit(1)).as("n_total"),
+            count(col("_corrupt")).as("n_corrupt"),
+            sum(when(col("_corrupt").isNull, 1L).otherwise(0L)).as("n_good"),
+            sum(when(col("_corrupt").isNull, col("v")).otherwise(0L)).as("sum_v"))
+      }),
+
     // Dynamic partition pruning (round 10, fifth wave) — THE 100 TB scan
     // feature still ungraded: the fact side is laid out hive-partitioned
     // on the join key, and the dim side's filter is on a NON-key column

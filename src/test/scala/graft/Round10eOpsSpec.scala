@@ -194,6 +194,50 @@ class Round10eOpsSpec extends SparkSpec {
     assert(nHit < nTruth && nHit < nCand)
   }
 
+  test("agg_halfsample_ci: replicate spread matches a scalar md5 mirror") {
+    val r = SparkEntry.queries("agg_halfsample_ci")(spark, sfDir).collect().head
+    val (n, avg6, spread6) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("value"))
+      .collect().map(x => (x.getLong(0), x.getDouble(1)))
+    def s2v(x: Double) = math.floor(x * 100 + 0.5).toLong
+    def a6(vs: Seq[Long]): Long =
+      math.floor(vs.sum.toDouble * 1e4 / vs.length + 0.5).toLong
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(s: String): Long = {
+      val d = md.digest(s.getBytes("UTF-8"))
+      ((d(3) & 0xffL) << 24) | ((d(2) & 0xffL) << 16) |
+        ((d(1) & 0xffL) << 8) | (d(0) & 0xffL)
+    }
+    val all = rows.map(x => (x._1, s2v(x._2)))
+    assert(n == all.length.toLong)
+    assert(avg6 == a6(all.map(_._2).toSeq))
+    val devs = (0 until 16).map { b =>
+      a6(all.filter(x => h32(s"$b:${x._1}") % 2 == 0).map(_._2).toSeq) - avg6
+    }
+    val nb = devs.length.toLong
+    val (sd, sdd) = (devs.sum, devs.map(x => x * x).sum)
+    val want = math.floor(math.sqrt(
+      (nb * sdd - sd * sd).toDouble / (nb * (nb - 1))) + 0.5).toLong
+    assert(spread6 == want, "replicate spread")
+    assert(spread6 > 0, "nondegenerate spread")
+  }
+
+  test("scan_csv_permissive: corrupt split matches the generating rule") {
+    val r = SparkEntry.queries("scan_csv_permissive")(spark, sfDir).collect().head
+    val (nTotal, nCorrupt, nGood, sumV) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val ks = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    assert(nTotal == ks.length.toLong)
+    assert(nCorrupt == ks.count(_ % 7 == 3).toLong, "type failures quarantined")
+    assert(nGood == ks.count(_ % 7 != 3).toLong,
+      "extra-token lines parse as good (Spark's measured truncation)")
+    assert(sumV == ks.filter(_ % 7 != 3)
+      .map(k => if (k % 7 == 5) 1L else k % 100).sum)
+    assert(nCorrupt > 0, "the corrupt lane actually fires")
+  }
+
   test("mm_quality_filter: the funnel matches a scalar gate mirror") {
     val got = SparkEntry.queries("mm_quality_filter")(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
