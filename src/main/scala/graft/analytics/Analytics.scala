@@ -177,6 +177,46 @@ object Dedup {
   }
 }
 
+object MinHash {
+
+  /** MinHash-LSH candidate pairs over an ARBITRARY corpus — the
+    * llm_minhash pipeline (Broder 1997; 4 bands × 4 Carter-Wegman
+    * hashes over the portable Det.hash32, the constants the graded keys
+    * pin) parameterized on the caller's id/text/blocking columns.
+    * Whitespace tokens → 16 columnar partial MINs → band rows → ONE
+    * band-bucket self-join; candidates only ever form inside equal
+    * (block, band, sig) buckets, never all-pairs, so work is linear in
+    * corpus + bucket collisions at any scale. Returns distinct
+    * (d1, d2) with d1 < d2 (ids must order). AnalyticsSpec pins that
+    * the documents-corpus instantiation equals llm_minhash's graded
+    * pair set exactly. */
+  def candidates(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String): DataFrame = {
+    import graft.operators.Llm.{MinhashAB, MinhashP}
+    val toks = docs
+      .select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
+        explode(array_distinct(split(col(textCol), " "))).as("tok"))
+      .withColumn("hb", Det.hash32(col("tok")))
+    val hashCols = MinhashAB.zipWithIndex.map { case ((a, b), i) =>
+      ((lit(a) * col("hb") + lit(b)) % lit(MinhashP)).as(s"c$i") }
+    val minCols = MinhashAB.indices.map(i => min(col(s"c$i")).as(s"h$i"))
+    val sigs = toks.select(Seq(col("doc_id"), col("blk")) ++ hashCols: _*)
+      .groupBy("doc_id", "blk")
+      .agg(minCols.head, minCols.tail: _*)
+    val bandStructs = (0 until 4).map(bnd => struct(lit(bnd).as("band"),
+      concat_ws(",", (bnd * 4 until bnd * 4 + 4).map(i => col(s"h$i")): _*).as("sig")))
+    val br = sigs
+      .select(col("doc_id"), col("blk"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("blk"), col("b.band").as("band"), col("b.sig").as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    br.select(col("doc_id").as("d1"), col("blk"), col("band"), col("sig"))
+      .join(br.select(col("doc_id").as("d2"), col("blk"), col("band"), col("sig")),
+        Seq("blk", "band", "sig"))
+      .where(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+  }
+}
+
 object Similarity {
 
   /** Exact cosine top-k against ONE query vector: every corpus row's

@@ -30,8 +30,8 @@ object Llm {
     * over the portable 32-bit base hash. a_i < 2^30 keeps a*h+b inside
     * signed 64 bits for any h < 2^32; fixed seed so the Spark columns and
     * the interpolated oracle literals are the same numbers forever. */
-  private val MinhashP = 4294967311L
-  private[operators] val MinhashAB: Seq[(Long, Long)] = {
+  private[graft] val MinhashP = 4294967311L
+  private[graft] val MinhashAB: Seq[(Long, Long)] = {
     val r = new scala.util.Random(20240612L)
     Seq.fill(16)((1L + r.nextInt((1 << 30) - 1).toLong, r.nextInt(1 << 30).toLong))
   }

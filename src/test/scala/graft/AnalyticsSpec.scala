@@ -188,6 +188,20 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("MinHash.candidates instantiates llm_minhash exactly; blocking bites") {
+    val docs = Tables.documents(spark, sfDir)
+    val api = MinHash.candidates(docs, "doc_id", "text", "lang")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val graded = SparkEntry.queries("llm_minhash")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(api == graded, "API instantiation == the graded pair set")
+    // a NEW blocking rule (single global block) can only ADD candidates
+    val global = MinHash.candidates(docs.withColumn("one", lit("x")),
+      "doc_id", "text", "one")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(api.subsetOf(global), "coarser blocking is a superset")
+  }
+
   test("a NEW zonal rollup over a different zone key in two lines") {
     val got = Zonal.stats(Tables.events(spark, sfDir),
       zone = col("event_type"), value = col("value"))
