@@ -232,7 +232,44 @@ object SceneCatalog {
               graft.Det.sum6(col("value")).as("sum_v6"))
             .orderBy("tile_x", "tile_y", "day")
         })
-    })
+    },
+
+    // Antimeridian-wrapped AOI query (round 10, fifth wave) — the ±180°
+    // corner case every global catalog hits (Fiji/Aleutians/NZ scenes):
+    // an AOI [150°E, 150°W) CROSSES the dateline, so a naive
+    // lon BETWEEN min AND max matches nothing. The Spark side uses the
+    // branch-free MODULAR membership test
+    // (lon − lonMin + 360) mod 360 < (lonMax − lonMin + 360) mod 360 —
+    // one codegen'd comparison, partition-prunable after a mod-bucket
+    // layout — while the oracle spells the split two-range union
+    // (lon >= 150 OR lon < −150); their equality on the wrapped range
+    // IS the graded claim. Scene lon/lat cells derive deterministically
+    // from the corpus (10° cells covering the full globe), and both
+    // AOI edges land ON cell boundaries so the half-open convention is
+    // exercised, not dodged.
+    graft.Q("eo_catalog_antimeridian", Some(
+      "WITH cat AS (SELECT CAST(event_id % 36 AS INTEGER) * 10 - 180 AS lon, " +
+        "CAST((event_id // 36) % 18 AS INTEGER) * 10 - 90 AS lat, event_id, value FROM events), " +
+        "sc AS (SELECT * FROM cat WHERE (lon >= 150 OR lon < -150) " +
+        "AND lat BETWEEN -30 AND 30) " +
+        "SELECT lon, lat, CAST(COUNT(*) AS BIGINT) AS n_scenes, " +
+        "CAST(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sum_v6 " +
+        "FROM sc GROUP BY lon, lat ORDER BY lon, lat"),
+      (s, d) => {
+        val lon = (col("event_id") % 36).cast("int") * 10 - 180
+        val lat = ((col("event_id") / 36).cast("long") % 18).cast("int") * 10 - 90
+        val lonMin = 150
+        val lonMax = -150
+        val width = java.lang.Math.floorMod(lonMax - lonMin + 360, 360)
+        graft.Tables.events(s, d)
+          .select(lon.as("lon"), lat.as("lat"), col("event_id"), col("value"))
+          .where(pmod(col("lon") - lonMin + 360, lit(360)) < width &&
+            col("lat").between(-30, 30))
+          .groupBy("lon", "lat")
+          .agg(count(lit(1)).as("n_scenes"),
+            graft.Det.sum6(col("value")).as("sum_v6"))
+          .orderBy("lon", "lat")
+      }))
 
   /** Demo catalog synthesized from the corpus (no scene fixtures exist):
     * events become "scenes" — deterministic, used by SceneCatalogSpec. */

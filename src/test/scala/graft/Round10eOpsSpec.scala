@@ -264,6 +264,26 @@ class Round10eOpsSpec extends SparkSpec {
     assert(got.keys.map(_._2).toSet == Set("keep", "too_small", "bad_aspect", "too_dark"))
   }
 
+  test("eo_catalog_antimeridian: wrapped AOI matches a scalar two-range mirror") {
+    val got = SparkEntry.queries("eo_catalog_antimeridian")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    def s6v(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val mirror = ev.map { case (id, v) =>
+      ((id % 36).toInt * 10 - 180, ((id / 36) % 18).toInt * 10 - 90, v)
+    }.filter { case (lon, lat, _) =>
+      (lon >= 150 || lon < -150) && lat >= -30 && lat <= 30 // the split form
+    }.groupBy(c => (c._1, c._2)).map { case (k, xs) =>
+      k -> (xs.length.toLong, xs.map(x => s6v(x._3)).sum)
+    }
+    assert(got == mirror, "modular membership == two-range union")
+    // both sides of the dateline are populated
+    assert(got.keys.exists(_._1 >= 150) && got.keys.exists(_._1 < -150))
+  }
+
   test("graph_ecc: eccentricities CONVERGED and match a scalar BFS mirror") {
     val got = SparkEntry.queries("graph_ecc")(spark, sfDir).collect()
       .map(r => r.getAs[Number](0).longValue ->
