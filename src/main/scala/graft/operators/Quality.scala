@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Det, Q, Tables => T}
@@ -51,6 +51,52 @@ object Quality {
           .agg(count(lit(1)).as("n"),
             sum(hash32(col("row_str"))).as("fingerprint"))
           .orderBy("shard")),
+
+    // Functional-dependency audit (round 10, fifth wave) — the
+    // Deequ/profiler check that catches silently denormalized or
+    // corrupted joins: for each declared FD X → Y, a violating group is
+    // an X value observing >1 distinct Y. Three FDs graded: two that
+    // HOLD by construction (o_orderkey → o_custkey on the order lines;
+    // c_custkey → c_nationkey) and one that genuinely FAILS (events
+    // user_id → event_type — users emit many types), so both the zero
+    // and nonzero lanes of the verdict are exercised. Each FD is one
+    // (X)-keyed partial agg with an exact distinct count — at 100 TB
+    // swap COUNT(DISTINCT) for the HLL sketch (agg_hll grades it) when
+    // Y cardinality per group explodes; the verdict (violations > 0)
+    // only needs "≥ 2", which a 2-element min/max check answers in one
+    // pass without Expand.
+    Q("dq_fd_violations", Some(
+      "WITH fd1 AS (SELECT l_orderkey AS x, o_custkey AS y FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey), " +
+        "g1 AS (SELECT x, COUNT(DISTINCT y) AS dy FROM fd1 GROUP BY x), " +
+        "fd2 AS (SELECT c_custkey AS x, c_nationkey AS y FROM customer), " +
+        "g2 AS (SELECT x, COUNT(DISTINCT y) AS dy FROM fd2 GROUP BY x), " +
+        "fd3 AS (SELECT user_id AS x, event_type AS y FROM events), " +
+        "g3 AS (SELECT x, COUNT(DISTINCT y) AS dy FROM fd3 GROUP BY x) " +
+        "SELECT fd, n_groups, n_violating FROM (" +
+        "SELECT 'l_orderkey->o_custkey' AS fd, CAST(COUNT(*) AS BIGINT) AS n_groups, " +
+        "CAST(SUM(CASE WHEN dy > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating FROM g1 " +
+        "UNION ALL SELECT 'c_custkey->c_nationkey', CAST(COUNT(*) AS BIGINT), " +
+        "CAST(SUM(CASE WHEN dy > 1 THEN 1 ELSE 0 END) AS BIGINT) FROM g2 " +
+        "UNION ALL SELECT 'user_id->event_type', CAST(COUNT(*) AS BIGINT), " +
+        "CAST(SUM(CASE WHEN dy > 1 THEN 1 ELSE 0 END) AS BIGINT) FROM g3) " +
+        "ORDER BY fd"),
+      (s, d) => {
+        def audit(name: String, df: DataFrame, x: Column, y: Column): DataFrame =
+          df.groupBy(x.as("x")).agg(countDistinct(y).as("dy"))
+            .agg(count(lit(1)).as("n_groups"),
+              sum(when(col("dy") > 1, 1L).otherwise(0L)).as("n_violating"))
+            .select(lit(name).as("fd"), col("n_groups"), col("n_violating"))
+        val fd1 = T.lineitem(s, d).select("l_orderkey")
+          .join(T.orders(s, d).select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+        audit("l_orderkey->o_custkey", fd1, col("l_orderkey"), col("o_custkey"))
+          .unionAll(audit("c_custkey->c_nationkey", T.customer(s, d),
+            col("c_custkey"), col("c_nationkey")))
+          .unionAll(audit("user_id->event_type", T.events(s, d),
+            col("user_id"), col("event_type")))
+          .orderBy("fd")
+      }),
 
     // Per-column profile of `orders` in long format: row/null/distinct
     // counts for every column plus scaled min/max where the type admits

@@ -195,6 +195,26 @@ class PlanContractSpec extends SparkSpec {
       s"no dynamicpruning partition filter:\n${scans.map(_.toString).mkString}")
   }
 
+  test("fifth-wave keys keep their promised shapes") {
+    // nested column pruning: the scan must read ONLY header.o_custkey out
+    // of the struct, not the whole header — the nested ReadSchema claim
+    val nested = planOf("scan_nested_roundtrip")
+    assert(nested.contains("header:struct<o_custkey:bigint>"),
+      s"nested pruning regressed:\n$nested")
+    // the antimeridian membership is map + one partial agg — no join
+    val anti = planOf("eo_catalog_antimeridian")
+    assert(!anti.contains("Join"), s"antimeridian planned a join:\n$anti")
+    // half-sample replicates fan out via BROADCAST (the range join is
+    // 16 rows), never a shuffled cross product
+    val ci = planOf("agg_halfsample_ci")
+    assert(ci.contains("BroadcastNestedLoopJoin") || ci.contains("BroadcastHashJoin"),
+      s"replicate fan-out not broadcast:\n$ci")
+    // the fingerprint is one scan + one partial agg — no window, no join
+    val fp = planOf("dq_fingerprint")
+    assert(!fp.contains("Join") && !fp.contains("Window"),
+      s"fingerprint over-planned:\n$fp")
+  }
+
   test("eo_zorder stays map + one partial agg — no join, no window") {
     val p = planOf("eo_zorder")
     assert(!p.contains("Join") && !p.contains("Window"),

@@ -264,6 +264,29 @@ class Round10eOpsSpec extends SparkSpec {
     assert(got.keys.map(_._2).toSet == Set("keep", "too_small", "bad_aspect", "too_dark"))
   }
 
+  test("dq_fd_violations: the audit matches scalar group recounts") {
+    val got = SparkEntry.queries("dq_fd_violations")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def audit[X, Y](pairs: Seq[(X, Y)]): (Long, Long) = {
+      val g = pairs.groupBy(_._1).map { case (_, xs) => xs.map(_._2).distinct.size }
+      (g.size.toLong, g.count(_ > 1).toLong)
+    }
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey")
+      .collect().map(_.getLong(0)).filter(ord.contains).map(k => k -> ord(k))
+    assert(got("l_orderkey->o_custkey") == audit(li.toSeq))
+    val cust = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    assert(got("c_custkey->c_nationkey") == audit(cust.toSeq))
+    val ev = Tables.events(spark, sfDir).select("user_id", "event_type")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(got("user_id->event_type") == audit(ev.toSeq))
+    // both verdict lanes fire: the true FDs hold, the false one breaks
+    assert(got("l_orderkey->o_custkey")._2 == 0)
+    assert(got("user_id->event_type")._2 > 0)
+  }
+
   test("eo_catalog_antimeridian: wrapped AOI matches a scalar two-range mirror") {
     val got = SparkEntry.queries("eo_catalog_antimeridian")(spark, sfDir)
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
