@@ -189,7 +189,11 @@ object MinHash {
     * corpus + bucket collisions at any scale. Returns distinct
     * (d1, d2) with d1 < d2 (ids must order). AnalyticsSpec pins that
     * the documents-corpus instantiation equals llm_minhash's graded
-    * pair set exactly. */
+    * pair set exactly. BUILD-TIME SIDE EFFECT: the band rows are
+    * persisted (both sides of the self-join consume the signature
+    * subtree — the bandRows contract); callers running long-lived
+    * sessions should `spark.catalog.clearCache()` or unpersist after
+    * consuming the result (the win_ntile note). */
   def candidates(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String): DataFrame = {
     import graft.operators.Llm.{MinhashAB, MinhashP}
