@@ -389,6 +389,35 @@ object Scalars {
             when(col("j.k") >= 50, "high").otherwise("low").as("k_bucket"))
           .orderBy("event_id")),
 
+    // Calendar scaffolding (round 10, fifth wave): sequence(start, stop,
+    // interval 1 day) — the generator every gap-fill / resample /
+    // as-of-calendar join starts from (win_resample_ffill consumes this
+    // shape; here the generator ITSELF is graded). Per user: the
+    // inclusive daily calendar between first and last event day, graded
+    // on its length and an exploded epoch-day checksum so a missing or
+    // duplicated element breaks the hash. Oracle = DuckDB
+    // generate_series over the same date bounds. The explode is bounded
+    // by the calendar span (days, not events) — domain-sized fan-out.
+    Q("fn_sequence", Some(
+      "WITH b AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 " +
+        "FROM events GROUP BY user_id), " +
+        "cal AS (SELECT user_id, d0, d1, UNNEST(GENERATE_SERIES(d0, d1, INTERVAL 1 DAY)) AS day FROM b) " +
+        "SELECT user_id, d0 AS first_day, d1 AS last_day, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_days, " +
+        "CAST(SUM((CAST(day AS DATE) - DATE '1970-01-01') % 97) AS BIGINT) AS cksum " +
+        "FROM cal GROUP BY user_id, d0, d1 ORDER BY user_id"),
+      (s, d) =>
+        T.events(s, d)
+          .groupBy("user_id")
+          .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+          .select(col("user_id"), col("d0"), col("d1"),
+            explode(sequence(col("d0"), col("d1"),
+              expr("INTERVAL 1 DAY"))).as("day"))
+          .groupBy(col("user_id"), col("d0").as("first_day"), col("d1").as("last_day"))
+          .agg(count(lit(1)).as("n_days"),
+            sum(datediff(col("day"), lit("1970-01-01")) % 97).cast("long").as("cksum"))
+          .orderBy("user_id")),
+
     // VARIANT semi-structured access (round 10, fifth wave) — Spark 4's
     // open-schema type graded end-to-end: synthesized nested JSON
     // (object + array + a MISSING field in every 5th row) goes through

@@ -47,6 +47,42 @@ object SortSet {
           .orderBy("o_custkey")
       }),
 
+    // Schema-ALIGNED union with missing columns (round 10, fifth wave):
+    // unionByName(allowMissingColumns = true) — the union every
+    // multi-vintage ingest actually needs (positional union silently
+    // misassigns when two extracts order columns differently; a column
+    // absent from one side must arrive as NULL, not an error). One side
+    // carries (custkey, price_cents), the other (custkey, prio) with
+    // the columns DECLARED in a different order — the graded values
+    // prove the match was by NAME. Oracle = the explicit NULL-padded
+    // UNION ALL. scan_merge_schema grades the storage-side analogue;
+    // this grades the in-memory operator.
+    Q("set_union_by_name", Some(
+      "WITH u AS (SELECT o_custkey, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents, " +
+        "CAST(NULL AS VARCHAR) AS prio FROM orders WHERE o_totalprice > 300000 " +
+        "UNION ALL SELECT o_custkey, CAST(NULL AS BIGINT), o_orderpriority " +
+        "FROM orders WHERE o_orderpriority = '1-URGENT') " +
+        "SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(COUNT(price_cents) AS BIGINT) AS n_priced, " +
+        "CAST(SUM(price_cents) AS BIGINT) AS sum_cents, " +
+        "CAST(COUNT(prio) AS BIGINT) AS n_prio " +
+        "FROM u GROUP BY o_custkey ORDER BY o_custkey"),
+      (s, d) => {
+        val o = T.orders(s, d)
+        val a = o.where(col("o_totalprice") > 300000)
+          .select(col("o_custkey"), s2(col("o_totalprice")).as("price_cents"))
+        // deliberately DIFFERENT column order: name alignment is the claim
+        val b = o.where(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderpriority").as("prio"), col("o_custkey"))
+        a.unionByName(b, allowMissingColumns = true)
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n"),
+            count(col("price_cents")).as("n_priced"),
+            sum(col("price_cents")).as("sum_cents"),
+            count(col("prio")).as("n_prio"))
+          .orderBy("o_custkey")
+      }),
+
     Q("set_union", Some(
       "SELECT o_custkey FROM orders WHERE o_totalprice > 300000 " +
         "UNION SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT' " +

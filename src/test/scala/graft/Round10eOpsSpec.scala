@@ -264,6 +264,48 @@ class Round10eOpsSpec extends SparkSpec {
     assert(got.keys.map(_._2).toSet == Set("keep", "too_small", "bad_aspect", "too_dark"))
   }
 
+  test("set_union_by_name: NAME alignment proven by the per-side values") {
+    val got = SparkEntry.queries("set_union_by_name")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        (if (r.isNullAt(3)) None else Some(r.getLong(3))), r.getLong(4)))
+      .toMap
+    def s2v(x: Double) = math.floor(x * 100 + 0.5).toLong
+    val ords = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_totalprice"), col("o_orderpriority"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val aSide = ords.filter(_._2 > 300000).map(o => (o._1, Some(s2v(o._2)), None: Option[String]))
+    val bSide = ords.filter(_._3 == "1-URGENT").map(o => (o._1, None: Option[Long], Some(o._3)))
+    val mirror = (aSide ++ bSide).groupBy(_._1).map { case (k, xs) =>
+      k -> (xs.length.toLong, xs.count(_._2.isDefined).toLong,
+        { val ps = xs.flatMap(_._2); if (ps.isEmpty) None else Some(ps.sum) },
+        xs.count(_._3.isDefined).toLong)
+    }
+    assert(got == mirror)
+    // a positional (mis)union would have put prio strings in the cents
+    // column — the per-side value split proves the by-name alignment
+    assert(got.values.exists(v => v._2 > 0) && got.values.exists(v => v._4 > 0))
+  }
+
+  test("fn_sequence: calendars match a scalar day-walk mirror") {
+    val got = SparkEntry.queries("fn_sequence")(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getDate(1).toLocalDate, r.getDate(2).toLocalDate, r.getLong(3), r.getLong(4)))
+      .toMap
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val mirror = ev.groupBy(_._1).map { case (u, xs) =>
+      val d0 = xs.map(_._2).min(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+      val d1 = xs.map(_._2).max(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+      val days = Iterator.iterate(d0)(_.plusDays(1))
+        .takeWhile(!_.isAfter(d1)).toSeq
+      u -> (d0, d1, days.length.toLong,
+        days.map(_.toEpochDay % 97).sum)
+    }
+    assert(got == mirror)
+    assert(got.values.exists(_._3 > 1), "multi-day calendars exist")
+  }
+
   test("dq_fd_violations: the audit matches scalar group recounts") {
     val got = SparkEntry.queries("dq_fd_violations")(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
