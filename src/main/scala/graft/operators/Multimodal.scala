@@ -449,6 +449,66 @@ object Multimodal {
           .orderBy("format", "reason")
       }),
 
+    // Text↔media alignment scoring (round 10, fifth wave) — the
+    // CLIP-score-shaped pair filter of every image-text corpus build
+    // (LAION's third gate after size/quality): each document's caption
+    // side becomes a 64-dim signed feature-hash vector (llm_feature_hash's
+    // machinery), the media side is its 64-dim embedding row, and the
+    // alignment score is their cosine — per-term FLOOR scaled-long dot
+    // (exact, order-free) + one fixed IEEE normalize, s6-graded with a
+    // keep flag at cos ≥ 0. A real deployment swaps the feature hash for
+    // a text encoder and the embedding for the image tower — the
+    // pairing join, the exact dot discipline, and the funnel shape are
+    // the production plumbing. Sparse text vector ⇒ the dot join only
+    // touches nonzero buckets; everything shuffles on the pair id.
+    Q("mm_text_image_align", Some(
+      "WITH t AS (SELECT doc_id, " + Det.sqlHash32("UNNEST(STRING_SPLIT(text, ' '))") +
+        " AS h FROM documents), " +
+        "v AS (SELECT doc_id, h % 64 AS bucket, CAST(SUM(CASE WHEN (h // 64) % 2 = 0 " +
+        "THEN 1 ELSE -1 END) AS BIGINT) AS w FROM t GROUP BY doc_id, bucket), " +
+        "ux AS (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x, " +
+        "UNNEST(RANGE(0, LEN(embedding))) AS pos FROM embeddings), " +
+        "dots AS (SELECT v.doc_id, SUM(CAST(FLOOR(v.w * u.x * 1e6 + 0.5) AS BIGINT)) AS dotl " +
+        "FROM v JOIN ux u ON u.vec_id = v.doc_id AND u.pos = v.bucket GROUP BY v.doc_id), " +
+        "nw AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS nw2 FROM v GROUP BY doc_id), " +
+        "ne AS (SELECT vec_id, SUM(CAST(FLOOR(x * x * 1e14 + 0.5) AS BIGINT)) AS ne2 " +
+        "FROM ux GROUP BY vec_id), " +
+        "sc AS (SELECT d.doc_id, (CAST(d.dotl AS DOUBLE) / 1e6) / " +
+        "(SQRT(CAST(w.nw2 AS DOUBLE)) * SQRT(CAST(e.ne2 AS DOUBLE) / 1e14)) AS c " +
+        "FROM dots d JOIN nw w USING (doc_id) JOIN ne e ON e.vec_id = d.doc_id) " +
+        "SELECT doc_id % 10 AS grp, CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
+        "CAST(SUM(CASE WHEN c >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep, " +
+        "CAST(SUM(" + Det.sqlS6("c") + ") AS BIGINT) AS align_sum6 " +
+        "FROM sc GROUP BY grp ORDER BY grp"),
+      (s, d) => {
+        val v = T.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .select(col("doc_id"), Det.hash32(col("tok")).as("h"))
+          .select(col("doc_id"), (col("h") % 64).as("bucket"),
+            when(expr("(h div 64) % 2") === 0, 1L).otherwise(-1L).as("sg"))
+          .groupBy("doc_id", "bucket").agg(sum("sg").as("w"))
+        val ux = T.embeddings(s, d)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+          .withColumn("x", col("xf").cast("double"))
+        val dots = v.join(ux,
+            col("doc_id") === col("vec_id") && col("bucket") === col("pos"))
+          .groupBy("doc_id")
+          .agg(sum(floor(col("w") * col("x") * lit(1e6) + 0.5).cast("long")).as("dotl"))
+        val nw = v.groupBy("doc_id").agg(sum(col("w") * col("w")).as("nw2"))
+        val ne = ux.groupBy("vec_id")
+          .agg(sum(floor(col("x") * col("x") * lit(1e14) + 0.5).cast("long")).as("ne2"))
+        val c = (col("dotl").cast("double") / lit(1e6)) /
+          (sqrt(col("nw2").cast("double")) * sqrt(col("ne2").cast("double") / lit(1e14)))
+        dots.join(nw, "doc_id")
+          .join(ne, col("doc_id") === col("vec_id"))
+          .select(col("doc_id"), c.as("c"))
+          .groupBy((col("doc_id") % 10).as("grp"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("c") >= 0, 1L).otherwise(0L)).as("n_keep"),
+            sum(graft.Det.s6(col("c"))).as("align_sum6"))
+          .orderBy("grp")
+      }),
+
     // Resize (see `resized` above for the binary batch path).
     // Oracle: the stub's stride resample is out[i] = payload[(i*n)//1024]
     // — the same integer index arithmetic over SUBSTRING. Graded as

@@ -279,6 +279,54 @@ object Relational {
           .orderBy("bucket")
       }),
 
+    // Recursive glob discovery (round 10, fifth wave) — the landing-zone
+    // layout reality: producers drop files under nested date/source dirs
+    // (NOT hive key=value partitions, so partition discovery can't see
+    // them) with sidecar manifests/checksums beside the data.
+    // recursiveFileLookup walks the tree; pathGlobFilter("*.parquet")
+    // excludes the planted .json decoys at LISTING time — they are never
+    // opened, so a malformed sidecar can't fail the read. Three nest
+    // shapes (flat, one level, two levels) all land in one frame; the
+    // oracle recomputes the 3-way split from the generating rule. At
+    // 100 TB the listing itself is the cost driver — prefer manifest
+    // tables (maint_stats_skip) over deep recursive walks; this grades
+    // the semantics for the landing zones that exist anyway.
+    Q("scan_glob_recursive", Some(
+      "SELECT o_orderkey % 3 AS src, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(o_orderkey) AS BIGINT) AS sum_k, " +
+        sqlCentSum("o_totalprice") + " AS sum_cents " +
+        "FROM orders GROUP BY src ORDER BY src"),
+      (s, d) => {
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_landing"
+        // fresh tree each run: stale decoys/dirs must not leak between runs
+        val root = new java.io.File(base)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm); f.delete(): Unit
+        }
+        if (root.exists) rm(root)
+        val o = T.orders(s, d).select("o_orderkey", "o_totalprice")
+        o.where(col("o_orderkey") % 3 === 0).write.parquet(s"$base/flat")
+        o.where(col("o_orderkey") % 3 === 1).write.parquet(s"$base/2024/jan")
+        o.where(col("o_orderkey") % 3 === 2).write.parquet(s"$base/2024/feb/late")
+        // decoy sidecars the glob must exclude at listing time
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$base/2024/jan/manifest.json"), "{not parquet")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$base/checksums.json"), "{also not")
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_totalprice", DoubleType)))
+        s.read.schema(schema)
+          .option("recursiveFileLookup", "true")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(base)
+          .groupBy((col("o_orderkey") % 3).as("src"))
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_k"),
+            sum(s2(col("o_totalprice"))).as("sum_cents"))
+          .orderBy("src")
+      }),
+
     // PERMISSIVE corrupt-record ingestion (round 10, fifth wave) — the
     // contract real CSV ingest lives by: malformed rows must neither
     // kill the job (FAILFAST) nor vanish (DROPMALFORMED) but land in the

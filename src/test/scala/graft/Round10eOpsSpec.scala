@@ -264,6 +264,62 @@ class Round10eOpsSpec extends SparkSpec {
     assert(got.keys.map(_._2).toSet == Set("keep", "too_small", "bad_aspect", "too_dark"))
   }
 
+  test("scan_glob_recursive: nested dirs found, decoys never opened") {
+    val got = SparkEntry.queries("scan_glob_recursive")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def s2v(x: Double) = math.floor(x * 100 + 0.5).toLong
+    val ords = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val mirror = ords.groupBy(_._1 % 3).map { case (srcK, xs) =>
+      srcK -> (xs.length.toLong, xs.map(_._1).sum, xs.map(o => s2v(o._2)).sum)
+    }
+    assert(got == mirror, "all three nest shapes recovered, nothing extra")
+    // the decoy sidecars exist on disk next to the data the read used
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_landing"
+    assert(new java.io.File(s"$base/2024/jan/manifest.json").exists)
+  }
+
+  test("mm_text_image_align: scores match a scalar hash+cosine mirror") {
+    val got = SparkEntry.queries("mm_text_image_align")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(s2: String): Long = {
+      val dd = md.digest(s2.getBytes("UTF-8"))
+      ((dd(3) & 0xffL) << 24) | ((dd(2) & 0xffL) << 16) |
+        ((dd(1) & 0xffL) << 8) | (dd(0) & 0xffL)
+    }
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val embs = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val scores = docs.map { case (id, text) =>
+      val w = new Array[Long](64)
+      text.split(' ').foreach { tok =>
+        val h = h32(tok)
+        w((h % 64).toInt) += (if ((h / 64) % 2 == 0) 1L else -1L)
+      }
+      val e = embs(id)
+      var dotl = 0L; var ne2 = 0L
+      var i = 0
+      while (i < 64) {
+        dotl += math.floor(w(i) * e(i).toDouble * 1e6 + 0.5).toLong
+        ne2 += math.floor(e(i).toDouble * e(i).toDouble * 1e14 + 0.5).toLong
+        i += 1
+      }
+      val nw2 = w.map(x => x * x).sum
+      (id, (dotl.toDouble / 1e6) / (math.sqrt(nw2.toDouble) * math.sqrt(ne2.toDouble / 1e14)))
+    }
+    val mirror = scores.groupBy(_._1 % 10).map { case (g, xs) =>
+      g -> (xs.length.toLong, xs.count(_._2 >= 0).toLong,
+        xs.map(x => math.floor(x._2 * 1e6 + 0.5).toLong).sum)
+    }
+    assert(got == mirror)
+    // the gate must actually split the corpus
+    val keeps = got.values.map(_._2).sum
+    assert(keeps > 0 && keeps < got.values.map(_._1).sum)
+  }
+
   test("set_union_by_name: NAME alignment proven by the per-side values") {
     val got = SparkEntry.queries("set_union_by_name")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
