@@ -113,6 +113,73 @@ object StreamTwins {
           .orderBy("event_type", "win_start")
       }),
 
+    // EXECUTED Update-mode emission history (round 10, fifth wave) — the
+    // OUTPUT-MODE semantics no other exec key grades: in Update mode the
+    // sink receives one row per (key, micro-batch-that-changed-it), so
+    // the sink table IS the update history. Two mtime-ordered staged
+    // files (a user_id%5 split — an attribute, not time, so nothing
+    // is late) under maxFilesPerTrigger=1 give two deterministic
+    // batches (the 1-in-5 user split leaves some groups untouched by
+    // batch 1, so BOTH history shapes occur); a group touched by both contributes
+    // TWO sink rows (the batch-1 partial count, then the final), a
+    // group touched by one contributes one. Graded per group:
+    // n_updates, the history SUM (= final + batch-1 partial when both
+    // touched — the cumulative-emission law), and the final count,
+    // recomputed by the oracle from the user_id%5 split. No watermark:
+    // Update-mode aggregation without one is legal (state is never
+    // evicted; the documented cost — bound it with a watermark in any
+    // long-running deployment). BUILD-TIME SIDE EFFECT: runs the
+    // streaming query to completion at plan-construction time.
+    Q("stream_exec_update_history", Some(
+      "WITH te AS (SELECT event_type, user_id, " +
+        "((CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400) * 86400) AS win_start FROM events), " +
+        "g AS (SELECT event_type, win_start, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_final, " +
+        "CAST(SUM(CASE WHEN user_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+        "CAST(SUM(CASE WHEN user_id % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2 " +
+        "FROM te GROUP BY event_type, win_start) " +
+        "SELECT event_type, win_start, " +
+        "CAST(CASE WHEN n1 > 0 AND n2 > 0 THEN 2 ELSE 1 END AS BIGINT) AS n_updates, " +
+        "CAST(n_final + CASE WHEN n1 > 0 AND n2 > 0 THEN n1 ELSE 0 END AS BIGINT) AS sum_history, " +
+        "n_final FROM g ORDER BY event_type, win_start"),
+      (s, d) => {
+        val landing = java.nio.file.Files.createTempDirectory("graft_exec_updhist")
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // parity split WITHOUT instant conversion (the exec_late rule:
+        // staged halves must keep the on-disk ts encoding)
+        val raw = s.read.parquet(s"$d/events.parquet")
+        def stage(pred: org.apache.spark.sql.Column, name: String,
+            ageSec: Long): Unit = {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_updhist_part")
+          raw.where(pred).coalesce(1)
+            .write.mode("overwrite").parquet(tmp.toString)
+          val part = new java.io.File(tmp.toString).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = landing.resolve(name)
+          java.nio.file.Files.move(part.toPath, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis() - ageSec * 1000))
+        }
+        stage(col("user_id") % 5 === 0, "a.parquet", 240L)
+        stage(col("user_id") % 5 =!= 0, "b.parquet", 0L)
+        val agg = T.eventsStream(s, d, landing.toString, Some(1))
+          .groupBy(col("event_type"),
+            (floor(epochS(col("ts")) / 86400) * 86400).as("win_start"))
+          .agg(count(lit(1)).as("n"))
+        val q = agg.writeStream.format("memory")
+          .queryName("graft_exec_update_history")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("graft_exec_update_history")
+          .groupBy("event_type", "win_start")
+          .agg(count(lit(1)).as("n_updates"), sum(col("n")).as("sum_history"),
+            max(col("n")).as("n_final"))
+          .orderBy("event_type", "win_start")
+      }),
+
     // EXECUTED streaming dedup (round 10) — the second key whose graded
     // value comes from a real micro-batch execution, covering the
     // STATEFUL operator class stream_exec_tumble's aggregation does not:

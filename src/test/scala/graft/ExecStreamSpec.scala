@@ -30,6 +30,28 @@ class ExecStreamSpec extends SparkSpec {
     assert(exec() == batch, "second invocation in the same session")
   }
 
+  test("executed Update-mode history matches the scalar emission law, twice") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"), unix_timestamp(col("ts")).as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val mirror = ev.groupBy(e => (e._1, e._3 / 86400 * 86400)).map { case (k, xs) =>
+      val n1 = xs.count(_._2 % 5 == 0).toLong
+      val n2 = xs.count(_._2 % 5 != 0).toLong
+      val nf = xs.length.toLong
+      k -> (if (n1 > 0 && n2 > 0) 2L else 1L,
+        nf + (if (n1 > 0 && n2 > 0) n1 else 0L), nf)
+    }
+    def run() = SparkEntry.queries("stream_exec_update_history")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val got = run()
+    assert(got == mirror, "history == the two-batch emission law")
+    // both shapes occur: some groups updated once, some twice
+    assert(got.values.exists(_._1 == 1L) && got.values.exists(_._1 == 2L))
+    assert(run() == mirror, "second invocation in the same session")
+  }
+
   test("executed session windows equal the sessionization twin, twice") {
     val batch = SparkEntry.queries("stream_session")(spark, sfDir).collect().toSeq
     val exec1 = SparkEntry.queries("stream_exec_session")(spark, sfDir).collect().toSeq
