@@ -93,6 +93,23 @@ object Snapshots {
     orphans
   }
 
+  /** Shallow clone (the Delta CLONE SHALLOW / Iceberg snapshot-ref
+    * shape): `dstDir` becomes a table whose v1 manifest REFERENCES the
+    * source snapshot's data files by relative path — zero bytes of data
+    * move, the clone is a metadata commit. The clone then evolves
+    * independently (its own commits/rollbacks). The production caveat
+    * carries over verbatim from Delta: a VACUUM on the SOURCE can delete
+    * files the clone still references (the clone's manifest is invisible
+    * to the source's file census) — pin retention or deep-copy before
+    * vacuuming a cloned-from table. Returns the clone's version (1). */
+  def cloneShallow(srcDir: String, dstDir: String, v: Int): Int = {
+    val dst = Paths.get(dstDir).toAbsolutePath.normalize
+    val src = Paths.get(srcDir).toAbsolutePath.normalize
+    Files.createDirectories(dst)
+    val prefix = dst.relativize(src)
+    commit(dstDir, files(srcDir, v).map(f => s"$prefix/$f"))
+  }
+
   /** Change data feed between two committed snapshots (the Delta CDF /
     * Iceberg changelog read): a FULL OUTER join of the two as-of reads
     * on `keys` classifies every key as insert / delete / update /

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -69,6 +70,56 @@ object Maintenance {
     // One leaked file in any manifest double-counts a type and breaks
     // the hash. BUILD-TIME SIDE EFFECT: writes + commits a temp table
     // at plan-construction time (the maint_compact discipline).
+    // Shallow clone (round 10, fifth wave) — the Delta CLONE SHALLOW /
+    // Iceberg snapshot-ref completing the lifecycle: the clone is ONE
+    // metadata commit whose manifest references the source snapshot's
+    // files by relative path — zero data bytes move (CloneSpec pins the
+    // clone dir holds no .parquet at all). The source then evolves
+    // (append + commit v2) and the graded surface proves isolation: the
+    // clone still reads EXACTLY the v1 state while the source's latest
+    // reads the evolved one. Oracle recomputes both states from events
+    // (v2 = full + clicks appended twice). The Delta caveat is in the
+    // cloneShallow scaladoc: vacuuming the SOURCE can strand the clone.
+    Q("maint_clone", Some {
+      val v1 = "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        sqlSum6("value") + " AS sum_v6 FROM events GROUP BY event_type"
+      val v2 = "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        sqlSum6("value") + " AS sum_v6 FROM (SELECT event_type, value FROM events " +
+        "UNION ALL SELECT event_type, value FROM events WHERE event_type = 'click') " +
+        "GROUP BY event_type"
+      s"SELECT 'clone_v1' AS side, * FROM ($v1) a UNION ALL " +
+        s"SELECT 'src_v2' AS side, * FROM ($v2) b ORDER BY side, event_type"
+    },
+      (s, d) => {
+        val srcDir = s"${System.getProperty("java.io.tmpdir")}/graft_clone_src"
+        val dstDir = s"${System.getProperty("java.io.tmpdir")}/graft_clone_dst"
+        graft.maintenance.Compaction.deleteRecursively(
+          java.nio.file.Paths.get(srcDir))
+        graft.maintenance.Compaction.deleteRecursively(
+          java.nio.file.Paths.get(dstDir))
+        val snap = StructType(eventsProj.fields :+
+          StructField("event_type", StringType))
+        val src = T.events(s, d)
+          .select("event_id", "user_id", "value", "event_type")
+        src.write.mode("overwrite").parquet(srcDir)
+        val v1 = graft.maintenance.Snapshots.commit(srcDir)
+        graft.maintenance.Snapshots.cloneShallow(srcDir, dstDir, v1)
+        // the source evolves AFTER the clone; the clone must not see it
+        src.where(col("event_type") === "click")
+          .write.mode("append").parquet(srcDir)
+        val v2 = graft.maintenance.Snapshots.commit(srcDir)
+        def agg(label: String, df: DataFrame) =
+          df.groupBy("event_type")
+            .agg(count(lit(1)).as("n_rows"), sum6(col("value")).as("sum_v6"))
+            .select(lit(label).as("side"), col("event_type"),
+              col("n_rows"), col("sum_v6"))
+        val cloneRead = graft.maintenance.Snapshots.readAsOf(s, dstDir, snap,
+          graft.maintenance.Snapshots.latestVersion(dstDir))
+        val srcRead = graft.maintenance.Snapshots.readAsOf(s, srcDir, snap, v2)
+        agg("clone_v1", cloneRead).unionAll(agg("src_v2", srcRead))
+          .orderBy("side", "event_type")
+      }),
+
     Q("maint_snapshot_asof", Some {
       val full = "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
         sqlSum6("value") + " AS sum_v6 FROM events GROUP BY event_type"

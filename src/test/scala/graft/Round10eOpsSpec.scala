@@ -264,6 +264,28 @@ class Round10eOpsSpec extends SparkSpec {
     assert(got.keys.map(_._2).toSet == Set("keep", "too_small", "bad_aspect", "too_dark"))
   }
 
+  test("maint_clone: zero-copy isolation matches the scalar mirror") {
+    val got = SparkEntry.queries("maint_clone")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    def s6v(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val ev = Tables.events(spark, sfDir).select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    ev.groupBy(_._1).foreach { case (ty, xs) =>
+      assert(got(("clone_v1", ty)) == (xs.length.toLong, xs.map(x => s6v(x._2)).sum),
+        s"clone still reads the v1 state for $ty")
+      val mult = if (ty == "click") 2 else 1
+      assert(got(("src_v2", ty)) ==
+        (xs.length.toLong * mult, xs.map(x => s6v(x._2)).sum * mult),
+        s"source evolved independently for $ty")
+    }
+    // ZERO-copy: the clone directory holds manifests only, no data files
+    val dst = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_clone_dst")
+    assert(dst.listFiles.forall(f => !f.getName.endsWith(".parquet")),
+      "clone dir must contain no data files")
+  }
+
   test("scan_glob_recursive: nested dirs found, decoys never opened") {
     val got = SparkEntry.queries("scan_glob_recursive")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
