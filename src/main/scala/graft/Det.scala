@@ -204,8 +204,15 @@ object Det {
     s"(${sqlLnInt(a)} - ${sqlLnInt(b)})"
 
   /** Portable exp of a double (fixed IEEE op sequence; see block
-    * comment). |x| ≤ 700 (the 2^k scaling shifts by |k| ≤ 63 bits). */
-  def expP(c: Column): Column = {
+    * comment). True domain is |x| ≤ 43 (|k| ≤ 62): the 2^k scaling is a
+    * SINGLE 64-bit shift, and at |k| ≥ 63 JVM shiftleft wraps mod 64
+    * while DuckDB's << returns 0 (and 1L<<63 is negative) — the engines
+    * diverge exactly where a wider domain would be needed. All three twin
+    * forms therefore SATURATE: the input is clamped to [-43, 43] (so
+    * e^x for |x| > 43 returns e^±43, identically in every engine). */
+  private val ExpPClamp = 43.0
+  def expP(c0: Column): Column = {
+    val c = least(greatest(c0, lit(-ExpPClamp)), lit(ExpPClamp))
     val k = floor(c / lit(Ln2) + lit(0.5)).cast("long")
     val r = c - k.cast("double") * lit(Ln2)
     val ser = (0 to 12).reverse.foldLeft(lit(1.0 / FactD(13))) { (acc, i) =>
@@ -217,8 +224,9 @@ object Det {
         ser / call_function("shiftleft", lit(1L), (-k).cast("int")).cast("double"))
   }
 
-  /** Scala mirror of [[expP]]. */
-  def expPD(x: Double): Double = {
+  /** Scala mirror of [[expP]] (same saturating clamp). */
+  def expPD(x0: Double): Double = {
+    val x = math.min(ExpPClamp, math.max(-ExpPClamp, x0))
     val k = math.floor(x / Ln2 + 0.5).toLong
     val r = x - k.toDouble * Ln2
     var ser = 1.0 / FactD(13)
@@ -226,8 +234,10 @@ object Det {
     if (k >= 0) ser * (1L << k).toDouble else ser / (1L << -k).toDouble
   }
 
-  /** Oracle twin of [[expP]]. `x` MUST be a short column reference. */
-  def sqlExpP(x: String): String = {
+  /** Oracle twin of [[expP]] (same saturating clamp). `x` MUST be a
+    * short column reference. */
+  def sqlExpP(x0: String): String = {
+    val x = s"(LEAST(GREATEST(($x0), -43.0), 43.0))"
     val k = s"(CAST(FLOOR(($x) / 0.6931471805599453 + 0.5) AS BIGINT))"
     val r = s"(($x) - CAST($k AS DOUBLE) * 0.6931471805599453)"
     val ser = (0 to 12).reverse

@@ -349,13 +349,15 @@ object Timeseries {
     * low / close of `value6` (a Det scaled-long) plus the tick count —
     * the classic market-bar shape of every time-series store. `tCol`
     * is whole epoch seconds; `tieCol` must make (tCol, tieCol) unique
-    * per symbol so open/close picks are deterministic (the composite
-    * key packs both into one orderable long for min_by/max_by). One
-    * keyed partial agg — map-side combine collapses each bar before
-    * the shuffle, so bytes shuffled scale with bars, not ticks. */
+    * per symbol so open/close picks are deterministic. The ordering key
+    * is a STRUCT (tCol, tieCol) — min_by/max_by order structs
+    * lexicographically, so no arithmetic packing and no bound on the
+    * tie column's magnitude or sign. One keyed partial agg — map-side
+    * combine collapses each bar before the shuffle, so bytes shuffled
+    * scale with bars, not ticks. */
   def ohlc(df: DataFrame, symbol: Column, tCol: Column, tieCol: Column,
       value6: Column, barSecs: Long): DataFrame = {
-    val k = tCol * lit(100000000L) + tieCol
+    val k = struct(tCol.as("t"), tieCol.as("tie"))
     df.groupBy(symbol.as("symbol"),
         floor(tCol / lit(barSecs.toDouble)).cast("long").as("bar"))
       .agg(

@@ -19,9 +19,14 @@ import scala.jdk.CollectionConverters._
   * read → repartition to ⌈rows / rowsPerFile⌉ output files → write to a
   * sibling `_compact_tmp` dir → swap. The swap is the local-filesystem
   * stand-in for a real lake's transactional commit (Iceberg/Delta swap a
-  * manifest pointer instead — same rewrite, different commit); readers
-  * racing the swap see the old OR new file set, never a mix of half a
-  * partition. The driver-side loop is PARTITION-COUNT-sized (a handful
+  * manifest pointer instead — same rewrite, different commit). Each of
+  * the two renames is atomic, but the PAIR is not: a reader racing the
+  * swap never sees a mix of old and new files, yet it can observe a
+  * brief window with NO partition directory; a crash between the moves
+  * strands the partition under `._retired`, which the next compact()
+  * recovers on entry (a real lake's manifest pointer closes both gaps —
+  * this is exactly the semantics lost by not having one). The
+  * driver-side loop is PARTITION-COUNT-sized (a handful
   * of directory moves), never data-sized: all row movement happens in
   * executor tasks.
   *
@@ -50,6 +55,18 @@ object Compaction {
       schema: StructType,
       rowsPerFile: Long): Unit = {
     val root = Paths.get(dir)
+    // Crash recovery: a previous compact() that died between the two
+    // moves leaves the partition stranded under '._retired' (readers
+    // exclude it). Restore any such orphan before rewriting — without
+    // this the partition silently vanishes from subsequent reads.
+    Files.list(root).iterator().asScala.toSeq
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.endsWith("._retired"))
+      .foreach { r =>
+        val orig = r.resolveSibling(
+          r.getFileName.toString.stripSuffix("._retired"))
+        if (!Files.exists(orig)) Files.move(r, orig) else deleteRecursively(r)
+      }
     partitionDirs(root).foreach { p =>
       val part = spark.read.schema(schema).parquet(p.toString)
       val n = part.count()

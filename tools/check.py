@@ -38,6 +38,24 @@ def main():
         if only and key not in only:
             continue
         sql = oracles[key]
+        # Permanent oracle OUTPUT-TYPE gate (round-11): the driver's DuckDB
+        # hashes HUGEINT/DECIMAL columns differently from the local build even
+        # when values match (r9/r10's only reds were exactly the four HUGEINT
+        # emitters). Any wide/decimal output column must be CAST in the oracle.
+        try:
+            desc = con.execute("DESCRIBE " + sql).fetchall()
+        except Exception as e:
+            print(f"FAIL {key}: oracle DESCRIBE error: {e}")
+            n_fail += 1
+            continue
+        bad_types = [(c, t) for c, t, *_ in desc
+                     if t in ("HUGEINT", "UHUGEINT")
+                     or t.startswith("DECIMAL")]
+        if bad_types:
+            print(f"FAIL {key}: oracle emits non-portable output types "
+                  f"{bad_types} — wrap in CAST(... AS BIGINT/DOUBLE)")
+            n_fail += 1
+            continue
         try:
             want = con.execute(sql).fetch_arrow_table()
         except Exception as e:
