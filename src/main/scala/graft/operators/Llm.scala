@@ -106,6 +106,38 @@ object Llm {
       " SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members, " +
       "MAX(doc_id) AS max_member FROM cl GROUP BY cluster ORDER BY cluster"
 
+  /** Fold modulus for llm_dedup_recall_fold: keep docs with
+    * hash32(doc_id) ≡ 0 (mod K). K=4 keeps ~25% of docs and ~6% of
+    * truth pairs — the knob a 100 TB run raises until the truth join
+    * fits its budget (the CI column prices the precision lost). */
+  private val RecallFoldK = 4
+
+  /** Shared builder for the fold-sampled recall eval (the key runs K =
+    * [[RecallFoldK]]; LlmPipelineSpec runs K = 1, where the fold is the
+    * whole corpus, and pins equality with llm_dedup_recall_eval). */
+  private[graft] def recallOnFold(s: SparkSession, d: String, k: Int): DataFrame = {
+    val fold = docMasks(s, d)
+      .where(Det.hash32(col("doc_id").cast("string")) % k === 0)
+    val truth = exactMaskPairs(fold)
+    val fb = bandRows(s, d).join(fold.select("doc_id"), "doc_id")
+    val cand = fb.select(col("doc_id").as("d1"), col("lang"), col("band"), col("sig"))
+      .join(fb.select(col("doc_id").as("d2"), col("lang"), col("band"), col("sig")),
+        Seq("lang", "band", "sig"))
+      .where(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    val nT = truth.agg(count(lit(1)).as("n_truth"))
+    val nC = cand.agg(count(lit(1)).as("n_cand"))
+    val nH = truth.join(cand, Seq("d1", "d2")).agg(count(lit(1)).as("n_hit"))
+    val p = col("n_hit").cast("double") / col("n_truth").cast("double")
+    nT.crossJoin(nC).crossJoin(nH)
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        when(col("n_truth") === 0, 1000000L)
+          .otherwise(s6(p)).as("recall6"),
+        when(col("n_truth") === 0, 0L)
+          .otherwise(s6(lit(1.96) * sqrt(p * (lit(1.0) - p) /
+            col("n_truth").cast("double")))).as("ci_hw6"))
+  }
+
   /** The exact j >= 0.5 mask-Jaccard pair CTE (expects `masks`) — shared
     * by the cluster and dedup-apply oracles. */
   private val exactPairsSql: String =
@@ -522,6 +554,43 @@ object Llm {
               .otherwise(s6(col("n_hit").cast("double") / col("n_truth").cast("double")))
               .as("recall6"))
       }),
+
+    // Hash-fold sampled banding-recall evaluation (round 11, VERDICT r10
+    // next-round #4) — llm_dedup_recall_eval's exact-Jaccard truth side is
+    // quadratic BY DESIGN (it anchors the LSH semantics), which caps the
+    // eval at a budget-bounded corpus. This key is the 100 TB-runnable
+    // form: fold the doc set to the ~1/K of documents whose portable
+    // Det.hash32(doc_id) ≡ 0 (mod K=4) — a uniform, deterministic,
+    // engine-portable sample — and grade recall on truth pairs whose BOTH
+    // endpoints fall in the fold (pair cost drops ~K², here 16×). The
+    // estimator is unbiased for pair-level recall (every truth pair is
+    // sampled with equal probability 1/K²; LlmPipelineSpec pins the K=1
+    // degenerate fold equal to the exact key), and the normal-approx 95%
+    // CI half-width 1.96·√(p(1−p)/n) is one fixed IEEE sequence over
+    // exact integers (÷ and √ are correctly rounded — Det rule 2).
+    Q("llm_dedup_recall_fold", Some(
+      docMasksSql.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        minhashBandsSql +
+        s", fold AS (SELECT doc_id FROM masks WHERE (${Det.sqlHash32("CAST(doc_id AS VARCHAR)")}) % $RecallFoldK = 0)" +
+        ", fmasks AS (SELECT m.* FROM masks m JOIN fold USING (doc_id))" +
+        ", fbands AS (SELECT b.* FROM bands b JOIN fold USING (doc_id))" +
+        ", cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM fbands a " +
+        "JOIN fbands b ON a.lang = b.lang AND a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)" +
+        ", pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2 " +
+        "FROM fmasks a JOIN fmasks b ON a.lang = b.lang AND a.doc_id < b.doc_id " +
+        "WHERE CAST(BIT_COUNT(a.mask & b.mask) AS DOUBLE) / " +
+        "CAST(BIT_COUNT(a.mask | b.mask) AS DOUBLE) >= 0.5)" +
+        ", k AS (SELECT CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_truth, " +
+        "CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_cand, " +
+        "CAST((SELECT COUNT(*) FROM pairs p JOIN cand c ON c.d1 = p.d1 AND c.d2 = p.d2) AS BIGINT) AS n_hit) " +
+        "SELECT n_truth, n_cand, n_hit, " +
+        "CASE WHEN n_truth = 0 THEN CAST(1000000 AS BIGINT) ELSE " +
+        sqlS6("CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)") + " END AS recall6, " +
+        "CASE WHEN n_truth = 0 THEN CAST(0 AS BIGINT) ELSE " +
+        sqlS6("1.96 * SQRT((CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)) * " +
+          "(1.0 - CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)) / CAST(n_truth AS DOUBLE))") +
+        " END AS ci_hw6 FROM k"),
+      (s, d) => recallOnFold(s, d, RecallFoldK)),
 
     // MinHash-LSH candidate generation (4 bands x 4 hashes; Broder 1997,
     // "On the resemblance and containment of documents"). Round 6: the 16

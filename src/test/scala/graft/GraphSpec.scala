@@ -153,4 +153,31 @@ class GraphSpec extends SparkSpec {
     assert(got == expect, "converged truss edges + supports match the mirror")
     assert(got.nonEmpty, "nontrivial truss on this corpus")
   }
+
+  test("graph_closeness_pivot: estimates are bounded by the exact keys") {
+    // The landmark estimate relaxes from a SUBSET of sources, so per node:
+    // pivot distance-sum <= exact all-source sum, pivot count <= |V|-1,
+    // and the pivot eccentricity is a LOWER bound on the exact one.
+    val pivots = (0L to 24L)
+      .filter(v => ((v * 2654435761L) % 4294967296L) % 5L == 0L).toSet
+    assert(pivots == Set(0L, 11L, 12L, 13L, 24L), "hash pick is the pinned set")
+    val est = SparkEntry.queries("graph_closeness_pivot")(spark, sfDir)
+      .collect().map(r => r.getInt(0).toLong ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    val exactC = SparkEntry.queries("graph_closeness")(spark, sfDir)
+      .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    val exactE = SparkEntry.queries("graph_ecc")(spark, sfDir)
+      .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    assert(est.keySet == exactC.keySet, "every node gets an estimate")
+    est.foreach { case (v, (nPiv, sumD, eccLb)) =>
+      val expectedN = if (pivots(v)) pivots.size - 1L else pivots.size.toLong
+      assert(nPiv == expectedN, s"node $v pivot count")
+      assert(sumD <= exactC(v), s"node $v pivot sum exceeds exact sum")
+      assert(eccLb <= exactE(v), s"node $v ecc bound exceeds exact ecc")
+    }
+    // Pivots see each other symmetrically: a pivot's own estimate row uses
+    // the same converged matrix, so its ecc_lb must be positive on this
+    // connected corpus.
+    pivots.foreach(p => assert(est(p)._3 > 0L, s"pivot $p reaches others"))
+  }
 }

@@ -239,4 +239,24 @@ class LlmPipelineSpec extends SparkSpec {
       }
     }
   }
+
+  test("recall fold estimator: K=1 degenerates to the exact recall eval") {
+    // The fold is a uniform doc sample, so the estimator is the SAME
+    // statistic on a restricted pair universe; at K=1 the restriction is
+    // empty and the counts must equal llm_dedup_recall_eval's exactly.
+    val full = SparkEntry.queries("llm_dedup_recall_eval")(spark, sfDir)
+      .collect().head
+    val k1 = operators.Llm.recallOnFold(spark, sfDir, 1).collect().head
+    assert(k1.getLong(0) == full.getLong(0), "n_truth at K=1")
+    assert(k1.getLong(1) == full.getLong(1), "n_cand at K=1")
+    assert(k1.getLong(2) == full.getLong(2), "n_hit at K=1")
+    assert(k1.getLong(3) == full.getLong(3), "recall6 at K=1")
+    // And the graded K=4 fold keeps a nonempty candidate universe while
+    // sampling a strict subset of it.
+    val k4 = SparkEntry.queries("llm_dedup_recall_fold")(spark, sfDir)
+      .collect().head
+    assert(k4.getLong(0) <= full.getLong(0), "fold truth is a subset")
+    assert(k4.getLong(1) <= full.getLong(1), "fold candidates are a subset")
+    assert(k4.getLong(2) <= k4.getLong(0), "hits bounded by truth")
+  }
 }
