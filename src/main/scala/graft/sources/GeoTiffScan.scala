@@ -166,5 +166,184 @@ object GeoTiffScan {
             sum(col("v").cast("long") * (col("pos") + 1)).as("checksum"))
           .select("tile", "n_strips", "n_px", "sum_v", "checksum")
           .orderBy("tile")
+      }),
+
+    // Multi-band signed-int16 + nodata ingest (round 11, VERDICT r10
+    // missing #2) — SURVEY §2.1 names sentinel→NULL as *the* semantic
+    // translation decision at the raster ingest boundary, and this key
+    // exercises it END TO END: each full event tile is written as a
+    // 2-band chunky int16 GeoTIFF (negative band-1 values exercise the
+    // sign bit) whose GDAL_NODATA tag declares -32768, with the
+    // sentinel injected per-band by event_type; ingest decodes the
+    // bytes, reads the nodata DECLARATION from the tag (never a
+    // constant), and maps sentinel→NULL at the DataFrame boundary.
+    // The masked aggregates are graded against an oracle that applies
+    // the same sentinel predicate to the parquet truth — so a decoder
+    // that mangled the sign, the band interleave, or the nodata tag
+    // all fail the hash.
+    Q("scan_geotiff_nodata", Some(
+      "WITH px AS (SELECT (event_id // 4) // 256 AS tile, " +
+        "(event_id // 4) % 256 AS pos, " +
+        "CASE WHEN event_type = 'error' THEN NULL " +
+        "ELSE CAST(user_id % 500 - 250 AS BIGINT) END AS b1, " +
+        "CASE WHEN event_type = 'signup' THEN NULL " +
+        "ELSE CAST(FLOOR(value * 100 + 0.5) AS BIGINT) % 300 END AS b2 " +
+        "FROM events WHERE event_id % 4 = 0), " +
+        "full_t AS (SELECT tile FROM px GROUP BY tile HAVING COUNT(*) = 256) " +
+        "SELECT p.tile, CAST(-32768 AS BIGINT) AS nodata_val, " +
+        "CAST(COUNT(b1) AS BIGINT) AS n_valid_b1, " +
+        "CAST(SUM(b1) AS BIGINT) AS sum_b1, CAST(MIN(b1) AS BIGINT) AS min_b1, " +
+        "CAST(COUNT(b2) AS BIGINT) AS n_valid_b2, " +
+        "CAST(SUM(b2) AS BIGINT) AS sum_b2, CAST(MIN(b2) AS BIGINT) AS min_b2 " +
+        "FROM px p JOIN full_t USING (tile) GROUP BY p.tile ORDER BY p.tile"),
+      (s, d) => {
+        import s.implicits._
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_geotiff_nodata"
+        val nd = -32768
+        val px = T.events(s, d).where(col("event_id") % 4 === 0)
+          .select(expr("(event_id div 4) div 256").as("tile"),
+            expr("(event_id div 4) % 256").as("pos"),
+            when(col("event_type") === "error", lit(nd))
+              .otherwise((col("user_id") % 500 - 250).cast("int")).as("b1"),
+            when(col("event_type") === "signup", lit(nd))
+              .otherwise((graft.Det.s2(col("value")) % 300).cast("int")).as("b2"))
+        val full = px.groupBy("tile")
+          .agg(count(lit(1)).as("c"),
+            collect_list(struct(col("pos"), col("b1"), col("b2"))).as("pxs"))
+          .where(col("c") === 256)
+          .select(col("tile"), col("pxs"))
+        // BUILD-TIME SIDE EFFECT: executors write one 2-band int16 .tif
+        // per tile (the scan_geotiff_roundtrip discipline)
+        clearDir(dir)
+        full.as[(Long, Seq[(Long, Int, Int)])].foreachPartition {
+          it: Iterator[(Long, Seq[(Long, Int, Int)])] =>
+            it.foreach { case (tile, pxs) =>
+              val data = new Array[Short](256 * 2)
+              pxs.foreach { case (pos, b1, b2) =>
+                data(pos.toInt * 2) = b1.toShort
+                data(pos.toInt * 2 + 1) = b2.toShort
+              }
+              val r = GeoTiff.RasterI16(16, 16, 2, data, nd.toShort, 1.0,
+                (tile % 8) * 16.0, (tile / 8) * 16.0)
+              Files.write(Paths.get(dir, f"tile_$tile%06d.tif"),
+                GeoTiff.encodeI16(r, GeoTiff.CompDeflate))
+            }
+        }
+        // INGEST: decode, read the nodata declaration FROM THE TAG, and
+        // translate sentinel→NULL at the DataFrame boundary (Option)
+        val rows = s.read.format("binaryFile").load(dir)
+          .select(col("content")).as[Array[Byte]]
+          .flatMap { bytes =>
+            val r = GeoTiff.decodeI16(bytes)
+            val tile = (r.originY / 16).toLong * 8 + (r.originX / 16).toLong
+            (0 until r.width * r.height).map { p =>
+              def v(b: Int): Option[Long] = {
+                val x = r.data(p * r.bands + b)
+                if (x == r.nodata) None else Some(x.toLong)
+              }
+              (tile, r.nodata.toLong, v(0), v(1))
+            }
+          }
+          .toDF("tile", "nodata_val", "b1", "b2")
+        rows.groupBy("tile")
+          .agg(max(col("nodata_val")).as("nodata_val"),
+            count(col("b1")).as("n_valid_b1"),
+            sum(col("b1")).as("sum_b1"), min(col("b1")).as("min_b1"),
+            count(col("b2")).as("n_valid_b2"),
+            sum(col("b2")).as("sum_b2"), min(col("b2")).as("min_b2"))
+          .select("tile", "nodata_val", "n_valid_b1", "sum_b1", "min_b1",
+            "n_valid_b2", "sum_b2", "min_b2")
+          .orderBy("tile")
+      }),
+
+    // Cloud-Optimized-LAYOUT sink + roundtrip (round 11, VERDICT r10
+    // missing #1 — the reference's actual output format [PK: COG to
+    // object storage]). 64 event tiles assemble one 128×128 SCENE per
+    // `scene = tile div 64`; each scene is written by
+    // [[GeoTiff.encodeCog]] as a genuinely tiled GeoTIFF (TileWidth/
+    // TileLength 16, DEFLATE) with an embedded 2× overview IFD
+    // (NewSubfileType=1) whose tile data PRECEDES the full-res data —
+    // the byte layout that makes range-request previews cheap. Both
+    // pyramid levels are read back through binaryFile + the generic
+    // multi-IFD walk and graded against the parquet truth: level 0 on
+    // the raw integers, level 1 on the exact 2×2 block sums (the
+    // Float32 average ×4 is bit-exact — each partial sum < 2^22).
+    // The scene key is REDERIVED from each level's decoded tiepoint.
+    // GeoTiffSpec pins the COG byte contract itself: a prefix cut at
+    // the first full-res tile still decodes the overview, at less than
+    // half the object's bytes.
+    Q("scan_cog_roundtrip", Some(
+      "WITH px AS (SELECT (event_id // 4) // 256 AS tile, " +
+        "(event_id // 4) % 256 AS pos, CAST(user_id % 1048576 AS BIGINT) AS v " +
+        "FROM events WHERE event_id % 4 = 0), " +
+        "full_t AS (SELECT tile FROM px GROUP BY tile HAVING COUNT(*) = 256), " +
+        "fp AS (SELECT p.tile // 64 AS scene, " +
+        "((p.tile % 64) // 8) * 16 + p.pos // 16 AS row, " +
+        "((p.tile % 64) % 8) * 16 + p.pos % 16 AS col, v " +
+        "FROM px p JOIN full_t USING (tile)), " +
+        "l0 AS (SELECT scene, CAST(0 AS BIGINT) AS level, " +
+        "CAST(16384 AS BIGINT) AS n_px, " +
+        "4 * CAST(SUM(v) AS BIGINT) AS sum4, " +
+        "4 * CAST(SUM(v * (row * 128 + col + 1)) AS BIGINT) AS checksum4 " +
+        "FROM fp GROUP BY scene), " +
+        "l1 AS (SELECT scene, CAST(1 AS BIGINT) AS level, " +
+        "CAST(4096 AS BIGINT) AS n_px, " +
+        "CAST(SUM(v) AS BIGINT) AS sum4, " +
+        "CAST(SUM(v * ((row // 2) * 64 + (col // 2) + 1)) AS BIGINT) AS checksum4 " +
+        "FROM fp GROUP BY scene) " +
+        "SELECT scene, level, n_px, sum4, checksum4 FROM " +
+        "(SELECT * FROM l0 UNION ALL SELECT * FROM l1) ORDER BY scene, level"),
+      (s, d) => {
+        import s.implicits._
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_cog"
+        val px = T.events(s, d).where(col("event_id") % 4 === 0)
+          .select(expr("(event_id div 4) div 256").as("tile"),
+            expr("(event_id div 4) % 256").as("pos"),
+            (col("user_id") % 1048576).cast("float").as("v"))
+        val fullT = px.groupBy("tile").agg(count(lit(1)).as("c"))
+          .where(col("c") === 256).select("tile")
+        val fp = px.join(fullT, "tile")
+          .select(expr("tile div 64").as("scene"),
+            (expr("((tile % 64) div 8) * 16 + pos div 16") * 128 +
+              expr("((tile % 64) % 8) * 16 + pos % 16")).as("spos"),
+            col("v"))
+        val scenes = fp.groupBy("scene")
+          .agg(collect_list(struct(col("spos"), col("v"))).as("pxs"))
+        // BUILD-TIME SIDE EFFECT: executors assemble + write one COG per
+        // scene (the scan_geotiff_roundtrip discipline; ~70 KB objects)
+        clearDir(dir)
+        scenes.as[(Long, Seq[(Long, Float)])].foreachPartition {
+          it: Iterator[(Long, Seq[(Long, Float)])] =>
+            it.foreach { case (scene, pxs) =>
+              val data = new Array[Float](128 * 128)
+              pxs.foreach { case (spos, v) => data(spos.toInt) = v }
+              val r = GeoTiff.Raster(128, 128, data, 1.0,
+                (scene % 8) * 128.0, (scene / 8) * 128.0)
+              Files.write(Paths.get(dir, f"scene_$scene%04d.tif"),
+                GeoTiff.encodeCog(r, tileSize = 16, GeoTiff.CompDeflate))
+            }
+        }
+        // read back BOTH levels via the generic multi-IFD walk; scene and
+        // level are rederived from decoded geometry, never the filename
+        val decoded = s.read.format("binaryFile").load(dir)
+          .select(col("content")).as[Array[Byte]]
+          .flatMap { bytes =>
+            GeoTiff.decodeAll(bytes).map(r =>
+              (r.originX, r.originY, r.width, r.data))
+          }
+          .toDF("ox", "oy", "w", "data")
+        decoded
+          .select(
+            (expr("cast(oy as bigint) div 128") * 8 +
+              expr("cast(ox as bigint) div 128")).as("scene"),
+            when(col("w") === 128, 0L).otherwise(1L).as("level"),
+            posexplode(col("data")).as(Seq("pos", "v")))
+          .groupBy("scene", "level")
+          .agg(count(lit(1)).as("n_px"),
+            sum((col("v").cast("double") * 4).cast("long")).as("sum4"),
+            sum((col("v").cast("double") * 4).cast("long") * (col("pos") + 1))
+              .as("checksum4"))
+          .select("scene", "level", "n_px", "sum4", "checksum4")
+          .orderBy("scene", "level")
       }))
 }

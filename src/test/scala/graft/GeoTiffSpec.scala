@@ -117,4 +117,78 @@ class GeoTiffSpec extends SparkSpec {
     val r2 = GeoTiff.decode(out.array())
     assert(r2.data.toSeq == r.data.toSeq, "two-strip reassembly")
   }
+
+  test("COG layout: tiled roundtrip, overview math, and the prefix-read byte contract") {
+    import graft.sources.GeoTiff
+    val rnd = new scala.util.Random(7)
+    // 48x32 full res (3x2 tiles of 16), integer-valued so the 2x average is exact
+    val w = 48; val h = 32
+    val data = Array.fill(w * h)(rnd.nextInt(1 << 20).toFloat)
+    val r = GeoTiff.Raster(w, h, data, 2.5, 100.0, 200.0)
+    Seq(GeoTiff.CompNone, GeoTiff.CompDeflate).foreach { comp =>
+      val bytes = GeoTiff.encodeCog(r, tileSize = 16, comp)
+      val levels = GeoTiff.decodeAll(bytes)
+      assert(levels.length == 2, "full res + one overview")
+      val l0 = levels.head; val ov = levels(1)
+      assert(l0.width == w && l0.height == h && l0.data.toSeq == data.toSeq,
+        "level 0 bit-exact")
+      assert(ov.width == 24 && ov.height == 16, "overview is the 2x level")
+      assert(l0.pixelSize == 2.5 && ov.pixelSize == 5.0, "overview pixel size doubles")
+      assert(ov.originX == 100.0 && ov.originY == 200.0, "shared origin")
+      // overview value = exact Float32 average of its 2x2 block
+      (0 until ov.height).foreach { oy =>
+        (0 until ov.width).foreach { ox =>
+          val s = data((oy * 2) * w + ox * 2) + data((oy * 2) * w + ox * 2 + 1) +
+            data((oy * 2 + 1) * w + ox * 2) + data((oy * 2 + 1) * w + ox * 2 + 1)
+          assert(ov.data(oy * ov.width + ox) == s * 0.25f, s"ov($oy,$ox)")
+        }
+      }
+      // the COG byte contract: everything a reduced-resolution reader
+      // needs sits BEFORE the first full-res tile, in < half the object
+      val prefixLen = GeoTiff.cogOverviewPrefixLen(bytes)
+      assert(prefixLen * 2 < bytes.length,
+        s"overview prefix $prefixLen vs total ${bytes.length}")
+      val prefix = java.util.Arrays.copyOfRange(bytes, 0, prefixLen)
+      val fromPrefix = GeoTiff.decodeAll(prefix, skipUnreadable = true)
+      assert(fromPrefix.length == 1, "prefix decodes exactly the overview")
+      assert(fromPrefix.head.data.toSeq == ov.data.toSeq,
+        "prefix overview bit-exact")
+      // and WITHOUT skipUnreadable the truncation fails loudly
+      intercept[Exception](GeoTiff.decodeAll(prefix))
+    }
+    // odd dimensions: edge replication in the overview, padded edge tiles
+    val w2 = 17; val h2 = 5
+    val d2 = Array.tabulate(w2 * h2)(i => (i * 3 % 97).toFloat)
+    val r2c = GeoTiff.Raster(w2, h2, d2, 1.0, 0.0, 0.0)
+    val lv2 = GeoTiff.decodeAll(GeoTiff.encodeCog(r2c, 16, GeoTiff.CompDeflate))
+    assert(lv2.head.data.toSeq == d2.toSeq, "odd-size level 0")
+    assert(lv2(1).width == 9 && lv2(1).height == 3, "odd-size overview dims")
+    val ovr = GeoTiff.overview2x(r2c)
+    assert(lv2(1).data.toSeq == ovr.data.toSeq, "odd-size overview values")
+  }
+
+  test("int16 multi-band + GDAL_NODATA roundtrip: sign, interleave, and the tag") {
+    import graft.sources.GeoTiff
+    val rnd = new scala.util.Random(13)
+    Seq(2, 3).foreach { bands => // 3 bands forces the external SHORT arrays
+      Seq(GeoTiff.CompNone, GeoTiff.CompDeflate).foreach { comp =>
+        val w = 7; val h = 5
+        val data = Array.tabulate(w * h * bands) { i =>
+          if (i % 11 == 0) (-32768).toShort // sentinel pixels
+          else (rnd.nextInt(65536) - 32768).toShort // full signed range
+        }
+        val r = GeoTiff.RasterI16(w, h, bands, data, -32768, 0.5, -10.0, 42.0)
+        val bytes = GeoTiff.encodeI16(r, comp)
+        val back = GeoTiff.decodeI16(bytes)
+        assert(back.width == w && back.height == h && back.bands == bands)
+        assert(back.nodata == -32768, "nodata read from the GDAL_NODATA tag")
+        assert(back.data.toSeq == data.toSeq, "samples bit-exact incl. sign")
+        assert(back.pixelSize == 0.5 && back.originX == -10.0 &&
+          back.originY == 42.0, "georeferencing")
+      }
+    }
+    // a positive nodata declaration also roundtrips (tag is parsed, not assumed)
+    val r2i = GeoTiff.RasterI16(2, 2, 1, Array[Short](1, 2, 255, 4), 255, 1, 0, 0)
+    assert(GeoTiff.decodeI16(GeoTiff.encodeI16(r2i)).nodata == 255)
+  }
 }
