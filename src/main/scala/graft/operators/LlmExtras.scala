@@ -24,6 +24,64 @@ object LlmExtras {
     T.documents(s, d)
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
 
+  /** Merge rounds for llm_bpe_apply (fixed K both engines; the
+    * LlmBpeSpec mirror re-runs the loop as driver-side Scala). */
+  private val BpeRounds = 6
+
+  /** The BPE training loop (see the llm_bpe_apply key comment for the
+    * ␟-wrapped symbol-string encoding that makes merge = REPLACE).
+    * K parameterized so the spec can grade intermediate rounds. */
+  private[graft] def bpeApply(s: SparkSession, d: String, k: Int): DataFrame = {
+    val sep = "\u001f"
+    val sep2 = sep + sep
+    var v = T.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("freq"))
+      .select(col("lang"),
+        concat(lit(sep), array_join(split(col("tok"), ""), sep2), lit(sep))
+          .as("tokstr"),
+        col("freq"))
+      .localCheckpoint()
+    val merges = collection.mutable.Buffer.empty[DataFrame]
+    val wWin = Window.partitionBy("lang").orderBy(col("n").desc, col("pair"))
+    for (r <- 1 to k) {
+      val sdf = v.withColumn("syms",
+        split(expr("substring(tokstr, 2, length(tokstr) - 2)"),
+          java.util.regex.Pattern.quote(sep2)))
+      val a = slice(col("syms"), lit(1), size(col("syms")) - 1)
+      val b = slice(col("syms"), lit(2), size(col("syms")) - 1)
+      val p = sdf.select(col("lang"), col("freq"),
+        explode(transform(arrays_zip(a.as("a"), b.as("b")),
+          z => concat(lit(sep), z.getField("a"), lit(sep2),
+            z.getField("b"), lit(sep)))).as("pair"))
+      val c = p.groupBy("lang", "pair").agg(sum("freq").as("n"))
+      val w = c.withColumn("rk", row_number().over(wWin))
+        .where(col("rk") === 1).select("lang", "pair", "n")
+        .localCheckpoint()
+      merges += w.select(col("lang"), lit(r.toLong).as("rnk"),
+        regexp_replace(col("pair"), java.util.regex.Pattern.quote(sep), "")
+          .as("merged"), col("n"))
+      v = v.join(broadcast(w.select("lang", "pair")), Seq("lang"), "left")
+        .select(col("lang"),
+          when(col("pair").isNull, col("tokstr"))
+            .otherwise(org.apache.spark.sql.functions.replace(col("tokstr"),
+              col("pair"),
+              org.apache.spark.sql.functions.replace(col("pair"), lit(sep2),
+                lit("")))).as("tokstr"),
+          col("freq"))
+        .localCheckpoint()
+    }
+    val fs = v.withColumn("syms",
+        split(expr("substring(tokstr, 2, length(tokstr) - 2)"),
+          java.util.regex.Pattern.quote(sep2)))
+      .groupBy("lang")
+      .agg(sum(col("freq") * size(col("syms"))).as("final_syms"))
+    merges.reduce(_ unionAll _)
+      .join(broadcast(fs), "lang")
+      .select(col("lang"), col("rnk"), col("merged"), col("n"), col("final_syms"))
+      .orderBy("lang", "rnk")
+  }
+
   val all: Seq[Q] = Seq(
 
     // SimHash-32 (Charikar 2002, "Similarity estimation techniques from
@@ -1479,6 +1537,53 @@ object LlmExtras {
           .select("lang", "rnk", "pair", "n")
           .orderBy("lang", "rnk")
       }),
+
+    // BPE TRAINING LOOP (round 11, VERDICT r10 missing #4) — the
+    // iterative merge llm_bpe_pairs only scores: K=6 rounds of "count
+    // adjacent symbol pairs per lang → merge the most frequent pair
+    // (ties to the lexicographically smallest) everywhere, greedy
+    // left-to-right" [Sennrich et al. 2016], then encode the corpus
+    // with the learned vocabulary. The trick that keeps BOTH engines on
+    // one code path: a token's symbol sequence is encoded as the string
+    // ␟sym₁␟␟sym₂␟␟…␟symₙ␟ (every symbol wrapped in CHR(31) on both
+    // sides), so "merge pair (a,b)" is literally
+    // REPLACE(tokstr, ␟a␟␟b␟, ␟ab␟) — the leading/trailing wraps make
+    // partial-symbol matches impossible (␟xa␟␟b␟ never contains ␟a␟␟b␟)
+    // and plain left-to-right REPLACE implements exactly BPE's greedy
+    // non-overlapping merge in Spark and DuckDB alike. Work per round
+    // is VOCABULARY-sized (distinct words × frequency weights), the
+    // real trainer's shape; fixed-K both engines per the graph-loop
+    // discipline, localCheckpoint per round. Output: the merge table
+    // (round, merged symbol, adjacency count at pick time) plus the
+    // final per-lang encoded symbol count.
+    Q("llm_bpe_apply", Some {
+      val S = "CHR(31)"
+      val rounds = (1 to BpeRounds).map { r =>
+        s"s$r AS (SELECT lang, freq, tokstr, " +
+          s"STRING_SPLIT(SUBSTRING(tokstr, 2, LEN(tokstr) - 2), $S||$S) AS syms FROM v${r - 1}), " +
+          s"c$r AS (SELECT lang, $S || syms[i] || $S || $S || syms[i+1] || $S AS pair, " +
+          s"CAST(SUM(freq) AS BIGINT) AS n FROM s$r, (SELECT UNNEST(RANGE(1, 64)) AS i) ix " +
+          s"WHERE i < LEN(syms) GROUP BY lang, pair), " +
+          s"w$r AS (SELECT lang, pair, n FROM (SELECT lang, pair, n, " +
+          s"ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, pair) AS rk FROM c$r) WHERE rk = 1), " +
+          s"v$r AS MATERIALIZED (SELECT v.lang, CASE WHEN w.pair IS NULL THEN v.tokstr " +
+          s"ELSE REPLACE(v.tokstr, w.pair, REPLACE(w.pair, $S||$S, '')) END AS tokstr, v.freq " +
+          s"FROM v${r - 1} v LEFT JOIN w$r w ON w.lang = v.lang)"
+      }.mkString(", ")
+      val merges = (1 to BpeRounds).map(r =>
+        s"SELECT lang, CAST($r AS BIGINT) AS rnk, REPLACE(pair, $S, '') AS merged, n FROM w$r")
+        .mkString(" UNION ALL ")
+      s"WITH v0 AS (SELECT lang, $S || ARRAY_TO_STRING(STRING_SPLIT(tok, ''), $S||$S) || $S AS tokstr, freq " +
+        "FROM (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS freq FROM " +
+        "(SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents) GROUP BY lang, tok)), " +
+        rounds + ", " +
+        s"m AS ($merges), " +
+        s"fs AS (SELECT lang, CAST(SUM(freq * LEN(STRING_SPLIT(SUBSTRING(tokstr, 2, LEN(tokstr) - 2), $S||$S))) AS BIGINT) AS final_syms " +
+        s"FROM v$BpeRounds GROUP BY lang) " +
+        "SELECT m.lang, m.rnk, m.merged, m.n, fs.final_syms FROM m JOIN fs ON fs.lang = m.lang " +
+        "ORDER BY m.lang, m.rnk"
+    },
+      (s, d) => bpeApply(s, d, BpeRounds)),
 
     // Character-entropy gibberish filter (round 9, fourth wave) — the
     // cheap pre-quality screen (random bytes and key-mash have
