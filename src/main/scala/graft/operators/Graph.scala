@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.{Q, Tables => T}
+import graft.{Det, Q, Tables => T}
 import graft.Det.{s6, sqlS6}
 
 /** SURVEY.md §3 graph-analytics row: iterative link analysis as plain
@@ -1250,6 +1250,108 @@ object Graph {
         nodes.join(broadcast(st), Seq("v"), "left")
           .select(col("v").cast("int").as("nationkey"),
             coalesce(col("stress"), lit(0L)).as("stress"))
+          .orderBy("nationkey")
+      }),
+
+    // Brandes-with-pivots betweenness (round 11 — completing VERDICT
+    // r10 next-round #3's closeness/ecc/betweenness trio): the SAMPLED
+    // dependency accumulation [Brandes 2001 §4; Bader et al. 2007's
+    // source-sampled estimator] that replaces graph_betweenness's
+    // all-pairs path composition at scale. Forward: the SAME
+    // level-synchronous (dist, σ) BFS as graph_betweenness but from the
+    // ~|V|/5 hash-picked pivot sources only (|P|·|V| state). Backward:
+    // K descending levels of δ(u) = Σ_{w ∈ succ(u)} σu/σw · (1 + δ(w)),
+    // made ENGINE-EXACT by keeping δ on the 1e6 grid and computing each
+    // term as halfUpDiv(σu·(1e6 + δ6(w)), σw) — an all-integer
+    // round-half-up, so no double ever enters the accumulation and the
+    // K-level chain hash-matches the unrolled oracle by induction.
+    // Estimate per node: bc6 = Σ over pivot sources of δ6 (v ≠ s).
+    // In unweighted BFS every edge from depth ℓ to ℓ+1 is a DAG edge,
+    // so the per-level join needs no σ-consistency filter.
+    Q("graph_betweenness_pivot", Some {
+      val rounds = (1 to StressRounds).map { k =>
+        val (p, f) = (s"p${k - 1}", s"f$k")
+        s"$f AS MATERIALIZED (SELECT fr.s, e.w AS v, CAST($k AS BIGINT) AS d, " +
+          s"CAST(SUM(fr.sig) AS BIGINT) AS sig FROM f${k - 1} fr " +
+          s"JOIN sym e ON e.u = fr.v LEFT JOIN $p p ON p.s = fr.s AND p.v = e.w " +
+          "WHERE p.s IS NULL GROUP BY fr.s, e.w), " +
+          s"p$k AS MATERIALIZED (SELECT * FROM p${k - 1} UNION ALL SELECT * FROM $f)"
+      }.mkString(", ")
+      val term = Det.sqlHalfUpDiv(s"p.sig * (1000000 + n.d6)", "n.sig")
+      val back = ((StressRounds - 1) to 1 by -1).map { lev =>
+        s"dl$lev AS MATERIALIZED (SELECT p.s, p.v, p.sig, " +
+          s"CAST(COALESCE(SUM($term), 0) AS BIGINT) AS d6 " +
+          s"FROM p$StressRounds p LEFT JOIN sym e ON e.u = p.v " +
+          s"LEFT JOIN dl${lev + 1} n ON n.s = p.s AND n.v = e.w " +
+          s"WHERE p.d = $lev GROUP BY p.s, p.v, p.sig)"
+      }.mkString(", ")
+      val union = (1 to StressRounds).map(l => s"SELECT v, d6 FROM dl$l")
+        .mkString(" UNION ALL ")
+      s"WITH $tradeEdgesSql, $mutualTop4Sql, " +
+        "sym AS MATERIALIZED (SELECT a AS u, b AS w FROM ue UNION ALL SELECT b, a FROM ue), " +
+        s"piv AS (SELECT n_nationkey AS s FROM nation " +
+        s"WHERE ((n_nationkey * $PivotHashMul) % 4294967296) % $PivotMod = 0), " +
+        "p0 AS MATERIALIZED (SELECT s, s AS v, CAST(0 AS BIGINT) AS d, CAST(1 AS BIGINT) AS sig FROM piv), " +
+        "f0 AS MATERIALIZED (SELECT * FROM p0), " +
+        rounds + ", " +
+        s"dl$StressRounds AS (SELECT s, v, sig, CAST(0 AS BIGINT) AS d6 " +
+        s"FROM p$StressRounds WHERE d = $StressRounds), " +
+        back + ", " +
+        s"allv AS ($union), " +
+        "bc AS (SELECT v, CAST(SUM(d6) AS BIGINT) AS bc6 FROM allv GROUP BY v) " +
+        "SELECT n.n_nationkey AS nationkey, " +
+        "CAST(COALESCE(bc.bc6, 0) AS BIGINT) AS bc6_est " +
+        "FROM nation n LEFT JOIN bc ON bc.v = n.n_nationkey ORDER BY nationkey"
+    },
+      (s, d) => {
+        val ue = mutualTop4(s, d)
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        val sym = ue.select(col("a").as("u"), col("b").as("w"))
+          .unionAll(ue.select(col("b").as("u"), col("a").as("w")))
+        val nodes = T.nation(s, d).select(col("n_nationkey").cast("long").as("v"))
+        val piv = nodes.where(
+          ((col("v") * lit(PivotHashMul)) % lit(4294967296L)) % lit(PivotMod) === 0)
+        var paths = piv.select(col("v").as("s"), col("v"),
+          lit(0L).as("d"), lit(1L).as("sig"))
+        var frontier = paths
+        for (k <- 1 to StressRounds) {
+          val cand = frontier.select(col("s"), col("v"), col("sig"))
+            .join(sym, col("v") === col("u"))
+            .groupBy(col("s"), col("w").as("nv"))
+            .agg(sum(col("sig")).as("sig"))
+          frontier = cand
+            .join(paths.select(col("s"), col("v").as("nv")),
+              Seq("s", "nv"), "left_anti")
+            .select(col("s"), col("nv").as("v"), lit(k.toLong).as("d"),
+              col("sig"))
+            .localCheckpoint()
+          paths = paths.unionAll(frontier)
+        }
+        val pAll = paths.localCheckpoint()
+        // backward accumulation, deepest level first; each level's δ6 is
+        // one exact-integer aggregate over the next level's table
+        var delta = pAll.where(col("d") === StressRounds)
+          .select(col("s"), col("v"), col("sig"), lit(0L).as("d6"))
+        val levels = collection.mutable.Buffer[DataFrame](delta)
+        for (lev <- (StressRounds - 1) to 1 by -1) {
+          val nxt = delta.select(col("s").as("ns"), col("v").as("nv"),
+            col("sig").as("nsig"), col("d6").as("nd6"))
+          val upd = pAll.where(col("d") === lev)
+            .join(sym, col("v") === col("u"), "left")
+            .join(broadcast(nxt),
+              col("ns") === col("s") && col("nv") === col("w"), "left")
+            .groupBy(col("s"), col("v"), col("sig"))
+            .agg(coalesce(sum(Det.halfUpDiv(
+              col("sig") * (lit(1000000L) + col("nd6")), col("nsig"))), lit(0L))
+              .as("d6"))
+          delta = upd.localCheckpoint()
+          levels += delta
+        }
+        val bc = levels.reduce(_ unionAll _)
+          .groupBy(col("v")).agg(sum(col("d6")).as("bc6"))
+        nodes.join(broadcast(bc), Seq("v"), "left")
+          .select(col("v").cast("int").as("nationkey"),
+            coalesce(col("bc6"), lit(0L)).as("bc6_est"))
           .orderBy("nationkey")
       }),
 

@@ -180,4 +180,69 @@ class GraphSpec extends SparkSpec {
     // connected corpus.
     pivots.foreach(p => assert(est(p)._3 > 0L, s"pivot $p reaches others"))
   }
+
+  test("graph_betweenness_pivot equals a scalar Brandes-with-pivots mirror") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("graph_betweenness_pivot")(spark, sfDir)
+      .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    // rebuild the mutual-top-4 undirected graph scalar-side (the
+    // graph_ktruss mirror discipline)
+    val e = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").cast("long").as("src"),
+        col("s_nationkey").cast("long").as("dst"))
+      .count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      .filter { case ((a, b), _) => a != b }
+    // .toSeq before flatMap: flatMapping a Map with a pair-valued body
+    // would re-collect into a Map and silently dedupe by source key
+    val top4 = e.groupBy(_._1._1).toSeq.flatMap { case (_, xs) =>
+      xs.toSeq.sortBy { case ((_, dst), w) => (-w, dst) }.take(4)
+        .map { case ((a, b), _) => (a, b) }
+    }.toSet
+    val und = top4.filter { case (a, b) => top4.contains((b, a)) }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    val adj = und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k2, xs) => k2 -> xs.map(_._2).toSet }
+    def hud(s2: Long, n2: Long): Long = Math.floorDiv(2 * s2 + n2, 2 * n2)
+    val pivots = (0L to 24L)
+      .filter(v => ((v * 2654435761L) % 4294967296L) % 5L == 0L)
+    val K = 8
+    val bc = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    pivots.foreach { s0 =>
+      // level-synchronous BFS with path counts, capped at K hops
+      val dist = collection.mutable.Map(s0 -> 0)
+      val sig = collection.mutable.Map(s0 -> 1L)
+      var frontier = Set(s0)
+      var lv = 0
+      while (frontier.nonEmpty && lv < K) {
+        lv += 1
+        val next = collection.mutable.Map.empty[Long, Long]
+        frontier.foreach(u => adj.getOrElse(u, Set.empty).foreach { w =>
+          if (!dist.contains(w)) next(w) = next.getOrElse(w, 0L) + sig(u)
+        })
+        next.foreach { case (w, sg) => dist(w) = lv; sig(w) = sg }
+        frontier = next.keySet.toSet
+      }
+      // integer-grid backward accumulation, deepest level first
+      val d6 = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      ((K - 1) to 1 by -1).foreach { lev =>
+        dist.filter(_._2 == lev).keys.foreach { u =>
+          val terms = adj.getOrElse(u, Set.empty).toSeq
+            .filter(w => dist.get(w).contains(lev + 1))
+            .map(w => hud(sig(u) * (1000000L + d6(w)), sig(w)))
+          d6(u) = terms.sum
+        }
+      }
+      dist.foreach { case (v, dd) => if (dd >= 1) bc(v) += d6(v) }
+    }
+    val expect = (0L to 24L).map(v => v -> bc(v)).toMap
+    assert(got == expect, s"got $got\nexpect $expect")
+    assert(got.values.exists(_ > 0L), "nontrivial centrality on this corpus")
+  }
 }
