@@ -2224,6 +2224,74 @@ object EO {
           .orderBy("event_id")
       }),
 
+    // Albers equal-area CONIC reprojection, forward and inverse (round
+    // 11 — the second member of VERDICT r10's "Albers/sinusoidal-class"
+    // gap, closing it completely): the sphere form of the projection
+    // CONUS-wide products ship on [PK: Snyder 1987 eqs. 14-1..14-11;
+    // EPSG:5070's spherical analogue], standard parallels 29.5°/45.5°,
+    // origin (23°N, 96°W), MODIS sphere radius. All projection
+    // constants (n, 2n, C, ρ0, λ0 in radians) are PRECOMPUTED
+    // round-trip decimal literals shared verbatim by both engines, so
+    // each row is one fixed IEEE chain over sin/cos/√ (forward) and
+    // atan2/asin (inverse) — trig under the coarse-grid rule (integer
+    // meters / 6-dp degrees), the eo_reproject argument. The inverse
+    // consumes the QUANTIZED integer meters, so its inputs are
+    // bit-identical across engines by construction.
+    Q("eo_reproject_albers", Some {
+      val N = "0.6028370046288244"
+      val TwoN = "1.2056740092576488"
+      val Cc = "1.351221325417899"
+      val Rho0 = "9914729.120503271"
+      val Lam0 = "-1.6755160819145565"
+      val D2R = "0.017453292519943295"
+      val R2D = "57.29577951308232"
+      val R = "6371007.181"
+      "WITH g AS (SELECT event_id, CAST(user_id % 160 AS DOUBLE) / 2 - 40 AS lat, " +
+        "-120.0 + CAST(event_id % 240 AS DOUBLE) / 4 AS lon FROM events), " +
+        s"f AS (SELECT event_id, ($R * SQRT($Cc - $TwoN * SIN(lat * $D2R))) / $N AS rho, " +
+        s"$N * (lon * $D2R - $Lam0) AS th FROM g), " +
+        s"q AS (SELECT event_id, " + sqlS0("rho * SIN(th)") + " AS x_m, " +
+        sqlS0(s"$Rho0 - rho * COS(th)") + " AS y_m FROM f), " +
+        s"i AS (SELECT event_id, x_m, y_m, " +
+        s"SQRT(CAST(x_m AS DOUBLE) * CAST(x_m AS DOUBLE) + " +
+        s"($Rho0 - CAST(y_m AS DOUBLE)) * ($Rho0 - CAST(y_m AS DOUBLE))) AS rho, " +
+        s"ATAN2(CAST(x_m AS DOUBLE), $Rho0 - CAST(y_m AS DOUBLE)) AS th FROM q), " +
+        s"j AS (SELECT event_id, x_m, y_m, " +
+        s"ASIN(($Cc - ((rho * $N) / $R) * ((rho * $N) / $R)) / $TwoN) * $R2D AS lat2, " +
+        s"($Lam0 + th / $N) * $R2D AS lon2 FROM i) " +
+        "SELECT event_id, x_m, y_m, " + sqlS6("lat2") + " AS lat6, " +
+        sqlS6("lon2") + " AS lon6 FROM j ORDER BY event_id"
+    },
+      (s, d) => {
+        val N = 0.6028370046288244
+        val TwoN = 1.2056740092576488
+        val Cc = 1.351221325417899
+        val Rho0 = 9914729.120503271
+        val Lam0 = -1.6755160819145565
+        val D2R = 0.017453292519943295
+        val R2D = 57.29577951308232
+        val R = 6371007.181
+        val geo = T.events(s, d).select(col("event_id"),
+          ((col("user_id") % 160).cast("double") / 2 - 40).as("lat"),
+          (lit(-120.0) + (col("event_id") % 240).cast("double") / 4).as("lon"))
+        val f = geo.select(col("event_id"),
+          ((lit(R) * sqrt(lit(Cc) - lit(TwoN) * sin(col("lat") * lit(D2R)))) / lit(N))
+            .as("rho"),
+          (lit(N) * (col("lon") * lit(D2R) - lit(Lam0))).as("th"))
+        val q = f.select(col("event_id"),
+          s0(col("rho") * sin(col("th"))).as("x_m"),
+          s0(lit(Rho0) - col("rho") * cos(col("th"))).as("y_m"))
+        val dy = lit(Rho0) - col("y_m").cast("double")
+        val rho = sqrt(col("x_m").cast("double") * col("x_m").cast("double") +
+          dy * dy)
+        val th = atan2(col("x_m").cast("double"), dy)
+        q.select(col("event_id"), col("x_m"), col("y_m"),
+            s6(asin((lit(Cc) - ((rho * lit(N)) / lit(R)) * ((rho * lit(N)) / lit(R))) /
+              lit(TwoN)) * lit(R2D)).as("lat6"),
+            s6((lit(Lam0) + th / lit(N)) * lit(R2D)).as("lon6"))
+          .orderBy("event_id")
+      }),
+
     // Geomedian composite per label (Roberts et al. 2017), as a
     // GRID-QUANTIZED Weiszfeld iteration — round 6 made the last
     // property-only key oracle-graded by redefining the iteration to be

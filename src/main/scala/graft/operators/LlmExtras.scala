@@ -468,6 +468,82 @@ object LlmExtras {
           .select(col("vec_id"), col("label"), s6(col("cos_raw")).as("cos_sim"))
       }),
 
+    // Product-quantization ANN (round 11) — the third rung of the ANN
+    // ladder after sign-LSH buckets and IVF probes [Jégou, Douze &
+    // Schmid 2011, "Product quantization for nearest neighbor
+    // search"]: each 64-dim embedding is split into M=4 subspaces of
+    // 16 dims, each subvector quantized to its nearest per-label
+    // subspace centroid (the one-step codebook; a trained k-means
+    // refines it at scale but the machinery is identical), so a vector
+    // compresses to 4 small codes and query distance is the
+    // asymmetric-distance LUT sum Σ_m d²(q_m, cb[m][code_m]) — the
+    // memory form that fits billion-vector indexes in RAM. Everything
+    // stays exact: per-dim terms are the ivf probe's scaled-long
+    // squares, code assignment is an integer argmin (ties → smallest
+    // centroid id), and ADC is an order-free long sum, so the full
+    // encode→LUT→rank pipeline hash-matches. Output: top-3 by ADC with
+    // each hit's code word. At archive scale the codebook broadcasts
+    // (M·ks·16 floats) and assignment is one map-side pass.
+    Q("llm_ann_pq", Some(
+      "WITH ux AS (SELECT vec_id, label, CAST(UNNEST(embedding) AS DOUBLE) AS x, " +
+        "UNNEST(RANGE(1, LEN(embedding) + 1)) AS i FROM embeddings), " +
+        "cent AS (SELECT label AS cl, i, " + sqlMean6("x") + " AS c6 " +
+        "FROM ux GROUP BY cl, i), " +
+        "ad AS (SELECT u.vec_id, (u.i - 1) // 16 AS m, c.cl, " +
+        "SUM(CAST(FLOOR((CAST(c.c6 AS DOUBLE) / 1e6 - u.x) * (CAST(c.c6 AS DOUBLE) / 1e6 - u.x) * 1e14 + 0.5) AS BIGINT)) AS d2 " +
+        "FROM ux u JOIN cent c ON c.i = u.i GROUP BY u.vec_id, m, c.cl), " +
+        "code AS (SELECT vec_id, m, cl AS code FROM (SELECT vec_id, m, cl, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cl) AS rn FROM ad) WHERE rn = 1), " +
+        "q AS (SELECT i, x AS qx FROM ux WHERE vec_id = 0), " +
+        "lut AS (SELECT (c.i - 1) // 16 AS m, c.cl, " +
+        "SUM(CAST(FLOOR((CAST(c.c6 AS DOUBLE) / 1e6 - q.qx) * (CAST(c.c6 AS DOUBLE) / 1e6 - q.qx) * 1e14 + 0.5) AS BIGINT)) AS d2 " +
+        "FROM cent c JOIN q ON q.i = c.i GROUP BY m, c.cl), " +
+        "adc AS (SELECT k.vec_id, CAST(SUM(l.d2) AS BIGINT) AS adc14, " +
+        "ARRAY_TO_STRING(LIST(CAST(k.code AS VARCHAR) ORDER BY k.m), ',') AS pq_code " +
+        "FROM code k JOIN lut l ON l.m = k.m AND l.cl = k.code " +
+        "WHERE k.vec_id <> 0 GROUP BY k.vec_id) " +
+        "SELECT a.vec_id, e.label, a.pq_code, a.adc14 " +
+        "FROM adc a JOIN embeddings e ON e.vec_id = a.vec_id " +
+        "ORDER BY a.adc14, a.vec_id LIMIT 3"),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ux = T.embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("pos", "xf")))
+          .withColumn("x", col("xf").cast("double"))
+        val cent = ux.groupBy(col("label").as("cl"), col("pos"))
+          .agg((graft.Det.mean6(col("x")).cast("double") / lit(1e6)).as("c"))
+        val term = floor((col("c") - col("x")) * (col("c") - col("x")) *
+          lit(1e14) + lit(0.5)).cast("long")
+        val ad = ux.join(cent.withColumnRenamed("pos", "cpos"),
+            col("cpos") === col("pos"))
+          .groupBy(col("vec_id"), expr("pos div 16").as("m"), col("cl"))
+          .agg(sum(term).as("d2"))
+        val wCode = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("cl"))
+        val code = ad.withColumn("rn", row_number().over(wCode))
+          .where(col("rn") === 1).select(col("vec_id"), col("m"),
+            col("cl").as("code"))
+        val q = ux.where(col("vec_id") === 0)
+          .select(col("pos").as("qpos"), col("x").as("qx"))
+        val qterm = floor((col("c") - col("qx")) * (col("c") - col("qx")) *
+          lit(1e14) + lit(0.5)).cast("long")
+        val lut = cent.join(broadcast(q), col("qpos") === col("pos"))
+          .groupBy(expr("pos div 16").as("lm"), col("cl").as("lcl"))
+          .agg(sum(qterm).as("ld2"))
+        val adc = code.where(col("vec_id") =!= 0)
+          .join(broadcast(lut),
+            col("m") === col("lm") && col("code") === col("lcl"))
+          .groupBy(col("vec_id"))
+          .agg(sum(col("ld2")).as("adc14"),
+            concat_ws(",", transform(
+              array_sort(collect_list(struct(col("m"), col("code")))),
+              e => e.getField("code").cast("string"))).as("pq_code"))
+        adc.join(T.embeddings(s, d).select(col("vec_id"), col("label")), "vec_id")
+          .orderBy(col("adc14"), col("vec_id"))
+          .limit(3)
+          .select(col("vec_id"), col("label"), col("pq_code"), col("adc14"))
+      }),
+
     // ANN recall evaluation (round 10, third wave) — "measure, don't
     // guess" applied to the ANN ladder itself: every production ANN
     // deployment is judged by recall@k against the exact ranking, so

@@ -129,4 +129,46 @@ class CrsSpec extends SparkSpec {
       assert(math.abs(lon6 - math.floor(lon2 * 1e6 + 0.5)) <= 1, "key lon6")
     }
   }
+
+  test("Albers conic: origin/parallel anchors and the inverse recovers the grid") {
+    // scalar mirror with the key's exact shared literals
+    val n = 0.6028370046288244; val cC = 1.351221325417899
+    val rho0 = 9914729.120503271; val lam0 = -1.6755160819145565
+    val r = 6371007.181
+    def fwd(lat: Double, lon: Double): (Double, Double) = {
+      val rho = r * math.sqrt(cC - 2 * n * math.sin(math.toRadians(lat))) / n
+      val th = n * (math.toRadians(lon) - lam0)
+      (rho * math.sin(th), rho0 - rho * math.cos(th))
+    }
+    def inv(x: Double, y: Double): (Double, Double) = {
+      val dy = rho0 - y
+      val rho = math.sqrt(x * x + dy * dy)
+      val th = math.atan2(x, dy)
+      (math.toDegrees(math.asin((cC - (rho * n / r) * (rho * n / r)) / (2 * n))),
+        math.toDegrees(lam0 + th / n))
+    }
+    // the projection origin maps to (0, 0)
+    val (x0, y0) = fwd(23.0, -96.0)
+    assert(math.abs(x0) < 1e-6 && math.abs(y0) < 1e-6, s"origin ($x0,$y0)")
+    // east of the central meridian x > 0; north of the origin y > 0
+    assert(fwd(23.0, -90.0)._1 > 0 && fwd(40.0, -96.0)._2 > 0)
+    // on a standard parallel the cone is tangent-true: one degree of
+    // longitude at 29.5N spans R*cos(29.5 deg)*(pi/180) meters of arc
+    val arc = {
+      val (xa, ya) = fwd(29.5, -96.0); val (xb, yb) = fwd(29.5, -95.0)
+      math.hypot(xb - xa, yb - ya)
+    }
+    val trueArc = r * math.cos(math.toRadians(29.5)) * math.Pi / 180
+    assert(math.abs(arc / trueArc - 1.0) < 1e-4, s"parallel scale $arc vs $trueArc")
+    // the graded key's inverse recovers its own synthesized grid through
+    // the integer-meter quantization, within the 6-dp degree grid
+    val rows = SparkEntry.queries("eo_reproject_albers")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { row =>
+      val (lat6, lon6) = (row.getLong(3), row.getLong(4))
+      val (lat2, lon2) = inv(row.getLong(1).toDouble, row.getLong(2).toDouble)
+      assert(math.abs(lat6 - math.floor(lat2 * 1e6 + 0.5)) <= 1, "albers lat6")
+      assert(math.abs(lon6 - math.floor(lon2 * 1e6 + 0.5)) <= 1, "albers lon6")
+    }
+  }
 }

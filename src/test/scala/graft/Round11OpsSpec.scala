@@ -1,0 +1,52 @@
+package graft
+
+/** Independent scalar mirrors for round-11 keys that don't already have
+  * one in a domain spec (the Round*OpsSpec discipline: never the
+  * oracle's arithmetic path — plain driver-side Scala over collected
+  * parquet).
+  */
+class Round11OpsSpec extends SparkSpec {
+
+  test("llm_ann_pq equals a scalar product-quantization mirror") {
+    val rows = Tables.embeddings(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val dim = 64; val m = 4; val sub = dim / m
+    def s6d(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    // per-(label, dim) centroid on the mean6 grid, exactly Det.mean6
+    val byLabel = rows.groupBy(_._3)
+    val cent: Map[(Int, Int), Double] = byLabel.flatMap { case (lb, vs) =>
+      (0 until dim).map { i =>
+        val s = vs.map(v => s6d(v._2(i).toDouble)).sum
+        val mean6 = math.floor(s.toDouble / vs.length + 0.5).toLong
+        (lb, i) -> mean6.toDouble / 1e6
+      }
+    }
+    val labels = byLabel.keys.toSeq.sorted
+    def d2(vec: Array[Float], lb: Int, ms: Int): Long =
+      (ms * sub until (ms + 1) * sub).map { i =>
+        val diff = cent((lb, i)) - vec(i).toDouble
+        math.floor(diff * diff * 1e14 + 0.5).toLong
+      }.sum
+    val qvec = rows.find(_._1 == 0L).get._2
+    val lut = (for (ms <- 0 until m; lb <- labels)
+      yield (ms, lb) -> d2(qvec, lb, ms)).toMap
+    val scored = rows.filter(_._1 != 0L).map { case (id, vec, lb) =>
+      val codes = (0 until m).map { ms =>
+        labels.minBy(l => (d2(vec, l, ms), l))
+      }
+      val adc = codes.zipWithIndex.map { case (c, ms) => lut((ms, c)) }.sum
+      (id, lb, codes.mkString(","), adc)
+    }
+    val expect = scored.sortBy(t => (t._4, t._1)).take(3).toSeq
+    val got = SparkEntry.queries("llm_ann_pq")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got == expect, s"got $got\nexpect $expect")
+    // code alphabet sanity: 4 codes, each a known label
+    got.foreach { case (_, _, cs, _) =>
+      val parts = cs.split(",").map(_.toInt)
+      assert(parts.length == m && parts.forall(labels.contains), cs)
+    }
+  }
+}
