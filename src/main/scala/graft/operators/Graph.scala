@@ -326,6 +326,51 @@ object Graph {
     dist
   }
 
+  /** The Louvain phase-1 singleton-start move sweep shared by
+    * graph_louvain_move (which outputs it directly) and
+    * graph_louvain_contract (which contracts its partition). Returns
+    * (ue mutual-top-4 edges [Cached], lbl singleton labels,
+    * pick (v, new_comm, gain)) — the exact plan the move key graded
+    * in round 10, extracted without change. */
+  private def louvainPhase1(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val ue = mutualTop4(s, d)
+      .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+    val sym = ue.select(col("a").as("u"), col("b").as("w"))
+      .unionAll(ue.select(col("b").as("u"), col("a").as("w")))
+    val lbl = T.nation(s, d).select(col("n_nationkey").as("v"),
+      col("n_nationkey").cast("long").as("comm"))
+    val m = ue.agg(count(lit(1)).as("me"))
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("dg"))
+    val ctot = lbl.join(deg, col("u") === col("v"), "left")
+      .groupBy("comm").agg(sum(coalesce(col("dg"), lit(0L))).as("st"))
+    val kin = sym
+      .join(broadcast(lbl.select(col("v").as("w"), col("comm"))), "w")
+      .groupBy(col("u").as("kv"), col("comm"))
+      .agg(count(lit(1)).as("k"))
+    val pairs = kin.select(col("kv").as("v"), col("comm"))
+      .union(lbl.select(col("v"), col("comm")))
+      .union(lbl.select(col("v"), col("v").cast("long").as("comm")))
+      .distinct()
+    val cand = pairs
+      .join(broadcast(lbl.select(col("v"), col("comm").as("own"))), "v")
+      .join(broadcast(kin), col("kv") === col("v") && kin("comm") === pairs("comm"), "left")
+      .join(broadcast(ctot.select(col("comm").as("tc"), col("st"))),
+        col("tc") === pairs("comm"), "left")
+      .join(broadcast(deg), col("u") === col("v"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("v"), pairs("comm"),
+        (lit(2) * col("me") * coalesce(col("k"), lit(0L)) -
+          (coalesce(col("st"), lit(0L)) -
+            when(pairs("comm") === col("own"), coalesce(col("dg"), lit(0L)))
+              .otherwise(0L)) * coalesce(col("dg"), lit(0L))).as("g"))
+    val wPick = Window.partitionBy("v").orderBy(col("g").desc, col("comm"))
+    val pick = cand.withColumn("rn", row_number().over(wPick))
+      .where(col("rn") === 1)
+      .select(col("v"), col("comm").as("new_comm"), col("g").as("gain"))
+    (ue, lbl, pick)
+  }
+
   /** Peel rounds and the triangle-support threshold for graph_ktruss
     * (support ≥ TrussSupp = the (TrussSupp+2)-truss). The KcoreRounds
     * contract: both engines run the SAME fixed depth; GraphSpec pins
@@ -1404,46 +1449,120 @@ object Graph {
         "JOIN pick p ON p.v = n.n_nationkey ORDER BY nationkey"
     },
       (s, d) => {
-        val ue = mutualTop4(s, d)
-          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
-        val sym = ue.select(col("a").as("u"), col("b").as("w"))
-          .unionAll(ue.select(col("b").as("u"), col("a").as("w")))
-        val lbl = T.nation(s, d).select(col("n_nationkey").as("v"),
-          col("n_nationkey").cast("long").as("comm"))
-        val m = ue.agg(count(lit(1)).as("me"))
-        val deg = sym.groupBy("u").agg(count(lit(1)).as("dg"))
-        val ctot = lbl.join(deg, col("u") === col("v"), "left")
-          .groupBy("comm").agg(sum(coalesce(col("dg"), lit(0L))).as("st"))
-        val kin = sym
-          .join(broadcast(lbl.select(col("v").as("w"), col("comm"))), "w")
-          .groupBy(col("u").as("kv"), col("comm"))
-          .agg(count(lit(1)).as("k"))
-        val pairs = kin.select(col("kv").as("v"), col("comm"))
-          .union(lbl.select(col("v"), col("comm")))
-          .union(lbl.select(col("v"), col("v").cast("long").as("comm")))
-          .distinct()
-        val cand = pairs
-          .join(broadcast(lbl.select(col("v"), col("comm").as("own"))), "v")
-          .join(broadcast(kin), col("kv") === col("v") && kin("comm") === pairs("comm"), "left")
-          .join(broadcast(ctot.select(col("comm").as("tc"), col("st"))),
-            col("tc") === pairs("comm"), "left")
-          .join(broadcast(deg), col("u") === col("v"), "left")
-          .crossJoin(broadcast(m))
-          .select(col("v"), pairs("comm"),
-            (lit(2) * col("me") * coalesce(col("k"), lit(0L)) -
-              (coalesce(col("st"), lit(0L)) -
-                when(pairs("comm") === col("own"), coalesce(col("dg"), lit(0L)))
-                  .otherwise(0L)) * coalesce(col("dg"), lit(0L))).as("g"))
-        val wPick = Window.partitionBy("v").orderBy(col("g").desc, col("comm"))
-        val pick = cand.withColumn("rn", row_number().over(wPick))
-          .where(col("rn") === 1)
-          .select(col("v"), col("comm").as("new_comm"), col("g").as("gain"))
+        val (ue, lbl, pick) = louvainPhase1(s, d)
         T.nation(s, d).select(col("n_nationkey").as("v"))
           .join(broadcast(lbl.select(col("v"), col("comm").as("old_comm"))), "v")
           .join(broadcast(pick), "v")
           .select(col("v").as("nationkey"), col("old_comm"),
             col("new_comm"), col("gain"))
           .orderBy("nationkey")
+      }),
+
+    // Louvain phase-2 CONTRACTION + the second sweep (round 11) — the
+    // half of the Louvain method graph_louvain_move's comment promised:
+    // the phase-1 moved partition contracts to SUPER-NODES (intra-
+    // community weight becomes a self-loop, inter-community weights
+    // sum), and one weighted move sweep runs on the contracted graph
+    // from the singleton restart [Blondel et al. 2008 §2]. The weighted
+    // gain keeps the exact-integer discipline: from singletons,
+    // g(i→{j}) = 2m·w_ij − k_j·k_i with m = total super-edge weight and
+    // k = strength (Σ incident + 2·self-loop) — all integer counts,
+    // ties to the smallest super-node id, moves only on positive gain.
+    // Output: one row per super-node with its strength, self-loop
+    // weight, second-sweep target and gain — the state the next Louvain
+    // level starts from. Work is community-sized after one edge-keyed
+    // relabel join.
+    Q("graph_louvain_contract", Some {
+      s"WITH $tradeEdgesSql, $mutualTop4Sql, " +
+        "sym AS (SELECT a AS u, b AS w FROM ue UNION ALL SELECT b, a FROM ue), " +
+        "lbl AS (SELECT n_nationkey AS v, CAST(n_nationkey AS BIGINT) AS comm FROM nation), " +
+        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS me FROM ue), " +
+        "deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS dg FROM sym GROUP BY u), " +
+        "ctot AS (SELECT l.comm, CAST(SUM(COALESCE(d.dg, 0)) AS BIGINT) AS st " +
+        "FROM lbl l LEFT JOIN deg d ON d.u = l.v GROUP BY l.comm), " +
+        "kin AS (SELECT s.u AS v, lw.comm, CAST(COUNT(*) AS BIGINT) AS k " +
+        "FROM sym s JOIN lbl lw ON lw.v = s.w GROUP BY s.u, lw.comm), " +
+        "pairs AS (SELECT v, comm FROM kin UNION SELECT v, comm FROM lbl " +
+        "UNION SELECT v, CAST(v AS BIGINT) AS comm FROM lbl), " +
+        "cand AS (SELECT p.v, p.comm, " +
+        "CAST(2 * (SELECT me FROM m) * COALESCE(k.k, 0) " +
+        "- (COALESCE(ct.st, 0) - CASE WHEN p.comm = l.comm THEN COALESCE(d.dg, 0) ELSE 0 END) " +
+        "* COALESCE(d.dg, 0) AS BIGINT) AS g " +
+        "FROM pairs p JOIN lbl l ON l.v = p.v " +
+        "LEFT JOIN kin k ON k.v = p.v AND k.comm = p.comm " +
+        "LEFT JOIN ctot ct ON ct.comm = p.comm " +
+        "LEFT JOIN deg d ON d.u = p.v), " +
+        "pick AS (SELECT v, comm AS new_comm, g FROM (SELECT *, " +
+        "ROW_NUMBER() OVER (PARTITION BY v ORDER BY g DESC, comm) AS rn FROM cand) r " +
+        "WHERE rn = 1), " +
+        "nl AS (SELECT v, new_comm FROM pick), " +
+        "se AS (SELECT LEAST(la.new_comm, lb.new_comm) AS ca, " +
+        "GREATEST(la.new_comm, lb.new_comm) AS cb, CAST(COUNT(*) AS BIGINT) AS w " +
+        "FROM ue JOIN nl la ON la.v = ue.a JOIN nl lb ON lb.v = ue.b GROUP BY 1, 2), " +
+        "m2 AS (SELECT CAST(SUM(w) AS BIGINT) AS mw FROM se), " +
+        "sym2 AS (SELECT ca AS i, cb AS j, w FROM se WHERE ca <> cb " +
+        "UNION ALL SELECT cb, ca, w FROM se WHERE ca <> cb), " +
+        "selfw AS (SELECT ca AS i, w FROM se WHERE ca = cb), " +
+        "nodes2 AS (SELECT DISTINCT new_comm AS i FROM nl), " +
+        "ki AS (SELECT n.i, CAST(COALESCE(sw.s, 0) + 2 * COALESCE(sf.w, 0) AS BIGINT) AS k " +
+        "FROM nodes2 n LEFT JOIN (SELECT i, SUM(w) AS s FROM sym2 GROUP BY i) sw ON sw.i = n.i " +
+        "LEFT JOIN selfw sf ON sf.i = n.i), " +
+        "cand2 AS (SELECT s.i, s.j AS c, " +
+        "CAST(2 * (SELECT mw FROM m2) * s.w - kj.k * ki.k AS BIGINT) AS g " +
+        "FROM sym2 s JOIN ki ON ki.i = s.i JOIN ki kj ON kj.i = s.j), " +
+        "pick2 AS (SELECT i, c, g FROM (SELECT i, c, g, " +
+        "ROW_NUMBER() OVER (PARTITION BY i ORDER BY g DESC, c) AS rn FROM cand2) r WHERE rn = 1) " +
+        "SELECT n.i AS super_node, ki.k AS strength, " +
+        "CAST(COALESCE(sf.w, 0) AS BIGINT) AS w_self, " +
+        "CAST(CASE WHEN COALESCE(p.g, 0) > 0 THEN p.c ELSE n.i END AS BIGINT) AS move_to, " +
+        "CAST(GREATEST(COALESCE(p.g, 0), 0) AS BIGINT) AS gain2 " +
+        "FROM nodes2 n JOIN ki ON ki.i = n.i " +
+        "LEFT JOIN selfw sf ON sf.i = n.i " +
+        "LEFT JOIN pick2 p ON p.i = n.i ORDER BY super_node"
+    },
+      (s, d) => {
+        val (ue, _, pick) = louvainPhase1(s, d)
+        val nl = pick.select(col("v"), col("new_comm"))
+        val se = ue
+          .join(broadcast(nl.select(col("v").as("a"), col("new_comm").as("la"))), "a")
+          .join(broadcast(nl.select(col("v").as("b"), col("new_comm").as("lb"))), "b")
+          .groupBy(least(col("la"), col("lb")).as("ca"),
+            greatest(col("la"), col("lb")).as("cb"))
+          .agg(count(lit(1)).as("w"))
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        val m2 = se.agg(sum(col("w")).as("mw"))
+        val sym2 = se.where(col("ca") =!= col("cb"))
+          .select(col("ca").as("i"), col("cb").as("j"), col("w"))
+          .unionAll(se.where(col("ca") =!= col("cb"))
+            .select(col("cb").as("i"), col("ca").as("j"), col("w")))
+        val selfw = se.where(col("ca") === col("cb"))
+          .select(col("ca").as("si"), col("w").as("ws"))
+        val nodes2 = nl.select(col("new_comm").as("i")).distinct()
+        val ki = nodes2
+          .join(broadcast(sym2.groupBy("i").agg(sum("w").as("sw"))), Seq("i"), "left")
+          .join(broadcast(selfw), col("si") === col("i"), "left")
+          .select(col("i"),
+            (coalesce(col("sw"), lit(0L)) + lit(2) * coalesce(col("ws"), lit(0L)))
+              .as("k"))
+        val cand2 = sym2
+          .join(broadcast(ki), "i")
+          .join(broadcast(ki.select(col("i").as("j"), col("k").as("kj"))), "j")
+          .crossJoin(broadcast(m2))
+          .select(col("i"), col("j").as("c"),
+            (lit(2) * col("mw") * col("w") - col("kj") * col("k")).as("g"))
+        val wPick2 = Window.partitionBy("i").orderBy(col("g").desc, col("c"))
+        val pick2 = cand2.withColumn("rn", row_number().over(wPick2))
+          .where(col("rn") === 1).select(col("i"), col("c"), col("g"))
+        nodes2
+          .join(broadcast(ki), "i")
+          .join(broadcast(selfw), col("si") === col("i"), "left")
+          .join(broadcast(pick2), Seq("i"), "left")
+          .select(col("i").as("super_node"), col("k").as("strength"),
+            coalesce(col("ws"), lit(0L)).as("w_self"),
+            when(coalesce(col("g"), lit(0L)) > 0, col("c")).otherwise(col("i"))
+              .as("move_to"),
+            greatest(coalesce(col("g"), lit(0L)), lit(0L)).as("gain2"))
+          .orderBy("super_node")
       }),
 
     // K-truss decomposition (round 10, fifth wave) — the triangle-support

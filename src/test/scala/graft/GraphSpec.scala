@@ -245,4 +245,60 @@ class GraphSpec extends SparkSpec {
     assert(got == expect, s"got $got\nexpect $expect")
     assert(got.values.exists(_ > 0L), "nontrivial centrality on this corpus")
   }
+
+  test("graph_louvain_contract equals a scalar phase-2 mirror over the moved partition") {
+    import org.apache.spark.sql.functions._
+    // phase-1 partition straight from the graded move key
+    val comm = SparkEntry.queries("graph_louvain_move")(spark, sfDir)
+      .collect().map(r => r.getInt(0).toLong -> r.getLong(2)).toMap
+    // scalar mutual-top-4 undirected edges (the Brandes-mirror recipe)
+    val e = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").cast("long").as("src"),
+        col("s_nationkey").cast("long").as("dst"))
+      .count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      .filter { case ((a, b), _) => a != b }
+    val top4 = e.groupBy(_._1._1).toSeq.flatMap { case (_, xs) =>
+      xs.toSeq.sortBy { case ((_, dst), w) => (-w, dst) }.take(4)
+        .map { case ((a, b), _) => (a, b) }
+    }.toSet
+    val und = top4.filter { case (a, b) => top4.contains((b, a)) }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    // contraction: super-edges with self-loops for intra weight
+    val se = und.toSeq.groupBy { case (a, b) =>
+      val (ca, cb) = (comm(a), comm(b))
+      (math.min(ca, cb), math.max(ca, cb))
+    }.map { case (k2, xs) => k2 -> xs.length.toLong }
+    val mw = se.values.sum
+    val nodes2 = comm.values.toSet
+    val nbW = se.toSeq.filter { case ((a, b), _) => a != b }
+      .flatMap { case ((a, b), w) => Seq((a, b) -> w, (b, a) -> w) }.toMap
+    val selfW = se.collect { case ((a, b), w) if a == b => a -> w }
+    val k = nodes2.map(i => i ->
+      (nbW.collect { case ((x, _), w) if x == i => w }.sum +
+        2 * selfW.getOrElse(i, 0L))).toMap
+    val expect = nodes2.toSeq.sorted.map { i =>
+      val cands = nbW.collect { case ((x, j), w) if x == i =>
+        j -> (2 * mw * w - k(j) * k(i))
+      }.toSeq
+      val (c, g) =
+        if (cands.isEmpty) (i, 0L)
+        else cands.minBy { case (j, gg) => (-gg, j) }
+      (i, k(i), selfW.getOrElse(i, 0L),
+        if (g > 0) c else i, math.max(g, 0L))
+    }
+    val got = SparkEntry.queries("graph_louvain_contract")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expect, s"got $got\nexpect $expect")
+    // conservation: strengths sum to twice the total super-edge weight,
+    // which equals the original undirected edge count
+    assert(k.values.sum == 2 * mw && mw == und.size.toLong)
+  }
 }
