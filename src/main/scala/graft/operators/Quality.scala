@@ -20,7 +20,86 @@ import Det._
   */
 object Quality {
 
+  /** Canonical physical-type names shared by the schema-drift key's two
+    * readers (Spark StructType vs DuckDB parquet_schema). */
+  private def canonicalType(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => "int64"
+      case IntegerType => "int32"
+      case DoubleType => "double"
+      case FloatType => "float"
+      case StringType => "string"
+      case TimestampType => "timestamp"
+      case other => other.simpleString
+    }
+  }
+
+  private val DriftDir =
+    s"${System.getProperty("java.io.tmpdir")}/graft_schema_drift"
+
   val all: Seq[Q] = Seq(
+
+    // Schema-drift audit between two table vintages (round 11) — the
+    // ops check every long-lived lake needs when producers evolve: two
+    // parquet vintages are written (v2 DROPS a column, ADDS another and
+    // WIDENS int32→int64 on a third), then BOTH engines read the actual
+    // parquet FOOTERS — Spark via the reader's StructType, DuckDB via
+    // parquet_schema() — normalize physical types to one canonical
+    // vocabulary, and emit per-column added/removed/type_changed/
+    // unchanged verdicts. Grading footer-derived metadata (not data)
+    // pins the end-to-end write→footer→read fidelity of both engines'
+    // parquet stacks; the comparison itself is METADATA-sized (a
+    // schema's worth of driver rows, documented — never a data path).
+    Q("dq_schema_drift", Some {
+      def side(n: Int) =
+        s"s$n AS (SELECT name, CASE " +
+          "WHEN type = 'INT64' AND converted_type IS NULL THEN 'int64' " +
+          "WHEN type = 'INT64' THEN 'timestamp' " +
+          "WHEN type = 'INT96' THEN 'timestamp' " + // Spark default writer
+          "WHEN type = 'INT32' THEN 'int32' " +
+          "WHEN type = 'DOUBLE' THEN 'double' " +
+          "WHEN type = 'FLOAT' THEN 'float' " +
+          "WHEN type = 'BYTE_ARRAY' THEN 'string' END AS t " +
+          s"FROM parquet_schema('$DriftDir/v$n/*.parquet') WHERE type IS NOT NULL)"
+      "WITH " + side(1) + ", " + side(2) + " " +
+        "SELECT COALESCE(s1.name, s2.name) AS col_name, " +
+        "s1.t AS type_v1, s2.t AS type_v2, " +
+        "CASE WHEN s1.name IS NULL THEN 'added' " +
+        "WHEN s2.name IS NULL THEN 'removed' " +
+        "WHEN s1.t <> s2.t THEN 'type_changed' ELSE 'unchanged' END AS verdict " +
+        "FROM s1 FULL OUTER JOIN s2 ON s2.name = s1.name ORDER BY col_name"
+    },
+      (s, d) => {
+        import s.implicits._
+        // BUILD-TIME SIDE EFFECT: write the two vintages (the
+        // scan_merge_schema discipline; one file each, metadata-sized)
+        T.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey").cast("int"),
+            col("o_totalprice"), col("o_orderdate").as("order_ts"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$DriftDir/v1")
+        T.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey").cast("long"),
+            col("o_orderpriority").as("priority"),
+            col("o_orderdate").as("order_ts"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$DriftDir/v2")
+        // read back the FOOTERS; the drift table is schema-sized
+        val v1 = s.read.parquet(s"$DriftDir/v1").schema.fields
+          .map(f => f.name -> canonicalType(f.dataType)).toMap
+        val v2 = s.read.parquet(s"$DriftDir/v2").schema.fields
+          .map(f => f.name -> canonicalType(f.dataType)).toMap
+        val rows = (v1.keySet ++ v2.keySet).toSeq.sorted.map { name =>
+          val (t1, t2) = (v1.get(name), v2.get(name))
+          val verdict =
+            if (t1.isEmpty) "added"
+            else if (t2.isEmpty) "removed"
+            else if (t1 != t2) "type_changed"
+            else "unchanged"
+          (name, t1.orNull, t2.orNull, verdict)
+        }
+        rows.toDF("col_name", "type_v1", "type_v2", "verdict")
+          .orderBy("col_name")
+      }),
 
     // Sharded table fingerprint (round 10, fifth wave) — the
     // replication/migration audit every cross-system copy runs: an

@@ -49,4 +49,21 @@ class Round11OpsSpec extends SparkSpec {
       assert(parts.length == m && parts.forall(labels.contains), cs)
     }
   }
+
+  test("dq_schema_drift verdicts match the vintage-generating rule exactly") {
+    val got = SparkEntry.queries("dq_schema_drift")(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((Option(r.getString(1)), Option(r.getString(2)), r.getString(3))))
+      .toMap
+    // v1 = (o_orderkey int64, o_custkey int32, o_totalprice double,
+    //       order_ts timestamp); v2 drops o_totalprice, adds priority
+    //       string, widens o_custkey to int64
+    val expect = Map(
+      "o_orderkey" -> ((Some("int64"), Some("int64"), "unchanged")),
+      "o_custkey" -> ((Some("int32"), Some("int64"), "type_changed")),
+      "o_totalprice" -> ((Some("double"), None, "removed")),
+      "priority" -> ((None, Some("string"), "added")),
+      "order_ts" -> ((Some("timestamp"), Some("timestamp"), "unchanged")))
+    assert(got == expect, s"got $got")
+  }
 }
