@@ -82,6 +82,44 @@ object LlmExtras {
       .orderBy("lang", "rnk")
   }
 
+  /** The PQ encode→LUT→ADC pipeline shared by llm_ann_pq (top-3 with
+    * code words) and llm_ann_pq_recall (top-10 vs the exact ranking).
+    * Returns (vec_id, adc14, pq_code) for every non-query vector. */
+  private def pqAdc(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ux = T.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .withColumn("x", col("xf").cast("double"))
+    val cent = ux.groupBy(col("label").as("cl"), col("pos"))
+      .agg((graft.Det.mean6(col("x")).cast("double") / lit(1e6)).as("c"))
+    val term = floor((col("c") - col("x")) * (col("c") - col("x")) *
+      lit(1e14) + lit(0.5)).cast("long")
+    val ad = ux.join(cent.withColumnRenamed("pos", "cpos"),
+        col("cpos") === col("pos"))
+      .groupBy(col("vec_id"), expr("pos div 16").as("m"), col("cl"))
+      .agg(sum(term).as("d2"))
+    val wCode = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("cl"))
+    val code = ad.withColumn("rn", row_number().over(wCode))
+      .where(col("rn") === 1).select(col("vec_id"), col("m"),
+        col("cl").as("code"))
+    val q = ux.where(col("vec_id") === 0)
+      .select(col("pos").as("qpos"), col("x").as("qx"))
+    val qterm = floor((col("c") - col("qx")) * (col("c") - col("qx")) *
+      lit(1e14) + lit(0.5)).cast("long")
+    val lut = cent.join(broadcast(q), col("qpos") === col("pos"))
+      .groupBy(expr("pos div 16").as("lm"), col("cl").as("lcl"))
+      .agg(sum(qterm).as("ld2"))
+    code.where(col("vec_id") =!= 0)
+      .join(broadcast(lut),
+        col("m") === col("lm") && col("code") === col("lcl"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("ld2")).as("adc14"),
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("m"), col("code")))),
+          e => e.getField("code").cast("string"))).as("pq_code"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // SimHash-32 (Charikar 2002, "Similarity estimation techniques from
@@ -505,43 +543,78 @@ object LlmExtras {
         "SELECT a.vec_id, e.label, a.pq_code, a.adc14 " +
         "FROM adc a JOIN embeddings e ON e.vec_id = a.vec_id " +
         "ORDER BY a.adc14, a.vec_id LIMIT 3"),
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val ux = T.embeddings(s, d)
-          .select(col("vec_id"), col("label"),
-            posexplode(col("embedding")).as(Seq("pos", "xf")))
-          .withColumn("x", col("xf").cast("double"))
-        val cent = ux.groupBy(col("label").as("cl"), col("pos"))
-          .agg((graft.Det.mean6(col("x")).cast("double") / lit(1e6)).as("c"))
-        val term = floor((col("c") - col("x")) * (col("c") - col("x")) *
-          lit(1e14) + lit(0.5)).cast("long")
-        val ad = ux.join(cent.withColumnRenamed("pos", "cpos"),
-            col("cpos") === col("pos"))
-          .groupBy(col("vec_id"), expr("pos div 16").as("m"), col("cl"))
-          .agg(sum(term).as("d2"))
-        val wCode = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("cl"))
-        val code = ad.withColumn("rn", row_number().over(wCode))
-          .where(col("rn") === 1).select(col("vec_id"), col("m"),
-            col("cl").as("code"))
-        val q = ux.where(col("vec_id") === 0)
-          .select(col("pos").as("qpos"), col("x").as("qx"))
-        val qterm = floor((col("c") - col("qx")) * (col("c") - col("qx")) *
-          lit(1e14) + lit(0.5)).cast("long")
-        val lut = cent.join(broadcast(q), col("qpos") === col("pos"))
-          .groupBy(expr("pos div 16").as("lm"), col("cl").as("lcl"))
-          .agg(sum(qterm).as("ld2"))
-        val adc = code.where(col("vec_id") =!= 0)
-          .join(broadcast(lut),
-            col("m") === col("lm") && col("code") === col("lcl"))
-          .groupBy(col("vec_id"))
-          .agg(sum(col("ld2")).as("adc14"),
-            concat_ws(",", transform(
-              array_sort(collect_list(struct(col("m"), col("code")))),
-              e => e.getField("code").cast("string"))).as("pq_code"))
-        adc.join(T.embeddings(s, d).select(col("vec_id"), col("label")), "vec_id")
+      (s, d) =>
+        pqAdc(s, d)
+          .join(T.embeddings(s, d).select(col("vec_id"), col("label")), "vec_id")
           .orderBy(col("adc14"), col("vec_id"))
           .limit(3)
-          .select(col("vec_id"), col("label"), col("pq_code"), col("adc14"))
+          .select(col("vec_id"), col("label"), col("pq_code"), col("adc14"))),
+
+    // PQ recall evaluation (round 11) — the "measure, don't guess"
+    // harness extended to the new ANN rung: the PQ top-10 by asymmetric
+    // distance intersected with the EXACT scaled-long cosine top-10
+    // (llm_cosine_topk's law, ties by vec_id). Candidate/hit counts are
+    // pure integers; recall is one s6 projection. At archive scale the
+    // exact pass runs on a held-out slice while ADC ranking is
+    // codes-only — the recall-eval protocol of llm_ann_recall_eval
+    // applied to quantized distances.
+    Q("llm_ann_pq_recall", Some(
+      "WITH ux AS (SELECT vec_id, label, CAST(UNNEST(embedding) AS DOUBLE) AS x, " +
+        "UNNEST(RANGE(1, LEN(embedding) + 1)) AS i FROM embeddings), " +
+        "q AS (SELECT i, x AS qx FROM ux WHERE vec_id = 0), " +
+        "nq AS (SELECT SUM(CAST(FLOOR(qx * qx * 1e14 + 0.5) AS BIGINT)) AS nl FROM q), " +
+        "alld AS (SELECT u.vec_id, " +
+        "SUM(CAST(FLOOR(u.x * q.qx * 1e14 + 0.5) AS BIGINT)) AS dotl, " +
+        "SUM(CAST(FLOOR(u.x * u.x * 1e14 + 0.5) AS BIGINT)) AS nl " +
+        "FROM ux u JOIN q ON u.i = q.i WHERE u.vec_id <> 0 GROUP BY u.vec_id), " +
+        "cosd AS (SELECT vec_id, (CAST(dotl AS DOUBLE) / 1e14) / " +
+        "(SQRT(CAST(nl AS DOUBLE) / 1e14) * SQRT((SELECT CAST(nl AS DOUBLE) FROM nq) / 1e14)) AS c " +
+        "FROM alld), " +
+        "top10 AS (SELECT vec_id FROM cosd ORDER BY c DESC, vec_id LIMIT 10), " +
+        "cent AS (SELECT label AS cl, i, " + sqlMean6("x") + " AS c6 " +
+        "FROM ux GROUP BY cl, i), " +
+        "ad AS (SELECT u.vec_id, (u.i - 1) // 16 AS m, c.cl, " +
+        "SUM(CAST(FLOOR((CAST(c.c6 AS DOUBLE) / 1e6 - u.x) * (CAST(c.c6 AS DOUBLE) / 1e6 - u.x) * 1e14 + 0.5) AS BIGINT)) AS d2 " +
+        "FROM ux u JOIN cent c ON c.i = u.i GROUP BY u.vec_id, m, c.cl), " +
+        "code AS (SELECT vec_id, m, cl AS code FROM (SELECT vec_id, m, cl, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cl) AS rn FROM ad) WHERE rn = 1), " +
+        "lut AS (SELECT (c.i - 1) // 16 AS m, c.cl, " +
+        "SUM(CAST(FLOOR((CAST(c.c6 AS DOUBLE) / 1e6 - q.qx) * (CAST(c.c6 AS DOUBLE) / 1e6 - q.qx) * 1e14 + 0.5) AS BIGINT)) AS d2 " +
+        "FROM cent c JOIN q ON q.i = c.i GROUP BY m, c.cl), " +
+        "adc AS (SELECT k.vec_id, CAST(SUM(l.d2) AS BIGINT) AS adc14 " +
+        "FROM code k JOIN lut l ON l.m = k.m AND l.cl = k.code " +
+        "WHERE k.vec_id <> 0 GROUP BY k.vec_id), " +
+        "pq10 AS (SELECT vec_id FROM adc ORDER BY adc14, vec_id LIMIT 10), " +
+        "k AS (SELECT CAST((SELECT COUNT(*) FROM pq10) AS BIGINT) AS n_top, " +
+        "CAST((SELECT COUNT(*) FROM top10 t JOIN pq10 USING (vec_id)) AS BIGINT) AS hits_pq10) " +
+        "SELECT n_top, hits_pq10, " +
+        sqlS6("CAST(hits_pq10 AS DOUBLE) / CAST(n_top AS DOUBLE)") +
+        " AS recall6 FROM k"),
+      (s, d) => {
+        graft.functions.VectorExprs.register(s)
+        import graft.functions.VectorExprs.sdotl
+        val emb = T.embeddings(s, d)
+        val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+        val cos = (sdotl(col("embedding"), col("qe")).cast("double") / lit(1e14)) /
+          (sqrt(sdotl(col("embedding"), col("embedding")).cast("double") / lit(1e14)) *
+            sqrt(sdotl(col("qe"), col("qe")).cast("double") / lit(1e14)))
+        val top10 = emb.where(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .withColumn("c", cos)
+          .orderBy(col("c").desc, col("vec_id"))
+          .limit(10)
+          .select(col("vec_id"))
+        val pq10 = pqAdc(s, d)
+          .orderBy(col("adc14"), col("vec_id"))
+          .limit(10)
+          .select(col("vec_id"))
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        val nTop = pq10.agg(count(lit(1)).as("n_top"))
+        val hits = top10.join(pq10, "vec_id").agg(count(lit(1)).as("hits_pq10"))
+        nTop.crossJoin(hits)
+          .select(col("n_top"), col("hits_pq10"),
+            s6(col("hits_pq10").cast("double") / col("n_top").cast("double"))
+              .as("recall6"))
       }),
 
     // ANN recall evaluation (round 10, third wave) — "measure, don't

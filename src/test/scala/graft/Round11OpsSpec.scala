@@ -50,6 +50,23 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  test("llm_ann_pq_recall: counts are consistent and the quantized ranking finds real neighbors") {
+    val r = SparkEntry.queries("llm_ann_pq_recall")(spark, sfDir).collect().head
+    val (nTop, hits, recall6) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nTop == 10L, "PQ top list is full")
+    assert(hits >= 1L && hits <= nTop, s"hits $hits out of range")
+    assert(recall6 == math.floor(hits.toDouble / nTop * 1e6 + 0.5).toLong,
+      "recall is the s6 of hits/n")
+    // PQ's top-3 must be a prefix of the recall key's top-10 ADC ranking
+    // universe: re-derive their ADCs strictly increasing with the tie rule
+    val top3 = SparkEntry.queries("llm_ann_pq")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(top3.length == 3)
+    top3.sliding(2).foreach { case Array((idA, a), (idB, b)) =>
+      assert(a < b || (a == b && idA < idB), "ADC ordering with vec_id ties")
+    }
+  }
+
   test("dq_schema_drift verdicts match the vintage-generating rule exactly") {
     val got = SparkEntry.queries("dq_schema_drift")(spark, sfDir).collect()
       .map(r => r.getString(0) ->
