@@ -274,6 +274,114 @@ object StreamTwins {
         s.table("graft_exec_fmgws").orderBy("user_id")
       }),
 
+    // EXECUTED GroupState EVENT-TIME TIMEOUT (round 11) — the one
+    // arbitrary-state feature stream_exec_fmgws does not exercise: a
+    // per-user "session" that CLOSES when the watermark passes its
+    // timeout timestamp (the idle-session / abandoned-cart machine every
+    // GroupStateTimeout user builds). Staged as TWO mtime-ordered files
+    // under maxFilesPerTrigger=1 — file A: every event at or before the
+    // integer midpoint of the time span; file B: only the SECOND-half
+    // events of users with user_id % 3 = 0 — so three emission lanes
+    // exist: (1) users with no batch-2 data whose timeout (last A event
+    // + 1 day) falls below the batch-2 watermark W1 = max(A) − 1 h (the
+    // measured one-batch lag, the stream_exec_late precedent) fire
+    // DURING batch 2; (2) AvailableNow then runs one extra FLUSH batch
+    // because the watermark advanced (shouldRunAnotherBatch), firing
+    // remaining states whose timeout < W2 = max(B) − 1 h; (3) states
+    // whose timeout survives W2 emit NOTHING — closed-only output, the
+    // Append-mode contract. Each emission carries the exact (count,
+    // Σs6(value)) fold over everything the state absorbed across both
+    // batches, so a lost flush batch, a wrong watermark, or a timeout
+    // firing against the wrong bound all break the hash. BUILD-TIME
+    // SIDE EFFECT: stages files + runs the streaming query to
+    // completion at plan-construction time.
+    Q("stream_exec_timeout", Some(
+      "WITH te AS (SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS te, value FROM events), " +
+        "mm AS (SELECT (MIN(te) + MAX(te)) // 2 AS tm FROM te), " +
+        "a AS (SELECT * FROM te WHERE te <= (SELECT tm FROM mm)), " +
+        "b AS (SELECT * FROM te WHERE te > (SELECT tm FROM mm) AND user_id % 3 = 0), " +
+        "w1 AS (SELECT MAX(te) - 3600 AS w FROM a), " +
+        "w2 AS (SELECT MAX(te) - 3600 AS w FROM b), " +
+        "ag AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS na, " +
+        "CAST(SUM(" + sqlS6("value") + ") AS BIGINT) AS sa, MAX(te) AS ma FROM a GROUP BY user_id), " +
+        "bg AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS nb, " +
+        "CAST(SUM(" + sqlS6("value") + ") AS BIGINT) AS sb, MAX(te) AS mb FROM b GROUP BY user_id), " +
+        "j AS (SELECT COALESCE(ag.user_id, bg.user_id) AS user_id, " +
+        "COALESCE(na, 0) + COALESCE(nb, 0) AS n, " +
+        "COALESCE(sa, 0) + COALESCE(sb, 0) AS sum_val, ma, nb, mb " +
+        "FROM ag FULL OUTER JOIN bg ON bg.user_id = ag.user_id) " +
+        "SELECT user_id, CAST(n AS BIGINT) AS n, CAST(sum_val AS BIGINT) AS sum_val FROM j " +
+        "WHERE CASE WHEN nb IS NULL THEN " +
+        "ma + 86400 < (SELECT w FROM w1) OR ma + 86400 < (SELECT w FROM w2) " +
+        "ELSE mb + 86400 < (SELECT w FROM w2) END " +
+        "ORDER BY user_id"),
+      (s, d) => {
+        val landing = java.nio.file.Files.createTempDirectory("graft_exec_timeout")
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = s.read.parquet(s"$d/events.parquet")
+        val Array(mn, mx) = raw
+          .agg(min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts"))))
+          .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+        val tm = Math.floorDiv(mn + mx, 2L)
+        def stage(pred: org.apache.spark.sql.Column, name: String,
+            ageSec: Long): Unit = {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_timeout_part")
+          raw.where(pred).coalesce(1)
+            .write.mode("overwrite").parquet(tmp.toString)
+          val part = new java.io.File(tmp.toString).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = landing.resolve(name)
+          java.nio.file.Files.move(part.toPath, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis() - ageSec * 1000))
+        }
+        stage(unix_timestamp(col("ts")) <= tm, "a.parquet", 240L)
+        stage(unix_timestamp(col("ts")) > tm && col("user_id") % 3 === 0,
+          "b.parquet", 0L)
+        val sq = s
+        import sq.implicits._
+        val stream = T.eventsStream(s, d, landing.toString, Some(1))
+          .select(col("user_id"), epochS(col("ts")).as("te"), col("value"),
+            timestamp_seconds(epochS(col("ts"))).as("tsec"))
+          .withWatermark("tsec", "1 hour")
+          // keep the watermarked column in the projection: dropping it
+          // would strip the watermark the event-time timeout requires
+          .as[(Long, Long, Double, java.sql.Timestamp)]
+        val emitted = stream.groupByKey(_._1)
+          .flatMapGroupsWithState(
+            org.apache.spark.sql.streaming.OutputMode.Append(),
+            org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout())(
+            (uid: Long, rows: Iterator[(Long, Long, Double, java.sql.Timestamp)],
+                state: org.apache.spark.sql.streaming.GroupState[(Long, Long)]) => {
+              if (state.hasTimedOut) {
+                val (n, acc) = state.get
+                state.remove()
+                Iterator((uid, n, acc))
+              } else {
+                val (n0, s0) = state.getOption.getOrElse((0L, 0L))
+                var n = n0; var acc = s0; var maxT = Long.MinValue
+                rows.foreach { r =>
+                  n += 1
+                  acc += math.floor(r._3 * 1e6 + 0.5).toLong
+                  if (r._2 > maxT) maxT = r._2
+                }
+                state.update((n, acc))
+                // idle gap: close 1 day after the group's last event
+                state.setTimeoutTimestamp(maxT * 1000L + 86400L * 1000L)
+                Iterator.empty
+              }
+            })
+          .toDF("user_id", "n", "sum_val")
+        val q = emitted.writeStream.format("memory")
+          .queryName("graft_exec_timeout")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("graft_exec_timeout").orderBy("user_id")
+      }),
+
     // EXECUTED checkpoint recovery (round 10 third wave) — the
     // exactly-once RESTART property, which none of the other executed
     // keys touch (they each run one query lifetime): the same tumbling

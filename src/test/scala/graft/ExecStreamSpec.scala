@@ -119,4 +119,38 @@ class ExecStreamSpec extends SparkSpec {
     val exec2 = SparkEntry.queries("stream_exec_join")(spark, sfDir).collect().toSeq
     assert(exec2 == batch, "second invocation in the same session")
   }
+
+  test("executed event-time timeout matches the scalar emission law, twice") {
+    import org.apache.spark.sql.functions._
+    // scalar mirror of the three-lane law: batch-2 timeouts vs W1 (the
+    // one-batch watermark lag), flush-batch timeouts vs W2, survivors
+    // emit nothing; values fold over everything the state absorbed
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("te"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val (mn, mx) = (ev.map(_._2).min, ev.map(_._2).max)
+    val tm = Math.floorDiv(mn + mx, 2L)
+    val a = ev.filter(_._2 <= tm)
+    val b = ev.filter(r => r._2 > tm && r._1 % 3 == 0)
+    val w1 = a.map(_._2).max - 3600
+    val w2 = b.map(_._2).max - 3600
+    def s6d(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val ag = a.groupBy(_._1).map { case (u, xs) =>
+      u -> ((xs.length.toLong, xs.map(r => s6d(r._3)).sum, xs.map(_._2).max)) }
+    val bg = b.groupBy(_._1).map { case (u, xs) =>
+      u -> ((xs.length.toLong, xs.map(r => s6d(r._3)).sum, xs.map(_._2).max)) }
+    val expect = (ag.keySet ++ bg.keySet).toSeq.sorted.flatMap { u =>
+      val (na, sa, ma) = ag.getOrElse(u, (0L, 0L, Long.MinValue))
+      val (nb, sb, mb) = bg.getOrElse(u, (0L, 0L, Long.MinValue))
+      val fired =
+        if (!bg.contains(u)) ma + 86400 < w1 || ma + 86400 < w2
+        else mb + 86400 < w2
+      if (fired) Some((u, na + nb, sa + sb)) else None
+    }
+    def run() = SparkEntry.queries("stream_exec_timeout")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = run()
+    assert(got.nonEmpty && got == expect, s"got $got\nexpect $expect")
+    assert(run() == expect, "second invocation in the same session")
+  }
 }
