@@ -256,6 +256,68 @@ object GeoTiffScan {
           .orderBy("tile")
       }),
 
+    // STAC-shaped item documents for the COG scenes (round 11) — the
+    // metadata half of the product sink: every real catalog ingests a
+    // JSON item per asset (id, bbox, datetime, href) [PK: STAC / the
+    // eo3 dataset documents ODC indexes]. The document is assembled by
+    // EXPLICIT string concatenation — one canonical serialization, no
+    // engine JSON writer whose key order or spacing could differ — and
+    // the datetime is the scene's max observation formatted from the
+    // naive UTC instant (Spark date_format under the session's UTC zone
+    // vs DuckDB strftime over a TZ-free make_timestamp — same digits by
+    // construction). Graded on the parsed FIELDS and the full JSON
+    // string, so any drift in either engine's formatting surfaces.
+    Q("eo_stac_items", Some(
+      "WITH px AS (SELECT (event_id // 4) // 256 AS tile, " +
+        "CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS te FROM events WHERE event_id % 4 = 0), " +
+        "cnt AS (SELECT tile, CAST(COUNT(*) AS BIGINT) AS c, MAX(te) AS mt " +
+        "FROM px GROUP BY tile), " +
+        "sc AS (SELECT tile // 64 AS scene, CAST(COUNT(*) AS BIGINT) AS n_tiles, " +
+        "MAX(mt) AS max_te FROM cnt WHERE c = 256 GROUP BY scene), " +
+        "f AS (SELECT scene, n_tiles, max_te, " +
+        "'scene_' || LPAD(CAST(scene AS VARCHAR), 4, '0') AS item_id, " +
+        "(scene % 8) * 128 AS ox, (scene // 8) * 128 AS oy, " +
+        "STRFTIME(make_timestamp(max_te * 1000000), '%Y-%m-%dT%H:%M:%SZ') AS dt " +
+        "FROM sc) " +
+        "SELECT scene, item_id, ox, oy, n_tiles, max_te, dt, " +
+        "'{\"type\":\"Feature\",\"id\":\"' || item_id || '\",\"bbox\":[' || " +
+        "CAST(ox AS VARCHAR) || ',' || CAST(oy AS VARCHAR) || ',' || " +
+        "CAST(ox + 128 AS VARCHAR) || ',' || CAST(oy + 128 AS VARCHAR) || " +
+        "'],\"properties\":{\"datetime\":\"' || dt || '\",\"graft:n_tiles\":' || " +
+        "CAST(n_tiles AS VARCHAR) || '},\"assets\":{\"data\":{\"href\":\"scenes/' || " +
+        "item_id || '.tif\"}}}' AS item_json " +
+        "FROM f ORDER BY scene"),
+      (s, d) => {
+        val px = T.events(s, d).where(col("event_id") % 4 === 0)
+          .select(expr("(event_id div 4) div 256").as("tile"),
+            graft.Det.epochS(col("ts")).as("te"))
+        val cnt = px.groupBy("tile")
+          .agg(count(lit(1)).as("c"), max(col("te")).as("mt"))
+        val sc = cnt.where(col("c") === 256)
+          .groupBy(expr("tile div 64").as("scene"))
+          .agg(count(lit(1)).as("n_tiles"), max(col("mt")).as("max_te"))
+        val f = sc.select(col("scene"), col("n_tiles"), col("max_te"),
+          concat(lit("scene_"), lpad(col("scene").cast("string"), 4, "0"))
+            .as("item_id"),
+          ((col("scene") % 8) * 128).as("ox"),
+          (expr("scene div 8") * 128).as("oy"),
+          date_format(timestamp_seconds(col("max_te")),
+            "yyyy-MM-dd'T'HH:mm:ss'Z'").as("dt"))
+        f.select(col("scene"), col("item_id"), col("ox"), col("oy"),
+            col("n_tiles"), col("max_te"), col("dt"),
+            concat(
+              lit("{\"type\":\"Feature\",\"id\":\""), col("item_id"),
+              lit("\",\"bbox\":["), col("ox").cast("string"), lit(","),
+              col("oy").cast("string"), lit(","),
+              (col("ox") + 128).cast("string"), lit(","),
+              (col("oy") + 128).cast("string"),
+              lit("],\"properties\":{\"datetime\":\""), col("dt"),
+              lit("\",\"graft:n_tiles\":"), col("n_tiles").cast("string"),
+              lit("},\"assets\":{\"data\":{\"href\":\"scenes/"), col("item_id"),
+              lit(".tif\"}}}")).as("item_json"))
+          .orderBy("scene")
+      }),
+
     // Cloud-Optimized-LAYOUT sink + roundtrip (round 11, VERDICT r10
     // missing #1 — the reference's actual output format [PK: COG to
     // object storage]). 64 event tiles assemble one 128×128 SCENE per

@@ -67,6 +67,34 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  test("eo_stac_items: the assembled document is valid JSON that round-trips its fields") {
+    import org.apache.spark.sql.functions._
+    val dir01 = "/root/testdata/sf0.01" // scenes need >= 1 full tile
+    val rows = SparkEntry.queries("eo_stac_items")(spark, dir01)
+    val parsed = rows.select(col("scene"), col("item_id"), col("ox"),
+        col("oy"), col("n_tiles"), col("dt"),
+        from_json(col("item_json"), org.apache.spark.sql.types.StructType.fromDDL(
+          "type STRING, id STRING, bbox ARRAY<BIGINT>, " +
+            "properties STRUCT<datetime: STRING, `graft:n_tiles`: BIGINT>, " +
+            "assets STRUCT<data: STRUCT<href: STRING>>")).as("j"))
+      .collect()
+    assert(parsed.nonEmpty, "at least one scene item at sf0.01")
+    parsed.foreach { r =>
+      val j = r.getStruct(6)
+      assert(j.getString(0) == "Feature", "type survives parsing")
+      assert(j.getString(1) == r.getString(1), "id round-trips")
+      val bbox = j.getSeq[Long](2)
+      assert(bbox == Seq(r.getLong(2), r.getLong(3),
+        r.getLong(2) + 128, r.getLong(3) + 128), "bbox round-trips")
+      assert(j.getStruct(3).getString(0) == r.getString(5), "datetime round-trips")
+      assert(j.getStruct(3).getLong(1) == r.getLong(4), "n_tiles round-trips")
+      assert(j.getStruct(4).getStruct(0).getString(0) ==
+        s"scenes/${r.getString(1)}.tif", "asset href")
+      // RFC3339 shape, UTC-pinned
+      assert(r.getString(5).matches("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z"""))
+    }
+  }
+
   test("dq_schema_drift verdicts match the vintage-generating rule exactly") {
     val got = SparkEntry.queries("dq_schema_drift")(spark, sfDir).collect()
       .map(r => r.getString(0) ->
