@@ -798,5 +798,94 @@ object Multimodal {
             sum("tar_bytes").as("tar_bytes"),
             Det.s6(sum("tar_bytes").cast("double") / 10240.0).as("fill6"))
           .orderBy("format", "shard")
+      }),
+
+    // Audio constellation fingerprints (round 11) — the Shazam-family
+    // landmark hash [Wang 2003, "An industrial-strength audio search
+    // algorithm"]: a coarse 16-frame × 8-band "spectrogram" (the stub
+    // codec's stride samples — a real STFT swaps in at the same
+    // boundary), ONE peak band per frame (max energy, ties → lowest
+    // band), and each anchor frame paired with its next 3 peaks into
+    // the classic (band₁, band₂, Δt) hash = b₁·32 + b₂·4 + Δt. The
+    // graded surface is the per-doc fingerprint: hash count, distinct
+    // hashes, the modal hash (count DESC, hash ASC tie) and a
+    // position-weighted checksum that pins every hash to its anchor.
+    // Spark extracts peaks INSIDE the codec-batch mapPartitions
+    // boundary (the ahash discipline — one buffer per codec call);
+    // the oracle spells the identical stride/argmax/pair arithmetic
+    // over SUBSTRING/ASCII. Matching at scale rides the same
+    // banded-bucket joins the image hashes grade (hash equality IS the
+    // bucket key) — the fingerprint build here is the per-doc linear
+    // stage of that pipeline.
+    Q("mm_audio_fingerprint", Some(
+      "WITH p AS (SELECT doc_id, text, CAST(LENGTH(text) AS BIGINT) AS n FROM documents " +
+        "WHERE doc_id % 3 = 2), " +
+        "e AS (SELECT doc_id, fb // 8 AS f, fb % 8 AS b, " +
+        "CAST(ASCII(SUBSTRING(text, CAST((fb * n) // 128 AS INTEGER) + 1, 1)) AS BIGINT) AS en " +
+        "FROM p, (SELECT UNNEST(RANGE(0, 128)) AS fb) ix), " +
+        "pk AS (SELECT doc_id, f, b AS peak FROM (SELECT doc_id, f, b, " +
+        "ROW_NUMBER() OVER (PARTITION BY doc_id, f ORDER BY en DESC, b) AS rn FROM e) WHERE rn = 1), " +
+        "h AS (SELECT a.doc_id, a.f, " +
+        "a.peak * 32 + t.peak * 4 + (t.f - a.f) AS hash " +
+        "FROM pk a JOIN pk t ON t.doc_id = a.doc_id " +
+        "AND t.f BETWEEN a.f + 1 AND a.f + 3 WHERE a.f <= 12), " +
+        "md AS (SELECT doc_id, hash AS top_hash FROM (SELECT doc_id, hash, " +
+        "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY COUNT(*) DESC, hash) AS rn " +
+        "FROM h GROUP BY doc_id, hash) WHERE rn = 1) " +
+        "SELECT h.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hashes, " +
+        "CAST(COUNT(DISTINCT h.hash) AS BIGINT) AS n_distinct, " +
+        "CAST(MAX(md.top_hash) AS BIGINT) AS top_hash, " +
+        "CAST(SUM(h.hash * (h.f + 1)) AS BIGINT) AS fp_checksum " +
+        "FROM h JOIN md ON md.doc_id = h.doc_id " +
+        "GROUP BY h.doc_id ORDER BY h.doc_id"),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hashSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("f",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("hash",
+            org.apache.spark.sql.types.LongType)))
+        val enc = org.apache.spark.sql.Encoders.row(hashSchema)
+        val h = payloads(s, d)
+          .where(col("meta.format") === "wav") // metadata prune
+          .select(col("doc_id"), col("payload"))
+          .mapPartitions { rows =>
+            rows.grouped(batchSize).flatMap { batch =>
+              batch.flatMap { r =>
+                val p = r.getAs[Array[Byte]]("payload")
+                val n = p.length.toLong
+                // stub "STFT": energy(f,b) = stride byte; peak per frame
+                val peaks = Array.tabulate(16) { f =>
+                  var best = -1L; var bb = 0
+                  var b = 0
+                  while (b < 8) {
+                    val fb = f * 8 + b
+                    val en = (p(((fb * n) / 128).toInt) & 0xff).toLong
+                    if (en > best) { best = en; bb = b }
+                    b += 1
+                  }
+                  bb.toLong
+                }
+                for (f <- 0 to 12; dt <- 1 to 3) yield
+                  org.apache.spark.sql.Row(r.getAs[Long]("doc_id"), f.toLong,
+                    peaks(f) * 32 + peaks(f + dt) * 4 + dt)
+              }
+            }
+          }(enc)
+        val wMode = Window.partitionBy("doc_id")
+          .orderBy(col("cnt").desc, col("hash"))
+        val md = h.groupBy("doc_id", "hash").agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(wMode))
+          .where(col("rn") === 1)
+          .select(col("doc_id"), col("hash").as("top_hash"))
+        h.join(broadcast(md), "doc_id")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_hashes"),
+            countDistinct(col("hash")).as("n_distinct"),
+            max(col("top_hash")).as("top_hash"),
+            sum(col("hash") * (col("f") + 1)).as("fp_checksum"))
+          .orderBy("doc_id")
       }))
 }

@@ -114,4 +114,30 @@ class MultimodalSpec extends SparkSpec {
     assert(exact.nonEmpty, "corpus has no ahash near-dup pairs to compare")
     assert(banded == exact)
   }
+
+  test("mm_audio_fingerprint equals a scalar constellation mirror") {
+    import org.apache.spark.sql.functions.col
+    val got = SparkEntry.queries("mm_audio_fingerprint")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .where(col("doc_id") % 3 === 2)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(docs.nonEmpty)
+    val expect = docs.map { case (id, text) =>
+      val p = text.getBytes("US-ASCII"); val n = p.length.toLong
+      val peaks = Array.tabulate(16) { f =>
+        (0 until 8).map(b => (b,
+          (p(((f * 8 + b) * n / 128).toInt) & 0xff))).maxBy(t => (t._2, -t._1))._1
+      }
+      val hashes = for (f <- 0 to 12; dt <- 1 to 3)
+        yield (f, peaks(f) * 32L + peaks(f + dt) * 4L + dt)
+      val top = hashes.groupBy(_._2).toSeq
+        .minBy { case (hh, xs) => (-xs.length, hh) }._1
+      id -> ((hashes.length.toLong, hashes.map(_._2).distinct.length.toLong,
+        top, hashes.map { case (f, hh) => hh * (f + 1) }.sum))
+    }.toMap
+    assert(got == expect)
+  }
 }
