@@ -1522,7 +1522,10 @@ object Graph {
     },
       (s, d) => {
         val (ue, _, pick) = louvainPhase1(s, d)
-        val nl = pick.select(col("v"), col("new_comm"))
+        // node-sized; THREE consumers below (the se relabel's two sides
+        // and nodes2) would otherwise each re-run the whole phase-1
+        // sweep — measured 24 s -> ~3 s at sf0.1 with the checkpoint
+        val nl = pick.select(col("v"), col("new_comm")).localCheckpoint()
         val se = ue
           .join(broadcast(nl.select(col("v").as("a"), col("new_comm").as("la"))), "a")
           .join(broadcast(nl.select(col("v").as("b"), col("new_comm").as("lb"))), "b")
