@@ -724,7 +724,37 @@ object Scalars {
           .agg(count(lit(1)).as("n_parts"),
             countDistinct(col("word")).as("n_words"),
             min(col("word")).as("word_min"))
-          .orderBy("code")))
+          .orderBy("code")),
+
+    // Binary↔text codecs (round 11) — base64 (RFC 4648 with padding)
+    // and uppercase hex, the two encodings every interchange boundary
+    // (webhooks, manifests, keys-in-JSON) round-trips through. Graded
+    // BYTE-FOR-BYTE on the encoded strings (both engines implement the
+    // same RFC alphabet, so equality is the conformance claim) plus a
+    // decode-roundtrip flag proving unbase64∘base64 = id on this
+    // corpus. Map-only; one partial agg would fold it at any scale.
+    Q("fn_base64", Some(
+      "WITH r AS (SELECT o_orderkey AS k, " +
+        "o_orderpriority || '|' || o_orderstatus || '|' || CAST(o_custkey AS VARCHAR) AS s " +
+        "FROM orders WHERE o_orderkey % 7 = 0), " +
+        "e AS (SELECT k, s, to_base64(CAST(s AS BLOB)) AS b64, " +
+        "hex(CAST(s AS BLOB)) AS hx FROM r) " +
+        "SELECT k, b64, hx, " +
+        "CAST(CASE WHEN CAST(from_base64(b64) AS VARCHAR) = s THEN 1 ELSE 0 END AS BIGINT) AS roundtrip_ok " +
+        "FROM e ORDER BY k"),
+      (s, d) =>
+        T.orders(s, d).where(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey").as("k"),
+            concat_ws("|", col("o_orderpriority"), col("o_orderstatus"),
+              col("o_custkey").cast("string")).as("s"))
+          .select(col("k"),
+            base64(col("s").cast("binary")).as("b64"),
+            hex(col("s").cast("binary")).as("hx"),
+            when(unbase64(base64(col("s").cast("binary"))).cast("string")
+              === col("s"), 1L).otherwise(0L).as("roundtrip_ok"),
+            col("s"))
+          .select("k", "b64", "hx", "roundtrip_ok")
+          .orderBy("k")))
 
   /** The shared soundex pipeline over a column reference — ONE string
     * both engines parse (Spark SQL and DuckDB agree on TRANSLATE /

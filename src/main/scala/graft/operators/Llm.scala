@@ -337,6 +337,11 @@ object Llm {
 
   /** Per-(vec, position) exploded doubles — the relational layout for
     * vector math that has to survive arbitrary dimension counts. */
+  /** Lloyd rounds for llm_kmeans_lloyd (fixed K both engines; the
+    * CcRounds contract — LlmClusterBandedSpec-style convergence is
+    * covered by the graded n_moved column). Declared before `all`. */
+  private val KmeansRounds = 3
+
   private def vecPos(s: SparkSession, d: String): DataFrame =
     T.embeddings(s, d)
       .select(col("vec_id"), col("label"),
@@ -787,6 +792,84 @@ object Llm {
           .agg(mean6(col("x")).as("c6"))
         upd.join(broadcast(nm), "ck")
           .select(col("ck").as("cluster"), col("pos"), col("c6"), col("n_members"))
+          .orderBy("cluster", "pos")
+      }),
+
+    // Full Lloyd k-means, K=3 rounds (round 11) — the DRIVER LOOP
+    // llm_kmeans_round's single iteration promised, run to depth 3 with
+    // the iterate-QUANTIZE discipline that makes an iterative float
+    // solver hash-matchable (the eo_geomedian precedent): each round's
+    // centroids land on the 1e-6 grid (mean6), and the NEXT round's
+    // scaled-long L2 consumes exactly those quantized doubles — so
+    // every round's inputs are bit-identical on both engines and the
+    // unrolled MATERIALIZED-CTE oracle matches by induction. Output:
+    // the round-3 centroid matrix + member counts + how many vectors
+    // MOVED between rounds 2 and 3 (the convergence signal a driver
+    // loop stops on). Per round: one broadcast of k×dim doubles, one
+    // map-only codegen'd assignment, one (cluster, pos) partial agg —
+    // the textbook distributed-Lloyd shape at any scale.
+    Q("llm_kmeans_lloyd", Some {
+      val rounds = (1 to KmeansRounds).map { r =>
+        val centJoin =
+          if (r == 1) "seeds s ON u.pos = s.pos"
+          else s"(SELECT ck, pos, CAST(c6 AS DOUBLE) / 1e6 AS c FROM cent${r - 1}) s ON u.pos = s.pos"
+        s"dist$r AS MATERIALIZED (SELECT u.vec_id, s.ck, " +
+          "CAST(SUM(CAST(FLOOR((u.x - s.c) * (u.x - s.c) * 1e14 + 0.5) AS BIGINT)) AS BIGINT) AS d2 " +
+          s"FROM ux u JOIN $centJoin GROUP BY u.vec_id, s.ck), " +
+          s"asg$r AS MATERIALIZED (SELECT vec_id, ck FROM (SELECT vec_id, ck, " +
+          s"ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, ck) AS rn FROM dist$r) WHERE rn = 1), " +
+          s"cent$r AS MATERIALIZED (SELECT a.ck, u.pos, " + sqlMean6("u.x") + " AS c6 " +
+          s"FROM ux u JOIN asg$r a ON a.vec_id = u.vec_id GROUP BY a.ck, u.pos)"
+      }.mkString(", ")
+      "WITH ux AS (" + vecPosSql + "), " +
+        "seeds AS (SELECT vec_id AS ck, pos, x AS c FROM ux WHERE vec_id < 8), " +
+        rounds + ", " +
+        s"nm AS (SELECT ck, CAST(COUNT(*) AS BIGINT) AS n_members FROM asg$KmeansRounds GROUP BY ck), " +
+        s"mv AS (SELECT a3.ck, CAST(SUM(CASE WHEN a3.ck <> a2.ck THEN 1 ELSE 0 END) AS BIGINT) AS n_moved " +
+        s"FROM asg$KmeansRounds a3 JOIN asg${KmeansRounds - 1} a2 ON a2.vec_id = a3.vec_id GROUP BY a3.ck) " +
+        s"SELECT c.ck AS cluster, c.pos, c.c6, nm.n_members, mv.n_moved " +
+        s"FROM cent$KmeansRounds c JOIN nm ON nm.ck = c.ck JOIN mv ON mv.ck = c.ck " +
+        "ORDER BY cluster, pos"
+    },
+      (s, d) => {
+        graft.functions.VectorExprs.register(s)
+        import graft.functions.VectorExprs.sl2
+        val vecs = T.embeddings(s, d).select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("dvec"))
+        val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("ck"))
+        var centArr = T.embeddings(s, d).where(col("vec_id") < 8)
+          .select(col("vec_id").as("ck"),
+            transform(col("embedding"), x => x.cast("double")).as("cvec"))
+        var asgPrev: DataFrame = null
+        var asg: DataFrame = null
+        var cent: DataFrame = null
+        for (_ <- 1 to KmeansRounds) {
+          asgPrev = asg
+          asg = vecs.crossJoin(broadcast(centArr))
+            .select(col("vec_id"), col("ck"),
+              sl2(col("dvec"), col("cvec")).as("d2"))
+            .withColumn("rn", row_number().over(w))
+            .where(col("rn") === 1)
+            .select("vec_id", "ck")
+            .localCheckpoint()
+          cent = vecPos(s, d).join(asg, "vec_id")
+            .groupBy(col("ck"), col("pos"))
+            .agg(mean6(col("x")).as("c6"))
+            .localCheckpoint()
+          centArr = cent
+            .groupBy("ck")
+            .agg(transform(array_sort(collect_list(struct(col("pos"),
+              (col("c6").cast("double") / lit(1e6)).as("c")))),
+              e => e.getField("c")).as("cvec"))
+        }
+        val nm = asg.groupBy("ck").agg(count(lit(1)).as("n_members"))
+        val mv = asg
+          .join(asgPrev.select(col("vec_id"), col("ck").as("ck2")), "vec_id")
+          .groupBy("ck")
+          .agg(sum(when(col("ck") =!= col("ck2"), 1L).otherwise(0L)).as("n_moved"))
+        cent.join(broadcast(nm), "ck").join(broadcast(mv), "ck")
+          .select(col("ck").as("cluster"), col("pos"), col("c6"),
+            col("n_members"), col("n_moved"))
           .orderBy("cluster", "pos")
       }),
 

@@ -95,6 +95,53 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  test("llm_kmeans_lloyd equals a scalar iterate-quantize Lloyd mirror") {
+    val vecs = Tables.embeddings(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    val dim = 64
+    def s6d(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    var cent: Map[Long, Array[Double]] =
+      (0L until 8L).map(k => k -> vecs(k)).toMap
+    var asg = Map.empty[Long, Long]
+    var asgPrev = Map.empty[Long, Long]
+    var c6out = Map.empty[(Long, Int), Long]
+    (1 to 3).foreach { _ =>
+      asgPrev = asg
+      asg = vecs.map { case (id, v) =>
+        id -> cent.toSeq.map { case (k, c) =>
+          val d2 = (0 until dim).map { i =>
+            val df = v(i) - c(i)
+            math.floor(df * df * 1e14 + 0.5).toLong
+          }.sum
+          (k, d2)
+        }.minBy { case (k, d2) => (d2, k) }._1
+      }
+      val members = asg.groupBy(_._2).map { case (k, xs) => k -> xs.keys.toSeq }
+      c6out = members.flatMap { case (k, ids) =>
+        (0 until dim).map { i =>
+          val s = ids.map(id => s6d(vecs(id)(i))).sum
+          (k, i) -> math.floor(s.toDouble / ids.length + 0.5).toLong
+        }
+      }
+      cent = members.map { case (k, _) =>
+        k -> Array.tabulate(dim)(i => c6out((k, i)).toDouble / 1e6)
+      }
+    }
+    val nm = asg.groupBy(_._2).map { case (k, xs) => k -> xs.size.toLong }
+    val mv = asg.groupBy(_._2).map { case (k, xs) =>
+      k -> xs.keys.count(id => asgPrev(id) != k).toLong
+    }
+    val expect = c6out.map { case ((k, i), c6) =>
+      (k, i) -> ((c6, nm(k), mv(k)))
+    }
+    val got = SparkEntry.queries("llm_kmeans_lloyd")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.nonEmpty && got == expect)
+    assert(nm.values.sum == vecs.size.toLong, "every vector assigned")
+  }
+
   test("dq_schema_drift verdicts match the vintage-generating rule exactly") {
     val got = SparkEntry.queries("dq_schema_drift")(spark, sfDir).collect()
       .map(r => r.getString(0) ->
