@@ -7,34 +7,44 @@ package graft
   */
 class Round11OpsSpec extends SparkSpec {
 
-  test("llm_ann_pq equals a scalar product-quantization mirror") {
+  test("llm_ann_pq equals a scalar Lloyd-trained product-quantization mirror") {
     val rows = Tables.embeddings(spark, sfDir)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
-    val dim = 64; val m = 4; val sub = dim / m
+    val m = 16; val sub = 4; val k = 16; val rounds = 3
+    val vecById = rows.map(r => r._1 -> r._2).toMap
     def s6d(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
-    // per-(label, dim) centroid on the mean6 grid, exactly Det.mean6
-    val byLabel = rows.groupBy(_._3)
-    val cent: Map[(Int, Int), Double] = byLabel.flatMap { case (lb, vs) =>
-      (0 until dim).map { i =>
-        val s = vs.map(v => s6d(v._2(i).toDouble)).sum
-        val mean6 = math.floor(s.toDouble / vs.length + 0.5).toLong
-        (lb, i) -> mean6.toDouble / 1e6
-      }
-    }
-    val labels = byLabel.keys.toSeq.sorted
-    def d2(vec: Array[Float], lb: Int, ms: Int): Long =
-      (ms * sub until (ms + 1) * sub).map { i =>
-        val diff = cent((lb, i)) - vec(i).toDouble
-        math.floor(diff * diff * 1e14 + 0.5).toLong
+    def sv(v: Array[Float], ms: Int): Array[Double] =
+      (ms * sub until (ms + 1) * sub).map(i => v(i).toDouble).toArray
+    def d2(a: Array[Double], b: Array[Double]): Long =
+      a.zip(b).map { case (x, c) =>
+        val df = x - c; math.floor(df * df * 1e14 + 0.5).toLong
       }.sum
-    val qvec = rows.find(_._1 == 0L).get._2
-    val lut = (for (ms <- 0 until m; lb <- labels)
-      yield (ms, lb) -> d2(qvec, lb, ms)).toMap
-    val scored = rows.filter(_._1 != 0L).map { case (id, vec, lb) =>
-      val codes = (0 until m).map { ms =>
-        labels.minBy(l => (d2(vec, l, ms), l))
-      }
+    // seeds: subspace ms's centroid ck = vec (ck+1)'s ms-th subvector
+    var cent: Map[(Int, Long), Array[Double]] =
+      (for (ms <- 0 until m; ck <- 0L until k.toLong)
+        yield (ms, ck) -> sv(vecById(ck + 1), ms)).toMap
+    var asg: Map[(Long, Int), Long] = Map.empty
+    for (_ <- 1 to rounds) {
+      // assignment vs the CURRENT codebook (= cent_{r-1}), ties smallest ck
+      asg = (for ((id, vec, _) <- rows; ms <- 0 until m) yield {
+        val cks = cent.keys.collect { case (`ms`, ck) => ck }.toSeq.sorted
+        (id, ms) -> cks.minBy(ck => (d2(sv(vec, ms), cent((ms, ck))), ck))
+      }).toMap
+      // centroid update on the mean6 grid, exactly Det.mean6
+      cent = asg.toSeq.groupBy { case ((_, ms), ck) => (ms, ck) }
+        .map { case ((ms, ck), members) =>
+          val svs = members.map { case ((id, _), _) => sv(vecById(id), ms) }
+          (ms, ck) -> (0 until sub).map { j =>
+            val s = svs.map(a => s6d(a(j))).sum
+            math.floor(s.toDouble / svs.length + 0.5).toLong.toDouble / 1e6
+          }.toArray
+        }
+    }
+    val qvec = vecById(0L)
+    val lut = cent.map { case ((ms, ck), c) => (ms, ck) -> d2(c, sv(qvec, ms)) }
+    val scored = rows.filter(_._1 != 0L).map { case (id, _, lb) =>
+      val codes = (0 until m).map(ms => asg((id, ms)))
       val adc = codes.zipWithIndex.map { case (c, ms) => lut((ms, c)) }.sum
       (id, lb, codes.mkString(","), adc)
     }
@@ -43,22 +53,26 @@ class Round11OpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
       .toSeq
     assert(got == expect, s"got $got\nexpect $expect")
-    // code alphabet sanity: 4 codes, each a known label
+    // code alphabet sanity: 16 codes, each a trained centroid id
     got.foreach { case (_, _, cs, _) =>
       val parts = cs.split(",").map(_.toInt)
-      assert(parts.length == m && parts.forall(labels.contains), cs)
+      assert(parts.length == m && parts.forall(c => c >= 0 && c < k), cs)
     }
   }
 
-  test("llm_ann_pq_recall: counts are consistent and the quantized ranking finds real neighbors") {
+  test("llm_ann_pq_recall: shortlist+rerank counts are consistent and recall@10 meets the 0.8 target") {
     val r = SparkEntry.queries("llm_ann_pq_recall")(spark, sfDir).collect().head
-    val (nTop, hits, recall6) = (r.getLong(0), r.getLong(1), r.getLong(2))
-    assert(nTop == 10L, "PQ top list is full")
-    assert(hits >= 1L && hits <= nTop, s"hits $hits out of range")
+    val (nShort, hitsShort, nTop, hits, recall6) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nShort == 50L, "ADC shortlist is full")
+    assert(nTop == 10L, "reranked top list is full")
+    // the rerank can only surface what the shortlist contains
+    assert(hits <= hitsShort && hitsShort <= 10L, s"hits $hits / short $hitsShort")
+    // VERDICT r11 item 1's done-bar: recall@10 >= 0.8 (measured 0.9)
+    assert(hits >= 8L, s"trained-PQ rerank recall@10 = $hits/10 below target")
     assert(recall6 == math.floor(hits.toDouble / nTop * 1e6 + 0.5).toLong,
       "recall is the s6 of hits/n")
-    // PQ's top-3 must be a prefix of the recall key's top-10 ADC ranking
-    // universe: re-derive their ADCs strictly increasing with the tie rule
+    // PQ's top-3 must obey the (adc14, vec_id) tie rule
     val top3 = SparkEntry.queries("llm_ann_pq")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(3)))
     assert(top3.length == 3)
