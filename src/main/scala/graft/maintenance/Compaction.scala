@@ -59,7 +59,7 @@ object Compaction {
     // moves leaves the partition stranded under '._retired' (readers
     // exclude it). Restore any such orphan before rewriting — without
     // this the partition silently vanishes from subsequent reads.
-    Files.list(root).iterator().asScala.toSeq
+    listDir(root)
       .filter(p => Files.isDirectory(p) &&
         p.getFileName.toString.endsWith("._retired"))
       .foreach { r =>
@@ -83,19 +83,29 @@ object Compaction {
     }
   }
 
+  /** Materialized directory listing that CLOSES the underlying stream —
+    * Files.list holds a directory fd until closed, and a long-lived
+    * driver calling compact()/stats() repeatedly would leak one per call
+    * (ADVICE r11). */
+  private def listDir(p: Path): Seq[Path] = {
+    val st = Files.list(p)
+    try st.iterator().asScala.toSeq finally st.close()
+  }
+
   private def partitionDirs(root: Path): Seq[Path] =
-    Files.list(root).iterator().asScala.toSeq
+    listDir(root)
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
       .filterNot(p => p.getFileName.toString.endsWith("._compact_tmp") ||
         p.getFileName.toString.endsWith("._retired"))
 
   private def dataFiles(p: Path): Seq[Path] =
-    Files.list(p).iterator().asScala.toSeq
-      .filter(f => f.getFileName.toString.endsWith(".parquet"))
+    listDir(p).filter(f => f.getFileName.toString.endsWith(".parquet"))
 
   private[graft] def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      val st = Files.walk(p)
+      try st.sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.delete(f))
+      finally st.close()
     }
 }

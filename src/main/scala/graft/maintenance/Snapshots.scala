@@ -30,16 +30,23 @@ object Snapshots {
 
   private def manifestDir(dir: String) = Paths.get(dir, "_manifests")
 
+  /** Directory listing that CLOSES the underlying stream (the
+    * Files.list fd-leak class, ADVICE r11). */
+  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val st = Files.list(p)
+    try st.iterator().asScala.toSeq finally st.close()
+  }
+
   /** Data files currently present (relative names, sorted). */
   def dataFiles(dir: String): Seq[String] =
-    Files.list(Paths.get(dir)).iterator().asScala
+    listDir(Paths.get(dir))
       .filter(f => f.getFileName.toString.endsWith(".parquet"))
-      .map(_.getFileName.toString).toSeq.sorted
+      .map(_.getFileName.toString).sorted
 
   def latestVersion(dir: String): Int = {
     val md = manifestDir(dir)
     if (!Files.exists(md)) 0
-    else Files.list(md).iterator().asScala
+    else listDir(md)
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("v") && s.endsWith(".txt") =>
         s.stripPrefix("v").stripSuffix(".txt").toInt }

@@ -120,67 +120,87 @@ object EO {
     * (object-init order — the SsspRounds lesson). */
   private val FlowAccRounds = 10
 
-  /** The eo_tile_flow_acc relaxation loop, K parameterized so the spec
-    * can run K and K+1 and assert the fixpoint. Returns one row per
-    * interior pixel: (tile, py, px, acc). */
-  def flowAccumulation(s: SparkSession, d: String, k: Int): DataFrame = {
+  /** D8 neighbor offsets: (dy, dx, direction code), E→SE→S→…→NE. */
+  private val D8Offs = Seq((0, 1, 1), (1, 1, 2), (1, 0, 4), (1, -1, 8),
+    (0, -1, 16), (-1, -1, 32), (-1, 0, 64), (-1, 1, 128))
+
+  /** The eo_tile_flow_acc core, K parameterized — SHUFFLE-ONCE since
+    * round 12 (VERDICT r11 item 2): flow routing never leaves a tile, so
+    * the plan must never re-shuffle per round. Tiles pack to 256-long z
+    * arrays in ONE groupBy aggregation; the D8 steepest-descent pick
+    * (max drop, min dir on ties — a lexicographic struct `greatest`),
+    * the flow map and ALL K relaxation rounds then run inside the packed
+    * arrays via higher-order array functions (the RasterGrid
+    * discipline). The former plan ran each round as a global
+    * (tile, py, px) join + shuffle + localCheckpoint (~10 Exchanges, ~17
+    * jobs); this one is a single aggregation Exchange followed by K
+    * stacked map-only projections (CollapseProject keeps them separate —
+    * each round's array is referenced 8× per element, so inlining is
+    * blocked and the unrolled expression stays linear in K). Pinned by
+    * PlanContractSpec. Returns (tile, acc) with acc the packed 256-long
+    * array — interior pixels carry their accumulation, boundary 0. */
+  private def flowAccPacked(s: SparkSession, d: String, k: Int): DataFrame = {
     val px = T.events(s, d).select(
       expr("(event_id div 4) div 256").as("tile"),
-      expr("((event_id div 4) % 256) div 16").as("py"),
-      expr("((event_id div 4) % 256) % 16").as("px"),
+      expr("(event_id div 4) % 256").as("pos"),
       (col("event_id") % 4).as("t"), Det.s2(col("value")).as("z"))
-    val fullT = px.where(col("t") === 0).groupBy("tile")
-      .agg(count(lit(1)).as("c")).where(col("c") === 256).select("tile")
-    val p0 = px.where(col("t") === 0).join(broadcast(fullT), "tile")
-      .select("tile", "py", "px", "z")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val offs = Seq((0, 1, 1), (1, 1, 2), (1, 0, 4), (1, -1, 8),
-      (0, -1, 16), (-1, -1, 32), (-1, 0, 64), (-1, 1, 128))
-    val offDf = s.createDataFrame(offs).toDF("dy", "dx", "dir")
-    val nbr = p0.select(col("tile").as("nt"), col("py").as("ny"),
-      col("px").as("nx"), col("z").as("nz"))
-    val nb = p0.where(col("py").between(1, 14) && col("px").between(1, 14))
-      .crossJoin(broadcast(offDf))
-      .join(nbr, col("nt") === col("tile") &&
-        col("ny") === col("py") + col("dy") &&
-        col("nx") === col("px") + col("dx"))
-      .select(col("tile"), col("py"), col("px"), col("dir"),
-        (col("z") - col("nz")).as("drop"))
-    // one max-struct aggregation picks (max drop, then min dir on ties):
-    // lexicographic struct ordering on (drop, -dir) replaces the former
-    // window-max + re-aggregate pass (VERDICT r10 plan-audit nit) — one
-    // hash-agg shuffle with map-side combine, no per-pixel window sort
-    val pick = nb
-      .groupBy("tile", "py", "px")
-      .agg(max(struct(col("drop").as("d"), (-col("dir")).as("nd"))).as("m"))
-      .select(col("tile"), col("py"), col("px"),
-        col("m.d").as("best"), (-col("m.nd")).as("dir"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dirDy = expr("CASE dir WHEN 1 THEN 0 WHEN 2 THEN 1 WHEN 4 THEN 1 WHEN 8 THEN 1 " +
-      "WHEN 16 THEN 0 WHEN 32 THEN -1 WHEN 64 THEN -1 ELSE -1 END")
-    val dirDx = expr("CASE dir WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 4 THEN 0 WHEN 8 THEN -1 " +
-      "WHEN 16 THEN -1 WHEN 32 THEN -1 WHEN 64 THEN 0 ELSE 1 END")
-    val fl = pick.where(col("best") > 0)
-      .select(col("tile"), col("py"), col("px"),
-        (col("py") + dirDy).as("ty"), (col("px") + dirDx).as("tx"))
-      .where(col("ty").between(1, 14) && col("tx").between(1, 14))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = pick.select("tile", "py", "px")
-    var acc = nodes.withColumn("acc", lit(1L))
+    val packed = px.where(col("t") === 0)
+      .groupBy("tile")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("z")))),
+        e => e.getField("z")).as("zarr"),
+        count(lit(1)).as("c"))
+      .where(col("c") === 256)
+      .select("tile", "zarr")
+    def pyOf(p: Column) = shiftright(p, 4)
+    def pxOf(p: Column) = p.bitwiseAND(lit(15))
+    def interior(p: Column) =
+      pyOf(p).between(1, 14) && pxOf(p).between(1, 14)
+    val idx = sequence(lit(0), lit(255))
+    // flow[p] = downstream pixel index, or -1 (boundary, pit, or target
+    // on the boundary ring — flows exiting the graded interior)
+    val flowCol = transform(idx, p => {
+      val cands = D8Offs.map { case (dy, dx, dir) =>
+        val np = p + lit(dy * 16 + dx)
+        struct((element_at(col("zarr"), p + 1) -
+          element_at(col("zarr"), np + 1)).as("drop"),
+          lit(-dir).as("nd"), np.as("np"))
+      }
+      val pick = greatest(cands: _*)
+      when(interior(p),
+        when(pick.getField("drop") > 0 && interior(pick.getField("np")),
+          pick.getField("np")).otherwise(lit(-1)))
+        .otherwise(lit(-1))
+    })
+    var df = packed
+      .select(col("tile"), flowCol.as("flow"),
+        transform(idx, p =>
+          when(interior(p), lit(1L)).otherwise(lit(0L))).as("acc"))
     for (_ <- 1 to k) {
-      val inflow = fl
-        .join(acc.select(col("tile"), col("py"), col("px"), col("acc")),
-          Seq("tile", "py", "px"))
-        .groupBy(col("tile"), col("ty").as("py"), col("tx").as("px"))
-        .agg(sum("acc").as("in_acc"))
-      acc = nodes.join(inflow, Seq("tile", "py", "px"), "left")
-        .select(col("tile"), col("py"), col("px"),
-          (lit(1L) + coalesce(col("in_acc"), lit(0L))).as("acc"))
-        .localCheckpoint()
+      // acc'[p] = 1 + Σ acc[n] over the 8 neighbors n draining into p —
+      // only a neighbor can flow into p, so the scan is complete
+      val nextAcc = transform(idx, p => {
+        val inflow = D8Offs.map { case (dy, dx, _) =>
+          val np = p + lit(dy * 16 + dx)
+          when(element_at(col("flow"), np + 1) === p,
+            element_at(col("acc"), np + 1)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        when(interior(p), lit(1L) + inflow).otherwise(lit(0L))
+      })
+      df = df.select(col("tile"), col("flow"), nextAcc.as("acc"))
     }
-    p0.unpersist(); pick.unpersist(); fl.unpersist()
-    acc
+    df.select("tile", "acc")
   }
+
+  /** The eo_tile_flow_acc relaxation, K parameterized so the spec can
+    * run K and K+1 and assert the fixpoint. Returns one row per interior
+    * pixel: (tile, py, px, acc) — an unpacking view over
+    * [[flowAccPacked]]. */
+  def flowAccumulation(s: SparkSession, d: String, k: Int): DataFrame =
+    flowAccPacked(s, d, k)
+      .select(col("tile"), posexplode(col("acc")).as(Seq("pos", "acc")))
+      .where(col("acc") > 0)
+      .select(col("tile"), expr("CAST(pos div 16 AS BIGINT)").as("py"),
+        expr("CAST(pos % 16 AS BIGINT)").as("px"), col("acc"))
 
   val all: Seq[Q] = Seq(
 
@@ -859,12 +879,21 @@ object EO {
         "CAST(SUM(acc * (py * 16 + px + 1)) AS BIGINT) AS checksum " +
         s"FROM a$FlowAccRounds GROUP BY tile ORDER BY tile"
     },
-      (s, d) => flowAccumulation(s, d, FlowAccRounds)
-        .groupBy("tile")
-        .agg(count(lit(1)).as("n_cells"), max("acc").as("max_acc"),
-          sum("acc").as("sum_acc"),
-          sum(col("acc") * (col("py") * 16 + col("px") + 1)).as("checksum"))
-        .orderBy("tile")),
+      (s, d) => {
+        // rollup stays inside the packed array — no second shuffle; the
+        // boundary ring carries acc = 0 and drops out of every statistic
+        val idx = sequence(lit(0), lit(255))
+        flowAccPacked(s, d, FlowAccRounds)
+          .select(col("tile"),
+            aggregate(col("acc"), lit(0L),
+              (s0, x) => s0 + when(x > 0, 1L).otherwise(0L)).as("n_cells"),
+            array_max(col("acc")).as("max_acc"),
+            aggregate(col("acc"), lit(0L), (s0, x) => s0 + x).as("sum_acc"),
+            aggregate(idx, lit(0L), (s0, p) => s0 +
+              element_at(col("acc"), p + 1) * (p + 1).cast("long"))
+              .as("checksum"))
+          .orderBy("tile")
+      }),
 
     // Percentile contrast stretch (round 9, fifth wave) — the p2/p98
     // display normalization every RGB quicklook/browse-image pipeline
@@ -1069,6 +1098,59 @@ object EO {
             s6(least(greatest((col("value") - 50.0) / (400.0 - 50.0), lit(0.0)), lit(1.0)))
               .as("veg_fraction"))
           .orderBy("event_id")),
+
+    // THREE-endmember constrained unmix (round 12, VERDICT r11 item 4) —
+    // the real fractional-cover shape (veg/soil/water per pixel, the
+    // FC-family product [PK]): with two bands plus the sum-to-one
+    // constraint, three endmembers are EXACTLY determined — the pixel's
+    // barycentric coordinates in the band-space triangle, solved in
+    // closed form by the 2×2 Cramer rule with every endmember coordinate
+    // a shared decimal literal — E1 = (10, −5), E2 = (330, −5),
+    // E3 = (170, 520) in (value, user_id mod 512) band space, chosen so
+    // BOTH lanes fire at both graded SFs (measured inside counts:
+    // 767/1000 at sf0.001, 5194/10000 at sf0.01); det = 168000. Pixels
+    // outside the triangle (inside = all fᵢ ≥ 0, graded as its own
+    // column so both lanes are pinned) get the standard non-negativity
+    // CLAMP + renormalize: cᵢ = max(fᵢ, 0), fᵢ' = cᵢ/Σc — Σc > 0 always
+    // since Σfᵢ = 1. Every operation is a fixed IEEE sequence over the
+    // stored doubles and literals (Det rule 2), so the s6 outputs
+    // hash-match. Map-only over the scan at any scale; the endmember
+    // matrix broadcasts trivially (it is literals).
+    Q("eo_unmix3", Some {
+      val b1 = "value"; val b2 = "CAST(user_id % 512 AS DOUBLE)"
+      val f1 = s"((($b1) - 170.0) * -525.0 - 160.0 * (($b2) - 520.0)) / 168000.0"
+      val f2 = s"(-160.0 * (($b2) - 520.0) + (($b1) - 170.0) * 525.0) / 168000.0"
+      "WITH f AS (SELECT event_id, " +
+        s"$f1 AS f1, $f2 AS f2, 1.0 - ($f1) - ($f2) AS f3 FROM events), " +
+        "c AS (SELECT event_id, " +
+        "CASE WHEN f1 >= 0.0 AND f2 >= 0.0 AND f3 >= 0.0 THEN 1 ELSE 0 END AS inside, " +
+        "GREATEST(f1, 0.0) AS c1, GREATEST(f2, 0.0) AS c2, GREATEST(f3, 0.0) AS c3 FROM f) " +
+        "SELECT event_id, CAST(inside AS BIGINT) AS inside, " +
+        sqlS6("c1 / (c1 + c2 + c3)") + " AS frac1, " +
+        sqlS6("c2 / (c1 + c2 + c3)") + " AS frac2, " +
+        sqlS6("c3 / (c1 + c2 + c3)") + " AS frac3 " +
+        "FROM c ORDER BY event_id"
+    },
+      (s, d) => {
+        val b1 = col("value")
+        val b2 = (col("user_id") % 512).cast("double")
+        val f1 = ((b1 - 170.0) * -525.0 - lit(160.0) * (b2 - 520.0)) / 168000.0
+        val f2 = (lit(-160.0) * (b2 - 520.0) + (b1 - 170.0) * 525.0) / 168000.0
+        T.events(s, d)
+          .select(col("event_id"), f1.as("f1"), f2.as("f2"),
+            (lit(1.0) - f1 - f2).as("f3"))
+          .select(col("event_id"),
+            when(col("f1") >= 0.0 && col("f2") >= 0.0 && col("f3") >= 0.0, 1L)
+              .otherwise(0L).as("inside"),
+            greatest(col("f1"), lit(0.0)).as("c1"),
+            greatest(col("f2"), lit(0.0)).as("c2"),
+            greatest(col("f3"), lit(0.0)).as("c3"))
+          .select(col("event_id"), col("inside"),
+            s6(col("c1") / (col("c1") + col("c2") + col("c3"))).as("frac1"),
+            s6(col("c2") / (col("c1") + col("c2") + col("c3"))).as("frac2"),
+            s6(col("c3") / (col("c1") + col("c2") + col("c3"))).as("frac3"))
+          .orderBy("event_id")
+      }),
 
     // End-to-end product generation in ONE Catalyst plan — the reference's
     // per-product worker shape (SURVEY §1): QA-mask -> band math ->
@@ -2692,6 +2774,105 @@ object EO {
         clumpRollup(p0)
       }),
 
+    // Raster POLYGONIZE (round 12, VERDICT r11 item 5) — the
+    // gdal_polygonize step that turns eo_tile_clump's labeled regions
+    // into vector features (the raster→vector boundary of every
+    // mapping product [PK]). A rectilinear region's geometry is fully
+    // determined by integer invariants, so the ring walk becomes
+    // RELATIONAL corner counting: at each corner-lattice point (17×17
+    // per tile) the number k of region cells among its 4 surrounding
+    // cells classifies the point — k=1 or 3 → one polygon vertex, k=2
+    // with the two cells DIAGONAL (their quadrant codes q = dx+2·dy sum
+    // to 3) → the boundary passes through twice = two vertices,
+    // otherwise none. Perimeter = 4·area − 2·(internal 4-adjacencies).
+    // Graded per region: area, perimeter, vertex count and the
+    // order-free vertex-coordinate checksum Σ v·(cy·17+cx+1) — a wrong
+    // ring anywhere moves some corner and breaks it. Each pixel fans
+    // out to exactly 4 corner contributions (map-side combined), so
+    // polygonize costs one extra (tile, clump, corner) partial agg over
+    // the clump labeling — no walk, no driver loop, any archive scale.
+    Q("eo_polygonize", Some(
+      "WITH RECURSIVE px AS (SELECT (event_id // 4) // 256 AS tile, " +
+        "((event_id // 4) % 256) // 16 AS py, ((event_id // 4) % 256) % 16 AS px, " +
+        "(event_id // 4) AS pid, event_id % 4 AS t, user_id % 2 AS m FROM events), " +
+        "full_t AS (SELECT tile FROM px WHERE t = 0 GROUP BY tile HAVING COUNT(*) = 256), " +
+        "p0 AS (SELECT p.tile, py, px, pid FROM px p JOIN full_t USING (tile) " +
+        "WHERE t = 0 AND m = 1), " +
+        "ed AS (SELECT a.pid AS d1, b.pid AS d2 FROM p0 a JOIN p0 b ON a.tile = b.tile " +
+        "AND ((b.py = a.py AND b.px = a.px + 1) OR (b.py = a.py + 1 AND b.px = a.px))), " +
+        "edges AS (SELECT d1, d2 FROM ed UNION ALL SELECT d2, d1 FROM ed), " +
+        "reach AS (SELECT pid AS a, pid AS b FROM p0 " +
+        "UNION SELECT r.a, e.d2 FROM reach r JOIN edges e ON r.b = e.d1), " +
+        "cl AS (SELECT a AS pid, MIN(b) AS clump FROM reach GROUP BY a), " +
+        "lp AS (SELECT p0.tile, p0.py, p0.px, p0.pid, cl.clump " +
+        "FROM cl JOIN p0 ON p0.pid = cl.pid), " +
+        "adjc AS (SELECT l.tile, l.clump, CAST(COUNT(*) AS BIGINT) AS n_adj " +
+        "FROM ed JOIN lp l ON l.pid = ed.d1 GROUP BY l.tile, l.clump), " +
+        "crn AS (SELECT tile, clump, px + dx AS cx, py + dy AS cy, " +
+        "dx + 2 * dy AS qq FROM lp CROSS JOIN " +
+        "(VALUES (0, 0), (1, 0), (0, 1), (1, 1)) AS c(dx, dy)), " +
+        "vc AS (SELECT tile, clump, cx, cy, COUNT(*) AS k, SUM(qq) AS sq " +
+        "FROM crn GROUP BY tile, clump, cx, cy), " +
+        "vv AS (SELECT tile, clump, cx, cy, CASE WHEN k = 1 OR k = 3 THEN 1 " +
+        "WHEN k = 2 AND sq = 3 THEN 2 ELSE 0 END AS v FROM vc), " +
+        "ar AS (SELECT tile, clump, CAST(COUNT(*) AS BIGINT) AS area " +
+        "FROM lp GROUP BY tile, clump), " +
+        "vt AS (SELECT tile, clump, CAST(SUM(v) AS BIGINT) AS n_vertices, " +
+        "CAST(SUM(v * (cy * 17 + cx + 1)) AS BIGINT) AS vx_checksum " +
+        "FROM vv GROUP BY tile, clump) " +
+        "SELECT ar.tile, ar.clump, ar.area, " +
+        "CAST(4 * ar.area - 2 * COALESCE(adjc.n_adj, 0) AS BIGINT) AS perimeter, " +
+        "vt.n_vertices, vt.vx_checksum " +
+        "FROM ar JOIN vt ON vt.tile = ar.tile AND vt.clump = ar.clump " +
+        "LEFT JOIN adjc ON adjc.tile = ar.tile AND adjc.clump = ar.clump " +
+        "ORDER BY ar.tile, ar.clump"),
+      (s, d) => {
+        val px = T.events(s, d).select(
+          expr("(event_id div 4) div 256").as("tile"),
+          expr("((event_id div 4) % 256) div 16").as("py"),
+          expr("((event_id div 4) % 256) % 16").as("px"),
+          expr("event_id div 4").as("pid"),
+          (col("event_id") % 4).as("t"), (col("user_id") % 2).as("m"))
+        val fullT = px.where(col("t") === 0).groupBy("tile")
+          .agg(count(lit(1)).as("c")).where(col("c") === 256).select("tile")
+        val p0 = px.where(col("t") === 0 && col("m") === 1)
+          .join(broadcast(fullT), "tile")
+          .select("tile", "py", "px", "pid")
+        val (labRaw, pairs) = clumpLabeled(p0)
+        val labC = labRaw
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        val adjc = pairs
+          .join(labC.select(col("pid").as("d1"), col("tile").as("at"),
+            col("cluster").as("ac")), "d1")
+          .groupBy("at", "ac").agg(count(lit(1)).as("n_adj"))
+        val crn = labC.select(col("tile"), col("cluster"), col("py"), col("px"),
+            explode(array(Seq((0, 0), (1, 0), (0, 1), (1, 1)).map { case (dx, dy) =>
+              struct(lit(dx).as("dx"), lit(dy).as("dy"))
+            }: _*)).as("c"))
+          .select(col("tile"), col("cluster"),
+            (col("px") + col("c.dx")).as("cx"),
+            (col("py") + col("c.dy")).as("cy"),
+            (col("c.dx") + lit(2) * col("c.dy")).as("qq"))
+        val vc = crn.groupBy("tile", "cluster", "cx", "cy")
+          .agg(count(lit(1)).as("k"), sum("qq").as("sq"))
+          .select(col("tile"), col("cluster"), col("cx"), col("cy"),
+            when(col("k") === 1 || col("k") === 3, 1L)
+              .when(col("k") === 2 && col("sq") === 3, 2L)
+              .otherwise(0L).as("v"))
+        val vt = vc.groupBy("tile", "cluster")
+          .agg(sum("v").as("n_vertices"),
+            sum(col("v") * (col("cy") * 17 + col("cx") + 1)).as("vx_checksum"))
+        val ar = labC.groupBy("tile", "cluster").agg(count(lit(1)).as("area"))
+        ar.join(vt, Seq("tile", "cluster"))
+          .join(adjc, col("at") === col("tile") && col("ac") === col("cluster"),
+            "left")
+          .select(col("tile"), col("cluster").as("clump"), col("area"),
+            (lit(4) * col("area") - lit(2) * coalesce(col("n_adj"), lit(0L)))
+              .cast("long").as("perimeter"),
+            col("n_vertices"), col("vx_checksum"))
+          .orderBy("tile", "clump")
+      }),
+
     // Latest-pixel mosaic (round 9, sixth wave) — the "most recent
     // clear observation" composite of every browse/monitoring service
     // (odc-stats `latest`; GEE mosaic()): per pixel group keep the
@@ -3216,7 +3397,11 @@ object EO {
     * (tile, py, px, pid — pid globally unique, raster-ordered within a
     * tile): per (tile, clump) size + id checksum, clump = min pid in the
     * component. Shared by eo_tile_clump and its generative spec. */
-  private[graft] def clumpRollup(pixels: DataFrame): DataFrame = {
+  /** 4-adjacency connected-component labeling over masked pixels:
+    * returns (labeled = (tile, py, px, pid, cluster), pairs = the
+    * right+down in-tile adjacency (d1, d2)) — shared by eo_tile_clump's
+    * rollup, eo_tile_sieve and eo_polygonize. */
+  private[graft] def clumpLabeled(pixels: DataFrame): (DataFrame, DataFrame) = {
     val p0 = pixels
       .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
     val a = p0.select(col("tile"), col("py"), col("px"), col("pid").as("d1"))
@@ -3230,7 +3415,14 @@ object EO {
       .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
     val labels = graft.operators.Llm.componentLabels(
       p0.select(col("pid").as("doc_id")), pairs)
-    labels.join(p0, col("doc_id") === col("pid"))
+    val labeled = labels.join(p0, col("doc_id") === col("pid"))
+      .select("tile", "py", "px", "pid", "cluster")
+    (labeled, pairs)
+  }
+
+  private[graft] def clumpRollup(pixels: DataFrame): DataFrame = {
+    val (labeled, _) = clumpLabeled(pixels)
+    labeled
       .groupBy(col("tile"), col("cluster").as("clump"))
       .agg(count(lit(1)).as("n_px"), sum(col("pid") + 1).as("cksum"))
       .orderBy("tile", "clump")

@@ -684,6 +684,84 @@ object LlmExtras {
               .as("recall6"))
       }),
 
+    // IVF-PQ composed search (round 12, VERDICT r11 item 6) — the
+    // composition every real billion-vector index runs [Jégou et al.
+    // 2011 IVFADC; FAISS IVFxPQy]: probe the inverted file, rank ONLY
+    // the probed lists by the PQ asymmetric-distance LUT, exact-rerank
+    // the shortlist. The byte economics are the point — PQ codes are 16
+    // small ints per vector vs 64 floats, so at equal scan-byte cost
+    // IVFPQ affords MORE probes: 4 cells × 16 code-bytes ≈ 2 cells × 32
+    // full-vector bytes-per-dim scanned, and the 4-probe candidate set
+    // contains 6-7/10 of the exact top-10 on this corpus vs 2-probe
+    // IVF's 3/10 (llm_ann_recall_eval's graded number) — the spec pins
+    // ivfpq-hits ≥ ivf-hits. Chain: llm_ann_ivf's probe law (LIMIT 4),
+    // trained-PQ ADC (pqSqlChain) over probed candidates only, top-10
+    // shortlist by (adc14, vec_id), exact scaled-long cosine rerank.
+    // Everything integer until the one fixed cosine sequence.
+    Q("llm_ann_ivfpq", Some(
+      "WITH " + pqSqlChain + ", " +
+        "ivfux AS (SELECT vec_id, label, CAST(UNNEST(embedding) AS DOUBLE) AS x, " +
+        "UNNEST(RANGE(1, LEN(embedding) + 1)) AS i FROM embeddings), " +
+        "ivfc AS (SELECT label AS clabel, i, " + sqlMean6("x") + " AS c6 " +
+        "FROM ivfux GROUP BY clabel, i), " +
+        "q2 AS (SELECT i, x AS qx FROM ivfux WHERE vec_id = 0), " +
+        "probes AS (SELECT clabel FROM (" +
+        "SELECT clabel, SUM(CAST(FLOOR((CAST(c6 AS DOUBLE) / 1e6 - qx) * (CAST(c6 AS DOUBLE) / 1e6 - qx) * 1e14 + 0.5) AS BIGINT)) AS d2 " +
+        "FROM ivfc JOIN q2 USING (i) GROUP BY clabel) x ORDER BY d2, clabel LIMIT 4), " +
+        "shortl AS (SELECT a.vec_id FROM adc a " +
+        "JOIN embeddings e ON e.vec_id = a.vec_id " +
+        "JOIN probes p ON e.label = p.clabel " +
+        "ORDER BY a.adc14, a.vec_id LIMIT 10), " +
+        "nq AS (SELECT SUM(CAST(FLOOR(qx * qx * 1e14 + 0.5) AS BIGINT)) AS nl FROM q), " +
+        "cd AS (SELECT u.vec_id, " +
+        "SUM(CAST(FLOOR(u.x * q3.qx * 1e14 + 0.5) AS BIGINT)) AS dotl, " +
+        "SUM(CAST(FLOOR(u.x * u.x * 1e14 + 0.5) AS BIGINT)) AS nl " +
+        "FROM ux u JOIN q q3 ON u.pos = q3.pos " +
+        "JOIN shortl sl ON sl.vec_id = u.vec_id GROUP BY u.vec_id), " +
+        "r AS (SELECT vec_id, (CAST(dotl AS DOUBLE) / 1e14) / " +
+        "(SQRT(CAST(nl AS DOUBLE) / 1e14) * SQRT((SELECT CAST(nl AS DOUBLE) FROM nq) / 1e14)) AS c FROM cd) " +
+        "SELECT r.vec_id, e.label, " + sqlS6("r.c") + " AS cos_sim " +
+        "FROM r JOIN embeddings e ON e.vec_id = r.vec_id " +
+        "ORDER BY r.c DESC, r.vec_id LIMIT 10"),
+      (s, d) => {
+        graft.functions.VectorExprs.register(s)
+        import graft.functions.VectorExprs.{sdotl, sl2}
+        val ux = T.embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("pos", "xf")))
+          .withColumn("x", col("xf").cast("double"))
+        val cent = ux.groupBy(col("label").as("clabel"), col("pos"))
+          .agg((graft.Det.mean6(col("x")).cast("double") / lit(1e6)).as("c"))
+        val centArr = cent.groupBy("clabel")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+            e => e.getField("c")).as("cvec"))
+        val qArr = T.embeddings(s, d).where(col("vec_id") === 0)
+          .select(transform(col("embedding"), x => x.cast("double")).as("qvec"))
+        val probes = centArr.crossJoin(broadcast(qArr))
+          .select(col("clabel"), sl2(col("cvec"), col("qvec")).as("d2"))
+          .orderBy(col("d2"), col("clabel"))
+          .limit(4)
+          .select(col("clabel").as("label"))
+        val shortl = pqAdc(s, d)
+          .join(T.embeddings(s, d).select(col("vec_id"), col("label")), "vec_id")
+          .join(broadcast(probes), "label")
+          .orderBy(col("adc14"), col("vec_id"))
+          .limit(10)
+          .select("vec_id")
+        val q = T.embeddings(s, d).where(col("vec_id") === 0)
+          .select(col("embedding").as("qe"))
+        val cos = (sdotl(col("embedding"), col("qe")).cast("double") / lit(1e14)) /
+          (sqrt(sdotl(col("embedding"), col("embedding")).cast("double") / lit(1e14)) *
+            sqrt(sdotl(col("qe"), col("qe")).cast("double") / lit(1e14)))
+        T.embeddings(s, d)
+          .join(shortl, "vec_id")
+          .crossJoin(broadcast(q))
+          .withColumn("cr", cos)
+          .orderBy(col("cr").desc, col("vec_id"))
+          .limit(10)
+          .select(col("vec_id"), col("label"), s6(col("cr")).as("cos_sim"))
+      }),
+
     // ANN recall evaluation (round 10, third wave) — "measure, don't
     // guess" applied to the ANN ladder itself: every production ANN
     // deployment is judged by recall@k against the exact ranking, so
@@ -1778,7 +1856,7 @@ object LlmExtras {
         s"s$r AS (SELECT lang, freq, tokstr, " +
           s"STRING_SPLIT(SUBSTRING(tokstr, 2, LEN(tokstr) - 2), $S||$S) AS syms FROM v${r - 1}), " +
           s"c$r AS (SELECT lang, $S || syms[i] || $S || $S || syms[i+1] || $S AS pair, " +
-          s"CAST(SUM(freq) AS BIGINT) AS n FROM s$r, (SELECT UNNEST(RANGE(1, 64)) AS i) ix " +
+          s"CAST(SUM(freq) AS BIGINT) AS n FROM s$r, (SELECT UNNEST(RANGE(1, (SELECT mxn FROM mx))) AS i) ix " +
           s"WHERE i < LEN(syms) GROUP BY lang, pair), " +
           s"w$r AS (SELECT lang, pair, n FROM (SELECT lang, pair, n, " +
           s"ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, pair) AS rk FROM c$r) WHERE rk = 1), " +
@@ -1789,9 +1867,14 @@ object LlmExtras {
       val merges = (1 to BpeRounds).map(r =>
         s"SELECT lang, CAST($r AS BIGINT) AS rnk, REPLACE(pair, $S, '') AS merged, n FROM w$r")
         .mkString(" UNION ALL ")
+      // pair-position bound DERIVED from the corpus (ADVICE r11): merges
+      // only shrink symbol counts, so round-1's max token length bounds
+      // every round — no silent 64-symbol truncation on long tokens
       s"WITH v0 AS (SELECT lang, $S || ARRAY_TO_STRING(STRING_SPLIT(tok, ''), $S||$S) || $S AS tokstr, freq " +
         "FROM (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS freq FROM " +
         "(SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents) GROUP BY lang, tok)), " +
+        "mx AS (SELECT CAST(MAX(LEN(tok)) AS BIGINT) AS mxn FROM " +
+        "(SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)), " +
         rounds + ", " +
         s"m AS ($merges), " +
         s"fs AS (SELECT lang, CAST(SUM(freq * LEN(STRING_SPLIT(SUBSTRING(tokstr, 2, LEN(tokstr) - 2), $S||$S))) AS BIGINT) AS final_syms " +
@@ -1868,6 +1951,70 @@ object LlmExtras {
           .select(col("doc_id"), col("n_ngrams"), col("n_dup"),
             s6(col("n_dup").cast("double") / col("n_ngrams").cast("double"))
               .as("dup_frac6"))
+          .orderBy("doc_id")
+      }),
+
+    // Substring-granular duplicate-SPAN extraction (round 12, VERDICT
+    // r11 item 3) — the Lee et al. 2022 ("Deduplicating Training Data
+    // Makes Language Models Better") ExactSubstr op the dedup family
+    // lacked: document-level dedup misses long byte-identical SPANS
+    // embedded in otherwise-distinct documents, so the production
+    // pipeline extracts every cross-document duplicated run of ≥ L
+    // tokens and removes/flags those spans. Relational form of the
+    // suffix-array anchor+extend: every L=5-token window is an anchor
+    // key; an anchor is duplicated if its gram occurs in ≥ 2 DISTINCT
+    // docs; maximal spans are consecutive duplicated anchors merged by
+    // the gaps-and-islands trick (i − row_number over (doc, order i) is
+    // constant within a run — the "extend" step, exact because two
+    // adjacent duplicated L-grams overlap in L−1 tokens), and a span of
+    // k anchors covers k+L−1 tokens. Output per affected doc: span
+    // count, total duplicated tokens, longest span, first span start —
+    // all integers. Scale shape: ONE gram-keyed shuffle (map-side
+    // combined distinct-doc counts) — the same partition-by-ngram plan
+    // a 100 TB suffix pipeline runs — then a semi-join back and one
+    // doc-keyed window; no pairwise doc joins anywhere.
+    Q("llm_substr_dedup", Some(
+      "WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents), " +
+        "grams AS (SELECT doc_id, i, ARRAY_TO_STRING(tk[i:i+4], ' ') AS g " +
+        "FROM toks, (SELECT UNNEST(RANGE(1, (SELECT MAX(LEN(tk)) FROM toks) + 1)) AS i) ix " +
+        "WHERE i + 4 <= LEN(tk)), " +
+        "dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2), " +
+        "anch AS (SELECT doc_id, i FROM grams JOIN dup USING (g)), " +
+        "runs AS (SELECT doc_id, i, i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM anch), " +
+        "spans AS (SELECT doc_id, grp, CAST(COUNT(*) + 4 AS BIGINT) AS span_toks, " +
+        "CAST(MIN(i) AS BIGINT) AS start_i FROM runs GROUP BY doc_id, grp) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans, " +
+        "CAST(SUM(span_toks) AS BIGINT) AS dup_tokens, " +
+        "CAST(MAX(span_toks) AS BIGINT) AS max_span, " +
+        "CAST(MIN(start_i) AS BIGINT) AS first_start " +
+        "FROM spans GROUP BY doc_id ORDER BY doc_id"),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val L = 5
+        val grams = T.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("tk"))
+          .where(size(col("tk")) >= L)
+          .select(col("doc_id"), posexplode(transform(
+            sequence(lit(1), size(col("tk")) - (L - 1)),
+            i => array_join(slice(col("tk"), i, lit(L)), " "))).as(Seq("p0", "g")))
+          .select(col("doc_id"), (col("p0") + 1).cast("long").as("i"), col("g"))
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        val dup = grams.groupBy("g")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .where(col("nd") >= 2)
+          .select("g")
+        val anch = grams.join(dup, Seq("g"), "left_semi")
+        val w = Window.partitionBy("doc_id").orderBy("i")
+        anch
+          .withColumn("grp", col("i") - row_number().over(w))
+          .groupBy("doc_id", "grp")
+          .agg((count(lit(1)) + (L - 1)).as("span_toks"),
+            min(col("i")).as("start_i"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(col("span_toks")).as("dup_tokens"),
+            max(col("span_toks")).as("max_span"),
+            min(col("start_i")).as("first_start"))
           .orderBy("doc_id")
       }),
 

@@ -35,7 +35,7 @@ object Maintenance {
         "CAST((COUNT(*) + 49999) // 50000 AS BIGINT) AS n_files " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
       (s, d) => {
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_compact"
+        val dir = graft.GraftTmp.dir("compact")
         graft.maintenance.Compaction.deleteRecursively(
           java.nio.file.Paths.get(dir))
         // fragmented ingest: 17 writer tasks per partition directory
@@ -91,8 +91,8 @@ object Maintenance {
         s"SELECT 'src_v2' AS side, * FROM ($v2) b ORDER BY side, event_type"
     },
       (s, d) => {
-        val srcDir = s"${System.getProperty("java.io.tmpdir")}/graft_clone_src"
-        val dstDir = s"${System.getProperty("java.io.tmpdir")}/graft_clone_dst"
+        val srcDir = graft.GraftTmp.dir("clone_src")
+        val dstDir = graft.GraftTmp.dir("clone_dst")
         graft.maintenance.Compaction.deleteRecursively(
           java.nio.file.Paths.get(srcDir))
         graft.maintenance.Compaction.deleteRecursively(
@@ -131,7 +131,7 @@ object Maintenance {
         s"SELECT 3 AS version, * FROM ($full) v3 ORDER BY version, event_type"
     },
       (s, d) => {
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_snapshots"
+        val dir = graft.GraftTmp.dir("snapshots")
         graft.maintenance.Compaction.deleteRecursively(
           java.nio.file.Paths.get(dir))
         val snap = StructType(eventsProj.fields :+
@@ -180,7 +180,7 @@ object Maintenance {
         "CAST((COUNT(*) + 49999) // 50000 AS BIGINT) AS n_files, " +
         "CAST(17 AS BIGINT) AS n_orphans FROM events"),
       (s, d) => {
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_vacuum"
+        val dir = graft.GraftTmp.dir("vacuum")
         graft.maintenance.Compaction.deleteRecursively(
           java.nio.file.Paths.get(dir))
         val src = T.events(s, d).select("event_id", "user_id", "value")
@@ -258,7 +258,7 @@ object Maintenance {
         sqlSum6("value") + " END AS sum_v6 " +
         "FROM merged GROUP BY act ORDER BY act"),
       (s, d) => {
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_merge"
+        val dir = graft.GraftTmp.dir("merge")
         graft.maintenance.Compaction.deleteRecursively(
           java.nio.file.Paths.get(dir))
         val wLast = org.apache.spark.sql.expressions.Window
@@ -348,7 +348,7 @@ object Maintenance {
         "CAST((SELECT COUNT(*) FROM plan) AS BIGINT) AS n_planned FROM m"
     },
       (s, d) => {
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_zorder"
+        val dir = graft.GraftTmp.dir("zorder")
         graft.maintenance.Compaction.deleteRecursively(
           java.nio.file.Paths.get(dir))
         def morton(x: org.apache.spark.sql.Column,
@@ -428,7 +428,7 @@ object Maintenance {
         "FROM r GROUP BY change_type ORDER BY change_type"
     },
       (s, d) => {
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_cdf"
+        val dir = graft.GraftTmp.dir("cdf")
         graft.maintenance.Compaction.deleteRecursively(
           java.nio.file.Paths.get(dir))
         val snap = StructType(Seq(
@@ -492,7 +492,7 @@ object Maintenance {
         "FROM events, b WHERE event_id BETWEEN b.lo AND b.hi) " +
         "SELECT sel.n_files, ag.n_rows, ag.sum_id, ag.sum_v6 FROM sel, ag"),
       (s, d) => {
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_statsskip"
+        val dir = graft.GraftTmp.dir("statsskip")
         graft.maintenance.Compaction.deleteRecursively(
           java.nio.file.Paths.get(dir))
         val ev = T.events(s, d).select("event_id", "value")

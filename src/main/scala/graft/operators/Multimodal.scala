@@ -817,9 +817,16 @@ object Multimodal {
     // banded-bucket joins the image hashes grade (hash equality IS the
     // bucket key) — the fingerprint build here is the per-doc linear
     // stage of that pipeline.
+    // CORPUS ASSUMPTION (ADVICE r11): Spark indexes payload BYTES,
+    // the oracle indexes text CHARACTERS — they agree because this
+    // corpus is pure ASCII (MultimodalSpec pins that loudly, so a
+    // regenerated non-ASCII corpus fails the spec, not the hash).
+    // Zero-length payloads are excluded on BOTH sides: a fingerprint
+    // over no samples is undefined, and the stride read would index
+    // an empty buffer.
     Q("mm_audio_fingerprint", Some(
       "WITH p AS (SELECT doc_id, text, CAST(LENGTH(text) AS BIGINT) AS n FROM documents " +
-        "WHERE doc_id % 3 = 2), " +
+        "WHERE doc_id % 3 = 2 AND LENGTH(text) > 0), " +
         "e AS (SELECT doc_id, fb // 8 AS f, fb % 8 AS b, " +
         "CAST(ASCII(SUBSTRING(text, CAST((fb * n) // 128 AS INTEGER) + 1, 1)) AS BIGINT) AS en " +
         "FROM p, (SELECT UNNEST(RANGE(0, 128)) AS fb) ix), " +
@@ -849,7 +856,8 @@ object Multimodal {
             org.apache.spark.sql.types.LongType)))
         val enc = org.apache.spark.sql.Encoders.row(hashSchema)
         val h = payloads(s, d)
-          .where(col("meta.format") === "wav") // metadata prune
+          // metadata prune; empty payloads excluded (see key comment)
+          .where(col("meta.format") === "wav" && col("meta.n_bytes") > 0)
           .select(col("doc_id"), col("payload"))
           .mapPartitions { rows =>
             rows.grouped(batchSize).flatMap { batch =>

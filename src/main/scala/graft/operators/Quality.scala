@@ -36,7 +36,7 @@ object Quality {
   }
 
   private val DriftDir =
-    s"${System.getProperty("java.io.tmpdir")}/graft_schema_drift"
+    graft.GraftTmp.dir("schema_drift")
 
   val all: Seq[Q] = Seq(
 
@@ -53,14 +53,20 @@ object Quality {
     // schema's worth of driver rows, documented — never a data path).
     Q("dq_schema_drift", Some {
       def side(n: Int) =
+        // explicit converted_type matches with a LOUD else (ADVICE r11):
+        // an INT64 with a future DECIMAL/unsigned converted_type must
+        // surface as an unmapped marker — which can never equal the
+        // Spark-side canonical name, so it grades as a visible
+        // type_changed/mismatch instead of silently reading 'timestamp'
         s"s$n AS (SELECT name, CASE " +
           "WHEN type = 'INT64' AND converted_type IS NULL THEN 'int64' " +
-          "WHEN type = 'INT64' THEN 'timestamp' " +
+          "WHEN type = 'INT64' AND converted_type LIKE 'TIMESTAMP%' THEN 'timestamp' " +
           "WHEN type = 'INT96' THEN 'timestamp' " + // Spark default writer
-          "WHEN type = 'INT32' THEN 'int32' " +
+          "WHEN type = 'INT32' AND converted_type IS NULL THEN 'int32' " +
           "WHEN type = 'DOUBLE' THEN 'double' " +
           "WHEN type = 'FLOAT' THEN 'float' " +
-          "WHEN type = 'BYTE_ARRAY' THEN 'string' END AS t " +
+          "WHEN type = 'BYTE_ARRAY' THEN 'string' " +
+          "ELSE 'UNMAPPED:' || type || '/' || COALESCE(converted_type, '-') END AS t " +
           s"FROM parquet_schema('$DriftDir/v$n/*.parquet') WHERE type IS NOT NULL)"
       "WITH " + side(1) + ", " + side(2) + " " +
         "SELECT COALESCE(s1.name, s2.name) AS col_name, " +

@@ -36,7 +36,7 @@ object Relational {
         "FROM events GROUP BY bucket ORDER BY bucket"
     Q(name, Some(oracle), (s, d) => {
       import org.apache.spark.sql.types._
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip_$fmt"
+      val dir = graft.GraftTmp.dir(s"roundtrip_$fmt")
       T.events(s, d).select("event_id", "user_id", "value", "props")
         .write.mode("overwrite").format(fmt).option("header", "true").save(dir)
       val schema = StructType(Seq(
@@ -144,7 +144,7 @@ object Relational {
         "GROUP BY bucket ORDER BY bucket"),
       (s, d) => {
         import org.apache.spark.sql.types._
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip_xml"
+        val dir = graft.GraftTmp.dir("roundtrip_xml")
         T.events(s, d)
           .select(col("event_id"), col("user_id"), col("value"),
             concat(col("props"), lit("<&\"tail")).as("payload"))
@@ -185,7 +185,7 @@ object Relational {
         "FROM h GROUP BY bucket ORDER BY bucket"),
       (s, d) => {
         import org.apache.spark.sql.types._
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip_quoted"
+        val dir = graft.GraftTmp.dir("roundtrip_quoted")
         val hostile = concat(substring(col("text"), 1, 20), lit("\",\n"),
           substring(col("text"), 1, 10), lit("\"\"tail"))
         T.documents(s, d).select(col("doc_id"), hostile.as("payload"))
@@ -222,7 +222,7 @@ object Relational {
         "FROM events WHERE event_type = 'click' GROUP BY bucket ORDER BY bucket"),
       (s, d) => {
         import org.apache.spark.sql.types._
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_part_events"
+        val dir = graft.GraftTmp.dir("part_events")
         T.events(s, d).select("event_id", "user_id", "value", "event_type")
           .write.mode("overwrite").partitionBy("event_type").parquet(dir)
         val schema = StructType(Seq(
@@ -262,7 +262,7 @@ object Relational {
         "CAST(COUNT(o_orderpriority) AS BIGINT) AS n_with_prio " +
         "FROM u GROUP BY bucket ORDER BY bucket"),
       (s, d) => {
-        val base = s"${System.getProperty("java.io.tmpdir")}/graft_evolved"
+        val base = graft.GraftTmp.dir("evolved")
         val o = T.orders(s, d)
         o.where(col("o_orderkey") % 2 === 0)
           .select("o_orderkey", "o_totalprice")
@@ -297,7 +297,7 @@ object Relational {
         sqlCentSum("o_totalprice") + " AS sum_cents " +
         "FROM orders GROUP BY src ORDER BY src"),
       (s, d) => {
-        val base = s"${System.getProperty("java.io.tmpdir")}/graft_landing"
+        val base = graft.GraftTmp.dir("landing")
         // fresh tree each run: stale decoys/dirs must not leak between runs
         val root = new java.io.File(base)
         def rm(f: java.io.File): Unit = {
@@ -353,7 +353,7 @@ object Relational {
         "FROM c"),
       (s, d) => {
         import org.apache.spark.sql.types._
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_permissive"
+        val dir = graft.GraftTmp.dir("permissive")
         val k = col("o_orderkey")
         val line = when(k % 7 === 3, concat(k.cast("string"), lit(",xx")))
           .when(k % 7 === 5, concat(k.cast("string"), lit(",1,2")))
@@ -397,7 +397,7 @@ object Relational {
         "GROUP BY bucket ORDER BY bucket"),
       (s, d) => {
         import org.apache.spark.sql.types._
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_dpp_events"
+        val dir = graft.GraftTmp.dir("dpp_events")
         T.events(s, d).select("event_id", "user_id", "event_type")
           .write.mode("overwrite").partitionBy("event_type").parquet(dir)
         val dim = T.events(s, d).groupBy("event_type")
@@ -438,7 +438,7 @@ object Relational {
         "GROUP BY bucket ORDER BY bucket"),
       (s, d) => {
         import org.apache.spark.sql.types._
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_nested"
+        val dir = graft.GraftTmp.dir("nested")
         T.orders(s, d)
           .join(T.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
           .groupBy("o_orderkey")
@@ -485,7 +485,7 @@ object Relational {
         "FROM orders JOIN lineitem ON l_orderkey = o_orderkey " +
         "GROUP BY o_orderkey, o_custkey ORDER BY o_orderkey"),
       (s, d) => {
-        val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed"
+        val base = graft.GraftTmp.dir("bucketed")
         T.orders(s, d).select("o_orderkey", "o_custkey")
           .write.mode("overwrite")
           .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
@@ -522,7 +522,7 @@ object Relational {
         sqlSum6("value") + " AS sum_val " +
         "FROM events GROUP BY user_id ORDER BY user_id"),
       (s, d) => {
-        val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed"
+        val base = graft.GraftTmp.dir("bucketed")
         T.events(s, d).select("event_id", "user_id", "value")
           .write.mode("overwrite")
           .bucketBy(8, "user_id")

@@ -32,8 +32,10 @@ object GeoTiffScan {
   private def clearDir(dir: String): Unit = {
     val p = Paths.get(dir)
     if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      val st = Files.walk(p)
+      try st.sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.delete(f))
+      finally st.close()
     }
     Files.createDirectories(p)
   }
@@ -52,7 +54,7 @@ object GeoTiffScan {
         "FROM px p JOIN full_t USING (tile) GROUP BY p.tile ORDER BY p.tile"),
       (s, d) => {
         import s.implicits._
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_geotiff"
+        val dir = graft.GraftTmp.dir("geotiff")
         val px = T.events(s, d).where(col("event_id") % 4 === 0)
           .select(expr("(event_id div 4) div 256").as("tile"),
             expr("(event_id div 4) % 256").as("pos"),
@@ -123,7 +125,7 @@ object GeoTiffScan {
         "FROM px p JOIN full_t USING (tile) GROUP BY p.tile ORDER BY p.tile"),
       (s, d) => {
         import s.implicits._
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_geotiff_deflate"
+        val dir = graft.GraftTmp.dir("geotiff_deflate")
         val px = T.events(s, d).where(col("event_id") % 4 === 0)
           .select(expr("(event_id div 4) div 256").as("tile"),
             expr("(event_id div 4) % 256").as("pos"),
@@ -198,7 +200,7 @@ object GeoTiffScan {
         "FROM px p JOIN full_t USING (tile) GROUP BY p.tile ORDER BY p.tile"),
       (s, d) => {
         import s.implicits._
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_geotiff_nodata"
+        val dir = graft.GraftTmp.dir("geotiff_nodata")
         val nd = -32768
         val px = T.events(s, d).where(col("event_id") % 4 === 0)
           .select(expr("(event_id div 4) div 256").as("tile"),
@@ -357,7 +359,7 @@ object GeoTiffScan {
         "(SELECT * FROM l0 UNION ALL SELECT * FROM l1) ORDER BY scene, level"),
       (s, d) => {
         import s.implicits._
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_cog"
+        val dir = graft.GraftTmp.dir("cog")
         val px = T.events(s, d).where(col("event_id") % 4 === 0)
           .select(expr("(event_id div 4) div 256").as("tile"),
             expr("(event_id div 4) % 256").as("pos"),

@@ -382,6 +382,120 @@ object StreamTwins {
         s.table("graft_exec_timeout").orderBy("user_id")
       }),
 
+    // EXECUTED GroupState PROCESSING-TIME TIMEOUT (round 12, VERDICT
+    // r11 item 7) — the wall-clock idle-closure machine, the timeout
+    // class stream_exec_timeout's EventTimeTimeout twin leaves
+    // untouched (debouncers, TTL caches, "close after N ms of silence"
+    // — clock-driven, no watermark involved). Two MEASURED Spark-4.1
+    // semantics are load-bearing here:
+    //  (1) AvailableNow NEVER terminates under ProcessingTimeTimeout —
+    //      FlatMapGroupsWithStateExecBase.shouldRunAnotherBatch returns
+    //      unconditional `true` for that conf (decompiled from
+    //      spark-sql_2.13-4.1.2; measured: 349 empty micro-batches in
+    //      90 s with no stop). The query is therefore stopped
+    //      EXPLICITLY once the sink holds one closure per staged user —
+    //      a deterministic cut: every emission is a complete
+    //      state-removal, so content cannot change after the count is
+    //      reached.
+    //  (2) With timeout duration 1 ms, expiry is "any later batch":
+    //      micro-batches are 10²-10³ ms apart, so a state set in batch
+    //      k fires in the first batch > k without data for its key —
+    //      batch 2 for users with no second-half data (their fold is
+    //      the A-half only... which equals their total), the first
+    //      EMPTY batch for users refreshed by batch 2 (fold = A+B).
+    //      A key WITH data in a batch never times out in that batch:
+    //      the data call re-arms the timeout to batch_ts + 1 > batch_ts.
+    // Staged like stream_exec_timeout: file A = events at or before the
+    // integer time midpoint, file B = second-half events of user_id %
+    // 3 = 0, mtime-ordered under maxFilesPerTrigger=1. Every user fires
+    // exactly once with the exact (count, Σs6) fold over everything its
+    // state absorbed, so the oracle is the plain per-user aggregate
+    // over A ∪ B — a lost timeout, a double fire, or a fold applied
+    // twice all break the hash. BUILD-TIME SIDE EFFECT: stages files +
+    // runs (and stops) the streaming query at plan-construction time.
+    Q("stream_exec_ptimeout", Some(
+      "WITH te AS (SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS te, value FROM events), " +
+        "mm AS (SELECT (MIN(te) + MAX(te)) // 2 AS tm FROM te), " +
+        "a AS (SELECT * FROM te WHERE te <= (SELECT tm FROM mm)), " +
+        "b AS (SELECT * FROM te WHERE te > (SELECT tm FROM mm) AND user_id % 3 = 0), " +
+        "u AS (SELECT * FROM a UNION ALL SELECT * FROM b) " +
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(" + sqlS6("value") + ") AS BIGINT) AS sum_val " +
+        "FROM u GROUP BY user_id ORDER BY user_id"),
+      (s, d) => {
+        val landing = java.nio.file.Files.createTempDirectory("graft_exec_ptimeout")
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = s.read.parquet(s"$d/events.parquet")
+        val Array(mn, mx) = raw
+          .agg(min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts"))))
+          .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+        val tm = Math.floorDiv(mn + mx, 2L)
+        val stagedPred = unix_timestamp(col("ts")) <= tm ||
+          (unix_timestamp(col("ts")) > tm && col("user_id") % 3 === 0)
+        val nUsers = raw.where(stagedPred)
+          .select(countDistinct(col("user_id"))).collect().head.getLong(0)
+        def stage(pred: org.apache.spark.sql.Column, name: String,
+            ageSec: Long): Unit = {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_ptimeout_part")
+          raw.where(pred).coalesce(1)
+            .write.mode("overwrite").parquet(tmp.toString)
+          val part = new java.io.File(tmp.toString).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = landing.resolve(name)
+          java.nio.file.Files.move(part.toPath, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis() - ageSec * 1000))
+        }
+        stage(unix_timestamp(col("ts")) <= tm, "a.parquet", 240L)
+        stage(unix_timestamp(col("ts")) > tm && col("user_id") % 3 === 0,
+          "b.parquet", 120L)
+        val sq = s
+        import sq.implicits._
+        val stream = T.eventsStream(s, d, landing.toString, Some(1))
+          .select(col("user_id"), col("value"))
+          .as[(Long, Double)]
+        val emitted = stream.groupByKey(_._1)
+          .flatMapGroupsWithState(
+            org.apache.spark.sql.streaming.OutputMode.Append(),
+            org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout())(
+            (uid: Long, rows: Iterator[(Long, Double)],
+                state: org.apache.spark.sql.streaming.GroupState[(Long, Long)]) => {
+              if (state.hasTimedOut) {
+                val (n, acc) = state.get
+                state.remove()
+                Iterator((uid, n, acc))
+              } else {
+                var (n, acc) = state.getOption.getOrElse((0L, 0L))
+                rows.foreach { r =>
+                  n += 1
+                  acc += math.floor(r._2 * 1e6 + 0.5).toLong
+                }
+                state.update((n, acc))
+                // 1 ms: expires before any later micro-batch (see (2))
+                state.setTimeoutDuration(1L)
+                Iterator.empty
+              }
+            })
+          .toDF("user_id", "n", "sum_val")
+        val q = emitted.writeStream.format("memory")
+          .queryName("graft_exec_ptimeout")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        // the deterministic cut of measured fact (1): wait until every
+        // staged user's closure is committed, then stop the otherwise
+        // endless empty-batch loop (bounded at 180 s as a crash guard)
+        val deadline = System.currentTimeMillis() + 180000L
+        while (s.table("graft_exec_ptimeout").count() < nUsers &&
+            System.currentTimeMillis() < deadline) {
+          Thread.sleep(100L)
+        }
+        q.stop()
+        q.awaitTermination()
+        s.table("graft_exec_ptimeout").orderBy("user_id")
+      }),
+
     // EXECUTED checkpoint recovery (round 10 third wave) — the
     // exactly-once RESTART property, which none of the other executed
     // keys touch (they each run one query lifetime): the same tumbling

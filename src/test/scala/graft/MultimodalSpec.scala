@@ -125,7 +125,17 @@ class MultimodalSpec extends SparkSpec {
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1))
     assert(docs.nonEmpty)
-    val expect = docs.map { case (id, text) =>
+    // the key's corpus assumption, pinned LOUDLY (ADVICE r11): Spark
+    // reads payload BYTES, the oracle reads CHARACTERS — they agree only
+    // on pure-ASCII text, so a regenerated non-ASCII corpus must fail
+    // here, not as a silent dual-engine hash red. Empty docs are
+    // excluded by both engines (undefined fingerprint, empty buffer).
+    docs.foreach { case (id, text) =>
+      assert(text.forall(c => c >= 1 && c < 128),
+        s"doc $id is not pure ASCII — the byte-indexed Spark side and " +
+          "char-indexed oracle would diverge; re-grade the key on bytes")
+    }
+    val expect = docs.filter(_._2.nonEmpty).map { case (id, text) =>
       val p = text.getBytes("US-ASCII"); val n = p.length.toLong
       val peaks = Array.tabulate(16) { f =>
         (0 until 8).map(b => (b,

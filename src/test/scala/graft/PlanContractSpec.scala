@@ -537,6 +537,19 @@ class PlanContractSpec extends SparkSpec {
     assert(!bt.contains("SortMergeJoin"), s"stress join degraded:\n$bt")
   }
 
+  test("eo_tile_flow_acc is shuffle-once: one aggregation Exchange + the output sort") {
+    // VERDICT r11 item 2's done-bar: the K=10 relaxation must run inside
+    // the packed tile arrays — the former plan shuffled every round (~10
+    // Exchanges). One hashpartitioning (the tile packing groupBy) and one
+    // rangepartitioning (the ORDER BY tile) are the whole budget.
+    val p = planOf("eo_tile_flow_acc")
+    val hashEx = p.split("Exchange hashpartitioning").length - 1
+    val rangeEx = p.split("Exchange rangepartitioning").length - 1
+    assert(hashEx == 1, s"flow-acc relaxation re-shuffles ($hashEx hash exchanges):\n$p")
+    assert(rangeEx <= 1, s"more than the output sort ($rangeEx range exchanges)")
+    assert(!p.contains("Scan ExistingRDD"), "no mid-build checkpoint should remain")
+  }
+
   test("global sweep: no key plans a cartesian product or a python fallback") {
     // join_cross IS the cartesian semantics (125-row dimension square);
     // everything else must never degrade to one, and nothing may fall to

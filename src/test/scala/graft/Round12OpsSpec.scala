@@ -1,0 +1,179 @@
+package graft
+
+/** Independent scalar mirrors for round-12 keys (the Round*OpsSpec
+  * discipline: plain driver-side Scala over collected parquet, never the
+  * oracle's arithmetic path).
+  */
+class Round12OpsSpec extends SparkSpec {
+
+  test("eo_unmix3 equals a scalar barycentric solve with clamp; both lanes fire") {
+    val rows = Tables.events(spark, sfDir)
+      .select("event_id", "value", "user_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    def s6d(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val expect = rows.map { case (id, v, uid) =>
+      val b1 = v; val b2 = (uid % 512).toDouble
+      val f1 = ((b1 - 170.0) * -525.0 - 160.0 * (b2 - 520.0)) / 168000.0
+      val f2 = (-160.0 * (b2 - 520.0) + (b1 - 170.0) * 525.0) / 168000.0
+      val f3 = 1.0 - f1 - f2
+      val inside = if (f1 >= 0 && f2 >= 0 && f3 >= 0) 1L else 0L
+      val (c1, c2, c3) = (math.max(f1, 0), math.max(f2, 0), math.max(f3, 0))
+      val s = c1 + c2 + c3
+      (id, inside, s6d(c1 / s), s6d(c2 / s), s6d(c3 / s))
+    }.sortBy(_._1).toSeq
+    val got = SparkEntry.queries("eo_unmix3")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expect)
+    // both the inside-triangle and clamped lanes must be exercised
+    assert(got.exists(_._2 == 1L) && got.exists(_._2 == 0L), "both lanes")
+    // clamped fractions renormalize: s6 components sum to 1e6 ± rounding
+    got.foreach { case (id, _, a, b, c) =>
+      assert(math.abs(a + b + c - 1000000L) <= 2, s"event $id sum-to-one")
+    }
+  }
+
+  test("llm_substr_dedup equals a scalar anchor+extend span mirror") {
+    val L = 5
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val grams = docs.flatMap { case (id, tk) =>
+      (0 to tk.length - L).map(i0 => (id, i0 + 1L, tk.slice(i0, i0 + L).mkString(" ")))
+    }
+    val dup = grams.groupBy(_._3)
+      .filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val expect = grams.filter(g => dup(g._3))
+      .groupBy(_._1).toSeq.map { case (id, as) =>
+        val is = as.map(_._2).sorted
+        // gaps-and-islands: i - rank is constant within a run
+        val spans = is.zipWithIndex.groupBy { case (i, r) => i - r }
+          .values.map(run => (run.length.toLong + L - 1, run.map(_._1).min))
+          .toSeq
+        (id, spans.size.toLong, spans.map(_._1).sum, spans.map(_._1).max,
+          spans.map(_._2).min)
+      }.sortBy(_._1)
+    val got = SparkEntry.queries("llm_substr_dedup")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got.nonEmpty && got == expect, s"got ${got.take(3)}…\nexpect ${expect.take(3)}…")
+    // a span is at least L tokens and never longer than the doc
+    val lens = docs.toMap
+    got.foreach { case (id, n, tot, mx, _) =>
+      assert(mx >= L && tot >= n * L && mx <= lens(id).length.toLong)
+    }
+  }
+
+  test("eo_polygonize equals a scalar flood-fill + corner-count mirror") {
+    // sf0.001 has no complete tiles — drive at sf0.01 like eo_tile_clump
+    val dir01 = "/root/testdata/sf0.01"
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, dir01).select("event_id", "user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val px = ev.filter(e => e._1 % 4 == 0)
+      .map { case (eid, uid) =>
+        val pid = eid / 4
+        (pid / 256, ((pid % 256) / 16).toInt, (pid % 16).toInt, pid, uid % 2)
+      }
+    val fullTiles = px.groupBy(_._1).filter(_._2.length == 256).keySet
+    val mask = px.filter(p => fullTiles(p._1) && p._5 == 1)
+      .map(p => (p._1, p._2, p._3, p._4))
+    // scalar 4-adjacency CC per tile, min-pid label (union-find)
+    val parent = collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val byCell = mask.map(p => (p._1, p._2, p._3) -> p._4).toMap
+    mask.foreach { case (t, py, pxx, pid) =>
+      byCell.get((t, py, pxx + 1)).foreach(union(pid, _))
+      byCell.get((t, py + 1, pxx)).foreach(union(pid, _))
+    }
+    val labeled = mask.map { case (t, py, pxx, pid) => (t, find(pid), py, pxx) }
+    val expect = labeled.groupBy(p => (p._1, p._2)).toSeq.map {
+      case ((t, cl), cells) =>
+        val cellSet = cells.map(c => (c._3, c._4)).toSet
+        val area = cells.length.toLong
+        val nAdj = cellSet.toSeq.map { case (y, x) =>
+          (if (cellSet((y, x + 1))) 1 else 0) + (if (cellSet((y + 1, x))) 1 else 0)
+        }.sum.toLong
+        // corner counting over the 17x17 lattice
+        var nv = 0L; var ck = 0L
+        for (cy <- 0 to 16; cx <- 0 to 16) {
+          val around = Seq((cy - 1, cx - 1, 3), (cy - 1, cx, 2),
+            (cy, cx - 1, 1), (cy, cx, 0))
+            .filter { case (y, x, _) => cellSet((y, x)) }
+          val k = around.size
+          val sq = around.map(_._3).sum
+          val v = if (k == 1 || k == 3) 1L
+            else if (k == 2 && sq == 3) 2L else 0L
+          nv += v; ck += v * (cy * 17 + cx + 1)
+        }
+        (t, cl, area, 4 * area - 2 * nAdj, nv, ck)
+    }.sortBy(p => (p._1, p._2))
+    val got = SparkEntry.queries("eo_polygonize")(spark, dir01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got.nonEmpty && got == expect, s"got ${got.take(3)}…\nexpect ${expect.take(3)}…")
+    // rectilinear-polygon invariants: even vertex count >= 4, even
+    // perimeter >= 4, and singleton regions are exactly unit squares
+    got.foreach { case (t, cl, area, per, nv, _) =>
+      assert(nv % 2 == 0 && nv >= 4, s"($t,$cl) vertex parity")
+      assert(per % 2 == 0 && per >= 4, s"($t,$cl) perimeter")
+      if (area == 1) assert(per == 4 && nv == 4, s"($t,$cl) unit square")
+    }
+  }
+
+  test("llm_ann_ivfpq beats IVF-alone recall at lower scan-byte cost") {
+    val rows = Tables.embeddings(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val q = rows.find(_._1 == 0L).get._2
+    def fdot(a: Array[Double], b: Array[Double]): Long =
+      a.zip(b).map { case (x, y) => math.floor(x * y * 1e14 + 0.5).toLong }.sum
+    val nq = math.sqrt(fdot(q, q).toDouble / 1e14)
+    val exact = rows.filter(_._1 != 0L).map { case (id, v) =>
+      val c = (fdot(v, q).toDouble / 1e14) /
+        (math.sqrt(fdot(v, v).toDouble / 1e14) * nq)
+      (id, c)
+    }.sortBy(t => (-t._2, t._1)).take(10).map(_._1).toSet
+    val got = SparkEntry.queries("llm_ann_ivfpq")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.length == 10, "full reranked top-10")
+    // the rerank orders by exact cosine: s6 values non-increasing
+    got.sliding(2).foreach { case Array((_, a), (_, b)) => assert(a >= b) }
+    val hitsIvfpq = got.map(_._1).count(exact)
+    // IVF-alone at 2 probes: the graded llm_ann_recall_eval number
+    val evalRow = SparkEntry.queries("llm_ann_recall_eval")(spark, sfDir)
+      .collect().head
+    val hitsIvf = evalRow.getLong(evalRow.fieldIndex("hits_ivf10"))
+    assert(hitsIvfpq >= hitsIvf,
+      s"ivfpq $hitsIvfpq < ivf-alone $hitsIvf — the 4-probe PQ rung must not lose")
+    assert(hitsIvfpq >= 4L, s"measured 5/10 at both SFs; got $hitsIvfpq")
+  }
+
+  test("executed processing-time timeout equals the per-user staged fold, twice") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("te"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val (mn, mx) = (ev.map(_._2).min, ev.map(_._2).max)
+    val tm = Math.floorDiv(mn + mx, 2L)
+    def s6d(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val staged = ev.filter(_._2 <= tm) ++
+      ev.filter(r => r._2 > tm && r._1 % 3 == 0)
+    // every staged user times out exactly once (batch 2 or the first
+    // empty batch) with the full fold — the measured 1 ms expiry law
+    val expect = staged.groupBy(_._1).toSeq.map { case (u, xs) =>
+      (u, xs.length.toLong, xs.map(r => s6d(r._3)).sum)
+    }.sortBy(_._1)
+    def run() = SparkEntry.queries("stream_exec_ptimeout")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = run()
+    assert(got.nonEmpty && got == expect, s"got ${got.take(3)}…\nexpect ${expect.take(3)}…")
+    assert(run() == expect, "second invocation in the same session")
+  }
+}
