@@ -3187,33 +3187,55 @@ object EO {
         s"FROM d$DistRounds GROUP BY tile, dist ORDER BY tile, dist"
     },
       (s, d) => {
+        // SHUFFLE-ONCE since round 12 (the flowAccPacked discipline,
+        // VERDICT r11 item 8): the K=8 min-plus relaxation never leaves
+        // a tile, so tiles pack to 256-long distance arrays in ONE
+        // groupBy and all rounds run as stacked map-only projections —
+        // the former plan paid a union + agg + join + localCheckpoint
+        // per round (~16 Exchanges, 8 jobs). The oracle keeps its
+        // unrolled MATERIALIZED chain; each packed round computes the
+        // identical LEAST(d, min valid-neighbor + 1). The LAZY
+        // localCheckpoint per round is load-bearing: a plain stacked
+        // chain of these projections sent the OPTIMIZER into a
+        // multi-GB blowup (measured — GC death spiral before the first
+        // task), so each round's logical plan is cut to a LogicalRDD
+        // WITHOUT paying an eager materialization job; execution still
+        // happens inside the one consuming action.
         val px = T.events(s, d).select(
           expr("(event_id div 4) div 256").as("tile"),
-          expr("((event_id div 4) % 256) div 16").as("py"),
-          expr("((event_id div 4) % 256) % 16").as("px"),
+          expr("(event_id div 4) % 256").as("pos"),
           (col("event_id") % 4).as("t"), (col("user_id") % 2).as("m"))
-        val fullT = px.where(col("t") === 0).groupBy("tile")
-          .agg(count(lit(1)).as("c")).where(col("c") === 256).select("tile")
-        var dcur = px.where(col("t") === 0)
-          .join(broadcast(fullT), "tile")
-          .select(col("tile"), col("py"), col("px"),
-            when(col("m") === 1, 0L).otherwise(999L).as("dist"))
-          .localCheckpoint()
+        var packed = px.where(col("t") === 0)
+          .groupBy("tile")
+          .agg(transform(array_sort(collect_list(struct(col("pos"),
+            when(col("m") === 1, 0L).otherwise(999L).as("dv")))),
+            e => e.getField("dv")).as("darr"),
+            count(lit(1)).as("c"))
+          .where(col("c") === 256)
+          .select("tile", "darr")
+        val idx = sequence(lit(0), lit(255))
+        def pyOf(p: Column) = shiftright(p, 4)
+        def pxOf(p: Column) = p.bitwiseAND(lit(15))
         for (_ <- 1 to DistRounds) {
-          val nb = dcur.select(col("tile"), (col("py") + 1).as("py"), col("px"), col("dist"))
-            .unionAll(dcur.select(col("tile"), (col("py") - 1).as("py"), col("px"), col("dist")))
-            .unionAll(dcur.select(col("tile"), col("py"), (col("px") + 1).as("px"), col("dist")))
-            .unionAll(dcur.select(col("tile"), col("py"), (col("px") - 1).as("px"), col("dist")))
-            .groupBy("tile", "py", "px").agg(min(col("dist")).as("mind"))
-          dcur = dcur.join(nb.withColumnRenamed("mind", "mind"),
-              Seq("tile", "py", "px"), "left")
-            .select(col("tile"), col("py"), col("px"),
-              least(col("dist"), coalesce(col("mind"), lit(999L)) + 1).as("dist"))
-            .localCheckpoint()
+          val next = transform(idx, p => {
+            val nbMin = Seq((-1, 0), (1, 0), (0, -1), (0, 1)).map {
+              case (dy, dx) =>
+                val np = p + lit(dy * 16 + dx)
+                when(pyOf(p) + dy >= 0 && pyOf(p) + dy <= 15 &&
+                  pxOf(p) + dx >= 0 && pxOf(p) + dx <= 15,
+                  element_at(col("darr"), np + 1)).otherwise(lit(999L))
+            }.reduce(least(_, _))
+            least(element_at(col("darr"), p + 1), nbMin + 1)
+          })
+          packed = packed.select(col("tile"), next.as("darr"))
+            .localCheckpoint(false)
         }
-        dcur.groupBy(col("tile"), col("dist"))
+        packed
+          .select(col("tile"), posexplode(col("darr")).as(Seq("pos", "dist")))
+          .groupBy(col("tile"), col("dist"))
           .agg(count(lit(1)).as("n_px"),
-            sum(col("py") * 16 + col("px") + 1).as("cksum"))
+            // py*16 + px + 1 = pos + 1 on the row-major layout
+            sum((col("pos") + 1).cast("long")).as("cksum"))
           .orderBy("tile", "dist")
       }),
 

@@ -182,19 +182,25 @@ object Windows {
     // OHLC bar resampling (round 10) — the market-bar shape of every
     // time-series store: per (event_type, day) the open / high / low /
     // close of the s6-scaled value plus the tick count. Open/close are
-    // ARG_MIN/ARG_MAX over a composite (t, event_id) key packed into
-    // one long (event_id is corpus-unique, so picks are tie-free on
-    // both engines). Thin instantiation of analytics.Timeseries.ohlc:
-    // ONE keyed partial agg — bytes shuffled scale with bars, not
-    // ticks, the aggregation-pushdown story a 100 TB tick archive
-    // needs (no window function anywhere in the plan).
+    // picked by STRUCT ordering over the composite (t, event_id) key
+    // on BOTH engines (VERDICT r11: the former oracle packed
+    // t*1e8+event_id arithmetically, silently corrupting if an
+    // event_id ≥ 1e8 ever entered a corpus; DuckDB's MIN/MAX over a
+    // named struct orders lexicographically like Spark's min_by/max_by
+    // over struct(t, tie), with no magnitude bound). event_id is
+    // corpus-unique, so picks are tie-free. Thin instantiation of
+    // analytics.Timeseries.ohlc: ONE keyed partial agg — bytes
+    // shuffled scale with bars, not ticks, the aggregation-pushdown
+    // story a 100 TB tick archive needs (no window function anywhere
+    // in the plan).
     Q("win_ohlc", Some(
       "WITH d AS (SELECT event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t, " +
-        "CAST(FLOOR(EPOCH(ts)) AS BIGINT) * 100000000 + event_id AS k, " +
-        sqlS6("value") + " AS v6 FROM events) " +
+        "event_id, " + sqlS6("value") + " AS v6 FROM events) " +
         "SELECT event_type AS symbol, CAST(FLOOR(t / 86400.0) AS BIGINT) AS bar, " +
-        "ARG_MIN(v6, k) AS open6, MAX(v6) AS high6, MIN(v6) AS low6, " +
-        "ARG_MAX(v6, k) AS close6, CAST(COUNT(*) AS BIGINT) AS n_ticks " +
+        "(MIN({'t': t, 'tie': event_id, 'v': v6})).v AS open6, " +
+        "MAX(v6) AS high6, MIN(v6) AS low6, " +
+        "(MAX({'t': t, 'tie': event_id, 'v': v6})).v AS close6, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_ticks " +
         "FROM d GROUP BY symbol, bar ORDER BY symbol, bar"),
       (s, d) =>
         graft.analytics.Timeseries.ohlc(T.events(s, d), col("event_type"),

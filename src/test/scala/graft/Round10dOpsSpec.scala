@@ -27,7 +27,9 @@ class Round10dOpsSpec extends SparkSpec {
       .toMap
     val mirror = ev.groupBy(e => (e._3, math.floor(e._2 / 86400.0).toLong))
       .map { case (k, rows) =>
-        val keyed = rows.map(e => (e._2 * 100000000L + e._1, s6(e._4)))
+        // lexicographic (t, event_id) tuple — the struct ordering both
+        // engines use since round 12; no packed-long magnitude bound
+        val keyed = rows.map(e => ((e._2, e._1), s6(e._4)))
         k -> (keyed.minBy(_._1)._2, keyed.map(_._2).max,
           keyed.map(_._2).min, keyed.maxBy(_._1)._2, keyed.length.toLong)
       }
