@@ -96,6 +96,83 @@ object EO {
     * corpus family (GeomedianSpec pins 1e-3). */
   private val GeomedianRounds = 6
 
+  /** The geomedian oracle CTE chain (ux, m0, d/w/m per round) up to
+    * m$K — shared VERBATIM by eo_geomedian and eo_geomad so the two
+    * keys' iterates can never drift. Callers prepend "WITH " and append
+    * their own final CTEs/SELECT. */
+  private def gmChainSql(k: Int): String = {
+    val iters = (1 to k).map { t =>
+      val prev = s"m${t - 1}"
+      // single-consumer chain: the denominator folds into the SAME
+      // (label, pos) aggregation (each vector contributes exactly once
+      // per pos), so no CTE is referenced twice and the plan grows
+      // LINEARLY with rounds on both engines
+      s"d$t AS (SELECT u.label, u.vec_id, " +
+        "SUM(CAST(FLOOR((u.x - m.v) * (u.x - m.v) * 1e10 + 0.5) AS BIGINT)) AS d2l " +
+        s"FROM ux u JOIN $prev m ON u.label = m.label AND u.pos = m.pos GROUP BY u.label, u.vec_id), " +
+        s"w$t AS (SELECT label, vec_id, CASE WHEN d2l = 0 THEN 100000.0 " +
+        s"ELSE 1.0 / SQRT(CAST(d2l AS DOUBLE) / 1e10) END AS w FROM d$t), " +
+        s"m$t AS MATERIALIZED (SELECT label, pos, CAST(numl AS DOUBLE) / CAST(denl AS DOUBLE) AS v FROM " +
+        s"(SELECT u.label, u.pos, SUM(CAST(FLOOR(u.x * w.w * 1e10 + 0.5) AS BIGINT)) AS numl, " +
+        s"SUM(CAST(FLOOR(w.w * 1e10 + 0.5) AS BIGINT)) AS denl " +
+        s"FROM ux u JOIN w$t w ON u.label = w.label AND u.vec_id = w.vec_id GROUP BY u.label, u.pos) nm)"
+    }.mkString(", ")
+    // ux and each w_t have multiple consumers: MATERIALIZED stops
+    // DuckDB's default CTE inlining from copying the subtree per
+    // consumer (which doubles the plan every iteration — the same
+    // exponential blowup localCheckpoint prevents on the Spark side)
+    "ux AS MATERIALIZED (SELECT vec_id, label, CAST(UNNEST(embedding) AS DOUBLE) AS x, " +
+      "UNNEST(RANGE(0, LEN(embedding))) AS pos FROM embeddings), " +
+      "m0 AS MATERIALIZED (SELECT label, pos, CAST(" + Det.sqlMean6("x") + " AS DOUBLE) / 1e6 AS v " +
+      "FROM ux GROUP BY label, pos), " + iters
+  }
+
+  /** Spark twin of [[gmChainSql]]: the K-round grid-quantized Weiszfeld
+    * iterate. Returns (ux, med) — ux the persisted exploded
+    * (vec_id, label, pos, x) frame (caller may reuse; lifecycle rides
+    * the session), med the final (label, pos, v) iterate whose v is a
+    * ratio of two exact longs and therefore engine-identical. */
+  private def gmIterates(s: SparkSession, d: String, k: Int): (DataFrame, DataFrame) = {
+    val ux = T.embeddings(s, d)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .withColumn("x", col("xf").cast("double"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var med = ux.groupBy("label", "pos")
+      .agg((Det.mean6(col("x")).cast("double") / lit(1e6)).as("v"))
+    for (_ <- 1 to k) {
+      // single-consumer chain: the per-label denominator folds into
+      // the SAME (label, pos) aggregation (each vector contributes
+      // exactly once per pos, so the per-pos weight sum IS the
+      // per-label sum) — no relation is referenced twice, the plan
+      // grows linearly with rounds, and no lineage checkpoint is
+      // needed (a dists consumed by den AND numerator doubled the
+      // plan per round: measured planner heap exhaustion at K = 10)
+      // localCheckpoint flattens the iterate's lineage each round:
+      // an all-lazy K-round chain re-plans 2K nested broadcast
+      // stages (measured at K=10: 2x slower than eager tiny jobs)
+      val dists = ux.join(broadcast(med), Seq("label", "pos"))
+        .groupBy("label", "vec_id")
+        .agg(sum(floor((col("x") - col("v")) * (col("x") - col("v")) * lit(1e10) + lit(0.5))).as("d2l"))
+        // a coincident point takes the grid's MAXIMUM weight 1e5
+        // (= 1/sqrt of the floored minimum distance) instead of
+        // dropping out — the Vardi-Zhang-style cap keeps the
+        // denominator positive even if EVERY point coincides with
+        // the iterate (an all-identical group would otherwise hit
+        // 0/0), and the iterate correctly stays at the common point
+        .withColumn("w", when(col("d2l") === 0, lit(100000.0))
+          .otherwise(lit(1.0) / sqrt(col("d2l").cast("double") / lit(1e10))))
+        .localCheckpoint()
+      med = ux.join(broadcast(dists.select("label", "vec_id", "w")), Seq("label", "vec_id"))
+        .groupBy("label", "pos")
+        .agg(
+          sum(floor(col("x") * col("w") * lit(1e10) + lit(0.5))).as("numl"),
+          sum(floor(col("w") * lit(1e10) + lit(0.5))).as("denl"))
+        .select(col("label"), col("pos"),
+          (col("numl").cast("double") / col("denl").cast("double")).as("v"))
+    }
+    (ux, med)
+  }
+
   /** Min-plus relaxation rounds for eo_tile_distance — the graph_bfs
     * fixed-depth contract on the raster grid: both engines run the SAME
     * K; distances beyond K stay at the 999 sentinel identically. K=8
@@ -124,22 +201,14 @@ object EO {
   private val D8Offs = Seq((0, 1, 1), (1, 1, 2), (1, 0, 4), (1, -1, 8),
     (0, -1, 16), (-1, -1, 32), (-1, 0, 64), (-1, 1, 128))
 
-  /** The eo_tile_flow_acc core, K parameterized — SHUFFLE-ONCE since
-    * round 12 (VERDICT r11 item 2): flow routing never leaves a tile, so
-    * the plan must never re-shuffle per round. Tiles pack to 256-long z
-    * arrays in ONE groupBy aggregation; the D8 steepest-descent pick
-    * (max drop, min dir on ties — a lexicographic struct `greatest`),
-    * the flow map and ALL K relaxation rounds then run inside the packed
-    * arrays via higher-order array functions (the RasterGrid
-    * discipline). The former plan ran each round as a global
-    * (tile, py, px) join + shuffle + localCheckpoint (~10 Exchanges, ~17
-    * jobs); this one is a single aggregation Exchange followed by K
-    * stacked map-only projections (CollapseProject keeps them separate —
-    * each round's array is referenced 8× per element, so inlining is
-    * blocked and the unrolled expression stays linear in K). Pinned by
-    * PlanContractSpec. Returns (tile, acc) with acc the packed 256-long
-    * array — interior pixels carry their accumulation, boundary 0. */
-  private def flowAccPacked(s: SparkSession, d: String, k: Int): DataFrame = {
+  /** The packed D8 flow map shared by eo_tile_flow_acc and
+    * eo_tile_watershed: one row per full t=0 tile with `flow` a 256-long
+    * array — flow[p] = the downstream pixel index picked by steepest
+    * descent (max drop, min direction code on ties — the lexicographic
+    * struct `greatest`), or -1 for boundary-ring pixels, pits, and cells
+    * whose pick leaves the graded 14×14 interior. ONE aggregation
+    * Exchange; the pick itself is a map-only array projection. */
+  private def d8FlowPacked(s: SparkSession, d: String): DataFrame = {
     val px = T.events(s, d).select(
       expr("(event_id div 4) div 256").as("tile"),
       expr("(event_id div 4) % 256").as("pos"),
@@ -171,8 +240,37 @@ object EO {
           pick.getField("np")).otherwise(lit(-1)))
         .otherwise(lit(-1))
     })
-    var df = packed
-      .select(col("tile"), flowCol.as("flow"),
+    packed.select(col("tile"), flowCol.as("flow"))
+  }
+
+  /** Pointer-doubling rounds for eo_tile_watershed: ptr ← ptr∘ptr, so
+    * J doublings resolve chains up to 2^J. The 14×14 graded interior
+    * bounds every flow path at 196 cells < 2^8 — J=8 is EXACT root
+    * resolution, not a convergence assumption (the spec still pins the
+    * J+1 fixpoint). Declared BEFORE `all` (object-init order). */
+  private val WatershedDoublings = 8
+
+  /** The eo_tile_flow_acc core, K parameterized — SHUFFLE-ONCE since
+    * round 12 (VERDICT r11 item 2): flow routing never leaves a tile, so
+    * the plan must never re-shuffle per round. Tiles pack to 256-long z
+    * arrays in ONE groupBy aggregation; the D8 steepest-descent pick
+    * (max drop, min dir on ties — a lexicographic struct `greatest`),
+    * the flow map and ALL K relaxation rounds then run inside the packed
+    * arrays via higher-order array functions (the RasterGrid
+    * discipline). The former plan ran each round as a global
+    * (tile, py, px) join + shuffle + localCheckpoint (~10 Exchanges, ~17
+    * jobs); this one is a single aggregation Exchange followed by K
+    * stacked map-only projections (CollapseProject keeps them separate —
+    * each round's array is referenced 8× per element, so inlining is
+    * blocked and the unrolled expression stays linear in K). Pinned by
+    * PlanContractSpec. Returns (tile, acc) with acc the packed 256-long
+    * array — interior pixels carry their accumulation, boundary 0. */
+  private def flowAccPacked(s: SparkSession, d: String, k: Int): DataFrame = {
+    def interior(p: Column) =
+      shiftright(p, 4).between(1, 14) && p.bitwiseAND(lit(15)).between(1, 14)
+    val idx = sequence(lit(0), lit(255))
+    var df = d8FlowPacked(s, d)
+      .select(col("tile"), col("flow"),
         transform(idx, p =>
           when(interior(p), lit(1L)).otherwise(lit(0L))).as("acc"))
     for (_ <- 1 to k) {
@@ -202,6 +300,35 @@ object EO {
       .select(col("tile"), expr("CAST(pos div 16 AS BIGINT)").as("py"),
         expr("CAST(pos % 16 AS BIGINT)").as("px"), col("acc"))
 
+  /** The eo_tile_watershed core, doublings parameterized so the spec
+    * can run J and J+1 and assert the (exact) fixpoint. Returns one row
+    * per interior pixel: (tile, pos, basin) with basin = the pos of the
+    * terminal cell its D8 flow path reaches (a pit, or the last interior
+    * cell before flow exits the graded window). Pointer DOUBLING over
+    * the packed flow array — ptr ← ptr[ptr[·]] is a map-only array
+    * projection, so the whole labeling is the one d8FlowPacked Exchange
+    * plus J stacked projections (each round's array is read twice per
+    * element through nested element_at, so the lineage is cut per round
+    * with a LAZY localCheckpoint — the eo_tile_distance discipline). */
+  def watershedBasins(s: SparkSession, d: String, j: Int): DataFrame = {
+    def interior(p: Column) =
+      shiftright(p, 4).between(1, 14) && p.bitwiseAND(lit(15)).between(1, 14)
+    val idx = sequence(lit(0), lit(255))
+    var df = d8FlowPacked(s, d).select(col("tile"),
+      transform(idx, p => {
+        val f = element_at(col("flow"), p + 1)
+        when(f === -1, p).otherwise(f)
+      }).as("ptr"))
+    for (_ <- 1 to j) {
+      df = df.select(col("tile"),
+        transform(idx, p =>
+          element_at(col("ptr"), element_at(col("ptr"), p + 1) + 1)).as("ptr"))
+        .localCheckpoint(false)
+    }
+    df.select(col("tile"), posexplode(col("ptr")).as(Seq("pos", "basin")))
+      .where(interior(col("pos")))
+  }
+
   val all: Seq[Q] = Seq(
 
     // NDVI-shaped normalized difference with div-0 guard (xr.where analogue).
@@ -219,6 +346,57 @@ object EO {
             col("l_orderkey"), col("l_linenumber"),
             when(a + b === 0, lit(null)).otherwise(s6((a - b) / (a + b))).as("nd"))
           .orderBy("l_orderkey", "l_linenumber", "nd")
+      }),
+
+    // Tasseled Cap transform (round 12) — the Kauth-Thomas rotation in
+    // its published Landsat-TM reflectance form [Crist & Cicone 1984,
+    // table coefficients reproduced verbatim below]: brightness /
+    // greenness / wetness as fixed linear combinations of six bands.
+    // The classic EO index product beyond the ratio family
+    // (eo_bandmath's NDVI shape) — pure map-only band math that fuses
+    // into the scan at any archive scale. Six synthetic reflectance
+    // bands derive from events residues (the eo_unmix discipline: exact
+    // integer residues over one IEEE divide each); each TC component is
+    // a LEFT-ASSOCIATIVE six-term dot product of shared decimal
+    // literals, so both engines evaluate the identical IEEE expression
+    // tree, then s6-quantize.
+    Q("eo_tasseled_cap", Some {
+      val bands = Seq(
+        "value / 1000.0",
+        "CAST(user_id % 512 AS DOUBLE) / 512.0",
+        "CAST(event_id % 97 AS DOUBLE) / 97.0",
+        "CAST(user_id % 101 AS DOUBLE) / 101.0",
+        "CAST(event_id % 89 AS DOUBLE) / 89.0",
+        "CAST(user_id % 83 AS DOUBLE) / 83.0")
+      def dot(cs: Seq[Double]) =
+        cs.zip(bands).map { case (c, b) => s"$c * ($b)" }.mkString(" + ")
+      "WITH b AS (SELECT event_id, " +
+        sqlS6(dot(Seq(0.3037, 0.2793, 0.4743, 0.5585, 0.5082, 0.1863))) + " AS tcb6, " +
+        sqlS6(dot(Seq(-0.2848, -0.2435, -0.5436, 0.7243, 0.0840, -0.1800))) + " AS tcg6, " +
+        sqlS6(dot(Seq(0.1509, 0.1973, 0.3279, 0.3406, -0.7112, -0.4572))) + " AS tcw6 " +
+        "FROM events) " +
+        "SELECT event_id, tcb6, tcg6, tcw6, " +
+        "CAST(CASE WHEN tcg6 > 100000 THEN 1 ELSE 0 END AS BIGINT) AS vegetated " +
+        "FROM b ORDER BY event_id"
+    },
+      (s, d) => {
+        val bands = Seq[Column](
+          col("value") / 1000.0,
+          (col("user_id") % 512).cast("double") / 512.0,
+          (col("event_id") % 97).cast("double") / 97.0,
+          (col("user_id") % 101).cast("double") / 101.0,
+          (col("event_id") % 89).cast("double") / 89.0,
+          (col("user_id") % 83).cast("double") / 83.0)
+        def dot(cs: Seq[Double]) =
+          cs.zip(bands).map { case (c, b) => lit(c) * b }.reduce(_ + _)
+        T.events(s, d)
+          .select(col("event_id"),
+            s6(dot(Seq(0.3037, 0.2793, 0.4743, 0.5585, 0.5082, 0.1863))).as("tcb6"),
+            s6(dot(Seq(-0.2848, -0.2435, -0.5436, 0.7243, 0.0840, -0.1800))).as("tcg6"),
+            s6(dot(Seq(0.1509, 0.1973, 0.3279, 0.3406, -0.7112, -0.4572))).as("tcw6"))
+          .select(col("event_id"), col("tcb6"), col("tcg6"), col("tcw6"),
+            when(col("tcg6") > 100000L, 1L).otherwise(0L).as("vegetated"))
+          .orderBy("event_id")
       }),
 
     // Landsat pixel_qa-style bitmask filter + clear-count (synthesized flags).
@@ -894,6 +1072,66 @@ object EO {
               .as("checksum"))
           .orderBy("tile")
       }),
+
+    // Watershed basin labeling (round 12) — the catchment-delineation
+    // product beside eo_tile_flow_acc [PK GDAL/WhiteboxTools watershed;
+    // the D8 basin partition of O'Callaghan & Mark 1984]: every interior
+    // pixel is labeled with the TERMINAL cell its steepest-descent flow
+    // path reaches (a pit, or the last interior cell before flow exits
+    // the graded window), so each basin is exactly one terminal's
+    // catchment. The Spark side resolves roots by POINTER DOUBLING over
+    // the shared packed flow array — ptr ← ptr[ptr[·]], J=8 doublings
+    // resolve chains up to 2^8 = 256 > the 196-cell interior, so root
+    // resolution is EXACT, not a convergence assumption — one
+    // aggregation Exchange total (the d8FlowPacked shuffle) plus J
+    // map-only projections. The oracle runs the identical doubling as J
+    // MATERIALIZED self-join rounds over (tile, pos, ptr). Graded per
+    // (tile, basin): member count and the order-free Σ(pos+1) checksum.
+    // At archive scale basins never cross tiles (the halo contract), so
+    // the labeling is embarrassingly parallel in tiles.
+    Q("eo_tile_watershed", Some {
+      val dirDy = "CASE dir WHEN 1 THEN 0 WHEN 2 THEN 1 WHEN 4 THEN 1 WHEN 8 THEN 1 " +
+        "WHEN 16 THEN 0 WHEN 32 THEN -1 WHEN 64 THEN -1 ELSE -1 END"
+      val dirDx = "CASE dir WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 4 THEN 0 WHEN 8 THEN -1 " +
+        "WHEN 16 THEN -1 WHEN 32 THEN -1 WHEN 64 THEN 0 ELSE 1 END"
+      val rounds = (1 to WatershedDoublings).map { k =>
+        s"r$k AS MATERIALIZED (SELECT a.tile, a.pos, b.ptr " +
+          s"FROM r${k - 1} a JOIN r${k - 1} b ON b.tile = a.tile AND b.pos = a.ptr)"
+      }.mkString(", ")
+      "WITH px AS (SELECT (event_id // 4) // 256 AS tile, " +
+        "((event_id // 4) % 256) // 16 AS py, ((event_id // 4) % 256) % 16 AS px, " +
+        "event_id % 4 AS t, " + sqlS2("value") + " AS z FROM events), " +
+        "full_t AS (SELECT tile FROM px WHERE t = 0 GROUP BY tile HAVING COUNT(*) = 256), " +
+        "p0 AS (SELECT p.tile, py, px, z FROM px p JOIN full_t USING (tile) WHERE t = 0), " +
+        "offs AS (SELECT * FROM (VALUES (0, 1, 1), (1, 1, 2), (1, 0, 4), (1, -1, 8), " +
+        "(0, -1, 16), (-1, -1, 32), (-1, 0, 64), (-1, 1, 128)) AS v(dy, dx, dir)), " +
+        "nb AS (SELECT o.tile, o.py, o.px, f.dir, o.z - n.z AS drop " +
+        "FROM p0 o CROSS JOIN offs f " +
+        "JOIN p0 n ON n.tile = o.tile AND n.py = o.py + f.dy AND n.px = o.px + f.dx " +
+        "WHERE o.py BETWEEN 1 AND 14 AND o.px BETWEEN 1 AND 14), " +
+        "wb AS (SELECT tile, py, px, dir, drop, " +
+        "MAX(drop) OVER (PARTITION BY tile, py, px) AS best FROM nb), " +
+        "pick AS (SELECT tile, py, px, MAX(best) AS best, " +
+        "CAST(MIN(CASE WHEN drop = best THEN dir END) AS BIGINT) AS dir " +
+        "FROM wb GROUP BY tile, py, px), " +
+        // ptr0: the flow target when it stays interior, else self (root)
+        s"r0 AS MATERIALIZED (SELECT tile, py * 16 + px AS pos, " +
+        s"CASE WHEN best > 0 AND py + ($dirDy) BETWEEN 1 AND 14 " +
+        s"AND px + ($dirDx) BETWEEN 1 AND 14 " +
+        s"THEN (py + ($dirDy)) * 16 + px + ($dirDx) ELSE py * 16 + px END AS ptr " +
+        "FROM pick), " +
+        rounds +
+        s" SELECT tile, CAST(ptr AS BIGINT) AS basin, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_cells, " +
+        "CAST(SUM(pos + 1) AS BIGINT) AS cksum " +
+        s"FROM r$WatershedDoublings GROUP BY tile, basin ORDER BY tile, basin"
+    },
+      (s, d) =>
+        watershedBasins(s, d, WatershedDoublings)
+          .groupBy(col("tile"), col("basin").cast("long").as("basin"))
+          .agg(count(lit(1)).as("n_cells"),
+            sum((col("pos") + 1).cast("long")).as("cksum"))
+          .orderBy("tile", "basin")),
 
     // Percentile contrast stretch (round 9, fifth wave) — the p2/p98
     // display normalization every RGB quicklook/browse-image pipeline
@@ -2393,31 +2631,7 @@ object EO {
     // archive-scale group counts.
     Q("eo_geomedian", Some {
       val K = GeomedianRounds
-      val iters = (1 to K).map { t =>
-        val prev = s"m${t - 1}"
-        // single-consumer chain: the denominator folds into the SAME
-        // (label, pos) aggregation (each vector contributes exactly once
-        // per pos), so no CTE is referenced twice and the plan grows
-        // LINEARLY with rounds on both engines
-        s"d$t AS (SELECT u.label, u.vec_id, " +
-          "SUM(CAST(FLOOR((u.x - m.v) * (u.x - m.v) * 1e10 + 0.5) AS BIGINT)) AS d2l " +
-          s"FROM ux u JOIN $prev m ON u.label = m.label AND u.pos = m.pos GROUP BY u.label, u.vec_id), " +
-          s"w$t AS (SELECT label, vec_id, CASE WHEN d2l = 0 THEN 100000.0 " +
-          s"ELSE 1.0 / SQRT(CAST(d2l AS DOUBLE) / 1e10) END AS w FROM d$t), " +
-          s"m$t AS MATERIALIZED (SELECT label, pos, CAST(numl AS DOUBLE) / CAST(denl AS DOUBLE) AS v FROM " +
-          s"(SELECT u.label, u.pos, SUM(CAST(FLOOR(u.x * w.w * 1e10 + 0.5) AS BIGINT)) AS numl, " +
-          s"SUM(CAST(FLOOR(w.w * 1e10 + 0.5) AS BIGINT)) AS denl " +
-          s"FROM ux u JOIN w$t w ON u.label = w.label AND u.vec_id = w.vec_id GROUP BY u.label, u.pos) nm)"
-      }.mkString(", ")
-      // ux and each w_t have multiple consumers: MATERIALIZED stops
-      // DuckDB's default CTE inlining from copying the subtree per
-      // consumer (which doubles the plan every iteration — the same
-      // exponential blowup localCheckpoint prevents on the Spark side)
-      "WITH ux AS MATERIALIZED (SELECT vec_id, label, CAST(UNNEST(embedding) AS DOUBLE) AS x, " +
-        "UNNEST(RANGE(0, LEN(embedding))) AS pos FROM embeddings), " +
-        "m0 AS MATERIALIZED (SELECT label, pos, CAST(" + sqlMean6("x") + " AS DOUBLE) / 1e6 AS v " +
-        "FROM ux GROUP BY label, pos), " +
-        iters + ", " +
+      "WITH " + gmChainSql(K) + ", " +
         "cnt AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM embeddings GROUP BY label) " +
         "SELECT c.label, c.n, " +
         (1 to 4).map(g => sqlS6(s"MAX(CASE WHEN m.pos = ${g - 1} THEN m.v END)") + s" AS g$g")
@@ -2425,44 +2639,7 @@ object EO {
         s" FROM cnt c JOIN m$K m ON c.label = m.label GROUP BY c.label, c.n ORDER BY c.label"
     },
       (s, d) => {
-        val K = GeomedianRounds
-        val ux = T.embeddings(s, d)
-          .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "xf")))
-          .withColumn("x", col("xf").cast("double"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        var med = ux.groupBy("label", "pos")
-          .agg((mean6(col("x")).cast("double") / lit(1e6)).as("v"))
-        for (_ <- 1 to K) {
-          // single-consumer chain: the per-label denominator folds into
-          // the SAME (label, pos) aggregation (each vector contributes
-          // exactly once per pos, so the per-pos weight sum IS the
-          // per-label sum) — no relation is referenced twice, the plan
-          // grows linearly with rounds, and no lineage checkpoint is
-          // needed (a dists consumed by den AND numerator doubled the
-          // plan per round: measured planner heap exhaustion at K = 10)
-          // localCheckpoint flattens the iterate's lineage each round:
-          // an all-lazy K-round chain re-plans 2K nested broadcast
-          // stages (measured at K=10: 2x slower than eager tiny jobs)
-          val dists = ux.join(broadcast(med), Seq("label", "pos"))
-            .groupBy("label", "vec_id")
-            .agg(sum(floor((col("x") - col("v")) * (col("x") - col("v")) * lit(1e10) + lit(0.5))).as("d2l"))
-            // a coincident point takes the grid's MAXIMUM weight 1e5
-            // (= 1/sqrt of the floored minimum distance) instead of
-            // dropping out — the Vardi-Zhang-style cap keeps the
-            // denominator positive even if EVERY point coincides with
-            // the iterate (an all-identical group would otherwise hit
-            // 0/0), and the iterate correctly stays at the common point
-            .withColumn("w", when(col("d2l") === 0, lit(100000.0))
-              .otherwise(lit(1.0) / sqrt(col("d2l").cast("double") / lit(1e10))))
-            .localCheckpoint()
-          med = ux.join(broadcast(dists.select("label", "vec_id", "w")), Seq("label", "vec_id"))
-            .groupBy("label", "pos")
-            .agg(
-              sum(floor(col("x") * col("w") * lit(1e10) + lit(0.5))).as("numl"),
-              sum(floor(col("w") * lit(1e10) + lit(0.5))).as("denl"))
-            .select(col("label"), col("pos"),
-              (col("numl").cast("double") / col("denl").cast("double")).as("v"))
-        }
+        val (_, med) = gmIterates(s, d, GeomedianRounds)
         val cnt = T.embeddings(s, d).groupBy("label").agg(count(lit(1)).as("n"))
         cnt.join(med.where(col("pos") < 4), "label")
           .groupBy("label", "n")
@@ -2471,6 +2648,86 @@ object EO {
             s6(max(when(col("pos") === 1, col("v")))).as("g2"),
             s6(max(when(col("pos") === 2, col("v")))).as("g3"),
             s6(max(when(col("pos") === 3, col("v")))).as("g4"))
+          .orderBy("label")
+      }),
+
+    // GeoMAD dispersion triple (round 12) — the second half of the ODC
+    // GeoMAD product [PK Roberts, Dunn & Mueller 2018 "Open Data Cube
+    // products using high-dimensional statistics"; odc-stats gm_tmad]:
+    // around the GRADED geomedian vector (the shared gmChainSql /
+    // gmIterates chain, so this key and eo_geomedian can never drift),
+    // the three per-observation deviation medians — EMAD (Euclidean
+    // distance), SMAD (cosine distance 1 − cosθ) and BCMAD
+    // (Bray-Curtis dissimilarity Σ|x−g| / Σ(x+g)). Per-vector distance
+    // moments are exact integer sums of floor-quantized products (the
+    // geomedian discipline); each distance then takes at most two IEEE
+    // sqrt + one divide on identical longs (engine-exact), lands on the
+    // s6 grid, and the per-label median is nearest-rank-lower integer
+    // index math (the eo_composite_mad rule). One extra broadcast join
+    // + one label-keyed window pass beyond the geomedian itself — the
+    // full GeoMAD fits in the same shuffle budget at archive scale.
+    Q("eo_geomad", Some {
+      val K = GeomedianRounds
+      "WITH " + gmChainSql(K) + ", " +
+        "dv AS (SELECT u.label, u.vec_id, " +
+        "SUM(CAST(FLOOR((u.x - m.v) * (u.x - m.v) * 1e10 + 0.5) AS BIGINT)) AS d2l, " +
+        "SUM(CAST(FLOOR(u.x * m.v * 1e10 + 0.5) AS BIGINT)) AS dotl, " +
+        "SUM(CAST(FLOOR(u.x * u.x * 1e10 + 0.5) AS BIGINT)) AS xxl, " +
+        "SUM(CAST(FLOOR(m.v * m.v * 1e10 + 0.5) AS BIGINT)) AS vvl, " +
+        "SUM(CAST(FLOOR(ABS(u.x - m.v) * 1e10 + 0.5) AS BIGINT)) AS bnl, " +
+        "SUM(CAST(FLOOR((u.x + m.v) * 1e10 + 0.5) AS BIGINT)) AS bdl " +
+        s"FROM ux u JOIN m$K m ON u.label = m.label AND u.pos = m.pos " +
+        "GROUP BY u.label, u.vec_id), " +
+        "dd AS (SELECT label, vec_id, " +
+        sqlS6("SQRT(CAST(d2l AS DOUBLE) / 1e10)") + " AS e6, " +
+        sqlS6("CASE WHEN xxl = 0 OR vvl = 0 THEN 0.0 ELSE " +
+          "1.0 - CAST(dotl AS DOUBLE) / (SQRT(CAST(xxl AS DOUBLE)) * SQRT(CAST(vvl AS DOUBLE))) END") +
+        " AS sm6, " +
+        sqlS6("CASE WHEN bdl = 0 THEN 0.0 ELSE CAST(bnl AS DOUBLE) / CAST(bdl AS DOUBLE) END") +
+        " AS bc6 FROM dv), " +
+        "r AS (SELECT label, e6, sm6, bc6, " +
+        "ROW_NUMBER() OVER (PARTITION BY label ORDER BY e6) AS re, " +
+        "ROW_NUMBER() OVER (PARTITION BY label ORDER BY sm6) AS rs, " +
+        "ROW_NUMBER() OVER (PARTITION BY label ORDER BY bc6) AS rb, " +
+        "COUNT(*) OVER (PARTITION BY label) AS n FROM dd) " +
+        "SELECT label, CAST(MAX(n) AS BIGINT) AS n, " +
+        "MIN(CASE WHEN re = (n - 1) // 2 + 1 THEN e6 END) AS emad6, " +
+        "MIN(CASE WHEN rs = (n - 1) // 2 + 1 THEN sm6 END) AS smad6, " +
+        "MIN(CASE WHEN rb = (n - 1) // 2 + 1 THEN bc6 END) AS bcmad6 " +
+        "FROM r GROUP BY label ORDER BY label"
+    },
+      (s, d) => {
+        val (ux, med) = gmIterates(s, d, GeomedianRounds)
+        val x = col("x"); val v = col("v")
+        val dv = ux.join(broadcast(med), Seq("label", "pos"))
+          .groupBy("label", "vec_id")
+          .agg(
+            sum(floor((x - v) * (x - v) * lit(1e10) + lit(0.5))).as("d2l"),
+            sum(floor(x * v * lit(1e10) + lit(0.5))).as("dotl"),
+            sum(floor(x * x * lit(1e10) + lit(0.5))).as("xxl"),
+            sum(floor(v * v * lit(1e10) + lit(0.5))).as("vvl"),
+            sum(floor(abs(x - v) * lit(1e10) + lit(0.5))).as("bnl"),
+            sum(floor((x + v) * lit(1e10) + lit(0.5))).as("bdl"))
+        val dd = dv.select(col("label"), col("vec_id"),
+          s6(sqrt(col("d2l").cast("double") / lit(1e10))).as("e6"),
+          s6(when(col("xxl") === 0 || col("vvl") === 0, lit(0.0))
+            .otherwise(lit(1.0) - col("dotl").cast("double") /
+              (sqrt(col("xxl").cast("double")) * sqrt(col("vvl").cast("double")))))
+            .as("sm6"),
+          s6(when(col("bdl") === 0, lit(0.0))
+            .otherwise(col("bnl").cast("double") / col("bdl").cast("double")))
+            .as("bc6"))
+        val byLabel = Window.partitionBy("label")
+        val r = dd
+          .withColumn("re", row_number().over(byLabel.orderBy("e6")))
+          .withColumn("rs", row_number().over(byLabel.orderBy("sm6")))
+          .withColumn("rb", row_number().over(byLabel.orderBy("bc6")))
+          .withColumn("n", count(lit(1)).over(byLabel))
+        r.groupBy("label")
+          .agg(max(col("n")).as("n"),
+            min(when(col("re") === expr("(n - 1) div 2") + 1, col("e6"))).as("emad6"),
+            min(when(col("rs") === expr("(n - 1) div 2") + 1, col("sm6"))).as("smad6"),
+            min(when(col("rb") === expr("(n - 1) div 2") + 1, col("bc6"))).as("bcmad6"))
           .orderBy("label")
       }),
 

@@ -176,4 +176,125 @@ class Round12OpsSpec extends SparkSpec {
     assert(got.nonEmpty && got == expect, s"got ${got.take(3)}…\nexpect ${expect.take(3)}…")
     assert(run() == expect, "second invocation in the same session")
   }
+
+  test("eo_tasseled_cap equals a scalar Kauth-Thomas dot-product mirror") {
+    import org.apache.spark.sql.functions.col
+    def s6d(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("value"), col("user_id")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val expect = rows.map { case (eid, v, uid) =>
+      val bands = Seq(v / 1000.0, (uid % 512).toDouble / 512.0,
+        (eid % 97).toDouble / 97.0, (uid % 101).toDouble / 101.0,
+        (eid % 89).toDouble / 89.0, (uid % 83).toDouble / 83.0)
+      def dot(cs: Seq[Double]) =
+        cs.zip(bands).map { case (c, b) => c * b }.reduce(_ + _)
+      val tcg6 = s6d(dot(Seq(-0.2848, -0.2435, -0.5436, 0.7243, 0.0840, -0.1800)))
+      (eid, s6d(dot(Seq(0.3037, 0.2793, 0.4743, 0.5585, 0.5082, 0.1863))),
+        tcg6, s6d(dot(Seq(0.1509, 0.1973, 0.3279, 0.3406, -0.7112, -0.4572))),
+        if (tcg6 > 100000L) 1L else 0L)
+    }.sortBy(_._1).toSeq
+    val got = SparkEntry.queries("eo_tasseled_cap")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got.nonEmpty && got == expect)
+  }
+
+  test("eo_tile_watershed equals a scalar follow-the-flow mirror; J+1 doubling is a fixpoint") {
+    // sf0.001 has no complete tiles — drive at sf0.01 like eo_tile_clump
+    val dir01 = "/root/testdata/sf0.01"
+    import org.apache.spark.sql.functions.col
+    def s2d(x: Double) = math.floor(x * 100 + 0.5).toLong
+    val ev = Tables.events(spark, dir01).select("event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val px = ev.filter(_._1 % 4 == 0).map { case (eid, v) =>
+      val pid = eid / 4
+      (pid / 256, (pid % 256).toInt, s2d(v))
+    }
+    val tiles = px.groupBy(_._1).filter(_._2.length == 256)
+      .map { case (t, ps) =>
+        val z = Array.ofDim[Long](256)
+        ps.foreach(p => z(p._2) = p._3)
+        t -> z
+      }
+    val offs = Seq((0, 1, 1), (1, 1, 2), (1, 0, 4), (1, -1, 8),
+      (0, -1, 16), (-1, -1, 32), (-1, 0, 64), (-1, 1, 128))
+    def interior(p: Int) = (p / 16) >= 1 && (p / 16) <= 14 &&
+      (p % 16) >= 1 && (p % 16) <= 14
+    val expect = tiles.toSeq.flatMap { case (t, z) =>
+      val flow = Array.tabulate(256) { p =>
+        if (!interior(p)) -1
+        else {
+          // (drop, -dir) lexicographic max — the struct-greatest pick
+          val (drop, _, np) = offs.map { case (dy, dx, dir) =>
+            val np = p + dy * 16 + dx
+            (z(p) - z(np), -dir, np)
+          }.max
+          if (drop > 0 && interior(np)) np else -1
+        }
+      }
+      def root(p: Int): Int = if (flow(p) == -1) p else root(flow(p))
+      (0 until 256).filter(interior).groupBy(root).toSeq.map {
+        case (basin, ps) => (t, basin.toLong, ps.length.toLong, ps.map(_ + 1L).sum)
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("eo_tile_watershed")(spark, dir01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.nonEmpty && got == expect, s"got ${got.take(3)}…\nexpect ${expect.take(3)}…")
+    // J=8 is exact root resolution: one more doubling changes nothing
+    val a = graft.operators.EO.watershedBasins(spark, dir01, 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val b = graft.operators.EO.watershedBasins(spark, dir01, 9).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(a == b, "doubling fixpoint")
+  }
+
+  test("eo_geomad equals a full scalar quantized-Weiszfeld + MAD mirror") {
+    def s6d(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    def q10(x: Double) = math.floor(x * 1e10 + 0.5).toLong
+    val byLabel = Tables.embeddings(spark, sfDir).collect()
+      .map(r => (r.getInt(2), r.getSeq[Float](1).toArray.map(_.toDouble)))
+      .groupBy(_._1)
+    val expect = byLabel.toSeq.map { case (label, vsL) =>
+      val vs = vsL.map(_._2)
+      val dim = vs.head.length
+      // m0: the 6-dp-grid mean (Det.mean6), then 6 quantized Weiszfeld
+      // rounds — GeomedianRounds is 6 (pinned here so a drift fails loud)
+      var med = Array.tabulate(dim) { p =>
+        math.floor(vs.map(v => s6d(v(p))).sum.toDouble / vs.length + 0.5) / 1e6
+      }
+      for (_ <- 1 to 6) {
+        val w = vs.map { v =>
+          val d2l = (0 until dim).map(p => q10((v(p) - med(p)) * (v(p) - med(p)))).sum
+          if (d2l == 0L) 100000.0 else 1.0 / math.sqrt(d2l.toDouble / 1e10)
+        }
+        med = Array.tabulate(dim) { p =>
+          val numl = vs.zip(w).map { case (v, wi) => q10(v(p) * wi) }.sum
+          val denl = w.map(wi => q10(wi)).sum
+          numl.toDouble / denl.toDouble
+        }
+      }
+      val ds = vs.map { v =>
+        val d2l = (0 until dim).map(p => q10((v(p) - med(p)) * (v(p) - med(p)))).sum
+        val dotl = (0 until dim).map(p => q10(v(p) * med(p))).sum
+        val xxl = (0 until dim).map(p => q10(v(p) * v(p))).sum
+        val vvl = (0 until dim).map(p => q10(med(p) * med(p))).sum
+        val bnl = (0 until dim).map(p => q10(math.abs(v(p) - med(p)))).sum
+        val bdl = (0 until dim).map(p => q10(v(p) + med(p))).sum
+        (s6d(math.sqrt(d2l.toDouble / 1e10)),
+          s6d(if (xxl == 0L || vvl == 0L) 0.0
+            else 1.0 - dotl.toDouble / (math.sqrt(xxl.toDouble) * math.sqrt(vvl.toDouble))),
+          s6d(if (bdl == 0L) 0.0 else bnl.toDouble / bdl.toDouble))
+      }
+      def medOf(xs: Seq[Long]) = xs.sorted.apply((xs.length - 1) / 2)
+      (label, vs.length.toLong, medOf(ds.map(_._1).toSeq),
+        medOf(ds.map(_._2).toSeq), medOf(ds.map(_._3).toSeq))
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("eo_geomad")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got.nonEmpty && got == expect, s"got ${got.take(3)}…\nexpect ${expect.take(3)}…")
+    // dispersion is a real signal: every label has a nonzero EMAD
+    got.foreach { case (l, _, e, _, _) => assert(e > 0L, s"label $l emad") }
+  }
 }
