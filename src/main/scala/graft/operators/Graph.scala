@@ -401,7 +401,116 @@ object Graph {
   private val TrussRounds = 4
   private val TrussSupp = 4
 
+  /** Borůvka rounds for graph_mst_boruvka. Components at least HALVE
+    * each round, so ⌈log₂ 25⌉ = 5 rounds span any 25-nation graph —
+    * this is the algorithm's worst-case bound, not a corpus-convergence
+    * assumption. Declared BEFORE `all` (object-init order). */
+  private val MstRounds = 5
+
+  /** Pointer-jump doublings inside each Borůvka round: p ← p∘p resolves
+    * hook chains up to 2^5 = 32 > 25 components — exact, like
+    * [[MstRounds]] a structural bound. */
+  private val MstJumps = 5
+
   val all: Seq[Q] = Seq(
+
+    // Minimum spanning tree by Borůvka hooking (round 12) — THE
+    // distributed MST [Borůvka 1926; GraphX/Pregel-style formulations]:
+    // per round every component selects its minimum-cost incident cross
+    // edge (costs made STRICTLY UNIQUE by packing the undirected trade
+    // weight with the endpoint pair — cost = wsum·10000 + x·100 + y —
+    // so the MST and every per-round pick are tie-free on both
+    // engines), components hook along the picks and contract by pointer
+    // jumping. The pick pointer graph has only 2-cycles (following min
+    // edges weakly decreases cost; unique costs forbid longer cycles),
+    // resolved at the smaller label; 5 doublings then root every chain
+    // exactly. The oracle unrolls the identical schedule as a CTE
+    // chain. Graded surface = the chosen edge list (x, y, cost, round
+    // picked) in cost order — the full tree, not a summary. At scale:
+    // edges shuffle ONCE per round on the component key (the
+    // vertex-sized label table broadcasts), the classic
+    // log-round MST-forest schedule.
+    Q("graph_mst_boruvka", Some {
+      val rounds = (1 to MstRounds).map { r =>
+        val pc = s"c${r - 1}"
+        val jumps = (1 to MstJumps).map { j =>
+          val pj = if (j == 1) s"p1_$r" else s"j${r}_${j - 1}"
+          s"j${r}_$j AS (SELECT a.k, b.p FROM $pj a JOIN $pj b ON b.k = a.p)"
+        }.mkString(", ")
+        s"cr$r AS (SELECT c1.c AS cx, c2.c AS cy, em.cost FROM em " +
+          s"JOIN $pc c1 ON c1.v = em.x JOIN $pc c2 ON c2.v = em.y WHERE c1.c <> c2.c), " +
+          s"pk$r AS (SELECT k, ARG_MIN(other, cost) AS pt, MIN(cost) AS mc FROM " +
+          s"(SELECT cx AS k, cy AS other, cost FROM cr$r " +
+          s"UNION ALL SELECT cy, cx, cost FROM cr$r) GROUP BY k), " +
+          s"p0_$r AS (SELECT d.c AS k, COALESCE(pk.pt, d.c) AS p FROM " +
+          s"(SELECT DISTINCT c FROM $pc) d LEFT JOIN pk$r pk ON pk.k = d.c), " +
+          s"p1_$r AS (SELECT a.k, CASE WHEN b.p = a.k THEN LEAST(a.k, a.p) " +
+          s"ELSE a.p END AS p FROM p0_$r a JOIN p0_$r b ON b.k = a.p), " +
+          jumps + ", " +
+          s"c$r AS MATERIALIZED (SELECT c.v, j.p AS c FROM $pc c " +
+          s"JOIN j${r}_$MstJumps j ON j.k = c.c), " +
+          s"ch$r AS (SELECT DISTINCT mc AS cost, CAST($r AS BIGINT) AS r FROM pk$r)"
+      }.mkString(", ")
+      val chosen = (1 to MstRounds).map(r => s"SELECT cost, r FROM ch$r")
+        .mkString(" UNION ALL ")
+      "WITH " + tradeEdgesSql + ", " +
+        "eu AS (SELECT LEAST(src, dst) AS x, GREATEST(src, dst) AS y, " +
+        "CAST(SUM(w) AS BIGINT) AS wsum FROM e WHERE src <> dst GROUP BY 1, 2), " +
+        "em AS MATERIALIZED (SELECT x, y, wsum * 10000 + x * 100 + y AS cost FROM eu), " +
+        "c0 AS MATERIALIZED (SELECT n_nationkey AS v, CAST(n_nationkey AS BIGINT) AS c FROM nation), " +
+        rounds + ", " +
+        s"ch AS ($chosen) " +
+        "SELECT em.x, em.y, em.cost, ch.r FROM em JOIN ch ON ch.cost = em.cost ORDER BY em.cost"
+    },
+      (s, d) => {
+        val eu = tradeEdges(s, d).where(col("src") =!= col("dst"))
+          .groupBy(least(col("src"), col("dst")).as("x"),
+            greatest(col("src"), col("dst")).as("y"))
+          .agg(sum("w").as("wsum"))
+        val e = eu.select(col("x"), col("y"),
+            (col("wsum") * 10000 + col("x") * 100 + col("y")).as("cost"))
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        def jump(df: DataFrame): DataFrame =
+          df.join(broadcast(df.select(col("k").as("k2"), col("p").as("p2"))),
+              col("p") === col("k2"))
+            .select(col("k"), col("p2").as("p"))
+        val n = T.nation(s, d)
+          .select(col("n_nationkey").as("v"), col("n_nationkey").cast("long").as("c"))
+        var c = n
+        var chosen: DataFrame = null
+        for (r <- 1 to MstRounds) {
+          val cr = e
+            .join(broadcast(c.select(col("v").as("x"), col("c").as("cx"))), "x")
+            .join(broadcast(c.select(col("v").as("y"), col("c").as("cy"))), "y")
+            .where(col("cx") =!= col("cy"))
+          val both = cr.select(col("cx").as("k"), col("cy").as("other"), col("cost"))
+            .unionAll(cr.select(col("cy").as("k"), col("cx").as("other"), col("cost")))
+          // unique costs make the pick tie-free, so min_by is safe here
+          val pk = both.groupBy("k")
+            .agg(min_by(col("other"), col("cost")).as("pt"), min("cost").as("mc"))
+          val p0 = c.select(col("c")).distinct()
+            .join(broadcast(pk), col("c") === col("k"), "left")
+            .select(col("c").as("k"), coalesce(col("pt"), col("c")).as("p"))
+          val p1 = p0
+            .join(broadcast(p0.select(col("k").as("k2"), col("p").as("p2"))),
+              col("p") === col("k2"))
+            .select(col("k"),
+              when(col("p2") === col("k"), least(col("k"), col("p")))
+                .otherwise(col("p")).as("p"))
+          var j = p1
+          for (_ <- 1 to MstJumps) j = jump(j)
+          c = c.join(broadcast(j), col("c") === col("k"))
+            .select(col("v"), col("p").as("c"))
+            .localCheckpoint()
+          val chR = pk.select(col("mc").as("cost")).distinct()
+            .withColumn("r", lit(r.toLong))
+            .localCheckpoint(false)
+          chosen = if (chosen == null) chR else chosen.unionAll(chR)
+        }
+        e.join(chosen, "cost")
+          .select(col("x"), col("y"), col("cost"), col("r"))
+          .orderBy("cost")
+      }),
 
     // Weighted PageRank over the nation-level trade graph: an edge
     // src→dst with weight w means customers of nation `src` bought w

@@ -301,4 +301,43 @@ class GraphSpec extends SparkSpec {
     // which equals the original undirected edge count
     assert(k.values.sum == 2 * mw && mw == und.size.toLong)
   }
+
+  test("graph_mst_boruvka equals a scalar Kruskal union-find MST") {
+    // independent mirror: Kruskal (sort + union-find), NOT the engines'
+    // Borůvka hooking schedule — unique costs make the MST itself unique,
+    // so the two algorithms must agree edge-for-edge
+    val e = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").cast("long").as("src"),
+        col("s_nationkey").cast("long").as("dst"))
+      .count()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(t => t._1 != t._2)
+      .groupBy(t => (math.min(t._1, t._2), math.max(t._1, t._2)))
+      .map { case ((x, y), ts) =>
+        (x, y, ts.map(_._3).sum * 10000 + x * 100 + y)
+      }.toSeq
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(v: Long): Long = {
+      val p = parent.getOrElse(v, v)
+      if (p == v) v else { val r = find(p); parent(v) = r; r }
+    }
+    val mst = e.sortBy(_._3).filter { case (x, y, _) =>
+      val (rx, ry) = (find(x), find(y))
+      if (rx != ry) { parent(rx) = ry; true } else false
+    }
+    val got = SparkEntry.queries("graph_mst_boruvka")(spark, sfDir).collect()
+      .map(r => (r.getInt(0).toLong, r.getInt(1).toLong, r.getLong(2))).toSeq
+    assert(got.nonEmpty && got == mst.sortBy(_._3),
+      s"got ${got.take(4)}…\nkruskal ${mst.take(4)}…")
+    // spanning: |V_touched| - #components edges, acyclic by union-find
+    val vs = e.flatMap(t => Seq(t._1, t._2)).distinct
+    val comps = vs.map(find).distinct.size
+    assert(got.size == vs.size - comps)
+  }
 }
