@@ -696,6 +696,102 @@ object Quality {
           .agg(count(lit(1)).as("n_rows"),
             sum(when(num > det9, 1L).otherwise(0L)).as("n_out"))
           .orderBy("l_returnflag")
+      }),
+
+    // Local Outlier Factor (round 12) — the density-based outlier score
+    // [Breunig et al. 2000, SIGMOD] the distance-free screens
+    // (dq_anomaly_iqr's univariate fences, dq_mahalanobis's global
+    // ellipse) cannot express: a point is anomalous relative to its
+    // NEIGHBORHOOD's density, so clusters of different densities each
+    // keep their own baseline. k=5 over the label-blocked embedding
+    // table: pairwise distances stay inside a label (the
+    // llm_embed_neardup blocking), distances are the geomad-discipline
+    // integer quantization (exact long d², one IEEE sqrt, s6), k-dist
+    // is the 5th neighbor by (d6, vec_id), N_k is the CORRECT ≥k tie
+    // set (all o with d ≤ k-dist), and both density ratios are
+    // all-integer halfUpDiv forms — no bare double sum anywhere, so
+    // the classic ratio-of-ratios grades exactly. The flag threshold is
+    // 1.01 (s6): this corpus is uniform-ish noise whose LOF tops out
+    // near 1.03, so the canonical 1.5 would leave the flagged lane
+    // dead — 1.01 fires ~11% at sf0.01 and both lanes grade (the
+    // eo_unmix3 both-lanes discipline). At corpus scale the
+    // pair stage swaps to the ANN-kNN funnel (llm_ann_* rungs) feeding
+    // the SAME reach-dist/lrd/LOF tail — the tail's cost is k·n.
+    Q("dq_outlier_lof", Some {
+      val lrdCap = "1000000000" // degenerate-duplicate sentinel; see key comment
+      "WITH ux AS MATERIALIZED (SELECT vec_id, label, CAST(UNNEST(embedding) AS DOUBLE) AS x, " +
+        "UNNEST(RANGE(0, LEN(embedding))) AS pos FROM embeddings), " +
+        "pd AS MATERIALIZED (SELECT a.label, a.vec_id AS p, b.vec_id AS o, " +
+        sqlS6("SQRT(CAST(SUM(CAST(FLOOR((a.x - b.x) * (a.x - b.x) * 1e10 + 0.5) AS BIGINT)) AS DOUBLE) / 1e10)") +
+        " AS d6 FROM ux a JOIN ux b ON b.label = a.label AND b.pos = a.pos " +
+        "AND b.vec_id <> a.vec_id GROUP BY 1, 2, 3), " +
+        "kd AS MATERIALIZED (SELECT p, d6 AS kdist FROM (SELECT p, d6, " +
+        "ROW_NUMBER() OVER (PARTITION BY p ORDER BY d6, o) AS rn FROM pd) WHERE rn = 5), " +
+        "nk AS MATERIALIZED (SELECT pd.p, pd.o, pd.d6 FROM pd " +
+        "JOIN kd ON kd.p = pd.p WHERE pd.d6 <= kd.kdist), " +
+        "rd AS (SELECT nk.p, nk.o, GREATEST(ko.kdist, nk.d6) AS rd6 " +
+        "FROM nk JOIN kd ko ON ko.p = nk.o), " +
+        "lrd AS MATERIALIZED (SELECT p, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(LEAST(CASE WHEN SUM(rd6) = 0 THEN " + lrdCap + " ELSE " +
+        Det.sqlHalfUpDiv("COUNT(*) * 1000000000000", "SUM(rd6)") + " END, " +
+        lrdCap + ") AS BIGINT) AS lrd6 FROM rd GROUP BY p), " +
+        "lf AS (SELECT nk.p, CAST(COUNT(*) AS BIGINT) AS n_k, " +
+        "CAST(SUM(" + Det.sqlHalfUpDiv("lo.lrd6 * 1000000", "lp.lrd6") + ") AS BIGINT) AS st " +
+        "FROM nk JOIN lrd lo ON lo.p = nk.o JOIN lrd lp ON lp.p = nk.p GROUP BY nk.p) " +
+        "SELECT lf.p AS vec_id, lf.n_k, kd.kdist AS kdist6, lrd.lrd6, " +
+        "CAST(" + Det.sqlHalfUpDiv("lf.st", "lf.n_k") + " AS BIGINT) AS lof6, " +
+        "CAST(CASE WHEN " + Det.sqlHalfUpDiv("lf.st", "lf.n_k") + " > 1010000 THEN 1 ELSE 0 END AS BIGINT) AS flagged " +
+        "FROM lf JOIN kd ON kd.p = lf.p JOIN lrd ON lrd.p = lf.p ORDER BY vec_id"
+    },
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val lrdCap = 1000000000L
+        val emb = T.embeddings(s, d).select(col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast("double")).as("e"))
+        val a = emb.select(col("label"), col("vec_id").as("p"), col("e").as("ea"))
+        val b = emb.select(col("label"), col("vec_id").as("o"), col("e").as("eb"))
+        // label-blocked pair distances, array-at-a-time (no 64× explode):
+        // per-element floor quantization then an exact long fold — the
+        // same arithmetic the oracle spells via UNNEST + SUM(FLOOR(...))
+        val d2l = aggregate(
+          zip_with(col("ea"), col("eb"),
+            (x, y) => floor((x - y) * (x - y) * lit(1e10) + lit(0.5)).cast("long")),
+          lit(0L), (acc, v) => acc + v)
+        val pd = a.join(b, Seq("label")).where(col("p") =!= col("o"))
+          .select(col("p"), col("o"),
+            s6(sqrt(d2l.cast("double") / lit(1e10))).as("d6"))
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        val kd = pd
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("p").orderBy(col("d6"), col("o"))))
+          .where(col("rn") === 5)
+          .select(col("p"), col("d6").as("kdist"))
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        val nk = pd.join(kd, "p").where(col("d6") <= col("kdist"))
+          .select(col("p"), col("o"), col("d6"))
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        val rd = nk.join(kd.select(col("p").as("o"), col("kdist").as("ko")), "o")
+          .select(col("p"), col("o"), greatest(col("ko"), col("d6")).as("rd6"))
+        val lrd = rd.groupBy("p")
+          .agg(count(lit(1)).as("n"), sum("rd6").as("srd"))
+          .select(col("p"),
+            least(when(col("srd") === 0, lit(lrdCap))
+              .otherwise(Det.halfUpDiv(col("n") * lit(1000000000000L), col("srd"))),
+              lit(lrdCap)).as("lrd6"))
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        val lf = nk
+          .join(lrd.select(col("p").as("o"), col("lrd6").as("lo")), "o")
+          .join(lrd.select(col("p"), col("lrd6").as("lp")), "p")
+          .groupBy("p")
+          .agg(count(lit(1)).as("n_k"),
+            sum(Det.halfUpDiv(col("lo") * lit(1000000L), col("lp"))).as("st"))
+        lf.join(kd, "p").join(lrd, "p")
+          .select(col("p").as("vec_id"), col("n_k"),
+            col("kdist").as("kdist6"), col("lrd6"),
+            Det.halfUpDiv(col("st"), col("n_k")).as("lof6"),
+            when(Det.halfUpDiv(col("st"), col("n_k")) > 1010000L, 1L)
+              .otherwise(0L).as("flagged"))
+          .orderBy("vec_id")
       }))
 
   /** The 10-row bin grid (0..9) as a DataFrame — tiny, broadcast into

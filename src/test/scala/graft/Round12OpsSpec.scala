@@ -297,4 +297,45 @@ class Round12OpsSpec extends SparkSpec {
     // dispersion is a real signal: every label has a nonzero EMAD
     got.foreach { case (l, _, e, _, _) => assert(e > 0L, s"label $l emad") }
   }
+
+  test("dq_outlier_lof equals a scalar Breunig k=5 LOF mirror; both lanes fire") {
+    def s6d(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    def q10(x: Double) = math.floor(x * 1e10 + 0.5).toLong
+    def halfUp(s: Long, n: Long): Long = { // round-half-up s/n, both >= 0
+      val a = 2 * s + n; (a - a % (2 * n)) / (2 * n)
+    }
+    val vecs = Tables.embeddings(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val byLabel = vecs.groupBy(_._2)
+    val expect = byLabel.values.flatMap { vs =>
+      val d6 = (for { a <- vs; b <- vs if a._1 != b._1 } yield {
+        val d2l = (0 until a._3.length)
+          .map(p => q10((a._3(p) - b._3(p)) * (a._3(p) - b._3(p)))).sum
+        (a._1, b._1) -> s6d(math.sqrt(d2l.toDouble / 1e10))
+      }).toMap
+      val ids = vs.map(_._1)
+      val kdist = ids.map { p =>
+        p -> ids.filter(_ != p).map(o => (d6((p, o)), o)).sorted.apply(4)._1
+      }.toMap
+      val nk = ids.map { p =>
+        p -> ids.filter(o => o != p && d6((p, o)) <= kdist(p))
+      }.toMap
+      val lrd = ids.map { p =>
+        val srd = nk(p).map(o => math.max(kdist(o), d6((p, o)))).sum
+        p -> math.min(if (srd == 0) 1000000000L
+          else halfUp(nk(p).size * 1000000000000L, srd), 1000000000L)
+      }.toMap
+      ids.map { p =>
+        val st = nk(p).map(o => halfUp(lrd(o) * 1000000L, lrd(p))).sum
+        val lof6 = halfUp(st, nk(p).size)
+        (p, nk(p).size.toLong, kdist(p), lrd(p), lof6,
+          if (lof6 > 1010000L) 1L else 0L)
+      }
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("dq_outlier_lof")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got.nonEmpty && got == expect, s"got ${got.take(3)}…\nexpect ${expect.take(3)}…")
+    assert(got.exists(_._6 == 1L) && got.exists(_._6 == 0L), "both lanes")
+  }
 }
