@@ -849,6 +849,88 @@ object Aggregates {
           .orderBy("user_id")
       }),
 
+    // Ljung-Box portmanteau test (round 12) — the residual-whiteness
+    // check [Ljung & Box 1978] that upgrades agg_autocorr's single lag
+    // to the m=3 joint statistic Q = n(n+2)·Σ ρ_k²/(n−k): per user
+    // series, lag-k autocorrelations from EXACT integer moments (lagged
+    // cross/head/tail sums via three LAGs over ONE shared per-entity
+    // window sort), expanded around the mean as a fixed IEEE expression
+    // so both engines compute identical doubles; each ρ and Q land on
+    // the s6 grid, and the flag compares Q6 to the χ²₍₃,0.05₎ critical
+    // value 7.815 as an integer. One shuffle on the entity key; the
+    // window is entity-bounded at any corpus scale.
+    Q("agg_ljungbox", Some {
+      val nD = "CAST(n AS DOUBLE)"
+      def rk(k: Int) =
+        s"((CAST(sxy$k AS DOUBLE) - xbar * (CAST(sh$k AS DOUBLE) + CAST(st$k AS DOUBLE)) " +
+          s"+ CAST(nk$k AS DOUBLE) * (xbar * xbar)) / den)"
+      "WITH v AS (SELECT user_id, ts, event_id, " + sqlS2("value") + " AS x FROM events), " +
+        "p AS (SELECT user_id, x, " +
+        (1 to 3).map(k =>
+          s"LAG(x, $k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l$k")
+          .mkString(", ") + " FROM v), " +
+        "m AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(x) AS BIGINT) AS s, CAST(SUM(x * x) AS BIGINT) AS sxx, " +
+        (1 to 3).map(k =>
+          s"CAST(SUM(x * l$k) AS BIGINT) AS sxy$k, " +
+            s"CAST(SUM(CASE WHEN l$k IS NOT NULL THEN l$k END) AS BIGINT) AS sh$k, " +
+            s"CAST(SUM(CASE WHEN l$k IS NOT NULL THEN x END) AS BIGINT) AS st$k, " +
+            s"CAST(COUNT(l$k) AS BIGINT) AS nk$k").mkString(", ") +
+        " FROM p GROUP BY user_id), " +
+        s"e AS (SELECT user_id, n, CAST(s AS DOUBLE) / $nD AS xbar, " +
+        s"CAST(sxx AS DOUBLE) - $nD * ((CAST(s AS DOUBLE) / $nD) * (CAST(s AS DOUBLE) / $nD)) AS den, " +
+        "sxy1, sh1, st1, nk1, sxy2, sh2, st2, nk2, sxy3, sh3, st3, nk3 FROM m WHERE n >= 8) " +
+        "SELECT user_id, n, " +
+        (1 to 3).map(k => "CASE WHEN den <= 0.0 THEN NULL ELSE " +
+          sqlS6(rk(k)) + s" END AS r${k}_6").mkString(", ") + ", " +
+        "CASE WHEN den <= 0.0 THEN NULL ELSE " +
+        sqlS6(s"($nD * ($nD + 2.0)) * ((${rk(1)} * ${rk(1)} / ($nD - 1.0)) " +
+          s"+ (${rk(2)} * ${rk(2)} / ($nD - 2.0)) + (${rk(3)} * ${rk(3)} / ($nD - 3.0)))") +
+        " END AS q6, " +
+        "CAST(CASE WHEN den <= 0.0 THEN NULL WHEN " +
+        sqlS6(s"($nD * ($nD + 2.0)) * ((${rk(1)} * ${rk(1)} / ($nD - 1.0)) " +
+          s"+ (${rk(2)} * ${rk(2)} / ($nD - 2.0)) + (${rk(3)} * ${rk(3)} / ($nD - 3.0)))") +
+        " > 7815000 THEN 1 ELSE 0 END AS BIGINT) AS rejected " +
+        "FROM e ORDER BY user_id"
+    },
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val base = T.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), s2(col("value")).as("x"))
+          .select(col("user_id") +: col("x") +:
+            (1 to 3).map(k => lag(col("x"), k).over(w).as(s"l$k")): _*)
+        val aggs: Seq[Column] =
+          Seq(sum(col("x")).as("s"), sum(col("x") * col("x")).as("sxx")) ++
+            (1 to 3).flatMap { k =>
+              Seq(sum(col("x") * col(s"l$k")).as(s"sxy$k"),
+                sum(when(col(s"l$k").isNotNull, col(s"l$k"))).as(s"sh$k"),
+                sum(when(col(s"l$k").isNotNull, col("x"))).as(s"st$k"),
+                count(col(s"l$k")).as(s"nk$k"))
+            }
+        val m = base.groupBy("user_id")
+          .agg(count(lit(1)).as("n"), aggs: _*)
+          .where(col("n") >= 8)
+        val nD = col("n").cast("double")
+        val xbar = col("s").cast("double") / nD
+        val den = col("sxx").cast("double") - nD * (xbar * xbar)
+        def rk(k: Int) =
+          (col(s"sxy$k").cast("double") - xbar *
+            (col(s"sh$k").cast("double") + col(s"st$k").cast("double")) +
+            col(s"nk$k").cast("double") * (xbar * xbar)) / den
+        val q = (nD * (nD + lit(2.0))) *
+          ((rk(1) * rk(1) / (nD - lit(1.0))) + (rk(2) * rk(2) / (nD - lit(2.0))) +
+            (rk(3) * rk(3) / (nD - lit(3.0))))
+        m.select(col("user_id"), col("n"),
+            when(den <= 0.0, lit(null)).otherwise(s6(rk(1))).as("r1_6"),
+            when(den <= 0.0, lit(null)).otherwise(s6(rk(2))).as("r2_6"),
+            when(den <= 0.0, lit(null)).otherwise(s6(rk(3))).as("r3_6"),
+            when(den <= 0.0, lit(null)).otherwise(s6(q)).as("q6"),
+            when(den <= 0.0, lit(null))
+              .otherwise(when(s6(q) > 7815000L, 1L).otherwise(0L)).as("rejected"))
+          .orderBy("user_id")
+      }),
+
     // Tail-latency ratio (round 9, fifth wave) — the SRE/SLO staple:
     // p50/p95/p99 of the value distribution per event type and the
     // p99/p50 tail ratio (how heavy is the tail relative to the

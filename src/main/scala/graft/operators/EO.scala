@@ -240,7 +240,7 @@ object EO {
           pick.getField("np")).otherwise(lit(-1)))
         .otherwise(lit(-1))
     })
-    packed.select(col("tile"), flowCol.as("flow"))
+    packed.select(col("tile"), col("zarr"), flowCol.as("flow"))
   }
 
   /** Pointer-doubling rounds for eo_tile_watershed: ptr ← ptr∘ptr, so
@@ -263,14 +263,16 @@ object EO {
     * stacked map-only projections (CollapseProject keeps them separate —
     * each round's array is referenced 8× per element, so inlining is
     * blocked and the unrolled expression stays linear in K). Pinned by
-    * PlanContractSpec. Returns (tile, acc) with acc the packed 256-long
-    * array — interior pixels carry their accumulation, boundary 0. */
+    * PlanContractSpec. Returns (tile, zarr, acc): acc the packed
+    * 256-long accumulation array (interior pixels carry their
+    * accumulation, boundary 0), zarr the s2 elevation array carried
+    * through for downstream terrain composites (eo_twi). */
   private def flowAccPacked(s: SparkSession, d: String, k: Int): DataFrame = {
     def interior(p: Column) =
       shiftright(p, 4).between(1, 14) && p.bitwiseAND(lit(15)).between(1, 14)
     val idx = sequence(lit(0), lit(255))
     var df = d8FlowPacked(s, d)
-      .select(col("tile"), col("flow"),
+      .select(col("tile"), col("zarr"), col("flow"),
         transform(idx, p =>
           when(interior(p), lit(1L)).otherwise(lit(0L))).as("acc"))
     for (_ <- 1 to k) {
@@ -284,9 +286,9 @@ object EO {
         }.reduce(_ + _)
         when(interior(p), lit(1L) + inflow).otherwise(lit(0L))
       })
-      df = df.select(col("tile"), col("flow"), nextAcc.as("acc"))
+      df = df.select(col("tile"), col("zarr"), col("flow"), nextAcc.as("acc"))
     }
-    df.select("tile", "acc")
+    df.select("tile", "zarr", "acc")
   }
 
   /** The eo_tile_flow_acc relaxation, K parameterized so the spec can
@@ -1132,6 +1134,89 @@ object EO {
           .agg(count(lit(1)).as("n_cells"),
             sum((col("pos") + 1).cast("long")).as("cksum"))
           .orderBy("tile", "basin")),
+
+    // Topographic Wetness Index (round 12) — Beven & Kirkby 1979's
+    // ln(a / tan β), THE terrain composite that fuses two already-graded
+    // primitives: upslope contributing area a = the D8 flow
+    // accumulation (eo_tile_flow_acc's packed relaxation, zarr carried
+    // through) and local slope tan β from the central-difference
+    // gradient (eo_tile_gradient's stencil). ln is the PORTABLE lnInt
+    // (Det round-10 transcendental discipline — no libm reaches the
+    // graded integer): twi = lnInt(acc) − 0.5·lnInt(max(gx²+gy², 1)),
+    // a fixed IEEE op sequence over exact longs, then s6. Everything
+    // after the one flow-acc aggregation Exchange is map-only array
+    // projection — the full two-product composite costs ONE shuffle.
+    // Graded per interior pixel (tile, pos, acc, twi6): flat cells ride
+    // the max(·,1) guard identically on both engines.
+    Q("eo_twi", Some {
+      val dirDy = "CASE dir WHEN 1 THEN 0 WHEN 2 THEN 1 WHEN 4 THEN 1 WHEN 8 THEN 1 " +
+        "WHEN 16 THEN 0 WHEN 32 THEN -1 WHEN 64 THEN -1 ELSE -1 END"
+      val dirDx = "CASE dir WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 4 THEN 0 WHEN 8 THEN -1 " +
+        "WHEN 16 THEN -1 WHEN 32 THEN -1 WHEN 64 THEN 0 ELSE 1 END"
+      val rounds = (1 to FlowAccRounds).map { k =>
+        val prev = s"a${k - 1}"
+        s"a$k AS MATERIALIZED (SELECT n.tile, n.py, n.px, " +
+          s"1 + COALESCE(SUM(u.acc), 0) AS acc " +
+          s"FROM a0 n LEFT JOIN fl ON fl.tile = n.tile AND fl.ty = n.py AND fl.tx = n.px " +
+          s"LEFT JOIN $prev u ON u.tile = fl.tile AND u.py = fl.py AND u.px = fl.px " +
+          "GROUP BY n.tile, n.py, n.px)"
+      }.mkString(", ")
+      "WITH px AS (SELECT (event_id // 4) // 256 AS tile, " +
+        "((event_id // 4) % 256) // 16 AS py, ((event_id // 4) % 256) % 16 AS px, " +
+        "event_id % 4 AS t, " + sqlS2("value") + " AS z FROM events), " +
+        "full_t AS (SELECT tile FROM px WHERE t = 0 GROUP BY tile HAVING COUNT(*) = 256), " +
+        "p0 AS MATERIALIZED (SELECT p.tile, py, px, z FROM px p JOIN full_t USING (tile) WHERE t = 0), " +
+        "offs AS (SELECT * FROM (VALUES (0, 1, 1), (1, 1, 2), (1, 0, 4), (1, -1, 8), " +
+        "(0, -1, 16), (-1, -1, 32), (-1, 0, 64), (-1, 1, 128)) AS v(dy, dx, dir)), " +
+        "nb AS (SELECT o.tile, o.py, o.px, f.dir, o.z - n.z AS drop " +
+        "FROM p0 o CROSS JOIN offs f " +
+        "JOIN p0 n ON n.tile = o.tile AND n.py = o.py + f.dy AND n.px = o.px + f.dx " +
+        "WHERE o.py BETWEEN 1 AND 14 AND o.px BETWEEN 1 AND 14), " +
+        "wb AS (SELECT tile, py, px, dir, drop, " +
+        "MAX(drop) OVER (PARTITION BY tile, py, px) AS best FROM nb), " +
+        "pick AS (SELECT tile, py, px, MAX(best) AS best, " +
+        "CAST(MIN(CASE WHEN drop = best THEN dir END) AS BIGINT) AS dir " +
+        "FROM wb GROUP BY tile, py, px), " +
+        s"fl AS MATERIALIZED (SELECT tile, py, px, py + ($dirDy) AS ty, px + ($dirDx) AS tx " +
+        "FROM pick WHERE best > 0 AND py + (" + dirDy + ") BETWEEN 1 AND 14 " +
+        "AND px + (" + dirDx + ") BETWEEN 1 AND 14), " +
+        "a0 AS MATERIALIZED (SELECT tile, py, px, CAST(1 AS BIGINT) AS acc FROM pick), " +
+        rounds + ", " +
+        "gr AS (SELECT o.tile, o.py, o.px, ea.z - we.z AS gx, so.z - no.z AS gy " +
+        "FROM p0 o " +
+        "JOIN p0 ea ON ea.tile = o.tile AND ea.py = o.py AND ea.px = o.px + 1 " +
+        "JOIN p0 we ON we.tile = o.tile AND we.py = o.py AND we.px = o.px - 1 " +
+        "JOIN p0 so ON so.tile = o.tile AND so.py = o.py + 1 AND so.px = o.px " +
+        "JOIN p0 no ON no.tile = o.tile AND no.py = o.py - 1 AND no.px = o.px " +
+        "WHERE o.py BETWEEN 1 AND 14 AND o.px BETWEEN 1 AND 14) " +
+        s"SELECT a.tile, CAST(a.py * 16 + a.px AS BIGINT) AS pos, CAST(a.acc AS BIGINT) AS acc, " +
+        sqlS6("(" + Det.sqlLnInt("a.acc") + " - 0.5 * " +
+          Det.sqlLnInt("GREATEST(g.gx * g.gx + g.gy * g.gy, 1)") + ")") + " AS twi6 " +
+        s"FROM a$FlowAccRounds a JOIN gr g ON g.tile = a.tile AND g.py = a.py AND g.px = a.px " +
+        "ORDER BY a.tile, pos"
+    },
+      (s, d) => {
+        def interior(p: Column) =
+          shiftright(p, 4).between(1, 14) && p.bitwiseAND(lit(15)).between(1, 14)
+        val idx = sequence(lit(0), lit(255))
+        def z(arr: Column, p: Column, off: Int) = element_at(arr, p + lit(off) + 1)
+        val twiArr = transform(idx, p => {
+          val gx = z(col("zarr"), p, 1) - z(col("zarr"), p, -1)
+          val gy = z(col("zarr"), p, 16) - z(col("zarr"), p, -16)
+          val g2 = greatest(gx * gx + gy * gy, lit(1L))
+          when(interior(p),
+            s6(lnInt(element_at(col("acc"), p + 1)) - lit(0.5) * lnInt(g2)))
+            .otherwise(lit(null).cast("long"))
+        })
+        flowAccPacked(s, d, FlowAccRounds)
+          .select(col("tile"), col("acc"), twiArr.as("twi"))
+          .select(col("tile"), posexplode(arrays_zip(col("acc"), col("twi")))
+            .as(Seq("pos", "pz")))
+          .where(col("pz.twi").isNotNull)
+          .select(col("tile"), col("pos").cast("long").as("pos"),
+            col("pz.acc").as("acc"), col("pz.twi").as("twi6"))
+          .orderBy("tile", "pos")
+      }),
 
     // Percentile contrast stretch (round 9, fifth wave) — the p2/p98
     // display normalization every RGB quicklook/browse-image pipeline

@@ -338,4 +338,91 @@ class Round12OpsSpec extends SparkSpec {
     assert(got.nonEmpty && got == expect, s"got ${got.take(3)}…\nexpect ${expect.take(3)}…")
     assert(got.exists(_._6 == 1L) && got.exists(_._6 == 0L), "both lanes")
   }
+
+  test("eo_twi equals a scalar flow-acc + gradient + portable-ln mirror") {
+    // sf0.001 has no complete tiles — drive at sf0.01 like eo_tile_clump
+    val dir01 = "/root/testdata/sf0.01"
+    def s2d(x: Double) = math.floor(x * 100 + 0.5).toLong
+    def s6d(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val ev = Tables.events(spark, dir01).select("event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val px = ev.filter(_._1 % 4 == 0).map { case (eid, v) =>
+      val pid = eid / 4
+      (pid / 256, (pid % 256).toInt, s2d(v))
+    }
+    val tiles = px.groupBy(_._1).filter(_._2.length == 256)
+      .map { case (t, ps) =>
+        val z = Array.ofDim[Long](256); ps.foreach(p => z(p._2) = p._3); t -> z
+      }
+    val offs = Seq((0, 1, 1), (1, 1, 2), (1, 0, 4), (1, -1, 8),
+      (0, -1, 16), (-1, -1, 32), (-1, 0, 64), (-1, 1, 128))
+    def interior(p: Int) = (p / 16) >= 1 && (p / 16) <= 14 &&
+      (p % 16) >= 1 && (p % 16) <= 14
+    val expect = tiles.toSeq.flatMap { case (t, z) =>
+      val flow = Array.tabulate(256) { p =>
+        if (!interior(p)) -1
+        else {
+          val (drop, _, np) = offs.map { case (dy, dx, dir) =>
+            val np = p + dy * 16 + dx
+            (z(p) - z(np), -dir, np)
+          }.max
+          if (drop > 0 && interior(np)) np else -1
+        }
+      }
+      var acc = Array.tabulate(256)(p => if (interior(p)) 1L else 0L)
+      for (_ <- 1 to 10) { // FlowAccRounds
+        acc = Array.tabulate(256) { p =>
+          if (!interior(p)) 0L
+          else 1L + offs.map { case (dy, dx, _) =>
+            val np = p + dy * 16 + dx
+            if (flow(np) == p) acc(np) else 0L
+          }.sum
+        }
+      }
+      (0 until 256).filter(interior).map { p =>
+        val gx = z(p + 1) - z(p - 1); val gy = z(p + 16) - z(p - 16)
+        val g2 = math.max(gx * gx + gy * gy, 1L)
+        (t, p.toLong, acc(p),
+          s6d(Det.lnIntD(acc(p)) - 0.5 * Det.lnIntD(g2)))
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("eo_twi")(spark, dir01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.nonEmpty && got == expect, s"got ${got.take(3)}…\nexpect ${expect.take(3)}…")
+  }
+
+  test("agg_ljungbox equals a scalar portmanteau mirror; both lanes fire at sf0.01") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val dir01 = "/root/testdata/sf0.01" // 150 users; the rejected lane fires
+    def s2d(x: Double) = math.floor(x * 100 + 0.5).toLong
+    def s6d(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val ev = Tables.events(spark, dir01)
+      .select(col("user_id"), unix_micros(col("ts")).as("te"), col("event_id"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expect = ev.groupBy(_._1).toSeq.collect {
+      case (u, rows) if rows.length >= 8 =>
+        val xs = rows.sortBy(r => (r._2, r._3)).map(r => s2d(r._4))
+        val n = xs.length
+        val nD = n.toDouble
+        val xbar = xs.sum.toDouble / nD
+        val den = xs.map(x => x * x).sum.toDouble - nD * (xbar * xbar)
+        def rk(k: Int) = {
+          val sxy = (k until n).map(i => xs(i) * xs(i - k)).sum
+          val sh = (k until n).map(i => xs(i - k)).sum
+          val st = (k until n).map(i => xs(i)).sum
+          (sxy.toDouble - xbar * (sh.toDouble + st.toDouble) +
+            (n - k).toDouble * (xbar * xbar)) / den
+        }
+        val q = (nD * (nD + 2.0)) * ((rk(1) * rk(1) / (nD - 1.0)) +
+          (rk(2) * rk(2) / (nD - 2.0)) + (rk(3) * rk(3) / (nD - 3.0)))
+        val q6 = s6d(q)
+        (u, n.toLong, s6d(rk(1)), s6d(rk(2)), s6d(rk(3)), q6,
+          if (q6 > 7815000L) 1L else 0L)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("agg_ljungbox")(spark, dir01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got.nonEmpty && got == expect, s"got ${got.take(3)}…\nexpect ${expect.take(3)}…")
+    assert(got.exists(_._7 == 1L) && got.exists(_._7 == 0L), "both lanes")
+  }
 }
