@@ -931,6 +931,41 @@ object Aggregates {
           .orderBy("user_id")
       }),
 
+    // Equi-depth histogram (round 12) — the optimizer-statistics shape
+    // (ANALYZE ... COMPUTE STATISTICS histograms; DB2/Postgres
+    // equi-height buckets): per event_type, B=4 buckets each holding an
+    // equal SHARE OF ROWS (not an equal value range — agg_log2_hist is
+    // the equi-width sibling), so bucket boundaries track the data
+    // distribution and selectivity estimates stay honest under skew.
+    // Bucket of a row = ⌊(rank−1)·B / n⌋ with the (x, event_id) total
+    // tie order — pure integer index math, no interpolation (the
+    // nearest-rank discipline). Graded per (type, bucket): count and the
+    // [lo, hi] cent bounds. One shuffle + per-type sort; at scale the
+    // rank pass swaps to the win_ntile two-pass form, the boundaries to
+    // an approx-quantile sketch (agg_approx_pct grades that rung).
+    Q("agg_eqdepth_hist", Some(
+      "WITH b AS (SELECT event_type, event_id, " + sqlS2("value") + " AS x FROM events), " +
+        "r AS (SELECT event_type, x, " +
+        "CAST((ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x, event_id) - 1) * 4 AS BIGINT) AS r4, " +
+        "CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM b) " +
+        "SELECT event_type, r4 // n AS bucket, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(MIN(x) AS BIGINT) AS lo2, CAST(MAX(x) AS BIGINT) AS hi2 " +
+        "FROM r GROUP BY event_type, bucket ORDER BY event_type, bucket"),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("event_type").orderBy("x", "event_id")
+        val wAll = Window.partitionBy("event_type")
+        T.events(s, d)
+          .select(col("event_type"), col("event_id"), s2(col("value")).as("x"))
+          .withColumn("r4", (row_number().over(w).cast("long") - 1) * 4)
+          .withColumn("n", count(lit(1)).over(wAll))
+          .groupBy(col("event_type"), expr("r4 div n").as("bucket"))
+          .agg(count(lit(1)).as("n_rows"), min(col("x")).as("lo2"),
+            max(col("x")).as("hi2"))
+          .orderBy("event_type", "bucket")
+      }),
+
     // Tail-latency ratio (round 9, fifth wave) — the SRE/SLO staple:
     // p50/p95/p99 of the value distribution per event type and the
     // p99/p50 tail ratio (how heavy is the tail relative to the

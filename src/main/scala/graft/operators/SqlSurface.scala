@@ -93,5 +93,34 @@ object SqlSurface {
         "SELECT 1 UNION ALL SELECT m + 1 FROM months WHERE m < 12) " +
         "SELECT m, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders " +
         "FROM months LEFT JOIN orders ON MONTH(o_orderdate) = m " +
-        "GROUP BY m ORDER BY m"))
+        "GROUP BY m ORDER BY m"),
+
+    // SQL-dialect PIVOT (round 12) — the relational-rotation FRONTEND
+    // beside agg_pivot's DataFrame .pivot: Spark parses the ANSI-ish
+    // PIVOT (agg FOR col IN (...)) clause into the same Aggregate plan,
+    // and that parse is the graded surface (a dialect divergence changes
+    // column arity/names, exactly like sql_groupby_all). The oracle
+    // spells the rotation as portable CASE aggregation — DuckDB's own
+    // PIVOT syntax differs, and grading against the CASE form proves the
+    // two frontends reach one semantics. Sums over exact cents (SUM of
+    // BIGINT is HUGEINT in DuckDB — CAST per the oracle OUTPUT-TYPE
+    // gate); absent (flag, status) cells are COALESCE-pinned to 0.
+    Q("sql_pivot", Some(
+      "SELECT l_returnflag, " +
+        Seq("F", "O", "P").map(v =>
+          s"CAST(COALESCE(SUM(CASE WHEN l_linestatus = '$v' THEN q END), 0) AS BIGINT) " +
+            s"AS ${v.toLowerCase}_q2").mkString(", ") +
+        " FROM (SELECT l_returnflag, l_linestatus, " +
+        "CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS q FROM lineitem) " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
+      (s, d) => {
+        registerViews(s, d)
+        s.sql(
+          "SELECT l_returnflag, COALESCE(F, 0) AS f_q2, COALESCE(O, 0) AS o_q2, " +
+            "COALESCE(P, 0) AS p_q2 " +
+            "FROM (SELECT l_returnflag, l_linestatus, " +
+            "CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS q FROM lineitem) " +
+            "PIVOT (SUM(q) FOR l_linestatus IN ('F' AS F, 'O' AS O, 'P' AS P)) " +
+            "ORDER BY l_returnflag")
+      }))
 }

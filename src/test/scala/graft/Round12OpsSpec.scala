@@ -425,4 +425,43 @@ class Round12OpsSpec extends SparkSpec {
     assert(got.nonEmpty && got == expect, s"got ${got.take(3)}…\nexpect ${expect.take(3)}…")
     assert(got.exists(_._7 == 1L) && got.exists(_._7 == 0L), "both lanes")
   }
+
+  test("sql_pivot PIVOT clause equals a scalar rotation mirror") {
+    val rows = Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_linestatus", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    def q2(x: Double) = math.floor(x * 100 + 0.5).toLong
+    val expect = rows.groupBy(_._1).toSeq.map { case (rf, rs) =>
+      def tot(ls: String) = rs.filter(_._2 == ls).map(r => q2(r._3)).sum
+      (rf, tot("F"), tot("O"), tot("P"))
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("sql_pivot")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.nonEmpty && got == expect)
+  }
+
+  test("agg_eqdepth_hist equals a scalar rank-bucket mirror; depths balance") {
+    import org.apache.spark.sql.functions.col
+    def q2(x: Double) = math.floor(x * 100 + 0.5).toLong
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), q2(r.getDouble(2))))
+    val expect = rows.groupBy(_._1).toSeq.flatMap { case (t, rs) =>
+      val sorted = rs.sortBy(r => (r._3, r._2))
+      val n = sorted.length.toLong
+      sorted.zipWithIndex.groupBy { case (_, i) => i.toLong * 4 / n }
+        .toSeq.map { case (b, ms) =>
+          (t, b, ms.length.toLong, ms.map(_._1._3).min, ms.map(_._1._3).max)
+        }
+    }.sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("agg_eqdepth_hist")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got.nonEmpty && got == expect)
+    // equi-depth law: within a type, bucket counts differ by at most 1
+    got.groupBy(_._1).values.foreach { bs =>
+      val cs = bs.map(_._3)
+      assert(cs.max - cs.min <= 1, s"unbalanced depths: $bs")
+    }
+  }
 }
