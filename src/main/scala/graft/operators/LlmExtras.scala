@@ -919,6 +919,49 @@ object LlmExtras {
               .otherwise(0))
           .orderBy("doc_id")),
 
+    // Preference-pair dataset prep (round 12) — the DPO/RLHF data shape
+    // [Rafailov et al. 2023 DPO; Ouyang et al. 2022]: build
+    // (chosen, rejected) document pairs with a quality GAP, per language
+    // stratum. Quality = the exact distinct-token count (an integer, so
+    // ranking is engine-exact); rank docs per lang by (q DESC, doc_id)
+    // and pair rank i with rank n+1−i — widest-gap-first symmetric
+    // pairing, i ≤ n/2, equal-quality pairs DROPPED (gap must be > 0, a
+    // deterministic predicate both engines share; the odd middle doc
+    // never pairs). One explode + one lang-keyed rank window + a
+    // rank-arithmetic self-join — shuffles bounded by the lang key, the
+    // same two-pass rank form win_ntile documents for unsortable shards.
+    Q("llm_pref_pairs", Some(
+      "WITH q AS (SELECT doc_id, lang, CAST(COUNT(DISTINCT tok) AS BIGINT) AS qd FROM " +
+        "(SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents) " +
+        "GROUP BY doc_id, lang), " +
+        "r AS (SELECT doc_id, lang, qd, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY qd DESC, doc_id) AS BIGINT) AS rk, " +
+        "CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n FROM q) " +
+        "SELECT a.lang, a.rk AS pair_rank, a.doc_id AS chosen_id, b.doc_id AS rejected_id, " +
+        "a.qd - b.qd AS gap " +
+        "FROM r a JOIN r b ON b.lang = a.lang AND b.rk = a.n + 1 - a.rk " +
+        "WHERE 2 * a.rk <= a.n AND a.qd > b.qd " +
+        "ORDER BY a.lang, pair_rank"),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val q = T.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("tok"))
+          .groupBy("doc_id", "lang")
+          .agg(countDistinct(col("tok")).as("qd"))
+        val r = q
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("lang").orderBy(col("qd").desc, col("doc_id"))).cast("long"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+        val b = r.select(col("lang").as("blang"), col("rk").as("brk"),
+          col("doc_id").as("rejected_id"), col("qd").as("bqd"))
+        r.join(b, col("lang") === col("blang") && col("brk") === col("n") + 1 - col("rk"))
+          .where(lit(2) * col("rk") <= col("n") && col("qd") > col("bqd"))
+          .select(col("lang"), col("rk").as("pair_rank"), col("doc_id").as("chosen_id"),
+            col("rejected_id"), (col("qd") - col("bqd")).as("gap"))
+          .orderBy("lang", "pair_rank")
+      }),
+
     // Token counting: whitespace tokens, a BPE-ish subword budget estimate
     // (ceil(chars/4) — the "~4 chars per token" rule), and a regex
     // word-piece count.

@@ -464,4 +464,74 @@ class Round12OpsSpec extends SparkSpec {
       assert(cs.max - cs.min <= 1, s"unbalanced depths: $bs")
     }
   }
+
+  test("graph_walk_corpus equals a scalar derandomized-walk mirror") {
+    import org.apache.spark.sql.functions.col
+    def h32(s: String): Long = { // scalar mirror of Det.hash32
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((d(3).toLong & 0xff) << 24) | ((d(2).toLong & 0xff) << 16) |
+        ((d(1).toLong & 0xff) << 8) | (d(0).toLong & 0xff)
+    }
+    val e = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").cast("long").as("src"),
+        col("s_nationkey").cast("long").as("dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(t => t._1 != t._2)
+      .map(t => (math.min(t._1, t._2), math.max(t._1, t._2))).distinct
+    val adj = (e ++ e.map(_.swap)).groupBy(_._1)
+      .map { case (v, ns) => v -> ns.map(_._2).sorted }
+    val expect = adj.keySet.toSeq.sorted.flatMap { start =>
+      var v = start
+      val traj = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      traj += ((start, 0L, start))
+      for (t <- 1 to 6) {
+        val ns = adj(v)
+        v = ns((h32(s"$start:$t:$v") % ns.length).toInt)
+        traj += ((start, t.toLong, v))
+      }
+      traj.toSeq
+    }.sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("graph_walk_corpus")(spark, sfDir).collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty && got == expect, s"got ${got.take(4)}…\nexpect ${expect.take(4)}…")
+    // every hop is a real edge
+    got.sliding(2).foreach {
+      case Seq((s1, t1, a), (s2, t2, b)) if s1 == s2 && t2 == t1 + 1 =>
+        assert(adj(a).contains(b), s"non-edge hop $a->$b")
+      case _ =>
+    }
+  }
+
+  test("llm_pref_pairs equals a scalar widest-gap pairing mirror") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expect = docs.groupBy(_._2).toSeq.flatMap { case (lang, ds) =>
+      val ranked = ds.map(d => (d._1, d._3.split(" ").distinct.length.toLong))
+        .sortBy(d => (-d._2, d._1)).zipWithIndex
+        .map { case ((id, q), i) => (i + 1L, id, q) }
+      val n = ranked.length
+      ranked.filter(_._1 * 2 <= n).flatMap { case (rk, cid, cq) =>
+        val (_, rid, rq) = ranked(n - rk.toInt)
+        if (cq > rq) Some((lang, rk, cid, rid, cq - rq)) else None
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("llm_pref_pairs")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got.nonEmpty && got == expect, s"got ${got.take(3)}…\nexpect ${expect.take(3)}…")
+    // a pair never inverts quality, and gaps weakly shrink with rank
+    got.groupBy(_._1).values.foreach { ps =>
+      val gaps = ps.sortBy(_._2).map(_._5)
+      assert(gaps.forall(_ > 0L))
+      assert(gaps.zip(gaps.tail).forall { case (a, b) => a >= b }, s"gaps not sorted: $gaps")
+    }
+  }
 }
