@@ -496,6 +496,84 @@ object StreamTwins {
         s.table("graft_exec_ptimeout").orderBy("user_id")
       }),
 
+    // EXECUTED INITIAL-STATE seeding (round 12) — the NINTH executed
+    // key: the warm-start / state-migration surface [Spark 3.2+
+    // SPARK-35897], the flatMapGroupsWithState overload taking
+    // initialState: KeyValueGroupedDataset. Initial state = the
+    // BATCH-computed per-user (count, Σs6) fold over the FIRST-half
+    // events — yesterday's checkpoint snapshot, the shape every
+    // state-migration/backfill runs — and the stream feeds ONLY
+    // second-half events. Load-bearing MEASURED semantics: the function
+    // is invoked for a key only when STREAM data arrives for it — a key
+    // present in the snapshot but absent from the stream keeps its
+    // state silently and emits NOTHING (at sf0.01: 150 snapshot users,
+    // 150 streaming, intersection emits). Each invoked user emits the
+    // MERGED fold, so a dropped snapshot, a double-applied initial
+    // state, or an invoke-on-idle divergence all break the hash.
+    // BUILD-TIME SIDE EFFECT: stages the second-half file + runs the
+    // streaming query to completion at plan-construction time.
+    Q("stream_exec_istate", Some(
+      "WITH te AS (SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS te, value FROM events), " +
+        "mm AS (SELECT (MIN(te) + MAX(te)) // 2 AS tm FROM te), " +
+        "snd AS (SELECT DISTINCT user_id FROM te WHERE te > (SELECT tm FROM mm)) " +
+        "SELECT t.user_id, CAST(COUNT(*) AS BIGINT) AS n, " +
+        sqlSum6("value") + " AS sum_val " +
+        "FROM te t JOIN snd USING (user_id) GROUP BY t.user_id ORDER BY t.user_id"),
+      (s, d) => {
+        val landing = java.nio.file.Files.createTempDirectory("graft_exec_istate")
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = s.read.parquet(s"$d/events.parquet")
+        val Array(mn, mx) = raw
+          .agg(min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts"))))
+          .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+        val tm = Math.floorDiv(mn + mx, 2L)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_istate_part")
+        raw.where(unix_timestamp(col("ts")) > tm).coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, landing.resolve("b.parquet"))
+        val sq = s
+        import sq.implicits._
+        // the snapshot: a plain batch fold of the first half (exact
+        // integer state, so seeding + merging is hash-exact)
+        val init = T.events(s, d)
+          .select(col("user_id"), epochS(col("ts")).as("te"), col("value"))
+          .where(col("te") <= tm)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n0"), sum(s6(col("value"))).as("s0"))
+          .as[(Long, Long, Long)]
+          .groupByKey(_._1)
+          .mapValues(r => (r._2, r._3))
+        val stream = T.eventsStream(s, d, landing.toString)
+          .select(col("user_id"), col("value"))
+          .as[(Long, Double)]
+        val emitted = stream.groupByKey(_._1)
+          .flatMapGroupsWithState(
+            org.apache.spark.sql.streaming.OutputMode.Append(),
+            org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout(),
+            init)(
+            (uid: Long, rows: Iterator[(Long, Double)],
+                state: org.apache.spark.sql.streaming.GroupState[(Long, Long)]) => {
+              val (n0, s0) = state.getOption.getOrElse((0L, 0L))
+              var n = n0; var acc = s0
+              rows.foreach { r =>
+                n += 1
+                acc += math.floor(r._2 * 1e6 + 0.5).toLong
+              }
+              state.update((n, acc))
+              Iterator((uid, n, acc))
+            })
+          .toDF("user_id", "n", "sum_val")
+        val q = emitted.writeStream.format("memory")
+          .queryName("graft_exec_istate")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("graft_exec_istate").orderBy("user_id")
+      }),
+
     // EXECUTED checkpoint recovery (round 10 third wave) — the
     // exactly-once RESTART property, which none of the other executed
     // keys touch (they each run one query lifetime): the same tumbling

@@ -153,4 +153,29 @@ class ExecStreamSpec extends SparkSpec {
     assert(got.nonEmpty && got == expect, s"got $got\nexpect $expect")
     assert(run() == expect, "second invocation in the same session")
   }
+
+  test("executed initial-state seeding equals the merged snapshot+stream fold, twice") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("te"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val (mn, mx) = (ev.map(_._2).min, ev.map(_._2).max)
+    val tm = Math.floorDiv(mn + mx, 2L)
+    def s6d(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    // only users with SECOND-half (stream) rows emit — the snapshot
+    // alone never invokes the function — and they emit the FULL fold
+    val streamUsers = ev.filter(_._2 > tm).map(_._1).toSet
+    val expect = ev.filter(e => streamUsers(e._1)).groupBy(_._1).toSeq
+      .map { case (u, xs) => (u, xs.length.toLong, xs.map(e => s6d(e._3)).sum) }
+      .sortBy(_._1)
+    def run() = SparkEntry.queries("stream_exec_istate")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = run()
+    assert(got.nonEmpty && got == expect, s"got ${got.take(3)}…\nexpect ${expect.take(3)}…")
+    // the snapshot genuinely contributes: some emitted user carries
+    // more rows than its stream share alone
+    val sndCounts = ev.filter(_._2 > tm).groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(got.exists { case (u, n, _) => n > sndCounts(u) }, "snapshot never merged")
+    assert(run() == expect, "second invocation in the same session")
+  }
 }
