@@ -550,6 +550,34 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("Scan ExistingRDD"), "no mid-build checkpoint should remain")
   }
 
+  test("round-12 keys keep their promised shapes") {
+    // eo_twi: the two-product terrain composite costs ONE aggregation
+    // shuffle (the tile packing) + the output sort — the flow-acc
+    // shuffle-once budget carries through the fusion
+    val twi = planOf("eo_twi")
+    assert(twi.split("Exchange hashpartitioning").length - 1 == 1,
+      s"eo_twi re-shuffles:\n$twi")
+    assert(!twi.contains("Scan ExistingRDD"), "twi mid-build checkpoint")
+    // eo_tasseled_cap: map-only band math fused over the scan — no
+    // aggregation exchange anywhere, only the presentation sort
+    val tc = planOf("eo_tasseled_cap")
+    assert(!tc.contains("Exchange hashpartitioning"),
+      s"tasseled cap should be map-only:\n$tc")
+    // sql_pivot: the PIVOT clause must land on a plain Aggregate — no
+    // window, no join (a dialect regression would change the shape)
+    val pv = planOf("sql_pivot")
+    assert(!pv.contains("Window") && !pv.contains("Join"),
+      s"sql_pivot should be one Aggregate:\n$pv")
+    // llm_pref_pairs: rank windows are LANG-partitioned, never global
+    val pp = planOf("llm_pref_pairs")
+    assert(pp.contains("windowspecdefinition(lang"),
+      s"pref-pairs window not lang-bounded:\n$pp")
+    // agg_eqdepth_hist: one entity-bounded window pass, no join
+    val eq = planOf("agg_eqdepth_hist")
+    assert(eq.contains("windowspecdefinition(event_type") && !eq.contains("Join"),
+      s"eqdepth window not entity-bounded:\n$eq")
+  }
+
   test("global sweep: no key plans a cartesian product or a python fallback") {
     // join_cross IS the cartesian semantics (125-row dimension square);
     // everything else must never degrade to one, and nothing may fall to
