@@ -525,5 +525,81 @@ object Maintenance {
             count(lit(1)).as("n_rows"),
             sum(col("event_id")).as("sum_id"),
             sum6(col("value")).as("sum_v6"))
+      }),
+
+    // Partition-spec EVOLUTION (round 12) — the Iceberg marquee feature
+    // [PK Iceberg spec §partition-evolution] none of the other maint
+    // keys touch: a long-lived table changes its partition layout
+    // WITHOUT rewriting history. First-half events commit under the v1
+    // spec (one directory per 86400-s day); the spec then evolves and
+    // second-half events commit under v2 (one directory per 30-day
+    // month) — both vintages coexist and a reader must plan each
+    // vintage under ITS OWN spec. Graded per layout: the partition
+    // census (total dirs written / dirs surviving the mid-span range
+    // prune — pure functions of the data, so the oracle derives them
+    // from events arithmetic) and the row truth (count + order-free s6
+    // sum of in-range rows read back THROUGH the pruned layout). A lost
+    // vintage, a mis-derived partition value, or pruning against the
+    // wrong spec all break the hash; the spec additionally proves the
+    // prune is physical (inputFiles strictly shrink). BUILD-TIME SIDE
+    // EFFECT: writes both vintages at plan-construction time.
+    Q("maint_partition_evolution", Some(
+      "WITH te AS (SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS te, value FROM events), " +
+        "mm AS (SELECT MIN(te) AS mn, MAX(te) AS mx, (MIN(te) + MAX(te)) // 2 AS tm FROM te), " +
+        "rg AS (SELECT mn + (mx - mn) // 4 AS lo, mn + ((mx - mn) * 3) // 4 AS hi FROM mm), " +
+        "d AS (SELECT te, value, te // 86400 AS day, te // 86400 // 30 AS mon FROM te), " +
+        "v1 AS (SELECT 'v1_day' AS layout, " +
+        "CAST(COUNT(DISTINCT day) AS BIGINT) AS n_parts, " +
+        "CAST(COUNT(DISTINCT CASE WHEN day BETWEEN (SELECT lo FROM rg) // 86400 " +
+        "AND (SELECT hi FROM rg) // 86400 THEN day END) AS BIGINT) AS n_pruned, " +
+        "CAST(COUNT(CASE WHEN te BETWEEN (SELECT lo FROM rg) AND (SELECT hi FROM rg) THEN 1 END) AS BIGINT) AS n_rows, " +
+        "CAST(SUM(CASE WHEN te BETWEEN (SELECT lo FROM rg) AND (SELECT hi FROM rg) " +
+        "THEN " + sqlS6("value") + " ELSE 0 END) AS BIGINT) AS sum_v6 " +
+        "FROM d WHERE te <= (SELECT tm FROM mm)), " +
+        "v2 AS (SELECT 'v2_month' AS layout, " +
+        "CAST(COUNT(DISTINCT mon) AS BIGINT) AS n_parts, " +
+        "CAST(COUNT(DISTINCT CASE WHEN mon BETWEEN (SELECT lo FROM rg) // 86400 // 30 " +
+        "AND (SELECT hi FROM rg) // 86400 // 30 THEN mon END) AS BIGINT) AS n_pruned, " +
+        "CAST(COUNT(CASE WHEN te BETWEEN (SELECT lo FROM rg) AND (SELECT hi FROM rg) THEN 1 END) AS BIGINT) AS n_rows, " +
+        "CAST(SUM(CASE WHEN te BETWEEN (SELECT lo FROM rg) AND (SELECT hi FROM rg) " +
+        "THEN " + sqlS6("value") + " ELSE 0 END) AS BIGINT) AS sum_v6 " +
+        "FROM d WHERE te > (SELECT tm FROM mm)) " +
+        "SELECT * FROM v1 UNION ALL SELECT * FROM v2 ORDER BY layout"),
+      (s, d) => {
+        val dir = graft.GraftTmp.dir("part_evo")
+        graft.maintenance.Compaction.deleteRecursively(
+          java.nio.file.Paths.get(dir))
+        val ev = T.events(s, d)
+          .select(epochS(col("ts")).as("te"), col("value"))
+          .withColumn("day", expr("te div 86400"))
+          .withColumn("mon", expr("te div 86400 div 30"))
+        val Array(mn, mx) = ev.agg(min("te"), max("te"))
+          .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+        val tm = Math.floorDiv(mn + mx, 2L)
+        val lo = mn + (mx - mn) / 4
+        val hi = mn + (mx - mn) * 3 / 4
+        // v1 spec: day partitions; v2 spec: 30-day-month partitions
+        ev.where(col("te") <= tm).withColumn("pday", col("day"))
+          .write.partitionBy("pday").mode("overwrite").parquet(s"$dir/v1")
+        ev.where(col("te") > tm).withColumn("pmon", col("mon"))
+          .write.partitionBy("pmon").mode("overwrite").parquet(s"$dir/v2")
+        // read back: each vintage pruned under ITS OWN spec
+        def side(layout: String, sub: String, pcol: String,
+            ploLit: Long, phiLit: Long): DataFrame = {
+          val full = s.read.parquet(s"$dir/$sub")
+          val pruned = full.where(col(pcol).between(ploLit, phiLit))
+          val stats = pruned
+            .where(col("te").between(lo, hi))
+            .agg(coalesce(count(lit(1)), lit(0L)).as("n_rows"),
+              coalesce(sum(s6(col("value"))), lit(0L)).as("sum_v6"))
+          full.select(countDistinct(col(pcol)).as("n_parts"))
+            .crossJoin(pruned.select(countDistinct(col(pcol)).as("n_pruned")))
+            .crossJoin(stats)
+            .select(lit(layout).as("layout"), col("n_parts"),
+              col("n_pruned"), col("n_rows"), col("sum_v6"))
+        }
+        side("v1_day", "v1", "pday", lo / 86400, hi / 86400)
+          .unionAll(side("v2_month", "v2", "pmon", lo / 86400 / 30, hi / 86400 / 30))
+          .orderBy("layout")
       }))
 }

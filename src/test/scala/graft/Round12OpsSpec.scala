@@ -534,4 +534,44 @@ class Round12OpsSpec extends SparkSpec {
       assert(gaps.zip(gaps.tail).forall { case (a, b) => a >= b }, s"gaps not sorted: $gaps")
     }
   }
+
+  test("maint_partition_evolution equals a scalar two-spec mirror; the v1 prune is physical") {
+    import org.apache.spark.sql.functions.{col, unix_timestamp}
+    def s6d(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val ev = Tables.events(spark, sfDir)
+      .select(unix_timestamp(col("ts")).as("te"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val (mn, mx) = (ev.map(_._1).min, ev.map(_._1).max)
+    val tm = Math.floorDiv(mn + mx, 2L)
+    val lo = mn + (mx - mn) / 4; val hi = mn + (mx - mn) * 3 / 4
+    def sideM(name: String, rows: Seq[(Long, Double)], unit: Long) = {
+      val parts = rows.map(_._1 / unit).distinct
+      val inR = rows.filter(r => r._1 >= lo && r._1 <= hi)
+      (name, parts.size.toLong,
+        parts.count(p => p >= lo / unit && p <= hi / unit).toLong,
+        inR.size.toLong, inR.map(r => s6d(r._2)).sum)
+    }
+    val expect = Seq(
+      sideM("v1_day", ev.filter(_._1 <= tm).toSeq, 86400L),
+      sideM("v2_month", ev.filter(_._1 > tm).toSeq, 86400L * 30))
+    val got = SparkEntry.queries("maint_partition_evolution")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expect, s"got $got\nexpect $expect")
+    // the day-spec prune must be PHYSICAL: the range predicate lands in
+    // the scan's PartitionFilters and the scan touches strictly fewer
+    // files than the layout holds (inputFiles ignores pushed filters —
+    // selectedPartitions is the real post-prune census)
+    val dir = graft.GraftTmp.dir("part_evo")
+    val pruned = spark.read.parquet(s"$dir/v1")
+      .where(col("pday").between(lo / 86400, hi / 86400))
+    val scan = pruned.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.partitionFilters.exists(_.toString.contains("pday")),
+      "pday not in PartitionFilters")
+    assert(scan.selectedPartitions.totalNumberOfFiles <
+      scan.relation.location.inputFiles.length,
+      "scan read every partition — the evolution prune is not physical")
+  }
 }
