@@ -122,5 +122,39 @@ object SqlSurface {
             "CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS q FROM lineitem) " +
             "PIVOT (SUM(q) FOR l_linestatus IN ('F' AS F, 'O' AS O, 'P' AS P)) " +
             "ORDER BY l_returnflag")
+      }),
+
+    // SQL-dialect UNPIVOT (round 12, third wave) — the inverse rotation
+    // FRONTEND beside agg_unpivot's stack(): Spark parses the
+    // UNPIVOT (v FOR metric IN (...)) clause [SPARK-39876, 3.4+] into the
+    // same Expand plan, and that parse is the graded surface. The
+    // load-bearing dialect law is NULL EXCLUSION: UNPIVOT drops NULL
+    // cells by default, so one cell is deliberately NULLed (qty2 for
+    // returnflag 'N') and the oracle's portable UNION ALL form carries
+    // the matching IS NOT NULL guard — a frontend that kept the NULL row
+    // would change the row count and break the hash. All measures are
+    // exact-cent BIGINTs so the unified value column has one type.
+    Q("sql_unpivot", Some(
+      "WITH w AS (SELECT l_returnflag, " +
+        "CASE WHEN l_returnflag = 'N' THEN NULL ELSE " +
+        "CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) END AS qty2, " +
+        "CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price2, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY l_returnflag) " +
+        "SELECT l_returnflag, metric, v FROM (" +
+        "SELECT l_returnflag, 'qty2' AS metric, qty2 AS v FROM w " +
+        "UNION ALL SELECT l_returnflag, 'price2', price2 FROM w " +
+        "UNION ALL SELECT l_returnflag, 'n', n FROM w) " +
+        "WHERE v IS NOT NULL ORDER BY l_returnflag, metric"),
+      (s, d) => {
+        registerViews(s, d)
+        s.sql(
+          "WITH w AS (SELECT l_returnflag, " +
+            "CASE WHEN l_returnflag = 'N' THEN NULL ELSE " +
+            "SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) END AS qty2, " +
+            "SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS price2, " +
+            "COUNT(*) AS n FROM lineitem GROUP BY l_returnflag) " +
+            "SELECT l_returnflag, metric, v FROM w " +
+            "UNPIVOT (v FOR metric IN (qty2, price2, n)) " +
+            "ORDER BY l_returnflag, metric")
       }))
 }

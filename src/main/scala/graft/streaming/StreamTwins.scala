@@ -574,6 +574,106 @@ object StreamTwins {
         s.table("graft_exec_istate").orderBy("user_id")
       }),
 
+    // EXECUTED transformWithState (round 12, third wave) — the TENTH
+    // executed key, covering the NEW arbitrary-state operator class
+    // [SPARK-46815 "State API v2", Spark 4.x]: the StatefulProcessor
+    // lifecycle (init → handleInputRows per key per batch) with TWO
+    // typed composite state variables — a ValueState[(n, Σs6)] running
+    // fold and a ListState[Long] of per-invocation row counts — where
+    // GroupState carried exactly one blob. Two load-bearing execution
+    // facts are graded: (1) transformWithState REQUIRES the RocksDB
+    // state-store provider (multiple column families — one per state
+    // variable; HDFSBacked throws STATE_STORE_UNSUPPORTED_OPERATION),
+    // so the key swaps the provider in and RESTORES the session conf
+    // after; (2) state round-trips through RocksDB + Avro-encoded
+    // column families across micro-batches, so each invocation's
+    // emission is the exact merged integer fold over everything the
+    // key absorbed. Staged as two mtime-ordered files (A = first half
+    // all users, B = second half of user_id % 3 = 0) under
+    // maxFilesPerTrigger=1: every user emits (n_inv=1, A-fold) from
+    // batch 1 and the %3=0 users emit (n_inv=2, A∪B-fold) from batch 2
+    // — a lost column family, a fold applied twice, or an invocation
+    // miscount all break the hash. BUILD-TIME SIDE EFFECT: stages
+    // files + runs the streaming query at plan-construction time.
+    Q("stream_exec_tws", Some(
+      // emission law: a key is invoked only in batches where it has
+      // data. Batch 1 (file A) emits (n_inv=1, A-fold) for every user
+      // in A; batch 2 (file B) emits, for every user in B, the A∪B
+      // fold with n_inv = 2 if the user also had A rows, else 1 (a
+      // B-only user's FIRST invocation happens in batch 2) — so the
+      // oracle is structurally correct even if the corpus ever ships a
+      // half-empty user, not correct-by-corpus-luck.
+      "WITH te AS (SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS te, " +
+        sqlS6("value") + " AS v6 FROM events), " +
+        "mm AS (SELECT (MIN(te) + MAX(te)) // 2 AS tm FROM te), " +
+        "a AS (SELECT * FROM te WHERE te <= (SELECT tm FROM mm)), " +
+        "b AS (SELECT * FROM te WHERE te > (SELECT tm FROM mm) AND user_id % 3 = 0), " +
+        "e1 AS (SELECT user_id, CAST(1 AS BIGINT) AS n_inv, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v6) AS BIGINT) AS sum_val " +
+        "FROM a GROUP BY user_id), " +
+        "e2 AS (SELECT user_id, " +
+        "CAST(1 + MAX(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_inv, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v6) AS BIGINT) AS sum_val " +
+        "FROM (SELECT user_id, 0 AS half, v6 FROM a " +
+        "WHERE user_id IN (SELECT user_id FROM b) " +
+        "UNION ALL SELECT user_id, 1, v6 FROM b) GROUP BY user_id) " +
+        "SELECT * FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2) " +
+        "ORDER BY user_id, n_inv"),
+      (s, d) => {
+        val landing = java.nio.file.Files.createTempDirectory("graft_exec_tws")
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = s.read.parquet(s"$d/events.parquet")
+        val Array(mn, mx) = raw
+          .agg(min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts"))))
+          .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+        val tm = Math.floorDiv(mn + mx, 2L)
+        def stage(pred: org.apache.spark.sql.Column, name: String,
+            ageSec: Long): Unit = {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_tws_part")
+          raw.where(pred).coalesce(1)
+            .write.mode("overwrite").parquet(tmp.toString)
+          val part = new java.io.File(tmp.toString).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = landing.resolve(name)
+          java.nio.file.Files.move(part.toPath, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis() - ageSec * 1000))
+        }
+        stage(unix_timestamp(col("ts")) <= tm, "a.parquet", 240L)
+        stage(unix_timestamp(col("ts")) > tm && col("user_id") % 3 === 0,
+          "b.parquet", 120L)
+        val providerKey = "spark.sql.streaming.stateStore.providerClass"
+        val prevProvider = s.conf.getOption(providerKey)
+        s.conf.set(providerKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val sq = s
+          import sq.implicits._
+          val stream = T.eventsStream(s, d, landing.toString, Some(1))
+            .select(col("user_id"), col("value"))
+            .as[(Long, Double)]
+          val emitted = stream.groupByKey(_._1)
+            .transformWithState(
+              new TwsRunningFold(),
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              org.apache.spark.sql.streaming.OutputMode.Append())
+            .toDF("user_id", "n_inv", "n", "sum_val")
+          val q = emitted.writeStream.format("memory")
+            .queryName("graft_exec_tws")
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally {
+          prevProvider match {
+            case Some(p) => s.conf.set(providerKey, p)
+            case None => s.conf.unset(providerKey)
+          }
+        }
+        s.table("graft_exec_tws").orderBy("user_id", "n_inv")
+      }),
+
     // EXECUTED checkpoint recovery (round 10 third wave) — the
     // exactly-once RESTART property, which none of the other executed
     // keys touch (they each run one query lifetime): the same tumbling
@@ -1181,4 +1281,54 @@ object StreamTwins {
               col("hwm") - col("te")).otherwise(0L)).as("max_late_s"))
           .orderBy("event_type")
       }))
+}
+
+/** The `stream_exec_tws` StatefulProcessor [SPARK-46815 State API v2]:
+  * a per-user running (count, Σs6) fold in a ValueState plus the
+  * per-invocation row counts in a ListState — two named state variables,
+  * each its own RocksDB column family. Every invocation emits the merged
+  * fold tagged with the invocation ordinal (= the ListState length), so
+  * the memory sink's Append history is a complete per-batch trace of the
+  * state round-trip. Integer state only (the Det rule), so seeding,
+  * merging and re-encoding are hash-exact across batches.
+  */
+private[streaming] final class TwsRunningFold
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Double), (Long, Long, Long, Long)] {
+
+  @transient private var fold:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+  @transient private var invRows:
+      org.apache.spark.sql.streaming.ListState[Long] = _
+
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    fold = getHandle.getValueState[(Long, Long)]("fold",
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong),
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+    invRows = getHandle.getListState[Long]("inv_rows",
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  }
+
+  override def handleInputRows(
+      uid: Long,
+      rows: Iterator[(Long, Double)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long, Long, Long)] = {
+    var (n, acc) = if (fold.exists()) fold.get() else (0L, 0L)
+    var batchRows = 0L
+    rows.foreach { r =>
+      n += 1
+      batchRows += 1
+      acc += math.floor(r._2 * 1e6 + 0.5).toLong
+    }
+    fold.update((n, acc))
+    invRows.appendValue(batchRows)
+    val nInv = invRows.get().size.toLong
+    Iterator((uid, nInv, n, acc))
+  }
 }

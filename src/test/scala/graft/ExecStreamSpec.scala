@@ -178,4 +178,43 @@ class ExecStreamSpec extends SparkSpec {
     assert(got.exists { case (u, n, _) => n > sndCounts(u) }, "snapshot never merged")
     assert(run() == expect, "second invocation in the same session")
   }
+
+  test("executed transformWithState round-trips two state variables, twice") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("te"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val (mn, mx) = (ev.map(_._2).min, ev.map(_._2).max)
+    val tm = Math.floorDiv(mn + mx, 2L)
+    def s6d(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val a = ev.filter(_._2 <= tm)
+    val b = ev.filter(e => e._2 > tm && e._1 % 3 == 0)
+    val aUsers = a.map(_._1).toSet
+    val e1 = a.groupBy(_._1).toSeq.map { case (u, xs) =>
+      (u, 1L, xs.length.toLong, xs.map(e => s6d(e._3)).sum) }
+    val bUsers = b.map(_._1).toSet
+    val e2 = (a.filter(e => bUsers(e._1)) ++ b).groupBy(_._1).toSeq.map {
+      case (u, xs) =>
+        (u, if (aUsers(u)) 2L else 1L, xs.length.toLong,
+          xs.map(e => s6d(e._3)).sum)
+    }
+    val expect = (e1 ++ e2).sortBy(t => (t._1, t._2))
+    def run() = SparkEntry.queries("stream_exec_tws")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val got = run()
+    assert(got.nonEmpty && got == expect,
+      s"got ${got.take(3)}…\nexpect ${expect.take(3)}…")
+    // the ValueState genuinely persisted across micro-batches: every
+    // second-invocation fold strictly extends the same user's first
+    assert(got.exists(_._2 == 2L), "no second-batch emission")
+    val firstN = got.filter(_._2 == 1L).map(t => t._1 -> t._3).toMap
+    assert(got.filter(_._2 == 2L).forall(t => t._3 > firstN(t._1)),
+      "batch-2 fold did not extend batch-1 state")
+    // the RocksDB provider swap was restored after the run
+    val prov = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    assert(!prov.exists(_.contains("RocksDB")), "provider conf leaked")
+    assert(run() == expect, "second invocation in the same session")
+  }
 }

@@ -568,6 +568,11 @@ class PlanContractSpec extends SparkSpec {
     val pv = planOf("sql_pivot")
     assert(!pv.contains("Window") && !pv.contains("Join"),
       s"sql_pivot should be one Aggregate:\n$pv")
+    // sql_unpivot: the UNPIVOT clause must land on Expand (the rotation
+    // primitive), never a Join/Union-of-scans rewrite
+    val up = planOf("sql_unpivot")
+    assert(up.contains("Expand") && !up.contains("Join"),
+      s"sql_unpivot should be one Expand:\n$up")
     // llm_pref_pairs: rank windows are LANG-partitioned, never global
     val pp = planOf("llm_pref_pairs")
     assert(pp.contains("windowspecdefinition(lang"),
