@@ -117,6 +117,43 @@ object Snapshots {
     commit(dstDir, files(srcDir, v).map(f => s"$prefix/$f"))
   }
 
+  // ---- branch refs (round 12: the write-audit-publish surface) -------
+
+  private def refsDir(dir: String) = Paths.get(dir, "_refs")
+
+  /** Set (or move) branch ref `name` → version `v`. A ref is one small
+    * text file — the Iceberg branch/tag shape: a named pointer into the
+    * append-only snapshot history, so moving it never touches data or
+    * manifests. */
+  def setRef(dir: String, name: String, v: Int): Unit = {
+    val rd = refsDir(dir)
+    Files.createDirectories(rd)
+    Files.write(rd.resolve(s"$name.txt"),
+      String.valueOf(v).getBytes(StandardCharsets.UTF_8))
+  }
+
+  def refVersion(dir: String, name: String): Int = {
+    val f = refsDir(dir).resolve(s"$name.txt")
+    require(Files.exists(f), s"no ref $name under $dir")
+    new String(Files.readAllBytes(f), StandardCharsets.UTF_8).trim.toInt
+  }
+
+  /** Read the table THROUGH a branch ref (what a `main`-pinned consumer
+    * sees regardless of staged snapshots). */
+  def readRef(spark: SparkSession, dir: String, schema: StructType,
+      name: String): DataFrame =
+    readAsOf(spark, dir, schema, refVersion(dir, name))
+
+  /** Fast-forward publish: move ref `to` onto ref `from`'s version (the
+    * Iceberg fastForwardBranch / WAP publish step). Metadata-only — no
+    * data file, no manifest, no new version; returns the published
+    * version. */
+  def publish(dir: String, from: String, to: String): Int = {
+    val v = refVersion(dir, from)
+    setRef(dir, to, v)
+    v
+  }
+
   /** Change data feed between two committed snapshots (the Delta CDF /
     * Iceberg changelog read): a FULL OUTER join of the two as-of reads
     * on `keys` classifies every key as insert / delete / update /

@@ -966,6 +966,89 @@ object Aggregates {
           .orderBy("event_type", "bucket")
       }),
 
+    // Derandomized RANSAC line fit (round 12, third wave) [Fischler &
+    // Bolles 1981] — the robust-regression counterpoint to agg_regr's
+    // least squares (one gross outlier can swing OLS arbitrarily;
+    // RANSAC's consensus count is immune to anything outside the
+    // inlier band). The "random" sampling is DERANDOMIZED the
+    // graph_walk_corpus way: rows rank by the portable
+    // Det.hash32("ransac:" || event_id) — a uniform reshuffle-proof
+    // draw — and candidates k=0..7 are the rank-(2k+1, 2k+2) pairs,
+    // normalized so xa < xb (equal-x pairs drop on both engines).
+    // The inlier test is EXACT integer cross-multiplication:
+    // |dy·(x−xa) − dx·(y−ya)| ≤ TOL·dx with TOL = 20 value-units s6
+    // (products ≲ 9e14 ≪ 2^63), so no slope double ever enters the
+    // consensus count; the winning model is (inliers DESC, k) and only
+    // its slope is presented, as the halfUpDiv micro-slope. One window
+    // rank + a ≤40-row broadcast of candidates against one pass over
+    // the points — at archive scale the rank pass narrows to a
+    // per-type reservoir of the 16 smallest hashes (a top-k, not a
+    // sort) and the consensus stays one map-side-combinable pass.
+    Q("agg_ransac", Some(
+      "WITH p AS (SELECT event_type, event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS x, " +
+        sqlS6("value") + " AS y, " +
+        sqlHash32("'ransac:' || CAST(event_id AS VARCHAR)") + " AS h FROM events), " +
+        "r AS (SELECT event_type, x, y, " +
+        "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h, event_id) AS rk FROM p), " +
+        "pr AS (SELECT a.event_type, CAST((a.rk - 1) // 2 AS BIGINT) AS k, " +
+        "a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2 " +
+        "FROM r a JOIN r b ON b.event_type = a.event_type AND b.rk = a.rk + 1 " +
+        "WHERE a.rk % 2 = 1 AND a.rk <= 16 AND a.x <> b.x), " +
+        "c AS (SELECT event_type, k, " +
+        "CASE WHEN x1 <= x2 THEN x1 ELSE x2 END AS xa, " +
+        "CASE WHEN x1 <= x2 THEN y1 ELSE y2 END AS ya, " +
+        "CASE WHEN x1 <= x2 THEN x2 ELSE x1 END AS xb, " +
+        "CASE WHEN x1 <= x2 THEN y2 ELSE y1 END AS yb FROM pr), " +
+        "i AS (SELECT c.event_type, c.k, c.xa, c.ya, c.xb, c.yb, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CASE WHEN ABS((c.yb - c.ya) * (r.x - c.xa) - (c.xb - c.xa) * (r.y - c.ya)) " +
+        "<= 20000000 * (c.xb - c.xa) THEN 1 ELSE 0 END) AS BIGINT) AS n_inl " +
+        "FROM c JOIN r ON r.event_type = c.event_type " +
+        "GROUP BY c.event_type, c.k, c.xa, c.ya, c.xb, c.yb), " +
+        "b AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type " +
+        "ORDER BY n_inl DESC, k) AS pick FROM i) " +
+        "SELECT event_type, k, n, n_inl, " +
+        sqlHalfUpDiv("(yb - ya) * 1000000", "xb - xa") + " AS slope_micro " +
+        "FROM b WHERE pick = 1 ORDER BY event_type"),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val p = T.events(s, d).select(col("event_type"), col("event_id"),
+          epochS(col("ts")).as("x"), s6(col("value")).as("y"),
+          hash32(concat(lit("ransac:"), col("event_id").cast("string"))).as("h"))
+        val r = p
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("event_type").orderBy("h", "event_id")))
+          .select("event_type", "x", "y", "rk")
+        val a = r.where(col("rk") % 2 === 1 && col("rk") <= 16)
+          .select(col("event_type"), expr("CAST((rk - 1) DIV 2 AS BIGINT)").as("k"),
+            col("x").as("x1"), col("y").as("y1"), col("rk").as("rka"))
+        val b2 = r.where(col("rk") % 2 === 0 && col("rk") <= 16)
+          .select(col("event_type").as("et2"), col("rk").as("rkb"),
+            col("x").as("x2"), col("y").as("y2"))
+        val pr = a.join(b2,
+            col("event_type") === col("et2") && col("rkb") === col("rka") + 1)
+          .where(col("x1") =!= col("x2"))
+        val c = pr.select(col("event_type"), col("k"),
+          when(col("x1") <= col("x2"), col("x1")).otherwise(col("x2")).as("xa"),
+          when(col("x1") <= col("x2"), col("y1")).otherwise(col("y2")).as("ya"),
+          when(col("x1") <= col("x2"), col("x2")).otherwise(col("x1")).as("xb"),
+          when(col("x1") <= col("x2"), col("y2")).otherwise(col("y1")).as("yb"))
+        val inlier = abs((col("yb") - col("ya")) * (col("x") - col("xa")) -
+          (col("xb") - col("xa")) * (col("y") - col("ya"))) <=
+          lit(20000000L) * (col("xb") - col("xa"))
+        val i = broadcast(c).join(r, Seq("event_type"))
+          .groupBy("event_type", "k", "xa", "ya", "xb", "yb")
+          .agg(count(lit(1)).as("n"),
+            sum(when(inlier, 1L).otherwise(0L)).as("n_inl"))
+        i.withColumn("pick", row_number().over(
+            Window.partitionBy("event_type").orderBy(col("n_inl").desc, col("k"))))
+          .where(col("pick") === 1)
+          .select(col("event_type"), col("k"), col("n"), col("n_inl"),
+            halfUpDiv((col("yb") - col("ya")) * 1000000L,
+              col("xb") - col("xa")).as("slope_micro"))
+          .orderBy("event_type")
+      }),
+
     // Tail-latency ratio (round 9, fifth wave) — the SRE/SLO staple:
     // p50/p95/p99 of the value distribution per event type and the
     // p99/p50 tail ratio (how heavy is the tail relative to the

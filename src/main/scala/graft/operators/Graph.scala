@@ -418,6 +418,63 @@ object Graph {
 
   val all: Seq[Q] = Seq(
 
+    // Topological layering / critical-path depth (round 12, third
+    // wave) — the DAG-scheduling primitive [longest-path layer
+    // assignment: Sugiyama et al. 1981 layer 1; Coffman-Graham; every
+    // build/dataflow scheduler's "depth" column]: the trade graph is
+    // DAG-ified by the standard id orientation (edge x→y iff x < y —
+    // acyclic by construction, no cycle check needed on either
+    // engine), and layer(v) = the longest dependency chain ending at
+    // v. Computed by MAX-PLUS DOUBLING over the SPARSE reachable-pair
+    // table (the apspDistances discipline upside down): p₁ = edges,
+    // p_{2t}(u,v) = max(p_t(u,v), max_w p_t(u,w)+p_t(w,v)) — a path of
+    // ≤2^{t+1} edges splits at its middle vertex, so 5 doublings cover
+    // any ≤32-edge chain and 24 bounds this 25-node DAG structurally.
+    // Sparse pairs (never a |V|² matrix with sentinels), broadcast
+    // join per doubling, 5 localCheckpoints total; the oracle runs the
+    // IDENTICAL doubling as MATERIALIZED CTEs so both engines sit at
+    // the same fixpoint. Graded per nation: the layer AND the ancestor
+    // count (reachable-pair census — a wrong doubling shows up in
+    // either). GraphSpec re-derives both from an independent scalar
+    // topological-order DP + transitive closure.
+    Q("graph_dag_layers", Some(
+      "WITH " + tradeEdgesSql + ", " +
+        "dag AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v " +
+        "FROM e WHERE src <> dst), " +
+        "p0 AS MATERIALIZED (SELECT u, v, CAST(1 AS BIGINT) AS l FROM dag), " +
+        (1 to 5).map(k =>
+          s"p$k AS MATERIALIZED (SELECT u, v, MAX(l) AS l FROM (" +
+            s"SELECT * FROM p${k - 1} UNION ALL " +
+            s"SELECT a.u, b.v, a.l + b.l FROM p${k - 1} a JOIN p${k - 1} b ON a.v = b.u) " +
+            "GROUP BY u, v)").mkString(", ") +
+        " SELECT CAST(n.n_nationkey AS BIGINT) AS nation, " +
+        "CAST(COALESCE(MAX(p.l), 0) AS BIGINT) AS layer, " +
+        "CAST(COUNT(p.u) AS BIGINT) AS n_anc " +
+        "FROM nation n LEFT JOIN p5 p ON p.v = n.n_nationkey " +
+        "GROUP BY n.n_nationkey ORDER BY nation"),
+      (s, d) => {
+        val dag = tradeEdges(s, d).where(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("u"),
+            greatest(col("src"), col("dst")).as("v"))
+          .distinct()
+        var p = dag.select(col("u"), col("v"), lit(1L).as("l"))
+        for (_ <- 1 to 5) {
+          val a = p.select(col("u").as("au"), col("v").as("w"), col("l").as("la"))
+          val b = p.select(col("u").as("w"), col("v").as("bv"), col("l").as("lb"))
+          val comp = a.join(broadcast(b), "w")
+            .select(col("au").as("u"), col("bv").as("v"),
+              (col("la") + col("lb")).as("l"))
+          p = p.unionAll(comp).groupBy("u", "v").agg(max(col("l")).as("l"))
+            .localCheckpoint()
+        }
+        T.nation(s, d).select(col("n_nationkey").cast("long").as("nation"))
+          .join(p, col("v") === col("nation"), "left")
+          .groupBy("nation")
+          .agg(coalesce(max(col("l")), lit(0L)).as("layer"),
+            count(col("u")).as("n_anc"))
+          .orderBy("nation")
+      }),
+
     // Minimum spanning tree by Borůvka hooking (round 12) — THE
     // distributed MST [Borůvka 1926; GraphX/Pregel-style formulations]:
     // per round every component selects its minimum-cost incident cross

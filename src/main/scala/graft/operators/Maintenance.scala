@@ -601,5 +601,85 @@ object Maintenance {
         side("v1_day", "v1", "pday", lo / 86400, hi / 86400)
           .unionAll(side("v2_month", "v2", "pmon", lo / 86400 / 30, hi / 86400 / 30))
           .orderBy("layout")
+      }),
+
+    // Write-audit-publish graded end-to-end (round 12, third wave) —
+    // the Iceberg WAP branch workflow [PK: Iceberg spark.wap.branch /
+    // fast_forward], the deploy gate every production lake runs: new
+    // data lands on a STAGING branch, an audit query validates it
+    // there, and only then does `main` fast-forward — consumers pinned
+    // to main never see unaudited rows, even though the staged files
+    // are already physically in the table directory. Census per stage:
+    //   1 main@pre-publish  = first-half rows only (2 files),
+    //   2 audit branch      = all staged rows (3 files),
+    //   3 main@post-publish = all rows (3 files) — publish moved ONLY
+    //     the ref (no new version, no manifest, no data file).
+    // n_files comes from COUNT(DISTINCT input_file_name()) on each
+    // read, so stage 1's `2` PROVES the isolation is physical — the
+    // staged third file sits in the same directory and the main read
+    // must not touch it (the repartition(2)/coalesce(1) writer counts
+    // are the maint_vacuum exactly-n-files law). The audit gate itself
+    // (staged rows all carry valid user_ids, row count strictly grows)
+    // is asserted in the build and pinned by Round12OpsSpec. BUILD-TIME
+    // SIDE EFFECT: writes, commits, branches and publishes a temp table
+    // at plan-construction time.
+    Q("maint_wap", Some(
+      "WITH te AS (SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS te, value FROM events), " +
+        "mm AS (SELECT (MIN(te) + MAX(te)) // 2 AS tm FROM te), " +
+        "h1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        sqlSum6("value") + " AS sum_v6 FROM te WHERE te <= (SELECT tm FROM mm)), " +
+        "al AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        sqlSum6("value") + " AS sum_v6 FROM te) " +
+        "SELECT CAST(1 AS BIGINT) AS stage, n_rows, sum_v6, CAST(2 AS BIGINT) AS n_files FROM h1 " +
+        "UNION ALL SELECT CAST(2 AS BIGINT), n_rows, sum_v6, CAST(3 AS BIGINT) FROM al " +
+        "UNION ALL SELECT CAST(3 AS BIGINT), n_rows, sum_v6, CAST(3 AS BIGINT) FROM al " +
+        "ORDER BY stage"),
+      (s, d) => {
+        val dir = graft.GraftTmp.dir("wap")
+        graft.maintenance.Compaction.deleteRecursively(
+          java.nio.file.Paths.get(dir))
+        val S = graft.maintenance.Snapshots
+        val ev = T.events(s, d)
+          .select(col("event_id"), col("user_id"), col("value"),
+            epochS(col("ts")).as("te"))
+        val Array(mn, mx) = ev.agg(min(col("te")), max(col("te")))
+          .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+        val tm = Math.floorDiv(mn + mx, 2L)
+        val snap = StructType(eventsProj.fields :+
+          StructField("te", LongType))
+        // v1: audited history on main (exactly 2 files)
+        ev.where(col("te") <= tm).repartition(2)
+          .write.mode("overwrite").parquet(dir)
+        val v1 = S.commit(dir)
+        S.setRef(dir, "main", v1)
+        // staged write: second half lands as 1 NEW file, committed as
+        // v2 and branched — main does not move
+        ev.where(col("te") > tm).coalesce(1)
+          .write.mode("append").parquet(dir)
+        val v2 = S.commit(dir)
+        S.setRef(dir, "audit", v2)
+        def census(stage: Int, frame: DataFrame) =
+          frame.withColumn("_f", input_file_name())
+            .agg(count(lit(1)).as("n_rows"), sum6(col("value")).as("sum_v6"),
+              countDistinct(col("_f")).as("n_files"))
+            .select(lit(stage.toLong).as("stage"), col("n_rows"),
+              col("sum_v6"), col("n_files"))
+        val mainPre = census(1, S.readRef(s, dir, snap, "main"))
+        val audit = S.readRef(s, dir, snap, "audit")
+        // the audit gate: staged rows are well-formed and the branch
+        // strictly extends main — only then may main fast-forward
+        val Array(nBadIds, nAudit) = audit
+          .agg(sum(when(col("user_id").isNull || col("user_id") < 0, 1L)
+            .otherwise(0L)), count(lit(1)))
+          .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+        val nMain = S.readRef(s, dir, snap, "main").count()
+        require(nBadIds == 0 && nAudit > nMain,
+          s"WAP audit failed: bad_ids=$nBadIds audit=$nAudit main=$nMain")
+        val published = S.publish(dir, "audit", "main")
+        require(published == v2 && S.latestVersion(dir) == v2,
+          "publish must be metadata-only (no new snapshot version)")
+        val auditC = census(2, audit)
+        val mainPost = census(3, S.readRef(s, dir, snap, "main"))
+        mainPre.unionAll(auditC).unionAll(mainPost).orderBy("stage")
       }))
 }

@@ -340,4 +340,41 @@ class GraphSpec extends SparkSpec {
     val comps = vs.map(find).distinct.size
     assert(got.size == vs.size - comps)
   }
+
+  test("graph_dag_layers equals a scalar topological DP + transitive closure") {
+    // independent mirror: longest-path DP in id order (valid topological
+    // order since every DAG edge goes low→high) + a closure for the
+    // ancestor census — NOT the engines' max-plus doubling schedule
+    val dag = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").cast("long").as("src"),
+        col("s_nationkey").cast("long").as("dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(t => t._1 != t._2)
+      .map(t => (math.min(t._1, t._2), math.max(t._1, t._2)))
+      .distinct.toSeq
+    val nations = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").cast("long")).collect().map(_.getLong(0))
+      .sorted.toSeq
+    val inEdges = dag.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val layer = scala.collection.mutable.Map.empty[Long, Long]
+    val anc = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    for (v <- nations) { // id order IS a topological order here
+      val preds = inEdges.getOrElse(v, Seq.empty)
+      layer(v) = if (preds.isEmpty) 0L
+        else preds.map(u => layer(u) + 1).max
+      anc(v) = preds.toSet ++ preds.flatMap(u => anc(u))
+    }
+    val expect = nations.map(v => (v, layer(v), anc(v).size.toLong))
+    val got = SparkEntry.queries("graph_dag_layers")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect, s"got ${got.take(5)}…\nexpect ${expect.take(5)}…")
+    // non-degenerate: sources exist and at least one chain is deep
+    assert(got.exists(_._2 == 0L) && got.exists(_._2 >= 2L))
+  }
 }

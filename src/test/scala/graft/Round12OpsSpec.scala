@@ -574,4 +574,93 @@ class Round12OpsSpec extends SparkSpec {
       scan.relation.location.inputFiles.length,
       "scan read every partition — the evolution prune is not physical")
   }
+
+  test("agg_ransac equals a scalar derandomized-consensus mirror") {
+    import java.security.MessageDigest
+    import org.apache.spark.sql.functions.{col, unix_timestamp}
+    def h32(t: String): Long = {
+      val dg = MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+      (0 until 4).map(i => (dg(i).toLong & 0xffL) << (8 * i)).sum
+    }
+    def s6d(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"),
+        unix_timestamp(col("ts")).as("x"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), s6d(r.getDouble(3))))
+    val expect = ev.groupBy(_._1).toSeq.map { case (et, rows) =>
+      val ranked = rows.sortBy(r => (h32(s"ransac:${r._2}"), r._2))
+        .map(r => (r._3, r._4))
+      val cands = (0 until 8).flatMap { k =>
+        if (ranked.length < 2 * k + 2) None
+        else {
+          val (p1, p2) = (ranked(2 * k), ranked(2 * k + 1))
+          if (p1._1 == p2._1) None
+          else {
+            val Seq(pa, pb) = Seq(p1, p2).sortBy(_._1)
+            val nInl = ranked.count { case (x, y) =>
+              math.abs((pb._2 - pa._2) * (x - pa._1) -
+                (pb._1 - pa._1) * (y - pa._2)) <=
+                20000000L * (pb._1 - pa._1)
+            }
+            Some((k.toLong, pa, pb, nInl.toLong))
+          }
+        }
+      }
+      val best = cands.minBy(c => (-c._4, c._1))
+      val (dy, dx) = (best._3._2 - best._2._2, best._3._1 - best._2._1)
+      val slope = { // halfUpDiv(dy * 1e6, dx) scalar twin
+        val (a, b) = (dy * 1000000L * 2 + dx, dx * 2)
+        ((a - math.floorMod(a, b)).toDouble / b.toDouble).toLong
+      }
+      (et, best._1, ranked.length.toLong, best._4, slope)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("agg_ransac")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expect, s"got $got\nexpect $expect")
+    // the consensus is discriminative: the winner never swallows the
+    // whole series and never degenerates to just its own two points
+    assert(got.forall(g => g._4 > 2 && g._4 < g._3), "degenerate consensus")
+  }
+
+  test("maint_wap: branch isolation is physical and publish is metadata-only") {
+    import org.apache.spark.sql.functions.{col, input_file_name, unix_timestamp}
+    val S = graft.maintenance.Snapshots
+    // the graded key (runs the whole WAP lifecycle as a side effect)
+    val got = SparkEntry.queries("maint_wap")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def s6d(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val ev = Tables.events(spark, sfDir)
+      .select(unix_timestamp(col("ts")).as("te"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val tm = Math.floorDiv(ev.map(_._1).min + ev.map(_._1).max, 2L)
+    val h1 = ev.filter(_._1 <= tm)
+    val expect = Seq(
+      (1L, h1.length.toLong, h1.map(e => s6d(e._2)).sum, 2L),
+      (2L, ev.length.toLong, ev.map(e => s6d(e._2)).sum, 3L),
+      (3L, ev.length.toLong, ev.map(e => s6d(e._2)).sum, 3L))
+    assert(got.toSeq == expect, s"got ${got.toSeq}\nexpect $expect")
+    // after the build: main and audit point at the same version, the
+    // directory holds exactly the 3 immutable files, and the publish
+    // left the snapshot history untouched (metadata-only fast-forward)
+    val dir = graft.GraftTmp.dir("wap")
+    assert(S.refVersion(dir, "main") == S.refVersion(dir, "audit"))
+    assert(S.latestVersion(dir) == 2, "publish minted a new version")
+    assert(S.dataFiles(dir).size == 3)
+    // isolation re-derived: a reader pinned to v1 still scans only the
+    // two v1 files even though the staged file is in the same directory
+    val snap = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("te",
+        org.apache.spark.sql.types.LongType)))
+    val v1Files = S.readAsOf(spark, dir, snap, 1)
+      .select(input_file_name()).distinct().count()
+    assert(v1Files == 2L, s"v1 read touched $v1Files files")
+  }
 }
