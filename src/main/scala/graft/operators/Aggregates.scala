@@ -1049,6 +1049,75 @@ object Aggregates {
           .orderBy("event_type")
       }),
 
+    // Isotonic regression (round 12, third wave) [Ayer et al. 1955;
+    // Barlow & Brunk 1972; the sklearn/calibration staple PAVA solves]
+    // — the monotone fit to each type's daily-mean series, via the
+    // CLOSED-FORM minimax identity instead of the inherently sequential
+    // pool-adjacent-violators loop: fit_i = max_{j≤i} min_{k≥i}
+    // avg(y[j..k]). Interval means come from prefix sums and are
+    // halfUpDiv-quantized BEFORE the min/max lattice, so both engines
+    // compare identical integers (the fit is the exact isotonic
+    // solution of the quantized interval-mean matrix — monotone for ANY
+    // matrix, since growing i enlarges the max-set and shrinks the
+    // min-set). Cost: the day series is CALENDAR-BOUNDED (n ≈ span
+    // days, data-size-independent), so the n²/2 interval table is tiny
+    // at any SF; one running-min window + one groupBy max. At unbounded
+    // n the same identity runs per pooled segment (PAVA's merge tree);
+    // the bounded-series form is the graded anchor.
+    Q("agg_isotonic", Some(
+      "WITH b AS (SELECT event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 AS day, " +
+        sqlS6("value") + " AS v6 FROM events), " +
+        "dy AS (SELECT event_type, day, " +
+        sqlHalfUpDiv("CAST(SUM(v6) AS BIGINT)", "COUNT(*)") + " AS y6 " +
+        "FROM b GROUP BY event_type, day), " +
+        "p AS (SELECT event_type, day, y6, " +
+        "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i, " +
+        "CAST(SUM(y6) OVER (PARTITION BY event_type ORDER BY day " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s FROM dy), " +
+        "iv AS (SELECT a.event_type, a.i AS j, b2.i AS k, " +
+        sqlHalfUpDiv("b2.s - a.s + a.y6", "b2.i - a.i + 1") + " AS a6 " +
+        "FROM p a JOIN p b2 ON b2.event_type = a.event_type AND b2.i >= a.i), " +
+        "m AS (SELECT event_type, j, k AS i, " +
+        "MIN(a6) OVER (PARTITION BY event_type, j ORDER BY k DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mji FROM iv), " +
+        "f AS (SELECT event_type, i, CAST(MAX(mji) AS BIGINT) AS fit6 " +
+        "FROM m GROUP BY event_type, i) " +
+        "SELECT p.event_type, CAST(p.i AS BIGINT) AS i, CAST(p.day AS BIGINT) AS day, " +
+        "CAST(p.y6 AS BIGINT) AS y6, f.fit6 " +
+        "FROM p JOIN f ON f.event_type = p.event_type AND f.i = p.i " +
+        "ORDER BY p.event_type, p.i"),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val days = T.events(s, d)
+          .select(col("event_type"), expr("unix_timestamp(ts) div 86400").as("day"),
+            s6(col("value")).as("v6"))
+          .groupBy("event_type", "day")
+          .agg(halfUpDiv(sum(col("v6")), count(lit(1))).as("y6"))
+        val wOrd = Window.partitionBy("event_type").orderBy("day")
+        val p = days
+          .withColumn("i", row_number().over(wOrd).cast("long"))
+          .withColumn("s", sum(col("y6")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val a = p.select(col("event_type"), col("i").as("j"),
+          col("s").as("sj"), col("y6").as("yj"))
+        val b2 = p.select(col("event_type").as("et2"), col("i").as("k"),
+          col("s").as("sk"))
+        val iv = a.join(b2,
+            col("event_type") === col("et2") && col("k") >= col("j"))
+          .select(col("event_type"), col("j"), col("k"),
+            halfUpDiv(col("sk") - col("sj") + col("yj"),
+              col("k") - col("j") + 1).as("a6"))
+        val wMin = Window.partitionBy("event_type", "j").orderBy(col("k").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val f = iv.withColumn("mji", min(col("a6")).over(wMin))
+          .groupBy(col("event_type"), col("k").as("i"))
+          .agg(max(col("mji")).as("fit6"))
+        p.select(col("event_type"), col("i"), col("day"), col("y6"))
+          .join(f, Seq("event_type", "i"))
+          .select(col("event_type"), col("i"), col("day"), col("y6"), col("fit6"))
+          .orderBy("event_type", "i")
+      }),
+
     // Tail-latency ratio (round 9, fifth wave) — the SRE/SLO staple:
     // p50/p95/p99 of the value distribution per event type and the
     // p99/p50 tail ratio (how heavy is the tail relative to the

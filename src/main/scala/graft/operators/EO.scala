@@ -2957,6 +2957,114 @@ object EO {
     // contract, map-only per tile, integer-exact on these pixels. The
     // oracle weights the neighbor join 1 on the cross, −4 on center, 0
     // on corners.
+    // Terrain curvature (round 12, third wave) [Zevenbergen & Thorne
+    // 1987, "Quantitative analysis of land surface topography"] — the
+    // second-derivative terrain product above slope/aspect (hollows vs
+    // ridges, flow convergence — the curvature rasters every DEM suite
+    // ships beside hillshade). The quadratic-surface coefficients are
+    // the classic 3×3 finite differences: d2 = z4+z6−2z5, e2 =
+    // z2+z8−2z5, f4 = −z1+z3+z7−z9, g2 = z6−z4, h2 = z2−z8, and with
+    // L = 1 the PLAN and PROFILE curvatures reduce to
+    //   plan = (2·d2·h2² + 2·e2·g2² − f4·g2·h2) / (2·(g2²+h2²))
+    //   prof = −(2·d2·g2² + 2·e2·h2² + f4·g2·h2) / (2·(g2²+h2²)).
+    // The graded surface is the INTEGER NUMERATORS (the eo_tile_gradient
+    // /hillshade Det √-rule: the positive denominator never flips a
+    // sign, and flat pixels zero every numerator term by construction),
+    // summed per tile with an order-free position-weighted checksum so
+    // every interior pixel is pinned to its slot. float32 stencils
+    // cannot carry these ≥2^40 products exactly, so BOTH engines spell
+    // the identical bounded neighbor self-join — one join + one
+    // partial agg, tile-local at any archive size.
+    Q("eo_tile_curvature", Some(
+      "WITH px AS (SELECT (event_id // 4) // 256 AS tile, " +
+        "((event_id // 4) % 256) // 16 AS py, ((event_id // 4) % 256) % 16 AS px, " +
+        "event_id % 4 AS t, CAST(user_id AS BIGINT) AS v FROM events), " +
+        "full_t AS (SELECT tile FROM px WHERE t = 0 GROUP BY tile HAVING COUNT(*) = 256), " +
+        "p0 AS (SELECT tile, py, px, v FROM px JOIN full_t USING (tile) WHERE t = 0), " +
+        "comp AS (SELECT o.tile, (o.py - 1) * 14 + (o.px - 1) AS opos, " +
+        "CAST(SUM(nb.v * (CASE WHEN nb.py = o.py AND ABS(nb.px - o.px) = 1 THEN 1 " +
+        "WHEN nb.py = o.py AND nb.px = o.px THEN -2 ELSE 0 END)) AS BIGINT) AS d2, " +
+        "CAST(SUM(nb.v * (CASE WHEN nb.px = o.px AND ABS(nb.py - o.py) = 1 THEN 1 " +
+        "WHEN nb.py = o.py AND nb.px = o.px THEN -2 ELSE 0 END)) AS BIGINT) AS e2, " +
+        "CAST(SUM(nb.v * (CASE WHEN nb.py = o.py - 1 AND nb.px = o.px - 1 THEN -1 " +
+        "WHEN nb.py = o.py - 1 AND nb.px = o.px + 1 THEN 1 " +
+        "WHEN nb.py = o.py + 1 AND nb.px = o.px - 1 THEN 1 " +
+        "WHEN nb.py = o.py + 1 AND nb.px = o.px + 1 THEN -1 ELSE 0 END)) AS BIGINT) AS f4, " +
+        "CAST(SUM(nb.v * (CASE WHEN nb.py = o.py AND nb.px = o.px + 1 THEN 1 " +
+        "WHEN nb.py = o.py AND nb.px = o.px - 1 THEN -1 ELSE 0 END)) AS BIGINT) AS g2, " +
+        "CAST(SUM(nb.v * (CASE WHEN nb.px = o.px AND nb.py = o.py - 1 THEN 1 " +
+        "WHEN nb.px = o.px AND nb.py = o.py + 1 THEN -1 ELSE 0 END)) AS BIGINT) AS h2 " +
+        "FROM p0 o JOIN p0 nb ON nb.tile = o.tile " +
+        "AND nb.py BETWEEN o.py - 1 AND o.py + 1 AND nb.px BETWEEN o.px - 1 AND o.px + 1 " +
+        "WHERE o.py BETWEEN 1 AND 14 AND o.px BETWEEN 1 AND 14 " +
+        "GROUP BY o.tile, opos), " +
+        "cur AS (SELECT tile, opos, " +
+        "2 * d2 * h2 * h2 + 2 * e2 * g2 * g2 - f4 * g2 * h2 AS pn, " +
+        "-(2 * d2 * g2 * g2 + 2 * e2 * h2 * h2 + f4 * g2 * h2) AS fn " +
+        "FROM comp) " +
+        "SELECT tile, CAST(COUNT(*) AS BIGINT) AS n_out, " +
+        "CAST(SUM(pn) AS BIGINT) AS sum_plan, " +
+        "CAST(SUM(ABS(pn)) AS BIGINT) AS sum_abs_plan, " +
+        "CAST(SUM(fn) AS BIGINT) AS sum_prof, " +
+        "CAST(SUM(pn * (opos + 1)) AS BIGINT) AS checksum " +
+        "FROM cur GROUP BY tile ORDER BY tile"),
+      (s, d) => {
+        val px = T.events(s, d)
+          .select(expr("event_id div 4").as("pid"),
+            (col("event_id") % 4).as("t"), col("user_id").cast("long").as("v"))
+          .select(expr("pid div 256").as("tile"),
+            expr("(pid % 256) div 16").as("py"),
+            (col("pid") % 16).as("px"), col("t"), col("v"))
+        val fullT = px.where(col("t") === 0).groupBy("tile")
+          .agg(count(lit(1)).as("cnt")).where(col("cnt") === 256)
+          .select("tile")
+        val p0 = px.join(fullT, "tile").where(col("t") === 0)
+          .select("tile", "py", "px", "v")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val o = p0.select(col("tile"), col("py").as("oy"), col("px").as("ox"))
+          .where(col("oy").between(1, 14) && col("ox").between(1, 14))
+        val j = o.join(p0.select(col("tile"), col("py"), col("px"), col("v")),
+          Seq("tile"))
+          .where(col("py").between(col("oy") - 1, col("oy") + 1) &&
+            col("px").between(col("ox") - 1, col("ox") + 1))
+        def wsum(c: Column): Column = sum(col("v") * c).cast("long")
+        val comp = j.groupBy(col("tile"),
+            ((col("oy") - 1) * 14 + (col("ox") - 1)).as("opos"))
+          .agg(
+            wsum(when(col("py") === col("oy") &&
+                abs(col("px") - col("ox")) === 1, 1L)
+              .when(col("py") === col("oy") && col("px") === col("ox"), -2L)
+              .otherwise(0L)).as("d2"),
+            wsum(when(col("px") === col("ox") &&
+                abs(col("py") - col("oy")) === 1, 1L)
+              .when(col("py") === col("oy") && col("px") === col("ox"), -2L)
+              .otherwise(0L)).as("e2"),
+            wsum(when(col("py") === col("oy") - 1 && col("px") === col("ox") - 1, -1L)
+              .when(col("py") === col("oy") - 1 && col("px") === col("ox") + 1, 1L)
+              .when(col("py") === col("oy") + 1 && col("px") === col("ox") - 1, 1L)
+              .when(col("py") === col("oy") + 1 && col("px") === col("ox") + 1, -1L)
+              .otherwise(0L)).as("f4"),
+            wsum(when(col("py") === col("oy") && col("px") === col("ox") + 1, 1L)
+              .when(col("py") === col("oy") && col("px") === col("ox") - 1, -1L)
+              .otherwise(0L)).as("g2"),
+            wsum(when(col("px") === col("ox") && col("py") === col("oy") - 1, 1L)
+              .when(col("px") === col("ox") && col("py") === col("oy") + 1, -1L)
+              .otherwise(0L)).as("h2"))
+        val cur = comp.select(col("tile"), col("opos"),
+          (lit(2) * col("d2") * col("h2") * col("h2") +
+            lit(2) * col("e2") * col("g2") * col("g2") -
+            col("f4") * col("g2") * col("h2")).as("pn"),
+          (-(lit(2) * col("d2") * col("g2") * col("g2") +
+            lit(2) * col("e2") * col("h2") * col("h2") +
+            col("f4") * col("g2") * col("h2"))).as("fn"))
+        cur.groupBy("tile")
+          .agg(count(lit(1)).as("n_out"), sum(col("pn")).as("sum_plan"),
+            sum(abs(col("pn"))).as("sum_abs_plan"),
+            sum(col("fn")).as("sum_prof"),
+            sum(col("pn") * (col("opos") + 1)).as("checksum"))
+          .orderBy("tile")
+      }),
+
     Q("eo_tile_laplace", Some(
       "WITH px AS (SELECT (event_id // 4) // 256 AS tile, " +
         "((event_id // 4) % 256) // 16 AS py, ((event_id // 4) % 256) % 16 AS px, " +

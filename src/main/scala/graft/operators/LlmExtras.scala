@@ -200,6 +200,76 @@ object LlmExtras {
 
   val all: Seq[Q] = Seq(
 
+    // ROUGE-1 (round 12, third wave) [Lin 2004, "ROUGE: a package for
+    // automatic evaluation of summaries"] — the n-gram-overlap eval
+    // metric family the corpus tooling lacked (the dedup ladder decides
+    // KEEP/DROP; ROUGE scores HOW MUCH two texts share, the number
+    // summarization/dedup-threshold tuning reads). Shape: per language
+    // one REFERENCE document (quality rank 1 = most distinct tokens,
+    // ties smallest doc_id — llm_pref_pairs' engine-exact ranking) and
+    // every other doc scores against it, the candidates-vs-reference
+    // contract of the real eval. Clipped unigram multiset overlap
+    // o = Σ_w min(c_cand, c_ref) is pure integers; precision o/n_cand,
+    // recall o/n_ref, and F1 via the EXACT identity 2o/(n_cand+n_ref)
+    // (no p·r/(p+r) double chain) are one s6 divide each. Reference
+    // token counts are a lang-sized broadcast dictionary; one shuffle
+    // for per-doc counts, one broadcast join — document-linear at any
+    // corpus size.
+    Q("llm_rouge", Some(
+      "WITH t AS (SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents), " +
+        "q AS (SELECT doc_id, lang, COUNT(DISTINCT tok) AS nd FROM t GROUP BY doc_id, lang), " +
+        "ref AS (SELECT lang, doc_id AS ref_id FROM (SELECT lang, doc_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY nd DESC, doc_id) AS rn FROM q) WHERE rn = 1), " +
+        "cnt AS (SELECT doc_id, lang, tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY doc_id, lang, tok), " +
+        "rc AS (SELECT r.lang, c.tok, c.c AS cref FROM ref r JOIN cnt c ON c.doc_id = r.ref_id), " +
+        "rn AS (SELECT lang, CAST(SUM(cref) AS BIGINT) AS n_ref FROM rc GROUP BY lang), " +
+        "ov AS (SELECT c.doc_id, c.lang, " +
+        "CAST(SUM(CASE WHEN c.c < rc.cref THEN c.c ELSE rc.cref END) AS BIGINT) AS o " +
+        "FROM cnt c JOIN rc ON rc.lang = c.lang AND rc.tok = c.tok GROUP BY c.doc_id, c.lang), " +
+        "nc AS (SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS n_cand FROM cnt GROUP BY doc_id, lang) " +
+        "SELECT nc.doc_id, nc.lang, COALESCE(ov.o, 0) AS o, nc.n_cand, rn.n_ref, " +
+        sqlS6("CAST(COALESCE(ov.o, 0) AS DOUBLE) / nc.n_cand") + " AS p6, " +
+        sqlS6("CAST(COALESCE(ov.o, 0) AS DOUBLE) / rn.n_ref") + " AS r6, " +
+        sqlS6("2.0 * COALESCE(ov.o, 0) / (nc.n_cand + rn.n_ref)") + " AS f6 " +
+        "FROM nc JOIN rn ON rn.lang = nc.lang " +
+        "JOIN ref ON ref.lang = nc.lang AND nc.doc_id <> ref.ref_id " +
+        "LEFT JOIN ov ON ov.doc_id = nc.doc_id " +
+        "ORDER BY nc.lang, nc.doc_id"),
+      (s, d) => {
+        val t = T.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("tok"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ref = t.groupBy("doc_id", "lang")
+          .agg(countDistinct(col("tok")).as("nd"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("lang").orderBy(col("nd").desc, col("doc_id"))))
+          .where(col("rn") === 1)
+          .select(col("lang"), col("doc_id").as("ref_id"))
+        val cnt = t.groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("c"))
+        val rc = broadcast(ref).join(cnt,
+            col("doc_id") === col("ref_id") && cnt("lang") === ref("lang"))
+          .select(ref("lang"), col("tok"), col("c").as("cref"))
+        val rn2 = rc.groupBy("lang").agg(sum(col("cref")).as("n_ref"))
+        val ov = cnt.join(broadcast(rc), Seq("lang", "tok"))
+          .groupBy("doc_id", "lang")
+          .agg(sum(least(col("c"), col("cref"))).as("o"))
+        val nc = cnt.groupBy("doc_id", "lang").agg(sum(col("c")).as("n_cand"))
+        nc.join(broadcast(rn2), Seq("lang"))
+          .join(broadcast(ref), Seq("lang"))
+          .where(col("doc_id") =!= col("ref_id"))
+          .join(ov, Seq("doc_id", "lang"), "left")
+          .select(col("doc_id"), col("lang"),
+            coalesce(col("o"), lit(0L)).as("o"), col("n_cand"), col("n_ref"),
+            s6(coalesce(col("o"), lit(0L)).cast("double") /
+              col("n_cand").cast("double")).as("p6"),
+            s6(coalesce(col("o"), lit(0L)).cast("double") /
+              col("n_ref").cast("double")).as("r6"),
+            s6(lit(2.0) * coalesce(col("o"), lit(0L)).cast("double") /
+              (col("n_cand") + col("n_ref")).cast("double")).as("f6"))
+          .orderBy("lang", "doc_id")
+      }),
+
     // SimHash-32 (Charikar 2002, "Similarity estimation techniques from
     // rounding algorithms"): hash32(token) per distinct token; each bit
     // position accumulates +w/-w by token frequency, signs form the

@@ -663,4 +663,135 @@ class Round12OpsSpec extends SparkSpec {
       .select(input_file_name()).distinct().count()
     assert(v1Files == 2L, s"v1 read touched $v1Files files")
   }
+
+  test("agg_isotonic equals quantized minimax and tracks true PAVA within 1 ulp") {
+    import org.apache.spark.sql.functions.{col, unix_timestamp}
+    def s6d(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    def hud(s: Long, n: Long): Long = { // halfUpDiv scalar twin (s >= 0)
+      val (a, b) = (2 * s + n, 2 * n)
+      ((a - math.floorMod(a, b)).toDouble / b.toDouble).toLong
+    }
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), unix_timestamp(col("ts")).as("te"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1) / 86400, s6d(r.getDouble(2))))
+    val got = SparkEntry.queries("agg_isotonic")(spark, sfDir)
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    ev.groupBy(_._1).foreach { case (et, rows) =>
+      val ys = rows.groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (day, xs) =>
+          (day, hud(xs.map(_._3).sum, xs.length.toLong)) }
+      val n = ys.length
+      val pre = ys.scanLeft(0L)(_ + _._2).tail // prefix sums of y6
+      def a6(j: Int, k: Int): Long = // quantized mean over [j..k], 1-based
+        hud(pre(k - 1) - pre(j - 1) + ys(j - 1)._2, (k - j + 1).toLong)
+      // (1) independent minimax evaluation of the same quantized law
+      val mm = (1 to n).map(i =>
+        (1 to i).map(j => (i to n).map(k => a6(j, k)).min).max)
+      // (2) true sequential PAVA with exact rational block means
+      case class Blk(sum: Long, len: Long)
+      val blocks = scala.collection.mutable.ArrayBuffer.empty[Blk]
+      ys.foreach { case (_, y) =>
+        var b = Blk(y, 1)
+        while (blocks.nonEmpty &&
+            blocks.last.sum * b.len >= b.sum * blocks.last.len) {
+          val p = blocks.remove(blocks.length - 1)
+          b = Blk(p.sum + b.sum, p.len + b.len)
+        }
+        blocks += b
+      }
+      val pava = blocks.flatMap(b =>
+        Seq.fill(b.len.toInt)(b.sum.toDouble / b.len.toDouble))
+      (1 to n).foreach { i =>
+        val (gy, gday, gfit) = {
+          val g = got((et, i.toLong)); (g._2, g._1, g._3)
+        }
+        assert(gday == ys(i - 1)._1 && gy == ys(i - 1)._2, s"$et day/y6 @$i")
+        assert(gfit == mm(i - 1), s"$et minimax mismatch @$i")
+        assert(math.abs(gfit - pava(i - 1)) <= 1.0,
+          s"$et fit drifts from true PAVA @$i: $gfit vs ${pava(i - 1)}")
+      }
+      // monotone and genuinely pooled
+      val fits = (1 to n).map(i => got((et, i.toLong))._3)
+      assert(fits.zip(fits.tail).forall(p => p._1 <= p._2), s"$et not monotone")
+      assert(fits.distinct.size < n, s"$et never pooled")
+    }
+  }
+
+  test("llm_rouge equals a scalar clipped-overlap mirror") {
+    import org.apache.spark.sql.functions.col
+    def s6d(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val got = SparkEntry.queries("llm_rouge")(spark, sfDir)
+      .collect().map(r => ((r.getLong(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    docs.groupBy(_._2).foreach { case (lang, ds) =>
+      def counts(text: String): Map[String, Long] =
+        text.split(" ", -1).groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val refId = ds.map(d => (d._1, counts(d._3).size))
+        .sortBy(t => (-t._2, t._1)).head._1
+      val refC = counts(ds.find(_._1 == refId).get._3)
+      val nRef = refC.values.sum
+      val cands = ds.filter(_._1 != refId)
+      assert(cands.nonEmpty)
+      cands.foreach { case (id, _, text) =>
+        val c = counts(text)
+        val o = c.map { case (w, n) => math.min(n, refC.getOrElse(w, 0L)) }.sum
+        val nc = c.values.sum
+        val expect = (o, nc, nRef, s6d(o.toDouble / nc.toDouble),
+          s6d(o.toDouble / nRef.toDouble),
+          s6d(2.0 * o / (nc + nRef).toDouble))
+        assert(got((id, lang)) == expect, s"doc $id/$lang: ${got((id, lang))} vs $expect")
+      }
+      // discriminative: scores spread (near-dups of the reference score
+      // high, unrelated docs low) — not a constant metric
+      val fs = cands.map(cd => got((cd._1, lang))._6)
+      assert(fs.max > fs.min, s"$lang: degenerate ROUGE distribution")
+    }
+  }
+
+  test("eo_tile_curvature equals a scalar Zevenbergen-Thorne mirror") {
+    import org.apache.spark.sql.functions.col
+    // sf0.001 has no complete tiles — drive at sf0.01 like eo_tile_clump
+    val tileSf = "/root/testdata/sf0.01"
+    val ev = Tables.events(spark, tileSf).select(col("event_id"), col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val tiles = ev.map { case (eid, v) =>
+      val pid = eid / 4
+      ((pid / 256, eid % 4), ((pid % 256) / 16, pid % 16, v))
+    }.groupBy(_._1).collect { case ((tile, 0L), xs) if xs.length == 256 =>
+      val g = Array.ofDim[Long](16, 16)
+      xs.foreach { case (_, (py, px, v)) => g(py.toInt)(px.toInt) = v }
+      tile -> g
+    }
+    val expect = tiles.toSeq.map { case (tile, g) =>
+      val rows = for (oy <- 1 to 14; ox <- 1 to 14) yield {
+        val d2 = g(oy)(ox - 1) + g(oy)(ox + 1) - 2 * g(oy)(ox)
+        val e2 = g(oy - 1)(ox) + g(oy + 1)(ox) - 2 * g(oy)(ox)
+        val f4 = -g(oy - 1)(ox - 1) + g(oy - 1)(ox + 1) +
+          g(oy + 1)(ox - 1) - g(oy + 1)(ox + 1)
+        val g2 = g(oy)(ox + 1) - g(oy)(ox - 1)
+        val h2 = g(oy - 1)(ox) - g(oy + 1)(ox)
+        val pn = 2 * d2 * h2 * h2 + 2 * e2 * g2 * g2 - f4 * g2 * h2
+        val fn = -(2 * d2 * g2 * g2 + 2 * e2 * h2 * h2 + f4 * g2 * h2)
+        val opos = (oy - 1) * 14 + (ox - 1)
+        (opos.toLong, pn, fn)
+      }
+      (tile, rows.length.toLong, rows.map(_._2).sum,
+        rows.map(r => math.abs(r._2)).sum, rows.map(_._3).sum,
+        rows.map(r => r._2 * (r._1 + 1)).sum)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("eo_tile_curvature")(spark, tileSf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got.nonEmpty && got == expect,
+      s"got ${got.take(2)}…\nexpect ${expect.take(2)}…")
+    // curvature genuinely varies: some tile has nonzero plan curvature
+    // mass, and plan/profile are not identical fields
+    assert(got.exists(_._4 > 0L))
+    assert(got.exists(t => t._3 != t._5))
+  }
 }
