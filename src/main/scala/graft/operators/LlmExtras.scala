@@ -270,6 +270,101 @@ object LlmExtras {
           .orderBy("lang", "doc_id")
       }),
 
+    // BLEU-2 (round 12, third wave) [Papineni et al. 2002, "BLEU: a
+    // method for automatic evaluation of machine translation"] — the
+    // precision-side eval twin of llm_rouge, same per-language
+    // candidates-vs-reference contract: clipped unigram AND bigram
+    // precisions (pure integer overlaps), geometric mean via the
+    // PORTABLE lnRatio/expP fixed IEEE sequences (no libm on the graded
+    // surface), and the brevity penalty exp(1 − r/c) for short
+    // candidates (one IEEE divide; BP exponent 0 when c ≥ r). The
+    // standard zero rule applies: any zero clipped overlap zeroes the
+    // score (no smoothing — the graded anchor; smoothed variants differ
+    // only in the +k constants). Dictionaries broadcast,
+    // document-linear at any corpus size.
+    Q("llm_bleu", Some(
+      "WITH t AS (SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents), " +
+        "q AS (SELECT doc_id, lang, COUNT(DISTINCT tok) AS nd FROM t GROUP BY doc_id, lang), " +
+        "ref AS (SELECT lang, doc_id AS ref_id FROM (SELECT lang, doc_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY nd DESC, doc_id) AS rn FROM q) WHERE rn = 1), " +
+        "cnt1 AS (SELECT doc_id, lang, tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY doc_id, lang, tok), " +
+        "rc1 AS (SELECT r.lang, c.tok, c.c AS cref FROM ref r JOIN cnt1 c ON c.doc_id = r.ref_id), " +
+        "rn1 AS (SELECT lang, CAST(SUM(cref) AS BIGINT) AS r1 FROM rc1 GROUP BY lang), " +
+        "n1 AS (SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS c1t FROM cnt1 GROUP BY doc_id, lang), " +
+        "ov1 AS (SELECT c.doc_id, c.lang, " +
+        "CAST(SUM(CASE WHEN c.c < rc1.cref THEN c.c ELSE rc1.cref END) AS BIGINT) AS o1 " +
+        "FROM cnt1 c JOIN rc1 ON rc1.lang = c.lang AND rc1.tok = c.tok GROUP BY c.doc_id, c.lang), " +
+        "bg AS (SELECT doc_id, lang, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bigram " +
+        "FROM (SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS tk FROM documents) WHERE LEN(tk) >= 2), " +
+        "cb AS (SELECT doc_id, lang, bigram, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY doc_id, lang, bigram), " +
+        "rcb AS (SELECT r.lang, c.bigram, c.c AS cref FROM ref r JOIN cb c ON c.doc_id = r.ref_id), " +
+        "nb AS (SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS c2t FROM cb GROUP BY doc_id, lang), " +
+        "ovb AS (SELECT c.doc_id, c.lang, " +
+        "CAST(SUM(CASE WHEN c.c < rcb.cref THEN c.c ELSE rcb.cref END) AS BIGINT) AS o2 " +
+        "FROM cb c JOIN rcb ON rcb.lang = c.lang AND rcb.bigram = c.bigram GROUP BY c.doc_id, c.lang), " +
+        "base AS (SELECT n1.doc_id, n1.lang, COALESCE(ov1.o1, 0) AS o1, n1.c1t, " +
+        "COALESCE(ovb.o2, 0) AS o2, COALESCE(nb.c2t, 0) AS c2t, rn1.r1 " +
+        "FROM n1 JOIN rn1 ON rn1.lang = n1.lang " +
+        "JOIN ref ON ref.lang = n1.lang AND n1.doc_id <> ref.ref_id " +
+        "LEFT JOIN ov1 ON ov1.doc_id = n1.doc_id " +
+        "LEFT JOIN nb ON nb.doc_id = n1.doc_id " +
+        "LEFT JOIN ovb ON ovb.doc_id = n1.doc_id), " +
+        "ex AS (SELECT *, CASE WHEN o1 = 0 OR o2 = 0 THEN NULL ELSE " +
+        "((" + sqlLnRatio("o1", "c1t") + " + " + sqlLnRatio("o2", "c2t") + ") / 2.0 + " +
+        "(CASE WHEN c1t >= r1 THEN 0.0 ELSE 1.0 - CAST(r1 AS DOUBLE) / CAST(c1t AS DOUBLE) END)) " +
+        "END AS xx FROM base) " +
+        "SELECT doc_id, lang, o1, c1t AS c1, o2, c2t AS c2, r1, " +
+        "CASE WHEN xx IS NULL THEN 0 ELSE " + sqlS6(sqlExpP("xx")) + " END AS bleu6 " +
+        "FROM ex ORDER BY lang, doc_id"),
+      (s, d) => {
+        val t = T.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("tok"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ref = t.groupBy("doc_id", "lang")
+          .agg(countDistinct(col("tok")).as("nd"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("lang").orderBy(col("nd").desc, col("doc_id"))))
+          .where(col("rn") === 1)
+          .select(col("lang"), col("doc_id").as("ref_id"))
+        val cnt1 = t.groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("c"))
+        val rc1 = broadcast(ref).join(cnt1,
+            col("doc_id") === col("ref_id") && cnt1("lang") === ref("lang"))
+          .select(ref("lang"), col("tok"), col("c").as("cref"))
+        val rn1 = rc1.groupBy("lang").agg(sum(col("cref")).as("r1"))
+        val n1 = cnt1.groupBy("doc_id", "lang").agg(sum(col("c")).as("c1t"))
+        val ov1 = cnt1.join(broadcast(rc1), Seq("lang", "tok"))
+          .groupBy("doc_id", "lang").agg(sum(least(col("c"), col("cref"))).as("o1"))
+        val bg = TextOps.bigrams(T.documents(s, d), "doc_id", "lang")
+        val cb = bg.groupBy("doc_id", "lang", "bigram").agg(count(lit(1)).as("c"))
+        val rcb = broadcast(ref).join(cb,
+            col("doc_id") === col("ref_id") && cb("lang") === ref("lang"))
+          .select(ref("lang"), col("bigram"), col("c").as("cref"))
+        val nb = cb.groupBy("doc_id", "lang").agg(sum(col("c")).as("c2t"))
+        val ovb = cb.join(broadcast(rcb), Seq("lang", "bigram"))
+          .groupBy("doc_id", "lang").agg(sum(least(col("c"), col("cref"))).as("o2"))
+        val base = n1.join(broadcast(rn1), Seq("lang"))
+          .join(broadcast(ref), Seq("lang"))
+          .where(col("doc_id") =!= col("ref_id"))
+          .join(ov1, Seq("doc_id", "lang"), "left")
+          .join(nb, Seq("doc_id", "lang"), "left")
+          .join(ovb, Seq("doc_id", "lang"), "left")
+          .select(col("doc_id"), col("lang"),
+            coalesce(col("o1"), lit(0L)).as("o1"), col("c1t"),
+            coalesce(col("o2"), lit(0L)).as("o2"),
+            coalesce(col("c2t"), lit(0L)).as("c2t"), col("r1"))
+        val bp = when(col("c1t") >= col("r1"), lit(0.0))
+          .otherwise(lit(1.0) - col("r1").cast("double") / col("c1t").cast("double"))
+        val xx = when(col("o1") === 0 || col("o2") === 0, lit(null))
+          .otherwise((lnRatio(col("o1"), col("c1t")) +
+            lnRatio(col("o2"), col("c2t"))) / lit(2.0) + bp)
+        base.withColumn("xx", xx)
+          .select(col("doc_id"), col("lang"), col("o1"), col("c1t").as("c1"),
+            col("o2"), col("c2t").as("c2"), col("r1"),
+            when(col("xx").isNull, 0L).otherwise(s6(expP(col("xx")))).as("bleu6"))
+          .orderBy("lang", "doc_id")
+      }),
+
     // SimHash-32 (Charikar 2002, "Similarity estimation techniques from
     // rounding algorithms"): hash32(token) per distinct token; each bit
     // position accumulates +w/-w by token frequency, signs form the

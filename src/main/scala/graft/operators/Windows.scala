@@ -2101,6 +2101,91 @@ object Windows {
             when(col("day") === col("kday"), 1).otherwise(0)
               .cast("int").as("is_cp"))
           .orderBy("day")
+      }),
+
+    // Binary segmentation (round 12, third wave) [Scott & Knott 1974;
+    // the ruptures/changepoint BinSeg default] — the MULTI-changepoint
+    // extension of win_pettitt's single test: two recursion levels over
+    // each type's daily cent-sum series give up to three mean-shift
+    // split points. The CUSUM objective is kept EXACT-INTEGER by
+    // cross-multiplication: at split k of segment (lo, hi],
+    // sc = |(hi−lo)·(S_k−S_lo) − (k−lo)·(S_hi−S_lo)| — the |Σleft −
+    // (len_left/len)·Σ| deviation scaled by the segment length, so no
+    // division enters the argmax and ties break at the smallest k
+    // identically on both engines. Level 1 scans all splits; level 2
+    // rescans each side with its own (lo, hi); a side too short to
+    // split reports NULL. Three window passes + one broadcast join per
+    // level — the day series is calendar-bounded, so the whole key is
+    // SF-independent after the one daily rollup shuffle.
+    Q("win_binseg", Some(
+      "WITH dly AS (SELECT event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 AS day, " +
+        "CAST(SUM(" + sqlS2("value") + ") AS BIGINT) AS x FROM events GROUP BY event_type, day), " +
+        "p AS (SELECT event_type, day, x, " +
+        "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i, " +
+        "CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY day " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s, " +
+        "COUNT(*) OVER (PARTITION BY event_type) AS n, " +
+        "CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS st FROM dly), " +
+        "l1 AS (SELECT event_type, i, s, n, st, ABS(n * s - i * st) AS sc " +
+        "FROM p WHERE i < n), " +
+        "kk AS (SELECT event_type, i AS k1, s AS sk1, n, st, sc AS sc1 FROM " +
+        "(SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY sc DESC, i) AS rn " +
+        "FROM l1) WHERE rn = 1), " +
+        "l2 AS (SELECT p.event_type, p.i, " +
+        "CASE WHEN p.i < kk.k1 THEN 'L' ELSE 'R' END AS side, " +
+        "CASE WHEN p.i < kk.k1 THEN ABS(kk.k1 * p.s - p.i * kk.sk1) " +
+        "ELSE ABS((kk.n - kk.k1) * (p.s - kk.sk1) - (p.i - kk.k1) * (kk.st - kk.sk1)) END AS sc " +
+        "FROM p JOIN kk ON kk.event_type = p.event_type " +
+        "WHERE p.i <> kk.k1 AND p.i < p.n), " +
+        "pick AS (SELECT event_type, side, i, sc, " +
+        "ROW_NUMBER() OVER (PARTITION BY event_type, side ORDER BY sc DESC, i) AS rn FROM l2) " +
+        "SELECT kk.event_type, CAST(kk.n AS BIGINT) AS n, CAST(kk.k1 AS BIGINT) AS k1, " +
+        "kk.sc1, CAST(l.i AS BIGINT) AS kl, l.sc AS scl, " +
+        "CAST(r.i AS BIGINT) AS kr, r.sc AS scr " +
+        "FROM kk LEFT JOIN pick l ON l.event_type = kk.event_type AND l.side = 'L' AND l.rn = 1 " +
+        "LEFT JOIN pick r ON r.event_type = kk.event_type AND r.side = 'R' AND r.rn = 1 " +
+        "ORDER BY kk.event_type"),
+      (s, d) => {
+        val dly = T.events(s, d)
+          .groupBy(col("event_type"),
+            expr("unix_timestamp(ts) div 86400").as("day"))
+          .agg(sum(s2(col("value"))).as("x"))
+        val wOrd = Window.partitionBy("event_type").orderBy("day")
+        val wAll = Window.partitionBy("event_type")
+        val p = dly
+          .withColumn("i", row_number().over(wOrd).cast("long"))
+          .withColumn("s", sum(col("x")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .withColumn("st", sum(col("x")).over(wAll))
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        val l1 = p.where(col("i") < col("n"))
+          .withColumn("sc", abs(col("n") * col("s") - col("i") * col("st")))
+        val kk = l1.withColumn("rn", row_number().over(
+            Window.partitionBy("event_type").orderBy(col("sc").desc, col("i"))))
+          .where(col("rn") === 1)
+          .select(col("event_type"), col("i").as("k1"), col("s").as("sk1"),
+            col("n").as("kn"), col("st").as("kst"), col("sc").as("sc1"))
+        val l2 = p.join(broadcast(kk), Seq("event_type"))
+          .where(col("i") =!= col("k1") && col("i") < col("n"))
+          .select(col("event_type"), col("i"),
+            when(col("i") < col("k1"), "L").otherwise("R").as("side"),
+            when(col("i") < col("k1"),
+              abs(col("k1") * col("s") - col("i") * col("sk1")))
+              .otherwise(abs((col("kn") - col("k1")) * (col("s") - col("sk1")) -
+                (col("i") - col("k1")) * (col("kst") - col("sk1")))).as("sc"))
+        val pick = l2.withColumn("rn", row_number().over(
+            Window.partitionBy("event_type", "side").orderBy(col("sc").desc, col("i"))))
+          .where(col("rn") === 1)
+        val pl = pick.where(col("side") === "L")
+          .select(col("event_type"), col("i").as("kl"), col("sc").as("scl"))
+        val pr = pick.where(col("side") === "R")
+          .select(col("event_type"), col("i").as("kr"), col("sc").as("scr"))
+        kk.join(pl, Seq("event_type"), "left")
+          .join(pr, Seq("event_type"), "left")
+          .select(col("event_type"), col("kn").as("n"), col("k1"), col("sc1"),
+            col("kl"), col("scl"), col("kr"), col("scr"))
+          .orderBy("event_type")
       }))
 
   /** win_decompose's day/trend/seasonal pipeline up to the residual —

@@ -163,8 +163,7 @@ class Round10OpsSpec extends SparkSpec {
     assert(row.getLong(3) == planned.size.toLong, "n_planned")
     assert(touched.subsetOf(planned), "planner missed a bucket")
     // layout law: the rewrite left exactly one parquet file per bucket dir
-    val root = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_zorder")
+    val root = java.nio.file.Paths.get(graft.GraftTmp.dir("zorder"))
     import scala.jdk.CollectionConverters._
     val dirs = java.nio.file.Files.list(root).iterator().asScala
       .filter(p => java.nio.file.Files.isDirectory(p)).toSeq

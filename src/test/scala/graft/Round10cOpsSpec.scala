@@ -271,7 +271,7 @@ class Round10cOpsSpec extends SparkSpec {
     assert(nFiles == (vals.length + 49999) / 50000)
     assert(nOrphans == 17L, "the 17-way fragmented ingest was the orphan set")
     // the directory now holds EXACTLY the live compacted files
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_vacuum"
+    val dir = graft.GraftTmp.dir("vacuum")
     assert(graft.maintenance.Snapshots.dataFiles(dir).size.toLong == nFiles)
     // retention contract: v1's manifest references deleted files, so the
     // time-travel read must now fail (expire_snapshots semantics)

@@ -280,8 +280,7 @@ class Round10eOpsSpec extends SparkSpec {
         s"source evolved independently for $ty")
     }
     // ZERO-copy: the clone directory holds manifests only, no data files
-    val dst = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_clone_dst")
+    val dst = new java.io.File(graft.GraftTmp.dir("clone_dst"))
     assert(dst.listFiles.forall(f => !f.getName.endsWith(".parquet")),
       "clone dir must contain no data files")
   }
@@ -298,7 +297,7 @@ class Round10eOpsSpec extends SparkSpec {
     }
     assert(got == mirror, "all three nest shapes recovered, nothing extra")
     // the decoy sidecars exist on disk next to the data the read used
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_landing"
+    val base = graft.GraftTmp.dir("landing")
     assert(new java.io.File(s"$base/2024/jan/manifest.json").exists)
   }
 

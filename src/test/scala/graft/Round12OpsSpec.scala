@@ -794,4 +794,80 @@ class Round12OpsSpec extends SparkSpec {
     assert(got.exists(_._4 > 0L))
     assert(got.exists(t => t._3 != t._5))
   }
+
+  test("llm_bleu equals a scalar clipped-precision + brevity-penalty mirror") {
+    import org.apache.spark.sql.functions.col
+    def s6d(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val got = SparkEntry.queries("llm_bleu")(spark, sfDir)
+      .collect().map(r => ((r.getLong(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7)))).toMap
+    docs.groupBy(_._2).foreach { case (lang, ds) =>
+      def uni(t: String) = t.split(" ", -1).toSeq
+      def big(t: String) = { val u = uni(t); u.zip(u.tail).map(p => p._1 + " " + p._2) }
+      def cm(xs: Seq[String]) = xs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val refId = ds.map(d => (d._1, uni(d._3).distinct.size))
+        .sortBy(t => (-t._2, t._1)).head._1
+      val refT = ds.find(_._1 == refId).get._3
+      val (r1c, r2c) = (cm(uni(refT)), cm(big(refT)))
+      val r1 = r1c.values.sum
+      ds.filter(_._1 != refId).foreach { case (id, _, text) =>
+        val (c1c, c2c) = (cm(uni(text)), cm(big(text)))
+        val (c1, c2) = (c1c.values.sum, c2c.values.sum)
+        val o1 = c1c.map { case (w, n) => math.min(n, r1c.getOrElse(w, 0L)) }.sum
+        val o2 = c2c.map { case (w, n) => math.min(n, r2c.getOrElse(w, 0L)) }.sum
+        val bleu = if (o1 == 0 || o2 == 0) 0L else {
+          val lnp = (Det.lnRatioD(o1, c1) + Det.lnRatioD(o2, c2)) / 2.0
+          val bp = if (c1 >= r1) 0.0 else 1.0 - r1.toDouble / c1.toDouble
+          s6d(Det.expPD(lnp + bp))
+        }
+        val expect = (o1, c1, o2, c2, r1, bleu)
+        assert(got((id, lang)) == expect,
+          s"doc $id/$lang: ${got((id, lang))} vs $expect")
+      }
+    }
+    // both lanes fire somewhere in the corpus: zero-rule scores and
+    // genuine positive scores
+    assert(got.values.exists(_._6 == 0L) && got.values.exists(_._6 > 0L))
+  }
+
+  test("win_binseg equals a scalar two-level CUSUM mirror") {
+    import org.apache.spark.sql.functions.{col, unix_timestamp}
+    def s2d(x: Double) = math.floor(x * 100 + 0.5).toLong
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), unix_timestamp(col("ts")).as("te"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1) / 86400, s2d(r.getDouble(2))))
+    val got = SparkEntry.queries("win_binseg")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), Option(r.get(4)).map(_ => r.getLong(4)),
+        Option(r.get(5)).map(_ => r.getLong(5)),
+        Option(r.get(6)).map(_ => r.getLong(6)),
+        Option(r.get(7)).map(_ => r.getLong(7)))).toMap
+    ev.groupBy(_._1).foreach { case (et, rows) =>
+      val xs = rows.groupBy(_._2).toSeq.sortBy(_._1).map(_._2.map(_._3).sum)
+      val n = xs.length.toLong
+      val pre = xs.scanLeft(0L)(_ + _).tail
+      def best(lo: Int, hi: Int): Option[(Long, Long)] = {
+        // splits k in (lo, hi) exclusive; returns (k 1-based, score)
+        val cands = ((lo + 1) until hi).map { k =>
+          val sLo = if (lo == 0) 0L else pre(lo - 1)
+          val sc = math.abs((hi - lo).toLong * (pre(k - 1) - sLo) -
+            (k - lo).toLong * (pre(hi - 1) - sLo))
+          (k.toLong, sc)
+        }
+        if (cands.isEmpty) None else Some(cands.minBy(c => (-c._2, c._1)))
+      }
+      val Some((k1, sc1)) = best(0, xs.length)
+      val left = best(0, k1.toInt)
+      val right = best(k1.toInt, xs.length)
+      val expect = (n, k1, sc1, left.map(_._1), left.map(_._2),
+        right.map(_._1), right.map(_._2))
+      assert(got(et) == expect, s"$et: ${got(et)} vs $expect")
+    }
+    // at least one type splits on both sides (30-day series, k1 interior)
+    assert(got.values.exists(v => v._4.isDefined && v._6.isDefined))
+  }
 }
