@@ -2957,6 +2957,73 @@ object EO {
     // contract, map-only per tile, integer-exact on these pixels. The
     // oracle weights the neighbor join 1 on the cross, −4 on center, 0
     // on corners.
+    // Solar position (round 12, third wave) [Iqbal 1983 / the NOAA
+    // simplified solar geometry; PK: every ODC NBAR/illumination
+    // correction and fmask shadow cast needs per-observation sun
+    // angles] — declination from day-of-year, hour angle from
+    // time-of-day + longitude, and the solar elevation sine
+    // sin h = sinφ·sinδ + cosφ·cosδ·cos H. Trig discipline is
+    // eo_harmonic's coarse-grid rule: every trig ARGUMENT is an exact
+    // rational both engines share bit-for-bit (integer degrees /
+    // quantized declination / exact hs·15/3600 hour angle), every trig
+    // RESULT is s4-floored immediately, and the elevation sine is then
+    // PURE integer arithmetic on the e8 grid (sphi4·sdec4 +
+    // halfUpDiv(cphi4·cdec4·cha4, 1e4) — products ≤1e12, well inside
+    // the halfUpDiv 2^53 bound). The day/night flag is the graded
+    // decision lane. Map-only — fuses into the scan at any SF.
+    Q("eo_sun_position", Some(
+      "WITH b AS (SELECT event_id, " +
+        "CAST(user_id % 13 AS BIGINT) * 10 - 60 AS lat, " +
+        "CAST(event_id % 24 AS BIGINT) * 15 - 180 AS lon, " +
+        "(CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400) % 365 AS d, " +
+        "CAST(FLOOR(EPOCH(ts)) AS BIGINT) % 86400 AS hs FROM events), " +
+        "q1 AS (SELECT *, " +
+        sqlS4("-23.44 * COS(PI() * (CAST(d + 10 AS DOUBLE) * 360.0 / 365.0) / 180.0)") +
+        " AS dec4, " +
+        "CAST(hs * 15 + lon * 3600 - 648000 AS DOUBLE) / 3600.0 AS hdeg FROM b), " +
+        "q2 AS (SELECT event_id, lat, lon, d, dec4, " +
+        sqlS4("hdeg") + " AS ha4, " +
+        sqlS4("SIN(PI() * (CAST(dec4 AS DOUBLE) / 10000.0) / 180.0)") + " AS sdec4, " +
+        sqlS4("COS(PI() * (CAST(dec4 AS DOUBLE) / 10000.0) / 180.0)") + " AS cdec4, " +
+        sqlS4("SIN(PI() * CAST(lat AS DOUBLE) / 180.0)") + " AS sphi4, " +
+        sqlS4("COS(PI() * CAST(lat AS DOUBLE) / 180.0)") + " AS cphi4, " +
+        sqlS4("COS(PI() * hdeg / 180.0)") + " AS cha4 FROM q1), " +
+        "q3 AS (SELECT event_id, lat, lon, d, dec4, ha4, " +
+        "sphi4 * sdec4 + " + sqlHalfUpDiv("cphi4 * cdec4 * cha4", "10000") +
+        " AS se8 FROM q2) " +
+        "SELECT event_id, lat, lon, d, dec4, ha4, se8, " +
+        "CAST(CASE WHEN se8 > 0 THEN 1 ELSE 0 END AS INT) AS is_day " +
+        "FROM q3 ORDER BY event_id"),
+      (s, d) => {
+        val b = T.events(s, d).select(col("event_id"),
+          ((col("user_id") % 13).cast("long") * 10 - 60).as("lat"),
+          ((col("event_id") % 24).cast("long") * 15 - 180).as("lon"),
+          (expr("unix_timestamp(ts) div 86400") % 365).as("d"),
+          (epochS(col("ts")) % 86400).as("hs"))
+        def rad(x: Column): Column = lit(math.Pi) * x / lit(180.0)
+        val q1 = b.withColumn("dec4",
+            s4(lit(-23.44) * cos(rad((col("d") + 10).cast("double") *
+              lit(360.0) / lit(365.0)))))
+          .withColumn("hdeg",
+            (col("hs") * 15 + col("lon") * 3600 - 648000).cast("double") /
+              lit(3600.0))
+        val q2 = q1.select(col("event_id"), col("lat"), col("lon"), col("d"),
+          col("dec4"), s4(col("hdeg")).as("ha4"),
+          s4(sin(rad(col("dec4").cast("double") / lit(10000.0)))).as("sdec4"),
+          s4(cos(rad(col("dec4").cast("double") / lit(10000.0)))).as("cdec4"),
+          s4(sin(rad(col("lat").cast("double")))).as("sphi4"),
+          s4(cos(rad(col("lat").cast("double")))).as("cphi4"),
+          s4(cos(rad(col("hdeg")))).as("cha4"))
+        q2.select(col("event_id"), col("lat"), col("lon"), col("d"),
+            col("dec4"), col("ha4"),
+            (col("sphi4") * col("sdec4") +
+              halfUpDiv(col("cphi4") * col("cdec4") * col("cha4"),
+                lit(10000L))).as("se8"))
+          .withColumn("is_day",
+            when(col("se8") > 0, 1).otherwise(0).cast("int"))
+          .orderBy("event_id")
+      }),
+
     // Terrain curvature (round 12, third wave) [Zevenbergen & Thorne
     // 1987, "Quantitative analysis of land surface topography"] — the
     // second-derivative terrain product above slope/aspect (hollows vs

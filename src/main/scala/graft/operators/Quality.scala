@@ -463,6 +463,79 @@ object Quality {
     // SLA. One partial-agg shuffle to the per-type maxima; the global
     // maximum is the 1-row rollup of THOSE (never a second scan),
     // broadcast back over the type-count-sized result.
+    // XmR individuals control chart (round 12, third wave) [Shewhart
+    // 1931; Wheeler's XmR form — the SPC chart ops teams run on daily
+    // volumes]: per type's daily cent-sum series, moving ranges
+    // mR_i = |x_i − x_{i−1}|, natural process limits x̄ ± 2.66·mR̄, and
+    // three Western-Electric-style rules graded per day — rule 1
+    // (outside the 3σ natural limits) kept EXACT-INTEGER by
+    // cross-multiplication |x_i·n − Σx|·m·100 > 266·ΣmR·n (never a
+    // divided limit), the 2σ WARNING line (same cross-mult, ·300 vs
+    // ·532 — measured to fire 5-7 times per corpus while the iid
+    // daily sums stay inside 3σ, correctly: an in-control process
+    // SHOULD flag ~0 on rule 1, and the spec pins warn2 as the live
+    // lane), and the run-of-8 same-side drift rule via an 8-row
+    // window sum of the integer above-mean flag. One daily rollup
+    // shuffle, then calendar-bounded window work.
+    Q("dq_xmr_control", Some(
+      "WITH dly AS (SELECT event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 AS day, " +
+        "CAST(SUM(" + sqlS2("value") + ") AS BIGINT) AS x FROM events GROUP BY event_type, day), " +
+        "p AS (SELECT event_type, day, x, " +
+        "LAG(x) OVER (PARTITION BY event_type ORDER BY day) AS xp, " +
+        "CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS sx, " +
+        "COUNT(*) OVER (PARTITION BY event_type) AS n FROM dly), " +
+        "r AS (SELECT *, CASE WHEN xp IS NULL THEN NULL ELSE ABS(x - xp) END AS mr FROM p), " +
+        "m AS (SELECT event_type, CAST(SUM(mr) AS BIGINT) AS sr, " +
+        "CAST(COUNT(mr) AS BIGINT) AS mm FROM r GROUP BY event_type), " +
+        "f AS (SELECT r.event_type, r.day, r.x, r.mr, " +
+        "CASE WHEN ABS(r.x * r.n - r.sx) * m.mm * 100 > 266 * m.sr * r.n THEN 1 ELSE 0 END AS oob, " +
+        "CASE WHEN ABS(r.x * r.n - r.sx) * m.mm * 300 > 532 * m.sr * r.n THEN 1 ELSE 0 END AS warn2, " +
+        "CASE WHEN r.x * r.n > r.sx THEN 1 ELSE 0 END AS above " +
+        "FROM r JOIN m ON m.event_type = r.event_type), " +
+        "g AS (SELECT *, SUM(above) OVER (PARTITION BY event_type ORDER BY day " +
+        "ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS a8, " +
+        "COUNT(*) OVER (PARTITION BY event_type ORDER BY day " +
+        "ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS c8 FROM f) " +
+        "SELECT event_type, day, x, mr, CAST(oob AS INT) AS oob, " +
+        "CAST(warn2 AS INT) AS warn2, " +
+        "CAST(CASE WHEN c8 = 8 AND (a8 = 8 OR a8 = 0) THEN 1 ELSE 0 END AS INT) AS run8 " +
+        "FROM g ORDER BY event_type, day"),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wOrd = Window.partitionBy("event_type").orderBy("day")
+        val wAll = Window.partitionBy("event_type")
+        val w8 = wOrd.rowsBetween(-7, Window.currentRow)
+        val dly = T.events(s, d)
+          .groupBy(col("event_type"),
+            expr("unix_timestamp(ts) div 86400").as("day"))
+          .agg(sum(s2(col("value"))).as("x"))
+        val r = dly
+          .withColumn("xp", lag(col("x"), 1).over(wOrd))
+          .withColumn("sx", sum(col("x")).over(wAll))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .withColumn("mr", when(col("xp").isNull, lit(null))
+            .otherwise(abs(col("x") - col("xp"))))
+        val m = r.groupBy("event_type")
+          .agg(sum(col("mr")).as("sr"), count(col("mr")).as("mm"))
+        val f = r.join(broadcast(m), Seq("event_type"))
+          .withColumn("oob",
+            when(abs(col("x") * col("n") - col("sx")) * col("mm") * 100 >
+              lit(266L) * col("sr") * col("n"), 1).otherwise(0))
+          .withColumn("warn2",
+            when(abs(col("x") * col("n") - col("sx")) * col("mm") * 300 >
+              lit(532L) * col("sr") * col("n"), 1).otherwise(0))
+          .withColumn("above",
+            when(col("x") * col("n") > col("sx"), 1L).otherwise(0L))
+        f.withColumn("a8", sum(col("above")).over(w8))
+          .withColumn("c8", count(lit(1)).over(w8))
+          .select(col("event_type"), col("day"), col("x"), col("mr"),
+            col("oob").cast("int").as("oob"),
+            col("warn2").cast("int").as("warn2"),
+            when(col("c8") === 8 && (col("a8") === 8 || col("a8") === 0), 1)
+              .otherwise(0).cast("int").as("run8"))
+          .orderBy("event_type", "day")
+      }),
+
     Q("dq_freshness", Some(
       "WITH m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
         "MAX(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) AS max_t FROM events GROUP BY event_type), " +

@@ -573,6 +573,18 @@ class PlanContractSpec extends SparkSpec {
     val up = planOf("sql_unpivot")
     assert(up.contains("Expand") && !up.contains("Join"),
       s"sql_unpivot should be one Expand:\n$up")
+    // agg_ransac: the ≤40-row candidate table must broadcast against the
+    // point pass — a shuffled join here would shuffle the fact side 8×
+    val rs = planOf("agg_ransac")
+    assert(rs.contains("BroadcastHashJoin") && !rs.contains("SortMergeJoin"),
+      s"ransac candidates not broadcast:\n$rs")
+    // llm_rouge / llm_bleu: every reference dictionary join is broadcast
+    // (lang-sized); the only shuffles are the count aggregations
+    Seq("llm_rouge", "llm_bleu").foreach { k =>
+      val p = planOf(k)
+      assert(p.contains("BroadcastHashJoin"), s"$k reference not broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$k cartesian:\n$p")
+    }
     // llm_pref_pairs: rank windows are LANG-partitioned, never global
     val pp = planOf("llm_pref_pairs")
     assert(pp.contains("windowspecdefinition(lang"),

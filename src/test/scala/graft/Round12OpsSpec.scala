@@ -870,4 +870,76 @@ class Round12OpsSpec extends SparkSpec {
     // at least one type splits on both sides (30-day series, k1 interior)
     assert(got.values.exists(v => v._4.isDefined && v._6.isDefined))
   }
+
+  test("eo_sun_position equals a scalar solar-geometry mirror; both lanes fire") {
+    import org.apache.spark.sql.functions.{col, unix_timestamp}
+    def s4d(x: Double) = math.floor(x * 1e4 + 0.5).toLong
+    def hud(s: Long, n: Long): Long = {
+      val (a, b) = (2 * s + n, 2 * n)
+      ((a - math.floorMod(a, b)).toDouble / b.toDouble).toLong
+    }
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("te"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = ev.map { case (eid, uid, te) =>
+      val lat = (uid % 13) * 10 - 60
+      val lon = (eid % 24) * 15 - 180
+      val d = (te / 86400) % 365
+      val hs = te % 86400
+      val dec4 = s4d(-23.44 *
+        math.cos(math.Pi * ((d + 10).toDouble * 360.0 / 365.0) / 180.0))
+      val hdeg = (hs * 15 + lon * 3600 - 648000).toDouble / 3600.0
+      val sdec4 = s4d(math.sin(math.Pi * (dec4.toDouble / 10000.0) / 180.0))
+      val cdec4 = s4d(math.cos(math.Pi * (dec4.toDouble / 10000.0) / 180.0))
+      val sphi4 = s4d(math.sin(math.Pi * lat.toDouble / 180.0))
+      val cphi4 = s4d(math.cos(math.Pi * lat.toDouble / 180.0))
+      val cha4 = s4d(math.cos(math.Pi * hdeg / 180.0))
+      val se8 = sphi4 * sdec4 + hud(cphi4 * cdec4 * cha4, 10000L)
+      (eid, lat, lon, d, dec4, s4d(hdeg), se8, if (se8 > 0) 1 else 0)
+    }.sortBy(_._1).toSeq
+    val got = SparkEntry.queries("eo_sun_position")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getInt(7)))
+      .toSeq
+    assert(got == expect, s"got ${got.take(2)}…\nexpect ${expect.take(2)}…")
+    // physical sanity: both day and night occur, and the declination
+    // stays inside the tropics
+    assert(got.exists(_._8 == 1) && got.exists(_._8 == 0))
+    assert(got.forall(g => math.abs(g._5) <= 234400L))
+  }
+
+  test("dq_xmr_control equals a scalar Shewhart mirror; the warning lane fires") {
+    import org.apache.spark.sql.functions.{col, unix_timestamp}
+    def s2d(x: Double) = math.floor(x * 100 + 0.5).toLong
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), unix_timestamp(col("ts")).as("te"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1) / 86400, s2d(r.getDouble(2))))
+    val got = SparkEntry.queries("dq_xmr_control")(spark, sfDir)
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), Option(r.get(3)).map(_ => r.getLong(3)),
+          r.getInt(4), r.getInt(5), r.getInt(6)))).toMap
+    ev.groupBy(_._1).foreach { case (et, rows) =>
+      val days = rows.groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (day, xs) => (day, xs.map(_._3).sum) }
+      val n = days.length.toLong
+      val sx = days.map(_._2).sum
+      val mrs = days.map(_._2).zip(days.map(_._2).tail).map(p => math.abs(p._2 - p._1))
+      val (sr, mm) = (mrs.sum, mrs.length.toLong)
+      days.zipWithIndex.foreach { case ((day, x), i) =>
+        val mr = if (i == 0) None else Some(math.abs(x - days(i - 1)._2))
+        val oob = if (math.abs(x * n - sx) * mm * 100 > 266 * sr * n) 1 else 0
+        val warn = if (math.abs(x * n - sx) * mm * 300 > 532 * sr * n) 1 else 0
+        val run8 = if (i >= 7 && (math.max(i - 7, 0) to i).forall(j =>
+            days(j)._2 * n > sx) ||
+          i >= 7 && (math.max(i - 7, 0) to i).forall(j => days(j)._2 * n <= sx)) 1
+        else 0
+        assert(got((et, day)) == (x, mr, oob, warn, run8),
+          s"$et@$day: ${got((et, day))} vs ${(x, mr, oob, warn, run8)}")
+      }
+    }
+    // the corpus is in-control at 3σ (correct behavior for iid daily
+    // sums) while the 2σ warning line genuinely fires
+    assert(got.values.forall(_._3 == 0))
+    assert(got.values.exists(_._4 == 1))
+  }
 }
