@@ -733,6 +733,47 @@ object Scalars {
     // same RFC alphabet, so equality is the conformance claim) plus a
     // decode-roundtrip flag proving unbase64∘base64 = id on this
     // corpus. Map-only; one partial agg would fold it at any scale.
+    // Snowflake-id codec (round 12, third wave) [PK: the Twitter
+    // Snowflake layout every event pipeline mints — 41-bit ms
+    // timestamp | 10-bit machine | 12-bit sequence]: ids are MINTED
+    // from the event fields (ms = te·1000 + id%1000, shard =
+    // user%1024, seq = id%4096 — sid ≈ 7.2e18 stays inside int64) and
+    // DECODED back by pure floor-div/mod, with the roundtrip flag
+    // graded — the encode and decode halves must be exact inverses on
+    // both engines or the flag lane breaks. The decode is the op log
+    // pipelines actually run (extract event time + shard from an id
+    // column without a timestamp column); map-only, scan-fused.
+    Q("fn_snowflake", Some(
+      "WITH b AS (SELECT event_id, user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS te FROM events), " +
+        "e AS (SELECT event_id, te * 1000 + event_id % 1000 AS ms, " +
+        "user_id % 1024 AS shard, event_id % 4096 AS seq FROM b), " +
+        "sid AS (SELECT event_id, ms, shard, seq, " +
+        "ms * 4194304 + shard * 4096 + seq AS id FROM e) " +
+        "SELECT event_id, id, id // 4194304 AS ms2, " +
+        "(id // 4096) % 1024 AS shard2, id % 4096 AS seq2, " +
+        "CAST(CASE WHEN id // 4194304 = ms AND (id // 4096) % 1024 = shard " +
+        "AND id % 4096 = seq THEN 1 ELSE 0 END AS INT) AS roundtrip_ok " +
+        "FROM sid ORDER BY event_id"),
+      (s, d) => {
+        val e = T.events(s, d).select(col("event_id"), col("user_id"),
+            epochS(col("ts")).as("te"))
+          .select(col("event_id"),
+            (col("te") * 1000 + col("event_id") % 1000).as("ms"),
+            (col("user_id") % 1024).as("shard"),
+            (col("event_id") % 4096).as("seq"))
+          .withColumn("id",
+            col("ms") * 4194304L + col("shard") * 4096L + col("seq"))
+        e.select(col("event_id"), col("id"),
+            expr("id div 4194304").as("ms2"),
+            (expr("id div 4096") % 1024).as("shard2"),
+            (col("id") % 4096).as("seq2"),
+            when(expr("id div 4194304") === col("ms") &&
+              (expr("id div 4096") % 1024) === col("shard") &&
+              (col("id") % 4096) === col("seq"), 1).otherwise(0)
+              .cast("int").as("roundtrip_ok"))
+          .orderBy("event_id")
+      }),
+
     Q("fn_base64", Some(
       "WITH r AS (SELECT o_orderkey AS k, " +
         "o_orderpriority || '|' || o_orderstatus || '|' || CAST(o_custkey AS VARCHAR) AS s " +

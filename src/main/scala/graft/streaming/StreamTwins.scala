@@ -674,6 +674,98 @@ object StreamTwins {
         s.table("graft_exec_tws").orderBy("user_id", "n_inv")
       }),
 
+    // EXECUTED v2-state-API TIMERS (round 12, third wave) — the other
+    // half of transformWithState that stream_exec_tws leaves untouched
+    // [SPARK-46815]: registerTimer/handleExpiredTimer, the API's
+    // replacement for GroupState's setTimeoutDuration. Staged like
+    // stream_exec_ptimeout (A = first half all users, B = second half
+    // of user_id % 3 = 0, mtime-ordered, maxFilesPerTrigger=1);
+    // handleInputRows folds and arms a 1 ms processing-time timer,
+    // handleExpiredTimer emits the fold once and clears (empty-state
+    // guard silences the re-armed timer's late fire). MEASURED
+    // Spark-4.1 ordering (load-bearing, pinned by the hash): within a
+    // micro-batch, INPUT ROWS are processed BEFORE expired timers —
+    // so a B-user's batch-1 timer fires in batch 2 AFTER batch 2's
+    // data folded in, and every staged user emits exactly once with
+    // its FULL (count, Σs6) staged fold. The oracle is therefore the
+    // plain per-user aggregate over A ∪ B. Query stopped by the
+    // ptimeout deterministic cut once the sink holds one emission per
+    // staged user. BUILD-TIME SIDE EFFECT: stages files + runs (and
+    // stops) the streaming query at plan-construction time.
+    Q("stream_exec_tws_timer", Some(
+      "WITH te AS (SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS te, value FROM events), " +
+        "mm AS (SELECT (MIN(te) + MAX(te)) // 2 AS tm FROM te), " +
+        "a AS (SELECT * FROM te WHERE te <= (SELECT tm FROM mm)), " +
+        "b AS (SELECT * FROM te WHERE te > (SELECT tm FROM mm) AND user_id % 3 = 0), " +
+        "u AS (SELECT * FROM a UNION ALL SELECT * FROM b) " +
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(" + sqlS6("value") + ") AS BIGINT) AS sum_val " +
+        "FROM u GROUP BY user_id ORDER BY user_id"),
+      (s, d) => {
+        val landing = java.nio.file.Files.createTempDirectory("graft_exec_twstimer")
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = s.read.parquet(s"$d/events.parquet")
+        val Array(mn, mx) = raw
+          .agg(min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts"))))
+          .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+        val tm = Math.floorDiv(mn + mx, 2L)
+        val stagedPred = unix_timestamp(col("ts")) <= tm ||
+          (unix_timestamp(col("ts")) > tm && col("user_id") % 3 === 0)
+        val nUsers = raw.where(stagedPred)
+          .select(countDistinct(col("user_id"))).collect().head.getLong(0)
+        def stage(pred: org.apache.spark.sql.Column, name: String,
+            ageSec: Long): Unit = {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_twstimer_part")
+          raw.where(pred).coalesce(1)
+            .write.mode("overwrite").parquet(tmp.toString)
+          val part = new java.io.File(tmp.toString).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = landing.resolve(name)
+          java.nio.file.Files.move(part.toPath, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis() - ageSec * 1000))
+        }
+        stage(unix_timestamp(col("ts")) <= tm, "a.parquet", 240L)
+        stage(unix_timestamp(col("ts")) > tm && col("user_id") % 3 === 0,
+          "b.parquet", 120L)
+        val providerKey = "spark.sql.streaming.stateStore.providerClass"
+        val prevProvider = s.conf.getOption(providerKey)
+        s.conf.set(providerKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val sq = s
+          import sq.implicits._
+          val stream = T.eventsStream(s, d, landing.toString, Some(1))
+            .select(col("user_id"), col("value"))
+            .as[(Long, Double)]
+          val emitted = stream.groupByKey(_._1)
+            .transformWithState(
+              new TwsTimerFold(),
+              org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+              org.apache.spark.sql.streaming.OutputMode.Append())
+            .toDF("user_id", "n", "sum_val")
+          val q = emitted.writeStream.format("memory")
+            .queryName("graft_exec_tws_timer")
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          val deadline = System.currentTimeMillis() + 180000L
+          while (s.table("graft_exec_tws_timer").count() < nUsers &&
+              System.currentTimeMillis() < deadline) {
+            Thread.sleep(100L)
+          }
+          q.stop()
+          q.awaitTermination()
+        } finally {
+          prevProvider match {
+            case Some(p) => s.conf.set(providerKey, p)
+            case None => s.conf.unset(providerKey)
+          }
+        }
+        s.table("graft_exec_tws_timer").orderBy("user_id")
+      }),
+
     // EXECUTED checkpoint recovery (round 10 third wave) — the
     // exactly-once RESTART property, which none of the other executed
     // keys touch (they each run one query lifetime): the same tumbling
@@ -1330,5 +1422,59 @@ private[streaming] final class TwsRunningFold
     invRows.appendValue(batchRows)
     val nInv = invRows.get().size.toLong
     Iterator((uid, nInv, n, acc))
+  }
+}
+
+/** The `stream_exec_tws_timer` StatefulProcessor: the TIMER half of the
+  * v2 state API [SPARK-46815] — handleInputRows folds and arms a 1 ms
+  * processing-time timer; handleExpiredTimer emits the fold exactly once
+  * and clears. The empty-state guard makes late timer fires (from the
+  * re-arm in a key's last data batch) silent, so every key emits at most
+  * once no matter how many timers it armed.
+  */
+private[streaming] final class TwsTimerFold
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Double), (Long, Long, Long)] {
+
+  @transient private var fold:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    fold = getHandle.getValueState[(Long, Long)]("fold",
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong),
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  }
+
+  override def handleInputRows(
+      uid: Long,
+      rows: Iterator[(Long, Double)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long, Long)] = {
+    var (n, acc) = if (fold.exists()) fold.get() else (0L, 0L)
+    rows.foreach { r =>
+      n += 1
+      acc += math.floor(r._2 * 1e6 + 0.5).toLong
+    }
+    fold.update((n, acc))
+    // 1 ms: expired by any LATER batch (the stream_exec_ptimeout law)
+    getHandle.registerTimer(
+      timerValues.getCurrentProcessingTimeInMs() + 1L)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(
+      uid: Long,
+      timerValues: org.apache.spark.sql.streaming.TimerValues,
+      expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[(Long, Long, Long)] = {
+    if (fold.exists()) {
+      val (n, acc) = fold.get()
+      fold.clear()
+      Iterator((uid, n, acc))
+    } else Iterator.empty
   }
 }

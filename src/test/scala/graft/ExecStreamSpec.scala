@@ -217,4 +217,27 @@ class ExecStreamSpec extends SparkSpec {
     assert(!prov.exists(_.contains("RocksDB")), "provider conf leaked")
     assert(run() == expect, "second invocation in the same session")
   }
+
+  test("executed v2-API timers fire once per key with the full staged fold, twice") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("te"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val (mn, mx) = (ev.map(_._2).min, ev.map(_._2).max)
+    val tm = Math.floorDiv(mn + mx, 2L)
+    def s6d(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val staged = ev.filter(e => e._2 <= tm || (e._2 > tm && e._1 % 3 == 0))
+    val expect = staged.groupBy(_._1).toSeq
+      .map { case (u, xs) => (u, xs.length.toLong, xs.map(e => s6d(e._3)).sum) }
+      .sortBy(_._1)
+    def run() = SparkEntry.queries("stream_exec_tws_timer")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = run()
+    // exactly one timer emission per staged key, each the complete fold
+    // (data-before-timers batch ordering + the empty-state guard)
+    assert(got.nonEmpty && got == expect,
+      s"got ${got.take(3)}…\nexpect ${expect.take(3)}…")
+    assert(got.map(_._1).distinct.size == got.size, "a key emitted twice")
+    assert(run() == expect, "second invocation in the same session")
+  }
 }
