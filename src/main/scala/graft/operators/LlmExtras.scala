@@ -365,6 +365,78 @@ object LlmExtras {
           .orderBy("lang", "doc_id")
       }),
 
+    // Content-defined chunking (round 12, third wave) [the rsync/LBFS/
+    // FastCDC rolling-boundary family — Muthitacharoen et al. 2001;
+    // Xia et al. 2016]: chunk boundaries fall where the rolling 4-token
+    // fingerprint hits hash ≡ 0 (mod 16), so an insertion early in a
+    // document SHIFTS boundaries only locally and duplicate passages
+    // re-align — the property fixed-stride chunking (llm_chunk_dedup)
+    // structurally lacks, and the reason dedup/storage systems chunk
+    // this way. The fingerprint is the portable Det.hash32 over the
+    // 4-token shingle, so boundary placement is oracle-graded
+    // bit-for-bit. Per doc: token/chunk censuses, the order-free
+    // Σhash32(chunk) checksum, and n_shared = occurrences living in a
+    // chunk seen in ≥2 documents (the dedup signal, via one global
+    // chunk-df join). Position work is doc-bounded explode; the df
+    // dictionary is chunk-count-sized.
+    Q("llm_cdc_shingle", Some(
+      "WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents), " +
+        "pos AS (SELECT doc_id, tk[i] AS tok, i, " +
+        "CASE WHEN i >= 4 AND " +
+        sqlHash32("'cdc:' || ARRAY_TO_STRING(LIST_SLICE(tk, i - 3, i), ' ')") +
+        " % 16 = 0 THEN 1 ELSE 0 END AS b " +
+        // the index range derives from the corpus (ADVICE r11: no
+        // silent fixed cap — a longer future doc must not truncate)
+        "FROM t, (SELECT UNNEST(RANGE(1, (SELECT MAX(LEN(tk)) + 1 FROM t))) AS i) ix " +
+        "WHERE i <= LEN(tk)), " +
+        "sg AS (SELECT doc_id, tok, i, " +
+        "COALESCE(CAST(SUM(b) OVER (PARTITION BY doc_id ORDER BY i " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS seg FROM pos), " +
+        "ck AS (SELECT doc_id, seg, CAST(COUNT(*) AS BIGINT) AS ctoks, " +
+        sqlHash32("'ck:' || STRING_AGG(tok, ' ' ORDER BY i)") + " AS ch " +
+        "FROM sg GROUP BY doc_id, seg), " +
+        "df AS (SELECT ch, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d FROM ck GROUP BY ch) " +
+        "SELECT ck.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks, " +
+        "CAST(SUM(ck.ctoks) AS BIGINT) AS n_tok, " +
+        "CAST(SUM(ck.ch) AS BIGINT) AS checksum, " +
+        "CAST(SUM(CASE WHEN df.d >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared " +
+        "FROM ck JOIN df ON df.ch = ck.ch " +
+        "GROUP BY ck.doc_id ORDER BY ck.doc_id"),
+      (s, d) => {
+        val pos = T.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("tk"))
+          .select(col("doc_id"), col("tk"),
+            posexplode(col("tk")).as(Seq("p0", "tok")))
+          .select(col("doc_id"), col("tok"), (col("p0") + 1).as("i"),
+            when(col("p0") + 1 >= 4 &&
+              // greatest-clamp: the i>=4 guard already excludes these
+              // rows, but Spark may evaluate the branch eagerly and
+              // slice rejects start 0
+              hash32(concat(lit("cdc:"),
+                concat_ws(" ", slice(col("tk"),
+                  greatest(col("p0") - 2, lit(1)), lit(4))))) % 16 === 0,
+              1L).otherwise(0L).as("b"))
+        val w = Window.partitionBy("doc_id").orderBy("i")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val sg = pos.withColumn("seg",
+          coalesce(sum(col("b")).over(w), lit(0L)))
+        val ck = sg.groupBy("doc_id", "seg")
+          .agg(count(lit(1)).as("ctoks"),
+            concat_ws(" ", transform(
+              array_sort(collect_list(struct(col("i"), col("tok")))),
+              e => e.getField("tok"))).as("ctext"))
+          .select(col("doc_id"), col("ctoks"),
+            hash32(concat(lit("ck:"), col("ctext"))).as("ch"))
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        val df = ck.groupBy("ch").agg(countDistinct(col("doc_id")).as("dcnt"))
+        ck.join(broadcast(df), Seq("ch"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"), sum(col("ctoks")).as("n_tok"),
+            sum(col("ch")).as("checksum"),
+            sum(when(col("dcnt") >= 2, 1L).otherwise(0L)).as("n_shared"))
+          .orderBy("doc_id")
+      }),
+
     // SimHash-32 (Charikar 2002, "Similarity estimation techniques from
     // rounding algorithms"): hash32(token) per distinct token; each bit
     // position accumulates +w/-w by token frequency, signs form the

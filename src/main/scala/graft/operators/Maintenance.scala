@@ -603,6 +603,86 @@ object Maintenance {
           .orderBy("layout")
       }),
 
+    // Incremental materialized-view refresh (round 12, third wave)
+    // [PK: Delta/Snowflake/Materialize incremental view maintenance —
+    // the additive-aggregate case]: a per-type (count, Σcents) view is
+    // materialized at v1; v2 appends new data files; the refresh reads
+    // ONLY the delta files (the Snapshots manifest diff — never a full
+    // rescan), partial-aggregates them, and MERGES into the stored
+    // view by additive union (outer union + sum — the classic IVM
+    // delta rule for SUM/COUNT). Graded per version: the view rows AND
+    // n_files_read, where the refresh lane's 1 (vs the base build's 2)
+    // PROVES the incrementality is physical — both vintages' files sit
+    // in one directory and the refresh must touch only the delta (the
+    // maint_wap exactly-n-files census trick). The oracle recomputes
+    // both vintages from event arithmetic; a refresh that dropped the
+    // stored view, double-applied the delta, or rescanned everything
+    // breaks rows or the file census. BUILD-TIME SIDE EFFECT: commits
+    // a temp table + materializes the view twice at plan-construction
+    // time.
+    Q("maint_incremental_view", Some(
+      "WITH te AS (SELECT event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t, value FROM events), " +
+        "mm AS (SELECT (MIN(t) + MAX(t)) // 2 AS tm FROM te), " +
+        "v1 AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(" + sqlS2("value") + ") AS BIGINT) AS sum_c2 " +
+        "FROM te WHERE t <= (SELECT tm FROM mm) GROUP BY event_type), " +
+        "v2 AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(" + sqlS2("value") + ") AS BIGINT) AS sum_c2 " +
+        "FROM te GROUP BY event_type) " +
+        "SELECT 'v1_build' AS phase, event_type, n, sum_c2, CAST(2 AS BIGINT) AS n_files_read FROM v1 " +
+        "UNION ALL SELECT 'v2_incr', event_type, n, sum_c2, CAST(1 AS BIGINT) FROM v2 " +
+        "ORDER BY phase, event_type"),
+      (s, d) => {
+        val dir = graft.GraftTmp.dir("ivm")
+        graft.maintenance.Compaction.deleteRecursively(
+          java.nio.file.Paths.get(dir))
+        val S = graft.maintenance.Snapshots
+        val snap = StructType(eventsProj.fields :+
+          StructField("event_type", StringType) :+
+          StructField("te", LongType))
+        val ev = T.events(s, d)
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("event_type"), epochS(col("ts")).as("te"))
+        val Array(mn, mx) = ev.agg(min(col("te")), max(col("te")))
+          .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+        val tm = Math.floorDiv(mn + mx, 2L)
+        ev.where(col("te") <= tm).repartition(2)
+          .write.mode("overwrite").parquet(dir)
+        val v1 = S.commit(dir)
+        val v1Files = S.files(dir, v1).toSet
+        def agg(frame: DataFrame) = frame
+          .withColumn("_f", input_file_name())
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(s2(col("value"))).as("sum_c2"),
+            countDistinct(col("_f")).as("nf"))
+        // v1 build: full scan of the v1 snapshot → the stored view
+        val mv1 = agg(S.readAsOf(s, dir, snap, v1))
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        // v2: the second half lands as ONE new file
+        ev.where(col("te") > tm).coalesce(1)
+          .write.mode("append").parquet(dir)
+        val v2 = S.commit(dir)
+        val deltaFiles = S.files(dir, v2).filterNot(v1Files)
+        require(deltaFiles.size == 1, s"delta census: $deltaFiles")
+        // incremental refresh: partial-agg ONLY the delta files, then
+        // the additive outer merge into the stored view
+        val delta = agg(s.read.schema(snap)
+          .parquet(deltaFiles.map(f => s"$dir/$f"): _*))
+        val merged = mv1.select(col("event_type"), col("n").as("n1"),
+            col("sum_c2").as("s1"))
+          .join(delta.select(col("event_type"), col("n").as("n2"),
+            col("sum_c2").as("s2"), col("nf").as("nf2")), Seq("event_type"), "full_outer")
+          .select(col("event_type"),
+            (coalesce(col("n1"), lit(0L)) + coalesce(col("n2"), lit(0L))).as("n"),
+            (coalesce(col("s1"), lit(0L)) + coalesce(col("s2"), lit(0L))).as("sum_c2"),
+            coalesce(col("nf2"), lit(0L)).as("nf"))
+        def shape(phase: String, frame: DataFrame) =
+          frame.select(lit(phase).as("phase"), col("event_type"),
+            col("n"), col("sum_c2"), col("nf").as("n_files_read"))
+        shape("v1_build", mv1).unionAll(shape("v2_incr", merged))
+          .orderBy("phase", "event_type")
+      }),
+
     // Write-audit-publish graded end-to-end (round 12, third wave) —
     // the Iceberg WAP branch workflow [PK: Iceberg spark.wap.branch /
     // fast_forward], the deploy gate every production lake runs: new

@@ -942,4 +942,70 @@ class Round12OpsSpec extends SparkSpec {
     assert(got.values.forall(_._3 == 0))
     assert(got.values.exists(_._4 == 1))
   }
+
+  test("maint_incremental_view: refresh equals full recompute and reads only the delta") {
+    import org.apache.spark.sql.functions.{col, unix_timestamp}
+    def s2d(x: Double) = math.floor(x * 100 + 0.5).toLong
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), unix_timestamp(col("ts")).as("te"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), s2d(r.getDouble(2))))
+    val tm = Math.floorDiv(ev.map(_._2).min + ev.map(_._2).max, 2L)
+    def viewOf(rows: Seq[(String, Long, Long)]) =
+      rows.groupBy(_._1).view.mapValues(xs => (xs.length.toLong, xs.map(_._3).sum)).toMap
+    val (full, half) = (viewOf(ev.toSeq), viewOf(ev.filter(_._2 <= tm).toSeq))
+    val got = SparkEntry.queries("maint_incremental_view")(spark, sfDir)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    half.foreach { case (et, (n, s)) =>
+      assert(got(("v1_build", et)) == (n, s, 2L), s"v1 $et") }
+    full.foreach { case (et, (n, s)) =>
+      // the merged view equals the full recompute, built from ONE file
+      assert(got(("v2_incr", et)) == (n, s, 1L), s"v2 $et") }
+    // the delta genuinely contributed (the view moved between versions)
+    assert(full.exists { case (et, v) => half.get(et).exists(_ != v) })
+  }
+
+  test("llm_cdc_shingle equals a scalar rolling-boundary mirror; boundaries re-align") {
+    import java.security.MessageDigest
+    import org.apache.spark.sql.functions.col
+    def h32(t: String): Long = {
+      val dg = MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+      (0 until 4).map(i => (dg(i).toLong & 0xffL) << (8 * i)).sum
+    }
+    def chunksOf(toks: Seq[String]): Seq[Seq[String]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      var cur = scala.collection.mutable.ArrayBuffer.empty[String]
+      toks.zipWithIndex.foreach { case (tok, p0) =>
+        cur += tok
+        val i = p0 + 1
+        if (i >= 4 &&
+            h32("cdc:" + toks.slice(i - 4, i).mkString(" ")) % 16 == 0) {
+          out += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer.empty
+        }
+      }
+      if (cur.nonEmpty) out += cur.toSeq
+      out.toSeq
+    }
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val allChunks = docs.map { case (id, text) =>
+      id -> chunksOf(text.split(" ", -1).toSeq).map(c =>
+        (h32("ck:" + c.mkString(" ")), c.length.toLong))
+    }.toMap
+    val dfm = allChunks.toSeq.flatMap { case (id, cs) => cs.map(c => (c._1, id)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val expect = allChunks.toSeq.map { case (id, cs) =>
+      (id, cs.length.toLong, cs.map(_._2).sum, cs.map(_._1).sum,
+        cs.count(c => dfm(c._1) >= 2).toLong)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("llm_cdc_shingle")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expect, s"got ${got.take(2)}…\nexpect ${expect.take(2)}…")
+    // the CDC property the key exists for: near-dup docs share chunks
+    assert(got.exists(_._5 > 0L), "no chunk re-alignment on a near-dup corpus")
+    // boundaries are content-defined, not fixed-stride: chunk counts vary
+    assert(got.map(_._2).distinct.size > 1)
+  }
 }
