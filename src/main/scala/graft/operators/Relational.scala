@@ -63,7 +63,45 @@ object Relational {
     Seq((140L, 20L), (240L, 40L), (160L, 110L)),
     Seq((130L, 180L), (190L, 130L), (250L, 180L), (190L, 230L)))
 
+  /** scan_parquet_decimal's scratch table — the path is baked into the
+    * oracle string at registry init (the dq_schema_drift pattern). */
+  private val DecDir = graft.GraftTmp.dir("dec_scan")
+
   val all: Seq[Q] = Seq(
+
+    // DECIMAL parquet interchange (round 12, third wave) — the exact-
+    // money type path none of the other scans touch: Spark WRITES
+    // value as DECIMAL(12,2) (parquet INT64 with the DECIMAL logical
+    // type at precision ≤ 18), and BOTH engines read the SAME file
+    // back through their own decimal readers — the file is the shared
+    // truth, so the write-side rounding mode cancels out of the graded
+    // surface and what's graded is the interchange itself (annotation,
+    // scale, sign handling). Aggregates are exact integer cents
+    // (DECIMAL·100 → BIGINT loses nothing at scale 2). The graded
+    // outputs stay BIGINT per the oracle OUTPUT-TYPE gate; DECIMAL
+    // appears only inside the readers. BUILD-TIME SIDE EFFECT: writes
+    // the decimal table at plan-construction time.
+    Q("scan_parquet_decimal", Some(
+      "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CAST(v * 100 AS BIGINT)) AS BIGINT) AS sum_c2, " +
+        "CAST(MIN(CAST(v * 100 AS BIGINT)) AS BIGINT) AS min_c2, " +
+        "CAST(MAX(CAST(v * 100 AS BIGINT)) AS BIGINT) AS max_c2 " +
+        s"FROM read_parquet('$DecDir/*.parquet') " +
+        "GROUP BY event_type ORDER BY event_type"),
+      (s, d) => {
+        graft.maintenance.Compaction.deleteRecursively(
+          java.nio.file.Paths.get(DecDir))
+        T.events(s, d)
+          .select(col("event_type"), col("value").cast("decimal(12,2)").as("v"))
+          .write.mode("overwrite").parquet(DecDir)
+        s.read.parquet(DecDir)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum((col("v") * 100).cast("long")).as("sum_c2"),
+            min((col("v") * 100).cast("long")).as("min_c2"),
+            max((col("v") * 100).cast("long")).as("max_c2"))
+          .orderBy("event_type")
+      }),
 
     Q("scan_parquet", Some(
       "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, " +

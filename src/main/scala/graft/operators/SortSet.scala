@@ -36,6 +36,29 @@ object SortSet {
           .limit(10)
           .select(col("o_orderkey"), s2(col("o_totalprice")).as("top_price"))),
 
+    // LIMIT/OFFSET pagination (round 12, third wave) [SPARK-28330 /
+    // SPARK-39159: the OFFSET clause and Dataset.offset, 3.4+] — the
+    // keyset-less paging surface every API backend runs: page 5 of the
+    // price-ranked orders, i.e. rows 41-50 under a TOTAL order (the
+    // (price, key) tie-break makes the page set-stable, so the graded
+    // hash pins the offset law itself — an off-by-one page boundary or
+    // an offset applied before the sort changes the rows). Spark plans
+    // a global-sort + CollectLimit with the offset folded in; at scale
+    // the same query should become keyset pagination (WHERE key >
+    // last_seen ORDER BY LIMIT), which join_asof-style predicates
+    // already express — this key grades the OFFSET semantics, not the
+    // recommended access path.
+    Q("limit_offset", Some(
+      "SELECT o_orderkey, " + sqlS2("o_totalprice") + " AS price2 " +
+        "FROM orders ORDER BY o_totalprice DESC, o_orderkey " +
+        "LIMIT 10 OFFSET 40"),
+      (s, d) =>
+        T.orders(s, d)
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .offset(40)
+          .limit(10)
+          .select(col("o_orderkey"), s2(col("o_totalprice")).as("price2"))),
+
     Q("set_union_all", Some(
       "SELECT o_custkey FROM orders WHERE o_totalprice > 300000 " +
         "UNION ALL SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT' " +

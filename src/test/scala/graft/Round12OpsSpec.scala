@@ -1008,4 +1008,38 @@ class Round12OpsSpec extends SparkSpec {
     // boundaries are content-defined, not fixed-stride: chunk counts vary
     assert(got.map(_._2).distinct.size > 1)
   }
+
+  test("limit_offset returns exactly rows 41-50 of the total order") {
+    import org.apache.spark.sql.functions.col
+    def s2d(x: Double) = math.floor(x * 100 + 0.5).toLong
+    val all = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy(t => (-t._2, t._1))
+    val expect = all.slice(40, 50).map(t => (t._1, s2d(t._2))).toSeq
+    val got = SparkEntry.queries("limit_offset")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect, s"page mismatch: $got vs $expect")
+  }
+
+  test("scan_parquet_decimal: the decimal file carries HALF_UP cents of the doubles") {
+    import org.apache.spark.sql.functions.col
+    val got = SparkEntry.queries("scan_parquet_decimal")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val mirror = ev.groupBy(_._1).view.mapValues { xs =>
+      val cents = xs.map(e => new java.math.BigDecimal(e._2)
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact())
+      (xs.length.toLong, cents.sum, cents.min, cents.max)
+    }.toMap
+    assert(got == mirror, s"decimal interchange drifted: ${got.headOption}")
+    // the written footer genuinely carries the DECIMAL logical type
+    val field = spark.read.parquet(graft.GraftTmp.dir("dec_scan")).schema("v")
+    assert(field.dataType ==
+      org.apache.spark.sql.types.DecimalType(12, 2), field.dataType.toString)
+  }
 }
