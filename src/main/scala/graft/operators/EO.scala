@@ -409,6 +409,64 @@ object EO {
           .orderBy("event_id")
       }),
 
+    // The spectral-index menu (round 12, third wave) [Rouse et al. 1974
+    // NDVI; McFeeters 1996 NDWI; Huete 1988 SAVI; Huete et al. 2002
+    // EVI — the index endpoints every EO API exposes next to band
+    // math]: four published indices over synthesized INTEGER band DNs,
+    // each index an exact integer ratio through ONE halfUpDiv — the
+    // L=0.5 and G=2.5 literals clear to integer form (SAVI =
+    // 3(n−r)/(2(n+r)+1), EVI = 5(n−r)/(2n+12r−15b+2)) so no float
+    // coefficient ever multiplies a measurement. NDVI/NDWI NULL on the
+    // zero-sum pixel, EVI NULL on its known non-positive-denominator
+    // domain edge (documented GDAL behavior); the 3-way land-cover
+    // decision (veg / water / other) is the graded classification
+    // lane. Map-only — fuses into the scan at any archive size.
+    Q("eo_spectral_indices", Some(
+      "WITH b AS (SELECT event_id, " +
+        "CAST(user_id % 83 AS BIGINT) AS bl, CAST(event_id % 89 AS BIGINT) AS gr, " +
+        "CAST(user_id % 101 AS BIGINT) AS rd, CAST(event_id % 97 AS BIGINT) AS nr " +
+        "FROM events), " +
+        "ix AS (SELECT event_id, " +
+        "CASE WHEN nr + rd = 0 THEN NULL ELSE " +
+        sqlHalfUpDiv("(nr - rd) * 1000000", "nr + rd") + " END AS ndvi6, " +
+        "CASE WHEN gr + nr = 0 THEN NULL ELSE " +
+        sqlHalfUpDiv("(gr - nr) * 1000000", "gr + nr") + " END AS ndwi6, " +
+        sqlHalfUpDiv("3 * (nr - rd) * 1000000", "2 * (nr + rd) + 1") + " AS savi6, " +
+        "CASE WHEN 2 * nr + 12 * rd - 15 * bl + 2 <= 0 THEN NULL ELSE " +
+        sqlHalfUpDiv("5 * (nr - rd) * 1000000", "2 * nr + 12 * rd - 15 * bl + 2") +
+        " END AS evi6 FROM b) " +
+        "SELECT event_id, ndvi6, ndwi6, savi6, evi6, " +
+        "CASE WHEN ndvi6 > 300000 THEN 'veg' WHEN ndwi6 > 0 THEN 'water' " +
+        "ELSE 'other' END AS cover " +
+        "FROM ix ORDER BY event_id"),
+      (s, d) => {
+        val b = T.events(s, d).select(col("event_id"),
+          (col("user_id") % 83).cast("long").as("bl"),
+          (col("event_id") % 89).cast("long").as("gr"),
+          (col("user_id") % 101).cast("long").as("rd"),
+          (col("event_id") % 97).cast("long").as("nr"))
+        val ix = b.select(col("event_id"),
+          when(col("nr") + col("rd") === 0, lit(null))
+            .otherwise(halfUpDiv((col("nr") - col("rd")) * 1000000L,
+              col("nr") + col("rd"))).as("ndvi6"),
+          when(col("gr") + col("nr") === 0, lit(null))
+            .otherwise(halfUpDiv((col("gr") - col("nr")) * 1000000L,
+              col("gr") + col("nr"))).as("ndwi6"),
+          halfUpDiv(lit(3) * (col("nr") - col("rd")) * 1000000L,
+            lit(2) * (col("nr") + col("rd")) + 1).as("savi6"),
+          when(lit(2) * col("nr") + lit(12) * col("rd") -
+              lit(15) * col("bl") + 2 <= 0, lit(null))
+            .otherwise(halfUpDiv(lit(5) * (col("nr") - col("rd")) * 1000000L,
+              lit(2) * col("nr") + lit(12) * col("rd") -
+                lit(15) * col("bl") + 2)).as("evi6"))
+        ix.select(col("event_id"), col("ndvi6"), col("ndwi6"),
+            col("savi6"), col("evi6"),
+            when(col("ndvi6") > 300000L, "veg")
+              .when(col("ndwi6") > 0L, "water")
+              .otherwise("other").as("cover"))
+          .orderBy("event_id")
+      }),
+
     // Landsat pixel_qa-style bitmask filter + clear-count (synthesized flags).
     Q("eo_bitmask", Some(
       "SELECT l_returnflag, " +

@@ -365,6 +365,108 @@ object LlmExtras {
           .orderBy("lang", "doc_id")
       }),
 
+    // Interpolated Kneser-Ney bigram scoring (round 12, third wave)
+    // [Kneser & Ney 1995; Chen & Goodman 1998 — THE n-gram smoothing,
+    // what KenLM/CCNet actually run where llm_bigram_logprob grades
+    // add-one]: P(w2|w1) = max(c12−D,0)/c1 + D·N1+(w1·)/c1 · Pcont(w2),
+    // Pcont = N1+(·w2)/N1+(··), D = 3/4. The probability is kept a
+    // RATIO OF INTEGERS — P = [max(4c12−3,0)·nt + 3·n1w1·nw2]/(4·c1·nt)
+    // — so −ln P = lnInt(den) − lnInt(num) rides the portable fixed
+    // IEEE sequence, no libm anywhere (the llm_bigram_logprob
+    // discipline upgraded to the real smoother). Held-out split: the
+    // model trains on hash-fold ≠ 0 docs and scores fold-0 docs, so
+    // unseen bigrams (the continuation-backoff lane — fires at both
+    // graded SFs, ~5% of test bigrams) grade for real. The Pcont-only
+    // unseen-CONTEXT lane is STRUCTURALLY dead on this corpus (the
+    // closed engine vocabulary puts every token in every split's
+    // context set — MEASURED at 4/5 and 1/5 training folds), so that
+    // branch is pinned by Round12OpsSpec's scalar mirror of the shared
+    // formula rather than by the corpus; the OOV floor max(num,1)
+    // likewise. Dictionaries broadcast (closed vocabulary); at open
+    // vocabulary the same joins shuffle on the token key.
+    Q("llm_kn_logprob", Some {
+      "WITH t AS (SELECT doc_id, lang, tk, " +
+        sqlHash32("CAST(doc_id AS VARCHAR)") + " % 5 AS fold " +
+        "FROM (SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS tk FROM documents) WHERE LEN(tk) >= 2), " +
+        "bg AS (SELECT doc_id, lang, fold, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(tk)), " +
+        "i -> tk[i] || ' ' || tk[i+1])) AS bigram FROM t), " +
+        "c12 AS (SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS c FROM bg WHERE fold <> 0 GROUP BY lang, bigram), " +
+        "sp AS (SELECT lang, bigram, c, STRING_SPLIT(bigram, ' ')[1] AS w1, " +
+        "STRING_SPLIT(bigram, ' ')[2] AS w2 FROM c12), " +
+        "c1 AS (SELECT lang, w1, CAST(SUM(c) AS BIGINT) AS c1, " +
+        "CAST(COUNT(*) AS BIGINT) AS n1w1 FROM sp GROUP BY lang, w1), " +
+        "cw2 AS (SELECT lang, w2, CAST(COUNT(*) AS BIGINT) AS nw2 FROM sp GROUP BY lang, w2), " +
+        "nt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nt FROM sp GROUP BY lang), " +
+        "te AS (SELECT b.doc_id, b.lang, b.bigram, " +
+        "STRING_SPLIT(b.bigram, ' ')[1] AS w1, STRING_SPLIT(b.bigram, ' ')[2] AS w2 " +
+        "FROM bg b WHERE b.fold = 0), " +
+        "j AS (SELECT te.lang, te.doc_id, c12.c AS c12, c1.c1, c1.n1w1, cw2.nw2, nt.nt " +
+        "FROM te LEFT JOIN c12 ON c12.lang = te.lang AND c12.bigram = te.bigram " +
+        "LEFT JOIN c1 ON c1.lang = te.lang AND c1.w1 = te.w1 " +
+        "LEFT JOIN cw2 ON cw2.lang = te.lang AND cw2.w2 = te.w2 " +
+        "JOIN nt ON nt.lang = te.lang), " +
+        "r AS (SELECT lang, doc_id, c12, c1, " +
+        "CASE WHEN c1 IS NOT NULL THEN GREATEST(" +
+        "GREATEST(4 * COALESCE(c12, 0) - 3, 0) * nt + 3 * n1w1 * COALESCE(nw2, 0), 1) " +
+        "ELSE GREATEST(4 * COALESCE(nw2, 0), 1) END AS num, " +
+        "CASE WHEN c1 IS NOT NULL THEN 4 * c1 * nt ELSE 4 * nt END AS den FROM j) " +
+        "SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_test_docs, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_bigrams, " +
+        "CAST(SUM(CASE WHEN c12 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen, " +
+        "CAST(SUM(CASE WHEN c1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ctx_unseen, " +
+        "CAST(SUM(" + sqlS6("(" + sqlLnInt("den") + " - " + sqlLnInt("num") + ")") +
+        ") AS BIGINT) AS sum_ce6 " +
+        "FROM r GROUP BY lang ORDER BY lang"
+    },
+      (s, d) => {
+        val t = T.documents(s, d)
+          .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"),
+            (Det.hash32(col("doc_id").cast("string")) % 5).as("fold"))
+          .where(size(col("tk")) >= 2)
+        val bg = t.select(col("doc_id"), col("lang"), col("fold"),
+          explode(expr(
+            "transform(sequence(1, size(tk) - 1), i -> concat(tk[i-1], ' ', tk[i]))"))
+            .as("bigram"))
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        val c12 = bg.where(col("fold") =!= 0)
+          .groupBy("lang", "bigram").agg(count(lit(1)).as("c"))
+        val sp = c12.select(col("lang"), col("bigram"), col("c"),
+          split(col("bigram"), " ").getItem(0).as("w1"),
+          split(col("bigram"), " ").getItem(1).as("w2"))
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        val c1 = sp.groupBy("lang", "w1")
+          .agg(sum(col("c")).as("c1"), count(lit(1)).as("n1w1"))
+        val cw2 = sp.groupBy("lang", "w2").agg(count(lit(1)).as("nw2"))
+        val nt = sp.groupBy("lang").agg(count(lit(1)).as("nt"))
+        val te = bg.where(col("fold") === 0)
+          .select(col("doc_id"), col("lang"), col("bigram"),
+            split(col("bigram"), " ").getItem(0).as("w1"),
+            split(col("bigram"), " ").getItem(1).as("w2"))
+        val j = te
+          .join(broadcast(c12.select(col("lang"), col("bigram"), col("c").as("c12"))),
+            Seq("lang", "bigram"), "left")
+          .join(broadcast(c1), Seq("lang", "w1"), "left")
+          .join(broadcast(cw2), Seq("lang", "w2"), "left")
+          .join(broadcast(nt), Seq("lang"))
+        val num = when(col("c1").isNotNull,
+          greatest(
+            greatest(lit(4) * coalesce(col("c12"), lit(0L)) - 3, lit(0L)) * col("nt") +
+              lit(3) * col("n1w1") * coalesce(col("nw2"), lit(0L)),
+            lit(1L)))
+          .otherwise(greatest(lit(4) * coalesce(col("nw2"), lit(0L)), lit(1L)))
+        val den = when(col("c1").isNotNull, lit(4) * col("c1") * col("nt"))
+          .otherwise(lit(4) * col("nt"))
+        j.select(col("lang"), col("doc_id"), col("c12"), col("c1"),
+            num.as("num"), den.as("den"))
+          .groupBy("lang")
+          .agg(countDistinct(col("doc_id")).as("n_test_docs"),
+            count(lit(1)).as("n_bigrams"),
+            sum(when(col("c12").isNull, 1L).otherwise(0L)).as("n_unseen"),
+            sum(when(col("c1").isNull, 1L).otherwise(0L)).as("n_ctx_unseen"),
+            sum(s6(lnInt(col("den")) - lnInt(col("num")))).as("sum_ce6"))
+          .orderBy("lang")
+      }),
+
     // Content-defined chunking (round 12, third wave) [the rsync/LBFS/
     // FastCDC rolling-boundary family — Muthitacharoen et al. 2001;
     // Xia et al. 2016]: chunk boundaries fall where the rolling 4-token

@@ -1042,4 +1042,91 @@ class Round12OpsSpec extends SparkSpec {
     assert(field.dataType ==
       org.apache.spark.sql.types.DecimalType(12, 2), field.dataType.toString)
   }
+
+  test("llm_kn_logprob equals a scalar Kneser-Ney mirror; backoff lane fires") {
+    import java.security.MessageDigest
+    import org.apache.spark.sql.functions.col
+    def h32(t: String): Long = {
+      val dg = MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+      (0 until 4).map(i => (dg(i).toLong & 0xffL) << (8 * i)).sum
+    }
+    def s6d(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    // the shared integer-rational KN term, the formula BOTH engines spell
+    def ceTerm(c12: Option[Long], c1: Option[(Long, Long)], nw2: Long,
+        nt: Long): Double = {
+      val (num, den) = c1 match {
+        case Some((cc1, n1w1)) =>
+          (math.max(math.max(4 * c12.getOrElse(0L) - 3, 0L) * nt +
+            3 * n1w1 * nw2, 1L), 4 * cc1 * nt)
+        case None => (math.max(4 * nw2, 1L), 4 * nt)
+      }
+      Det.lnIntD(den) - Det.lnIntD(num)
+    }
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .filter(_._3.split(" ", -1).length >= 2)
+    def bigrams(t: String) = {
+      val u = t.split(" ", -1); u.zip(u.tail).map(p => p._1 + " " + p._2).toSeq
+    }
+    val expect = docs.groupBy(_._2).toSeq.map { case (lang, ds) =>
+      val (tr, te) = ds.partition(d => h32(d._1.toString) % 5 != 0)
+      val c12 = tr.flatMap(d => bigrams(d._3)).groupBy(identity)
+        .view.mapValues(_.length.toLong).toMap
+      val byW1 = c12.toSeq.groupBy(_._1.split(" ")(0))
+        .view.mapValues(xs => (xs.map(_._2).sum, xs.length.toLong)).toMap
+      val byW2 = c12.keys.toSeq.groupBy(_.split(" ")(1))
+        .view.mapValues(_.length.toLong).toMap
+      val nt = c12.size.toLong
+      val terms = te.flatMap(d => bigrams(d._3).map(b => (d._1, b)))
+      val ce = terms.map { case (_, b) =>
+        s6d(ceTerm(c12.get(b), byW1.get(b.split(" ")(0)),
+          byW2.getOrElse(b.split(" ")(1), 0L), nt))
+      }.sum
+      (lang, te.map(_._1).distinct.size.toLong, terms.length.toLong,
+        terms.count(t => !c12.contains(t._2)).toLong,
+        terms.count(t => !byW1.contains(t._2.split(" ")(0))).toLong, ce)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("llm_kn_logprob")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expect, s"got $got\nexpect $expect")
+    // the continuation-backoff lane genuinely fires somewhere
+    assert(got.map(_._4).sum > 0L, "no unseen bigram scored")
+    // the unseen-CONTEXT branch is corpus-dead (closed vocabulary) —
+    // pin the branch formula itself: Pcont-only scoring is
+    // lnInt(4·nt) − lnInt(max(4·nw2, 1)) and degrades to the OOV floor
+    assert(ceTerm(None, None, 5L, 100L) ==
+      Det.lnIntD(400L) - Det.lnIntD(20L))
+    assert(ceTerm(None, None, 0L, 100L) ==
+      Det.lnIntD(400L) - Det.lnIntD(1L))
+  }
+
+  test("eo_spectral_indices equals a scalar index mirror; all covers fire") {
+    import org.apache.spark.sql.functions.col
+    def hud(s: Long, n: Long): Long = {
+      val (a, b) = (2 * s + n, 2 * n)
+      ((a - math.floorMod(a, b)).toDouble / b.toDouble).toLong
+    }
+    val ev = Tables.events(spark, sfDir).select(col("event_id"), col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = ev.map { case (eid, uid) =>
+      val (bl, gr, rd, nr) = (uid % 83, eid % 89, uid % 101, eid % 97)
+      val ndvi = if (nr + rd == 0) None else Some(hud((nr - rd) * 1000000L, nr + rd))
+      val ndwi = if (gr + nr == 0) None else Some(hud((gr - nr) * 1000000L, gr + nr))
+      val savi = hud(3 * (nr - rd) * 1000000L, 2 * (nr + rd) + 1)
+      val eden = 2 * nr + 12 * rd - 15 * bl + 2
+      val evi = if (eden <= 0) None else Some(hud(5 * (nr - rd) * 1000000L, eden))
+      val cover = if (ndvi.exists(_ > 300000L)) "veg"
+        else if (ndwi.exists(_ > 0L)) "water" else "other"
+      (eid, ndvi, ndwi, savi, evi, cover)
+    }.sortBy(_._1).toSeq
+    val got = SparkEntry.queries("eo_spectral_indices")(spark, sfDir)
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_ => r.getLong(1)),
+        Option(r.get(2)).map(_ => r.getLong(2)), r.getLong(3),
+        Option(r.get(4)).map(_ => r.getLong(4)), r.getString(5))).toSeq
+    assert(got == expect, s"got ${got.take(2)}…\nexpect ${expect.take(2)}…")
+    assert(got.map(_._6).distinct.toSet == Set("veg", "water", "other"))
+  }
 }
