@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Det, Q, Tables => T}
-import graft.Det.{s6, sqlS6}
+import graft.Det.{halfUpDiv, s6, sqlHalfUpDiv, sqlS6}
 
 /** SURVEY.md §3 graph-analytics row: iterative link analysis as plain
   * relational rounds — the quality-weighting step real pretraining
@@ -473,6 +473,79 @@ object Graph {
           .agg(coalesce(max(col("l")), lit(0L)).as("layer"),
             count(col("u")).as("n_anc"))
           .orderBy("nation")
+      }),
+
+    // SimRank (round 12, third wave) [Jeh & Widom 2002, "SimRank: a
+    // measure of structural-context similarity"] — "two nodes are
+    // similar if their in-neighbors are similar", the link-based
+    // similarity used for related-entity retrieval where graph_jaccard
+    // grades direct overlap. K = 3 iterations of s'(a,b) =
+    // C/(|I(a)||I(b)|)·ΣΣ s(i,j) with C = 4/5 and s(a,a) ≡ 1, under
+    // the iterate-QUANTIZE discipline (each round's scores land on the
+    // s6 grid via the all-integer halfUpDiv(4·Σs6, 5·na·nb) before the
+    // next round consumes them — the eo_geomedian induction, so the
+    // Spark loop hash-matches the oracle's unrolled MATERIALIZED
+    // chain exactly). Each round is TWO in-edge equi joins + one
+    // (a,b)-keyed partial agg over the |V|²-bounded pair table —
+    // entity-graph scale by construction; the published web-scale
+    // variant prunes pairs below a threshold, the same plan with a
+    // HAVING gate. Pairs through in-degree-zero nodes stay 0.
+    Q("graph_simrank", Some {
+      val round = (k: Int) =>
+        s"s$k AS MATERIALIZED (SELECT p.a, p.b, CASE WHEN p.a = p.b THEN 1000000 " +
+          s"ELSE COALESCE(n.v6, 0) END AS s6 FROM allp p LEFT JOIN (" +
+          s"SELECT e1.dst AS a, e2.dst AS b, " +
+          sqlHalfUpDiv("4 * SUM(s.s6)", "5 * dg.na * dg2.nb") + " AS v6 " +
+          s"FROM s${k - 1} s JOIN ind e1 ON e1.src = s.a JOIN ind e2 ON e2.src = s.b " +
+          "JOIN dgi dg ON dg.v = e1.dst JOIN dgi2 dg2 ON dg2.v = e2.dst " +
+          "GROUP BY e1.dst, e2.dst, dg.na, dg2.nb) n ON n.a = p.a AND n.b = p.b)"
+      // the complete trade digraph makes SimRank uniform (identical
+      // in-neighborhoods ⇒ one constant score — MEASURED at both SFs),
+      // so the key runs on the SAME mutual-top-4 sparsification
+      // graph_label_prop/modularity use: degrees vary, scores spread
+      "WITH " + tradeEdgesSql + ", " + mutualTop4Sql + ", " +
+        "ind AS MATERIALIZED (SELECT a AS src, b AS dst FROM ue " +
+        "UNION ALL SELECT b, a FROM ue), " +
+        "dgi AS (SELECT dst AS v, CAST(COUNT(*) AS BIGINT) AS na FROM ind GROUP BY dst), " +
+        "dgi2 AS (SELECT dst AS v, CAST(COUNT(*) AS BIGINT) AS nb FROM ind GROUP BY dst), " +
+        "n AS (SELECT n_nationkey AS v FROM nation), " +
+        "allp AS (SELECT a.v AS a, b.v AS b FROM n a CROSS JOIN n b), " +
+        "s0 AS MATERIALIZED (SELECT a, b, CAST(CASE WHEN a = b THEN 1000000 ELSE 0 END AS BIGINT) AS s6 FROM allp), " +
+        (1 to 3).map(round).mkString(", ") +
+        " SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, CAST(s6 AS BIGINT) AS s6 " +
+        "FROM s3 WHERE a < b AND s6 > 0 ORDER BY a, b"
+    },
+      (s, d) => {
+        val ue = mutualTop4(s, d)
+        val de = ue.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(ue.select(col("b").as("src"), col("a").as("dst")))
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        val dgi = de.groupBy(col("dst").as("v")).agg(count(lit(1)).as("nin"))
+        val n = T.nation(s, d).select(col("n_nationkey").cast("long").as("v"))
+        val allp = n.select(col("v").as("a")).crossJoin(n.select(col("v").as("b")))
+        var sk = allp.select(col("a"), col("b"),
+          when(col("a") === col("b"), 1000000L).otherwise(0L).as("s6"))
+        for (_ <- 1 to 3) {
+          val contrib = sk
+            .join(de.select(col("src").as("a"), col("dst").as("na_dst")), "a")
+            .join(de.select(col("src").as("b"), col("dst").as("nb_dst")), "b")
+            .groupBy(col("na_dst").as("pa"), col("nb_dst").as("pb"))
+            .agg(sum(col("s6")).as("ssum"))
+            .join(broadcast(dgi.select(col("v").as("pa"), col("nin").as("na"))), "pa")
+            .join(broadcast(dgi.select(col("v").as("pb"), col("nin").as("nb"))), "pb")
+            .select(col("pa"), col("pb"),
+              halfUpDiv(lit(4) * col("ssum"), lit(5) * col("na") * col("nb"))
+                .as("v6"))
+          sk = allp
+            .join(contrib, col("a") === col("pa") && col("b") === col("pb"), "left")
+            .select(col("a"), col("b"),
+              when(col("a") === col("b"), 1000000L)
+                .otherwise(coalesce(col("v6"), lit(0L))).as("s6"))
+            .localCheckpoint()
+        }
+        sk.where(col("a") < col("b") && col("s6") > 0)
+          .select(col("a"), col("b"), col("s6"))
+          .orderBy("a", "b")
       }),
 
     // Minimum spanning tree by Borůvka hooking (round 12) — THE

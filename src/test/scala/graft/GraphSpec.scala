@@ -377,4 +377,56 @@ class GraphSpec extends SparkSpec {
     // non-degenerate: sources exist and at least one chain is deep
     assert(got.exists(_._2 == 0L) && got.exists(_._2 >= 2L))
   }
+
+  test("graph_simrank equals a scalar quantized SimRank mirror; scores spread") {
+    // independent mirror: in-memory K=3 SimRank over the mutual-top-4
+    // graph with the identical halfUpDiv quantization per round
+    val e = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").cast("long").as("src"),
+        col("s_nationkey").cast("long").as("dst"))
+      .count()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(t => t._1 != t._2)
+    val top4 = e.groupBy(_._1).toSeq.flatMap { case (src, es) =>
+      es.sortBy(t => (-t._3, t._2)).take(4).map(t => (src, t._2))
+    }.toSet
+    val ue = top4.filter { case (a, b) => top4((b, a)) }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    val sym = ue.toSeq.flatMap(p => Seq(p, p.swap))
+    val inN = sym.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    def hud(s: Long, n: Long): Long = {
+      val (a, b) = (2 * s + n, 2 * n)
+      ((a - math.floorMod(a, b)).toDouble / b.toDouble).toLong
+    }
+    val nodes = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").cast("long")).collect().map(_.getLong(0)).sorted
+    var s6m = nodes.flatMap(a => nodes.map(b =>
+      (a, b) -> (if (a == b) 1000000L else 0L))).toMap
+    for (_ <- 1 to 3) {
+      s6m = nodes.flatMap(a => nodes.map { b =>
+        val v = if (a == b) 1000000L
+        else (inN.get(a), inN.get(b)) match {
+          case (Some(ia), Some(ib)) =>
+            hud(4 * ia.flatMap(i => ib.map(j => s6m((i, j)))).sum,
+              5 * ia.size.toLong * ib.size.toLong)
+          case _ => 0L
+        }
+        (a, b) -> v
+      }).toMap
+    }
+    val expect = nodes.flatMap(a => nodes.filter(_ > a).map(b => (a, b, s6m((a, b)))))
+      .filter(_._3 > 0L).sortBy(t => (t._1, t._2)).toSeq
+    val got = SparkEntry.queries("graph_simrank")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect, s"got ${got.take(4)}…\nexpect ${expect.take(4)}…")
+    // discriminative on the sparse graph (the complete digraph was
+    // measured uniform — the reason the key runs on mutual-top-4)
+    assert(got.nonEmpty && got.map(_._3).distinct.size > 1)
+  }
 }
