@@ -475,6 +475,71 @@ object Graph {
           .orderBy("nation")
       }),
 
+    // Katz centrality (round 12, third wave) [Katz 1953, "A new status
+    // index derived from sociometric analysis"] — attenuated path
+    // counting, the centrality between degree (k=1 only) and
+    // eigenvector (k→∞): katz(v) = Σ_k α^k · |paths of length k into
+    // v|. With the DYADIC attenuation α = 1/8 and the K=4 horizon the
+    // whole computation is PURE INTEGER — katz_x8p4(v) = Σ_{k=1..4}
+    // p_k(v)·8^(4−k) where p_k(v) = Σ_u p_{k-1}(u)·A(u,v) is the exact
+    // in-path count — no quantization, no IEEE op, nothing to drift
+    // (the strongest possible determinism class; α < 1/λmax
+    // convergence is irrelevant at a fixed horizon). Each round is ONE
+    // edges⋈counts join + a dst-keyed partial agg; counts stay
+    // node-sized at any scale. Path counts grow ≤ deg^k — 25^4·25 ≈
+    // 1e7 ≪ int64. The oracle unrolls the identical 4 rounds.
+    Q("graph_katz", Some {
+      val round = (k: Int) =>
+        s"p$k AS MATERIALIZED (SELECT de.dst AS v, CAST(SUM(p.c) AS BIGINT) AS c " +
+          s"FROM p${k - 1} p JOIN de ON de.src = p.v GROUP BY de.dst)"
+      // on the complete trade digraph every in-connected node gets the
+      // SAME path counts (measured: two distinct scores) — run on the
+      // mutual-top-4 sparsification like graph_simrank/label_prop so
+      // attenuated path counting actually ranks
+      "WITH " + tradeEdgesSql + ", " + mutualTop4Sql + ", " +
+        "de AS (SELECT a AS src, b AS dst FROM ue UNION ALL SELECT b, a FROM ue), " +
+        "n AS (SELECT n_nationkey AS v FROM nation), " +
+        "p0 AS MATERIALIZED (SELECT v, CAST(1 AS BIGINT) AS c FROM n), " +
+        (1 to 4).map(round).mkString(", ") +
+        " SELECT CAST(n.v AS BIGINT) AS nation, " +
+        "CAST(COALESCE(p1.c, 0) AS BIGINT) AS paths1, " +
+        "CAST(COALESCE(p4.c, 0) AS BIGINT) AS paths4, " +
+        "CAST(COALESCE(p1.c, 0) * 512 + COALESCE(p2.c, 0) * 64 + " +
+        "COALESCE(p3.c, 0) * 8 + COALESCE(p4.c, 0) AS BIGINT) AS katz_x8p4 " +
+        "FROM n LEFT JOIN p1 ON p1.v = n.v LEFT JOIN p2 ON p2.v = n.v " +
+        "LEFT JOIN p3 ON p3.v = n.v LEFT JOIN p4 ON p4.v = n.v " +
+        "ORDER BY nation"
+    },
+      (s, d) => {
+        val ue = mutualTop4(s, d)
+        val de = ue.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(ue.select(col("b").as("src"), col("a").as("dst")))
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        val n = T.nation(s, d).select(col("n_nationkey").cast("long").as("v"))
+        var p = n.select(col("v"), lit(1L).as("c"))
+        val rounds = (1 to 4).map { _ =>
+          p = p.join(de, col("v") === col("src"))
+            .groupBy(col("dst").as("v2"))
+            .agg(sum(col("c")).as("c"))
+            .select(col("v2").as("v"), col("c"))
+            .localCheckpoint()
+          p
+        }
+        val Seq(p1, p2, p3, p4) = rounds.map(r =>
+          r.select(col("v"), col("c")))
+        n.join(p1.select(col("v"), col("c").as("c1")), Seq("v"), "left")
+          .join(p2.select(col("v"), col("c").as("c2")), Seq("v"), "left")
+          .join(p3.select(col("v"), col("c").as("c3")), Seq("v"), "left")
+          .join(p4.select(col("v"), col("c").as("c4")), Seq("v"), "left")
+          .select(col("v").as("nation"),
+            coalesce(col("c1"), lit(0L)).as("paths1"),
+            coalesce(col("c4"), lit(0L)).as("paths4"),
+            (coalesce(col("c1"), lit(0L)) * 512 + coalesce(col("c2"), lit(0L)) * 64 +
+              coalesce(col("c3"), lit(0L)) * 8 + coalesce(col("c4"), lit(0L)))
+              .as("katz_x8p4"))
+          .orderBy("nation")
+      }),
+
     // SimRank (round 12, third wave) [Jeh & Widom 2002, "SimRank: a
     // measure of structural-context similarity"] — "two nodes are
     // similar if their in-neighbors are similar", the link-based

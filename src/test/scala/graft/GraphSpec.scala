@@ -429,4 +429,46 @@ class GraphSpec extends SparkSpec {
     // measured uniform — the reason the key runs on mutual-top-4)
     assert(got.nonEmpty && got.map(_._3).distinct.size > 1)
   }
+
+  test("graph_katz equals a scalar attenuated path-count mirror") {
+    val e = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").cast("long").as("src"),
+        col("s_nationkey").cast("long").as("dst"))
+      .count()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(t => t._1 != t._2)
+    val top4 = e.groupBy(_._1).toSeq.flatMap { case (src, es) =>
+      es.sortBy(t => (-t._3, t._2)).take(4).map(t => (src, t._2))
+    }.toSet
+    val de = top4.filter { case (a, b) => top4((b, a)) }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toSeq.flatMap(p => Seq(p, p.swap))
+    val nodes = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").cast("long")).collect().map(_.getLong(0)).sorted
+    val outE = de.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var p = nodes.map(_ -> 1L).toMap
+    val perK = (1 to 4).map { _ =>
+      val nxt = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      p.foreach { case (u, c) =>
+        outE.getOrElse(u, Seq.empty).foreach(v => nxt(v) += c) }
+      p = nxt.toMap
+      p
+    }
+    val expect = nodes.map { v =>
+      val cs = perK.map(_.getOrElse(v, 0L))
+      (v, cs(0), cs(3), cs(0) * 512 + cs(1) * 64 + cs(2) * 8 + cs(3))
+    }.toSeq
+    val got = SparkEntry.queries("graph_katz")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect, s"got ${got.take(4)}…\nexpect ${expect.take(4)}…")
+    // attenuation genuinely ranks on the sparse graph: more than two
+    // score levels (the complete digraph was measured two-valued)
+    assert(got.map(_._4).distinct.size > 2)
+  }
 }
