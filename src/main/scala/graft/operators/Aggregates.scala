@@ -966,6 +966,76 @@ object Aggregates {
           .orderBy("event_type", "bucket")
       }),
 
+    // McNemar's test (round 12, third wave) [McNemar 1947; Edwards 1948
+    // continuity correction] — the paired-proportions test the
+    // independent-sample agg_ttest/agg_chisq family cannot replace:
+    // "did behavior change WITHIN each user between the two halves of
+    // the window" (the before/after A-B on paired data). Per event
+    // type: the paired binary outcome is ABOVE-MEAN ACTIVITY per half
+    // — x_h = (user's half-h count of the type) > (type's mean count
+    // per user-half), the integer cross-multiplication 2·nu·cnt_h >
+    // tot so no divided mean enters the cell assignment. (Mere
+    // PRESENCE was measured fully concordant at both SFs — every user
+    // emits every type in both halves — the degenerate-cell trap.)
+    // Only the DISCORDANT cells matter — b = (1,0), c = (0,1) — and
+    // χ² = (|b−c|−1)²/(b+c) is one integer square + one halfUpDiv;
+    // the rejection flag is the integer compare vs χ²₍₁,.05₎ = 3.841.
+    // Two keyed aggregates, no pair join.
+    Q("agg_mcnemar", Some(
+      "WITH te AS (SELECT user_id, event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t FROM events), " +
+        "mm AS (SELECT (MIN(t) + MAX(t)) // 2 AS tm FROM te), " +
+        "u AS (SELECT event_type, user_id, " +
+        "CAST(SUM(CASE WHEN t <= (SELECT tm FROM mm) THEN 1 ELSE 0 END) AS BIGINT) AS c1, " +
+        "CAST(SUM(CASE WHEN t > (SELECT tm FROM mm) THEN 1 ELSE 0 END) AS BIGINT) AS c2 " +
+        "FROM te GROUP BY event_type, user_id), " +
+        "g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nu, " +
+        "CAST(SUM(c1 + c2) AS BIGINT) AS tot FROM u GROUP BY event_type), " +
+        "x AS (SELECT u.event_type, u.user_id, " +
+        "CASE WHEN 2 * g.nu * u.c1 > g.tot THEN 1 ELSE 0 END AS x1, " +
+        "CASE WHEN 2 * g.nu * u.c2 > g.tot THEN 1 ELSE 0 END AS x2 " +
+        "FROM u JOIN g ON g.event_type = u.event_type), " +
+        "m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
+        "CAST(SUM(CASE WHEN x1 = 1 AND x2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b, " +
+        "CAST(SUM(CASE WHEN x1 = 0 AND x2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c " +
+        "FROM x GROUP BY event_type) " +
+        "SELECT event_type, n_pairs, b, c, " +
+        "CASE WHEN b + c = 0 THEN NULL ELSE " +
+        sqlHalfUpDiv("(ABS(b - c) - 1) * (ABS(b - c) - 1) * 1000000", "b + c") +
+        " END AS chi6, " +
+        "CAST(CASE WHEN b + c > 0 AND " +
+        sqlHalfUpDiv("(ABS(b - c) - 1) * (ABS(b - c) - 1) * 1000000", "b + c") +
+        " > 3841000 THEN 1 ELSE 0 END AS INT) AS reject " +
+        "FROM m ORDER BY event_type"),
+      (s, d) => {
+        val te = T.events(s, d).select(col("user_id"), col("event_type"),
+          epochS(col("ts")).as("t"))
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        val Array(mn, mx) = te.agg(min(col("t")), max(col("t")))
+          .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+        val tm = Math.floorDiv(mn + mx, 2L)
+        val u = te.groupBy("event_type", "user_id")
+          .agg(sum(when(col("t") <= tm, 1L).otherwise(0L)).as("c1"),
+            sum(when(col("t") > tm, 1L).otherwise(0L)).as("c2"))
+        val g = u.groupBy("event_type")
+          .agg(count(lit(1)).as("nu"), sum(col("c1") + col("c2")).as("tot"))
+        val x = u.join(broadcast(g), Seq("event_type"))
+          .select(col("event_type"),
+            when(lit(2) * col("nu") * col("c1") > col("tot"), 1).otherwise(0).as("x1"),
+            when(lit(2) * col("nu") * col("c2") > col("tot"), 1).otherwise(0).as("x2"))
+        val m = x.groupBy("event_type")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("x1") === 1 && col("x2") === 0, 1L).otherwise(0L)).as("b"),
+            sum(when(col("x1") === 0 && col("x2") === 1, 1L).otherwise(0L)).as("c"))
+        val chi = halfUpDiv(
+          (abs(col("b") - col("c")) - 1) * (abs(col("b") - col("c")) - 1) *
+            lit(1000000L), col("b") + col("c"))
+        m.select(col("event_type"), col("n_pairs"), col("b"), col("c"),
+            when(col("b") + col("c") === 0, lit(null)).otherwise(chi).as("chi6"),
+            when(col("b") + col("c") > 0 && chi > 3841000L, 1).otherwise(0)
+              .cast("int").as("reject"))
+          .orderBy("event_type")
+      }),
+
     // Derandomized RANSAC line fit (round 12, third wave) [Fischler &
     // Bolles 1981] — the robust-regression counterpoint to agg_regr's
     // least squares (one gross outlier can swing OLS arbitrarily;

@@ -365,6 +365,71 @@ object LlmExtras {
           .orderBy("lang", "doc_id")
       }),
 
+    // Cohen's kappa between two quality filters (round 12, third wave)
+    // [Cohen 1960] — the filter-agreement audit a data pipeline runs
+    // before swapping gates: "do my length filter and my lexical-
+    // diversity filter agree BEYOND CHANCE?" (raw agreement is
+    // meaningless when both filters pass ~half the corpus). Rater 1 =
+    // n_chars above the language median, rater 2 = distinct-token
+    // count above its median (nearest-rank-lower medians, (metric,
+    // doc_id) tie order). κ via the integer identity (po−pe)/(1−pe) =
+    // 2(ad−bc)/[(a+b)(b+d)+(a+c)(c+d)] — one halfUpDiv over exact
+    // contingency cells, NULL when a rater is constant (the undefined-
+    // κ edge). Two rank windows + one per-lang aggregate.
+    Q("llm_filter_kappa", Some(
+      "WITH q AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS m1, " +
+        "CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS BIGINT) AS m2 FROM documents), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY m1, doc_id) AS r1, " +
+        "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY m2, doc_id) AS r2, " +
+        "COUNT(*) OVER (PARTITION BY lang) AS n FROM q), " +
+        "md AS (SELECT lang, " +
+        "MIN(CASE WHEN r1 = (n - 1) // 2 + 1 THEN m1 END) AS md1, " +
+        "MIN(CASE WHEN r2 = (n - 1) // 2 + 1 THEN m2 END) AS md2 FROM r GROUP BY lang), " +
+        "lb AS (SELECT r.lang, CASE WHEN r.m1 > md.md1 THEN 1 ELSE 0 END AS f1, " +
+        "CASE WHEN r.m2 > md.md2 THEN 1 ELSE 0 END AS f2 " +
+        "FROM r JOIN md ON md.lang = r.lang), " +
+        "ct AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CASE WHEN f1 = 1 AND f2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a, " +
+        "CAST(SUM(CASE WHEN f1 = 1 AND f2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b, " +
+        "CAST(SUM(CASE WHEN f1 = 0 AND f2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c, " +
+        "CAST(SUM(CASE WHEN f1 = 0 AND f2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d " +
+        "FROM lb GROUP BY lang) " +
+        "SELECT lang, n, a, b, c, d, " +
+        "CASE WHEN (a + b) * (b + d) + (a + c) * (c + d) = 0 THEN NULL ELSE " +
+        sqlHalfUpDiv("2 * (a * d - b * c) * 1000000",
+          "(a + b) * (b + d) + (a + c) * (c + d)") + " END AS kappa6 " +
+        "FROM ct ORDER BY lang"),
+      (s, d) => {
+        val q = T.documents(s, d).select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("m1"),
+          size(array_distinct(split(col("text"), " "))).cast("long").as("m2"))
+        val wL = Window.partitionBy("lang")
+        val r = q
+          .withColumn("r1", row_number().over(wL.orderBy("m1", "doc_id")))
+          .withColumn("r2", row_number().over(wL.orderBy("m2", "doc_id")))
+          .withColumn("n", count(lit(1)).over(wL))
+        val md = r.groupBy("lang").agg(
+          min(when(col("r1") === expr("(n - 1) div 2 + 1"), col("m1"))).as("md1"),
+          min(when(col("r2") === expr("(n - 1) div 2 + 1"), col("m2"))).as("md2"))
+        val lb = r.join(broadcast(md), Seq("lang"))
+          .select(col("lang"),
+            when(col("m1") > col("md1"), 1).otherwise(0).as("f1"),
+            when(col("m2") > col("md2"), 1).otherwise(0).as("f2"))
+        val ct = lb.groupBy("lang").agg(count(lit(1)).as("n"),
+          sum(when(col("f1") === 1 && col("f2") === 1, 1L).otherwise(0L)).as("a"),
+          sum(when(col("f1") === 1 && col("f2") === 0, 1L).otherwise(0L)).as("b"),
+          sum(when(col("f1") === 0 && col("f2") === 1, 1L).otherwise(0L)).as("c"),
+          sum(when(col("f1") === 0 && col("f2") === 0, 1L).otherwise(0L)).as("d"))
+        val den = (col("a") + col("b")) * (col("b") + col("d")) +
+          (col("a") + col("c")) * (col("c") + col("d"))
+        ct.select(col("lang"), col("n"), col("a"), col("b"), col("c"), col("d"),
+            when(den === 0, lit(null))
+              .otherwise(halfUpDiv(
+                lit(2) * (col("a") * col("d") - col("b") * col("c")) * 1000000L,
+                den)).as("kappa6"))
+          .orderBy("lang")
+      }),
+
     // Interpolated Kneser-Ney bigram scoring (round 12, third wave)
     // [Kneser & Ney 1995; Chen & Goodman 1998 — THE n-gram smoothing,
     // what KenLM/CCNet actually run where llm_bigram_logprob grades

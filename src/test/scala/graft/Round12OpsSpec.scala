@@ -1129,4 +1129,76 @@ class Round12OpsSpec extends SparkSpec {
     assert(got == expect, s"got ${got.take(2)}…\nexpect ${expect.take(2)}…")
     assert(got.map(_._6).distinct.toSet == Set("veg", "water", "other"))
   }
+
+  test("agg_mcnemar equals a scalar paired-cells mirror; discordance fires") {
+    import org.apache.spark.sql.functions.{col, unix_timestamp}
+    def hud(s: Long, n: Long): Long = {
+      val (a, b) = (2 * s + n, 2 * n)
+      ((a - math.floorMod(a, b)).toDouble / b.toDouble).toLong
+    }
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val tm = Math.floorDiv(ev.map(_._3).min + ev.map(_._3).max, 2L)
+    val got = SparkEntry.queries("agg_mcnemar")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), Option(r.get(4)).map(_ => r.getLong(4)), r.getInt(5))).toMap
+    ev.groupBy(_._2).foreach { case (et, rows) =>
+      val byU = rows.groupBy(_._1).view.mapValues { xs =>
+        (xs.count(_._3 <= tm).toLong, xs.count(_._3 > tm).toLong) }.toMap
+      val nu = byU.size.toLong
+      val tot = byU.values.map(p => p._1 + p._2).sum
+      val cells = byU.values.map { case (c1, c2) =>
+        (if (2 * nu * c1 > tot) 1 else 0, if (2 * nu * c2 > tot) 1 else 0) }
+      val b = cells.count(_ == (1, 0)).toLong
+      val c = cells.count(_ == (0, 1)).toLong
+      val chi = if (b + c == 0) None
+        else Some(hud((math.abs(b - c) - 1) * (math.abs(b - c) - 1) * 1000000L, b + c))
+      val rej = if (chi.exists(_ > 3841000L)) 1 else 0
+      assert(got(et) == (nu, b, c, chi, rej), s"$et: ${got(et)}")
+      assert(b + c > 0, s"$et: no discordant pairs — degenerate")
+    }
+    // the null holds on iid behavior (reject=0 everywhere is the
+    // CORRECT verdict) while the statistic itself genuinely varies
+    assert(got.values.map(_._4).flatten.toSeq.distinct.size > 1)
+  }
+
+  test("llm_filter_kappa equals a scalar Cohen mirror and the po/pe definition") {
+    import org.apache.spark.sql.functions.col
+    def hud(s: Long, n: Long): Long = {
+      val (a, b) = (2 * s + n, 2 * n)
+      ((a - math.floorMod(a, b)).toDouble / b.toDouble).toLong
+    }
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3).split(" ", -1).distinct.length.toLong))
+    val got = SparkEntry.queries("llm_filter_kappa")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5),
+        Option(r.get(6)).map(_ => r.getLong(6)))).toMap
+    docs.groupBy(_._2).foreach { case (lang, ds) =>
+      val n = ds.length
+      def median(xs: Seq[Long], ids: Seq[Long]): Long =
+        xs.zip(ids).sortBy(identity).apply((n - 1) / 2)._1
+      val md1 = median(ds.map(_._3).toSeq, ds.map(_._1).toSeq)
+      val md2 = median(ds.map(_._4).toSeq, ds.map(_._1).toSeq)
+      val cells = ds.map(dd =>
+        (if (dd._3 > md1) 1 else 0, if (dd._4 > md2) 1 else 0))
+      val (a, b, c, d2) = (cells.count(_ == (1, 1)).toLong,
+        cells.count(_ == (1, 0)).toLong, cells.count(_ == (0, 1)).toLong,
+        cells.count(_ == (0, 0)).toLong)
+      val den = (a + b) * (b + d2) + (a + c) * (c + d2)
+      val kap = if (den == 0) None else Some(hud(2 * (a * d2 - b * c) * 1000000L, den))
+      assert(got(lang) == (n.toLong, a, b, c, d2, kap), s"$lang: ${got(lang)}")
+      // the integer identity equals the textbook (po−pe)/(1−pe) form
+      kap.foreach { k =>
+        val po = (a + d2).toDouble / n
+        val pe = ((a + b) * (a + c) + (c + d2) * (b + d2)).toDouble / (n.toLong * n)
+        assert(math.abs(k / 1e6 - (po - pe) / (1 - pe)) < 1e-5, s"$lang identity")
+      }
+      // the two filters agree beyond chance but are not identical
+      assert(kap.exists(k => k > 300000L && k < 1000000L), s"$lang kappa degenerate")
+    }
+  }
 }
