@@ -2103,6 +2103,66 @@ object Windows {
           .orderBy("day")
       }),
 
+    // Haar wavelet decomposition (round 12, third wave) [Haar 1910;
+    // Mallat 1989 multiresolution] — the dyadic frequency split
+    // win_decompose's moving averages approximate: two UNNORMALIZED
+    // Haar levels over each type's daily cent-sum series (a = x₂ᵢ+x₂ᵢ₊₁,
+    // d = x₂ᵢ−x₂ᵢ₊₁, level 2 over level-1 approximations), which keeps
+    // every coefficient an EXACT INTEGER — the graph_katz determinism
+    // class, nothing to quantize. Graded per (type, level): coefficient
+    // count, detail energy Σd² (the scale's variance share — the
+    // wavelet periodogram), and the position-weighted checksum pinning
+    // every coefficient to its slot. Odd tails drop (the standard
+    // truncation). One daily rollup shuffle + calendar-bounded windows.
+    Q("win_haar", Some(
+      "WITH dly AS (SELECT event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 AS day, " +
+        "CAST(SUM(" + sqlS2("value") + ") AS BIGINT) AS x FROM events GROUP BY event_type, day), " +
+        "p AS (SELECT event_type, x, " +
+        "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1 AS i FROM dly), " +
+        "l1 AS (SELECT event_type, i // 2 AS j, " +
+        "CAST(SUM(CASE WHEN i % 2 = 0 THEN x ELSE 0 END) + SUM(CASE WHEN i % 2 = 1 THEN x ELSE 0 END) AS BIGINT) AS a, " +
+        "CAST(SUM(CASE WHEN i % 2 = 0 THEN x ELSE 0 END) - SUM(CASE WHEN i % 2 = 1 THEN x ELSE 0 END) AS BIGINT) AS dd " +
+        "FROM p GROUP BY event_type, j HAVING COUNT(*) = 2), " +
+        "l2 AS (SELECT event_type, j // 2 AS k, " +
+        "CAST(SUM(CASE WHEN j % 2 = 0 THEN a ELSE 0 END) + SUM(CASE WHEN j % 2 = 1 THEN a ELSE 0 END) AS BIGINT) AS a2, " +
+        "CAST(SUM(CASE WHEN j % 2 = 0 THEN a ELSE 0 END) - SUM(CASE WHEN j % 2 = 1 THEN a ELSE 0 END) AS BIGINT) AS dd " +
+        "FROM l1 GROUP BY event_type, k HAVING COUNT(*) = 2) " +
+        "SELECT event_type, CAST(1 AS BIGINT) AS level, CAST(COUNT(*) AS BIGINT) AS n_coef, " +
+        "CAST(SUM(dd * dd) AS BIGINT) AS energy, CAST(SUM(dd * (j + 1)) AS BIGINT) AS checksum " +
+        "FROM l1 GROUP BY event_type " +
+        "UNION ALL SELECT event_type, 2, CAST(COUNT(*) AS BIGINT), " +
+        "CAST(SUM(dd * dd) AS BIGINT), CAST(SUM(dd * (k + 1)) AS BIGINT) " +
+        "FROM l2 GROUP BY event_type ORDER BY event_type, level"),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val dly = T.events(s, d)
+          .groupBy(col("event_type"),
+            expr("unix_timestamp(ts) div 86400").as("day"))
+          .agg(sum(s2(col("value"))).as("x"))
+        val p = dly.withColumn("i",
+          row_number().over(
+            Window.partitionBy("event_type").orderBy("day")).cast("long") - 1)
+        def pair(src: org.apache.spark.sql.DataFrame, idx: String, va: String): org.apache.spark.sql.DataFrame =
+          src.groupBy(col("event_type"), expr(s"$idx div 2").as("j"))
+            .agg(count(lit(1)).as("cnt"),
+              (sum(when(col(idx) % 2 === 0, col(va)).otherwise(0L)) +
+                sum(when(col(idx) % 2 === 1, col(va)).otherwise(0L))).as("a"),
+              (sum(when(col(idx) % 2 === 0, col(va)).otherwise(0L)) -
+                sum(when(col(idx) % 2 === 1, col(va)).otherwise(0L))).as("dd"))
+            .where(col("cnt") === 2)
+        val l1 = pair(p, "i", "x")
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        val l2 = pair(l1.select(col("event_type"), col("j").as("i2"), col("a")),
+          "i2", "a")
+        def roll(lvl: Int, frame: org.apache.spark.sql.DataFrame) = frame
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_coef"), sum(col("dd") * col("dd")).as("energy"),
+            sum(col("dd") * (col("j") + 1)).as("checksum"))
+          .select(col("event_type"), lit(lvl.toLong).as("level"),
+            col("n_coef"), col("energy"), col("checksum"))
+        roll(1, l1).unionAll(roll(2, l2)).orderBy("event_type", "level")
+      }),
+
     // Binary segmentation (round 12, third wave) [Scott & Knott 1974;
     // the ruptures/changepoint BinSeg default] — the MULTI-changepoint
     // extension of win_pettitt's single test: two recursion levels over

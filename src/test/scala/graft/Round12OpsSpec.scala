@@ -1201,4 +1201,32 @@ class Round12OpsSpec extends SparkSpec {
       assert(kap.exists(k => k > 300000L && k < 1000000L), s"$lang kappa degenerate")
     }
   }
+
+  test("win_haar equals a scalar two-level Haar mirror; Parseval-bounded") {
+    import org.apache.spark.sql.functions.{col, unix_timestamp}
+    def s2d(x: Double) = math.floor(x * 100 + 0.5).toLong
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), unix_timestamp(col("ts")).as("te"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1) / 86400, s2d(r.getDouble(2))))
+    val got = SparkEntry.queries("win_haar")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    ev.groupBy(_._1).foreach { case (et, rows) =>
+      val xs = rows.groupBy(_._2).toSeq.sortBy(_._1).map(_._2.map(_._3).sum)
+      def level(in: Seq[Long]): (Seq[Long], Seq[Long]) = {
+        val pairs = in.grouped(2).filter(_.length == 2).toSeq
+        (pairs.map(p => p(0) + p(1)), pairs.map(p => p(0) - p(1)))
+      }
+      val (a1, d1) = level(xs)
+      val (_, d2) = level(a1)
+      def roll(ds: Seq[Long]) = (ds.length.toLong, ds.map(x => x * x).sum,
+        ds.zipWithIndex.map { case (x, j) => x * (j + 1) }.sum)
+      assert(got((et, 1L)) == roll(d1), s"$et L1")
+      assert(got((et, 2L)) == roll(d2), s"$et L2")
+      // unnormalized-Haar Parseval bound: Σd² per level ≤ 2^level·Σx²
+      val sx2 = xs.map(x => x * x).sum
+      assert(roll(d1)._2 <= 2 * sx2 && roll(d2)._2 <= 4 * sx2, s"$et energy bound")
+      assert(roll(d1)._2 > 0L, s"$et flat series — degenerate")
+    }
+  }
 }
