@@ -766,6 +766,100 @@ object StreamTwins {
         s.table("graft_exec_tws_timer").orderBy("user_id")
       }),
 
+    // EXECUTED v2-state-API TTL (round 12, third wave) — the THIRD and
+    // last piece of the transformWithState surface after the data path
+    // (stream_exec_tws) and timers (stream_exec_tws_timer): TTLConfig
+    // on a ValueState [SPARK-46815], the declarative state-expiry
+    // GroupState never had. A 1 ms TTL guarantees the batch-1 fold has
+    // EXPIRED by batch 2 (micro-batches are 10²-10³ ms apart), so the
+    // graded difference from stream_exec_tws is exact: here a B-user's
+    // second emission covers ONLY its batch-2 rows (n2, Σ2) where the
+    // un-TTL'd key emitted the merged A∪B fold — surviving state would
+    // break the hash, which is precisely the proof the state genuinely
+    // vanished. Staging and provider discipline identical to the other
+    // v2 keys. BUILD-TIME SIDE EFFECT: stages files + runs the
+    // streaming query at plan-construction time.
+    Q("stream_exec_tws_ttl", Some(
+      "WITH te AS (SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS te, " +
+        sqlS6("value") + " AS v6 FROM events), " +
+        "mm AS (SELECT (MIN(te) + MAX(te)) // 2 AS tm FROM te), " +
+        "a AS (SELECT * FROM te WHERE te <= (SELECT tm FROM mm)), " +
+        "b AS (SELECT * FROM te WHERE te > (SELECT tm FROM mm) AND user_id % 3 = 0), " +
+        "e1 AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(v6) AS BIGINT) AS sum_val FROM a GROUP BY user_id), " +
+        "e2 AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(v6) AS BIGINT) AS sum_val FROM b GROUP BY user_id) " +
+        "SELECT * FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2) " +
+        "ORDER BY user_id, n, sum_val"),
+      (s, d) => {
+        val landing = java.nio.file.Files.createTempDirectory("graft_exec_twsttl")
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = s.read.parquet(s"$d/events.parquet")
+        val Array(mn, mx) = raw
+          .agg(min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts"))))
+          .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+        val tm = Math.floorDiv(mn + mx, 2L)
+        def stage(pred: org.apache.spark.sql.Column, name: String,
+            ageSec: Long): Unit = {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_twsttl_part")
+          raw.where(pred).coalesce(1)
+            .write.mode("overwrite").parquet(tmp.toString)
+          val part = new java.io.File(tmp.toString).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = landing.resolve(name)
+          java.nio.file.Files.move(part.toPath, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis() - ageSec * 1000))
+        }
+        stage(unix_timestamp(col("ts")) <= tm, "a.parquet", 240L)
+        stage(unix_timestamp(col("ts")) > tm && col("user_id") % 3 === 0,
+          "b.parquet", 120L)
+        // expected emissions: one per user per batch-with-data — the
+        // deterministic cut (AvailableNow NEVER self-terminates under
+        // TimeMode.ProcessingTime, the stream_exec_ptimeout law,
+        // re-measured here)
+        val nEmit = raw.where(unix_timestamp(col("ts")) <= tm)
+          .select(countDistinct(col("user_id"))).collect().head.getLong(0) +
+          raw.where(unix_timestamp(col("ts")) > tm && col("user_id") % 3 === 0)
+            .select(countDistinct(col("user_id"))).collect().head.getLong(0)
+        val providerKey = "spark.sql.streaming.stateStore.providerClass"
+        val prevProvider = s.conf.getOption(providerKey)
+        s.conf.set(providerKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val sq = s
+          import sq.implicits._
+          val stream = T.eventsStream(s, d, landing.toString, Some(1))
+            .select(col("user_id"), col("value"))
+            .as[(Long, Double)]
+          val emitted = stream.groupByKey(_._1)
+            .transformWithState(
+              new TwsTtlFold(),
+              org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+              org.apache.spark.sql.streaming.OutputMode.Append())
+            .toDF("user_id", "n", "sum_val")
+          val q = emitted.writeStream.format("memory")
+            .queryName("graft_exec_tws_ttl")
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          val deadline = System.currentTimeMillis() + 180000L
+          while (s.table("graft_exec_tws_ttl").count() < nEmit &&
+              System.currentTimeMillis() < deadline) {
+            Thread.sleep(100L)
+          }
+          q.stop()
+          q.awaitTermination()
+        } finally {
+          prevProvider match {
+            case Some(p) => s.conf.set(providerKey, p)
+            case None => s.conf.unset(providerKey)
+          }
+        }
+        s.table("graft_exec_tws_ttl").orderBy("user_id", "n", "sum_val")
+      }),
+
     // EXECUTED checkpoint recovery (round 10 third wave) — the
     // exactly-once RESTART property, which none of the other executed
     // keys touch (they each run one query lifetime): the same tumbling
@@ -1476,5 +1570,46 @@ private[streaming] final class TwsTimerFold
       fold.clear()
       Iterator((uid, n, acc))
     } else Iterator.empty
+  }
+}
+
+/** The `stream_exec_tws_ttl` StatefulProcessor: TTL-configured ValueState
+  * [SPARK-46815 State API v2 TTLConfig] — the automatic state-expiry
+  * surface (GroupState had no analogue; pipelines hand-rolled timeout
+  * deletes). A 1 ms TTL guarantees expiry before any later micro-batch,
+  * so each invocation's fold covers exactly its own batch: the graded
+  * proof that TTL'd state genuinely vanished between batches.
+  */
+private[streaming] final class TwsTtlFold
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Double), (Long, Long, Long)] {
+
+  @transient private var fold:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    fold = getHandle.getValueState[(Long, Long)]("fold",
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong),
+      org.apache.spark.sql.streaming.TTLConfig(
+        java.time.Duration.ofMillis(1L)))
+  }
+
+  override def handleInputRows(
+      uid: Long,
+      rows: Iterator[(Long, Double)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long, Long)] = {
+    // exists() honors TTL: state written > 1 ms ago reads as absent
+    var (n, acc) = if (fold.exists()) fold.get() else (0L, 0L)
+    rows.foreach { r =>
+      n += 1
+      acc += math.floor(r._2 * 1e6 + 0.5).toLong
+    }
+    fold.update((n, acc))
+    Iterator((uid, n, acc))
   }
 }

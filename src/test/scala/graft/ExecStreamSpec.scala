@@ -240,4 +240,36 @@ class ExecStreamSpec extends SparkSpec {
     assert(got.map(_._1).distinct.size == got.size, "a key emitted twice")
     assert(run() == expect, "second invocation in the same session")
   }
+
+  test("executed v2-API TTL state expires between batches, twice") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("te"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val (mn, mx) = (ev.map(_._2).min, ev.map(_._2).max)
+    val tm = Math.floorDiv(mn + mx, 2L)
+    def s6d(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val a = ev.filter(_._2 <= tm)
+    val b = ev.filter(e => e._2 > tm && e._1 % 3 == 0)
+    def fold(xs: Seq[(Long, Long, Double)]) = xs.groupBy(_._1).toSeq
+      .map { case (u, ys) => (u, ys.length.toLong, ys.map(y => s6d(y._3)).sum) }
+    val expect = (fold(a.toSeq) ++ fold(b.toSeq)).sortBy(t => (t._1, t._2, t._3))
+    def run() = SparkEntry.queries("stream_exec_tws_ttl")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = run()
+    assert(got.nonEmpty && got == expect,
+      s"got ${got.take(3)}…\nexpect ${expect.take(3)}…")
+    // the PROOF the TTL fired: every B-user's second emission is its
+    // batch-2 share ALONE — the un-TTL'd tws key would emit the merged
+    // A∪B fold for the same user, a strictly larger n
+    val bFolds = fold(b.toSeq).map(t => t._1 -> t._2).toMap
+    val aFolds = fold(a.toSeq).map(t => t._1 -> t._2).toMap
+    bFolds.foreach { case (u, nb) =>
+      val second = got.filter(_._1 == u).map(_._2).sorted
+      assert(second.contains(nb), s"user $u batch-2 fold missing")
+      aFolds.get(u).filter(_ > 0).foreach(na =>
+        assert(!second.contains(na + nb), s"user $u state survived the TTL"))
+    }
+    assert(run() == expect, "second invocation in the same session")
+  }
 }
