@@ -2103,6 +2103,62 @@ object Windows {
           .orderBy("day")
       }),
 
+    // Periodogram / DFT power (round 12, third wave) [Schuster 1898;
+    // the spectral density every seasonality detector reads] — the
+    // Fourier view next to win_haar's dyadic one: for harmonics
+    // k = 1..3 over each type's daily cent series, a_k = Σ xᵢ·cos4,
+    // b_k = Σ xᵢ·sin4 with the eo_harmonic coarse-grid trig rule
+    // (angles 2πki/n are exact shared rationals, trig results
+    // s4-floored BEFORE the multiply, so a_k/b_k are exact integer
+    // dot products); power = (a/10⁴)² + (b/10⁴)² is two IEEE squares
+    // + one add, s0-floored (cents² stays inside int64 where a
+    // squared s6 would not). One daily rollup shuffle + a 3-row
+    // harmonic explode — calendar-bounded like the rest of the family.
+    Q("win_dft_power", Some(
+      "WITH dly AS (SELECT event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 AS day, " +
+        "CAST(SUM(" + sqlS2("value") + ") AS BIGINT) AS x FROM events GROUP BY event_type, day), " +
+        "p AS (SELECT event_type, x, " +
+        "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1 AS i, " +
+        "COUNT(*) OVER (PARTITION BY event_type) AS n FROM dly), " +
+        "h AS (SELECT p.event_type, p.x, p.i, p.n, k.k, p.i * k.k AS ki " +
+        "FROM p CROSS JOIN (SELECT UNNEST(ARRAY[1, 2, 3]) AS k) k), " +
+        "t AS (SELECT event_type, k, n, x, " +
+        sqlS4("COS(2.0 * PI() * CAST(ki AS DOUBLE) / CAST(n AS DOUBLE))") + " AS c4, " +
+        sqlS4("SIN(2.0 * PI() * CAST(ki AS DOUBLE) / CAST(n AS DOUBLE))") + " AS s4 FROM h), " +
+        "m AS (SELECT event_type, k, CAST(MAX(n) AS BIGINT) AS n, " +
+        "CAST(SUM(x * c4) AS BIGINT) AS a4, CAST(SUM(x * s4) AS BIGINT) AS b4 " +
+        "FROM t GROUP BY event_type, k) " +
+        "SELECT event_type, CAST(k AS BIGINT) AS k, n, a4, b4, " +
+        sqlS0("(CAST(a4 AS DOUBLE) / 10000.0) * (CAST(a4 AS DOUBLE) / 10000.0) + " +
+          "(CAST(b4 AS DOUBLE) / 10000.0) * (CAST(b4 AS DOUBLE) / 10000.0)") +
+        " AS power0 FROM m ORDER BY event_type, k"),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val dly = T.events(s, d)
+          .groupBy(col("event_type"),
+            expr("unix_timestamp(ts) div 86400").as("day"))
+          .agg(sum(s2(col("value"))).as("x"))
+        val p = dly
+          .withColumn("i", row_number().over(
+            Window.partitionBy("event_type").orderBy("day")).cast("long") - 1)
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        val ks = s.range(1, 4).select(col("id").as("k"))
+        val h = p.crossJoin(broadcast(ks))
+          .withColumn("ki", col("i") * col("k"))
+        val ang = lit(2.0) * lit(math.Pi) * col("ki").cast("double") /
+          col("n").cast("double")
+        val t = h.select(col("event_type"), col("k"), col("n"), col("x"),
+          Det.s4(cos(ang)).as("c4"), Det.s4(sin(ang)).as("s4"))
+        val m = t.groupBy("event_type", "k")
+          .agg(max(col("n")).as("n"), sum(col("x") * col("c4")).as("a4"),
+            sum(col("x") * col("s4")).as("b4"))
+        val da = col("a4").cast("double") / lit(10000.0)
+        val db = col("b4").cast("double") / lit(10000.0)
+        m.select(col("event_type"), col("k"), col("n"), col("a4"), col("b4"),
+            s0(da * da + db * db).as("power0"))
+          .orderBy("event_type", "k")
+      }),
+
     // Haar wavelet decomposition (round 12, third wave) [Haar 1910;
     // Mallat 1989 multiresolution] — the dyadic frequency split
     // win_decompose's moving averages approximate: two UNNORMALIZED

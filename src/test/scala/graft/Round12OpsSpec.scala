@@ -1229,4 +1229,34 @@ class Round12OpsSpec extends SparkSpec {
       assert(roll(d1)._2 > 0L, s"$et flat series — degenerate")
     }
   }
+
+  test("win_dft_power equals a scalar harmonic mirror through libm") {
+    import org.apache.spark.sql.functions.{col, unix_timestamp}
+    def s4d(x: Double) = math.floor(x * 1e4 + 0.5).toLong
+    def s2d(x: Double) = math.floor(x * 100 + 0.5).toLong
+    def s0d(x: Double) = math.floor(x + 0.5).toLong
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), unix_timestamp(col("ts")).as("te"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1) / 86400, s2d(r.getDouble(2))))
+    val got = SparkEntry.queries("win_dft_power")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    ev.groupBy(_._1).foreach { case (et, rows) =>
+      val xs = rows.groupBy(_._2).toSeq.sortBy(_._1).map(_._2.map(_._3).sum)
+      val n = xs.length
+      (1 to 3).foreach { k =>
+        val terms = xs.zipWithIndex.map { case (x, i) =>
+          val ang = 2.0 * math.Pi * (i.toLong * k).toDouble / n.toDouble
+          (x * s4d(math.cos(ang)), x * s4d(math.sin(ang)))
+        }
+        val (a4, b4) = (terms.map(_._1).sum, terms.map(_._2).sum)
+        val pw = s0d((a4.toDouble / 10000.0) * (a4.toDouble / 10000.0) +
+          (b4.toDouble / 10000.0) * (b4.toDouble / 10000.0))
+        assert(got((et, k.toLong)) == (n.toLong, a4, b4, pw), s"$et k=$k")
+      }
+      // spectrum varies across harmonics (not a constant artifact)
+      val pws = (1 to 3).map(k => got((et, k.toLong))._4)
+      assert(pws.distinct.size > 1, s"$et flat spectrum")
+    }
+  }
 }
