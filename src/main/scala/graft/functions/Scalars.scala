@@ -733,6 +733,35 @@ object Scalars {
     // same RFC alphabet, so equality is the conformance claim) plus a
     // decode-roundtrip flag proving unbase64∘base64 = id on this
     // corpus. Map-only; one partial agg would fold it at any scale.
+    // Fiscal calendar mapping (round 12, third wave) [PK: the
+    // April-start fiscal year of UK/India/Japan government reporting —
+    // the calendar join every BI layer hand-rolls]: fiscal year = the
+    // year containing the period start (FY labeled by START year),
+    // quarter = ⌊(month−4 mod 12)/3⌋+1, plus the fiscal half and the
+    // month-of-fiscal-year — all pure integer month arithmetic over
+    // EXTRACT, no date library beyond year/month on either engine.
+    // Graded per order date; map-only, scan-fused.
+    Q("fn_fiscal", Some(
+      "WITH b AS (SELECT o_orderkey, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y, " +
+        "CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m FROM orders) " +
+        "SELECT o_orderkey, y, m, " +
+        "CASE WHEN m >= 4 THEN y ELSE y - 1 END AS fy, " +
+        "(m + 8) % 12 // 3 + 1 AS fq, " +
+        "CASE WHEN (m + 8) % 12 < 6 THEN 1 ELSE 2 END AS fh, " +
+        "(m + 8) % 12 + 1 AS fm " +
+        "FROM b ORDER BY o_orderkey"),
+      (s, d) => {
+        val b = T.orders(s, d).select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"))
+        b.select(col("o_orderkey"), col("y"), col("m"),
+            when(col("m") >= 4, col("y")).otherwise(col("y") - 1).as("fy"),
+            (expr("(m + 8) % 12 div 3") + 1).as("fq"),
+            when((col("m") + 8) % 12 < 6, 1L).otherwise(2L).as("fh"),
+            ((col("m") + 8) % 12 + 1).as("fm"))
+          .orderBy("o_orderkey")
+      }),
+
     // Snowflake-id codec (round 12, third wave) [PK: the Twitter
     // Snowflake layout every event pipeline mints — 41-bit ms
     // timestamp | 10-bit machine | 12-bit sequence]: ids are MINTED

@@ -1259,4 +1259,26 @@ class Round12OpsSpec extends SparkSpec {
       assert(pws.distinct.size > 1, s"$et flat spectrum")
     }
   }
+
+  test("fn_fiscal equals a java.time mirror of the April-start calendar") {
+    import org.apache.spark.sql.functions.col
+    val got = SparkEntry.queries("fn_fiscal")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val ords = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderdate"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1)))
+    ords.foreach { case (k, ts) =>
+      val ld = ts.toLocalDateTime.toLocalDate
+      val (y, m) = (ld.getYear.toLong, ld.getMonthValue.toLong)
+      val fy = if (m >= 4) y else y - 1
+      val fm = (m + 8) % 12 + 1
+      val fq = (m + 8) % 12 / 3 + 1
+      val fh = if ((m + 8) % 12 < 6) 1L else 2L
+      assert(got(k) == (y, m, fy, fq, fh, fm), s"order $k @$ld: ${got(k)}")
+    }
+    // both fiscal halves and all four quarters occur in the span
+    assert(got.values.map(_._4).toSet == Set(1L, 2L, 3L, 4L))
+    assert(got.values.map(_._5).toSet == Set(1L, 2L))
+  }
 }
