@@ -1047,7 +1047,8 @@ object Aggregates {
     // normalized so xa < xb (equal-x pairs drop on both engines).
     // The inlier test is EXACT integer cross-multiplication:
     // |dy·(x−xa) − dx·(y−ya)| ≤ TOL·dx with TOL = 20 value-units s6
-    // (products ≲ 9e14 ≪ 2^63), so no slope double ever enters the
+    // (products ≲ 5e15 at the current corpus — |dy| ≲ 2e9 s6 × span
+    // ≲ 2.6e6 s, ~2000× int64 headroom), so no slope double ever enters the
     // consensus count; the winning model is (inliers DESC, k) and only
     // its slope is presented, as the halfUpDiv micro-slope. One window
     // rank + a ≤40-row broadcast of candidates against one pass over

