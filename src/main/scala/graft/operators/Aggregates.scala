@@ -1491,6 +1491,105 @@ object Aggregates {
           .orderBy("l_returnflag")
       }),
 
+    // Two-level KLL-style compactor sketch (round 13, VERDICT r12 item
+    // 8) [Karnin, Lang & Liberty 2016, "Optimal quantile approximation
+    // in streams"] — the MERGEABLE percentile story agg_approx_pct's
+    // fixed grid lacks (a histogram needs min/max up front; a compactor
+    // sketch streams and merges free of any range knowledge). The
+    // paper's random compaction offset is hash-DERANDOMIZED (the
+    // agg_ransac draw): level 0 runs one compaction per partition
+    // bucket b = user_id % 32 — sort the bucket's values by (v, eid),
+    // keep alternating ranks starting at hash32('kll:'||b) % 2, weight
+    // 2 — and level 1 merges 4 level-0 sketches per super-bucket and
+    // compacts again the same way (weight 4). BOTH levels sort before
+    // compacting, so the result depends only on the input MULTISET —
+    // merge-order-free by construction, the agg_hll law (SketchSpec
+    // re-runs it under a shuffled partitioning and asserts identical
+    // rows, plus the rank-error bound). Quantile query: smallest
+    // retained v whose cumulative weight reaches ceil(p·W) — the scan
+    // is SKETCH-local (the retained set IS the sketch; at production
+    // capacity k it is |buckets|·k rows on one node). Graded at p ∈
+    // {25, 50, 75} against the EXACT interpolated percentile (Det rule
+    // 4 — exact in double space at those p over integer inputs), so the
+    // estimator's error is itself a graded integer.
+    Q("agg_kll", Some {
+      val offB = sqlHash32("'kll:' || CAST(b AS VARCHAR)") + " % 2"
+      val offS = sqlHash32("'kll:s:' || CAST(sb AS VARCHAR)") + " % 2"
+      "WITH vals AS (SELECT " + sqlS6("value") + " AS v, event_id AS eid, " +
+        "user_id % 32 AS b FROM events), " +
+        "l0 AS MATERIALIZED (SELECT v, eid, b, b // 4 AS sb FROM (" +
+        "SELECT v, eid, b, ROW_NUMBER() OVER (PARTITION BY b ORDER BY v, eid) AS rk " +
+        "FROM vals) WHERE rk % 2 = " + offB + "), " +
+        "l1 AS MATERIALIZED (SELECT v, eid FROM (" +
+        "SELECT v, eid, sb, ROW_NUMBER() OVER (PARTITION BY sb ORDER BY v, eid) AS rk " +
+        "FROM l0) WHERE rk % 2 = " + offS + "), " +
+        "cw AS (SELECT v, SUM(4) OVER (ORDER BY v, eid " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw FROM l1), " +
+        "tot AS (SELECT CAST((SELECT COUNT(*) FROM vals) AS BIGINT) AS n_rows, " +
+        "CAST(4 * (SELECT COUNT(*) FROM l1) AS BIGINT) AS w_total, " +
+        "CAST((SELECT COUNT(*) FROM l1) AS BIGINT) AS n_retained), " +
+        "ps AS (SELECT UNNEST([25, 50, 75]) AS p), " +
+        "est AS (SELECT ps.p, MIN(cw.v) AS est6 FROM ps JOIN cw " +
+        "ON cw.cumw >= (ps.p * (SELECT w_total FROM tot) + 99) // 100 GROUP BY ps.p), " +
+        "ex AS (SELECT " +
+        "CAST(FLOOR(QUANTILE_CONT(v, 0.25) + 0.5) AS BIGINT) AS e25, " +
+        "CAST(FLOOR(QUANTILE_CONT(v, 0.50) + 0.5) AS BIGINT) AS e50, " +
+        "CAST(FLOOR(QUANTILE_CONT(v, 0.75) + 0.5) AS BIGINT) AS e75 FROM vals) " +
+        "SELECT CAST(est.p AS BIGINT) AS p, CAST(est.est6 AS BIGINT) AS est6, " +
+        "CAST(CASE est.p WHEN 25 THEN ex.e25 WHEN 50 THEN ex.e50 ELSE ex.e75 END AS BIGINT) AS exact6, " +
+        "CAST(est.est6 - CASE est.p WHEN 25 THEN ex.e25 WHEN 50 THEN ex.e50 ELSE ex.e75 END AS BIGINT) AS err6, " +
+        "tot.n_rows, tot.w_total, tot.n_retained " +
+        "FROM est, ex, tot ORDER BY p"
+    },
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val vals = T.events(s, d)
+          .select(s6(col("value")).as("v"), col("event_id").as("eid"),
+            (col("user_id") % 32).as("b"))
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        val offB = pmod(hash32(concat(lit("kll:"), col("b").cast("string"))), lit(2))
+        val l0 = vals
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("b").orderBy(col("v"), col("eid"))))
+          .where(col("rk") % 2 === offB)
+          .select(col("v"), col("eid"), (col("b") / 4).cast("long").as("sb"))
+        val offS = pmod(hash32(concat(lit("kll:s:"), col("sb").cast("string"))), lit(2))
+        val l1 = l0
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("sb").orderBy(col("v"), col("eid"))))
+          .where(col("rk") % 2 === offS)
+          .select(col("v"), col("eid"))
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        // sketch-local scan: l1 IS the sketch (n/4 here; |buckets|·k in
+        // production), so the single-partition cumulative window is
+        // bounded by the sketch budget, not the data
+        val cw = l1.withColumn("cumw", sum(lit(4L)).over(
+          Window.orderBy(col("v"), col("eid"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        val tot = vals.agg(count(lit(1)).as("n_rows"))
+          .crossJoin(broadcast(l1.agg((count(lit(1)) * 4).as("w_total"),
+            count(lit(1)).as("n_retained"))))
+        val sq = s
+        import sq.implicits._
+        val ps = Seq(25L, 50L, 75L).toDF("p")
+        // ceil(p·W/100) = (p·W + 99) // 100 — the floor of the double
+        // divide is exact (operands ≪ 2^53, exact multiples representable)
+        val target = floor((col("p") * col("wt") + lit(99L)) / 100)
+        val est = broadcast(ps).join(
+            cw.crossJoin(broadcast(tot.select(col("w_total").as("wt")))),
+            col("cumw") >= target)
+          .groupBy("p").agg(min(col("v")).as("est6"))
+        def exP(p: Double) = floor(percentile(col("v"), lit(p)) + 0.5).cast("long")
+        val ex = vals.agg(exP(0.25).as("e25"), exP(0.5).as("e50"), exP(0.75).as("e75"))
+        val exact = when(col("p") === 25, col("e25"))
+          .when(col("p") === 50, col("e50")).otherwise(col("e75"))
+        est.crossJoin(broadcast(ex)).crossJoin(broadcast(tot))
+          .select(col("p"), col("est6"), exact.as("exact6"),
+            (col("est6") - exact).as("err6"),
+            col("n_rows"), col("w_total"), col("n_retained"))
+          .orderBy("p")
+      }),
+
     // Boolean aggregate family (round 6): bool_and/bool_or plus a
     // conditional count — pure predicate folds, map-side combinable.
     Q("agg_bool", Some(

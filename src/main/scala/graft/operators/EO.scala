@@ -339,6 +339,26 @@ object EO {
       .where(interior(col("pos")))
   }
 
+  /** eo_polygon_overlay's AOIs: RECTILINEAR polygons (axis-aligned
+    * edges) as ordered vertex lists on join_pip's 256-grid — an L, a T
+    * and a plain rectangle, so concave overlay cases are exercised.
+    * Shoelace areas: 12000, 5700, 8000. */
+  private[graft] val OverlayAois: Seq[Seq[(Int, Int)]] = Seq(
+    Seq((40, 40), (160, 40), (160, 100), (100, 100), (100, 180), (40, 180)),
+    Seq((180, 60), (260, 60), (260, 90), (235, 90), (235, 200), (205, 200),
+      (205, 90), (180, 90)),
+    Seq((60, 200), (220, 200), (220, 250), (60, 250)))
+
+  /** Hand-decomposed DISJOINT rectangle covers of [[OverlayAois]]
+    * ((x0, y0, x1, y1), half-open convention irrelevant — areas are
+    * side products). GeometrySpec proves Σ rect areas == shoelace area
+    * per AOI and pairwise disjointness, so the decomposition cannot
+    * silently drift from the vertex lists. */
+  private[graft] val OverlayAoiRects: Seq[Seq[(Int, Int, Int, Int)]] = Seq(
+    Seq((40, 40, 160, 100), (40, 100, 100, 180)),
+    Seq((180, 60, 260, 90), (205, 90, 235, 200)),
+    Seq((60, 200, 220, 250)))
+
   val all: Seq[Q] = Seq(
 
     // NDVI-shaped normalized difference with div-0 guard (xr.where analogue).
@@ -3999,6 +4019,127 @@ object EO {
           .groupBy("tile", "mcase")
           .agg(count(lit(1)).as("n_cells"))
           .orderBy("tile", "mcase")
+      }),
+
+    // Polygon–polygon overlay (round 13, VERDICT r12 item 5) — the
+    // intersection-area census between scene FOOTPRINTS and AOI polygons
+    // (the ODC `geopolygon` load path [PK]: "which scenes overlap my
+    // AOI, and by how much" — the query every EO archive answers before
+    // loading a single pixel), EXACT on the integer grid. Footprints are
+    // deterministic rectangles on join_pip's 256-grid (origin
+    // (event_id%256, event_id·37 % 256), sides 8 + id-derived %25 — see
+    // the fp comment for why user_id is unusable). The three AOIs are
+    // RECTILINEAR polygons (L, T, plain rect — axis-aligned edges), each
+    // carried in TWO literal broadcast dictionaries: the ORIENTED EDGE
+    // list, from which the graded aoi_area is derived relationally by
+    // the exact shoelace sum Σ(x1·y2 − x2·y1) = 2A (all int64, the
+    // closed-loop identity; GeometrySpec re-derives it scalar-side and
+    // against a brute-force rasterization), and a DISJOINT-RECTANGLE
+    // decomposition (hand-decomposed constants; the spec proves
+    // Σ rect areas == shoelace area), against which rect∩rect clipping
+    // is the exact integer max(0, min−max) product — so every
+    // intersection area is exact without rational edge-edge points.
+    // Plan shape: footprints ⋈ broadcast AOI-bbox prefilter → ⋈
+    // broadcast rect dictionary → one (scene, aoi) partial agg → one
+    // aoi rollup; fan-out is |footprints in bbox| × |rects of that AOI|
+    // (dictionary-bounded, the join_pip discipline) — never
+    // |scenes| × |all AOI edges|. Graded per AOI: the shoelace area,
+    // hit census, total overlap area, id checksum and the best-scene
+    // IoU (s6 of exact integers).
+    Q("eo_polygon_overlay", Some {
+      val edges = OverlayAois.zipWithIndex.map { case (p, id) =>
+        p.indices.map { i =>
+          val (x1, y1) = p(i); val (x2, y2) = p((i + 1) % p.size)
+          s"($id, $x1, $y1, $x2, $y2)"
+        }.mkString(", ")
+      }.mkString(", ")
+      val rects = OverlayAoiRects.zipWithIndex.flatMap { case (rs, id) =>
+        rs.map { case (x0, y0, x1, y1) => s"($id, $x0, $y0, $x1, $y1)" }
+      }.mkString(", ")
+      val bboxes = OverlayAois.zipWithIndex.map { case (p, id) =>
+        s"($id, ${p.map(_._1).min}, ${p.map(_._2).min}, " +
+          s"${p.map(_._1).max}, ${p.map(_._2).max})"
+      }.mkString(", ")
+      s"WITH ed(aoi_id, x1, y1, x2, y2) AS (VALUES $edges), " +
+        s"rc(aoi_id, rx0, ry0, rx1, ry1) AS (VALUES $rects), " +
+        s"bb(aoi_id, bx0, by0, bx1, by1) AS (VALUES $bboxes), " +
+        "sh AS (SELECT aoi_id, CAST(ABS(SUM(x1 * y2 - x2 * y1)) // 2 AS BIGINT) AS aoi_area " +
+        "FROM ed GROUP BY aoi_id), " +
+        // footprint geometry derives from event_id alone (×37/×13 are
+        // odd → bijections mod 256): user_id spans only 0..14 at
+        // sf0.001, so a user_id-derived dimension would leave every
+        // footprint below the AOIs (measured — the degenerate-lane rule)
+        "fp AS (SELECT event_id AS scene_id, " +
+        "event_id % 256 AS fx0, (event_id * 37) % 256 AS fy0, " +
+        "event_id % 256 + 8 + event_id % 25 AS fx1, " +
+        "(event_id * 37) % 256 + 8 + (event_id * 13) % 25 AS fy1 FROM events), " +
+        "cand AS (SELECT fp.*, bb.aoi_id FROM fp JOIN bb " +
+        "ON fp.fx0 < bb.bx1 AND fp.fx1 > bb.bx0 AND fp.fy0 < bb.by1 AND fp.fy1 > bb.by0), " +
+        "ia AS (SELECT c.scene_id, c.aoi_id, " +
+        "(c.fx1 - c.fx0) * (c.fy1 - c.fy0) AS fp_area, " +
+        "CAST(SUM(GREATEST(0, LEAST(c.fx1, r.rx1) - GREATEST(c.fx0, r.rx0)) * " +
+        "GREATEST(0, LEAST(c.fy1, r.ry1) - GREATEST(c.fy0, r.ry0))) AS BIGINT) AS inter " +
+        "FROM cand c JOIN rc r ON r.aoi_id = c.aoi_id " +
+        "GROUP BY c.scene_id, c.aoi_id, fp_area), " +
+        "hit AS (SELECT ia.*, sh.aoi_area FROM ia JOIN sh ON sh.aoi_id = ia.aoi_id " +
+        "WHERE ia.inter > 0) " +
+        "SELECT aoi_id, MAX(aoi_area) AS aoi_area, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_scenes, " +
+        "CAST(SUM(inter) AS BIGINT) AS inter_sum, " +
+        "CAST(SUM(scene_id) AS BIGINT) AS checksum, " +
+        "CAST(MAX(" +
+        sqlS6("CAST(inter AS DOUBLE) / CAST(fp_area + aoi_area - inter AS DOUBLE)") +
+        ") AS BIGINT) AS max_iou6 " +
+        "FROM hit GROUP BY aoi_id ORDER BY aoi_id"
+    },
+      (s, d) => {
+        val sq = s
+        import sq.implicits._
+        val ed = OverlayAois.zipWithIndex.flatMap { case (p, id) =>
+          p.indices.map { i =>
+            val (x1, y1) = p(i); val (x2, y2) = p((i + 1) % p.size)
+            (id, x1.toLong, y1.toLong, x2.toLong, y2.toLong)
+          }
+        }.toDF("aoi_id", "x1", "y1", "x2", "y2")
+        val rc = OverlayAoiRects.zipWithIndex.flatMap { case (rs, id) =>
+          rs.map { case (x0, y0, x1, y1) =>
+            (id, x0.toLong, y0.toLong, x1.toLong, y1.toLong)
+          }
+        }.toDF("aoi_id", "rx0", "ry0", "rx1", "ry1")
+        val bb = OverlayAois.zipWithIndex.map { case (p, id) =>
+          (id, p.map(_._1).min.toLong, p.map(_._2).min.toLong,
+            p.map(_._1).max.toLong, p.map(_._2).max.toLong)
+        }.toDF("aoi_id", "bx0", "by0", "bx1", "by1")
+        val sh = ed.groupBy("aoi_id")
+          .agg((abs(sum(col("x1") * col("y2") - col("x2") * col("y1"))) / 2)
+            .cast("long").as("aoi_area"))
+        val fp = T.events(s, d).select(
+          col("event_id").as("scene_id"),
+          (col("event_id") % 256).as("fx0"),
+          (col("event_id") * 37 % 256).as("fy0"),
+          (col("event_id") % 256 + 8 + col("event_id") % 25).as("fx1"),
+          (col("event_id") * 37 % 256 + 8 + col("event_id") * 13 % 25).as("fy1"))
+        val cand = fp.join(broadcast(bb),
+          col("fx0") < col("bx1") && col("fx1") > col("bx0") &&
+            col("fy0") < col("by1") && col("fy1") > col("by0"))
+        val clip =
+          greatest(lit(0L), least(col("fx1"), col("rx1")) - greatest(col("fx0"), col("rx0"))) *
+            greatest(lit(0L), least(col("fy1"), col("ry1")) - greatest(col("fy0"), col("ry0")))
+        val ia = cand.join(broadcast(rc), "aoi_id")
+          .groupBy(col("scene_id"), col("aoi_id"),
+            ((col("fx1") - col("fx0")) * (col("fy1") - col("fy0"))).as("fp_area"))
+          .agg(sum(clip).as("inter"))
+        val iou = s6(col("inter").cast("double") /
+          (col("fp_area") + col("aoi_area") - col("inter")).cast("double"))
+        ia.join(broadcast(sh), "aoi_id")
+          .where(col("inter") > 0)
+          .groupBy("aoi_id")
+          .agg(max(col("aoi_area")).as("aoi_area"),
+            count(lit(1)).as("n_scenes"),
+            sum(col("inter")).as("inter_sum"),
+            sum(col("scene_id")).as("checksum"),
+            max(iou).as("max_iou6"))
+          .orderBy("aoi_id")
       }))
 
   /** 4-adjacency connected-component rollup over set mask pixels

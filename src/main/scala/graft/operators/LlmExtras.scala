@@ -82,6 +82,73 @@ object LlmExtras {
       .orderBy("lang", "rnk")
   }
 
+  /** llm_bpe_train's loop: TRAIN the merge table on the even-doc_id half
+    * only, and in the same pass APPLY each round's picked merge to the
+    * HELD-OUT odd-doc_id vocabulary — the real tokenizer workflow
+    * (llm_bpe_apply trains and encodes on one corpus). Same ␟-wrapped
+    * symbol-string encoding; the held-out frame never influences a pick. */
+  private[graft] def bpeTrainHeldout(s: SparkSession, d: String, k: Int): DataFrame = {
+    val sep = "\u001f"
+    val sep2 = sep + sep
+    def vocab(par: Int): DataFrame = T.documents(s, d)
+      .where(col("doc_id") % 2 === par)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("freq"))
+      .select(col("lang"),
+        concat(lit(sep), array_join(split(col("tok"), ""), sep2), lit(sep))
+          .as("tokstr"),
+        col("freq"))
+      .localCheckpoint()
+    def symCount(frame: DataFrame, alias: String): DataFrame = frame
+      .withColumn("syms",
+        split(expr("substring(tokstr, 2, length(tokstr) - 2)"),
+          java.util.regex.Pattern.quote(sep2)))
+      .groupBy("lang")
+      .agg(sum(col("freq") * size(col("syms"))).as(alias))
+    var v = vocab(0)
+    var h = vocab(1)
+    val hs0 = symCount(h, "heldout_syms0").localCheckpoint()
+    val merges = collection.mutable.Buffer.empty[DataFrame]
+    val wWin = Window.partitionBy("lang").orderBy(col("n").desc, col("pair"))
+    def applyMerge(frame: DataFrame, w: DataFrame): DataFrame = frame
+      .join(broadcast(w.select("lang", "pair")), Seq("lang"), "left")
+      .select(col("lang"),
+        when(col("pair").isNull, col("tokstr"))
+          .otherwise(org.apache.spark.sql.functions.replace(col("tokstr"),
+            col("pair"),
+            org.apache.spark.sql.functions.replace(col("pair"), lit(sep2),
+              lit("")))).as("tokstr"),
+        col("freq"))
+      .localCheckpoint()
+    for (r <- 1 to k) {
+      val sdf = v.withColumn("syms",
+        split(expr("substring(tokstr, 2, length(tokstr) - 2)"),
+          java.util.regex.Pattern.quote(sep2)))
+      val a = slice(col("syms"), lit(1), size(col("syms")) - 1)
+      val b = slice(col("syms"), lit(2), size(col("syms")) - 1)
+      val p = sdf.select(col("lang"), col("freq"),
+        explode(transform(arrays_zip(a.as("a"), b.as("b")),
+          z => concat(lit(sep), z.getField("a"), lit(sep2),
+            z.getField("b"), lit(sep)))).as("pair"))
+      val c = p.groupBy("lang", "pair").agg(sum("freq").as("n"))
+      val w = c.withColumn("rk", row_number().over(wWin))
+        .where(col("rk") === 1).select("lang", "pair", "n")
+        .localCheckpoint()
+      merges += w.select(col("lang"), lit(r.toLong).as("rnk"),
+        regexp_replace(col("pair"), java.util.regex.Pattern.quote(sep), "")
+          .as("merged"), col("n"))
+      v = applyMerge(v, w)
+      h = applyMerge(h, w)
+    }
+    val hsK = symCount(h, "heldout_symsk")
+    merges.reduce(_ unionAll _)
+      .join(broadcast(hs0), "lang")
+      .join(broadcast(hsK), "lang")
+      .select(col("lang"), col("rnk"), col("merged"), col("n"),
+        col("heldout_syms0"), col("heldout_symsk"))
+      .orderBy("lang", "rnk")
+  }
+
   /** Trained-PQ geometry (round 12, VERDICT r11 item 1): M=16 subspaces
     * of 4 dims, K=16 centroids per subspace trained by R=3 Lloyd rounds
     * under the iterate-quantize discipline (llm_kmeans_lloyd's induction:
@@ -2546,6 +2613,61 @@ object LlmExtras {
         "ORDER BY m.lang, m.rnk"
     },
       (s, d) => bpeApply(s, d, BpeRounds)),
+
+    // BPE train/apply SPLIT (round 13, VERDICT r12 item 4) — the
+    // workflow llm_bpe_apply's single-corpus loop does not grade: a
+    // tokenizer is TRAINED once (here: on the even-doc_id half) and then
+    // APPLIED to text it never saw (the odd half) — every production
+    // tokenizer's deploy shape [Sennrich et al. 2016 §3 "apply the
+    // learned operations to the test set"]. Per round the argmax merge
+    // (count DESC, pair lexicographic) is picked from the TRAIN vocab
+    // only and REPLACE-applied to BOTH vocabs, so the held-out frame
+    // never influences a pick; the graded surface is the learned merge
+    // table AND the held-out compression it buys (symbol count before /
+    // after — the tokenizer-quality number a train/apply split exists to
+    // measure). Same ␟-wrapped encoding and REPLACE-merge law as
+    // llm_bpe_apply; oracle = the identical two-vocab chain as
+    // MATERIALIZED CTEs. Work per round stays vocabulary-sized.
+    Q("llm_bpe_train", Some {
+      val S = "CHR(31)"
+      val rounds = (1 to BpeRounds).map { r =>
+        s"s$r AS (SELECT lang, freq, tokstr, " +
+          s"STRING_SPLIT(SUBSTRING(tokstr, 2, LEN(tokstr) - 2), $S||$S) AS syms FROM v${r - 1}), " +
+          s"c$r AS (SELECT lang, $S || syms[i] || $S || $S || syms[i+1] || $S AS pair, " +
+          s"CAST(SUM(freq) AS BIGINT) AS n FROM s$r, (SELECT UNNEST(RANGE(1, (SELECT mxn FROM mx))) AS i) ix " +
+          s"WHERE i < LEN(syms) GROUP BY lang, pair), " +
+          s"w$r AS (SELECT lang, pair, n FROM (SELECT lang, pair, n, " +
+          s"ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, pair) AS rk FROM c$r) WHERE rk = 1), " +
+          s"v$r AS MATERIALIZED (SELECT v.lang, CASE WHEN w.pair IS NULL THEN v.tokstr " +
+          s"ELSE REPLACE(v.tokstr, w.pair, REPLACE(w.pair, $S||$S, '')) END AS tokstr, v.freq " +
+          s"FROM v${r - 1} v LEFT JOIN w$r w ON w.lang = v.lang), " +
+          s"h$r AS MATERIALIZED (SELECT h.lang, CASE WHEN w.pair IS NULL THEN h.tokstr " +
+          s"ELSE REPLACE(h.tokstr, w.pair, REPLACE(w.pair, $S||$S, '')) END AS tokstr, h.freq " +
+          s"FROM h${r - 1} h LEFT JOIN w$r w ON w.lang = h.lang)"
+      }.mkString(", ")
+      val merges = (1 to BpeRounds).map(r =>
+        s"SELECT lang, CAST($r AS BIGINT) AS rnk, REPLACE(pair, $S, '') AS merged, n FROM w$r")
+        .mkString(" UNION ALL ")
+      def vocabCte(name: String, par: Int) =
+        s"$name AS (SELECT lang, $S || ARRAY_TO_STRING(STRING_SPLIT(tok, ''), $S||$S) || $S AS tokstr, freq " +
+          "FROM (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS freq FROM " +
+          s"(SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents WHERE doc_id % 2 = $par) " +
+          "GROUP BY lang, tok))"
+      def symsCte(name: String, src: String, alias: String) =
+        s"$name AS (SELECT lang, CAST(SUM(freq * LEN(STRING_SPLIT(SUBSTRING(tokstr, 2, LEN(tokstr) - 2), $S||$S))) AS BIGINT) AS $alias " +
+          s"FROM $src GROUP BY lang)"
+      s"WITH ${vocabCte("v0", 0)}, ${vocabCte("h0", 1)}, " +
+        "mx AS (SELECT CAST(MAX(LEN(tok)) AS BIGINT) AS mxn FROM " +
+        "(SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)), " +
+        rounds + ", " +
+        s"m AS ($merges), " +
+        symsCte("hs0", "h0", "heldout_syms0") + ", " +
+        symsCte("hsk", s"h$BpeRounds", "heldout_symsk") + " " +
+        "SELECT m.lang, m.rnk, m.merged, m.n, hs0.heldout_syms0, hsk.heldout_symsk " +
+        "FROM m JOIN hs0 ON hs0.lang = m.lang JOIN hsk ON hsk.lang = m.lang " +
+        "ORDER BY m.lang, m.rnk"
+    },
+      (s, d) => bpeTrainHeldout(s, d, BpeRounds)),
 
     // Character-entropy gibberish filter (round 9, fourth wave) — the
     // cheap pre-quality screen (random bytes and key-mash have
