@@ -1557,6 +1557,98 @@ object LlmExtras {
           .orderBy("rk")
       }),
 
+    // TRAINED language-ID: multinomial Naive Bayes (round 13) — the
+    // classic scalable text classifier [McCallum & Nigam 1998] beside
+    // llm_langid's fixed stopword threshold, under the llm_bpe_train
+    // train/apply discipline: word-unigram likelihoods with Laplace +1
+    // smoothing over the TRAIN half's vocabulary (even doc_ids) and
+    // doc priors are estimated on train only; odd-doc_id documents are
+    // classified by the integer argmax of prior6 + Σ count·lp6, where
+    // every ln goes through the portable lnRatio and is s6-floored
+    // BEFORE the weighted sum (the llm_unigram_logprob discipline) —
+    // so the score, the argmax and the graded confusion matrix are
+    // exact integers on both engines. MEASURED accuracy 0.368 (sf0.01)
+    // / 0.336 (sf0.001) against the 0.2 five-lang chance floor — the
+    // honest ceiling on this synthetic corpus, whose languages share
+    // one 31-word vocabulary and differ only in mixture proportions
+    // (the pq_recall honesty discipline; Round13OpsSpec pins diagonal
+    // mass ≥ 1.2× chance and mirrors the whole train/score/argmax
+    // scalar-side). Scale shape: training is ONE token shuffle, the
+    // likelihood table is a langs×|V| broadcast grid, scoring is a
+    // map-side join + one (doc, candidate) partial agg — textbook
+    // distributed NB.
+    Q("llm_langid_nb", Some(
+      "WITH tr AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0), " +
+        "te AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 1), " +
+        "tt AS (SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM tr), " +
+        "cnt AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c FROM tt GROUP BY lang, w), " +
+        "voc AS (SELECT DISTINCT w FROM tt), " +
+        "vn AS (SELECT CAST(COUNT(*) AS BIGINT) AS vn FROM voc), " +
+        "tot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS t FROM tt GROUP BY lang), " +
+        "lg AS (SELECT DISTINCT lang FROM tr), " +
+        "nd AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nd FROM tr GROUP BY lang), " +
+        "na AS (SELECT CAST(COUNT(*) AS BIGINT) AS na FROM tr), " +
+        "lp AS (SELECT lg.lang, voc.w, " +
+        sqlS6(Det.sqlLnRatio("COALESCE(cnt.c, 0) + 1", "tot.t + (SELECT vn FROM vn)")) +
+        " AS lp6 FROM lg CROSS JOIN voc " +
+        "LEFT JOIN cnt ON cnt.lang = lg.lang AND cnt.w = voc.w " +
+        "JOIN tot ON tot.lang = lg.lang), " +
+        "pri AS (SELECT lang, " + sqlS6(Det.sqlLnRatio("nd", "(SELECT na FROM na)")) +
+        " AS prior6 FROM nd), " +
+        "dt AS (SELECT doc_id, true_lang, w, CAST(COUNT(*) AS BIGINT) AS cw FROM " +
+        "(SELECT doc_id, lang AS true_lang, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM te) " +
+        "GROUP BY doc_id, true_lang, w), " +
+        "sc AS (SELECT dt.doc_id, dt.true_lang, lp.lang AS cand, " +
+        "CAST(SUM(dt.cw * lp.lp6) AS BIGINT) AS ll6 " +
+        "FROM dt JOIN lp ON lp.w = dt.w GROUP BY dt.doc_id, dt.true_lang, lp.lang), " +
+        "sp AS (SELECT sc.doc_id, sc.true_lang, sc.cand, sc.ll6 + pri.prior6 AS score6 " +
+        "FROM sc JOIN pri ON pri.lang = sc.cand), " +
+        "pk AS (SELECT doc_id, true_lang, cand FROM (SELECT doc_id, true_lang, cand, " +
+        "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score6 DESC, cand) AS rn FROM sp) " +
+        "WHERE rn = 1) " +
+        "SELECT true_lang AS lang, cand AS pred, CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM pk GROUP BY true_lang, cand ORDER BY lang, pred"),
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val train = docs.where(col("doc_id") % 2 === 0)
+        val test = docs.where(col("doc_id") % 2 === 1)
+        val tt = train.select(col("lang"), explode(split(col("text"), " ")).as("w"))
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        val cnt = tt.groupBy("lang", "w").agg(count(lit(1)).as("c"))
+        val voc = tt.select("w").distinct()
+        val vn = voc.agg(count(lit(1)).as("vn"))
+        val tot = tt.groupBy("lang").agg(count(lit(1)).as("t"))
+        val lg = train.select("lang").distinct()
+        val nd = train.groupBy("lang").agg(count(lit(1)).as("nd"))
+        val na = train.agg(count(lit(1)).as("na"))
+        val lp = lg.crossJoin(voc)
+          .join(cnt, Seq("lang", "w"), "left")
+          .join(broadcast(tot), "lang")
+          .crossJoin(broadcast(vn))
+          .select(col("lang"), col("w"),
+            s6(lnRatio(coalesce(col("c"), lit(0L)) + 1, col("t") + col("vn")))
+              .as("lp6"))
+        val pri = nd.crossJoin(broadcast(na))
+          .select(col("lang"), s6(lnRatio(col("nd"), col("na"))).as("prior6"))
+        val dt = test
+          .select(col("doc_id"), col("lang").as("true_lang"),
+            explode(split(col("text"), " ")).as("w"))
+          .groupBy("doc_id", "true_lang", "w").agg(count(lit(1)).as("cw"))
+        val sc = dt
+          .join(broadcast(lp.withColumnRenamed("lang", "cand")), "w")
+          .groupBy("doc_id", "true_lang", "cand")
+          .agg(sum(col("cw") * col("lp6")).as("ll6"))
+          .join(broadcast(pri.select(col("lang").as("cand"), col("prior6"))), "cand")
+          .select(col("doc_id"), col("true_lang"), col("cand"),
+            (col("ll6") + col("prior6")).as("score6"))
+        sc.withColumn("rn", row_number().over(
+            Window.partitionBy("doc_id").orderBy(col("score6").desc, col("cand"))))
+          .where(col("rn") === 1)
+          .groupBy(col("true_lang").as("lang"), col("cand").as("pred"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang", "pred")
+      }),
+
     // Language-ID heuristic: stopword-ratio thresholding (the n-gram
     // frequency detector family, reduced to this corpus's vocabulary);
     // the declared lang column is ground truth for the confusion counts.

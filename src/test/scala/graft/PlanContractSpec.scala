@@ -614,4 +614,33 @@ class PlanContractSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, s"plan sweep violations: $offenders")
   }
+
+  test("round-13 keys keep their promised shapes") {
+    // LOF-over-ANN: probe pick + kNN are WindowGroupLimit heaps (rn <= k
+    // filters over ranked windows), candidates flow through equi joins —
+    // never a cartesian pair space
+    val lof = planOf("dq_outlier_lof_ann")
+    assert(lof.contains("WindowGroupLimit") && !lof.contains("CartesianProduct"),
+      s"lof_ann shape:\n${lof.take(2000)}")
+    // NSW: edge-pool generation is bucket-equi-join through the broadcast
+    // neighbor-bucket dictionary; no raw pair space anywhere
+    val nsw = planOf("llm_ann_nsw")
+    assert(!nsw.contains("CartesianProduct"), s"nsw planned a cartesian")
+    // QUALIFY rewrite lowers to per-partition top-k heaps
+    assert(planOf("sql_qualify").contains("WindowGroupLimit"),
+      "qualify rewrite lost its WindowGroupLimit")
+    // the native TABLESAMPLE clause survives into the physical plan
+    assert(planOf("sql_tablesample").contains("Sample"),
+      "tablesample lost its Sample operator")
+    // overlay: AOI rect dictionary attaches as a broadcast hash join on
+    // aoi_id; the bbox prefilter is the only (broadcast) nested loop
+    val ov = planOf("eo_polygon_overlay")
+    assert(ov.contains("BroadcastHashJoin") && !ov.contains("CartesianProduct"),
+      s"overlay shape:\n${ov.take(2000)}")
+    // KLL: both compaction windows are bucket-partitioned (the one global
+    // window is the sketch-local cumulative scan, documented at the key)
+    val kll = planOf("agg_kll")
+    assert(!kll.contains("CartesianProduct") && kll.contains("percentile"),
+      s"kll shape:\n${kll.take(2000)}")
+  }
 }

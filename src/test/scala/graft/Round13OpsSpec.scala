@@ -275,6 +275,49 @@ class Round13OpsSpec extends SparkSpec {
     }
   }
 
+  test("llm_langid_nb equals a scalar NB mirror; diagonal mass beats chance") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val train = docs.filter(_._1 % 2 == 0)
+    val heldout = docs.filter(_._1 % 2 == 1)
+    val cnt = collection.mutable.Map.empty[(String, String), Long]
+    val tot = collection.mutable.Map.empty[String, Long]
+    train.foreach { case (_, lang, t) =>
+      t.split(" ").foreach { w =>
+        cnt((lang, w)) = cnt.getOrElse((lang, w), 0L) + 1
+        tot(lang) = tot.getOrElse(lang, 0L) + 1
+      }
+    }
+    val voc = cnt.keys.map(_._2).toSet
+    val langs = tot.keys.toSeq.sorted
+    val vn = voc.size.toLong
+    val nd = train.groupBy(_._2).map { case (l, xs) => l -> xs.length.toLong }
+    val na = train.length.toLong
+    val lp = (for (l <- langs; w <- voc)
+      yield (l, w) -> s6d(Det.lnRatioD(cnt.getOrElse((l, w), 0L) + 1, tot(l) + vn))).toMap
+    val pri = langs.map(l => l -> s6d(Det.lnRatioD(nd(l), na))).toMap
+    val conf = collection.mutable.Map.empty[(String, String), Long]
+    heldout.foreach { case (_, lang, t) =>
+      val ws = t.split(" ").filter(voc)
+      if (ws.nonEmpty) { // the key's inner join: out-of-vocab-only docs drop
+        val best = langs.map { l =>
+          (l, pri(l) + ws.groupBy(identity).map { case (w, xs) =>
+            xs.length * lp((l, w))
+          }.sum)
+        }.minBy { case (l, sc) => (-sc, l) }._1
+        conf((lang, best)) = conf.getOrElse((lang, best), 0L) + 1
+      }
+    }
+    val got = SparkEntry.queries("llm_langid_nb")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == conf.toMap, s"confusion mismatch: got $got\nexpect $conf")
+    val diag = conf.collect { case ((a, b), n) if a == b => n }.sum
+    val n = conf.values.sum
+    assert(diag.toDouble / n >= 1.2 / langs.size,
+      s"diagonal $diag/$n does not beat 1.2x the 1/${langs.size} chance floor")
+  }
+
   test("sql_qualify equals a scalar top-3 mirror; sql_tablesample is the pure hash gate") {
     val custs = Tables.load(spark, sfDir, "customer")
       .select("c_mktsegment", "c_custkey", "c_acctbal").collect()
