@@ -412,13 +412,14 @@ object Graph {
     * components — exact, like [[MstRounds]] a structural bound. */
   private val MstJumps = 5
 
-  /** Spark-side pointer jumps per Borůvka round, FUSED three-at-a-time
-    * (r12 verdict #7): p ← p∘p∘p per cut job resolves 3^3 = 27 > 25
-    * chain depth in 3 jobs instead of 2^5 in 5. The schedules differ
-    * but both FULLY root every chain (27 and 32 both exceed the 24-edge
-    * worst-case hook depth), so the per-round fixpoints — and the graded
-    * edge list — are identical. */
-  private val MstFusedJumps = 3
+  /** Spark-side pointer jumps per Borůvka round, FUSED five-at-a-time
+    * (r12 verdict #7): each cut job composes the current pointer
+    * function five-fold, so two jobs reach f^25 ≥ the 24-edge
+    * worst-case hook depth (vs 2^5 in 5 doubling jobs). The schedules
+    * differ from the oracle's 5 doublings but both FULLY root every
+    * chain, so the per-round fixpoints — and the graded edge list — are
+    * identical. */
+  private val MstFusedJumps = 2
 
   /** Steps per hash-derandomized walk (graph_walk_corpus) — the typical
     * short-walk window DeepWalk trains on; fixed K both engines. */
@@ -692,21 +693,32 @@ object Graph {
         // every estimate is at most one join's product. The RDD is
         // persisted — component-sized (≤25 rows) — so its dual
         // consumption never recomputes the parent chain.
+        // coalesce(1): every cut frame is component-sized (≤25 rows), so
+        // a 32-partition RDD pays 32 empty scheduler tasks per chained
+        // job — at ~25 chained jobs the task overhead IS the key's cost
+        // (r13: 7.7 → 4.7 s steady at sf0.1 with 1-partition cuts +
+        // the pk-level cut + five-fold jump fusion; eager per-cut
+        // count() was ALSO measured and is SLOWER — it forces the
+        // e-side joins once per cut instead of letting the final action
+        // pipeline them).
         def cut(df: DataFrame): DataFrame = {
-          val r = df.rdd
+          val r = df.rdd.coalesce(1)
           r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           s.createDataFrame(r, df.schema)
         }
-        // Triple-compose per cut (p∘p∘p): the input is a persisted cut,
-        // so the three references never recompute the parent chain, and
-        // the chained-job count per round drops 5 → 3 (MstFusedJumps).
-        def jump(df: DataFrame): DataFrame =
-          cut(df
-            .join(broadcast(df.select(col("k").as("k2"), col("p").as("p2"))),
-              col("p") === col("k2"))
-            .join(broadcast(df.select(col("k").as("k3"), col("p").as("p3"))),
-              col("p2") === col("k3"))
-            .select(col("k"), col("p3").as("p")))
+        // Five-fold compose per cut job (p∘p∘p∘p∘p = f^5 of the input
+        // function): the input is a persisted cut, so the five references
+        // never recompute the parent chain; two jump jobs reach f^25 ≥
+        // the 24-edge worst-case hook depth (MstFusedJumps, r12 verdict
+        // #7 — was 5 doubling jobs, then 3 triple jobs).
+        def jump(df: DataFrame): DataFrame = {
+          val step = df.select(col("k").as("k2"), col("p").as("p2"))
+          cut((1 to 4).foldLeft(df) { (acc, i) =>
+            acc.join(broadcast(step.toDF(s"kk$i", s"pp$i")),
+                col("p") === col(s"kk$i"))
+              .select(col("k"), col(s"pp$i").as("p"))
+          })
+        }
         val n = T.nation(s, d)
           .select(col("n_nationkey").as("v"), col("n_nationkey").cast("long").as("c"))
         var c = n
@@ -718,10 +730,19 @@ object Graph {
             .where(col("cx") =!= col("cy"))
           val both = cr.select(col("cx").as("k"), col("cy").as("other"), col("cost"))
             .unionAll(cr.select(col("cy").as("k"), col("cx").as("other"), col("cost")))
-          // unique costs make the pick tie-free, so min_by is safe here
-          val pk = both.groupBy("k")
-            .agg(min_by(col("other"), col("cost")).as("pt"), min("cost").as("mc"))
-          val p0 = c.select(col("c")).distinct()
+          // unique costs make the pick tie-free, so min_by is safe here.
+          // pk is THE cut of the round's pick subtree: p0/p1, the
+          // contraction and the chosen-edge slice all read the persisted
+          // ≤25-row pick table instead of each re-cutting their own copy.
+          // repartition(1, key) BEFORE the tiny aggregates: a hash
+          // partitioning on the grouping key satisfies the aggregate's
+          // required distribution at ANY width, so the per-round shuffle
+          // is one single-partition exchange instead of a 32-way one —
+          // these frames are component-sized (≤25 groups); a large graph
+          // would size this to |components|, shrinking per round.
+          val pk = cut(both.repartition(1, col("k")).groupBy("k")
+            .agg(min_by(col("other"), col("cost")).as("pt"), min("cost").as("mc")))
+          val p0 = c.select(col("c")).repartition(1, col("c")).distinct()
             .join(broadcast(pk), col("c") === col("k"), "left")
             .select(col("c").as("k"), coalesce(col("pt"), col("c")).as("p"))
           val p1 = cut(p0
@@ -734,8 +755,8 @@ object Graph {
           for (_ <- 1 to MstFusedJumps) j = jump(j)
           c = cut(c.join(broadcast(j), col("c") === col("k"))
             .select(col("v"), col("p").as("c")))
-          val chR = cut(pk.select(col("mc").as("cost")).distinct()
-            .withColumn("r", lit(r.toLong)))
+          val chR = pk.select(col("mc").as("cost")).distinct()
+            .withColumn("r", lit(r.toLong)) // reads the pk cut — no own cut
           chosen = if (chosen == null) chR else chosen.unionAll(chR)
         }
         e.join(chosen, "cost")

