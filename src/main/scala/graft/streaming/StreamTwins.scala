@@ -962,6 +962,82 @@ object StreamTwins {
           .orderBy("event_type", "win_start")
       }),
 
+    // EXECUTED restart under RocksDB CHANGELOG checkpointing (round 13)
+    // [SPARK-43421, 3.5+; the Spark 4 production default for large
+    // state] — the recovery CODE PATH stream_exec_restart's
+    // HDFS-snapshot run never touches: with
+    // rocksdb.changelogCheckpointing.enabled the per-batch commit
+    // uploads only a changelog of that batch's puts, and a restarted
+    // query reconstructs its RocksDB state by REPLAYING changelogs on
+    // top of the last full snapshot (vs restart's load-the-snapshot).
+    // Same two-lifetime scenario (evens committed, odds land after run
+    // 1 terminates) against one checkpoint, so run 2 must replay the
+    // batch-1 changelog into a warm store, skip the committed evens
+    // file, and fold exactly the odds — a lost changelog halves the
+    // counts, a replayed evens file doubles them, either breaks the
+    // hash against the all-events oracle. Provider + changelog confs
+    // are swapped in and RESTORED in a finally (the tws discipline);
+    // both lifetimes share the lowStateParts width pinned into the
+    // checkpoint. BUILD-TIME SIDE EFFECT: stages + runs two streaming
+    // query lifetimes at plan-construction time.
+    Q("stream_exec_changelog", Some(
+      "SELECT event_type, (CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600) * 3600 AS win_start, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, " + sqlSum6("value") + " AS sum_val " +
+        "FROM events GROUP BY event_type, win_start ORDER BY event_type, win_start"),
+      (s, d) => {
+        val landing = java.nio.file.Files.createTempDirectory("graft_exec_chlog")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_chlog_ckpt")
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = s.read.parquet(s"$d/events.parquet")
+        def stage(even: Boolean, name: String): Unit = {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_chlog_half")
+          raw.where((col("event_id") % 2 === 0) === even)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = new java.io.File(tmp.toString).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          java.nio.file.Files.move(part.toPath, landing.resolve(name))
+        }
+        val providerKey = "spark.sql.streaming.stateStore.providerClass"
+        val chlogKey =
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        val prevProvider = s.conf.getOption(providerKey)
+        val prevChlog = s.conf.getOption(chlogKey)
+        s.conf.set(providerKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        s.conf.set(chlogKey, "true")
+        try {
+          def runOnce(): Unit = lowStateParts(s) {
+            val agg = T.eventsStream(s, d, landing.toString)
+              .groupBy(col("event_type"),
+                (floor(epochS(col("ts")) / 3600) * 3600).as("win_start"))
+              .agg(count(lit(1)).as("n"), sum6(col("value")).as("sum_val"))
+            val q = agg.writeStream.format("memory")
+              .queryName("graft_exec_changelog")
+              .option("checkpointLocation", ckpt.toString)
+              .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+          }
+          stage(even = true, "a.parquet")
+          runOnce() // run 1: evens; commit = full snapshot + changelog
+          stage(even = false, "b.parquet")
+          runOnce() // run 2: REPLAYS the changelog, folds exactly the odds
+        } finally {
+          prevProvider match {
+            case Some(p) => s.conf.set(providerKey, p)
+            case None => s.conf.unset(providerKey)
+          }
+          prevChlog match {
+            case Some(p) => s.conf.set(chlogKey, p)
+            case None => s.conf.unset(chlogKey)
+          }
+        }
+        s.table("graft_exec_changelog")
+          .select("event_type", "win_start", "n", "sum_val")
+          .orderBy("event_type", "win_start")
+      }),
+
     // EXECUTED watermark late-drop (round 10 third wave) — the key that
     // grades the WATERMARK ITSELF in execution, which none of the other
     // executed keys do (their single-batch runs never advance it far

@@ -318,6 +318,33 @@ class Round13OpsSpec extends SparkSpec {
       s"diagonal $diag/$n does not beat 1.2x the 1/${langs.size} chance floor")
   }
 
+  test("stream_exec_changelog equals the batch fold and physically writes changelogs") {
+    val got = SparkEntry.queries("stream_exec_changelog")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val expect = Tables.events(spark, sfDir)
+      .select("event_type", "ts", "value").collect()
+      .map { r =>
+        val te = r.getTimestamp(1).getTime / 1000L
+        ((r.getString(0), te / 3600L * 3600L),
+          math.floor(r.getDouble(2) * 1e6 + 0.5).toLong)
+      }
+      .groupBy(_._1).toSeq
+      .map { case ((t, w), xs) => (t, w, xs.length.toLong, xs.map(_._2).sum) }
+      .sortBy(x => (x._1, x._2))
+    assert(got == expect, s"changelog restart fold mismatch (${got.take(3)}…)")
+    // physical proof the CHANGELOG recovery path ran: the key's
+    // checkpoint holds .changelog commits (RocksDB changelog
+    // checkpointing), which the HDFS/snapshot restart twin never writes
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val ckpts = tmp.listFiles().filter(_.getName.startsWith("graft_chlog_ckpt"))
+    assert(ckpts.nonEmpty, "no changelog checkpoint dir found")
+    val latest = ckpts.maxBy(_.lastModified())
+    val nCh = walk(latest).count(_.getName.endsWith(".changelog"))
+    assert(nCh > 0, s"no .changelog files under $latest")
+  }
+
   test("sql_qualify equals a scalar top-3 mirror; sql_tablesample is the pure hash gate") {
     val custs = Tables.load(spark, sfDir, "customer")
       .select("c_mktsegment", "c_custkey", "c_acctbal").collect()
