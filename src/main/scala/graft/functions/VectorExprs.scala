@@ -183,6 +183,66 @@ case class DoubleVecScaledL2(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[DoubleVecScaledL2]] at the 1e10 grid — the LOF family's distance
+  * quantization (dq_outlier_lof/`_ann` floor per-element squared diffs
+  * at 1e10 before the exact long sum, Quality.scala). Same exact-twin
+  * argument as the 1e14 form; a separate expression rather than a scale
+  * argument keeps both whole-stage codegen'd with literal constants.
+  * Round 13: replaces the interpreted zip_with+aggregate higher-order
+  * fold on the LOF pair stages (HOFs are CodegenFallback — measured
+  * ~1.5 s of the exact key's steady time). */
+case class DoubleVecScaledL2E10(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_sl2e10 expects (array<double>, array<double>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc += math.floor(d * d * 1e10 + 0.5).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $acc += (long) java.lang.Math.floor($d * $d * 1e10 + 0.5);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Intersection size of two SORTED, duplicate-free int-id arrays — the
   * set-similarity verify kernel (llm_ngram_jaccard runs it on ~2.2M
   * candidate pairs per bench). `array_intersect` builds a hash set per
@@ -249,6 +309,7 @@ object VectorExprs {
   val DotName = "graft_dot"
   val SDotLName = "graft_sdotl"
   val SL2Name = "graft_sl2"
+  val SL2E10Name = "graft_sl2e10"
   val ICountName = "graft_icount"
 
   private val dotBuilder: Seq[Expression] => Expression =
@@ -259,6 +320,9 @@ object VectorExprs {
 
   private val sl2Builder: Seq[Expression] => Expression =
     children => DoubleVecScaledL2(children(0), children(1))
+
+  private val sl2e10Builder: Seq[Expression] => Expression =
+    children => DoubleVecScaledL2E10(children(0), children(1))
 
   private val icountBuilder: Seq[Expression] => Expression =
     children => SortedIntersectCount(children(0), children(1))
@@ -272,6 +336,8 @@ object VectorExprs {
       .createOrReplaceTempFunction(SDotLName, sdotlBuilder, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(SL2Name, sl2Builder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(SL2E10Name, sl2e10Builder, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(ICountName, icountBuilder, "built-in")
   }
@@ -287,6 +353,10 @@ object VectorExprs {
   /** Column-level helper: `sl2(a, b)` after [[register]]. */
   def sl2(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function(SL2Name, a, b)
+
+  /** Column-level helper: `sl2e10(a, b)` after [[register]]. */
+  def sl2e10(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function(SL2E10Name, a, b)
 
   /** Column-level helper: `icount(a, b)` after [[register]] — both arrays
     * must be sorted ascending and duplicate-free. */
@@ -316,6 +386,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(VectorExprs.SL2Name),
       new ExpressionInfo(classOf[DoubleVecScaledL2].getName, VectorExprs.SL2Name),
       children => DoubleVecScaledL2(children(0), children(1))))
+    e.injectFunction((
+      FunctionIdentifier(VectorExprs.SL2E10Name),
+      new ExpressionInfo(classOf[DoubleVecScaledL2E10].getName, VectorExprs.SL2E10Name),
+      children => DoubleVecScaledL2E10(children(0), children(1))))
     e.injectFunction((
       FunctionIdentifier(VectorExprs.ICountName),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, VectorExprs.ICountName),

@@ -822,6 +822,8 @@ object Quality {
     },
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        graft.functions.VectorExprs.register(s)
+        import graft.functions.VectorExprs.sl2e10
         val lrdCap = 1000000000L
         val emb = T.embeddings(s, d).select(col("vec_id"), col("label"),
           transform(col("embedding"), x => x.cast("double")).as("e"))
@@ -829,14 +831,14 @@ object Quality {
         val b = emb.select(col("label"), col("vec_id").as("o"), col("e").as("eb"))
         // label-blocked pair distances, array-at-a-time (no 64× explode):
         // per-element floor quantization then an exact long fold — the
-        // same arithmetic the oracle spells via UNNEST + SUM(FLOOR(...))
-        val d2l = aggregate(
-          zip_with(col("ea"), col("eb"),
-            (x, y) => floor((x - y) * (x - y) * lit(1e10) + lit(0.5)).cast("long")),
-          lit(0L), (acc, v) => acc + v)
+        // same arithmetic the oracle spells via UNNEST + SUM(FLOOR(...)),
+        // run by the codegen'd DoubleVecScaledL2E10 (round 13: the
+        // zip_with+aggregate HOF form is CodegenFallback — interpreted —
+        // and was the key's hot loop)
         val pd = a.join(b, Seq("label")).where(col("p") =!= col("o"))
           .select(col("p"), col("o"),
-            s6(sqrt(d2l.cast("double") / lit(1e10))).as("d6"))
+            s6(sqrt(sl2e10(col("ea"), col("eb")).cast("double") / lit(1e10)))
+              .as("d6"))
           .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
         val kd = pd
           .withColumn("rn", row_number().over(
@@ -987,13 +989,11 @@ object Quality {
           .select(col("p"), col("o"))
         val ea = emb.select(col("vec_id").as("p"), col("e").as("ea"))
         val eb = emb.select(col("vec_id").as("o"), col("e").as("eb"))
-        val d2l = aggregate(
-          zip_with(col("ea"), col("eb"),
-            (x, y) => floor((x - y) * (x - y) * lit(1e10) + lit(0.5)).cast("long")),
-          lit(0L), (acc, v) => acc + v)
+        import graft.functions.VectorExprs.sl2e10
         val pd = cand.join(ea, "p").join(eb, "o")
           .select(col("p"), col("o"),
-            s6(sqrt(d2l.cast("double") / lit(1e10))).as("d6"))
+            s6(sqrt(sl2e10(col("ea"), col("eb")).cast("double") / lit(1e10)))
+              .as("d6"))
           .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
         val kd = pd
           .withColumn("rn", row_number().over(
