@@ -1517,10 +1517,18 @@ object LlmExtras {
         var vis = ent.localCheckpoint()
         var beam = vis
         for (_ <- 1 to NswSteps) {
+          // repartition(1, v) before the distinct: the visited set is
+          // ≤ a few hundred rows, so a 32-wide dedup exchange per round
+          // is pure scheduler overhead (the graph_mst_boruvka
+          // single-partition-exchange discipline; hash partitioning on v
+          // at ANY width satisfies the dedup's distribution). Each
+          // checkpointed frame then carries one partition into the next
+          // round's joins.
           vis = vis.unionAll(
               beam.join(adj, beam("v") === adj("s"))
                 .where(col("t") =!= 0)
                 .select(col("t").as("v")))
+            .repartition(1, col("v"))
             .distinct()
             .localCheckpoint()
           beam = vis.join(qd, vis("v") === qd("vec_id"))
