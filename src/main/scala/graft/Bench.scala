@@ -28,15 +28,19 @@ object Bench {
     // otherwise lands on whichever stream_exec_* key happens to run
     // first. One 2-row memory-sink aggregation under the RocksDB
     // provider absorbs it here, like the batch warm-up above.
+    // NonFatal only (an OOM here must surface, not be swallowed into a
+    // skewed first stream_exec_* timing), warn on failure so a silently
+    // missing warm-up is visible in the bench log, and drop the memory
+    // table + temp dir afterwards (ADVICE r13 #5).
+    val warmDir = java.nio.file.Files.createTempDirectory("graft_bench_warm")
     try {
-      val warm = java.nio.file.Files.createTempDirectory("graft_bench_warm")
-      spark.range(2).write.mode("overwrite").parquet(s"$warm/in")
+      spark.range(2).write.mode("overwrite").parquet(s"$warmDir/in")
       val pk = "spark.sql.streaming.stateStore.providerClass"
       val prev = spark.conf.getOption(pk)
       spark.conf.set(pk,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try {
-        val q = spark.readStream.schema("id LONG").parquet(s"$warm/in")
+        val q = spark.readStream.schema("id LONG").parquet(s"$warmDir/in")
           .groupBy("id").count()
           .writeStream.format("memory").queryName("graft_warm_stream")
           .outputMode("complete")
@@ -47,7 +51,12 @@ object Bench {
         case Some(p) => spark.conf.set(pk, p)
         case None => spark.conf.unset(pk)
       }
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] streaming warm-up FAILED (first stream_exec key will absorb its fixed cost): $e")
+    } finally {
+      try spark.catalog.dropTempView("graft_warm_stream") catch { case scala.util.control.NonFatal(_) => () }
+      graft.maintenance.Compaction.deleteRecursively(warmDir)
+    }
     // local-iteration filter only (unset on the driver): comma-separated
     // key names to time a subset without the full registry run
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -1509,9 +1509,11 @@ object Aggregates {
     // retained v whose cumulative weight reaches ceil(p·W) — the scan
     // is SKETCH-local (the retained set IS the sketch; at production
     // capacity k it is |buckets|·k rows on one node). Graded at p ∈
-    // {25, 50, 75} against the EXACT interpolated percentile (Det rule
-    // 4 — exact in double space at those p over integer inputs), so the
-    // estimator's error is itself a graded integer.
+    // {25, 50, 75} against the EXACT interpolated percentile computed
+    // from integer ORDER STATISTICS on both engines (no library
+    // quantile — Det rule 4), so the estimator's error is itself a
+    // graded integer and can never drift with an engine's
+    // interpolation arithmetic.
     Q("agg_kll", Some {
       val offB = sqlHash32("'kll:' || CAST(b AS VARCHAR)") + " % 2"
       val offS = sqlHash32("'kll:s:' || CAST(sb AS VARCHAR)") + " % 2"
@@ -1531,15 +1533,22 @@ object Aggregates {
         "ps AS (SELECT UNNEST([25, 50, 75]) AS p), " +
         "est AS (SELECT ps.p, MIN(cw.v) AS est6 FROM ps JOIN cw " +
         "ON cw.cumw >= (ps.p * (SELECT w_total FROM tot) + 99) // 100 GROUP BY ps.p), " +
-        "ex AS (SELECT " +
-        "CAST(FLOOR(QUANTILE_CONT(v, 0.25) + 0.5) AS BIGINT) AS e25, " +
-        "CAST(FLOOR(QUANTILE_CONT(v, 0.50) + 0.5) AS BIGINT) AS e50, " +
-        "CAST(FLOOR(QUANTILE_CONT(v, 0.75) + 0.5) AS BIGINT) AS e75 FROM vals) " +
+        // exact lane from integer ORDER STATISTICS, not a library quantile
+        // (ADVICE r13 #4): p = k/4 → 0-based offset g = (n−1)·k/4, so
+        // lo = (n−1)·k // 4 + 1 (1-based), rem = (n−1)·k % 4, and
+        // halfUp(v_lo + rem/4·(v_hi − v_lo)) = (4·v_lo + rem·Δ + 2) // 4
+        // — pure int64 plus one exact double divide on both engines.
+        "exr AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v, eid) AS rn FROM vals), " +
+        "exk AS (SELECT k, ((tot.n_rows - 1) * k) // 4 + 1 AS lo, " +
+        "((tot.n_rows - 1) * k) % 4 AS rem FROM tot, (SELECT UNNEST([1, 2, 3]) AS k)), " +
+        "ex AS (SELECT k, CAST(FLOOR((4 * v1 + rem * (COALESCE(v2, v1) - v1) + 2) / 4.0) AS BIGINT) AS e6 FROM (" +
+        "SELECT exk.k, MIN(CASE WHEN rn = lo THEN v END) AS v1, " +
+        "MIN(CASE WHEN rn = lo + 1 THEN v END) AS v2, MIN(rem) AS rem " +
+        "FROM exk JOIN exr ON rn = lo OR rn = lo + 1 GROUP BY exk.k)) " +
         "SELECT CAST(est.p AS BIGINT) AS p, CAST(est.est6 AS BIGINT) AS est6, " +
-        "CAST(CASE est.p WHEN 25 THEN ex.e25 WHEN 50 THEN ex.e50 ELSE ex.e75 END AS BIGINT) AS exact6, " +
-        "CAST(est.est6 - CASE est.p WHEN 25 THEN ex.e25 WHEN 50 THEN ex.e50 ELSE ex.e75 END AS BIGINT) AS err6, " +
+        "ex.e6 AS exact6, CAST(est.est6 - ex.e6 AS BIGINT) AS err6, " +
         "tot.n_rows, tot.w_total, tot.n_retained " +
-        "FROM est, ex, tot ORDER BY p"
+        "FROM est JOIN ex ON ex.k * 25 = est.p, tot ORDER BY p"
     },
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
@@ -1579,13 +1588,33 @@ object Aggregates {
             cw.crossJoin(broadcast(tot.select(col("w_total").as("wt")))),
             col("cumw") >= target)
           .groupBy("p").agg(min(col("v")).as("est6"))
-        def exP(p: Double) = floor(percentile(col("v"), lit(p)) + 0.5).cast("long")
-        val ex = vals.agg(exP(0.25).as("e25"), exP(0.5).as("e50"), exP(0.75).as("e75"))
-        val exact = when(col("p") === 25, col("e25"))
-          .when(col("p") === 50, col("e50")).otherwise(col("e75"))
-        est.crossJoin(broadcast(ex)).crossJoin(broadcast(tot))
-          .select(col("p"), col("est6"), exact.as("exact6"),
-            (col("est6") - exact).as("err6"),
+        // exact lane from integer ORDER STATISTICS (ADVICE r13 #4): no
+        // percentile()/QUANTILE_CONT — the graded value is
+        // halfUp(v_lo + rem/4·(v_hi−v_lo)) = floor((4·v_lo + rem·Δ + 2)/4),
+        // pure int64 plus one exact double divide, immune to either
+        // engine's quantile-interpolation arithmetic. Same single-task
+        // cost class as the percentile() it replaces — the exact lane is
+        // the purchased truth anchor; est6 is the scale path.
+        val ranked = vals.withColumn("rn",
+          row_number().over(Window.orderBy(col("v"), col("eid"))))
+        val exk = broadcast(Seq(1L, 2L, 3L).toDF("k")
+          .crossJoin(broadcast(tot.select(col("n_rows"))))
+          .select(col("k"),
+            (floor((col("n_rows") - 1) * col("k") / 4) + 1).cast("long").as("lo"),
+            ((col("n_rows") - 1) * col("k") % 4).as("rem")))
+        val ex = exk
+          .join(ranked, col("rn") === col("lo") || col("rn") === col("lo") + 1)
+          .groupBy("k").agg(
+            min(when(col("rn") === col("lo"), col("v"))).as("v1"),
+            min(when(col("rn") === col("lo") + 1, col("v"))).as("v2"),
+            min(col("rem")).as("rem"))
+          .select(col("k"), floor((lit(4) * col("v1") +
+              col("rem") * (coalesce(col("v2"), col("v1")) - col("v1")) + 2) / 4)
+            .cast("long").as("e6"))
+        est.join(broadcast(ex), col("k") * 25 === col("p"))
+          .crossJoin(broadcast(tot))
+          .select(col("p"), col("est6"), col("e6").as("exact6"),
+            (col("est6") - col("e6")).as("err6"),
             col("n_rows"), col("w_total"), col("n_retained"))
           .orderBy("p")
       }),

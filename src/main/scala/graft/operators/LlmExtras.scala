@@ -179,6 +179,15 @@ object LlmExtras {
   private val NswM = 4
   private val NswBeam = 24
   private val NswSteps = 5
+  /** Spec bounds for the geometry above, derived from the SAME sweep
+    * (ADVICE r13 #3): a corpus regeneration or a change to any Nsw*
+    * constant re-tunes recall/budget HERE, next to the geometry that
+    * produced them, instead of flaking magic numbers in the spec.
+    * MinHits10 = worst observed sweep recall − 1 safety;
+    * MaxVisited ≈ beam × steps × (1 + M/2) rounded up to one slack
+    * bucket beyond the ~310 measured visited. */
+  private[graft] val NswMinHits10 = 7L
+  private[graft] val NswMaxVisited = 400L
 
   /** The unrolled DuckDB Lloyd-PQ chain (ux → seeds → dist/asg/cent ×R →
     * q/lut/adc) shared by llm_ann_pq and llm_ann_pq_recall. Codes are

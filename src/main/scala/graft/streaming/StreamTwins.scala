@@ -33,12 +33,31 @@ object StreamTwins {
     * the same knob production tunes per query; the sink table and keyed
     * state are partition-count-invariant, so the graded frame is
     * unchanged. Batch-side staging/finalize plans build outside the
-    * wrap, so their shuffle width is untouched. */
+    * wrap, so their shuffle width is untouched. The override mutates
+    * session-global conf, so it is NOT reentrant and NOT safe under a
+    * concurrently-planning sibling query — a depth counter makes nesting
+    * (which would restore "4" as the "previous" value) fail loud, and the
+    * exec keys run strictly serially in Bench/Verify so the concurrent
+    * case cannot arise on the graded path (ADVICE r13 #1). */
+  /** Exact (landing, checkpoint) dirs of the LATEST stream_exec_changelog
+    * invocation. The spec reads the checkpoint path from here instead of
+    * globbing java.io.tmpdir (a stale dir from a prior run could win a
+    * maxBy(lastModified) race — ADVICE r13 #2); the key deletes the
+    * previous invocation's dirs on each run so /tmp stays bounded. */
+  private[graft] val chlogDirs =
+    new java.util.concurrent.atomic.AtomicReference[(java.nio.file.Path, java.nio.file.Path)](null)
+
+  private val lowStatePartsDepth = new java.util.concurrent.atomic.AtomicInteger(0)
   private def lowStateParts[A](s: org.apache.spark.sql.SparkSession)(body: => A): A = {
     val k = "spark.sql.shuffle.partitions"
+    require(lowStatePartsDepth.incrementAndGet() == 1,
+      "lowStateParts is not reentrant: nested use would restore '4' as the previous value")
     val prev = s.conf.get(k)
     s.conf.set(k, "4")
-    try body finally s.conf.set(k, prev)
+    try body finally {
+      s.conf.set(k, prev)
+      lowStatePartsDepth.decrementAndGet()
+    }
   }
 
   val all: Seq[Q] = Seq(
@@ -985,8 +1004,17 @@ object StreamTwins {
         "CAST(COUNT(*) AS BIGINT) AS n, " + sqlSum6("value") + " AS sum_val " +
         "FROM events GROUP BY event_type, win_start ORDER BY event_type, win_start"),
       (s, d) => {
+        // Delete the PREVIOUS invocation's dirs (Bench REPS / spec re-runs
+        // would otherwise grow /tmp) and publish the exact paths of this
+        // one — the spec inspects the checkpoint for .changelog files by
+        // this reference, never by tmpdir globbing (ADVICE r13 #2).
+        Option(chlogDirs.get()).foreach { case (l0, c0) =>
+          graft.maintenance.Compaction.deleteRecursively(l0)
+          graft.maintenance.Compaction.deleteRecursively(c0)
+        }
         val landing = java.nio.file.Files.createTempDirectory("graft_exec_chlog")
         val ckpt = java.nio.file.Files.createTempDirectory("graft_chlog_ckpt")
+        chlogDirs.set((landing, ckpt))
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val raw = s.read.parquet(s"$d/events.parquet")
         def stage(even: Boolean, name: String): Unit = {
