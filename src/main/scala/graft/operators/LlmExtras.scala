@@ -1574,6 +1574,93 @@ object LlmExtras {
           .orderBy("rk")
       }),
 
+    // BATCHED multi-query IVF ANN (round 14, VERDICT r13 item 1) — the
+    // throughput shape production similarity search actually runs at
+    // 100 TB [FAISS batch search, PK], which none of the five
+    // single-query rungs (all graded at vec_id = 0) exercises: EVERY
+    // odd vec_id is a query against the even-id index, and the whole
+    // batch flows through the IVF quantizer with NO per-query loop and
+    // NO cartesian. Stages: (1) cells = label clusters with mean6
+    // centroids trained on the INDEX half only (llm_ann_ivf's
+    // quantizer); (2) probe assignment: all queries × the ≤10-cell
+    // broadcast centroid table, per-query 2-probe pick by one
+    // row_number window — the only non-equi stage, bounded by the cell
+    // count, the LOF-funnel broadcast-quantizer shape; (3) the ONE
+    // scalable equi-join: (query, probed cell) joins index membership
+    // on the cell id — at archive scale the query batch broadcasts and
+    // the sharded index streams; (4) exact scaled-long cosine per
+    // candidate and a per-query top-10 by row_number over qid — Spark
+    // plans the rank filter as WindowGroupLimit below the exchange.
+    // Determinism is the llm_ann_ivf chain verbatim: mean6 centroids,
+    // scaled-long probe distances, scaled-long dots, ranking doubles
+    // derived from identical longs on both engines. Query and index
+    // halves are disjoint, so no self-match lane exists.
+    Q("llm_ann_batch_ivf", Some(
+      "WITH ux AS (SELECT vec_id, label, CAST(UNNEST(embedding) AS DOUBLE) AS x, " +
+        "UNNEST(RANGE(1, LEN(embedding) + 1)) AS i FROM embeddings), " +
+        "idx AS (SELECT * FROM ux WHERE vec_id % 2 = 0), " +
+        "qx AS (SELECT vec_id AS qid, i, x AS qx FROM ux WHERE vec_id % 2 = 1), " +
+        "cent AS (SELECT label AS clabel, i, " + sqlMean6("x") + " AS c6 " +
+        "FROM idx GROUP BY clabel, i), " +
+        "pd AS (SELECT qid, clabel, " +
+        "SUM(CAST(FLOOR((CAST(c6 AS DOUBLE) / 1e6 - qx) * (CAST(c6 AS DOUBLE) / 1e6 - qx) * 1e14 + 0.5) AS BIGINT)) AS d2 " +
+        "FROM cent JOIN qx USING (i) GROUP BY qid, clabel), " +
+        "probes AS (SELECT qid, clabel FROM (SELECT qid, clabel, " +
+        "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, clabel) AS pr FROM pd) WHERE pr <= 2), " +
+        "nrm AS (SELECT vec_id, SUM(CAST(FLOOR(x * x * 1e14 + 0.5) AS BIGINT)) AS nl " +
+        "FROM ux GROUP BY vec_id), " +
+        "cand AS (SELECT q.qid, u.vec_id, " +
+        "SUM(CAST(FLOOR(u.x * q.qx * 1e14 + 0.5) AS BIGINT)) AS dotl " +
+        "FROM idx u JOIN probes p ON u.label = p.clabel " +
+        "JOIN qx q ON q.qid = p.qid AND q.i = u.i GROUP BY q.qid, u.vec_id), " +
+        "cosd AS (SELECT c.qid, c.vec_id, (CAST(c.dotl AS DOUBLE) / 1e14) / " +
+        "(SQRT(CAST(ni.nl AS DOUBLE) / 1e14) * SQRT(CAST(nq.nl AS DOUBLE) / 1e14)) AS cc " +
+        "FROM cand c JOIN nrm ni ON ni.vec_id = c.vec_id JOIN nrm nq ON nq.vec_id = c.qid) " +
+        "SELECT qid AS query_id, CAST(rk AS BIGINT) AS rk, vec_id, " + sqlS6("cc") + " AS cos_sim " +
+        "FROM (SELECT qid, vec_id, cc, " +
+        "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cc DESC, vec_id) AS rk FROM cosd) " +
+        "WHERE rk <= 10 ORDER BY query_id, rk"),
+      (s, d) => {
+        graft.functions.VectorExprs.register(s)
+        import graft.functions.VectorExprs.{sdotl, sl2}
+        val emb = T.embeddings(s, d)
+        val idx = emb.where(col("vec_id") % 2 === 0)
+        val qs = emb.where(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("qid"),
+            transform(col("embedding"), x => x.cast("double")).as("qvec"),
+            col("embedding").as("qe"))
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        val ux = idx
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+          .withColumn("x", col("xf").cast("double"))
+        val centArr = ux.groupBy(col("label").as("clabel"), col("pos"))
+          .agg((mean6(col("x")).cast("double") / lit(1e6)).as("c"))
+          .groupBy("clabel")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+            e => e.getField("c")).as("cvec"))
+        // batched probe assignment: one ≤10-row broadcast, one window
+        val probes = qs.select(col("qid"), col("qvec"))
+          .crossJoin(broadcast(centArr))
+          .select(col("qid"), col("clabel"), sl2(col("cvec"), col("qvec")).as("d2"))
+          .withColumn("pr", row_number().over(
+            Window.partitionBy("qid").orderBy(col("d2"), col("clabel"))))
+          .where(col("pr") <= 2)
+          .select(col("qid"), col("clabel").as("label"))
+        val cos = (sdotl(col("embedding"), col("qe")).cast("double") / lit(1e14)) /
+          (sqrt(sdotl(col("embedding"), col("embedding")).cast("double") / lit(1e14)) *
+            sqrt(sdotl(col("qe"), col("qe")).cast("double") / lit(1e14)))
+        idx.select(col("vec_id"), col("label"), col("embedding"))
+          .join(broadcast(probes.join(qs.select(col("qid"), col("qe")), "qid")),
+            "label")
+          .withColumn("cos_raw", cos)
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("qid").orderBy(col("cos_raw").desc, col("vec_id"))).cast("long"))
+          .where(col("rk") <= 10)
+          .select(col("qid").as("query_id"), col("rk"), col("vec_id"),
+            s6(col("cos_raw")).as("cos_sim"))
+          .orderBy("query_id", "rk")
+      }),
+
     // TRAINED language-ID: multinomial Naive Bayes (round 13) — the
     // classic scalable text classifier [McCallum & Nigam 1998] beside
     // llm_langid's fixed stopword threshold, under the llm_bpe_train

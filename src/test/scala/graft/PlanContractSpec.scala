@@ -638,9 +638,24 @@ class PlanContractSpec extends SparkSpec {
     assert(ov.contains("BroadcastHashJoin") && !ov.contains("CartesianProduct"),
       s"overlay shape:\n${ov.take(2000)}")
     // KLL: both compaction windows are bucket-partitioned (the one global
-    // window is the sketch-local cumulative scan, documented at the key)
+    // window is the sketch-local cumulative scan, documented at the key);
+    // since ADVICE r13 #4 the exact lane is order statistics, so NO
+    // library percentile() may appear anywhere in the plan
     val kll = planOf("agg_kll")
-    assert(!kll.contains("CartesianProduct") && kll.contains("percentile"),
+    assert(!kll.contains("CartesianProduct") && !kll.contains("percentile"),
       s"kll shape:\n${kll.take(2000)}")
+  }
+
+  test("round-14 keys keep their promised shapes") {
+    // batched IVF: the probe pick and the per-query top-10 are
+    // WindowGroupLimit heaps; the query batch attaches through
+    // BroadcastHashJoins (qid, then the cell id); the ONLY nested loop is
+    // the <=10-row quantizer broadcast — and never a cartesian
+    val p = planOf("llm_ann_batch_ivf")
+    assert(p.contains("WindowGroupLimit"), s"batched top-k lost its group limit:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"), s"query batch not broadcast-joined:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), s"batched ANN went cartesian:\n${p.take(2000)}")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+      s"more nested loops than the one bounded quantizer broadcast:\n${p.take(2000)}")
   }
 }
