@@ -47,6 +47,88 @@ object StreamTwins {
   private[graft] val chlogDirs =
     new java.util.concurrent.atomic.AtomicReference[(java.nio.file.Path, java.nio.file.Path)](null)
 
+  /** JVM-lifetime staging memos (round 14, VERDICT r13 item 2 — the
+    * executed-streaming fixed cost): every stream_exec key used to
+    * re-stage its landing files on EVERY invocation, paying an events
+    * scan + filter + coalesce(1) write job per half plus a min/max
+    * bounds collect per key. The staged bytes are a pure function of
+    * (sfDir, split name) over the immutable testdata, so the family
+    * shares ONE staged parquet per split — the five te/tm-half keys
+    * share their a/b files, restart/changelog share the parity halves —
+    * and each invocation just FILE-COPIES the memoized parquet into its
+    * own fresh landing dir ([[placeSplit]]). Checkpoints, memory sinks
+    * and landing dirs stay strictly per-invocation; only immutable
+    * file bytes are shared. Keyed by sfDir so multi-SF sessions cannot
+    * cross-pollute. */
+  private val splitFiles =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private val memoScalars =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+
+  private def memoLongs(key: String)(compute: => Array[Long]): Array[Long] =
+    memoScalars.computeIfAbsent(key, _ => compute)
+
+  private def stagedSplit(d: String, name: String)(
+      build: => org.apache.spark.sql.DataFrame): java.nio.file.Path =
+    splitFiles.computeIfAbsent(s"$d#$name", { _ =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_split_$name")
+      build.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+    })
+
+  /** Copy a memoized split into this invocation's landing dir with the
+    * mtime the key's batch script requires (AvailableNow +
+    * maxFilesPerTrigger order micro-batches by file mtime). */
+  private def placeSplit(landing: java.nio.file.Path, src: java.nio.file.Path,
+      name: String, ageSec: Long): Unit = {
+    val dst = landing.resolve(name)
+    java.nio.file.Files.copy(src, dst)
+    java.nio.file.Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - ageSec * 1000))
+  }
+
+  /** (min, max) epoch-second ts bounds of events — one collect for the
+    * whole family instead of one per key. */
+  private def tsBounds(s: org.apache.spark.sql.SparkSession,
+      d: String): (Long, Long) = {
+    val a = memoLongs(s"$d#tsbounds") {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$d/events.parquet")
+        .agg(min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts"))))
+        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    }
+    (a(0), a(1))
+  }
+
+  /** Stage the family's shared te/tm halves — a = first time half,
+    * b = second half ∩ user_id%3=0 — into this invocation's landing dir
+    * (the split five exec keys share; staged once per JVM). Returns tm. */
+  private def stageTmHalves(s: org.apache.spark.sql.SparkSession, d: String,
+      landing: java.nio.file.Path, ageA: Long, ageB: Long): Long = {
+    val (mn, mx) = tsBounds(s, d)
+    val tm = Math.floorDiv(mn + mx, 2L)
+    def raw = s.read.parquet(s"$d/events.parquet")
+    placeSplit(landing, stagedSplit(d, "half_a")(
+      raw.where(unix_timestamp(col("ts")) <= tm)), "a.parquet", ageA)
+    placeSplit(landing, stagedSplit(d, "half_b_u3")(
+      raw.where(unix_timestamp(col("ts")) > tm && col("user_id") % 3 === 0)),
+      "b.parquet", ageB)
+    tm
+  }
+
+  /** Distinct staged users of the a ∪ b halves above — the poll-loop cut
+    * count of the ptimeout/tws_timer keys (one collect per JVM). */
+  private def nUsersStaged(s: org.apache.spark.sql.SparkSession, d: String,
+      tm: Long): Long =
+    memoLongs(s"$d#nUsersStagedU3") {
+      val raw = s.read.parquet(s"$d/events.parquet")
+      Array(raw.where(unix_timestamp(col("ts")) <= tm ||
+          (unix_timestamp(col("ts")) > tm && col("user_id") % 3 === 0))
+        .select(countDistinct(col("user_id"))).collect().head.getLong(0))
+    }.head
+
   private val lowStatePartsDepth = new java.util.concurrent.atomic.AtomicInteger(0)
   private def lowStateParts[A](s: org.apache.spark.sql.SparkSession)(body: => A): A = {
     val k = "spark.sql.shuffle.partitions"
@@ -190,22 +272,11 @@ object StreamTwins {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         // parity split WITHOUT instant conversion (the exec_late rule:
         // staged halves must keep the on-disk ts encoding)
-        val raw = s.read.parquet(s"$d/events.parquet")
-        def stage(pred: org.apache.spark.sql.Column, name: String,
-            ageSec: Long): Unit = {
-          val tmp = java.nio.file.Files.createTempDirectory("graft_updhist_part")
-          raw.where(pred).coalesce(1)
-            .write.mode("overwrite").parquet(tmp.toString)
-          val part = new java.io.File(tmp.toString).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head
-          val dst = landing.resolve(name)
-          java.nio.file.Files.move(part.toPath, dst)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(
-              System.currentTimeMillis() - ageSec * 1000))
-        }
-        stage(col("user_id") % 5 === 0, "a.parquet", 240L)
-        stage(col("user_id") % 5 =!= 0, "b.parquet", 0L)
+        def raw = s.read.parquet(s"$d/events.parquet")
+        placeSplit(landing, stagedSplit(d, "u5_0")(
+          raw.where(col("user_id") % 5 === 0)), "a.parquet", 240L)
+        placeSplit(landing, stagedSplit(d, "u5_rest")(
+          raw.where(col("user_id") % 5 =!= 0)), "b.parquet", 0L)
         val agg = T.eventsStream(s, d, landing.toString, Some(1))
           .groupBy(col("event_type"),
             (floor(epochS(col("ts")) / 86400) * 86400).as("win_start"))
@@ -367,27 +438,7 @@ object StreamTwins {
       (s, d) => {
         val landing = java.nio.file.Files.createTempDirectory("graft_exec_timeout")
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val raw = s.read.parquet(s"$d/events.parquet")
-        val Array(mn, mx) = raw
-          .agg(min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts"))))
-          .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
-        val tm = Math.floorDiv(mn + mx, 2L)
-        def stage(pred: org.apache.spark.sql.Column, name: String,
-            ageSec: Long): Unit = {
-          val tmp = java.nio.file.Files.createTempDirectory("graft_timeout_part")
-          raw.where(pred).coalesce(1)
-            .write.mode("overwrite").parquet(tmp.toString)
-          val part = new java.io.File(tmp.toString).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head
-          val dst = landing.resolve(name)
-          java.nio.file.Files.move(part.toPath, dst)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(
-              System.currentTimeMillis() - ageSec * 1000))
-        }
-        stage(unix_timestamp(col("ts")) <= tm, "a.parquet", 240L)
-        stage(unix_timestamp(col("ts")) > tm && col("user_id") % 3 === 0,
-          "b.parquet", 0L)
+        stageTmHalves(s, d, landing, 240L, 0L)
         val sq = s
         import sq.implicits._
         val stream = T.eventsStream(s, d, landing.toString, Some(1))
@@ -476,31 +527,8 @@ object StreamTwins {
       (s, d) => {
         val landing = java.nio.file.Files.createTempDirectory("graft_exec_ptimeout")
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val raw = s.read.parquet(s"$d/events.parquet")
-        val Array(mn, mx) = raw
-          .agg(min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts"))))
-          .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
-        val tm = Math.floorDiv(mn + mx, 2L)
-        val stagedPred = unix_timestamp(col("ts")) <= tm ||
-          (unix_timestamp(col("ts")) > tm && col("user_id") % 3 === 0)
-        val nUsers = raw.where(stagedPred)
-          .select(countDistinct(col("user_id"))).collect().head.getLong(0)
-        def stage(pred: org.apache.spark.sql.Column, name: String,
-            ageSec: Long): Unit = {
-          val tmp = java.nio.file.Files.createTempDirectory("graft_ptimeout_part")
-          raw.where(pred).coalesce(1)
-            .write.mode("overwrite").parquet(tmp.toString)
-          val part = new java.io.File(tmp.toString).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head
-          val dst = landing.resolve(name)
-          java.nio.file.Files.move(part.toPath, dst)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(
-              System.currentTimeMillis() - ageSec * 1000))
-        }
-        stage(unix_timestamp(col("ts")) <= tm, "a.parquet", 240L)
-        stage(unix_timestamp(col("ts")) > tm && col("user_id") % 3 === 0,
-          "b.parquet", 120L)
+        val tm = stageTmHalves(s, d, landing, 240L, 120L)
+        val nUsers = nUsersStaged(s, d, tm)
         val sq = s
         import sq.implicits._
         val stream = T.eventsStream(s, d, landing.toString, Some(1))
@@ -541,7 +569,7 @@ object StreamTwins {
           val deadline = System.currentTimeMillis() + 180000L
           while (s.table("graft_exec_ptimeout").count() < nUsers &&
               System.currentTimeMillis() < deadline) {
-            Thread.sleep(100L)
+            Thread.sleep(25L)
           }
           q.stop()
           q.awaitTermination()
@@ -575,17 +603,12 @@ object StreamTwins {
       (s, d) => {
         val landing = java.nio.file.Files.createTempDirectory("graft_exec_istate")
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val raw = s.read.parquet(s"$d/events.parquet")
-        val Array(mn, mx) = raw
-          .agg(min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts"))))
-          .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+        val (mn, mx) = tsBounds(s, d)
         val tm = Math.floorDiv(mn + mx, 2L)
-        val tmp = java.nio.file.Files.createTempDirectory("graft_istate_part")
-        raw.where(unix_timestamp(col("ts")) > tm).coalesce(1)
-          .write.mode("overwrite").parquet(tmp.toString)
-        val part = new java.io.File(tmp.toString).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        java.nio.file.Files.move(part.toPath, landing.resolve("b.parquet"))
+        placeSplit(landing, stagedSplit(d, "half_gt") {
+          s.read.parquet(s"$d/events.parquet")
+            .where(unix_timestamp(col("ts")) > tm)
+        }, "b.parquet", 0L)
         val sq = s
         import sq.implicits._
         // the snapshot: a plain batch fold of the first half (exact
@@ -677,27 +700,7 @@ object StreamTwins {
       (s, d) => {
         val landing = java.nio.file.Files.createTempDirectory("graft_exec_tws")
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val raw = s.read.parquet(s"$d/events.parquet")
-        val Array(mn, mx) = raw
-          .agg(min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts"))))
-          .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
-        val tm = Math.floorDiv(mn + mx, 2L)
-        def stage(pred: org.apache.spark.sql.Column, name: String,
-            ageSec: Long): Unit = {
-          val tmp = java.nio.file.Files.createTempDirectory("graft_tws_part")
-          raw.where(pred).coalesce(1)
-            .write.mode("overwrite").parquet(tmp.toString)
-          val part = new java.io.File(tmp.toString).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head
-          val dst = landing.resolve(name)
-          java.nio.file.Files.move(part.toPath, dst)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(
-              System.currentTimeMillis() - ageSec * 1000))
-        }
-        stage(unix_timestamp(col("ts")) <= tm, "a.parquet", 240L)
-        stage(unix_timestamp(col("ts")) > tm && col("user_id") % 3 === 0,
-          "b.parquet", 120L)
+        stageTmHalves(s, d, landing, 240L, 120L)
         val providerKey = "spark.sql.streaming.stateStore.providerClass"
         val prevProvider = s.conf.getOption(providerKey)
         s.conf.set(providerKey,
@@ -761,31 +764,8 @@ object StreamTwins {
       (s, d) => {
         val landing = java.nio.file.Files.createTempDirectory("graft_exec_twstimer")
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val raw = s.read.parquet(s"$d/events.parquet")
-        val Array(mn, mx) = raw
-          .agg(min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts"))))
-          .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
-        val tm = Math.floorDiv(mn + mx, 2L)
-        val stagedPred = unix_timestamp(col("ts")) <= tm ||
-          (unix_timestamp(col("ts")) > tm && col("user_id") % 3 === 0)
-        val nUsers = raw.where(stagedPred)
-          .select(countDistinct(col("user_id"))).collect().head.getLong(0)
-        def stage(pred: org.apache.spark.sql.Column, name: String,
-            ageSec: Long): Unit = {
-          val tmp = java.nio.file.Files.createTempDirectory("graft_twstimer_part")
-          raw.where(pred).coalesce(1)
-            .write.mode("overwrite").parquet(tmp.toString)
-          val part = new java.io.File(tmp.toString).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head
-          val dst = landing.resolve(name)
-          java.nio.file.Files.move(part.toPath, dst)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(
-              System.currentTimeMillis() - ageSec * 1000))
-        }
-        stage(unix_timestamp(col("ts")) <= tm, "a.parquet", 240L)
-        stage(unix_timestamp(col("ts")) > tm && col("user_id") % 3 === 0,
-          "b.parquet", 120L)
+        val tm = stageTmHalves(s, d, landing, 240L, 120L)
+        val nUsers = nUsersStaged(s, d, tm)
         val providerKey = "spark.sql.streaming.stateStore.providerClass"
         val prevProvider = s.conf.getOption(providerKey)
         s.conf.set(providerKey,
@@ -811,7 +791,7 @@ object StreamTwins {
             val deadline = System.currentTimeMillis() + 180000L
             while (s.table("graft_exec_tws_timer").count() < nUsers &&
                 System.currentTimeMillis() < deadline) {
-              Thread.sleep(100L)
+              Thread.sleep(25L)
             }
             q.stop()
             q.awaitTermination()
@@ -855,35 +835,19 @@ object StreamTwins {
       (s, d) => {
         val landing = java.nio.file.Files.createTempDirectory("graft_exec_twsttl")
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val raw = s.read.parquet(s"$d/events.parquet")
-        val Array(mn, mx) = raw
-          .agg(min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts"))))
-          .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
-        val tm = Math.floorDiv(mn + mx, 2L)
-        def stage(pred: org.apache.spark.sql.Column, name: String,
-            ageSec: Long): Unit = {
-          val tmp = java.nio.file.Files.createTempDirectory("graft_twsttl_part")
-          raw.where(pred).coalesce(1)
-            .write.mode("overwrite").parquet(tmp.toString)
-          val part = new java.io.File(tmp.toString).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head
-          val dst = landing.resolve(name)
-          java.nio.file.Files.move(part.toPath, dst)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(
-              System.currentTimeMillis() - ageSec * 1000))
-        }
-        stage(unix_timestamp(col("ts")) <= tm, "a.parquet", 240L)
-        stage(unix_timestamp(col("ts")) > tm && col("user_id") % 3 === 0,
-          "b.parquet", 120L)
+        val tm = stageTmHalves(s, d, landing, 240L, 120L)
         // expected emissions: one per user per batch-with-data — the
         // deterministic cut (AvailableNow NEVER self-terminates under
         // TimeMode.ProcessingTime, the stream_exec_ptimeout law,
-        // re-measured here)
-        val nEmit = raw.where(unix_timestamp(col("ts")) <= tm)
-          .select(countDistinct(col("user_id"))).collect().head.getLong(0) +
-          raw.where(unix_timestamp(col("ts")) > tm && col("user_id") % 3 === 0)
-            .select(countDistinct(col("user_id"))).collect().head.getLong(0)
+        // re-measured here); both per-half distinct counts memoized
+        // family-wide like the staged files themselves
+        val nEmit = memoLongs(s"$d#nEmitTtlHalves") {
+          val raw = s.read.parquet(s"$d/events.parquet")
+          Array(raw.where(unix_timestamp(col("ts")) <= tm)
+              .select(countDistinct(col("user_id"))).collect().head.getLong(0) +
+            raw.where(unix_timestamp(col("ts")) > tm && col("user_id") % 3 === 0)
+              .select(countDistinct(col("user_id"))).collect().head.getLong(0))
+        }.head
         val providerKey = "spark.sql.streaming.stateStore.providerClass"
         val prevProvider = s.conf.getOption(providerKey)
         s.conf.set(providerKey,
@@ -909,7 +873,7 @@ object StreamTwins {
             val deadline = System.currentTimeMillis() + 180000L
             while (s.table("graft_exec_tws_ttl").count() < nEmit &&
                 System.currentTimeMillis() < deadline) {
-              Thread.sleep(100L)
+              Thread.sleep(25L)
             }
             q.stop()
             q.awaitTermination()
@@ -948,15 +912,11 @@ object StreamTwins {
         val landing = java.nio.file.Files.createTempDirectory("graft_exec_restart")
         val ckpt = java.nio.file.Files.createTempDirectory("graft_restart_ckpt")
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val raw = s.read.parquet(s"$d/events.parquet")
-        def stage(even: Boolean, name: String): Unit = {
-          val tmp = java.nio.file.Files.createTempDirectory("graft_restart_half")
-          raw.where((col("event_id") % 2 === 0) === even)
-            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = new java.io.File(tmp.toString).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head
-          java.nio.file.Files.move(part.toPath, landing.resolve(name))
-        }
+        def stage(even: Boolean, name: String): Unit =
+          placeSplit(landing, stagedSplit(d, s"parity_$even") {
+            s.read.parquet(s"$d/events.parquet")
+              .where((col("event_id") % 2 === 0) === even)
+          }, name, 0L)
         def runOnce(): Unit = lowStateParts(s) {
           // both lifetimes run under the same lowered count — the state
           // partition count is pinned into the shared checkpoint
@@ -1016,15 +976,11 @@ object StreamTwins {
         val ckpt = java.nio.file.Files.createTempDirectory("graft_chlog_ckpt")
         chlogDirs.set((landing, ckpt))
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val raw = s.read.parquet(s"$d/events.parquet")
-        def stage(even: Boolean, name: String): Unit = {
-          val tmp = java.nio.file.Files.createTempDirectory("graft_chlog_half")
-          raw.where((col("event_id") % 2 === 0) === even)
-            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = new java.io.File(tmp.toString).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head
-          java.nio.file.Files.move(part.toPath, landing.resolve(name))
-        }
+        def stage(even: Boolean, name: String): Unit =
+          placeSplit(landing, stagedSplit(d, s"parity_$even") {
+            s.read.parquet(s"$d/events.parquet")
+              .where((col("event_id") % 2 === 0) === even)
+          }, name, 0L)
         val providerKey = "spark.sql.streaming.stateStore.providerClass"
         val chlogKey =
           "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
@@ -1113,36 +1069,32 @@ object StreamTwins {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         // split WITHOUT instant conversion: the staged thirds must carry
         // the original on-disk ts encoding so eventsStream's footer-probed
-        // schema still applies to them
-        val raw = s.read.parquet(s"$d/events.parquet")
-        val sent = raw.select(col("event_id"),
-            unix_timestamp(col("ts")).as("te"))
-          .orderBy("te", "event_id").limit(1)
-          .collect().head.getLong(0)
-        // all three staged thirds in ONE write job (round 13, r12 verdict
-        // #6): a lane column partitions the write — each lane's rows hash
-        // to one task, so each lane dir holds exactly one part file, and
-        // partitionBy keeps the lane column OUT of the staged files (they
-        // carry the original schema/encoding). Replaces three sequential
-        // filter+coalesce(1) jobs.
-        val tmp = java.nio.file.Files.createTempDirectory("graft_late_part")
-        raw.withColumn("lane",
-            when(col("event_id") === sent, "b")
-              .when(col("event_id") % 2 === 0, "a").otherwise("c"))
-          .repartition(3, col("lane"))
-          .write.partitionBy("lane").mode("overwrite").parquet(tmp.toString)
-        def stage(laneV: String, name: String, ageSec: Long): Unit = {
-          val part = new java.io.File(s"$tmp/lane=$laneV").listFiles()
-            .filter(_.getName.endsWith(".parquet")).head
-          val dst = landing.resolve(name)
-          java.nio.file.Files.move(part.toPath, dst)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(
-              System.currentTimeMillis() - ageSec * 1000))
+        // schema still applies to them. All three thirds in ONE write job
+        // (round 13, r12 verdict #6 — lane-partitioned write, lane column
+        // stays out of the files), and since round 14 the job runs once
+        // per JVM: the memoized lane files are copied into each
+        // invocation's own landing dir like every other staged split.
+        if (!splitFiles.containsKey(s"$d#late_a")) {
+          val raw = s.read.parquet(s"$d/events.parquet")
+          val sent = raw.select(col("event_id"),
+              unix_timestamp(col("ts")).as("te"))
+            .orderBy("te", "event_id").limit(1)
+            .collect().head.getLong(0)
+          val tmp = java.nio.file.Files.createTempDirectory("graft_late_part")
+          raw.withColumn("lane",
+              when(col("event_id") === sent, "b")
+                .when(col("event_id") % 2 === 0, "a").otherwise("c"))
+            .repartition(3, col("lane"))
+            .write.partitionBy("lane").mode("overwrite").parquet(tmp.toString)
+          Seq("a", "b", "c").foreach { l =>
+            splitFiles.putIfAbsent(s"$d#late_$l",
+              new java.io.File(s"$tmp/lane=$l").listFiles()
+                .filter(_.getName.endsWith(".parquet")).head.toPath)
+          }
         }
-        stage("a", "a.parquet", 240L)
-        stage("b", "b.parquet", 120L)
-        stage("c", "c.parquet", 0L)
+        placeSplit(landing, splitFiles.get(s"$d#late_a"), "a.parquet", 240L)
+        placeSplit(landing, splitFiles.get(s"$d#late_b"), "b.parquet", 120L)
+        placeSplit(landing, splitFiles.get(s"$d#late_c"), "c.parquet", 0L)
         val agg = T.eventsStream(s, d, landing.toString, Some(1))
           .select(col("event_type"),
             timestamp_seconds(epochS(col("ts"))).as("tsec"), col("value"))
