@@ -4140,6 +4140,122 @@ object EO {
             sum(col("scene_id")).as("checksum"),
             max(iou).as("max_iou6"))
           .orderBy("aoi_id")
+      }),
+
+    // Inverse-distance-weighted gridding (round 14, VERDICT r13 item 6)
+    // [PK: gdal_grid invdist with max radius — the geostatistics step
+    // between sparse station observations and a raster product]:
+    // stations are a hash-derandomized 1/20 draw of events, placed on
+    // the 256-grid by the odd-multiplier bijections (event_id·37 /
+    // ·13 mod 256 — the eo_polygon_overlay geometry rule; user_id is
+    // too narrow), and each 16-px target cell (center (16gx+8,
+    // 16gy+8)) averages the stations of its 3×3 CELL RING with weight
+    // floor(1e6/(d²+1)) — the +1 removes the exact-hit pole; weights,
+    // products and the final halfUpDiv are pure int64 (w ≤ 1e6,
+    // v6 ≤ 5e8 → term ≤ 5e14; ~180 ring stations/cell at sf0.1 →
+    // Σ ≤ 1e17, ~90× inside int64 even at a 10× corpus). SEMANTICS is
+    // ring-bounded IDW; the PLAN is the cover-cell EQUI-join — each
+    // target explodes its 9 ring cells and stations join on their cell
+    // id (the eo_catalog_aoi_batch pattern: never all-pairs, so the
+    // neighbor search shards by cell at archive scale).
+    Q("eo_idw", Some(
+      "WITH st AS (SELECT (event_id * 37) % 256 AS sx, (event_id * 13) % 256 AS sy, " +
+        sqlS6("value") + " AS v6 FROM events " +
+        "WHERE " + sqlHash32("'idw:' || CAST(event_id AS VARCHAR)") + " % 20 = 0), " +
+        "g AS (SELECT gx.g AS gx, gy.g AS gy FROM " +
+        "(SELECT UNNEST(RANGE(0, 16)) AS g) gx, (SELECT UNNEST(RANGE(0, 16)) AS g) gy), " +
+        "nb AS (SELECT g.gx, g.gy, st.v6, " +
+        "(st.sx - (g.gx * 16 + 8)) * (st.sx - (g.gx * 16 + 8)) + " +
+        "(st.sy - (g.gy * 16 + 8)) * (st.sy - (g.gy * 16 + 8)) AS d2 " +
+        "FROM g JOIN st ON st.sx // 16 BETWEEN g.gx - 1 AND g.gx + 1 " +
+        "AND st.sy // 16 BETWEEN g.gy - 1 AND g.gy + 1), " +
+        "w AS (SELECT gx, gy, v6, CAST(FLOOR(1e6 / (d2 + 1)) AS BIGINT) AS w FROM nb) " +
+        "SELECT gx, gy, CAST(COUNT(*) AS BIGINT) AS n_nbrs, " +
+        "CAST(" + sqlHalfUpDiv("SUM(w * v6)", "SUM(w)") + " AS BIGINT) AS est6 " +
+        "FROM w GROUP BY gx, gy ORDER BY gx, gy"),
+      (s, d) => {
+        val st = T.events(s, d)
+          .where(pmod(hash32(concat(lit("idw:"),
+            col("event_id").cast("string"))), lit(20)) === 0)
+          .select(pmod(col("event_id") * 37, lit(256)).as("sx"),
+            pmod(col("event_id") * 13, lit(256)).as("sy"),
+            s6(col("value")).as("v6"))
+          .withColumn("cellx", floor(col("sx") / 16).cast("long"))
+          .withColumn("celly", floor(col("sy") / 16).cast("long"))
+        val grid = s.range(0, 16).select(col("id").as("gx"))
+          .crossJoin(s.range(0, 16).select(col("id").as("gy")))
+        // cover cells: each target explodes its 3×3 ring, stations join
+        // on the EQUI cell key (out-of-range ring cells match nothing)
+        val ring = grid
+          .select(col("gx"), col("gy"),
+            explode(sequence(col("gx") - 1, col("gx") + 1)).as("rx"))
+          .select(col("gx"), col("gy"), col("rx"),
+            explode(sequence(col("gy") - 1, col("gy") + 1)).as("ry"))
+        val d2 =
+          (col("sx") - (col("gx") * 16 + 8)) * (col("sx") - (col("gx") * 16 + 8)) +
+            (col("sy") - (col("gy") * 16 + 8)) * (col("sy") - (col("gy") * 16 + 8))
+        st.join(broadcast(ring),
+            col("cellx") === col("rx") && col("celly") === col("ry"))
+          .select(col("gx"), col("gy"), col("v6"),
+            floor(lit(1e6) / (d2 + 1)).cast("long").as("w"))
+          .groupBy("gx", "gy")
+          .agg(count(lit(1)).as("n_nbrs"),
+            halfUpDiv(sum(col("w") * col("v6")), sum(col("w"))).as("est6"))
+          .orderBy("gx", "gy")
+      }),
+
+    // Polygon dissolve / union area (round 14, VERDICT r13 item 7) —
+    // the rest of the geopolygon toolchain [PK] beside
+    // eo_polygon_overlay's intersection: the DISSOLVED (union) area of
+    // all overlapping scene footprints, by scanline decomposition on
+    // the integer grid. Each footprint (the overlay key's event_id
+    // rects, widths 8..32) explodes into its unit-x columns (fan-out
+    // bounded by the max width), and per column the union of y
+    // intervals is the classic sweep: sort by (y0, y1, scene_id), the
+    // covered novelty of an interval is max(0, y1 − max(y0,
+    // runmax(prev y1))) — a single window, no join anywhere, exact
+    // integers end-to-end. Graded per 16-px x band: covered columns,
+    // raw length (Σ heights, with multiplicity) and union area, so
+    // over-/under-merge both break the hash (raw_len − union_area is
+    // exactly the dissolved overlap). At archive scale columns shard
+    // by x (the group key); Round14OpsSpec pins the
+    // inclusion-exclusion law on a hand-checked overlap plus a full
+    // scalar sweep mirror.
+    Q("eo_polygon_dissolve", Some(
+      "WITH fp AS (SELECT event_id AS scene_id, " +
+        "event_id % 256 AS fx0, (event_id * 37) % 256 AS fy0, " +
+        "event_id % 256 + 8 + event_id % 25 AS fx1, " +
+        "(event_id * 37) % 256 + 8 + (event_id * 13) % 25 AS fy1 FROM events), " +
+        "cols AS (SELECT scene_id, fy0, fy1, UNNEST(RANGE(fx0, fx1)) AS x FROM fp), " +
+        "sw AS (SELECT x, fy0, fy1, MAX(fy1) OVER (PARTITION BY x " +
+        "ORDER BY fy0, fy1, scene_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm " +
+        "FROM cols), " +
+        "cov AS (SELECT x, fy1 - fy0 AS rawl, " +
+        "GREATEST(0, fy1 - GREATEST(fy0, COALESCE(pm, fy0))) AS ul FROM sw) " +
+        "SELECT x // 16 AS band, CAST(COUNT(DISTINCT x) AS BIGINT) AS n_cols, " +
+        "CAST(SUM(rawl) AS BIGINT) AS raw_len, CAST(SUM(ul) AS BIGINT) AS union_area " +
+        "FROM cov GROUP BY band ORDER BY band"),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val fp = T.events(s, d).select(
+          col("event_id").as("scene_id"),
+          (col("event_id") % 256).as("fx0"),
+          (col("event_id") * 37 % 256).as("fy0"),
+          (col("event_id") % 256 + 8 + col("event_id") % 25).as("fx1"),
+          (col("event_id") * 37 % 256 + 8 + col("event_id") * 13 % 25).as("fy1"))
+        val cols = fp.select(col("scene_id"), col("fy0"), col("fy1"),
+          explode(sequence(col("fx0"), col("fx1") - 1)).as("x"))
+        val sweep = Window.partitionBy("x")
+          .orderBy(col("fy0"), col("fy1"), col("scene_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        cols.withColumn("pm", max(col("fy1")).over(sweep))
+          .select(col("x"), (col("fy1") - col("fy0")).as("rawl"),
+            greatest(lit(0L), col("fy1") -
+              greatest(col("fy0"), coalesce(col("pm"), col("fy0")))).as("ul"))
+          .groupBy(floor(col("x") / 16).cast("long").as("band"))
+          .agg(countDistinct(col("x")).as("n_cols"),
+            sum(col("rawl")).as("raw_len"), sum(col("ul")).as("union_area"))
+          .orderBy("band")
       }))
 
   /** 4-adjacency connected-component rollup over set mask pixels

@@ -59,4 +59,72 @@ class Round14OpsSpec extends SparkSpec {
     assert(meanRecall >= ivfRecall,
       s"batched mean recall@10 $meanRecall < single-query IVF rung $ivfRecall")
   }
+
+  test("eo_idw equals a scalar ring-IDW mirror; weights and estimates vary") {
+    val evs = Tables.events(spark, sfDir).select("event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val st = evs
+      .filter { case (id, _) => Det.hash32Scala(s"idw:$id") % 20 == 0 }
+      .map { case (id, v) =>
+        (id * 37 % 256, id * 13 % 256, math.floor(v * 1e6 + 0.5).toLong)
+      }
+    val expect = (for (gx <- 0L until 16L; gy <- 0L until 16L) yield {
+      val nbrs = st.filter { case (sx, sy, _) =>
+        math.abs(sx / 16 - gx) <= 1 && math.abs(sy / 16 - gy) <= 1 }
+      if (nbrs.isEmpty) None else {
+        val ws = nbrs.map { case (sx, sy, v6) =>
+          val d2 = (sx - (gx * 16 + 8)) * (sx - (gx * 16 + 8)) +
+            (sy - (gy * 16 + 8)) * (sy - (gy * 16 + 8))
+          (math.floor(1e6 / (d2 + 1)).toLong, v6)
+        }
+        val sw = ws.map(_._1).sum
+        val swv = ws.map { case (w, v) => w * v }.sum
+        Some((gx, gy, nbrs.length.toLong, (2 * swv + sw) / (2 * sw)))
+      }
+    }).flatten
+    val got = SparkEntry.queries("eo_idw")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect.toSeq, s"idw mirror mismatch (${got.take(3)}…)")
+    // degenerate-lane guard: estimates and neighbor counts must vary
+    assert(got.map(_._4).distinct.size > got.size / 2, "est6 collapsed")
+    assert(got.map(_._3).distinct.size > 3, "n_nbrs collapsed")
+  }
+
+  test("eo_polygon_dissolve equals a scalar sweep mirror; inclusion-exclusion holds") {
+    // the key's column sweep, run as plain Scala
+    def unionByColumn(rects: Seq[(Long, Long, Long, Long, Long)])
+        : Map[Long, (Long, Long)] = // x -> (rawl, union)
+      rects.flatMap { case (id, x0, y0, x1, y1) =>
+        (x0 until x1).map(x => (x, y0, y1, id)) }
+        .groupBy(_._1).map { case (x, ivs) =>
+          var pm = Long.MinValue
+          var union = 0L
+          ivs.sortBy(t => (t._2, t._3, t._4)).foreach { case (_, y0, y1, _) =>
+            val lo = if (pm == Long.MinValue) y0 else math.max(y0, pm)
+            union += math.max(0L, y1 - lo)
+            pm = math.max(if (pm == Long.MinValue) y1 else pm, y1)
+          }
+          x -> (ivs.map(t => t._3 - t._2).sum, union)
+        }
+    // (1) inclusion-exclusion on a hand-checked overlap: [0,10)x[0,10)
+    // ∪ [5,15)x[5,15) = 100 + 100 − 25 = 175
+    val lit2 = Seq((1L, 0L, 0L, 10L, 10L), (2L, 5L, 5L, 15L, 15L))
+    assert(unionByColumn(lit2).values.map(_._2).sum == 175L,
+      "inclusion-exclusion law")
+    // (2) full mirror on the graded corpus
+    val fp = Tables.events(spark, sfDir).select("event_id").collect()
+      .map(_.getLong(0)).map { id =>
+        (id, id % 256, id * 37 % 256,
+          id % 256 + 8 + id % 25, id * 37 % 256 + 8 + id * 13 % 25)
+      }
+    val byCol = unionByColumn(fp.toSeq)
+    val expect = byCol.toSeq.groupBy(_._1 / 16).map { case (band, xs) =>
+      (band, xs.size.toLong, xs.map(_._2._1).sum, xs.map(_._2._2).sum)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("eo_polygon_dissolve")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect, s"dissolve mirror mismatch (${got.take(3)}…)")
+    // the dissolve actually dissolved: union strictly below raw length
+    assert(got.map(_._4).sum < got.map(_._3).sum, "no overlap was merged")
+  }
 }
