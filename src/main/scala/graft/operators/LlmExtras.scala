@@ -291,6 +291,146 @@ object LlmExtras {
           e => e.getField("ck").cast("string"))).as("pq_code"))
   }
 
+  /** EM rounds for llm_unigram_train (fixed K on both engines). */
+  private[graft] val UnigramRounds = 3
+
+  /** Unigram-LM (SentencePiece-style) tokenizer training (round 14,
+    * VERDICT r13 item 5) [Kudo 2018, "Subword regularization"]: hard-EM
+    * (Viterbi) over a per-unit lattice of THREE paths — whole piece,
+    * split at the joiner, character fallback (always available;
+    * characters are never pruned, the SentencePiece invariant) — with
+    * bottom-quarter pruning of multi-character pieces each round. The
+    * UNITS are adjacent token pairs joined by '_' (odd tails stay
+    * single tokens) — SentencePiece's raw-text setting where pieces may
+    * span word boundaries (its ▁ joiner): this corpus' closed 31-word
+    * vocabulary shares NO sub-word halves (measured — midpoint splits
+    * were a structurally dead lane), while pair units share their word
+    * halves constantly, so phrase-vs-words-vs-chars genuinely competes
+    * (sf0.01 round-3 path census: 1701/1200/334). Every likelihood is a
+    * SUM of s6-floored Laplace log-probs (lnRatio(cnt+1, total+|V|) —
+    * the iterate-quantize discipline of llm_bpe_train), so path
+    * argmaxes are exact integer comparisons on both engines; ties
+    * prefer whole > split > chars. Trained on even doc_ids; the heldout
+    * odd half is segmented with the FINAL vocabulary and graded as
+    * pieces-per-unit mass (held_pieces/held_words), so a vocabulary
+    * that over-prunes (char-splatters the heldout text) or under-prunes
+    * moves a graded integer. */
+  private[graft] def unigramTrainHeldout(s: SparkSession, d: String,
+      k: Int): DataFrame = {
+    val negInf = -4611686018427387904L // below any real lattice score
+    def unitTypes(par: Int): DataFrame = T.documents(s, d)
+      .where(col("doc_id") % 2 === par)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("lang"), explode(expr(
+        "transform(sequence(1, size(toks), 2), i -> " +
+          "CASE WHEN i + 1 <= size(toks) " +
+          "THEN concat(element_at(toks, i), '_', element_at(toks, i + 1)) " +
+          "ELSE element_at(toks, i) END)")).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("freq"))
+      .withColumn("len", length(col("w")))
+      .localCheckpoint()
+    val wt = unitTypes(0)
+    val ht = unitTypes(1)
+    def charMult(words: DataFrame): DataFrame = words
+      .select(col("lang"), col("w"), explode(split(col("w"), "")).as("c"))
+      .groupBy("lang", "w", "c").agg(count(lit(1)).as("mult"))
+    val ch = charMult(wt).localCheckpoint()
+    val hch = charMult(ht).localCheckpoint()
+    val cl = ch.select("lang", "c").distinct().localCheckpoint()
+    val preC = expr("substring(w, 1, instr(w, '_') - 1)")
+    val sufC = expr("substring(w, instr(w, '_') + 1, len)")
+    def logProbs(vocab: DataFrame): DataFrame = {
+      val tot = vocab.groupBy("lang")
+        .agg(sum(col("cnt")).as("total"), count(lit(1)).as("nv"))
+      vocab.join(broadcast(tot), "lang")
+        .select(col("lang"), col("piece"),
+          s6(lnRatio(col("cnt") + 1, col("total") + col("nv"))).as("lp6"))
+        .localCheckpoint()
+    }
+    // seed: raw inventory counts (whole for len>=2, halves for len>=4,
+    // chars with multiplicity — 1-char word types live on the char path)
+    val seed = wt.where(col("len") >= 2)
+      .select(col("lang"), col("w").as("piece"), col("freq").as("f"))
+      .unionAll(wt.where(instr(col("w"), "_") > 0)
+        .select(col("lang"), preC.as("piece"), col("freq").as("f")))
+      .unionAll(wt.where(instr(col("w"), "_") > 0)
+        .select(col("lang"), sufC.as("piece"), col("freq").as("f")))
+      .unionAll(ch.join(wt.select("lang", "w", "freq"), Seq("lang", "w"))
+        .select(col("lang"), col("c").as("piece"),
+          (col("freq") * col("mult")).as("f")))
+    var lp = logProbs(seed.groupBy("lang", "piece").agg(sum(col("f")).as("cnt")))
+    // one E+M+prune round: Viterbi path per word type against `probs`,
+    // piece counts from the chosen paths, bottom-quarter multi prune
+    def estep(words: DataFrame, chars: DataFrame,
+        probs: DataFrame): DataFrame = {
+      val wlp = probs.select(col("lang"), col("piece").as("w"),
+        col("lp6").as("llw0"))
+      val plp = probs.select(col("lang"), col("piece").as("prep"),
+        col("lp6").as("lpp"))
+      val slp = probs.select(col("lang"), col("piece").as("sufp"),
+        col("lp6").as("lps"))
+      val clp = probs.select(col("lang"), col("piece").as("c"),
+        col("lp6").as("lpc"))
+      val llc = chars.join(clp, Seq("lang", "c"))
+        .groupBy("lang", "w").agg(sum(col("mult") * col("lpc")).as("llc"))
+      words
+        .join(wlp, Seq("lang", "w"), "left")
+        .withColumn("prep", preC).withColumn("sufp", sufC)
+        .join(plp, Seq("lang", "prep"), "left")
+        .join(slp, Seq("lang", "sufp"), "left")
+        .join(llc, Seq("lang", "w"))
+        .withColumn("llw", when(col("len") >= 2, col("llw0")))
+        .withColumn("lls", when(instr(col("w"), "_") > 0, col("lpp") + col("lps")))
+        .select(col("lang"), col("w"), col("freq"), col("len"),
+          when(col("llw").isNotNull &&
+              col("llw") >= coalesce(col("lls"), lit(negInf)) &&
+              col("llw") >= col("llc"), 0)
+            .when(col("lls").isNotNull && col("lls") >= col("llc"), 1)
+            .otherwise(2).as("path"))
+        .localCheckpoint()
+    }
+    var surv: DataFrame = null
+    for (_ <- 1 to k) {
+      val best = estep(wt, ch, lp)
+      val cnt = best.where(col("path") === 0)
+        .select(col("lang"), col("w").as("piece"), col("freq").as("f"))
+        .unionAll(best.where(col("path") === 1)
+          .select(col("lang"), preC.as("piece"), col("freq").as("f")))
+        .unionAll(best.where(col("path") === 1)
+          .select(col("lang"), sufC.as("piece"), col("freq").as("f")))
+        .unionAll(best.where(col("path") === 2).join(ch, Seq("lang", "w"))
+          .select(col("lang"), col("c").as("piece"),
+            (col("freq") * col("mult")).as("f")))
+        .groupBy("lang", "piece").agg(sum(col("f")).as("cnt"))
+        .localCheckpoint()
+      surv = cnt.where(length(col("piece")) >= 2)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("lang").orderBy(col("cnt").desc, col("piece"))))
+        .withColumn("nm", count(lit(1)).over(Window.partitionBy("lang")))
+        .where(col("rk") <= expr("(3 * nm + 3) div 4"))
+        .select("lang", "piece", "cnt")
+        .localCheckpoint()
+      val vocab = surv.unionAll(
+        cl.join(cnt.withColumnRenamed("piece", "c"), Seq("lang", "c"), "left")
+          .select(col("lang"), col("c").as("piece"),
+            coalesce(col("cnt"), lit(0L)).as("cnt")))
+      lp = logProbs(vocab)
+    }
+    // heldout compression with the FINAL vocabulary: pieces per word
+    val hb = estep(ht, hch, lp)
+    val hh = hb.select(col("lang"), col("freq"),
+        when(col("path") === 0, 1L).when(col("path") === 1, 2L)
+          .otherwise(col("len").cast("long")).as("np"))
+      .groupBy("lang")
+      .agg(sum(col("freq") * col("np")).as("held_pieces"),
+        sum(col("freq")).as("held_words"))
+    surv.join(lp, Seq("lang", "piece"))
+      .join(broadcast(hh), "lang")
+      .select(col("lang"), col("piece"), col("cnt"), col("lp6"),
+        col("held_pieces"), col("held_words"))
+      .orderBy("lang", "piece")
+  }
+
   val all: Seq[Q] = Seq(
 
     // ROUGE-1 (round 12, third wave) [Lin 2004, "ROUGE: a package for
@@ -2892,6 +3032,89 @@ object LlmExtras {
         "ORDER BY m.lang, m.rnk"
     },
       (s, d) => bpeTrainHeldout(s, d, BpeRounds)),
+
+    // Unigram-LM tokenizer training (round 14) — see
+    // [[unigramTrainHeldout]] for the full semantics (3-path Viterbi
+    // hard-EM + bottom-quarter pruning, s6 Laplace log-probs, heldout
+    // pieces-per-word grading). Oracle = the same K rounds unrolled as
+    // MATERIALIZED CTEs, the llm_bpe_train pattern.
+    Q("llm_unigram_train", Some {
+      val negInf = "-4611686018427387904"
+      def lpCte(r: Int, vv: String, t: String) =
+        s"lp$r AS MATERIALIZED (SELECT v.lang, v.piece, " +
+          sqlS6(sqlLnRatio("v.cnt + 1", "t.total + t.nv")) +
+          s" AS lp6 FROM $vv v JOIN $t t ON t.lang = v.lang)"
+      val base =
+        "wt AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS freq, LEN(w) AS len FROM " +
+          "(SELECT lang, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks) + 1, 2), i -> " +
+          "CASE WHEN i + 1 <= LEN(toks) THEN toks[i] || '_' || toks[i + 1] ELSE toks[i] END)) AS w " +
+          "FROM (SELECT lang, STRING_SPLIT(text, ' ') AS toks FROM documents WHERE doc_id % 2 = 0)) GROUP BY lang, w), " +
+          "ht AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS freq, LEN(w) AS len FROM " +
+          "(SELECT lang, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks) + 1, 2), i -> " +
+          "CASE WHEN i + 1 <= LEN(toks) THEN toks[i] || '_' || toks[i + 1] ELSE toks[i] END)) AS w " +
+          "FROM (SELECT lang, STRING_SPLIT(text, ' ') AS toks FROM documents WHERE doc_id % 2 = 1)) GROUP BY lang, w), " +
+          "ch AS (SELECT lang, w, c, CAST(COUNT(*) AS BIGINT) AS mult FROM " +
+          "(SELECT lang, w, UNNEST(STRING_SPLIT(w, '')) AS c FROM wt) GROUP BY lang, w, c), " +
+          "hch AS (SELECT lang, w, c, CAST(COUNT(*) AS BIGINT) AS mult FROM " +
+          "(SELECT lang, w, UNNEST(STRING_SPLIT(w, '')) AS c FROM ht) GROUP BY lang, w, c), " +
+          "cl AS (SELECT DISTINCT lang, c FROM ch), " +
+          "seed AS (SELECT lang, w AS piece, freq AS f FROM wt WHERE len >= 2 " +
+          "UNION ALL SELECT lang, SUBSTRING(w, 1, STRPOS(w, '_') - 1), freq FROM wt WHERE STRPOS(w, '_') > 0 " +
+          "UNION ALL SELECT lang, SUBSTRING(w, STRPOS(w, '_') + 1, len), freq FROM wt WHERE STRPOS(w, '_') > 0 " +
+          "UNION ALL SELECT ch.lang, ch.c, wt.freq * ch.mult FROM ch JOIN wt ON wt.lang = ch.lang AND wt.w = ch.w), " +
+          "v0 AS (SELECT lang, piece, CAST(SUM(f) AS BIGINT) AS cnt FROM seed GROUP BY lang, piece), " +
+          "t0 AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS nv FROM v0 GROUP BY lang), " +
+          lpCte(0, "v0", "t0")
+      val rounds = (1 to UnigramRounds).map { r =>
+        val p = s"lp${r - 1}"
+        s"llc$r AS (SELECT ch.lang, ch.w, CAST(SUM(ch.mult * p.lp6) AS BIGINT) AS llc " +
+          s"FROM ch JOIN $p p ON p.lang = ch.lang AND p.piece = ch.c GROUP BY ch.lang, ch.w), " +
+          s"ew$r AS (SELECT wt.lang, wt.w, wt.freq, wt.len, " +
+          "CASE WHEN wt.len >= 2 THEN wp.lp6 END AS llw, " +
+          "CASE WHEN STRPOS(wt.w, '_') > 0 THEN pp.lp6 + sp.lp6 END AS lls, lc.llc AS llc " +
+          s"FROM wt LEFT JOIN $p wp ON wp.lang = wt.lang AND wp.piece = wt.w " +
+          s"LEFT JOIN $p pp ON pp.lang = wt.lang AND pp.piece = SUBSTRING(wt.w, 1, STRPOS(wt.w, '_') - 1) " +
+          s"LEFT JOIN $p sp ON sp.lang = wt.lang AND sp.piece = SUBSTRING(wt.w, STRPOS(wt.w, '_') + 1, wt.len) " +
+          s"JOIN llc$r lc ON lc.lang = wt.lang AND lc.w = wt.w), " +
+          s"b$r AS (SELECT lang, w, freq, len, CASE " +
+          s"WHEN llw IS NOT NULL AND llw >= COALESCE(lls, $negInf) AND llw >= llc THEN 0 " +
+          s"WHEN lls IS NOT NULL AND lls >= llc THEN 1 ELSE 2 END AS path FROM ew$r), " +
+          s"c$r AS (SELECT lang, piece, CAST(SUM(f) AS BIGINT) AS cnt FROM (" +
+          s"SELECT lang, w AS piece, freq AS f FROM b$r WHERE path = 0 " +
+          s"UNION ALL SELECT lang, SUBSTRING(w, 1, STRPOS(w, '_') - 1), freq FROM b$r WHERE path = 1 " +
+          s"UNION ALL SELECT lang, SUBSTRING(w, STRPOS(w, '_') + 1, len), freq FROM b$r WHERE path = 1 " +
+          s"UNION ALL SELECT b.lang, ch.c, b.freq * ch.mult FROM b$r b JOIN ch ON ch.lang = b.lang AND ch.w = b.w WHERE b.path = 2" +
+          ") GROUP BY lang, piece), " +
+          s"s$r AS (SELECT lang, piece, cnt FROM (SELECT lang, piece, cnt, " +
+          "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, piece) AS rk, " +
+          s"COUNT(*) OVER (PARTITION BY lang) AS nm FROM c$r WHERE LEN(piece) >= 2) " +
+          "WHERE rk <= (3 * nm + 3) // 4), " +
+          s"vv$r AS (SELECT lang, piece, cnt FROM s$r UNION ALL " +
+          s"SELECT cl.lang, cl.c, CAST(COALESCE(cc.cnt, 0) AS BIGINT) FROM cl LEFT JOIN c$r cc ON cc.lang = cl.lang AND cc.piece = cl.c), " +
+          s"t$r AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS nv FROM vv$r GROUP BY lang), " +
+          lpCte(r, s"vv$r", s"t$r")
+      }.mkString(", ")
+      val kk = UnigramRounds
+      s"WITH $base, $rounds, " +
+        s"hllc AS (SELECT hch.lang, hch.w, CAST(SUM(hch.mult * p.lp6) AS BIGINT) AS llc " +
+        s"FROM hch JOIN lp$kk p ON p.lang = hch.lang AND p.piece = hch.c GROUP BY hch.lang, hch.w), " +
+        s"hew AS (SELECT ht.lang, ht.w, ht.freq, ht.len, " +
+        "CASE WHEN ht.len >= 2 THEN wp.lp6 END AS llw, " +
+        "CASE WHEN STRPOS(ht.w, '_') > 0 THEN pp.lp6 + sp.lp6 END AS lls, lc.llc AS llc " +
+        s"FROM ht LEFT JOIN lp$kk wp ON wp.lang = ht.lang AND wp.piece = ht.w " +
+        s"LEFT JOIN lp$kk pp ON pp.lang = ht.lang AND pp.piece = SUBSTRING(ht.w, 1, STRPOS(ht.w, '_') - 1) " +
+        s"LEFT JOIN lp$kk sp ON sp.lang = ht.lang AND sp.piece = SUBSTRING(ht.w, STRPOS(ht.w, '_') + 1, ht.len) " +
+        "JOIN hllc lc ON lc.lang = ht.lang AND lc.w = ht.w), " +
+        s"hb AS (SELECT lang, freq, len, CASE " +
+        s"WHEN llw IS NOT NULL AND llw >= COALESCE(lls, $negInf) AND llw >= llc THEN 0 " +
+        "WHEN lls IS NOT NULL AND lls >= llc THEN 1 ELSE 2 END AS path FROM hew), " +
+        "hh AS (SELECT lang, CAST(SUM(freq * (CASE path WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE len END)) AS BIGINT) AS held_pieces, " +
+        "CAST(SUM(freq) AS BIGINT) AS held_words FROM hb GROUP BY lang) " +
+        s"SELECT s.lang, s.piece, s.cnt, lp.lp6, hh.held_pieces, hh.held_words " +
+        s"FROM s$kk s JOIN lp$kk lp ON lp.lang = s.lang AND lp.piece = s.piece " +
+        "JOIN hh ON hh.lang = s.lang ORDER BY s.lang, s.piece"
+    },
+      (s, d) => unigramTrainHeldout(s, d, UnigramRounds)),
 
     // Character-entropy gibberish filter (round 9, fourth wave) — the
     // cheap pre-quality screen (random bytes and key-mash have

@@ -127,4 +127,93 @@ class Round14OpsSpec extends SparkSpec {
     // the dissolve actually dissolved: union strictly below raw length
     assert(got.map(_._4).sum < got.map(_._3).sum, "no overlap was merged")
   }
+
+  test("llm_unigram_train equals a scalar hard-EM mirror; all three lattice paths fire") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // units = adjacent token pairs joined by '_', odd tail stays single
+    def unitsOf(t: String): Seq[String] =
+      t.split(" ").grouped(2).map(_.mkString("_")).toSeq
+    def types(par: Long): Map[(String, String), Long] = docs
+      .filter(_._1 % 2 == par)
+      .flatMap { case (_, l, t) => unitsOf(t).map(u => (l, u)) }
+      .groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val wt = types(0); val ht = types(1)
+    def lp6Of(vocab: Map[(String, String), Long]): Map[(String, String), Long] = {
+      val tot = vocab.groupBy(_._1._1)
+        .map { case (l, m) => l -> (m.values.sum, m.size.toLong) }
+      vocab.map { case ((l, p), c) =>
+        (l, p) -> math.floor(
+          Det.lnRatioD(c + 1, tot(l)._1 + tot(l)._2) * 1e6 + 0.5).toLong
+      }
+    }
+    def halves(w: String): (String, String) = {
+      val i = w.indexOf('_')
+      (w.substring(0, i), w.substring(i + 1))
+    }
+    // path per unit: 0 whole, 1 split, 2 chars (ties whole > split > chars)
+    def path(l: String, w: String,
+        lp: Map[(String, String), Long]): Int = {
+      val llc = w.map(c => lp.getOrElse((l, c.toString), 0L)).sum
+      val llw = if (w.length >= 2) lp.get((l, w)) else None
+      val lls = if (w.contains('_')) {
+        val (a, b) = halves(w)
+        for (x <- lp.get((l, a)); y <- lp.get((l, b))) yield x + y
+      } else None
+      if (llw.exists(v => v >= lls.getOrElse(Long.MinValue) && v >= llc)) 0
+      else if (lls.exists(_ >= llc)) 1 else 2
+    }
+    val seed = collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    wt.foreach { case ((l, w), f) =>
+      if (w.length >= 2) seed((l, w)) += f
+      if (w.contains('_')) { val (a, b) = halves(w); seed((l, a)) += f; seed((l, b)) += f }
+      w.foreach(c => seed((l, c.toString)) += f)
+    }
+    val chars = wt.keys.flatMap { case (l, w) => w.map(c => (l, c.toString)) }.toSet
+    var lp = lp6Of(seed.toMap)
+    var surv = Map.empty[(String, String), Long]
+    var lastPaths = Map.empty[(String, String), Int]
+    for (_ <- 1 to operators.LlmExtras.UnigramRounds) {
+      lastPaths = wt.keys.map(k => k -> path(k._1, k._2, lp)).toMap
+      val cnt = collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      wt.foreach { case ((l, w), f) =>
+        lastPaths((l, w)) match {
+          case 0 => cnt((l, w)) += f
+          case 1 => val (a, b) = halves(w); cnt((l, a)) += f; cnt((l, b)) += f
+          case _ => w.foreach(c => cnt((l, c.toString)) += f)
+        }
+      }
+      surv = cnt.toMap.filter(_._1._2.length >= 2)
+        .groupBy(_._1._1).flatMap { case (_, m) =>
+          val ranked = m.toSeq.sortBy { case ((_, p), c) => (-c, p) }
+          ranked.take(((3 * ranked.size + 3) / 4).toInt)
+        }
+      val vocab = surv ++ chars.map(k => k -> cnt.toMap.getOrElse(k, 0L))
+      lp = lp6Of(vocab)
+    }
+    val hh = ht.toSeq.groupBy(_._1._1).map { case (l, m) =>
+      val (p, w) = m.map { case ((_, word), f) =>
+        (path(l, word, lp) match {
+          case 0 => f; case 1 => 2 * f; case _ => word.length * f
+        }, f)
+      }.unzip
+      l -> (p.sum, w.sum)
+    }
+    val expect = surv.toSeq.map { case ((l, p), c) =>
+      (l, p, c, lp((l, p)), hh(l)._1, hh(l)._2)
+    }.sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("llm_unigram_train")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expect, s"unigram mirror mismatch (${got.take(2)}…)")
+    // degenerate-lane guard: the lattice genuinely competes — every path
+    // chosen somewhere in the final round, and pruning was non-trivial
+    assert(lastPaths.values.toSet == Set(0, 1, 2),
+      s"dead lattice path: ${lastPaths.values.toSet}")
+    assert(got.map(t => (t._1, t._2)).toSet.size < seed.keySet.count(_._2.length >= 2),
+      "pruning removed nothing")
+  }
 }
