@@ -657,5 +657,20 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"batched ANN went cartesian:\n${p.take(2000)}")
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
       s"more nested loops than the one bounded quantizer broadcast:\n${p.take(2000)}")
+    // IDW: stations reach targets through the ring-cell EQUI join (the
+    // only nested loop is the 256-row grid construction)
+    val idw = planOf("eo_idw")
+    assert(idw.contains("BroadcastHashJoin") && !idw.contains("CartesianProduct"),
+      s"idw ring join degenerated:\n${idw.take(2000)}")
+    // dissolve: NO join anywhere — explode, one window sweep, one agg
+    val dis = planOf("eo_polygon_dissolve")
+    assert(!dis.contains("Join") && dis.contains("Window"),
+      s"dissolve grew a join:\n${dis.take(2000)}")
+    // unigram: piece lookups are equi joins; never a cartesian
+    assert(!planOf("llm_unigram_train").contains("CartesianProduct"),
+      "unigram EM planned a cartesian")
+    // hnsw: per-layer pools stay bucket-equi like the flat rung
+    assert(!planOf("llm_ann_hnsw").contains("CartesianProduct"),
+      "hnsw planned a cartesian")
   }
 }
