@@ -1967,44 +1967,56 @@ object LlmExtras {
           .crossJoin(broadcast(flipsDf))
           .select(col("bucket"), expr("bucket ^ f").as("nb"))
           .distinct()
-        def layerAdj(minL: Int): (DataFrame, DataFrame, DataFrame) = {
-          val m = sigs.where(col("l") >= minL).select("vec_id", "bucket")
-          val pool = m.join(broadcast(nbf), "bucket")
-            .select(col("vec_id").as("s"), col("nb"))
-            .join(m.select(col("vec_id").as("t"), col("bucket").as("nb")), "nb")
-            .where(col("t") =!= col("s"))
-            .select("s", "t")
-          val pd = pool
-            .join(broadcast(emb.select(col("vec_id").as("s"), col("e").as("es"))), "s")
-            .join(broadcast(emb.select(col("vec_id").as("t"), col("e").as("et"))), "t")
-            .select(col("s"), col("t"), sl2(col("es"), col("et")).as("d2"))
-          val knn = pd.withColumn("rn", row_number().over(
-              Window.partitionBy("s").orderBy(col("d2"), col("t"))))
-            .where(col("rn") <= NswM).select("s", "t")
-          // member-rank dictionary: a single-partition window over the
-          // layer's member list (corpus-bounded; at archive scale the
-          // rank shards by bucket zone with offsets, the globalNtile way)
-          val ranked = m.select("vec_id").withColumn("rk",
-            row_number().over(Window.orderBy("vec_id")).cast("long") - 1)
-          val nn = ranked.agg(count(lit(1)).as("n"))
-          val sc = m.select(col("vec_id"))
-            .crossJoin(broadcast(s.range(0, 2).select(col("id").as("h"))))
-            .crossJoin(broadcast(nn))
-            .select(col("vec_id").as("s2"),
-              (hash32(concat(lit("hnsw:sc:"), col("h").cast("string"), lit(":"),
-                col("vec_id").cast("string"))) % col("n")).as("trk"))
-            .join(ranked.select(col("vec_id").as("t"), col("rk").as("trk")), "trk")
-            .where(col("t") =!= col("s2"))
-            .select(col("s2").as("s"), col("t"))
-          val adj = knn.unionAll(knn.select(col("t").as("s"), col("s").as("t")))
-            .unionAll(sc).unionAll(sc.select(col("t").as("s"), col("s").as("t")))
-            .distinct()
-            .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
-          (adj, ranked, nn)
-        }
-        val (adj2, rk2, nn2) = layerAdj(2)
-        val (adj1, _, _) = layerAdj(1)
-        val (adj0, _, _) = layerAdj(0)
+        // ONE layered build (round-14 perf pass — three separate per-layer
+        // builds cost three cached materializations and ~8 extra jobs):
+        // every vector replicates into each layer it belongs to (geometric
+        // levels → Σ|layers| ≈ 1.33n rows), so all three graphs come out
+        // of one pool/knn/shortcut pass keyed by `layer`; the per-layer
+        // adjacency is a cheap cached filter. Identical edge sets to the
+        // per-layer form — the oracle's per-layer CTEs are unchanged.
+        val mAll = sigs.select(col("vec_id"), col("bucket"),
+            explode(sequence(lit(0), col("l"))).as("layer"))
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        val pool = mAll.join(broadcast(nbf), "bucket")
+          .select(col("layer"), col("vec_id").as("s"), col("nb"))
+          .join(mAll.select(col("layer"), col("vec_id").as("t"),
+            col("bucket").as("nb")), Seq("layer", "nb"))
+          .where(col("t") =!= col("s"))
+          .select("layer", "s", "t")
+        val pd = pool
+          .join(broadcast(emb.select(col("vec_id").as("s"), col("e").as("es"))), "s")
+          .join(broadcast(emb.select(col("vec_id").as("t"), col("e").as("et"))), "t")
+          .select(col("layer"), col("s"), col("t"),
+            sl2(col("es"), col("et")).as("d2"))
+        val knn = pd.withColumn("rn", row_number().over(
+            Window.partitionBy("layer", "s").orderBy(col("d2"), col("t"))))
+          .where(col("rn") <= NswM).select("layer", "s", "t")
+        // member-rank dictionary: per-layer single-partition windows over
+        // the member lists (corpus-bounded; at archive scale the rank
+        // shards by bucket zone with offsets, the globalNtile way)
+        val ranked = mAll.select("layer", "vec_id").withColumn("rk",
+          row_number().over(Window.partitionBy("layer").orderBy("vec_id"))
+            .cast("long") - 1)
+        val nnl = ranked.groupBy("layer").agg(count(lit(1)).as("n"))
+        val sc = mAll.select(col("layer"), col("vec_id"))
+          .crossJoin(broadcast(s.range(0, 2).select(col("id").as("h"))))
+          .join(broadcast(nnl), "layer")
+          .select(col("layer"), col("vec_id").as("s2"),
+            (hash32(concat(lit("hnsw:sc:"), col("h").cast("string"), lit(":"),
+              col("vec_id").cast("string"))) % col("n")).as("trk"))
+          .join(ranked.select(col("layer"), col("vec_id").as("t"),
+            col("rk").as("trk")), Seq("layer", "trk"))
+          .where(col("t") =!= col("s2"))
+          .select(col("layer"), col("s2").as("s"), col("t"))
+        val adjAll = knn
+          .unionAll(knn.select(col("layer"), col("t").as("s"), col("s").as("t")))
+          .unionAll(sc)
+          .unionAll(sc.select(col("layer"), col("t").as("s"), col("s").as("t")))
+          .distinct()
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        def adjL(l: Int): DataFrame =
+          adjAll.where(col("layer") === l).select("s", "t")
+        val (adj2, adj1, adj0) = (adjL(2), adjL(1), adjL(0))
         val qArr = T.embeddings(s, d).where(col("vec_id") === 0)
           .select(transform(col("embedding"), x => x.cast("double")).as("qe"))
         val embv = emb.select(col("vec_id").as("v"), col("e"))
@@ -2017,13 +2029,21 @@ object LlmExtras {
             .orderBy(col("d2"), col("v"))
             .limit(b)
             .select(col("v"))
-        val ent = rk2.crossJoin(broadcast(nn2))
-          .where(col("rk") === hash32(lit("hnsw:entry:0")) % col("n"))
+        val ent = ranked.where(col("layer") === 2)
+          .join(broadcast(nnl.where(col("layer") === 2).select(col("n"))),
+            col("rk") === hash32(lit("hnsw:entry:0")) % col("n"))
           .select(col("vec_id").as("v"))
+        // seeds stay LAZY (each layer's 1-row seed and the entry pick fold
+        // into the next checkpointed round's job), but every ROUND
+        // checkpoints: leaving the upper layers' multi-round lineage lazy
+        // was MEASURED catastrophic (33 s steady vs 5 — each downstream
+        // consumer re-plans and re-executes the whole un-cut walk, the
+        // localCheckpoint-stats pathology class), so the per-round cut is
+        // load-bearing, not optional.
         def searchLayer(seed: DataFrame, adj: DataFrame, steps: Int,
             b: Int): DataFrame = {
-          var vis = seed.localCheckpoint()
-          var beam = vis
+          var vis = seed
+          var beam = seed
           for (_ <- 1 to steps) {
             vis = vis.unionAll(
                 beam.join(adj, beam("v") === adj("s")).select(col("t").as("v")))
