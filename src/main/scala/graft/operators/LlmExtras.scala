@@ -181,8 +181,13 @@ object LlmExtras {
   private val NswSteps = 5
   /** Corpus embedding dimensionality (TESTDATA.md; the PQ geometry's
     * 16 × 4 split already fixes the same 64). Lets the NSW sign table
-    * fold into the plan as literals instead of per-element hashes. */
-  private val NswDims = 64
+    * fold into the plan as literals instead of per-element hashes.
+    * AnnPropertySpec asserts every embeddings row at both graded SFs has
+    * EXACTLY this many elements (ADVICE r14 #1): sdotl/sl2 fold over
+    * min(array lengths), so a corpus regen to a wider dim would silently
+    * project Spark-side buckets onto the first 64 dims while the DuckDB
+    * oracle used LEN(embedding) — the spec makes that loud instead. */
+  private[graft] val NswDims = 64
   /** Spec bounds for the geometry above, derived from the SAME sweep
     * (ADVICE r13 #3): a corpus regeneration or a change to any Nsw*
     * constant re-tunes recall/budget HERE, next to the geometry that

@@ -93,8 +93,11 @@ object StreamTwins {
     * whole family instead of one per key. */
   private def tsBounds(s: org.apache.spark.sql.SparkSession,
       d: String): (Long, Long) = {
+    // conf set on EVERY call, not just the memoized compute — a memo-hit
+    // caller relying on tsBounds for the nanos conf must still get it
+    // (ADVICE r14 #5)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val a = memoLongs(s"$d#tsbounds") {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       s.read.parquet(s"$d/events.parquet")
         .agg(min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts"))))
         .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
@@ -129,11 +132,78 @@ object StreamTwins {
         .select(countDistinct(col("user_id"))).collect().head.getLong(0))
     }.head
 
+  /** Stage exec_late's three lane files (a = evens minus the sentinel,
+    * b = the earliest-event sentinel, c = odds) once per JVM — all three
+    * lanes come out of ONE lane-partitioned write job (the lane column
+    * stays out of the files, so eventsStream's footer-probed schema
+    * still applies). Gated on ALL three memo keys: a partially populated
+    * map from a prior failed registration (exception between the staged
+    * write and the putIfAbsent loop) re-stages instead of handing a null
+    * src to placeSplit (ADVICE r14 #4). Callers must have set the
+    * nanosAsLong conf (every exec key and [[prewarmStaging]] do). */
+  private def stageLateLanes(s: org.apache.spark.sql.SparkSession,
+      d: String): Unit =
+    if (!Seq("a", "b", "c").forall(l => splitFiles.containsKey(s"$d#late_$l"))) {
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val sent = raw.select(col("event_id"),
+          unix_timestamp(col("ts")).as("te"))
+        .orderBy("te", "event_id").limit(1)
+        .collect().head.getLong(0)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_late_part")
+      raw.withColumn("lane",
+          when(col("event_id") === sent, "b")
+            .when(col("event_id") % 2 === 0, "a").otherwise("c"))
+        .repartition(3, col("lane"))
+        .write.partitionBy("lane").mode("overwrite").parquet(tmp.toString)
+      Seq("a", "b", "c").foreach { l =>
+        splitFiles.putIfAbsent(s"$d#late_$l",
+          new java.io.File(s"$tmp/lane=$l").listFiles()
+            .filter(_.getName.endsWith(".parquet")).head.toPath)
+      }
+    }
+
+  /** Force every JVM-lifetime staging memo the stream_exec family shares
+    * — the split writes and the scalar collects — WITHOUT running any
+    * streaming query. Bench calls this from its UNTIMED warm-up so the
+    * first-in-family keys stop absorbing the staging jobs in their timed
+    * region (VERDICT r14 #1: stream_exec_restart/late driver spikes were
+    * exactly the first multi-lifetime keys after the memo rewrite). A
+    * throwaway landing dir takes the placeSplit copies; checkpoints,
+    * sinks and real landing dirs stay strictly per-invocation. */
+  private[graft] def prewarmStaging(s: org.apache.spark.sql.SparkSession,
+      d: String): Unit = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val scratch = java.nio.file.Files.createTempDirectory("graft_prewarm")
+    try {
+      val tm = stageTmHalves(s, d, scratch, 240L, 120L) // half_a, half_b_u3, tsbounds
+      nUsersStaged(s, d, tm)
+      memoLongs(s"$d#nEmitTtlHalves") {
+        val raw = s.read.parquet(s"$d/events.parquet")
+        Array(raw.where(unix_timestamp(col("ts")) <= tm)
+            .select(countDistinct(col("user_id"))).collect().head.getLong(0) +
+          raw.where(unix_timestamp(col("ts")) > tm && col("user_id") % 3 === 0)
+            .select(countDistinct(col("user_id"))).collect().head.getLong(0))
+      }
+      def raw = s.read.parquet(s"$d/events.parquet")
+      stagedSplit(d, "half_gt")(raw.where(unix_timestamp(col("ts")) > tm))
+      stagedSplit(d, "u5_0")(raw.where(col("user_id") % 5 === 0))
+      stagedSplit(d, "u5_rest")(raw.where(col("user_id") % 5 =!= 0))
+      stagedSplit(d, "parity_true")(raw.where(col("event_id") % 2 === 0))
+      stagedSplit(d, "parity_false")(raw.where(col("event_id") % 2 =!= 0))
+      stageLateLanes(s, d)
+    } finally graft.maintenance.Compaction.deleteRecursively(scratch)
+  }
+
   private val lowStatePartsDepth = new java.util.concurrent.atomic.AtomicInteger(0)
   private def lowStateParts[A](s: org.apache.spark.sql.SparkSession)(body: => A): A = {
     val k = "spark.sql.shuffle.partitions"
-    require(lowStatePartsDepth.incrementAndGet() == 1,
-      "lowStateParts is not reentrant: nested use would restore '4' as the previous value")
+    if (lowStatePartsDepth.incrementAndGet() != 1) {
+      // undo THIS call's increment before failing — leaving it poisons
+      // every later (legitimately serial) call in the JVM (ADVICE r14 #2)
+      lowStatePartsDepth.decrementAndGet()
+      throw new IllegalStateException(
+        "lowStateParts is not reentrant: nested use would restore '4' as the previous value")
+    }
     val prev = s.conf.get(k)
     s.conf.set(k, "4")
     try body finally {
@@ -1074,24 +1144,7 @@ object StreamTwins {
         // stays out of the files), and since round 14 the job runs once
         // per JVM: the memoized lane files are copied into each
         // invocation's own landing dir like every other staged split.
-        if (!splitFiles.containsKey(s"$d#late_a")) {
-          val raw = s.read.parquet(s"$d/events.parquet")
-          val sent = raw.select(col("event_id"),
-              unix_timestamp(col("ts")).as("te"))
-            .orderBy("te", "event_id").limit(1)
-            .collect().head.getLong(0)
-          val tmp = java.nio.file.Files.createTempDirectory("graft_late_part")
-          raw.withColumn("lane",
-              when(col("event_id") === sent, "b")
-                .when(col("event_id") % 2 === 0, "a").otherwise("c"))
-            .repartition(3, col("lane"))
-            .write.partitionBy("lane").mode("overwrite").parquet(tmp.toString)
-          Seq("a", "b", "c").foreach { l =>
-            splitFiles.putIfAbsent(s"$d#late_$l",
-              new java.io.File(s"$tmp/lane=$l").listFiles()
-                .filter(_.getName.endsWith(".parquet")).head.toPath)
-          }
-        }
+        stageLateLanes(s, d)
         placeSplit(landing, splitFiles.get(s"$d#late_a"), "a.parquet", 240L)
         placeSplit(landing, splitFiles.get(s"$d#late_b"), "b.parquet", 120L)
         placeSplit(landing, splitFiles.get(s"$d#late_c"), "c.parquet", 0L)

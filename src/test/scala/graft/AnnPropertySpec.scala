@@ -198,4 +198,20 @@ class AnnPropertySpec extends SparkSpec {
     assert(hv < nv, s"hnsw visited $hv !< nsw $nv")
     assert(hh >= nh, s"hnsw hits $hh < nsw $nh")
   }
+
+  test("corpus embedding dimensionality equals NswDims at BOTH graded SFs (ADVICE r14 #1)") {
+    // sdotl/sl2 fold over min(array lengths) and the NSW/HNSW sign tables
+    // are plan-time literal arrays of exactly NswDims elements — if the
+    // driver regenerates the corpus at a wider dim, Spark-side buckets
+    // would silently use only the first NswDims dims while the DuckDB
+    // oracle uses LEN(embedding). This makes that divergence loud.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val dims = Tables.embeddings(spark, dir)
+        .selectExpr("min(size(embedding)) AS mn", "max(size(embedding)) AS mx")
+        .collect().head
+      assert(dims.getInt(0) == graft.operators.LlmExtras.NswDims &&
+        dims.getInt(1) == graft.operators.LlmExtras.NswDims,
+        s"dir=$dir dims=[${dims.getInt(0)}, ${dims.getInt(1)}] != ${graft.operators.LlmExtras.NswDims}")
+    }
+  }
 }
