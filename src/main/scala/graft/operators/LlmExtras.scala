@@ -198,6 +198,26 @@ object LlmExtras {
   private[graft] val NswMinHits10 = 7L
   private[graft] val NswMaxVisited = 400L
 
+  /** Broadcast gate for corpus-proportional sides in the ANN family
+    * (VERDICT r14 #9). Every gated frame is a projection/filter of
+    * embeddings.parquet (index vectors, query-batch vectors, per-query
+    * visited counts), so its broadcast cost scales with that file: the
+    * gate pins the hint to the SOURCE TABLE's on-disk bytes — a plan-time
+    * stat call, no job. Under the gate (graded SFs: ≤ ~0.8 MB) the plans
+    * keep the measured broadcast-side joins — the round-14 lever that
+    * removed the 1.3 GB pair-table shuffle; over it the hint is withheld
+    * and AQE picks the strategy from runtime stats, so a 100× corpus
+    * degrades to a shuffled equi-join instead of pinning an
+    * index-proportional broadcast (SCALING.md "ANN broadcast gate").
+    * Genuinely bounded frames — probe lists, 1-row seeds/aggregates,
+    * flip/cell dictionaries, budget-bounded visited sets — keep hard
+    * hints. */
+  private[graft] val AnnBroadcastGateBytes = 32L << 20
+  private[graft] def embBcast(d: String)(df: DataFrame): DataFrame =
+    if (new java.io.File(s"$d/embeddings.parquet").length() <= AnnBroadcastGateBytes)
+      broadcast(df)
+    else df
+
   /** Plan-time ±1f sign arrays of the [[NswPlanes]] LSH planes, folded
     * from [[Det.hash32Scala]] (shared by llm_ann_nsw and llm_ann_hnsw —
     * the hierarchy reuses the flat rung's bucket geometry verbatim). */
@@ -1690,10 +1710,11 @@ object LlmExtras {
         // broadcast keeps the pairs streaming with arrays attached
         // map-side. At archive scale the same build co-partitions pairs
         // and vectors by BUCKET (candidate generation is already
-        // bucket-local), so no global broadcast is ever required.
+        // bucket-local), so no global broadcast is ever required — the
+        // size gate withholds the hint there (VERDICT r14 #9).
         val pd = pool
-          .join(broadcast(emb.select(col("vec_id").as("s"), col("e").as("es"))), "s")
-          .join(broadcast(emb.select(col("vec_id").as("t"), col("e").as("et"))), "t")
+          .join(embBcast(d)(emb.select(col("vec_id").as("s"), col("e").as("es"))), "s")
+          .join(embBcast(d)(emb.select(col("vec_id").as("t"), col("e").as("et"))), "t")
           .select(col("s"), col("t"), sl2(col("es"), col("et")).as("d2"))
         val knn = pd
           .withColumn("rn", row_number().over(
@@ -1859,7 +1880,7 @@ object LlmExtras {
           (sqrt(sdotl(col("embedding"), col("embedding")).cast("double") / lit(1e14)) *
             sqrt(sdotl(col("qe"), col("qe")).cast("double") / lit(1e14)))
         idx.select(col("vec_id"), col("label"), col("embedding"))
-          .join(broadcast(probes.join(qs.select(col("qid"), col("qe")), "qid")),
+          .join(embBcast(d)(probes.join(qs.select(col("qid"), col("qe")), "qid")),
             "label")
           .withColumn("cos_raw", cos)
           .withColumn("rk", row_number().over(
@@ -1972,8 +1993,8 @@ object LlmExtras {
           .where(col("t") =!= col("s"))
           .select("s", "t")
         val pd = pool
-          .join(broadcast(idx.select(col("vec_id").as("s"), col("e").as("es"))), "s")
-          .join(broadcast(idx.select(col("vec_id").as("t"), col("e").as("et"))), "t")
+          .join(embBcast(d)(idx.select(col("vec_id").as("s"), col("e").as("es"))), "s")
+          .join(embBcast(d)(idx.select(col("vec_id").as("t"), col("e").as("et"))), "t")
           .select(col("s"), col("t"), sl2(col("es"), col("et")).as("d2"))
         val knn = pd.withColumn("rn", row_number().over(
             Window.partitionBy("s").orderBy(col("d2"), col("t"))))
@@ -2000,8 +2021,8 @@ object LlmExtras {
         // deterministic function of (qid, v), so the batch-wide distinct
         // over the carried triple dedups exactly like (qid, v).
         def withD2(vdf: DataFrame): DataFrame =
-          vdf.join(broadcast(embv), "v")
-            .join(broadcast(qs.select(col("qid"), col("qe"))), "qid")
+          vdf.join(embBcast(d)(embv), "v")
+            .join(embBcast(d)(qs.select(col("qid"), col("qe"))), "qid")
             .select(col("qid"), col("v"), sl2(col("e"), col("qe")).as("d2"))
         var vis = withD2(qs.select(col("qid")).crossJoin(broadcast(ent)))
           .localCheckpoint()
@@ -2024,13 +2045,13 @@ object LlmExtras {
         val cos = (sdotl(col("embedding"), col("qemb")).cast("double") / lit(1e14)) /
           (sqrt(sdotl(col("embedding"), col("embedding")).cast("double") / lit(1e14)) *
             sqrt(sdotl(col("qemb"), col("qemb")).cast("double") / lit(1e14)))
-        vis.join(broadcast(idx.select(col("vec_id").as("v"), col("embedding"))), "v")
-          .join(broadcast(qs.select(col("qid"), col("qemb"))), "qid")
+        vis.join(embBcast(d)(idx.select(col("vec_id").as("v"), col("embedding"))), "v")
+          .join(embBcast(d)(qs.select(col("qid"), col("qemb"))), "qid")
           .withColumn("cc", cos)
           .withColumn("rk", row_number().over(
             Window.partitionBy("qid").orderBy(col("cc").desc, col("v"))).cast("long"))
           .where(col("rk") <= 10)
-          .join(broadcast(nvq), "qid")
+          .join(embBcast(d)(nvq), "qid")
           .select(col("qid").as("query_id"), col("rk"), col("v").as("vec_id"),
             s6(col("cc")).as("cos_sim"), col("n_visited"))
           .orderBy("query_id", "rk")
@@ -2168,8 +2189,8 @@ object LlmExtras {
           .where(col("t") =!= col("s"))
           .select("layer", "s", "t")
         val pd = pool
-          .join(broadcast(emb.select(col("vec_id").as("s"), col("e").as("es"))), "s")
-          .join(broadcast(emb.select(col("vec_id").as("t"), col("e").as("et"))), "t")
+          .join(embBcast(d)(emb.select(col("vec_id").as("s"), col("e").as("es"))), "s")
+          .join(embBcast(d)(emb.select(col("vec_id").as("t"), col("e").as("et"))), "t")
           .select(col("layer"), col("s"), col("t"),
             sl2(col("es"), col("et")).as("d2"))
         val knn = pd.withColumn("rn", row_number().over(

@@ -678,4 +678,37 @@ class PlanContractSpec extends SparkSpec {
     assert(bn.contains("WindowGroupLimit") && !bn.contains("CartesianProduct"),
       s"batched nsw shape:\n${bn.take(2000)}")
   }
+
+  test("ANN broadcasts follow the side-size rule (VERDICT r14 #9)") {
+    // Corpus-proportional sides (index/query embedding frames) are hinted
+    // ONLY while the source table sits under the gate; bounded frames keep
+    // hard hints. Two halves: (a) the graded corpora are under the gate,
+    // so the measured broadcast-side joins must still be planned — the
+    // round-14 lever that removed the 1.3 GB pair shuffle; (b) the gate
+    // branch itself: over the gate embBcast must return the frame
+    // UNHINTED so AQE picks the strategy at 100× scale.
+    assert(new java.io.File(s"$sfDir/embeddings.parquet").length() <
+      operators.LlmExtras.AnnBroadcastGateBytes, "spec corpus over the gate?")
+    for (k <- Seq("llm_ann_nsw", "llm_ann_batch_nsw", "llm_ann_hnsw", "llm_ann_batch_ivf")) {
+      val p = planOf(k)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$k lost its under-gate broadcast joins:\n${p.take(2000)}")
+    }
+    val big = java.nio.file.Files.createTempDirectory("graft_gate").toString
+    try {
+      val raf = new java.io.RandomAccessFile(s"$big/embeddings.parquet", "rw")
+      try raf.setLength(operators.LlmExtras.AnnBroadcastGateBytes + 1)
+      finally raf.close()
+      val df = spark.range(3).toDF("v")
+      def hinted(out: org.apache.spark.sql.DataFrame): Boolean =
+        out.queryExecution.analyzed.collect {
+          case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+        }.nonEmpty
+      assert(hinted(operators.LlmExtras.embBcast(sfDir)(df)),
+        "under-gate frame not hinted")
+      assert(!hinted(operators.LlmExtras.embBcast(big)(df)),
+        "over-gate frame still pinned to broadcast")
+    } finally graft.maintenance.Compaction.deleteRecursively(
+      java.nio.file.Paths.get(big))
+  }
 }
