@@ -679,6 +679,17 @@ class PlanContractSpec extends SparkSpec {
       s"batched nsw shape:\n${bn.take(2000)}")
   }
 
+  test("round-15 keys keep their promised shapes") {
+    // batched hierarchical descent: the per-query beam is a
+    // WindowGroupLimit over the (qid, v, d2) state, every frontier
+    // expansion is an equi join on the adjacency — never a cartesian
+    // (per-round localCheckpoints segment the plan; the final segment
+    // carries the top-10 window and the visited join)
+    val bh = planOf("llm_ann_batch_hnsw")
+    assert(bh.contains("WindowGroupLimit") && !bh.contains("CartesianProduct"),
+      s"batched hnsw shape:\n${bh.take(2000)}")
+  }
+
   test("ANN broadcasts follow the side-size rule (VERDICT r14 #9)") {
     // Corpus-proportional sides (index/query embedding frames) are hinted
     // ONLY while the source table sits under the gate; bounded frames keep
