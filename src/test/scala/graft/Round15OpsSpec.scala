@@ -108,6 +108,58 @@ class Round15OpsSpec extends SparkSpec {
       "non-composition lanes changed length")
   }
 
+  test("llm_ann_ivf_upsert mirrors a scalar frozen-quantizer upsert; census law holds; drift fires") {
+    val emb = embMap
+    val labels = Tables.embeddings(spark, sfDir).select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val idx = emb.keys.filter(_ != 0L).toSeq.sorted
+    def isDelta(v: Long): Boolean = Det.hash32Scala(s"upsert:$v") % 4 == 0
+    val base = idx.filterNot(isDelta)
+    // frozen quantizer: per-label mean6 centroids over BASE members
+    val cells = base.map(labels).distinct.sorted
+    val cent: Map[Long, Array[Double]] = cells.map { cl =>
+      val members = base.filter(labels(_) == cl)
+      cl -> (0 until 64).map { pos =>
+        val sumS6 = members.map(v => math.floor(emb(v)(pos) * 1e6 + 0.5).toLong).sum
+        math.floor(sumS6.toDouble / members.size + 0.5) / 1e6
+      }.toArray
+    }.toMap
+    def d2(v: Array[Double], c: Array[Double]): Long =
+      (0 until 64).map(i =>
+        math.floor((c(i) - v(i)) * (c(i) - v(i)) * 1e14 + 0.5).toLong).sum
+    def assign(v: Long): Long =
+      cells.minBy(cl => (d2(emb(v), cent(cl)), cl))
+    val asg = idx.map(v => v -> assign(v)).toMap
+    // query path: 2-probe by the same frozen law, exact scaled cosine
+    val probes = cells.sortBy(cl => (d2(emb(0L), cent(cl)), cl)).take(2).toSet
+    def dotl(a: Array[Double], b: Array[Double]): Long =
+      (0 until 64).map(i => math.floor(a(i) * b(i) * 1e14 + 0.5).toLong).sum
+    def cosv(v: Long): Double =
+      (dotl(emb(v), emb(0L)).toDouble / 1e14) /
+        (math.sqrt(dotl(emb(v), emb(v)).toDouble / 1e14) *
+          math.sqrt(dotl(emb(0L), emb(0L)).toDouble / 1e14))
+    val top10 = idx.filter(v => probes(asg(v))).sortBy(v => (-cosv(v), v)).take(10)
+    val got = SparkEntry.queries("llm_ann_ivf_upsert")(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("clabel").toLong -> r).toMap
+    assert(got.keySet == cells.toSet, "one output row per trained cell")
+    cells.foreach { cl =>
+      val r = got(cl)
+      val members = idx.filter(asg(_) == cl)
+      assert(r.getAs[Long]("n_base") == members.count(!isDelta(_)).toLong, s"cell $cl n_base")
+      assert(r.getAs[Long]("n_delta") == members.count(isDelta).toLong, s"cell $cl n_delta")
+      assert(r.getAs[Long]("n_rebuilt") == members.size.toLong, s"cell $cl n_rebuilt")
+      assert(r.getAs[Long]("census_match") == 1L, s"cell $cl census law broke")
+      assert(r.getAs[Long]("n_drift") == members.count(labels(_) != cl).toLong, s"cell $cl n_drift")
+      assert(r.getAs[Long]("q_hits") == top10.count(asg(_) == cl).toLong, s"cell $cl q_hits")
+    }
+    // lane spread: drift fires (labels are NOT geometric clusters on
+    // this corpus) and the 10 hits land exactly on the probed cells
+    assert(got.values.map(_.getAs[Long]("n_drift")).sum > 0, "drift lane dead")
+    assert(got.values.map(_.getAs[Long]("q_hits")).sum == 10L, "query hits != 10")
+    assert(got.filter { case (cl, r) => r.getAs[Long]("q_hits") > 0 && !probes(cl) }.isEmpty,
+      "hit outside the probed cells")
+  }
+
   test("graft_unorm law on cliff-adjacent literals (codegen path)") {
     import graft.functions.UnicodeExprs
     UnicodeExprs.register(spark)
