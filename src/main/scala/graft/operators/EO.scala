@@ -4256,6 +4256,98 @@ object EO {
           .agg(countDistinct(col("x")).as("n_cols"),
             sum(col("rawl")).as("raw_len"), sum(col("ul")).as("union_area"))
           .orderBy("band")
+      }),
+
+    // DATA-DRIVEN AOI overlay (round 15, VERDICT r14 missing #5 / SURVEY
+    // §8.4's remaining candidate): eo_polygon_overlay's AOIs are plan
+    // literals; the operational shape is AOIs AS DATA — a second table
+    // of request bboxes (here a hash-derandomized 1/200 draw of events,
+    // geometry from the ×53/×29/×7 odd-multiplier bijections, DISTINCT
+    // multipliers from the footprints' ×37/×13 so overlap is
+    // non-degenerate). The join discipline is the eo_idw / catalog
+    // cover-cell rule: BOTH sides explode their covered 16-px cells and
+    // candidates come from one EQUI join on the cell id — intersecting
+    // rects always share a covered cell (pigeonhole over interval
+    // overlap), so the candidate set is complete and the range-overlap
+    // theta join never appears. NO broadcast hint on either side: both
+    // grow with the corpus, AQE picks the strategy (the embBcast
+    // contract, here with zero hints at all). Exact integer clipping,
+    // IoU on the s6 grid; concave data-driven polygons remain join_pip's
+    // domain — operational AOIs are catalog bboxes.
+    Q("eo_polygon_overlay_dyn", Some(
+      "WITH ao AS (SELECT event_id AS aoi_id, " +
+        "(event_id * 53) % 256 AS ax0, (event_id * 29) % 256 AS ay0, " +
+        "(event_id * 53) % 256 + 16 + event_id % 33 AS ax1, " +
+        "(event_id * 29) % 256 + 16 + (event_id * 7) % 17 AS ay1 " +
+        "FROM events WHERE " + sqlHash32("'aoi:' || CAST(event_id AS VARCHAR)") + " % 200 = 0), " +
+        "fp AS (SELECT event_id AS scene_id, " +
+        "event_id % 256 AS fx0, (event_id * 37) % 256 AS fy0, " +
+        "event_id % 256 + 8 + event_id % 25 AS fx1, " +
+        "(event_id * 37) % 256 + 8 + (event_id * 13) % 25 AS fy1 FROM events), " +
+        "ac AS (SELECT aoi_id, ax0, ay0, ax1, ay1, cx, " +
+        "UNNEST(RANGE(ay0 // 16, ay1 // 16 + 1)) AS cy FROM " +
+        "(SELECT *, UNNEST(RANGE(ax0 // 16, ax1 // 16 + 1)) AS cx FROM ao)), " +
+        "fc AS (SELECT scene_id, fx0, fy0, fx1, fy1, cx, " +
+        "UNNEST(RANGE(fy0 // 16, fy1 // 16 + 1)) AS cy FROM " +
+        "(SELECT *, UNNEST(RANGE(fx0 // 16, fx1 // 16 + 1)) AS cx FROM fp)), " +
+        "cand AS (SELECT DISTINCT f.scene_id, f.fx0, f.fy0, f.fx1, f.fy1, " +
+        "a.aoi_id, a.ax0, a.ay0, a.ax1, a.ay1 " +
+        "FROM fc f JOIN ac a ON a.cx = f.cx AND a.cy = f.cy), " +
+        "ia AS (SELECT scene_id, aoi_id, " +
+        "(fx1 - fx0) * (fy1 - fy0) AS fp_area, (ax1 - ax0) * (ay1 - ay0) AS aoi_area, " +
+        "GREATEST(0, LEAST(fx1, ax1) - GREATEST(fx0, ax0)) * " +
+        "GREATEST(0, LEAST(fy1, ay1) - GREATEST(fy0, ay0)) AS inter FROM cand) " +
+        "SELECT aoi_id, MAX(aoi_area) AS aoi_area, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_scenes, " +
+        "CAST(SUM(inter) AS BIGINT) AS inter_sum, " +
+        "CAST(SUM(scene_id) AS BIGINT) AS checksum, " +
+        "CAST(MAX(" +
+        sqlS6("CAST(inter AS DOUBLE) / CAST(fp_area + aoi_area - inter AS DOUBLE)") +
+        ") AS BIGINT) AS max_iou6 " +
+        "FROM ia WHERE inter > 0 GROUP BY aoi_id ORDER BY aoi_id"),
+      (s, d) => {
+        val ao = T.events(s, d)
+          .where(hash32(concat(lit("aoi:"), col("event_id").cast("string")))
+            % 200 === 0)
+          .select(col("event_id").as("aoi_id"),
+            (col("event_id") * 53 % 256).as("ax0"),
+            (col("event_id") * 29 % 256).as("ay0"),
+            (col("event_id") * 53 % 256 + 16 + col("event_id") % 33).as("ax1"),
+            (col("event_id") * 29 % 256 + 16 + col("event_id") * 7 % 17).as("ay1"))
+        val fp = T.events(s, d).select(
+          col("event_id").as("scene_id"),
+          (col("event_id") % 256).as("fx0"),
+          (col("event_id") * 37 % 256).as("fy0"),
+          (col("event_id") % 256 + 8 + col("event_id") % 25).as("fx1"),
+          (col("event_id") * 37 % 256 + 8 + col("event_id") * 13 % 25).as("fy1"))
+        def cells(df: DataFrame, x0: String, y0: String, x1: String,
+            y1: String): DataFrame =
+          df.withColumn("cx", explode(sequence(
+              floor(col(x0) / 16).cast("long"), floor(col(x1) / 16).cast("long"))))
+            .withColumn("cy", explode(sequence(
+              floor(col(y0) / 16).cast("long"), floor(col(y1) / 16).cast("long"))))
+        val cand = cells(fp, "fx0", "fy0", "fx1", "fy1")
+          .join(cells(ao, "ax0", "ay0", "ax1", "ay1"), Seq("cx", "cy"))
+          .drop("cx", "cy")
+          .distinct()
+        val inter =
+          greatest(lit(0L), least(col("fx1"), col("ax1")) - greatest(col("fx0"), col("ax0"))) *
+            greatest(lit(0L), least(col("fy1"), col("ay1")) - greatest(col("fy0"), col("ay0")))
+        val iou = s6(col("inter").cast("double") /
+          (col("fp_area") + col("aoi_area") - col("inter")).cast("double"))
+        cand
+          .select(col("scene_id"), col("aoi_id"),
+            ((col("fx1") - col("fx0")) * (col("fy1") - col("fy0"))).as("fp_area"),
+            ((col("ax1") - col("ax0")) * (col("ay1") - col("ay0"))).as("aoi_area"),
+            inter.as("inter"))
+          .where(col("inter") > 0)
+          .groupBy("aoi_id")
+          .agg(max(col("aoi_area")).as("aoi_area"),
+            count(lit(1)).as("n_scenes"),
+            sum(col("inter")).as("inter_sum"),
+            sum(col("scene_id")).as("checksum"),
+            max(iou).as("max_iou6"))
+          .orderBy("aoi_id")
       }))
 
   /** 4-adjacency connected-component rollup over set mask pixels

@@ -688,6 +688,13 @@ class PlanContractSpec extends SparkSpec {
     val bh = planOf("llm_ann_batch_hnsw")
     assert(bh.contains("WindowGroupLimit") && !bh.contains("CartesianProduct"),
       s"batched hnsw shape:\n${bh.take(2000)}")
+    // data-driven AOI overlay: candidates come from the cover-cell EQUI
+    // join — the bbox range-overlap theta join must never appear (it
+    // would plan as a nested loop), and neither side is hint-broadcast
+    // (both grow with the corpus; AQE picks the strategy)
+    val od = planOf("eo_polygon_overlay_dyn")
+    assert(!od.contains("CartesianProduct") && !od.contains("BroadcastNestedLoopJoin"),
+      s"overlay_dyn degenerated to a non-equi join:\n${od.take(2000)}")
   }
 
   test("ANN broadcasts follow the side-size rule (VERDICT r14 #9)") {

@@ -160,6 +160,43 @@ class Round15OpsSpec extends SparkSpec {
       "hit outside the probed cells")
   }
 
+  test("eo_polygon_overlay_dyn equals a brute-force bbox overlay mirror") {
+    // independent of the cover-cell candidate plan: plain all-pairs rect
+    // intersection over the collected events — if the cell join ever
+    // drops a candidate pair (pigeonhole broken) or admits a phantom,
+    // the per-AOI aggregates diverge here
+    val ids = Tables.events(spark, sfDir).select("event_id").collect()
+      .map(_.getLong(0))
+    case class R(x0: Long, y0: Long, x1: Long, y1: Long)
+    val fps = ids.map(e => e -> R(e % 256, e * 37 % 256,
+      e % 256 + 8 + e % 25, e * 37 % 256 + 8 + e * 13 % 25))
+    val aos = ids.filter(e => Det.hash32Scala(s"aoi:$e") % 200 == 0)
+      .map(e => e -> R(e * 53 % 256, e * 29 % 256,
+        e * 53 % 256 + 16 + e % 33, e * 29 % 256 + 16 + e * 7 % 17))
+    def inter(a: R, b: R): Long =
+      math.max(0L, math.min(a.x1, b.x1) - math.max(a.x0, b.x0)) *
+        math.max(0L, math.min(a.y1, b.y1) - math.max(a.y0, b.y0))
+    def area(r: R): Long = (r.x1 - r.x0) * (r.y1 - r.y0)
+    val expect = aos.flatMap { case (aid, a) =>
+      val hits = fps.map { case (sid, f) => (sid, f, inter(f, a)) }
+        .filter(_._3 > 0)
+      if (hits.isEmpty) None
+      else Some(aid -> (area(a), hits.size.toLong, hits.map(_._3).sum,
+        hits.map(_._1).sum,
+        hits.map { case (_, f, i) =>
+          math.floor(i.toDouble / (area(f) + area(a) - i).toDouble * 1e6 + 0.5).toLong
+        }.max))
+    }.toMap
+    val got = SparkEntry.queries("eo_polygon_overlay_dyn")(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("aoi_id") ->
+        (r.getAs[Long]("aoi_area"), r.getAs[Long]("n_scenes"),
+          r.getAs[Long]("inter_sum"), r.getAs[Long]("checksum"),
+          r.getAs[Long]("max_iou6"))).toMap
+    assert(got == expect, s"overlay_dyn mirror mismatch: " +
+      s"missing=${expect.keySet -- got.keySet} extra=${got.keySet -- expect.keySet}")
+    assert(expect.nonEmpty, "no AOI had a hit — degenerate corpus draw")
+  }
+
   test("graft_unorm law on cliff-adjacent literals (codegen path)") {
     import graft.functions.UnicodeExprs
     UnicodeExprs.register(spark)
