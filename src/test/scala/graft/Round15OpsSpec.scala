@@ -197,6 +197,44 @@ class Round15OpsSpec extends SparkSpec {
     assert(expect.nonEmpty, "no AOI had a hit — degenerate corpus draw")
   }
 
+  test("stream_exec_left_join: nulls emitted EXACTLY at watermark close, held state stays silent") {
+    // independent Scala derivation of the staged set, the interval
+    // matches, and the final global watermark (min across the two
+    // inputs' column watermarks − 1 h); the executed output's null set
+    // must equal the evictable-unmatched set exactly — one extra null
+    // means eviction fired early, one missing means the
+    // watermark-advancement close never ran
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("event_id", "user_id", "event_type",
+        "unix_timestamp(ts) AS te").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val (mn, mx) = (ev.map(_._4).min, ev.map(_._4).max)
+    val tm = Math.floorDiv(mn + mx, 2L)
+    val st = ev.filter(e => e._4 <= tm || e._2 % 3 == 0)
+    val clicks = st.filter(_._3 == "click")
+    val buys = st.filter(_._3 == "purchase")
+    def matchedOf(c: (Long, Long, String, Long)): Seq[Long] =
+      buys.filter(b => b._2 == c._2 && b._4 >= c._4 && b._4 <= c._4 + 300)
+        .map(_._1).toSeq
+    val wmF = math.min(clicks.map(_._4).max, buys.map(_._4).max) - 3600
+    val expectNull = clicks.filter(c =>
+      matchedOf(c).isEmpty && c._4 + 300 < wmF).map(_._1).toSet
+    val held = clicks.filter(c =>
+      matchedOf(c).isEmpty && c._4 + 300 >= wmF).map(_._1).toSet
+    val got = SparkEntry.queries("stream_exec_left_join")(spark, sfDir).collect()
+    val gotNull = got.filter(_.isNullAt(1)).map(_.getLong(0)).toSet
+    assert(gotNull == expectNull,
+      s"null set diverged: extra=${gotNull -- expectNull} missing=${expectNull -- gotNull}")
+    // the held-state lane exists and is provably silent
+    assert(held.nonEmpty, "no click inside the final horizon — lane dead")
+    assert((gotNull & held).isEmpty, "a held-state click emitted a null")
+    // matched pairs all emit, exactly once, cross-batch included
+    val gotPairs = got.filterNot(_.isNullAt(1))
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expectPairs = clicks.flatMap(c => matchedOf(c).map(b => (c._1, b))).toSeq
+    assert(gotPairs.sorted == expectPairs.sorted, "matched pairs diverged")
+  }
+
   test("graft_unorm law on cliff-adjacent literals (codegen path)") {
     import graft.functions.UnicodeExprs
     UnicodeExprs.register(spark)
