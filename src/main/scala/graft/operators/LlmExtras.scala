@@ -2897,6 +2897,111 @@ object LlmExtras {
               .cast("bigint").as("n_digits"))
           .orderBy("doc_id")),
 
+    // Entity-typed PII scrub (round 15) — the REAL redaction pass of a
+    // training-data pipeline (llm_redact above masks digit runs, but
+    // this corpus is digit-free so its lanes are structurally quiet):
+    // emails, phone numbers and IPv4 addresses are masked with TYPED
+    // placeholders and counted per type. The corpus text carries no
+    // PII by construction, so entities are INJECTED deterministically
+    // in-plan (the llm_normalize lane discipline): lane 1 appends one
+    // email (two when doc_id % 8 = 1 — multiplicity spread), lane 2 a
+    // 555-prefix phone, lane 3 a dotted-quad IP, lane 0 stays clean.
+    // Both engines build the identical decorated string, so the graded
+    // value is the scrub law: pattern dialect agreement (the three
+    // patterns use only the regex subset Java and RE2 share), 'g'
+    // replacement, count-before-scrub. Map-only — fuses into the scan,
+    // no shuffle at any scale.
+    Q("llm_pii_scrub", Some {
+      val em = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+      val ph = "555-[0-9]{4}"
+      val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+      "WITH dec AS (SELECT doc_id, doc_id % 4 AS lane, text || " +
+        "CASE WHEN doc_id % 4 = 1 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.com now' || " +
+        "(CASE WHEN doc_id % 8 = 1 THEN ' or u' || CAST(doc_id AS VARCHAR) || '@backup.net' ELSE '' END) " +
+        "WHEN doc_id % 4 = 2 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today' " +
+        "WHEN doc_id % 4 = 3 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 node' " +
+        "ELSE '' END AS t FROM documents) " +
+        "SELECT doc_id, CAST(lane AS BIGINT) AS lane, " +
+        s"CAST(LEN(regexp_extract_all(t, '$em')) AS BIGINT) AS n_email, " +
+        s"CAST(LEN(regexp_extract_all(t, '$ph')) AS BIGINT) AS n_phone, " +
+        s"CAST(LEN(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ip, " +
+        "regexp_replace(regexp_replace(regexp_replace(t, " +
+        s"'$em', '<EMAIL>', 'g'), '$ph', '<PHONE>', 'g'), '$ip', '<IP>', 'g') AS scrubbed " +
+        "FROM dec ORDER BY doc_id"
+    },
+      (s, d) => {
+        val em = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+        val ph = "555-[0-9]{4}"
+        val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+        val decorated = concat(col("text"),
+          when(col("doc_id") % 4 === 1,
+            concat(lit(" contact u"), col("doc_id").cast("string"), lit("@mail.com now"),
+              when(col("doc_id") % 8 === 1,
+                concat(lit(" or u"), col("doc_id").cast("string"), lit("@backup.net")))
+                .otherwise("")))
+            .when(col("doc_id") % 4 === 2,
+              concat(lit(" call 555-"),
+                lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" today")))
+            .when(col("doc_id") % 4 === 3,
+              concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7 node")))
+            .otherwise(""))
+        T.documents(s, d)
+          .select(col("doc_id"), (col("doc_id") % 4).as("lane"), decorated.as("t"))
+          .select(col("doc_id"), col("lane"),
+            size(regexp_extract_all(col("t"), lit(em), lit(0))).cast("long").as("n_email"),
+            size(regexp_extract_all(col("t"), lit(ph), lit(0))).cast("long").as("n_phone"),
+            size(regexp_extract_all(col("t"), lit(ip), lit(0))).cast("long").as("n_ip"),
+            regexp_replace(regexp_replace(regexp_replace(col("t"),
+              em, "<EMAIL>"), ph, "<PHONE>"), ip, "<IP>").as("scrubbed"))
+          .orderBy("doc_id")
+      }),
+
+    // URL extraction + host canonicalization (round 15) — the
+    // provenance step of a web-corpus pipeline (URL → canonical host →
+    // per-host accounting, the input to domain caps and robots/blocklist
+    // joins). URLs are INJECTED deterministically (the llm_pii_scrub
+    // lane discipline — the corpus text has no ':' or '/'): lane 1
+    // carries an https URL with a www. prefix, a path and a query
+    // (canonicalization must strip all three), lane 2 a bare-host http
+    // asset URL, lane 0 none. Graded per canonical host: URL and doc
+    // counts — extraction regex, group capture and the strip-www law
+    // all shared verbatim across engines. One shuffle (the host agg);
+    // extraction itself is map-only and fuses into the scan.
+    Q("llm_url_extract", Some {
+      val urlPat = "https?://[a-z0-9./?=]+"
+      val hostPat = "^https?://(www\\.)?([a-z0-9.]+?)(/[a-z0-9./?=]*)?$"
+      "WITH dec AS (SELECT doc_id, text || " +
+        "CASE WHEN doc_id % 3 = 1 THEN ' see https://www.site' || CAST(doc_id % 7 AS VARCHAR) || " +
+        "'.com/p/' || CAST(doc_id AS VARCHAR) || '?q=x ok' " +
+        "WHEN doc_id % 3 = 2 THEN ' see http://cdn' || CAST(doc_id % 5 AS VARCHAR) || '.net/img.png ok' " +
+        "ELSE '' END AS t FROM documents), " +
+        s"u AS (SELECT doc_id, UNNEST(regexp_extract_all(t, '$urlPat')) AS url FROM dec), " +
+        s"h AS (SELECT doc_id, regexp_extract(url, '$hostPat', 2) AS host FROM u) " +
+        "SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls, " +
+        "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs " +
+        "FROM h GROUP BY host ORDER BY host"
+    },
+      (s, d) => {
+        val urlPat = "https?://[a-z0-9./?=]+"
+        val hostPat = "^https?://(www\\.)?([a-z0-9.]+?)(/[a-z0-9./?=]*)?$"
+        val decorated = concat(col("text"),
+          when(col("doc_id") % 3 === 1,
+            concat(lit(" see https://www.site"), (col("doc_id") % 7).cast("string"),
+              lit(".com/p/"), col("doc_id").cast("string"), lit("?q=x ok")))
+            .when(col("doc_id") % 3 === 2,
+              concat(lit(" see http://cdn"), (col("doc_id") % 5).cast("string"),
+                lit(".net/img.png ok")))
+            .otherwise(""))
+        T.documents(s, d)
+          .select(col("doc_id"), decorated.as("t"))
+          .select(col("doc_id"),
+            explode(regexp_extract_all(col("t"), lit(urlPat), lit(0))).as("url"))
+          .select(col("doc_id"), regexp_extract(col("url"), hostPat, 2).as("host"))
+          .groupBy("host")
+          .agg(count(lit(1)).as("n_urls"), countDistinct(col("doc_id")).as("n_docs"))
+          .orderBy("host")
+      }),
+
     // Gopher-style repetition filter: share of the document taken by its
     // single most frequent bigram; high ratio = boilerplate/repetitive.
     Q("llm_repetition", Some(

@@ -235,6 +235,61 @@ class Round15OpsSpec extends SparkSpec {
     assert(gotPairs.sorted == expectPairs.sorted, "matched pairs diverged")
   }
 
+  test("llm_pii_scrub: placeholders land on exactly the injected spans; counts per lane exact") {
+    // regex-free mirror: the expected scrubbed string is plain string
+    // concatenation of the original text and typed placeholders — if a
+    // pattern over- or under-matches (catches a corpus word, misses a
+    // span, or the engines' regex dialects diverge) the equality breaks
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val got = SparkEntry.queries("llm_pii_scrub")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got.keySet == docs.map(_._1).toSet)
+    docs.foreach { case (id, text) =>
+      val (scrub, ne, np, ni) = (id % 4) match {
+        case 1 =>
+          val extra = if (id % 8 == 1) " or <EMAIL>" else ""
+          (s"$text contact <EMAIL> now$extra", if (id % 8 == 1) 2L else 1L, 0L, 0L)
+        case 2 => (s"$text call <PHONE> today", 0L, 1L, 0L)
+        case 3 => (s"$text from <IP> node", 0L, 0L, 1L)
+        case _ => (text, 0L, 0L, 0L)
+      }
+      val r = got(id)
+      assert(r.getAs[String]("scrubbed") == scrub, s"doc $id scrubbed")
+      assert(r.getAs[Long]("n_email") == ne && r.getAs[Long]("n_phone") == np &&
+        r.getAs[Long]("n_ip") == ni, s"doc $id counts")
+      assert(r.getAs[Long]("lane") == id % 4, s"doc $id lane")
+    }
+    // every entity lane fires, including the 2-email multiplicity lane
+    assert(docs.exists(d => d._1 % 8 == 1), "2-email lane empty")
+    assert(Seq(1L, 2L, 3L).forall(l => docs.exists(_._1 % 4 == l)), "a lane is empty")
+  }
+
+  test("llm_url_extract: per-host counts equal the lane arithmetic; canonicalization strips scheme/www/path") {
+    // regex-free mirror: the injected hosts are pure functions of
+    // doc_id, so expected per-host (n_urls, n_docs) is plain counting —
+    // an extraction regex that over-matches corpus text, a capture
+    // group that keeps www./path, or a dialect divergence all break it
+    val ids = Tables.documents(spark, sfDir).select("doc_id").collect()
+      .map(_.getLong(0))
+    val hosts = ids.flatMap { id =>
+      (id % 3) match {
+        case 1 => Some(s"site${id % 7}.com" -> id)
+        case 2 => Some(s"cdn${id % 5}.net" -> id)
+        case _ => None
+      }
+    }
+    val expect = hosts.groupBy(_._1).map { case (h, xs) =>
+      h -> (xs.size.toLong, xs.map(_._2).distinct.size.toLong)
+    }
+    val got = SparkEntry.queries("llm_url_extract")(spark, sfDir).collect()
+      .map(r => r.getAs[String]("host") ->
+        (r.getAs[Long]("n_urls"), r.getAs[Long]("n_docs"))).toMap
+    assert(got == expect, s"hosts diverged: missing=${expect.keySet -- got.keySet} " +
+      s"extra=${got.keySet -- expect.keySet}")
+    assert(expect.size >= 10, "host fan-out collapsed")
+  }
+
   test("graft_unorm law on cliff-adjacent literals (codegen path)") {
     import graft.functions.UnicodeExprs
     UnicodeExprs.register(spark)
