@@ -2916,8 +2916,8 @@ object LlmExtras {
       val ph = "555-[0-9]{4}"
       val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
       "WITH dec AS (SELECT doc_id, doc_id % 4 AS lane, text || " +
-        "CASE WHEN doc_id % 4 = 1 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.com now' || " +
-        "(CASE WHEN doc_id % 8 = 1 THEN ' or u' || CAST(doc_id AS VARCHAR) || '@backup.net' ELSE '' END) " +
+        "CASE WHEN doc_id % 4 = 1 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com now' || " +
+        "(CASE WHEN doc_id % 8 = 1 THEN ' or u' || CAST(doc_id AS VARCHAR) || '@example.net' ELSE '' END) " +
         "WHEN doc_id % 4 = 2 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today' " +
         "WHEN doc_id % 4 = 3 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 node' " +
         "ELSE '' END AS t FROM documents) " +
@@ -2935,9 +2935,9 @@ object LlmExtras {
         val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
         val decorated = concat(col("text"),
           when(col("doc_id") % 4 === 1,
-            concat(lit(" contact u"), col("doc_id").cast("string"), lit("@mail.com now"),
+            concat(lit(" contact u"), col("doc_id").cast("string"), lit("@example.com now"),
               when(col("doc_id") % 8 === 1,
-                concat(lit(" or u"), col("doc_id").cast("string"), lit("@backup.net")))
+                concat(lit(" or u"), col("doc_id").cast("string"), lit("@example.net")))
                 .otherwise("")))
             .when(col("doc_id") % 4 === 2,
               concat(lit(" call 555-"),
@@ -2972,8 +2972,8 @@ object LlmExtras {
       val hostPat = "^https?://(www\\.)?([a-z0-9.]+?)(/[a-z0-9./?=]*)?$"
       "WITH dec AS (SELECT doc_id, text || " +
         "CASE WHEN doc_id % 3 = 1 THEN ' see https://www.site' || CAST(doc_id % 7 AS VARCHAR) || " +
-        "'.com/p/' || CAST(doc_id AS VARCHAR) || '?q=x ok' " +
-        "WHEN doc_id % 3 = 2 THEN ' see http://cdn' || CAST(doc_id % 5 AS VARCHAR) || '.net/img.png ok' " +
+        "'.example.com/p/' || CAST(doc_id AS VARCHAR) || '?q=x ok' " +
+        "WHEN doc_id % 3 = 2 THEN ' see http://cdn' || CAST(doc_id % 5 AS VARCHAR) || '.example.net/img.png ok' " +
         "ELSE '' END AS t FROM documents), " +
         s"u AS (SELECT doc_id, UNNEST(regexp_extract_all(t, '$urlPat')) AS url FROM dec), " +
         s"h AS (SELECT doc_id, regexp_extract(url, '$hostPat', 2) AS host FROM u) " +
@@ -2987,10 +2987,10 @@ object LlmExtras {
         val decorated = concat(col("text"),
           when(col("doc_id") % 3 === 1,
             concat(lit(" see https://www.site"), (col("doc_id") % 7).cast("string"),
-              lit(".com/p/"), col("doc_id").cast("string"), lit("?q=x ok")))
+              lit(".example.com/p/"), col("doc_id").cast("string"), lit("?q=x ok")))
             .when(col("doc_id") % 3 === 2,
               concat(lit(" see http://cdn"), (col("doc_id") % 5).cast("string"),
-                lit(".net/img.png ok")))
+                lit(".example.net/img.png ok")))
             .otherwise(""))
         T.documents(s, d)
           .select(col("doc_id"), decorated.as("t"))

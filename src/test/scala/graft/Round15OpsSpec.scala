@@ -274,8 +274,8 @@ class Round15OpsSpec extends SparkSpec {
       .map(_.getLong(0))
     val hosts = ids.flatMap { id =>
       (id % 3) match {
-        case 1 => Some(s"site${id % 7}.com" -> id)
-        case 2 => Some(s"cdn${id % 5}.net" -> id)
+        case 1 => Some(s"site${id % 7}.example.com" -> id)
+        case 2 => Some(s"cdn${id % 5}.example.net" -> id)
         case _ => None
       }
     }
