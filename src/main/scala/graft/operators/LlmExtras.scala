@@ -2049,6 +2049,140 @@ object LlmExtras {
           .orderBy("query_id", "rk")
       }),
 
+    // BATCHED PQ-ADC ANN (round 15) — the last single-query-only rung
+    // gets its throughput form [Jégou, Douze & Schmid 2011 §V; FAISS
+    // batch ADC scan, PK]: codebooks are Lloyd-trained on the even-id
+    // INDEX half only (proper train/query split — the upsert key's
+    // frozen-quantizer discipline), every odd vec_id builds its 16×16
+    // LUT in ONE broadcast join (the codebook is M·K packed subvectors —
+    // bounded at any corpus size), and the ADC scan is codes ⋈ LUT on
+    // (m, ck) + one (qid, vec) partial agg — compression's full-scan
+    // cost by design (PQ prunes MEMORY, not candidates; IVF-PQ adds the
+    // pruning). Search = ADC shortlist(50) → exact scaled-long rerank
+    // per query (the ADC-R protocol of the single-query rung), both as
+    // per-query WindowGroupLimit heaps. The scan join broadcasts the
+    // size-gated CODES side (16 small ints per index vector — the
+    // compressed index IS what PQ keeps in RAM; at 100× the hint drops
+    // and the scan shards by qid batch). MEASURED mean recall@10:
+    // 0.896 (sf0.01) / 0.905 (sf0.001) — the single-query rung's 0.9
+    // carried to the whole batch, and the highest-recall batch surface
+    // in the registry (vs batch-HNSW 0.792, batch-NSW 0.784, batch-IVF
+    // 0.33), at the price of the full ADC scan per query.
+    Q("llm_ann_batch_pq", Some {
+      val rounds = (1 to PqRounds).map { r =>
+        val centJoin =
+          if (r == 1) "seeds s ON u.pos = s.pos"
+          else s"(SELECT ck, pos, CAST(c6 AS DOUBLE) / 1e6 AS c FROM cent${r - 1}) s ON u.pos = s.pos"
+        s"dist$r AS MATERIALIZED (SELECT u.vec_id, u.m, s.ck, " +
+          "CAST(SUM(CAST(FLOOR((u.x - s.c) * (u.x - s.c) * 1e14 + 0.5) AS BIGINT)) AS BIGINT) AS d2 " +
+          s"FROM ux u JOIN $centJoin GROUP BY u.vec_id, u.m, s.ck), " +
+          s"asg$r AS MATERIALIZED (SELECT vec_id, m, ck FROM (SELECT vec_id, m, ck, " +
+          s"ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, ck) AS rn FROM dist$r) WHERE rn = 1), " +
+          s"cent$r AS MATERIALIZED (SELECT a.m, a.ck, u.pos, " + sqlMean6("u.x") + " AS c6 " +
+          s"FROM ux u JOIN asg$r a ON a.vec_id = u.vec_id AND a.m = u.m GROUP BY a.m, a.ck, u.pos)"
+      }.mkString(", ")
+      s"WITH uxAll AS (SELECT vec_id, pos, x, pos // $PqSub AS m FROM (" +
+        "SELECT vec_id, UNNEST(RANGE(0, LEN(embedding))) AS pos, " +
+        "CAST(UNNEST(embedding) AS DOUBLE) AS x FROM embeddings)), " +
+        "ux AS (SELECT * FROM uxAll WHERE vec_id % 2 = 0), " +
+        s"seeds AS (SELECT vec_id // 2 - 1 AS ck, pos, x AS c FROM ux WHERE vec_id BETWEEN 2 AND ${2 * PqK}), " +
+        rounds + ", " +
+        "qx AS (SELECT vec_id AS qid, pos, m, x AS qx FROM uxAll WHERE vec_id % 2 = 1), " +
+        "lutb AS MATERIALIZED (SELECT q.qid, c.m, c.ck, " +
+        "CAST(SUM(CAST(FLOOR((CAST(c.c6 AS DOUBLE) / 1e6 - q.qx) * (CAST(c.c6 AS DOUBLE) / 1e6 - q.qx) * 1e14 + 0.5) AS BIGINT)) AS BIGINT) AS d2 " +
+        s"FROM cent$PqRounds c JOIN qx q ON q.pos = c.pos GROUP BY q.qid, c.m, c.ck), " +
+        s"adcb AS MATERIALIZED (SELECT l.qid, a.vec_id, CAST(SUM(l.d2) AS BIGINT) AS adc14 " +
+        s"FROM asg$PqRounds a JOIN lutb l ON l.m = a.m AND l.ck = a.ck GROUP BY l.qid, a.vec_id), " +
+        "short AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, " +
+        s"ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc14, vec_id) AS rn FROM adcb) WHERE rn <= $PqShort), " +
+        "nrm AS (SELECT vec_id, SUM(CAST(FLOOR(x * x * 1e14 + 0.5) AS BIGINT)) AS nl " +
+        "FROM uxAll GROUP BY vec_id), " +
+        "dq AS (SELECT s.qid, s.vec_id, " +
+        "SUM(CAST(FLOOR(u.x * q.x * 1e14 + 0.5) AS BIGINT)) AS dotl " +
+        "FROM short s JOIN uxAll u ON u.vec_id = s.vec_id " +
+        "JOIN uxAll q ON q.vec_id = s.qid AND q.pos = u.pos GROUP BY s.qid, s.vec_id), " +
+        "cosd AS (SELECT dq.qid, dq.vec_id, (CAST(dq.dotl AS DOUBLE) / 1e14) / " +
+        "(SQRT(CAST(ni.nl AS DOUBLE) / 1e14) * SQRT(CAST(nq2.nl AS DOUBLE) / 1e14)) AS cc " +
+        "FROM dq JOIN nrm ni ON ni.vec_id = dq.vec_id JOIN nrm nq2 ON nq2.vec_id = dq.qid) " +
+        "SELECT x.qid AS query_id, CAST(x.rk AS BIGINT) AS rk, x.vec_id, " +
+        sqlS6("x.cc") + " AS cos_sim " +
+        "FROM (SELECT qid, vec_id, cc, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cc DESC, vec_id) AS rk " +
+        "FROM cosd) x WHERE x.rk <= 10 ORDER BY query_id, rk"
+    },
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        graft.functions.VectorExprs.register(s)
+        import graft.functions.VectorExprs.{sdotl, sl2}
+        val subvecs = T.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"),
+            explode(sequence(lit(0L), lit((PqM - 1).toLong))).as("m"))
+          .select(col("vec_id"), col("m"),
+            transform(slice(col("embedding"),
+              (col("m") * PqSub + lit(1)).cast("int"), lit(PqSub)),
+              x => x.cast("double")).as("dvec"))
+        val subE = subvecs.where(col("vec_id") % 2 === 0)
+        val uxposE = T.embeddings(s, d).where(col("vec_id") % 2 === 0)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+          .select(col("vec_id"), col("pos").cast("long").as("pos"),
+            col("xf").cast("double").as("x"))
+          .withColumn("m", expr(s"pos div $PqSub"))
+        var centArr = subE.where(col("vec_id").between(2, 2 * PqK))
+          .select(expr("vec_id div 2 - 1").as("ck"), col("m"),
+            col("dvec").as("cvec"))
+        var codes: DataFrame = null
+        var centPacked: DataFrame = null
+        val w = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("ck"))
+        for (_ <- 1 to PqRounds) {
+          codes = subE.join(broadcast(centArr), "m")
+            .select(col("vec_id"), col("m"), col("ck"),
+              sl2(col("dvec"), col("cvec")).as("d2"))
+            .withColumn("rn", row_number().over(w))
+            .where(col("rn") === 1)
+            .select("vec_id", "m", "ck")
+            .localCheckpoint()
+          centPacked = uxposE.join(codes, Seq("vec_id", "m"))
+            .groupBy("m", "ck", "pos")
+            .agg(mean6(col("x")).as("c6"))
+            .groupBy("m", "ck")
+            .agg(transform(array_sort(collect_list(struct(col("pos"),
+              (col("c6").cast("double") / lit(1e6)).as("c")))),
+              e => e.getField("c")).as("cvec"))
+            .localCheckpoint()
+          centArr = centPacked
+        }
+        // batched LUTs: every query × the bounded M·K codebook, one
+        // broadcast join, map-only sl2 per cell
+        val lutB = subvecs.where(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("qid"), col("m"), col("dvec"))
+          .join(broadcast(centPacked), "m")
+          .select(col("qid"), col("m"), col("ck"),
+            sl2(col("dvec"), col("cvec")).as("d2"))
+        val adcb = lutB
+          .join(embBcast(d)(codes), Seq("m", "ck"))
+          .groupBy(col("qid"), col("vec_id"))
+          .agg(sum(col("d2")).as("adc14"))
+        val short = adcb.withColumn("rn", row_number().over(
+            Window.partitionBy("qid").orderBy(col("adc14"), col("vec_id"))))
+          .where(col("rn") <= PqShort)
+          .select("qid", "vec_id")
+        val emb = T.embeddings(s, d)
+        val qs = emb.where(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val cos = (sdotl(col("embedding"), col("qe")).cast("double") / lit(1e14)) /
+          (sqrt(sdotl(col("embedding"), col("embedding")).cast("double") / lit(1e14)) *
+            sqrt(sdotl(col("qe"), col("qe")).cast("double") / lit(1e14)))
+        short
+          .join(embBcast(d)(emb.select(col("vec_id"), col("embedding"))), "vec_id")
+          .join(embBcast(d)(qs), "qid")
+          .withColumn("cc", cos)
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("qid").orderBy(col("cc").desc, col("vec_id"))).cast("long"))
+          .where(col("rk") <= 10)
+          .select(col("qid").as("query_id"), col("rk"), col("vec_id"),
+            s6(col("cc")).as("cos_sim"))
+          .orderBy("query_id", "rk")
+      }),
+
     // BATCHED graph-search ANN (round 14 second wave) — the scale-safe
     // alternative the r13 verdict named at llm_ann_nsw's per-query
     // loop: beam state keyed by query_id, so EVERY round is one

@@ -688,6 +688,11 @@ class PlanContractSpec extends SparkSpec {
     val bh = planOf("llm_ann_batch_hnsw")
     assert(bh.contains("WindowGroupLimit") && !bh.contains("CartesianProduct"),
       s"batched hnsw shape:\n${bh.take(2000)}")
+    // batched PQ: shortlist and rerank are per-query WindowGroupLimit
+    // heaps; the ADC scan is an equi join on (m, ck) — never a cartesian
+    val bp = planOf("llm_ann_batch_pq")
+    assert(bp.contains("WindowGroupLimit") && !bp.contains("CartesianProduct"),
+      s"batched pq shape:\n${bp.take(2000)}")
     // data-driven AOI overlay: candidates come from the cover-cell EQUI
     // join — the bbox range-overlap theta join must never appear (it
     // would plan as a nested loop), and neither side is hint-broadcast
