@@ -804,6 +804,92 @@ object StreamTwins {
         s.table("graft_exec_tws").orderBy("user_id", "n_inv")
       }),
 
+    // EXECUTED v2-state-API MAP STATE (round 15) — the third and last
+    // state-variable class [SPARK-46815]: stream_exec_tws grades
+    // ValueState + ListState; MapState's per-user-key sub-keying
+    // (its own RocksDB column family with a composite key encoder) is
+    // the one the others can't emulate without serializing whole maps.
+    // Semantics: a per-user per-event-type tally SINCE THE USER'S LAST
+    // PURCHASE — every purchase CLEARs the user's map (and bumps a
+    // ValueState reset counter), every other row updateValue()s its
+    // type's entry; each invocation emits the map's current entries via
+    // iterator() (or one '__empty__' row), tagged with the invocation
+    // ordinal, and the finalize keeps each user's LAST invocation —
+    // the exact final-state trace. Rows are SORTED by (te, event_id)
+    // inside each handleInputRows (the batch iterator's order is
+    // shuffle-dependent; the fold law must not be), and the staged
+    // tm-halves align batch order with event time, so the oracle is
+    // the plain "counts after the lexicographically-last purchase" per
+    // user. A clear that misses an entry, a composite key collision
+    // across users, or a map that survives a purchase all break the
+    // hash. The '__empty__' lane (user whose staged stream ENDS on a
+    // purchase) fires at sf0.01; at sf0.001's 15 users it may be
+    // vacuously absent — both engines agree either way. BUILD-TIME
+    // SIDE EFFECT: stages files + runs the streaming query at
+    // plan-construction time.
+    Q("stream_exec_tws_map", Some(
+      "WITH te AS (SELECT user_id, event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS te, event_id FROM events), " +
+        "mm AS (SELECT (MIN(te) + MAX(te)) // 2 AS tm FROM te), " +
+        "st AS (SELECT * FROM te WHERE te <= (SELECT tm FROM mm) " +
+        "OR (te > (SELECT tm FROM mm) AND user_id % 3 = 0)), " +
+        "lp AS (SELECT user_id, te AS lte, event_id AS lid FROM (SELECT user_id, te, event_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY te DESC, event_id DESC) AS rn " +
+        "FROM st WHERE event_type = 'purchase') WHERE rn = 1), " +
+        "resets AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_resets FROM st " +
+        "WHERE event_type = 'purchase' GROUP BY user_id), " +
+        "aft AS (SELECT s.user_id, s.event_type FROM st s LEFT JOIN lp ON lp.user_id = s.user_id " +
+        "WHERE lp.user_id IS NULL OR s.te > lp.lte OR (s.te = lp.lte AND s.event_id > lp.lid)), " +
+        "cnt AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n FROM aft " +
+        "GROUP BY user_id, event_type), " +
+        "users AS (SELECT DISTINCT user_id FROM st), " +
+        "outx AS (SELECT u.user_id, COALESCE(c.event_type, '__empty__') AS event_type, " +
+        "COALESCE(c.n, 0) AS n FROM users u LEFT JOIN cnt c ON c.user_id = u.user_id) " +
+        "SELECT o.user_id, o.event_type, o.n, COALESCE(r.n_resets, 0) AS n_resets " +
+        "FROM outx o LEFT JOIN resets r ON r.user_id = o.user_id " +
+        "ORDER BY o.user_id, o.event_type"),
+      (s, d) => {
+        val landing = java.nio.file.Files.createTempDirectory("graft_exec_twsmap")
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        stageTmHalves(s, d, landing, 240L, 120L)
+        val providerKey = "spark.sql.streaming.stateStore.providerClass"
+        val prevProvider = s.conf.getOption(providerKey)
+        s.conf.set(providerKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val sq = s
+          import sq.implicits._
+          val stream = T.eventsStream(s, d, landing.toString, Some(1))
+            .select(col("user_id"), col("event_type"),
+              epochS(col("ts")).as("te"), col("event_id"))
+            .as[(Long, String, Long, Long)]
+          val emitted = stream.groupByKey(_._1)
+            .transformWithState(
+              new TwsMapTally(),
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              org.apache.spark.sql.streaming.OutputMode.Append())
+            .toDF("user_id", "inv", "event_type", "n", "n_resets")
+          lowStateParts(s) {
+            val q = emitted.writeStream.format("memory")
+              .queryName("graft_exec_tws_map")
+              .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+          }
+        } finally {
+          prevProvider match {
+            case Some(p) => s.conf.set(providerKey, p)
+            case None => s.conf.unset(providerKey)
+          }
+        }
+        val w = Window.partitionBy("user_id")
+        s.table("graft_exec_tws_map")
+          .withColumn("mx", max(col("inv")).over(w))
+          .where(col("inv") === col("mx"))
+          .select("user_id", "event_type", "n", "n_resets")
+          .orderBy("user_id", "event_type")
+      }),
+
     // EXECUTED v2-state-API TIMERS (round 12, third wave) — the other
     // half of transformWithState that stream_exec_tws leaves untouched
     // [SPARK-46815]: registerTimer/handleExpiredTimer, the API's
@@ -1756,6 +1842,61 @@ private[streaming] final class TwsRunningFold
     invRows.appendValue(batchRows)
     val nInv = invRows.get().size.toLong
     Iterator((uid, nInv, n, acc))
+  }
+}
+
+/** The `stream_exec_tws_map` StatefulProcessor [SPARK-46815 State API
+  * v2]: a MapState[String, Long] per-type tally cleared on every
+  * 'purchase' row, plus a ValueState (invocation ordinal, reset count).
+  * Batch rows are SORTED by (te, event_id) before folding — the input
+  * iterator's order is shuffle-dependent and the clear law is
+  * order-sensitive. Emissions carry the map's current entries (or one
+  * '__empty__' sentinel), so the finalize can select each user's last
+  * invocation as the final state.
+  */
+private[streaming] final class TwsMapTally
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, String, Long, Long), (Long, Long, String, Long, Long)] {
+
+  @transient private var tally:
+      org.apache.spark.sql.streaming.MapState[String, Long] = _
+  @transient private var meta:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    tally = getHandle.getMapState[String, Long]("tally",
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+    meta = getHandle.getValueState[(Long, Long)]("meta",
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong),
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  }
+
+  override def handleInputRows(
+      uid: Long,
+      rows: Iterator[(Long, String, Long, Long)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long, String, Long, Long)] = {
+    var (inv, resets) = if (meta.exists()) meta.get() else (0L, 0L)
+    rows.toSeq.sortBy(r => (r._3, r._4)).foreach { r =>
+      if (r._2 == "purchase") {
+        tally.clear()
+        resets += 1
+      } else {
+        val c = if (tally.containsKey(r._2)) tally.getValue(r._2) else 0L
+        tally.updateValue(r._2, c + 1)
+      }
+    }
+    inv += 1
+    meta.update((inv, resets))
+    val entries = tally.iterator().toSeq
+    if (entries.isEmpty) Iterator((uid, inv, "__empty__", 0L, resets))
+    else entries.iterator.map { case (t, n) => (uid, inv, t, n, resets) }
   }
 }
 

@@ -334,6 +334,35 @@ class Round15OpsSpec extends SparkSpec {
     assert(expect.size >= 10, "host fan-out collapsed")
   }
 
+  test("stream_exec_tws_map: final MapState equals a scalar last-purchase tally; lanes represented") {
+    // independent fold: per user, replay the staged rows in (te,
+    // event_id) order through a plain mutable map with clear-on-purchase
+    // — a clear that leaks an entry, a cross-user key collision, or a
+    // dropped batch all diverge here
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_type", "unix_timestamp(ts) AS te", "event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val (mn, mx) = (ev.map(_._3).min, ev.map(_._3).max)
+    val tm = Math.floorDiv(mn + mx, 2L)
+    val st = ev.filter(e => e._3 <= tm || (e._3 > tm && e._1 % 3 == 0))
+    val expect = st.groupBy(_._1).flatMap { case (uid, rows) =>
+      val m = scala.collection.mutable.Map[String, Long]()
+      var resets = 0L
+      rows.sortBy(r => (r._3, r._4)).foreach { r =>
+        if (r._2 == "purchase") { m.clear(); resets += 1 }
+        else m(r._2) = m.getOrElse(r._2, 0L) + 1
+      }
+      if (m.isEmpty) Seq((uid, "__empty__", 0L, resets))
+      else m.toSeq.map { case (t, n) => (uid, t, n, resets) }
+    }.toSet
+    val got = SparkEntry.queries("stream_exec_tws_map")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect, s"tws_map diverged: extra=${(got -- expect).take(5)} " +
+      s"missing=${(expect -- got).take(5)}")
+    // the reset lane fires (purchases exist in the staged set)
+    assert(expect.exists(_._4 > 0), "reset lane dead")
+  }
+
   test("graft_unorm law on cliff-adjacent literals (codegen path)") {
     import graft.functions.UnicodeExprs
     UnicodeExprs.register(spark)
