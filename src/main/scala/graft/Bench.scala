@@ -67,19 +67,34 @@ object Bench {
       try spark.catalog.dropTempView("graft_warm_stream") catch { case scala.util.control.NonFatal(_) => () }
       graft.maintenance.Compaction.deleteRecursively(warmDir)
     }
+    // local-iteration filter only (unset on the driver): comma-separated
+    // key names to time a subset without the full registry run
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
     // untimed staging pre-warm (round 15, VERDICT r14 #1): the exec
     // family's JVM-lifetime split writes + scalar collects otherwise
     // land inside the FIRST key per split group's timed region — on the
     // driver box that showed as stream_exec_restart 2.5→10.7 s and
     // stream_exec_late 3.4→9.6 s in r14 while both were flat locally.
-    try graft.streaming.StreamTwins.prewarmStaging(spark, sfDir)
-    catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] staging pre-warm FAILED (first stream_exec keys will absorb the split writes): $e")
-    }
-    // local-iteration filter only (unset on the driver): comma-separated
-    // key names to time a subset without the full registry run
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    // Skipped when a SPARK_GRAFT_ONLY subset names no stream_exec_* key:
+    // local batch-only iteration shouldn't pay the split writes (ADVICE
+    // r15 #2). Unset on the driver → always runs there.
+    if (only.isEmpty || only.exists(_.startsWith("stream_exec_")))
+      try graft.streaming.StreamTwins.prewarmStaging(spark, sfDir)
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] staging pre-warm FAILED (first stream_exec keys will absorb the split writes): $e")
+      }
+    // untimed ANN index-memo pre-warm (round 16, VERDICT r15 #1): the
+    // JVM-lifetime deterministic index builds (NSW/HNSW graphs, Lloyd
+    // codebooks — LlmExtras.indexMemo scaladoc) otherwise land inside
+    // the FIRST key per structure's timed region, exactly like the
+    // streaming split writes above. Same gating: skipped when a
+    // SPARK_GRAFT_ONLY subset names no llm_ann_* key.
+    if (only.isEmpty || only.exists(_.startsWith("llm_ann_")))
+      try graft.operators.LlmExtras.prewarmAnnIndexes(spark, sfDir)
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] ANN index pre-warm FAILED (first ANN keys will absorb the index builds): $e")
+      }
     // steady-state mode (round 12, VERDICT r11 item 9): REPS>1 re-runs
     // each key in the same warmed JVM and records the MIN of the later
     // runs next to the first run, so a verdict can separate shared-box

@@ -1850,9 +1850,16 @@ private[streaming] final class TwsRunningFold
   * 'purchase' row, plus a ValueState (invocation ordinal, reset count).
   * Batch rows are SORTED by (te, event_id) before folding — the input
   * iterator's order is shuffle-dependent and the clear law is
-  * order-sensitive. Emissions carry the map's current entries (or one
-  * '__empty__' sentinel), so the finalize can select each user's last
-  * invocation as the final state.
+  * order-sensitive. The sort buffers ONE user's rows for ONE micro-batch
+  * in executor memory (`rows.toSeq`): with maxFilesPerTrigger=1 staging
+  * that bound is the per-user row count of a single staged half (≤ ~2k
+  * rows/user at sf0.1, and bounded by `maxFilesPerTrigger × rows-per-
+  * file / distinct-users` generally, NOT by total stream length — ADVICE
+  * r15 #3); a production deployment with a pathological hot key would
+  * pre-sort upstream (repartition + sortWithinPartitions on (te,
+  * event_id)) and fold streamingly instead. Emissions carry the map's
+  * current entries (or one '__empty__' sentinel), so the finalize can
+  * select each user's last invocation as the final state.
   */
 private[streaming] final class TwsMapTally
     extends org.apache.spark.sql.streaming.StatefulProcessor[
