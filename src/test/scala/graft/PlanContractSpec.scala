@@ -702,6 +702,23 @@ class PlanContractSpec extends SparkSpec {
       s"overlay_dyn degenerated to a non-equi join:\n${od.take(2000)}")
   }
 
+  test("round-16 keys keep their promised shapes") {
+    // semdedup: the pair space is CLUSTER-BOUNDED — one equi join on the
+    // trained ck (the Abbas sharding), never a cartesian; the keep rule
+    // and census ride windows/aggs over that bounded space. (The Lloyd
+    // rounds checkpoint, so the final plan is the post-assignment
+    // segment — exactly the stage whose shape matters at scale.)
+    val sd = planOf("llm_semdedup")
+    assert(!sd.contains("CartesianProduct"),
+      s"semdedup pair space went cartesian:\n${sd.take(2000)}")
+    // hnsw_upsert: the link pick is a per-delta WindowGroupLimit heap;
+    // frontier expansion equi-joins the memoized adjacency — never a
+    // cartesian
+    val hu = planOf("llm_ann_hnsw_upsert")
+    assert(hu.contains("WindowGroupLimit") && !hu.contains("CartesianProduct"),
+      s"hnsw_upsert shape:\n${hu.take(2000)}")
+  }
+
   test("ANN broadcasts follow the side-size rule (VERDICT r14 #9)") {
     // Corpus-proportional sides (index/query embedding frames) are hinted
     // ONLY while the source table sits under the gate; bounded frames keep

@@ -73,4 +73,66 @@ class Round16OpsSpec extends SparkSpec {
         s"visited budget of delta ${r.getAs[Long]("query_id")}")
     }
   }
+
+  test("llm_semdedup: full scalar mirror of the Lloyd chain + threshold " +
+    "+ keep-lowest-id rule") {
+    val emb = embMap
+    val ids = emb.keys.toSeq.sorted
+    val dim = emb(ids.head).length
+    // the lloydChain induction, scalar-side: mean6-quantized centroids,
+    // scaled-long L2 argmin (ties -> smallest ck), 3 rounds
+    var cent: Map[Long, Array[Double]] =
+      ids.filter(_ < 8).map(k => k -> emb(k)).toMap
+    var asg: Map[Long, Long] = Map.empty
+    for (_ <- 1 to 3) {
+      asg = ids.map { v =>
+        v -> cent.toSeq.map { case (ck, c) => (sl2s(emb(v), c), ck) }.min._2
+      }.toMap
+      cent = asg.groupBy(_._2).map { case (ck, members) =>
+        val vs = members.keys.toSeq
+        ck -> Array.tabulate(dim) { p =>
+          val m6 = math.floor(vs.map(emb(_)(p)).sum / vs.size * 1e6 + 0.5)
+          m6 / 1e6
+        }
+      }
+    }
+    def dotl(a: Array[Double], b: Array[Double]): Long = {
+      var acc = 0L; var i = 0
+      while (i < a.length) {
+        acc += math.floor(a(i) * b(i) * 1e14 + 0.5).toLong; i += 1
+      }
+      acc
+    }
+    val nl = emb.map { case (k, v) => k -> dotl(v, v) }
+    def cosv(a: Long, b: Long): Double =
+      (dotl(emb(a), emb(b)).toDouble / 1e14) /
+        (math.sqrt(nl(a).toDouble / 1e14) * math.sqrt(nl(b).toDouble / 1e14))
+    // the keep rule: v2 dropped iff an earlier-id same-cluster member is
+    // within the threshold; keeper = the smallest such v1
+    val expected = ids.flatMap { v2 =>
+      val sims = ids.filter(v1 =>
+        v1 < v2 && asg(v1) == asg(v2) && cosv(v1, v2) >= 0.4)
+      sims.headOption.map { keeper =>
+        v2 -> (asg(v2), keeper, math.floor(cosv(keeper, v2) * 1e6 + 0.5).toLong)
+      }
+    }.toMap
+    val got = SparkEntry.queries("llm_semdedup")(spark, sfDir).collect()
+    assert(got.map(_.getAs[Long]("vec_id")).toSet == expected.keySet,
+      "dropped set == the scalar keep rule")
+    got.foreach { r =>
+      val (ck, keeper, c6) = expected(r.getAs[Long]("vec_id"))
+      assert(r.getAs[Long]("cluster") == ck &&
+        r.getAs[Long]("keeper") == keeper &&
+        r.getAs[Long]("cos_sim") == c6,
+        s"dropped row of ${r.getAs[Long]("vec_id")}")
+      // census: n_kept = cluster size minus its dropped members
+      val members = ids.count(asg(_) == ck)
+      val droppedIn = expected.count(_._2._1 == ck)
+      assert(r.getAs[Long]("n_kept") == members - droppedIn,
+        s"n_kept of cluster $ck")
+    }
+    // the dedup lane is ALIVE and bounded: some but not most vectors drop
+    assert(expected.nonEmpty && expected.size < ids.size / 10,
+      s"semdedup lane: ${expected.size} of ${ids.size}")
+  }
 }
