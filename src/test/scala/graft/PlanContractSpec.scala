@@ -717,6 +717,13 @@ class PlanContractSpec extends SparkSpec {
     val hu = planOf("llm_ann_hnsw_upsert")
     assert(hu.contains("WindowGroupLimit") && !hu.contains("CartesianProduct"),
       s"hnsw_upsert shape:\n${hu.take(2000)}")
+    // hybrid RRF: both shortlists are TakeOrderedAndProject per-partition
+    // heaps (single-query top-k — heaps beat a one-partition rank window,
+    // the llm_bm25 precedent); the only nested loops are the bounded
+    // 1-row/3-term broadcasts, never a cartesian over the corpus
+    val hr = planOf("llm_hybrid_rrf")
+    assert(hr.contains("TakeOrderedAndProject") && !hr.contains("CartesianProduct"),
+      s"hybrid_rrf shape:\n${hr.take(2000)}")
   }
 
   test("ANN broadcasts follow the side-size rule (VERDICT r14 #9)") {

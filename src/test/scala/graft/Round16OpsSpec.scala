@@ -135,4 +135,31 @@ class Round16OpsSpec extends SparkSpec {
     assert(expected.nonEmpty && expected.size < ids.size / 10,
       s"semdedup lane: ${expected.size} of ${ids.size}")
   }
+
+  test("llm_hybrid_rrf: fusion arithmetic law, rank bounds, all three " +
+    "fusion lanes alive") {
+    val got = SparkEntry.queries("llm_hybrid_rrf")(spark, sfDir).collect()
+    assert(got.length == 10, "fused top-10")
+    def rrf(r: Long): Long =
+      if (r == 0L) 0L else math.floor(1e6 / (60 + r) + 0.5).toLong
+    var prev = Long.MaxValue
+    got.foreach { r =>
+      val (lr, vr, sc) = (r.getAs[Long]("lex_rank"),
+        r.getAs[Long]("vec_rank"), r.getAs[Long]("rrf6"))
+      // the Cormack 2009 fusion law, re-derived from the row's own ranks
+      assert(sc == rrf(lr) + rrf(vr), s"rrf6 of doc ${r.getAs[Long]("doc_id")}")
+      // shortlist bounds: ranks are 1..50 or the 0 absent sentinel, and a
+      // fused row exists in at least one arm
+      assert(lr >= 0 && lr <= 50 && vr >= 0 && vr <= 50 && (lr > 0 || vr > 0),
+        s"ranks of doc ${r.getAs[Long]("doc_id")}")
+      assert(sc <= prev, "fused order is non-increasing in rrf6")
+      prev = sc
+    }
+    // measured lanes (3-4 overlap docs at both graded SFs): the fused head
+    // must exercise both-arms, lex-only and vec-only rows
+    assert(got.exists(r => r.getAs[Long]("lex_rank") > 0 && r.getAs[Long]("vec_rank") > 0),
+      "overlap lane dead")
+    assert(got.exists(_.getAs[Long]("lex_rank") == 0L), "vec-only lane dead")
+    assert(got.exists(_.getAs[Long]("vec_rank") == 0L), "lex-only lane dead")
+  }
 }
