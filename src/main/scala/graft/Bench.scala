@@ -89,8 +89,10 @@ object Bench {
     // codebooks — LlmExtras.indexMemo scaladoc) otherwise land inside
     // the FIRST key per structure's timed region, exactly like the
     // streaming split writes above. Same gating: skipped when a
-    // SPARK_GRAFT_ONLY subset names no llm_ann_* key.
-    if (only.isEmpty || only.exists(_.startsWith("llm_ann_")))
+    // SPARK_GRAFT_ONLY subset names no memo-consuming key (the ANN
+    // family plus the frozen-tokenizer apply rung).
+    if (only.isEmpty || only.exists(_.startsWith("llm_ann_")) ||
+        only("llm_unigram_apply"))
       try graft.operators.LlmExtras.prewarmAnnIndexes(spark, sfDir)
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] ANN index pre-warm FAILED (first ANN keys will absorb the index builds): $e")

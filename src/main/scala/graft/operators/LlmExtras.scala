@@ -519,6 +519,7 @@ object LlmExtras {
     uhnswGraph(s, d)
     pqTrainedMemo(s, d)
     bpqTrainedMemo(s, d)
+    unigramLpMemo(s, d)
     s.catalog.clearCache()
   }
 
@@ -737,30 +738,73 @@ object LlmExtras {
     * pieces-per-unit mass (held_pieces/held_words), so a vocabulary
     * that over-prunes (char-splatters the heldout text) or under-prunes
     * moves a graded integer. */
-  private[graft] def unigramTrainHeldout(s: SparkSession, d: String,
-      k: Int): DataFrame = {
-    val negInf = -4611686018427387904L // below any real lattice score
-    def unitTypes(par: Int): DataFrame = T.documents(s, d)
-      .where(col("doc_id") % 2 === par)
-      .withColumn("toks", split(col("text"), " "))
-      .select(col("lang"), explode(expr(
-        "transform(sequence(1, size(toks), 2), i -> " +
-          "CASE WHEN i + 1 <= size(toks) " +
-          "THEN concat(element_at(toks, i), '_', element_at(toks, i + 1)) " +
-          "ELSE element_at(toks, i) END)")).as("w"))
-      .groupBy("lang", "w").agg(count(lit(1)).as("freq"))
-      .withColumn("len", length(col("w")))
+  private val UnigramNegInf = -4611686018427387904L // below any real lattice score
+  private def unigramPreC = expr("substring(w, 1, instr(w, '_') - 1)")
+  private def unigramSufC = expr("substring(w, instr(w, '_') + 1, len)")
+
+  /** (lang, unit, freq, len) unit types of one doc-id-parity half —
+    * adjacent token pairs joined by '_', odd tails single. */
+  private def unigramUnitTypes(s: SparkSession, d: String,
+      par: Int): DataFrame = T.documents(s, d)
+    .where(col("doc_id") % 2 === par)
+    .withColumn("toks", split(col("text"), " "))
+    .select(col("lang"), explode(expr(
+      "transform(sequence(1, size(toks), 2), i -> " +
+        "CASE WHEN i + 1 <= size(toks) " +
+        "THEN concat(element_at(toks, i), '_', element_at(toks, i + 1)) " +
+        "ELSE element_at(toks, i) END)")).as("w"))
+    .groupBy("lang", "w").agg(count(lit(1)).as("freq"))
+    .withColumn("len", length(col("w")))
+    .localCheckpoint()
+
+  private def unigramCharMult(words: DataFrame): DataFrame = words
+    .select(col("lang"), col("w"), explode(split(col("w"), "")).as("c"))
+    .groupBy("lang", "w", "c").agg(count(lit(1)).as("mult"))
+
+  /** One Viterbi E-step against `probs`, SCORED: each unit type carries
+    * its three lattice path scores (whole llw / split lls / chars llc)
+    * plus the integer-argmax path (ties whole > split > chars). Shared
+    * by the training loop, the train key's heldout grading, and
+    * llm_unigram_apply's per-unit surface. */
+  private def unigramEstep(words: DataFrame, chars: DataFrame,
+      probs: DataFrame): DataFrame = {
+    val wlp = probs.select(col("lang"), col("piece").as("w"),
+      col("lp6").as("llw0"))
+    val plp = probs.select(col("lang"), col("piece").as("prep"),
+      col("lp6").as("lpp"))
+    val slp = probs.select(col("lang"), col("piece").as("sufp"),
+      col("lp6").as("lps"))
+    val clp = probs.select(col("lang"), col("piece").as("c"),
+      col("lp6").as("lpc"))
+    val llc = chars.join(clp, Seq("lang", "c"))
+      .groupBy("lang", "w").agg(sum(col("mult") * col("lpc")).as("llc"))
+    words
+      .join(wlp, Seq("lang", "w"), "left")
+      .withColumn("prep", unigramPreC).withColumn("sufp", unigramSufC)
+      .join(plp, Seq("lang", "prep"), "left")
+      .join(slp, Seq("lang", "sufp"), "left")
+      .join(llc, Seq("lang", "w"))
+      .withColumn("llw", when(col("len") >= 2, col("llw0")))
+      .withColumn("lls", when(instr(col("w"), "_") > 0, col("lpp") + col("lps")))
+      .select(col("lang"), col("w"), col("freq"), col("len"),
+        col("llw"), col("lls"), col("llc"),
+        when(col("llw").isNotNull &&
+            col("llw") >= coalesce(col("lls"), lit(UnigramNegInf)) &&
+            col("llw") >= col("llc"), 0)
+          .when(col("lls").isNotNull && col("lls") >= col("llc"), 1)
+          .otherwise(2).as("path"))
       .localCheckpoint()
-    val wt = unitTypes(0)
-    val ht = unitTypes(1)
-    def charMult(words: DataFrame): DataFrame = words
-      .select(col("lang"), col("w"), explode(split(col("w"), "")).as("c"))
-      .groupBy("lang", "w", "c").agg(count(lit(1)).as("mult"))
-    val ch = charMult(wt).localCheckpoint()
-    val hch = charMult(ht).localCheckpoint()
+  }
+
+  /** The k-round hard-EM training loop over the even-doc-id half;
+    * returns (final piece log-probs, final surviving multi-char
+    * pieces). Pure function of (sfDir, k) — llm_unigram_apply memoizes
+    * its result as the FROZEN model. */
+  private def unigramModel(s: SparkSession, d: String,
+      k: Int): (DataFrame, DataFrame) = {
+    val wt = unigramUnitTypes(s, d, 0)
+    val ch = unigramCharMult(wt).localCheckpoint()
     val cl = ch.select("lang", "c").distinct().localCheckpoint()
-    val preC = expr("substring(w, 1, instr(w, '_') - 1)")
-    val sufC = expr("substring(w, instr(w, '_') + 1, len)")
     def logProbs(vocab: DataFrame): DataFrame = {
       val tot = vocab.groupBy("lang")
         .agg(sum(col("cnt")).as("total"), count(lit(1)).as("nv"))
@@ -774,52 +818,22 @@ object LlmExtras {
     val seed = wt.where(col("len") >= 2)
       .select(col("lang"), col("w").as("piece"), col("freq").as("f"))
       .unionAll(wt.where(instr(col("w"), "_") > 0)
-        .select(col("lang"), preC.as("piece"), col("freq").as("f")))
+        .select(col("lang"), unigramPreC.as("piece"), col("freq").as("f")))
       .unionAll(wt.where(instr(col("w"), "_") > 0)
-        .select(col("lang"), sufC.as("piece"), col("freq").as("f")))
+        .select(col("lang"), unigramSufC.as("piece"), col("freq").as("f")))
       .unionAll(ch.join(wt.select("lang", "w", "freq"), Seq("lang", "w"))
         .select(col("lang"), col("c").as("piece"),
           (col("freq") * col("mult")).as("f")))
     var lp = logProbs(seed.groupBy("lang", "piece").agg(sum(col("f")).as("cnt")))
-    // one E+M+prune round: Viterbi path per word type against `probs`,
-    // piece counts from the chosen paths, bottom-quarter multi prune
-    def estep(words: DataFrame, chars: DataFrame,
-        probs: DataFrame): DataFrame = {
-      val wlp = probs.select(col("lang"), col("piece").as("w"),
-        col("lp6").as("llw0"))
-      val plp = probs.select(col("lang"), col("piece").as("prep"),
-        col("lp6").as("lpp"))
-      val slp = probs.select(col("lang"), col("piece").as("sufp"),
-        col("lp6").as("lps"))
-      val clp = probs.select(col("lang"), col("piece").as("c"),
-        col("lp6").as("lpc"))
-      val llc = chars.join(clp, Seq("lang", "c"))
-        .groupBy("lang", "w").agg(sum(col("mult") * col("lpc")).as("llc"))
-      words
-        .join(wlp, Seq("lang", "w"), "left")
-        .withColumn("prep", preC).withColumn("sufp", sufC)
-        .join(plp, Seq("lang", "prep"), "left")
-        .join(slp, Seq("lang", "sufp"), "left")
-        .join(llc, Seq("lang", "w"))
-        .withColumn("llw", when(col("len") >= 2, col("llw0")))
-        .withColumn("lls", when(instr(col("w"), "_") > 0, col("lpp") + col("lps")))
-        .select(col("lang"), col("w"), col("freq"), col("len"),
-          when(col("llw").isNotNull &&
-              col("llw") >= coalesce(col("lls"), lit(negInf)) &&
-              col("llw") >= col("llc"), 0)
-            .when(col("lls").isNotNull && col("lls") >= col("llc"), 1)
-            .otherwise(2).as("path"))
-        .localCheckpoint()
-    }
     var surv: DataFrame = null
     for (_ <- 1 to k) {
-      val best = estep(wt, ch, lp)
+      val best = unigramEstep(wt, ch, lp)
       val cnt = best.where(col("path") === 0)
         .select(col("lang"), col("w").as("piece"), col("freq").as("f"))
         .unionAll(best.where(col("path") === 1)
-          .select(col("lang"), preC.as("piece"), col("freq").as("f")))
+          .select(col("lang"), unigramPreC.as("piece"), col("freq").as("f")))
         .unionAll(best.where(col("path") === 1)
-          .select(col("lang"), sufC.as("piece"), col("freq").as("f")))
+          .select(col("lang"), unigramSufC.as("piece"), col("freq").as("f")))
         .unionAll(best.where(col("path") === 2).join(ch, Seq("lang", "w"))
           .select(col("lang"), col("c").as("piece"),
             (col("freq") * col("mult")).as("f")))
@@ -838,8 +852,23 @@ object LlmExtras {
             coalesce(col("cnt"), lit(0L)).as("cnt")))
       lp = logProbs(vocab)
     }
+    (lp, surv)
+  }
+
+  /** The FROZEN final piece table for llm_unigram_apply — the
+    * [[indexMemo]] discipline applied to the tokenizer model (a
+    * production tokenizer trains once and is applied corpus-wide; the
+    * train key keeps its own in-plan loop because it GRADES training). */
+  private[graft] def unigramLpMemo(s: SparkSession, d: String): DataFrame =
+    indexMemo(s, d, "unigram_lp")(unigramModel(s, d, UnigramRounds)._1)
+
+  private[graft] def unigramTrainHeldout(s: SparkSession, d: String,
+      k: Int): DataFrame = {
+    val (lp, surv) = unigramModel(s, d, k)
+    val ht = unigramUnitTypes(s, d, 1)
+    val hch = unigramCharMult(ht).localCheckpoint()
     // heldout compression with the FINAL vocabulary: pieces per word
-    val hb = estep(ht, hch, lp)
+    val hb = unigramEstep(ht, hch, lp)
     val hh = hb.select(col("lang"), col("freq"),
         when(col("path") === 0, 1L).when(col("path") === 1, 2L)
           .otherwise(col("len").cast("long")).as("np"))
@@ -851,6 +880,79 @@ object LlmExtras {
       .select(col("lang"), col("piece"), col("cnt"), col("lp6"),
         col("held_pieces"), col("held_words"))
       .orderBy("lang", "piece")
+  }
+
+  /** Oracle chain shared by llm_unigram_train and llm_unigram_apply:
+    * unit types, the k-round EM CTEs, and the heldout lattice `hew`
+    * (per-unit llw/lls/llc under the final piece table). */
+  private def unigramSqlPrefix: String = {
+
+      val negInf = "-4611686018427387904"
+      def lpCte(r: Int, vv: String, t: String) =
+        s"lp$r AS MATERIALIZED (SELECT v.lang, v.piece, " +
+          sqlS6(sqlLnRatio("v.cnt + 1", "t.total + t.nv")) +
+          s" AS lp6 FROM $vv v JOIN $t t ON t.lang = v.lang)"
+      val base =
+        "wt AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS freq, LEN(w) AS len FROM " +
+          "(SELECT lang, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks) + 1, 2), i -> " +
+          "CASE WHEN i + 1 <= LEN(toks) THEN toks[i] || '_' || toks[i + 1] ELSE toks[i] END)) AS w " +
+          "FROM (SELECT lang, STRING_SPLIT(text, ' ') AS toks FROM documents WHERE doc_id % 2 = 0)) GROUP BY lang, w), " +
+          "ht AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS freq, LEN(w) AS len FROM " +
+          "(SELECT lang, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks) + 1, 2), i -> " +
+          "CASE WHEN i + 1 <= LEN(toks) THEN toks[i] || '_' || toks[i + 1] ELSE toks[i] END)) AS w " +
+          "FROM (SELECT lang, STRING_SPLIT(text, ' ') AS toks FROM documents WHERE doc_id % 2 = 1)) GROUP BY lang, w), " +
+          "ch AS (SELECT lang, w, c, CAST(COUNT(*) AS BIGINT) AS mult FROM " +
+          "(SELECT lang, w, UNNEST(STRING_SPLIT(w, '')) AS c FROM wt) GROUP BY lang, w, c), " +
+          "hch AS (SELECT lang, w, c, CAST(COUNT(*) AS BIGINT) AS mult FROM " +
+          "(SELECT lang, w, UNNEST(STRING_SPLIT(w, '')) AS c FROM ht) GROUP BY lang, w, c), " +
+          "cl AS (SELECT DISTINCT lang, c FROM ch), " +
+          "seed AS (SELECT lang, w AS piece, freq AS f FROM wt WHERE len >= 2 " +
+          "UNION ALL SELECT lang, SUBSTRING(w, 1, STRPOS(w, '_') - 1), freq FROM wt WHERE STRPOS(w, '_') > 0 " +
+          "UNION ALL SELECT lang, SUBSTRING(w, STRPOS(w, '_') + 1, len), freq FROM wt WHERE STRPOS(w, '_') > 0 " +
+          "UNION ALL SELECT ch.lang, ch.c, wt.freq * ch.mult FROM ch JOIN wt ON wt.lang = ch.lang AND wt.w = ch.w), " +
+          "v0 AS (SELECT lang, piece, CAST(SUM(f) AS BIGINT) AS cnt FROM seed GROUP BY lang, piece), " +
+          "t0 AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS nv FROM v0 GROUP BY lang), " +
+          lpCte(0, "v0", "t0")
+      val rounds = (1 to UnigramRounds).map { r =>
+        val p = s"lp${r - 1}"
+        s"llc$r AS (SELECT ch.lang, ch.w, CAST(SUM(ch.mult * p.lp6) AS BIGINT) AS llc " +
+          s"FROM ch JOIN $p p ON p.lang = ch.lang AND p.piece = ch.c GROUP BY ch.lang, ch.w), " +
+          s"ew$r AS (SELECT wt.lang, wt.w, wt.freq, wt.len, " +
+          "CASE WHEN wt.len >= 2 THEN wp.lp6 END AS llw, " +
+          "CASE WHEN STRPOS(wt.w, '_') > 0 THEN pp.lp6 + sp.lp6 END AS lls, lc.llc AS llc " +
+          s"FROM wt LEFT JOIN $p wp ON wp.lang = wt.lang AND wp.piece = wt.w " +
+          s"LEFT JOIN $p pp ON pp.lang = wt.lang AND pp.piece = SUBSTRING(wt.w, 1, STRPOS(wt.w, '_') - 1) " +
+          s"LEFT JOIN $p sp ON sp.lang = wt.lang AND sp.piece = SUBSTRING(wt.w, STRPOS(wt.w, '_') + 1, wt.len) " +
+          s"JOIN llc$r lc ON lc.lang = wt.lang AND lc.w = wt.w), " +
+          s"b$r AS (SELECT lang, w, freq, len, CASE " +
+          s"WHEN llw IS NOT NULL AND llw >= COALESCE(lls, $negInf) AND llw >= llc THEN 0 " +
+          s"WHEN lls IS NOT NULL AND lls >= llc THEN 1 ELSE 2 END AS path FROM ew$r), " +
+          s"c$r AS (SELECT lang, piece, CAST(SUM(f) AS BIGINT) AS cnt FROM (" +
+          s"SELECT lang, w AS piece, freq AS f FROM b$r WHERE path = 0 " +
+          s"UNION ALL SELECT lang, SUBSTRING(w, 1, STRPOS(w, '_') - 1), freq FROM b$r WHERE path = 1 " +
+          s"UNION ALL SELECT lang, SUBSTRING(w, STRPOS(w, '_') + 1, len), freq FROM b$r WHERE path = 1 " +
+          s"UNION ALL SELECT b.lang, ch.c, b.freq * ch.mult FROM b$r b JOIN ch ON ch.lang = b.lang AND ch.w = b.w WHERE b.path = 2" +
+          ") GROUP BY lang, piece), " +
+          s"s$r AS (SELECT lang, piece, cnt FROM (SELECT lang, piece, cnt, " +
+          "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, piece) AS rk, " +
+          s"COUNT(*) OVER (PARTITION BY lang) AS nm FROM c$r WHERE LEN(piece) >= 2) " +
+          "WHERE rk <= (3 * nm + 3) // 4), " +
+          s"vv$r AS (SELECT lang, piece, cnt FROM s$r UNION ALL " +
+          s"SELECT cl.lang, cl.c, CAST(COALESCE(cc.cnt, 0) AS BIGINT) FROM cl LEFT JOIN c$r cc ON cc.lang = cl.lang AND cc.piece = cl.c), " +
+          s"t$r AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS nv FROM vv$r GROUP BY lang), " +
+          lpCte(r, s"vv$r", s"t$r")
+      }.mkString(", ")
+      val kk = UnigramRounds
+      s"WITH $base, $rounds, " +
+        s"hllc AS (SELECT hch.lang, hch.w, CAST(SUM(hch.mult * p.lp6) AS BIGINT) AS llc " +
+        s"FROM hch JOIN lp$kk p ON p.lang = hch.lang AND p.piece = hch.c GROUP BY hch.lang, hch.w), " +
+        s"hew AS (SELECT ht.lang, ht.w, ht.freq, ht.len, " +
+        "CASE WHEN ht.len >= 2 THEN wp.lp6 END AS llw, " +
+        "CASE WHEN STRPOS(ht.w, '_') > 0 THEN pp.lp6 + sp.lp6 END AS lls, lc.llc AS llc " +
+        s"FROM ht LEFT JOIN lp$kk wp ON wp.lang = ht.lang AND wp.piece = ht.w " +
+        s"LEFT JOIN lp$kk pp ON pp.lang = ht.lang AND pp.piece = SUBSTRING(ht.w, 1, STRPOS(ht.w, '_') - 1) " +
+        s"LEFT JOIN lp$kk sp ON sp.lang = ht.lang AND sp.piece = SUBSTRING(ht.w, STRPOS(ht.w, '_') + 1, ht.len) " +
+        "JOIN hllc lc ON lc.lang = ht.lang AND lc.w = ht.w)"
   }
 
   val all: Seq[Q] = Seq(
@@ -4524,74 +4626,10 @@ object LlmExtras {
     // pieces-per-word grading). Oracle = the same K rounds unrolled as
     // MATERIALIZED CTEs, the llm_bpe_train pattern.
     Q("llm_unigram_train", Some {
-      val negInf = "-4611686018427387904"
-      def lpCte(r: Int, vv: String, t: String) =
-        s"lp$r AS MATERIALIZED (SELECT v.lang, v.piece, " +
-          sqlS6(sqlLnRatio("v.cnt + 1", "t.total + t.nv")) +
-          s" AS lp6 FROM $vv v JOIN $t t ON t.lang = v.lang)"
-      val base =
-        "wt AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS freq, LEN(w) AS len FROM " +
-          "(SELECT lang, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks) + 1, 2), i -> " +
-          "CASE WHEN i + 1 <= LEN(toks) THEN toks[i] || '_' || toks[i + 1] ELSE toks[i] END)) AS w " +
-          "FROM (SELECT lang, STRING_SPLIT(text, ' ') AS toks FROM documents WHERE doc_id % 2 = 0)) GROUP BY lang, w), " +
-          "ht AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS freq, LEN(w) AS len FROM " +
-          "(SELECT lang, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks) + 1, 2), i -> " +
-          "CASE WHEN i + 1 <= LEN(toks) THEN toks[i] || '_' || toks[i + 1] ELSE toks[i] END)) AS w " +
-          "FROM (SELECT lang, STRING_SPLIT(text, ' ') AS toks FROM documents WHERE doc_id % 2 = 1)) GROUP BY lang, w), " +
-          "ch AS (SELECT lang, w, c, CAST(COUNT(*) AS BIGINT) AS mult FROM " +
-          "(SELECT lang, w, UNNEST(STRING_SPLIT(w, '')) AS c FROM wt) GROUP BY lang, w, c), " +
-          "hch AS (SELECT lang, w, c, CAST(COUNT(*) AS BIGINT) AS mult FROM " +
-          "(SELECT lang, w, UNNEST(STRING_SPLIT(w, '')) AS c FROM ht) GROUP BY lang, w, c), " +
-          "cl AS (SELECT DISTINCT lang, c FROM ch), " +
-          "seed AS (SELECT lang, w AS piece, freq AS f FROM wt WHERE len >= 2 " +
-          "UNION ALL SELECT lang, SUBSTRING(w, 1, STRPOS(w, '_') - 1), freq FROM wt WHERE STRPOS(w, '_') > 0 " +
-          "UNION ALL SELECT lang, SUBSTRING(w, STRPOS(w, '_') + 1, len), freq FROM wt WHERE STRPOS(w, '_') > 0 " +
-          "UNION ALL SELECT ch.lang, ch.c, wt.freq * ch.mult FROM ch JOIN wt ON wt.lang = ch.lang AND wt.w = ch.w), " +
-          "v0 AS (SELECT lang, piece, CAST(SUM(f) AS BIGINT) AS cnt FROM seed GROUP BY lang, piece), " +
-          "t0 AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS nv FROM v0 GROUP BY lang), " +
-          lpCte(0, "v0", "t0")
-      val rounds = (1 to UnigramRounds).map { r =>
-        val p = s"lp${r - 1}"
-        s"llc$r AS (SELECT ch.lang, ch.w, CAST(SUM(ch.mult * p.lp6) AS BIGINT) AS llc " +
-          s"FROM ch JOIN $p p ON p.lang = ch.lang AND p.piece = ch.c GROUP BY ch.lang, ch.w), " +
-          s"ew$r AS (SELECT wt.lang, wt.w, wt.freq, wt.len, " +
-          "CASE WHEN wt.len >= 2 THEN wp.lp6 END AS llw, " +
-          "CASE WHEN STRPOS(wt.w, '_') > 0 THEN pp.lp6 + sp.lp6 END AS lls, lc.llc AS llc " +
-          s"FROM wt LEFT JOIN $p wp ON wp.lang = wt.lang AND wp.piece = wt.w " +
-          s"LEFT JOIN $p pp ON pp.lang = wt.lang AND pp.piece = SUBSTRING(wt.w, 1, STRPOS(wt.w, '_') - 1) " +
-          s"LEFT JOIN $p sp ON sp.lang = wt.lang AND sp.piece = SUBSTRING(wt.w, STRPOS(wt.w, '_') + 1, wt.len) " +
-          s"JOIN llc$r lc ON lc.lang = wt.lang AND lc.w = wt.w), " +
-          s"b$r AS (SELECT lang, w, freq, len, CASE " +
-          s"WHEN llw IS NOT NULL AND llw >= COALESCE(lls, $negInf) AND llw >= llc THEN 0 " +
-          s"WHEN lls IS NOT NULL AND lls >= llc THEN 1 ELSE 2 END AS path FROM ew$r), " +
-          s"c$r AS (SELECT lang, piece, CAST(SUM(f) AS BIGINT) AS cnt FROM (" +
-          s"SELECT lang, w AS piece, freq AS f FROM b$r WHERE path = 0 " +
-          s"UNION ALL SELECT lang, SUBSTRING(w, 1, STRPOS(w, '_') - 1), freq FROM b$r WHERE path = 1 " +
-          s"UNION ALL SELECT lang, SUBSTRING(w, STRPOS(w, '_') + 1, len), freq FROM b$r WHERE path = 1 " +
-          s"UNION ALL SELECT b.lang, ch.c, b.freq * ch.mult FROM b$r b JOIN ch ON ch.lang = b.lang AND ch.w = b.w WHERE b.path = 2" +
-          ") GROUP BY lang, piece), " +
-          s"s$r AS (SELECT lang, piece, cnt FROM (SELECT lang, piece, cnt, " +
-          "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, piece) AS rk, " +
-          s"COUNT(*) OVER (PARTITION BY lang) AS nm FROM c$r WHERE LEN(piece) >= 2) " +
-          "WHERE rk <= (3 * nm + 3) // 4), " +
-          s"vv$r AS (SELECT lang, piece, cnt FROM s$r UNION ALL " +
-          s"SELECT cl.lang, cl.c, CAST(COALESCE(cc.cnt, 0) AS BIGINT) FROM cl LEFT JOIN c$r cc ON cc.lang = cl.lang AND cc.piece = cl.c), " +
-          s"t$r AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS nv FROM vv$r GROUP BY lang), " +
-          lpCte(r, s"vv$r", s"t$r")
-      }.mkString(", ")
       val kk = UnigramRounds
-      s"WITH $base, $rounds, " +
-        s"hllc AS (SELECT hch.lang, hch.w, CAST(SUM(hch.mult * p.lp6) AS BIGINT) AS llc " +
-        s"FROM hch JOIN lp$kk p ON p.lang = hch.lang AND p.piece = hch.c GROUP BY hch.lang, hch.w), " +
-        s"hew AS (SELECT ht.lang, ht.w, ht.freq, ht.len, " +
-        "CASE WHEN ht.len >= 2 THEN wp.lp6 END AS llw, " +
-        "CASE WHEN STRPOS(ht.w, '_') > 0 THEN pp.lp6 + sp.lp6 END AS lls, lc.llc AS llc " +
-        s"FROM ht LEFT JOIN lp$kk wp ON wp.lang = ht.lang AND wp.piece = ht.w " +
-        s"LEFT JOIN lp$kk pp ON pp.lang = ht.lang AND pp.piece = SUBSTRING(ht.w, 1, STRPOS(ht.w, '_') - 1) " +
-        s"LEFT JOIN lp$kk sp ON sp.lang = ht.lang AND sp.piece = SUBSTRING(ht.w, STRPOS(ht.w, '_') + 1, ht.len) " +
-        "JOIN hllc lc ON lc.lang = ht.lang AND lc.w = ht.w), " +
+      unigramSqlPrefix + ", " +
         s"hb AS (SELECT lang, freq, len, CASE " +
-        s"WHEN llw IS NOT NULL AND llw >= COALESCE(lls, $negInf) AND llw >= llc THEN 0 " +
+        s"WHEN llw IS NOT NULL AND llw >= COALESCE(lls, $UnigramNegInf) AND llw >= llc THEN 0 " +
         "WHEN lls IS NOT NULL AND lls >= llc THEN 1 ELSE 2 END AS path FROM hew), " +
         "hh AS (SELECT lang, CAST(SUM(freq * (CASE path WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE len END)) AS BIGINT) AS held_pieces, " +
         "CAST(SUM(freq) AS BIGINT) AS held_words FROM hb GROUP BY lang) " +
@@ -4600,6 +4638,49 @@ object LlmExtras {
         "JOIN hh ON hh.lang = s.lang ORDER BY s.lang, s.piece"
     },
       (s, d) => unigramTrainHeldout(s, d, UnigramRounds)),
+
+    // Unigram-LM APPLY rung (round 16, VERDICT r15 missing #4) — the
+    // missing half of the SentencePiece train/apply symmetry [Kudo
+    // 2018]: corpus-scale Viterbi segmentation of the HELDOUT half
+    // under the FROZEN trained piece table (production tokenizers train
+    // once, then tokenize the whole corpus — the frozen table rides the
+    // [[indexMemo]] discipline, [[unigramLpMemo]]; llm_unigram_train
+    // keeps its in-plan loop because it grades TRAINING). Graded per
+    // heldout unit type: the integer-argmax path over the 3-path
+    // lattice (whole 0 / split 1 / chars 2, ties whole > split >
+    // chars), the resulting piece count, and the CHOSEN path's exact
+    // lattice score — so any drift in the frozen table, a lattice
+    // score, or the argmax moves a graded integer. Consistent by
+    // construction with the train key's heldout law:
+    // Σ freq·n_pieces = held_pieces per lang (Round16OpsSpec pins the
+    // cross-key equality). Scale shape: application is three bounded
+    // piece-table joins + one (lang, unit) partial agg — map-side
+    // against the broadcastable frozen vocabulary, corpus-linear.
+    Q("llm_unigram_apply", Some {
+      unigramSqlPrefix + " " +
+        "SELECT lang, w, freq, CAST(path AS BIGINT) AS path, " +
+        "CAST(CASE path WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE len END AS BIGINT) AS n_pieces, " +
+        "CAST(CASE path WHEN 0 THEN llw WHEN 1 THEN lls ELSE llc END AS BIGINT) AS score6 " +
+        "FROM (SELECT lang, w, freq, len, llw, lls, llc, CASE " +
+        s"WHEN llw IS NOT NULL AND llw >= COALESCE(lls, $UnigramNegInf) AND llw >= llc THEN 0 " +
+        "WHEN lls IS NOT NULL AND lls >= llc THEN 1 ELSE 2 END AS path FROM hew) " +
+        "ORDER BY lang, w"
+    },
+      (s, d) => {
+        val lp = unigramLpMemo(s, d)
+        val ht = unigramUnitTypes(s, d, 1)
+        val hch = unigramCharMult(ht).localCheckpoint()
+        unigramEstep(ht, hch, lp)
+          .select(col("lang"), col("w"), col("freq"),
+            col("path").cast("long").as("path"),
+            when(col("path") === 0, 1L).when(col("path") === 1, 2L)
+              .otherwise(col("len").cast("long")).as("n_pieces"),
+            when(col("path") === 0, col("llw"))
+              .when(col("path") === 1, col("lls"))
+              .otherwise(col("llc")).cast("long").as("score6"))
+          .orderBy("lang", "w")
+      }),
+
 
     // Character-entropy gibberish filter (round 9, fourth wave) — the
     // cheap pre-quality screen (random bytes and key-mash have

@@ -162,4 +162,38 @@ class Round16OpsSpec extends SparkSpec {
     assert(got.exists(_.getAs[Long]("lex_rank") == 0L), "vec-only lane dead")
     assert(got.exists(_.getAs[Long]("vec_rank") == 0L), "lex-only lane dead")
   }
+
+  test("llm_unigram_apply: agrees with the train key's heldout law and " +
+    "exercises all three lattice paths") {
+    val apply = SparkEntry.queries("llm_unigram_apply")(spark, sfDir).collect()
+    val train = SparkEntry.queries("llm_unigram_train")(spark, sfDir).collect()
+    // path census lanes: whole / split / chars must ALL fire (the pair-
+    // unit construction exists exactly so this lattice competes —
+    // measured 1017/1952/400 unit types at sf0.001)
+    val byPath = apply.groupBy(_.getAs[Long]("path")).view.mapValues(_.length)
+    assert(Set(0L, 1L, 2L).forall(p => byPath.getOrElse(p, 0) > 0),
+      s"lattice path census: $byPath")
+    // piece-count law per row
+    apply.foreach { r =>
+      val expectPieces = r.getAs[Long]("path") match {
+        case 0L => 1L
+        case 1L => 2L
+        case _ => r.getAs[String]("w").length.toLong
+      }
+      assert(r.getAs[Long]("n_pieces") == expectPieces,
+        s"n_pieces of unit ${r.getAs[String]("w")}")
+    }
+    // cross-key consistency: the apply surface aggregates to EXACTLY the
+    // train key's heldout compression statistic (same frozen table —
+    // one comes from the in-plan loop, one from the JVM memo, so this
+    // also pins memoized == rebuilt for the tokenizer model)
+    val applyAgg = apply.groupBy(_.getAs[String]("lang")).map { case (l, rs) =>
+      l -> (rs.map(r => r.getAs[Long]("freq") * r.getAs[Long]("n_pieces")).sum,
+        rs.map(_.getAs[Long]("freq")).sum)
+    }
+    val trainAgg = train.groupBy(_.getAs[String]("lang")).map { case (l, rs) =>
+      l -> (rs.head.getAs[Long]("held_pieces"), rs.head.getAs[Long]("held_words"))
+    }
+    assert(applyAgg == trainAgg, s"apply rollup $applyAgg vs train $trainAgg")
+  }
 }
