@@ -98,4 +98,30 @@ class GeometrySpec extends SparkSpec {
     assert(g1 == m1)
     assert(m1.size == 3, "every polygon holds points at sf0.01")
   }
+
+  test("eo_rasterize: per-pixel brute-force burn mirror over the AOI draw") {
+    // scalar mirror of the burn-in: enumerate every pixel of every AOI
+    // rect directly (no cells, no clipping) and roll up per tile — any
+    // clip-boundary or cover-cell error in the key breaks equality
+    val aos = SparkEntry.queries("eo_rasterize")(spark, sfDir)
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_id")).collect().map(_.getLong(0))
+    val draw = events.filter(e => Det.hash32Scala(s"aoi:$e") % 200 == 0)
+    assert(draw.nonEmpty, "AOI draw empty")
+    val burn = scala.collection.mutable.Map[(Long, Long), Long]()
+    draw.foreach { e =>
+      val (ax0, ay0) = (e * 53 % 256, e * 29 % 256)
+      val (ax1, ay1) = (ax0 + 16 + e % 33, ay0 + 16 + (e * 7) % 17)
+      for (x <- ax0 until ax1; y <- ay0 until ay1)
+        burn((x, y)) = burn.getOrElse((x, y), 0L) + 1L
+    }
+    val expected = burn.toSeq.groupBy { case ((x, y), _) => (x / 16, y / 16) }
+      .map { case (tile, px) =>
+        tile -> (px.size.toLong, px.map(_._2).sum,
+          px.map { case ((x, y), b) => ((y % 16) * 16 + (x % 16) + 1) * b }.sum)
+      }
+    val got = aos.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      (r.getAs[Long]("n_px"), r.getAs[Long]("burn_sum"), r.getAs[Long]("cksum"))).toMap
+    assert(got == expected, s"tiles: got ${got.size} vs ${expected.size}")
+  }
 }
