@@ -992,6 +992,131 @@ object Llm {
           .orderBy("vec_id")
       }),
 
+    // Incremental banded dedup (round 16) — the maintenance form of the
+    // MinHash family, completing the upsert trilogy (llm_ann_ivf_upsert
+    // grades the quantizer index, llm_ann_hnsw_upsert the graph index;
+    // this grades the DEDUP index): a production pipeline dedups its
+    // daily INCREMENT against the frozen banded index of the existing
+    // corpus — it never re-dedups the base [PK: the add-only LSH-index
+    // discipline of Lee et al. 2022-scale pipelines]. The corpus splits
+    // by the upsert hash (~25% delta); the increment's band rows probe
+    // the base index by ONE equi-join on (lang, band, sig) and
+    // self-join for delta-internal duplicates; candidates verify with
+    // the exact mask-Jaccard ≥ 0.5 predicate only (candidate-verify-
+    // only, the family discipline). Graded per lang: the base/delta
+    // census, the three candidate-pair counts, the exactness law
+    // census_match — cand(all) == cand(base²) ∪ cand(base×delta) ∪
+    // cand(delta²), constant 1 BY LAW because banding is per-doc
+    // independent (the ivf_upsert precedent; an engine diverging on any
+    // signature breaks it; the rebuilt lane exists only to grade the
+    // equality) — and the VERIFIED duplicate counts on the cross and
+    // delta lanes (the increment's actual dedup decisions). Scale
+    // shape: upsert cost is the delta's signature pass + two bounded
+    // equi-joins against the (memoizable) base index; no all-pairs
+    // stage anywhere.
+    Q("llm_dedup_upsert", Some(
+      docMasksSql.trim + minhashBandsSql + ", " +
+        "flags AS (SELECT doc_id, CASE WHEN " +
+        sqlHash32("'upsert:' || CAST(doc_id AS VARCHAR)") +
+        " % 4 = 0 THEN 1 ELSE 0 END AS is_delta FROM masks), " +
+        "bb AS (SELECT b.doc_id, b.lang, b.band, b.sig FROM bands b " +
+        "JOIN flags f ON f.doc_id = b.doc_id AND f.is_delta = 0), " +
+        "bd AS (SELECT b.doc_id, b.lang, b.band, b.sig FROM bands b " +
+        "JOIN flags f ON f.doc_id = b.doc_id AND f.is_delta = 1), " +
+        "cb AS (SELECT DISTINCT a.lang, a.doc_id AS d1, b.doc_id AS d2 FROM bb a " +
+        "JOIN bb b ON a.lang = b.lang AND a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id), " +
+        "cx AS (SELECT DISTINCT a.lang, LEAST(a.doc_id, b.doc_id) AS d1, " +
+        "GREATEST(a.doc_id, b.doc_id) AS d2 FROM bb a " +
+        "JOIN bd b ON a.lang = b.lang AND a.band = b.band AND a.sig = b.sig), " +
+        "cd AS (SELECT DISTINCT a.lang, a.doc_id AS d1, b.doc_id AS d2 FROM bd a " +
+        "JOIN bd b ON a.lang = b.lang AND a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id), " +
+        "cf AS (SELECT DISTINCT a.lang, a.doc_id AS d1, b.doc_id AS d2 FROM bands a " +
+        "JOIN bands b ON a.lang = b.lang AND a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id), " +
+        "vx AS (SELECT c.lang, CAST(COUNT(*) AS BIGINT) AS n FROM cx c " +
+        "JOIN masks m1 ON m1.doc_id = c.d1 JOIN masks m2 ON m2.doc_id = c.d2 " +
+        "WHERE CAST(BIT_COUNT(m1.mask & m2.mask) AS DOUBLE) / " +
+        "CAST(BIT_COUNT(m1.mask | m2.mask) AS DOUBLE) >= 0.5 GROUP BY c.lang), " +
+        "vd AS (SELECT c.lang, CAST(COUNT(*) AS BIGINT) AS n FROM cd c " +
+        "JOIN masks m1 ON m1.doc_id = c.d1 JOIN masks m2 ON m2.doc_id = c.d2 " +
+        "WHERE CAST(BIT_COUNT(m1.mask & m2.mask) AS DOUBLE) / " +
+        "CAST(BIT_COUNT(m1.mask | m2.mask) AS DOUBLE) >= 0.5 GROUP BY c.lang), " +
+        "st AS (SELECT m.lang, CAST(SUM(1 - f.is_delta) AS BIGINT) AS n_base, " +
+        "CAST(SUM(f.is_delta) AS BIGINT) AS n_delta " +
+        "FROM masks m JOIN flags f ON f.doc_id = m.doc_id GROUP BY m.lang), " +
+        "nb AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM cb GROUP BY lang), " +
+        "nx AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM cx GROUP BY lang), " +
+        "nd AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM cd GROUP BY lang), " +
+        "nf AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM cf GROUP BY lang) " +
+        "SELECT st.lang, st.n_base, st.n_delta, " +
+        "COALESCE(nb.n, 0) AS n_cand_base, COALESCE(nx.n, 0) AS n_cand_cross, " +
+        "COALESCE(nd.n, 0) AS n_cand_delta, " +
+        "CAST(CASE WHEN COALESCE(nf.n, 0) = COALESCE(nb.n, 0) + COALESCE(nx.n, 0) + COALESCE(nd.n, 0) " +
+        "THEN 1 ELSE 0 END AS BIGINT) AS census_match, " +
+        "COALESCE(vx.n, 0) AS n_dup_cross, COALESCE(vd.n, 0) AS n_dup_delta " +
+        "FROM st LEFT JOIN nb ON nb.lang = st.lang LEFT JOIN nx ON nx.lang = st.lang " +
+        "LEFT JOIN nd ON nd.lang = st.lang LEFT JOIN nf ON nf.lang = st.lang " +
+        "LEFT JOIN vx ON vx.lang = st.lang LEFT JOIN vd ON vd.lang = st.lang " +
+        "ORDER BY st.lang"),
+      (s, d) => {
+        val masks = docMasks(s, d)
+        val bands = bandRows(s, d)
+        val isDelta = when(hash32(concat(lit("upsert:"),
+          col("doc_id").cast("string"))) % 4 === 0, 1L).otherwise(0L)
+        val flags = masks.select(col("doc_id"), isDelta.as("is_delta"))
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        def side(deltaFlag: Long): DataFrame = bands
+          .join(flags.where(col("is_delta") === deltaFlag).select("doc_id"), "doc_id")
+          .select("doc_id", "lang", "band", "sig")
+        val bb = side(0L).transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        val bd = side(1L).transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        def cand(a: DataFrame, b: DataFrame): DataFrame =
+          a.select(col("doc_id").as("da"), col("lang"), col("band"), col("sig"))
+            .join(b.select(col("doc_id").as("db"), col("lang"), col("band"), col("sig")),
+              Seq("lang", "band", "sig"))
+        val cb = cand(bb, bb).where(col("da") < col("db"))
+          .select(col("lang"), col("da").as("d1"), col("db").as("d2")).distinct()
+        val cx = cand(bb, bd)
+          .select(col("lang"), least(col("da"), col("db")).as("d1"),
+            greatest(col("da"), col("db")).as("d2")).distinct()
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        val cd = cand(bd, bd).where(col("da") < col("db"))
+          .select(col("lang"), col("da").as("d1"), col("db").as("d2")).distinct()
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        val cf = cand(bands, bands).where(col("da") < col("db"))
+          .select(col("lang"), col("da").as("d1"), col("db").as("d2")).distinct()
+        def verified(c: DataFrame): DataFrame = {
+          val inter = bit_count(col("ma").bitwiseAND(col("mb"))).cast("double")
+          val uni = bit_count(col("ma").bitwiseOR(col("mb"))).cast("double")
+          c.join(masks.select(col("doc_id").as("d1"), col("mask").as("ma")), "d1")
+            .join(masks.select(col("doc_id").as("d2"), col("mask").as("mb")), "d2")
+            .where(inter / uni >= 0.5)
+            .groupBy("lang").agg(count(lit(1)).as("n"))
+        }
+        def counted(c: DataFrame): DataFrame =
+          c.groupBy("lang").agg(count(lit(1)).as("n"))
+        val st = masks.join(flags, "doc_id")
+          .groupBy("lang")
+          .agg(sum(lit(1L) - col("is_delta")).as("n_base"),
+            sum(col("is_delta")).as("n_delta"))
+        st
+          .join(broadcast(counted(cb).withColumnRenamed("n", "nb")), Seq("lang"), "left")
+          .join(broadcast(counted(cx).withColumnRenamed("n", "nx")), Seq("lang"), "left")
+          .join(broadcast(counted(cd).withColumnRenamed("n", "nd")), Seq("lang"), "left")
+          .join(broadcast(counted(cf).withColumnRenamed("n", "nf")), Seq("lang"), "left")
+          .join(broadcast(verified(cx).withColumnRenamed("n", "vx")), Seq("lang"), "left")
+          .join(broadcast(verified(cd).withColumnRenamed("n", "vd")), Seq("lang"), "left")
+          .select(col("lang"), col("n_base"), col("n_delta"),
+            coalesce(col("nb"), lit(0L)).as("n_cand_base"),
+            coalesce(col("nx"), lit(0L)).as("n_cand_cross"),
+            coalesce(col("nd"), lit(0L)).as("n_cand_delta"),
+            when(coalesce(col("nf"), lit(0L)) ===
+              coalesce(col("nb"), lit(0L)) + coalesce(col("nx"), lit(0L)) +
+                coalesce(col("nd"), lit(0L)), 1L).otherwise(0L).as("census_match"),
+            coalesce(col("vx"), lit(0L)).as("n_dup_cross"),
+            coalesce(col("vd"), lit(0L)).as("n_dup_delta"))
+          .orderBy("lang")
+      }),
+
     Q("llm_text_stats", Some(
       "SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
         "CAST(COUNT(*) AS BIGINT) AS n_tokens, " +

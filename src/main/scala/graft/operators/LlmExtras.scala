@@ -4125,6 +4125,85 @@ object LlmExtras {
           .limit(10)
       }),
 
+    // Hard-negative mining (round 16) — the contrastive-training data op
+    // every production retriever pipeline runs [PK Karpukhin et al.
+    // 2020, DPR §3.2; sentence-transformers mining]: for each training
+    // query, retrieve the nearest corpus items and keep the top ones
+    // whose LABEL differs from the query's (the "looks relevant, is
+    // not" negatives that make contrastive training work). Batched over
+    // every odd vec_id against the even-id index (the llm_ann_batch
+    // train/query split): exact scaled-long cosine, per-query top-5
+    // among different-label candidates, plus the n_pos20 census — how
+    // many SAME-label items sit in the query's unfiltered top-20 (the
+    // positives-surfaced lane; on this corpus labels are not geometric
+    // clusters, FIXTURES.md, so the census hovers near the 10% label
+    // prior — the honest measurement, and exactly why mining needs the
+    // label filter). Both picks are per-query WindowGroupLimit heaps;
+    // at 100× the exact scan swaps for an ANN shortlist (the batch
+    // rungs) with this key as the semantics anchor — the
+    // llm_cosine_topk precedent.
+    Q("llm_hard_negatives", Some(
+      "WITH ux AS (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x, " +
+        "UNNEST(RANGE(1, LEN(embedding) + 1)) AS i FROM embeddings), " +
+        "lbl AS (SELECT vec_id, label FROM embeddings), " +
+        "nrm AS (SELECT vec_id, SUM(CAST(FLOOR(x * x * 1e14 + 0.5) AS BIGINT)) AS nl " +
+        "FROM ux GROUP BY vec_id), " +
+        "dq AS (SELECT q.vec_id AS qid, u.vec_id AS v, " +
+        "SUM(CAST(FLOOR(u.x * q.x * 1e14 + 0.5) AS BIGINT)) AS dotl " +
+        "FROM ux u JOIN ux q ON q.i = u.i AND u.vec_id % 2 = 0 AND q.vec_id % 2 = 1 " +
+        "GROUP BY qid, v), " +
+        "cosd AS (SELECT dq.qid, dq.v, (CAST(dq.dotl AS DOUBLE) / 1e14) / " +
+        "(SQRT(CAST(ni.nl AS DOUBLE) / 1e14) * SQRT(CAST(nq.nl AS DOUBLE) / 1e14)) AS cc " +
+        "FROM dq JOIN nrm ni ON ni.vec_id = dq.v JOIN nrm nq ON nq.vec_id = dq.qid), " +
+        "r20 AS (SELECT qid, v, cc, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cc DESC, v) AS rk " +
+        "FROM cosd), " +
+        "np AS (SELECT r.qid, CAST(SUM(CASE WHEN lq.label = lv.label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos20 " +
+        "FROM r20 r JOIN lbl lq ON lq.vec_id = r.qid JOIN lbl lv ON lv.vec_id = r.v " +
+        "WHERE r.rk <= 20 GROUP BY r.qid), " +
+        "negs AS (SELECT c.qid, c.v, c.cc, " +
+        "ROW_NUMBER() OVER (PARTITION BY c.qid ORDER BY c.cc DESC, c.v) AS rk " +
+        "FROM cosd c JOIN lbl lq ON lq.vec_id = c.qid JOIN lbl lv ON lv.vec_id = c.v " +
+        "WHERE lq.label <> lv.label) " +
+        "SELECT n.qid AS query_id, CAST(n.rk AS BIGINT) AS rk, n.v AS vec_id, " +
+        sqlS6("n.cc") + " AS cos_sim, np.n_pos20 " +
+        "FROM negs n JOIN np ON np.qid = n.qid WHERE n.rk <= 5 " +
+        "ORDER BY query_id, rk"),
+      (s, d) => {
+        graft.functions.VectorExprs.register(s)
+        import graft.functions.VectorExprs.sdotl
+        val emb = T.embeddings(s, d)
+          .select(col("vec_id"), col("label"), col("embedding"))
+        val idx = emb.where(col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("v"), col("label").as("lv"),
+            col("embedding").as("ev"))
+        val qs = emb.where(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("qid"), col("label").as("lq"),
+            col("embedding").as("eq"))
+        val cos = (sdotl(col("ev"), col("eq")).cast("double") / lit(1e14)) /
+          (sqrt(sdotl(col("ev"), col("ev")).cast("double") / lit(1e14)) *
+            sqrt(sdotl(col("eq"), col("eq")).cast("double") / lit(1e14)))
+        // one batched scan: every (query, index) cosine, labels attached
+        // map-side; the gated broadcast keeps the pair stream shuffle-free
+        // at the graded SFs (over the gate AQE shards by qid)
+        val scored = idx.crossJoin(embBcast(d)(qs))
+          .withColumn("cc", cos)
+          .select(col("qid"), col("lq"), col("v"), col("lv"), col("cc"))
+          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
+        val np = scored.withColumn("rk", row_number().over(
+            Window.partitionBy("qid").orderBy(col("cc").desc, col("v"))))
+          .where(col("rk") <= 20)
+          .groupBy("qid")
+          .agg(sum(when(col("lq") === col("lv"), 1L).otherwise(0L)).as("n_pos20"))
+        scored.where(col("lq") =!= col("lv"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("qid").orderBy(col("cc").desc, col("v"))).cast("long"))
+          .where(col("rk") <= 5)
+          .join(embBcast(d)(np), "qid")
+          .select(col("qid").as("query_id"), col("rk"), col("v").as("vec_id"),
+            s6(col("cc")).as("cos_sim"), col("n_pos20"))
+          .orderBy("query_id", "rk")
+      }),
+
     // Winnowing document fingerprints (round 8) [PK Schleimer, Wilkerson
     // & Aiken 2003, SIGMOD]: token-trigram hashes (portable Det.hash32),
     // guarantee window w=4, fingerprint set = the distinct window minima

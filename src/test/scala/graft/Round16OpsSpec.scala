@@ -261,4 +261,78 @@ class Round16OpsSpec extends SparkSpec {
       graft.maintenance.Compaction.deleteRecursively(landing)
     }
   }
+
+  test("llm_hard_negatives: full scalar mirror of the mining pick and " +
+    "the positives census") {
+    val rows = Tables.embeddings(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[String]("label"),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    val emb = rows.map(r => r._1 -> r._3).toMap
+    val lbl = rows.map(r => r._1 -> r._2).toMap
+    def dotl(a: Array[Double], b: Array[Double]): Long = {
+      var acc = 0L; var i = 0
+      while (i < a.length) {
+        acc += math.floor(a(i) * b(i) * 1e14 + 0.5).toLong; i += 1
+      }
+      acc
+    }
+    val nl = emb.map { case (k, v) => k -> dotl(v, v) }
+    def cosv(q: Long, v: Long): Double =
+      (dotl(emb(q), emb(v)).toDouble / 1e14) /
+        (math.sqrt(nl(v).toDouble / 1e14) * math.sqrt(nl(q).toDouble / 1e14))
+    val qids = emb.keys.filter(_ % 2 == 1).toSeq.sorted
+    val iids = emb.keys.filter(_ % 2 == 0).toSeq.sorted
+    val got = SparkEntry.queries("llm_hard_negatives")(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    assert(got.keySet == qids.toSet, "every odd vec_id mines")
+    qids.foreach { q =>
+      val ranked = iids.sortBy(v => (-cosv(q, v), v))
+      val nPos20 = ranked.take(20).count(v => lbl(v) == lbl(q)).toLong
+      val negs = ranked.filter(v => lbl(v) != lbl(q)).take(5)
+      val rs = got(q).sortBy(_.getAs[Long]("rk"))
+      assert(rs.map(_.getAs[Long]("vec_id")).toSeq == negs,
+        s"hard negatives of query $q")
+      rs.foreach { r =>
+        assert(r.getAs[Long]("n_pos20") == nPos20, s"n_pos20 of $q")
+        assert(r.getAs[Long]("cos_sim") ==
+          math.floor(cosv(q, r.getAs[Long]("vec_id")) * 1e6 + 0.5).toLong,
+          s"cos of ($q, ${r.getAs[Long]("vec_id")})")
+      }
+    }
+    // the label filter does real work somewhere: at least one query has a
+    // same-label item inside its unfiltered top-20
+    assert(qids.exists(q =>
+      iids.sortBy(v => (-cosv(q, v), v)).take(20).exists(v => lbl(v) == lbl(q))),
+      "positives-in-shortlist lane dead")
+  }
+
+  test("llm_dedup_upsert: split census, candidate-union law, and live " +
+    "dup lanes") {
+    val got = SparkEntry.queries("llm_dedup_upsert")(spark, sfDir).collect()
+    // per-lang doc census re-derived from the raw table + the scalar
+    // hash twin
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getAs[String]("lang")))
+    val expected = docs.groupBy(_._2).map { case (l, ds) =>
+      val delta = ds.count(d => Det.hash32Scala(s"upsert:${d._1}") % 4 == 0)
+      l -> (ds.length - delta.toLong, delta.toLong)
+    }
+    got.foreach { r =>
+      val l = r.getAs[String]("lang")
+      assert((r.getAs[Long]("n_base"), r.getAs[Long]("n_delta")) == expected(l),
+        s"split census of lang $l")
+      // the exactness law: banding is per-doc independent, so the three
+      // incremental candidate sets partition the rebuilt full set
+      assert(r.getAs[Long]("census_match") == 1L, s"census law of lang $l")
+      // verified dups are a subset of candidates
+      assert(r.getAs[Long]("n_dup_cross") <= r.getAs[Long]("n_cand_cross") &&
+        r.getAs[Long]("n_dup_delta") <= r.getAs[Long]("n_cand_delta"),
+        s"verify subset law of lang $l")
+    }
+    assert(got.map(_.getAs[String]("lang")).toSet == expected.keySet, "langs")
+    // the increment genuinely dedups: the cross lane (delta vs frozen
+    // base) fires somewhere in the corpus
+    assert(got.map(_.getAs[Long]("n_dup_cross")).sum > 0, "cross dup lane dead")
+  }
 }
