@@ -84,19 +84,11 @@ object Bench {
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] staging pre-warm FAILED (first stream_exec keys will absorb the split writes): $e")
       }
-    // untimed ANN index-memo pre-warm (round 16, VERDICT r15 #1): the
-    // JVM-lifetime deterministic index builds (NSW/HNSW graphs, Lloyd
-    // codebooks — LlmExtras.indexMemo scaladoc) otherwise land inside
-    // the FIRST key per structure's timed region, exactly like the
-    // streaming split writes above. Same gating: skipped when a
-    // SPARK_GRAFT_ONLY subset names no memo-consuming key (the ANN
-    // family plus the frozen-tokenizer apply rung).
-    if (only.isEmpty || only.exists(_.startsWith("llm_ann_")) ||
-        only("llm_unigram_apply"))
-      try graft.operators.LlmExtras.prewarmAnnIndexes(spark, sfDir)
-      catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] ANN index pre-warm FAILED (first ANN keys will absorb the index builds): $e")
-      }
+    // NOTE (round 16, optimization): the short-lived "ANN index-memo
+    // pre-warm" that briefly lived here (JVM-lifetime index builds
+    // forced untimed before the loop) was REMOVED — the optimization
+    // contract requires every key's timed region to compute its own
+    // index from the parquet inputs. See LlmExtras.indexMemo scaladoc.
     // steady-state mode (round 12, VERDICT r11 item 9): REPS>1 re-runs
     // each key in the same warmed JVM and records the MIN of the later
     // runs next to the first run, so a verdict can separate shared-box

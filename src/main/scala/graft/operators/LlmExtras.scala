@@ -230,51 +230,32 @@ object LlmExtras {
     if (b > 0L && b <= AnnBroadcastGateBytes) broadcast(df) else df
   }
 
-  /** JVM-lifetime deterministic index-build memos (round 16, VERDICT r15
-    * #1 — the ANN rebuild tax): five graph/batch ANN keys re-derived the
-    * SAME deterministic structures (the even-id NSW bucket graph, the
-    * layered HNSW variants, the Lloyd PQ codebooks) from scratch inside
-    * their timed regions — ~38 s / 7.7% of the r15 driver bench in 5 of
-    * 510 keys, growing with every new rung. Every structure is a pure
-    * function of (sfDir, geometry constants) over the immutable testdata
-    * — hash-derandomized wiring, mean6 centroids, scaled-long distances —
-    * so the StreamTwins staging-memo discipline applies verbatim: build
-    * ONCE per JVM, materialize to a temp parquet keyed by (sfDir,
-    * structure id), and let every later invocation read the file instead
-    * of re-running the build jobs. The memoized bytes are bit-identical
-    * to what an in-plan rebuild would produce (the builds carry no
-    * nondeterminism: no sampling, no float-order dependence — all
-    * reductions are scaled-long sums or mean6), so every key's graded
-    * output and DuckDB oracle are unchanged; only the plan's index
-    * subtree becomes a FileScan. Keyed by sfDir so multi-SF sessions
-    * cannot cross-pollute; Bench pre-warms the memos untimed
-    * ([[prewarmAnnIndexes]]) exactly like the streaming staging pre-warm.
-    * At 100 TB this IS the production shape: a serving index is built
-    * once and persisted, not re-derived per query batch. */
-  private val indexFiles =
-    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  /** Per-invocation index-build materialization (round 16, REVISED): a
+    * mid-build change had memoized these deterministic structures (the
+    * even-id NSW bucket graph, the layered HNSW variants, the Lloyd PQ
+    * codebooks) to JVM-lifetime temp parquet keyed by sfDir, with an
+    * untimed Bench pre-warm — moving the build jobs out of every ANN
+    * key's timed region. The optimization-round contract forbids exactly
+    * that (no module-level memo of intermediates keyed on the testdata,
+    * no precomputation outside the timed region), so the memo is gone:
+    * every invocation re-derives its index from the parquet inputs and
+    * pays the build inside its own timed region. The builds stay
+    * factored here (they are shared verbatim by several keys' plans) and
+    * are materialized ONCE per invocation with an eager localCheckpoint
+    * — the downstream search loops join the index every round, so
+    * without materialization each round would re-execute the whole
+    * build subtree (the same lineage-truncation role the temp-parquet
+    * scan played, now per-invocation and timed). */
   private def indexMemo(s: SparkSession, d: String, id: String)(
-      build: => DataFrame): DataFrame = {
-    val p = indexFiles.computeIfAbsent(s"$d#$id", { _ =>
-      val tmp = java.nio.file.Files.createTempDirectory(s"graft_annidx_${id}_")
-      build.write.mode("overwrite").parquet(tmp.toString)
-      tmp
-    })
-    s.read.parquet(p.toString)
-  }
+      build: => DataFrame): DataFrame =
+    build.localCheckpoint()
   /** Two structures that fall out of ONE build job chain (layered graph +
     * member ranks; Lloyd codes + codebooks) — materialized together so
-    * the chain runs once, not once per structure. */
+    * the chain runs once per invocation, not once per structure. */
   private def indexMemoPair(s: SparkSession, d: String, id: String)(
       build: => (DataFrame, DataFrame)): (DataFrame, DataFrame) = {
-    val p = indexFiles.computeIfAbsent(s"$d#$id", { _ =>
-      val tmp = java.nio.file.Files.createTempDirectory(s"graft_annidx_${id}_")
-      val (a, b) = build
-      a.write.mode("overwrite").parquet(s"$tmp/a")
-      b.write.mode("overwrite").parquet(s"$tmp/b")
-      tmp
-    })
-    (s.read.parquet(s"$p/a"), s.read.parquet(s"$p/b"))
+    val (a, b) = build
+    (a.localCheckpoint(), b.localCheckpoint())
   }
 
   /** Full-corpus NSW adjacency (llm_ann_nsw's graph, built exactly as the
@@ -294,15 +275,16 @@ object LlmExtras {
           .otherwise(0L)).reduce(_ + _)
       val sigs = emb.select(col("vec_id"), bucket.as("bucket"))
         .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
-      val sqImp = s
-      import sqImp.implicits._
-      val flipsDf = (0L +: (0 until NswPlanes).map(p => 1L << p)).toDF("f")
-      val nbf = sigs.select(col("bucket")).distinct()
-        .crossJoin(broadcast(flipsDf))
-        .select(col("bucket"), expr("bucket ^ f").as("nb"))
-        .distinct()
-      val pool = sigs.join(broadcast(nbf), "bucket")
-        .select(col("vec_id").as("s"), col("nb"))
+      // Hamming-1 candidate pool via a MAP-SIDE flip explode (round 16
+      // optimization, guide §2.4): bucket^f over the 1+NswPlanes literal
+      // flips is exploded per row — per row the flips are distinct, and
+      // the old (distinct buckets × flips → distinct → join) dictionary
+      // produced exactly one (bucket, nb) pair per flip too, so the pool
+      // multiset is IDENTICAL while two distinct exchanges, a crossJoin
+      // and a broadcast join drop out of the build.
+      val flipArr = array((0L +: (0 until NswPlanes).map(p => 1L << p))
+        .map(f => col("bucket").bitwiseXOR(lit(f))): _*)
+      val pool = sigs.select(col("vec_id").as("s"), explode(flipArr).as("nb"))
         .join(sigs.select(col("vec_id").as("t"), col("bucket").as("nb")), "nb")
         .where(col("t") =!= col("s"))
         .select(col("s"), col("t"))
@@ -317,7 +299,7 @@ object LlmExtras {
         .select(col("s"), col("t"))
       val nn = emb.agg(count(lit(1)).as("n"))
       val sc = emb.select(col("vec_id").as("s"))
-        .crossJoin(broadcast(s.range(0, 2).select(col("id").as("h"))))
+        .select(col("s"), explode(array(lit(0L), lit(1L))).as("h"))
         .crossJoin(broadcast(nn))
         .select(col("s"),
           (hash32(concat(lit("nsw:"), col("h").cast("string"), lit(":"),
@@ -346,15 +328,11 @@ object LlmExtras {
           .otherwise(0L)).reduce(_ + _)
       val sigs = idx.select(col("vec_id"), bucket.as("bucket"))
         .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
-      val sqImp = s
-      import sqImp.implicits._
-      val flipsDf = (0L +: (0 until NswPlanes).map(p => 1L << p)).toDF("f")
-      val nbf = sigs.select(col("bucket")).distinct()
-        .crossJoin(broadcast(flipsDf))
-        .select(col("bucket"), expr("bucket ^ f").as("nb"))
-        .distinct()
-      val pool = sigs.join(broadcast(nbf), "bucket")
-        .select(col("vec_id").as("s"), col("nb"))
+      // map-side flip explode — identical pool multiset, two distinct
+      // exchanges + a crossJoin + a broadcast join removed (see nswAdj)
+      val flipArr = array((0L +: (0 until NswPlanes).map(p => 1L << p))
+        .map(f => col("bucket").bitwiseXOR(lit(f))): _*)
+      val pool = sigs.select(col("vec_id").as("s"), explode(flipArr).as("nb"))
         .join(sigs.select(col("vec_id").as("t"), col("bucket").as("nb")), "nb")
         .where(col("t") =!= col("s"))
         .select("s", "t")
@@ -367,7 +345,7 @@ object LlmExtras {
         .where(col("rn") <= NswM).select("s", "t")
       val nn = sigs.agg(count(lit(1)).as("n"))
       val sc = sigs.select(col("vec_id").as("s"))
-        .crossJoin(broadcast(s.range(0, 2).select(col("id").as("h"))))
+        .select(col("s"), explode(array(lit(0L), lit(1L))).as("h"))
         .crossJoin(broadcast(nn))
         .select(col("s"), (lit(2) * (hash32(concat(lit("bnsw:sc:"),
           col("h").cast("string"), lit(":"), col("s").cast("string")))
@@ -388,18 +366,16 @@ object LlmExtras {
       emb: DataFrame, scSalt: String): (DataFrame, DataFrame) = {
     graft.functions.VectorExprs.register(s)
     import graft.functions.VectorExprs.sl2
-    val sqImp = s
-    import sqImp.implicits._
-    val flipsDf = (0L +: (0 until NswPlanes).map(p => 1L << p)).toDF("f")
-    val nbf = members.select(col("bucket")).distinct()
-      .crossJoin(broadcast(flipsDf))
-      .select(col("bucket"), expr("bucket ^ f").as("nb"))
-      .distinct()
     val mAll = members.select(col("vec_id"), col("bucket"),
         explode(sequence(lit(0), col("l"))).as("layer"))
       .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
-    val pool = mAll.join(broadcast(nbf), "bucket")
-      .select(col("layer"), col("vec_id").as("s"), col("nb"))
+    // map-side flip explode — identical per-layer pool multiset, two
+    // distinct exchanges + a crossJoin + a broadcast join removed (see
+    // nswAdj)
+    val flipArr = array((0L +: (0 until NswPlanes).map(p => 1L << p))
+      .map(f => col("bucket").bitwiseXOR(lit(f))): _*)
+    val pool = mAll
+      .select(col("layer"), col("vec_id").as("s"), explode(flipArr).as("nb"))
       .join(mAll.select(col("layer"), col("vec_id").as("t"),
         col("bucket").as("nb")), Seq("layer", "nb"))
       .where(col("t") =!= col("s"))
@@ -417,7 +393,8 @@ object LlmExtras {
         .cast("long") - 1)
     val nnl = ranked.groupBy("layer").agg(count(lit(1)).as("n"))
     val sc = mAll.select(col("layer"), col("vec_id"))
-      .crossJoin(broadcast(s.range(0, 2).select(col("id").as("h"))))
+      .select(col("layer"), col("vec_id"),
+        explode(array(lit(0L), lit(1L))).as("h"))
       .join(broadcast(nnl), "layer")
       .select(col("layer"), col("vec_id").as("s2"),
         (hash32(concat(lit(scSalt), col("h").cast("string"), lit(":"),
@@ -505,23 +482,6 @@ object LlmExtras {
           .when(pmod(hl, lit(4)) === 0, 1).otherwise(0).as("l"))
       hnswLayerBuild(s, d, sigs, base, "uhnsw:sc:")
     }
-
-  /** Untimed memo pre-warm, called from Bench's warm-up block exactly
-    * like [[graft.streaming.StreamTwins.prewarmStaging]]: forces every
-    * JVM-lifetime index build so no ANN key's timed region absorbs it.
-    * Verify needs no pre-warm (the correctness gate is untimed — each
-    * memo builds lazily on first use there). */
-  private[graft] def prewarmAnnIndexes(s: SparkSession, d: String): Unit = {
-    nswAdj(s, d)
-    bnswAdj(s, d)
-    hnswGraph(s, d)
-    bhnswGraph(s, d)
-    uhnswGraph(s, d)
-    pqTrainedMemo(s, d)
-    bpqTrainedMemo(s, d)
-    unigramLpMemo(s, d)
-    s.catalog.clearCache()
-  }
 
   /** Plan-time ±1f sign arrays of the [[NswPlanes]] LSH planes, folded
     * from [[Det.hash32Scala]] (shared by llm_ann_nsw and llm_ann_hnsw —
@@ -650,14 +610,20 @@ object LlmExtras {
       .select(seedCk.as("ck"), col("m"), col("dvec").as("cvec"))
     var asg: DataFrame = null
     var centPacked: DataFrame = null
-    val w = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("ck"))
     for (_ <- 1 to PqRounds) {
+      // argmin by (d2, ck) as a struct-min AGGREGATE (round 16
+      // optimization, guide §2.3 "aggregate before you shuffle"):
+      // min(struct(d2, ck)) is lexicographic — smallest d2, tie smallest
+      // ck — exactly the old ROW_NUMBER() OVER (ORDER BY d2, ck) = 1
+      // pick, but with map-side partial aggregation the exchange carries
+      // one row per (vec_id, m) per map partition instead of the full
+      // n·M·K distance table into a sort.
       asg = subvecs.join(broadcast(centArr), "m")
         .select(col("vec_id"), col("m"), col("ck"),
           sl2(col("dvec"), col("cvec")).as("d2"))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select("vec_id", "m", "ck")
+        .groupBy("vec_id", "m")
+        .agg(min(struct(col("d2"), col("ck"))).as("mn"))
+        .select(col("vec_id"), col("m"), col("mn").getField("ck").as("ck"))
         .localCheckpoint()
       centPacked = uxpos.join(asg, Seq("vec_id", "m"))
         .groupBy("m", "ck", "pos")
@@ -688,8 +654,9 @@ object LlmExtras {
     }
 
   /** Trained codes + the single query's LUT (the llm_ann_pq surface):
-    * the Lloyd products come from the JVM-lifetime memo; only the
-    * bounded M·K LUT join is (re-)derived per call. */
+    * the Lloyd products are re-trained in-plan per invocation
+    * ([[pqTrainedMemo]], materialized once per call); the bounded M·K
+    * LUT join is derived on top. */
   private def pqTrained(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     graft.functions.VectorExprs.register(s)
     import graft.functions.VectorExprs.sl2
@@ -798,8 +765,8 @@ object LlmExtras {
 
   /** The k-round hard-EM training loop over the even-doc-id half;
     * returns (final piece log-probs, final surviving multi-char
-    * pieces). Pure function of (sfDir, k) — llm_unigram_apply memoizes
-    * its result as the FROZEN model. */
+    * pieces). Pure function of (sfDir, k) — llm_unigram_apply re-runs
+    * it per invocation and freezes the resulting piece table. */
   private def unigramModel(s: SparkSession, d: String,
       k: Int): (DataFrame, DataFrame) = {
     val wt = unigramUnitTypes(s, d, 0)
@@ -855,10 +822,11 @@ object LlmExtras {
     (lp, surv)
   }
 
-  /** The FROZEN final piece table for llm_unigram_apply — the
-    * [[indexMemo]] discipline applied to the tokenizer model (a
-    * production tokenizer trains once and is applied corpus-wide; the
-    * train key keeps its own in-plan loop because it GRADES training). */
+  /** The FROZEN final piece table for llm_unigram_apply: the train
+    * loop re-runs in-plan per invocation (compute-from-inputs; the
+    * result is materialized once via [[indexMemo]] so the apply lattice
+    * does not re-execute the loop), then the apply rung segments the
+    * heldout half under the resulting table. */
   private[graft] def unigramLpMemo(s: SparkSession, d: String): DataFrame =
     indexMemo(s, d, "unigram_lp")(unigramModel(s, d, UnigramRounds)._1)
 
@@ -2270,14 +2238,10 @@ object LlmExtras {
             transform(col("embedding"), x => x.cast("double")).as("e"),
             col("embedding"))
           .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
-        // index graph from the JVM-lifetime memo (round 16, VERDICT r15
-        // #1): the whole build — driver-folded sign projections, bucket
-        // pool, top-M exact edges, hash shortcuts (see [[nswAdj]], the
-        // former in-plan build verbatim) — is a pure function of the
-        // immutable corpus, so it runs once per JVM and this key's timed
-        // region starts at the SEARCH, the serving-index production
-        // shape (an index is built once and persisted, not re-derived
-        // per query).
+        // index graph built in-plan per invocation ([[nswAdj]]:
+        // driver-folded sign projections, bucket pool, top-M exact
+        // edges, hash shortcuts), materialized once so the search
+        // rounds don't re-execute the build subtree.
         val adj = nswAdj(s, d).transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
         // the lazy broadcast n scalar (SCALING.md principle 3)
         val nn = emb.agg(count(lit(1)).as("n"))
@@ -2502,10 +2466,8 @@ object LlmExtras {
         graft.functions.VectorExprs.register(s)
         import graft.functions.VectorExprs.{sdotl, sl2}
         val subvecs = pqSubvecs(s, d)
-        // Lloyd codes + codebook from the JVM-lifetime memo (round 16,
-        // VERDICT r15 #1 — see [[bpqTrainedMemo]], the former in-plan
-        // training loop verbatim); the timed region is LUT build + ADC
-        // scan + rerank, the serving shape of a trained PQ index
+        // Lloyd codes + codebook trained in-plan per invocation
+        // ([[bpqTrainedMemo]]); then LUT build + ADC scan + rerank
         val (codes, centPacked) = bpqTrainedMemo(s, d)
         // batched LUTs: every query × the bounded M·K codebook, one
         // broadcast join, map-only sl2 per cell
@@ -2623,9 +2585,8 @@ object LlmExtras {
           .select(col("vec_id").as("qid"), col("e").as("qe"),
             col("embedding").as("qemb"))
           .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
-        // index graph from the JVM-lifetime memo (round 16, VERDICT r15
-        // #1 — see [[bnswAdj]], the former in-plan build verbatim): the
-        // timed region is the batched search, the serving shape
+        // index graph built in-plan per invocation ([[bnswAdj]]),
+        // materialized once for the batched search rounds
         val adj = bnswAdj(s, d).transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
         // the lazy broadcast n scalar (index-half cardinality — the same
         // count the former sigs frame carried)
@@ -2775,11 +2736,10 @@ object LlmExtras {
             transform(col("embedding"), x => x.cast("double")).as("e"),
             col("embedding"))
           .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
-        // layered graph + member-rank dictionary from the JVM-lifetime
-        // memo (round 16, VERDICT r15 #1 — see [[hnswGraph]], the former
-        // in-plan one-pass layered build verbatim; identical edge sets,
-        // the oracle's per-layer CTEs unchanged); the timed region is
-        // the descent, the serving shape
+        // layered graph + member-rank dictionary built in-plan per
+        // invocation ([[hnswGraph]], ONE pass for all layers; identical
+        // edge sets to per-layer builds, the oracle's per-layer CTEs
+        // unchanged), materialized once for the descent rounds
         val (adjAllM, ranked) = hnswGraph(s, d)
         val adjAll = adjAllM.transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
         val nnl = ranked.groupBy("layer").agg(count(lit(1)).as("n"))
@@ -2964,10 +2924,9 @@ object LlmExtras {
           .select(col("vec_id").as("qid"), col("e").as("qe"),
             col("embedding").as("qemb"))
           .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
-        // layered graph + member-rank dictionary from the JVM-lifetime
-        // memo (round 16, VERDICT r15 #1 — see [[bhnswGraph]], the
-        // former in-plan one-pass layered build verbatim); the timed
-        // region is the batched descent, the serving shape
+        // layered graph + member-rank dictionary built in-plan per
+        // invocation ([[bhnswGraph]], ONE pass for all layers),
+        // materialized once for the batched descent rounds
         val (adjAllM, ranked) = bhnswGraph(s, d)
         val adjAll = adjAllM.transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
         val nnl = ranked.groupBy("layer").agg(count(lit(1)).as("n"))
@@ -3151,8 +3110,9 @@ object LlmExtras {
         val qs = emb.where(col("is_delta") === 1)
           .select(col("vec_id").as("qid"), col("e").as("qe"))
           .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
-        // frozen graph from the JVM-lifetime memo; the timed region is
-        // the batched descent + re-link, the production add() shape
+        // frozen base graph built in-plan per invocation
+        // ([[uhnswGraph]]); then the batched descent + re-link, the
+        // production add() shape
         val (adjAllM, ranked) = uhnswGraph(s, d)
         val adjAll = adjAllM.transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
         val nnl = ranked.groupBy("layer").agg(count(lit(1)).as("n"))
@@ -4721,10 +4681,9 @@ object LlmExtras {
     // Unigram-LM APPLY rung (round 16, VERDICT r15 missing #4) — the
     // missing half of the SentencePiece train/apply symmetry [Kudo
     // 2018]: corpus-scale Viterbi segmentation of the HELDOUT half
-    // under the FROZEN trained piece table (production tokenizers train
-    // once, then tokenize the whole corpus — the frozen table rides the
-    // [[indexMemo]] discipline, [[unigramLpMemo]]; llm_unigram_train
-    // keeps its in-plan loop because it grades TRAINING). Graded per
+    // under the FROZEN trained piece table (re-derived in-plan per
+    // invocation, [[unigramLpMemo]]; llm_unigram_train keeps its own
+    // loop because it grades TRAINING). Graded per
     // heldout unit type: the integer-argmax path over the 3-path
     // lattice (whole 0 / split 1 / chars 2, ties whole > split >
     // chars), the resulting piece count, and the CHOSEN path's exact
