@@ -735,14 +735,18 @@ object LlmExtras {
     * llm_unigram_apply's per-unit surface. */
   private def unigramEstep(words: DataFrame, chars: DataFrame,
       probs: DataFrame): DataFrame = {
-    val wlp = probs.select(col("lang"), col("piece").as("w"),
-      col("lp6").as("llw0"))
-    val plp = probs.select(col("lang"), col("piece").as("prep"),
-      col("lp6").as("lpp"))
-    val slp = probs.select(col("lang"), col("piece").as("sufp"),
-      col("lp6").as("lps"))
-    val clp = probs.select(col("lang"), col("piece").as("c"),
-      col("lp6").as("lpc"))
+    // the piece table is vocab-bounded at ANY corpus size (the
+    // SentencePiece inventory, not the corpus) — broadcast its four
+    // projections instead of sort-merge-joining each one (round 16
+    // optimization, guide §3.1): 4 shuffle pairs leave every E-step
+    val wlp = broadcast(probs.select(col("lang"), col("piece").as("w"),
+      col("lp6").as("llw0")))
+    val plp = broadcast(probs.select(col("lang"), col("piece").as("prep"),
+      col("lp6").as("lpp")))
+    val slp = broadcast(probs.select(col("lang"), col("piece").as("sufp"),
+      col("lp6").as("lps")))
+    val clp = broadcast(probs.select(col("lang"), col("piece").as("c"),
+      col("lp6").as("lpc")))
     val llc = chars.join(clp, Seq("lang", "c"))
       .groupBy("lang", "w").agg(sum(col("mult") * col("lpc")).as("llc"))
     words
@@ -843,7 +847,7 @@ object LlmExtras {
       .groupBy("lang")
       .agg(sum(col("freq") * col("np")).as("held_pieces"),
         sum(col("freq")).as("held_words"))
-    surv.join(lp, Seq("lang", "piece"))
+    surv.join(broadcast(lp), Seq("lang", "piece"))
       .join(broadcast(hh), "lang")
       .select(col("lang"), col("piece"), col("cnt"), col("lp6"),
         col("held_pieces"), col("held_words"))
@@ -2608,13 +2612,19 @@ object LlmExtras {
           .localCheckpoint()
         var beam = vis
         for (_ <- 1 to BnswSteps) {
-          // batch-wide dedup shuffles on (qid, v) at natural width — the
-          // whole point of the batched form (NOT the single-query keys'
-          // repartition(1): state here is queries × budget sized)
+          // ONE exchange per round (round 16 optimization, guide §2.4):
+          // the state shuffles by qid once; the (qid, v) dedup — spelled
+          // as GROUP BY (qid, v) MIN(d2), identical to the old distinct
+          // because d2 is a deterministic function of (qid, v) — and the
+          // beam-pick window both run on that partitioning without their
+          // own exchanges (hash(qid) clusters every (qid, v) group and
+          // every qid window). The old shape paid a distinct exchange on
+          // (qid, v, d2) AND a window exchange on qid per round.
           vis = vis.unionAll(withD2(
               beam.join(adj, beam("v") === adj("s"))
                 .select(beam("qid"), col("t").as("v"))))
-            .distinct()
+            .repartition(col("qid"))
+            .groupBy("qid", "v").agg(min(col("d2")).as("d2"))
             .localCheckpoint()
           beam = vis.withColumn("rn", row_number().over(
               Window.partitionBy("qid").orderBy(col("d2"), col("v"))))
@@ -2956,10 +2966,16 @@ object LlmExtras {
           var vis = seed
           var beam = seed
           for (_ <- 1 to steps) {
+            // ONE exchange per round (round 16 optimization, guide
+            // §2.4): shuffle the state by qid once; the (qid, v) dedup
+            // (GROUP BY + MIN(d2) — identical to the old distinct, d2
+            // being a deterministic function of (qid, v)) and the
+            // beam-pick window both reuse that partitioning.
             vis = vis.unionAll(withD2(
                 beam.join(adj, beam("v") === adj("s"))
                   .select(beam("qid"), col("t").as("v"))))
-              .distinct()
+              .repartition(col("qid"))
+              .groupBy("qid", "v").agg(min(col("d2")).as("d2"))
               .localCheckpoint()
             beam = beamPick(vis, b)
           }
@@ -2976,7 +2992,10 @@ object LlmExtras {
         val v1 = bsearch(beamPick(v2, 1), adj1, BhnswStepsU, BhnswBeamU)
         val v0 = bsearch(beamPick(v1, 1), adj0, BhnswSteps0, BnswBeam)
         val vis = v2.unionAll(v1).unionAll(v0)
-          .select("qid", "v").distinct()
+          .select("qid", "v")
+          // one exchange: hash(qid) serves this distinct, the n_visited
+          // aggregate AND the final top-10 window (round 16, guide §2.4)
+          .repartition(col("qid")).distinct()
           .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
         val nvq = vis.groupBy("qid").agg(count(lit(1)).as("n_visited"))
         val cos = (sdotl(col("embedding"), col("qemb")).cast("double") / lit(1e14)) /
@@ -3133,10 +3152,16 @@ object LlmExtras {
           var vis = seed
           var beam = seed
           for (_ <- 1 to steps) {
+            // ONE exchange per round (round 16 optimization, guide
+            // §2.4): shuffle the state by qid once; the (qid, v) dedup
+            // (GROUP BY + MIN(d2) — identical to the old distinct, d2
+            // being a deterministic function of (qid, v)) and the
+            // beam-pick window both reuse that partitioning.
             vis = vis.unionAll(withD2(
                 beam.join(adj, beam("v") === adj("s"))
                   .select(beam("qid"), col("t").as("v"))))
-              .distinct()
+              .repartition(col("qid"))
+              .groupBy("qid", "v").agg(min(col("d2")).as("d2"))
               .localCheckpoint()
             beam = beamPick(vis, b)
           }
@@ -3151,7 +3176,11 @@ object LlmExtras {
         val v1 = bsearch(beamPick(v2, 1), adjL(1), BhnswStepsU, BhnswBeamU)
         val v0 = bsearch(beamPick(v1, 1), adjL(0), BhnswSteps0, BnswBeam)
         val vis = v2.unionAll(v1).unionAll(v0)
-          .distinct() // (qid, v, d2): d2 is a function of (qid, v)
+          // one exchange: hash(qid) serves the (qid, v) dedup (MIN(d2)
+          // == the old distinct, d2 a function of (qid, v)), the
+          // n_visited aggregate AND the final link window (guide §2.4)
+          .repartition(col("qid"))
+          .groupBy("qid", "v").agg(min(col("d2")).as("d2"))
           .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
         val nvq = vis.groupBy("qid").agg(count(lit(1)).as("n_visited"))
         vis.withColumn("rk", row_number().over(
