@@ -257,11 +257,15 @@ object Det {
     * md5_number_upper (the LE uint64 of digest bytes 1-8). Exists so
     * sketch operators (minhash/simhash/sign-LSH) can be graded against
     * the oracle — crc32 has no DuckDB twin. */
-  def hash32(c: Column): Column = {
-    val m = md5(c)
-    conv(concat(substring(m, 7, 2), substring(m, 5, 2),
-      substring(m, 3, 2), substring(m, 1, 2)), 16, 10).cast("long")
-  }
+  def hash32(c: Column): Column =
+    // native single-pass evaluation (round 16 optimization): the former
+    // conv(concat(substring(md5(c),7,2), ...), 16, 10) spelling
+    // re-evaluated md5 once per substring reference inside Filter
+    // predicates and paid hex slicing + a base-16 parse — measured ~4.5x
+    // the digest itself (tools/Scratch). Same value bit-for-bit
+    // (DetLemmaSpec pins Column == Scala == SQL agreement).
+    org.apache.spark.sql.GraftInternal.column(
+      graft.functions.Md5Low32(org.apache.spark.sql.GraftInternal.expression(c)))
 
   /** Driver-side scalar twin of [[hash32]]/[[sqlHash32]], for PLAN-TIME
     * constants only (inputs that are plan literals, e.g. the NSW
