@@ -13,6 +13,12 @@ object Bench {
       // (partition coalescing beats the re-planning latency).
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // spark.sql.files.openCostInBytes was A/B'd at 256 KB vs the 4 MB
+      // default on a 20-key heavy/trivial mix (round 16, REPS=3): wash
+      // on the totals (33.33 vs 33.48 s), heavy per-row keys unchanged
+      // after the Det.hash32 native rewrite removed the single-split
+      // pain, trivial keys slightly WORSE (more tasks per tiny scan).
+      // Left at default per guide §1.2 (config only after algorithm).
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
