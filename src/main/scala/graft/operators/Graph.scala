@@ -812,7 +812,11 @@ object Graph {
           .withColumn("deg",
             count(lit(1)).over(Window.partitionBy("av")).cast("long"))
           .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
-        var w = sym.select(col("a").as("start"), col("a").as("v")).distinct()
+        // start set from the CACHED adjacency (round 16 optimization):
+        // distinct av == distinct a of sym, but sym's lineage re-derives
+        // the whole tradeEdges build while adj is already persisted —
+        // the fact-scan subtree leaves every step's union branch
+        var w = adj.select(col("av").as("start"), col("av").as("v")).distinct()
         var out = w.select(col("start"), lit(0L).as("step"),
           col("v").cast("long").as("node"))
         for (t <- 1 to WalkSteps) {
