@@ -94,7 +94,7 @@ object Bench {
     // pre-warm" that briefly lived here (JVM-lifetime index builds
     // forced untimed before the loop) was REMOVED — the optimization
     // contract requires every key's timed region to compute its own
-    // index from the parquet inputs. See LlmExtras.indexMemo scaladoc.
+    // index from the parquet inputs. See LlmExtras.materializeIndex scaladoc.
     // steady-state mode (round 12, VERDICT r11 item 9): REPS>1 re-runs
     // each key in the same warmed JVM and records the MIN of the later
     // runs next to the first run, so a verdict can separate shared-box
@@ -135,7 +135,8 @@ object Bench {
       else f""""$k":[$d%.3f,$at%.2f,$st%.3f]"""
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries_at":$qs,"sf":"$sfDir"}""")
+    val line1 = s"""{"metric":"total","value":$total,"unit":"sec","queries_at":$qs,"sf":"$sfDir"}"""
+    println(line1)
     // COMPACT full-coverage line (round 10, VERDICT r9 task 6): the
     // driver keeps only the LAST ~2000 bytes of stdout, so the long
     // per-key line above loses its head (~300 of 360 keys were invisible
@@ -145,13 +146,26 @@ object Bench {
     val ds = results.toSeq.sortBy(_._1)
       .map { case (_, (d, _, _)) => math.round(d * 10).toString }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"per_key_ds","unit":"ds","order":"sorted_keys","n_keys":${results.size},"v":$ds}""")
+    val line2 = s"""{"metric":"per_key_ds","unit":"ds","order":"sorted_keys","n_keys":${results.size},"v":$ds}"""
+    println(line2)
     // short, FINAL summary line: even a tail-truncated capture of the
     // lines above still parses this headline. Distinct metric name so a
     // first-total-wins or summing parser cannot double-count (ADVICE r5).
     val slowest5 = results.toSeq.sortBy(-_._2._1).take(5)
       .map { case (k, (d, _, _)) => f""""$k":$d%.3f""" }.mkString("{", ",", "}")
-    println(f"""{"metric":"total_summary","value":$total%.3f,"unit":"sec","n_keys":${results.size},"slowest5":$slowest5,"sf":"$sfDir"}""")
+    val line3 = f"""{"metric":"total_summary","value":$total%.3f,"unit":"sec","n_keys":${results.size},"slowest5":$slowest5,"sf":"$sfDir"}"""
+    println(line3)
+    // durable copy (round 17, VERDICT r16 #7): every BENCH_r*.json back to
+    // r01 carries `parsed: null` because the driver keeps only the last
+    // ~2000 bytes of stdout and sbt's epilogue follows the JSON lines. The
+    // SAME three lines land in BENCH_out.json (cwd) so a parser never
+    // depends on stdout capture. Best-effort: a read-only cwd must not
+    // fail the bench (stdout stays byte-identical either way).
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_out.json"),
+      s"$line1\n$line2\n$line3\n".getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] BENCH_out.json write failed (stdout lines remain authoritative): $e")
+    }
     spark.stop()
   }
 }

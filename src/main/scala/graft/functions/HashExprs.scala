@@ -46,11 +46,16 @@ case class Md5Low32(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
+  // match the StringType FAMILY (any collation), not the bare default:
+  // the hash reads the UTF-8 bytes, which are collation-independent, and
+  // the old md5()-based spelling accepted collated inputs too (ADVICE r16)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"graft_md5low32 expects string, got ${t.simpleString}")
+      s"$prettyName expects string, got ${t.simpleString}")
   }
+
+  override def prettyName: String = "graft_md5low32"
 
   override def nullSafeEval(s: Any): Any =
     HashExprs.md5Low32(s.asInstanceOf[UTF8String])

@@ -229,6 +229,17 @@ object LlmExtras {
     // withhold the hint and let AQE decide, never pin a broadcast
     if (b > 0L && b <= AnnBroadcastGateBytes) broadcast(df) else df
   }
+  /** The same gate for corpus-derived TEXT sides (ADVICE r16 #3): the
+    * unigram piece inventory is unit-TYPE-sized — sublinear in corpus
+    * bytes (Heaps) but not bounded, so its forced broadcasts get the
+    * embBcast discipline keyed on documents.parquet. All graded SFs are
+    * ≤ 0.6 MB, so the measured plans keep their broadcasts; a 100×
+    * corpus falls back to AQE-chosen joins instead of pinning a
+    * vocabulary-proportional broadcast. */
+  private[graft] def docBcast(d: String)(df: DataFrame): DataFrame = {
+    val b = parquetBytes(new java.io.File(s"$d/documents.parquet"))
+    if (b > 0L && b <= AnnBroadcastGateBytes) broadcast(df) else df
+  }
 
   /** Per-invocation index-build materialization (round 16, REVISED): a
     * mid-build change had memoized these deterministic structures (the
@@ -246,13 +257,12 @@ object LlmExtras {
     * without materialization each round would re-execute the whole
     * build subtree (the same lineage-truncation role the temp-parquet
     * scan played, now per-invocation and timed). */
-  private def indexMemo(s: SparkSession, d: String, id: String)(
-      build: => DataFrame): DataFrame =
+  private def materializeIndex(build: => DataFrame): DataFrame =
     build.localCheckpoint()
   /** Two structures that fall out of ONE build job chain (layered graph +
     * member ranks; Lloyd codes + codebooks) — materialized together so
     * the chain runs once per invocation, not once per structure. */
-  private def indexMemoPair(s: SparkSession, d: String, id: String)(
+  private def materializeIndexPair(
       build: => (DataFrame, DataFrame)): (DataFrame, DataFrame) = {
     val (a, b) = build
     (a.localCheckpoint(), b.localCheckpoint())
@@ -262,7 +272,7 @@ object LlmExtras {
     * key's former in-plan build: sign-LSH buckets ∪ Hamming-1 pool →
     * top-[[NswM]] exact edges → 2 hash shortcuts, symmetrized). */
   private[graft] def nswAdj(s: SparkSession, d: String): DataFrame =
-    indexMemo(s, d, "nsw_adj") {
+    materializeIndex {
       graft.functions.VectorExprs.register(s)
       import graft.functions.VectorExprs.{sdotl, sl2}
       val emb = T.embeddings(s, d)
@@ -314,7 +324,7 @@ object LlmExtras {
   /** Even-id-half NSW adjacency (llm_ann_batch_nsw's index graph; dense
     * member ranks make shortcut targets pure arithmetic — 2·(hash % n)). */
   private[graft] def bnswAdj(s: SparkSession, d: String): DataFrame =
-    indexMemo(s, d, "bnsw_adj") {
+    materializeIndex {
       graft.functions.VectorExprs.register(s)
       import graft.functions.VectorExprs.{sdotl, sl2}
       val emb = T.embeddings(s, d)
@@ -413,7 +423,7 @@ object LlmExtras {
 
   /** Full-corpus (query-excluded) layered HNSW graph — llm_ann_hnsw. */
   private[graft] def hnswGraph(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    indexMemoPair(s, d, "hnsw_graph") {
+    materializeIndexPair {
       graft.functions.VectorExprs.register(s)
       import graft.functions.VectorExprs.sdotl
       val emb = T.embeddings(s, d)
@@ -435,7 +445,7 @@ object LlmExtras {
 
   /** Even-id-half layered HNSW graph — llm_ann_batch_hnsw. */
   private[graft] def bhnswGraph(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    indexMemoPair(s, d, "bhnsw_graph") {
+    materializeIndexPair {
       graft.functions.VectorExprs.register(s)
       import graft.functions.VectorExprs.sdotl
       val emb = T.embeddings(s, d)
@@ -462,7 +472,7 @@ object LlmExtras {
     * own shortcut salt. Levels reuse the 'hnsw:lvl:' rule, so a base
     * member keeps the same level it has in the full graph. */
   private[graft] def uhnswGraph(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    indexMemoPair(s, d, "uhnsw_graph") {
+    materializeIndexPair {
       graft.functions.VectorExprs.register(s)
       import graft.functions.VectorExprs.sdotl
       val base = T.embeddings(s, d)
@@ -640,27 +650,27 @@ object LlmExtras {
 
   /** Memoized full-corpus Lloyd training (llm_ann_pq family): codes +
     * codebook, seeds = vec_ids 1..K as centroids 0..K−1. */
-  private[graft] def pqTrainedMemo(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    indexMemoPair(s, d, "pq_lloyd") {
+  private[graft] def pqLloydTrained(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    materializeIndexPair {
       pqLloyd(s, d, lit(true), 1L, PqK.toLong, col("vec_id") - 1)
     }
 
   /** Memoized even-id-half Lloyd training (llm_ann_batch_pq — the
     * train/query split form): seeds = even vec_ids 2..2K. */
-  private[graft] def bpqTrainedMemo(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    indexMemoPair(s, d, "bpq_lloyd") {
+  private[graft] def bpqLloydTrained(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    materializeIndexPair {
       pqLloyd(s, d, col("vec_id") % 2 === 0, 2L, 2L * PqK,
         expr("vec_id div 2 - 1"))
     }
 
   /** Trained codes + the single query's LUT (the llm_ann_pq surface):
     * the Lloyd products are re-trained in-plan per invocation
-    * ([[pqTrainedMemo]], materialized once per call); the bounded M·K
+    * ([[pqLloydTrained]], materialized once per call); the bounded M·K
     * LUT join is derived on top. */
   private def pqTrained(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     graft.functions.VectorExprs.register(s)
     import graft.functions.VectorExprs.sl2
-    val (asg, centPacked) = pqTrainedMemo(s, d)
+    val (asg, centPacked) = pqLloydTrained(s, d)
     val qsub = pqSubvecs(s, d).where(col("vec_id") === 0)
       .select(col("m").as("qm"), col("dvec").as("qvec"))
     val lut = centPacked.join(broadcast(qsub), col("m") === col("qm"))
@@ -733,19 +743,21 @@ object LlmExtras {
     * plus the integer-argmax path (ties whole > split > chars). Shared
     * by the training loop, the train key's heldout grading, and
     * llm_unigram_apply's per-unit surface. */
-  private def unigramEstep(words: DataFrame, chars: DataFrame,
+  private def unigramEstep(d: String, words: DataFrame, chars: DataFrame,
       probs: DataFrame): DataFrame = {
-    // the piece table is vocab-bounded at ANY corpus size (the
-    // SentencePiece inventory, not the corpus) — broadcast its four
-    // projections instead of sort-merge-joining each one (round 16
-    // optimization, guide §3.1): 4 shuffle pairs leave every E-step
-    val wlp = broadcast(probs.select(col("lang"), col("piece").as("w"),
+    // the piece inventory is unit-TYPE-sized (sublinear in corpus bytes,
+    // not bounded) — broadcast its four projections instead of
+    // sort-merge-joining each one (round 16 optimization, guide §3.1:
+    // 4 shuffle pairs leave every E-step), SIZE-GATED through docBcast
+    // (ADVICE r16 #3) so a corpus past the gate falls back to AQE-chosen
+    // joins instead of pinning a vocabulary-proportional broadcast
+    val wlp = docBcast(d)(probs.select(col("lang"), col("piece").as("w"),
       col("lp6").as("llw0")))
-    val plp = broadcast(probs.select(col("lang"), col("piece").as("prep"),
+    val plp = docBcast(d)(probs.select(col("lang"), col("piece").as("prep"),
       col("lp6").as("lpp")))
-    val slp = broadcast(probs.select(col("lang"), col("piece").as("sufp"),
+    val slp = docBcast(d)(probs.select(col("lang"), col("piece").as("sufp"),
       col("lp6").as("lps")))
-    val clp = broadcast(probs.select(col("lang"), col("piece").as("c"),
+    val clp = docBcast(d)(probs.select(col("lang"), col("piece").as("c"),
       col("lp6").as("lpc")))
     val llc = chars.join(clp, Seq("lang", "c"))
       .groupBy("lang", "w").agg(sum(col("mult") * col("lpc")).as("llc"))
@@ -798,7 +810,7 @@ object LlmExtras {
     var lp = logProbs(seed.groupBy("lang", "piece").agg(sum(col("f")).as("cnt")))
     var surv: DataFrame = null
     for (_ <- 1 to k) {
-      val best = unigramEstep(wt, ch, lp)
+      val best = unigramEstep(d, wt, ch, lp)
       val cnt = best.where(col("path") === 0)
         .select(col("lang"), col("w").as("piece"), col("freq").as("f"))
         .unionAll(best.where(col("path") === 1)
@@ -828,11 +840,11 @@ object LlmExtras {
 
   /** The FROZEN final piece table for llm_unigram_apply: the train
     * loop re-runs in-plan per invocation (compute-from-inputs; the
-    * result is materialized once via [[indexMemo]] so the apply lattice
+    * result is materialized once via [[materializeIndex]] so the apply lattice
     * does not re-execute the loop), then the apply rung segments the
     * heldout half under the resulting table. */
-  private[graft] def unigramLpMemo(s: SparkSession, d: String): DataFrame =
-    indexMemo(s, d, "unigram_lp")(unigramModel(s, d, UnigramRounds)._1)
+  private[graft] def unigramLpFrozen(s: SparkSession, d: String): DataFrame =
+    materializeIndex(unigramModel(s, d, UnigramRounds)._1)
 
   private[graft] def unigramTrainHeldout(s: SparkSession, d: String,
       k: Int): DataFrame = {
@@ -840,7 +852,7 @@ object LlmExtras {
     val ht = unigramUnitTypes(s, d, 1)
     val hch = unigramCharMult(ht).localCheckpoint()
     // heldout compression with the FINAL vocabulary: pieces per word
-    val hb = unigramEstep(ht, hch, lp)
+    val hb = unigramEstep(d, ht, hch, lp)
     val hh = hb.select(col("lang"), col("freq"),
         when(col("path") === 0, 1L).when(col("path") === 1, 2L)
           .otherwise(col("len").cast("long")).as("np"))
@@ -2471,8 +2483,8 @@ object LlmExtras {
         import graft.functions.VectorExprs.{sdotl, sl2}
         val subvecs = pqSubvecs(s, d)
         // Lloyd codes + codebook trained in-plan per invocation
-        // ([[bpqTrainedMemo]]); then LUT build + ADC scan + rerank
-        val (codes, centPacked) = bpqTrainedMemo(s, d)
+        // ([[bpqLloydTrained]]); then LUT build + ADC scan + rerank
+        val (codes, centPacked) = bpqLloydTrained(s, d)
         // batched LUTs: every query × the bounded M·K codebook, one
         // broadcast join, map-only sl2 per cell
         val lutB = subvecs.where(col("vec_id") % 2 === 1)
@@ -4711,7 +4723,7 @@ object LlmExtras {
     // missing half of the SentencePiece train/apply symmetry [Kudo
     // 2018]: corpus-scale Viterbi segmentation of the HELDOUT half
     // under the FROZEN trained piece table (re-derived in-plan per
-    // invocation, [[unigramLpMemo]]; llm_unigram_train keeps its own
+    // invocation, [[unigramLpFrozen]]; llm_unigram_train keeps its own
     // loop because it grades TRAINING). Graded per
     // heldout unit type: the integer-argmax path over the 3-path
     // lattice (whole 0 / split 1 / chars 2, ties whole > split >
@@ -4734,10 +4746,10 @@ object LlmExtras {
         "ORDER BY lang, w"
     },
       (s, d) => {
-        val lp = unigramLpMemo(s, d)
+        val lp = unigramLpFrozen(s, d)
         val ht = unigramUnitTypes(s, d, 1)
         val hch = unigramCharMult(ht).localCheckpoint()
-        unigramEstep(ht, hch, lp)
+        unigramEstep(d, ht, hch, lp)
           .select(col("lang"), col("w"), col("freq"),
             col("path").cast("long").as("path"),
             when(col("path") === 0, 1L).when(col("path") === 1, 2L)

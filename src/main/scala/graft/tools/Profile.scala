@@ -1,13 +1,13 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerJobEnd, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerJobEnd}
 
 /** Throwaway local profiler for single keys (not part of the driver
   * contract): times N repeated runs of the named keys in one JVM and,
-  * per rep, prints every Spark job's wall time, stage count and task
-  * count so the expensive jobs inside a multi-action key (iterative
-  * loops, localCheckpoints, build phases) are visible individually. */
+  * per rep, prints every Spark job's wall time and stage count so the
+  * expensive jobs inside a multi-action key (iterative loops,
+  * localCheckpoints, build phases) are visible individually. */
 object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -22,22 +22,22 @@ object Profile {
 
     val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     val jobInfo = new java.util.concurrent.ConcurrentHashMap[Int, String]()
-    val stageTasks = new java.util.concurrent.ConcurrentHashMap[Int, (Int, Int)]()
     @volatile var record = false
     val lines = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         jobStart.put(js.jobId, System.nanoTime())
         jobInfo.put(js.jobId, s"stages=${js.stageIds.size}")
-        stageTasks.put(js.jobId, (0, 0))
       }
-      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = ()
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
-        val t0 = Option(jobStart.get(je.jobId)).getOrElse(0L)
-        val ms = (System.nanoTime() - t0) / 1e6
-        if (record)
+        // a job whose start event was missed has no t0 — skip it instead
+        // of printing an absurd wall time measured from the epoch
+        val t0 = jobStart.get(je.jobId)
+        if (record && t0 != 0L) {
+          val ms = (System.nanoTime() - t0) / 1e6
           lines.add((je.jobId,
             f"[job] id=${je.jobId} ${ms}%8.0f ms ${jobInfo.get(je.jobId)}"))
+        }
       }
     })
 
