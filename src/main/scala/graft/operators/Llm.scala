@@ -40,7 +40,15 @@ object Llm {
     * dictionary (zipWithIndex ids — partition-parallel, no single-partition
     * window sort; see [[TextOps.denseIds]]: the Jaccard output is invariant
     * to the id permutation) broadcast-joined back to the corpus. */
-  private[graft] def docMasks(s: SparkSession, d: String): DataFrame = {
+  private[graft] def docMasks(s: SparkSession, d: String): DataFrame =
+    docMasksWithToks(s, d)._1
+
+  /** (masks, persisted toks) — keys that need BOTH the mask table and the
+    * minhash band rows (recall evals, banded clustering) take the toks
+    * frame from here so the corpus explode runs ONCE per invocation
+    * instead of once under masks and again under [[sigRows]] (round 17,
+    * guide §1.2 step 1 "don't compute things twice"). */
+  private[graft] def docMasksWithToks(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     // persisted: consumed by the dict's eager id job AND the mask build
     val toks = T.documents(s, d)
       .select(col("doc_id"), col("lang"),
@@ -53,7 +61,7 @@ object Llm {
     // llm_ngram_jaccard's multiword masks and llm_minhash.
     // persisted: both sides of the pair self-join consume it (see
     // llm_dedup_pipeline's masks comment)
-    toks.join(broadcast(dict), "tok")
+    val masks = toks.join(broadcast(dict), "tok")
       .groupBy("doc_id", "lang")
       .agg(sum(expr(
         "CASE WHEN tok_id > 62 THEN raise_error('llm_dedup_near: vocabulary " +
@@ -63,6 +71,7 @@ object Llm {
       // llm_dedup_pipeline's packed-array tiers; ngram_jaccard verifies
       // via integer array_intersect — both open-vocabulary safe)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (masks, toks)
   }
 
   private val toksSql: String =
@@ -116,15 +125,18 @@ object Llm {
     * [[RecallFoldK]]; LlmPipelineSpec runs K = 1, where the fold is the
     * whole corpus, and pins equality with llm_dedup_recall_eval). */
   private[graft] def recallOnFold(s: SparkSession, d: String, k: Int): DataFrame = {
-    val fold = docMasks(s, d)
-      .where(Det.hash32(col("doc_id").cast("string")) % k === 0)
+    // shared toks explode + persisted candidate set — the
+    // llm_dedup_recall_eval treatment (round 17, guide §1.2 step 1)
+    val (m, toks) = docMasksWithToks(s, d)
+    val fold = m.where(Det.hash32(col("doc_id").cast("string")) % k === 0)
     val truth = exactMaskPairs(fold)
-    val fb = bandRows(s, d).join(fold.select("doc_id"), "doc_id")
+    val fb = bandRowsFromToks(toks).join(fold.select("doc_id"), "doc_id")
     val cand = fb.select(col("doc_id").as("d1"), col("lang"), col("band"), col("sig"))
       .join(fb.select(col("doc_id").as("d2"), col("lang"), col("band"), col("sig")),
         Seq("lang", "band", "sig"))
       .where(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nT = truth.agg(count(lit(1)).as("n_truth"))
     val nC = cand.agg(count(lit(1)).as("n_cand"))
     val nH = truth.join(cand, Seq("d1", "d2")).agg(count(lit(1)).as("n_hit"))
@@ -178,15 +190,19 @@ object Llm {
     * corpus explode + 16 per-token hash mins shared by the band machinery
     * and the estimator key. Not persisted here; callers that fan the
     * subtree out persist at their own join point. */
-  private[operators] def sigRows(s: SparkSession, d: String): DataFrame = {
-    val toks = T.documents(s, d)
+  private[operators] def sigRows(s: SparkSession, d: String): DataFrame =
+    sigRowsFromToks(T.documents(s, d)
       .select(col("doc_id"), col("lang"),
-        explode(array_distinct(split(col("text"), " "))).as("tok"))
-      .withColumn("hb", hash32(col("tok")))
+        explode(array_distinct(split(col("text"), " "))).as("tok")))
+
+  /** Signature rows over an existing (doc_id, lang, tok) frame — lets
+    * masks+bands keys reuse [[docMasksWithToks]]'s persisted explode. */
+  private[operators] def sigRowsFromToks(toks: DataFrame): DataFrame = {
+    val hb = toks.withColumn("hb", hash32(col("tok")))
     val hashCols = MinhashAB.zipWithIndex.map { case ((a, b), i) =>
       ((lit(a) * col("hb") + lit(b)) % lit(MinhashP)).as(s"c$i") }
     val minCols = MinhashAB.indices.map(i => min(col(s"c$i")).as(s"h$i"))
-    toks.select(Seq(col("doc_id"), col("lang")) ++ hashCols: _*)
+    hb.select(Seq(col("doc_id"), col("lang")) ++ hashCols: _*)
       .groupBy("doc_id", "lang")
       .agg(minCols.head, minCols.tail: _*)
   }
@@ -207,6 +223,12 @@ object Llm {
     * Shared by llm_minhash and llm_dedup_cluster_banded. */
   private[operators] def bandRows(s: SparkSession, d: String): DataFrame =
     bandsFromSigs(sigRows(s, d))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Persisted band rows over a shared toks frame (see
+    * [[docMasksWithToks]]). */
+  private[operators] def bandRowsFromToks(toks: DataFrame): DataFrame =
+    bandsFromSigs(sigRowsFromToks(toks))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Largest contracted-remainder edge count the local union-find
@@ -573,8 +595,9 @@ object Llm {
         "CAST(BIT_COUNT(a.mask | b.mask) AS DOUBLE) >= 0.5)" +
         clusterClosureSql),
       (s, d) => {
-        val m = docMasks(s, d)
-        val br = bandRows(s, d)
+        // masks + band rows share one persisted corpus explode (round 17)
+        val (m, toks) = docMasksWithToks(s, d)
+        val br = bandRowsFromToks(toks)
         val cand = br.select(col("doc_id").as("d1"), col("lang"), col("band"), col("sig"))
           .join(br.select(col("doc_id").as("d2"), col("lang"), col("band"), col("sig")),
             Seq("lang", "band", "sig"))
@@ -620,13 +643,19 @@ object Llm {
         "CAST(FLOOR(CAST((SELECT COUNT(*) FROM pairs p JOIN cand c ON c.d1 = p.d1 AND c.d2 = p.d2) AS DOUBLE) / " +
         "(SELECT COUNT(*) FROM pairs) * 1e6 + 0.5) AS BIGINT) END AS recall6"),
       (s, d) => {
-        val truth = exactMaskPairs(docMasks(s, d))
-        val br = bandRows(s, d)
+        // round 17 (guide §1.2 step 1): masks and band rows share ONE
+        // persisted corpus explode (docMasksWithToks), and the band
+        // self-join's candidate set is persisted so n_cand and n_hit
+        // read it once instead of executing the self-join twice
+        val (m, toks) = docMasksWithToks(s, d)
+        val truth = exactMaskPairs(m)
+        val br = bandRowsFromToks(toks)
         val cand = br.select(col("doc_id").as("d1"), col("lang"), col("band"), col("sig"))
           .join(br.select(col("doc_id").as("d2"), col("lang"), col("band"), col("sig")),
             Seq("lang", "band", "sig"))
           .where(col("d1") < col("d2"))
           .select("d1", "d2").distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nT = truth.agg(count(lit(1)).as("n_truth"))
         val nC = cand.agg(count(lit(1)).as("n_cand"))
         val nH = truth.join(cand, Seq("d1", "d2")).agg(count(lit(1)).as("n_hit"))
@@ -1058,8 +1087,9 @@ object Llm {
         "LEFT JOIN vx ON vx.lang = st.lang LEFT JOIN vd ON vd.lang = st.lang " +
         "ORDER BY st.lang"),
       (s, d) => {
-        val masks = docMasks(s, d)
-        val bands = bandRows(s, d)
+        // masks + band rows share one persisted corpus explode (round 17)
+        val (masks, toks) = docMasksWithToks(s, d)
+        val bands = bandRowsFromToks(toks)
         val isDelta = when(hash32(concat(lit("upsert:"),
           col("doc_id").cast("string"))) % 4 === 0, 1L).otherwise(0L)
         val flags = masks.select(col("doc_id"), isDelta.as("is_delta"))
