@@ -2643,17 +2643,23 @@ object LlmExtras {
             .where(col("rn") <= BnswBeam)
             .select("qid", "v", "d2")
         }
-        val nvq = vis.groupBy("qid").agg(count(lit(1)).as("n_visited"))
         val cos = (sdotl(col("embedding"), col("qemb")).cast("double") / lit(1e14)) /
           (sqrt(sdotl(col("embedding"), col("embedding")).cast("double") / lit(1e14)) *
             sqrt(sdotl(col("qemb"), col("qemb")).cast("double") / lit(1e14)))
+        // n_visited rides the SAME window pass as the top-10 pick (round
+        // 17, guide §2.4): the broadcast joins are 1:1 (every visited v
+        // is an index member, every qid a query), so a full-frame
+        // count(*) over the rank window's own spec equals the old
+        // separate groupBy(qid) aggregate — one Window operator instead
+        // of an aggregate + broadcast-join pass over the visited set.
+        val wTop = Window.partitionBy("qid").orderBy(col("cc").desc, col("v"))
         vis.join(embBcast(d)(idx.select(col("vec_id").as("v"), col("embedding"))), "v")
           .join(embBcast(d)(qs.select(col("qid"), col("qemb"))), "qid")
           .withColumn("cc", cos)
-          .withColumn("rk", row_number().over(
-            Window.partitionBy("qid").orderBy(col("cc").desc, col("v"))).cast("long"))
+          .withColumn("rk", row_number().over(wTop).cast("long"))
+          .withColumn("n_visited", count(lit(1)).over(
+            wTop.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
           .where(col("rk") <= 10)
-          .join(embBcast(d)(nvq), "qid")
           .select(col("qid").as("query_id"), col("rk"), col("v").as("vec_id"),
             s6(col("cc")).as("cos_sim"), col("n_visited"))
           .orderBy("query_id", "rk")
@@ -3005,21 +3011,28 @@ object LlmExtras {
         val v0 = bsearch(beamPick(v1, 1), adj0, BhnswSteps0, BnswBeam)
         val vis = v2.unionAll(v1).unionAll(v0)
           .select("qid", "v")
-          // one exchange: hash(qid) serves this distinct, the n_visited
-          // aggregate AND the final top-10 window (round 16, guide §2.4)
+          // one exchange: hash(qid) serves this distinct AND the final
+          // top-10/n_visited window (round 16/17, guide §2.4); the cache
+          // that fed the former separate n_visited aggregate is gone
+          // with it — vis now has exactly one consumer
           .repartition(col("qid")).distinct()
-          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
-        val nvq = vis.groupBy("qid").agg(count(lit(1)).as("n_visited"))
         val cos = (sdotl(col("embedding"), col("qemb")).cast("double") / lit(1e14)) /
           (sqrt(sdotl(col("embedding"), col("embedding")).cast("double") / lit(1e14)) *
             sqrt(sdotl(col("qemb"), col("qemb")).cast("double") / lit(1e14)))
+        // n_visited rides the SAME window pass as the top-10 pick (round
+        // 17, guide §2.4): the broadcast joins are 1:1 (every visited v
+        // is an index member, every qid a query), so a full-frame
+        // count(*) over the rank window's own spec equals the old
+        // separate groupBy(qid) aggregate — one Window operator instead
+        // of an aggregate + broadcast-join pass over the visited set.
+        val wTop = Window.partitionBy("qid").orderBy(col("cc").desc, col("v"))
         vis.join(embBcast(d)(idx.select(col("vec_id").as("v"), col("embedding"))), "v")
           .join(embBcast(d)(qs.select(col("qid"), col("qemb"))), "qid")
           .withColumn("cc", cos)
-          .withColumn("rk", row_number().over(
-            Window.partitionBy("qid").orderBy(col("cc").desc, col("v"))).cast("long"))
+          .withColumn("rk", row_number().over(wTop).cast("long"))
+          .withColumn("n_visited", count(lit(1)).over(
+            wTop.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
           .where(col("rk") <= 10)
-          .join(embBcast(d)(nvq), "qid")
           .select(col("qid").as("query_id"), col("rk"), col("v").as("vec_id"),
             s6(col("cc")).as("cos_sim"), col("n_visited"))
           .orderBy("query_id", "rk")
@@ -3169,6 +3182,12 @@ object LlmExtras {
             // (GROUP BY + MIN(d2) — identical to the old distinct, d2
             // being a deterministic function of (qid, v)) and the
             // beam-pick window both reuse that partitioning.
+            // Round 17 A/B (VERDICT r16 #4): a per-TWO-rounds checkpoint
+            // cadence was tried here and REJECTED — AQE submits one job
+            // per exchange STAGE, not per action, so the job count was
+            // unchanged (142 -> 140) and steady time within noise, while
+            // the skipped round's dedup aggregate executes twice under
+            // the reused exchange (real duplicated work at scale).
             vis = vis.unionAll(withD2(
                 beam.join(adj, beam("v") === adj("s"))
                   .select(beam("qid"), col("t").as("v"))))
@@ -3189,16 +3208,21 @@ object LlmExtras {
         val v0 = bsearch(beamPick(v1, 1), adjL(0), BhnswSteps0, BnswBeam)
         val vis = v2.unionAll(v1).unionAll(v0)
           // one exchange: hash(qid) serves the (qid, v) dedup (MIN(d2)
-          // == the old distinct, d2 a function of (qid, v)), the
-          // n_visited aggregate AND the final link window (guide §2.4)
+          // == the old distinct, d2 a function of (qid, v)) AND the
+          // final link/n_visited window (guide §2.4); the cache that fed
+          // the former separate n_visited aggregate is gone with it —
+          // vis now has exactly one consumer
           .repartition(col("qid"))
           .groupBy("qid", "v").agg(min(col("d2")).as("d2"))
-          .transform(Cached(_)) // multi-consumer cache; lifecycle: Cached scaladoc
-        val nvq = vis.groupBy("qid").agg(count(lit(1)).as("n_visited"))
-        vis.withColumn("rk", row_number().over(
-            Window.partitionBy("qid").orderBy(col("d2"), col("v"))).cast("long"))
+        // n_visited rides the SAME window pass as the link pick (round
+        // 17, guide §2.4): a full-frame count(*) over the rank window's
+        // spec equals the old separate groupBy(qid) aggregate — one
+        // Window operator instead of an aggregate + broadcast-join pass.
+        val wLink = Window.partitionBy("qid").orderBy(col("d2"), col("v"))
+        vis.withColumn("rk", row_number().over(wLink).cast("long"))
+          .withColumn("n_visited", count(lit(1)).over(
+            wLink.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
           .where(col("rk") <= NswM)
-          .join(embBcast(d)(nvq), "qid")
           .select(col("qid").as("query_id"), col("rk"), col("v").as("vec_id"),
             col("d2"), col("n_visited"))
           .orderBy("query_id", "rk")
